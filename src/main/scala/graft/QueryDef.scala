@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One operator/query exposed through the driver contract
+  * (SparkEntry). `sql` is the DuckDB-runnable oracle equivalent; None
+  * for operators whose semantics aren't ANSI-SQL-expressible (the
+  * driver then records a weaker rows-only check).
+  *
+  * Column names of `fn`'s result MUST match the oracle SQL aliases —
+  * the driver sorts columns by name before hashing.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String])
+
+object QueryDef {
+  def apply(name: String, sql: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(sql))
+
+  def noOracle(name: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}

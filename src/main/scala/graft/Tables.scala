@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated star schema
+  * (TESTDATA.md). Reads are plain `spark.read.parquet` so Catalyst
+  * pushes filters/column pruning into the scan — at 100 TB these
+  * become partition-pruned columnar scans with PushedFilters.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Configs every graft session needs. `nanosAsLong` lets Spark scan
+    * parquet TIMESTAMP(NANOS) columns (events.ts) as raw int64; the
+    * loader below converts to TimestampType (µs, floor) so downstream
+    * operators see a normal timestamp.
+    */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

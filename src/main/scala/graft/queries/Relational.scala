@@ -1,0 +1,376 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics surface over the landed star-schema tables.
+  *
+  * The reference (odpf/beast) lands rows into a warehouse and leaves
+  * querying to it; our engine exposes the query surface natively as
+  * Catalyst plans. Every query here is declarative DataFrame API so
+  * predicate pushdown / column pruning / join selection are free, and
+  * each carries a DuckDB oracle for the correctness gate.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dimension joins (region/nation/customer/supplier/part) are
+  *    explicitly `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key only
+  *    after filters have been pushed into the scans;
+  *  - aggregations are partial (map-side combine) by construction.
+  */
+object Relational {
+
+  /** All double-valued aggregates are rounded to 2dp on BOTH the
+    * Spark and the DuckDB side: sums of doubles are order-dependent
+    * in the last ulps, and the driver hash-compares exact values.
+    */
+  private val R = 2
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q01: grouped aggregation (TPC-H Q1 shape) ----------------
+    QueryDef(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), R).as("sum_qty"),
+          round(sum("l_extendedprice"), R).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), R)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), R).as("sum_charge"),
+          round(avg("l_quantity"), R).as("avg_qty"),
+          round(avg("l_extendedprice"), R).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- q02: top-k by aggregate ---------------------------------
+    QueryDef(
+      "q02_top_customers",
+      """SELECT o_custkey,
+        |  round(sum(o_totalprice), 2) AS total_spent,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          round(sum("o_totalprice"), R).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("o_custkey"))
+        .limit(10)
+    },
+
+    // ---- q03: selective fact join + topk (TPC-H Q3 shape) --------
+    QueryDef(
+      "q03_shipping_priority",
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, order_date
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-06-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-06-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      // customer is a small dim after the filter → broadcast; the
+      // orders⋈lineitem join shuffles on the orderkey only.
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), R)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- q04: EXISTS / left-semi join (TPC-H Q4 shape) -----------
+    QueryDef(
+      "q04_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q05: multi-way dim join (TPC-H Q5 shape) ----------------
+    QueryDef(
+      "q05_local_supplier_volume",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val asiaNations = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      // All dims broadcast; lineitem (the 100 TB fact) is never
+      // shuffled except for the orders join on its key.
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), R)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- q06: pushed-down range filter + scalar agg (TPC-H Q6) ---
+    QueryDef(
+      "q06_forecast_revenue",
+      """SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          round(coalesce(sum(col("l_extendedprice") * col("l_discount")), lit(0)), R)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ---- q07: window function / per-group top-n ------------------
+    QueryDef(
+      "q07_top_orders_per_customer",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 AND o_custkey < 100
+        |ORDER BY o_custkey, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3 && col("o_custkey") < 100)
+        .orderBy("o_custkey", "rnk")
+    },
+
+    // ---- q08: distinct aggregation -------------------------------
+    QueryDef(
+      "q08_distinct_stats",
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
+    // ---- q09: set operations (EXCEPT) ----------------------------
+    QueryDef(
+      "q09_churned_customers",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      ord.filter(col("y") === 1996).select("o_custkey")
+        .except(ord.filter(col("y") === 1997).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- q10: NOT EXISTS / left-anti join ------------------------
+    QueryDef(
+      "q10_customers_without_orders",
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    },
+
+    // ---- q11: ROLLUP (grouping sets) -----------------------------
+    QueryDef(
+      "q11_rollup_quantity",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), R).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- q12: conditional aggregation ----------------------------
+    QueryDef(
+      "q12_priority_status_matrix",
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_pending"),
+          round(avg("o_totalprice"), R).as("avg_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q13: event-time tumbling window agg ---------------------
+    QueryDef(
+      "q13_events_hourly",
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY hour_ts, event_type
+        |ORDER BY hour_ts, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), R).as("sum_value"))
+        .orderBy("hour_ts", "event_type")
+    },
+
+    // ---- q14: sessionization via lag window ----------------------
+    QueryDef(
+      "q14_user_sessions",
+      """WITH marked AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id,
+        |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM marked
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lag("ts", 1).over(w).as("prev_ts"))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- q15: string functions over a dim ------------------------
+    QueryDef(
+      "q15_part_brand_stats",
+      """SELECT p_brand,
+        |  split_part(p_type, ' ', 1) AS type_family,
+        |  count(*) AS n_parts,
+        |  round(avg(p_retailprice), 2) AS avg_price,
+        |  round(avg(length(p_name)), 2) AS avg_name_len,
+        |  CAST(max(p_size) AS BIGINT) AS max_size
+        |FROM part
+        |GROUP BY p_brand, type_family
+        |ORDER BY p_brand, type_family""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "part")
+        .groupBy(col("p_brand"), split_part(col("p_type"), lit(" "), lit(1)).as("type_family"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          round(avg("p_retailprice"), R).as("avg_price"),
+          round(avg(length(col("p_name"))), R).as("avg_name_len"),
+          max("p_size").cast("long").as("max_size"))
+        .orderBy("p_brand", "type_family")
+    },
+
+    // ---- q16: time bucketing by month ----------------------------
+    QueryDef(
+      "q16_orders_monthly",
+      """SELECT date_trunc('month', o_orderdate) AS month_ts,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY month_ts
+        |ORDER BY month_ts""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_ts"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), R).as("revenue"))
+        .orderBy("month_ts")
+    }
+  )
+}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate: for each query
+output parquet under OUT, run the matching oracle SQL in DuckDB over
+the same sf dir, sort columns by name, sort rows, compare values.
+Usage: tools/check.py [sfDir] [outDir]
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("int32", "int8", "int16", "uint32"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+fails, passes = [], []
+for name in sorted(oracle):
+    pq_dir = f"{OUT}/{name}"
+    if not glob.glob(f"{pq_dir}/*.parquet"):
+        fails.append((name, "NO SPARK OUTPUT"))
+        continue
+    try:
+        got = canon(con.sql(
+            f"SELECT * FROM parquet_scan('{pq_dir}/*.parquet')").fetchdf())
+        want = canon(con.sql(oracle[name]).fetchdf())
+    except Exception as e:
+        fails.append((name, f"ERROR {e}"))
+        continue
+    if list(got.columns) != list(want.columns):
+        fails.append((name, f"COLS got={list(got.columns)} want={list(want.columns)}"))
+        continue
+    if len(got) != len(want):
+        fails.append((name, f"ROWS got={len(got)} want={len(want)}"))
+        continue
+    diff_cols = []
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ok = np.allclose(a.astype("float64"), b.astype("float64"),
+                             rtol=0, atol=0, equal_nan=True)
+            exact = (a.astype("float64").fillna(-1) == b.astype("float64").fillna(-1)).all()
+            if not ok:
+                diff_cols.append(c)
+            elif not exact:
+                diff_cols.append(c + "(inexact)")
+        else:
+            if not a.equals(b):
+                diff_cols.append(c)
+    if diff_cols:
+        fails.append((name, f"VALUES differ in {diff_cols}"))
+        ix = None
+        for c in [c.replace("(inexact)", "") for c in diff_cols]:
+            neq = got[c].astype(str) != want[c].astype(str)
+            if neq.any():
+                ix = neq.idxmax()
+                print(f"  [{name}] first diff row {ix} col {c}: "
+                      f"got={got[c][ix]!r} want={want[c][ix]!r}")
+    else:
+        passes.append(name)
+
+print(f"\nPASS {len(passes)}/{len(oracle)}: {passes}")
+for n, why in fails:
+    print(f"FAIL {n}: {why}")
+sys.exit(1 if fails else 0)
