@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{DedupOps, EtlQueries, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
     * LLM-pipeline operator. Order is stable for reporting.
     */
   def defs: Seq[QueryDef] =
-    Relational.defs
+    Relational.defs ++ EtlQueries.defs ++ TextOps.defs ++
+      DedupOps.defs ++ SimilarityOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

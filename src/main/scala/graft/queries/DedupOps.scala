@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents`: MinHash signatures,
+  * MinHash+LSH banded candidate generation with exact-Jaccard
+  * verification, and n-gram Jaccard similarity.
+  *
+  * Shingles are 3-token n-grams (the testdata's planted near-dups sit
+  * at ~0.99 3-gram Jaccard while unrelated word-soup docs sit near 0,
+  * so LSH candidate counts stay ~linear in corpus size).
+  *
+  * Scale design: the LSH pipeline is the 100 TB path — signatures are
+  * one narrow aggregation over exploded shingles, candidates come from
+  * an EQUI-join on (band, band_hash) (never an O(n²) cross join), and
+  * exact Jaccard runs only on the candidate pairs. MinHash values are
+  * min-of-md5-hex strings so the DuckDB oracle reproduces them
+  * byte-for-byte.
+  */
+object DedupOps {
+
+  private val NumHashes = 8
+  private val NumBands = 4 // 2 hashes per band
+
+  /** doc_id + exploded distinct 3-token shingles. */
+  private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+      .select(col("doc_id"),
+        concat(
+          element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1), lit(" "),
+          element_at(col("t"), col("i") + 2)).as("g"))
+      .distinct()
+
+  /** MinHash signature columns h0..h7 from the exploded shingle rows. */
+  private def signatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0"), col("g")))).as("h0"),
+        (1 until NumHashes).map(i =>
+          min(md5(concat(lit(i.toString), col("g")))).as(s"h$i")): _*)
+
+  private val shingleSqlCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(t) - 2, 0)),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(md5('0' || g)) AS h0, min(md5('1' || g)) AS h1,
+      |    min(md5('2' || g)) AS h2, min(md5('3' || g)) AS h3,
+      |    min(md5('4' || g)) AS h4, min(md5('5' || g)) AS h5,
+      |    min(md5('6' || g)) AS h6, min(md5('7' || g)) AS h7
+      |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q35: MinHash signatures ---------------------------------
+    QueryDef(
+      "q35_minhash_signatures",
+      s"""WITH $shingleSqlCte
+         |SELECT doc_id, h0, h1, h2, h3 FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      signatures(shingles(s, dir))
+        .select("doc_id", "h0", "h1", "h2", "h3").orderBy("doc_id")
+    },
+
+    // ---- q36: LSH candidate pairs + exact-Jaccard verify ---------
+    QueryDef(
+      "q36_lsh_near_dup_pairs",
+      s"""WITH $shingleSqlCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.g = sb.g
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sig = signatures(sh)
+      // Bands as rows → candidates via shuffle EQUI-join on the band
+      // hash (the oracle's OR-join is semantically identical but
+      // wouldn't scale; this does).
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until NumBands).map(b => struct(lit(b).as("band"),
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"))): _*)).as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+      val cand = bands.as("ba").join(bands.as("bb"),
+          col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
+            col("ba.doc_id") < col("bb.doc_id"))
+        .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_common"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val jac = col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q37: n-gram (3-token shingle) Jaccard top pairs ---------
+    QueryDef(
+      "q37_ngram_jaccard_top",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM toks a JOIN toks b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 30),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.doc_a
+        |  JOIN sh sb ON sb.doc_id = p.doc_b AND sa.g = sb.g
+        |  GROUP BY p.doc_a, p.doc_b),
+        |scored AS (
+        |  SELECT i.doc_a, i.doc_b,
+        |    CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jac
+        |  FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.doc_a
+        |  JOIN sizes zb ON zb.doc_id = i.doc_b)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (
+        |        ORDER BY round(jac, 6) DESC, doc_a, doc_b) AS rnk
+        |      FROM scored) t
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextOps.tokens(col("text")).as("t"))
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Length-bucket + lang pruning keeps the pair space linear-ish;
+      // at real scale the bucket width is the knob.
+      val pairs = toks.select(col("doc_id").as("doc_a"), col("lang"),
+          col("n_chars").as("ca"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("lang"),
+          col("n_chars").as("cb")), Seq("lang"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("ca") - col("cb")) <= 30)
+        .select("doc_a", "doc_b")
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_common"))
+      val jac = col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common"))
+      val scored = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(round(col("jac"), 6).desc, col("doc_a"), col("doc_b")))
+          .cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"),
+          col("rnk"))
+        .orderBy("rnk")
+    }
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Batch-expressible projections of the reference's ETL operators
+  * (SURVEY.md §2.2/§2.3), run over the landed `events` table so the
+  * driver's DuckDB oracle can grade them:
+  *
+  *  - q20: row mapping + metadata enrichment (RowMapper.map +
+  *    ConsumerRecordConverter.addMetadata — reference
+  *    converter/RowMapper.java:33-84, ConsumerRecordConverter.java:80-93)
+  *  - q21: insertId-style dedup (Record.getId topic_partition_offset —
+  *    models/Record.java:24-26) as keep-first-per-key
+  *  - q22: error-routing taxonomy VALID/OOB/INVALID (BQResponseParser /
+  *    OOBError — sink/bq/handler/BQResponseParser.java:46-67)
+  *  - q23: Struct→JSON payload extraction (fields/StructField.java:19-38
+  *    analogue, inverted: JSON text → typed column)
+  *
+  * The live streaming forms of these (foreachBatch, DLQ side-output,
+  * retry) are in graft.pipeline and covered by ScalaTest.
+  */
+object EtlQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q20_metadata_projection",
+      """SELECT event_id AS message_offset,
+        |  user_id % 8 AS message_partition,
+        |  'events' AS message_topic,
+        |  ts AS message_timestamp,
+        |  event_type AS type,
+        |  round(value, 2) AS val
+        |FROM events
+        |ORDER BY message_offset
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(
+          col("event_id").as("message_offset"),
+          (col("user_id") % 8).as("message_partition"),
+          lit("events").as("message_topic"),
+          col("ts").as("message_timestamp"),
+          col("event_type").as("type"),
+          round(col("value"), 2).as("val"))
+        .orderBy("message_offset")
+        .limit(100)
+    },
+
+    QueryDef(
+      "q21_dedup_keep_first",
+      """SELECT user_id, event_type,
+        |  min(event_id) AS first_event_id,
+        |  count(*) AS n_dups
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      // dropDuplicates keeps an *arbitrary* row — keep-first must be
+      // an aggregation to be deterministic (and to match the
+      // reference's smallest-offset-wins insertId semantics).
+      Tables(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_dups"))
+        .orderBy("user_id", "event_type")
+    },
+
+    QueryDef(
+      "q22_error_routing",
+      """SELECT CASE
+        |    WHEN value IS NULL OR value < 1.0 THEN 'INVALID'
+        |    WHEN ts < TIMESTAMP '2024-01-05 00:00:00'
+        |      OR ts >= TIMESTAMP '2024-01-25 00:00:00' THEN 'OOB'
+        |    ELSE 'VALID' END AS error_class,
+        |  count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY error_class
+        |ORDER BY error_class""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("error_class",
+          when(col("value").isNull || col("value") < 1.0, "INVALID")
+            .when(col("ts") < lit("2024-01-05 00:00:00").cast("timestamp") ||
+              col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"), "OOB")
+            .otherwise("VALID"))
+        .groupBy("error_class")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("error_class")
+    },
+
+    QueryDef(
+      "q23_json_payload_extract",
+      """SELECT json_extract_string(props, '$.k') AS k_str,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY k_str
+        |ORDER BY k_str""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(get_json_object(col("props"), "$.k").as("k_str"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_str")
+    }
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d).
+  *
+  * q40 is the exact brute-force baseline: broadcast the (small) query
+  * set against the candidate corpus — at 100 TB the corpus side stays
+  * partitioned and is scanned once, queries are broadcast, so there is
+  * NO shuffle of the big side. q42 is the scale path: LSH
+  * (random-hyperplane) bucketing turns top-k into an equi-join on the
+  * bucket signature. Dot products are SQL higher-order functions
+  * (`aggregate(zip_with(...))`) — codegen-friendly, no UDFs.
+  */
+object SimilarityOps {
+
+  /** embeddings with the vector cast to double for deterministic math
+    * (matches the oracle's CAST(embedding AS DOUBLE[])).
+    */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  private val dotExpr =
+    "aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def normExpr(c: String) =
+    s"sqrt(aggregate(transform($c, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q40: exact brute-force cosine top-k ---------------------
+    QueryDef(
+      "q40_cosine_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    (SELECT sum(x * y) FROM (SELECT unnest(q.emb) AS x, unnest(c.emb) AS y) z) AS dot,
+        |    sqrt((SELECT sum(x * x) FROM (SELECT unnest(q.emb) AS x) z)) AS qn,
+        |    sqrt((SELECT sum(y * y) FROM (SELECT unnest(c.emb) AS y) z)) AS cn
+        |  FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |ranked AS (
+        |  SELECT query_id, cand_id, dot / (qn * cn) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY dot / (qn * cn) DESC, cand_id) AS rnk
+        |  FROM pairs)
+        |SELECT query_id, cand_id, round(cosine, 4) AS cosine,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+      val cos = (expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand_id"))
+      c.crossJoin(broadcast(q)) // corpus stays partitioned; queries broadcast
+        .select(col("query_id"), col("cand_id"), cos.as("cosine"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id"),
+          round(col("cosine"), 4).as("cosine"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- q41: per-label norm statistics --------------------------
+    QueryDef(
+      "q41_embedding_norms",
+      """WITH n AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    sqrt((SELECT sum(x * x)
+        |          FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x) z)) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      emb(s, dir)
+        .select(col("label"), expr(normExpr("e")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("nrm"), 4).as("avg_norm"),
+          round(min("nrm"), 4).as("min_norm"),
+          round(max("nrm"), 4).as("max_norm"))
+        .orderBy("label")
+    },
+
+    // ---- q42: LSH-bucketed approximate NN (scale path) -----------
+    // Hyperplanes are derived deterministically from md5, bucket =
+    // sign-bit string; candidates share the query's bucket. No SQL
+    // oracle (hex→int differs across engines) → rows-only check.
+    QueryDef.noOracle("q42_lsh_ann") { (s, dir) =>
+      val nPlanes = 4
+      val e = emb(s, dir)
+      // plane j, dim d → pseudo-random weight in [-1, 1]:
+      // (md5-derived int mod 2001 - 1000) / 1000
+      val planes = (0 until nPlanes).map { j =>
+        transform(sequence(lit(0), lit(63)), d =>
+          (conv(substring(md5(concat(lit(s"${j}_"), d.cast("string"))), 1, 15),
+            16, 10).cast("long") % 2001 - 1000).cast("double") / 1000.0)
+      }
+      val planed = (0 until nPlanes).foldLeft(e) { case (df, j) =>
+        df.withColumn(s"p$j", planes(j))
+      }
+      val bucketed = planed.withColumn("bucket",
+        concat((0 until nPlanes).map { j =>
+          when(expr(s"aggregate(zip_with(e, p$j, (x, y) -> x * y), " +
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)") > 0, "1").otherwise("0")
+        }: _*))
+        .select(col("vec_id"), col("e"), col("bucket"))
+      val q = bucketed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
+      val c = bucketed.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("bucket"))
+      val cos = expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand_id"))
+      c.join(broadcast(q), Seq("bucket")) // equi-join on bucket, not cross
+        .select(col("query_id"), col("cand_id"), cos.as("cosine"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id"), round(col("cosine"), 4).as("cosine"),
+          col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- q43: centroid distance per label (embedding analytics) --
+    QueryDef(
+      "q43_centroid_distance",
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, i,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |cent AS (SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i),
+        |dist AS (
+        |  SELECT ex.vec_id, ex.label,
+        |    sqrt(sum((ex.v - cent.c) * (ex.v - cent.c))) AS d
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+        |  GROUP BY ex.vec_id, ex.label)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(d), 3) AS avg_dist,
+        |  round(max(d), 3) AS max_dist
+        |FROM dist GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val ex = emb(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("e")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("i"),
+          col("col").as("v"))
+      val cent = ex.groupBy("label", "i").agg(avg("v").as("c"))
+      val dist = ex.join(cent, Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))).as("d"))
+      dist.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("d"), 3).as("avg_dist"),
+          round(max("d"), 3).as("max_dist"))
+        .orderBy("label")
+    }
+  )
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: exact dedup, token statistics, language ID
+  * (n-gram/stopword heuristic), quality scoring, document
+  * fingerprinting, SimHash signatures.
+  *
+  * All scalar work is `org.apache.spark.sql.functions` / SQL lambda
+  * expressions (codegen'd, no UDFs), so at 100 TB every one of these
+  * runs inside WholeStageCodegen with only the final groupBy shuffling.
+  */
+object TextOps {
+
+  /** Whitespace tokens (maximal \S+ runs). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), x => length(x) > 0)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "y", "es", "en", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des"))
+
+  private def stopScore(lang: String): Column =
+    size(filter(tokens(col("text")), x => x.isin(stop(lang): _*)))
+
+  private def sqlStopScore(lang: String): String = {
+    val words = stop(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($words)))"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact deduplication via content hash --------------------
+    QueryDef(
+      "q30_exact_dedup",
+      """SELECT md5(text) AS text_hash,
+        |  min(doc_id) AS keeper_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text_hash
+        |ORDER BY text_hash""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    },
+
+    // ---- token counting ------------------------------------------
+    QueryDef(
+      "q31_token_stats",
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_tok), 2) AS avg_tokens,
+        |  CAST(max(n_tok) AS BIGINT) AS max_tokens,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_tok"), 2).as("avg_tokens"),
+          max("n_tok").as("max_tokens"),
+          sum("n_tok").as("sum_tokens"))
+        .orderBy("lang")
+    },
+
+    // ---- language identification (stopword/CJK heuristic) --------
+    QueryDef(
+      "q32_language_id",
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk,
+         |    ${sqlStopScore("en")} AS s_en,
+         |    ${sqlStopScore("de")} AS s_de,
+         |    ${sqlStopScore("es")} AS s_es,
+         |    ${sqlStopScore("fr")} AS s_fr
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang, CASE
+         |    WHEN n_cjk > 0 THEN 'zh'
+         |    WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |    WHEN s_fr > 0 THEN 'fr'
+         |    ELSE 'unknown' END AS predicted_lang
+         |  FROM scored)
+         |SELECT predicted_lang, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE predicted_lang = lang) AS n_correct
+         |FROM pred GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin) { (s, dir) =>
+      val nCjk = length(col("text")) -
+        length(regexp_replace(col("text"), "[一-鿿]", ""))
+      val scored = docs(s, dir).select(
+        col("lang"), nCjk.as("n_cjk"),
+        stopScore("en").as("s_en"), stopScore("de").as("s_de"),
+        stopScore("es").as("s_es"), stopScore("fr").as("s_fr"))
+      scored.withColumn("predicted_lang",
+          when(col("n_cjk") > 0, "zh")
+            .when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")) &&
+              col("s_en") > 0, "en")
+            .when(col("s_de") >= greatest(col("s_es"), col("s_fr")) &&
+              col("s_de") > 0, "de")
+            .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("unknown"))
+        .groupBy("predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("predicted_lang") === col("lang"), 1)).as("n_correct"))
+        .orderBy("predicted_lang")
+    },
+
+    // ---- quality scoring -----------------------------------------
+    QueryDef(
+      "q33_quality_score",
+      """WITH m AS (
+        |  SELECT doc_id, n_chars,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  floor(n_alpha / n_chars * 10000 + 0.5) / 10000 AS alpha_ratio,
+        |  floor(n_alpha / n_tokens * 100 + 0.5) / 100 AS avg_token_len,
+        |  CASE WHEN n_tokens >= 5 AND n_alpha / n_chars > 0.6
+        |       THEN 'ok' ELSE 'low' END AS quality
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // NB deliberate floor(x*k+0.5)/k instead of round(): Spark's
+      // round() goes through BigDecimal.valueOf (shortest decimal
+      // string) while DuckDB rounds the binary value — they disagree
+      // on exact .xx5 rationals like 189/40. The floor form is the
+      // same double arithmetic in both engines.
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          (floor(col("n_alpha") / col("n_chars") * 10000 + 0.5) / 10000)
+            .as("alpha_ratio"),
+          (floor(col("n_alpha") / col("n_tokens") * 100 + 0.5) / 100)
+            .as("avg_token_len"),
+          when(col("n_tokens") >= 5 && col("n_alpha") / col("n_chars") > 0.6, "ok")
+            .otherwise("low").as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprint (normalized content hash) ----------
+    QueryDef(
+      "q34_fingerprint",
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---- SimHash signatures (32-bit, hash-parity voting) ---------
+    // Classic SimHash (Charikar 2002): per token hash bit b, vote
+    // +1/-1; signature bit = sign of the vote sum. Bits derived from
+    // md5 hex-digit parity so the DuckDB oracle reproduces them.
+    QueryDef(
+      "q38_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN sum(CASE WHEN ascii(substring(md5(w), i, 1)) % 2 = 1
+        |                       THEN 1 ELSE -1 END) > 0
+        |         THEN '1' ELSE '0' END AS b
+        |  FROM tok, generate_series(1, 32) t(i)
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), md5(col("w")).as("h"),
+          explode(sequence(lit(1), lit(32))).as("i"))
+        .withColumn("v",
+          when(expr("ascii(substring(h, i, 1)) % 2") === 1, 1).otherwise(-1))
+        .groupBy("doc_id", "i")
+        .agg(sum("v").as("vote"))
+        .withColumn("b", when(col("vote") > 0, "1").otherwise("0"))
+        .groupBy("doc_id")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, b))), s -> s.b), '')")
+          .as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
+}
