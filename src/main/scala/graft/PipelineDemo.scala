@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.etl._
+import graft.pipeline._
+
+/** Runnable end-to-end demo of the ingestion pipeline (SURVEY.md §3.1):
+  * encodes protobuf messages with the wire codec, streams them through
+  * decode → project → metadata → foreachBatch {good → retrying parquet
+  * sink; bad → DLQ}, then prints the landed table and DLQ.
+  *
+  * Usage: tools/run_verify.sh with MAIN=graft.PipelineDemo (args
+  * ignored), or `sbt "runMain graft.PipelineDemo"`.
+  */
+object PipelineDemo {
+
+  import PType._
+
+  val orderEvent: PMessage = PMessage("OrderEvent", Seq(
+    PField(1, "order_number", PString),
+    PField(2, "status", PEnum(Map(0 -> "CREATED", 1 -> "COMPLETED", 2 -> "CANCELLED"))),
+    PField(3, "amount", PDouble),
+    PField(4, "created_at", PTimestamp),
+    PField(5, "items", PString, repeated = true)))
+
+  val mapping: ColumnMapping = ColumnMapping.rename(
+    1 -> "order_number", 2 -> "status", 3 -> "amount",
+    4 -> "created_at", 5 -> "items")
+
+  def encode(n: Int, status: Int, amount: Double, epoch: Long): Array[Byte] =
+    Wire.message { w =>
+      w.string(1, f"order-$n%04d").int(2, status.toLong).double(3, amount)
+        .message(4, t => t.int(1, epoch))
+        .string(5, "item-a").string(5, s"item-$n")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("graft_demo").toString
+    println(s"[demo] working dir: $dir")
+
+    // 1. produce a "topic dump" the streaming file source reads —
+    //    kafka-shaped rows, some deliberately poisoned
+    val now = java.time.Instant.now
+    val rows = (1 to 1000).map { i =>
+      val value =
+        if (i % 97 == 0) Array[Byte](0xde.toByte, 0xad.toByte) // poison
+        else encode(i, i % 3, i * 1.5, now.getEpochSecond - i * 60)
+      Row(s"key-$i".getBytes, value, "orders", i % 8, i.toLong,
+        java.sql.Timestamp.from(now))
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 8), ProtoPipeline.sourceSchema)
+      .write.mode("overwrite").parquet(s"$dir/topic-dump")
+
+    // 2. run the pipeline as a stream over the dump
+    val cfg = PipelineConfig(orderEvent, mapping,
+      oobColumn = Some("created_at"))
+    val pipeline = new ProtoPipeline(cfg)
+    val src = spark.readStream
+      .schema(ProtoPipeline.sourceSchema)
+      .parquet(s"$dir/topic-dump")
+    val sink = new RetrySink(new ParquetSink(s"$dir/landed"))
+    val q = pipeline.start(src, sink, new DlqJsonSink(s"$dir/dlq"),
+      s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    // 3. inspect results
+    val landed = spark.read.parquet(s"$dir/landed")
+    val dlq = spark.read.json(s"$dir/dlq")
+    println(s"[demo] landed rows: ${landed.count()} (expect 990 minus any OOB)")
+    println(s"[demo] dlq rows:    ${dlq.count()} (expect 10 poison)")
+    landed.orderBy("message_offset").show(5, truncate = false)
+    dlq.select("error", "topic", "offset", "dt").show(5, truncate = false)
+    println("[demo] landed schema: " + landed.schema.simpleString)
+    spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.etl
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+final class ConfigurationException(msg: String) extends RuntimeException(msg)
+final class UnknownFieldsException(msg: String) extends RuntimeException(msg)
+final class DeserializeException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+/** Proto-index → column-name projection spec (reference:
+  * config/ColumnMapping.java + config/ProtoIndexToFieldMapConverter
+  * .java:20-43). Nested messages map recursively under a
+  * `record_name` key, e.g.
+  * {"1":"order_number","2":{"record_name":"msg","1":"id"}}.
+  */
+sealed trait MappingEntry
+final case class RenameTo(name: String) extends MappingEntry
+final case class NestedMapping(recordName: String, inner: ColumnMapping)
+  extends MappingEntry
+
+final case class ColumnMapping(entries: Map[Int, MappingEntry]) {
+  def isEmpty: Boolean = entries.isEmpty
+  /** Deterministic walk order (the reference iterates a Properties
+    * hash — unordered; we fix field-number order so schema and row
+    * walks agree).
+    */
+  def sorted: Seq[(Int, MappingEntry)] = entries.toSeq.sortBy(_._1)
+}
+
+object ColumnMapping {
+  val RecordNameKey = "record_name" // reference config/Constants.java:17
+
+  def apply(pairs: (Int, MappingEntry)*): ColumnMapping =
+    ColumnMapping(pairs.toMap)
+
+  def rename(pairs: (Int, String)*): ColumnMapping =
+    ColumnMapping(pairs.map { case (i, n) => i -> RenameTo(n) }.toMap)
+
+  /** Parse the reference's JSON mapping format
+    * (env/sample.properties:1).
+    */
+  def fromJson(json: String): ColumnMapping = {
+    val node = new ObjectMapper().readValue(json, classOf[java.util.Map[String, Object]])
+    fromJavaMap(node)
+  }
+
+  private def fromJavaMap(m: java.util.Map[String, Object]): ColumnMapping = {
+    val entries = m.asScala.collect {
+      case (k, v) if k != RecordNameKey =>
+        val idx =
+          try k.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new ConfigurationException(s"non-numeric proto index '$k'")
+          }
+        val entry = v match {
+          case s: String => RenameTo(s)
+          case sub: java.util.Map[_, _] =>
+            val subMap = sub.asInstanceOf[java.util.Map[String, Object]]
+            val rn = Option(subMap.get(RecordNameKey)).map(_.toString)
+              .getOrElse(throw new ConfigurationException(
+                s"nested mapping for index $idx lacks '$RecordNameKey'"))
+            NestedMapping(rn, fromJavaMap(subMap))
+          case other =>
+            throw new ConfigurationException(
+              s"unsupported mapping value ${other.getClass} for index $idx")
+        }
+        idx -> entry
+    }.toMap
+    ColumnMapping(entries)
+  }
+}

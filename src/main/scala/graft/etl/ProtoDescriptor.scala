@@ -1,0 +1,74 @@
+package graft.etl
+
+/** Minimal protobuf descriptor model — the schema side of the
+  * reference's Stencil-descriptor handling (reference:
+  * src/main/java/com/gojek/beast/protomapping/Parser.java:20-46).
+  *
+  * We model only what the converter semantics need: field numbers,
+  * names, types, repetition, and nesting. Well-known types
+  * (google.protobuf.Timestamp / Duration / Struct, google.type.Date)
+  * are first-class cases because the reference special-cases them
+  * (models/BQField.java:50-54).
+  */
+sealed trait PType
+
+object PType {
+  case object PDouble extends PType
+  case object PFloat extends PType
+  /** All proto int flavors widen to 64-bit, like the reference
+    * (models/BQField.java:36-45). `zigzag` marks sint32/sint64,
+    * `fixed` marks fixed/sfixed (wire types 5/1).
+    */
+  final case class PInt(zigzag: Boolean = false, fixed32: Boolean = false,
+      fixed64: Boolean = false) extends PType
+  case object PBool extends PType
+  case object PString extends PType
+  case object PBytes extends PType
+  final case class PEnum(values: Map[Int, String]) extends PType
+  /** Nested message. `lazy` thunk so recursive messages (the 15-level
+    * cap tests) can be described.
+    */
+  final case class PMessageT(messageThunk: () => PMessage) extends PType {
+    def message: PMessage = messageThunk()
+  }
+  object PMessageT {
+    def of(m: => PMessage): PMessageT = new PMessageT(() => m)
+  }
+  /** google.protobuf.Timestamp {1: seconds, 2: nanos} → TIMESTAMP. */
+  case object PTimestamp extends PType
+  /** google.protobuf.Struct → compact JSON string. */
+  case object PStruct extends PType
+}
+
+final case class PField(
+    number: Int,
+    name: String,
+    ptype: PType,
+    repeated: Boolean = false) {
+  /** proto map<k,v> is a repeated {1:key, 2:value} entry message on
+    * the wire; callers model it exactly that way (repeated PMessageT).
+    * google.protobuf.Duration and google.type.Date are plain nested
+    * messages too — the reference routes them through the nested-
+    * record path (converter/fields/NestedField.java:15-23).
+    */
+  def isMessage: Boolean = ptype match {
+    case PType.PMessageT(_) => true
+    case _ => false
+  }
+}
+
+final case class PMessage(name: String, fields: Seq[PField]) {
+  lazy val byNumber: Map[Int, PField] = fields.map(f => f.number -> f).toMap
+}
+
+/** Well-known message shapes the reference maps structurally
+  * (models/BQField.java:50-54, docs/test_messages.schema.json).
+  */
+object WellKnown {
+  import PType._
+  val duration: PMessage = PMessage("google.protobuf.Duration",
+    Seq(PField(1, "seconds", PInt()), PField(2, "nanos", PInt())))
+  val date: PMessage = PMessage("google.type.Date",
+    Seq(PField(1, "year", PInt()), PField(2, "month", PInt()),
+      PField(3, "day", PInt())))
+}

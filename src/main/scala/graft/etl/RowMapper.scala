@@ -1,0 +1,233 @@
+package graft.etl
+
+import java.util.Base64
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.Row
+import graft.etl.Wire._
+
+/** bytes → Spark Row against a descriptor + column mapping —
+  * the reference's DynamicMessage parse + RowMapper.map
+  * (converter/RowMapper.java:33-84) re-expressed for Spark rows.
+  *
+  * Faithful semantics (pinned by the reference's tests):
+  *  - only mapped fields are selected, renamed per mapping
+  *    (RowMapperTest.java:80-101);
+  *  - "empty-toString" elision (RowMapper.java:61): absent/empty
+  *    string, bytes, repeated, and message fields land as NULL, while
+  *    absent numeric/bool fields land as their proto3 default (0,
+  *    false) and absent enums as the 0-value name — because
+  *    `DynamicMessage.getField` materializes scalar defaults whose
+  *    toString is non-empty (SURVEY.md §1.2);
+  *  - nested messages recurse under the mapping's record_name;
+  *    repeated nested → array of structs; proto maps are repeated
+  *    {key,value} entries (RowMapperTest.java:214-242);
+  *  - google.protobuf.Timestamp → TimestampType (micros);
+  *  - google.protobuf.Struct → compact JSON string; unparseable →
+  *    "" (fields/StructField.java:29-31);
+  *  - bytes → base64 string. NB the reference base64s the UTF-8
+  *    re-encoding of the payload (fields/ByteField.java:17-20), which
+  *    corrupts non-UTF-8 bytes; we base64 the raw bytes (intentional
+  *    divergence, flagged in SURVEY.md §1.2);
+  *  - unknown wire fields + failOnUnknownFields → error
+  *    (RowMapper.java:44-49);
+  *  - recursion capped at 15 levels to mirror the schema side.
+  */
+final class RowMapper(
+    descriptor: PMessage,
+    mapping: ColumnMapping,
+    failOnUnknownFields: Boolean = false)
+  extends Serializable {
+
+  import PType._
+
+  def map(bytes: Array[Byte]): Row =
+    mapMessage(Wire.decode(bytes), descriptor, mapping, level = 1)
+
+  private def mapMessage(raw: RawMessage, msg: PMessage, cm: ColumnMapping,
+      level: Int): Row = {
+    if (failOnUnknownFields) {
+      val unknown = raw.unknownNumbers(msg.byNumber.keySet)
+      if (unknown.nonEmpty)
+        throw new UnknownFieldsException(
+          s"unknown field numbers ${unknown.toSeq.sorted.mkString(",")} in ${msg.name}")
+    }
+    val values = SchemaConverter.resolve(msg, cm).flatMap { r =>
+      fieldValue(raw, r, level)
+    }
+    Row.fromSeq(values)
+  }
+
+  /** None = field dropped from schema (depth cap); Some(v) = value. */
+  private def fieldValue(raw: RawMessage, r: SchemaConverter.Resolved,
+      level: Int): Option[Any] = {
+    val f = r.field
+    if (f.isMessage && level >= SchemaConverter.MaxNestingLevel) return None
+    val raws = gather(raw, f)
+    val v: Any =
+      if (f.repeated) {
+        if (raws.isEmpty) null // empty repeated elided (RowMapper.java:90-93)
+        else raws.map(one => scalarValue(one, r, level))
+      } else f.ptype match {
+        // message-ish and stringy types elide when absent/empty
+        case PMessageT(m) =>
+          raws.lastOption.map(asBytes).map(Wire.decode)
+            .filter(_.fields.nonEmpty) // all-default message → "" → elided
+            .map(sub => mapMessage(sub, m(), r.nested.get, level + 1))
+            .orNull
+        case PTimestamp =>
+          raws.lastOption.map(asBytes).map(Wire.decode)
+            .filter(_.fields.nonEmpty).map(timestampOf).orNull
+        case PStruct =>
+          raws.lastOption.map(asBytes).map { b =>
+            try {
+              val sub = Wire.decode(b)
+              if (sub.fields.isEmpty) null else structJson(sub)
+            } catch { case _: DecodeException => "" }
+          }.orNull
+        case PString =>
+          raws.lastOption.map(asBytes)
+            .map(b => new String(b, StandardCharsets.UTF_8))
+            .filter(_.nonEmpty).orNull
+        case PBytes =>
+          raws.lastOption.map(asBytes).filter(_.nonEmpty)
+            .map(Base64.getEncoder.encodeToString).orNull
+        // scalars materialize proto3 defaults when absent
+        case PEnum(values) =>
+          val num = raws.lastOption.map(x => varintOf(x).toInt).getOrElse(0)
+          values.getOrElse(num, num.toString)
+        case PBool => raws.lastOption.exists(x => varintOf(x) != 0)
+        case PDouble =>
+          raws.lastOption.map {
+            case RFixed64(bits) => java.lang.Double.longBitsToDouble(bits)
+            case other => varintOf(other).toDouble
+          }.getOrElse(0d)
+        case PFloat =>
+          raws.lastOption.map {
+            case RFixed32(bits) => java.lang.Float.intBitsToFloat(bits)
+            case other => varintOf(other).toFloat
+          }.getOrElse(0f)
+        case PInt(zigzag, _, _) =>
+          raws.lastOption.map(x => intOf(x, zigzag)).getOrElse(0L)
+      }
+    Some(v)
+  }
+
+  /** Collect raw values, unpacking packed repeated scalars. */
+  private def gather(raw: RawMessage, f: PField): Vector[Raw] = {
+    val rs = raw(f.number)
+    if (!f.repeated) rs
+    else f.ptype match {
+      case PString | PBytes | PStruct | PTimestamp | PMessageT(_) => rs
+      case pt => // numeric/bool/enum may arrive packed (wire type 2)
+        rs.flatMap {
+          case RBytes(b) => Wire.unpack(b, pt)
+          case other => Vector(other)
+        }
+    }
+  }
+
+  private def scalarValue(one: Raw, r: SchemaConverter.Resolved,
+      level: Int): Any = r.field.ptype match {
+    case PMessageT(m) =>
+      mapMessage(Wire.decode(asBytes(one)), m(), r.nested.get, level + 1)
+    case PTimestamp => timestampOf(Wire.decode(asBytes(one)))
+    case PStruct =>
+      try structJson(Wire.decode(asBytes(one)))
+      catch { case _: DecodeException => "" }
+    case PString => new String(asBytes(one), StandardCharsets.UTF_8)
+    case PBytes => Base64.getEncoder.encodeToString(asBytes(one))
+    case PEnum(values) =>
+      val num = varintOf(one).toInt
+      values.getOrElse(num, num.toString)
+    case PBool => varintOf(one) != 0
+    case PDouble => one match {
+      case RFixed64(bits) => java.lang.Double.longBitsToDouble(bits)
+      case other => varintOf(other).toDouble
+    }
+    case PFloat => one match {
+      case RFixed32(bits) => java.lang.Float.intBitsToFloat(bits)
+      case other => varintOf(other).toFloat
+    }
+    case PInt(zigzag, _, _) => intOf(one, zigzag)
+  }
+
+  private def asBytes(r: Raw): Array[Byte] = r match {
+    case RBytes(b) => b
+    case other => throw new DecodeException(s"expected bytes, got $other")
+  }
+  private def varintOf(r: Raw): Long = r match {
+    case RVarint(v) => v
+    case RFixed32(v) => v.toLong
+    case RFixed64(v) => v
+    case RBytes(_) => throw new DecodeException("expected scalar, got bytes")
+  }
+  private def intOf(r: Raw, zigzag: Boolean): Long = r match {
+    case RVarint(v) => if (zigzag) Wire.zigzagDecode(v) else v
+    case RFixed32(v) => v.toLong
+    case RFixed64(v) => v
+    case RBytes(_) => throw new DecodeException("expected int, got bytes")
+  }
+
+  /** google.protobuf.Timestamp {1: seconds, 2: nanos} → sql Timestamp
+    * (micros; the reference truncates to millis via DateTime —
+    * fields/TimestampField.java:31-38 — we keep full precision).
+    */
+  private def timestampOf(sub: RawMessage): java.sql.Timestamp = {
+    val seconds = sub(1).lastOption.map(varintOf).getOrElse(0L)
+    val nanos = sub(2).lastOption.map(varintOf).getOrElse(0L)
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(seconds, nanos))
+  }
+
+  // ----------------------------------------------------------------
+  // google.protobuf.Struct → compact JSON (fields/StructField.java:
+  // 19-38 uses JsonFormat.printer().omittingInsignificantWhitespace();
+  // we re-implement the printer: Java Double.toString matches
+  // JsonFormat's "1.0"-style number rendering for finite doubles).
+  // ----------------------------------------------------------------
+
+  private def structJson(struct: RawMessage): String = {
+    val entries = struct(1).map(asBytes).map(Wire.decode).map { entry =>
+      val key = entry(1).lastOption.map(asBytes)
+        .map(b => new String(b, StandardCharsets.UTF_8)).getOrElse("")
+      val value = entry(2).lastOption.map(asBytes).map(Wire.decode)
+        .getOrElse(RawMessage(Map.empty))
+      jsonQuote(key) + ":" + valueJson(value)
+    }
+    entries.mkString("{", ",", "}")
+  }
+
+  /** google.protobuf.Value oneof {1:null,2:number,3:string,4:bool,
+    * 5:struct,6:list}.
+    */
+  private def valueJson(v: RawMessage): String =
+    if (v.has(2)) v(2).last match {
+      case RFixed64(bits) =>
+        val d = java.lang.Double.longBitsToDouble(bits)
+        if (d.isNaN || d.isInfinite) "null" else java.lang.Double.toString(d)
+      case other => varintOf(other).toString
+    }
+    else if (v.has(3))
+      jsonQuote(new String(asBytes(v(3).last), StandardCharsets.UTF_8))
+    else if (v.has(4)) (varintOf(v(4).last) != 0).toString
+    else if (v.has(5)) structJson(Wire.decode(asBytes(v(5).last)))
+    else if (v.has(6)) {
+      val list = Wire.decode(asBytes(v(6).last))
+      list(1).map(asBytes).map(Wire.decode).map(valueJson)
+        .mkString("[", ",", "]")
+    }
+    else "null"
+
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}

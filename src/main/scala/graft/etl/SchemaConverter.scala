@@ -1,0 +1,108 @@
+package graft.etl
+
+import org.apache.spark.sql.types._
+
+/** Descriptor + mapping → Spark StructType, implementing the
+  * reference's proto→BQ type table (models/BQField.java:29-54) with
+  * Spark types (SURVEY.md §1.2):
+  *
+  *   string/enum → StringType; double → DoubleType; float → FloatType;
+  *   bool → BooleanType; every int flavor → LongType (widened);
+  *   bytes → StringType (base64 at conversion time);
+  *   google.protobuf.Timestamp → TimestampType;
+  *   google.protobuf.Struct → StringType (compact JSON);
+  *   nested message (incl. Duration/Date) → StructType;
+  *   repeated T → ArrayType(T).
+  *
+  * Recursion stops at 15 levels like the reference
+  * (protomapping/Parser.java:14-18).
+  */
+object SchemaConverter {
+
+  val MaxNestingLevel = 15 // reference protomapping/Parser.java:14-18
+
+  /** Metadata columns appended to every row (reference
+    * models/BQField.java:74-82, config/Constants.java:6-10).
+    */
+  val metadataFields: Seq[StructField] = Seq(
+    StructField("message_partition", LongType),
+    StructField("message_offset", LongType),
+    StructField("message_topic", StringType),
+    StructField("message_timestamp", TimestampType),
+    StructField("load_time", TimestampType))
+
+  /** One mapped output column: resolved descriptor field + name +
+    * nested mapping when the field is a message.
+    */
+  final case class Resolved(
+      field: PField,
+      columnName: String,
+      nested: Option[ColumnMapping])
+
+  /** Resolve a mapping against a descriptor in field-number order,
+    * skipping indexes the descriptor doesn't know (reference
+    * RowMapper.java:60 `fieldDesc != null` check).
+    */
+  def resolve(msg: PMessage, mapping: ColumnMapping): Seq[Resolved] =
+    mapping.sorted.flatMap { case (idx, entry) =>
+      msg.byNumber.get(idx).map { f =>
+        entry match {
+          case RenameTo(name) =>
+            if (f.isMessage)
+              throw new ConfigurationException(
+                s"field ${f.name} ($idx) is a message; mapping must be nested with record_name")
+            Resolved(f, name, None)
+          case NestedMapping(rn, inner) =>
+            if (!f.isMessage)
+              throw new ConfigurationException(
+                s"field ${f.name} ($idx) is scalar; nested mapping invalid")
+            Resolved(f, rn, Some(inner))
+        }
+      }
+    }
+
+  def structFor(msg: PMessage, mapping: ColumnMapping): StructType =
+    structFor(msg, mapping, level = 1)
+
+  private def structFor(msg: PMessage, mapping: ColumnMapping, level: Int): StructType =
+    StructType(resolve(msg, mapping).flatMap { r =>
+      typeOf(r, level).map(dt => StructField(r.columnName, dt, nullable = true))
+    })
+
+  private def typeOf(r: Resolved, level: Int): Option[DataType] = {
+    import PType._
+    val elem: Option[DataType] = r.field.ptype match {
+      case PString | PBytes | PStruct | PEnum(_) => Some(StringType)
+      case PDouble => Some(DoubleType)
+      case PFloat => Some(FloatType)
+      case PBool => Some(BooleanType)
+      case PInt(_, _, _) => Some(LongType)
+      case PTimestamp => Some(TimestampType)
+      case PMessageT(m) =>
+        if (level >= MaxNestingLevel) None // depth cap: drop deeper fields
+        else Some(structFor(m(), r.nested.get, level + 1))
+    }
+    elem.map(e => if (r.field.repeated) ArrayType(e, containsNull = false) else e)
+  }
+
+  /** Append (or namespace) the metadata columns, failing on collision
+    * with data columns (reference ProtoUpdateListener.java:137-141).
+    */
+  def withMetadata(data: StructType, namespace: Option[String]): StructType = {
+    val dataNames = data.fieldNames.toSet
+    namespace match {
+      case Some(ns) =>
+        if (dataNames.contains(ns))
+          throw new ConfigurationException(
+            s"metadata namespace '$ns' collides with a data column")
+        data.add(StructField(ns, StructType(metadataFields)))
+      case None =>
+        metadataFields.foreach { f =>
+          if (dataNames.contains(f.name))
+            throw new ConfigurationException(
+              s"metadata column '${f.name}' collides with a data column")
+        }
+        StructType(data.fields ++ metadataFields)
+    }
+  }
+}

@@ -1,0 +1,154 @@
+package graft.etl
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** Protobuf wire-format codec (public spec:
+  * protobuf.dev/programming-guides/encoding). Pure Scala — the image
+  * ships no protobuf-java, and a hand-rolled reader keeps the decode
+  * loop allocation-light for the streaming hot path.
+  *
+  * Decoding is descriptor-free: a message decodes to field-number →
+  * raw values; interpretation against a [[PMessage]] happens in
+  * [[RowMapper]] (mirrors DynamicMessage.parseFrom + field access in
+  * the reference, converter/ConsumerRecordConverter.java:68).
+  */
+object Wire {
+
+  sealed trait Raw
+  final case class RVarint(v: Long) extends Raw
+  final case class RFixed32(v: Int) extends Raw
+  final case class RFixed64(v: Long) extends Raw
+  final case class RBytes(v: Array[Byte]) extends Raw
+
+  /** Decoded message: field number → values in wire order; repeated
+    * fields accumulate. Unknown numbers are retained (the reference's
+    * unknown-field guard needs them, RowMapper.java:44-49).
+    */
+  final case class RawMessage(fields: Map[Int, Vector[Raw]]) {
+    def apply(n: Int): Vector[Raw] = fields.getOrElse(n, Vector.empty)
+    def has(n: Int): Boolean = fields.contains(n)
+    def unknownNumbers(known: Set[Int]): Set[Int] = fields.keySet.diff(known)
+  }
+
+  final class DecodeException(msg: String) extends RuntimeException(msg)
+
+  // ------------------------------------------------------------------
+  // decode
+  // ------------------------------------------------------------------
+
+  def decode(bytes: Array[Byte]): RawMessage = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val acc = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Raw]]
+    while (buf.hasRemaining) {
+      val tag = readVarint(buf)
+      val fieldNum = (tag >>> 3).toInt
+      val wireType = (tag & 0x7).toInt
+      if (fieldNum <= 0) throw new DecodeException(s"bad field number $fieldNum")
+      val value: Raw = wireType match {
+        case 0 => RVarint(readVarint(buf))
+        case 1 =>
+          if (buf.remaining < 8) throw new DecodeException("truncated fixed64")
+          RFixed64(buf.getLong)
+        case 2 =>
+          val len = readVarint(buf).toInt
+          if (len < 0 || len > buf.remaining)
+            throw new DecodeException(s"bad length $len")
+          val arr = new Array[Byte](len)
+          buf.get(arr)
+          RBytes(arr)
+        case 5 =>
+          if (buf.remaining < 4) throw new DecodeException("truncated fixed32")
+          RFixed32(buf.getInt)
+        case t => throw new DecodeException(s"unsupported wire type $t")
+      }
+      acc.getOrElseUpdate(fieldNum, mutable.ArrayBuffer.empty) += value
+    }
+    RawMessage(acc.view.mapValues(_.toVector).toMap)
+  }
+
+  private def readVarint(buf: ByteBuffer): Long = {
+    var shift = 0
+    var result = 0L
+    while (shift < 64) {
+      if (!buf.hasRemaining) throw new DecodeException("truncated varint")
+      val b = buf.get()
+      result |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return result
+      shift += 7
+    }
+    throw new DecodeException("varint too long")
+  }
+
+  /** Unpack a packed repeated scalar (proto3 default packing). */
+  def unpack(b: Array[Byte], ptype: PType): Vector[Raw] = {
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Vector.newBuilder[Raw]
+    ptype match {
+      case PType.PFloat | PType.PInt(_, true, _) =>
+        while (buf.hasRemaining) out += RFixed32(buf.getInt)
+      case PType.PDouble | PType.PInt(_, _, true) =>
+        while (buf.hasRemaining) out += RFixed64(buf.getLong)
+      case _ =>
+        while (buf.hasRemaining) out += RVarint(readVarint(buf))
+    }
+    out.result()
+  }
+
+  def zigzagDecode(v: Long): Long = (v >>> 1) ^ -(v & 1)
+  def zigzagEncode(v: Long): Long = (v << 1) ^ (v >> 63)
+
+  // ------------------------------------------------------------------
+  // encode (for fixtures/tests and the pipeline demo source)
+  // ------------------------------------------------------------------
+
+  final class Writer {
+    private val out = mutable.ArrayBuffer.empty[Byte]
+
+    private def writeVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out += ((v & 0x7f) | 0x80).toByte
+        v >>>= 7
+      }
+      out += (v & 0x7f).toByte
+    }
+    private def tag(field: Int, wire: Int): Unit =
+      writeVarint((field.toLong << 3) | wire)
+
+    def int(field: Int, v: Long): Writer = { tag(field, 0); writeVarint(v); this }
+    def sint(field: Int, v: Long): Writer =
+      { tag(field, 0); writeVarint(zigzagEncode(v)); this }
+    def bool(field: Int, v: Boolean): Writer = int(field, if (v) 1 else 0)
+    def fixed32(field: Int, v: Int): Writer = {
+      tag(field, 5)
+      var i = 0
+      while (i < 4) { out += ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      this
+    }
+    def fixed64(field: Int, v: Long): Writer = {
+      tag(field, 1)
+      var i = 0
+      while (i < 8) { out += ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      this
+    }
+    def float(field: Int, v: Float): Writer =
+      fixed32(field, java.lang.Float.floatToIntBits(v))
+    def double(field: Int, v: Double): Writer =
+      fixed64(field, java.lang.Double.doubleToLongBits(v))
+    def bytes(field: Int, v: Array[Byte]): Writer = {
+      tag(field, 2); writeVarint(v.length.toLong); out ++= v; this
+    }
+    def string(field: Int, v: String): Writer =
+      bytes(field, v.getBytes(StandardCharsets.UTF_8))
+    def message(field: Int, build: Writer => Unit): Writer = {
+      val w = new Writer; build(w); bytes(field, w.result())
+    }
+    def result(): Array[Byte] = out.toArray
+  }
+
+  def message(build: Writer => Unit): Array[Byte] = {
+    val w = new Writer; build(w); w.result()
+  }
+}

@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.etl._
+
+/** End-to-end ingestion pipeline — the reference's 3-stage
+  * thread/queue architecture (launch/Main.java:33-41) collapsed onto
+  * Structured Streaming (SURVEY.md §3.1):
+  *
+  *   source (kafka-shaped columns) → decode+project → metadata
+  *   → foreachBatch { good → retry(sink); bad → DLQ }
+  *   → checkpoint (replaces the offset-commit machinery C4/C5).
+  *
+  * The source contract is the Kafka source schema — `key value:
+  * binary, topic: string, partition: int, offset: long, timestamp:
+  * timestamp` — so the same pipeline runs off
+  * `spark.readStream.format("kafka")` in production, and off
+  * MemoryStream / file sources in tests (this image ships no Kafka
+  * connector).
+  *
+  * Error routing (reference F1/F2/F3):
+  *  - null value      → dropped, or fail batch when failOnNullMessage
+  *  - undecodable     → DLQ, or fail batch when failOnDeserializeError
+  *  - unknown fields  → DLQ/fail when failOnUnknownFields
+  *  - OOB partition ts → DLQ (sink/bq/handler/error/OOBError.java:22-26:
+  *    >1825 days past or >366 days future)
+  */
+final case class PipelineConfig(
+    descriptor: PMessage,
+    mapping: ColumnMapping,
+    metadataNamespace: Option[String] = None,
+    failOnUnknownFields: Boolean = false,
+    failOnDeserializeError: Boolean = false,
+    failOnNullMessage: Boolean = false,
+    /** column (post-mapping name) whose timestamp bounds-checks rows */
+    oobColumn: Option[String] = None,
+    oobMaxPastDays: Int = 1825,
+    oobMaxFutureDays: Int = 366)
+
+object ProtoPipeline {
+  /** Kafka-source-shaped input schema (what format("kafka") yields). */
+  val sourceSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType)))
+}
+
+final class ProtoPipeline(cfg: PipelineConfig) extends Serializable {
+
+  val dataSchema: StructType =
+    SchemaConverter.structFor(cfg.descriptor, cfg.mapping)
+  /** Landed-table schema: mapped columns + metadata (namespaced or
+    * flat), collision-checked (ProtoUpdateListener.java:137-141).
+    */
+  val outputSchema: StructType =
+    SchemaConverter.withMetadata(dataSchema, cfg.metadataNamespace)
+
+  /** Decode the kafka-shaped frame: adds a `data` struct column and
+    * an `_error` string column (null = ok). Runs in executors via
+    * mapPartitions — one RowMapper per partition, no driver loop.
+    */
+  def decode(src: DataFrame): DataFrame = {
+    val outSchema = src.schema
+      .add(StructField("data", dataSchema))
+      .add(StructField("_error", StringType))
+    val descriptor = cfg.descriptor
+    val mapping = cfg.mapping
+    val failUnknown = cfg.failOnUnknownFields
+    val valueIdx = src.schema.fieldIndex("value")
+    src.mapPartitions { it =>
+      val mapper = new RowMapper(descriptor, mapping, failUnknown)
+      it.map { r =>
+        val bytes = r.get(valueIdx).asInstanceOf[Array[Byte]]
+        val (data, err) =
+          if (bytes == null) (null, "NULL_MESSAGE")
+          else try (mapper.map(bytes), null)
+          catch {
+            case e: UnknownFieldsException => (null, s"UNKNOWN_FIELDS: ${e.getMessage}")
+            case e: Wire.DecodeException => (null, s"DESERIALIZE: ${e.getMessage}")
+            case e: ConfigurationException => throw e // config bugs fail fast
+          }
+        Row.fromSeq(r.toSeq :+ data :+ err)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Metadata enrichment (ConsumerRecordConverter.addMetadata:80-93):
+    * kafka source columns → message_* + load_time, optionally
+    * namespaced into a single struct.
+    */
+  private def metadataCols: Seq[org.apache.spark.sql.Column] = {
+    val cols = Seq(
+      col("partition").cast("long").as("message_partition"),
+      col("offset").cast("long").as("message_offset"),
+      col("topic").as("message_topic"),
+      col("timestamp").as("message_timestamp"),
+      current_timestamp().as("load_time"))
+    cfg.metadataNamespace match {
+      case Some(ns) => Seq(struct(cols: _*).as(ns))
+      case None => cols
+    }
+  }
+
+  /** Final row classification: decode errors keep their `_error`;
+    * decoded rows whose OOB partition column falls outside
+    * [now - maxPast, now + maxFuture) get error OOB
+    * (sink/bq/handler/error/OOBError.java:22-26).
+    */
+  private def classify(decoded: DataFrame): DataFrame = cfg.oobColumn match {
+    case Some(c) =>
+      val ts = col("data").getField(c)
+      val lo = date_sub(current_date(), cfg.oobMaxPastDays).cast("timestamp")
+      val hi = date_add(current_date(), cfg.oobMaxFutureDays).cast("timestamp")
+      decoded.withColumn("_error",
+        when(col("_error").isNotNull, col("_error"))
+          .when(ts.isNotNull && (ts < lo || ts >= hi), lit("OOB")))
+    case None => decoded
+  }
+
+  /** Split a decoded frame into (good landed-shape rows, bad rows).
+    * Bad rows keep the raw source columns + `_error` for the DLQ.
+    */
+  def split(decoded: DataFrame): (DataFrame, DataFrame) = {
+    val classified = classify(decoded)
+    val good = classified.filter(col("_error").isNull)
+      .select(col("data.*") +: metadataCols: _*)
+    val bad = classified.filter(col("_error").isNotNull)
+      .select("key", "value", "topic", "partition", "offset", "timestamp", "_error")
+    (good, bad)
+  }
+
+  /** Process one micro-batch: decode, split, write with fail-fast
+    * semantics matching the reference's flags.
+    */
+  def processBatch(sink: Sink, dlq: Sink)(batch: DataFrame, batchId: Long): Unit = {
+    val decoded = decode(batch).cache()
+    try {
+      if (cfg.failOnNullMessage) {
+        val nulls = decoded.filter(col("_error") === "NULL_MESSAGE").count()
+        if (nulls > 0)
+          throw new SinkException(s"$nulls null message(s) in batch $batchId")
+      }
+      if (cfg.failOnDeserializeError) {
+        val bad = decoded.filter(col("_error").startsWith("DESERIALIZE")).count()
+        if (bad > 0)
+          throw new SinkException(s"$bad undecodable message(s) in batch $batchId")
+      }
+      val (good, bad) = split(decoded)
+      sink.write(good, batchId)
+      dlq.write(bad.filter(col("_error") =!= "NULL_MESSAGE"), batchId)
+    } finally decoded.unpersist()
+  }
+
+  /** Wire a streaming source to the sinks; checkpointing supplies the
+    * at-least-once offset guarantee (replaces OffsetCommitWorker).
+    */
+  def start(
+      src: DataFrame,
+      sink: Sink,
+      dlq: Sink,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    src.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) => processBatch(sink, dlq)(df, id) }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch-write sinks used inside `foreachBatch` — the reference's
+  * Sink interface (sink/Sink.java:6-10) with its reliability
+  * decorators re-expressed for Spark:
+  *
+  *  - [[RetrySink]]    ← RetrySink + RetryExecutor + exponential
+  *                       backoff (sink/RetrySink.java:19-30,
+  *                       backoff/ExponentialBackOffProvider.java:21-32)
+  *  - [[MultiSink]]    ← fan-out with aggregated MultiException
+  *                       (sink/MultiSink.java:20-26)
+  *  - [[DlqJsonSink]]  ← GCS dead-letter writer: NDJSON partitioned
+  *                       by topic and dt (sink/dlq/gcs/GCSErrorWriter
+  *                       .java:40-91)
+  *  - [[FailFastDlqSink]] ← DefaultLogWriter stop-the-world default
+  *                       (sink/dlq/DefaultLogWriter.java:20-29)
+  *
+  * Delivery: Structured Streaming's checkpoint gives at-least-once;
+  * sinks must be idempotent-or-append (the reference's BQ insertId
+  * dedup maps to downstream dedup on message_topic/partition/offset —
+  * see EtlQueries q21).
+  */
+trait Sink extends Serializable {
+  def name: String
+  /** Write one micro-batch; throw to signal failure. */
+  def write(df: DataFrame, batchId: Long): Unit
+}
+
+final class SinkException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+final class MultiException(val failures: Seq[(String, Throwable)])
+  extends RuntimeException(
+    failures.map { case (n, t) => s"$n: ${t.getMessage}" }.mkString("; "))
+
+/** Append-mode parquet table sink (the warehouse landing table; the
+  * reference's BqSink → our columnar table).
+  */
+final class ParquetSink(path: String, partitionCols: Seq[String] = Nil)
+  extends Sink {
+  val name = s"parquet:$path"
+  def write(df: DataFrame, batchId: Long): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+}
+
+/** Retry with exponential backoff: attempts × backoff
+  * `init*rate^n` capped (reference defaults: 5 attempts, 10ms → 60s,
+  * rate 2 — config/AppConfig.java:62-64, BackOffConfig.java:6-16).
+  */
+final class RetrySink(
+    inner: Sink,
+    maxAttempts: Int = 5,
+    initialBackoffMs: Long = 10,
+    backoffRate: Double = 2.0,
+    maxBackoffMs: Long = 60000,
+    sleeper: Long => Unit = Thread.sleep) extends Sink {
+  val name = s"retry(${inner.name})"
+  def write(df: DataFrame, batchId: Long): Unit = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      try {
+        inner.write(df, batchId)
+        return
+      } catch {
+        case t: Throwable =>
+          last = t
+          attempt += 1
+          if (attempt < maxAttempts) {
+            val backoff = math.min(
+              (initialBackoffMs * math.pow(backoffRate, attempt - 1)).toLong,
+              maxBackoffMs)
+            sleeper(backoff)
+          }
+      }
+    }
+    throw new SinkException(s"$name failed after $maxAttempts attempts", last)
+  }
+}
+
+/** Push the same batch to several sinks; aggregate all failures
+  * (reference models/MultiException.java:10-29).
+  */
+final class MultiSink(sinks: Seq[Sink]) extends Sink {
+  val name = sinks.map(_.name).mkString("multi(", ",", ")")
+  def write(df: DataFrame, batchId: Long): Unit = {
+    val failures = sinks.flatMap { s =>
+      try { s.write(df, batchId); None }
+      catch { case t: Throwable => Some(s.name -> t) }
+    }
+    if (failures.nonEmpty) throw new MultiException(failures)
+  }
+}
+
+/** Dead-letter sink: NDJSON records
+  * {key,value,error,offset,partition,timestamp,topic} partitioned by
+  * topic and dt=YYYY-MM-DD (reference path layout
+  * sink/dlq/gcs/Constants.java:11-12, record format
+  * GCSInvalidMessagesWrapper.java:51-63). key/value are base64 of the
+  * raw bytes (the reference emits raw UTF-8 — lossy for binary
+  * payloads; intentional divergence).
+  */
+final class DlqJsonSink(path: String) extends Sink {
+  val name = s"dlq:$path"
+  def write(df: DataFrame, batchId: Long): Unit =
+    df.select(
+        base64(col("key")).as("key"),
+        base64(col("value")).as("value"),
+        col("_error").as("error"),
+        col("offset"), col("partition"),
+        col("timestamp"), col("topic"),
+        date_format(col("timestamp"), "yyyy-MM-dd").as("dt"))
+      .write.mode("append")
+      .partitionBy("topic", "dt")
+      .json(path)
+}
+
+/** Stop-the-world DLQ default: any bad record fails the batch (and
+  * so the query) — the reference's DefaultLogWriter returning failure
+  * (selection in factory/BeastFactory.java:122-131).
+  */
+final class FailFastDlqSink extends Sink {
+  val name = "dlq:failfast"
+  def write(df: DataFrame, batchId: Long): Unit = {
+    val n = df.count()
+    if (n > 0)
+      throw new SinkException(
+        s"$n undeliverable record(s) in batch $batchId and no DLQ configured")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.etl
+
+import graft.etl.PType._
+
+/** Port of the reference's test proto (FIXTURES.md §1,
+  * /root/reference/src/test/proto/TestMessage.proto:1-63) as a
+  * descriptor-model fixture, plus wire-level builders.
+  */
+object Fixtures {
+
+  val statusEnum: PEnum = PEnum(Map(0 -> "COMPLETED", 1 -> "CANCELLED"))
+
+  val mapEntry: PMessage = PMessage("CurrentStateEntry",
+    Seq(PField(1, "key", PString), PField(2, "value", PString)))
+
+  val testMessage: PMessage = PMessage("TestMessage", Seq(
+    PField(1, "order_number", PString),
+    PField(2, "order_url", PString),
+    PField(3, "order_details", PString),
+    PField(4, "created_at", PTimestamp),
+    PField(5, "status", statusEnum),
+    PField(6, "discount", PInt()),
+    PField(7, "success", PBool),
+    PField(8, "price", PFloat),
+    PField(9, "current_state", PMessageT.of(mapEntry), repeated = true),
+    PField(10, "user_token", PBytes),
+    PField(11, "trip_duration", PMessageT.of(WellKnown.duration)),
+    PField(12, "aliases", PString, repeated = true),
+    PField(13, "properties", PStruct),
+    PField(14, "order_date", PMessageT.of(WellKnown.date)),
+    PField(15, "updated_at", PTimestamp, repeated = true),
+    PField(16, "attributes", PStruct, repeated = true)))
+
+  lazy val recursiveMessage: PMessage = PMessage("TestRecursiveMessage", Seq(
+    PField(1, "string_value", PString),
+    PField(2, "float_value", PFloat),
+    PField(3, "recursive_message", PMessageT.of(recursiveMessage))))
+
+  val nestedMessage: PMessage = PMessage("TestNestedMessage", Seq(
+    PField(1, "nested_id", PString),
+    PField(2, "single_message", PMessageT.of(testMessage))))
+
+  val nestedRepeated: PMessage = PMessage("TestNestedRepeatedMessage", Seq(
+    PField(1, "single_message", PMessageT.of(testMessage)),
+    PField(2, "repeated_message", PMessageT.of(testMessage), repeated = true),
+    PField(3, "number_field", PInt()),
+    PField(4, "repeated_number_field", PInt(), repeated = true)))
+
+  /** Flat mapping of every TestMessage field (nested under
+    * record_name where required) — FIXTURES.md §2.
+    */
+  val fullMapping: ColumnMapping = ColumnMapping(
+    1 -> RenameTo("order_number_field"),
+    2 -> RenameTo("order_url_field"),
+    3 -> RenameTo("order_details_field"),
+    4 -> RenameTo("created_at"),
+    5 -> RenameTo("status"),
+    6 -> RenameTo("discount"),
+    7 -> RenameTo("success"),
+    8 -> RenameTo("price"),
+    9 -> NestedMapping("current_state",
+      ColumnMapping.rename(1 -> "key", 2 -> "value")),
+    10 -> RenameTo("user_token"),
+    11 -> NestedMapping("trip_duration",
+      ColumnMapping.rename(1 -> "seconds", 2 -> "nanos")),
+    12 -> RenameTo("aliases"),
+    13 -> RenameTo("properties"),
+    14 -> NestedMapping("order_date",
+      ColumnMapping.rename(1 -> "year", 2 -> "month", 3 -> "day")),
+    15 -> RenameTo("updated_at"),
+    16 -> RenameTo("attributes"))
+
+  // ----------------------------------------------------------------
+  // wire builders
+  // ----------------------------------------------------------------
+
+  def timestampBytes(seconds: Long, nanos: Long = 0): Wire.Writer => Unit =
+    w => { w.int(1, seconds); if (nanos != 0) w.int(2, nanos) }
+
+  /** A fully-populated TestMessage like the reference's
+    * ProtoUtil.generateTestMessage.
+    */
+  def sampleMessage(seconds: Long = 1700000000L): Array[Byte] =
+    Wire.message { w =>
+      w.string(1, "order-1")
+        .string(2, "order-url-1")
+        .string(3, "order-details-1")
+        .message(4, timestampBytes(seconds))
+        .int(5, 1) // CANCELLED
+        .int(6, 42)
+        .bool(7, true)
+        .float(8, 12.5f)
+        .message(9, e => e.string(1, "state").string(2, "pending"))
+        .bytes(10, "token".getBytes("UTF-8"))
+        .message(11, d => d.int(1, 3600).int(2, 500))
+        .string(12, "alias-a").string(12, "alias-b")
+        .message(13, structWith(_))
+        .message(14, d => d.int(1, 2024).int(2, 1).int(3, 31))
+        .message(15, timestampBytes(seconds))
+        .message(15, timestampBytes(seconds + 60))
+    }
+
+  /** google.protobuf.Struct {"a": 1.0, "b": "x"} on the wire. */
+  def structWith(w: Wire.Writer): Unit = {
+    w.message(1, e => e.string(1, "a")
+      .message(2, v => v.double(2, 1.0)))
+    w.message(1, e => e.string(1, "b")
+      .message(2, v => v.string(3, "x")))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.etl
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports the reference's conversion-semantics spec
+  * (converter/RowMapperTest.java — the authoritative behavior tests).
+  */
+class RowMapperSpec extends AnyFunSuite {
+  import Fixtures._
+
+  private def rowOf(bytes: Array[Byte],
+      mapping: ColumnMapping = fullMapping,
+      failUnknown: Boolean = false): Row =
+    new RowMapper(testMessage, mapping, failUnknown).map(bytes)
+
+  private def field(r: Row, mapping: ColumnMapping, name: String): Any = {
+    val schema = SchemaConverter.structFor(testMessage, mapping)
+    r.get(schema.fieldIndex(name))
+  }
+
+  test("selects and renames mapped fields only (RowMapperTest:80-101)") {
+    val mapping = ColumnMapping.rename(1 -> "order_number_field", 2 -> "order_url_field")
+    val r = rowOf(sampleMessage(), mapping)
+    assert(r.length == 2)
+    assert(r.get(0) == "order-1")
+    assert(r.get(1) == "order-url-1")
+  }
+
+  test("full row: scalars, enum, bool, float, bytes, timestamp") {
+    val r = rowOf(sampleMessage(1700000000L))
+    def f(n: String) = field(r, fullMapping, n)
+    assert(f("order_number_field") == "order-1")
+    assert(f("status") == "CANCELLED")
+    assert(f("discount") == 42L)
+    assert(f("success") == true)
+    assert(f("price") == 12.5f)
+    assert(f("user_token") ==
+      java.util.Base64.getEncoder.encodeToString("token".getBytes("UTF-8")))
+    assert(f("created_at") ==
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L)))
+  }
+
+  test("Duration / Date land as nested structs (RowMapperTest:104-120, 96-99)") {
+    val r = rowOf(sampleMessage())
+    assert(field(r, fullMapping, "trip_duration") == Row(3600L, 500L))
+    assert(field(r, fullMapping, "order_date") == Row(2024L, 1L, 31L))
+  }
+
+  test("repeated primitives and repeated timestamps (RowMapperTest:147-164, 355-368)") {
+    val r = rowOf(sampleMessage(1700000000L))
+    assert(field(r, fullMapping, "aliases") == Vector("alias-a", "alias-b"))
+    assert(field(r, fullMapping, "updated_at") == Vector(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000060L))))
+  }
+
+  test("proto map lands as array of {key,value} structs (RowMapperTest:214-242)") {
+    val bytes = Wire.message { w =>
+      w.message(9, e => e.string(1, "a").string(2, "1"))
+        .message(9, e => e.string(1, "b").string(2, "2"))
+    }
+    assert(field(rowOf(bytes), fullMapping, "current_state") ==
+      Vector(Row("a", "1"), Row("b", "2")))
+  }
+
+  test("Struct → compact JSON incl. nested lists (RowMapperTest:245-274)") {
+    val bytes = Wire.message { w =>
+      w.message(13, s => {
+        s.message(1, e => e.string(1, "a").message(2, v => v.double(2, 1.0)))
+        s.message(1, e => e.string(1, "lst").message(2, v =>
+          v.message(6, l => {
+            l.message(1, x => x.double(2, 2.5))
+            l.message(1, x => x.string(3, "s"))
+            l.message(1, x => x.bool(4, true))
+            l.message(1, x => x.int(1, 0)) // null_value
+          })))
+      })
+    }
+    assert(field(rowOf(bytes), fullMapping, "properties") ==
+      """{"a":1.0,"lst":[2.5,"s",true,null]}""")
+  }
+
+  test("repeated Struct (RowMapperTest:387-403)") {
+    val bytes = Wire.message { w =>
+      w.message(16, s => s.message(1, e => e.string(1, "x")
+        .message(2, v => v.double(2, 3.0))))
+        .message(16, s => s.message(1, e => e.string(1, "y")
+          .message(2, v => v.bool(4, false))))
+    }
+    assert(field(rowOf(bytes), fullMapping, "attributes") ==
+      Vector("""{"x":3.0}""", """{"y":false}"""))
+  }
+
+  test("nested message under record_name (RowMapperTest:123-144)") {
+    val mapping = ColumnMapping(
+      1 -> RenameTo("nested_id"),
+      2 -> NestedMapping("msg",
+        ColumnMapping.rename(1 -> "order_number_field", 7 -> "success")))
+    val bytes = Wire.message { w =>
+      w.string(1, "nested-1").message(2, m => m.string(1, "order-9").bool(7, true))
+    }
+    val r = new RowMapper(nestedMessage, mapping).map(bytes)
+    assert(r.get(0) == "nested-1")
+    assert(r.get(1) == Row("order-9", true))
+  }
+
+  test("repeated nested messages; missing repeated → null (RowMapperTest:167-211)") {
+    val mapping = ColumnMapping(
+      2 -> NestedMapping("msg", ColumnMapping.rename(1 -> "order_number_field")),
+      3 -> RenameTo("number_field"))
+    val withRepeats = Wire.message { w =>
+      w.message(2, m => m.string(1, "a")).message(2, m => m.string(1, "b"))
+        .int(3, 1234)
+    }
+    val r1 = new RowMapper(nestedRepeated, mapping).map(withRepeats)
+    assert(r1.get(0) == Vector(Row("a"), Row("b")))
+    assert(r1.get(1) == 1234L)
+
+    val withoutRepeats = Wire.message(_.int(3, 1234))
+    val r2 = new RowMapper(nestedRepeated, mapping).map(withoutRepeats)
+    assert(r2.get(0) == null) // empty repeated elided
+    assert(r2.get(1) == 1234L)
+  }
+
+  test("empty-toString elision: strings/bytes/messages null, scalars default (SURVEY §1.2)") {
+    val empty = Wire.message(_ => ())
+    val r = rowOf(empty)
+    def f(n: String) = field(r, fullMapping, n)
+    assert(f("order_number_field") == null) // absent string → null
+    assert(f("user_token") == null) // absent bytes → null
+    assert(f("created_at") == null) // absent message → null
+    assert(f("trip_duration") == null)
+    assert(f("properties") == null)
+    assert(f("aliases") == null) // absent repeated → null
+    // scalar defaults DO land (DynamicMessage materializes them)
+    assert(f("discount") == 0L)
+    assert(f("success") == false)
+    assert(f("price") == 0f)
+    assert(f("status") == "COMPLETED") // enum default value name
+  }
+
+  test("explicitly-sent empty string is also elided (RowMapperTest:341-352)") {
+    val bytes = Wire.message(_.string(1, "").int(6, 7))
+    val r = rowOf(bytes)
+    assert(field(r, fullMapping, "order_number_field") == null)
+    assert(field(r, fullMapping, "discount") == 7L)
+  }
+
+  test("unknown fields throw when failOnUnknownFields (RowMapperTest:329-338)") {
+    val newerData = Wire.message(_.string(1, "ok").string(99, "future-field"))
+    assertThrows[UnknownFieldsException](rowOf(newerData, failUnknown = true))
+    // lenient mode ignores them
+    assert(field(rowOf(newerData), fullMapping, "order_number_field") == "ok")
+  }
+
+  test("zigzag and fixed int flavors decode correctly") {
+    val msg = PMessage("Ints", Seq(
+      PField(1, "s64", PType.PInt(zigzag = true)),
+      PField(2, "f32", PType.PInt(fixed32 = true)),
+      PField(3, "f64", PType.PInt(fixed64 = true))))
+    val mapping = ColumnMapping.rename(1 -> "s64", 2 -> "f32", 3 -> "f64")
+    val bytes = Wire.message(_.sint(1, -123456789L).fixed32(2, -7).fixed64(3, 1L << 40))
+    val r = new RowMapper(msg, mapping).map(bytes)
+    assert(r.get(0) == -123456789L)
+    assert(r.get(1) == -7L)
+    assert(r.get(2) == (1L << 40))
+  }
+
+  test("garbage payload raises DecodeException (ProtoParserTest parity)") {
+    assertThrows[Wire.DecodeException](
+      rowOf(Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte)))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.etl
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports the reference's descriptor→schema tests
+  * (protomapping/ConverterTest.java, ParserTest.java).
+  */
+class SchemaConverterSpec extends AnyFunSuite {
+  import Fixtures._
+
+  lazy val schema: StructType =
+    SchemaConverter.structFor(testMessage, fullMapping)
+
+  test("every scalar type maps per the reference type table") {
+    // ConverterTest.java:94-143 equivalents
+    assert(schema("order_number_field").dataType == StringType)
+    assert(schema("status").dataType == StringType) // enum → string
+    assert(schema("discount").dataType == LongType) // int64 widened
+    assert(schema("success").dataType == BooleanType)
+    assert(schema("price").dataType == FloatType)
+    assert(schema("user_token").dataType == StringType) // bytes → base64 str
+    assert(schema("properties").dataType == StringType) // Struct → JSON
+    assert(schema("created_at").dataType == TimestampType)
+  }
+
+  test("well-known records: Duration and Date become structs") {
+    // ConverterTest.java:233-313
+    assert(schema("trip_duration").dataType ==
+      StructType(Seq(StructField("seconds", LongType), StructField("nanos", LongType))))
+    assert(schema("order_date").dataType ==
+      StructType(Seq(StructField("year", LongType),
+        StructField("month", LongType), StructField("day", LongType))))
+  }
+
+  test("repeated fields become arrays; proto map becomes array<struct<key,value>>") {
+    // ConverterTest.java:322-339; RowMapperTest.java:214-242 schema side
+    assert(schema("aliases").dataType == ArrayType(StringType, containsNull = false))
+    assert(schema("updated_at").dataType == ArrayType(TimestampType, containsNull = false))
+    assert(schema("attributes").dataType == ArrayType(StringType, containsNull = false))
+    assert(schema("current_state").dataType == ArrayType(
+      StructType(Seq(StructField("key", StringType), StructField("value", StringType))),
+      containsNull = false))
+  }
+
+  test("only mapped fields appear, in field-number order") {
+    val partial = ColumnMapping.rename(1 -> "order_number_field", 7 -> "ok")
+    val s = SchemaConverter.structFor(testMessage, partial)
+    assert(s.fieldNames.toSeq == Seq("order_number_field", "ok"))
+  }
+
+  test("mapping indexes unknown to the descriptor are skipped") {
+    // RowMapper.java:60 null-check behavior
+    val s = SchemaConverter.structFor(testMessage,
+      ColumnMapping.rename(1 -> "a", 999 -> "ghost"))
+    assert(s.fieldNames.toSeq == Seq("a"))
+  }
+
+  test("recursion caps at 15 levels like the reference parser") {
+    // ParserTest.java:79-104
+    lazy val recMapping: ColumnMapping = buildRec(20)
+    def buildRec(depth: Int): ColumnMapping =
+      if (depth == 0) ColumnMapping.rename(1 -> "string_value")
+      else ColumnMapping(
+        1 -> RenameTo("string_value"),
+        3 -> NestedMapping("recursive_message", buildRec(depth - 1)))
+    val s = SchemaConverter.structFor(recursiveMessage, recMapping)
+    def depth(dt: DataType): Int = dt match {
+      case st: StructType =>
+        1 + st.fields.map(f => depth(f.dataType)).foldLeft(0)(math.max)
+      case _ => 0
+    }
+    assert(depth(s) == SchemaConverter.MaxNestingLevel)
+  }
+
+  test("metadata columns append, or nest under a namespace") {
+    val s = SchemaConverter.withMetadata(schema, None)
+    assert(s.fieldNames.takeRight(5).toSeq == Seq("message_partition",
+      "message_offset", "message_topic", "message_timestamp", "load_time"))
+    val ns = SchemaConverter.withMetadata(schema, Some("meta"))
+    assert(ns("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("message_partition", "message_offset", "message_topic",
+        "message_timestamp", "load_time"))
+  }
+
+  test("metadata collision with a data column is a fatal config error") {
+    // ProtoUpdateListener.java:137-141
+    val clash = SchemaConverter.structFor(testMessage,
+      ColumnMapping.rename(1 -> "message_topic"))
+    assertThrows[ConfigurationException](
+      SchemaConverter.withMetadata(clash, None))
+    val nsClash = SchemaConverter.structFor(testMessage,
+      ColumnMapping.rename(1 -> "meta"))
+    assertThrows[ConfigurationException](
+      SchemaConverter.withMetadata(nsClash, Some("meta")))
+  }
+
+  test("scalar mapping on a message field (and vice versa) is rejected") {
+    assertThrows[ConfigurationException](
+      SchemaConverter.structFor(testMessage, ColumnMapping.rename(11 -> "flat")))
+    assertThrows[ConfigurationException](
+      SchemaConverter.structFor(testMessage, ColumnMapping(
+        1 -> NestedMapping("x", ColumnMapping.rename(1 -> "y")))))
+  }
+
+  test("column mapping parses from the reference JSON format") {
+    val cm = ColumnMapping.fromJson(
+      """{"1":"order_number_field","2":"order_url_field",
+        | "11":{"record_name":"duration","1":"seconds","2":"nanos"}}""".stripMargin)
+    assert(cm.entries(1) == RenameTo("order_number_field"))
+    assert(cm.entries(11) ==
+      NestedMapping("duration", ColumnMapping.rename(1 -> "seconds", 2 -> "nanos")))
+    assertThrows[ConfigurationException](ColumnMapping.fromJson("""{"x":"y"}"""))
+    assertThrows[ConfigurationException](
+      ColumnMapping.fromJson("""{"2":{"1":"no_record_name"}}"""))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Wire._
+
+class WireSpec extends AnyFunSuite {
+
+  test("varint roundtrip across magnitudes") {
+    for (v <- Seq(0L, 1L, 127L, 128L, 300L, Int.MaxValue.toLong,
+        Long.MaxValue, -1L, Long.MinValue)) {
+      val bytes = Wire.message(_.int(1, v))
+      assert(Wire.decode(bytes)(1) == Vector(RVarint(v)), s"v=$v")
+    }
+  }
+
+  test("zigzag encoding matches protobuf spec examples") {
+    // protobuf.dev/programming-guides/encoding#signed-ints
+    assert(Wire.zigzagEncode(0) == 0)
+    assert(Wire.zigzagEncode(-1) == 1)
+    assert(Wire.zigzagEncode(1) == 2)
+    assert(Wire.zigzagEncode(-2) == 3)
+    assert(Wire.zigzagEncode(2147483647L) == 4294967294L)
+    for (v <- Seq(0L, -1L, 1L, 123456789L, -123456789L, Long.MinValue))
+      assert(Wire.zigzagDecode(Wire.zigzagEncode(v)) == v)
+  }
+
+  test("fixed32/fixed64/float/double roundtrip") {
+    val bytes = Wire.message { w =>
+      w.fixed32(1, -7).fixed64(2, Long.MaxValue).float(3, 1.5f).double(4, -2.25)
+    }
+    val m = Wire.decode(bytes)
+    assert(m(1) == Vector(RFixed32(-7)))
+    assert(m(2) == Vector(RFixed64(Long.MaxValue)))
+    assert(java.lang.Float.intBitsToFloat(
+      m(3).head.asInstanceOf[RFixed32].v) == 1.5f)
+    assert(java.lang.Double.longBitsToDouble(
+      m(4).head.asInstanceOf[RFixed64].v) == -2.25)
+  }
+
+  test("strings, bytes, nested messages, repetition") {
+    val bytes = Wire.message { w =>
+      w.string(1, "héllo").string(1, "wörld")
+        .message(2, _.string(1, "inner"))
+    }
+    val m = Wire.decode(bytes)
+    assert(m(1).map(r => new String(r.asInstanceOf[RBytes].v, "UTF-8")) ==
+      Vector("héllo", "wörld"))
+    val inner = Wire.decode(m(2).head.asInstanceOf[RBytes].v)
+    assert(new String(inner(1).head.asInstanceOf[RBytes].v, "UTF-8") == "inner")
+  }
+
+  test("packed repeated varints unpack") {
+    // hand-build a packed field: tag(1,2) len payload
+    val w = new Wire.Writer
+    w.bytes(1, Array[Byte](0x01, 0x02, 0x03))
+    val m = Wire.decode(w.result())
+    val unpacked = Wire.unpack(m(1).head.asInstanceOf[RBytes].v, PType.PInt())
+    assert(unpacked == Vector(RVarint(1), RVarint(2), RVarint(3)))
+  }
+
+  test("unknown field numbers are retained and reported") {
+    val bytes = Wire.message(_.string(99, "x").int(1, 5))
+    val m = Wire.decode(bytes)
+    assert(m.unknownNumbers(Set(1)) == Set(99))
+  }
+
+  test("garbage bytes throw DecodeException") {
+    // 0xFF... = tag with wire type 7 (invalid)
+    assertThrows[DecodeException](
+      Wire.decode(Array[Byte](0xff.toByte, 0xff.toByte)))
+    // truncated length-delimited
+    assertThrows[DecodeException](
+      Wire.decode(Array[Byte](0x0a, 0x7f, 0x01)))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl._
+
+case class SrcRec(key: Array[Byte], value: Array[Byte], topic: String,
+    partition: Int, offset: Long, timestamp: Timestamp)
+
+/** End-to-end pipeline spec — the reference's
+  * ConsumerRecordConverterIntegrationTest + BqIntegrationTest
+  * `shouldParseAndPushMessagesToBq` scenario (BqIntegrationTest.java:
+  * 260-339) on Structured Streaming.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def cfg = PipelineConfig(Fixtures.testMessage, Fixtures.fullMapping)
+
+  private def rec(value: Array[Byte], offset: Long): SrcRec =
+    SrcRec("k".getBytes, value, "test-topic", 1, offset,
+      Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z")))
+
+  private def sourceDf(recs: SrcRec*): DataFrame = {
+    import spark.implicits._
+    recs.toSeq.toDF()
+  }
+
+  test("streaming e2e: decode → land good rows, DLQ bad rows, checkpointed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pipe").toString
+    val pipeline = new ProtoPipeline(cfg)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SrcRec]
+    stream.addData(
+      rec(Fixtures.sampleMessage(), 100),
+      rec(Fixtures.sampleMessage(1700000060L), 101),
+      rec(Array[Byte](0xff.toByte, 0xff.toByte), 102), // garbage → DLQ
+      rec(null, 103)) // null → dropped
+    val q = pipeline.start(stream.toDF(), new ParquetSink(s"$dir/out"),
+      new DlqJsonSink(s"$dir/dlq"), s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(s"$dir/out")
+    assert(landed.count() == 2)
+    val r = landed.orderBy("message_offset").first()
+    assert(r.getAs[String]("order_number_field") == "order-1")
+    assert(r.getAs[String]("status") == "CANCELLED")
+    assert(r.getAs[Long]("message_offset") == 100L)
+    assert(r.getAs[Long]("message_partition") == 1L)
+    assert(r.getAs[String]("message_topic") == "test-topic")
+    assert(r.getAs[Timestamp]("message_timestamp") ==
+      Timestamp.from(java.time.Instant.parse("2026-08-01T00:00:00Z")))
+    assert(r.getAs[Timestamp]("load_time") != null)
+
+    val dlq = spark.read.json(s"$dir/dlq")
+    assert(dlq.count() == 1)
+    val d = dlq.first()
+    assert(d.getAs[String]("error").startsWith("DESERIALIZE"))
+    assert(d.getAs[Long]("offset") == 102L)
+    assert(d.getAs[String]("topic") == "test-topic")
+    assert(d.getAs[Any]("dt").toString == "2026-08-01")
+  }
+
+  test("metadata namespacing nests the five columns (IntegrationTest:168-214)") {
+    val pipeline = new ProtoPipeline(cfg.copy(metadataNamespace = Some("meta")))
+    val (good, _) = pipeline.split(pipeline.decode(
+      sourceDf(rec(Fixtures.sampleMessage(), 7))))
+    val r = good.first()
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Long]("message_offset") == 7L)
+    assert(meta.getAs[String]("message_topic") == "test-topic")
+  }
+
+  test("OOB rows route to DLQ (OOBError semantics)") {
+    // created_at 2000-01-01 is >1825 days past → OOB
+    val oldMsg = Wire.message(_.string(1, "old")
+      .message(4, Fixtures.timestampBytes(946684800L)))
+    val pipeline = new ProtoPipeline(cfg.copy(oobColumn = Some("created_at")))
+    val (good, bad) = pipeline.split(pipeline.decode(sourceDf(
+      rec(Fixtures.sampleMessage(1754006400L), 1), // 2025-08-01, in bounds
+      rec(oldMsg, 2))))
+    assert(good.count() == 1)
+    assert(good.first().getAs[String]("order_number_field") == "order-1")
+    val b = bad.collect()
+    assert(b.length == 1)
+    assert(b.head.getAs[String]("_error") == "OOB")
+    assert(b.head.getAs[Long]("offset") == 2L)
+  }
+
+  test("fail-fast flags abort the batch (F1/F2 strict modes)") {
+    val strictNull = new ProtoPipeline(cfg.copy(failOnNullMessage = true))
+    val noopSink = new Sink {
+      val name = "noop"; def write(df: DataFrame, id: Long): Unit = df.count()
+    }
+    assertThrows[SinkException](
+      strictNull.processBatch(noopSink, noopSink)(sourceDf(rec(null, 1)), 0L))
+    val strictDeser = new ProtoPipeline(cfg.copy(failOnDeserializeError = true))
+    assertThrows[SinkException](
+      strictDeser.processBatch(noopSink, noopSink)(
+        sourceDf(rec(Array[Byte](0xff.toByte), 1)), 0L))
+  }
+
+  test("unknown fields: strict mode DLQs newer-schema data (RowMapper:44-49)") {
+    val newer = Wire.message(_.string(1, "ok").string(99, "future"))
+    val pipeline = new ProtoPipeline(cfg.copy(failOnUnknownFields = true))
+    val (good, bad) = pipeline.split(pipeline.decode(sourceDf(rec(newer, 5))))
+    assert(good.count() == 0)
+    assert(bad.first().getAs[String]("_error").startsWith("UNKNOWN_FIELDS"))
+  }
+
+  test("landed schema equals outputSchema contract") {
+    val pipeline = new ProtoPipeline(cfg)
+    val (good, _) = pipeline.split(pipeline.decode(
+      sourceDf(rec(Fixtures.sampleMessage(), 1))))
+    assert(good.schema.fieldNames.toSeq == pipeline.outputSchema.fieldNames.toSeq)
+  }
+}

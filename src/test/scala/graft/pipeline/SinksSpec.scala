@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+
+/** Reliability-layer spec — ports RetrySinkTest / MultiSinkTest
+  * semantics (sink/RetrySinkTest.java, sink/MultiSinkTest.java).
+  */
+class SinksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df: DataFrame = {
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("x")
+  }
+
+  private class FlakySink(failTimes: Int) extends Sink {
+    val calls = new AtomicInteger(0)
+    val name = "flaky"
+    def write(d: DataFrame, id: Long): Unit =
+      if (calls.incrementAndGet() <= failTimes)
+        throw new RuntimeException("transient")
+  }
+
+  test("RetrySink retries with exponential backoff then succeeds") {
+    val sleeps = ArrayBuffer.empty[Long]
+    val flaky = new FlakySink(3)
+    new RetrySink(flaky, maxAttempts = 5, initialBackoffMs = 10,
+      backoffRate = 2.0, maxBackoffMs = 60000, sleeper = sleeps += _)
+      .write(df, 0L)
+    assert(flaky.calls.get() == 4)
+    assert(sleeps.toSeq == Seq(10L, 20L, 40L)) // 10 * 2^n, reference defaults
+  }
+
+  test("RetrySink caps backoff and fails after max attempts") {
+    val sleeps = ArrayBuffer.empty[Long]
+    val flaky = new FlakySink(Int.MaxValue)
+    val ex = intercept[SinkException] {
+      new RetrySink(flaky, maxAttempts = 5, initialBackoffMs = 50000,
+        backoffRate = 2.0, maxBackoffMs = 60000, sleeper = sleeps += _)
+        .write(df, 0L)
+    }
+    assert(flaky.calls.get() == 5)
+    assert(sleeps.toSeq == Seq(50000L, 60000L, 60000L, 60000L)) // capped
+    assert(ex.getMessage.contains("after 5 attempts"))
+  }
+
+  test("MultiSink pushes to all sinks and aggregates failures") {
+    val ok = new FlakySink(0)
+    val bad1 = new FlakySink(Int.MaxValue)
+    val bad2 = new FlakySink(Int.MaxValue)
+    val ex = intercept[MultiException](
+      new MultiSink(Seq(ok, bad1, bad2)).write(df, 0L))
+    assert(ok.calls.get() == 1) // healthy sink still received the batch
+    assert(ex.failures.size == 2)
+  }
+
+  test("FailFastDlqSink fails the batch on any bad record") {
+    assertThrows[SinkException](new FailFastDlqSink().write(df, 0L))
+    new FailFastDlqSink().write(df.limit(0), 0L) // empty is fine
+  }
+}
