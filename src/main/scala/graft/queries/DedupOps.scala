@@ -164,28 +164,26 @@ object DedupOps {
         |        ORDER BY round(jac, 6) DESC, doc_a, doc_b) AS rnk
         |      FROM scored) t
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          TextOps.tokens(col("text")).as("t"))
+      val meta = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
       val sh = shingles(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // Length-bucket + lang pruning keeps the pair space linear-ish;
-      // at real scale the bucket width is the knob.
-      val pairs = toks.select(col("doc_id").as("doc_a"), col("lang"),
-          col("n_chars").as("ca"))
-        .join(toks.select(col("doc_id").as("doc_b"), col("lang"),
-          col("n_chars").as("cb")), Seq("lang"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(col("ca") - col("cb")) <= 30)
-        .select("doc_a", "doc_b")
-      val inter = pairs
-        .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      // Join on shingle EQUALITY first: random word-soup 3-grams are
+      // mostly doc-unique, so only genuinely-overlapping doc pairs
+      // survive — never the O(n²) pair space the oracle SQL spells
+      // out. The lang/length constraints filter after grouping.
+      val inter = sh.select(col("doc_id").as("doc_a"), col("g"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+        .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_common"))
       val jac = col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common"))
       val scored = inter
+        .join(broadcast(meta.select(col("doc_id").as("doc_a"),
+          col("lang").as("la"), col("n_chars").as("ca"))), Seq("doc_a"))
+        .join(broadcast(meta.select(col("doc_id").as("doc_b"),
+          col("lang").as("lb"), col("n_chars").as("cb"))), Seq("doc_b"))
+        .filter(col("la") === col("lb") && abs(col("ca") - col("cb")) <= 30)
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), jac.as("jac"))

@@ -96,21 +96,25 @@ object SimilarityOps {
     // oracle (hex→int differs across engines) → rows-only check.
     QueryDef.noOracle("q42_lsh_ann") { (s, dir) =>
       val nPlanes = 4
+      val dim = 64
       val e = emb(s, dir)
-      // plane j, dim d → pseudo-random weight in [-1, 1]:
-      // (md5-derived int mod 2001 - 1000) / 1000
-      val planes = (0 until nPlanes).map { j =>
-        transform(sequence(lit(0), lit(63)), d =>
-          (conv(substring(md5(concat(lit(s"${j}_"), d.cast("string"))), 1, 15),
-            16, 10).cast("long") % 2001 - 1000).cast("double") / 1000.0)
+      // Deterministic random hyperplanes, computed ONCE on the driver
+      // (md5-seeded) and shipped as literals — the per-row work is
+      // just nPlanes dot products inside codegen.
+      def weight(j: Int, d: Int): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        ((java.lang.Long.parseLong(hex.take(15), 16) % 2001) - 1000) / 1000.0
       }
-      val planed = (0 until nPlanes).foldLeft(e) { case (df, j) =>
-        df.withColumn(s"p$j", planes(j))
-      }
-      val bucketed = planed.withColumn("bucket",
-        concat((0 until nPlanes).map { j =>
-          when(expr(s"aggregate(zip_with(e, p$j, (x, y) -> x * y), " +
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)") > 0, "1").otherwise("0")
+      val planes: Seq[Seq[Double]] =
+        (0 until nPlanes).map(j => (0 until dim).map(d => weight(j, d)))
+      val bucketed = e.withColumn("bucket",
+        concat(planes.map { p =>
+          val dot = aggregate(
+            zip_with(col("e"), typedLit(p), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)
+          when(dot > 0, "1").otherwise("0")
         }: _*))
         .select(col("vec_id"), col("e"), col("bucket"))
       val q = bucketed.filter(col("vec_id") < 5)

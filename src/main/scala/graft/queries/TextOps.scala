@@ -188,18 +188,20 @@ object TextOps {
         |  GROUP BY doc_id, i)
         |SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // One vote column per bit → a single partial-aggregable shuffle
+      // of 32 ints per doc (no 32× row explosion; md5 computed once
+      // per token).
+      val votes = (1 to 32).map(i =>
+        sum(when(expr(s"ascii(substring(h, $i, 1)) % 2") === 1, 1)
+          .otherwise(-1)).as(s"v$i"))
       docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .select(col("doc_id"), md5(col("w")).as("h"),
-          explode(sequence(lit(1), lit(32))).as("i"))
-        .withColumn("v",
-          when(expr("ascii(substring(h, i, 1)) % 2") === 1, 1).otherwise(-1))
-        .groupBy("doc_id", "i")
-        .agg(sum("v").as("vote"))
-        .withColumn("b", when(col("vote") > 0, "1").otherwise("0"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
         .groupBy("doc_id")
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, b))), s -> s.b), '')")
-          .as("simhash"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          concat((1 to 32).map(i =>
+            when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
         .orderBy("doc_id")
     }
   )

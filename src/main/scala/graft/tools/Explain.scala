@@ -1,0 +1,25 @@
+// Dev-only: dump formatted plans for selected queries.
+// Run: MAIN=graft.tools.Explain bash tools/run_verify.sh <sfDir> <q1,q2,...>
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{SparkEntry, Tables}
+
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, names) = args
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConfs.foldLeft(
+        new org.apache.spark.SparkConf()) { case (c, (k, v)) => c.set(k, v) })
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.split(",").foreach { n =>
+      println(s"========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
