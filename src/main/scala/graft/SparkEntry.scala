@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupOps, EtlQueries, Relational, SimilarityOps, TextOps}
+import graft.queries.{DedupOps, EtlQueries, MultimodalOps, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,7 @@ object SparkEntry {
     */
   def defs: Seq[QueryDef] =
     Relational.defs ++ EtlQueries.defs ++ TextOps.defs ++
-      DedupOps.defs ++ SimilarityOps.defs
+      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,169 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for a training-data pipeline: media
+  * payloads are opaque `binary` columns + typed metadata, processed by
+  * BATCHED per-partition functions (the Scala analogue of
+  * `mapInPandas` — an iterator of fixed-size batches, one
+  * decoder instance per partition, vectorizable batch shape).
+  *
+  * ┌─ STUB BOUNDARY ───────────────────────────────────────────────┐
+  * │ The actual byte → pixels/samples decoding would call image/    │
+  * │ audio libraries that are NOT in this container. `StubCodec`    │
+  * │ below is a clearly-marked deterministic fake (md5-derived      │
+  * │ metadata / features). Everything around it — schema contract,  │
+  * │ batch iteration, partition sizing, column plumbing — is real   │
+  * │ and is what survives when a real codec replaces the stub.      │
+  * └───────────────────────────────────────────────────────────────┘
+  */
+object Multimodal {
+
+  /** Canonical media-frame schema: id, modality, opaque payload,
+    * lineage source.
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("source", StringType)))
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("channels", LongType),
+    StructField("duration_ms", LongType),
+    StructField("format", StringType)))
+
+  /** Deterministic synthesis of a media table from `documents` (the
+    * testdata ships no real binaries): payload = UTF-8 bytes of the
+    * text, modality round-robins by doc_id.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col("text").cast("binary").as("payload"),
+      col("source"))
+
+  // ----------------------------------------------------------------
+  // STUB codec — deterministic md5-derived fake "decode"
+  // ----------------------------------------------------------------
+
+  object StubCodec {
+    private def md5hex(payload: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+
+    private def digit(hex: String, i: Int): Long =
+      Character.digit(hex.charAt(i), 16).toLong
+
+    /** STUB decode: metadata derived from the payload hash; a real
+      * implementation parses the container/codec headers.
+      */
+    def decodeMeta(mediaType: String, payload: Array[Byte]): Row = {
+      val h = md5hex(payload)
+      val format = mediaType match {
+        case "image" => if (digit(h, 4) % 2 == 0) "png" else "jpeg"
+        case "audio" => if (digit(h, 4) % 2 == 0) "wav" else "mp3"
+        case _ => if (digit(h, 4) % 2 == 0) "mp4" else "webm"
+      }
+      Row(
+        64L * (1 + digit(h, 0) % 8), // width
+        64L * (1 + digit(h, 1) % 8), // height
+        1L + digit(h, 2) % 4, // channels
+        1000L * (1 + digit(h, 3) % 60), // duration_ms
+        format)
+    }
+
+    /** STUB feature extraction: `dim` floats folded from the md5 —
+      * a real implementation runs an encoder model over decoded media.
+      */
+    def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val h = md5hex(payload)
+      Array.tabulate(dim) { i =>
+        ((digit(h, (2 * i) % 32) * 16 + digit(h, (2 * i + 1) % 32)) / 255.0f) * 2 - 1
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // real plumbing: batched per-partition transforms
+  // ----------------------------------------------------------------
+
+  /** Attach decoded metadata as a `meta` struct column. Batched
+    * mapPartitions: one codec per partition, rows processed in
+    * `batchSize` groups (the mapInPandas batch shape — a real codec
+    * amortizes model/library init across the batch).
+    */
+  def decodeMeta(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = media.schema.add(StructField("meta", metaSchema))
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      // codec init happens once per partition, not per row
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val meta = StubCodec.decodeMeta(
+            r.getString(typeIdx), r.getAs[Array[Byte]](payloadIdx))
+          Row.fromSeq(r.toSeq :+ meta)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Attach an embedding column extracted from the payload. */
+  def extractFeatures(media: DataFrame, dim: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("feature", ArrayType(FloatType, containsNull = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val f = StubCodec.extractFeatures(r.getAs[Array[Byte]](payloadIdx), dim)
+          Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Sample `n` evenly-spaced "frames" (byte slices) from each video
+    * payload → `frames: array<binary>`. A real implementation seeks
+    * keyframes; the slicing/array plumbing is what Spark sees either
+    * way.
+    */
+  def frameSample(media: DataFrame, n: Int): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("frames", ArrayType(BinaryType, containsNull = false)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val frames: Seq[Array[Byte]] =
+          if (payload == null || payload.isEmpty) Seq.empty
+          else {
+            val stride = math.max(1, payload.length / n)
+            (0 until math.min(n, payload.length)).map { i =>
+              payload.slice(i * stride, math.min(i * stride + stride, payload.length))
+            }
+          }
+        Row.fromSeq(r.toSeq :+ frames)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Size-aware repartitioning: large opaque payloads blow past
+    * row-count heuristics, so partition count follows a byte budget
+    * (at 100 TB this is the difference between 2 GB tasks and OOM).
+    */
+  def repartitionByBytes(media: DataFrame, targetBytesPerPartition: Long,
+      totalBytes: Long): DataFrame = {
+    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+    media.repartition(parts, col("media_id"))
+  }
+}

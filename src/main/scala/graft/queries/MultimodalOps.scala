@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multimodal pipeline operators exposed through the driver contract.
+  * The media table is synthesized deterministically from `documents`
+  * (payload = text bytes), so the DuckDB oracle can reproduce the
+  * md5-derived STUB decode arithmetic exactly.
+  */
+object MultimodalOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q50: ingest + stub-decode + per-modality stats ----------
+    QueryDef(
+      "q50_media_decode_stats",
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    md5(text) AS h
+        |  FROM documents),
+        |meta AS (
+        |  SELECT media_id, media_type,
+        |    64 * (1 + (instr('0123456789abcdef', substring(h, 1, 1)) - 1) % 8) AS width,
+        |    64 * (1 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 8) AS height,
+        |    1 + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) % 4 AS channels,
+        |    1000 * (1 + (instr('0123456789abcdef', substring(h, 4, 1)) - 1) % 60) AS duration_ms
+        |  FROM media)
+        |SELECT media_type,
+        |  count(*) AS n_items,
+        |  floor(avg(width) * 100 + 0.5) / 100 AS avg_width,
+        |  floor(avg(height) * 100 + 0.5) / 100 AS avg_height,
+        |  CAST(max(channels) AS BIGINT) AS max_channels,
+        |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+        |FROM meta GROUP BY media_type ORDER BY media_type""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+      val decoded = Multimodal.decodeMeta(media)
+      decoded
+        .groupBy("media_type")
+        .agg(
+          count(lit(1)).as("n_items"),
+          (floor(avg(col("meta.width")) * 100 + 0.5) / 100).as("avg_width"),
+          (floor(avg(col("meta.height")) * 100 + 0.5) / 100).as("avg_height"),
+          max(col("meta.channels")).as("max_channels"),
+          sum(col("meta.duration_ms")).as("total_duration_ms"))
+        .orderBy("media_type")
+    },
+
+    // ---- q51: decode → feature-extract → ANN self-join -----------
+    // Full multimodal chain; feature values are stub-derived so no
+    // SQL oracle (rows-only check).
+    QueryDef.noOracle("q51_media_feature_knn") { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+      val feats = Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"),
+          transform(col("feature"), x => x.cast("double")).as("e"))
+      val q = feats.filter(col("media_id") < 5)
+        .select(col("media_id").as("query_id"), col("e").as("qe"))
+      val c = feats.filter(col("media_id") >= 5)
+        .select(col("media_id").as("cand_id"), col("e").as("ce"))
+      val dot = aggregate(zip_with(col("qe"), col("ce"), _ * _),
+        lit(0.0), (acc, v) => acc + v)
+      def norm(cn: String) = sqrt(aggregate(
+        transform(col(cn), x => x * x), lit(0.0), (acc, v) => acc + v))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand_id"))
+      c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("cand_id"),
+          (dot / (norm("qe") * norm("ce"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("cand_id"),
+          round(col("cosine"), 4).as("cosine"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- q52: frame sampling stats (video path) ------------------
+    QueryDef(
+      "q52_frame_sampling",
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, n_chars
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id,
+        |  CAST(least(8, n_chars) AS BIGINT) AS n_frames,
+        |  CAST(n_chars // 8 AS BIGINT) AS frame_bytes
+        |FROM media ORDER BY media_id LIMIT 50""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+        .filter(col("media_type") === "video")
+      Multimodal.frameSample(media, n = 8)
+        .select(col("media_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          length(element_at(col("frames"), 1)).cast("long").as("frame_bytes"))
+        .orderBy("media_id")
+        .limit(50)
+    }
+  )
+}

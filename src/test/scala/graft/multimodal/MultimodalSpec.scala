@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def media(n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, Seq("image", "audio", "video")(i % 3),
+        s"payload-bytes-$i".getBytes("UTF-8"), s"src$i")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+  }
+
+  test("decodeMeta attaches the typed meta struct, deterministically") {
+    val decoded = Multimodal.decodeMeta(media(10), batchSize = 3)
+    assert(decoded.schema("meta").dataType == Multimodal.metaSchema)
+    val rows = decoded.orderBy("media_id").collect()
+    assert(rows.length == 10)
+    val m = rows.head.getStruct(rows.head.fieldIndex("meta"))
+    assert(m.getAs[Long]("width") % 64 == 0 && m.getAs[Long]("width") >= 64)
+    assert(Set("png", "jpeg").contains(m.getAs[String]("format"))) // image row
+    // determinism: same payload → same meta
+    val again = Multimodal.decodeMeta(media(10)).orderBy("media_id").collect()
+    assert(rows.map(_.getStruct(4)).toSeq == again.map(_.getStruct(4)).toSeq)
+  }
+
+  test("extractFeatures yields fixed-dim float vectors in [-1,1]") {
+    val feats = Multimodal.extractFeatures(media(6), dim = 8).collect()
+    feats.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("feature"))
+      assert(v.length == 8)
+      assert(v.forall(x => x >= -1f && x <= 1f))
+    }
+  }
+
+  test("frameSample slices payloads into n frames that reassemble") {
+    val sampled = Multimodal.frameSample(media(3), n = 4)
+      .orderBy("media_id").collect()
+    sampled.foreach { r =>
+      val frames = r.getSeq[Array[Byte]](r.fieldIndex("frames"))
+      assert(frames.length == 4)
+      val payload = r.getAs[Array[Byte]](r.fieldIndex("payload"))
+      // frames cover a prefix of the payload without overlap
+      val stride = math.max(1, payload.length / 4)
+      assert(frames.head.toSeq == payload.slice(0, stride).toSeq)
+    }
+  }
+
+  test("batch shape: partitions process in batchSize groups") {
+    // observable via a batch-id column derived from grouped()
+    val df = media(20).repartition(1)
+    val outSchema = df.schema.add(StructField("batch_no", IntegerType))
+    val batched = df.mapPartitions { it =>
+      it.grouped(6).zipWithIndex.flatMap { case (batch, bi) =>
+        batch.map(r => Row.fromSeq(r.toSeq :+ bi))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val counts = batched.groupBy("batch_no").count()
+      .orderBy("batch_no").collect().map(r => r.getLong(1))
+    assert(counts.toSeq == Seq(6L, 6L, 6L, 2L))
+  }
+
+  test("repartitionByBytes follows the byte budget") {
+    val parts = Multimodal
+      .repartitionByBytes(media(100), targetBytesPerPartition = 1000,
+        totalBytes = 10000)
+      .rdd.getNumPartitions
+    assert(parts == 10)
+  }
+}
