@@ -1,0 +1,123 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+final class TableUpdateFailure(msg: String) extends RuntimeException(msg)
+
+/** Landed-table DDL + schema-evolution management — the reference's
+  * BQClient.upsertTable / ProtoUpdateListener.onProtoUpdate /
+  * BQTableDefinition (sink/bq/BQClient.java:38-117,
+  * protomapping/ProtoUpdateListener.java:101-126,
+  * sink/bq/BQTableDefinition.java:18-63) re-expressed for a
+  * parquet-backed warehouse table:
+  *
+  *  - additive evolution (new nullable columns) is accepted — parquet
+  *    handles it natively via mergeSchema on read;
+  *  - dropped columns are accepted (old files keep them; readers see
+  *    null for new files) — matches BQ relaxed-field behavior;
+  *  - TYPE CHANGES are fatal (`TableUpdateFailure`), mirroring
+  *    BQTableUpdateFailure fail-fast (the process must not silently
+  *    corrupt the table);
+  *  - day partitioning only on TIMESTAMP/DATE columns
+  *    (BQTableDefinition.java:48-56 throws on anything else), with
+  *    optional partition expiry (BQClient.java:101-114).
+  */
+object SchemaEvolution {
+
+  sealed trait Change
+  final case class ColumnAdded(name: String, dt: DataType) extends Change
+  final case class ColumnRemoved(name: String) extends Change
+  final case class TypeChanged(name: String, from: DataType, to: DataType)
+    extends Change
+
+  /** Diff two landed schemas (top-level, the unit BQ evolves at). */
+  def diff(current: StructType, next: StructType): Seq[Change] = {
+    val cur = current.fields.map(f => f.name -> f.dataType).toMap
+    val nxt = next.fields.map(f => f.name -> f.dataType).toMap
+    val added = next.fields.collect {
+      case f if !cur.contains(f.name) => ColumnAdded(f.name, f.dataType)
+    }
+    val removed = current.fields.collect {
+      case f if !nxt.contains(f.name) => ColumnRemoved(f.name)
+    }
+    val changed = next.fields.collect {
+      case f if cur.get(f.name).exists(_ != f.dataType) =>
+        TypeChanged(f.name, cur(f.name), f.dataType)
+    }
+    (added ++ removed ++ changed).toSeq
+  }
+
+  /** Validate an evolution step; throws on incompatible changes
+    * (ProtoUpdateListener.java:108-114 fail-fast).
+    */
+  def validate(current: StructType, next: StructType): Seq[Change] = {
+    val changes = diff(current, next)
+    val bad = changes.collect { case t: TypeChanged => t }
+    if (bad.nonEmpty)
+      throw new TableUpdateFailure(
+        "incompatible schema evolution: " + bad.map(t =>
+          s"${t.name}: ${t.from.simpleString} → ${t.to.simpleString}").mkString(", "))
+    changes
+  }
+
+  /** Day-partitioning spec (K10). Non-time partition columns are
+    * rejected exactly like the reference.
+    */
+  final case class PartitionSpec(column: String,
+      expiryDays: Option[Int] = None)
+
+  def validatePartitionSpec(schema: StructType, spec: PartitionSpec): Unit = {
+    val f = schema.fields.find(_.name == spec.column).getOrElse(
+      throw new TableUpdateFailure(s"partition column '${spec.column}' not in schema"))
+    f.dataType match {
+      case TimestampType | DateType => ()
+      case other => throw new TableUpdateFailure(
+        s"partition column '${spec.column}' must be TIMESTAMP/DATE, got ${other.simpleString}")
+    }
+  }
+
+  /** Current schema of the landed table, if it exists (mergeSchema
+    * union across files — the table's "live" schema).
+    */
+  def currentSchema(spark: SparkSession, path: String): Option[StructType] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(path)))
+      Some(spark.read.option("mergeSchema", "true").parquet(path).schema)
+    else None
+  }
+
+  /** Upsert: create-if-absent / validate evolution — then append the
+    * batch day-partitioned on `dt=YYYY-MM-DD` derived from the spec
+    * column (K9 + K10 in one step, as BqSink+BQClient compose).
+    */
+  def writePartitioned(df: DataFrame, path: String, spec: PartitionSpec): Unit = {
+    validatePartitionSpec(df.schema, spec)
+    currentSchema(df.sparkSession, path).foreach { cur =>
+      validate(StructType(cur.filterNot(_.name == "dt")), df.schema)
+    }
+    df.withColumn("dt", date_format(col(spec.column), "yyyy-MM-dd"))
+      .write.mode("append").partitionBy("dt").parquet(path)
+  }
+
+  /** Partition expiry: drop dt= partitions older than expiryDays
+    * (BQ's partition-expiry equivalent, BQClient.java:101-114).
+    */
+  def expirePartitions(spark: SparkSession, path: String,
+      spec: PartitionSpec): Seq[String] = spec.expiryDays match {
+    case None => Seq.empty
+    case Some(days) =>
+      val cutoff = java.time.LocalDate.now.minusDays(days.toLong).toString
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(path))) Seq.empty
+      else fs.listStatus(new Path(path)).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("dt=") && p.getName.stripPrefix("dt=") < cutoff
+        }
+        .map { p => fs.delete(p, true); p.getName }
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics operators over an events-shaped stream
+  * (`ts: timestamp, user_id: long, event_type: string, value:
+  * double`). The reference has no event-time processing (SURVEY.md
+  * §2.7) — these are the north-star extensions, built on Structured
+  * Streaming's native watermark/window/state machinery so they run
+  * identically over `readStream` (incremental, stateful) and over a
+  * batch DataFrame (for the oracle-checked batch twins in
+  * queries.Relational q13/q14).
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * state (late rows beyond `lateness` are dropped, state is
+    * evicted — without this, 100 TB of stream state never ages out).
+    */
+  def hourlyTypeCounts(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("win.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window rate monitor (5-minute windows every minute). */
+  def slidingRates(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("window_start"), col("n_events"))
+
+  // ----------------------------------------------------------------
+  // stateful sessionization (flatMapGroupsWithState)
+  // ----------------------------------------------------------------
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long,
+      sumValue: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessions: a session closes when no event arrives for
+    * `gapMs`. Emits closed sessions; uses event-time timeout so state
+    * is bounded by the watermark (mapGroupsWithState is the Spark
+    * primitive the reference's hand-rolled state loops would map to).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId,
+              new java.sql.Timestamp(s.sessionStart),
+              new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId,
+                    new java.sql.Timestamp(s.sessionStart),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a business key within the watermark
+    * horizon — the insertId-dedup upgrade path (SURVEY.md §2.7):
+    * at-least-once delivery + this = effective-once landing.
+    */
+  def dedupStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+}

@@ -1,0 +1,81 @@
+package graft.etl
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.SchemaEvolution._
+
+/** Ports the reference's DDL-upsert and partitioning matrices
+  * (protomapping/BQClientTest.java, sink/bq/BQTableDefinitionTest
+  * .java:23-132).
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("ts", TimestampType)))
+
+  test("diff classifies add/remove/type-change") {
+    val next = StructType(Seq(
+      StructField("id", LongType), StructField("name", LongType), // changed
+      StructField("extra", StringType))) // added; ts removed
+    val changes = diff(base, next)
+    assert(changes.contains(ColumnAdded("extra", StringType)))
+    assert(changes.contains(ColumnRemoved("ts")))
+    assert(changes.contains(TypeChanged("name", StringType, LongType)))
+  }
+
+  test("additive evolution validates; type change is fatal (BQClientTest matrix)") {
+    validate(base, base.add(StructField("new_col", DoubleType))) // ok
+    validate(base, StructType(base.fields.take(2))) // column drop ok
+    assertThrows[TableUpdateFailure](
+      validate(base, StructType(Seq(StructField("id", StringType)))))
+  }
+
+  test("partition spec requires a time-typed column (BQTableDefinitionTest:48-56)") {
+    validatePartitionSpec(base, PartitionSpec("ts"))
+    assertThrows[TableUpdateFailure](
+      validatePartitionSpec(base, PartitionSpec("name")))
+    assertThrows[TableUpdateFailure](
+      validatePartitionSpec(base, PartitionSpec("ghost")))
+  }
+
+  test("create-then-evolve: append new column, reject type flip, read merged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString + "/table"
+    val v1 = Seq((1L, "a", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("id", "name", "ts")
+    writePartitioned(v1, dir, PartitionSpec("ts")) // create
+    val v2 = v1.withColumn("score", org.apache.spark.sql.functions.lit(0.5))
+    writePartitioned(v2, dir, PartitionSpec("ts")) // additive evolve
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.count() == 2)
+    assert(merged.schema.fieldNames.contains("score"))
+    // type flip must die like BQTableUpdateFailure
+    val bad = Seq(("1", "a", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("id", "name", "ts")
+    assertThrows[TableUpdateFailure](writePartitioned(bad, dir, PartitionSpec("ts")))
+  }
+
+  test("partition expiry drops only stale dt= partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_exp").toString + "/table"
+    val old = Seq((1L, "old", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("id", "name", "ts")
+    val fresh = Seq((2L, "fresh",
+      java.sql.Timestamp.from(java.time.Instant.now))).toDF("id", "name", "ts")
+    writePartitioned(old, dir, PartitionSpec("ts"))
+    writePartitioned(fresh, dir, PartitionSpec("ts"))
+    val dropped = expirePartitions(spark, dir, PartitionSpec("ts", expiryDays = Some(365)))
+    assert(dropped == Seq("dt=2020-01-01"))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+}

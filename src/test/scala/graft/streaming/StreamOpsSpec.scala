@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps._
+
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+      .plusSeconds(minute * 60L))
+
+  test("watermarked hourly window agg emits finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(ts(5), 1, "click", 1.0), Event(ts(20), 1, "click", 2.0),
+      Event(ts(65), 2, "view", 3.0))
+    val q = hourlyTypeCounts(stream.toDF(), lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly").start()
+    q.processAllAvailable()
+    // advance watermark far enough to close hour 0 and hour 1
+    stream.addData(Event(ts(200), 3, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hourly").orderBy("hour_ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Timestamp]("hour_ts") == ts(0))
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[Double]("sum_value") == 3.0)
+    assert(rows(1).getAs[String]("event_type") == "view")
+  }
+
+  test("stateful sessionization closes sessions on gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // user 1: two events 10min apart (one session), then 90min gap
+    stream.addData(
+      Event(ts(0), 1, "click", 1.0),
+      Event(ts(10), 1, "click", 2.0))
+    val q = sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable()
+    // watermark jump → event-time timeout fires, session closes
+    stream.addData(Event(ts(300), 2, "view", 0.0))
+    q.processAllAvailable()
+    stream.addData(Event(ts(600), 2, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect()
+    assert(rows.exists { r =>
+      r.getAs[Long]("user_id") == 1 &&
+        r.getAs[Long]("n_events") == 2 &&
+        r.getAs[Timestamp]("session_start") == ts(0) &&
+        r.getAs[Timestamp]("session_end") == ts(10) &&
+        r.getAs[Double]("sum_value") == 3.0
+    })
+  }
+
+  test("streaming dedup within watermark drops exact duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(ts(1), 1, "click", 1.0),
+      Event(ts(1), 1, "click", 1.0), // duplicate delivery
+      Event(ts(2), 1, "view", 1.0))
+    val q = dedupStream(stream.toDF(), lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("deduped").count() == 2)
+  }
+}
