@@ -58,19 +58,16 @@ object MultimodalOps {
       val feats = Multimodal.extractFeatures(media, dim = 8)
         .select(col("media_id"),
           transform(col("feature"), x => x.cast("double")).as("e"))
+      graft.functions.GraftFunctions.register(s)
       val q = feats.filter(col("media_id") < 5)
         .select(col("media_id").as("query_id"), col("e").as("qe"))
       val c = feats.filter(col("media_id") >= 5)
         .select(col("media_id").as("cand_id"), col("e").as("ce"))
-      val dot = aggregate(zip_with(col("qe"), col("ce"), _ * _),
-        lit(0.0), (acc, v) => acc + v)
-      def norm(cn: String) = sqrt(aggregate(
-        transform(col(cn), x => x * x), lit(0.0), (acc, v) => acc + v))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("cand_id"))
       c.crossJoin(broadcast(q))
         .select(col("query_id"), col("cand_id"),
-          (dot / (norm("qe") * norm("ce"))).as("cosine"))
+          expr("cosine_sim(qe, ce)").as("cosine"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("query_id"), col("cand_id"),

@@ -50,12 +50,14 @@ object SimilarityOps {
         |SELECT query_id, cand_id, round(cosine, 4) AS cosine,
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("e").as("qe"))
       val c = e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cand_id"), col("e").as("ce"))
-      val cos = (expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce"))))
+      // native codegen'd expression (graft.functions.CosineSimilarity)
+      val cos = expr("cosine_sim(qe, ce)")
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("cand_id"))
       c.crossJoin(broadcast(q)) // corpus stays partitioned; queries broadcast
@@ -117,11 +119,12 @@ object SimilarityOps {
           when(dot > 0, "1").otherwise("0")
         }: _*))
         .select(col("vec_id"), col("e"), col("bucket"))
+      graft.functions.GraftFunctions.register(s)
       val q = bucketed.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
       val c = bucketed.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("bucket"))
-      val cos = expr(dotExpr) / (expr(normExpr("qe")) * expr(normExpr("ce")))
+      val cos = expr("cosine_sim(qe, ce)")
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("cand_id"))
       c.join(broadcast(q), Seq("bucket")) // equi-join on bucket, not cross

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CosineSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("matches the higher-order-function form bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)), // orthogonal → 0
+      (Seq(2.0, 2.0), Seq(3.0, 3.0))) // parallel → 1
+      .toDF("a", "b")
+    val hof = expr(
+      """aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE),
+        |          (acc, v) -> acc + v)
+        | / (sqrt(aggregate(transform(a, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+        |  * sqrt(aggregate(transform(b, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
+    val rows = df.select(
+      expr("cosine_sim(a, b)").as("native"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(1).getDouble(0) == 0.0)
+    assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-15)
+  }
+
+  test("null inputs yield null; works in interpreted eval too") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0)), None: Option[Seq[Double]]))
+      .toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).first().isNullAt(0))
+    // interpreted path (no codegen)
+    val e = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-15)
+  }
+}
