@@ -99,6 +99,29 @@ object Wire {
   def zigzagDecode(v: Long): Long = (v >>> 1) ^ -(v & 1)
   def zigzagEncode(v: Long): Long = (v << 1) ^ (v >> 63)
 
+  /** Best-effort debug rendering of undecodable/unknown payloads for
+    * DLQ/log lines (the reference's UnknownProtoFields.toString,
+    * protomapping/UnknownProtoFields.java:12-20). Never throws.
+    */
+  def debugString(bytes: Array[Byte]): String =
+    try {
+      decode(bytes).fields.toSeq.sortBy(_._1).map { case (n, vs) =>
+        val rendered = vs.map {
+          case RVarint(v) => v.toString
+          case RFixed32(v) => s"0x${Integer.toHexString(v)}"
+          case RFixed64(v) => s"0x${java.lang.Long.toHexString(v)}"
+          case RBytes(b) =>
+            val s = new String(b, StandardCharsets.UTF_8)
+            if (s.forall(c => c >= ' ' || c == '\n' || c == '\t')) s""""$s""""
+            else s"<${b.length} bytes>"
+        }.mkString(", ")
+        s"$n: $rendered"
+      }.mkString("{", "; ", "}")
+    } catch {
+      case _: DecodeException =>
+        s"<undecodable ${bytes.length} bytes: ${bytes.take(16).map("%02x".format(_)).mkString}>"
+    }
+
   // ------------------------------------------------------------------
   // encode (for fixtures/tests and the pipeline demo source)
   // ------------------------------------------------------------------

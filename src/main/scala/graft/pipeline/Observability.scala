@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Offset bookkeeping + metrics — the reference's only aggregations
+  * (models/Records.java:31-57) and its StatsD surface
+  * (stats/Stats.java:16-83) mapped to Spark:
+  *
+  * Structured Streaming's checkpoint makes commit bookkeeping
+  * implicit, but the same aggregates remain useful as monitoring
+  * queries, so they're exposed as first-class operators.
+  */
+object Observability {
+
+  /** Per-partition max(offset)+1 — what the reference commits to
+    * Kafka (models/Records.java:31-46: OffsetMetadata(max + 1)).
+    */
+  def maxCommitOffsets(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped.groupBy("topic", "partition")
+      .agg((max("offset") + 1).as("commit_offset"))
+
+  /** Per-partition record counts (models/Records.java:52-57). */
+  def countsByPartition(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped.groupBy("topic", "partition")
+      .agg(count(lit(1)).as("n_records"))
+
+  /** Attach named observation metrics to a decoded frame — the
+    * StreamingQueryProgress / QueryExecutionListener surface replaces
+    * StatsD counters (rows, deser errors, null messages per batch).
+    */
+  def observed(decoded: DataFrame, name: String = "graft"): DataFrame =
+    decoded.observe(name,
+      count(lit(1)).as("n_rows"),
+      count(when(col("_error").startsWith("DESERIALIZE"), 1)).as("n_deser_errors"),
+      count(when(col("_error") === "NULL_MESSAGE", 1)).as("n_null_messages"),
+      count(when(col("_error").isNull, 1)).as("n_ok"))
+}

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Fixtures, Wire}
+
+class ObservabilitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def kafkaShaped = {
+    import spark.implicits._
+    Seq(
+      ("t1", 0, 5L), ("t1", 0, 9L), ("t1", 1, 3L), ("t2", 0, 100L))
+      .toDF("topic", "partition", "offset")
+  }
+
+  test("maxCommitOffsets reproduces max(offset)+1 per partition (Records.java:31-46)") {
+    val rows = Observability.maxCommitOffsets(kafkaShaped)
+      .orderBy("topic", "partition").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq(("t1", 0, 10L), ("t1", 1, 4L), ("t2", 0, 101L)))
+  }
+
+  test("countsByPartition (Records.java:52-57)") {
+    val rows = Observability.countsByPartition(kafkaShaped)
+      .orderBy("topic", "partition").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("observed metrics surface rows/errors per batch (Stats parity)") {
+    import spark.implicits._
+    val pipeline = new graft.pipeline.ProtoPipeline(
+      PipelineConfig(Fixtures.testMessage, Fixtures.fullMapping))
+    val src = Seq(
+      ("k".getBytes, Fixtures.sampleMessage(), "t", 0, 1L,
+        new java.sql.Timestamp(0)),
+      ("k".getBytes, Array[Byte](0xff.toByte), "t", 0, 2L,
+        new java.sql.Timestamp(0)),
+      (null.asInstanceOf[Array[Byte]], null.asInstanceOf[Array[Byte]], "t", 0,
+        3L, new java.sql.Timestamp(0)))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val obs = Observation("m")
+    val decoded = pipeline.decode(src).observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+    decoded.collect()
+    assert(obs.get("n_rows") == 3L)
+    // the canonical helper
+    val decoded2 = Observability.observed(pipeline.decode(src))
+    assert(decoded2.count() == 3)
+  }
+
+  test("Wire.debugString renders unknown payloads without throwing (P12)") {
+    val ok = Wire.message(_.string(1, "hello").int(2, 42))
+    assert(Wire.debugString(ok) == """{1: "hello"; 2: 42}""")
+    val garbage = Array[Byte](0xff.toByte, 0xff.toByte)
+    assert(Wire.debugString(garbage).startsWith("<undecodable 2 bytes"))
+  }
+}
