@@ -371,6 +371,119 @@ object Relational {
         .groupBy(date_trunc("month", col("o_orderdate")).as("month_ts"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), R).as("revenue"))
         .orderBy("month_ts")
+    },
+
+    // ---- q17: exact interpolated percentiles ---------------------
+    QueryDef(
+      "q17_price_percentiles",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      // Spark's exact `percentile` uses the same linear interpolation
+      // as DuckDB's quantile_cont.
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), R).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), R).as("p90_price"),
+          round(expr("percentile(o_totalprice, 0.99)"), R).as("p99_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q18: left outer join + distribution (TPC-H Q13 shape) ---
+    QueryDef(
+      "q18_order_count_distribution",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select("c_custkey")
+        .join(Tables(s, dir, "orders").select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- q19: HAVING + join-back (TPC-H Q18 shape) ---------------
+    QueryDef(
+      "q19_large_volume_orders",
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  round(o_totalprice, 2) AS total_price,
+        |  round(sum_qty, 2) AS sum_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 150) big ON o_orderkey = l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val big = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 150) // HAVING
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          round(col("o_totalprice"), R).as("total_price"),
+          round(col("sum_qty"), R).as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ---- q24: correlation / stddev statistics --------------------
+    QueryDef(
+      "q24_price_quantity_stats",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(var_samp(l_quantity), 2) AS qty_var
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+          round(stddev_samp(col("l_extendedprice")), R).as("price_stddev"),
+          round(var_samp(col("l_quantity")), R).as("qty_var"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- q25: as-of join (last click before each purchase) -------
+    // Spark has no ASOF JOIN operator; the scalable composition is
+    // union-tag + running max over a single user-partitioned window —
+    // one shuffle, no range-join explosion (the oracle spells the
+    // semantics as a correlated subquery).
+    QueryDef(
+      "q25_asof_last_click",
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT max(c.ts) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.ts <= p.ts) AS last_click_ts
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy("user_id")
+        // clicks sort before purchases at equal ts so "ts <= p.ts" holds
+        .orderBy(col("ts"), (col("event_type") === "purchase").cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "last_click_ts")
+        .orderBy("event_id")
     }
   )
 }
