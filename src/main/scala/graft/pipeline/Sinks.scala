@@ -98,6 +98,52 @@ final class MultiSink(sinks: Seq[Sink]) extends Sink {
   }
 }
 
+/** JDBC warehouse sink (the reference's primary landing target class;
+  * Derby ships in this image for local verification). Spark's JDBC
+  * writer auto-creates the table from the schema (K9 create-if-absent
+  * for free); complex columns (arrays/structs — BQ REPEATED/RECORD)
+  * are serialized to JSON strings, the standard relational landing.
+  */
+final class JdbcSink(url: String, table: String,
+    driver: String = "org.apache.derby.jdbc.EmbeddedDriver") extends Sink {
+  val name = s"jdbc:$table"
+
+  private def flatten(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+
+  def write(df: DataFrame, batchId: Long): Unit =
+    flatten(df).write.mode("append")
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", driver)
+      .save()
+}
+
+/** insertId-dedup decorator: drops rows already carrying the same
+  * (topic, partition, offset) identity within the batch — the
+  * reference's BQ `insertId = topic_partition_offset`
+  * (models/Record.java:24-26). With checkpointed at-least-once
+  * delivery this upgrades landing to effective-once; cross-batch
+  * replays dedup downstream (EtlQueries q21) or via
+  * StreamOps.dedupStream.
+  */
+final class DedupSink(inner: Sink,
+    keys: Seq[String] = Seq("message_topic", "message_partition", "message_offset"))
+  extends Sink {
+  val name = s"dedup(${inner.name})"
+  def write(df: DataFrame, batchId: Long): Unit =
+    inner.write(df.dropDuplicates(keys), batchId)
+}
+
 /** Dead-letter sink: NDJSON records
   * {key,value,error,offset,partition,timestamp,topic} partitioned by
   * topic and dt=YYYY-MM-DD (reference path layout

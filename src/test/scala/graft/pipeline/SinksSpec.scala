@@ -66,4 +66,41 @@ class SinksSpec extends AnyFunSuite {
     assertThrows[SinkException](new FailFastDlqSink().write(df, 0L))
     new FailFastDlqSink().write(df.limit(0), 0L) // empty is fine
   }
+
+  test("JdbcSink lands rows in Derby, JSON-flattening complex columns") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val landed = Seq(
+      (1L, "a", Seq("x", "y"), java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (2L, "b", Seq("z"), java.sql.Timestamp.valueOf("2026-01-02 00:00:00")))
+      .toDF("id", "name", "items", "ts")
+    new JdbcSink(url, "landed_orders").write(landed, 0L)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "landed_orders")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+    assert(back.count() == 2)
+    val r = back.orderBy("id").first()
+    assert(r.getAs[String]("items") == """["x","y"]""") // array → JSON
+    // append-mode second batch (K2 streaming-insert behavior)
+    new JdbcSink(url, "landed_orders").write(landed, 1L)
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "landed_orders")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().count() == 4)
+  }
+
+  test("DedupSink drops duplicate insert identities within a batch") {
+    import spark.implicits._
+    val recorder = new Sink {
+      var seen: Long = -1
+      val name = "rec"
+      def write(d: DataFrame, id: Long): Unit = seen = d.count()
+    }
+    val batch = Seq(
+      ("t", 0L, 1L, "a"), ("t", 0L, 1L, "a-replay"), ("t", 0L, 2L, "b"))
+      .toDF("message_topic", "message_partition", "message_offset", "payload")
+    new DedupSink(recorder).write(batch, 0L)
+    assert(recorder.seen == 2)
+  }
 }
