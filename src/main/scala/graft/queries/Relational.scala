@@ -484,6 +484,33 @@ object Relational {
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "last_click_ts")
         .orderBy("event_id")
+    },
+
+    // ---- q26: correlated scalar subquery (TPC-H Q17 shape) -------
+    // The DataFrame form is the decorrelated plan Catalyst would
+    // produce: per-part averages once, then a broadcast join — no
+    // per-row subquery execution.
+    QueryDef(
+      "q26_small_quantity_revenue",
+      """SELECT round(coalesce(sum(l1.l_extendedprice), 0) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l1.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val partAvg = li.groupBy(col("l_partkey").as("avg_partkey"))
+        .agg((avg("l_quantity") * 0.2).as("qty_threshold"))
+      val brandParts = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("avg_partkey"))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg(
+          round(coalesce(sum("l_extendedprice"), lit(0)) / 7.0, R).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
     }
   )
 }

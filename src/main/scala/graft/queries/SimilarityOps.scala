@@ -136,6 +136,54 @@ object SimilarityOps {
         .orderBy("query_id", "rnk")
     },
 
+    // ---- q44: IVF-style ANN (coarse quantize → probe cells) ------
+    // The other scale path besides LSH (q42): partition the corpus
+    // into cells around coarse centroids, then search only the
+    // query's nprobe nearest cells. Centroids here are a
+    // deterministic sample of the corpus itself (a k-means fit would
+    // slot in without changing the dataflow). Rows-only check.
+    QueryDef.noOracle("q44_ivf_ann") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val nprobe = 2
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") % 47 === 3)
+        .select(col("vec_id").as("cell_id"), col("e").as("cent"))
+      // assign every corpus vector to its nearest cell (one pass,
+      // centroids broadcast)
+      val wAssign = Window.partitionBy("cand_id")
+        .orderBy(col("sim").desc, col("cell_id"))
+      val assigned = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+        .crossJoin(broadcast(centroids))
+        .select(col("cand_id"), col("ce"), col("cell_id"),
+          expr("cosine_sim(ce, cent)").as("sim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select("cand_id", "ce", "cell_id")
+      // each query probes its nprobe nearest cells
+      val wProbe = Window.partitionBy("query_id")
+        .orderBy(col("qsim").desc, col("cell_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        .crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("qe"), col("cell_id"),
+          expr("cosine_sim(qe, cent)").as("qsim"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select("query_id", "qe", "cell_id")
+      // search only the probed cells
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand_id"))
+      assigned.join(broadcast(probes), Seq("cell_id"))
+        .select(col("query_id"), col("cand_id"),
+          expr("cosine_sim(qe, ce)").as("cosine"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("cand_id"),
+          round(col("cosine"), 4).as("cosine"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ---- q43: centroid distance per label (embedding analytics) --
     QueryDef(
       "q43_centroid_distance",
