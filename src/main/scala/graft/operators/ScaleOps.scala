@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out join utilities — the knobs a 1000-executor / 100 TB
+  * deployment turns that local[32] never needs, exposed as
+  * first-class operators so plans are explicit rather than tribal
+  * knowledge:
+  *
+  *  - [[saltedJoin]]: hot-key mitigation when one join key carries a
+  *    disproportionate share of the fact rows (AQE's skew-join
+  *    handles sort-merge spills; salting is the general form that
+  *    also fixes skewed aggregations feeding a join).
+  *  - [[bucketedTable]]: co-located (shuffle-free) joins via
+  *    bucketBy — both sides pre-hashed into the same bucket layout,
+  *    so repeated joins on the key pay zero exchanges.
+  */
+object ScaleOps {
+
+  /** Skew-safe equi-join: the skewed (big) side gets a deterministic
+    * salt derived from a secondary column; the small side is
+    * replicated across all `salts` buckets. Result is exactly the
+    * plain inner join, but the big side's hot key now spreads over
+    * `salts` reducers.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int,
+      saltSource: Column): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(hash(saltSource), lit(salts)))
+    val replicated = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Persist a DataFrame as a bucketed+sorted table so subsequent
+    * equi-joins/aggregations on `key` are exchange-free (both sides
+    * already hash-partitioned by bucket id).
+    */
+  def bucketedTable(
+      df: DataFrame,
+      tableName: String,
+      key: String,
+      buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+  }
+
+  /** True when a physical plan contains no shuffle exchange — the
+    * assertion a co-located join should pass.
+    */
+  def isExchangeFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

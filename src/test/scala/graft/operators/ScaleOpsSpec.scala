@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle joins
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of fact rows share key 1 (the hot key)
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1 else i % 50, i.toLong))
+      .toDF("k", "v")
+    val dim = (0 until 50).map(i => (i, s"dim-$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val salted = ScaleOps
+      .saltedJoin(fact, dim, "k", salts = 8, saltSource = col("v"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(salted.orderBy("k").collect().toSeq ==
+      plain.orderBy("k").collect().toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("id", "x")
+    val b = (1 to 500).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    val ta = ScaleOps.bucketedTable(a, "bucketed_a", "id", buckets = 4)
+    val tb = ScaleOps.bucketedTable(b, "bucketed_b", "id", buckets = 4)
+    val joined = ta.join(tb, Seq("id"))
+    assert(joined.count() == 500)
+    assert(ScaleOps.isExchangeFree(joined),
+      s"expected no exchange:\n${joined.queryExecution.executedPlan}")
+    // contrast: the un-bucketed join DOES shuffle
+    assert(!ScaleOps.isExchangeFree(a.join(b, Seq("id"))))
+  }
+}
