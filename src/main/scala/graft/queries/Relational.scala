@@ -486,6 +486,22 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // ---- q27: approximate sketches (HLL++, t-digest-style) -------
+    // Estimators are engine-specific by nature (Spark HLL++ vs
+    // DuckDB's approx structures give different estimates), so this
+    // is a rows-only check; exact twins are q08/q17.
+    QueryDef.noOracle("q27_approx_sketches") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("price_quantiles"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- q26: correlated scalar subquery (TPC-H Q17 shape) -------
     // The DataFrame form is the decorrelated plan Catalyst would
     // produce: per-part averages once, then a broadcast join — no

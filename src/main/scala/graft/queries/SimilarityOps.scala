@@ -25,8 +25,6 @@ object SimilarityOps {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
 
-  private val dotExpr =
-    "aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
   private def normExpr(c: String) =
     s"sqrt(aggregate(transform($c, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
 
