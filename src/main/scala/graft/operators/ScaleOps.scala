@@ -47,6 +47,13 @@ object ScaleOps {
       buckets: Int): DataFrame = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    // DROP TABLE only clears the catalog entry; an orphaned location
+    // (e.g. warehouse dir left by a killed run the current catalog
+    // never knew about) still blocks CREATE TABLE — clear it too.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, tableName.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -104,9 +104,12 @@ object DedupOps {
       // Bands as rows → candidates via shuffle EQUI-join on the band
       // hash (the oracle's OR-join is semantically identical but
       // wouldn't scale; this does).
+      // band hash folded to int64 (xxhash64) — an 8-byte shuffle key
+      // instead of 64 hex chars; a hash collision could only add a
+      // candidate pair, which exact-Jaccard verification then rejects
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until NumBands).map(b => struct(lit(b).as("band"),
-          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"))): _*)).as("x"))
+          xxhash64(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*)).as("x"))
         .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
       val cand = bands.as("ba").join(bands.as("bb"),
           col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
@@ -165,14 +168,17 @@ object DedupOps {
         |      FROM scored) t
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, dir) =>
       val meta = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      // join key folded to int64 via xxhash64 (8-byte shuffle key;
+      // same exact-verify collision argument as q36)
       val sh = shingles(s, dir)
+        .withColumn("gh", xxhash64(col("g"))).drop("g")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Join on shingle EQUALITY first: random word-soup 3-grams are
       // mostly doc-unique, so only genuinely-overlapping doc pairs
       // survive — never the O(n²) pair space the oracle SQL spells
       // out. The lang/length constraints filter after grouping.
-      val inter = sh.select(col("doc_id").as("doc_a"), col("g"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("gh"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_common"))
