@@ -99,8 +99,21 @@ object DedupOps {
          |JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // Measured note (sf0.1, local[32]): persisting `sh`/`sig` here
+      // is a net LOSS — the shingle pipeline is a narrow codegen'd
+      // scan that recomputes faster than MEMORY_AND_DISK serializes.
+      // At true 100 TB the call flips (recompute = re-shuffling a
+      // distinct over the full corpus): persist the two frames, or
+      // better, checkpoint `sig` (tiny, one row/doc) to parquet.
       val sh = shingles(s, dir)
-      val sig = signatures(sh)
+      // Signatures and set sizes in ONE aggregation pass — a single
+      // shuffle over sh instead of two.
+      val sig = sh.groupBy("doc_id")
+        .agg(
+          min(md5(concat(lit("0"), col("g")))).as("h0"),
+          ((1 until NumHashes).map(i =>
+            min(md5(concat(lit(i.toString), col("g")))).as(s"h$i")) :+
+            count(lit(1)).as("n")): _*)
       // Bands as rows → candidates via shuffle EQUI-join on the band
       // hash (the oracle's OR-join is semantically identical but
       // wouldn't scale; this does).
@@ -121,12 +134,11 @@ object DedupOps {
         .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_common"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val jac = col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common"))
       inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .join(sig.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
         .filter(jac >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -168,8 +180,9 @@ object DedupOps {
         |      FROM scored) t
         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, dir) =>
       val meta = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
-      // join key folded to int64 via xxhash64 (8-byte shuffle key;
-      // same exact-verify collision argument as q36)
+      // join key folded to int64 via xxhash64 (8-byte shuffle key; a
+      // collision merely perturbs one candidate's intersection count
+      // by ~2^-64 odds). Not persisted — see the q36 measured note.
       val sh = shingles(s, dir)
         .withColumn("gh", xxhash64(col("g"))).drop("g")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
