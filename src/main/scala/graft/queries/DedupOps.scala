@@ -214,6 +214,40 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"),
           col("rnk"))
         .orderBy("rnk")
+    },
+
+    // ---- q39: embedding-cosine near-dup (label-blocked exact) ----
+    // The embedding-space dedup modality: exact pairwise cosine over
+    // a BLOCKED pair space (equi-join on the blocking key `label`,
+    // e.g. a coarse cluster/shard id at scale) — never the O(n²)
+    // cross join. The unblocked scale paths are the ANN queries
+    // (q42 LSH, q44 IVF); this is the exact verifier shape that runs
+    // after any of them.
+    QueryDef(
+      "q39_embedding_near_dup",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    (SELECT sum(x * y) FROM (SELECT unnest(a.emb) AS x, unnest(b.emb) AS y) z) AS dot,
+        |    sqrt((SELECT sum(x * x) FROM (SELECT unnest(a.emb) AS x) z)) AS na,
+        |    sqrt((SELECT sum(y * y) FROM (SELECT unnest(b.emb) AS y) z)) AS nb
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(dot / (na * nb), 4) AS cosine
+        |FROM pairs WHERE dot / (na * nb) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("e").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("e").as("eb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          expr("cosine_sim(ea, eb)").as("c"))
+        .filter(col("c") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cosine"))
+        .orderBy("vec_a", "vec_b")
     }
   )
 }

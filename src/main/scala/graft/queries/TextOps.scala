@@ -76,6 +76,34 @@ object TextOps {
         .orderBy("lang")
     },
 
+    // ---- BPE-ish regex token counting ----------------------------
+    // GPT-2-style pre-tokenizer shape (letter runs / digit runs /
+    // punctuation runs, each with an optional leading space),
+    // restricted to RE2∩Java-regex syntax so DuckDB reproduces it.
+    QueryDef(
+      "q28_regex_token_stats",
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text,
+        |        ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N}\s]+')) AS n_tok
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_tok), 2) AS avg_bpe_tokens,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_bpe_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"),
+            lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+"), lit(0)))
+            .cast("long").as("n_tok"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_tok"), 2).as("avg_bpe_tokens"),
+          sum("n_tok").as("sum_bpe_tokens"))
+        .orderBy("lang")
+    },
+
     // ---- language identification (stopword/CJK heuristic) --------
     QueryDef(
       "q32_language_id",
