@@ -132,6 +132,43 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize decoded media to fit inside `maxDim`×`maxDim`, preserving
+    * aspect ratio (no-op when already within bounds). Dimension math
+    * is pure integer arithmetic (`w * maxDim / max(w, h)`), so it is
+    * exactly reproducible by an external oracle. The payload
+    * "resample" is the STUB part: bytes strided down proportionally
+    * to the area change — a real implementation decodes, scales, and
+    * re-encodes pixels. Expects the `meta` struct from [[decodeMeta]].
+    */
+  def resize(decoded: DataFrame, maxDim: Int, batchSize: Int = 64): DataFrame = {
+    val payloadIdx = decoded.schema.fieldIndex("payload")
+    val metaIdx = decoded.schema.fieldIndex("meta")
+    decoded.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          val meta = r.getStruct(metaIdx)
+          val (w, h) = (meta.getLong(0), meta.getLong(1))
+          val side = math.max(w, h)
+          val (rw, rh) =
+            if (side > maxDim) (w * maxDim / side, h * maxDim / side)
+            else (w, h)
+          val newLen = math.max(1L,
+            payload.length.toLong * (rw * rh) / math.max(1L, w * h)).toInt
+          val resampled =
+            if (newLen >= payload.length) payload
+            else Array.tabulate(newLen)(i =>
+              payload((i.toLong * payload.length / newLen).toInt))
+          val newMeta = Row(rw, rh, meta.getLong(2), meta.getLong(3),
+            meta.getString(4))
+          val vals = r.toSeq.updated(payloadIdx, resampled)
+            .updated(metaIdx, newMeta)
+          Row.fromSeq(vals)
+        }
+      }
+    }(Encoders.row(decoded.schema))
+  }
+
   /** Sample `n` evenly-spaced "frames" (byte slices) from each video
     * payload → `frames: array<binary>`. A real implementation seeks
     * keyframes; the slicing/array plumbing is what Spark sees either

@@ -93,6 +93,50 @@ object MultimodalOps {
           length(element_at(col("frames"), 1)).cast("long").as("frame_bytes"))
         .orderBy("media_id")
         .limit(50)
+    },
+
+    // ---- q53: resize (aspect-preserving, bounded box) ------------
+    // Integer-exact dimension math (w * 256 / max(w, h)) lets the
+    // oracle reproduce the resize; the payload resample itself is the
+    // stub part and is asserted in MultimodalSpec instead.
+    QueryDef(
+      "q53_media_resize",
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    md5(text) AS h
+        |  FROM documents),
+        |meta AS (
+        |  SELECT media_id, media_type,
+        |    64 * (1 + (instr('0123456789abcdef', substring(h, 1, 1)) - 1) % 8) AS w,
+        |    64 * (1 + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 8) AS ht
+        |  FROM media),
+        |resized AS (
+        |  SELECT media_id, media_type,
+        |    CASE WHEN greatest(w, ht) > 256
+        |         THEN w * 256 // greatest(w, ht) ELSE w END AS rw,
+        |    CASE WHEN greatest(w, ht) > 256
+        |         THEN ht * 256 // greatest(w, ht) ELSE ht END AS rh
+        |  FROM meta)
+        |SELECT media_type, count(*) AS n_items,
+        |  CAST(max(rw) AS BIGINT) AS max_width,
+        |  CAST(max(rh) AS BIGINT) AS max_height,
+        |  floor(avg(rw * rh) * 100 + 0.5) / 100 AS avg_pixels,
+        |  count(*) FILTER (WHERE rw < 64 OR rh < 64) AS n_downscaled_past_tile
+        |FROM resized GROUP BY media_type ORDER BY media_type""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+      val resized = Multimodal.resize(Multimodal.decodeMeta(media), maxDim = 256)
+      resized.groupBy("media_type")
+        .agg(
+          count(lit(1)).as("n_items"),
+          max(col("meta.width")).as("max_width"),
+          max(col("meta.height")).as("max_height"),
+          (floor(avg(col("meta.width") * col("meta.height")) * 100 + 0.5) / 100)
+            .as("avg_pixels"),
+          count(when(col("meta.width") < 64 || col("meta.height") < 64, 1))
+            .as("n_downscaled_past_tile"))
+        .orderBy("media_type")
     }
   )
 }

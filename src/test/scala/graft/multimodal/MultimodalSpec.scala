@@ -56,6 +56,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize bounds dims to maxDim, keeps aspect, resamples payload") {
+    val decoded = Multimodal.decodeMeta(media(30))
+    val resized = Multimodal.resize(decoded, maxDim = 128)
+    assert(resized.schema == decoded.schema) // schema-preserving
+    val before = decoded.orderBy("media_id").collect()
+    val after = resized.orderBy("media_id").collect()
+    before.zip(after).foreach { case (b, a) =>
+      val (bm, am) = (b.getStruct(b.fieldIndex("meta")),
+        a.getStruct(a.fieldIndex("meta")))
+      val (w, h) = (bm.getLong(0), bm.getLong(1))
+      val (rw, rh) = (am.getLong(0), am.getLong(1))
+      assert(rw <= 128 && rh <= 128)
+      val side = math.max(w, h)
+      if (side <= 128) assert((rw, rh) == (w, h)) // no-op within bounds
+      else assert(rw == w * 128 / side && rh == h * 128 / side)
+      // payload shrinks proportionally to the area change, never grows
+      val (pb, pa) = (b.getAs[Array[Byte]](b.fieldIndex("payload")),
+        a.getAs[Array[Byte]](a.fieldIndex("payload")))
+      assert(pa.length <= pb.length)
+      assert(pa.length == math.max(1L, pb.length.toLong * (rw * rh) / (w * h)))
+      // format/channels/duration untouched
+      assert(am.getString(4) == bm.getString(4) && am.getLong(2) == bm.getLong(2))
+    }
+  }
+
   test("batch shape: partitions process in batchSize groups") {
     // observable via a batch-id column derived from grouped()
     val df = media(20).repartition(1)
