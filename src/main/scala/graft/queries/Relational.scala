@@ -293,6 +293,32 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    // ---- q29: CUBE with grouping indicators ----------------------
+    // Completes the grouping-sets family next to q11's ROLLUP; the
+    // grouping() bits disambiguate planned NULLs from data NULLs.
+    QueryDef(
+      "q29_cube_order_stats",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping("o_orderstatus").cast("long").as("g_status"),
+          grouping("o_orderpriority").cast("long").as("g_priority"),
+          count(lit(1)).as("n"),
+          round(sum("o_totalprice"), R).as("total_price"))
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+          "n", "total_price")
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // ---- q13: event-time tumbling window agg ---------------------
     QueryDef(
       "q13_events_hourly",
