@@ -102,4 +102,32 @@ object StreamOps {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
+  /** Stream-stream interval join: match each `click` to the same
+    * user's `view` that happened within `horizonMin` minutes BEFORE
+    * it (attribution). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can size and
+    * evict the join state — the two requirements that make a
+    * stream-stream join runnable indefinitely at scale.
+    */
+  def attributionJoin(clicks: DataFrame, views: DataFrame,
+      horizonMin: Int = 30, lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("view_ts"), col("value"))
+  }
+
+  /** Stream-static enrichment: join the stream against a (small,
+    * broadcast) dimension table. The static side is re-resolvable per
+    * micro-batch, and broadcasting it means the streaming side never
+    * shuffles — the 100 TB/day pattern for attaching dimensions.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
 }

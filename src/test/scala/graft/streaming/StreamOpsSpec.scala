@@ -85,4 +85,50 @@ class StreamOpsSpec extends AnyFunSuite {
     q.stop()
     assert(spark.table("deduped").count() == 2)
   }
+
+  test("stream-stream interval join attributes clicks to prior views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    views.addData(
+      Event(ts(0), 1, "view", 0.0),   // within 30min of the click
+      Event(ts(50), 2, "view", 0.0))  // AFTER user 2's click → no match
+    clicks.addData(
+      Event(ts(20), 1, "click", 5.0),
+      Event(ts(40), 2, "click", 7.0),
+      Event(ts(45), 3, "click", 9.0)) // user 3 never viewed → no match
+    val q = attributionJoin(clicks.toDF(), views.toDF(), horizonMin = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attributed").start()
+    q.processAllAvailable()
+    // push watermarks forward so inner-join state flushes
+    clicks.addData(Event(ts(500), 9, "click", 0.0))
+    views.addData(Event(ts(500), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attributed")
+      .filter($"user_id" < 9).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("user_id") == 1)
+    assert(rows.head.getAs[Timestamp]("click_ts") == ts(20))
+    assert(rows.head.getAs[Timestamp]("view_ts") == ts(0))
+  }
+
+  test("stream-static enrich broadcasts the dim, no stream shuffle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(Event(ts(1), 1, "click", 1.0), Event(ts(2), 5, "view", 2.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = enrich(stream.toDF(), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").orderBy("user_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("tier") == "gold")
+    assert(rows(1).getAs[String]("tier") == null) // left outer keeps unmatched
+  }
 }
