@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Machine-checked plan properties for the headline queries — the
+  * scale contract, asserted, not eyeballed: filters reach the parquet
+  * scan, projections prune the read schema, small dims broadcast, and
+  * nothing degenerates into a cartesian product. AQE is disabled here
+  * so the physical plan strings are deterministic (Bench runs with
+  * AQE on; these properties only get better under it).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q06 filter+projection push into the parquet scan") {
+    val p = plan("q06_forecast_revenue")
+    // (the PushedFilters list is truncated in toString — match the
+    // untruncated head of the list)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filters not pushed:\n$p")
+    // scan reads only the columns the query touches, not all 11
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(read.contains), read)
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"), read)
+  }
+
+  test("q03 broadcasts the filtered customer dim") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment filter not pushed:\n$p")
+  }
+
+  test("q05 multi-way join broadcasts every dim (fact never re-shuffles)") {
+    val p = plan("q05_local_supplier_volume")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q40 keeps the corpus partitioned; queries are the broadcast side") {
+    val p = plan("q40_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q36 LSH candidate generation never degenerates to a cross join") {
+    val p = plan("q36_lsh_near_dup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join must be an equi-join on (band, bh):\n$p")
+  }
+
+  test("q01 aggregates with a map-side partial (two-phase agg)") {
+    val p = plan("q01_pricing_summary")
+    // partial_sum before the exchange = map-side combine
+    assert(p.contains("partial_sum") || p.contains("partial_avg"), p)
+  }
+
+  test("q20 ETL projection reads only mapped columns") {
+    val p = plan("q20_metadata_projection")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).toSeq.mkString
+    assert(!read.contains("text"), s"unmapped wide column not pruned:\n$read")
+  }
+}
