@@ -197,6 +197,49 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- repetition-ratio quality filter (Gopher-style) ----------
+    // Per-doc token concentration: top_token_ratio (most frequent
+    // token's share) and distinct_ratio flag boilerplate/looped text.
+    // Two narrow shuffles — (doc_id, token) count then doc_id rollup —
+    // both with map-side partials; no windows, no self-joins.
+    QueryDef(
+      "q45_repetition_ratio",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |st AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(max(c) AS BIGINT) AS top_token_count,
+        |    CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  floor(CAST(top_token_count AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000
+        |    AS top_token_ratio,
+        |  floor(CAST(n_distinct AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000
+        |    AS distinct_ratio,
+        |  CASE WHEN CAST(top_token_count AS DOUBLE) / n_tokens > 0.2
+        |         OR CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+        |       THEN 'repetitive' ELSE 'ok' END AS verdict
+        |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cnt = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      cnt.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), max("c").as("top_token_count"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_tokens"),
+          (floor(col("top_token_count").cast("double") / col("n_tokens") * 10000
+            + 0.5) / 10000).as("top_token_ratio"),
+          (floor(col("n_distinct").cast("double") / col("n_tokens") * 10000
+            + 0.5) / 10000).as("distinct_ratio"),
+          when(col("top_token_count").cast("double") / col("n_tokens") > 0.2 ||
+            col("n_distinct").cast("double") / col("n_tokens") < 0.3, "repetitive")
+            .otherwise("ok").as("verdict"))
+        .orderBy("doc_id")
+    },
+
     // ---- SimHash signatures (32-bit, hash-parity voting) ---------
     // Classic SimHash (Charikar 2002): per token hash bit b, vote
     // +1/-1; signature bit = sign of the vote sum. Bits derived from
