@@ -144,6 +144,44 @@ final class DedupSink(inner: Sink,
     inner.write(df.dropDuplicates(keys), batchId)
 }
 
+/** Partial-failure isolation for batch-level sinks (SURVEY §7.4):
+  * BigQuery's insertAll reports errors per row, but a JDBC/warehouse
+  * batch write fails as a unit — one poison row poisons the batch.
+  * This decorator restores the reference's per-row taxonomy
+  * (sink/bq/handler/BQResponseParser.java:46-67) by bisection: on
+  * failure, split the batch in two and recurse; singleton failures
+  * are the poison rows and go to `poison` (DLQ), everything else
+  * lands. O(#poison × log n) write attempts instead of per-row
+  * writes.
+  *
+  * Splits use a seeded hash of a stable row id, so each level halves
+  * the batch deterministically. Like the reference, delivery remains
+  * at-least-once: a crash mid-bisect can re-land rows on replay;
+  * dedup downstream (DedupSink / EtlQueries q21).
+  */
+final class BisectSink(inner: Sink, poison: Sink) extends Sink {
+  val name = s"bisect(${inner.name})"
+
+  private def go(df: DataFrame, batchId: Long, depth: Int): Unit = {
+    try inner.write(df.drop("_rid"), batchId)
+    catch {
+      case t: Throwable =>
+        if (df.limit(2).count() <= 1) poison.write(df.drop("_rid"), batchId)
+        else if (depth > 64) throw new SinkException(s"$name: split exhausted", t)
+        else {
+          val side = pmod(xxhash64(col("_rid"), lit(depth)), lit(2))
+          go(df.filter(side === 0), batchId, depth + 1)
+          go(df.filter(side === 1), batchId, depth + 1)
+        }
+    }
+  }
+
+  def write(df: DataFrame, batchId: Long): Unit =
+    // monotonically_increasing_id is stable across re-evaluations of
+    // the same micro-batch plan (partitionId << 33 | row index)
+    go(df.withColumn("_rid", monotonically_increasing_id()), batchId, 0)
+}
+
 /** Dead-letter sink: NDJSON records
   * {key,value,error,offset,partition,timestamp,topic} partitioned by
   * topic and dt=YYYY-MM-DD (reference path layout

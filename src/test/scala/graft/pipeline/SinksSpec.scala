@@ -103,4 +103,40 @@ class SinksSpec extends AnyFunSuite {
     new DedupSink(recorder).write(batch, 0L)
     assert(recorder.seen == 2)
   }
+
+  test("BisectSink isolates poison rows, lands the rest (F3 taxonomy)") {
+    import spark.implicits._
+    // a warehouse that rejects any batch containing a poison row —
+    // the JDBC batch-level failure mode
+    val landed = ArrayBuffer.empty[Int]
+    val dlq = ArrayBuffer.empty[Int]
+    val warehouse = new Sink {
+      val name = "wh"
+      def write(d: DataFrame, id: Long): Unit = {
+        val xs = d.select("x").collect().map(_.getInt(0))
+        if (xs.exists(_ % 17 == 0)) throw new RuntimeException("constraint")
+        landed.synchronized { landed ++= xs }
+      }
+    }
+    val poisonSink = new Sink {
+      val name = "poison"
+      def write(d: DataFrame, id: Long): Unit =
+        dlq.synchronized { dlq ++= d.select("x").collect().map(_.getInt(0)) }
+    }
+    val batch = (1 to 40).toDF("x") // poison rows: 17, 34
+    new BisectSink(warehouse, poisonSink).write(batch, 0L)
+    assert(dlq.sorted == Seq(17, 34))
+    assert(landed.sorted == (1 to 40).filterNot(x => x % 17 == 0))
+  }
+
+  test("BisectSink on an all-good batch writes exactly once") {
+    import spark.implicits._
+    val calls = new AtomicInteger(0)
+    val wh = new Sink {
+      val name = "wh"
+      def write(d: DataFrame, id: Long): Unit = { calls.incrementAndGet(); () }
+    }
+    new BisectSink(wh, new FailFastDlqSink).write((1 to 10).toDF("x"), 0L)
+    assert(calls.get() == 1)
+  }
 }
