@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
@@ -36,10 +36,75 @@ object Bench {
       catch { case _: Throwable => }
       d.name -> (System.nanoTime() - t0) / 1e9
     }
+    // ingestion throughput: the reference's actual surface is
+    // Kafka→warehouse loading (envelope: 5 workers × 500-record
+    // batches against BQ streaming inserts — BASELINE.md). Here the
+    // full decode→project→metadata→split pipeline runs over 1M
+    // synthetic wire-encoded protobuf messages, generated AND
+    // processed on executors (nothing driver-side).
+    val (ingestRows, ingestSec) = ingestBench(spark)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rps = (ingestRows / ingestSec).toLong
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest":{"rows":$ingestRows,"sec":$ingestSec,"rows_per_sec":$rps},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Time the ProtoPipeline over n wire-encoded messages (a
+    * TestMessage-shaped payload: scalars, enum, nested timestamp,
+    * repeated string), kafka-source-shaped frame → decode → split →
+    * materialized good+bad sides. 1% of messages are poison (garbage
+    * bytes) so the DLQ side-output is exercised too.
+    */
+  private def ingestBench(spark: SparkSession, n: Long = 1000000L): (Long, Double) = {
+    import graft.etl._
+    import graft.pipeline.{PipelineConfig, ProtoPipeline}
+    import org.apache.spark.sql.functions._
+
+    val desc = PMessage("BenchEvent", Seq(
+      PField(1, "id", PType.PString),
+      PField(2, "created_at", PType.PTimestamp),
+      PField(3, "amount", PType.PDouble),
+      PField(4, "status", PType.PEnum(Map(0 -> "OK", 1 -> "FAIL"))),
+      PField(5, "tags", PType.PString, repeated = true)))
+    val mapping = ColumnMapping(
+      1 -> RenameTo("id"),
+      2 -> RenameTo("created_at"),
+      3 -> RenameTo("amount"),
+      4 -> RenameTo("status"),
+      5 -> RenameTo("tags"))
+    val pipeline = new ProtoPipeline(PipelineConfig(desc, mapping))
+
+    val src = spark.range(n).select(col("id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val i = r.getLong(0)
+          val value: Array[Byte] =
+            if (i % 100 == 99) Array[Byte](-1, -1, -1, -1) // poison → DLQ path
+            else Wire.message { w =>
+              w.string(1, s"order-$i")
+                .message(2, t => { t.int(1, 1700000000L + i % 86400); () })
+                .double(3, i * 0.01)
+                .int(4, i % 2)
+                .string(5, "a").string(5, s"t${i % 7}")
+            }
+          Row(null, value, "bench_topic", (i % 32).toInt, i,
+            new java.sql.Timestamp(1700000000000L + i))
+        }
+      }(Encoders.row(ProtoPipeline.sourceSchema))
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    materialize(src) // warm the generator path un-timed
+    val t0 = System.nanoTime()
+    val (good, bad) = pipeline.split(pipeline.decode(src))
+    materialize(good)
+    materialize(bad)
+    (n, (System.nanoTime() - t0) / 1e9)
   }
 }
