@@ -36,6 +36,39 @@ object TextOps {
     s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($words)))"
   }
 
+  /** (doc_id, simhash-bitstring) — q38's signature, unordered, shared
+    * with the q46 near-dup pairing.
+    */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
+    val votes = (1 to 32).map(i =>
+      sum(when(expr(s"ascii(substring(h, $i, 1)) % 2") === 1, 1)
+        .otherwise(-1)).as(s"v$i"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 32).map(i =>
+          when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  private val simhashSqlCte =
+    """tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+      |                                    x -> len(x) > 0)) AS w
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN sum(CASE WHEN ascii(substring(md5(w), i, 1)) % 2 = 1
+      |                       THEN 1 ELSE -1 END) > 0
+      |         THEN '1' ELSE '0' END AS b
+      |  FROM tok, generate_series(1, 32) t(i)
+      |  GROUP BY doc_id, i),
+      |sig AS (
+      |  SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact deduplication via content hash --------------------
@@ -246,34 +279,50 @@ object TextOps {
     // md5 hex-digit parity so the DuckDB oracle reproduces them.
     QueryDef(
       "q38_simhash",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
-        |                                    x -> len(x) > 0)) AS w
-        |  FROM documents),
-        |bits AS (
-        |  SELECT doc_id, i,
-        |    CASE WHEN sum(CASE WHEN ascii(substring(md5(w), i, 1)) % 2 = 1
-        |                       THEN 1 ELSE -1 END) > 0
-        |         THEN '1' ELSE '0' END AS b
-        |  FROM tok, generate_series(1, 32) t(i)
-        |  GROUP BY doc_id, i)
-        |SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH $simhashSqlCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
       // One vote column per bit → a single partial-aggregable shuffle
       // of 32 ints per doc (no 32× row explosion; md5 computed once
-      // per token).
-      val votes = (1 to 32).map(i =>
-        sum(when(expr(s"ascii(substring(h, $i, 1)) % 2") === 1, 1)
-          .otherwise(-1)).as(s"v$i"))
-      docs(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .select(col("doc_id"), md5(col("w")).as("h"))
-        .groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          concat((1 to 32).map(i =>
-            when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
-        .orderBy("doc_id")
+      // per token). See simhashFrame.
+      simhashFrame(s, dir).orderBy("doc_id")
+    },
+
+    // ---- SimHash near-dup pairs (banded, exactly-correct) --------
+    // Candidate pairs share at least one of 4 8-bit bands; by
+    // pigeonhole, hamming <= 2 implies >= 2 equal bands, so the band
+    // equi-join finds EVERY qualifying pair — LSH recall 100% at this
+    // threshold, never an O(n²) pair space. Hamming itself is
+    // bit_count(xor) on the folded 32-bit signature (one codegen'd
+    // instruction-ish, no per-bit loop).
+    QueryDef(
+      "q46_simhash_near_dup",
+      s"""WITH $simhashSqlCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    (SELECT count(*) FROM generate_series(1, 32) t(i)
+         |     WHERE substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))
+         |      AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM pairs WHERE hamming <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sig = simhashFrame(s, dir)
+        .withColumn("sh", conv(col("simhash"), 2, 10).cast("long"))
+      val bands = sig.select(col("doc_id"), col("sh"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("band"),
+          substring(col("simhash"), 1 + 8 * b, 8).as("bits"))): _*)).as("x"))
+        .select(col("doc_id"), col("sh"), col("x.band").as("band"),
+          col("x.bits").as("bits"))
+      val ham = bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long")
+      bands.select(col("doc_id").as("doc_a"), col("sh").as("a_sh"),
+          col("band"), col("bits"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("sh").as("b_sh"),
+          col("band"), col("bits")), Seq("band", "bits"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 2)
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
