@@ -319,6 +319,44 @@ object Relational {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // ---- q47: range join (bucketed-epoch scale path) -------------
+    // Pure time-range join, no equi key: for every error event, count
+    // platform-wide clicks within ±5 minutes. The oracle spells the
+    // O(n²) theta join; here both sides bucket into 5-minute epochs
+    // and equi-join on the bucket (error side exploded to its 3
+    // covering buckets, click side single-bucketed so no pair is seen
+    // twice), with the exact range as a post-filter — the standard
+    // rewrite that keeps a range join linear at 100 TB.
+    QueryDef(
+      "q47_error_click_range_join",
+      """SELECT e.event_id,
+        |  count(c.ts) AS n_nearby_clicks
+        |FROM events e LEFT JOIN events c
+        |  ON c.event_type = 'click'
+        | AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE
+        |               AND e.ts + INTERVAL 5 MINUTE
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts").as("e_ts"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"),
+          floor(unix_timestamp(col("ts")) / 300).as("bucket"))
+      val b = floor(unix_timestamp(col("e_ts")) / 300)
+      val counts = err
+        .withColumn("bucket", explode(array(b - 1, b, b + 1)))
+        .join(clk, Seq("bucket"))
+        .filter(col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("c_ts") <= col("e_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy("event_id").agg(count(lit(1)).as("n"))
+      err.join(counts, Seq("event_id"), "left_outer")
+        .select(col("event_id"),
+          coalesce(col("n"), lit(0L)).as("n_nearby_clicks"))
+        .orderBy("event_id")
+    },
+
     // ---- q13: event-time tumbling window agg ---------------------
     QueryDef(
       "q13_events_hourly",
