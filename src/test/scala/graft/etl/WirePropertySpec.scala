@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.etl.Wire._
+
+/** Property-based round-trip laws for the wire codec — the
+  * foundation the whole decode path stands on. Complements WireSpec's
+  * example-based cases with generated coverage of the full value
+  * domains (arbitrary Longs incl. Long.MinValue, arbitrary byte
+  * blobs, deep nesting, junk input).
+  */
+class WirePropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  private val fieldNum: Gen[Int] = Gen.chooseNum(1, 536870911) // max field no
+
+  test("varint round-trips every Long at every field number") {
+    check(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue), fieldNum) {
+      (v, f) => decode(message(_.int(f, v)))(f) == Vector(RVarint(v))
+    })
+  }
+
+  test("zigzag is a bijection and sint round-trips") {
+    check(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { v =>
+      zigzagDecode(zigzagEncode(v)) == v &&
+        decode(message(_.sint(3, v)))(3)
+          .map { case RVarint(x) => zigzagDecode(x) } == Vector(v)
+    })
+  }
+
+  test("fixed32/fixed64/double round-trip bit-exactly") {
+    check(Prop.forAll { (i: Int, l: Long, d: Double) =>
+      val m = decode(message(_.fixed32(1, i).fixed64(2, l).double(3, d)))
+      m(1) == Vector(RFixed32(i)) && m(2) == Vector(RFixed64(l)) &&
+        m(3).map { case RFixed64(x) => java.lang.Double.longBitsToDouble(x) }
+          .forall(x => x == d || (x.isNaN && d.isNaN))
+    })
+  }
+
+  test("byte blobs round-trip with repetition order preserved") {
+    val blobGen = Gen.containerOf[Array, Byte](Gen.choose[Byte](-128, 127))
+    check(Prop.forAll(Gen.listOfN(5, blobGen)) { blobs =>
+      val got = decode(message(w => blobs.foreach(b => w.bytes(7, b))))(7)
+        .map { case RBytes(v) => v.toSeq }
+      got == blobs.map(_.toSeq).toVector
+    })
+  }
+
+  test("nested messages round-trip at generated depth") {
+    check(Prop.forAll(Gen.chooseNum(1, 12), Gen.alphaNumStr) { (depth, leaf) =>
+      def build(w: Writer, d: Int): Unit =
+        if (d == 0) { w.string(1, leaf); () }
+        else { w.message(2, build(_, d - 1)); () }
+      var m = decode(message(build(_, depth)))
+      (1 to depth).foreach { _ =>
+        m = decode(m(2).head.asInstanceOf[RBytes].v)
+      }
+      m(1).map { case RBytes(v) => new String(v, "UTF-8") } == Vector(leaf)
+    })
+  }
+
+  test("decode never hangs or corrupts: junk bytes parse or throw cleanly") {
+    val junkGen = Gen.containerOf[Array, Byte](Gen.choose[Byte](-128, 127))
+    check(Prop.forAll(junkGen) { junk =>
+      try { decode(junk); true }
+      catch { case _: DecodeException => true }
+    })
+  }
+}
