@@ -319,6 +319,30 @@ object Relational {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // ---- q48: pivot (wide aggregation matrix) --------------------
+    // Native .pivot() with an explicit value list — the explicit list
+    // matters at scale: it skips the extra distinct-collection job
+    // AND keeps the output schema static for downstream plans.
+    QueryDef(
+      "q48_status_pivot",
+      """SELECT o_orderpriority,
+        |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS F,
+        |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS O,
+        |  round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum("o_totalprice"))
+        .select(col("o_orderpriority"),
+          round(coalesce(col("F"), lit(0)), R).as("F"),
+          round(coalesce(col("O"), lit(0)), R).as("O"),
+          round(coalesce(col("P"), lit(0)), R).as("P"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- q47: range join (bucketed-epoch scale path) -------------
     // Pure time-range join, no equi key: for every error event, count
     // platform-wide clicks within ±5 minutes. The oracle spells the
