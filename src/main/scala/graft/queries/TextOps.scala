@@ -273,6 +273,63 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- stratified train/val/test split (deterministic) ---------
+    // Hash-based assignment: md5 of the stable doc key → hex digit →
+    // 11/3/2 sixteenths. Deterministic and data-independent, so the
+    // split is reproducible across runs/engines and never needs a
+    // shuffle — it's a per-row expression, prunable at the scan.
+    QueryDef(
+      "q49_stratified_split",
+      """WITH d AS (
+        |  SELECT lang,
+        |    instr('0123456789abcdef',
+        |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS dig
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN dig < 11 THEN 'train' WHEN dig < 14 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM d GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      val dig = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+      docs(s, dir)
+        .select(col("lang"),
+          when(dig < 11, "train").when(dig < 14, "val").otherwise("test")
+            .as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    },
+
+    // ---- per-language vocabulary top-k ---------------------------
+    // Exact heavy-hitters via two-phase count + per-group window —
+    // fine whenever vocab cardinality ≪ corpus size (tokens follow
+    // Zipf); a true unbounded-cardinality stream would swap in a
+    // count-min/space-saving sketch without changing the contract.
+    QueryDef(
+      "q55_vocab_topk",
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                  x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+        |rk AS (
+        |  SELECT lang, w, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rnk
+        |  FROM cnt)
+        |SELECT lang, w AS token, CAST(c AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = docs(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      cnt.withColumn("rnk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("w"))).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("w").as("token"), col("c").as("n"), col("rnk"))
+        .orderBy("lang", "rnk")
+    },
+
     // ---- SimHash signatures (32-bit, hash-parity voting) ---------
     // Classic SimHash (Charikar 2002): per token hash bit b, vote
     // +1/-1; signature bit = sign of the vote sum. Bits derived from
