@@ -73,6 +73,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.getAs[Any]("dt").toString == "2026-08-01")
   }
 
+  test("restart from checkpoint resumes after committed offsets (C4/C5)") {
+    // the claim in SURVEY §2.6: Structured Streaming's offset/commit
+    // log replaces the reference's OffsetCommitWorker — a restarted
+    // query must NOT re-land already-committed batches.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_resume").toString
+    val pipeline = new ProtoPipeline(cfg)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SrcRec]
+    val sink = new ParquetSink(s"$dir/out")
+    val dlq = new DlqJsonSink(s"$dir/dlq")
+
+    stream.addData(rec(Fixtures.sampleMessage(), 1), rec(Fixtures.sampleMessage(), 2))
+    val q1 = pipeline.start(stream.toDF(), sink, dlq, s"$dir/ckpt")
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+
+    stream.addData(rec(Fixtures.sampleMessage(), 3))
+    val q2 = pipeline.start(stream.toDF(), sink, dlq, s"$dir/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    // 3, not 5: offsets 1-2 were committed, only 3 is new
+    val landed = spark.read.parquet(s"$dir/out")
+    assert(landed.count() == 3)
+    assert(landed.select("message_offset").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("metadata namespacing nests the five columns (IntegrationTest:168-214)") {
     val pipeline = new ProtoPipeline(cfg.copy(metadataNamespace = Some("meta")))
     val (good, _) = pipeline.split(pipeline.decode(
