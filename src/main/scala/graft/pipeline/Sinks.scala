@@ -155,15 +155,29 @@ final class DedupSink(inner: Sink,
   * writes.
   *
   * Splits use a seeded hash of a stable row id, so each level halves
-  * the batch deterministically. Like the reference, delivery remains
-  * at-least-once: a crash mid-bisect can re-land rows on replay;
-  * dedup downstream (DedupSink / EtlQueries q21).
+  * the batch deterministically.
+  *
+  * Atomicity: Spark's JDBC writer commits per PARTITION, so a failed
+  * multi-partition write leaves the successful partitions landed and
+  * a retry duplicates them. `atomicWrites = true` (default) coalesces
+  * every attempt to one partition — each write call is then
+  * all-or-nothing and the landed table is exactly the good rows.
+  * `atomicWrites = false` keeps the sink's native write parallelism
+  * (the 100 TB bulk path): delivery degrades to the reference's own
+  * model — at-least-once with replayed rows deduplicated downstream
+  * by insert identity (DedupSink / EtlQueries q21 /
+  * BQRowWithInsertId.java:10-12).
   */
-final class BisectSink(inner: Sink, poison: Sink) extends Sink {
+final class BisectSink(inner: Sink, poison: Sink,
+    atomicWrites: Boolean = true) extends Sink {
   val name = s"bisect(${inner.name})"
 
+  private def attempt(df: DataFrame, batchId: Long): Unit =
+    inner.write(if (atomicWrites) df.drop("_rid").coalesce(1)
+                else df.drop("_rid"), batchId)
+
   private def go(df: DataFrame, batchId: Long, depth: Int): Unit = {
-    try inner.write(df.drop("_rid"), batchId)
+    try attempt(df, batchId)
     catch {
       case t: Throwable =>
         if (df.limit(2).count() <= 1) poison.write(df.drop("_rid"), batchId)

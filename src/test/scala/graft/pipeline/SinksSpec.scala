@@ -129,6 +129,33 @@ class SinksSpec extends AnyFunSuite {
     assert(landed.sorted == (1 to 40).filterNot(x => x % 17 == 0))
   }
 
+  test("full reliability stack: Retry(Bisect(Jdbc)) lands good, DLQs poison") {
+    import spark.implicits._
+    // Derby table with a CHECK constraint → a real batch-level
+    // rejection (the JDBC failure mode the bisect exists for)
+    val url = "jdbc:derby:memory:graftstack;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE guarded (x INT CHECK (x <> 13))")
+    conn.close()
+    val dlq = ArrayBuffer.empty[Int]
+    val poisonSink = new Sink {
+      val name = "poison"
+      def write(d: DataFrame, id: Long): Unit =
+        dlq.synchronized { dlq ++= d.select("x").collect().map(_.getInt(0)) }
+    }
+    val jdbc = new JdbcSink(url, "guarded")
+    val stack = new RetrySink(new BisectSink(jdbc, poisonSink),
+      maxAttempts = 3, sleeper = _ => ())
+    stack.write((1 to 20).toDF("x"), 0L)
+    assert(dlq.toSeq == Seq(13))
+    val landed = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "guarded")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().collect().map(_.getInt(0)).sorted
+    assert(landed.toSeq == (1 to 20).filterNot(_ == 13))
+  }
+
   test("BisectSink on an all-good batch writes exactly once") {
     import spark.implicits._
     val calls = new AtomicInteger(0)
