@@ -28,6 +28,28 @@ object SimilarityOps {
   private def normExpr(c: String) =
     s"sqrt(aggregate(transform($c, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
 
+  /** Deterministic random-hyperplane family for q42, computed once on
+    * the driver (md5-seeded 3-decimal weights, exactly representable
+    * in SQL text) and shared between the Spark plan and the oracle.
+    */
+  private[queries] object Lsh {
+    val nPlanes = 4
+    val dim = 64
+    private def weight(j: Int, d: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.take(15), 16) % 2001) - 1000) / 1000.0
+    }
+    val planes: Seq[Seq[Double]] =
+      (0 until nPlanes).map(j => (0 until dim).map(d => weight(j, d)))
+    /** `(CASE WHEN list_dot_product(emb,[...])>0 THEN '1' ELSE '0' END) || …` */
+    val bucketSql: String = planes.map { p =>
+      val lits = p.map(w => f"$w%.3f").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(emb, $lits) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q40: exact brute-force cosine top-k ---------------------
@@ -91,24 +113,32 @@ object SimilarityOps {
     },
 
     // ---- q42: LSH-bucketed approximate NN (scale path) -----------
-    // Hyperplanes are derived deterministically from md5, bucket =
-    // sign-bit string; candidates share the query's bucket. No SQL
-    // oracle (hex→int differs across engines) → rows-only check.
-    QueryDef.noOracle("q42_lsh_ann") { (s, dir) =>
-      val nPlanes = 4
-      val dim = 64
+    // Hyperplanes are derived deterministically from md5 ON THE
+    // DRIVER and shipped as literals — to the Spark plan AND inlined
+    // into the oracle SQL, so the bucketing is fully oracle-checked.
+    // Bucket = sign-bit string; candidates share the query's bucket.
+    QueryDef(
+      "q42_lsh_ann",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, emb, ${Lsh.bucketSql} AS bucket FROM e),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    (SELECT sum(x * y) FROM (SELECT unnest(q.emb) AS x, unnest(c.emb) AS y) z) AS dot,
+         |    sqrt((SELECT sum(x * x) FROM (SELECT unnest(q.emb) AS x) z)) AS qn,
+         |    sqrt((SELECT sum(y * y) FROM (SELECT unnest(c.emb) AS y) z)) AS cn
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |   AND q.vec_id < 5 AND c.vec_id >= 5),
+         |ranked AS (
+         |  SELECT query_id, cand_id, dot / (qn * cn) AS cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY dot / (qn * cn) DESC, cand_id) AS rnk
+         |  FROM pairs)
+         |SELECT query_id, cand_id, round(cosine, 4) AS cosine,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
-      // Deterministic random hyperplanes, computed ONCE on the driver
-      // (md5-seeded) and shipped as literals — the per-row work is
-      // just nPlanes dot products inside codegen.
-      def weight(j: Int, d: Int): Double = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${j}_$d".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        ((java.lang.Long.parseLong(hex.take(15), 16) % 2001) - 1000) / 1000.0
-      }
-      val planes: Seq[Seq[Double]] =
-        (0 until nPlanes).map(j => (0 until dim).map(d => weight(j, d)))
+      val planes = Lsh.planes
       val bucketed = e.withColumn("bucket",
         concat(planes.map { p =>
           val dot = aggregate(
