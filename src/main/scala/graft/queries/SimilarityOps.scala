@@ -169,8 +169,41 @@ object SimilarityOps {
     // into cells around coarse centroids, then search only the
     // query's nprobe nearest cells. Centroids here are a
     // deterministic sample of the corpus itself (a k-means fit would
-    // slot in without changing the dataflow). Rows-only check.
-    QueryDef.noOracle("q44_ivf_ann") { (s, dir) =>
+    // slot in without changing the dataflow) — which also makes the
+    // whole pipeline SQL-expressible, so it is fully oracle-checked.
+    QueryDef(
+      "q44_ivf_ann",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id % 47 = 3),
+        |asg AS (
+        |  SELECT cand_id, ce, cell_id FROM (
+        |    SELECT c.vec_id AS cand_id, c.emb AS ce, t.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.emb, t.cent) /
+        |          (sqrt(list_dot_product(c.emb, c.emb)) *
+        |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+        |    FROM e c, cent t WHERE c.vec_id >= 5) z WHERE rn = 1),
+        |prb AS (
+        |  SELECT query_id, qe, cell_id FROM (
+        |    SELECT q.vec_id AS query_id, q.emb AS qe, t.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.emb, t.cent) /
+        |          (sqrt(list_dot_product(q.emb, q.emb)) *
+        |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+        |    FROM e q, cent t WHERE q.vec_id < 5) z WHERE rn <= 2),
+        |ranked AS (
+        |  SELECT p.query_id, a.cand_id,
+        |    list_dot_product(p.qe, a.ce) /
+        |      (sqrt(list_dot_product(p.qe, p.qe)) *
+        |       sqrt(list_dot_product(a.ce, a.ce))) AS cosine,
+        |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |      list_dot_product(p.qe, a.ce) /
+        |        (sqrt(list_dot_product(p.qe, p.qe)) *
+        |         sqrt(list_dot_product(a.ce, a.ce))) DESC, a.cand_id) AS rnk
+        |  FROM prb p JOIN asg a ON p.cell_id = a.cell_id)
+        |SELECT query_id, cand_id, round(cosine, 4) AS cosine,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val nprobe = 2
       val e = emb(s, dir)
