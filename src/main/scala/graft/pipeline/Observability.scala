@@ -35,4 +35,39 @@ object Observability {
       count(when(col("_error").startsWith("DESERIALIZE"), 1)).as("n_deser_errors"),
       count(when(col("_error") === "NULL_MESSAGE", 1)).as("n_null_messages"),
       count(when(col("_error").isNull, 1)).as("n_ok"))
+
+  /** One micro-batch's worth of the reference's StatsD timers/counters
+    * (poll size ↔ numInputRows, consumption+push time ↔
+    * triggerExecution, plus whatever [[observed]] attached).
+    */
+  final case class BatchMetrics(
+      batchId: Long,
+      numInputRows: Long,
+      triggerExecutionMs: Long,
+      observed: Map[String, Map[String, Any]])
+
+  /** A StreamingQueryListener forwarding per-batch metrics to a
+    * callback — the StatsD-emission point (stats/Stats.java:79-83);
+    * wire the callback to any metrics backend. Register with
+    * `spark.streams.addListener`.
+    */
+  def metricsListener(emit: BatchMetrics => Unit)
+      : org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        import scala.jdk.CollectionConverters._
+        val obs = p.observedMetrics.asScala.map { case (k, row) =>
+          k -> row.schema.fieldNames.zip(row.toSeq).toMap
+        }.toMap
+        emit(BatchMetrics(
+          p.batchId,
+          p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+          obs))
+      }
+    }
 }

@@ -55,6 +55,36 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(decoded2.count() == 3)
   }
 
+  test("metricsListener captures per-batch rows, latency, observed (C9)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val captured = scala.collection.mutable.ArrayBuffer
+      .empty[Observability.BatchMetrics]
+    val listener = Observability.metricsListener(m =>
+      captured.synchronized { captured += m })
+    spark.streams.addListener(listener)
+    try {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Int]
+      stream.addData(1, 2, 3)
+      val q = stream.toDF()
+        .observe("m", org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+        .writeStream.format("noop").start()
+      q.processAllAvailable()
+      q.stop()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (captured.synchronized(captured.isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = captured.synchronized(captured.headOption).getOrElse(
+        fail("no progress event within 10s"))
+      assert(m.numInputRows == 3L)
+      assert(m.triggerExecutionMs >= 0L)
+      assert(m.observed("m")("n_rows") == 3L)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("Wire.debugString renders unknown payloads without throwing (P12)") {
     val ok = Wire.message(_.string(1, "hello").int(2, 42))
     assert(Wire.debugString(ok) == """{1: "hello"; 2: 42}""")
