@@ -49,9 +49,54 @@ object ProtoPipeline {
     StructField("partition", IntegerType),
     StructField("offset", LongType),
     StructField("timestamp", TimestampType)))
+
+  /** Schema-evolution listener (C7, ProtoUpdateListener.java:101-126)
+    * as a per-batch re-resolution: `resolve` is consulted between
+    * micro-batches (the Stencil-refresh point); when the descriptor
+    * changed, the next config is validated against the current landed
+    * schema — additive changes swap the converter atomically before
+    * the batch runs, incompatible ones throw
+    * [[graft.etl.TableUpdateFailure]] and kill the query (the
+    * reference's BQTableUpdateFailure fail-fast, :108-114).
+    */
+  def startEvolving(
+      src: DataFrame,
+      sink: Sink,
+      dlq: Sink,
+      checkpointDir: String,
+      resolve: () => PipelineConfig,
+      landedSchema: () => Option[StructType] = () => None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    var current: ProtoPipeline = null
+    src.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val next = resolve()
+        if (current == null || next != current.cfg0) {
+          val candidate = new ProtoPipeline(next)
+          // validate against the LANDED table's live schema (the
+          // reference diffs the BQ table, BQClient.java:59-84), so a
+          // query (re)started on an incompatible descriptor fails
+          // before writing a single row
+          landedSchema().foreach(live =>
+            graft.etl.SchemaEvolution.validate(live, candidate.outputSchema))
+          // only swap after validation passes (old converter keeps
+          // serving if we die here — reference semantics);
+          // additive changes are the DDL hook point (K9) — parquet
+          // landing needs no ALTER TABLE
+          current = candidate
+        }
+        current.processBatch(sink, dlq)(df, id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }
 
 final class ProtoPipeline(cfg: PipelineConfig) extends Serializable {
+
+  /** The live config (read by the evolution listener to detect change). */
+  private[pipeline] def cfg0: PipelineConfig = cfg
 
   val dataSchema: StructType =
     SchemaConverter.structFor(cfg.descriptor, cfg.mapping)

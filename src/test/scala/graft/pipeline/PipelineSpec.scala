@@ -100,6 +100,54 @@ class PipelineSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("evolving pipeline re-resolves descriptor between batches (C7)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    implicit val sqlCtx = spark.sqlContext
+    val v1 = PMessage("M", Seq(PField(1, "a", PType.PString)))
+    val v2 = PMessage("M", Seq(PField(1, "a", PType.PString),
+      PField(2, "b", PType.PInt())))
+    val m1 = ColumnMapping(1 -> RenameTo("a"))
+    val m2 = ColumnMapping(1 -> RenameTo("a"), 2 -> RenameTo("b"))
+    @volatile var cfgNow = PipelineConfig(v1, m1)
+    val stream = MemoryStream[SrcRec]
+    val sink = new ParquetSink(s"$dir/out")
+    val dlq = new FailFastDlqSink
+
+    stream.addData(rec(Wire.message(_.string(1, "x")), 1))
+    def landed() = SchemaEvolution.currentSchema(spark, s"$dir/out")
+    val q1 = ProtoPipeline.startEvolving(stream.toDF(), sink, dlq,
+      s"$dir/ckpt", () => cfgNow, landed _)
+    q1.processAllAvailable(); q1.stop()
+
+    // registry refresh: additive field → converter swaps, batch lands
+    cfgNow = PipelineConfig(v2, m2)
+    stream.addData(rec(Wire.message(_.string(1, "y").int(2, 7)), 2))
+    val q2 = ProtoPipeline.startEvolving(stream.toDF(), sink, dlq,
+      s"$dir/ckpt", () => cfgNow, landed _)
+    q2.processAllAvailable(); q2.stop()
+
+    val landedDf = spark.read.option("mergeSchema", "true").parquet(s"$dir/out")
+    assert(landedDf.count() == 2)
+    assert(landedDf.schema.fieldNames.contains("b"))
+    assert(landedDf.filter($"a" === "y").select("b").first().getLong(0) == 7L)
+
+    // incompatible refresh: type flip → TableUpdateFailure kills query
+    val vBad = PMessage("M", Seq(PField(1, "a", PType.PInt())))
+    cfgNow = PipelineConfig(vBad, m1)
+    stream.addData(rec(Wire.message(_.int(1, 9)), 3))
+    val q3 = ProtoPipeline.startEvolving(stream.toDF(), sink, dlq,
+      s"$dir/ckpt", () => cfgNow, landed _)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+      q3.awaitTermination(10000)
+    }
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: rootCauses(x.getCause))
+    assert(rootCauses(err).exists(_.isInstanceOf[TableUpdateFailure]),
+      s"expected TableUpdateFailure, got: $err")
+  }
+
   test("metadata namespacing nests the five columns (IntegrationTest:168-214)") {
     val pipeline = new ProtoPipeline(cfg.copy(metadataNamespace = Some("meta")))
     val (good, _) = pipeline.split(pipeline.decode(
