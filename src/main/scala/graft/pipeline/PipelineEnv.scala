@@ -1,0 +1,61 @@
+package graft.pipeline
+
+/** Env-var config system (C8) — the reference turns environment
+  * variables into typed configs and forwards `KAFKA_CONSUMER_*` keys,
+  * prefix-stripped and lower-cased, straight into the Kafka client
+  * (config/KafkaConfig.java:17-34, config/AppConfig.java:5-93). Same
+  * contract here, producing (a) Kafka source options for
+  * `spark.readStream.format("kafka")` and (b) the typed pipeline
+  * flags.
+  */
+object PipelineEnv {
+
+  /** `KAFKA_CONSUMER_BOOTSTRAP_SERVERS=x` → `kafka.bootstrap.servers=x`
+    * (the Spark Kafka source expects client props under a `kafka.`
+    * prefix). Non-KAFKA_CONSUMER keys are ignored.
+    */
+  def kafkaOptions(env: Map[String, String]): Map[String, String] =
+    env.collect {
+      case (k, v) if k.startsWith("KAFKA_CONSUMER_") =>
+        "kafka." + k.stripPrefix("KAFKA_CONSUMER_")
+          .toLowerCase.replace('_', '.') -> v
+    }
+
+  /** Source options for the stream itself: regex topic subscription
+    * (S1, BeastFactory.java:197-199) and per-trigger backpressure (the
+    * queue-capacity replacement, SURVEY §4).
+    */
+  def sourceOptions(env: Map[String, String]): Map[String, String] = {
+    val topic = env.get("KAFKA_TOPIC").map("subscribePattern" -> _)
+    val maxPoll = env.get("KAFKA_CONSUMER_MAX_POLL_RECORDS")
+      .map("maxOffsetsPerTrigger" -> _)
+    (topic.toSeq ++ maxPoll.toSeq).toMap ++ kafkaOptions(env)
+  }
+
+  private def flag(env: Map[String, String], key: String): Boolean =
+    env.get(key).exists(_.equalsIgnoreCase("true"))
+
+  /** The reference's behavior flags (config/AppConfig.java) applied
+    * over a base config.
+    */
+  def configure(base: PipelineConfig, env: Map[String, String]): PipelineConfig =
+    base.copy(
+      metadataNamespace =
+        env.get("BQ_METADATA_NAMESPACE").filter(_.nonEmpty),
+      failOnNullMessage = flag(env, "FAIL_ON_NULL_MESSAGE"),
+      failOnDeserializeError = flag(env, "FAIL_ON_DESERIALIZE_ERROR"),
+      failOnUnknownFields = flag(env, "FAIL_ON_UNKNOWN_FIELDS"))
+
+  /** Retry envelope (K3): MAX_PUSH_ATTEMPTS + EXPONENTIAL_BACKOFF_*
+    * with the reference defaults (AppConfig.java:62-64,
+    * BackOffConfig.java:6-16).
+    */
+  def retrySink(inner: Sink, env: Map[String, String]): RetrySink =
+    new RetrySink(inner,
+      maxAttempts = env.getOrElse("MAX_PUSH_ATTEMPTS", "5").toInt,
+      initialBackoffMs =
+        env.getOrElse("EXPONENTIAL_BACKOFF_INITIAL_TIME_IN_MS", "10").toLong,
+      backoffRate = env.getOrElse("EXPONENTIAL_BACKOFF_RATE", "2.0").toDouble,
+      maxBackoffMs =
+        env.getOrElse("EXPONENTIAL_BACKOFF_MAXIMUM_TIME_IN_MS", "60000").toLong)
+}

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Fixtures
+
+/** C8 spec — env → typed config + Kafka client prop forwarding
+  * (KafkaConfig.java:17-34 prefix-strip contract).
+  */
+class PipelineEnvSpec extends AnyFunSuite {
+
+  private val env = Map(
+    "KAFKA_TOPIC" -> "orders-.*",
+    "KAFKA_CONSUMER_BOOTSTRAP_SERVERS" -> "broker:9092",
+    "KAFKA_CONSUMER_MAX_POLL_RECORDS" -> "500",
+    "KAFKA_CONSUMER_GROUP_ID" -> "graft",
+    "FAIL_ON_NULL_MESSAGE" -> "true",
+    "BQ_METADATA_NAMESPACE" -> "meta",
+    "UNRELATED" -> "x")
+
+  test("KAFKA_CONSUMER_* keys prefix-strip into kafka.* client props") {
+    val opts = PipelineEnv.kafkaOptions(env)
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "kafka.max.poll.records" -> "500",
+      "kafka.group.id" -> "graft"))
+  }
+
+  test("source options: regex subscribe + per-trigger backpressure") {
+    val opts = PipelineEnv.sourceOptions(env)
+    assert(opts("subscribePattern") == "orders-.*")
+    assert(opts("maxOffsetsPerTrigger") == "500")
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+  }
+
+  test("behavior flags and namespace apply over the base config") {
+    val base = PipelineConfig(Fixtures.testMessage, Fixtures.fullMapping)
+    val cfg = PipelineEnv.configure(base, env)
+    assert(cfg.failOnNullMessage)
+    assert(!cfg.failOnDeserializeError)
+    assert(cfg.metadataNamespace.contains("meta"))
+  }
+
+  test("retry envelope defaults match the reference (5, 10ms x2, 60s cap)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val alwaysFail = new Sink {
+      val name = "boom"
+      def write(d: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        throw new RuntimeException("down")
+    }
+    val r = new RetrySink(alwaysFail,
+      maxAttempts = 5, initialBackoffMs = 10, backoffRate = 2.0,
+      maxBackoffMs = 60000, sleeper = sleeps += _)
+    intercept[SinkException] { r.write(null, 0L) }
+    assert(sleeps.toSeq == Seq(10L, 20L, 40L, 80L))
+    // env-built sink parses overrides
+    val custom = PipelineEnv.retrySink(alwaysFail,
+      Map("MAX_PUSH_ATTEMPTS" -> "2"))
+    assert(custom.name == "retry(boom)")
+  }
+}
