@@ -319,6 +319,40 @@ object Relational {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // ---- q56: cumulative window frames ---------------------------
+    // Running revenue per month with an explicit frame
+    // (rowsBetween unboundedPreceding..currentRow) plus a moving
+    // 3-month average — frame-based windows over a pre-aggregated
+    // (small) frame, so the window never sees raw fact rows.
+    QueryDef(
+      "q56_cumulative_monthly_revenue",
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY month)
+        |SELECT CAST(month AS DATE) AS month,
+        |  round(rev, 2) AS revenue,
+        |  round(sum(rev) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS cum_revenue,
+        |  round(avg(rev) OVER (ORDER BY month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+        |FROM m ORDER BY month""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum("o_totalprice").as("rev"))
+      val w = Window.orderBy("month")
+      m.select(
+          col("month").cast("date").as("month"),
+          round(col("rev"), R).as("revenue"),
+          round(sum("rev").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)), R).as("cum_revenue"),
+          round(avg("rev").over(w.rowsBetween(-2, Window.currentRow)), R)
+            .as("ma3"))
+        .orderBy("month")
+    },
+
     // ---- q48: pivot (wide aggregation matrix) --------------------
     // Native .pivot() with an explicit value list — the explicit list
     // matters at scale: it skips the extra distinct-collection job
