@@ -98,6 +98,27 @@ object EtlQueries {
         .groupBy(get_json_object(col("props"), "$.k").as("k_str"))
         .agg(count(lit(1)).as("n"))
         .orderBy("k_str")
+    },
+
+    // ---- q57: VARIANT semi-structured processing -----------------
+    // Spark 4's VariantType path for schemaless JSON: parse once into
+    // the binary variant encoding, then typed extraction — at scale
+    // this beats per-access string re-parsing (get_json_object) when
+    // several fields are pulled from the same payload.
+    QueryDef(
+      "q57_variant_props",
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY k_bucket
+        |ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+      val k = expr("variant_get(parse_json(props), '$.k', 'bigint')")
+      Tables(s, dir, "events")
+        .select(k.as("k"))
+        .groupBy(floor(col("k") / 10).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), max("k").as("max_k"))
+        .orderBy("k_bucket")
     }
   )
 }
