@@ -216,6 +216,54 @@ object DedupOps {
         .orderBy("rnk")
     },
 
+    // ---- q58: benchmark decontamination --------------------------
+    // Flag training docs that share >= 5 distinct 3-gram shingles
+    // with any "benchmark" doc (here: the src0 slice). The join is on
+    // the shingle hash (equi, linear), the benchmark side is tiny and
+    // broadcast, and output is per-corpus-doc — the standard
+    // eval-set decontamination sweep.
+    QueryDef(
+      "q58_decontamination",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |hits AS (
+        |  SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
+        |  FROM sh c JOIN (SELECT DISTINCT g FROM sh WHERE source = 'src0') b
+        |    ON c.g = b.g
+        |  WHERE c.source <> 'src0'
+        |  GROUP BY c.doc_id)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM hits WHERE n_shared >= 5
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+        .select(col("doc_id"), col("source"),
+          concat(
+            element_at(col("t"), col("i")), lit(" "),
+            element_at(col("t"), col("i") + 1), lit(" "),
+            element_at(col("t"), col("i") + 2)).as("g"))
+        .distinct()
+      val bench = sh.filter(col("source") === "src0")
+        .select(col("g")).distinct()
+      sh.filter(col("source") =!= "src0")
+        .join(broadcast(bench), Seq("g")) // benchmark set is small → broadcast
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+        .filter(col("n_shared") >= 5)
+        .select(col("doc_id"), col("n_shared"))
+        .orderBy("doc_id")
+    },
+
     // ---- q39: embedding-cosine near-dup (label-blocked exact) ----
     // The embedding-space dedup modality: exact pairwise cosine over
     // a BLOCKED pair space (equi-join on the blocking key `label`,
