@@ -25,6 +25,38 @@ object DedupOps {
   private val NumHashes = 8
   private val NumBands = 4 // 2 hashes per band
 
+  /** Document-frequency cap for shingle joins (q37): any 3-gram that
+    * appears in more than this many distinct documents is treated as
+    * boilerplate and dropped before pairing.
+    */
+  val StopShingleMaxDf = 10
+
+  /** Drop "stop shingles": rows whose `key` occurs in more than
+    * `maxDf` rows of `sh` (one row per distinct (doc, shingle), so the
+    * count IS document frequency).
+    *
+    * This is the skew guard for every shingle equi-join: a join on
+    * shingle equality is quadratic in per-shingle df, so one piece of
+    * boilerplate ("click here to subscribe …") shared by 10^6 docs
+    * creates 10^12 join rows. Capping df bounds the per-key fan-out at
+    * maxDf² candidate pairs, making the join cost ≤ |shingles|·maxDf
+    * regardless of corpus shape — and near-dup PAIRS are unaffected
+    * because a shingle shared by half the corpus carries no pairing
+    * signal anyway (classic stop-word logic, cf. Broder shingling).
+    *
+    * Plan shape: one groupBy(key) count (partial-aggregable) feeding a
+    * LEFT ANTI join. No broadcast hint — the stop set is tiny on clean
+    * corpora but can reach |instances|/maxDf on adversarial ones, so
+    * the hint is left to AQE, which broadcasts it exactly when it is
+    * actually small.
+    */
+  def dropStopShingles(sh: DataFrame, key: String, maxDf: Long): DataFrame = {
+    val stop = sh.groupBy(key).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(key)
+    sh.join(stop, Seq(key), "left_anti")
+  }
+
   /** doc_id + exploded distinct 3-token shingles. */
   private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -145,17 +177,23 @@ object DedupOps {
     },
 
     // ---- q37: n-gram (3-token shingle) Jaccard top pairs ---------
+    // Jaccard is over the STOP-FILTERED shingle sets (df <=
+    // StopShingleMaxDf, both engines): see dropStopShingles for why
+    // the raw join is a skew bomb on boilerplate-heavy corpora.
     QueryDef(
       "q37_ngram_jaccard_top",
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, lang, n_chars,
-        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, unnest(list_transform(
         |    generate_series(1, greatest(len(t) - 2, 0)),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
         |  FROM toks),
+        |hot AS (SELECT g FROM sh0 GROUP BY g
+        |        HAVING count(*) > $StopShingleMaxDf),
+        |sh AS (SELECT doc_id, g FROM sh0 WHERE g NOT IN (SELECT g FROM hot)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -183,8 +221,11 @@ object DedupOps {
       // join key folded to int64 via xxhash64 (8-byte shuffle key; a
       // collision merely perturbs one candidate's intersection count
       // by ~2^-64 odds). Not persisted — see the q36 measured note.
-      val sh = shingles(s, dir)
-        .withColumn("gh", xxhash64(col("g"))).drop("g")
+      // Stop-shingle df cap applied on the hashed key (oracle filters
+      // the string form; identical modulo xxhash64 collisions).
+      val sh = dropStopShingles(
+        shingles(s, dir).withColumn("gh", xxhash64(col("g"))).drop("g"),
+        "gh", StopShingleMaxDf)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // Join on shingle EQUALITY first: random word-soup 3-grams are
       // mostly doc-unique, so only genuinely-overlapping doc pairs

@@ -611,7 +611,9 @@ object Relational {
     // ---- q27: approximate sketches (HLL++, t-digest-style) -------
     // Estimators are engine-specific by nature (Spark HLL++ vs
     // DuckDB's approx structures give different estimates), so this
-    // is a rows-only check; exact twins are q08/q17.
+    // is a rows-only check; exact twins are q08/q17. Percentiles are
+    // projected as scalar columns (not an array) so the harness'
+    // row-count compare can sort the frame.
     QueryDef.noOracle("q27_approx_sketches") { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -619,8 +621,14 @@ object Relational {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-            .as("price_quantiles"),
+            .as("pq"),
           count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          col("approx_parts"), col("approx_orders"),
+          col("pq").getItem(0).as("p50"),
+          col("pq").getItem(1).as("p95"),
+          col("n"))
         .orderBy("l_returnflag")
     },
 

@@ -50,6 +50,58 @@ object SimilarityOps {
     }.mkString(" || ")
   }
 
+  /** Fixed-k coarse-quantizer codebook for q44 — k is a CONSTANT, not
+    * a function of corpus size, so assignment is O(n·k) with a k-row
+    * broadcast build side at any scale. Centroids are md5-seeded
+    * 3-decimal literals (same generator family as [[Lsh]]), shipped
+    * both to the Spark plan and inlined into the oracle SQL so the
+    * whole pipeline stays hash-checked. A k-means fit over the corpus
+    * (see `SimilarityOps.kmeansStep`, spec-verified) slots in as a
+    * drop-in replacement for this codebook without changing the
+    * query dataflow.
+    */
+  private[queries] object Ivf {
+    val k = 16
+    val dim = 64
+    private def weight(c: Int, d: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ivf${c}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.take(15), 16) % 2001) - 1000) / 1000.0
+    }
+    val centroids: Seq[Seq[Double]] =
+      (0 until k).map(c => (0 until dim).map(d => weight(c, d)))
+    /** `(VALUES (0, CAST([…] AS DOUBLE[])), …) t(cell_id, cent)` body */
+    val centSqlValues: String = centroids.zipWithIndex.map { case (v, c) =>
+      val lits = v.map(w => f"$w%.3f").mkString("[", ", ", "]")
+      s"($c, CAST($lits AS DOUBLE[]))"
+    }.mkString(",\n    ")
+  }
+
+  /** One Lloyd iteration of k-means in pure DataFrame ops: assign each
+    * vector to its nearest centroid (cosine), then recompute each cell
+    * as the element-wise mean of its members. Centroids stay k rows
+    * (broadcast); the corpus is scanned once per iteration with a
+    * single partial-aggregable shuffle of k·dim doubles — no explode,
+    * no collect. Feeding [[Ivf]]'s codebook through a few steps gives
+    * a data-fitted coarse quantizer with the same q44 dataflow.
+    */
+  def kmeansStep(vectors: DataFrame, cents: DataFrame, dim: Int): DataFrame = {
+    val wNear = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cell_id"))
+    val assigned = vectors // (vec_id, e)
+      .crossJoin(broadcast(cents)) // (cell_id, cent) — k rows
+      .select(col("vec_id"), col("e"), col("cell_id"),
+        expr("cosine_sim(e, cent)").as("sim"))
+      .withColumn("rn", row_number().over(wNear))
+      .filter(col("rn") === 1)
+    val dimAvgs = (0 until dim).map(i => avg(col("e").getItem(i)).as(s"c$i"))
+    assigned.groupBy("cell_id")
+      .agg(dimAvgs.head, dimAvgs.tail: _*)
+      .select(col("cell_id"),
+        array((0 until dim).map(i => col(s"c$i")): _*).as("cent"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q40: exact brute-force cosine top-k ---------------------
@@ -167,14 +219,18 @@ object SimilarityOps {
     // ---- q44: IVF-style ANN (coarse quantize → probe cells) ------
     // The other scale path besides LSH (q42): partition the corpus
     // into cells around coarse centroids, then search only the
-    // query's nprobe nearest cells. Centroids here are a
-    // deterministic sample of the corpus itself (a k-means fit would
-    // slot in without changing the dataflow) — which also makes the
-    // whole pipeline SQL-expressible, so it is fully oracle-checked.
+    // query's nprobe nearest cells. The codebook is FIXED-k ([[Ivf]],
+    // k = 16 literal centroids): |cells| does not grow with the
+    // corpus, assignment is a k-row broadcast against a single corpus
+    // scan (O(n·k), never O(n²)), and the literals inline into the
+    // oracle SQL so the pipeline stays fully hash-checked. A k-means
+    // fit (kmeansStep) drops in for the literal codebook at no
+    // dataflow change.
     QueryDef(
       "q44_ivf_ann",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cent AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id % 47 = 3),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT * FROM (VALUES
+        |    ${Ivf.centSqlValues}) t(cell_id, cent)),
         |asg AS (
         |  SELECT cand_id, ce, cell_id FROM (
         |    SELECT c.vec_id AS cand_id, c.emb AS ce, t.cell_id,
@@ -207,10 +263,12 @@ object SimilarityOps {
       graft.functions.GraftFunctions.register(s)
       val nprobe = 2
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") % 47 === 3)
-        .select(col("vec_id").as("cell_id"), col("e").as("cent"))
+      import s.implicits._
+      val centroids = Ivf.centroids.zipWithIndex
+        .map { case (v, c) => (c, v) }
+        .toDF("cell_id", "cent") // k = 16 rows, constant in corpus size
       // assign every corpus vector to its nearest cell (one pass,
-      // centroids broadcast)
+      // k-row codebook broadcast)
       val wAssign = Window.partitionBy("cand_id")
         .orderBy(col("sim").desc, col("cell_id"))
       val assigned = e.filter(col("vec_id") >= 5)
@@ -262,15 +320,27 @@ object SimilarityOps {
         |  round(avg(d), 3) AS avg_dist,
         |  round(max(d), 3) AS max_dist
         |FROM dist GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
-      val ex = emb(s, dir)
-        .select(col("vec_id"), col("label"), posexplode(col("e")))
-        .select(col("vec_id"), col("label"), (col("pos") + 1).as("i"),
-          col("col").as("v"))
-      val cent = ex.groupBy("label", "i").agg(avg("v").as("c"))
-      val dist = ex.join(cent, Seq("label", "i"))
-        .groupBy("vec_id", "label")
-        .agg(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))).as("d"))
-      dist.groupBy("label")
+      // The oracle spells the semantics as a 64× unnest + join-back;
+      // the Spark plan must NOT: centroids are one partial-aggregable
+      // pass with 64 avg buffers per label (no Generate anywhere —
+      // PlanAuditSpec asserts it), the tiny (labels × 64) result is
+      // broadcast back to the UN-exploded frame, and the distance is
+      // one fused zip_with fold per row. Two scans of the fact side,
+      // zero fact-side explosion, zero fact-side shuffle before the
+      // final per-label rollup.
+      val e = emb(s, dir)
+      val dim = 64
+      val dimAvgs = (0 until dim).map(i => avg(col("e").getItem(i)).as(s"c$i"))
+      val cent = e.groupBy("label")
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .select(col("label"),
+          array((0 until dim).map(i => col(s"c$i")): _*).as("c"))
+      val d = sqrt(aggregate(
+        zip_with(col("e"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+      e.join(broadcast(cent), Seq("label"))
+        .select(col("label"), d.as("d"))
+        .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
           round(avg("d"), 3).as("avg_dist"),
           round(max("d"), 3).as("max_dist"))

@@ -36,21 +36,36 @@ object TextOps {
     s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($words)))"
   }
 
-  /** (doc_id, simhash-bitstring) — q38's signature, unordered, shared
-    * with the q46 near-dup pairing.
+  /** (doc_id, simhash-bitstring) — q38's 64-bit signature, unordered,
+    * shared with the q46 near-dup pairing.
+    *
+    * Bit j (1-based, written MSB-first in the bitstring) is the sign of
+    * the vote sum over the doc's tokens, where a token votes +1 iff bit
+    * `(j-1) % 4` of md5 hex digit `(j+3)/4` of the token is set — i.e.
+    * the full nibble of each of the first 16 md5 digits, so the 64 bits
+    * are genuinely uniform (not ascii-parity folklore) and the DuckDB
+    * oracle reproduces them digit-for-digit.
     */
   private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
-    val votes = (1 to 32).map(i =>
-      sum(when(expr(s"ascii(substring(h, $i, 1)) % 2") === 1, 1)
-        .otherwise(-1)).as(s"v$i"))
+    // hex digits decoded ONCE per token (16 ints), then 64 partial-
+    // aggregable vote sums — a single shuffle of 64 ints per doc, no
+    // 64x row explosion.
+    val digits = (1 to 16).map(i =>
+      conv(substring(col("h"), i, 1), 16, 10).cast("int").as(s"d$i"))
+    val votes = (1 to 64).map { j =>
+      val d = (j + 3) / 4
+      val sh = (j - 1) % 4
+      sum(when(expr(s"(d$d >> $sh) & 1") === 1, 1).otherwise(-1)).as(s"v$j")
+    }
     docs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id") +: digits: _*)
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        concat((1 to 32).map(i =>
-          when(col(s"v$i") > 0, "1").otherwise("0")): _*).as("simhash"))
+        concat((1 to 64).map(j =>
+          when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   private val simhashSqlCte =
@@ -59,14 +74,16 @@ object TextOps {
       |                                    x -> len(x) > 0)) AS w
       |  FROM documents),
       |bits AS (
-      |  SELECT doc_id, i,
-      |    CASE WHEN sum(CASE WHEN ascii(substring(md5(w), i, 1)) % 2 = 1
-      |                       THEN 1 ELSE -1 END) > 0
+      |  SELECT doc_id, j,
+      |    CASE WHEN sum(CASE WHEN
+      |      (((instr('0123456789abcdef', substring(md5(w), (j+3)//4, 1)) - 1)
+      |        >> ((j-1)%4)) & 1) = 1
+      |      THEN 1 ELSE -1 END) > 0
       |         THEN '1' ELSE '0' END AS b
-      |  FROM tok, generate_series(1, 32) t(i)
-      |  GROUP BY doc_id, i),
+      |  FROM tok, generate_series(1, 64) t(j)
+      |  GROUP BY doc_id, j),
       |sig AS (
-      |  SELECT doc_id, string_agg(b, '' ORDER BY i) AS simhash
+      |  SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -330,44 +347,65 @@ object TextOps {
         .orderBy("lang", "rnk")
     },
 
-    // ---- SimHash signatures (32-bit, hash-parity voting) ---------
+    // ---- SimHash signatures (64-bit, md5-nibble voting) ----------
     // Classic SimHash (Charikar 2002): per token hash bit b, vote
-    // +1/-1; signature bit = sign of the vote sum. Bits derived from
-    // md5 hex-digit parity so the DuckDB oracle reproduces them.
+    // +1/-1; signature bit = sign of the vote sum. Bits are the
+    // nibble bits of the first 16 md5 hex digits so the DuckDB
+    // oracle reproduces them.
     QueryDef(
       "q38_simhash",
       s"""WITH $simhashSqlCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
       // One vote column per bit → a single partial-aggregable shuffle
-      // of 32 ints per doc (no 32× row explosion; md5 computed once
+      // of 64 ints per doc (no 64× row explosion; md5 computed once
       // per token). See simhashFrame.
       simhashFrame(s, dir).orderBy("doc_id")
     },
 
     // ---- SimHash near-dup pairs (banded, exactly-correct) --------
-    // Candidate pairs share at least one of 4 8-bit bands; by
-    // pigeonhole, hamming <= 2 implies >= 2 equal bands, so the band
-    // equi-join finds EVERY qualifying pair — LSH recall 100% at this
-    // threshold, never an O(n²) pair space. Hamming itself is
-    // bit_count(xor) on the folded 32-bit signature (one codegen'd
-    // instruction-ish, no per-bit loop).
+    // Candidates share at least one of 4 16-bit bands. Pigeonhole:
+    // hamming <= 2 differing bits touch at most 2 bands, so >= 2 of
+    // the 4 bands stay EQUAL and the band equi-join finds every
+    // qualifying pair — 100% recall, never an O(n²) pair space.
+    // (The guarantee actually holds up to hamming <= 3, which still
+    // leaves >= 1 band intact; threshold 2 has slack.)
+    //
+    // Bucket-size math for the 16-bit width: 2^16 = 65,536 possible
+    // values per band, so under the uniform-signature model a corpus
+    // of n docs puts ~n/65,536 docs in each band bucket and the
+    // per-band candidate count is sum-over-buckets C(size,2)
+    // ≈ n²/(2·65,536). The previous 8-bit banding had 256 buckets —
+    // 256× more candidates per band; at n = 10^9 that is the
+    // difference between ~7.6e12 candidate pairs (doomed) and ~3e10
+    // (large but shuffle-able, and real corpora are far from uniform
+    // random only in ways that concentrate TRUE near-dups, which the
+    // hamming filter keeps anyway). Growing the corpus further, the
+    // next notch is a wider signature (128-bit, 8 bands of 16), same
+    // dataflow.
+    //
+    // Hamming itself is bit_count(xor) on the signature folded to one
+    // int64 (codegen'd, no per-bit loop); the fold goes via two
+    // 32-bit conv() halves because conv(_, 2, 10) on 64 bits yields
+    // an UNSIGNED decimal string that overflows a signed-long cast.
     QueryDef(
       "q46_simhash_near_dup",
       s"""WITH $simhashSqlCte,
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    (SELECT count(*) FROM generate_series(1, 32) t(i)
+         |    (SELECT count(*) FROM generate_series(1, 64) t(i)
          |     WHERE substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))
          |      AS hamming
          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
          |FROM pairs WHERE hamming <= 2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val hi = conv(substring(col("simhash"), 1, 32), 2, 10).cast("long")
+      val lo = conv(substring(col("simhash"), 33, 32), 2, 10).cast("long")
       val sig = simhashFrame(s, dir)
-        .withColumn("sh", conv(col("simhash"), 2, 10).cast("long"))
+        .withColumn("sh", shiftleft(hi, 32).bitwiseOR(lo))
       val bands = sig.select(col("doc_id"), col("sh"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("band"),
-          substring(col("simhash"), 1 + 8 * b, 8).as("bits"))): _*)).as("x"))
+          substring(col("simhash"), 1 + 16 * b, 16).as("bits"))): _*)).as("x"))
         .select(col("doc_id"), col("sh"), col("x.band").as("band"),
           col("x.bits").as("bits"))
       val ham = bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long")

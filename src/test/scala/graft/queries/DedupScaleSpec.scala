@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the scale guards added round 2: the
+  * stop-shingle document-frequency cap (q37's skew bomb defusal) and
+  * the k-means Lloyd step behind the q44 IVF codebook.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  test("dropStopShingles removes boilerplate shingles, keeps signal shingles") {
+    import spark.implicits._
+    // 60 docs that all share one boilerplate shingle; each also has a
+    // unique shingle, and docs 0/1 share a genuine near-dup shingle.
+    val rows =
+      (0 until 60).flatMap { d =>
+        Seq((d.toLong, "click here subscribe"), (d.toLong, s"unique shingle $d"))
+      } ++ Seq((0L, "shared real overlap"), (1L, "shared real overlap"))
+    val sh = rows.toDF("doc_id", "g")
+
+    val kept = DedupOps.dropStopShingles(sh, "g", maxDf = 10)
+    val keptGs = kept.select("g").distinct().as[String].collect().toSet
+    assert(!keptGs.contains("click here subscribe"), "df=60 shingle must be dropped")
+    assert(keptGs.contains("shared real overlap"), "df=2 shingle must survive")
+    assert(keptGs.count(_.startsWith("unique shingle")) == 60)
+
+    // the join-cost bound this buys: pairing on the filtered frame
+    // yields only the genuine pair, not 60*59/2 boilerplate pairs
+    val pairs = kept.select(col("doc_id").as("a"), col("g"))
+      .join(kept.select(col("doc_id").as("b"), col("g")), Seq("g"))
+      .filter(col("a") < col("b"))
+    assert(pairs.count() == 1L)
+  }
+
+  test("dropStopShingles with a high cap is the identity") {
+    import spark.implicits._
+    val sh = Seq((1L, "a b c"), (2L, "a b c"), (3L, "d e f"))
+      .toDF("doc_id", "g")
+    assert(DedupOps.dropStopShingles(sh, "g", maxDf = 10).count() == 3L)
+  }
+
+  test("kmeansStep pulls seed centroids onto well-separated clusters") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // two tight clusters in orthogonal directions (4-d), 20 points each
+    val pts = (0 until 20).flatMap { i =>
+      val eps = i / 1000.0
+      Seq(
+        (i.toLong, Seq(1.0, eps, 0.0, 0.0)),
+        (100L + i, Seq(0.0, 0.0, 1.0, eps)))
+    }
+    val vectors = pts.toDF("vec_id", "e")
+    val seeds = Seq(
+      (0, Seq(0.9, 0.1, 0.1, 0.0)), // near cluster A
+      (1, Seq(0.1, 0.0, 0.9, 0.1))) // near cluster B
+      .toDF("cell_id", "cent")
+
+    val fitted = SimilarityOps.kmeansStep(vectors, seeds, dim = 4)
+      .orderBy("cell_id")
+      .as[(Int, Seq[Double])]
+      .collect()
+
+    assert(fitted.length == 2)
+    val a = fitted(0)._2
+    val b = fitted(1)._2
+    // cell 0 converged to cluster A's mean direction (x-dominant),
+    // cell 1 to cluster B's (z-dominant)
+    assert(a(0) > 0.9 && a(2) == 0.0, a.toString)
+    assert(b(2) > 0.9 && b(0) == 0.0, b.toString)
+    // means are exact: eps averages to 19/2000
+    assert(math.abs(a(1) - 0.0095) < 1e-12)
+    assert(math.abs(b(3) - 0.0095) < 1e-12)
+  }
+
+  test("kmeansStep output schema matches the Ivf codebook contract") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vectors = (0 until 8)
+      .map(i => (i.toLong, Seq.fill(4)(i / 10.0 + 0.1))).toDF("vec_id", "e")
+    val seeds = Seq((0, Seq(0.1, 0.1, 0.1, 0.1)), (1, Seq(0.7, 0.7, 0.7, 0.7)))
+      .toDF("cell_id", "cent")
+    val out = SimilarityOps.kmeansStep(vectors, seeds, dim = 4)
+    assert(out.columns.toSeq == Seq("cell_id", "cent"))
+    assert(out.count() <= 2) // never more cells than seeds
+  }
+}

@@ -73,6 +73,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_avg"), p)
   }
 
+  test("q43 never explodes the fact side (centroids via agg buffers + broadcast-back)") {
+    val p = plan("q43_centroid_distance")
+    // the oracle spells a 64× unnest; the Spark plan must have NO
+    // Generate node anywhere (centroids are 64 avg buffers) and the
+    // tiny centroid frame must come back as a broadcast join
+    assert(!p.contains("Generate"), s"fact side exploded:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q44 IVF codebook is a fixed-k broadcast (corpus side never re-shuffles for assignment)") {
+    val p = plan("q44_ivf_ann")
+    // assignment = corpus × 16-literal codebook via broadcast nested
+    // loop (k constant), never a corpus×corpus product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LocalTableScan") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q20 ETL projection reads only mapped columns") {
     val p = plan("q20_metadata_projection")
     val read = p.linesIterator.find(_.contains("ReadSchema")).toSeq.mkString
