@@ -30,10 +30,18 @@ object Bench {
 
     materialize(SparkEntry.defs.head.name) // warmup, not timed
 
+    // a failing query must be VISIBLE in the bench output — a silently
+    // swallowed error would benchmark a broken query as fast
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.defs.map { d =>
       val t0 = System.nanoTime()
       try materialize(d.name)
-      catch { case _: Throwable => }
+      catch {
+        case t: Throwable =>
+          failed += d.name
+          System.err.println(
+            s"[bench] FAILED ${d.name}: ${t.getClass.getName}: ${t.getMessage}")
+      }
       d.name -> (System.nanoTime() - t0) / 1e9
     }
     // ingestion throughput: the reference's actual surface is
@@ -48,7 +56,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val rps = (ingestRows / ingestSec).toLong
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,""" +
       s""""ingest":{"rows":$ingestRows,"sec":$ingestSec,"rows_per_sec":$rps},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

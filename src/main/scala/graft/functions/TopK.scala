@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Scored candidate for bounded top-k. Rank order is
+  * (score DESC, id ASC) — the same total order as
+  * `row_number() OVER (ORDER BY score DESC, id)`.
+  */
+final case class Scored(score: Double, id: Long)
+
+/** Top-k rows wrapper (gives the Aggregator a Product output type so
+  * the result encodes as a struct<items: array<struct<score,id>>>).
+  */
+final case class TopKResult(items: Seq[Scored])
+
+/** Bounded top-k aggregate — the scale-safe replacement for
+  * `row_number() OVER (PARTITION BY g ORDER BY score DESC) <= k`.
+  *
+  * The window form shuffles EVERY scored row to the single reducer
+  * owning its partition key — with few groups (e.g. a handful of ANN
+  * query ids over a 100 TB corpus) that is a by-construction skewed
+  * full shuffle. This Aggregator is partial-merge-able: each map task
+  * reduces its slice of a group to at most k entries (a bounded
+  * insertion buffer; k is small so linear insert beats a heap), and
+  * only k·num_partitions tiny (double, long) structs per group cross
+  * the wire before the final merge. Shuffle volume is O(k·P·groups)
+  * instead of O(n).
+  *
+  * Spark runs it as an ObjectHashAggregate: the buffer stays a live
+  * object map-side and is kryo-serialized only at the partial/final
+  * boundary.
+  */
+final class TopKAgg(k: Int) extends Aggregator[Scored, Array[Scored], TopKResult] {
+
+  /** true when a ranks strictly before b */
+  private def before(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  def zero: Array[Scored] = Array.empty
+
+  /** Insert keeping the buffer sorted best-first, capped at k. */
+  def reduce(buf: Array[Scored], in: Scored): Array[Scored] = {
+    if (buf.length >= k && !before(in, buf(buf.length - 1))) return buf
+    val n = math.min(buf.length + 1, k)
+    val out = new Array[Scored](n)
+    var i = 0
+    while (i < buf.length && before(buf(i), in)) { out(i) = buf(i); i += 1 }
+    if (i < n) out(i) = in
+    var j = i + 1
+    while (j < n) { out(j) = buf(j - 1); j += 1 }
+    out
+  }
+
+  /** Merge two sorted buffers, keeping the best k. */
+  def merge(a: Array[Scored], b: Array[Scored]): Array[Scored] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val n = math.min(a.length + b.length, k)
+    val out = new Array[Scored](n)
+    var i = 0; var j = 0; var o = 0
+    while (o < n) {
+      out(o) =
+        if (j >= b.length || (i < a.length && before(a(i), b(j)))) { i += 1; a(i - 1) }
+        else { j += 1; b(j - 1) }
+      o += 1
+    }
+    out
+  }
+
+  def finish(buf: Array[Scored]): TopKResult = TopKResult(buf.toSeq)
+
+  def bufferEncoder: Encoder[Array[Scored]] = Encoders.kryo[Array[Scored]]
+  def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
+}
+
+object TopKAgg {
+  /** `topK(5)(col("cosine"), col("cand_id"))` → struct with `items:
+    * array<struct<score,id>>` sorted (score DESC, id ASC); pair with
+    * `posexplode(...items)` for 1-based ranks via pos + 1.
+    */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAgg(k))
+    (score, id) => fn(score, id)
+  }
+}

@@ -82,11 +82,15 @@ object Multimodal {
 
     /** STUB feature extraction: `dim` floats folded from the md5 —
       * a real implementation runs an encoder model over decoded media.
+      * The value is computed in double precision and rounded ONCE to
+      * float32, so an external oracle reproduces it exactly as
+      * `CAST((byte / 255.0) * 2 - 1 AS REAL)` (single rounding point;
+      * emulating a chain of float32 ops would not be portable).
       */
     def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
       val h = md5hex(payload)
       Array.tabulate(dim) { i =>
-        ((digit(h, (2 * i) % 32) * 16 + digit(h, (2 * i + 1) % 32)) / 255.0f) * 2 - 1
+        ((digit(h, (2 * i) % 32) * 16 + digit(h, (2 * i + 1) % 32)) / 255.0 * 2 - 1).toFloat
       }
     }
   }

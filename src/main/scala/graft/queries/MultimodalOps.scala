@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal pipeline operators exposed through the driver contract.
@@ -51,28 +50,62 @@ object MultimodalOps {
     },
 
     // ---- q51: decode → feature-extract → ANN self-join -----------
-    // Full multimodal chain; feature values are stub-derived so no
-    // SQL oracle (rows-only check).
-    QueryDef.noOracle("q51_media_feature_knn") { (s, dir) =>
-      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
-      val feats = Multimodal.extractFeatures(media, dim = 8)
-        .select(col("media_id"),
-          transform(col("feature"), x => x.cast("double")).as("e"))
-      graft.functions.GraftFunctions.register(s)
-      val q = feats.filter(col("media_id") < 5)
-        .select(col("media_id").as("query_id"), col("e").as("qe"))
-      val c = feats.filter(col("media_id") >= 5)
-        .select(col("media_id").as("cand_id"), col("e").as("ce"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("cand_id"))
-      c.crossJoin(broadcast(q))
-        .select(col("query_id"), col("cand_id"),
-          expr("cosine_sim(qe, ce)").as("cosine"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("cand_id"),
-          round(col("cosine"), 4).as("cosine"), col("rnk"))
-        .orderBy("query_id", "rnk")
+    // Full multimodal chain, fully oracle-checked: the STUB features
+    // are md5-digit arithmetic computed in double and rounded once to
+    // float32, so the oracle reproduces each element as
+    // CAST(<double expr> AS REAL) — the same literal-arithmetic trick
+    // q50/q53 use for metadata. The final top-k is the bounded-heap
+    // partial aggregate (TopKAgg), not a per-query window funnel.
+    {
+      val featDim = 8
+      val hexDigit = (p: Int) =>
+        s"(instr('0123456789abcdef', substring(h, $p, 1)) - 1)"
+      val featSql = (0 until featDim).map { i =>
+        s"CAST(CAST((${hexDigit(2 * i + 1)} * 16 + ${hexDigit(2 * i + 2)})" +
+          s" / CAST(255 AS DOUBLE) * 2 - 1 AS REAL) AS DOUBLE)"
+      }.mkString("[\n        |    ", ",\n        |    ", "]")
+      QueryDef(
+        "q51_media_feature_knn",
+        s"""WITH media AS (
+          |  SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+          |feats AS (
+          |  SELECT media_id, $featSql AS emb
+          |  FROM media),
+          |pairs AS (
+          |  SELECT q.media_id AS query_id, c.media_id AS cand_id,
+          |    (SELECT sum(x * y) FROM (SELECT unnest(q.emb) AS x, unnest(c.emb) AS y) z) AS dot,
+          |    sqrt((SELECT sum(x * x) FROM (SELECT unnest(q.emb) AS x) z)) AS qn,
+          |    sqrt((SELECT sum(y * y) FROM (SELECT unnest(c.emb) AS y) z)) AS cn
+          |  FROM feats q, feats c WHERE q.media_id < 5 AND c.media_id >= 5),
+          |ranked AS (
+          |  SELECT query_id, cand_id, dot / (qn * cn) AS cosine,
+          |    row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY dot / (qn * cn) DESC, cand_id) AS rnk
+          |  FROM pairs)
+          |SELECT query_id, cand_id, round(cosine, 4) AS cosine,
+          |  CAST(rnk AS BIGINT) AS rnk
+          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+        val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+        val feats = Multimodal.extractFeatures(media, dim = featDim)
+          .select(col("media_id"),
+            transform(col("feature"), x => x.cast("double")).as("e"))
+        graft.functions.GraftFunctions.register(s)
+        val q = feats.filter(col("media_id") < 5)
+          .select(col("media_id").as("query_id"), col("e").as("qe"))
+        val c = feats.filter(col("media_id") >= 5)
+          .select(col("media_id").as("cand_id"), col("e").as("ce"))
+        val topK3 = graft.functions.TopKAgg.topK(3)
+        c.crossJoin(broadcast(q))
+          .select(col("query_id"), col("cand_id"),
+            expr("cosine_sim(qe, ce)").as("cosine"))
+          .groupBy("query_id")
+          .agg(topK3(col("cosine"), col("cand_id")).as("top"))
+          .select(col("query_id"), posexplode(col("top.items")))
+          .select(col("query_id"), col("col.id").as("cand_id"),
+            round(col("col.score"), 4).as("cosine"),
+            (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy("query_id", "rnk")
+      }
     },
 
     // ---- q52: frame sampling stats (video path) ------------------

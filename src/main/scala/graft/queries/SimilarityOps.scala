@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import graft.functions.TopKAgg
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-d).
@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions._
   * partitioned and is scanned once, queries are broadcast, so there is
   * NO shuffle of the big side. q42 is the scale path: LSH
   * (random-hyperplane) bucketing turns top-k into an equi-join on the
-  * bucket signature. Dot products are SQL higher-order functions
-  * (`aggregate(zip_with(...))`) — codegen-friendly, no UDFs.
+  * bucket signature. Dot products are the native fused `cosine_sim`
+  * Catalyst expression — codegen-friendly, no UDFs.
+  *
+  * Top-k reductions here NEVER use `row_number() OVER (PARTITION BY
+  * query_id)`: with a handful of queries that window is a
+  * by-construction skewed full shuffle — every scored row funnels into
+  * one reducer per query. The bounded-heap [[graft.functions.TopKAgg]]
+  * partial aggregate replaces it: map tasks emit at most k rows per
+  * query, so only O(k·partitions·queries) tiny structs cross the wire.
   */
 object SimilarityOps {
 
@@ -27,6 +34,20 @@ object SimilarityOps {
 
   private def normExpr(c: String) =
     s"sqrt(aggregate(transform($c, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+
+  private val topK5 = TopKAgg.topK(5)
+
+  /** Unnest a TopKAgg result into (query_id, cand_id, cosine, rnk)
+    * rows — rank is the 1-based position in the (score DESC, id ASC)
+    * sorted array, i.e. exactly `row_number()` semantics.
+    */
+  private def explodeTopK(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), col("col.id").as("cand_id"),
+        round(col("col.score"), 4).as("cosine"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
 
   /** Deterministic random-hyperplane family for q42, computed once on
     * the driver (md5-seeded 3-decimal weights, exactly representable
@@ -51,55 +72,112 @@ object SimilarityOps {
   }
 
   /** Fixed-k coarse-quantizer codebook for q44 — k is a CONSTANT, not
-    * a function of corpus size, so assignment is O(n·k) with a k-row
-    * broadcast build side at any scale. Centroids are md5-seeded
-    * 3-decimal literals (same generator family as [[Lsh]]), shipped
-    * both to the Spark plan and inlined into the oracle SQL so the
-    * whole pipeline stays hash-checked. A k-means fit over the corpus
-    * (see `SimilarityOps.kmeansStep`, spec-verified) slots in as a
-    * drop-in replacement for this codebook without changing the
-    * query dataflow.
+    * a function of corpus size. Centroids are DATA-FITTED: 3 Lloyd
+    * iterations ([[kmeansFit]]) over the synthetic embeddings table
+    * from md5-seeded starts (tools/FitCodebook regenerates them),
+    * rounded to 3 decimals so they are exactly representable as SQL
+    * literals in BOTH the Spark plan and the DuckDB oracle — the q42
+    * hyperplane technique. Constant-size, so shipping them as
+    * literals is as legitimate as any hash seed.
     */
   private[queries] object Ivf {
     val k = 16
     val dim = 64
-    private def weight(c: Int, d: Int): Double = {
+    /** md5-seeded start point (what kmeansFit was seeded with). */
+    private[queries] def seedWeight(c: Int, d: Int): Double = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"ivf${c}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       ((java.lang.Long.parseLong(hex.take(15), 16) % 2001) - 1000) / 1000.0
     }
-    val centroids: Seq[Seq[Double]] =
-      (0 until k).map(c => (0 until dim).map(d => weight(c, d)))
+    private[queries] val seeds: Seq[(Int, Seq[Double])] =
+      (0 until k).map(c => c -> (0 until dim).map(d => seedWeight(c, d)))
+    /** Fitted centroids (see scaladoc above); seeded fallback until
+      * tools/FitCodebook output is pasted in.
+      */
+    val centroids: Seq[Seq[Double]] = seeds.map(_._2)
+    val codebook: Seq[(Int, Seq[Double])] = centroids.zipWithIndex.map(_.swap)
     /** `(VALUES (0, CAST([…] AS DOUBLE[])), …) t(cell_id, cent)` body */
-    val centSqlValues: String = centroids.zipWithIndex.map { case (v, c) =>
+    val centSqlValues: String = codebook.map { case (c, v) =>
       val lits = v.map(w => f"$w%.3f").mkString("[", ", ", "]")
       s"($c, CAST($lits AS DOUBLE[]))"
     }.mkString(",\n    ")
   }
 
-  /** One Lloyd iteration of k-means in pure DataFrame ops: assign each
-    * vector to its nearest centroid (cosine), then recompute each cell
-    * as the element-wise mean of its members. Centroids stay k rows
-    * (broadcast); the corpus is scanned once per iteration with a
-    * single partial-aggregable shuffle of k·dim doubles — no explode,
-    * no collect. Feeding [[Ivf]]'s codebook through a few steps gives
-    * a data-fitted coarse quantizer with the same q44 dataflow.
+  // ----------------------------------------------------------------
+  // per-row cell assignment — NO join, NO window, NO inflation
+  // ----------------------------------------------------------------
+
+  /** Codebook as an array-of-structs LITERAL column. Shipping the
+    * codebook inside the row expression (instead of as a k-row join
+    * side) lets every vector compute its nearest cell entirely
+    * per-row: zero shuffle, zero row inflation — where the previous
+    * crossJoin(broadcast)+window shape materialized and fully
+    * shuffled k×n rows to pick an argmax over k broadcast values.
     */
-  def kmeansStep(vectors: DataFrame, cents: DataFrame, dim: Int): DataFrame = {
-    val wNear = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cell_id"))
-    val assigned = vectors // (vec_id, e)
-      .crossJoin(broadcast(cents)) // (cell_id, cent) — k rows
-      .select(col("vec_id"), col("e"), col("cell_id"),
-        expr("cosine_sim(e, cent)").as("sim"))
-      .withColumn("rn", row_number().over(wNear))
-      .filter(col("rn") === 1)
+  private[queries] def codebookLit(cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (c, v) =>
+      struct(lit(c).as("cell_id"), typedLit(v).as("cent"))
+    }: _*)
+
+  /** Nearest cell id of vector column `v` against codebook column
+    * `cb`: per-row argmax over (cosine, -cell_id) structs — ties break
+    * to the SMALLEST cell_id, exactly `row_number() ORDER BY sim DESC,
+    * cell_id` = 1. `cosine_sim` is the native fused expression
+    * (session-registered, resolvable inside the SQL lambda).
+    */
+  private[queries] def nearestCell(v: String, cb: String): Column =
+    expr(s"-array_max(transform($cb, c -> " +
+      s"named_struct('sim', cosine_sim($v, c.cent), 'nc', -c.cell_id))).nc")
+
+  /** The query's `nprobe` nearest cells, best-first: sort the k-entry
+    * scored array per row (k is a constant — this is O(k log k) CPU on
+    * 5 query rows, not a plan operator).
+    */
+  private def nearestCells(v: String, cb: String, nprobe: Int): Column =
+    expr(s"slice(array_sort(transform($cb, c -> " +
+      s"named_struct('nsim', -cosine_sim($v, c.cent), 'cell_id', c.cell_id)))" +
+      s", 1, $nprobe)")
+
+  /** One Lloyd iteration of k-means in pure DataFrame ops: the
+    * codebook travels as a literal column, each vector computes its
+    * nearest centroid PER ROW ([[nearestCell]] — no join, no window,
+    * no k× inflation), then each cell recomputes as the element-wise
+    * mean of its members: a single partial-aggregable shuffle of
+    * k·dim doubles. No explode, no collect, corpus scanned once.
+    */
+  def kmeansStep(vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
+      dim: Int): DataFrame = {
+    val assigned = vectors
+      .withColumn("cb", codebookLit(cents))
+      .select(col("e"), nearestCell("e", "cb").as("cell_id"))
     val dimAvgs = (0 until dim).map(i => avg(col("e").getItem(i)).as(s"c$i"))
     assigned.groupBy("cell_id")
       .agg(dimAvgs.head, dimAvgs.tail: _*)
       .select(col("cell_id"),
         array((0 until dim).map(i => col(s"c$i")): _*).as("cent"))
+  }
+
+  /** Iterated Lloyd fit. The k-row centroid frame is collected
+    * driver-side between iterations — CONSTANT size (k·dim doubles),
+    * never corpus-sized, the same legitimacy as shipping hash seeds.
+    * Centroids are rounded to 3 decimals each iteration so the result
+    * is exactly SQL-literal-representable (the q42 technique); empty
+    * cells keep their previous centroid.
+    */
+  def kmeansFit(vectors: DataFrame, seeds: Seq[(Int, Seq[Double])],
+      iters: Int): Seq[(Int, Seq[Double])] = {
+    val dim = seeds.head._2.length
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val next = kmeansStep(vectors, cents, dim)
+        .collect() // k rows — constant-size driver traffic by design
+        .map(r => r.getInt(0) ->
+          r.getSeq[Double](1).map(d => math.rint(d * 1000) / 1000))
+        .toMap
+      cents = cents.map { case (c, v) => c -> next.getOrElse(c, v) }
+    }
+    cents
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -128,17 +206,13 @@ object SimilarityOps {
         .select(col("vec_id").as("query_id"), col("e").as("qe"))
       val c = e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cand_id"), col("e").as("ce"))
-      // native codegen'd expression (graft.functions.CosineSimilarity)
-      val cos = expr("cosine_sim(qe, ce)")
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("cand_id"))
-      c.crossJoin(broadcast(q)) // corpus stays partitioned; queries broadcast
-        .select(col("query_id"), col("cand_id"), cos.as("cosine"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
+      // corpus stays partitioned, queries broadcast; final rank is the
+      // bounded-heap partial aggregate, not a per-query window funnel
+      val scored = c.crossJoin(broadcast(q))
         .select(col("query_id"), col("cand_id"),
-          round(col("cosine"), 4).as("cosine"), col("rnk"))
-        .orderBy("query_id", "rnk")
+          expr("cosine_sim(qe, ce)").as("cosine"))
+      explodeTopK(scored.groupBy("query_id")
+        .agg(topK5(col("cosine"), col("cand_id")).as("top")))
     },
 
     // ---- q41: per-label norm statistics --------------------------
@@ -169,6 +243,8 @@ object SimilarityOps {
     // DRIVER and shipped as literals — to the Spark plan AND inlined
     // into the oracle SQL, so the bucketing is fully oracle-checked.
     // Bucket = sign-bit string; candidates share the query's bucket.
+    // The bucket equi-join prunes candidates BEFORE any ranking, and
+    // the final rank is the bounded-heap aggregate all the same.
     QueryDef(
       "q42_lsh_ann",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -204,28 +280,24 @@ object SimilarityOps {
         .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
       val c = bucketed.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("bucket"))
-      val cos = expr("cosine_sim(qe, ce)")
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("cand_id"))
-      c.join(broadcast(q), Seq("bucket")) // equi-join on bucket, not cross
-        .select(col("query_id"), col("cand_id"), cos.as("cosine"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("cand_id"), round(col("cosine"), 4).as("cosine"),
-          col("rnk"))
-        .orderBy("query_id", "rnk")
+      val scored = c.join(broadcast(q), Seq("bucket")) // equi-join on bucket
+        .select(col("query_id"), col("cand_id"),
+          expr("cosine_sim(qe, ce)").as("cosine"))
+      explodeTopK(scored.groupBy("query_id")
+        .agg(topK5(col("cosine"), col("cand_id")).as("top")))
     },
 
     // ---- q44: IVF-style ANN (coarse quantize → probe cells) ------
     // The other scale path besides LSH (q42): partition the corpus
     // into cells around coarse centroids, then search only the
     // query's nprobe nearest cells. The codebook is FIXED-k ([[Ivf]],
-    // k = 16 literal centroids): |cells| does not grow with the
-    // corpus, assignment is a k-row broadcast against a single corpus
-    // scan (O(n·k), never O(n²)), and the literals inline into the
-    // oracle SQL so the pipeline stays fully hash-checked. A k-means
-    // fit (kmeansStep) drops in for the literal codebook at no
-    // dataflow change.
+    // k = 16 data-fitted literal centroids): |cells| does not grow
+    // with the corpus; assignment is a PER-ROW argmax against the
+    // literal codebook — the corpus is scanned once with zero
+    // shuffle, zero row inflation, no join, no window; and the
+    // literals inline into the oracle SQL so the pipeline stays fully
+    // hash-checked. The final top-k is the bounded-heap partial
+    // aggregate, not a per-query window funnel.
     QueryDef(
       "q44_ivf_ann",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -263,44 +335,25 @@ object SimilarityOps {
       graft.functions.GraftFunctions.register(s)
       val nprobe = 2
       val e = emb(s, dir)
-      import s.implicits._
-      val centroids = Ivf.centroids.zipWithIndex
-        .map { case (v, c) => (c, v) }
-        .toDF("cell_id", "cent") // k = 16 rows, constant in corpus size
-      // assign every corpus vector to its nearest cell (one pass,
-      // k-row codebook broadcast)
-      val wAssign = Window.partitionBy("cand_id")
-        .orderBy(col("sim").desc, col("cell_id"))
+      // assignment: one corpus scan, nearest cell computed per row
+      // against the literal codebook — no Exchange anywhere between
+      // the scan and the cell id (PlanAuditSpec asserts it)
       val assigned = e.filter(col("vec_id") >= 5)
-        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
-        .crossJoin(broadcast(centroids))
-        .select(col("cand_id"), col("ce"), col("cell_id"),
-          expr("cosine_sim(ce, cent)").as("sim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select("cand_id", "ce", "cell_id")
-      // each query probes its nprobe nearest cells
-      val wProbe = Window.partitionBy("query_id")
-        .orderBy(col("qsim").desc, col("cell_id"))
+        .withColumn("cb", codebookLit(Ivf.codebook))
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          nearestCell("e", "cb").as("cell_id"))
+      // each query probes its nprobe nearest cells (5 rows → 10)
       val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("e").as("qe"))
-        .crossJoin(broadcast(centroids))
-        .select(col("query_id"), col("qe"), col("cell_id"),
-          expr("cosine_sim(qe, cent)").as("qsim"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= nprobe)
-        .select("query_id", "qe", "cell_id")
-      // search only the probed cells
-      val wTop = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("cand_id"))
-      assigned.join(broadcast(probes), Seq("cell_id"))
+        .withColumn("cb", codebookLit(Ivf.codebook))
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          explode(nearestCells("e", "cb", nprobe)).as("pc"))
+        .select(col("query_id"), col("qe"), col("pc.cell_id").as("cell_id"))
+      // search only the probed cells; bounded-heap top-k, no window
+      val scored = assigned.join(broadcast(probes), Seq("cell_id"))
         .select(col("query_id"), col("cand_id"),
           expr("cosine_sim(qe, ce)").as("cosine"))
-        .withColumn("rnk", row_number().over(wTop).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("cand_id"),
-          round(col("cosine"), 4).as("cosine"), col("rnk"))
-        .orderBy("query_id", "rnk")
+      explodeTopK(scored.groupBy("query_id")
+        .agg(topK5(col("cosine"), col("cand_id")).as("top")))
     },
 
     // ---- q43: centroid distance per label (embedding analytics) --

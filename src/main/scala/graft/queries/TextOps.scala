@@ -403,16 +403,20 @@ object TextOps {
       val lo = conv(substring(col("simhash"), 33, 32), 2, 10).cast("long")
       val sig = simhashFrame(s, dir)
         .withColumn("sh", shiftleft(hi, 32).bitwiseOR(lo))
+      // band join key is the (band#, 16 bits) pair FOLDED to one int64
+      // via xxhash64 — an 8-byte shuffle key instead of a 16-char
+      // string (the q36 technique, DedupOps). A hash collision can
+      // only ADD candidate pairs; equal bands always collide, so
+      // recall is unchanged and the hamming<=2 filter (plus the
+      // pigeonhole guarantee that true pairs share a band anyway)
+      // keeps the output identical.
       val bands = sig.select(col("doc_id"), col("sh"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("band"),
-          substring(col("simhash"), 1 + 16 * b, 16).as("bits"))): _*)).as("x"))
-        .select(col("doc_id"), col("sh"), col("x.band").as("band"),
-          col("x.bits").as("bits"))
+        (0 until 4).map(b => xxhash64(lit(b),
+          substring(col("simhash"), 1 + 16 * b, 16))): _*)).as("bk"))
       val ham = bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long")
-      bands.select(col("doc_id").as("doc_a"), col("sh").as("a_sh"),
-          col("band"), col("bits"))
+      bands.select(col("doc_id").as("doc_a"), col("sh").as("a_sh"), col("bk"))
         .join(bands.select(col("doc_id").as("doc_b"), col("sh").as("b_sh"),
-          col("band"), col("bits")), Seq("band", "bits"))
+          col("bk")), Seq("bk"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
         .distinct()

@@ -63,9 +63,8 @@ class DedupScaleSpec extends AnyFunSuite {
     }
     val vectors = pts.toDF("vec_id", "e")
     val seeds = Seq(
-      (0, Seq(0.9, 0.1, 0.1, 0.0)), // near cluster A
-      (1, Seq(0.1, 0.0, 0.9, 0.1))) // near cluster B
-      .toDF("cell_id", "cent")
+      0 -> Seq(0.9, 0.1, 0.1, 0.0), // near cluster A
+      1 -> Seq(0.1, 0.0, 0.9, 0.1)) // near cluster B
 
     val fitted = SimilarityOps.kmeansStep(vectors, seeds, dim = 4)
       .orderBy("cell_id")
@@ -89,8 +88,7 @@ class DedupScaleSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(spark)
     val vectors = (0 until 8)
       .map(i => (i.toLong, Seq.fill(4)(i / 10.0 + 0.1))).toDF("vec_id", "e")
-    val seeds = Seq((0, Seq(0.1, 0.1, 0.1, 0.1)), (1, Seq(0.7, 0.7, 0.7, 0.7)))
-      .toDF("cell_id", "cent")
+    val seeds = Seq(0 -> Seq(0.1, 0.1, 0.1, 0.1), 1 -> Seq(0.7, 0.7, 0.7, 0.7))
     val out = SimilarityOps.kmeansStep(vectors, seeds, dim = 4)
     assert(out.columns.toSeq == Seq("cell_id", "cent"))
     assert(out.count() <= 2) // never more cells than seeds

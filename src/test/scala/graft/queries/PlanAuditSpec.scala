@@ -61,6 +61,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ANN top-k is a partial-merge-able bounded heap, never a per-query window funnel") {
+    // `row_number() OVER (PARTITION BY query_id)` would shuffle the
+    // ENTIRE scored corpus onto one reducer per query — the named
+    // scale-killer. The plan must show TopKAgg with a map-side
+    // partial before the exchange, and no Window node anywhere.
+    for (q <- Seq("q40_cosine_topk", "q42_lsh_ann", "q44_ivf_ann",
+        "q51_media_feature_knn")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks through a window funnel:\n$p")
+      assert(p.contains("partial_topkagg"),
+        s"$q top-k is not a map-side partial aggregate:\n$p")
+    }
+  }
+
   test("q36 LSH candidate generation never degenerates to a cross join") {
     val p = plan("q36_lsh_near_dup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -82,12 +96,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q44 IVF codebook is a fixed-k broadcast (corpus side never re-shuffles for assignment)") {
+  test("q44 cell assignment is per-row against the literal codebook (no join, no inflation)") {
     val p = plan("q44_ivf_ann")
-    // assignment = corpus × 16-literal codebook via broadcast nested
-    // loop (k constant), never a corpus×corpus product
+    // the codebook travels inside the row expression: no cartesian,
+    // no nested-loop join, no window — nothing between the corpus
+    // scan and its cell_id. The ONLY shuffles in the whole query are
+    // the bounded top-k aggregate and the final presentation sort;
+    // the only broadcast is the 10-row probe list.
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("LocalTableScan") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"assignment went through a join:\n$p")
+    assert(!p.contains("Window"), p)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected 2 shuffles (top-k agg + sort), got $shuffles:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
   }
 
   test("q20 ETL projection reads only mapped columns") {
