@@ -80,22 +80,137 @@ object SimilarityOps {
     * hyperplane technique. Constant-size, so shipping them as
     * literals is as legitimate as any hash seed.
     */
-  private[queries] object Ivf {
+  private[graft] object Ivf {
     val k = 16
     val dim = 64
     /** md5-seeded start point (what kmeansFit was seeded with). */
-    private[queries] def seedWeight(c: Int, d: Int): Double = {
+    private[graft] def seedWeight(c: Int, d: Int): Double = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"ivf${c}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       ((java.lang.Long.parseLong(hex.take(15), 16) % 2001) - 1000) / 1000.0
     }
-    private[queries] val seeds: Seq[(Int, Seq[Double])] =
+    private[graft] val seeds: Seq[(Int, Seq[Double])] =
       (0 until k).map(c => c -> (0 until dim).map(d => seedWeight(c, d)))
-    /** Fitted centroids (see scaladoc above); seeded fallback until
-      * tools/FitCodebook output is pasted in.
+    /** Fitted centroids: 3 Lloyd iterations over the synthetic
+      * embeddings (sf0.01) from the md5 seeds, 3-decimal rounded —
+      * regenerate with tools/FitCodebook. Cell populations at fit
+      * time: min 26 / max 37 of 500 (balanced).
       */
-    val centroids: Seq[Seq[Double]] = seeds.map(_._2)
+    val centroids: Seq[Seq[Double]] = Seq(
+        /* 0 */ Seq(0.028, -0.038, 0.016, 0.019, -0.054, -0.115, 0.049, 0.044, -0.074, -0.056,
+          -0.001, 0.052, 0.044, 0.004, -0.007, 0.035, -0.075, -0.073, -0.011, -0.005,
+          -0.000, 0.032, 0.001, -0.000, 0.018, 0.100, -0.069, 0.015, 0.066, 0.029,
+          -0.016, -0.017, 0.003, -0.018, 0.005, 0.056, -0.019, -0.015, 0.004, -0.029,
+          0.057, -0.073, -0.021, 0.027, -0.025, 0.008, 0.043, 0.060, -0.045, -0.030,
+          0.060, 0.006, -0.007, -0.007, -0.060, -0.072, 0.021, -0.038, -0.007, 0.035,
+          0.012, -0.027, -0.057, 0.027),
+        /* 1 */ Seq(-0.017, -0.006, 0.082, 0.009, 0.093, 0.007, -0.003, 0.066, 0.007, -0.000,
+          -0.011, -0.053, -0.009, -0.053, 0.055, 0.036, 0.003, -0.056, -0.019, 0.056,
+          0.016, -0.052, 0.039, 0.027, -0.091, 0.049, 0.014, -0.023, 0.026, -0.004,
+          0.076, -0.000, 0.044, 0.040, -0.006, -0.044, 0.016, 0.047, -0.093, 0.049,
+          0.003, -0.013, 0.016, 0.029, -0.065, -0.064, 0.019, -0.011, -0.062, 0.059,
+          0.030, 0.059, 0.035, -0.013, -0.059, -0.041, 0.100, -0.006, 0.001, -0.011,
+          0.024, 0.030, -0.069, -0.008),
+        /* 2 */ Seq(0.007, -0.029, -0.009, -0.026, 0.044, 0.013, 0.058, -0.025, 0.015, -0.017,
+          0.046, -0.013, -0.032, -0.025, 0.072, -0.047, 0.031, 0.021, -0.005, -0.019,
+          -0.047, 0.002, 0.025, -0.016, 0.007, -0.022, 0.044, 0.046, -0.081, 0.038,
+          0.086, 0.000, -0.019, -0.033, -0.025, 0.039, 0.024, -0.027, -0.021, 0.014,
+          0.017, 0.009, -0.005, 0.033, -0.006, 0.021, 0.051, -0.037, 0.039, -0.008,
+          0.014, -0.021, -0.003, 0.011, 0.039, -0.031, -0.002, -0.009, -0.046, -0.031,
+          0.002, -0.065, -0.008, -0.136),
+        /* 3 */ Seq(-0.018, -0.033, 0.052, 0.026, -0.012, -0.022, -0.011, -0.017, -0.035, 0.006,
+          0.047, 0.011, -0.035, 0.039, 0.009, -0.004, 0.049, -0.009, 0.011, 0.000,
+          -0.058, -0.011, -0.052, -0.044, -0.048, 0.010, -0.014, 0.043, 0.025, -0.097,
+          -0.047, -0.023, -0.062, -0.018, -0.002, 0.000, 0.004, -0.064, 0.039, 0.008,
+          -0.017, 0.014, -0.032, -0.104, -0.020, -0.123, -0.038, -0.004, 0.025, -0.036,
+          -0.000, -0.067, 0.055, 0.014, 0.062, 0.009, -0.041, 0.038, 0.008, -0.064,
+          0.003, 0.070, -0.022, 0.023),
+        /* 4 */ Seq(0.008, 0.005, 0.006, 0.041, -0.015, 0.063, -0.012, 0.004, -0.032, -0.026,
+          -0.001, 0.047, -0.005, 0.065, -0.026, -0.036, -0.087, -0.071, -0.004, -0.032,
+          -0.099, -0.005, -0.023, 0.114, 0.032, 0.004, 0.070, -0.028, 0.024, 0.003,
+          -0.002, -0.006, 0.002, -0.041, -0.008, -0.020, -0.041, -0.009, -0.025, 0.019,
+          -0.040, -0.002, -0.007, -0.022, -0.007, 0.031, -0.061, 0.034, -0.053, 0.046,
+          0.046, 0.029, -0.030, -0.011, -0.032, 0.000, 0.020, 0.011, -0.055, 0.049,
+          0.007, -0.044, 0.052, -0.005),
+        /* 5 */ Seq(-0.059, 0.000, 0.006, -0.044, 0.000, -0.025, 0.011, -0.025, 0.016, -0.064,
+          0.056, -0.014, -0.038, -0.052, 0.032, -0.033, -0.041, -0.024, -0.002, -0.033,
+          0.005, -0.032, -0.042, -0.006, 0.022, 0.000, -0.013, 0.019, 0.048, 0.037,
+          -0.066, -0.091, 0.038, 0.025, 0.015, -0.061, -0.021, 0.023, 0.050, -0.057,
+          0.021, -0.043, 0.071, -0.012, -0.070, 0.037, -0.014, -0.026, 0.016, 0.049,
+          0.000, 0.039, -0.025, -0.063, 0.041, 0.065, 0.043, 0.012, -0.070, -0.037,
+          0.016, 0.062, 0.054, 0.057),
+        /* 6 */ Seq(0.025, 0.016, 0.010, 0.017, -0.054, 0.021, -0.048, 0.024, 0.013, 0.028,
+          -0.028, -0.010, -0.010, -0.104, -0.050, -0.009, 0.083, -0.047, -0.007, 0.059,
+          0.033, 0.032, -0.031, 0.024, 0.003, -0.035, 0.056, 0.010, -0.035, -0.007,
+          -0.066, 0.027, -0.053, -0.055, 0.021, -0.015, -0.016, -0.056, -0.017, 0.070,
+          0.021, 0.041, 0.069, 0.019, 0.020, 0.057, -0.018, 0.007, -0.007, 0.029,
+          0.017, -0.036, 0.043, -0.029, -0.008, 0.039, 0.037, 0.028, -0.039, -0.018,
+          -0.020, 0.033, 0.003, -0.019),
+        /* 7 */ Seq(0.025, -0.023, -0.036, -0.008, 0.061, 0.122, -0.033, -0.023, 0.016, -0.058,
+          0.011, -0.001, 0.026, 0.046, 0.001, -0.052, 0.040, 0.026, 0.020, -0.021,
+          0.054, 0.056, 0.057, -0.074, 0.005, -0.033, -0.028, 0.006, 0.008, -0.010,
+          -0.039, -0.027, 0.032, 0.087, 0.025, 0.031, -0.000, 0.046, 0.058, 0.018,
+          0.031, -0.027, -0.011, -0.019, 0.023, -0.056, -0.032, 0.013, 0.010, -0.045,
+          -0.040, -0.026, 0.036, 0.024, 0.005, -0.035, -0.050, -0.028, 0.056, 0.058,
+          0.003, 0.058, 0.015, -0.034),
+        /* 8 */ Seq(0.032, 0.053, 0.054, -0.032, 0.024, 0.093, -0.061, 0.028, -0.021, 0.058,
+          -0.066, 0.120, -0.046, -0.022, -0.057, 0.010, -0.035, -0.034, 0.027, -0.016,
+          0.007, 0.009, 0.024, -0.044, -0.029, 0.041, -0.002, -0.000, -0.015, 0.004,
+          0.053, -0.036, 0.007, -0.014, -0.005, -0.048, -0.002, 0.065, 0.045, -0.039,
+          -0.045, -0.111, 0.056, 0.018, 0.024, -0.006, 0.035, -0.022, 0.039, -0.038,
+          0.038, 0.002, -0.051, 0.037, 0.018, -0.004, 0.006, 0.027, 0.006, -0.008,
+          -0.010, -0.044, 0.008, 0.069),
+        /* 9 */ Seq(-0.012, 0.031, 0.036, 0.025, 0.043, -0.067, -0.039, 0.098, -0.039, 0.091,
+          0.053, 0.007, 0.013, -0.019, -0.010, 0.021, 0.040, 0.044, -0.020, -0.005,
+          0.003, 0.027, -0.012, -0.018, -0.017, -0.032, -0.028, 0.044, 0.019, 0.024,
+          0.045, -0.027, 0.015, 0.066, 0.017, 0.034, -0.049, 0.006, -0.035, 0.012,
+          -0.040, 0.001, -0.038, 0.001, -0.082, -0.023, -0.078, 0.009, -0.037, 0.015,
+          0.099, 0.051, -0.005, 0.040, 0.063, -0.035, -0.041, -0.073, -0.022, 0.030,
+          0.008, -0.008, -0.034, -0.066),
+        /* 10 */ Seq(0.038, -0.042, -0.023, -0.013, 0.013, 0.048, -0.076, -0.014, 0.074, -0.014,
+          -0.029, 0.043, -0.019, -0.009, -0.031, 0.065, 0.017, 0.043, -0.009, 0.005,
+          -0.079, 0.041, -0.010, -0.029, 0.063, 0.008, 0.055, -0.009, 0.029, -0.064,
+          0.044, 0.076, 0.056, -0.016, -0.010, 0.048, -0.051, -0.021, -0.005, -0.050,
+          0.004, -0.006, 0.017, 0.031, -0.013, 0.038, 0.018, 0.060, -0.013, -0.019,
+          -0.042, -0.024, 0.071, -0.056, -0.021, 0.045, 0.008, 0.062, -0.003, -0.070,
+          -0.033, 0.016, -0.032, 0.017),
+        /* 11 */ Seq(-0.054, -0.038, -0.060, 0.013, -0.007, 0.026, 0.009, -0.008, -0.008, 0.065,
+          -0.029, -0.016, -0.030, 0.070, 0.007, 0.046, 0.050, 0.072, 0.042, -0.035,
+          0.029, -0.043, -0.007, 0.042, -0.042, 0.011, 0.003, 0.015, -0.025, 0.042,
+          0.022, 0.011, 0.058, -0.045, 0.038, -0.040, -0.022, -0.031, 0.018, -0.041,
+          -0.008, -0.029, 0.009, 0.031, 0.056, -0.041, 0.046, -0.094, -0.064, -0.045,
+          0.014, 0.007, -0.032, 0.031, -0.026, -0.025, -0.044, 0.001, 0.015, -0.048,
+          0.028, 0.014, -0.020, -0.060),
+        /* 12 */ Seq(0.045, 0.032, 0.023, -0.042, 0.044, -0.068, -0.014, -0.040, 0.066, -0.003,
+          -0.018, -0.043, 0.032, 0.042, -0.036, 0.110, -0.016, 0.076, -0.040, 0.006,
+          0.023, 0.034, 0.042, -0.001, -0.016, -0.038, -0.064, -0.067, -0.031, -0.006,
+          0.027, -0.050, -0.031, -0.014, -0.006, -0.034, 0.023, -0.002, -0.017, -0.041,
+          0.071, -0.004, -0.013, -0.051, -0.019, 0.065, -0.020, 0.072, 0.004, -0.010,
+          -0.006, -0.036, 0.006, -0.020, 0.032, -0.027, -0.020, -0.016, 0.092, 0.020,
+          -0.040, -0.105, 0.088, -0.013),
+        /* 13 */ Seq(-0.061, -0.028, -0.101, -0.000, -0.064, 0.039, -0.036, 0.019, -0.024, -0.002,
+          0.084, -0.046, -0.039, -0.041, -0.053, -0.018, -0.012, -0.009, -0.006, -0.009,
+          0.023, 0.035, 0.021, 0.005, 0.028, 0.067, 0.027, -0.015, -0.010, 0.022,
+          0.029, 0.033, 0.052, -0.054, 0.003, 0.084, 0.069, 0.008, -0.007, 0.008,
+          -0.031, 0.040, -0.100, 0.025, -0.057, 0.083, 0.036, 0.030, 0.026, -0.065,
+          -0.019, -0.068, 0.052, 0.004, -0.042, -0.008, 0.012, -0.017, 0.006, -0.022,
+          -0.019, 0.030, 0.008, 0.020),
+        /* 14 */ Seq(0.045, -0.002, -0.015, 0.003, 0.077, -0.062, -0.058, 0.036, -0.069, -0.074,
+          0.004, -0.020, 0.034, 0.055, 0.055, -0.016, -0.053, 0.064, 0.044, -0.014,
+          0.047, -0.028, 0.056, -0.042, 0.013, 0.061, -0.071, 0.021, 0.001, -0.025,
+          0.014, -0.023, -0.032, 0.003, 0.039, -0.087, -0.073, 0.023, -0.012, -0.016,
+          -0.024, 0.016, 0.039, 0.045, 0.042, 0.070, 0.000, 0.008, 0.013, -0.050,
+          -0.019, 0.030, -0.006, -0.003, 0.038, 0.018, 0.030, -0.011, 0.015, -0.048,
+          -0.011, 0.052, 0.005, -0.011),
+        /* 15 */ Seq(0.014, 0.045, 0.041, -0.072, -0.022, 0.029, -0.026, -0.003, 0.035, 0.033,
+          -0.034, -0.008, 0.086, 0.038, 0.039, -0.004, 0.013, 0.048, -0.026, 0.087,
+          0.013, -0.071, 0.005, -0.069, 0.008, 0.050, -0.040, 0.078, -0.054, 0.030,
+          -0.068, 0.037, 0.021, -0.016, -0.015, 0.044, 0.079, 0.013, -0.003, 0.050,
+          -0.040, -0.028, -0.034, -0.048, 0.019, -0.025, 0.021, 0.003, 0.048, -0.021,
+          -0.036, 0.049, -0.034, -0.020, 0.007, 0.029, 0.026, -0.028, -0.016, 0.042,
+          0.029, 0.000, -0.007, -0.039),
+    )
     val codebook: Seq[(Int, Seq[Double])] = centroids.zipWithIndex.map(_.swap)
     /** `(VALUES (0, CAST([…] AS DOUBLE[])), …) t(cell_id, cent)` body */
     val centSqlValues: String = codebook.map { case (c, v) =>
@@ -115,7 +230,7 @@ object SimilarityOps {
     * crossJoin(broadcast)+window shape materialized and fully
     * shuffled k×n rows to pick an argmax over k broadcast values.
     */
-  private[queries] def codebookLit(cents: Seq[(Int, Seq[Double])]): Column =
+  private[graft] def codebookLit(cents: Seq[(Int, Seq[Double])]): Column =
     array(cents.map { case (c, v) =>
       struct(lit(c).as("cell_id"), typedLit(v).as("cent"))
     }: _*)
@@ -126,7 +241,7 @@ object SimilarityOps {
     * cell_id` = 1. `cosine_sim` is the native fused expression
     * (session-registered, resolvable inside the SQL lambda).
     */
-  private[queries] def nearestCell(v: String, cb: String): Column =
+  private[graft] def nearestCell(v: String, cb: String): Column =
     expr(s"-array_max(transform($cb, c -> " +
       s"named_struct('sim', cosine_sim($v, c.cent), 'nc', -c.cell_id))).nc")
 

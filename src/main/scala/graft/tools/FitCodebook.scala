@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.SimilarityOps
+
+/** One-off generator for the q44 IVF codebook: runs a few Lloyd
+  * iterations ([[SimilarityOps.kmeansFit]]) over the embeddings table
+  * from the md5-seeded starts and prints the fitted centroids as the
+  * Scala source block pasted into `SimilarityOps.Ivf`. Keeping the
+  * fitted values as source literals (rather than fitting at query
+  * time) is what lets the SAME constants inline into both the Spark
+  * plan and the DuckDB oracle SQL — the q42 hyperplane technique.
+  *
+  * Run: MAIN=graft.tools.FitCodebook SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  *        bash tools/run_verify.sh
+  */
+object FitCodebook {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConfs.foldLeft(
+        new org.apache.spark.SparkConf()) { case (c, (k, v)) => c.set(k, v) })
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val vectors = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val fitted = SimilarityOps.kmeansFit(vectors, SimilarityOps.Ivf.seeds, iters = 3)
+
+    println(s"// fitted by tools/FitCodebook on $dir (3 Lloyd iterations")
+    println("// from the md5 seeds, 3-decimal rounding each step):")
+    println("val centroids: Seq[Seq[Double]] = Seq(")
+    fitted.sortBy(_._1).foreach { case (c, v) =>
+      val lines = v.map(d => f"$d%.3f").grouped(10)
+        .map(_.mkString(", ")).mkString(",\n      ")
+      println(s"    /* $c */ Seq($lines),")
+    }
+    println(")")
+
+    // cell-population report (for the DedupScaleSpec balance bound)
+    val counts = vectors
+      .withColumn("cb", SimilarityOps.codebookLit(fitted))
+      .select(SimilarityOps.nearestCell("e", "cb").as("cell_id"))
+      .groupBy("cell_id").count().orderBy("cell_id").collect()
+    println(counts.map(r => s"${r.get(0)}:${r.get(1)}").mkString("// cells: ", " ", ""))
+    spark.stop()
+  }
+}

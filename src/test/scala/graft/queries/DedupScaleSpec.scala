@@ -83,6 +83,23 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(math.abs(b(3) - 0.0095) < 1e-12)
   }
 
+  test("fitted IVF codebook keeps cells balanced on the embeddings corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    // the q44 coarse quantizer only prunes well if cell populations
+    // are even — a random (unfitted) codebook drifts unbalanced as the
+    // corpus grows. Asserted on the corpus the codebook was fitted on.
+    val vectors = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+    val counts = vectors
+      .withColumn("cb", SimilarityOps.codebookLit(SimilarityOps.Ivf.codebook))
+      .select(SimilarityOps.nearestCell("e", "cb").as("cell_id"))
+      .groupBy("cell_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.size == SimilarityOps.Ivf.k, s"empty cells: $counts")
+    val mean = counts.values.sum.toDouble / counts.size
+    assert(counts.values.max <= 2 * mean, s"skewed cells: $counts")
+  }
+
   test("kmeansStep output schema matches the Ivf codebook contract") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
