@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q27's sketches (HLL++, approx_percentile) are rows-only in the
+  * oracle harness — estimator internals are engine-specific, so a
+  * DuckDB hash compare can never match. That excuses no-hash-match,
+  * not no-check-at-all: this spec bounds the estimates against their
+  * EXACT twins (the q08/q17 aggregates) with the estimators'
+  * documented error envelopes.
+  */
+class ApproxSketchSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  test("q27 estimates stay inside the documented error of the exact aggregates") {
+    val approx = SparkEntry.queries("q27_approx_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // exact twins, with a percentile ENVELOPE: approx_percentile at
+    // accuracy=1000 guarantees rank error <= n/1000 (0.1%); the
+    // assertion allows a 2-point rank margin (48th..52nd for p50),
+    // 20x the guarantee, so it only fails on real breakage
+    val exact = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_orderkey")).as("orders"),
+        expr("percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97))").as("pq"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    assert(approx.keySet == exact.keySet)
+    for ((flag, a) <- approx) {
+      val e = exact(flag)
+      // HLL++ default rsd = 0.05 → 20% is a 4-sigma envelope
+      def within20pct(approxV: Long, exactV: Long): Boolean =
+        math.abs(approxV - exactV) <= 0.2 * exactV
+      assert(within20pct(a.getLong(1), e.getLong(1)),
+        s"$flag approx_parts ${a.getLong(1)} vs exact ${e.getLong(1)}")
+      assert(within20pct(a.getLong(2), e.getLong(2)),
+        s"$flag approx_orders ${a.getLong(2)} vs exact ${e.getLong(2)}")
+      val pq = e.getSeq[Double](3)
+      val (p50, p95) = (a.getDouble(3), a.getDouble(4))
+      assert(p50 >= pq(0) && p50 <= pq(1),
+        s"$flag p50 $p50 outside exact [${pq(0)}, ${pq(1)}]")
+      assert(p95 >= pq(2) && p95 <= pq(3),
+        s"$flag p95 $p95 outside exact [${pq(2)}, ${pq(3)}]")
+    }
+  }
+}
