@@ -31,6 +31,30 @@ final case class ColumnMapping(entries: Map[Int, MappingEntry]) {
 object ColumnMapping {
   val RecordNameKey = "record_name" // reference config/Constants.java:17
 
+  /** Auto-generate the identity mapping (column name = proto field
+    * name) from a descriptor, recursively — the reference's
+    * `Converter.generateColumnMappings`
+    * (protomapping/Converter.java:24-46), which it runs when
+    * `ENABLE_AUTO_SCHEMA_UPDATE` is on so a newly-added proto field
+    * lands without a hand-edited mapping. Recursion stops at the
+    * schema nesting cap: message fields at the cap get an EMPTY
+    * nested entry (type-consistent for resolve(); the schema walk
+    * drops them at the same depth), which also terminates
+    * self-recursive message types.
+    */
+  def generate(msg: PMessage): ColumnMapping = generate(msg, 1)
+
+  private def generate(msg: PMessage, level: Int): ColumnMapping =
+    ColumnMapping(msg.fields.map { f =>
+      f.number -> (f.ptype match {
+        case PType.PMessageT(m) =>
+          if (level >= SchemaConverter.MaxNestingLevel)
+            NestedMapping(f.name, ColumnMapping(Map.empty[Int, MappingEntry]))
+          else NestedMapping(f.name, generate(m(), level + 1))
+        case _ => RenameTo(f.name)
+      })
+    }.toMap)
+
   def apply(pairs: (Int, MappingEntry)*): ColumnMapping =
     ColumnMapping(pairs.toMap)
 

@@ -1,0 +1,151 @@
+package graft.etl
+
+import graft.etl.Wire.{RawMessage, RBytes, RVarint}
+import scala.collection.mutable
+
+/** Loads a compiled protobuf descriptor set (`protoc
+  * --descriptor_set_out`, optionally `--include_imports`) into the
+  * [[PMessage]] schema model, using the repo's own wire codec —
+  * `descriptor.proto` is itself a protobuf message whose layout is
+  * public knowledge (google/protobuf/descriptor.proto; the field
+  * numbers below are from that file).
+  *
+  * This is the schema-ingestion seam the reference fills with a
+  * Stencil registry fetch (reference
+  * protomapping/ProtoUpdateListener.java:85-99,
+  * run_descriptor_server.sh:8): point the pipeline at descriptor-set
+  * bytes + a fully-qualified message name and it runs with no
+  * hand-built Scala descriptor.
+  */
+object DescriptorSetLoader {
+
+  // google/protobuf/descriptor.proto field numbers (public spec)
+  private object Fd {
+    val File = 1 // FileDescriptorSet.file
+    // FileDescriptorProto
+    val Package = 2; val MessageType = 4; val EnumType = 5
+    // DescriptorProto
+    val MsgName = 1; val Field = 2; val NestedType = 3; val MsgEnumType = 4
+    // FieldDescriptorProto
+    val FieldName = 1; val Number = 3; val Label = 4; val Type = 5
+    val TypeName = 6
+    // EnumDescriptorProto / EnumValueDescriptorProto
+    val EnumName = 1; val EnumValue = 2
+    val EvName = 1; val EvNumber = 2
+
+    val LabelRepeated = 3L // FieldDescriptorProto.Label.LABEL_REPEATED
+  }
+
+  private def str(m: RawMessage, n: Int): Option[String] =
+    m(n).collectFirst { case RBytes(b) => new String(b, "UTF-8") }
+  private def vint(m: RawMessage, n: Int): Option[Long] =
+    m(n).collectFirst { case RVarint(v) => v }
+  private def subs(m: RawMessage, n: Int): Vector[RawMessage] =
+    m(n).collect { case RBytes(b) => Wire.decode(b) }
+
+  /** All message/enum types of a descriptor set, indexed by
+    * fully-qualified name (no leading dot). [[message]] materializes
+    * lazily and memoizes, so mutually- and self-recursive message
+    * types resolve (the nested [[PType.PMessageT]] thunk defers the
+    * lookup until the schema walk, which is depth-capped by
+    * [[SchemaConverter.MaxNestingLevel]]).
+    */
+  final class Registry private[DescriptorSetLoader] (
+      msgIndex: Map[String, RawMessage],
+      enumIndex: Map[String, Map[Int, String]]) {
+
+    private val cache = mutable.Map.empty[String, PMessage]
+
+    def messageNames: Seq[String] = msgIndex.keys.toSeq.sorted
+
+    def message(fqn: String): PMessage = {
+      val key = fqn.stripPrefix(".")
+      cache.getOrElseUpdate(key, PMessage(key, fields(key)))
+    }
+
+    private def fields(fqn: String): Seq[PField] = {
+      val raw = msgIndex.getOrElse(fqn,
+        throw new ConfigurationException(
+          s"message '$fqn' not found in descriptor set " +
+            s"(known: ${messageNames.mkString(", ")})"))
+      subs(raw, Fd.Field).map { f =>
+        val name = str(f, Fd.FieldName).getOrElse(
+          throw new ConfigurationException(s"unnamed field in $fqn"))
+        val number = vint(f, Fd.Number).getOrElse(
+          throw new ConfigurationException(s"field $fqn.$name lacks a number"))
+        val repeated = vint(f, Fd.Label).contains(Fd.LabelRepeated)
+        PField(number.toInt, name,
+          ptypeOf(vint(f, Fd.Type).getOrElse(0L), str(f, Fd.TypeName),
+            s"$fqn.$name"),
+          repeated)
+      }
+    }
+
+    /** FieldDescriptorProto.Type values → [[PType]] — the same
+      * widening table as the reference's proto→BQ mapping
+      * (models/BQField.java:29-54): every int flavor widens to 64-bit;
+      * Timestamp/Struct are special-cased structurally.
+      */
+    private def ptypeOf(t: Long, typeName: Option[String], where: String): PType = {
+      def tn: String = typeName.getOrElse(
+        throw new ConfigurationException(s"$where lacks type_name")).stripPrefix(".")
+      t match {
+        case 1 => PType.PDouble // TYPE_DOUBLE
+        case 2 => PType.PFloat // TYPE_FLOAT
+        case 3 | 4 | 5 | 13 => PType.PInt() // int64/uint64/int32/uint32
+        case 6 => PType.PInt(fixed64 = true) // fixed64
+        case 7 => PType.PInt(fixed32 = true) // fixed32
+        case 8 => PType.PBool
+        case 9 => PType.PString
+        case 11 => tn match { // TYPE_MESSAGE
+          case "google.protobuf.Timestamp" => PType.PTimestamp
+          case "google.protobuf.Struct" => PType.PStruct
+          case other => PType.PMessageT.of(message(other))
+        }
+        case 12 => PType.PBytes
+        case 14 => PType.PEnum(enumIndex.getOrElse(tn, // TYPE_ENUM
+          throw new ConfigurationException(s"enum '$tn' not in descriptor set")))
+        case 15 => PType.PInt(fixed32 = true) // sfixed32
+        case 16 => PType.PInt(fixed64 = true) // sfixed64
+        case 17 | 18 => PType.PInt(zigzag = true) // sint32/sint64
+        case 10 => throw new ConfigurationException(
+          s"$where: proto2 groups are not supported")
+        case other => throw new ConfigurationException(
+          s"$where: unsupported field type $other")
+      }
+    }
+  }
+
+  /** Decode `FileDescriptorSet` bytes and index every message/enum
+    * (including nested ones) by fully-qualified name.
+    */
+  def load(bytes: Array[Byte]): Registry = {
+    val msgIdx = mutable.Map.empty[String, RawMessage]
+    val enumIdx = mutable.Map.empty[String, Map[Int, String]]
+
+    def indexEnum(prefix: String, e: RawMessage): Unit = {
+      val fqn = prefix + str(e, Fd.EnumName).getOrElse(
+        throw new ConfigurationException("unnamed enum in descriptor set"))
+      enumIdx(fqn) = subs(e, Fd.EnumValue).map { v =>
+        vint(v, Fd.EvNumber).getOrElse(0L).toInt ->
+          str(v, Fd.EvName).getOrElse("")
+      }.toMap
+    }
+    def indexMsg(prefix: String, m: RawMessage): Unit = {
+      val fqn = prefix + str(m, Fd.MsgName).getOrElse(
+        throw new ConfigurationException("unnamed message in descriptor set"))
+      msgIdx(fqn) = m
+      subs(m, Fd.NestedType).foreach(indexMsg(fqn + ".", _))
+      subs(m, Fd.MsgEnumType).foreach(indexEnum(fqn + ".", _))
+    }
+
+    val set = Wire.decode(bytes)
+    for (file <- subs(set, Fd.File)) {
+      val prefix = str(file, Fd.Package).filter(_.nonEmpty)
+        .map(_ + ".").getOrElse("")
+      subs(file, Fd.MessageType).foreach(indexMsg(prefix, _))
+      subs(file, Fd.EnumType).foreach(indexEnum(prefix, _))
+    }
+    new Registry(msgIdx.toMap, enumIdx.toMap)
+  }
+}

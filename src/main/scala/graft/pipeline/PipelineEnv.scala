@@ -36,10 +36,18 @@ object PipelineEnv {
     env.get(key).exists(_.equalsIgnoreCase("true"))
 
   /** The reference's behavior flags (config/AppConfig.java) applied
-    * over a base config.
+    * over a base config. `ENABLE_AUTO_SCHEMA_UPDATE=true` regenerates
+    * the column mapping from the descriptor (identity names, recursive
+    * — reference Converter.generateColumnMappings via
+    * ProtoUpdateListener), so a descriptor refresh in an evolving
+    * pipeline lands new fields with no caller-supplied mapping change.
     */
   def configure(base: PipelineConfig, env: Map[String, String]): PipelineConfig =
     base.copy(
+      mapping =
+        if (flag(env, "ENABLE_AUTO_SCHEMA_UPDATE"))
+          graft.etl.ColumnMapping.generate(base.descriptor)
+        else base.mapping,
       metadataNamespace =
         env.get("BQ_METADATA_NAMESPACE").filter(_.nonEmpty),
       failOnNullMessage = flag(env, "FAIL_ON_NULL_MESSAGE"),

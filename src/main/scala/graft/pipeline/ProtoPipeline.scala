@@ -40,6 +40,19 @@ final case class PipelineConfig(
     oobMaxPastDays: Int = 1825,
     oobMaxFutureDays: Int = 366)
 
+object PipelineConfig {
+  /** Descriptor-only construction: the column mapping is
+    * auto-generated (identity names, recursive) — the
+    * `ENABLE_AUTO_SCHEMA_UPDATE` path. Combined with a `resolve()`
+    * that reloads the descriptor (e.g. [[graft.etl
+    * .DescriptorSetLoader]] over refreshed descriptor-set bytes), an
+    * evolving pipeline picks up new proto fields with no
+    * caller-supplied mapping change.
+    */
+  def auto(descriptor: PMessage): PipelineConfig =
+    PipelineConfig(descriptor, ColumnMapping.generate(descriptor))
+}
+
 object ProtoPipeline {
   /** Kafka-source-shaped input schema (what format("kafka") yields). */
   val sourceSchema: StructType = StructType(Seq(

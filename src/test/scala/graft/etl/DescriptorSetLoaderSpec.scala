@@ -1,0 +1,158 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Wire.Writer
+
+/** S3: descriptor loading from a compiled FileDescriptorSet — the
+  * fixture is built with the repo's own [[Wire.Writer]] following the
+  * public descriptor.proto layout (exactly the bytes
+  * `protoc --descriptor_set_out` emits for the same schema).
+  */
+class DescriptorSetLoaderSpec extends AnyFunSuite {
+
+  // --- fixture builders (descriptor.proto field numbers) ----------
+  private def field(m: Writer, name: String, number: Int, tpe: Int,
+      typeName: String = null, repeated: Boolean = false): Unit = {
+    m.message(2, f => { // DescriptorProto.field
+      f.string(1, name).int(3, number.toLong)
+        .int(4, if (repeated) 3L else 1L).int(5, tpe.toLong)
+      if (typeName != null) f.string(6, typeName)
+      ()
+    })
+    ()
+  }
+
+  private def enumType(parent: Writer, fieldNum: Int, name: String,
+      values: (String, Int)*): Unit = {
+    parent.message(fieldNum, e => {
+      e.string(1, name)
+      values.foreach { case (n, v) =>
+        e.message(2, ev => { ev.string(1, n).int(2, v.toLong); () })
+      }
+      ()
+    })
+    ()
+  }
+
+  /** package com.test; enum Status { OK=0; FAIL=1 }
+    * message TestOrder { string order_number=1;
+    *   google.protobuf.Timestamp created_at=2; double amount=3;
+    *   Status status=4; repeated string tags=5; Item item=6;
+    *   sint64 delta=7;
+    *   message Item { int64 qty=1; string sku=2; } }
+    */
+  private val fds: Array[Byte] = Wire.message { w =>
+    w.message(1, f => { // FileDescriptorSet.file
+      f.string(1, "test.proto").string(2, "com.test")
+      f.message(4, m => { // FileDescriptorProto.message_type
+        m.string(1, "TestOrder")
+        field(m, "order_number", 1, 9) // TYPE_STRING
+        field(m, "created_at", 2, 11, ".google.protobuf.Timestamp")
+        field(m, "amount", 3, 1) // TYPE_DOUBLE
+        field(m, "status", 4, 14, ".com.test.Status")
+        field(m, "tags", 5, 9, repeated = true)
+        field(m, "item", 6, 11, ".com.test.TestOrder.Item")
+        field(m, "delta", 7, 18) // TYPE_SINT64
+        m.message(3, nt => { // DescriptorProto.nested_type
+          nt.string(1, "Item")
+          field(nt, "qty", 1, 3) // TYPE_INT64
+          field(nt, "sku", 2, 9)
+          ()
+        })
+        ()
+      })
+      enumType(f, 5, "Status", "OK" -> 0, "FAIL" -> 1)
+      ()
+    })
+    ()
+  }
+
+  test("indexes messages, nested types and enums by fully-qualified name") {
+    val reg = DescriptorSetLoader.load(fds)
+    assert(reg.messageNames == Seq("com.test.TestOrder", "com.test.TestOrder.Item"))
+    val msg = reg.message("com.test.TestOrder")
+    val byName = msg.fields.map(f => f.name -> f).toMap
+    assert(byName("order_number").ptype == PType.PString)
+    assert(byName("created_at").ptype == PType.PTimestamp) // well-known special case
+    assert(byName("amount").ptype == PType.PDouble)
+    assert(byName("status").ptype == PType.PEnum(Map(0 -> "OK", 1 -> "FAIL")))
+    assert(byName("tags").repeated && byName("tags").ptype == PType.PString)
+    assert(byName("delta").ptype == PType.PInt(zigzag = true))
+    val item = byName("item").ptype.asInstanceOf[PType.PMessageT].message
+    assert(item.fields.map(_.name) == Seq("qty", "sku"))
+    assert(item.byNumber(1).ptype == PType.PInt())
+    // leading-dot lookup works too (protoc emits absolute type names)
+    assert(reg.message(".com.test.TestOrder.Item").fields.nonEmpty)
+  }
+
+  test("descriptor-set schema + auto mapping round-trips a wire message") {
+    val desc = DescriptorSetLoader.load(fds).message("com.test.TestOrder")
+    val mapper = new RowMapper(desc, ColumnMapping.generate(desc),
+      failOnUnknownFields = true)
+    val bytes = Wire.message { w =>
+      w.string(1, "order-9")
+        .message(2, t => { t.int(1, 1700000000L); () })
+        .double(3, 12.5)
+        .int(4, 1L)
+        .string(5, "a").string(5, "b")
+        .message(6, i => { i.int(1, 3L).string(2, "sku-1"); () })
+        .sint(7, -5L)
+    }
+    val row = mapper.map(bytes)
+    // positions follow field-number order (resolve() contract):
+    // order_number, created_at, amount, status, tags, item, delta
+    assert(row.getString(0) == "order-9")
+    assert(row.getDouble(2) == 12.5)
+    assert(row.getString(3) == "FAIL")
+    assert(row.getSeq[String](4) == Seq("a", "b"))
+    val item = row.getStruct(5)
+    assert(item.getLong(0) == 3L && item.getString(1) == "sku-1")
+    assert(row.getLong(6) == -5L)
+  }
+
+  test("self-recursive message types load; the schema walk depth-caps") {
+    // message Node { string value=1; Node next=2; }
+    val rec = Wire.message { w =>
+      w.message(1, f => {
+        f.string(1, "rec.proto").string(2, "r")
+        f.message(4, m => {
+          m.string(1, "Node")
+          field(m, "value", 1, 9)
+          field(m, "next", 2, 11, ".r.Node")
+          ()
+        })
+        ()
+      })
+      ()
+    }
+    val node = DescriptorSetLoader.load(rec).message("r.Node")
+    val schema = SchemaConverter.structFor(node, ColumnMapping.generate(node))
+    // depth-capped at MaxNestingLevel: 15 levels carry `value`, the
+    // innermost drops the deeper `next`
+    var depth = 1
+    var cur = schema
+    while (cur.fieldNames.contains("next")) {
+      cur = cur("next").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      depth += 1
+    }
+    assert(depth == SchemaConverter.MaxNestingLevel)
+    assert(cur.fieldNames.toSeq == Seq("value"))
+  }
+
+  test("unknown message / missing enum fail with ConfigurationException") {
+    val reg = DescriptorSetLoader.load(fds)
+    intercept[ConfigurationException](reg.message("com.test.Nope"))
+    val badEnum = Wire.message { w =>
+      w.message(1, f => {
+        f.string(1, "bad.proto")
+        f.message(4, m => {
+          m.string(1, "B"); field(m, "s", 1, 14, ".missing.Enum"); ()
+        })
+        ()
+      })
+      ()
+    }
+    intercept[ConfigurationException](
+      DescriptorSetLoader.load(badEnum).message("B"))
+  }
+}

@@ -148,6 +148,59 @@ class PipelineSpec extends AnyFunSuite {
       s"expected TableUpdateFailure, got: $err")
   }
 
+  test("C7 + auto mapping: a descriptor-set refresh lands a new field with no mapping change") {
+    // the full reference ENABLE_AUTO_SCHEMA_UPDATE loop: compiled
+    // descriptor-set bytes (the registry artifact) → DescriptorSetLoader
+    // → auto-generated column mapping — the caller never writes a
+    // mapping, and a new proto field lands after a registry refresh.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve_auto").toString
+    implicit val sqlCtx = spark.sqlContext
+
+    def descSet(withB: Boolean): Array[Byte] = Wire.message { w =>
+      w.message(1, f => {
+        f.string(1, "m.proto").string(2, "t")
+        f.message(4, m => {
+          m.string(1, "M")
+          m.message(2, fd =>
+            { fd.string(1, "a").int(3, 1L).int(4, 1L).int(5, 9L); () })
+          if (withB) m.message(2, fd =>
+            { fd.string(1, "b").int(3, 2L).int(4, 1L).int(5, 3L); () })
+          ()
+        })
+        ()
+      })
+      ()
+    }
+
+    @volatile var registryBytes = descSet(withB = false)
+    val env = Map("ENABLE_AUTO_SCHEMA_UPDATE" -> "true")
+    def resolve(): PipelineConfig = PipelineEnv.configure(
+      PipelineConfig(DescriptorSetLoader.load(registryBytes).message("t.M"),
+        ColumnMapping(Map.empty[Int, MappingEntry])), env)
+
+    val stream = MemoryStream[SrcRec]
+    val sink = new ParquetSink(s"$dir/out")
+    val dlq = new FailFastDlqSink
+    def landed() = SchemaEvolution.currentSchema(spark, s"$dir/out")
+
+    stream.addData(rec(Wire.message(_.string(1, "x")), 1))
+    val q1 = ProtoPipeline.startEvolving(stream.toDF(), sink, dlq,
+      s"$dir/ckpt", resolve _, landed _)
+    q1.processAllAvailable(); q1.stop()
+
+    registryBytes = descSet(withB = true) // registry refresh only
+    stream.addData(rec(Wire.message(_.string(1, "y").int(2, 7L)), 2))
+    val q2 = ProtoPipeline.startEvolving(stream.toDF(), sink, dlq,
+      s"$dir/ckpt", resolve _, landed _)
+    q2.processAllAvailable(); q2.stop()
+
+    val landedDf = spark.read.option("mergeSchema", "true").parquet(s"$dir/out")
+    assert(landedDf.count() == 2)
+    assert(landedDf.schema.fieldNames.contains("b"))
+    assert(landedDf.filter($"a" === "y").select("b").first().getLong(0) == 7L)
+  }
+
   test("metadata namespacing nests the five columns (IntegrationTest:168-214)") {
     val pipeline = new ProtoPipeline(cfg.copy(metadataNamespace = Some("meta")))
     val (good, _) = pipeline.split(pipeline.decode(
