@@ -305,6 +305,60 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // ---- q60: corpus-internal duplicated-span ratio --------------
+    // ExactSubstr-style dedup QA (Lee et al., "Deduplicating Training
+    // Data" lineage): how much of each document is spans shared with
+    // OTHER documents. A 3-token shingle is duplicated when >= 2
+    // distinct docs contain it; each doc reports the duplicated
+    // fraction of its distinct shingles, rolled up per language.
+    // Plan shape: shingle-df is one partial-aggregable shuffle on the
+    // 8-byte shingle hash; the join back is equi on that key with NO
+    // fan-out (df frame has exactly one row per shingle); the per-doc
+    // and per-lang rollups are narrow partial aggregates. No pair
+    // join anywhere — cost stays linear in total shingles at any
+    // corpus size.
+    QueryDef(
+      "q60_dup_span_ratio",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        |per_doc AS (
+        |  SELECT sh.doc_id, count(*) AS n_spans,
+        |    count(*) FILTER (WHERE df.df >= 2) AS n_dup
+        |  FROM sh JOIN df ON sh.g = df.g GROUP BY sh.doc_id)
+        |SELECT t.lang, count(*) AS n_docs,
+        |  floor(avg(CAST(n_dup AS DOUBLE) / n_spans) * 10000 + 0.5) / 10000
+        |    AS avg_dup_ratio,
+        |  count(*) FILTER (WHERE n_dup * 2 >= n_spans) AS n_mostly_dup
+        |FROM per_doc p JOIN (SELECT doc_id, lang FROM documents) t
+        |  ON p.doc_id = t.doc_id
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir).withColumn("gh", xxhash64(col("g"))).drop("g")
+      val df = sh.groupBy("gh").agg(count(lit(1)).as("df"))
+      val perDoc = sh.join(df, Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("df") >= 2, 1)).as("n_dup"))
+      // per-doc ⋈ lang is corpus-row-sized on BOTH sides: a plain
+      // co-shuffled equi-join on doc_id (no broadcast hint — neither
+      // side is small at scale; AQE may still pick one at toy SF)
+      val lang = Tables(s, dir, "documents").select("doc_id", "lang")
+      perDoc.join(lang, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(avg(col("n_dup").cast("double") / col("n_spans")) * 10000
+            + lit(0.5)) / 10000).as("avg_dup_ratio"),
+          count(when(col("n_dup") * 2 >= col("n_spans"), 1)).as("n_mostly_dup"))
+        .orderBy("lang")
+    },
+
     // ---- q39: embedding-cosine near-dup (label-blocked exact) ----
     // The embedding-space dedup modality: exact pairwise cosine over
     // a BLOCKED pair space (equi-join on the blocking key `label`,

@@ -318,6 +318,43 @@ object TextOps {
         .orderBy("lang", "split")
     },
 
+    // ---- dataset-mixture sampling (per-source keep rates) --------
+    // Training-mix construction: every source gets a deterministic
+    // keep-rate (here a 4-level config derived from the source id:
+    // 100%/50%/25%/12.5%), and the keep decision is a pure per-row
+    // hash predicate — the q49 technique: first md5 byte of doc_id
+    // (0..255) under the source's threshold. ZERO shuffle before the
+    // final per-source rollup, no state, and the kept set is
+    // identical on any cluster size, retry, or partial re-run —
+    // exactly what a reproducible 100 TB mixture needs.
+    QueryDef(
+      "q59_source_mixing",
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(substring(source, 4) AS INTEGER) % 4 AS bucket,
+        |    (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS h,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM d
+        |WHERE h < CASE bucket WHEN 0 THEN 256 WHEN 1 THEN 128
+        |                      WHEN 2 THEN 64 ELSE 32 END
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val hex = md5(col("doc_id").cast("string"))
+      val h = conv(substring(hex, 1, 1), 16, 10).cast("int") * 16 +
+        conv(substring(hex, 2, 1), 16, 10).cast("int")
+      val bucket = substring(col("source"), 4, 10).cast("int") % 4
+      val thresh = when(bucket === 0, 256).when(bucket === 1, 128)
+        .when(bucket === 2, 64).otherwise(32)
+      docs(s, dir)
+        .filter(h < thresh)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("n_tokens"))
+        .orderBy("source")
+    },
+
     // ---- per-language vocabulary top-k ---------------------------
     // Exact heavy-hitters via two-phase count + per-group window —
     // fine whenever vocab cardinality ≪ corpus size (tokens follow
