@@ -238,11 +238,15 @@ object DedupOps {
         .agg(count(lit(1)).as("n_common"))
       val jac = col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common"))
+      // meta is one narrow row per DOCUMENT — corpus-row-count-sized,
+      // so no broadcast hint (a forced broadcast of a 10^9-doc frame
+      // is an OOM, the exact failure hints are meant to prevent).
+      // Plain equi-joins on doc id; AQE still broadcasts at toy SF.
       val scored = inter
-        .join(broadcast(meta.select(col("doc_id").as("doc_a"),
-          col("lang").as("la"), col("n_chars").as("ca"))), Seq("doc_a"))
-        .join(broadcast(meta.select(col("doc_id").as("doc_b"),
-          col("lang").as("lb"), col("n_chars").as("cb"))), Seq("doc_b"))
+        .join(meta.select(col("doc_id").as("doc_a"),
+          col("lang").as("la"), col("n_chars").as("ca")), Seq("doc_a"))
+        .join(meta.select(col("doc_id").as("doc_b"),
+          col("lang").as("lb"), col("n_chars").as("cb")), Seq("doc_b"))
         .filter(col("la") === col("lb") && abs(col("ca") - col("cb")) <= 30)
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))

@@ -112,6 +112,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("q59 mixture sampling is a per-row filter with only rollup + sort shuffles") {
+    val p = plan("q59_source_mixing")
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected agg + presentation-sort shuffles only, got $shuffles:\n$p")
+    assert(p.contains("partial_count"), s"rollup lacks map-side partial:\n$p")
+  }
+
+  test("q60 dup-span ratio never builds a pair join") {
+    val p = plan("q60_dup_span_ratio")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"duplicated-span analysis must stay linear in shingles:\n$p")
+  }
+
   test("q20 ETL projection reads only mapped columns") {
     val p = plan("q20_metadata_projection")
     val read = p.linesIterator.find(_.contains("ReadSchema")).toSeq.mkString
