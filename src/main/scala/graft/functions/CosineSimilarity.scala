@@ -81,9 +81,14 @@ object GraftFunctions {
   /** Register graft's native functions for SQL/expr() use. Idempotent;
     * call once per session.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_collect",
+      exprs => TopKCollect.fromExprs(exprs),
+      "scala_udf")
+  }
 }

@@ -1,87 +1,140 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import graft.etl.ConfigurationException
 
-/** Scored candidate for bounded top-k. Rank order is
-  * (score DESC, id ASC) — the same total order as
-  * `row_number() OVER (ORDER BY score DESC, id)`.
+/** Bounded top-k state: parallel arrays kept sorted best-first by
+  * (score DESC, id ASC). k is small (an ANN result size), so linear
+  * insertion beats a heap, and the common case — a row that doesn't
+  * beat the current k-th — is a single comparison, no allocation.
   */
-final case class Scored(score: Double, id: Long)
+final class TopKBuffer(val k: Int) {
+  var n = 0
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
 
-/** Top-k rows wrapper (gives the Aggregator a Product output type so
-  * the result encodes as a struct<items: array<struct<score,id>>>).
-  */
-final case class TopKResult(items: Seq[Scored])
+  /** true when (s1,id1) ranks strictly before (s2,id2) */
+  @inline private def before(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && id1 < id2)
+
+  def insert(s: Double, id: Long): Unit = {
+    if (n >= k && !before(s, id, scores(n - 1), ids(n - 1))) return
+    var i = if (n < k) n else n - 1 // position that will be vacated
+    while (i > 0 && before(s, id, scores(i - 1), ids(i - 1))) {
+      scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    scores(i) = s; ids(i) = id
+    if (n < k) n += 1
+  }
+
+  def mergeIn(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
 
 /** Bounded top-k aggregate — the scale-safe replacement for
   * `row_number() OVER (PARTITION BY g ORDER BY score DESC) <= k`.
   *
   * The window form shuffles EVERY scored row to the single reducer
-  * owning its partition key — with few groups (e.g. a handful of ANN
-  * query ids over a 100 TB corpus) that is a by-construction skewed
-  * full shuffle. This Aggregator is partial-merge-able: each map task
-  * reduces its slice of a group to at most k entries (a bounded
-  * insertion buffer; k is small so linear insert beats a heap), and
-  * only k·num_partitions tiny (double, long) structs per group cross
-  * the wire before the final merge. Shuffle volume is O(k·P·groups)
+  * owning its partition key — with few groups (a handful of ANN query
+  * ids over a 100 TB corpus) that is a by-construction skewed full
+  * shuffle. This aggregate is partial-merge-able: each map task
+  * reduces its slice of a group to at most k entries, and only
+  * k·num_partitions (double, long) pairs per group cross the wire
+  * before the final merge — O(k·partitions·groups) shuffle volume
   * instead of O(n).
   *
-  * Spark runs it as an ObjectHashAggregate: the buffer stays a live
-  * object map-side and is kryo-serialized only at the partial/final
-  * boundary.
+  * Implemented as a native `TypedImperativeAggregate` (the repo's
+  * tier-(b) preference, like [[CosineSimilarity]]): `update` reads
+  * the input row directly — no per-row encoder round-trip through a
+  * case class, which an `Aggregator`-via-`udaf` pays — and the
+  * partial buffer serializes as 4 + 16·n bytes. Runs inside
+  * ObjectHashAggregate with map-side partials.
+  *
+  * SQL: `topk_collect(score, id, k)` → `array<struct<score, id>>`
+  * sorted best-first (score DESC, id ASC) — position = rank - 1.
   */
-final class TopKAgg(k: Int) extends Aggregator[Scored, Array[Scored], TopKResult] {
+case class TopKCollect(
+    scoreChild: Expression,
+    idChild: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
 
-  /** true when a ranks strictly before b */
-  private def before(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  override def children: Seq[Expression] = Seq(scoreChild, idChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "topk_collect"
 
-  def zero: Array[Scored] = Array.empty
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
-  /** Insert keeping the buffer sorted best-first, capped at k. */
-  def reduce(buf: Array[Scored], in: Scored): Array[Scored] = {
-    if (buf.length >= k && !before(in, buf(buf.length - 1))) return buf
-    val n = math.min(buf.length + 1, k)
-    val out = new Array[Scored](n)
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreChild.eval(input)
+    val id = idChild.eval(input)
+    if (s != null && id != null)
+      buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    a.mergeIn(b); a
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(Array.tabulate[Any](buf.n)(i =>
+      InternalRow(buf.scores(i), buf.ids(i))))
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
     var i = 0
-    while (i < buf.length && before(buf(i), in)) { out(i) = buf(i); i += 1 }
-    if (i < n) out(i) = in
-    var j = i + 1
-    while (j < n) { out(j) = buf(j - 1); j += 1 }
-    out
+    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
   }
 
-  /** Merge two sorted buffers, keeping the best k. */
-  def merge(a: Array[Scored], b: Array[Scored]): Array[Scored] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
-    val n = math.min(a.length + b.length, k)
-    val out = new Array[Scored](n)
-    var i = 0; var j = 0; var o = 0
-    while (o < n) {
-      out(o) =
-        if (j >= b.length || (i < a.length && before(a(i), b(j)))) { i += 1; a(i - 1) }
-        else { j += 1; b(j - 1) }
-      o += 1
-    }
-    out
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    buf.n = n
+    var i = 0
+    while (i < n) { buf.scores(i) = bb.getDouble; buf.ids(i) = bb.getLong; i += 1 }
+    buf
   }
 
-  def finish(buf: Array[Scored]): TopKResult = TopKResult(buf.toSeq)
-
-  def bufferEncoder: Encoder[Array[Scored]] = Encoders.kryo[Array[Scored]]
-  def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKCollect =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKCollect =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKCollect =
+    copy(scoreChild = newChildren(0), idChild = newChildren(1))
 }
 
-object TopKAgg {
-  /** `topK(5)(col("cosine"), col("cand_id"))` → struct with `items:
-    * array<struct<score,id>>` sorted (score DESC, id ASC); pair with
-    * `posexplode(...items)` for 1-based ranks via pos + 1.
+object TopKCollect {
+  /** Builder for function-registry registration: k must be a literal
+    * (it sizes the aggregation buffer at plan time).
     */
-  def topK(k: Int): (Column, Column) => Column = {
-    val fn = udaf(new TopKAgg(k))
-    (score, id) => fn(score, id)
+  def fromExprs(exprs: Seq[Expression]): TopKCollect = {
+    if (exprs.length != 3)
+      throw new ConfigurationException("topk_collect(score, id, k) takes 3 args")
+    val k = exprs(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case other =>
+        throw new ConfigurationException(
+          s"topk_collect k must be an integer literal, got $other")
+    }
+    TopKCollect(exprs(0), exprs(1), k)
   }
 }

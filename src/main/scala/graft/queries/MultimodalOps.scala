@@ -55,7 +55,7 @@ object MultimodalOps {
     // float32, so the oracle reproduces each element as
     // CAST(<double expr> AS REAL) — the same literal-arithmetic trick
     // q50/q53 use for metadata. The final top-k is the bounded-heap
-    // partial aggregate (TopKAgg), not a per-query window funnel.
+    // partial aggregate (topk_collect), not a per-query window funnel.
     {
       val featDim = 8
       val hexDigit = (p: Int) =>
@@ -94,13 +94,12 @@ object MultimodalOps {
           .select(col("media_id").as("query_id"), col("e").as("qe"))
         val c = feats.filter(col("media_id") >= 5)
           .select(col("media_id").as("cand_id"), col("e").as("ce"))
-        val topK3 = graft.functions.TopKAgg.topK(3)
         c.crossJoin(broadcast(q))
           .select(col("query_id"), col("cand_id"),
             expr("cosine_sim(qe, ce)").as("cosine"))
           .groupBy("query_id")
-          .agg(topK3(col("cosine"), col("cand_id")).as("top"))
-          .select(col("query_id"), posexplode(col("top.items")))
+          .agg(expr("topk_collect(cosine, cand_id, 3)").as("top"))
+          .select(col("query_id"), posexplode(col("top")))
           .select(col("query_id"), col("col.id").as("cand_id"),
             round(col("col.score"), 4).as("cosine"),
             (col("pos") + 1).cast("long").as("rnk"))

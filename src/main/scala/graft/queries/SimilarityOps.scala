@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.TopKAgg
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,9 +17,10 @@ import org.apache.spark.sql.functions._
   * Top-k reductions here NEVER use `row_number() OVER (PARTITION BY
   * query_id)`: with a handful of queries that window is a
   * by-construction skewed full shuffle — every scored row funnels into
-  * one reducer per query. The bounded-heap [[graft.functions.TopKAgg]]
-  * partial aggregate replaces it: map tasks emit at most k rows per
-  * query, so only O(k·partitions·queries) tiny structs cross the wire.
+  * one reducer per query. The bounded-heap native
+  * [[graft.functions.TopKCollect]] partial aggregate replaces it: map
+  * tasks emit at most k rows per query, so only
+  * O(k·partitions·queries) tiny structs cross the wire.
   */
 object SimilarityOps {
 
@@ -35,15 +35,18 @@ object SimilarityOps {
   private def normExpr(c: String) =
     s"sqrt(aggregate(transform($c, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
 
-  private val topK5 = TopKAgg.topK(5)
+  /** The bounded-heap top-k reduction (native `topk_collect`
+    * aggregate, graft.functions.TopKCollect).
+    */
+  private val topK5 = expr("topk_collect(cosine, cand_id, 5)")
 
-  /** Unnest a TopKAgg result into (query_id, cand_id, cosine, rnk)
-    * rows — rank is the 1-based position in the (score DESC, id ASC)
-    * sorted array, i.e. exactly `row_number()` semantics.
+  /** Unnest a `topk_collect` result into (query_id, cand_id, cosine,
+    * rnk) rows — rank is the 1-based position in the (score DESC,
+    * id ASC) sorted array, i.e. exactly `row_number()` semantics.
     */
   private def explodeTopK(grouped: DataFrame): DataFrame =
     grouped
-      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("cand_id"),
         round(col("col.score"), 4).as("cosine"),
         (col("pos") + 1).cast("long").as("rnk"))
@@ -327,7 +330,7 @@ object SimilarityOps {
         .select(col("query_id"), col("cand_id"),
           expr("cosine_sim(qe, ce)").as("cosine"))
       explodeTopK(scored.groupBy("query_id")
-        .agg(topK5(col("cosine"), col("cand_id")).as("top")))
+        .agg(topK5.as("top")))
     },
 
     // ---- q41: per-label norm statistics --------------------------
@@ -399,7 +402,7 @@ object SimilarityOps {
         .select(col("query_id"), col("cand_id"),
           expr("cosine_sim(qe, ce)").as("cosine"))
       explodeTopK(scored.groupBy("query_id")
-        .agg(topK5(col("cosine"), col("cand_id")).as("top")))
+        .agg(topK5.as("top")))
     },
 
     // ---- q44: IVF-style ANN (coarse quantize → probe cells) ------
@@ -468,7 +471,7 @@ object SimilarityOps {
         .select(col("query_id"), col("cand_id"),
           expr("cosine_sim(qe, ce)").as("cosine"))
       explodeTopK(scored.groupBy("query_id")
-        .agg(topK5(col("cosine"), col("cand_id")).as("top")))
+        .agg(topK5.as("top")))
     },
 
     // ---- q43: centroid distance per label (embedding analytics) --

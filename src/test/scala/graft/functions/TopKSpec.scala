@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Buffer-level semantics of the native bounded top-k aggregate:
+  * insertion order, tie-breaks, merge associativity, and the
+  * serialize/deserialize round-trip that carries partials across the
+  * shuffle.
+  */
+class TopKSpec extends AnyFunSuite {
+
+  private def drain(b: TopKBuffer): Seq[(Double, Long)] =
+    (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+
+  test("insert keeps (score DESC, id ASC) order and caps at k") {
+    val b = new TopKBuffer(3)
+    Seq((0.5, 1L), (0.9, 2L), (0.1, 3L), (0.9, 0L), (0.7, 4L))
+      .foreach { case (s, id) => b.insert(s, id) }
+    // 0.9 tie → smaller id first; 0.1 fell off the end
+    assert(drain(b) == Seq((0.9, 0L), (0.9, 2L), (0.7, 4L)))
+  }
+
+  test("worse-than-last inserts into a full buffer are no-ops") {
+    val b = new TopKBuffer(2)
+    b.insert(0.9, 1L); b.insert(0.8, 2L)
+    b.insert(0.7, 3L) // below the current k-th
+    b.insert(0.8, 5L) // ties the k-th with a LARGER id → also out
+    assert(drain(b) == Seq((0.9, 1L), (0.8, 2L)))
+  }
+
+  test("merge equals inserting both streams into one buffer") {
+    val items = (0 until 40).map(i => ((i * 37 % 19) / 10.0, i.toLong))
+    val (l, r) = items.splitAt(17)
+    val whole = new TopKBuffer(5)
+    items.foreach { case (s, id) => whole.insert(s, id) }
+    val a = new TopKBuffer(5); l.foreach { case (s, id) => a.insert(s, id) }
+    val b = new TopKBuffer(5); r.foreach { case (s, id) => b.insert(s, id) }
+    a.mergeIn(b)
+    assert(drain(a) == drain(whole))
+  }
+
+  test("serialize/deserialize round-trips the partial buffer") {
+    val agg = TopKCollect(
+      BoundReference(0, DoubleType, nullable = false),
+      BoundReference(1, LongType, nullable = false), 4)
+    val b = new TopKBuffer(4)
+    Seq((0.3, 9L), (0.8, 1L), (0.5, 7L)).foreach { case (s, id) => b.insert(s, id) }
+    val back = agg.deserialize(agg.serialize(b))
+    assert(drain(back) == drain(b) && back.k == 4)
+  }
+}

@@ -64,13 +64,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("ANN top-k is a partial-merge-able bounded heap, never a per-query window funnel") {
     // `row_number() OVER (PARTITION BY query_id)` would shuffle the
     // ENTIRE scored corpus onto one reducer per query — the named
-    // scale-killer. The plan must show TopKAgg with a map-side
+    // scale-killer. The plan must show topk_collect with a map-side
     // partial before the exchange, and no Window node anywhere.
     for (q <- Seq("q40_cosine_topk", "q42_lsh_ann", "q44_ivf_ann",
         "q51_media_feature_knn")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q ranks through a window funnel:\n$p")
-      assert(p.contains("partial_topkagg"),
+      assert(p.contains("partial_topk_collect"),
         s"$q top-k is not a map-side partial aggregate:\n$p")
     }
   }
