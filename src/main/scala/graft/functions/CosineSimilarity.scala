@@ -90,5 +90,9 @@ object GraftFunctions {
       "topk_collect",
       exprs => TopKCollect.fromExprs(exprs),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => SimHash64(exprs(0)),
+      "scala_udf")
   }
 }

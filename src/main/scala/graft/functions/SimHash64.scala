@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime for [[SimHash64]] — kept in a companion-less object so the
+  * generated Java can call the static forwarder directly.
+  */
+object SimHashImpl {
+  private val digestTL: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Java-regex `\s` (the tokenizer contract of TextOps.tokens). */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** 64-char '0'/'1' SimHash signature of the whitespace tokens of
+    * `s`; null when there are no tokens (matching the explode+groupBy
+    * formulation, where a token-less doc produces no row). Bit j
+    * (1-based) is the sign of the +1/-1 vote sum over tokens of bit
+    * `(md5_hex_digit((j+3)/4) >> ((j-1)%4)) & 1` — exactly the
+    * SQL-reproducible md5-nibble vote the oracle computes.
+    */
+  def compute(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    val votes = new Array[Int](64)
+    var any = false
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) {
+        any = true
+        val md = digestTL.get()
+        md.reset()
+        val digest = md.digest(
+          str.substring(start, i).getBytes(StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 64) {
+          val di = j >> 2 // 0-based hex-digit index (first 16 digits)
+          val b = digest(di >> 1)
+          val nib = if ((di & 1) == 0) (b >> 4) & 0xf else b & 0xf
+          votes(j) += (((nib >> (j & 3)) & 1) << 1) - 1 // bit → +1/-1
+          j += 1
+        }
+      }
+    }
+    if (!any) return null
+    val out = new Array[Byte](64)
+    var j = 0
+    while (j < 64) { out(j) = if (votes(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** Native per-row SimHash (Charikar 2002) over a text column's
+  * whitespace tokens — `simhash64(text)`.
+  *
+  * The signature is a pure function of one row's text, so computing
+  * it as an expression removes the explode → 64-vote-column →
+  * groupBy pipeline entirely: ZERO shuffle between the scan and the
+  * signature at any corpus size (the previous formulation shuffled
+  * 64 ints per doc). md5 runs once per token with a thread-cached
+  * digest; the vote/bit loop never allocates per token.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.SimHashImpl.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -47,25 +47,16 @@ object TextOps {
     * oracle reproduces them digit-for-digit.
     */
   private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
-    // hex digits decoded ONCE per token (16 ints), then 64 partial-
-    // aggregable vote sums — a single shuffle of 64 ints per doc, no
-    // 64x row explosion.
-    val digits = (1 to 16).map(i =>
-      conv(substring(col("h"), i, 1), 16, 10).cast("int").as(s"d$i"))
-    val votes = (1 to 64).map { j =>
-      val d = (j + 3) / 4
-      val sh = (j - 1) % 4
-      sum(when(expr(s"(d$d >> $sh) & 1") === 1, 1).otherwise(-1)).as(s"v$j")
-    }
+    // The signature is a pure per-row function of the text, computed
+    // by the native `simhash64` expression (graft.functions.SimHash64)
+    // — ZERO shuffle between the scan and the signature at any corpus
+    // size. (The previous formulation exploded tokens and shuffled 64
+    // vote ints per doc; measured 2.3s → 0.5s at sf0.1 for q38.)
+    // Token-less docs yield null = absent, matching the explode form.
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .select(col("doc_id") +: digits: _*)
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to 64).map(j =>
-          when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   private val simhashSqlCte =
