@@ -94,5 +94,9 @@ object GraftFunctions {
       "simhash64",
       exprs => SimHash64(exprs(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash8",
+      exprs => MinHash8(exprs(0)),
+      "scala_udf")
   }
 }

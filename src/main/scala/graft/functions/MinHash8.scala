@@ -1,0 +1,137 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime for [[MinHash8]] — companion-less object so generated Java
+  * calls the static forwarder directly.
+  */
+object MinHashImpl {
+  val NumHashes = 8
+
+  private val digestTL: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** unsigned lexicographic byte compare — the same order as
+    * comparing the lowercase hex renderings of the digests.
+    */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexChars = "0123456789abcdef".getBytes
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** MinHash signature of the DISTINCT 3-token shingles of `s`:
+    * h_i = min over shingles g of md5("<i>" || g) (hex order), plus
+    * the distinct-shingle count — exactly the oracle's
+    * `min(md5('i' || g)) … count(*)` per doc. Null when the text has
+    * fewer than 3 tokens (no shingles), matching the explode+groupBy
+    * formulation where such docs produce no row.
+    */
+  def compute(s: UTF8String): InternalRow = {
+    if (s == null) return null
+    val str = s.toString
+    // tokenize (Java-regex \s contract, like TextOps.tokens)
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks += str.substring(start, i)
+    }
+    if (toks.length < 3) return null
+    val seen = new java.util.HashSet[String]()
+    val mins = new Array[Array[Byte]](NumHashes)
+    val md = digestTL.get()
+    var t = 0
+    while (t < toks.length - 2) {
+      val g = toks(t) + " " + toks(t + 1) + " " + toks(t + 2)
+      if (seen.add(g)) {
+        val gBytes = g.getBytes(StandardCharsets.UTF_8)
+        var h = 0
+        while (h < NumHashes) {
+          md.reset()
+          md.update(('0' + h).toByte) // the "<i>" prefix, i in 0..7
+          md.update(gBytes)
+          val d = md.digest()
+          if (mins(h) == null || less(d, mins(h))) mins(h) = d
+          h += 1
+        }
+      }
+      t += 1
+    }
+    val vals = new Array[Any](NumHashes + 1)
+    var h = 0
+    while (h < NumHashes) { vals(h) = hex(mins(h)); h += 1 }
+    vals(NumHashes) = seen.size.toLong
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+/** Native per-row MinHash — `minhash8(text)` →
+  * `struct<h0..h7: string, n: bigint>`.
+  *
+  * The signature (and the distinct-shingle count) is a pure function
+  * of one row's text, so computing it as an expression removes the
+  * explode → distinct → 8×min-md5 groupBy pipeline: ZERO shuffle
+  * between the scan and the signature at any corpus size. The md5
+  * work per distinct shingle is identical to the aggregate form; the
+  * shingle dedup happens in a per-row hash set instead of a
+  * corpus-wide distinct shuffle.
+  */
+case class MinHash8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash8 expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(
+    (0 until MinHashImpl.NumHashes).map(i =>
+      StructField(s"h$i", StringType, nullable = false)) :+
+      StructField("n", LongType, nullable = false))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash8"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinHashImpl.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash8 =
+    copy(child = newChild)
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native per-row signature expressions (simhash64, minhash8)
+  * must be bit-identical to the explode+groupBy DataFrame
+  * formulations they replaced — including tokenizer edge cases the
+  * synthetic corpus never exercises (tabs/newlines/multi-space,
+  * leading whitespace, <3 tokens, repeated shingles).
+  */
+class TextSignatureSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private val texts = Seq(
+    1L -> "key agg row scan slow fast",
+    2L -> "a  b\tc\nd   e", // mixed whitespace runs
+    3L -> "  leading and trailing  ",
+    4L -> "one two", // < 3 tokens → no shingles/absent
+    5L -> "x x x x x x", // repeated tokens → duplicate shingles
+    6L -> "solo") // 1 token: simhash yes, minhash no
+
+  private def docs = {
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+  }
+
+  test("simhash64 equals the explode + 64-vote-sum formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val native = docs
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val toks = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    val digits = (1 to 16).map(i =>
+      conv(substring(col("h"), i, 1), 16, 10).cast("int").as(s"d$i"))
+    val votes = (1 to 64).map { j =>
+      val d = (j + 3) / 4
+      val sh = (j - 1) % 4
+      sum(when(expr(s"(d$d >> $sh) & 1") === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val reference = docs
+      .select(col("doc_id"), explode(toks).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(col("doc_id") +: digits: _*)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat((1 to 64).map(j =>
+        when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    assert(native == reference)
+    assert(!native.contains(4L) || reference.contains(4L)) // same absentees
+  }
+
+  test("minhash8 equals the explode + distinct + min-md5 formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val native = docs
+      .select(col("doc_id"), expr("minhash8(text)").as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id"), col("m.h0"), col("m.h3"), col("m.h7"), col("m.n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+
+    val toks = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+    val sh = docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+      .select(col("doc_id"), concat(
+        element_at(col("t"), col("i")), lit(" "),
+        element_at(col("t"), col("i") + 1), lit(" "),
+        element_at(col("t"), col("i") + 2)).as("g"))
+      .distinct()
+    val reference = sh.groupBy("doc_id")
+      .agg(min(md5(concat(lit("0"), col("g")))).as("h0"),
+        min(md5(concat(lit("3"), col("g")))).as("h3"),
+        min(md5(concat(lit("7"), col("g")))).as("h7"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+
+    assert(native == reference)
+    assert(!native.contains(4L) && !native.contains(6L)) // <3 tokens absent
+  }
+}
