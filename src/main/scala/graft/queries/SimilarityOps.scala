@@ -257,6 +257,37 @@ object SimilarityOps {
       s"named_struct('nsim', -cosine_sim($v, c.cent), 'cell_id', c.cell_id)))" +
       s", 1, $nprobe)")
 
+  /** IVF ANN search as a reusable operator (what q44 runs): per-row
+    * cell assignment against the literal codebook (zero shuffle, zero
+    * inflation — [[nearestCell]]), the query probes its `nprobe`
+    * nearest cells, exact cosine only within probed cells, and a
+    * bounded-heap `topk_collect` final rank. `corpus` = (cand_id,
+    * ce: array<double>); `queries` = (query_id, qe) — the query side
+    * is assumed small and is broadcast. Returns (query_id, cand_id,
+    * cosine, rnk), best-first.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame,
+      codebook: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val assigned = corpus
+      .withColumn("cb", codebookLit(codebook))
+      .select(col("cand_id"), col("ce"), nearestCell("ce", "cb").as("cell_id"))
+    val probes = queries
+      .withColumn("cb", codebookLit(codebook))
+      .select(col("query_id"), col("qe"),
+        explode(nearestCells("qe", "cb", nprobe)).as("pc"))
+      .select(col("query_id"), col("qe"), col("pc.cell_id").as("cell_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("cosine_sim(qe, ce)").as("cosine"))
+    scored.groupBy("query_id")
+      .agg(expr(s"topk_collect(cosine, cand_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("cand_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** One Lloyd iteration of k-means in pure DataFrame ops: the
     * codebook travels as a literal column, each vector computes its
     * nearest centroid PER ROW ([[nearestCell]] — no join, no window,
@@ -450,28 +481,19 @@ object SimilarityOps {
         |SELECT query_id, cand_id, round(cosine, 4) AS cosine,
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val nprobe = 2
+      // the reusable [[ivfSearch]] operator: per-row assignment, no
+      // Exchange between the corpus scan and the cell id
+      // (PlanAuditSpec asserts it)
       val e = emb(s, dir)
-      // assignment: one corpus scan, nearest cell computed per row
-      // against the literal codebook — no Exchange anywhere between
-      // the scan and the cell id (PlanAuditSpec asserts it)
-      val assigned = e.filter(col("vec_id") >= 5)
-        .withColumn("cb", codebookLit(Ivf.codebook))
-        .select(col("vec_id").as("cand_id"), col("e").as("ce"),
-          nearestCell("e", "cb").as("cell_id"))
-      // each query probes its nprobe nearest cells (5 rows → 10)
-      val probes = e.filter(col("vec_id") < 5)
-        .withColumn("cb", codebookLit(Ivf.codebook))
-        .select(col("vec_id").as("query_id"), col("e").as("qe"),
-          explode(nearestCells("e", "cb", nprobe)).as("pc"))
-        .select(col("query_id"), col("qe"), col("pc.cell_id").as("cell_id"))
-      // search only the probed cells; bounded-heap top-k, no window
-      val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      ivfSearch(
+        e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("e").as("ce")),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("e").as("qe")),
+        Ivf.codebook, nprobe = 2, k = 5)
         .select(col("query_id"), col("cand_id"),
-          expr("cosine_sim(qe, ce)").as("cosine"))
-      explodeTopK(scored.groupBy("query_id")
-        .agg(topK5.as("top")))
+          round(col("cosine"), 4).as("cosine"), col("rnk"))
+        .orderBy("query_id", "rnk")
     },
 
     // ---- q43: centroid distance per label (embedding analytics) --

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end quality check for the IVF ANN operator: on a corpus
+  * with real cluster structure, a fitted codebook + cell probing must
+  * recover the exact top-k. (On the uniform-random synthetic
+  * embeddings recall is inherently low for ANY partition-based ANN —
+  * there is no neighborhood structure to exploit — so the quality
+  * bar is asserted here, on planted clusters, while correctness of
+  * the dataflow is asserted by the q44 oracle.)
+  */
+class AnnRecallSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private val dim = 8
+  private val perCluster = 30
+
+  /** deterministic point near axis 2c, jitter keyed by i */
+  private def point(c: Int, i: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      (if (d == 2 * c) 1.0 else 0.0) + ((i * 7 + d * 3) % 10) / 100.0
+    }
+
+  test("ivfSearch recalls the exact top-5 on a clustered corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    val corpusRows = for (c <- 0 until 3; i <- 0 until perCluster)
+      yield (c * 100L + i, point(c, i))
+    val queryRows = (0 until 3).map(c => (1000L + c, point(c, 71)))
+
+    val corpus = corpusRows.toDF("cand_id", "ce")
+    val queries = queryRows.toDF("query_id", "qe")
+
+    // fit the codebook from deliberately-offset seeds — the Lloyd
+    // iterations must pull them onto the true clusters
+    val seeds = (0 until 3).map(c => c -> (0 until dim)
+      .map(d => if (d == 2 * c) 0.6 else 0.1))
+    val fitted = SimilarityOps.kmeansFit(
+      corpus.select($"cand_id".as("vec_id"), $"ce".as("e")), seeds, iters = 3)
+
+    val got = SimilarityOps
+      .ivfSearch(corpus, queries, fitted, nprobe = 1, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // exact top-5 per query, computed driver-side (tiny corpus)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = queryRows.map { case (qid, qv) =>
+      qid -> corpusRows.map { case (cid, cv) => (cos(qv, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(5).map(_._2).toSet
+    }.toMap
+
+    for ((qid, ex) <- exact) {
+      val hits = (got.getOrElse(qid, Set.empty) & ex).size
+      assert(hits == 5, s"query $qid recall ${hits / 5.0}: got ${got.get(qid)}, exact $ex")
+    }
+  }
+}
