@@ -103,6 +103,31 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
 
+  /** Streaming NEAR-dup suppression for a document stream
+    * (`doc_id, text, ts`): drop any document whose 64-bit SimHash
+    * signature ([[graft.functions.SimHash64]] — computed per-row in
+    * the scan, no shuffle) already landed inside the watermark
+    * horizon. Signature equality is the hamming-0 case of q46's
+    * banded pairing and catches reformatted copies exact-text dedup
+    * misses (whitespace/layout changes that preserve the token
+    * stream). It is the streaming-state-safe form: full hamming<=r
+    * pairing needs a band self-join (batch q46) — pair state in a
+    * stream would grow quadratically — while signature-keyed state is
+    * one row per distinct signature per horizon, watermark-evicted.
+    * Token-less docs get a per-doc sentinel key, so they pass through
+    * rather than deduping against each other.
+    */
+  def nearDupDedupStream(docs: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("sig",
+        coalesce(expr("simhash64(text)"),
+          concat(lit("nosig:"), col("doc_id"))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("sig")
+      .drop("sig")
+  }
+
   /** Stream-stream interval join: match each `click` to the same
     * user's `view` that happened within `horizonMin` minutes BEFORE
     * it (attribution). Both sides carry watermarks and the join

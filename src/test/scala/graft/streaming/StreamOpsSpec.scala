@@ -86,6 +86,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.table("deduped").count() == 2)
   }
 
+  test("streaming near-dup dedup drops same-signature docs, keeps token-less ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(
+      (1L, "quick brown fox jumps", ts(1)),
+      // same token stream, different layout → same signature, NOT an
+      // exact-text duplicate; must be suppressed
+      (2L, "quick  brown\tfox   jumps", ts(2)),
+      (3L, "totally different document text", ts(3)),
+      (4L, "   ", ts(4)), // token-less → sentinel key, kept
+      (5L, "", ts(5))) // token-less too — must NOT dedup against 4
+    val q = nearDupDedupStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("near_deduped").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("near_deduped").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L), kept.toString)
+  }
+
   test("stream-stream interval join attributes clicks to prior views") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
