@@ -16,18 +16,50 @@ import graft.pipeline._
   */
 object PipelineDemo {
 
-  import PType._
+  /** Compiled descriptor-set bytes for the demo schema — the same
+    * byte layout `protoc --descriptor_set_out` emits; built with the
+    * wire codec so the demo exercises the REAL schema-ingestion path:
+    * descriptor-set bytes → [[DescriptorSetLoader]] → auto-generated
+    * column mapping ([[ColumnMapping.generate]]), no hand-built
+    * descriptor anywhere.
+    */
+  val descriptorSet: Array[Byte] = Wire.message { w =>
+    w.message(1, f => { // FileDescriptorProto
+      f.string(1, "order_event.proto").string(2, "demo")
+      f.message(4, m => { // message OrderEvent
+        def field(name: String, num: Int, tpe: Int, typeName: String = null,
+            repeated: Boolean = false): Unit = {
+          m.message(2, fd => {
+            fd.string(1, name).int(3, num.toLong)
+              .int(4, if (repeated) 3L else 1L).int(5, tpe.toLong)
+            if (typeName != null) fd.string(6, typeName)
+            ()
+          })
+          ()
+        }
+        m.string(1, "OrderEvent")
+        field("order_number", 1, 9) // string
+        field("status", 2, 14, ".demo.Status") // enum
+        field("amount", 3, 1) // double
+        field("created_at", 4, 11, ".google.protobuf.Timestamp")
+        field("items", 5, 9, repeated = true)
+        ()
+      })
+      f.message(5, e => { // enum Status
+        e.string(1, "Status")
+        Seq("CREATED" -> 0, "COMPLETED" -> 1, "CANCELLED" -> 2).foreach {
+          case (n, v) => e.message(2, ev => { ev.string(1, n).int(2, v.toLong); () })
+        }
+        ()
+      })
+      ()
+    })
+    ()
+  }
 
-  val orderEvent: PMessage = PMessage("OrderEvent", Seq(
-    PField(1, "order_number", PString),
-    PField(2, "status", PEnum(Map(0 -> "CREATED", 1 -> "COMPLETED", 2 -> "CANCELLED"))),
-    PField(3, "amount", PDouble),
-    PField(4, "created_at", PTimestamp),
-    PField(5, "items", PString, repeated = true)))
-
-  val mapping: ColumnMapping = ColumnMapping.rename(
-    1 -> "order_number", 2 -> "status", 3 -> "amount",
-    4 -> "created_at", 5 -> "items")
+  val orderEvent: PMessage =
+    DescriptorSetLoader.load(descriptorSet).message("demo.OrderEvent")
+  val mapping: ColumnMapping = ColumnMapping.generate(orderEvent)
 
   def encode(n: Int, status: Int, amount: Double, epoch: Long): Array[Byte] =
     Wire.message { w =>
