@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+import graft.functions.{CosineSimilarity, MinHash8, SimHash64, TopKCollect}
+
+/** Optimizer rule for the brief's named scale-killer: a per-group
+  * top-k written the natural way,
+  *
+  *   SELECT ... row_number() OVER (PARTITION BY g
+  *                                 ORDER BY score DESC, id) AS rnk ...
+  *   WHERE rnk <= k
+  *
+  * plans as a Window that shuffles EVERY row of the scored input onto
+  * one reducer per group — with few groups, a by-construction skewed
+  * full shuffle. When the pattern is recognized (single row_number
+  * window expression; (score DESC, id ASC) ordering over a
+  * double/long attribute pair; the window input carrying nothing but
+  * the grouping keys + score + id; a literal rank bound ≤ [[MaxK]]),
+  * the plan is rewritten to the bounded-heap partial aggregate
+  *
+  *   Aggregate(g, topk_collect(score, id, k)) → posexplode → project
+  *
+  * which shuffles O(k·partitions·groups) entries instead of the whole
+  * input, producing the same rows (same column names, types, and
+  * expression ids — parents resolve unchanged; row order within the
+  * result is unspecified either way). Anything not matching exactly is
+  * left alone.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  /** rank bounds above this keep the Window form (the heap buffer is
+    * per-group-per-task memory).
+    */
+  val MaxK = 1024
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** `rnk <= k` / `rnk < k` / the same through a cast → Some(k). */
+  private def rankBound(e: Expression, rnk: Attribute): Option[Int] = {
+    def isRnk(x: Expression): Boolean = x match {
+      case a: Attribute => a.semanticEquals(rnk)
+      case Cast(a: Attribute, _, _, _) => a.semanticEquals(rnk)
+      case _ => false
+    }
+    def intOf(l: Literal): Option[Int] = l.value match {
+      case i: Int => Some(i)
+      case i: Long if i.isValidInt => Some(i.toInt)
+      case _ => None
+    }
+    e match {
+      case LessThanOrEqual(x, l: Literal) if isRnk(x) => intOf(l)
+      case LessThan(x, l: Literal) if isRnk(x) => intOf(l).map(_ - 1)
+      case GreaterThanOrEqual(l: Literal, x) if isRnk(x) => intOf(l)
+      case GreaterThan(l: Literal, x) if isRnk(x) => intOf(l).map(_ - 1)
+      case _ => None
+    }
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, Window(
+        Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+        parts,
+        Seq(SortOrder(score: Attribute, Descending, _, _),
+            SortOrder(id: Attribute, Ascending, _, _)),
+        child, _)) =>
+      val rnk = alias.toAttribute
+      val (boundConjs, rest) = conjuncts(cond)
+        .partition(c => rankBound(c, rnk).isDefined)
+      val k = boundConjs.flatMap(rankBound(_, rnk))
+        .reduceOption(math.min).getOrElse(0)
+      val partAttrs = parts.collect { case a: Attribute => a }
+      val slimInput = child.output.forall(a =>
+        partAttrs.exists(_.semanticEquals(a)) ||
+          a.semanticEquals(score) || a.semanticEquals(id))
+      val restSafe = rest.forall(!_.references.contains(rnk))
+      if (k <= 0 || k > MaxK || partAttrs.length != parts.length ||
+          score.dataType != DoubleType || id.dataType != LongType ||
+          !slimInput || !restSafe) f
+      else {
+        val topFn = TopKCollect(score, id, k)
+        val top = Alias(AggregateExpression(
+          topFn, Complete, isDistinct = false), "graft_top")()
+        val agg = Aggregate(partAttrs, partAttrs :+ top, child)
+        val elemType = topFn.dataType.asInstanceOf[ArrayType].elementType
+        val pos = AttributeReference("graft_pos", IntegerType, nullable = false)()
+        val item = AttributeReference("graft_item", elemType, nullable = false)()
+        val gen = Generate(PosExplode(top.toAttribute), Nil, outer = false,
+          None, Seq(pos, item), agg)
+        // original output (child cols ++ rnk) under the ORIGINAL
+        // exprIds, so everything above the Filter resolves unchanged
+        val projList: Seq[NamedExpression] = child.output.map { a =>
+          if (a.semanticEquals(score))
+            Alias(GetStructField(item, 0, Some("score")), a.name)(exprId = a.exprId)
+          else if (a.semanticEquals(id))
+            Alias(GetStructField(item, 1, Some("id")), a.name)(exprId = a.exprId)
+          else a
+        } :+ Alias(Add(pos, Literal(1)), rnk.name)(exprId = rnk.exprId)
+        val rebuilt = Project(projList, gen)
+        if (rest.isEmpty) rebuilt else Filter(rest.reduce(And), rebuilt)
+      }
+  }
+}
+
+/** Session extensions entry point:
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) installs the
+  * [[TopKRewrite]] optimizer rule and registers graft's native
+  * functions permanently (no per-query `GraftFunctions.register`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => TopKRewrite)
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("topk_collect"),
+      new ExpressionInfo(classOf[TopKCollect].getName, "topk_collect"),
+      (exprs: Seq[Expression]) => TopKCollect.fromExprs(exprs)))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    e.injectFunction((FunctionIdentifier("minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
+      (exprs: Seq[Expression]) => MinHash8(exprs(0))))
+  }
+}

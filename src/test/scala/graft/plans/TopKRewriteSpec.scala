@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The TopKRewrite optimizer rule (installed via GraftExtensions)
+  * must turn the naive window-rank top-k into the bounded-heap
+  * aggregate — same rows, no Window node — and must leave
+  * non-matching plans alone.
+  */
+class TopKRewriteSpec extends AnyFunSuite {
+
+  /** dedicated session — extensions are fixed at session build time,
+    * so the suite must not reuse another suite's getOrCreate session
+    */
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.clearDefaultSession() // keep other suites' getOrCreate clean
+    SparkSession.clearActiveSession()
+    s
+  }
+
+  private def scored = {
+    import spark.implicits._
+    // 3 groups × 50 candidates, deterministic scores with ties
+    (for (g <- 0 until 3; c <- 0 until 50)
+      yield (g.toLong, (g * 50 + c).toLong, ((c * 17) % 23).toDouble))
+      .toDF("g", "id", "score")
+  }
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  test("window-rank top-k is rewritten to the bounded-heap aggregate") {
+    val df = windowTopK(5)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!optimized.contains("Window"), s"Window survived:\n$optimized")
+    assert(physical.contains("partial_topk_collect"),
+      s"no map-side partial top-k:\n$physical")
+
+    // same rows as the window form computes without the rule
+    val rows = df.orderBy("g", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // expected: per group, scores desc then id asc, top 5
+    val expected = (for (g <- 0L until 3L) yield {
+      (0 until 50).map(c => ((g * 50 + c), ((c * 17) % 23).toDouble))
+        .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, s), i) => (g, id, s, i + 1) }
+    }).flatten
+    assert(rows.toSeq == expected)
+  }
+
+  test("extra carried columns or non-literal bounds keep the Window form") {
+    import spark.implicits._
+    val wide = (0 until 20)
+      .map(i => (i.toLong % 2, i.toLong, i.toDouble, s"payload$i"))
+      .toDF("g", "id", "score", "extra") // `extra` is lost by topk → no rewrite
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val df = wide.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    assert(df.queryExecution.optimizedPlan.toString.contains("Window"))
+    assert(df.select("extra").distinct().count() > 2) // extra survives intact
+
+    val noBound = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") >= 2) // lower bound, not a top-k
+    assert(noBound.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
+  test("residual filter conjuncts are preserved above the rewrite") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val df = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 4 && col("g") < 2)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Window"))
+    val rows = df.collect()
+    assert(rows.length == 8) // 2 groups × 4
+    assert(rows.forall(_.getLong(0) < 2))
+  }
+
+  test("extension-injected functions resolve in SQL without registration") {
+    import spark.implicits._
+    Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ext_docs")
+    val r = spark.sql(
+      "SELECT length(simhash64(text)) AS l, minhash8(text).n AS n FROM ext_docs")
+      .first()
+    assert(r.getInt(0) == 64 && r.getLong(1) == 2L)
+  }
+}
