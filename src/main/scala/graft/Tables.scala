@@ -19,7 +19,10 @@ object Tables {
     */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // graft's Catalyst surface (TopKRewrite rule + native functions)
+    // — the production-default session shape; see graft.plans
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
