@@ -89,6 +89,114 @@ object DedupOps {
       |    min(md5('6' || g)) AS h6, min(md5('7' || g)) AS h7
       |  FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** q36's candidate→verify chain as oracle CTEs (shared by q61). */
+  private val lshPairSqlCtes =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+      |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+      |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.g = sb.g
+      |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+
+  /** The MinHash-LSH near-dup pipeline (what q36 runs), reusable:
+    * per-row `minhash8` signatures (zero shuffle), banded candidates
+    * via equi-join on the xxhash64-folded band key, exact Jaccard
+    * only on candidates, pairs kept at `jac >= minJaccard`. Returns
+    * (doc_a, doc_b, jac — unrounded).
+    *
+    * Measured note (sf0.1, local[32]): persisting `sh`/`sig` here is
+    * a net LOSS — the shingle pipeline is a narrow codegen'd scan
+    * that recomputes faster than MEMORY_AND_DISK serializes. At true
+    * 100 TB the call flips (recompute = re-shuffling a distinct over
+    * the full corpus): persist the two frames, or better, checkpoint
+    * `sig` (tiny, one row/doc) to parquet.
+    */
+  private[queries] def nearDupPairs(s: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
+    val sh = shingles(s, dir)
+    // signature + set size from the native per-row expression — the
+    // exploded `sh` frame is only needed for exact-Jaccard verify
+    graft.functions.GraftFunctions.register(s)
+    val sig = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("minhash8(text)").as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id") +:
+        ((0 until NumHashes).map(i => col(s"m.h$i").as(s"h$i")) :+
+          col("m.n").as("n")): _*)
+    // Bands as rows → candidates via shuffle EQUI-join on the band
+    // hash (the oracle's OR-join is semantically identical but
+    // wouldn't scale; this does). Band hash folded to int64
+    // (xxhash64) — an 8-byte shuffle key instead of 64 hex chars; a
+    // collision could only add a candidate pair, which exact-Jaccard
+    // verification then rejects.
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until NumBands).map(b => struct(lit(b).as("band"),
+        xxhash64(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+    val cand = bands.as("ba").join(bands.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(sig.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(jac >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+  }
+
+  /** Connected components over an undirected edge list (a, b) by
+    * iterative min-label propagation: each round every node takes the
+    * minimum of its own label and its neighbors' labels — one shuffle
+    * join + one partial-aggregable min per round. `iters` must be ≥
+    * the component diameter; near-dup graphs are shallow (dup groups
+    * are near-cliques), and an adversarial long-chain corpus swaps in
+    * the large-star/small-star alternation (same join dataflow,
+    * O(log n) rounds) without changing callers. Returns
+    * (node, cluster_id = min reachable node id).
+    */
+  def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
+    // Iterative dataflow MUST truncate lineage each round: labels_i
+    // references labels_{i-1} twice (own label ∪ neighbor labels), so
+    // an un-truncated plan doubles per round — 2^iters re-evaluations
+    // of the whole upstream pipeline (measured: 251s vs ~4s at sf0.1
+    // for q61), and even with persist() the LOGICAL plan text still
+    // doubles, which wedges every plan-rendering consumer (the SQL
+    // listener renders the full explain string per action — measured
+    // minutes of driver CPU at 8 iterations). localCheckpoint
+    // materializes the step AND replaces its plan with a flat
+    // LogicalRDD. Production note: use reliable checkpoint(dir) when
+    // executor loss matters; the dataflow is identical.
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val viaNbr = und.select(col("a"), col("b").as("node"))
+        .join(labels, Seq("node"))
+        .select(col("a").as("node"), col("lbl"))
+      labels = labels.union(viaNbr).groupBy("node")
+        .agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("cluster_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q35: MinHash signatures ---------------------------------
@@ -120,18 +228,7 @@ object DedupOps {
     QueryDef(
       "q36_lsh_near_dup_pairs",
       s"""WITH $shingleSqlCte,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
-         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.g = sb.g
-         |  GROUP BY c.doc_a, c.doc_b)
+         |$lshPairSqlCtes
          |SELECT i.doc_a, i.doc_b,
          |  round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
          |FROM inter i
@@ -139,51 +236,8 @@ object DedupOps {
          |JOIN sizes sb ON sb.doc_id = i.doc_b
          |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // Measured note (sf0.1, local[32]): persisting `sh`/`sig` here
-      // is a net LOSS — the shingle pipeline is a narrow codegen'd
-      // scan that recomputes faster than MEMORY_AND_DISK serializes.
-      // At true 100 TB the call flips (recompute = re-shuffling a
-      // distinct over the full corpus): persist the two frames, or
-      // better, checkpoint `sig` (tiny, one row/doc) to parquet.
-      val sh = shingles(s, dir)
-      // Signatures and set sizes come from the native per-row
-      // `minhash8` expression — no shuffle at all for the signature
-      // side (the exploded `sh` frame is still needed below, but only
-      // for the exact-Jaccard verification of candidates).
-      graft.functions.GraftFunctions.register(s)
-      val sig = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr("minhash8(text)").as("m"))
-        .filter(col("m").isNotNull)
-        .select(col("doc_id") +:
-          ((0 until NumHashes).map(i => col(s"m.h$i").as(s"h$i")) :+
-            col("m.n").as("n")): _*)
-      // Bands as rows → candidates via shuffle EQUI-join on the band
-      // hash (the oracle's OR-join is semantically identical but
-      // wouldn't scale; this does).
-      // band hash folded to int64 (xxhash64) — an 8-byte shuffle key
-      // instead of 64 hex chars; a hash collision could only add a
-      // candidate pair, which exact-Jaccard verification then rejects
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until NumBands).map(b => struct(lit(b).as("band"),
-          xxhash64(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*)).as("x"))
-        .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-      val cand = bands.as("ba").join(bands.as("bb"),
-          col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
-            col("ba.doc_id") < col("bb.doc_id"))
-        .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
-        .distinct()
-      val inter = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_common"))
-      val jac = col("n_common").cast("double") /
-        (col("na") + col("nb") - col("n_common"))
-      inter
-        .join(sig.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-        .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      nearDupPairs(s, dir, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -372,6 +426,42 @@ object DedupOps {
             + lit(0.5)) / 10000).as("avg_dup_ratio"),
           count(when(col("n_dup") * 2 >= col("n_spans"), 1)).as("n_mostly_dup"))
         .orderBy("lang")
+    },
+
+    // ---- q61: near-dup cluster formation (connected components) --
+    // The step after pair detection in a real dedup pipeline: group
+    // transitively-connected near-dups into clusters and pick one
+    // canonical doc per cluster (min doc_id). Components via
+    // iterative min-label propagation over the verified pair graph —
+    // each round is a shuffle join + partial-aggregable min, so the
+    // cost is O(rounds · |edges|) at any corpus size; the pair graph
+    // itself is the already-linear q36 output. The oracle spells the
+    // same closure as a recursive CTE.
+    QueryDef(
+      "q61_dedup_clusters",
+      s"""WITH RECURSIVE $shingleSqlCte,
+         |$lshPairSqlCtes,
+         |pairs AS (
+         |  SELECT i.doc_a AS a, i.doc_b AS b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  max(node) AS max_doc
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val pairs = nearDupPairs(s, dir, minJaccard = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      connectedComponents(pairs, iters = 8)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+        .orderBy("cluster_id")
     },
 
     // ---- q39: embedding-cosine near-dup (label-blocked exact) ----

@@ -83,6 +83,16 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(math.abs(b(3) - 0.0095) < 1e-12)
   }
 
+  test("connectedComponents resolves chains and keeps separate clusters apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val comp = DedupOps.connectedComponents(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("fitted IVF codebook keeps cells balanced on the embeddings corpus") {
     graft.functions.GraftFunctions.register(spark)
     // the q44 coarse quantizer only prunes well if cell populations
