@@ -346,6 +346,50 @@ object TextOps {
         .orderBy("source")
     },
 
+    // ---- training-sequence packing (concat-and-cut) --------------
+    // GPT-style packing: per source, documents are concatenated in
+    // deterministic (doc_id) order and cut into fixed token windows;
+    // a doc's window id is floor((cumulative_tokens - 1) / WINDOW).
+    // One window function per source partition — sources are the
+    // natural pack shards and stay balanced at scale (a 100 TB corpus
+    // has many sources; within-source skew is bounded by the corpus
+    // layout, and a hot source can be salted into sub-shards without
+    // changing the contract). Output is per-(source, seq) occupancy —
+    // the packing QA table (fill rate, fragmentation).
+    QueryDef(
+      "q62_sequence_packing",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT source, CAST(floor((cum - 1) / 2048) AS BIGINT) AS seq_id,
+        |    n_tok FROM c WHERE n_tok > 0)
+        |SELECT source, seq_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY source, seq_id
+        |ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val window = 2048
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .filter(col("n_tok") > 0)
+        .select(col("source"),
+          floor((col("cum") - 1) / window).as("seq_id"), col("n_tok"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("source", "seq_id")
+    },
+
     // ---- per-language vocabulary top-k ---------------------------
     // Exact heavy-hitters via two-phase count + per-group window —
     // fine whenever vocab cardinality ≪ corpus size (tokens follow
