@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based laws for the bounded top-k buffer: for ANY input
+  * stream, ANY split into partial buffers, and ANY k, insert+merge
+  * must equal the sort-take reference — the exact contract that makes
+  * the partial aggregate's result independent of partitioning (the
+  * thing Spark relies on when it map-side-combines).
+  */
+class TopKPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  private def drain(b: TopKBuffer): Seq[(Double, Long)] =
+    (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+
+  private def reference(items: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+    items.sortBy { case (s, id) => (-s, id) }.take(k)
+
+  // scores from a small value pool so ties are COMMON, ids likewise
+  private val item: Gen[(Double, Long)] =
+    Gen.zip(Gen.chooseNum(-20, 20).map(_ / 4.0), Gen.chooseNum(0L, 40L))
+  private val items: Gen[List[(Double, Long)]] = Gen.listOf(item)
+
+  test("insert equals sort-take for arbitrary streams and k") {
+    check(Prop.forAll(items, Gen.chooseNum(1, 9)) { (xs, k) =>
+      val b = new TopKBuffer(k)
+      xs.foreach { case (s, id) => b.insert(s, id) }
+      drain(b) == reference(xs, k)
+    })
+  }
+
+  test("any split into partial buffers merges to the same result") {
+    check(Prop.forAll(items, Gen.chooseNum(1, 9), Gen.chooseNum(0, 100)) {
+      (xs, k, pct) =>
+        val (l, r) = xs.splitAt(xs.length * pct / 100)
+        val a = new TopKBuffer(k)
+        l.foreach { case (s, id) => a.insert(s, id) }
+        val b = new TopKBuffer(k)
+        r.foreach { case (s, id) => b.insert(s, id) }
+        a.mergeIn(b)
+        drain(a) == reference(xs, k)
+    })
+  }
+
+  test("serde round-trip preserves any partial buffer") {
+    val agg = TopKCollect(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        1, org.apache.spark.sql.types.LongType, nullable = false), 9)
+    check(Prop.forAll(items) { xs =>
+      val b = new TopKBuffer(9)
+      xs.foreach { case (s, id) => b.insert(s, id) }
+      drain(agg.deserialize(agg.serialize(b))) == drain(b)
+    })
+  }
+}
