@@ -1,0 +1,80 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** The native signature expressions scan for tokens manually (no
+  * regex). These laws pin that scan to the `\s+`-split contract of
+  * TextOps.tokens over generated text with every Java-regex
+  * whitespace char, empty runs, and leading/trailing whitespace —
+  * against straight-line reference implementations.
+  */
+class SignaturePropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  private val ws: Gen[String] =
+    Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t ")
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val text: Gen[String] = for {
+    parts <- Gen.listOf(Gen.oneOf(ws, word))
+    lead <- Gen.oneOf("", " ", "\n")
+    trail <- Gen.oneOf("", "\t", " ")
+  } yield lead + parts.mkString + trail
+
+  private def refTokens(t: String): Seq[String] =
+    t.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def refSimhash(t: String): Option[String] = {
+    val toks = refTokens(t)
+    if (toks.isEmpty) None
+    else {
+      val votes = new Array[Int](64)
+      for (w <- toks) {
+        val h = md5hex(w)
+        for (j <- 0 until 64) {
+          val nib = Character.digit(h.charAt(j / 4), 16)
+          votes(j) += (if (((nib >> (j % 4)) & 1) == 1) 1 else -1)
+        }
+      }
+      Some(votes.map(v => if (v > 0) '1' else '0').mkString)
+    }
+  }
+
+  private def refMinhash(t: String): Option[(Seq[String], Long)] = {
+    val toks = refTokens(t)
+    if (toks.length < 3) None
+    else {
+      val shingles = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      val hs = (0 until 8).map(i => shingles.map(g => md5hex(i.toString + g)).min)
+      Some((hs, shingles.length.toLong))
+    }
+  }
+
+  test("simhash64 matches the regex-split reference on arbitrary text") {
+    check(Prop.forAll(text) { t =>
+      Option(SimHashImpl.compute(UTF8String.fromString(t)))
+        .map(_.toString) == refSimhash(t)
+    })
+  }
+
+  test("minhash8 matches the regex-split reference on arbitrary text") {
+    check(Prop.forAll(text) { t =>
+      val got = Option(MinHashImpl.compute(UTF8String.fromString(t))).map { r =>
+        ((0 until 8).map(i => r.getUTF8String(i).toString), r.getLong(8))
+      }
+      got == refMinhash(t)
+    })
+  }
+}
