@@ -538,6 +538,50 @@ object SimilarityOps {
           round(avg("d"), 3).as("avg_dist"),
           round(max("d"), 3).as("max_dist"))
         .orderBy("label")
+    },
+
+    // ---- q63: int8 embedding quantization QA ---------------------
+    // Storage-path operator: symmetric per-vector int8 quantization
+    // (scale = max|e| / 127, q_i = floor(e_i/scale + .5)) buys 4×
+    // embedding storage; this reports the reconstruction error it
+    // costs, per label. Everything is per-row higher-order-function
+    // math — zero shuffle before the per-label rollup — and the
+    // floor(x+.5) rounding is the engine-portable form (Spark round()
+    // half-up and DuckDB round() half-even disagree on exact .5).
+    QueryDef(
+      "q63_embedding_quantization",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, label, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) / 127 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, label, scale,
+        |    CASE WHEN scale = 0 THEN 0.0 ELSE
+        |      list_max(list_transform(emb,
+        |        x -> abs(x - floor(x / scale + 0.5) * scale))) END AS max_err
+        |  FROM s)
+        |SELECT label, count(*) AS n_vecs,
+        |  floor(avg(scale) * 1000000 + 0.5) / 1000000 AS avg_scale,
+        |  floor(avg(max_err) * 1000000 + 0.5) / 1000000 AS avg_max_err,
+        |  floor(max(max_err) * 1000000 + 0.5) / 1000000 AS worst_err
+        |FROM q GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val scale = aggregate(col("e"), lit(0.0),
+        (acc, v) => greatest(acc, abs(v))) / 127
+      val maxErr = when(col("scale") === 0, 0.0).otherwise(
+        aggregate(col("e"), lit(0.0), (acc, v) =>
+          greatest(acc, abs(v - floor(v / col("scale") + 0.5) * col("scale")))))
+      e.withColumn("scale", scale)
+        .select(col("label"), col("scale"), maxErr.as("max_err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(avg("scale") * 1000000 + lit(0.5)) / 1000000).as("avg_scale"),
+          (floor(avg("max_err") * 1000000 + lit(0.5)) / 1000000).as("avg_max_err"),
+          (floor(max("max_err") * 1000000 + lit(0.5)) / 1000000).as("worst_err"))
+        .orderBy("label")
     }
   )
 }
