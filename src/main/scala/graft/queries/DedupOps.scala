@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents`: MinHash signatures,
   * MinHash+LSH banded candidate generation with exact-Jaccard
-  * verification, and n-gram Jaccard similarity.
+  * verification, n-gram Jaccard similarity, duplicated-span analysis,
+  * and cluster formation over the verified pair graph.
   *
   * Shingles are 3-token n-grams (the testdata's planted near-dups sit
   * at ~0.99 3-gram Jaccard while unrelated word-soup docs sit near 0,
   * so LSH candidate counts stay ~linear in corpus size).
   *
-  * Scale design: the LSH pipeline is the 100 TB path — signatures are
-  * one narrow aggregation over exploded shingles, candidates come from
-  * an EQUI-join on (band, band_hash) (never an O(n²) cross join), and
-  * exact Jaccard runs only on the candidate pairs. MinHash values are
+  * Scale design: the LSH pipeline is the 100 TB path — signatures
+  * come from the native per-row `minhash8` expression (zero shuffle
+  * between scan and signature), candidates from an EQUI-join on
+  * (band, band_hash) (never an O(n²) cross join), and exact Jaccard
+  * runs only on the candidate pairs. MinHash values are
   * min-of-md5-hex strings so the DuckDB oracle reproduces them
   * byte-for-byte.
   */
