@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` table: exact dedup, token statistics, language ID
   * (n-gram/stopword heuristic), quality scoring, document
-  * fingerprinting, SimHash signatures.
+  * fingerprinting, SimHash signatures, mixture sampling, and
+  * training-sequence packing.
   *
   * All scalar work is `org.apache.spark.sql.functions` / SQL lambda
-  * expressions (codegen'd, no UDFs), so at 100 TB every one of these
-  * runs inside WholeStageCodegen with only the final groupBy shuffling.
+  * expressions or graft's native expressions (codegen'd, no UDFs),
+  * so at 100 TB every one of these runs inside WholeStageCodegen
+  * with only the final groupBy shuffling.
   */
 object TextOps {
 
