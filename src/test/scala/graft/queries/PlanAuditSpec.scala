@@ -125,6 +125,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"duplicated-span analysis must stay linear in shingles:\n$p")
   }
 
+  test("q62 packing: one per-source window exchange, partial-aggregated rollup") {
+    val p = plan("q62_sequence_packing")
+    // the cumulative window partitions by source (many balanced
+    // groups — NOT the skewed per-query funnel shape); the rollup
+    // reuses that partitioning, so the only other shuffle is the
+    // presentation sort
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected window + sort shuffles only, got $shuffles:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q63 quantization is per-row math with only rollup + sort shuffles") {
+    val p = plan("q63_embedding_quantization")
+    assert(!p.contains("Window"), p)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected agg + sort shuffles only, got $shuffles:\n$p")
+  }
+
   test("q20 ETL projection reads only mapped columns") {
     val p = plan("q20_metadata_projection")
     val read = p.linesIterator.find(_.contains("ReadSchema")).toSeq.mkString
