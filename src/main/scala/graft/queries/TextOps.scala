@@ -392,6 +392,50 @@ object TextOps {
         .orderBy("source", "seq_id")
     },
 
+    // ---- deterministic per-group sampling ------------------------
+    // Uniform-ish k-per-group sample for eval subsets: rank docs by a
+    // 16-bit md5 hash (deterministic — same sample on any cluster,
+    // retry, or partial re-run; ties broken by doc_id).
+    //
+    // Deliberately written in the NAIVE window form: this is the
+    // exact pattern the TopKRewrite optimizer rule (GraftExtensions,
+    // on in every graft session) rewrites into the bounded-heap
+    // topk_collect aggregate — PlanAuditSpec asserts the executed
+    // plan has no Window node and a map-side partial top-k. The
+    // query reads like the textbook SQL; the engine supplies the
+    // O(k·partitions·groups) shuffle.
+    QueryDef(
+      "q64_group_sample",
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS rnk
+        |  FROM d)
+        |SELECT lang, doc_id, CAST(h AS BIGINT) AS h, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hex = md5(col("doc_id").cast("string"))
+      val h = (conv(substring(hex, 1, 1), 16, 10).cast("int") * 4096
+        + conv(substring(hex, 2, 1), 16, 10).cast("int") * 256
+        + conv(substring(hex, 3, 1), 16, 10).cast("int") * 16
+        + conv(substring(hex, 4, 1), 16, 10).cast("int"))
+      val w = Window.partitionBy("lang").orderBy(col("h").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"), h.cast("double").as("h"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("doc_id"), col("h").cast("long").as("h"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("lang", "rnk")
+    },
+
     // ---- per-language vocabulary top-k ---------------------------
     // Exact heavy-hitters via two-phase count + per-group window —
     // fine whenever vocab cardinality ≪ corpus size (tokens follow

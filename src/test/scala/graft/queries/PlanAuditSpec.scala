@@ -66,8 +66,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // ENTIRE scored corpus onto one reducer per query — the named
     // scale-killer. The plan must show topk_collect with a map-side
     // partial before the exchange, and no Window node anywhere.
+    // q64 is WRITTEN in the naive window form — it appears here
+    // because the TopKRewrite optimizer rule (on in every graft
+    // session) must rewrite it
     for (q <- Seq("q40_cosine_topk", "q42_lsh_ann", "q44_ivf_ann",
-        "q51_media_feature_knn")) {
+        "q51_media_feature_knn", "q64_group_sample")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q ranks through a window funnel:\n$p")
       assert(p.contains("partial_topk_collect"),
