@@ -57,11 +57,14 @@ object Bench {
     val total = results.map(_._2).sum
     val rps = (ingestRows / ingestSec).toLong
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    spark.stop()
+    // printed AFTER spark.stop() so the JSON line is the very last
+    // stdout of the JVM (a last-line parser must not see shutdown
+    // chatter after it)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,""" +
       s""""ingest":{"rows":$ingestRows,"sec":$ingestSec,"rows_per_sec":$rps},""" +
       s""""sf":"$sfDir"}""")
-    spark.stop()
   }
 
   /** Time the ProtoPipeline over n wire-encoded messages (a
