@@ -65,48 +65,99 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** The Window subtree rewritten as Aggregate(topk) → posexplode →
+    * Project reproducing (child.output ++ rnk) under the ORIGINAL
+    * exprIds (so everything above resolves unchanged), or None when
+    * any eligibility condition fails.
+    */
+  private def rewriteWindow(parts: Seq[Expression], score: Attribute,
+      id: Attribute, rnk: Attribute, k: Int, child: LogicalPlan): Option[LogicalPlan] = {
+    val partAttrs = parts.collect { case a: Attribute => a }
+    val slimInput = child.output.forall(a =>
+      partAttrs.exists(_.semanticEquals(a)) ||
+        a.semanticEquals(score) || a.semanticEquals(id))
+    if (k <= 0 || k > MaxK || partAttrs.length != parts.length ||
+        score.dataType != DoubleType || id.dataType != LongType || !slimInput)
+      None
+    else {
+      val topFn = TopKCollect(score, id, k)
+      val top = Alias(AggregateExpression(
+        topFn, Complete, isDistinct = false), "graft_top")()
+      val agg = Aggregate(partAttrs, partAttrs :+ top, child)
+      val elemType = topFn.dataType.asInstanceOf[ArrayType].elementType
+      val pos = AttributeReference("graft_pos", IntegerType, nullable = false)()
+      val item = AttributeReference("graft_item", elemType, nullable = false)()
+      val gen = Generate(PosExplode(top.toAttribute), Nil, outer = false,
+        None, Seq(pos, item), agg)
+      val projList: Seq[NamedExpression] = child.output.map { a =>
+        if (a.semanticEquals(score))
+          Alias(GetStructField(item, 0, Some("score")), a.name)(exprId = a.exprId)
+        else if (a.semanticEquals(id))
+          Alias(GetStructField(item, 1, Some("id")), a.name)(exprId = a.exprId)
+        else a
+      } :+ Alias(Add(pos, Literal(1)), rnk.name)(exprId = rnk.exprId)
+      Some(Project(projList, gen))
+    }
+  }
+
+  /** Extractor for the eligible Window node shape. */
+  private object RankWindow {
+    def unapply(p: LogicalPlan): Option[(Seq[Expression], Attribute, Attribute,
+        Attribute, LogicalPlan)] = p match {
+      case Window(
+          Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          parts,
+          Seq(SortOrder(score: Attribute, Descending, _, _),
+              SortOrder(id: Attribute, Ascending, _, _)),
+          child, _) =>
+        Some((parts, score, id, alias.toAttribute, child))
+      case _ => None
+    }
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, Window(
-        Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
-        parts,
-        Seq(SortOrder(score: Attribute, Descending, _, _),
-            SortOrder(id: Attribute, Ascending, _, _)),
-        child, _)) =>
-      val rnk = alias.toAttribute
+    // Filter directly over the window
+    case f @ Filter(cond, RankWindow(parts, score, id, rnk, child)) =>
       val (boundConjs, rest) = conjuncts(cond)
         .partition(c => rankBound(c, rnk).isDefined)
       val k = boundConjs.flatMap(rankBound(_, rnk))
         .reduceOption(math.min).getOrElse(0)
-      val partAttrs = parts.collect { case a: Attribute => a }
-      val slimInput = child.output.forall(a =>
-        partAttrs.exists(_.semanticEquals(a)) ||
-          a.semanticEquals(score) || a.semanticEquals(id))
-      val restSafe = rest.forall(!_.references.contains(rnk))
-      if (k <= 0 || k > MaxK || partAttrs.length != parts.length ||
-          score.dataType != DoubleType || id.dataType != LongType ||
-          !slimInput || !restSafe) f
-      else {
-        val topFn = TopKCollect(score, id, k)
-        val top = Alias(AggregateExpression(
-          topFn, Complete, isDistinct = false), "graft_top")()
-        val agg = Aggregate(partAttrs, partAttrs :+ top, child)
-        val elemType = topFn.dataType.asInstanceOf[ArrayType].elementType
-        val pos = AttributeReference("graft_pos", IntegerType, nullable = false)()
-        val item = AttributeReference("graft_item", elemType, nullable = false)()
-        val gen = Generate(PosExplode(top.toAttribute), Nil, outer = false,
-          None, Seq(pos, item), agg)
-        // original output (child cols ++ rnk) under the ORIGINAL
-        // exprIds, so everything above the Filter resolves unchanged
-        val projList: Seq[NamedExpression] = child.output.map { a =>
-          if (a.semanticEquals(score))
-            Alias(GetStructField(item, 0, Some("score")), a.name)(exprId = a.exprId)
-          else if (a.semanticEquals(id))
-            Alias(GetStructField(item, 1, Some("id")), a.name)(exprId = a.exprId)
-          else a
-        } :+ Alias(Add(pos, Literal(1)), rnk.name)(exprId = rnk.exprId)
-        val rebuilt = Project(projList, gen)
+      if (rest.exists(_.references.contains(rnk))) f
+      else rewriteWindow(parts, score, id, rnk, k, child).map { rebuilt =>
         if (rest.isEmpty) rebuilt else Filter(rest.reduce(And), rebuilt)
+      }.getOrElse(f)
+
+    // Filter over a pass-through Project (e.g. a rank cast) over the
+    // window — the shape `.withColumn("rnk", rn.over(w).cast(...))
+    // .filter(rnk <= k)` plans to
+    case f @ Filter(cond, p @ Project(list,
+        RankWindow(parts, score, id, rnk, child))) =>
+      // projected attributes standing for the rank (direct, aliased,
+      // or cast); everything else must be computed from the window's
+      // CHILD columns only
+      val projRnks = list.collect {
+        case a: Attribute if a.semanticEquals(rnk) => a
+        case a @ Alias(r: Attribute, _) if r.semanticEquals(rnk) => a.toAttribute
+        case a @ Alias(Cast(r: Attribute, _, _, _), _)
+          if r.semanticEquals(rnk) => a.toAttribute
       }
+      val othersFromChild = list.forall { e =>
+        projRnks.exists(_.semanticEquals(e.toAttribute)) ||
+          e.references.subsetOf(child.outputSet)
+      }
+      val bound = (c: Expression) =>
+        projRnks.flatMap(pr => rankBound(c, pr)).reduceOption(math.min)
+      val (boundConjs, rest) = conjuncts(cond).partition(c => bound(c).isDefined)
+      val k = boundConjs.flatMap(bound(_)).reduceOption(math.min).getOrElse(0)
+      val restSafe = rest.forall(c =>
+        !projRnks.exists(pr => c.references.contains(pr)))
+      if (!othersFromChild || !restSafe) f
+      else rewriteWindow(parts, score, id, rnk, k, child).map { rebuilt =>
+        // re-apply the ORIGINAL projection (it resolves against the
+        // rebuilt output — same exprIds), then any residual filter
+        val projected = Project(list, rebuilt)
+        if (rest.isEmpty) projected else Filter(rest.reduce(And), projected)
+      }.getOrElse(f)
   }
 }
 

@@ -77,6 +77,23 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(noBound.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 
+  test("a rank cast between filter and window still rewrites (q07 shape)") {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val df = scored
+      .withColumn("rnk", row_number().over(w).cast("long")) // Project in between
+      .filter(col("rnk") <= 2 && col("g") =!= 1)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Window"), s"cast blocked the rewrite:\n$optimized")
+    val rows = df.orderBy("g", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val expected = (for (g <- Seq(0L, 2L)) yield {
+      (0 until 50).map(c => ((g * 50 + c), ((c * 17) % 23).toDouble))
+        .sortBy { case (id, s) => (-s, id) }.take(2).zipWithIndex
+        .map { case ((id, _), i) => (g, id, (i + 1).toLong) }
+    }).flatten
+    assert(rows.toSeq == expected)
+  }
+
   test("residual filter conjuncts are preserved above the rewrite") {
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
     val df = scored.withColumn("rnk", row_number().over(w))

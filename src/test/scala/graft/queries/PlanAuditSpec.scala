@@ -16,13 +16,23 @@ class PlanAuditSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   lazy val spark: SparkSession = {
+    // withExtensions explicitly: spark.sql.extensions is a STATIC
+    // conf read from the SparkContext conf, so relying on it would
+    // make this suite's rewrite assertions depend on which suite
+    // created the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val b = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
     Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
-    b.getOrCreate()
+    val s = b.getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    s
   }
 
   private def plan(q: String): String =
