@@ -58,13 +58,24 @@ object Bench {
     val rps = (ingestRows / ingestSec).toLong
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     spark.stop()
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,""" +
+        s""""ingest":{"rows":$ingestRows,"sec":$ingestSec,"rows_per_sec":$rps},""" +
+        s""""sf":"$sfDir"}"""
+    // Persist the full record to a file as well: a stdout-tail parser
+    // can truncate the per-query map (round 3's driver artifact kept
+    // only a 2000-char tail and dropped q01–q10's times), so the file
+    // is the durable copy every later diff reads.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $t") }
     // printed AFTER spark.stop() so the JSON line is the very last
     // stdout of the JVM (a last-line parser must not see shutdown
     // chatter after it)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,""" +
-      s""""ingest":{"rows":$ingestRows,"sec":$ingestSec,"rows_per_sec":$rps},""" +
-      s""""sf":"$sfDir"}""")
+    println(json)
   }
 
   /** Time the ProtoPipeline over n wire-encoded messages (a

@@ -121,6 +121,10 @@ case class MinHash8(child: Expression) extends UnaryExpression {
       StructField(s"h$i", StringType, nullable = false)) :+
       StructField("n", LongType, nullable = false))
   override def nullIntolerant: Boolean = true
+  // ALWAYS nullable (see SimHash64): a non-null token-less input
+  // yields null, and the non-nullable codegen branch would render
+  // ev.isNull as the literal `false`, breaking the generated code.
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash8"
 
   override def nullSafeEval(input: Any): Any =

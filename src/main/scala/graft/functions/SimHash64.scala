@@ -82,6 +82,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  // ALWAYS nullable, independent of the child: a NON-null token-less
+  // input still yields null. The UnaryExpression default inherits the
+  // child's nullability, under which (a) the optimizer could eliminate
+  // callers' isNotNull guards and declare the output non-null while
+  // eval returns null (corrupt UnsafeRow), and (b) nullSafeCodeGen's
+  // non-nullable branch renders ev.isNull as the literal `false`, so
+  // the generated assignment below would not compile and the
+  // expression would silently fall back to interpreted eval.
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents`: MinHash signatures,
@@ -279,11 +278,10 @@ object DedupOps {
         |  FROM inter i
         |  JOIN sizes za ON za.doc_id = i.doc_a
         |  JOIN sizes zb ON zb.doc_id = i.doc_b)
-        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard, CAST(rnk AS BIGINT) AS rnk
-        |FROM (SELECT *, row_number() OVER (
-        |        ORDER BY round(jac, 6) DESC, doc_a, doc_b) AS rnk
-        |      FROM scored) t
-        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, dir) =>
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        |FROM scored
+        |ORDER BY round(jac, 6) DESC, doc_a, doc_b
+        |LIMIT 20""".stripMargin) { (s, dir) =>
       val meta = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
       // join key folded to int64 via xxhash64 (8-byte shuffle key; a
       // collision merely perturbs one candidate's intersection count
@@ -318,14 +316,18 @@ object DedupOps {
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      // Global top-20 via orderBy + limit — Spark plans this as
+      // TakeOrderedAndProject, a DISTRIBUTED partial top-k (each task
+      // keeps its best 20, only 20·partitions rows reach the driver).
+      // The previous form was `row_number() OVER (Window.orderBy(...))`
+      // with NO partition key: every scored pair shuffled into a
+      // single reducer — correct at toy SF, a funnel on a
+      // boilerplate-heavy 100 TB corpus. PlanAuditSpec pins the
+      // no-Window/TakeOrdered shape.
       scored
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(round(col("jac"), 6).desc, col("doc_a"), col("doc_b")))
-          .cast("long"))
-        .filter(col("rnk") <= 20)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"),
-          col("rnk"))
-        .orderBy("rnk")
+        .orderBy(round(col("jac"), 6).desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
     },
 
     // ---- q58: benchmark decontamination --------------------------

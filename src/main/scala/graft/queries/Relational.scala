@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * each carries a DuckDB oracle for the correctness gate.
   *
   * Scale notes (100 TB design intent):
-  *  - dimension joins (region/nation/customer/supplier/part) are
-  *    explicitly `broadcast()` — no shuffle of the fact table;
+  *  - broadcast() hints ONLY on frames bounded by construction
+  *    (nation = 25 rows, region = 5). Dims that scale with SF
+  *    (customer/supplier/part, even filtered) get plain equi-joins:
+  *    AQE broadcasts them at runtime when the measured size allows,
+  *    and shuffles on the key when it doesn't — a hard hint on a
+  *    growing table is a deferred OOM;
   *  - fact-fact joins (orders⋈lineitem) shuffle on the join key only
   *    after filters have been pushed into the scans;
   *  - aggregations are partial (map-side combine) by construction.
@@ -104,9 +108,13 @@ object Relational {
       val li = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1997-06-01 00:00:00").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
-      // customer is a small dim after the filter → broadcast; the
-      // orders⋈lineitem join shuffles on the orderkey only.
-      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // NO broadcast hint on customer: it scales with SF (TPC-H
+      // customer = SF×150k rows), and a 1/5 mktsegment filter does
+      // not make a growing table constant-size — at 100 TB a forced
+      // broadcast is a driver/executor OOM. AQE broadcasts it at toy
+      // SF anyway (runtime size under the threshold); at scale the
+      // join shuffles on custkey, which is the correct plan.
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), R)
@@ -159,12 +167,17 @@ object Relational {
         .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .select("n_nationkey", "n_name")
-      // All dims broadcast; lineitem (the 100 TB fact) is never
-      // shuffled except for the orders join on its key.
+      // Broadcast hints ONLY on genuinely bounded frames: asiaNations
+      // is ≤25 rows by construction (nation is a fixed 25-row table).
+      // customer and supplier SCALE with SF (SF×150k / SF×10k rows) —
+      // a forced broadcast of either is a multi-hundred-GB driver OOM
+      // at 100 TB, so they get plain equi-joins and AQE picks
+      // broadcast at runtime exactly when the actual size allows it
+      // (it does at toy SF, so the local plan is unchanged).
       Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables(s, dir, "supplier")),
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
@@ -651,7 +664,10 @@ object Relational {
         .agg((avg("l_quantity") * 0.2).as("qty_threshold"))
       val brandParts = Tables(s, dir, "part")
         .filter(col("p_brand") === "Brand#23").select("p_partkey")
-      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      // brandParts is filtered (1/25 brand selectivity) but still
+      // scales with SF — no forced broadcast (same reasoning as
+      // q03/q05); AQE broadcasts it at toy SF.
+      li.join(brandParts, col("l_partkey") === col("p_partkey"))
         .join(partAvg, col("l_partkey") === col("avg_partkey"))
         .filter(col("l_quantity") < col("qty_threshold"))
         .agg(

@@ -51,18 +51,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!read.contains("l_orderkey") && !read.contains("l_comment"), read)
   }
 
-  test("q03 broadcasts the filtered customer dim") {
+  test("q03 still broadcasts the filtered customer dim WITHOUT a hint (stats pick it)") {
+    // the source carries no broadcast() hint on customer (it scales
+    // with SF); at toy SF the planner's size stats must still choose
+    // a broadcast join on their own
     val p = plan("q03_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("PushedFilters:") && p.contains("EqualTo(c_mktsegment,BUILDING)"),
       s"mktsegment filter not pushed:\n$p")
   }
 
-  test("q05 multi-way join broadcasts every dim (fact never re-shuffles)") {
+  test("q05 multi-way join broadcasts every dim at toy SF — without hints on scaling dims") {
+    // only the ≤25-row asiaNations frame is hinted in the source;
+    // customer/supplier broadcasts here come from planner size stats,
+    // which is exactly the behavior that degrades gracefully (to a
+    // shuffle join) instead of OOMing when those dims grow 100×
     val p = plan("q05_local_supplier_volume")
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
     assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q37 final top-20 is a distributed TakeOrdered, not a one-reducer window") {
+    val p = plan("q37_ngram_jaccard_top")
+    assert(!p.contains("Window"), s"q37 ranks through a global window funnel:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q37 top-20 is not a distributed partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q37 candidate generation degenerated:\n$p")
   }
 
   test("q40 keeps the corpus partitioned; queries are the broadcast side") {
