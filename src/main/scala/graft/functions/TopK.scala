@@ -2,63 +2,143 @@ package graft.functions
 
 import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import graft.etl.ConfigurationException
 
-/** Bounded top-k state: parallel arrays kept sorted best-first by
-  * (score DESC, id ASC). k is small (an ANN result size), so linear
-  * insertion beats a heap, and the common case — a row that doesn't
-  * beat the current k-th — is a single comparison, no allocation.
+object TopKBuffer {
+  /** Monotone (order-preserving) long encoding of a double under
+    * `java.lang.Double.compare` semantics — the total order Spark's
+    * double sort uses: -Inf < … < -0.0 < 0.0 < … < +Inf < NaN
+    * (doubleToLongBits canonicalizes NaN above +Inf). The function is
+    * its own inverse, so decode == encode (Lucene's
+    * sortableDoubleBits). This is what makes the heap's ranking agree
+    * with `ORDER BY score DESC` on NaN: a plain `>` on raw doubles
+    * would rank NaN below everything instead of first.
+    */
+  @inline def encodeDouble(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+  @inline def decodeDouble(l: Long): Double =
+    java.lang.Double.longBitsToDouble(l ^ ((l >> 63) & 0x7fffffffffffffffL))
+
+  /** flag bits — an entry's score/id may be SQL NULL */
+  final val ScoreNull = 1
+  final val IdNull = 2
+}
+
+/** Bounded top-k state: parallel arrays kept sorted best-first under
+  * exactly Spark's default window-sort placement for
+  * `ORDER BY score DESC, id` — score DESC NULLS LAST (NaN first, via
+  * the sortable encoding), id ASC NULLS FIRST. k is small (an ANN
+  * result size), so linear insertion beats a heap, and the common
+  * case — a row that doesn't beat the current k-th — is a single
+  * comparison, no allocation.
+  *
+  * Scores are stored sortable-encoded as longs (integral scores raw,
+  * double scores via [[TopKBuffer.encodeDouble]]), so every
+  * comparison is one primitive long compare regardless of score
+  * type; ids are a primitive long array or a UTF8String array.
   */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val stringId: Boolean = false) {
+  import TopKBuffer._
+
   var n = 0
-  val scores = new Array[Double](k)
-  val ids = new Array[Long](k)
+  val scores = new Array[Long](k)
+  val flags = new Array[Byte](k)
+  val idsL: Array[Long] = if (stringId) null else new Array[Long](k)
+  val idsS: Array[UTF8String] = if (stringId) new Array[UTF8String](k) else null
 
-  /** true when (s1,id1) ranks strictly before (s2,id2) */
-  @inline private def before(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  /** true when (f1,s1,id1) ranks strictly before (f2,s2,id2) */
+  private def before(f1: Int, s1: Long, l1: Long, u1: UTF8String,
+      f2: Int, s2: Long, l2: Long, u2: UTF8String): Boolean = {
+    val sn1 = (f1 & ScoreNull) != 0
+    val sn2 = (f2 & ScoreNull) != 0
+    if (sn1 != sn2) return sn2 // non-null score ranks first (DESC NULLS LAST)
+    if (!sn1 && s1 != s2) return s1 > s2
+    val in1 = (f1 & IdNull) != 0
+    val in2 = (f2 & IdNull) != 0
+    if (in1 != in2) return in1 // null id ranks first on ties (ASC NULLS FIRST)
+    if (in1) false // both ids null: equal
+    else if (stringId) u1.compareTo(u2) < 0 // binary order = Spark's string sort
+    else l1 < l2
+  }
 
-  def insert(s: Double, id: Long): Unit = {
-    if (n >= k && !before(s, id, scores(n - 1), ids(n - 1))) return
+  @inline private def beforeIdx(f: Int, s: Long, l: Long, u: UTF8String,
+      i: Int): Boolean =
+    before(f, s, l, u, flags(i), scores(i),
+      if (stringId) 0L else idsL(i), if (stringId) idsS(i) else null)
+
+  /** `owned = false` marks a UTF8String id that may point into a
+    * reused input row buffer — it is defensively cloned iff it
+    * actually enters the arrays (the common full-buffer reject path
+    * never allocates).
+    */
+  def insert(f: Int, s: Long, idL: Long, idS: UTF8String, owned: Boolean): Unit = {
+    if (n >= k && !beforeIdx(f, s, idL, idS, n - 1)) return
     var i = if (n < k) n else n - 1 // position that will be vacated
-    while (i > 0 && before(s, id, scores(i - 1), ids(i - 1))) {
-      scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+    while (i > 0 && beforeIdx(f, s, idL, idS, i - 1)) {
+      scores(i) = scores(i - 1); flags(i) = flags(i - 1)
+      if (stringId) idsS(i) = idsS(i - 1) else idsL(i) = idsL(i - 1)
+      i -= 1
     }
-    scores(i) = s; ids(i) = id
+    scores(i) = s
+    flags(i) = f.toByte
+    if (stringId) idsS(i) = if (idS == null || owned) idS else idS.clone()
+    else idsL(i) = idL
     if (n < k) n += 1
   }
 
+  /** non-null (double, long) convenience — the ANN hot-path shape. */
+  def insert(s: Double, id: Long): Unit =
+    insert(0, encodeDouble(s), id, null, owned = true)
+
   def mergeIn(o: TopKBuffer): Unit = {
     var i = 0
-    while (i < o.n) { insert(o.scores(i), o.ids(i)); i += 1 }
+    while (i < o.n) {
+      insert(o.flags(i), o.scores(i),
+        if (stringId) 0L else o.idsL(i),
+        if (stringId) o.idsS(i) else null,
+        owned = true) // partial buffers own their strings
+      i += 1
+    }
   }
 }
 
 /** Bounded top-k aggregate — the scale-safe replacement for
-  * `row_number() OVER (PARTITION BY g ORDER BY score DESC) <= k`.
+  * `row_number() OVER (PARTITION BY g ORDER BY score DESC, id) <= k`.
   *
   * The window form shuffles EVERY scored row to the single reducer
   * owning its partition key — with few groups (a handful of ANN query
   * ids over a 100 TB corpus) that is a by-construction skewed full
   * shuffle. This aggregate is partial-merge-able: each map task
   * reduces its slice of a group to at most k entries, and only
-  * k·num_partitions (double, long) pairs per group cross the wire
-  * before the final merge — O(k·partitions·groups) shuffle volume
-  * instead of O(n).
+  * k·num_partitions entries per group cross the wire before the
+  * final merge — O(k·partitions·groups) shuffle volume instead of
+  * O(n).
+  *
+  * Accepted shapes: score ∈ {double, bigint, int} (vocabulary counts
+  * rank as naturally as cosine similarities), id ∈ {bigint, int,
+  * string}. Ranking reproduces the Window form bit-for-bit, including
+  * the edges: NaN scores rank FIRST (Spark's double order puts NaN
+  * above +Inf), null scores rank LAST (DESC NULLS LAST), and null ids
+  * rank first among score-ties (ASC NULLS FIRST) — null rows
+  * PARTICIPATE, they are not dropped, so the [[graft.plans.TopKRewrite]]
+  * rewrite is semantics-preserving on nullable inputs.
   *
   * Implemented as a native `TypedImperativeAggregate` (the repo's
   * tier-(b) preference, like [[CosineSimilarity]]): `update` reads
   * the input row directly — no per-row encoder round-trip through a
-  * case class, which an `Aggregator`-via-`udaf` pays — and the
-  * partial buffer serializes as 4 + 16·n bytes. Runs inside
-  * ObjectHashAggregate with map-side partials.
+  * case class — and the partial buffer serializes as ~9–17 bytes per
+  * entry. Runs inside ObjectHashAggregate with map-side partials.
   *
   * SQL: `topk_collect(score, id, k)` → `array<struct<score, id>>`
-  * sorted best-first (score DESC, id ASC) — position = rank - 1.
+  * sorted best-first — position = rank - 1.
   */
 case class TopKCollect(
     scoreChild: Expression,
@@ -68,22 +148,58 @@ case class TopKCollect(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
 
+  import TopKBuffer._
+
+  private val ScoreD = 0; private val ScoreL = 1; private val ScoreI = 2
+  @transient private lazy val scoreKind: Int = scoreChild.dataType match {
+    case DoubleType => ScoreD
+    case LongType => ScoreL
+    case _ => ScoreI
+  }
+  @transient private lazy val stringId: Boolean = idChild.dataType == StringType
+  @transient private lazy val intId: Boolean = idChild.dataType == IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!Seq(DoubleType, LongType, IntegerType).contains(scoreChild.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_collect score must be double/bigint/int, got ${scoreChild.dataType.simpleString}")
+    else if (!Seq(LongType, IntegerType, StringType).contains(idChild.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_collect id must be bigint/int/string, got ${idChild.dataType.simpleString}")
+    else if (k <= 0)
+      TypeCheckResult.TypeCheckFailure(s"topk_collect k must be positive, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
   override def children: Seq[Expression] = Seq(scoreChild, idChild)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("score", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false))),
+      StructField("score", scoreChild.dataType, nullable = scoreChild.nullable),
+      StructField("id", idChild.dataType, nullable = idChild.nullable))),
     containsNull = false)
   override def prettyName: String = "topk_collect"
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, stringId)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreChild.eval(input)
     val id = idChild.eval(input)
-    if (s != null && id != null)
-      buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    var f = 0
+    var enc = 0L
+    if (s == null) f |= ScoreNull
+    else enc = scoreKind match {
+      case ScoreD => encodeDouble(s.asInstanceOf[Double])
+      case ScoreL => s.asInstanceOf[Long]
+      case _ => s.asInstanceOf[Int].toLong
+    }
+    var idL = 0L
+    var idS: UTF8String = null
+    if (id == null) f |= IdNull
+    else if (stringId) idS = id.asInstanceOf[UTF8String]
+    else if (intId) idL = id.asInstanceOf[Int].toLong
+    else idL = id.asInstanceOf[Long]
+    buf.insert(f, enc, idL, idS, owned = false)
     buf
   }
 
@@ -92,24 +208,69 @@ case class TopKCollect(
   }
 
   override def eval(buf: TopKBuffer): Any =
-    new GenericArrayData(Array.tabulate[Any](buf.n)(i =>
-      InternalRow(buf.scores(i), buf.ids(i))))
+    new GenericArrayData(Array.tabulate[Any](buf.n) { i =>
+      val f = buf.flags(i)
+      val s: Any =
+        if ((f & ScoreNull) != 0) null
+        else scoreKind match {
+          case ScoreD => decodeDouble(buf.scores(i))
+          case ScoreL => buf.scores(i)
+          case _ => buf.scores(i).toInt
+        }
+      val id: Any =
+        if ((f & IdNull) != 0) null
+        else if (stringId) buf.idsS(i)
+        else if (intId) buf.idsL(i).toInt
+        else buf.idsL(i)
+      InternalRow(s, id)
+    })
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * buf.n)
+    // [int n] then per entry [byte flags][long score][long id |
+    // int len + utf8 bytes (-1 = null id)]
+    var size = 4 + 9 * buf.n
+    if (stringId) {
+      var i = 0
+      while (i < buf.n) {
+        size += 4 + (if (buf.idsS(i) == null) 0 else buf.idsS(i).numBytes())
+        i += 1
+      }
+    } else size += 8 * buf.n
+    val bb = ByteBuffer.allocate(size)
     bb.putInt(buf.n)
     var i = 0
-    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    while (i < buf.n) {
+      bb.put(buf.flags(i))
+      bb.putLong(buf.scores(i))
+      if (stringId) {
+        val u = buf.idsS(i)
+        if (u == null) bb.putInt(-1)
+        else { val b = u.getBytes; bb.putInt(b.length); bb.put(b) }
+      } else bb.putLong(buf.idsL(i))
+      i += 1
+    }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKBuffer(k)
-    buf.n = n
+    val buf = new TopKBuffer(k, stringId)
+    buf.n = n // entries were serialized in ranked order — restore as-is
     var i = 0
-    while (i < n) { buf.scores(i) = bb.getDouble; buf.ids(i) = bb.getLong; i += 1 }
+    while (i < n) {
+      buf.flags(i) = bb.get()
+      buf.scores(i) = bb.getLong
+      if (stringId) {
+        val len = bb.getInt
+        if (len >= 0) {
+          val a = new Array[Byte](len)
+          bb.get(a)
+          buf.idsS(i) = UTF8String.fromBytes(a)
+        }
+      } else buf.idsL(i) = bb.getLong
+      i += 1
+    }
     buf
   }
 

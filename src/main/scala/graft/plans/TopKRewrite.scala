@@ -19,10 +19,11 @@ import graft.functions.{CosineSimilarity, MinHash8, SimHash64, TopKCollect}
   * plans as a Window that shuffles EVERY row of the scored input onto
   * one reducer per group — with few groups, a by-construction skewed
   * full shuffle. When the pattern is recognized (single row_number
-  * window expression; (score DESC, id ASC) ordering over a
-  * double/long attribute pair; the window input carrying nothing but
-  * the grouping keys + score + id; a literal rank bound ≤ [[MaxK]]),
-  * the plan is rewritten to the bounded-heap partial aggregate
+  * window expression; (score DESC, id ASC) ordering with the DEFAULT
+  * null placement over a double/bigint/int score and a
+  * bigint/int/string id; the window input carrying nothing but the
+  * grouping keys + score + id; a literal rank bound ≤ [[MaxK]]), the
+  * plan is rewritten to the bounded-heap partial aggregate
   *
   *   Aggregate(g, topk_collect(score, id, k)) → posexplode → project
   *
@@ -31,6 +32,14 @@ import graft.functions.{CosineSimilarity, MinHash8, SimHash64, TopKCollect}
   * expression ids — parents resolve unchanged; row order within the
   * result is unspecified either way). Anything not matching exactly is
   * left alone.
+  *
+  * Nullable or NaN-producing inputs are SAFE to rewrite: TopKCollect
+  * ranks NaN scores first (Spark's double order, via its sortable
+  * encoding), null scores last, and null ids first among ties — the
+  * exact default-null-ordering placement the matched SortOrders
+  * specify, with null rows participating rather than being dropped.
+  * Non-default null orderings (e.g. `DESC NULLS FIRST`) don't match
+  * the extractor and keep their Window form.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
@@ -76,8 +85,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
     val slimInput = child.output.forall(a =>
       partAttrs.exists(_.semanticEquals(a)) ||
         a.semanticEquals(score) || a.semanticEquals(id))
+    val scoreOk = Seq(DoubleType, LongType, IntegerType).contains(score.dataType)
+    val idOk = Seq(LongType, IntegerType, StringType).contains(id.dataType)
     if (k <= 0 || k > MaxK || partAttrs.length != parts.length ||
-        score.dataType != DoubleType || id.dataType != LongType || !slimInput)
+        !scoreOk || !idOk || !slimInput)
       None
     else {
       val topFn = TopKCollect(score, id, k)
@@ -104,11 +115,14 @@ object TopKRewrite extends Rule[LogicalPlan] {
   private object RankWindow {
     def unapply(p: LogicalPlan): Option[(Seq[Expression], Attribute, Attribute,
         Attribute, LogicalPlan)] = p match {
+      // null orderings must be the DEFAULTS (DESC → NULLS LAST,
+      // ASC → NULLS FIRST): that is the placement TopKCollect
+      // implements; an explicit non-default ordering keeps the Window
       case Window(
           Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
           parts,
-          Seq(SortOrder(score: Attribute, Descending, _, _),
-              SortOrder(id: Attribute, Ascending, _, _)),
+          Seq(SortOrder(score: Attribute, Descending, NullsLast, _),
+              SortOrder(id: Attribute, Ascending, NullsFirst, _)),
           child, _) =>
         Some((parts, score, id, alias.toAttribute, child))
       case _ => None

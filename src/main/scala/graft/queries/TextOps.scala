@@ -437,10 +437,16 @@ object TextOps {
     },
 
     // ---- per-language vocabulary top-k ---------------------------
-    // Exact heavy-hitters via two-phase count + per-group window —
-    // fine whenever vocab cardinality ≪ corpus size (tokens follow
-    // Zipf); a true unbounded-cardinality stream would swap in a
-    // count-min/space-saving sketch without changing the contract.
+    // Exact heavy-hitters: two-phase (lang, token) count, then the
+    // per-language top-10 WRITTEN in the naive window form and
+    // auto-rewritten by TopKRewrite into the bounded-heap
+    // topk_collect aggregate — (long count, string token) is exactly
+    // the shape the generalized heap accepts. This matters at scale:
+    // the window form funnels the entire vocab-sized (lang, token)
+    // frame onto one reducer per language (billions of distinct
+    // long-tail tokens on a web corpus); the heap form shuffles
+    // O(10·partitions·langs) entries. PlanAuditSpec pins no-Window +
+    // partial_topk_collect.
     QueryDef(
       "q55_vocab_topk",
       """WITH tok AS (

@@ -17,7 +17,7 @@ class TopKPropertySpec extends AnyFunSuite {
   }
 
   private def drain(b: TopKBuffer): Seq[(Double, Long)] =
-    (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+    (0 until b.n).map(i => (TopKBuffer.decodeDouble(b.scores(i)), b.idsL(i)))
 
   private def reference(items: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
     items.sortBy { case (s, id) => (-s, id) }.take(k)
@@ -58,6 +58,52 @@ class TopKPropertySpec extends AnyFunSuite {
       val b = new TopKBuffer(9)
       xs.foreach { case (s, id) => b.insert(s, id) }
       drain(agg.deserialize(agg.serialize(b))) == drain(b)
+    })
+  }
+
+  // ---- (long score, string id) — the generalized q55 vocab shape --
+
+  private def drainS(b: TopKBuffer): Seq[(Long, String)] =
+    (0 until b.n).map(i => (b.scores(i), b.idsS(i).toString))
+
+  private def referenceS(items: Seq[(Long, String)], k: Int): Seq[(Long, String)] =
+    items.sortBy { case (s, id) => (-s, id) }.take(k)
+
+  // long counts from a small pool (ties common), short string ids
+  // from a tiny alphabet so binary-order ties and duplicates occur
+  private val itemS: Gen[(Long, String)] = Gen.zip(
+    Gen.chooseNum(0L, 9L),
+    Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'z')).map(_.mkString)))
+  private val itemsS: Gen[List[(Long, String)]] = Gen.listOf(itemS)
+
+  private def insertS(b: TopKBuffer, s: Long, id: String): Unit =
+    b.insert(0, s, 0L,
+      org.apache.spark.unsafe.types.UTF8String.fromString(id), owned = false)
+
+  test("string-id insert+merge equals sort-take for arbitrary streams") {
+    check(Prop.forAll(itemsS, Gen.chooseNum(1, 9), Gen.chooseNum(0, 100)) {
+      (xs, k, pct) =>
+        val (l, r) = xs.splitAt(xs.length * pct / 100)
+        val a = new TopKBuffer(k, stringId = true)
+        l.foreach { case (s, id) => insertS(a, s, id) }
+        val b = new TopKBuffer(k, stringId = true)
+        r.foreach { case (s, id) => insertS(b, s, id) }
+        a.mergeIn(b)
+        drainS(a) == referenceS(xs, k)
+    })
+  }
+
+  test("string-id serde round-trip preserves any partial buffer") {
+    val agg = TopKCollect(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        1, org.apache.spark.sql.types.StringType, nullable = true), 9)
+    check(Prop.forAll(itemsS) { xs =>
+      val b = new TopKBuffer(9, stringId = true)
+      xs.foreach { case (s, id) => insertS(b, s, id) }
+      drainS(agg.deserialize(agg.serialize(b))) == drainS(b)
     })
   }
 }

@@ -1,18 +1,20 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.BoundReference
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Buffer-level semantics of the native bounded top-k aggregate:
-  * insertion order, tie-breaks, merge associativity, and the
+  * insertion order, tie-breaks, merge associativity, the
   * serialize/deserialize round-trip that carries partials across the
-  * shuffle.
+  * shuffle, and the Window-parity edges (NaN first, null score last,
+  * null id first, string ids in binary order).
   */
 class TopKSpec extends AnyFunSuite {
 
   private def drain(b: TopKBuffer): Seq[(Double, Long)] =
-    (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+    (0 until b.n).map(i => (TopKBuffer.decodeDouble(b.scores(i)), b.idsL(i)))
 
   test("insert keeps (score DESC, id ASC) order and caps at k") {
     val b = new TopKBuffer(3)
@@ -49,5 +51,59 @@ class TopKSpec extends AnyFunSuite {
     Seq((0.3, 9L), (0.8, 1L), (0.5, 7L)).foreach { case (s, id) => b.insert(s, id) }
     val back = agg.deserialize(agg.serialize(b))
     assert(drain(back) == drain(b) && back.k == 4)
+  }
+
+  test("double ordering matches Spark's sort: NaN first, -0.0 < 0.0, null score last") {
+    import TopKBuffer._
+    val b = new TopKBuffer(6)
+    b.insert(Double.NegativeInfinity, 1L)
+    b.insert(Double.NaN, 2L)
+    b.insert(0.0, 3L)
+    b.insert(-0.0, 4L)
+    b.insert(Double.PositiveInfinity, 5L)
+    b.insert(ScoreNull, 0L, 6L, null, owned = true) // SQL NULL score
+    // compare BIT patterns: Scala's == on unboxed doubles is IEEE
+    // (NaN != NaN), which would falsely fail the NaN row; bits also
+    // distinguish -0.0 from 0.0, which we want to assert
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val got = (0 until b.n).map(i => (
+      if ((b.flags(i) & ScoreNull) != 0) None else Some(bits(decodeDouble(b.scores(i)))),
+      b.idsL(i)))
+    // DESC NULLS LAST with NaN greatest: NaN, +Inf, 0.0, -0.0, -Inf, NULL
+    assert(got == Seq(Some(bits(Double.NaN)) -> 2L,
+      Some(bits(Double.PositiveInfinity)) -> 5L,
+      Some(bits(0.0)) -> 3L, Some(bits(-0.0)) -> 4L,
+      Some(bits(Double.NegativeInfinity)) -> 1L,
+      None -> 6L))
+  }
+
+  test("null id ranks before non-null ids at equal score (ASC NULLS FIRST)") {
+    import TopKBuffer._
+    val b = new TopKBuffer(3)
+    b.insert(0, encodeDouble(1.0), 7L, null, owned = true)
+    b.insert(IdNull, encodeDouble(1.0), 0L, null, owned = true)
+    b.insert(0, encodeDouble(1.0), 3L, null, owned = true)
+    val got = (0 until b.n).map(i =>
+      if ((b.flags(i) & IdNull) != 0) None else Some(b.idsL(i)))
+    assert(got == Seq(None, Some(3L), Some(7L)))
+  }
+
+  test("string ids: binary ascending tie-break, clone-on-store, serde round-trip") {
+    import TopKBuffer._
+    def u(s: String) = UTF8String.fromString(s)
+    val b = new TopKBuffer(3, stringId = true)
+    // scores are long counts here (the q55 vocab shape)
+    b.insert(0, 5L, 0L, u("zebra"), owned = false)
+    b.insert(0, 9L, 0L, u("the"), owned = false)
+    b.insert(0, 5L, 0L, u("and"), owned = false)
+    b.insert(0, 5L, 0L, u("ant"), owned = false) // pushes zebra out
+    val got = (0 until b.n).map(i => (b.scores(i), b.idsS(i).toString))
+    assert(got == Seq((9L, "the"), (5L, "and"), (5L, "ant")))
+
+    val agg = TopKCollect(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, StringType, nullable = true), 3)
+    val back = agg.deserialize(agg.serialize(b))
+    assert((0 until back.n).map(i => (back.scores(i), back.idsS(i).toString)) == got)
   }
 }

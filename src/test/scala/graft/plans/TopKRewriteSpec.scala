@@ -104,6 +104,56 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(0) < 2))
   }
 
+  test("(long count, string id) window top-k rewrites to the heap — the q55 vocab shape") {
+    import spark.implicits._
+    val cnt = (for (lang <- Seq("en", "de");
+        (w, c) <- Seq(("the", 50L), ("a", 50L), ("of", 30L), ("zz", 10L)))
+      yield (lang, w, c)).toDF("lang", "w", "c")
+    val win = Window.partitionBy("lang").orderBy(col("c").desc, col("w"))
+    val df = cnt.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= 2)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Window"), s"Window survived:\n$optimized")
+    assert(df.queryExecution.executedPlan.toString.contains("partial_topk_collect"))
+    val rows = df.orderBy("lang", "rnk")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // count ties (50) break on token binary order: "a" before "the"
+    assert(rows.toSeq == Seq(
+      ("de", "a", 50L, 1), ("de", "the", 50L, 2),
+      ("en", "a", 50L, 1), ("en", "the", 50L, 2)))
+  }
+
+  test("NaN and null scores rank exactly as the window form: NaN first, null last") {
+    import spark.implicits._
+    val scored = Seq((0L, 1L, "0.5"), (0L, 2L, "nan"), (0L, 3L, "1.0"),
+        (0L, 4L, "null"))
+      .toDF("g", "id", "tag")
+      .withColumn("score",
+        when(col("tag") === "nan", lit(Double.NaN))
+          .when(col("tag") === "null", lit(null).cast("double"))
+          .otherwise(col("tag").cast("double")))
+      .select("g", "id", "score")
+    val win = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val df = scored.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= 4)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Window"))
+    // bit-pattern compare: Scala's == on unboxed doubles is IEEE, so
+    // a tuple holding NaN never equals itself
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val rows = df.orderBy("rnk").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(bits(r.getDouble(2)))))
+    // Spark's double DESC: NaN > +Inf … and NULLS LAST — id 2 (NaN),
+    // 3 (1.0), 1 (0.5), then 4 (null score) ranked, NOT dropped
+    assert(rows.toSeq == Seq(2L -> Some(bits(Double.NaN)), 3L -> Some(bits(1.0)),
+      1L -> Some(bits(0.5)), 4L -> None))
+  }
+
+  test("non-default null orderings keep the Window form") {
+    val win = Window.partitionBy("g")
+      .orderBy(col("score").desc_nulls_first, col("id"))
+    val df = scored.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= 3)
+    assert(df.queryExecution.optimizedPlan.toString.contains("Window"),
+      "DESC NULLS FIRST must not take the NULLS LAST heap path")
+  }
+
   test("extension-injected functions resolve in SQL without registration") {
     import spark.implicits._
     Seq((1L, "a b c d")).toDF("doc_id", "text")

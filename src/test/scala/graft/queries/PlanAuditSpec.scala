@@ -92,11 +92,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // ENTIRE scored corpus onto one reducer per query — the named
     // scale-killer. The plan must show topk_collect with a map-side
     // partial before the exchange, and no Window node anywhere.
-    // q64 is WRITTEN in the naive window form — it appears here
-    // because the TopKRewrite optimizer rule (on in every graft
-    // session) must rewrite it
+    // q64 (double score, long id) and q55 (long count score, string
+    // token id) are WRITTEN in the naive window form — they appear
+    // here because the TopKRewrite optimizer rule (on in every graft
+    // session) must rewrite both shapes
     for (q <- Seq("q40_cosine_topk", "q42_lsh_ann", "q44_ivf_ann",
-        "q51_media_feature_knn", "q64_group_sample")) {
+        "q51_media_feature_knn", "q64_group_sample", "q55_vocab_topk")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q ranks through a window funnel:\n$p")
       assert(p.contains("partial_topk_collect"),
