@@ -159,17 +159,28 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
   }
 
-  /** Connected components over an undirected edge list (a, b) by
-    * iterative min-label propagation: each round every node takes the
-    * minimum of its own label and its neighbors' labels — one shuffle
-    * join + one partial-aggregable min per round. `iters` must be ≥
-    * the component diameter; near-dup graphs are shallow (dup groups
-    * are near-cliques), and an adversarial long-chain corpus swaps in
-    * the large-star/small-star alternation (same join dataflow,
-    * O(log n) rounds) without changing callers. Returns
+  /** Connected components over an undirected edge list (a, b),
+    * iterated TO CONVERGENCE: each round every node takes the
+    * minimum of its own label and its neighbors' labels (one shuffle
+    * join + one partial-aggregable min), then POINTER-JUMPS — takes
+    * its current label's label via a second 1:1 equi-join — so label
+    * information travels exponentially: a component of diameter d
+    * resolves in O(log d) rounds, not d. A duplicate CHAIN (doc A ~ B
+    * ~ C ~ …, boilerplate templates with drifting content) of any
+    * depth therefore converges; the previous fixed-8-round version
+    * silently split chains deeper than its round count.
+    *
+    * Convergence detection is one cheap aggregate per round on the
+    * already-materialized frame: labels only ever DECREASE, so
+    * sum(lbl) (exact, decimal — no long overflow at any node count)
+    * is strictly monotone until the fixpoint, and an unchanged sum
+    * proves no label moved. `maxIters` is a safety cap, not a
+    * tuning knob: hitting it means > 2^maxIters diameter (impossible
+    * for any physical corpus) and raises rather than returning a
+    * silently-split clustering. Returns
     * (node, cluster_id = min reachable node id).
     */
-  def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     // Iterative dataflow MUST truncate lineage each round: labels_i
     // references labels_{i-1} twice (own label ∪ neighbor labels), so
     // an un-truncated plan doubles per round — 2^iters re-evaluations
@@ -187,15 +198,34 @@ object DedupOps {
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
-    for (_ <- 0 until iters) {
+    var prevSum: java.math.BigDecimal = null
+    var round = 0
+    while (round < maxIters) {
       val viaNbr = und.select(col("a"), col("b").as("node"))
         .join(labels, Seq("node"))
         .select(col("a").as("node"), col("lbl"))
-      labels = labels.union(viaNbr).groupBy("node")
+      val afterMin = labels.union(viaNbr).groupBy("node")
         .agg(min("lbl").as("lbl"))
+      // pointer jump: new label = label OF my label. Every lbl value
+      // is a node id present in afterMin, and labels are unique per
+      // node, so this is an exact 1:1 equi-join — and since labels
+      // are monotone (labels(x) <= x), the joined lbl2 IS the min.
+      labels = afterMin
+        .join(afterMin.select(col("node").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"))
+        .select(col("node"), col("lbl2").as("lbl"))
         .localCheckpoint()
+      round += 1
+      val sumRaw = labels.agg(org.apache.spark.sql.functions.sum(
+        col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+      val sum = if (sumRaw == null) java.math.BigDecimal.ZERO else sumRaw // empty graph
+      if (prevSum != null && sum.compareTo(prevSum) == 0)
+        return labels.select(col("node"), col("lbl").as("cluster_id"))
+      prevSum = sum
     }
-    labels.select(col("node"), col("lbl").as("cluster_id"))
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(component diameter > 2^rounds — check the input graph)")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -385,11 +415,21 @@ object DedupOps {
     // distinct docs contain it; each doc reports the duplicated
     // fraction of its distinct shingles, rolled up per language.
     // Plan shape: shingle-df is one partial-aggregable shuffle on the
-    // 8-byte shingle hash; the join back is equi on that key with NO
+    // EXACT shingle string; the join back is equi on that key with NO
     // fan-out (df frame has exactly one row per shingle); the per-doc
     // and per-lang rollups are narrow partial aggregates. No pair
     // join anywhere — cost stays linear in total shingles at any
     // corpus size.
+    //
+    // Deliberately NOT hashed to int64 here (unlike the q36/q46 band
+    // keys): those folds are collision-safe because an exact
+    // verifier downstream rejects false candidates, but q60's df IS
+    // the answer — an xxhash64 collision would merge two distinct
+    // shingles and flip df 1 → 2, silently marking them duplicated,
+    // and at 100 TB shingle cardinality makes 64-bit collisions
+    // certain. The wider string shuffle key is the price of exact
+    // semantics (a 128-bit hash would shrink it back at a ~2^-128
+    // residual risk if that shuffle ever dominates).
     QueryDef(
       "q60_dup_span_ratio",
       """WITH toks AS (
@@ -413,9 +453,9 @@ object DedupOps {
         |FROM per_doc p JOIN (SELECT doc_id, lang FROM documents) t
         |  ON p.doc_id = t.doc_id
         |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, dir) =>
-      val sh = shingles(s, dir).withColumn("gh", xxhash64(col("g"))).drop("g")
-      val df = sh.groupBy("gh").agg(count(lit(1)).as("df"))
-      val perDoc = sh.join(df, Seq("gh"))
+      val sh = shingles(s, dir)
+      val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      val perDoc = sh.join(df, Seq("g"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           count(when(col("df") >= 2, 1)).as("n_dup"))
@@ -436,11 +476,12 @@ object DedupOps {
     // The step after pair detection in a real dedup pipeline: group
     // transitively-connected near-dups into clusters and pick one
     // canonical doc per cluster (min doc_id). Components via
-    // iterative min-label propagation over the verified pair graph —
-    // each round is a shuffle join + partial-aggregable min, so the
-    // cost is O(rounds · |edges|) at any corpus size; the pair graph
-    // itself is the already-linear q36 output. The oracle spells the
-    // same closure as a recursive CTE.
+    // min-label propagation + pointer jumping over the verified pair
+    // graph, iterated TO CONVERGENCE (O(log diameter) rounds, each a
+    // shuffle join + partial-aggregable min — O(rounds · |edges|)
+    // total at any corpus size); the pair graph itself is the
+    // already-linear q36 output. The oracle spells the same closure
+    // as a recursive CTE.
     QueryDef(
       "q61_dedup_clusters",
       s"""WITH RECURSIVE $shingleSqlCte,
@@ -462,7 +503,7 @@ object DedupOps {
          |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
       val pairs = nearDupPairs(s, dir, minJaccard = 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      connectedComponents(pairs, iters = 8)
+      connectedComponents(pairs)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
         .orderBy("cluster_id")

@@ -622,26 +622,44 @@ object Relational {
     },
 
     // ---- q27: approximate sketches (HLL++, t-digest-style) -------
-    // Estimators are engine-specific by nature (Spark HLL++ vs
-    // DuckDB's approx structures give different estimates), so this
-    // is a rows-only check; exact twins are q08/q17. Percentiles are
-    // projected as scalar columns (not an array) so the harness'
-    // row-count compare can sort the frame.
-    QueryDef.noOracle("q27_approx_sketches") { (s, dir) =>
+    // Estimator INTERNALS are engine-specific (Spark HLL++ vs
+    // DuckDB's structures give different raw estimates), so raw
+    // estimates can never hash-match an oracle. Instead the query is
+    // SELF-VERIFYING: it computes each estimate AND its exact twin
+    // in the same aggregation and emits the containment booleans —
+    // HLL counts within 20% (4σ of the default 5% rsd),
+    // approx_percentile inside the exact 48th–52nd / 93rd–97th
+    // percentile envelope (accuracy=1000 guarantees 0.1% rank error;
+    // the margin is 20x that). The oracle emits literal `true`s, so
+    // estimator divergence is hash-checked without hashing estimator
+    // internals. ApproxSketchSpec additionally bounds the raw
+    // estimates against q08/q17-style exact aggregates.
+    QueryDef(
+      "q27_approx_sketches",
+      """SELECT l_returnflag, count(*) AS n,
+        |  true AS parts_ok, true AS orders_ok, true AS p50_ok, true AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("ep"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          countDistinct(col("l_orderkey")).as("eo"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
             .as("pq"),
+          expr("percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97))")
+            .as("env"),
           count(lit(1)).as("n"))
         .select(
-          col("l_returnflag"),
-          col("approx_parts"), col("approx_orders"),
-          col("pq").getItem(0).as("p50"),
-          col("pq").getItem(1).as("p95"),
-          col("n"))
+          col("l_returnflag"), col("n"),
+          (abs(col("ap") - col("ep")) <= col("ep") * 0.2).as("parts_ok"),
+          (abs(col("ao") - col("eo")) <= col("eo") * 0.2).as("orders_ok"),
+          col("pq").getItem(0)
+            .between(col("env").getItem(0), col("env").getItem(1)).as("p50_ok"),
+          col("pq").getItem(1)
+            .between(col("env").getItem(2), col("env").getItem(3)).as("p95_ok"))
         .orderBy("l_returnflag")
     },
 

@@ -24,6 +24,52 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Training-sequence packing (concat-and-cut) with HOT-SOURCE
+    * SALTING, the q62 operator: per source, documents are
+    * concatenated in doc_id order and cut into fixed `window`-token
+    * sequences; returns per-(source, seq_id) occupancy.
+    *
+    * The naive shape is one cumulative-sum window partitioned by
+    * source — which funnels a 90%-hot source's entire row set onto a
+    * single reducer. Instead the cumulative sum is two-level:
+    *
+    *  1. salt = floor(doc_id / saltDocs) — MONOTONE in doc_id, so
+    *     salts are contiguous slices of the concatenation order and
+    *     at most `saltDocs` docs land in any (source, salt) window
+    *     partition, whatever the source distribution;
+    *  2. a local running sum within each (source, salt) shard;
+    *  3. one tiny pre-aggregate (per-shard token totals — |docs| /
+    *     saltDocs rows) whose per-source running sum is each shard's
+    *     global OFFSET; local cum + offset = exactly the unsalted
+    *     cumulative sum, so sequence ids stitch across shards
+    *     byte-identically.
+    *
+    * The offset window itself funnels only the shard-total frame
+    * (saltDocs× smaller; recurse the same trick if that ever
+    * matters). `input` columns: (source, doc_id, n_tok).
+    */
+  def packSequences(input: DataFrame, window: Int, saltDocs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = input.withColumn("salt", floor(col("doc_id") / saltDocs))
+    val wLocal = Window.partitionBy("source", "salt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOffset = Window.partitionBy("source").orderBy("salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = salted.groupBy("source", "salt")
+      .agg(sum("n_tok").as("shard_tok"))
+      .withColumn("off", coalesce(sum("shard_tok").over(wOffset), lit(0L)))
+      .select("source", "salt", "off")
+    salted
+      .withColumn("cum_local", sum("n_tok").over(wLocal))
+      .join(offsets, Seq("source", "salt"))
+      .withColumn("cum", col("off") + col("cum_local"))
+      .filter(col("n_tok") > 0)
+      .select(col("source"),
+        floor((col("cum") - 1) / window).as("seq_id"), col("n_tok"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+  }
+
   private val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
@@ -352,12 +398,14 @@ object TextOps {
     // GPT-style packing: per source, documents are concatenated in
     // deterministic (doc_id) order and cut into fixed token windows;
     // a doc's window id is floor((cumulative_tokens - 1) / WINDOW).
-    // One window function per source partition — sources are the
-    // natural pack shards and stay balanced at scale (a 100 TB corpus
-    // has many sources; within-source skew is bounded by the corpus
-    // layout, and a hot source can be salted into sub-shards without
-    // changing the contract). Output is per-(source, seq) occupancy —
-    // the packing QA table (fill rate, fragmentation).
+    // Runs through packSequences — the SALTED two-level cumulative
+    // sum, so a hot source (90% of the corpus in one source) never
+    // funnels through a single window reducer: per-partition input
+    // is bounded at saltDocs docs by construction, and shard offsets
+    // stitch the sequence ids back byte-identically to the unsalted
+    // form (the oracle spells the unsalted single-window SQL).
+    // Output is per-(source, seq) occupancy — the packing QA table
+    // (fill rate, fragmentation).
     QueryDef(
       "q62_sequence_packing",
       """WITH t AS (
@@ -376,19 +424,12 @@ object TextOps {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM b GROUP BY source, seq_id
         |ORDER BY source, seq_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val window = 2048
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .select(col("source"), col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
-        .filter(col("n_tok") > 0)
-        .select(col("source"),
-          floor((col("cum") - 1) / window).as("seq_id"), col("n_tok"))
-        .groupBy("source", "seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      // saltDocs = 64 exercises multi-shard stitching even at toy SF
+      // (production would size it ~10^5 docs/shard)
+      packSequences(
+        docs(s, dir).select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok")),
+        window = 2048, saltDocs = 64)
         .orderBy("source", "seq_id")
     },
 

@@ -87,10 +87,68 @@ class DedupScaleSpec extends AnyFunSuite {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    val comp = DedupOps.connectedComponents(edges, iters = 4)
+    val comp = DedupOps.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on deep chains the fixed-round version split") {
+    import spark.implicits._
+    // A 41-node duplicate CHAIN (diameter 40) — the boilerplate-with-
+    // drifting-content shape — ordered so the min id sits at one END:
+    // plain neighbor-min propagation moves the label one hop per
+    // round, so the previous fixed-8-round version provably left
+    // nodes beyond hop 8 in separate clusters. With pointer jumping
+    // + fixpoint detection it must resolve to ONE cluster (and do so
+    // in O(log d) rounds — well under the safety cap).
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = DedupOps.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 41)
+    assert(comp.values.forall(_ == 0L),
+      s"chain split into ${comp.values.toSet.size} clusters: $comp")
+
+    // same graph with ids REVERSED (min at the far end of propagation
+    // order) — direction must not matter
+    val rev = (0L until 40L).map(i => (40L - i, 39L - i)).toDF("a", "b")
+    val compR = DedupOps.connectedComponents(rev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compR.values.forall(_ == 0L))
+  }
+
+  test("packSequences stitches salted shards byte-identically under a 90%-hot source") {
+    import spark.implicits._
+    // 90% of docs in one hot source (the skew the salting exists
+    // for), interleaved doc_ids, varying token counts
+    val rows = (0 until 1000).map { i =>
+      val src = if (i % 10 == 9) s"cold${i % 3}" else "hot"
+      (src, i.toLong, (i % 37 + 1).toLong)
+    }
+    val df = rows.toDF("source", "doc_id", "n_tok")
+    val out = TextOps.packSequences(df, window = 100, saltDocs = 64)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // reference: the UNSALTED semantics, computed directly in Scala —
+    // per source, cumulative tokens in doc_id order, seq = (cum-1)/100
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (_, _, t) =>
+        cum += t
+        (src, (cum - 1) / 100) -> t
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.size.toLong, vs.map(_._2).sum)
+    }
+    assert(out == expected)
+
+    // boundedness: the salted window's partitions hold at most
+    // saltDocs docs even though one source owns 90% of the corpus
+    val maxShard = df.withColumn("salt", floor(col("doc_id") / 64))
+      .groupBy("source", "salt").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxShard <= 64, s"shard of $maxShard docs exceeds saltDocs")
   }
 
   test("fitted IVF codebook keeps cells balanced on the embeddings corpus") {
