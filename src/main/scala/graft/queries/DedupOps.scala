@@ -228,6 +228,91 @@ object DedupOps {
         "(component diameter > 2^rounds — check the input graph)")
   }
 
+  /** Broadcast budget for the decontamination probe set: above this
+    * many distinct probe shingles the sweep switches from a broadcast
+    * semi-join to a plain shuffle equi-join. Sized so the broadcast
+    * payload stays well under Spark's executor-memory comfort zone
+    * (~1M shingles × ~40 B ≈ 40 MB per executor).
+    */
+  val MaxBroadcastProbeShingles = 1000000L
+
+  /** q58's decontamination sweep, reusable and SIZE-GATED: flag every
+    * non-probe doc sharing >= `minShared` distinct shingles with the
+    * probe corpus (`source == probeSource`).
+    *
+    * The probe side of the join is broadcast ONLY when its distinct
+    * shingle count (one cheap partial-aggregable count, executed
+    * eagerly here) fits `maxBroadcastShingles`; otherwise the sweep
+    * takes a shuffle equi-join on the shingle key. Real benchmark
+    * probe sets are tiny and always hit the broadcast path; the gate
+    * makes the operator misuse-proof — "decontaminate against half
+    * the corpus" degrades to a scalable shuffle join instead of
+    * OOMing every executor on an unbounded forced broadcast. The
+    * probe frame is evaluated twice on the broadcast path (count +
+    * join build); by the small-probe assumption that second pass is
+    * the cheap one.
+    *
+    * `sh` columns: (doc_id, source, g) — one row per distinct
+    * (doc, shingle).
+    */
+  def decontaminate(sh: DataFrame, probeSource: String, minShared: Long,
+      maxBroadcastShingles: Long = MaxBroadcastProbeShingles): DataFrame = {
+    val bench = sh.filter(col("source") === probeSource)
+      .select(col("g")).distinct()
+    val nProbe = bench.count()
+    val probe = if (nProbe <= maxBroadcastShingles) broadcast(bench) else bench
+    sh.filter(col("source") =!= probeSource)
+      .join(probe, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
+  }
+
+  /** q60's duplicated-span ratio, reusable: per language, the average
+    * fraction of each doc's distinct 3-token shingles that appear in
+    * >= 2 distinct docs, plus the count of mostly-duplicated docs.
+    *
+    * `exact = true` (the oracle-checked q60 path) aggregates document
+    * frequency on the exact shingle STRING — df IS the answer here,
+    * so unlike the q36/q46 band folds (where an exact verifier
+    * rejects false candidates downstream) a lossy key would silently
+    * flip df 1 → 2 on collision, and at 100 TB shingle cardinality
+    * 64-bit collisions are certain.
+    *
+    * `exact = false` is the documented 100 TB escape hatch when the
+    * full-string shuffle dominates: the df key becomes a 128-bit fold
+    * (two independent xxhash64 halves, distinct seed text). Expected
+    * collisions among n shingles ≈ n²/2^129 — under 3e-12 even at
+    * n = 10^18 — a stated, bounded approximation rather than a silent
+    * one. Both paths agree at test scale (DedupScaleSpec).
+    */
+  def dupSpanRatio(s: SparkSession, dir: String,
+      exact: Boolean = true): DataFrame = {
+    val sh0 = shingles(s, dir)
+    val keyed =
+      if (exact) sh0.select(col("doc_id"), col("g").as("k1"))
+      else sh0.select(col("doc_id"), xxhash64(col("g")).as("k1"),
+        xxhash64(lit("dupspan:h2"), col("g")).as("k2"))
+    val keys = keyed.columns.filter(_ != "doc_id").toSeq
+    val df = keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+    val perDoc = keyed.join(df, keys)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("df") >= 2, 1)).as("n_dup"))
+    // per-doc ⋈ lang is corpus-row-sized on BOTH sides: a plain
+    // co-shuffled equi-join on doc_id (no broadcast hint — neither
+    // side is small at scale; AQE may still pick one at toy SF)
+    val lang = Tables(s, dir, "documents").select("doc_id", "lang")
+    perDoc.join(lang, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(avg(col("n_dup").cast("double") / col("n_spans")) * 10000
+          + lit(0.5)) / 10000).as("avg_dup_ratio"),
+        count(when(col("n_dup") * 2 >= col("n_spans"), 1)).as("n_mostly_dup"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q35: MinHash signatures ---------------------------------
@@ -363,9 +448,11 @@ object DedupOps {
     // ---- q58: benchmark decontamination --------------------------
     // Flag training docs that share >= 5 distinct 3-gram shingles
     // with any "benchmark" doc (here: the src0 slice). The join is on
-    // the shingle hash (equi, linear), the benchmark side is tiny and
-    // broadcast, and output is per-corpus-doc — the standard
-    // eval-set decontamination sweep.
+    // the shingle key (equi, linear), the benchmark side is SIZE-
+    // GATED into a broadcast (see decontaminate — an oversized probe
+    // set degrades to a shuffle join, never an executor OOM), and
+    // output is per-corpus-doc — the standard eval-set
+    // decontamination sweep.
     QueryDef(
       "q58_decontamination",
       """WITH toks AS (
@@ -397,14 +484,7 @@ object DedupOps {
             element_at(col("t"), col("i") + 1), lit(" "),
             element_at(col("t"), col("i") + 2)).as("g"))
         .distinct()
-      val bench = sh.filter(col("source") === "src0")
-        .select(col("g")).distinct()
-      sh.filter(col("source") =!= "src0")
-        .join(broadcast(bench), Seq("g")) // benchmark set is small → broadcast
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
-        .filter(col("n_shared") >= 5)
-        .select(col("doc_id"), col("n_shared"))
+      decontaminate(sh, probeSource = "src0", minShared = 5)
         .orderBy("doc_id")
     },
 
@@ -428,8 +508,9 @@ object DedupOps {
     // shingles and flip df 1 → 2, silently marking them duplicated,
     // and at 100 TB shingle cardinality makes 64-bit collisions
     // certain. The wider string shuffle key is the price of exact
-    // semantics (a 128-bit hash would shrink it back at a ~2^-128
-    // residual risk if that shuffle ever dominates).
+    // semantics; dupSpanRatio(exact = false) is the documented
+    // 128-bit-fold variant for when that shuffle dominates
+    // (collision odds stated there; DedupScaleSpec pins agreement).
     QueryDef(
       "q60_dup_span_ratio",
       """WITH toks AS (
@@ -453,23 +534,7 @@ object DedupOps {
         |FROM per_doc p JOIN (SELECT doc_id, lang FROM documents) t
         |  ON p.doc_id = t.doc_id
         |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, dir) =>
-      val sh = shingles(s, dir)
-      val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
-      val perDoc = sh.join(df, Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          count(when(col("df") >= 2, 1)).as("n_dup"))
-      // per-doc ⋈ lang is corpus-row-sized on BOTH sides: a plain
-      // co-shuffled equi-join on doc_id (no broadcast hint — neither
-      // side is small at scale; AQE may still pick one at toy SF)
-      val lang = Tables(s, dir, "documents").select("doc_id", "lang")
-      perDoc.join(lang, Seq("doc_id"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          (floor(avg(col("n_dup").cast("double") / col("n_spans")) * 10000
-            + lit(0.5)) / 10000).as("avg_dup_ratio"),
-          count(when(col("n_dup") * 2 >= col("n_spans"), 1)).as("n_mostly_dup"))
-        .orderBy("lang")
+      dupSpanRatio(s, dir, exact = true)
     },
 
     // ---- q61: near-dup cluster formation (connected components) --

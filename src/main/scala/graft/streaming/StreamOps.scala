@@ -103,6 +103,22 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
 
+  /** Streaming exact document dedup on the content hash — the
+    * streaming form of the batch q30 operator
+    * (queries.TextOps q30_exact_dedup): keep the FIRST-arriving doc
+    * per md5(text) inside the watermark horizon, drop later copies.
+    * Input: (doc_id, text, ts); output adds the `text_hash` column so
+    * downstream sinks can key on it. Batch q30 picks min(doc_id) as
+    * keeper; streaming keep-first picks the earliest ARRIVAL — when
+    * docs arrive in doc_id order the two are row-identical, which is
+    * exactly what StreamOpsSpec's parity oracle drives and asserts.
+    */
+  def exactDedupDocStream(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Streaming NEAR-dup suppression for a document stream
     * (`doc_id, text, ts`): drop any document whose 64-bit SimHash
     * signature ([[graft.functions.SimHash64]] — computed per-row in

@@ -51,6 +51,55 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(DedupOps.dropStopShingles(sh, "g", maxDf = 10).count() == 3L)
   }
 
+  test("decontaminate broadcast is SIZE-GATED: oversized probe takes a shuffle join") {
+    import spark.implicits._
+    // 3 probe docs sharing shingles with 2 of 3 corpus docs
+    val sh = Seq(
+      (1L, "probe", "a b c"), (1L, "probe", "d e f"), (2L, "probe", "g h i"),
+      (3L, "probe", "j k l"),
+      (10L, "train", "a b c"), (10L, "train", "d e f"),
+      (11L, "train", "g h i"),
+      (12L, "train", "x y z")).toDF("doc_id", "source", "g")
+    val expected = Set((10L, 2L), (11L, 1L))
+
+    // pin the physical join shape: no AQE re-plan, no stats-driven
+    // auto-broadcast — only decontaminate's own gate decides
+    val saved = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // gate CLOSED (probe "too big"): shuffle equi-join, no broadcast
+      val gated = DedupOps.decontaminate(sh, "probe", minShared = 1,
+        maxBroadcastShingles = 0)
+      val gatedPlan = gated.queryExecution.executedPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin") &&
+        !gatedPlan.contains("BroadcastExchange"),
+        s"oversized probe still broadcast:\n$gatedPlan")
+      assert(gated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+
+      // gate OPEN (real small probe): the broadcast hint is applied
+      val hinted = DedupOps.decontaminate(sh, "probe", minShared = 1)
+      val hintedPlan = hinted.queryExecution.executedPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"small probe not broadcast:\n$hintedPlan")
+      assert(hinted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dupSpanRatio(exact=false) 128-bit fold agrees with the exact-string path at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = DedupOps.dupSpanRatio(spark, dir, exact = true)
+      .collect().map(_.toString).toSeq
+    val folded = DedupOps.dupSpanRatio(spark, dir, exact = false)
+      .collect().map(_.toString).toSeq
+    assert(exact == folded, s"exact=$exact\nfolded=$folded")
+    assert(exact.nonEmpty)
+  }
+
   test("kmeansStep pulls seed centroids onto well-separated clusters") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -180,6 +180,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles == 2, s"expected agg + sort shuffles only, got $shuffles:\n$p")
   }
 
+  test("q64 without TopKRewrite still returns identical rows via the Window path") {
+    // the rewrite must be an OPTIMIZATION, not a correctness
+    // dependency: a session built without GraftExtensions (or with
+    // the rule excluded) takes the naive one-reducer Window plan and
+    // produces the same rows. Exclusion by rule name is Spark's
+    // supported way to drop an injected optimizer rule per-session.
+    val fast = SparkEntry.queries("q64_group_sample")(spark, dir)
+    assert(!fast.queryExecution.executedPlan.toString.contains("Window"))
+    val fastRows = fast.collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKRewrite")
+    try {
+      val slow = SparkEntry.queries("q64_group_sample")(spark, dir)
+      val slowPlan = slow.queryExecution.executedPlan.toString
+      assert(slowPlan.contains("Window"),
+        s"exclusion did not restore the naive Window path:\n$slowPlan")
+      assert(!slowPlan.contains("partial_topk_collect"), slowPlan)
+      val slowRows = slow.collect().map(_.toString).toSeq
+      assert(slowRows == fastRows,
+        s"rewrite changed the answer:\nslow=$slowRows\nfast=$fastRows")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("q20 ETL projection reads only mapped columns") {
     val p = plan("q20_metadata_projection")
     val read = p.linesIterator.find(_.contains("ReadSchema")).toSeq.mkString
