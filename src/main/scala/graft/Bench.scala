@@ -1,47 +1,85 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Benchmark main: runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
   *
   * Methodology: one un-timed warmup query absorbs JVM/codegen/session
-  * startup; queries then run in stable defs order and are fully
-  * materialized through the noop datasource (no driver collect).
+  * startup; queries are fully materialized through the noop
+  * datasource (no driver collect).
   *
   * Each query is timed `Runs` times (default 3) and the HEADLINE
-  * per-query number is the MEDIAN — a single run cannot distinguish a
-  * real regression from this harness's measured ±1–2s sf0.1
-  * run-to-run variance, which made round-over-round diffs noise. The
-  * full per-run detail (median / min / spread / raw runs) is
-  * persisted in the `queries_detail` record of BENCH_out.json;
-  * `queries` keeps the one-number-per-query shape earlier rounds'
-  * parsers read. Regression rule of thumb for diffs: a query moved if
-  * its medians differ by more than the LARGER of the two spreads;
-  * anything inside that envelope is variance.
+  * per-query number is the MEDIAN. The runs are INTERLEAVED: the whole
+  * query list executes `Runs` times round-robin, NOT `Runs`
+  * back-to-back repeats of each query. Rationale (round 5's false
+  * alarm): with consecutive repeats, one multi-second system stall
+  * poisons every run of whichever query it lands on — r5's committed
+  * artifact claimed q30 regressed 15× (median 5.6 s) while an isolated
+  * re-run of unchanged code measured 0.38 s. Round-robin spreads a
+  * stall across ONE run of many queries, where each query's median
+  * absorbs it; the per-run wall-clock start timestamps (`ts_ms`) make
+  * any stall window identifiable post-hoc in the artifact itself.
+  *
+  * The full per-run detail (median / min / spread / raw runs /
+  * timestamps / failure count) is persisted in the `queries_detail`
+  * record of BENCH_out.json; `queries` keeps the
+  * one-number-per-query shape earlier rounds' parsers read.
+  * Regression rule of thumb for diffs: a query moved if its medians
+  * differ by more than the LARGER of the two spreads; anything inside
+  * that envelope is variance.
   */
 object Bench {
 
-  /** Timed repetitions per query; median reported. Overridable for
-    * quick local iteration (SPARK_GRAFT_BENCH_RUNS=1).
+  /** Timed passes over the query list; median reported. Overridable
+    * for quick local iteration (SPARK_GRAFT_BENCH_RUNS=1).
     */
   val DefaultRuns = 3
 
-  final case class Timing(runs: Seq[Double]) {
-    private val sorted = runs.sorted
-    def median: Double = sorted(sorted.size / 2)
-    def min: Double = sorted.head
-    def spread: Double = sorted.last - sorted.head
-    def json: String =
-      s"""{"median":$median,"min":$min,"spread":$spread,""" +
-        s""""runs":[${runs.mkString(",")}]}"""
+  /** One timed execution: elapsed seconds, wall-clock start (epoch
+    * ms), success flag.
+    */
+  final case class Sample(sec: Double, startMs: Long, ok: Boolean)
+
+  /** Median of an already-FILTERED sample of successful timings; even
+    * counts average the two middle elements (upper-middle alone biased
+    * r5's even-run medians high).
+    */
+  private def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  final case class Timing(samples: Seq[Sample]) {
+    // failed runs are EXCLUDED from every statistic: a fail-fast
+    // elapsed time measures the failure, not the query — including it
+    // (as pre-r6 code did) silently mixes meaningless numbers into
+    // medians and the headline total. All-failed → median None, and
+    // the query contributes nothing to the total (it is already loud
+    // in the `failed` list).
+    private val okSecs = samples.filter(_.ok).map(_.sec).sorted
+    def median: Option[Double] =
+      if (okSecs.isEmpty) None else Some(medianOf(okSecs))
+    def json: String = {
+      val med = median.fold("null")(_.toString)
+      val mn = if (okSecs.isEmpty) "null" else okSecs.head.toString
+      val spr = if (okSecs.isEmpty) "null"
+                else (okSecs.last - okSecs.head).toString
+      s"""{"median":$med,"min":$mn,"spread":$spr,""" +
+        s""""runs":[${samples.map(_.sec).mkString(",")}],""" +
+        s""""ts_ms":[${samples.map(_.startMs).mkString(",")}],""" +
+        s""""failed_runs":${samples.count(!_.ok)}}"""
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", DefaultRuns.toString).toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1 (got $runs)")
     // optional comma-separated query-name filter for isolated re-runs
     // (root-causing one query's delta without a full bench pass)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -61,27 +99,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val defs = SparkEntry.defs.filter(d => only.forall(_.contains(d.name)))
+    require(defs.nonEmpty,
+      "SPARK_GRAFT_BENCH_ONLY matched no queries; valid names: " +
+        SparkEntry.defs.map(_.name).mkString(", "))
     materialize(defs.head.name) // warmup, not timed
 
     // a failing query must be VISIBLE in the bench output — a silently
     // swallowed error would benchmark a broken query as fast
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results: Seq[(String, Timing)] = defs.map { d =>
-      val times = (0 until runs).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(d.name)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val samples: Map[String, scala.collection.mutable.ArrayBuffer[Sample]] =
+      defs.map(d => d.name ->
+        scala.collection.mutable.ArrayBuffer.empty[Sample]).toMap
+    for (_ <- 0 until runs; d <- defs) {
+      val startMs = System.currentTimeMillis()
+      val t0 = System.nanoTime()
+      val ok =
+        try { materialize(d.name); true }
         catch {
           case t: Throwable =>
-            if (!failed.contains(d.name)) {
-              failed += d.name
+            if (failed.add(d.name))
               System.err.println(
                 s"[bench] FAILED ${d.name}: ${t.getClass.getName}: ${t.getMessage}")
-            }
+            false
         }
-        (System.nanoTime() - t0) / 1e9
-      }
-      d.name -> Timing(times)
+      samples(d.name) += Sample((System.nanoTime() - t0) / 1e9, startMs, ok)
     }
+    val results: Seq[(String, Timing)] =
+      defs.map(d => d.name -> Timing(samples(d.name).toSeq))
     // ingestion throughput: the reference's actual surface is
     // Kafka→warehouse loading (envelope: 5 workers × 500-record
     // batches against BQ streaming inserts — BASELINE.md). Here the
@@ -90,11 +134,12 @@ object Bench {
     // processed on executors (nothing driver-side).
     val ingest = ingestBench(spark)
 
-    val qs = results.map { case (k, t) => "\"" + k + "\":" + t.median }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, t) =>
+      "\"" + k + "\":" + t.median.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
     val qsDetail = results.map { case (k, t) => "\"" + k + "\":" + t.json }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.median).sum
+    val total = results.flatMap(_._2.median).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     spark.stop()
     val json =
@@ -124,18 +169,31 @@ object Bench {
     * materialized good+bad sides. 1% of messages are poison (garbage
     * bytes) so the DLQ side-output is exercised too.
     *
-    * Returns the ingest JSON record with a PER-STAGE breakdown:
-    * `decode_sec` times the wire-decode+row-mapping stage alone
-    * (decode → noop, no split), `sec` times the full
-    * decode→split→materialize-both-sides pipeline, and `sink_sec` is
-    * their difference — the split + dual-materialization cost layered
-    * on top of decode. Attribution rule for round-over-round diffs:
-    * `rows_per_sec` under ~300k/s is a regression worth root-causing
-    * (envelope: r3 424k/s, r4 366k/s on full-bench-loaded JVMs; the
-    * reference's designed envelope is ~2.5k records in flight);
-    * the stage split says WHERE — decode (wire codec / row mapper) vs
-    * sink side (split, error classify, write).
+    * Returns the ingest JSON record with a PER-STAGE breakdown, each
+    * stage WARMED then timed `IngestReps` times, medians reported
+    * (round 5's single cold decode run produced decode_sec > sec and
+    * a clamped sink_sec of 0.0 — nonsense attribution):
+    *  - `decode_sec`: generator + wire-decode + row-mapping, one
+    *    pass to the noop sink (no split).
+    *  - `sec`: the full pipeline. The decoded frame is PERSISTED
+    *    before the two split sides materialize, so the
+    *    generate+decode subtree executes ONCE — the shape a real
+    *    deployment has (foreachBatch persists the micro-batch before
+    *    routing), and the shape that makes the subtraction meaningful.
+    *    Pre-r6 numbers (r3 424k/s, r4 366k/s) measured a lazy
+    *    double-scan of generate+decode and are not directly
+    *    comparable.
+    *  - `sink_sec` = sec − decode_sec, RAW (no clamp — a negative
+    *    value is an instrument flag that must stay visible): the
+    *    split + error-classify + dual materialization + cache
+    *    write/read cost layered on top of one decode pass.
+    * Attribution rule for round-over-round diffs: `rows_per_sec`
+    * under ~300k/s is a regression worth root-causing; the stage
+    * split says WHERE — decode (wire codec / row mapper) vs sink
+    * side (split, error classify, write).
     */
+  val IngestReps = 3
+
   private def ingestBench(spark: SparkSession, n: Long = 1000000L): String = {
     import graft.etl._
     import graft.pipeline.{PipelineConfig, ProtoPipeline}
@@ -180,20 +238,29 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    materialize(src) // warm the generator path un-timed
-    // stage 1 in isolation: decode only (includes the generator cost,
-    // identical in both measurements, so the difference isolates the
-    // split/materialize side)
-    val decodeSec = timed { materialize(pipeline.decode(src)) }
-    // full pipeline: decode → split → both sides materialized
-    val totalSec = timed {
-      val (good, bad) = pipeline.split(pipeline.decode(src))
-      materialize(good)
-      materialize(bad)
+    def decodePass(): Unit = materialize(pipeline.decode(src))
+    def fullPass(): Unit = {
+      val decoded = pipeline.decode(src).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (good, bad) = pipeline.split(decoded)
+        materialize(good)
+        materialize(bad)
+      } finally { decoded.unpersist(blocking = true); () }
     }
-    val sinkSec = math.max(totalSec - decodeSec, 0.0)
+
+    // warm BOTH paths un-timed: generator, decode codegen, and the
+    // persist/split machinery each JIT on first execution
+    decodePass()
+    fullPass()
+    val decodeRuns = Seq.fill(IngestReps)(timed(decodePass()))
+    val totalRuns = Seq.fill(IngestReps)(timed(fullPass()))
+    val decodeSec = medianOf(decodeRuns)
+    val totalSec = medianOf(totalRuns)
+    val sinkSec = totalSec - decodeSec // raw; negative = visible flag
     val rps = (n / totalSec).toLong
     s"""{"rows":$n,"sec":$totalSec,"decode_sec":$decodeSec,""" +
-      s""""sink_sec":$sinkSec,"rows_per_sec":$rps}"""
+      s""""sink_sec":$sinkSec,"rows_per_sec":$rps,""" +
+      s""""decode_runs":[${decodeRuns.mkString(",")}],""" +
+      s""""total_runs":[${totalRuns.mkString(",")}]}"""
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents`: MinHash signatures,
@@ -159,16 +159,38 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
   }
 
-  /** Connected components over an undirected edge list (a, b),
-    * iterated TO CONVERGENCE: each round every node takes the
-    * minimum of its own label and its neighbors' labels (one shuffle
-    * join + one partial-aggregable min), then POINTER-JUMPS — takes
-    * its current label's label via a second 1:1 equi-join — so label
-    * information travels exponentially: a component of diameter d
-    * resolves in O(log d) rounds, not d. A duplicate CHAIN (doc A ~ B
-    * ~ C ~ …, boilerplate templates with drifting content) of any
-    * depth therefore converges; the previous fixed-8-round version
-    * silently split chains deeper than its round count.
+  /** Edge-count budget for the single-pass connected-components path:
+    * at or under this many edges the pair graph provably fits one
+    * task (1M edges of boxed keys ≈ low hundreds of MB of hash-map)
+    * and a per-partition union-find resolves every component in ONE
+    * job; above it, the distributed pointer-jumping dataflow runs.
+    * Real 100 TB near-dup graphs are far above the gate; toy and
+    * per-shard graphs are far below it — same size-gate philosophy as
+    * [[decontaminate]].
+    */
+  val MaxSinglePassEdges = 1000000L
+
+  /** Connected components over an undirected edge list (a, b).
+    *
+    * SIZE-GATED (one cheap count on the already-materialized edge
+    * frame): a graph with <= `maxSinglePassEdges` edges is solved in
+    * a single `coalesce(1).mapPartitions` union-find pass — one Spark
+    * job, no rounds — because the dominant cost of the iterative path
+    * at small scale is per-round job overhead (q61 measured 3.2–4.8 s
+    * at sf0.1, almost all of it round scheduling over a 25-pair
+    * graph). Node keys must be Comparable (longs/strings/etc.) since
+    * cluster_id = min reachable node.
+    *
+    * Above the gate, iterated TO CONVERGENCE: each round every node
+    * takes the minimum of its own label and its neighbors' labels
+    * (one shuffle join + one partial-aggregable min), then
+    * POINTER-JUMPS — takes its current label's label via a second 1:1
+    * equi-join — so label information travels exponentially: a
+    * component of diameter d resolves in O(log d) rounds, not d. A
+    * duplicate CHAIN (doc A ~ B ~ C ~ …, boilerplate templates with
+    * drifting content) of any depth therefore converges; the previous
+    * fixed-8-round version silently split chains deeper than its
+    * round count.
     *
     * Convergence detection is one cheap aggregate per round on the
     * already-materialized frame: labels only ever DECREASE, so
@@ -180,7 +202,8 @@ object DedupOps {
     * silently-split clustering. Returns
     * (node, cluster_id = min reachable node id).
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 30,
+      maxSinglePassEdges: Long = MaxSinglePassEdges): DataFrame = {
     // Iterative dataflow MUST truncate lineage each round: labels_i
     // references labels_{i-1} twice (own label ∪ neighbor labels), so
     // an un-truncated plan doubles per round — 2^iters re-evaluations
@@ -192,8 +215,14 @@ object DedupOps {
     // materializes the step AND replaces its plan with a flat
     // LogicalRDD. Production note: use reliable checkpoint(dir) when
     // executor loss matters; the dataflow is identical.
-    val und = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    //
+    // The checkpoint also makes the size-gate count effectively free:
+    // the upstream pair pipeline runs exactly once either way, and
+    // counting the materialized LogicalRDD is a scan of local blocks.
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    if (e.count() <= maxSinglePassEdges) return singlePassCC(e)
+    val und = e
+      .union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -217,7 +246,7 @@ object DedupOps {
         .localCheckpoint()
       round += 1
       val sumRaw = labels.agg(org.apache.spark.sql.functions.sum(
-        col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+        col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
       val sum = if (sumRaw == null) java.math.BigDecimal.ZERO else sumRaw // empty graph
       if (prevSum != null && sum.compareTo(prevSum) == 0)
         return labels.select(col("node"), col("lbl").as("cluster_id"))
@@ -226,6 +255,49 @@ object DedupOps {
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds " +
         "(component diameter > 2^rounds — check the input graph)")
+  }
+
+  /** The under-the-gate CC path: ship every edge to ONE task
+    * (coalesce, no shuffle — the gate proved the graph is tiny) and
+    * run classic union-find with path compression there. Exact same
+    * contract as the iterative path: one output row per distinct
+    * node, cluster_id = min node of its component
+    * (DedupScaleSpec pins both paths row-identical on chain graphs).
+    */
+  private def singlePassCC(e: DataFrame): DataFrame = {
+    val nodeType = e.schema.fields.head.dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("cluster_id", nodeType)))
+    e.coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x // path compression
+        while (cur != root && parent.getOrElse(cur, cur) != root) {
+          val nxt = parent(cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      it.foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+      // cluster label = MIN member (nodes are Comparable: long/string)
+      val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+      parent.keysIterator.foreach { n =>
+        val r = find(n)
+        val m = minOf.get(r)
+        if (m.isEmpty ||
+            n.asInstanceOf[Comparable[Any]].compareTo(m.get) < 0)
+          minOf(r) = n
+      }
+      parent.keysIterator.map(n => Row(n, minOf(find(n))))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Broadcast budget for the decontamination probe set: above this
@@ -247,10 +319,20 @@ object DedupOps {
     * probe sets are tiny and always hit the broadcast path; the gate
     * makes the operator misuse-proof — "decontaminate against half
     * the corpus" degrades to a scalable shuffle join instead of
-    * OOMing every executor on an unbounded forced broadcast. The
-    * probe frame is evaluated twice on the broadcast path (count +
-    * join build); by the small-probe assumption that second pass is
-    * the cheap one.
+    * OOMing every executor on an unbounded forced broadcast.
+    *
+    * On the broadcast path the probe frame is PERSISTED across the
+    * gate count and the join build, so its subtree computes once, and
+    * the cached copy is by construction under the broadcast budget
+    * (≤ maxBroadcastShingles rows, ~40 MB) — left for LRU eviction,
+    * same lifecycle as the broadcast itself. On the shuffle path
+    * (unbounded probe) the cache is dropped immediately: recomputing
+    * the probe inside the scale-path join is cheaper than spilling an
+    * oversized cache. Note the gate count IS an eager one-row action
+    * at DataFrame-construction time — the one accurate way to decide
+    * broadcast safety (plan-statistics estimates over-estimate
+    * aggregate outputs and would push real probe sets off the fast
+    * path).
     *
     * `sh` columns: (doc_id, source, g) — one row per distinct
     * (doc, shingle).
@@ -259,8 +341,11 @@ object DedupOps {
       maxBroadcastShingles: Long = MaxBroadcastProbeShingles): DataFrame = {
     val bench = sh.filter(col("source") === probeSource)
       .select(col("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nProbe = bench.count()
-    val probe = if (nProbe <= maxBroadcastShingles) broadcast(bench) else bench
+    val probe =
+      if (nProbe <= maxBroadcastShingles) broadcast(bench)
+      else { bench.unpersist(); bench }
     sh.filter(col("source") =!= probeSource)
       .join(probe, Seq("g"))
       .groupBy("doc_id")
@@ -312,6 +397,33 @@ object DedupOps {
         count(when(col("n_dup") * 2 >= col("n_spans"), 1)).as("n_mostly_dup"))
       .orderBy("lang")
   }
+
+  /** q60's oracle SQL — shared verbatim by the exact (q60) and
+    * 128-bit-fold (q60_…_fold) paths; see the fold def for why one
+    * exact-string oracle checks both.
+    */
+  private val dupSpanSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(t) - 2, 0)),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks),
+      |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      |per_doc AS (
+      |  SELECT sh.doc_id, count(*) AS n_spans,
+      |    count(*) FILTER (WHERE df.df >= 2) AS n_dup
+      |  FROM sh JOIN df ON sh.g = df.g GROUP BY sh.doc_id)
+      |SELECT t.lang, count(*) AS n_docs,
+      |  floor(avg(CAST(n_dup AS DOUBLE) / n_spans) * 10000 + 0.5) / 10000
+      |    AS avg_dup_ratio,
+      |  count(*) FILTER (WHERE n_dup * 2 >= n_spans) AS n_mostly_dup
+      |FROM per_doc p JOIN (SELECT doc_id, lang FROM documents) t
+      |  ON p.doc_id = t.doc_id
+      |GROUP BY t.lang ORDER BY t.lang""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -513,28 +625,23 @@ object DedupOps {
     // (collision odds stated there; DedupScaleSpec pins agreement).
     QueryDef(
       "q60_dup_span_ratio",
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(
-        |    generate_series(1, greatest(len(t) - 2, 0)),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
-        |  FROM toks),
-        |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
-        |per_doc AS (
-        |  SELECT sh.doc_id, count(*) AS n_spans,
-        |    count(*) FILTER (WHERE df.df >= 2) AS n_dup
-        |  FROM sh JOIN df ON sh.g = df.g GROUP BY sh.doc_id)
-        |SELECT t.lang, count(*) AS n_docs,
-        |  floor(avg(CAST(n_dup AS DOUBLE) / n_spans) * 10000 + 0.5) / 10000
-        |    AS avg_dup_ratio,
-        |  count(*) FILTER (WHERE n_dup * 2 >= n_spans) AS n_mostly_dup
-        |FROM per_doc p JOIN (SELECT doc_id, lang FROM documents) t
-        |  ON p.doc_id = t.doc_id
-        |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, dir) =>
+      dupSpanSql) { (s, dir) =>
       dupSpanRatio(s, dir, exact = true)
+    },
+
+    // ---- q60f: the 128-bit-fold scale variant of q60 -------------
+    // Same semantics, df keyed on the two-half xxhash64 fold instead
+    // of the exact shingle string (the documented 100 TB escape hatch
+    // — collision odds stated at dupSpanRatio). Declared against the
+    // SAME oracle SQL: at driver SF the fold is collision-free
+    // (odds ~1e-28 at sf0.01 cardinality; DedupScaleSpec pins the two
+    // paths row-identical), so the exact-string oracle checks the
+    // fold path too — and the bench gets the measured fold-vs-exact
+    // datapoint the escape-hatch claim needs.
+    QueryDef(
+      "q60_dup_span_ratio_fold",
+      dupSpanSql) { (s, dir) =>
+      dupSpanRatio(s, dir, exact = false)
     },
 
     // ---- q61: near-dup cluster formation (connected components) --

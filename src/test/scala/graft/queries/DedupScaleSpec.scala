@@ -134,7 +134,8 @@ class DedupScaleSpec extends AnyFunSuite {
 
   test("connectedComponents resolves chains and keeps separate clusters apart") {
     import spark.implicits._
-    // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
+    // chain 1-2-3-4 (diameter 3) + isolated pair 10-11. Tiny graph →
+    // routed through the size gate onto the single-pass union-find.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val comp = DedupOps.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -151,8 +152,11 @@ class DedupScaleSpec extends AnyFunSuite {
     // nodes beyond hop 8 in separate clusters. With pointer jumping
     // + fixpoint detection it must resolve to ONE cluster (and do so
     // in O(log d) rounds — well under the safety cap).
+    // maxSinglePassEdges = 0 FORCES the distributed path — the round-6
+    // size gate would otherwise route this toy graph to union-find and
+    // leave the iterative dataflow untested.
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val comp = DedupOps.connectedComponents(chain)
+    val comp = DedupOps.connectedComponents(chain, maxSinglePassEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 41)
     assert(comp.values.forall(_ == 0L),
@@ -161,9 +165,37 @@ class DedupScaleSpec extends AnyFunSuite {
     // same graph with ids REVERSED (min at the far end of propagation
     // order) — direction must not matter
     val rev = (0L until 40L).map(i => (40L - i, 39L - i)).toDF("a", "b")
-    val compR = DedupOps.connectedComponents(rev)
+    val compR = DedupOps.connectedComponents(rev, maxSinglePassEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(compR.values.forall(_ == 0L))
+  }
+
+  test("single-pass and pointer-jumping CC paths agree row for row") {
+    import spark.implicits._
+    // deterministic mixed graph: a deep chain, a star, a triangle
+    // with a chord, singleton-free isolated pairs — both paths must
+    // produce the identical (node, min-of-component) relation.
+    val edges = ((0L until 30L).map(i => (i, i + 1)) ++ // chain 0..30
+      (0L until 8L).map(i => (100L, 101L + i)) ++       // star at 100
+      Seq((200L, 201L), (201L, 202L), (200L, 202L),     // triangle
+        (300L, 301L), (302L, 303L))).toDF("a", "b")
+    val single = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = DedupOps.connectedComponents(edges, maxSinglePassEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == dist,
+      s"paths disagree: only-single=${single.toSet -- dist.toSet} " +
+        s"only-dist=${dist.toSet -- single.toSet}")
+    assert(single.values.toSet == Set(0L, 100L, 200L, 300L, 302L))
+  }
+
+  test("single-pass CC plan has no shuffle exchange (coalesce only)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val plan = DedupOps.connectedComponents(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"single-pass CC must not shuffle:\n$plan")
   }
 
   test("packSequences stitches salted shards byte-identically under a 90%-hot source") {

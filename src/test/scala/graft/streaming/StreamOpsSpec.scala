@@ -266,6 +266,105 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(relayout.forall(r => !kept.contains(r._1)), "re-layout copy landed")
   }
 
+  test("PARITY: stream-stream interval join over the real events equals the batch bucketed range-join twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // real sf0.001 events split into the two attribution sides
+    val evs = graft.Tables(spark, parityDir, "events")
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val clickRows = evs.filter(_.event_type == "click")
+    val viewRows = evs.filter(_.event_type == "view")
+
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    clicks.addData(clickRows)
+    views.addData(viewRows)
+    val q = attributionJoin(clicks.toDF(), views.toDF(), horizonMin = 30,
+      lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_parity").start()
+    q.processAllAvailable()
+    // far-future sentinel on BOTH sides pushes both watermarks past
+    // every buffered row → the inner-join state flushes completely,
+    // making the emitted set total like a batch pass
+    val horizon = new Timestamp(evs.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000)
+    clicks.addData(Event(horizon, -1L, "click", 0.0))
+    views.addData(Event(horizon, -1L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_parity")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"click_ts", $"view_ts", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+      .sorted
+
+    // batch twin: the q47-style bucketed-epoch range-join rewrite
+    // (Relational q47's scale shape) applied to the attribution
+    // semantics — a genuinely different implementation of the same
+    // interval join: views single-bucketed on 30-min epochs, clicks
+    // exploded to the 2 covering buckets, equi-join on
+    // (user_id, bucket), exact range as post-filter.
+    val vB = viewRows.toDS()
+      .select($"user_id", $"ts".as("view_ts"),
+        floor(unix_timestamp($"ts") / 1800).as("bucket"))
+    val b = floor(unix_timestamp($"click_ts") / 1800)
+    val batch = clickRows.toDS()
+      .select($"user_id", $"ts".as("click_ts"), $"value")
+      .withColumn("bucket", explode(array(b - 1, b)))
+      .join(vB, Seq("user_id", "bucket"))
+      .filter($"view_ts" <= $"click_ts" &&
+        $"view_ts" >= $"click_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"user_id", $"click_ts", $"view_ts", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+      .sorted
+    assert(batch.nonEmpty, "parity vacuous: no click–view pairs in the corpus")
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.length} rows, batch=${batch.length} rows; " +
+        s"firstDiff=${streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("PARITY: stream-static enrich over the real events equals the batch broadcast join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables(spark, parityDir, "events")
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    // real dimension: the customer table keyed to user_id, thinned to
+    // two-thirds (at sf0.001 every event user has a customer row, which
+    // would leave the left-outer null path untested) — dropped users
+    // must come through with a null segment
+    val dim = graft.Tables(spark, parityDir, "customer")
+      .filter($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+
+    val stream = MemoryStream[Event]
+    stream.addData(evs)
+    val q = enrich(stream.toDF(), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"ts", $"event_type", $"value", $"segment")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getDouble(3), Option(r.getString(4)).getOrElse("∅")))
+      .sorted
+    val streamed = canon(spark.table("enrich_parity"))
+    val batch = canon(evs.toDS().join(dim, Seq("user_id"), "left_outer"))
+    assert(streamed.nonEmpty)
+    assert(streamed.exists(_._5 == "∅"),
+      "parity vacuous: every event matched the dim — null path untested")
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.length} batch=${batch.length}; " +
+        s"firstDiff=${streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("stream-static enrich broadcasts the dim, no stream shuffle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
