@@ -170,29 +170,37 @@ object Bench {
     * bytes) so the DLQ side-output is exercised too.
     *
     * Returns the ingest JSON record with a PER-STAGE breakdown, each
-    * stage WARMED then timed `IngestReps` times, medians reported
-    * (round 5's single cold decode run produced decode_sec > sec and
-    * a clamped sink_sec of 0.0 — nonsense attribution):
-    *  - `decode_sec`: generator + wire-decode + row-mapping, one
-    *    pass to the noop sink (no split).
-    *  - `sec`: the full pipeline. The decoded frame is PERSISTED
-    *    before the two split sides materialize, so the
+    * stage WARMED then timed `IngestReps` times with the two stages
+    * INTERLEAVED (decode, full, decode, full, …) so a host stall
+    * cannot poison one stage's whole series (round 5's single cold
+    * decode run produced decode_sec > sec and a clamped sink_sec of
+    * 0.0 — nonsense attribution; the first r6 cut kept the stages
+    * consecutive and a stall in the decode series produced
+    * sink_sec = −0.12):
+    *  - `decode_sec` (median): generator + wire-decode + row-mapping,
+    *    one pass to the noop sink (no split).
+    *  - `sec` (median): the full pipeline. The decoded frame is
+    *    PERSISTED before the two split sides materialize, so the
     *    generate+decode subtree executes ONCE — the shape a real
     *    deployment has (foreachBatch persists the micro-batch before
-    *    routing), and the shape that makes the subtraction meaningful.
-    *    Pre-r6 numbers (r3 424k/s, r4 366k/s) measured a lazy
-    *    double-scan of generate+decode and are not directly
+    *    routing), and the shape that makes the subtraction
+    *    meaningful. Pre-r6 numbers (r3 424k/s, r4 366k/s) measured a
+    *    lazy double-scan of generate+decode and are not directly
     *    comparable.
-    *  - `sink_sec` = sec − decode_sec, RAW (no clamp — a negative
-    *    value is an instrument flag that must stay visible): the
-    *    split + error-classify + dual materialization + cache
-    *    write/read cost layered on top of one decode pass.
+    *  - `sink_sec` = min(total runs) − min(decode runs): the split +
+    *    error-classify + dual materialization + cache cost layered on
+    *    top of one decode pass. MINIMA, not medians: a stall can only
+    *    INFLATE a run, so per-stage minima are the cleanest estimate
+    *    of intrinsic stage cost, and at sub-second stage costs the
+    *    median difference proved sign-unstable under stalls. Still
+    *    raw — a negative value (decode floor above total floor) is an
+    *    instrument flag that must stay visible, never clamped.
     * Attribution rule for round-over-round diffs: `rows_per_sec`
     * under ~300k/s is a regression worth root-causing; the stage
     * split says WHERE — decode (wire codec / row mapper) vs sink
     * side (split, error classify, write).
     */
-  val IngestReps = 3
+  val IngestReps = 5
 
   private def ingestBench(spark: SparkSession, n: Long = 1000000L): String = {
     import graft.etl._
@@ -252,11 +260,12 @@ object Bench {
     // persist/split machinery each JIT on first execution
     decodePass()
     fullPass()
-    val decodeRuns = Seq.fill(IngestReps)(timed(decodePass()))
-    val totalRuns = Seq.fill(IngestReps)(timed(fullPass()))
+    val (decodeRuns, totalRuns) = (0 until IngestReps).map { _ =>
+      (timed(decodePass()), timed(fullPass())) // interleaved
+    }.unzip
     val decodeSec = medianOf(decodeRuns)
     val totalSec = medianOf(totalRuns)
-    val sinkSec = totalSec - decodeSec // raw; negative = visible flag
+    val sinkSec = totalRuns.min - decodeRuns.min // raw; negative = visible flag
     val rps = (n / totalSec).toLong
     s"""{"rows":$n,"sec":$totalSec,"decode_sec":$decodeSec,""" +
       s""""sink_sec":$sinkSec,"rows_per_sec":$rps,""" +

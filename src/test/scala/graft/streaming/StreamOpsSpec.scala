@@ -266,6 +266,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(relayout.forall(r => !kept.contains(r._1)), "re-layout copy landed")
   }
 
+  test("PARITY: streaming hourly window agg over the real events equals batch q13 row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables(spark, parityDir, "events")
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val stream = MemoryStream[Event]
+    stream.addData(evs) // one batch: watermark starts at epoch, nothing late
+    val q = hourlyTypeCounts(stream.toDF(), lateness = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_parity").start()
+    q.processAllAvailable()
+    // far-future sentinel closes every open window → emission is total
+    val horizon = new Timestamp(evs.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000)
+    stream.addData(Event(horizon, -1L, "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly_parity")
+      .filter($"event_type" =!= "sentinel")
+      .select($"hour_ts", $"event_type", $"n_events",
+        round($"sum_value", 2).as("sum_value")) // q13 rounds; apply to match
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    val batch = graft.SparkEntry.queries("q13_events_hourly")(spark, parityDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    assert(batch.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.length} batch=${batch.length}; " +
+        s"firstDiff=${streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
   test("PARITY: stream-stream interval join over the real events equals the batch bucketed range-join twin") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
