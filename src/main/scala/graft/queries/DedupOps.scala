@@ -647,13 +647,18 @@ object DedupOps {
     // ---- q61: near-dup cluster formation (connected components) --
     // The step after pair detection in a real dedup pipeline: group
     // transitively-connected near-dups into clusters and pick one
-    // canonical doc per cluster (min doc_id). Components via
-    // min-label propagation + pointer jumping over the verified pair
-    // graph, iterated TO CONVERGENCE (O(log diameter) rounds, each a
-    // shuffle join + partial-aggregable min — O(rounds · |edges|)
-    // total at any corpus size); the pair graph itself is the
-    // already-linear q36 output. The oracle spells the same closure
-    // as a recursive CTE.
+    // canonical doc per cluster (min doc_id). Components via the
+    // size-gated connectedComponents: at bench scale the 25-pair
+    // graph runs the single-pass union-find (one job); at corpus
+    // scale, min-label propagation + pointer jumping iterated TO
+    // CONVERGENCE (O(log diameter) rounds, each a shuffle join +
+    // partial-aggregable min — O(rounds · |edges|) total at any
+    // corpus size); the pair graph itself is the already-linear q36
+    // output. The oracle spells the same closure as a recursive CTE.
+    // Cost floor (sf0.1, r6 interleaved medians): q61 ≈ 2.3–2.6 s of
+    // which the shared nearDupPairs pipeline is ~2.4 s (q36 alone)
+    // — CC itself is now ~0.2 s; further reduction means making the
+    // signature/banding pipeline cheaper, not the clustering.
     QueryDef(
       "q61_dedup_clusters",
       s"""WITH RECURSIVE $shingleSqlCte,
