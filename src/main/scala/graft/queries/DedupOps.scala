@@ -398,6 +398,83 @@ object DedupOps {
       .orderBy("lang")
   }
 
+  /** q65's duplicated-span REMOVAL — the step after q60's
+    * measurement: rewrite each document keeping only tokens not
+    * covered by any corpus-duplicated 3-token shingle (the removal
+    * phase of ExactSubstr dedup, Lee et al. "Deduplicating Training
+    * Data" lineage — applied at shingle granularity).
+    *
+    * A token at position j is covered by the shingles starting at
+    * positions [j-2, j] (clamped to valid starts [1, T-2]); it is
+    * removed when ANY covering shingle occurs in >= 2 distinct docs.
+    *
+    * Plan shape, all linear in corpus size: one POSITIONAL shingle
+    * explode (q60's distinct frame can't say WHERE a duplicated
+    * shingle sits), one partial-aggregable df shuffle on the shingle
+    * string, one equi-join back restricted to df >= 2 shingles, a
+    * per-doc collect_list of duplicated START positions (bounded by
+    * tokens-per-doc — training corpora cap document length), and a
+    * per-row codegen'd rebuild (filter/transform over the token
+    * array). No pair joins anywhere.
+    */
+  def removeDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val pos = docs.filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+      .select(col("doc_id"), col("i"),
+        concat(
+          element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1), lit(" "),
+          element_at(col("t"), col("i") + 2)).as("g"))
+    val dfG = pos.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val dupStarts = pos
+      .join(dfG.filter(col("df") >= 2).select("g"), Seq("g"))
+      .groupBy("doc_id").agg(collect_list(col("i")).as("dup_starts"))
+    docs.join(dupStarts, Seq("doc_id"), "left_outer")
+      .withColumn("ds",
+        coalesce(col("dup_starts"), expr("array()").cast("array<int>")))
+      // Spark's sequence(a, b) DESCENDS when a > b (DuckDB's returns
+      // empty), so the degenerate short-doc cases are split out
+      // explicitly instead of relying on empty covering ranges.
+      .withColumn("kept",
+        when(size(col("t")) === 0, expr("array()").cast("array<int>"))
+          .when(size(col("t")) < 3, expr("sequence(1, size(t))"))
+          .otherwise(expr(
+            "filter(sequence(1, size(t)), j -> NOT arrays_overlap(ds, " +
+              "sequence(greatest(j - 2, 1), least(j, size(t) - 2))))")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", expr("transform(kept, j -> element_at(t, j))"))
+          .as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q66's per-document novelty score — the curation signal for
+    * dataset ordering/pruning: the fraction of a document's distinct
+    * 3-token shingles whose FIRST occurrence (min doc_id, the
+    * deterministic proxy for ingestion order) is this document.
+    * Planted near-dup copies score near 0; fresh content scores near
+    * 1. Two partial-aggregable shuffles (shingle distinct + min,
+    * join back + per-doc rollup), an equi-join with no fan-out
+    * beyond shingle df — linear at any corpus size, no pair joins.
+    */
+  def noveltyScores(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+    sh.join(first, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty",
+        floor(col("n_novel").cast("double") / col("n_shingles") * 10000
+          + lit(0.5)) / 10000)
+      .orderBy("doc_id")
+  }
+
   /** q60's oracle SQL — shared verbatim by the exact (q60) and
     * 128-bit-fold (q60_…_fold) paths; see the fold def for why one
     * exact-string oracle checks both.
@@ -642,6 +719,68 @@ object DedupOps {
       "q60_dup_span_ratio_fold",
       dupSpanSql) { (s, dir) =>
       dupSpanRatio(s, dir, exact = false)
+    },
+
+    // ---- q65: duplicated-span REMOVAL (ExactSubstr rewrite) ------
+    // q60 measures duplication; this REWRITES the corpus: every token
+    // covered by a >= 2-doc shingle is dropped and the cleaned text
+    // reassembled — hash-checked byte-for-byte against DuckDB doing
+    // the same list surgery. See removeDupSpans for the plan shape.
+    QueryDef(
+      "q65_dup_span_removal",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |  FROM toks),
+        |posg AS (
+        |  SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM pos),
+        |dfg AS (SELECT g, count(DISTINCT doc_id) AS df FROM posg GROUP BY g),
+        |dup AS (
+        |  SELECT p.doc_id, list(p.i) AS dup_starts
+        |  FROM posg p JOIN dfg ON p.g = dfg.g
+        |  WHERE dfg.df >= 2 GROUP BY p.doc_id),
+        |sel AS (
+        |  SELECT tk.doc_id, tk.t,
+        |    list_filter(generate_series(1, len(tk.t)), j ->
+        |      NOT list_has_any(coalesce(d.dup_starts, []),
+        |        generate_series(greatest(j - 2, 1), least(j, len(tk.t) - 2)))) AS kept
+        |  FROM toks tk LEFT JOIN dup d ON tk.doc_id = d.doc_id)
+        |SELECT doc_id, len(t) AS n_tokens, len(kept) AS n_kept,
+        |  coalesce(array_to_string(list_transform(kept, j -> t[j]), ' '), '')
+        |    AS cleaned_text
+        |FROM sel ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      removeDupSpans(s, dir)
+    },
+
+    // ---- q66: document novelty scoring ---------------------------
+    // Curation signal: share of each doc's distinct shingles first
+    // seen (min doc_id) in that doc — near-dup copies score ~0.
+    QueryDef(
+      "q66_novelty_scores",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |fst AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+        |per AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles,
+        |    count(*) FILTER (WHERE f.first_doc = sh.doc_id) AS n_novel
+        |  FROM sh JOIN fst f ON sh.g = f.g GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  floor(CAST(n_novel AS DOUBLE) / n_shingles * 10000 + 0.5) / 10000
+        |    AS novelty
+        |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      noveltyScores(s, dir)
     },
 
     // ---- q61: near-dup cluster formation (connected components) --

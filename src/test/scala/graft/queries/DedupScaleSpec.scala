@@ -198,6 +198,44 @@ class DedupScaleSpec extends AnyFunSuite {
       s"single-pass CC must not shuffle:\n$plan")
   }
 
+  test("removeDupSpans output is internally consistent and removes the planted dups") {
+    val out = DedupOps.removeDupSpans(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nTok, nKept, cleaned) =>
+      assert(nKept >= 0 && nKept <= nTok, s"doc $id: kept $nKept of $nTok")
+      // the cleaned text's own token count must equal n_kept
+      val rebuilt = cleaned.split("\\s+").count(_.nonEmpty)
+      assert(rebuilt == nKept, s"doc $id: cleaned has $rebuilt tokens, n_kept=$nKept")
+    }
+    // the corpus has planted near-dups → some spans must go
+    assert(out.map(_._3).sum < out.map(_._2).sum, "nothing was removed")
+    // ...but not EVERYTHING: unique runs survive somewhere (byte-level
+    // exactness of the rewrite is the q65 DuckDB oracle's job; the
+    // tiny-vocab corpus has chance 3-gram overlap in every doc, so a
+    // fully-intact doc is NOT an invariant here)
+    assert(out.map(_._3).sum > 0, "the whole corpus was removed")
+  }
+
+  test("noveltyScores: first doc scores 1.0, sharing pulls later docs below 1") {
+    val rows = DedupOps.noveltyScores(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nSh, nNov, nov) =>
+      assert(nNov >= 0 && nNov <= nSh, s"doc $id")
+      assert(nov >= 0.0 && nov <= 1.0, s"doc $id novelty $nov")
+    }
+    // min doc_id with shingles: every one of its shingles is first
+    // seen in it by construction of first_doc = min(doc_id)
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0, s"first doc ${first._1} scored ${first._4}")
+    // planted near-dup copies (and chance vocab overlap) must pull
+    // someone below 1
+    assert(rows.exists(_._4 < 1.0), "no doc shares any shingle — suspicious")
+  }
+
   test("packSequences stitches salted shards byte-identically under a 90%-hot source") {
     import spark.implicits._
     // 90% of docs in one hot source (the skew the salting exists
