@@ -155,6 +155,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"duplicated-span analysis must stay linear in shingles:\n$p")
   }
 
+  test("q65 span removal stays linear: no pair join, no Window") {
+    val p = plan("q65_dup_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span removal must never pair documents:\n$p")
+    // the per-doc rebuild is array surgery inside the row, not a
+    // Window over token rows
+    assert(!p.contains("Window"), s"token rebuild degenerated to a Window:\n$p")
+  }
+
+  test("q66 novelty is two partial-aggregable shuffles, no pair join, no Window") {
+    val p = plan("q66_novelty_scores")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("Window"), s"novelty must stay linear:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"first-seen aggregation lost its map-side partial:\n$p")
+  }
+
   test("q62 packing: full-data window partitions by (source, salt) — hot sources bounded") {
     val p = plan("q62_sequence_packing")
     // the full-data cumulative window must partition by (source,
