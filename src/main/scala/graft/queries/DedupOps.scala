@@ -58,9 +58,15 @@ object DedupOps {
     sh.join(stop, Seq(key), "left_anti")
   }
 
-  /** doc_id + exploded distinct 3-token shingles. */
+  /** doc_id + exploded distinct 3-token shingles over the
+    * `documents` table at `dir`.
+    */
   private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    shingles(Tables(s, dir, "documents").select("doc_id", "text"))
+
+  /** Same over any (doc_id, text) frame. */
+  private[queries] def shingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
@@ -416,9 +422,11 @@ object DedupOps {
     * tokens-per-doc — training corpora cap document length), and a
     * per-row codegen'd rebuild (filter/transform over the token
     * array). No pair joins anywhere.
+    *
+    * `docs0` columns: (doc_id, text).
     */
-  def removeDupSpans(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  def removeDupSpans(docs0: DataFrame): DataFrame = {
+    val docs = docs0
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
     val pos = docs.filter(size(col("t")) >= 3)
       .select(col("doc_id"),
@@ -453,6 +461,10 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** q65 over the `documents` table at `dir`. */
+  def removeDupSpans(s: SparkSession, dir: String): DataFrame =
+    removeDupSpans(Tables(s, dir, "documents").select("doc_id", "text"))
+
   /** q66's per-document novelty score — the curation signal for
     * dataset ordering/pruning: the fraction of a document's distinct
     * 3-token shingles whose FIRST occurrence (min doc_id, the
@@ -462,8 +474,12 @@ object DedupOps {
     * join back + per-doc rollup), an equi-join with no fan-out
     * beyond shingle df — linear at any corpus size, no pair joins.
     */
-  def noveltyScores(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  def noveltyScores(s: SparkSession, dir: String): DataFrame =
+    noveltyScores(Tables(s, dir, "documents").select("doc_id", "text"))
+
+  /** Same over any (doc_id, text) frame. */
+  def noveltyScores(docs0: DataFrame): DataFrame = {
+    val sh = shingles(docs0)
     val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
     sh.join(first, Seq("g"))
       .groupBy("doc_id")

@@ -218,6 +218,46 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(out.map(_._3).sum > 0, "the whole corpus was removed")
   }
 
+  test("removeDupSpans edge docs: empty / sub-shingle / fully-duplicated / unique") {
+    import spark.implicits._
+    // the T<3 cases are exactly where Spark's sequence(a,b) DESCENDS
+    // for a>b (DuckDB returns empty) — pin the split-out branches
+    val docs = Seq(
+      (1L, ""),                                // no tokens
+      (2L, "one"),                             // 1 token, no shingles
+      (3L, "two words"),                       // 2 tokens, no shingles
+      (4L, "alpha beta gamma delta"),          // exact pair with 5 →
+      (5L, "alpha beta gamma delta"),          //   every token covered
+      (6L, "six fresh tokens appear only once")).toDF("doc_id", "text")
+    val out = DedupOps.removeDupSpans(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((0L, 0L, "")))
+    assert(out(2L) == ((1L, 1L, "one"))) // sub-shingle docs pass intact
+    assert(out(3L) == ((2L, 2L, "two words")))
+    assert(out(4L) == ((4L, 0L, ""))) // fully duplicated → fully removed
+    assert(out(5L) == ((4L, 0L, "")))
+    assert(out(6L) == ((6L, 6L, "six fresh tokens appear only once")))
+  }
+
+  test("noveltyScores on a planted copy: original 1.0, copy 0.0, sub-shingle docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "too short"),                      // no shingles → no row
+      (4L, "alpha beta gamma delta"),
+      (5L, "alpha beta gamma delta"),         // copy: all first seen in 4
+      (6L, "six fresh tokens appear only once")).toDF("doc_id", "text")
+    val out = DedupOps.noveltyScores(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(4L, 5L, 6L))
+    assert(out(4L) == ((2L, 2L, 1.0)))
+    assert(out(5L) == ((2L, 0L, 0.0)))
+    assert(out(6L) == ((4L, 4L, 1.0)))
+  }
+
   test("noveltyScores: first doc scores 1.0, sharing pulls later docs below 1") {
     val rows = DedupOps.noveltyScores(spark, "/root/testdata/sf0.001")
       .collect()
