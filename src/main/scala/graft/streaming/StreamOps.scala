@@ -171,4 +171,45 @@ object StreamOps {
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** ONLINE decontamination — the streaming form of the batch q58
+    * sweep ([[graft.queries.DedupOps.decontaminate]]): flag every
+    * arriving document (`doc_id, text, ts`) that shares >= `minShared`
+    * distinct 3-token shingles with the static benchmark/probe
+    * shingle set (`probe`: one `g` column, distinct shingles). The
+    * shape a training-data intake runs so contaminated docs never
+    * land.
+    *
+    * Scale/state story: the per-row shingle explode is stateless; the
+    * probe side is static and BROADCAST (callers size it like the
+    * batch gate — an unbounded probe belongs in the batch sweep, not
+    * on the stream); the only streaming state is the per-(doc, ts)
+    * shared-shingle count, which groups on the watermark column and
+    * is therefore evicted as event time advances. Emits
+    * (doc_id, ts, n_shared) for flagged docs, on watermark close.
+    */
+  def decontaminateStream(docs: DataFrame, probe: DataFrame,
+      minShared: Long, lateness: String = "1 hour"): DataFrame = {
+    // watermark BEFORE the probe join: rows that match no probe
+    // shingle are dropped by the inner join, and a watermark node
+    // placed after it would only see matching rows — event time then
+    // never advances on clean traffic and the aggregation never emits
+    val sh = docs
+      .withWatermark("ts", lateness)
+      .withColumn("t", graft.queries.TextOps.tokens(col("text")))
+      // distinct shingles of THIS doc, as one array — empty for
+      // sub-shingle docs (guarded: Spark's sequence() descends on
+      // start > stop)
+      .withColumn("gs",
+        when(size(col("t")) < 3, expr("array()").cast("array<string>"))
+          .otherwise(expr(
+            "array_distinct(transform(sequence(1, size(t) - 2), i -> " +
+              "concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', " +
+              "element_at(t, i + 2))))")))
+      .select(col("doc_id"), col("ts"), explode(col("gs")).as("g"))
+    sh.join(broadcast(probe), Seq("g"))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -400,6 +400,59 @@ class StreamOpsSpec extends AnyFunSuite {
         s"firstDiff=${streamed.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("PARITY: online decontamination over the real docs equals the batch q58 sweep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // same split as q58: src0 is the benchmark/probe corpus, the rest
+    // stream in as training docs
+    val docs = graft.Tables(spark, parityDir, "documents")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val minShared = 3L
+    val probe = docs.filter(_._2 == "src0").map(_._3).toDF("text")
+      .withColumn("t", graft.queries.TextOps.tokens($"text"))
+      .filter(size($"t") >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat(element_at(t, i), " +
+          "' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))")).as("g"))
+      .distinct()
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(docs.filter(_._2 != "src0").map(d => (d._1, d._3, ts(0))))
+    val q = decontaminateStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), probe, minShared)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_parity").start()
+    q.processAllAvailable()
+    // sentinel shares nothing with the probe set (word-soup vocab) but
+    // advances the watermark so every pending count emits
+    stream.addData((-1L, "zzz qqq xxx ww vv uu", new Timestamp(ts(0).getTime + 30L * 24 * 3600 * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decon_parity")
+      .filter($"doc_id" >= 0)
+      .select($"doc_id", $"n_shared")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch twin: the oracle-checked decontaminate over the SAME rows
+    val sh = graft.Tables(spark, parityDir, "documents")
+      .select($"doc_id", $"source", graft.queries.TextOps.tokens($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", $"source",
+        explode(expr("sequence(1, size(t) - 2)")).as("i"), $"t")
+      .select($"doc_id", $"source",
+        concat(element_at($"t", $"i"), lit(" "),
+          element_at($"t", $"i" + 1), lit(" "),
+          element_at($"t", $"i" + 2)).as("g"))
+      .distinct()
+    val batch = graft.queries.DedupOps.decontaminate(sh, "src0", minShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "parity vacuous: nothing contaminated")
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("stream-static enrich broadcasts the dim, no stream shuffle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
