@@ -491,6 +491,37 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** q67's cross-source overlap matrix — the dataset-level
+    * generalization of the q58 sweep: for every unordered pair of
+    * sources, the number of distinct 3-token shingles both contain.
+    * The standard "contamination heat map" run before mixing corpora
+    * (which source pairs share content, and how much).
+    *
+    * Plan shape: distinct (source, g) is one shuffle; the self
+    * equi-join on g fans out at most (#sources choose 2) rows per
+    * shingle — a CONSTANT (sources are a handful even at 100 TB), so
+    * the whole matrix is linear in total shingles; the final rollup
+    * groups on the tiny pair space.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(s, dir, "documents")
+      .select(col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"),
+        explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+      .select(col("source"),
+        concat(
+          element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1), lit(" "),
+          element_at(col("t"), col("i") + 2)).as("g"))
+      .distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q60's oracle SQL — shared verbatim by the exact (q60) and
     * 128-bit-fold (q60_…_fold) paths; see the fold def for why one
     * exact-string oracle checks both.
@@ -797,6 +828,27 @@ object DedupOps {
         |    AS novelty
         |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
       noveltyScores(s, dir)
+    },
+
+    // ---- q67: cross-source shingle-overlap matrix ----------------
+    // Contamination heat map across dataset sources — see
+    // sourceOverlap for the constant-fan-out plan argument.
+    QueryDef(
+      "q67_source_overlap",
+      """WITH toks AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared_shingles
+        |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      sourceOverlap(s, dir)
     },
 
     // ---- q61: near-dup cluster formation (connected components) --
