@@ -925,6 +925,84 @@ object DedupOps {
         .filter(col("c") >= 0.3)
         .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cosine"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- q68: SemDeDup (cluster-scoped semantic dedup) -----------
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    // space, compare pairs ONLY within a cluster, and for each pair
+    // above the cosine threshold drop the member CLOSER to the
+    // centroid (keeping the outlier preserves diversity). Reuses the
+    // q44 IVF machinery: cell assignment is the per-row argmax
+    // against the literal codebook (zero shuffle, zero inflation —
+    // SimilarityOps.nearestCell), sim-to-centroid is the same
+    // per-row array_max, and the pair space is a cell equi-join —
+    // never O(n²).
+    //
+    // Scale note: with k FIXED, per-cell population grows linearly
+    // with the corpus and the within-cell pair join grows
+    // quadratically — so at scale k is sized ~n/⟨cell⟩ (the paper
+    // uses 50k clusters for LAION) keeping cells constant-sized;
+    // the dataflow here is k-agnostic (codebook is a literal / tiny
+    // broadcast either way). The drop rule is per-PAIR, so the
+    // aggregation below (distinct dropped members) is exactly the
+    // paper's "remove all but the keeper" once applied transitively
+    // within a cell.
+    QueryDef(
+      "q68_semdedup",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT * FROM (VALUES
+         |    ${SimilarityOps.Ivf.centSqlValues}) t(cell_id, cent)),
+         |asg AS (
+         |  SELECT vec_id, emb, cell_id, cc FROM (
+         |    SELECT v.vec_id, v.emb, t.cell_id,
+         |      list_dot_product(v.emb, t.cent) /
+         |        (sqrt(list_dot_product(v.emb, v.emb)) *
+         |         sqrt(list_dot_product(t.cent, t.cent))) AS cc,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, t.cent) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+         |    FROM e v, cent t) z WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.cell_id,
+         |    CASE WHEN a.cc > b.cc THEN a.vec_id
+         |         WHEN b.cc > a.cc THEN b.vec_id
+         |         ELSE greatest(a.vec_id, b.vec_id) END AS dropped_vec,
+         |    list_dot_product(a.emb, b.emb) /
+         |      (sqrt(list_dot_product(a.emb, a.emb)) *
+         |       sqrt(list_dot_product(b.emb, b.emb))) AS c
+         |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+         |SELECT CAST(cell_id AS BIGINT) AS cell_id, dropped_vec,
+         |  count(*) AS n_dup_partners, round(max(c), 4) AS max_cosine
+         |FROM pairs WHERE c >= 0.3
+         |GROUP BY cell_id, dropped_vec
+         |ORDER BY cell_id, dropped_vec""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val assigned = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("cb", SimilarityOps.codebookLit(SimilarityOps.Ivf.codebook))
+        .select(col("vec_id"), col("e"),
+          SimilarityOps.nearestCell("e", "cb").cast("long").as("cell_id"),
+          // sim to the assigned (nearest) centroid = the max over cells
+          expr("array_max(transform(cb, c -> cosine_sim(e, c.cent)))")
+            .as("cc"))
+      val a = assigned.select(col("cell_id"), col("vec_id").as("vec_a"),
+        col("e").as("ea"), col("cc").as("cc_a"))
+      val b = assigned.select(col("cell_id"), col("vec_id").as("vec_b"),
+        col("e").as("eb"), col("cc").as("cc_b"))
+      a.join(b, Seq("cell_id"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("cell_id"),
+          when(col("cc_a") > col("cc_b"), col("vec_a"))
+            .when(col("cc_b") > col("cc_a"), col("vec_b"))
+            .otherwise(greatest(col("vec_a"), col("vec_b"))).as("dropped_vec"),
+          expr("cosine_sim(ea, eb)").as("c"))
+        .filter(col("c") >= 0.3)
+        .groupBy("cell_id", "dropped_vec")
+        .agg(count(lit(1)).as("n_dup_partners"),
+          round(max("c"), 4).as("max_cosine"))
+        .orderBy("cell_id", "dropped_vec")
     }
   )
 }

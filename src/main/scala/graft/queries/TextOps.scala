@@ -70,6 +70,93 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   }
 
+  /** q69's model-based quality scoring (CCNet-shaped, two-pass): pass
+    * 1 fits the "model" — corpus-wide unigram counts; pass 2 scores
+    * every document against it (mean/min corpus frequency of its
+    * tokens — the exact-arithmetic analogue of unigram-LM perplexity:
+    * rare-token-heavy docs score low on `avg_tok_cf`). The vocabulary
+    * join is size-gated like `DedupOps.decontaminate`: a Zipf-bounded
+    * vocab (≤ `maxBroadcastVocab` distinct tokens) broadcasts so the
+    * token stream is scored map-side with ZERO extra shuffle of the
+    * big side; an adversarial vocab (random strings) degrades to a
+    * shuffle equi-join instead of OOMing the executors.
+    *
+    * `docsFrame` columns: (doc_id, text). Token-less docs have no
+    * token rows and are absent from the output (same contract as the
+    * signature operators).
+    */
+  def unigramLmScore(docsFrame: DataFrame,
+      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+    val tok = docsFrame
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVocab = vocab.count() // one-row action, gates the broadcast
+    val model =
+      if (nVocab <= maxBroadcastVocab) broadcast(vocab)
+      else { vocab.unpersist(); vocab }
+    tok.join(model, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        // sum(cf) is an exact integer, so avg = sum/n is ONE double
+        // division — engine-portable without rounding tricks
+        avg("cf").as("avg_tok_cf"),
+        min("cf").as("min_tok_cf"))
+  }
+
+  /** q70's RAG chunk materialization: cut each document's token
+    * stream into fixed `chunk`-token windows advancing by `stride`
+    * tokens (overlap = chunk − stride), and fingerprint each chunk's
+    * text. Everything is per-row: tokenize, integer chunk count,
+    * sequence-explode, slice/concat/md5 — ZERO shuffle at any corpus
+    * size (the only wide op a caller adds is their own ordering).
+    * Chunk i covers tokens [i·stride+1, i·stride+chunk]; the last
+    * chunk may be short, and `n_chunks = 1 + ceil((n−chunk)/stride)`
+    * so every token lands in ≥1 chunk. Requires stride ≤ chunk.
+    * `docsFrame` columns: (doc_id, text); empty docs yield no chunks.
+    */
+  def chunkDocs(docsFrame: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= chunk,
+      s"stride must be in [1, chunk]; got chunk=$chunk stride=$stride")
+    docsFrame
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        (lit(1) + expr(s"(greatest(n - $chunk, 0) + ${stride - 1}) div $stride"))
+          .cast("long"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        least(lit(chunk.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_chunk_tok"),
+        md5(concat_ws(" ",
+          slice(col("t"), (col("chunk_id") * stride + 1).cast("int"), lit(chunk))))
+          .as("chunk_hash"))
+  }
+
+  /** Shared oracle CTEs for q70/q71 (chunk = 16, stride = 12):
+    * chunks(doc_id, chunk_id, n_chunk_tok, chunk_hash).
+    */
+  private val chunkSqlCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |                             x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id, t, len(t) AS n,
+      |    1 + (greatest(len(t) - 16, 0) + 11) // 12 AS n_chunks
+      |  FROM toks WHERE len(t) > 0),
+      |ids AS (
+      |  SELECT doc_id, t, n, unnest(generate_series(0, n_chunks - 1)) AS i
+      |  FROM sized),
+      |chunks AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |    CAST(least(16, n - i * 12) AS BIGINT) AS n_chunk_tok,
+      |    md5(array_to_string(t[(i * 12 + 1):(i * 12 + 16)], ' ')) AS chunk_hash
+      |  FROM ids)""".stripMargin
+
   private val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
@@ -587,6 +674,126 @@ object TextOps {
         .distinct()
         .filter(col("hamming") <= 2)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q69: unigram-LM quality scoring (model-based filter) ----
+    // The CCNet move — score every document against a statistical
+    // model of the corpus itself — in exact arithmetic: the "model"
+    // is the corpus unigram table, the score is the mean/min corpus
+    // frequency of the doc's tokens (a monotone transform of unigram
+    // log-likelihood, minus the engine-divergent log()). Two-pass
+    // dataflow via [[unigramLmScore]]: model fit = one
+    // partial-aggregable groupBy; scoring = size-gated broadcast
+    // join (Zipf vocab → map-side, zero big-side shuffle) + per-doc
+    // rollup.
+    QueryDef(
+      "q69_unigram_lm_score",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, count(*) AS cf FROM tok GROUP BY w),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    avg(v.cf) AS avg_tok_cf,
+        |    CAST(min(v.cf) AS BIGINT) AS min_tok_cf
+        |  FROM tok t JOIN vocab v ON t.w = v.w
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, avg_tok_cf, min_tok_cf
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      unigramLmScore(docs(s, dir).select("doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q70: RAG chunk materialization (overlapping windows) ----
+    // 16-token chunks advancing by 12 (4-token overlap) — toy-sized
+    // constants so multi-chunk docs exist at every SF; production
+    // would use e.g. 512/384. Per-row only ([[chunkDocs]]): the plan
+    // is scan → project → generate → project, no Exchange before the
+    // output ordering.
+    QueryDef(
+      "q70_doc_chunks",
+      s"""WITH $chunkSqlCte
+         |SELECT doc_id, chunk_id, n_chunk_tok, chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      chunkDocs(docs(s, dir).select("doc_id", "text"), chunk = 16, stride = 12)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- q71: cross-document chunk dedup (paragraph-level) -------
+    // The paragraph/passage analogue of q30's whole-doc dedup: hash
+    // every chunk (q70's frame), then one partial-aggregable groupBy
+    // finds chunks shared across documents — boilerplate headers,
+    // license blocks, templated passages. `n_docs` counts DISTINCT
+    // docs (a doc repeating its own chunk is repetition, q45's
+    // domain); keeper = lexicographically-first (doc, chunk) site.
+    QueryDef(
+      "q71_chunk_dedup",
+      s"""WITH $chunkSqlCte
+         |SELECT chunk_hash,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_occurrences,
+         |  min(doc_id) AS keeper_doc
+         |FROM chunks
+         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin) { (s, dir) =>
+      chunkDocs(docs(s, dir).select("doc_id", "text"), chunk = 16, stride = 12)
+        .groupBy("chunk_hash")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min("doc_id").as("keeper_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    },
+
+    // ---- q72: temperature-scaled mixture weights ------------------
+    // Multilingual/multi-source LM sampling (Conneau & Lample-style):
+    // source i is sampled ∝ tokens_i^T with temperature T = 0.5 —
+    // upweights small sources, downweights the head. sqrt is the one
+    // IEEE-exact power, and it is immediately quantized to an exact
+    // INTEGER micro-weight (floor(sqrt·10⁶ + .5)) so the
+    // normalization denominator is an exact integer sum — no
+    // float-accumulation-order divergence between engines at any
+    // source count. `epochs_t05` = weight · total_tokens / tokens_i,
+    // the effective epoch count over each source at this temperature
+    // (the oversampling-factor QA a mixture config review reads).
+    // Plan: one partial-aggregable rollup to |sources| rows, a 1-row
+    // total broadcast back — nothing corpus-sized moves twice.
+    QueryDef(
+      "q72_temperature_mix",
+      """WITH t AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok FROM t GROUP BY source),
+        |m AS (
+        |  SELECT source, tok,
+        |    CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS micro
+        |  FROM s),
+        |tot AS (
+        |  SELECT CAST(sum(micro) AS BIGINT) AS sum_micro,
+        |    CAST(sum(tok) AS BIGINT) AS sum_tok FROM m)
+        |SELECT source, tok AS n_tokens,
+        |  floor(CAST(micro AS DOUBLE) / sum_micro * 1000000 + 0.5) / 1000000
+        |    AS weight_t05,
+        |  floor(CAST(micro AS DOUBLE) / sum_micro * sum_tok / tok * 10000 + 0.5) / 10000
+        |    AS epochs_t05
+        |FROM m, tot ORDER BY source""".stripMargin) { (s, dir) =>
+      val bySrc = docs(s, dir)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(sum("n_tok").as("tok"))
+        .withColumn("micro",
+          floor(sqrt(col("tok").cast("double")) * 1000000 + 0.5).cast("long"))
+      val tot = bySrc.agg(sum("micro").as("sum_micro"), sum("tok").as("sum_tok"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("tok").as("n_tokens"),
+          (floor(col("micro").cast("double") / col("sum_micro") * 1000000
+            + 0.5) / 1000000).as("weight_t05"),
+          (floor(col("micro").cast("double") / col("sum_micro")
+            * col("sum_tok") / col("tok") * 10000 + 0.5) / 10000)
+            .as("epochs_t05"))
+        .orderBy("source")
     }
   )
 }

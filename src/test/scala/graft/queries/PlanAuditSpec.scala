@@ -219,6 +219,49 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("q68 semdedup pairs only within cells: equi-join, no cartesian, no window") {
+    val p = plan("q68_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup pair space must be the cell equi-join:\n$p")
+    assert(!p.contains("Window"),
+      s"cell assignment must be per-row, not a ranked join:\n$p")
+  }
+
+  test("q69 unigram-LM scoring broadcasts the size-gated vocab (map-side scoring)") {
+    val p = plan("q69_unigram_lm_score")
+    // toy vocab is under the gate → the scoring join must be a
+    // broadcast (token stream never re-shuffles on w); model fit
+    // keeps its map-side partial
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab under the gate must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"model fit lost its partial:\n$p")
+  }
+
+  test("q70 chunking is per-row: zero hash shuffles before the presentation sort") {
+    val p = plan("q70_doc_chunks")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"chunk materialization must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the chunk-id explode:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q71 chunk dedup is one partial-aggregable rollup, no pair join") {
+    val p = plan("q71_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join") &&
+      !p.contains("Window"), s"chunk dedup must stay linear:\n$p")
+    assert(p.contains("partial_count"), s"rollup lacks map-side partial:\n$p")
+  }
+
+  test("q72 mixture weights: rollup to |sources| rows, totals broadcast back") {
+    val p = plan("q72_temperature_mix")
+    // the 1-row totals frame joins back via broadcast nested loop —
+    // legitimate for a single row; nothing corpus-sized is on either
+    // side of it
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), s"source rollup lacks map-side partial:\n$p")
+  }
+
   test("q20 ETL projection reads only mapped columns") {
     val p = plan("q20_metadata_projection")
     val read = p.linesIterator.find(_.contains("ReadSchema")).toSeq.mkString
