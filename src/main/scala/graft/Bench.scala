@@ -132,7 +132,7 @@ object Bench {
     // full decode→project→metadata→split pipeline runs over 1M
     // synthetic wire-encoded protobuf messages, generated AND
     // processed on executors (nothing driver-side).
-    val ingest = ingestBench(spark)
+    val (ingest, ingestRps) = ingestBench(spark)
 
     val qs = results.map { case (k, t) =>
       "\"" + k + "\":" + t.median.fold("null")(_.toString)
@@ -148,19 +148,32 @@ object Bench {
         s""""failed":$failedJson,""" +
         s""""ingest":$ingest,""" +
         s""""sf":"$sfDir"}"""
-    // Persist the full record to a file as well: a stdout-tail parser
-    // can truncate the per-query map (round 3's driver artifact kept
-    // only a 2000-char tail and dropped q01–q10's times), so the file
-    // is the durable copy every later diff reads.
+    // Persist the FULL record to a file: the driver's stdout capture
+    // keeps only a 2000-char tail, so the file is the durable copy
+    // every later diff reads.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $t") }
-    // printed AFTER spark.stop() so the JSON line is the very last
-    // stdout of the JVM (a last-line parser must not see shutdown
-    // chatter after it)
-    println(json)
+    // The stdout line is COMPACT — every bench artifact r1–r6 recorded
+    // "parsed": null because the full per-query-detail line outgrew the
+    // driver's 2000-char tail window. Short keys (the leading "qNN"
+    // token, full name only on prefix collision, e.g. the second q60)
+    // + 3-decimal medians keep the whole line ~1.2 kB so it survives
+    // the tail capture intact and machine-parses. Printed AFTER
+    // spark.stop() so it is the JVM's last stdout.
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val qsShort = results.map { case (k, t) =>
+      val short = k.takeWhile(_ != '_')
+      val key = if (seen.add(short)) short else k
+      "\"" + key + "\":" + t.median.fold("null")(m => f"$m%.3f")
+    }.mkString("{", ",", "}")
+    val ingestShort = f""""ingest":{"rows_per_sec":$ingestRps%d}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,""" +
+        s""""queries":$qsShort,"failed":$failedJson,$ingestShort,""" +
+        s""""detail":"$outPath","sf":"$sfDir"}""")
   }
 
   /** Time the ProtoPipeline over n wire-encoded messages (a
@@ -202,7 +215,10 @@ object Bench {
     */
   val IngestReps = 5
 
-  private def ingestBench(spark: SparkSession, n: Long = 1000000L): String = {
+  /** Returns (full ingest JSON record, rows_per_sec) — the scalar is
+    * echoed separately in the compact stdout line.
+    */
+  private def ingestBench(spark: SparkSession, n: Long = 1000000L): (String, Long) = {
     import graft.etl._
     import graft.pipeline.{PipelineConfig, ProtoPipeline}
     import org.apache.spark.sql.functions._
@@ -267,9 +283,9 @@ object Bench {
     val totalSec = medianOf(totalRuns)
     val sinkSec = totalRuns.min - decodeRuns.min // raw; negative = visible flag
     val rps = (n / totalSec).toLong
-    s"""{"rows":$n,"sec":$totalSec,"decode_sec":$decodeSec,""" +
+    (s"""{"rows":$n,"sec":$totalSec,"decode_sec":$decodeSec,""" +
       s""""sink_sec":$sinkSec,"rows_per_sec":$rps,""" +
       s""""decode_runs":[${decodeRuns.mkString(",")}],""" +
-      s""""total_runs":[${totalRuns.mkString(",")}]}"""
+      s""""total_runs":[${totalRuns.mkString(",")}]}""", rps)
   }
 }
