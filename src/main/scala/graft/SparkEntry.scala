@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupOps, EtlQueries, MultimodalOps, Relational, SimilarityOps, TextOps}
+import graft.queries.{DedupOps, EtlQueries, MultimodalOps, Relational, RetrievalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
     */
   def defs: Seq[QueryDef] =
     Relational.defs ++ EtlQueries.defs ++ TextOps.defs ++
-      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs
+      DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs ++
+      RetrievalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1003,6 +1003,48 @@ object DedupOps {
         .agg(count(lit(1)).as("n_dup_partners"),
           round(max("c"), 4).as("max_cosine"))
         .orderBy("cell_id", "dropped_vec")
+    },
+
+    // ---- q76: dedup corpus materialization (keeper per doc) ------
+    // The terminal step of the near-dup pipeline — what a user
+    // actually WRITES OUT: every document mapped to its cluster
+    // keeper (min doc_id of its near-dup component, itself when
+    // unduplicated) and a kept flag selecting the surviving corpus.
+    // Composes the q36 pair machinery with the size-gated q61
+    // connected components; the cluster frame is pair-graph-sized
+    // (tiny next to the corpus), so the doc→cluster join broadcasts
+    // — the corpus itself moves through one narrow projection.
+    QueryDef(
+      "q76_dedup_materialize",
+      s"""WITH RECURSIVE $shingleSqlCte,
+         |$lshPairSqlCtes,
+         |pairs AS (
+         |  SELECT i.doc_a AS a, i.doc_b AS b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS keeper_doc,
+         |  coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_kept
+         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val pairs = nearDupPairs(s, dir, minJaccard = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val comp = connectedComponents(pairs)
+        .select(col("node"), col("cluster_id"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(broadcast(comp), col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("keeper_doc"))
+        .withColumn("is_kept", col("keeper_doc") === col("doc_id"))
+        .orderBy("doc_id")
     }
   )
 }

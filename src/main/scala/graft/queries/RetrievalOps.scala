@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse-lexical retrieval over the `documents` table: BM25-shaped
+  * scoring of literal term queries against the corpus — the search
+  * side of a training-data pipeline (e.g. targeted corpus probes,
+  * "find documents about X" curation sweeps, retrieval-augmented
+  * eval-set construction).
+  *
+  * Scale shape: the corpus is reduced to postings for the QUERY
+  * TERMS ONLY before anything heavy happens — the term list
+  * broadcasts (it is tiny by construction), so the big frame is
+  * filtered map-side and per-term document frequencies aggregate
+  * over the filtered postings, not the full vocabulary. No inverted
+  * index is materialized: at 100 TB the posting filter is a
+  * broadcast-semi-join over one tokenize scan, and the final
+  * per-query top-k is the naive window form TopKRewrite collapses to
+  * a bounded-heap partial aggregate (O(k·partitions) shuffle rows
+  * per query).
+  *
+  * Determinism: the classic BM25 idf is a log — a transcendental
+  * whose last-ulp can differ across libm implementations — so the
+  * score uses the LOG-FREE idf ratio (N − df + 0.5)/(df + 0.5) (the
+  * same argument Robertson feeds to the log; log is monotone, so
+  * per-term ranking is unchanged). Every remaining operation is
+  * IEEE-exact (+,−,×,÷ of doubles derived from exact integers), and
+  * each per-term score is quantized to integer micro-units BEFORE
+  * the cross-term sum, so no float-accumulation-order divergence
+  * exists between engines at any term count.
+  */
+object RetrievalOps {
+
+  /** (query_id, term) probes; terms drawn from the corpus vocabulary
+    * incl. one rare term (`dup`, df ≈ 5% of docs) so idf spread is
+    * exercised.
+    */
+  val Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join",
+    2L -> "hash", 2L -> "window", 2L -> "scan",
+    3L -> "dup", 3L -> "stream")
+
+  /** The per-term scoring formula, kept as ONE textual SQL expression
+    * so Spark and the DuckDB oracle parse the identical operation
+    * tree (identical IEEE evaluation order → identical doubles).
+    * k1 = 1.2, b = 0.75.
+    */
+  private val termScoreSql =
+    "CAST(floor(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)) * " +
+      "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) " +
+      "* 1000000 + 0.5) AS BIGINT)"
+
+  /** BM25-shaped top-k retrieval: returns (query_id, doc_id,
+    * score_micro, rnk ≤ topK) for each query in `queries`.
+    * See object doc for the dataflow and determinism contract.
+    */
+  def bm25TopK(spark: SparkSession, docsFrame: DataFrame,
+      queries: Seq[(Long, String)], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "term")
+    val tok = docsFrame
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // one-row corpus stats: N (docs with ≥1 token) and avgdl
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"),
+        expr("CAST(sum_dl AS DOUBLE) / n_docs").as("avgdl"))
+    // postings restricted to query terms FIRST (broadcast), then tf
+    // and df aggregate over the filtered stream only
+    val tf = tok.join(broadcast(qterms.select("term").distinct()),
+        col("w") === col("term"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), col("w") === col("term"))
+      .select(col("query_id"), col("doc_id"),
+        expr(termScoreSql).as("term_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_micro").as("score_micro"))
+    // naive window rank — TopKRewrite collapses it to the bounded-heap
+    // aggregate (same contract as q64: the rewrite is an optimization,
+    // the Window path is row-identical); rank cast AFTER the filter so
+    // the rewrite's Filter-over-Window pattern stays intact
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- q75: BM25-shaped retrieval (log-free idf, top-10) --------
+    QueryDef(
+      "q75_bm25_topk",
+      s"""WITH q(query_id, term) AS (VALUES
+         |    ${Queries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+              .mkString(", ")}),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                                    x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tok GROUP BY doc_id),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT)
+         |      AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE w IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY w),
+         |scored AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(sum($termScoreSql) AS BIGINT) AS score_micro
+         |  FROM tf t
+         |  JOIN dfreq f ON f.w = t.w
+         |  JOIN dl d2 ON d2.doc_id = t.doc_id
+         |  CROSS JOIN stats
+         |  JOIN q ON q.term = t.w
+         |  GROUP BY q.query_id, t.doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, doc_id, score_micro, rnk
+         |FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      bm25TopK(s, Tables(s, dir, "documents").select("doc_id", "text"),
+        Queries, topK = 10)
+        .orderBy("query_id", "rnk")
+    }
+  )
+}

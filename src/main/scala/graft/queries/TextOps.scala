@@ -136,6 +136,71 @@ object TextOps {
           .as("chunk_hash"))
   }
 
+  /** q73's Gopher-style document quality rules (Rae et al. 2021 §A1.1
+    * shape) in exact arithmetic, all PER-ROW — word-count bounds,
+    * mean-word-length bounds, minimum stopword count, minimum
+    * type-token ratio — so the whole filter is one codegen'd
+    * projection: zero shuffles at any corpus size. The two
+    * double-valued stats are single divisions of exact integers
+    * (IEEE-identical across engines); rule flags compare the RAW
+    * values, rounding only ever applied by a caller for display.
+    * `docsFrame` columns: (doc_id, text); token-less docs are
+    * dropped (no rules are meaningful on them).
+    */
+  def gopherRules(docsFrame: DataFrame,
+      minWords: Int = 20, maxWords: Int = 80,
+      minWlen: Double = 3.0, maxWlen: Double = 6.0,
+      minStop: Int = 2, minTtr: Double = 0.3): DataFrame = {
+    val m = docsFrame
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_words"),
+        (expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").cast("double")
+          / col("n")).as("mean_wlen"),
+        (size(array_distinct(col("t"))).cast("double") / col("n")).as("ttr"),
+        expr("size(filter(t, x -> x IN ('the','a','of','and','to','in','is')))")
+          .cast("long").as("n_stop"))
+    m.select(col("doc_id"), col("n_words"), col("mean_wlen"), col("ttr"),
+      col("n_stop"),
+      col("n_words").between(minWords, maxWords).as("r_words"),
+      (col("mean_wlen") >= minWlen && col("mean_wlen") <= maxWlen).as("r_wlen"),
+      (col("n_stop") >= minStop).as("r_stop"),
+      (col("ttr") >= minTtr).as("r_ttr"))
+      .withColumn("kept",
+        col("r_words") && col("r_wlen") && col("r_stop") && col("r_ttr"))
+  }
+
+  /** PII patterns shared by [[redactPii]] and the q74 oracle SQL —
+    * deliberately restricted to syntax Java regex and RE2 (DuckDB)
+    * interpret identically: character classes, bounded repetition,
+    * `\b` ASCII word boundaries, non-capturing groups; NO lookaround
+    * (RE2 has none).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+
+  /** q74's PII scrub: count and redact email addresses, NNN-NNN-NNNN
+    * phone numbers, and IPv4 literals in `textCol`, entirely per-row
+    * (codegen'd regexes, zero shuffle at any corpus size). Returns
+    * the input plus (n_emails, n_phones, n_ips, redacted). Redaction
+    * order email → phone → ip; the patterns cannot create each
+    * other's matches (the placeholders contain no digits or '@').
+    */
+  def redactPii(input: DataFrame, textCol: String): DataFrame =
+    input
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+
   /** Shared oracle CTEs for q70/q71 (chunk = 16, stride = 12):
     * chunks(doc_id, chunk_id, n_chunk_tok, chunk_hash).
     */
@@ -794,6 +859,93 @@ object TextOps {
             * col("sum_tok") / col("tok") * 10000 + 0.5) / 10000)
             .as("epochs_t05"))
         .orderBy("source")
+    },
+
+    // ---- q73: Gopher-rule quality filter --------------------------
+    // Rae et al. 2021's document-level heuristics in exact
+    // arithmetic ([[gopherRules]]): word-count bounds (20–80 — sized
+    // to the 10–99-word synthetic docs so both sides of every rule
+    // are populated), mean word length in [3,6], ≥2 stopwords,
+    // type-token ratio ≥ 0.3. The whole filter is one per-row
+    // projection (zero shuffle); flags compare RAW doubles, the two
+    // displayed stats are rounded only in the output.
+    QueryDef(
+      "q73_gopher_rules",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> len(x) > 0) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
+        |      AS mean_wlen,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop
+        |  FROM toks WHERE len(t) > 0),
+        |r AS (
+        |  SELECT doc_id, n_words, mean_wlen, ttr, n_stop,
+        |    n_words BETWEEN 20 AND 80 AS r_words,
+        |    mean_wlen >= 3.0 AND mean_wlen <= 6.0 AS r_wlen,
+        |    n_stop >= 2 AS r_stop,
+        |    ttr >= 0.3 AS r_ttr
+        |  FROM m)
+        |SELECT doc_id, n_words, round(mean_wlen, 4) AS mean_wlen,
+        |  round(ttr, 4) AS ttr, n_stop, r_words, r_wlen, r_stop, r_ttr,
+        |  r_words AND r_wlen AND r_stop AND r_ttr AS kept
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      gopherRules(docs(s, dir).select("doc_id", "text"))
+        .withColumn("mean_wlen", round(col("mean_wlen"), 4))
+        .withColumn("ttr", round(col("ttr"), 4))
+        .orderBy("doc_id")
+    },
+
+    // ---- q74: PII detection + redaction ---------------------------
+    // The scrub every released corpus runs (emails, phone numbers,
+    // IP literals → typed placeholders). The synthetic corpus is
+    // PII-free, so the query plants deterministic PII on 3 of every
+    // 4 docs FROM the table itself (doc_id-derived, identical
+    // expression both engines) and the remaining quarter proves the
+    // no-op path (changed = false, hash of the untouched text).
+    // [[redactPii]] is per-row codegen'd regexes — zero shuffle; the
+    // regex subset is Java/RE2-portable (no lookaround).
+    QueryDef(
+      "q74_pii_redaction",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      WHEN 1 THEN text || ' call 555-867-5309 or 555-123-9876'
+        |      WHEN 2 THEN text || ' origin 10.0.0.7 via 192.168.1.42'
+        |      ELSE text END AS t2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t2,
+        |    CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |    CAST(len(regexp_extract_all(t2, '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(t2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
+        |  FROM planted)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |  redacted <> t2 AS changed, md5(redacted) AS redacted_hash
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" reach me at user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit(" call 555-867-5309 or 555-123-9876")))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" origin 10.0.0.7 via 192.168.1.42")))
+          .otherwise(col("text")).as("t2"))
+      redactPii(planted, "t2")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          (col("redacted") =!= col("t2")).as("changed"),
+          md5(col("redacted")).as("redacted_hash"))
+        .orderBy("doc_id")
     }
   )
 }

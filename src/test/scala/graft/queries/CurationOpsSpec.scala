@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the round-7 curation operators on inline data
+  * the synthetic corpus cannot exercise: real PII strings through
+  * [[TextOps.redactPii]], boundary documents through
+  * [[TextOps.gopherRules]], and rare-term ranking through
+  * [[RetrievalOps.bm25TopK]].
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  test("redactPii scrubs emails, phones, IPs; counts match; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b-c_1%x+y@sub.example.co.uk or root@host.io today"),
+      (2L, "call 555-867-5309 then 555-123-9876 x555-12-345 not pii"),
+      (3L, "hops 10.0.0.7 -> 192.168.001.042 -> 8.8.8.8"),
+      (4L, "mixed: bob@x.dev at 127.0.0.1 dial 555-000-1111"),
+      (5L, "nothing sensitive here, just text @ loose 1.2 dots")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(rows, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out(1L)._1 == ((2L, 0L, 0L)))
+    assert(out(1L)._2 == "mail <EMAIL> or <EMAIL> today")
+    assert(out(2L)._1 == ((0L, 2L, 0L)))
+    assert(out(2L)._2 == "call <PHONE> then <PHONE> x555-12-345 not pii")
+    assert(out(3L)._1 == ((0L, 0L, 3L)))
+    assert(out(3L)._2 == "hops <IP> -> <IP> -> <IP>")
+    assert(out(4L)._1 == ((1L, 1L, 1L)))
+    assert(out(4L)._2 == "mixed: <EMAIL> at <IP> dial <PHONE>")
+    // no PII → byte-identical passthrough
+    assert(out(5L)._1 == ((0L, 0L, 0L)))
+    assert(out(5L)._2 == "nothing sensitive here, just text @ loose 1.2 dots")
+  }
+
+  test("gopherRules: boundary words counts, stopword and TTR rules, empty doc dropped") {
+    import spark.implicits._
+    val wordy = (1 to 81).map(i => s"w$i").mkString(" ") // 81 > maxWords
+    val rows = Seq(
+      (1L, ("the a " + (1 to 18).map(i => s"word$i").mkString(" "))), // exactly 20 words, 2 stops
+      (2L, wordy),                                   // fails r_words
+      (3L, "the the the the the the the the the the the the the the the the the the the the"), // TTR 1/20 fails
+      (4L, "xx " * 25),                              // mean_wlen 2.0 fails, no stopwords
+      (5L, "")                                       // tokenless → absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(5L), "empty doc must be dropped")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_words") == 20L && d1.getAs[Boolean]("r_words"))
+    assert(d1.getAs[Boolean]("r_stop") && d1.getAs[Boolean]("kept"))
+    assert(!out(2L).getAs[Boolean]("r_words") && !out(2L).getAs[Boolean]("kept"))
+    assert(!out(3L).getAs[Boolean]("r_ttr"))
+    assert(!out(4L).getAs[Boolean]("r_wlen") && !out(4L).getAs[Boolean]("r_stop"))
+  }
+
+  test("bm25TopK: rare term outranks common term; df/dl arithmetic sane") {
+    import spark.implicits._
+    // 20 docs all contain 'common'; only doc 7 contains 'rare' (twice)
+    val rows = (0L until 20L).map { i =>
+      val extra = if (i == 7) " rare rare" else ""
+      (i, s"common filler$i filler$i pad pad pad$extra")
+    }.toDF("doc_id", "text")
+    val out = RetrievalOps.bm25TopK(spark, rows,
+      Seq(1L -> "rare", 2L -> "common"), topK = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toMap
+    // query 1: only doc 7 matches at all
+    assert(out((1L, 1L))._1 == 7L)
+    assert(!out.contains((1L, 2L)))
+    // query 2: every doc matches; scores positive, k respected
+    assert((1L to 5L).forall(r => out.contains((2L, r))))
+    assert(!out.contains((2L, 6L)))
+    // the rare-term hit scores far above any common-term hit:
+    // idf ratio (20-1+0.5)/(1+0.5) = 13 vs (20-20+0.5)/(20+0.5) ≈ 0.024
+    val rareScore = out((1L, 1L))._2
+    val bestCommon = out((2L, 1L))._2
+    assert(rareScore > 10L * bestCommon,
+      s"rare=$rareScore common=$bestCommon")
+  }
+}

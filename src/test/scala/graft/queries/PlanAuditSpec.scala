@@ -262,6 +262,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"source rollup lacks map-side partial:\n$p")
   }
 
+  test("q73 gopher rules are one per-row projection: no join/window/hash shuffle") {
+    val p = plan("q73_gopher_rules")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"quality rules must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q74 PII redaction is per-row: no join/window/hash shuffle") {
+    val p = plan("q74_pii_redaction")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"redaction must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q75 bm25: query terms broadcast, no cartesian, top-k rewritten off Window") {
+    val p = plan("q75_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term filter must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row stats frame joins via BroadcastNestedLoopJoin —
+    // legitimate; the per-query top-k must be the bounded-heap
+    // aggregate, not a Window funnel
+    assert(!p.contains("Window"), s"top-k must be TopKRewrite'd:\n$p")
+    assert(p.contains("partial_topk_collect"),
+      s"expected bounded-heap partial aggregate:\n$p")
+  }
+
+  test("q76 dedup materialization: doc->cluster join broadcasts, no cartesian") {
+    val p = plan("q76_dedup_materialize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster frame must broadcast onto the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q20 ETL projection reads only mapped columns") {
     val p = plan("q20_metadata_projection")
     val read = p.linesIterator.find(_.contains("ReadSchema")).toSeq.mkString
