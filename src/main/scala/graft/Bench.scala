@@ -163,15 +163,20 @@ object Bench {
     // + 3-decimal medians keep the whole line ~1.2 kB so it survives
     // the tail capture intact and machine-parses. Printed AFTER
     // spark.stop() so it is the JVM's last stdout.
+    // Locale.ROOT explicitly: the f interpolator uses the JVM default
+    // locale, so under e.g. de_DE %.3f emits decimal COMMAS and the
+    // machine-parseable JSON contract this line exists for breaks.
+    def fmt3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val seen = scala.collection.mutable.HashSet.empty[String]
     val qsShort = results.map { case (k, t) =>
       val short = k.takeWhile(_ != '_')
       val key = if (seen.add(short)) short else k
-      "\"" + key + "\":" + t.median.fold("null")(m => f"$m%.3f")
+      "\"" + key + "\":" + t.median.fold("null")(fmt3)
     }.mkString("{", ",", "}")
-    val ingestShort = f""""ingest":{"rows_per_sec":$ingestRps%d}"""
+    val ingestShort = s""""ingest":{"rows_per_sec":$ingestRps}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$runs,""" +
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","runs_per_query":$runs,""" +
         s""""queries":$qsShort,"failed":$failedJson,$ingestShort,""" +
         s""""detail":"$outPath","sf":"$sfDir"}""")
   }

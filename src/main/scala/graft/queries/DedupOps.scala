@@ -209,7 +209,8 @@ object DedupOps {
     * (node, cluster_id = min reachable node id).
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30,
-      maxSinglePassEdges: Long = MaxSinglePassEdges): DataFrame = {
+      maxSinglePassEdges: Long = MaxSinglePassEdges,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Iterative dataflow MUST truncate lineage each round: labels_i
     // references labels_{i-1} twice (own label ∪ neighbor labels), so
     // an un-truncated plan doubles per round — 2^iters re-evaluations
@@ -217,22 +218,32 @@ object DedupOps {
     // for q61), and even with persist() the LOGICAL plan text still
     // doubles, which wedges every plan-rendering consumer (the SQL
     // listener renders the full explain string per action — measured
-    // minutes of driver CPU at 8 iterations). localCheckpoint
-    // materializes the step AND replaces its plan with a flat
-    // LogicalRDD. Production note: use reliable checkpoint(dir) when
-    // executor loss matters; the dataflow is identical.
+    // minutes of driver CPU at 8 iterations). A checkpoint
+    // materializes the step AND replaces its plan with a flat scan.
+    //
+    // Two materialization modes, same dataflow:
+    //   checkpointDir = None      → localCheckpoint(): blocks live on
+    //     executors — fastest, right for a single-JVM run, but blocks
+    //     die with their executor, restarting the iteration from zero.
+    //   checkpointDir = Some(dir) → reliable checkpoint() to dir
+    //     (HDFS/object store on a cluster): survives executor loss —
+    //     what a 30-round job over a 100 TB pair graph should use.
     //
     // The checkpoint also makes the size-gate count effectively free:
     // the upstream pair pipeline runs exactly once either way, and
-    // counting the materialized LogicalRDD is a scan of local blocks.
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    // counting the materialized frame is a scan of stored blocks.
+    val mat: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val e = mat(edges.select(col("a"), col("b")))
     if (e.count() <= maxSinglePassEdges) return singlePassCC(e)
-    val und = e
-      .union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    val und = mat(e
+      .union(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = mat(und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var prevSum: java.math.BigDecimal = null
     var round = 0
     while (round < maxIters) {
@@ -245,11 +256,10 @@ object DedupOps {
       // is a node id present in afterMin, and labels are unique per
       // node, so this is an exact 1:1 equi-join — and since labels
       // are monotone (labels(x) <= x), the joined lbl2 IS the min.
-      labels = afterMin
+      labels = mat(afterMin
         .join(afterMin.select(col("node").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"))
-        .select(col("node"), col("lbl2").as("lbl"))
-        .localCheckpoint()
+        .select(col("node"), col("lbl2").as("lbl")))
       round += 1
       val sumRaw = labels.agg(org.apache.spark.sql.functions.sum(
         col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
@@ -358,6 +368,47 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"), col("n_shared"))
+  }
+
+  /** Broadcast budget for the dedup-materialization cluster frame:
+    * the doc→cluster join broadcasts only while the component frame
+    * (one row per node appearing in ANY near-dup pair) fits this
+    * gate. On a web-scale corpus dup rates run 30–50%, so the frame
+    * is corpus-fraction-sized and a forced broadcast would OOM the
+    * executors — above the gate the join degrades to a plain shuffle
+    * equi-join on doc_id (one extra Exchange, no memory cliff).
+    * Same count-then-gate discipline as [[decontaminate]] and
+    * [[connectedComponents]].
+    */
+  val MaxBroadcastClusterRows = 1000000L
+
+  /** The terminal dedup step: map every document to its cluster
+    * keeper (min doc_id of its near-dup component, itself when
+    * unduplicated) and a `is_kept` flag selecting the surviving
+    * corpus. `comp` is (node, cluster_id) as produced by
+    * [[connectedComponents]].
+    *
+    * The cluster frame is persisted so the gate count and the join
+    * probe compute it once (the iterative CC path is already
+    * localCheckpoint-materialized, making the count a scan of local
+    * blocks; the single-task path is one small task either way).
+    * Under the gate the frame is broadcast; above it the persist is
+    * dropped — holding a corpus-fraction frame pinned would evict
+    * useful cache — and the left join shuffles both sides on the
+    * key, which is exactly the plan you want at that size.
+    */
+  def dedupMaterialize(docs: DataFrame, comp: DataFrame,
+      maxBroadcastClusterRows: Long = MaxBroadcastClusterRows): DataFrame = {
+    val c = comp.select(col("node"), col("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters =
+      if (c.count() <= maxBroadcastClusterRows) broadcast(c)
+      else { c.unpersist(); c }
+    docs.select(col("doc_id"))
+      .join(clusters, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("keeper_doc"))
+      .withColumn("is_kept", col("keeper_doc") === col("doc_id"))
   }
 
   /** q60's duplicated-span ratio, reusable: per language, the average
@@ -1011,9 +1062,10 @@ object DedupOps {
     // keeper (min doc_id of its near-dup component, itself when
     // unduplicated) and a kept flag selecting the surviving corpus.
     // Composes the q36 pair machinery with the size-gated q61
-    // connected components; the cluster frame is pair-graph-sized
-    // (tiny next to the corpus), so the doc→cluster join broadcasts
-    // — the corpus itself moves through one narrow projection.
+    // connected components; the doc→cluster join broadcasts only
+    // under dedupMaterialize's row-count gate (above it — realistic
+    // at web-scale dup rates — it degrades to a shuffle equi-join).
+    // The corpus itself moves through one narrow projection.
     QueryDef(
       "q76_dedup_materialize",
       s"""WITH RECURSIVE $shingleSqlCte,
@@ -1038,12 +1090,7 @@ object DedupOps {
       val pairs = nearDupPairs(s, dir, minJaccard = 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val comp = connectedComponents(pairs)
-        .select(col("node"), col("cluster_id"))
-      Tables(s, dir, "documents").select(col("doc_id"))
-        .join(broadcast(comp), col("doc_id") === col("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("keeper_doc"))
-        .withColumn("is_kept", col("keeper_doc") === col("doc_id"))
+      dedupMaterialize(Tables(s, dir, "documents"), comp)
         .orderBy("doc_id")
     }
   )

@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   * whose last-ulp can differ across libm implementations — so the
   * score uses the LOG-FREE idf ratio (N − df + 0.5)/(df + 0.5) (the
   * same argument Robertson feeds to the log; log is monotone, so
-  * per-term ranking is unchanged). Every remaining operation is
+  * per-term ranking is unchanged). CAVEAT — cross-term ranking is
+  * NOT classic BM25: summing un-logged ratios is not a monotone
+  * transform of the sum of logs, and it amplifies rare-term
+  * dominance (one rare-term hit can outweigh several common-term
+  * hits — ratio ~13 vs ~0.02 in the test corpus). If true BM25
+  * ordering is ever needed, swap in a fixed-point quantized log
+  * table; the rest of the pipeline is unchanged. Every remaining
+  * operation is
   * IEEE-exact (+,−,×,÷ of doubles derived from exact integers), and
   * each per-term score is quantized to integer micro-units BEFORE
   * the cross-term sum, so no float-accumulation-order divergence
@@ -63,22 +70,30 @@ object RetrievalOps {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val qterms = queries.toDF("query_id", "term")
-    val tok = docsFrame
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // one-row corpus stats: N (docs with ≥1 token) and avgdl
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // dl is a PER-ROW expression (size of the token array) — no
+    // explode+groupBy shuffle; it rides the tokenize scan and is
+    // carried through tf's group keys (functionally dependent on
+    // doc_id), so no corpus-sized dl join exists anywhere
+    val docTok = docsFrame
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        col("ws"))
+      .filter(col("dl") > 0) // same universe as the oracle's tok CTE
+    // one-row corpus stats: N (docs with ≥1 token) and avgdl — a
+    // partial-aggregated scan, one row out, zero shuffle rows beyond it
+    val stats = docTok.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .select(col("n_docs"),
         expr("CAST(sum_dl AS DOUBLE) / n_docs").as("avgdl"))
     // postings restricted to query terms FIRST (broadcast), then tf
     // and df aggregate over the filtered stream only
+    val tok = docTok.select(col("doc_id"), col("dl"),
+      explode(col("ws")).as("w"))
     val tf = tok.join(broadcast(qterms.select("term").distinct()),
         col("w") === col("term"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df_), Seq("w"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(qterms), col("w") === col("term"))
       .select(col("query_id"), col("doc_id"),

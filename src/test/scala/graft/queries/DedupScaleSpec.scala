@@ -90,6 +90,46 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupMaterialize broadcast is SIZE-GATED: both paths row-identical") {
+    import spark.implicits._
+    // two components {1,2,3} and {5,6}; docs 4 and 7 unduplicated
+    val docs = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "cluster_id")
+    val expected = Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false), (7L, 7L, true))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    // pin the physical join shape: no AQE re-plan, no stats-driven
+    // auto-broadcast — only dedupMaterialize's own gate decides
+    val saved = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // gate CLOSED (cluster frame "too big"): shuffle equi-join
+      val gated = DedupOps.dedupMaterialize(docs, comp,
+        maxBroadcastClusterRows = 0)
+      val gatedPlan = gated.queryExecution.executedPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin") &&
+        !gatedPlan.contains("BroadcastExchange"),
+        s"oversized cluster frame still broadcast:\n$gatedPlan")
+      assert(rows(gated) == expected)
+
+      // gate OPEN (real small cluster frame): the broadcast hint applies
+      val hinted = DedupOps.dedupMaterialize(docs, comp)
+      val hintedPlan = hinted.queryExecution.executedPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"small cluster frame not broadcast:\n$hintedPlan")
+      assert(rows(hinted) == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dupSpanRatio(exact=false) 128-bit fold agrees with the exact-string path at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val exact = DedupOps.dupSpanRatio(spark, dir, exact = true)
@@ -168,6 +208,31 @@ class DedupScaleSpec extends AnyFunSuite {
     val compR = DedupOps.connectedComponents(rev, maxSinglePassEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(compR.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents reliable-checkpoint path converges identically") {
+    import spark.implicits._
+    // the checkpointDir option swaps localCheckpoint (executor-local
+    // blocks, lost with the executor) for reliable checkpoint(dir) —
+    // the mode a long iteration on a real cluster should run in. The
+    // dataflow must be identical: drive one converging run through it
+    // (maxSinglePassEdges = 0 forces the iterative path) and pin the
+    // result against the default-mode run.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    val edges = ((0L until 12L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (102L, 103L), (101L, 102L))).toDF("a", "b")
+    val reliable = DedupOps.connectedComponents(edges,
+        maxSinglePassEdges = 0, checkpointDir = Some(tmp))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = DedupOps.connectedComponents(edges, maxSinglePassEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable.values.toSet == Set(0L, 100L))
+    // the reliable run actually wrote checkpoint data to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no reliable checkpoint files under $tmp")
   }
 
   test("single-pass and pointer-jumping CC paths agree row for row") {

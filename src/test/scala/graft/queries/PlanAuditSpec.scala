@@ -289,10 +289,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected bounded-heap partial aggregate:\n$p")
   }
 
-  test("q76 dedup materialization: doc->cluster join broadcasts, no cartesian") {
+  test("q76 dedup materialization: doc->cluster join broadcasts UNDER the gate, no cartesian") {
+    // the broadcast is dedupMaterialize's size-gated choice, not an
+    // unconditional hint — DedupScaleSpec pins the above-gate shuffle
+    // shape and that both paths are row-identical
     val p = plan("q76_dedup_materialize")
     assert(p.contains("BroadcastHashJoin"),
-      s"cluster frame must broadcast onto the corpus:\n$p")
+      s"under-gate cluster frame must broadcast onto the corpus:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
