@@ -84,6 +84,24 @@ final class RetrySink(
   }
 }
 
+/** Ingestion-time curation decorator: apply a frame transform —
+  * quality filtering, PII redaction, any per-row batch operator —
+  * to each micro-batch before delegating to the landing sink. This
+  * is how the batch curation operators (e.g.
+  * [[graft.queries.TextOps.gopherKept]],
+  * [[graft.queries.TextOps.redactPii]]) run at ingestion: the SAME
+  * functions, inside foreachBatch — one operator surface for batch
+  * and streaming. Keep the transform per-row (filter/withColumn):
+  * a shuffling transform inside a micro-batch turns the ingest hot
+  * path into a batch job.
+  */
+final class CurateSink(inner: Sink, transform: DataFrame => DataFrame)
+  extends Sink {
+  val name = s"curate(${inner.name})"
+  def write(df: DataFrame, batchId: Long): Unit =
+    inner.write(transform(df), batchId)
+}
+
 /** Push the same batch to several sinks; aggregate all failures
   * (reference models/MultiException.java:10-29).
   */

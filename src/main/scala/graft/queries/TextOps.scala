@@ -172,6 +172,32 @@ object TextOps {
         col("r_words") && col("r_wlen") && col("r_stop") && col("r_ttr"))
   }
 
+  /** The Gopher keep decision as ONE boolean Column over a text
+    * column — the ingestion-time form of [[gopherRules]] (same four
+    * rules, same thresholds, same exact arithmetic) for composing
+    * into a streaming foreachBatch via
+    * [[graft.pipeline.CurateSink]]: a pure per-row predicate, zero
+    * shuffle at any batch size. Token-less rows are NOT kept
+    * (matching gopherRules dropping them).
+    */
+  def gopherKept(text: Column,
+      minWords: Int = 20, maxWords: Int = 80,
+      minWlen: Double = 3.0, maxWlen: Double = 6.0,
+      minStop: Int = 2, minTtr: Double = 0.3): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val meanWlen = aggregate(t, lit(0L),
+      (acc, x) => acc + length(x)).cast("double") / n
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val nStop = size(filter(t,
+      x => x.isin("the", "a", "of", "and", "to", "in", "is")))
+    (n > 0) &&
+      n.cast("long").between(minWords, maxWords) &&
+      meanWlen >= minWlen && meanWlen <= maxWlen &&
+      (nStop >= minStop) &&
+      (ttr >= minTtr)
+  }
+
   /** PII patterns shared by [[redactPii]] and the q74 oracle SQL —
     * deliberately restricted to syntax Java regex and RE2 (DuckDB)
     * interpret identically: character classes, bounded repetition,
@@ -181,25 +207,48 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   val Ipv4Re = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  // 13–16 digits in 4-4-4-(1..4) groups, optional space/dash
+  // separators — the syntactic card shape released-corpus scrubs use
+  val CcRe = "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{1,4}\\b"
+  // cloud-access-key-shaped secrets (the documented AKIA/ASIA example
+  // format): 4-char type prefix + 16 uppercase-alphanumeric chars
+  val SecretRe = "\\b(?:AKIA|ASIA)[0-9A-Z]{16}\\b"
 
   /** q74's PII scrub: count and redact email addresses, NNN-NNN-NNNN
-    * phone numbers, and IPv4 literals in `textCol`, entirely per-row
+    * phone numbers, IPv4 literals, SSNs (NNN-NN-NNNN), payment-card
+    * numbers (13–16 digits with optional space/dash separators), and
+    * access-key-shaped secret tokens in `textCol`, entirely per-row
     * (codegen'd regexes, zero shuffle at any corpus size). Returns
-    * the input plus (n_emails, n_phones, n_ips, redacted). Redaction
-    * order email → phone → ip; the patterns cannot create each
-    * other's matches (the placeholders contain no digits or '@').
+    * the input plus (n_emails, n_phones, n_ips, n_ssns, n_cards,
+    * n_secrets, redacted). Counts are over the ORIGINAL text, so
+    * they are order-independent; redaction order email → phone →
+    * ssn → card → ip → secret. The patterns cannot create each
+    * other's matches (no placeholder contains digits, '@', or a key
+    * prefix), and word boundaries keep the digit shapes disjoint: a
+    * phone's 3-3-4, an SSN's 3-2-4, a card's 4-4-4-n, and an IP's
+    * dotted quads cannot start inside one another's digit groups.
     */
   def redactPii(input: DataFrame, textCol: String): DataFrame =
     input
       .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))
       .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)).cast("long"))
       .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)).cast("long"))
+      .withColumn("n_ssns", regexp_count(col(textCol), lit(SsnRe)).cast("long"))
+      .withColumn("n_cards", regexp_count(col(textCol), lit(CcRe)).cast("long"))
+      .withColumn("n_secrets", regexp_count(col(textCol), lit(SecretRe)).cast("long"))
       .withColumn("redacted",
         regexp_replace(
           regexp_replace(
-            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>"),
-          Ipv4Re, "<IP>"))
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+                  PhoneRe, "<PHONE>"),
+                SsnRe, "<SSN>"),
+              CcRe, "<CARD>"),
+            Ipv4Re, "<IP>"),
+          SecretRe, "<SECRET>"))
 
   /** Shared oracle CTEs for q70/q71 (chunk = 16, stride = 12):
     * chunks(doc_id, chunk_id, n_chunk_tok, chunk_hash).
@@ -902,9 +951,10 @@ object TextOps {
 
     // ---- q74: PII detection + redaction ---------------------------
     // The scrub every released corpus runs (emails, phone numbers,
-    // IP literals → typed placeholders). The synthetic corpus is
-    // PII-free, so the query plants deterministic PII on 3 of every
-    // 4 docs FROM the table itself (doc_id-derived, identical
+    // IP literals, SSNs, payment-card numbers, access-key-shaped
+    // secrets → typed placeholders). The synthetic corpus is
+    // PII-free, so the query plants deterministic PII on 6 of every
+    // 8 docs FROM the table itself (doc_id-derived, identical
     // expression both engines) and the remaining quarter proves the
     // no-op path (changed = false, hash of the untouched text).
     // [[redactPii]] is per-row codegen'd regexes — zero shuffle; the
@@ -913,10 +963,13 @@ object TextOps {
       "q74_pii_redaction",
       """WITH planted AS (
         |  SELECT doc_id,
-        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |    CASE CAST(doc_id % 8 AS INTEGER)
         |      WHEN 0 THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
         |      WHEN 1 THEN text || ' call 555-867-5309 or 555-123-9876'
         |      WHEN 2 THEN text || ' origin 10.0.0.7 via 192.168.1.42'
+        |      WHEN 4 THEN text || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      WHEN 5 THEN text || ' card 4111-1111-1111-1111 or 5500 0000 0000 0004'
+        |      WHEN 6 THEN text || ' key AKIA' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'ABCDEFGHIJKLMN and ASIA0123456789ABCDEF'
         |      ELSE text END AS t2
         |  FROM documents),
         |c AS (
@@ -924,25 +977,42 @@ object TextOps {
         |    CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |    CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
         |    CAST(len(regexp_extract_all(t2, '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
-        |    regexp_replace(regexp_replace(regexp_replace(t2,
+        |    CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+        |    CAST(len(regexp_extract_all(t2, '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b')) AS BIGINT) AS n_cards,
+        |    CAST(len(regexp_extract_all(t2, '\b(?:AKIA|ASIA)[0-9A-Z]{16}\b')) AS BIGINT) AS n_secrets,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |      '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |      '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b', '<CARD>', 'g'),
+        |      '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |      '\b(?:AKIA|ASIA)[0-9A-Z]{16}\b', '<SECRET>', 'g') AS redacted
         |  FROM planted)
-        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |SELECT doc_id, n_emails, n_phones, n_ips, n_ssns, n_cards, n_secrets,
         |  redacted <> t2 AS changed, md5(redacted) AS redacted_hash
         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val planted = docs(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
+        when(col("doc_id") % 8 === 0,
           concat(col("text"), lit(" reach me at user"),
             col("doc_id").cast("string"), lit("@example.com")))
-          .when(col("doc_id") % 4 === 1,
+          .when(col("doc_id") % 8 === 1,
             concat(col("text"), lit(" call 555-867-5309 or 555-123-9876")))
-          .when(col("doc_id") % 4 === 2,
+          .when(col("doc_id") % 8 === 2,
             concat(col("text"), lit(" origin 10.0.0.7 via 192.168.1.42")))
+          .when(col("doc_id") % 8 === 4,
+            concat(col("text"), lit(" ssn 123-45-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .when(col("doc_id") % 8 === 5,
+            concat(col("text"),
+              lit(" card 4111-1111-1111-1111 or 5500 0000 0000 0004")))
+          .when(col("doc_id") % 8 === 6,
+            concat(col("text"), lit(" key AKIA"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+              lit("ABCDEFGHIJKLMN and ASIA0123456789ABCDEF")))
           .otherwise(col("text")).as("t2"))
       redactPii(planted, "t2")
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("n_ssns"), col("n_cards"), col("n_secrets"),
           (col("redacted") =!= col("t2")).as("changed"),
           md5(col("redacted")).as("redacted_hash"))
         .orderBy("doc_id")

@@ -254,4 +254,43 @@ class PipelineSpec extends AnyFunSuite {
       sourceDf(rec(Fixtures.sampleMessage(), 1))))
     assert(good.schema.fieldNames.toSeq == pipeline.outputSchema.fieldNames.toSeq)
   }
+
+  test("ingestion-time curation: gopher filter + PII redaction inside foreachBatch") {
+    // the batch curation operators ARE the streaming ones: the same
+    // per-row gopherKept predicate and redactPii projection run
+    // inside the pipeline's foreachBatch via CurateSink — a
+    // quality-filtered, PII-scrubbed landing with no second pass
+    import spark.implicits._
+    import graft.queries.TextOps
+    val dir = Files.createTempDirectory("graft_curate").toString
+    val pipeline = new ProtoPipeline(cfg)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SrcRec]
+    val good = "the quick brown fox and the lazy dog kept running over " +
+      "a hill of green grass to reach their home before dark contact " +
+      "me at ops@example.com for details"
+    // one token repeated: fails the TTR and stopword rules
+    val spam = Seq.fill(25)("buy").mkString(" ")
+    def msg(details: String): Array[Byte] = Wire.message { w =>
+      w.string(1, "order-1").string(3, details)
+        .message(4, Fixtures.timestampBytes(1700000000L))
+    }
+    stream.addData(rec(msg(good), 200), rec(msg(spam), 201))
+    val curated = new CurateSink(new ParquetSink(s"$dir/out"), df =>
+      TextOps.redactPii(
+        df.filter(TextOps.gopherKept(col("order_details_field"))),
+        "order_details_field"))
+    val q = pipeline.start(stream.toDF(), curated,
+      new DlqJsonSink(s"$dir/dlq"), s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(s"$dir/out")
+    assert(landed.count() == 1, "spam doc must be filtered at ingest")
+    val r = landed.first()
+    assert(r.getAs[Long]("message_offset") == 200L)
+    assert(r.getAs[Long]("n_emails") == 1L)
+    val red = r.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && !red.contains("ops@example.com"))
+  }
 }
