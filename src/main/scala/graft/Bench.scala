@@ -134,6 +134,27 @@ object Bench {
     // processed on executors (nothing driver-side).
     val (ingest, ingestRps) = ingestBench(spark)
 
+    // scale probe: the six heaviest dedup-family queries re-timed on
+    // a SPARK_GRAFT_SCALE_FACTOR× (default 10×) documents corpus —
+    // the one in-sandbox datapoint that turns the dossier's
+    // "linear at scale" plan-shape claims into a measured scaling
+    // exponent. Disabled by SPARK_GRAFT_SCALE_PROBE=0 or when a
+    // SPARK_GRAFT_BENCH_ONLY subset filter is active (dev loop).
+    val baseMedians: Map[String, Double] =
+      results.flatMap { case (k, t) => t.median.map(k -> _) }.toMap
+    val probeEnabled =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0" && only.isEmpty
+    val (probeFull, probeCompact) =
+      if (!probeEnabled) ("null", "null")
+      else try scaleProbeBench(spark, sfDir, baseMedians)
+      catch {
+        case t: Throwable =>
+          // a broken probe must not take down the headline bench
+          val msg = (t.getClass.getName + ": " + String.valueOf(t.getMessage))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          (s"""{"error":"$msg"}""", s"""{"error":"$msg"}""")
+      }
+
     val qs = results.map { case (k, t) =>
       "\"" + k + "\":" + t.median.fold("null")(_.toString)
     }.mkString("{", ",", "}")
@@ -147,6 +168,7 @@ object Bench {
         s""""queries":$qs,"queries_detail":$qsDetail,""" +
         s""""failed":$failedJson,""" +
         s""""ingest":$ingest,""" +
+        s""""scaleprobe":$probeFull,""" +
         s""""sf":"$sfDir"}"""
     // Persist the FULL record to a file: the driver's stdout capture
     // keeps only a 2000-char tail, so the file is the durable copy
@@ -178,7 +200,118 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","runs_per_query":$runs,""" +
         s""""queries":$qsShort,"failed":$failedJson,$ingestShort,""" +
+        s""""scaleprobe":$probeCompact,""" +
         s""""detail":"$outPath","sf":"$sfDir"}""")
+  }
+
+  /** The six heaviest dedup-family queries (all documents-only
+    * inputs), re-timed at [[scaleProbeBench]]'s factor× scale.
+    */
+  val ScaleProbeQueries: Seq[String] = Seq(
+    "q37_ngram_jaccard_top", "q65_dup_span_removal",
+    "q36_lsh_near_dup_pairs", "q61_dedup_clusters",
+    "q60_dup_span_ratio", "q76_dedup_materialize")
+
+  /** Build a factor× (default 10×) documents corpus from sfDir and
+    * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,
+    * compact JSON record) with per-query probe seconds and the
+    * probe/base scaling ratio.
+    *
+    * Corpus construction preserves the similarity structure the dedup
+    * queries feed on — which naive replication would DESTROY: copy k
+    * suffixes every token with `_k`, so each of the factor copies is
+    * a disjoint replica of the original shingle/similarity graph.
+    * Within-copy Jaccard and dup-span structure is EXACTLY the
+    * original's (near-dup pair count scales by factor); cross-copy
+    * shingle overlap is zero. Plain ×10 row duplication would instead
+    * hand every doc 9 exact clones: LSH candidate output inflates
+    * ~factor² per original pair, connected components fuse, and the
+    * probe would measure a super-linear workload for reasons
+    * unrelated to plan shape. doc_ids are offset per copy by the base
+    * max+1 stride; n_chars is recomputed from the perturbed text.
+    *
+    * Acceptance envelope (SURVEY §8): under linear scaling, factor=10
+    * on 32 fixed cores costs ~10× minus constant per-query overheads
+    * (scheduling, already-warm codegen) — ratios should land well
+    * under ~15×. A ratio above that flags accidental super-linearity
+    * (an unbanded pair join, a df blowup) on a REAL 10× datapoint
+    * rather than a plan-shape argument.
+    */
+  private def scaleProbeBench(spark: SparkSession, sfDir: String,
+      baseMedians: Map[String, Double]): (String, String) = {
+    import org.apache.spark.sql.functions._
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val probeRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_RUNS", "2").toInt
+    require(factor >= 2, s"SPARK_GRAFT_SCALE_FACTOR must be >= 2 (got $factor)")
+    require(probeRuns >= 1, s"SPARK_GRAFT_SCALE_PROBE_RUNS must be >= 1 (got $probeRuns)")
+
+    val tGen = System.nanoTime()
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idStride = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val copies = (0 until factor).map { k =>
+      if (k == 0) base.select("doc_id", "text", "lang", "source", "n_chars")
+      else {
+        val toks = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+        val t = array_join(transform(toks, x => concat(x, lit("_" + k))), " ")
+        base.select((col("doc_id") + lit(k * idStride)).as("doc_id"),
+            t.as("text"), col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe")
+    val probeDir = tmp.toString
+    copies.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    val rowsBase = base.count()
+    val genSec = (System.nanoTime() - tGen) / 1e9
+
+    def fmt3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+    val probed = ScaleProbeQueries.filter(SparkEntry.queries.contains).map { name =>
+      val secs = (0 until probeRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, probeDir)
+            .write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            System.err.println(
+              s"[scaleprobe] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+            None
+        }
+      }
+      val med = if (secs.isEmpty) None else Some(medianOf(secs))
+      (name, med, secs, baseMedians.get(name))
+    }
+
+    // best-effort cleanup of the generated probe corpus
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
+    val fullQ = probed.map { case (name, med, secs, baseM) =>
+      val ratio = for (m <- med; b <- baseM if b > 0) yield m / b
+      "\"" + name + "\":{" +
+        "\"sec\":" + med.fold("null")(_.toString) + "," +
+        "\"runs\":[" + secs.mkString(",") + "]," +
+        "\"base_sec\":" + baseM.fold("null")(_.toString) + "," +
+        "\"ratio\":" + ratio.fold("null")(_.toString) + "}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"factor":$factor,"runs_per_query":$probeRuns,""" +
+      s""""gen_sec":$genSec,"rows_base":$rowsBase,""" +
+      s""""rows_scaled":${rowsBase * factor},"queries":$fullQ}"""
+    val compactQ = probed.map { case (name, med, _, baseM) =>
+      val short = name.takeWhile(_ != '_')
+      val ratio = for (m <- med; b <- baseM if b > 0) yield m / b
+      "\"" + short + "\":{\"s\":" + med.fold("null")(fmt3) +
+        ",\"r\":" + ratio.fold("null")(fmt3) + "}"
+    }.mkString("{", ",", "}")
+    (full, s"""{"factor":$factor,"queries":$compactQ}""")
   }
 
   /** Time the ProtoPipeline over n wire-encoded messages (a
