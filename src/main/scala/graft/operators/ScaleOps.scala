@@ -67,4 +67,63 @@ object ScaleOps {
     */
   def isExchangeFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Corpus scaler for scale probing (Bench's 10× datapoint):
+    * factor× a `documents`-shaped frame (doc_id, text, lang, source,
+    * n_chars) while PRESERVING its similarity structure — the
+    * property that makes a scaled dedup benchmark measure plan
+    * scaling rather than an artifact of the scaling itself.
+    *
+    * Copy k (k ≥ 1) suffixes every whitespace token with `_k`, so
+    * each copy is a DISJOINT replica of the original shingle /
+    * near-dup graph: within-copy Jaccard and dup-span structure is
+    * exactly the original's, cross-copy shingle overlap is zero, and
+    * therefore near-dup pair/cluster counts scale EXACTLY ×factor
+    * (pinned by ScaleOpsSpec through the real q36 LSH pipeline).
+    * Naive row duplication would instead give every doc factor−1
+    * exact clones — LSH candidate output inflates ~factor² per
+    * original pair and components fuse, a super-linear workload that
+    * says nothing about plan shape. doc_ids are offset per copy by
+    * the base max+1 stride (uniqueness preserved); n_chars is
+    * recomputed from the perturbed text. Everything is per-row
+    * expressions over a union — zero extra shuffles at any factor.
+    */
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    val idStride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    (0 until factor).map { k =>
+      if (k == 0)
+        docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      else {
+        val toks = filter(split(col("text"), "\\s+"), x => length(x) > 0)
+        val t = array_join(transform(toks, x => concat(x, lit("_" + k))), " ")
+        docs.select((col("doc_id") + lit(k * idStride)).as("doc_id"),
+            t.as("text"), col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Corpus scaler for the ANN scale probe: factor× an
+    * `embeddings`-shaped frame (vec_id, embedding, label) by plain
+    * replication with a per-copy vec_id offset. Unlike
+    * [[scaleDocuments]], duplication needs no perturbation here: the
+    * ANN queries (q40 brute-force, q44 IVF) probe a FIXED query set
+    * (vec_id < 5 — copies land at ≥ stride, so the query side stays
+    * constant while the corpus grows ×factor) and their per-candidate
+    * cost is structure-independent — a duplicate vector costs the
+    * bounded top-k heap exactly what a novel one does, and IVF cell
+    * assignment is a per-row argmax, so duplicated rows keep cells
+    * balanced. Workload therefore scales exactly ×factor
+    * (ScaleOpsSpec pins the query-set invariance).
+    */
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    val idStride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    (0 until factor).map { k =>
+      emb.select((col("vec_id") + lit(k * idStride)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -375,6 +375,57 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(maxShard <= 64, s"shard of $maxShard docs exceeds saltDocs")
   }
 
+  test("scaleDocuments preserves near-dup structure: q36 pairs scale exactly ×factor") {
+    // the scale-probe corpus generator (Bench's 10× datapoint) must
+    // scale the dedup WORKLOAD linearly, not square it: each copy is
+    // a token-suffixed disjoint replica of the original shingle
+    // graph, so the full LSH pipeline must emit EXACTLY factor× the
+    // base pairs — naive row duplication would emit ~factor²× (every
+    // doc gains factor−1 exact clones) and any cross-copy shingle
+    // leakage would emit more than factor×.
+    graft.functions.GraftFunctions.register(spark)
+    val baseDir = "/root/testdata/sf0.001"
+    val factor = 3
+    val base = Tables(spark, baseDir, "documents")
+    val scaled = graft.operators.ScaleOps.scaleDocuments(base, factor)
+
+    assert(scaled.count() == factor * base.count())
+    assert(scaled.select("doc_id").distinct().count() == scaled.count(),
+      "per-copy doc_id stride must keep ids unique")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scaledocs")
+    scaled.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val q36 = graft.SparkEntry.queries("q36_lsh_near_dup_pairs")
+    val basePairs = q36(spark, baseDir).count()
+    val scaledPairs = q36(spark, tmp.toString).count()
+    assert(basePairs > 0, "vacuous corpus: no base near-dup pairs")
+    assert(scaledPairs == factor * basePairs,
+      s"expected ${factor}x$basePairs pairs, got $scaledPairs")
+  }
+
+  test("scaleEmbeddings grows the ANN corpus but not the query set") {
+    // the ANN probe's linearity argument: q40/q44 probe a FIXED query
+    // frame (vec_id < 5) against a growing corpus — the copies' ids
+    // must all land above the query cutoff, and output stays
+    // queries×k-sized regardless of corpus factor.
+    graft.functions.GraftFunctions.register(spark)
+    val baseDir = "/root/testdata/sf0.001"
+    val factor = 3
+    val base = Tables(spark, baseDir, "embeddings")
+    val scaled = graft.operators.ScaleOps.scaleEmbeddings(base, factor)
+    assert(scaled.count() == factor * base.count())
+    assert(scaled.select("vec_id").distinct().count() == scaled.count())
+    assert(scaled.filter(col("vec_id") < 5).count() ==
+      base.filter(col("vec_id") < 5).count(),
+      "copies must not leak into the fixed query set")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scaleemb")
+    scaled.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val q40 = graft.SparkEntry.queries("q40_cosine_topk")
+    assert(q40(spark, tmp.toString).count() == q40(spark, baseDir).count(),
+      "top-k output size is query-set-bounded, corpus-size-independent")
+  }
+
   test("fitted IVF codebook keeps cells balanced on the embeddings corpus") {
     graft.functions.GraftFunctions.register(spark)
     // the q44 coarse quantizer only prunes well if cell populations
