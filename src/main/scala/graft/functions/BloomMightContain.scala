@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native Catalyst predicate: membership probe of a 64-bit hash
+  * against a serialized `org.apache.spark.util.sketch.BloomFilter`
+  * (the public sketch Spark's own runtime row-group filters use).
+  *
+  * `left` must be a FOLDABLE binary column (the serialized filter —
+  * in practice a `lit(bytes)`); `right` is the probed LongType hash
+  * (callers pass `xxhash64(value)`, matching how the filter was
+  * populated). The filter is deserialized ONCE per expression
+  * instance — lazily, so executors deserialize from the literal
+  * bytes they received with the plan rather than shipping the live
+  * object — and the per-row generated code is a single
+  * `mightContainLong` call inside WholeStageCodegen.
+  *
+  * Scale rationale (the [[graft.queries.DedupOps.decontaminateBloom]]
+  * path): a Bloom filter has NO false negatives, so using it as a
+  * map-side prefilter before an exact verify join keeps results
+  * byte-identical to the exact path while discarding the
+  * overwhelmingly-non-matching corpus side BEFORE any shuffle. The
+  * filter is constant-size in the corpus (sized by probe-set
+  * cardinality and fpp: ~1.2 MB per 1M items at 1%), so unlike the
+  * broadcast-or-shuffle gate it never hits a memory cliff — an
+  * oversized probe set only raises fpp-driven verify traffic, it
+  * cannot OOM.
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain expects a foldable (literal) serialized bloom filter")
+    else (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects (binary, bigint), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val bloom: BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(bloomBytes: Any, value: Any): Any =
+    bloom.mightContainLong(value.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the deserialized filter rides the codegen references array; the
+    // per-row cost is one virtual call + a few cache-line reads
+    val ref = ctx.addReferenceObj("bloomFilter", bloom,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, v) => s"${ev.value} = $ref.mightContainLong($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}

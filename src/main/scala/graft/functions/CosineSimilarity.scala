@@ -98,5 +98,9 @@ object GraftFunctions {
       "minhash8",
       exprs => MinHash8(exprs(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
-import graft.functions.{CosineSimilarity, MinHash8, SimHash64, TopKCollect}
+import graft.functions.{BloomMightContain, CosineSimilarity, MinHash8, SimHash64, TopKCollect}
 
 /** Optimizer rule for the brief's named scale-killer: a per-group
   * top-k written the natural way,
@@ -196,5 +196,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash8"),
       new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
       (exprs: Seq[Expression]) => MinHash8(exprs(0))))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
   }
 }

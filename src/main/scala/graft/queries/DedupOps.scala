@@ -370,6 +370,75 @@ object DedupOps {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** The (doc_id, source, g) distinct-shingle frame q58/q77 probe —
+    * positional 3-token shingles with the source column kept so the
+    * probe (benchmark) rows can be split from the corpus rows.
+    */
+  private def sourcedShingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+      .select(col("doc_id"), col("source"),
+        concat(
+          element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1), lit(" "),
+          element_at(col("t"), col("i") + 2)).as("g"))
+      .distinct()
+
+  /** [[decontaminate]] with a Bloom prefilter — the 100 TB shape for
+    * probe sets too big to broadcast but whose JOIN would otherwise
+    * shuffle the whole corpus shingle frame.
+    *
+    * The probe set is folded into a `spark.util.sketch.BloomFilter`
+    * over `xxhash64(g)` (constant-size in the CORPUS: ~1.2 MB per 1M
+    * probe items at fpp 1%, riding the plan as a literal) and applied
+    * as a map-side [[graft.functions.BloomMightContain]] predicate on
+    * the corpus side BEFORE any join: the overwhelmingly-non-matching
+    * corpus shingles die inside the scan's WholeStageCodegen and
+    * never reach an Exchange. Because a Bloom filter has NO false
+    * negatives, the surviving frame still contains every true match,
+    * and the exact verify join that follows (same gated
+    * broadcast-or-shuffle join as [[decontaminate]], now over a frame
+    * ~the size of the true matches + fpp·corpus) makes the output
+    * BYTE-IDENTICAL to the exact path — false positives (and xxhash64
+    * collisions, which act as extra FPs) cost verify rows, never
+    * correctness. DedupScaleSpec pins bloom≡exact row-for-row; the
+    * oracle checks q77 against the same SQL as q58.
+    *
+    * Memory never cliffs: an oversized probe set degrades fpp-driven
+    * verify traffic (or you re-size bits), it cannot OOM the way a
+    * forced broadcast of the probe frame would.
+    */
+  def decontaminateBloom(sh: DataFrame, probeSource: String, minShared: Long,
+      fpp: Double = 0.01,
+      maxBroadcastShingles: Long = MaxBroadcastProbeShingles): DataFrame = {
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    val bench = sh.filter(col("source") === probeSource)
+      .select(col("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbe = bench.count()
+    val bloom = bench.select(xxhash64(col("g")).as("gh"))
+      .stat.bloomFilter("gh", math.max(nProbe, 1L), fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val survivors = sh.filter(col("source") =!= probeSource)
+      .filter(call_function("bloom_might_contain",
+        lit(bloomBytes), xxhash64(col("g"))))
+    val probe =
+      if (nProbe <= maxBroadcastShingles) broadcast(bench)
+      else { bench.unpersist(); bench }
+    survivors.join(probe, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
+  }
+
   /** Broadcast budget for the dedup-materialization cluster frame:
     * the doc→cluster join broadcasts only while the component frame
     * (one row per node appearing in ANY near-dup pair) fits this
@@ -760,18 +829,40 @@ object DedupOps {
         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
         |FROM hits WHERE n_shared >= 5
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), col("source"),
-          explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
-        .select(col("doc_id"), col("source"),
-          concat(
-            element_at(col("t"), col("i")), lit(" "),
-            element_at(col("t"), col("i") + 1), lit(" "),
-            element_at(col("t"), col("i") + 2)).as("g"))
-        .distinct()
-      decontaminate(sh, probeSource = "src0", minShared = 5)
+      decontaminate(sourcedShingles(s, dir), probeSource = "src0", minShared = 5)
+        .orderBy("doc_id")
+    },
+
+    // ---- q77: decontamination via Bloom prefilter ----------------
+    // Same semantics (and the SAME oracle SQL) as q58 — a Bloom
+    // filter has no false negatives, so the map-side prefilter +
+    // exact verify join is byte-identical to the exact path. What
+    // changes is the 100 TB plan: the corpus shingle frame is pruned
+    // inside the scan by the codegen'd bloom_might_contain predicate
+    // instead of carrying every shingle into the probe join. See
+    // decontaminateBloom for the sizing/fpp story.
+    QueryDef(
+      "q77_decontamination_bloom",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |hits AS (
+        |  SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
+        |  FROM sh c JOIN (SELECT DISTINCT g FROM sh WHERE source = 'src0') b
+        |    ON c.g = b.g
+        |  WHERE c.source <> 'src0'
+        |  GROUP BY c.doc_id)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM hits WHERE n_shared >= 5
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      decontaminateBloom(sourcedShingles(s, dir), probeSource = "src0",
+        minShared = 5)
         .orderBy("doc_id")
     },
 

@@ -90,6 +90,40 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateBloom is row-identical to the exact path, even at high fpp") {
+    import spark.implicits._
+    // doc 10 shares 2 probe shingles, doc 11 shares 1, doc 12 none
+    val sh = Seq(
+      (1L, "probe", "a b c"), (1L, "probe", "d e f"), (2L, "probe", "g h i"),
+      (10L, "train", "a b c"), (10L, "train", "d e f"),
+      (11L, "train", "g h i"), (11L, "train", "x y z"),
+      (12L, "train", "u v w"))
+      .toDF("doc_id", "source", "g")
+    val exact = DedupOps.decontaminate(sh, "probe", minShared = 1)
+      .orderBy("doc_id").collect().toSeq
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((10L, 2L), (11L, 1L)))
+    // the bloom prefilter has no false negatives and the verify join
+    // kills false positives — output must match the exact path even
+    // when fpp makes FPs near-certain
+    for (fpp <- Seq(0.01, 0.5)) {
+      val viaBloom = DedupOps.decontaminateBloom(sh, "probe", minShared = 1,
+        fpp = fpp).orderBy("doc_id").collect().toSeq
+      assert(viaBloom == exact, s"bloom path diverged at fpp=$fpp")
+    }
+  }
+
+  test("q77 bloom decontamination matches q58 exact decontamination at sf0.001") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("q58_decontamination")(spark, dir)
+      .collect().toSeq
+    val bloom = graft.SparkEntry.queries("q77_decontamination_bloom")(spark, dir)
+      .collect().toSeq
+    assert(exact.nonEmpty, "vacuous corpus: q58 found no contaminated docs")
+    assert(bloom == exact)
+  }
+
   test("dedupMaterialize broadcast is SIZE-GATED: both paths row-identical") {
     import spark.implicits._
     // two components {1,2,3} and {5,6}; docs 4 and 7 unduplicated

@@ -237,6 +237,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"model fit lost its partial:\n$p")
   }
 
+  test("q77 bloom prefilter runs map-side, below the exact verify join") {
+    val p = plan("q77_decontamination_bloom")
+    assert(p.contains("bloom_might_contain"),
+      s"corpus side lost the bloom prefilter:\n$p")
+    // the predicate must sit DEEPER in the tree than the verify join
+    // (physical plans print root-first, so deeper = later): corpus
+    // shingles die inside the scan stage, before any join/exchange
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, s"expected an exact verify join:\n$p")
+    assert(p.indexOf("bloom_might_contain") > joinIdx,
+      s"bloom prefilter must be below the verify join, not above it:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q70 chunking is per-row: zero hash shuffles before the presentation sort") {
     val p = plan("q70_doc_chunks")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
