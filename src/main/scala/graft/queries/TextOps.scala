@@ -104,6 +104,74 @@ object TextOps {
         min("cf").as("min_tok_cf"))
   }
 
+  /** q78's per-token importance weight, kept as ONE textual SQL
+    * expression so Spark and the DuckDB oracle parse the identical
+    * operation tree (identical IEEE evaluation order → identical
+    * doubles — the q75 determinism pattern). Add-one smoothing over
+    * the fixed 4096-bucket feature space; quantized to integer
+    * micro-units BEFORE the per-doc sum, so the cross-token
+    * aggregation is exact integer arithmetic.
+    */
+  private val dsirMicroSql =
+    "CAST(floor((((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096.0)) / " +
+      "((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096.0))) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
+
+  /** q78's DSIR-style importance weights (Data Selection via
+    * Importance Resampling, Xie et al. 2023): score every document in
+    * the raw corpus by how much its hashed-unigram feature
+    * distribution looks like a TARGET subset (`isTarget` rows — the
+    * high-quality domain you want more of). Two passes, the CCNet/q69
+    * shape: pass 1 fits the two bucket distributions, pass 2 scores
+    * every token map-side against them.
+    *
+    * Scale contract — the reason this needs NO size gate where q69
+    * does: DSIR's hashing trick collapses the unbounded vocabulary
+    * into a FIXED 4096-bucket space (`substring(md5(w), 1, 3)` — the
+    * portable engine-shared hash), so the stats frame is ≤4096 rows
+    * at ANY corpus size and its broadcast is bounded by construction.
+    * The token stream is scored inside the scan (broadcast hash join
+    * + per-row expr) — the only shuffles are the ≤4096-key stats
+    * rollup and the final per-doc sum, both partial-aggregable. Same
+    * structural move as q77-vs-q58: a constant-size summary replaces
+    * a corpus-growing side, deleting the memory cliff instead of
+    * gating it.
+    *
+    * Determinism: DSIR weights are products of probability ratios
+    * (equivalently sums of log-ratios); logs are transcendental and
+    * libm-divergent, so like q75 the score sums PER-TOKEN QUANTIZED
+    * ratios instead. Per-token ordering is identical (x ↦ ratio is
+    * monotone); the cross-token sum deviates from the log-sum the
+    * same way q75's does (rare-bucket hits are amplified) — documented
+    * deviation, swap in a fixed-point log table if the exact DSIR
+    * ordering is ever needed.
+    *
+    * `docsFrame` columns: (doc_id, text); token-less docs yield no
+    * rows (no features to score — same contract as the signature
+    * operators). Output: (doc_id, n_tokens, importance_micro).
+    */
+  def dsirWeights(docsFrame: DataFrame, isTarget: Column): DataFrame = {
+    val tok = docsFrame
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("is_t"),
+        substring(md5(col("w")), 1, 3).as("bucket"))
+    // pass 1: raw-corpus and target bucket counts — ≤4096 rows out
+    val stats = tok.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    // one-row totals; broadcast like q75's corpus stats
+    val tot = stats.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    // pass 2: score the token stream map-side against the broadcast
+    // bucket table, then one per-doc partial-aggregable sum
+    tok.join(broadcast(stats), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr(dsirMicroSql).as("term_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("term_micro").as("importance_micro"))
+  }
+
   /** q70's RAG chunk materialization: cut each document's token
     * stream into fixed `chunk`-token windows advancing by `stride`
     * tokens (overlap = chunk − stride), and fingerprint each chunk's
@@ -1015,6 +1083,40 @@ object TextOps {
           col("n_ssns"), col("n_cards"), col("n_secrets"),
           (col("redacted") =!= col("t2")).as("changed"),
           md5(col("redacted")).as("redacted_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q78: DSIR importance weights -----------------------------
+    // Xie et al. 2023's importance-resampling scorer ([[dsirWeights]])
+    // with lang='en' as the target domain (218/500 docs at sf0.01 —
+    // both distributions well-populated). The oracle spells the same
+    // two-pass dataflow; the per-token micro expression is the SAME
+    // text both engines parse (dsirMicroSql), so doubles agree
+    // bit-for-bit and the per-doc sum is exact integer arithmetic.
+    QueryDef(
+      "q78_dsir_importance",
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |                       x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, is_t, substr(md5(w), 1, 3) AS bucket FROM tok),
+        |stats AS (
+        |  SELECT bucket, count(*) AS cr,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM b GROUP BY bucket),
+        |tot AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(ct) AS BIGINT) AS nt
+        |  FROM stats)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST(floor((((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096.0)) / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096.0))) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS importance_micro
+        |FROM b JOIN stats USING (bucket) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      dsirWeights(docs(s, dir).select("doc_id", "text", "lang"),
+        col("lang") === "en")
         .orderBy("doc_id")
     }
   )

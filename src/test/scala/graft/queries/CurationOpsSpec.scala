@@ -120,4 +120,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rareScore > 10L * bestCommon,
       s"rare=$rareScore common=$bestCommon")
   }
+
+  test("dsirWeights: exact micro-weights, target-like raw docs score high, empty doc dropped") {
+    import spark.implicits._
+    // alpha/beta/omega/kappa land in 4 DISTINCT md5 4096-buckets
+    // (2c1/987/c6d/fe1), so hand-computed bucket counts are exact
+    val rows = Seq(
+      (1L, "alpha beta alpha"),  // target
+      (2L, "alpha beta"),        // target
+      (3L, "omega kappa omega kappa"), // raw, target-unlike
+      (4L, "alpha beta"),        // raw, target-LIKE — the DSIR catch
+      (5L, "")                   // token-less → absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(rows,
+      org.apache.spark.sql.functions.col("doc_id") <= 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("importance_micro"))).toMap
+    // bucket stats: alpha cr=4 ct=3, beta cr=3 ct=2, omega/kappa cr=2
+    // ct=0; nr=11 nt=5 — mirror dsirMicroSql's double arithmetic
+    def micro(ct: Long, cr: Long): Long =
+      math.floor(((ct + 1.0) / (5 + 4096.0)) / ((cr + 1.0) / (11 + 4096.0))
+        * 1000000.0 + 0.5).toLong
+    val (a, b, o, k) = (micro(3, 4), micro(2, 3), micro(0, 2), micro(0, 2))
+    assert(out(1L) == ((3L, 2 * a + b)), out(1L))
+    assert(out(2L) == ((2L, a + b)), out(2L))
+    assert(out(3L) == ((4L, 2 * o + 2 * k)), out(3L))
+    // same tokens ⇒ same weight, regardless of membership side
+    assert(out(4L) == out(2L), s"${out(4L)} vs ${out(2L)}")
+    // target-like raw doc outscores target-unlike one (per token too:
+    // doc 3 has MORE tokens yet a lower total)
+    assert(out(4L)._2 > out(3L)._2, s"${out(4L)} vs ${out(3L)}")
+    assert(!out.contains(5L))
+  }
 }

@@ -237,6 +237,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"model fit lost its partial:\n$p")
   }
 
+  test("q78 dsir: constant-size bucket stats broadcast, token stream never re-shuffles") {
+    val p = plan("q78_dsir_importance")
+    // the ≤4096-row stats frame must be the broadcast side — the
+    // corpus token stream is scored map-side inside its scan stage
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle into the stats join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // both rollups (bucket stats, per-doc sum) keep map-side partials
+    assert(p.contains("partial_count"), s"lost map-side partials:\n$p")
+  }
+
   test("q77 bloom prefilter runs map-side, below the exact verify join") {
     val p = plan("q77_decontamination_bloom")
     assert(p.contains("bloom_might_contain"),
