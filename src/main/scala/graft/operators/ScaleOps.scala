@@ -68,6 +68,55 @@ object ScaleOps {
   def isExchangeFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
 
+  /** q79's deterministic training-shard assignment: a seeded global
+    * shuffle of the corpus into `nShards` shards, entirely per-row —
+    * the training-output side of the pipeline ("shuffle the corpus,
+    * cut it into N equal shards, fix the order for reproducibility").
+    *
+    * sort_key = md5(seed:id) is the shuffle order (changing the seed
+    * is a fresh permutation); shard = the key's first two hex digits
+    * mod nShards, decoded with instr arithmetic so the IDENTICAL
+    * integer/string expression runs on Spark and the DuckDB oracle
+    * (no engine-specific hex-to-int builtin, no floats anywhere).
+    * Zero shuffles, zero state: at 100 TB this is a pure map over the
+    * corpus — the only wide ops are whatever the caller adds, and
+    * [[writeTrainingShards]] adds exactly one (the partition-align
+    * repartition before the sorted write).
+    *
+    * Output: input columns + (sort_key, shard). Shard sizes are
+    * binomial(n, 1/nShards) — tight around n/nShards at any real n.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be in [1, 256] (two hex digits); got $nShards")
+    require(seed.matches("[A-Za-z0-9_.-]*"), s"unsafe seed: $seed")
+    df.withColumn("sort_key",
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("shard", expr(
+        "CAST((16 * (instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1)" +
+          " + (instr('0123456789abcdef', substr(sort_key, 2, 1)) - 1))" +
+          s" % $nShards AS BIGINT)"))
+  }
+
+  /** Materialize [[shardAssign]]'s permutation as training shards:
+    * one parquet directory per shard, rows inside each file in
+    * sort_key order. The write is ONE shuffle (repartition on the
+    * shard column so each shard's rows land in a single task) + a
+    * per-partition sort — never a global orderBy: the permutation is
+    * already encoded per-row, so no single-reducer total sort exists
+    * at any corpus size. Hash collisions between shard ids may route
+    * two shards through one task; each shard dir still gets exactly
+    * one sorted file. For shards past single-task size, sub-split by
+    * a sort_key range before writing (same pattern, one more column).
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: String, outDir: String): Unit =
+    shardAssign(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "sort_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Corpus scaler for scale probing (Bench's 10× datapoint):
     * factor× a `documents`-shaped frame (doc_id, text, lang, source,
     * n_chars) while PRESERVING its similarity structure — the

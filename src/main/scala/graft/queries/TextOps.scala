@@ -1118,6 +1118,41 @@ object TextOps {
       dsirWeights(docs(s, dir).select("doc_id", "text", "lang"),
         col("lang") === "en")
         .orderBy("doc_id")
+    },
+
+    // ---- q79: deterministic training shards -----------------------
+    // ScaleOps.shardAssign's seeded global permutation + 13-way
+    // sharding (13 ∤ 256, so the two-hex-digit mod is exercised off
+    // the friendly powers of two), summarized per shard. The shard
+    // decode is the SAME instr-arithmetic text both engines parse —
+    // integers and strings only, no float anywhere. The companion
+    // writer (ScaleOps.writeTrainingShards) materializes the same
+    // assignment as per-shard sorted parquet; ScaleOpsSpec pins
+    // exactly-once coverage, in-file order, and determinism.
+    QueryDef(
+      "q79_training_shards",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> len(x) > 0)) AS n_tok,
+        |    md5('42:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |  FROM documents),
+        |s AS (
+        |  SELECT n_tok, sort_key,
+        |    CAST((16 * (instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1) + (instr('0123456789abcdef', substr(sort_key, 2, 1)) - 1)) % 13 AS BIGINT) AS shard
+        |  FROM a)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(sort_key) AS first_key, max(sort_key) AS last_key
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      graft.operators.ScaleOps.shardAssign(
+          docs(s, dir).select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tok")),
+          "doc_id", 13, "42")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("sort_key").as("first_key"), max("sort_key").as("last_key"))
+        .orderBy("shard")
     }
   )
 }

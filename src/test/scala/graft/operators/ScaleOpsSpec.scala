@@ -43,4 +43,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     // contrast: the un-bucketed join DOES shuffle
     assert(!ScaleOps.isExchangeFree(a.join(b, Seq("id"))))
   }
+
+  test("writeTrainingShards: exactly-once coverage, sorted files, deterministic, seed-sensitive") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    ScaleOps.writeTrainingShards(docs, "doc_id", nShards = 13,
+      seed = "42", outDir = out)
+    val back = spark.read.parquet(out)
+      .select(col("doc_id"), col("sort_key"), col("shard").cast("long"),
+        input_file_name().as("file"))
+      .collect()
+    // every doc exactly once, 13 non-empty shards, one file per shard
+    assert(back.map(_.getLong(0)).sorted.toSeq == (1L to 500L))
+    val byShard = back.groupBy(_.getLong(2))
+    assert(byShard.keySet == (0L until 13L).toSet)
+    assert(byShard.values.forall(_.map(_.getString(3)).distinct.size == 1))
+    // rows inside each file arrive in sort_key order (parquet scans
+    // preserve in-file order within a single split)
+    byShard.values.foreach { rows =>
+      val keys = rows.map(_.getString(1)).toSeq
+      assert(keys == keys.sorted, s"shard file not sorted: $keys")
+    }
+    // same seed → byte-identical assignment; new seed → new permutation
+    val again = ScaleOps.shardAssign(docs, "doc_id", 13, "42")
+      .select("doc_id", "shard", "sort_key").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(again == back.map(r =>
+      (r.getLong(0), r.getLong(2), r.getString(1))).sortBy(_._1).toSeq)
+    val reseeded = ScaleOps.shardAssign(docs, "doc_id", 13, "43")
+      .select("doc_id", "shard", "sort_key").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(reseeded != again)
+    // binomial balance: with n=500, B=13 every shard should land
+    // within a wide [10, 90] band around the 38.5 mean
+    assert(byShard.values.forall(v => v.length >= 10 && v.length <= 90),
+      byShard.view.mapValues(_.length).toMap.toString)
+  }
 }
