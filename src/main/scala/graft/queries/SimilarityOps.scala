@@ -288,6 +288,47 @@ object SimilarityOps {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** q80's cluster-prototype data pruning (the SSL-prototype metric
+    * of Sorscher et al. 2022, "Beyond neural scaling laws"): every
+    * vector is assigned to its nearest codebook prototype PER ROW
+    * ([[nearestCell]]'s argmax against the literal codebook — zero
+    * join, zero shuffle, zero inflation), its "hardness" is the
+    * (quantized) cosine to that prototype — far-from-prototype
+    * examples are the informative ones on abundant data — and each
+    * cell keeps only its `keepK` HARDEST members. The per-cell rank
+    * is the naive window form TopKRewrite collapses to the
+    * bounded-heap partial aggregate, so the reduction shuffles
+    * O(keepK·partitions·cells) rows at any corpus size — the pruning
+    * decision never funnels a cell through one reducer.
+    *
+    * Determinism: the cosine is quantized to integer micro-units and
+    * ranking uses (sim_micro ASC, cand_id) — ascending is expressed
+    * as its negation ranked DESC so the rewrite's (score DESC, id)
+    * pattern applies unchanged. `corpus` = (cand_id, ce:
+    * array<double>). Output: (cell_id, cand_id, sim_micro, rnk).
+    */
+  def prototypePrune(corpus: DataFrame, codebook: Seq[(Int, Seq[Double])],
+      keepK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // the window child carries ONLY (partition, score, id) so the
+    // rewrite's slim-input condition holds; sim_micro is recovered
+    // as -hard after the rank filter
+    val best = corpus
+      .withColumn("cb", codebookLit(codebook))
+      .select(col("cand_id"),
+        expr("array_max(transform(cb, c -> named_struct(" +
+          "'sim', cosine_sim(ce, c.cent), 'nc', -c.cell_id)))").as("b"))
+      .select(col("cand_id"), (-col("b.nc")).cast("long").as("cell_id"),
+        expr("-CAST(floor(b.sim * 1000000.0 + 0.5) AS BIGINT)").as("hard"))
+    val w = Window.partitionBy("cell_id")
+      .orderBy(col("hard").desc, col("cand_id"))
+    best.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= keepK)
+      .select(col("cell_id"), col("cand_id"), (-col("hard")).as("sim_micro"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** One Lloyd iteration of k-means in pure DataFrame ops: the
     * codebook travels as a literal column, each vector computes its
     * nearest centroid PER ROW ([[nearestCell]] — no join, no window,
@@ -582,6 +623,48 @@ object SimilarityOps {
           (floor(avg("max_err") * 1000000 + lit(0.5)) / 1000000).as("avg_max_err"),
           (floor(max("max_err") * 1000000 + lit(0.5)) / 1000000).as("worst_err"))
         .orderBy("label")
+    },
+
+    // ---- q80: cluster-prototype pruning ---------------------------
+    // Sorscher et al. 2022's prototype-distance pruning
+    // ([[prototypePrune]]): assign to the q44 codebook, keep each
+    // cell's 10 hardest (lowest-cosine) members. The oracle spells
+    // assignment as the k× cross + row_number the Spark plan must NOT
+    // contain (per-row argmax instead — PlanAuditSpec asserts no
+    // join/Generate before assignment and that the per-cell rank ran
+    // as the bounded-heap aggregate, not a Window).
+    QueryDef(
+      "q80_prototype_prune",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT * FROM (VALUES
+        |    ${Ivf.centSqlValues}) t(cell_id, cent)),
+        |asg AS (
+        |  SELECT vec_id, cell_id, cosine FROM (
+        |    SELECT e.vec_id, t.cell_id,
+        |      list_dot_product(e.emb, t.cent) /
+        |        (sqrt(list_dot_product(e.emb, e.emb)) *
+        |         sqrt(list_dot_product(t.cent, t.cent))) AS cosine,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.emb, t.cent) /
+        |          (sqrt(list_dot_product(e.emb, e.emb)) *
+        |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+        |    FROM e, cent t) z WHERE rn = 1),
+        |m AS (
+        |  SELECT vec_id, cell_id,
+        |    CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+        |  FROM asg),
+        |r AS (
+        |  SELECT cell_id, vec_id AS cand_id, sim_micro,
+        |    row_number() OVER (PARTITION BY cell_id
+        |                       ORDER BY sim_micro ASC, vec_id) AS rnk
+        |  FROM m)
+        |SELECT CAST(cell_id AS BIGINT) AS cell_id, cand_id, sim_micro,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10 ORDER BY cell_id, rnk""".stripMargin) { (s, dir) =>
+      prototypePrune(
+        emb(s, dir).select(col("vec_id").as("cand_id"), col("e").as("ce")),
+        Ivf.codebook, keepK = 10)
+        .orderBy("cell_id", "rnk")
     }
   )
 }

@@ -71,4 +71,32 @@ class AnnRecallSpec extends AnyFunSuite {
       assert(hits == 5, s"query $qid recall ${hits / 5.0}: got ${got.get(qid)}, exact $ex")
     }
   }
+
+  test("prototypePrune keeps each cell's farthest members, rank ascending in similarity") {
+    import spark.implicits._
+    // two orthogonal prototypes; per cell, vectors at increasing
+    // angles from the prototype — id order tracks hardness order
+    val codebook = Seq(
+      0 -> (Seq(1.0, 0.0, 0.0, 0.0)),
+      1 -> (Seq(0.0, 1.0, 0.0, 0.0)))
+    def v(c: Int, tilt: Double): Seq[Double] =
+      if (c == 0) Seq(1.0, tilt, 0.0, 0.0) else Seq(tilt, 1.0, 0.0, 0.0)
+    val corpus = Seq(
+      (1L, v(0, 0.0)), (2L, v(0, 0.1)), (3L, v(0, 0.3)), (4L, v(0, 0.6)),
+      (11L, v(1, 0.0)), (12L, v(1, 0.2)), (13L, v(1, 0.5))
+    ).toDF("cand_id", "ce")
+    val out = SimilarityOps.prototypePrune(corpus, codebook, keepK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // cell 0 keeps its two most-tilted members, hardest first;
+    // the on-prototype vectors (1, 11) are pruned
+    assert(out((0L, 1L))._1 == 4L, out)
+    assert(out((0L, 2L))._1 == 3L, out)
+    assert(out((1L, 1L))._1 == 13L, out)
+    assert(out((1L, 2L))._1 == 12L, out)
+    assert(out.size == 4, out)
+    // rank 1 is strictly harder (lower sim_micro) than rank 2
+    assert(out((0L, 1L))._2 < out((0L, 2L))._2, out)
+    assert(out((1L, 1L))._2 < out((1L, 2L))._2, out)
+  }
 }

@@ -105,6 +105,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q80 prototype pruning: per-row assignment, per-cell rank off the Window") {
+    val p = plan("q80_prototype_prune")
+    // assignment is a per-row argmax against the literal codebook —
+    // the oracle's k× cross + row_number must NOT appear
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("Window"), s"per-cell rank funneled a window:\n$p")
+    assert(p.contains("partial_topk_collect"),
+      s"per-cell rank is not a map-side bounded heap:\n$p")
+    // the only Generate is the rewrite's own posexplode of the
+    // k-bounded top array — never a corpus-side explosion
+    val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.forall(_.contains("posexplode(graft_top")),
+      s"corpus side exploded:\n$p")
+  }
+
   test("q36 LSH candidate generation never degenerates to a cross join") {
     val p = plan("q36_lsh_near_dup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
