@@ -68,6 +68,59 @@ object ScaleOps {
   def isExchangeFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
 
+  /** Morton (Z-order) interleave of two non-negative integer columns
+    * already bucketed into [0, 2^bits): bit i of `a` lands at output
+    * bit 2i+1, bit i of `b` at 2i — so rows close in BOTH dimensions
+    * are close in the one-dimensional z order. Pure codegen'd integer
+    * ops (shift/and/or folds), per-row, zero shuffle.
+    */
+  def zvalue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]; got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)),
+          2 * i))
+    }
+  }
+
+  /** Z-order data layout: cluster a table on TWO dimensions at once so
+    * parquet row-group min/max pruning works for box predicates on
+    * either or both — the multi-dimensional complement of the dossier's
+    * dt-partition pruning. Linear-scale each column into [0, 2^bits)
+    * (one tiny min/max pass), range-partition + sort by the
+    * [[zvalue]], write with `rowGroupBytes`-sized row groups. The sort
+    * is per-partition after a RANGE exchange — z-locality across files
+    * AND inside them, never a single-reducer global sort.
+    *
+    * At 100 TB: a filter box of side 1/s on both dimensions touches
+    * ~1/s² of the z-range, so the scan reads ~1/s² of the row groups
+    * instead of all of them (ScaleOpsSpec measures the win on a real
+    * scan's numOutputRows). Layout cost is one range shuffle — paid
+    * once at write, recouped on every box scan after.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, bits: Int,
+      nFiles: Int, outDir: String, rowGroupBytes: Long = 1L << 20): Unit = {
+    val Seq(loA, hiA, loB, hiB) = df
+      .agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val top = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(top), floor((col(c).cast("double") - lo) / (hi - lo)
+        * (top + 1)).cast("long"))
+    df.withColumn("_z", zvalue(scaled(colA, loA, hiA),
+        scaled(colB, loB, hiB), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(outDir)
+  }
+
   /** q79's deterministic training-shard assignment: a seeded global
     * shuffle of the corpus into `nShards` shards, entirely per-row —
     * the training-output side of the pipeline ("shuffle the corpus,

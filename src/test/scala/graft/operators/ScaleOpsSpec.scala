@@ -80,4 +80,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(byShard.values.forall(v => v.length >= 10 && v.length <= 90),
       byShard.view.mapValues(_.length).toMap.toString)
   }
+
+  test("zvalue interleaves bits; zorderWrite layout prunes row groups on a box scan") {
+    import spark.implicits._
+    // bit interleave: a=0b101, b=0b011 → z=0b100111 (a odd bits, b even)
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(ScaleOps.zvalue(col("a"), col("b"), 3).as("z"))
+      .head().getLong(0)
+    assert(z == Integer.parseInt("100111", 2), z.toBinaryString)
+
+    // 200k rows, two hash-scattered dims in [0, 1024): write the same
+    // data in insertion order vs z-order, same row-group size
+    val n = 200000
+    val rows = spark.range(n.toLong).select(col("id"),
+      pmod(hash(col("id") * 7 + 1), lit(1024)).cast("long").as("x"),
+      pmod(hash(col("id") * 13 + 5), lit(1024)).cast("long").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    rows.repartitionByRange(4, col("id"))
+      .write.option("parquet.block.size", 256 * 1024)
+      .parquet(s"$base/plain")
+    ScaleOps.zorderWrite(rows, "x", "y", bits = 10, nFiles = 4,
+      outDir = s"$base/zorder", rowGroupBytes = 256 * 1024)
+
+    // exactly-once payload survives the layout
+    assert(spark.read.parquet(s"$base/zorder").count() == n)
+    assert(spark.read.parquet(s"$base/zorder")
+      .agg(sum(col("id"))).head().getLong(0) ==
+      n.toLong * (n - 1) / 2)
+
+    // box scan: 1/8 of each dimension → 1/64 of the space. Row-group
+    // stats prune z-ordered groups; the unordered layout reads ~all
+    // rows (every group spans the full range)
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("x") < 128 && col("y") < 128)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val plainRead = scanRows(s"$base/plain")
+    val zRead = scanRows(s"$base/zorder")
+    info(s"box scan read: plain layout $plainRead rows, z-order $zRead rows " +
+      f"(${plainRead.toDouble / zRead}%.1fx fewer)")
+    assert(plainRead > (n * 3) / 4, s"expected near-full read, got $plainRead")
+    assert(zRead < plainRead / 4,
+      s"z-order layout did not prune: z=$zRead plain=$plainRead")
+  }
 }
