@@ -598,6 +598,94 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- q81: duplicated-n-gram character fraction (Gopher) ------
+    // The Rae et al. 2021 §A1.1 rules q73/q45 do NOT cover: the
+    // top-n-gram character fraction (share of the doc's characters
+    // claimed by all occurrences of its most frequent 2-gram) and the
+    // duplicated-n-gram character fraction (chars in 3-grams occurring
+    // ≥2 times, counting every occurrence — the standard count-based
+    // approximation; EXACT overlap-deduped char coverage is q65's
+    // span-union machinery and composes when needed). Shape is q45's:
+    // per-(doc, gram) count then per-doc rollup, both partial-
+    // aggregable, no joins, no windows — the ratios are single double
+    // divisions of exact integers, rounded once for display.
+    QueryDef(
+      "q81_dup_ngram_fraction",
+      """WITH toks0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> len(x) > 0) AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, t, len(array_to_string(t, ' ')) AS n_chars
+        |  FROM toks0),
+        |g2 AS (
+        |  SELECT doc_id, n_chars, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 1, 0)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT doc_id, n_chars, g, count(*) AS c
+        |       FROM g2 GROUP BY doc_id, n_chars, g),
+        |mx AS (SELECT doc_id, max(c) AS top_c FROM c2 GROUP BY doc_id),
+        |top2 AS (
+        |  SELECT c2.doc_id, max(c2.n_chars) AS n_chars,
+        |    CAST(max(mx.top_c) AS BIGINT) AS top_c,
+        |    len(max(c2.g)) AS top_len
+        |  FROM c2 JOIN mx ON c2.doc_id = mx.doc_id AND c2.c = mx.top_c
+        |  GROUP BY c2.doc_id),
+        |g3 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        |dup3 AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * len(g) END), 0)
+        |      AS BIGINT) AS dup_chars
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chars, t.top_c,
+        |  floor(CAST(t.top_c * t.top_len AS DOUBLE) / t.n_chars * 10000 + 0.5)
+        |    / 10000 AS top2_char_frac,
+        |  floor(CAST(coalesce(d.dup_chars, 0) AS DOUBLE) / t.n_chars * 10000
+        |    + 0.5) / 10000 AS dup3_char_frac
+        |FROM top2 t LEFT JOIN dup3 d ON t.doc_id = d.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .withColumn("n_chars",
+          length(array_join(col("t"), " ")).cast("long"))
+      def grams(n: Int) = base
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr(s"sequence(1, size(t) - ${n - 1})")).as("i"), col("t"))
+        .select(col("doc_id"), col("n_chars"),
+          concat_ws(" ",
+            (0 until n).map(j => element_at(col("t"), col("i") + j)): _*)
+            .as("g"))
+      // top 2-gram: ties at max count break to the LEXICOGRAPHICALLY
+      // LARGEST gram (max(struct(c, g)) here = the oracle's max(g)
+      // over rows with c = top_c) so both engines agree on top_len
+      val top2 = grams(2)
+        .groupBy("doc_id", "n_chars", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_chars")
+        .agg(max(struct(col("c"), col("g"))).as("m"))
+        .select(col("doc_id"), col("n_chars"),
+          col("m.c").as("top_c"),
+          length(col("m.g")).cast("long").as("top_len"))
+      val dup3 = grams(3)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(coalesce(sum(when(col("c") >= 2,
+          col("c") * length(col("g")))), lit(0L)).as("dup_chars"))
+      top2.join(dup3, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"), col("top_c"),
+          (floor((col("top_c") * col("top_len")).cast("double")
+            / col("n_chars") * 10000 + 0.5) / 10000).as("top2_char_frac"),
+          (floor(coalesce(col("dup_chars"), lit(0L)).cast("double")
+            / col("n_chars") * 10000 + 0.5) / 10000).as("dup3_char_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- stratified train/val/test split (deterministic) ---------
     // Hash-based assignment: md5 of the stable doc key → hex digit →
     // 11/3/2 sixteenths. Deterministic and data-independent, so the

@@ -121,6 +121,41 @@ class CurationOpsSpec extends AnyFunSuite {
       s"rare=$rareScore common=$bestCommon")
   }
 
+  test("dup-ngram fractions: repeated text flagged, distinct text near zero, short docs handled") {
+    import spark.implicits._
+    val rows = Seq(
+      // "a b" ×3 → top 2-gram 'a b' c=3 len=3; 3-grams: 'a b a'×2?
+      (1L, "a b a b a b"),
+      (2L, "w1 w2 w3 w4 w5"),  // all grams distinct
+      (3L, "x y"),             // 2 tokens: top2 defined, no 3-grams
+      (4L, "solo")             // 1 token: absent entirely
+    ).toDF("doc_id", "text")
+    val q = graft.SparkEntry.queries("q81_dup_ngram_fraction")
+    // route through a temp dir shaped like the testdata layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_q81").toString
+    rows.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: text "a b a b a b" (11 chars); 2-grams: "a b"×3, "b a"×2
+    // → top 3*3/11 = 0.8182; 3-grams "a b a"×2, "b a b"×2 → all 4
+    // occurrences duplicated: (2*5 + 2*5)/11 = 1.8182 (count-based,
+    // overlaps counted — documented to exceed 1 on pathological text)
+    assert(out(1L)._1 == 11L && out(1L)._2 == 3L, out(1L))
+    assert(math.abs(out(1L)._3 - 0.8182) < 1e-9, out(1L))
+    assert(math.abs(out(1L)._4 - 1.8182) < 1e-9, out(1L))
+    // doc 2: every gram unique → top_c 1, dup 0
+    assert(out(2L)._2 == 1L && out(2L)._4 == 0.0, out(2L))
+    // doc 3: single 2-gram "x y" (c=1, len 3, n_chars 3) → frac 1.0;
+    // no 3-grams → dup 0
+    assert(out(3L) == ((3L, 1L, 1.0, 0.0)), out(3L))
+    assert(!out.contains(4L))
+  }
+
   test("dsirWeights: exact micro-weights, target-like raw docs score high, empty doc dropped") {
     import spark.implicits._
     // alpha/beta/omega/kappa land in 4 DISTINCT md5 4096-buckets
