@@ -150,22 +150,37 @@ object TextOps {
     * rows (no features to score — same contract as the signature
     * operators). Output: (doc_id, n_tokens, importance_micro).
     */
-  def dsirWeights(docsFrame: DataFrame, isTarget: Column): DataFrame = {
+  /** The token-stream → md5-bucket projection shared by the fit and
+    * score passes (and their streaming twin).
+    */
+  private[graft] def dsirBuckets(docsFrame: DataFrame): DataFrame =
+    docsFrame
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), substring(md5(col("w")), 1, 3).as("bucket"))
+
+  /** q78's fitted model as a frame: per-bucket raw/target counts with
+    * the corpus totals attached to every row — (bucket, cr, ct, nr,
+    * nt), ≤4096 rows at any corpus size. This is what a streaming
+    * scorer ([[graft.streaming.StreamOps.dsirScoreStream]]) persists
+    * from the batch fit and broadcasts per micro-batch.
+    */
+  def dsirModel(docsFrame: DataFrame, isTarget: Column): DataFrame = {
     val tok = docsFrame
-      .select(col("doc_id"), isTarget.as("is_t"),
-        explode(tokens(col("text"))).as("w"))
-      .select(col("doc_id"), col("is_t"),
-        substring(md5(col("w")), 1, 3).as("bucket"))
-    // pass 1: raw-corpus and target bucket counts — ≤4096 rows out
+      .select(isTarget.as("is_t"), explode(tokens(col("text"))).as("w"))
+      .select(col("is_t"), substring(md5(col("w")), 1, 3).as("bucket"))
     val stats = tok.groupBy("bucket").agg(
       count(lit(1)).as("cr"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
-    // one-row totals; broadcast like q75's corpus stats
-    val tot = stats.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    // pass 2: score the token stream map-side against the broadcast
-    // bucket table, then one per-doc partial-aggregable sum
-    tok.join(broadcast(stats), Seq("bucket"))
-      .crossJoin(broadcast(tot))
+    stats.crossJoin(broadcast(
+      stats.agg(sum("cr").as("nr"), sum("ct").as("nt"))))
+  }
+
+  def dsirWeights(docsFrame: DataFrame, isTarget: Column): DataFrame = {
+    // pass 1: fit the ≤4096-row model; pass 2: score the token stream
+    // map-side against its broadcast, then one per-doc
+    // partial-aggregable sum
+    dsirBuckets(docsFrame.select("doc_id", "text"))
+      .join(broadcast(dsirModel(docsFrame, isTarget)), Seq("bucket"))
       .select(col("doc_id"), expr(dsirMicroSql).as("term_micro"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -212,4 +212,46 @@ object StreamOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** ONLINE DSIR importance scoring — the streaming form of the batch
+    * q78 scorer ([[graft.queries.TextOps.dsirWeights]]): every
+    * arriving document (`doc_id, text, ts`) is scored against a
+    * BATCH-FITTED model frame ([[graft.queries.TextOps.dsirModel]]:
+    * bucket, cr, ct, nr, nt — ≤4096 rows by construction), the intake
+    * pattern for "keep sampling the stream toward the target domain".
+    *
+    * Scale/state story: tokenize/bucket is stateless per-row; the
+    * model is static and broadcast (constant-size — no gate needed,
+    * same argument as batch q78); the only streaming state is the
+    * per-(doc, ts) sum, evicted by the watermark. Buckets NEVER seen
+    * at fit time take the add-one-smoothed score DSIR gives unseen
+    * features (ct=cr=0) via a LEFT join + coalesce — identical
+    * arithmetic to the batch expression, so on fit-covered corpora
+    * stream and batch agree row-for-row (pinned by StreamOpsSpec).
+    * Emits (doc_id, ts, n_tokens, importance_micro) on watermark
+    * close.
+    */
+  def dsirScoreStream(docs: DataFrame, model: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    // totals are constant across the (tiny, static) model frame; one
+    // driver-side action at stream SETUP, not per batch
+    val head = model.select(max("nr"), max("nt")).head()
+    require(!head.isNullAt(0), "dsirScoreStream: empty model frame")
+    val (nr, nt) = (head.getLong(0), head.getLong(1))
+    val microSql =
+      s"CAST(floor((((CAST(coalesce(ct, 0L) AS DOUBLE) + 1.0) / (${nt}.0 + 4096.0)) / " +
+        s"((CAST(coalesce(cr, 0L) AS DOUBLE) + 1.0) / (${nr}.0 + 4096.0))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)"
+    docs
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.queries.TextOps.tokens(col("text"))).as("w"))
+      .withColumn("bucket", substring(md5(col("w")), 1, 3))
+      .join(broadcast(model.select("bucket", "cr", "ct")),
+        Seq("bucket"), "left_outer")
+      .select(col("doc_id"), col("ts"), expr(microSql).as("term_micro"))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("term_micro").as("importance_micro"))
+  }
 }

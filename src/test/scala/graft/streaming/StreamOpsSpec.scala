@@ -469,4 +469,43 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows(0).getAs[String]("tier") == "gold")
     assert(rows(1).getAs[String]("tier") == null) // left outer keeps unmatched
   }
+
+  test("PARITY: online DSIR scoring equals the batch q78 weights row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // fit the model on the full corpus (target = lang 'en'), exactly
+    // the batch q78 configuration
+    val corpus = graft.Tables(spark, parityDir, "documents")
+    val model = graft.queries.TextOps
+      .dsirModel(corpus, $"lang" === "en")
+      .persist()
+
+    val docs = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(docs.map { case (id, t) => (id, t, ts(0)) })
+    val q = StreamOps.dsirScoreStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_parity").start()
+    q.processAllAvailable()
+    // watermark-advancing sentinel so every pending per-doc sum emits
+    stream.addData(Seq((-1L, "zzz",
+      new Timestamp(ts(0).getTime + 30L * 24 * 3600 * 1000))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_parity")
+      .filter($"doc_id" >= 0)
+      .select($"doc_id", $"n_tokens", $"importance_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = graft.queries.TextOps
+      .dsirWeights(corpus.select("doc_id", "text", "lang"), $"lang" === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    model.unpersist()
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }
