@@ -204,15 +204,17 @@ object Bench {
         s""""detail":"$outPath","sf":"$sfDir"}""")
   }
 
-  /** The six heaviest dedup-family queries (documents-only inputs)
-    * plus the two ANN paths (embeddings-only inputs), re-timed at
+  /** The six heaviest dedup-family queries (documents-only inputs),
+    * the two ANN paths (embeddings-only inputs), and the DSIR
+    * importance scorer (its constant-size model broadcast is the
+    * no-gate scale claim worth a measured datapoint), re-timed at
     * [[scaleProbeBench]]'s factor× scale.
     */
   val ScaleProbeQueries: Seq[String] = Seq(
     "q37_ngram_jaccard_top", "q65_dup_span_removal",
     "q36_lsh_near_dup_pairs", "q61_dedup_clusters",
     "q60_dup_span_ratio", "q76_dedup_materialize",
-    "q40_cosine_topk", "q44_ivf_ann")
+    "q40_cosine_topk", "q44_ivf_ann", "q78_dsir_importance")
 
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,
