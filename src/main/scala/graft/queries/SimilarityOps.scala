@@ -222,6 +222,63 @@ object SimilarityOps {
     }.mkString(",\n    ")
   }
 
+  /** q82's product-quantization codebooks (Jégou et al. 2011, the
+    * FAISS memory-compression path): the 64-dim space splits into
+    * m=4 subspaces of 16 dims, each with k=4 sub-centroids SLICED
+    * from the data-fitted IVF codebook (centroids 0–3 restricted to
+    * the subspace dims — fitted numbers, 3-decimal literals, the
+    * same legitimacy argument as [[Ivf]]). A vector's code is 4
+    * sub-assignments → log2(4)·4 = 8 bits; at 100 TB this is the
+    * 32×-compression sweep (256 B float32 → 1 B/vector) that makes
+    * corpus-resident ANN state fit executor memory.
+    */
+  private[graft] object Pq {
+    val m = 4
+    val subDim = 16
+    val k = 4
+    /** (sub, code, 16-dim sub-centroid) */
+    val subCodebooks: Seq[(Int, Int, Seq[Double])] =
+      for (s <- 0 until m; c <- 0 until k)
+        yield (s, c, Ivf.centroids(c).slice(s * subDim, (s + 1) * subDim))
+    /** `(VALUES (0, 0, CAST([…] AS DOUBLE[])), …) t(sub, code, cent)` */
+    val sqlValues: String = subCodebooks.map { case (s, c, v) =>
+      val lits = v.map(w => f"$w%.3f").mkString("[", ", ", "]")
+      s"($s, $c, CAST($lits AS DOUBLE[]))"
+    }.mkString(",\n    ")
+  }
+
+  /** PQ encoding as pure per-row expressions — the q44/q80 pattern:
+    * each subspace's sub-codebook travels as a literal array column
+    * and the sub-assignment is an argmin fold over it (ties to the
+    * smallest code, matching the oracle's `ORDER BY d2, code`); NO
+    * join, NO window, NO row inflation at any corpus size. Returns
+    * (vec_id, c0..c3, recon_err2) — codes plus the total squared
+    * reconstruction error (display-rounded; assignments compare RAW
+    * doubles).
+    */
+  def pqCodes(vectors: DataFrame): DataFrame = {
+    def cbLit(s: Int): Column = array(
+      Pq.subCodebooks.filter(_._1 == s).map { case (_, c, v) =>
+        struct(lit(c).as("code"), typedLit(v).as("cent"))
+      }: _*)
+    val base = (0 until Pq.m).foldLeft(
+      vectors.select(col("vec_id"), col("e"))) { (df, s) =>
+      df.withColumn(s"cb$s", cbLit(s))
+    }
+    val scored = (0 until Pq.m).foldLeft(base) { (df, s) =>
+      val off = s * Pq.subDim + 1
+      df.withColumn(s"b$s",
+        expr(s"array_max(transform(cb$s, c -> named_struct(" +
+          s"'nd', -aggregate(zip_with(slice(e, $off, ${Pq.subDim}), c.cent, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v), " +
+          "'nc', -c.code)))"))
+    }
+    scored.select(Seq(col("vec_id")) ++
+      (0 until Pq.m).map(s => (-col(s"b$s.nc")).cast("long").as(s"c$s")) ++
+      Seq(round((0 until Pq.m).map(s => -col(s"b$s.nd"))
+        .reduce(_ + _), 3).as("recon_err2")): _*)
+  }
+
   // ----------------------------------------------------------------
   // per-row cell assignment — NO join, NO window, NO inflation
   // ----------------------------------------------------------------
@@ -665,6 +722,39 @@ object SimilarityOps {
         emb(s, dir).select(col("vec_id").as("cand_id"), col("e").as("ce")),
         Ivf.codebook, keepK = 10)
         .orderBy("cell_id", "rnk")
+    },
+
+    // ---- q82: product-quantization codes --------------------------
+    // Jégou et al. 2011's PQ encoding ([[pqCodes]]): 4 subspaces × 4
+    // sub-centroids sliced from the fitted IVF codebook → one 8-bit
+    // code per vector + squared reconstruction error. The oracle
+    // spells the (vec × sub × code) cross + row_number argmin the
+    // Spark plan must NOT contain (per-row folds instead —
+    // PlanAuditSpec asserts no join/window/inflation).
+    QueryDef(
+      "q82_pq_codes",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT * FROM (VALUES
+        |    ${Pq.sqlValues}) t(sub, code, cent)),
+        |d AS (
+        |  SELECT e.vec_id, t.sub, t.code,
+        |    (SELECT sum((x - y) * (x - y)) FROM
+        |      (SELECT unnest(e.emb[(t.sub * 16 + 1):(t.sub * 16 + 16)]) AS x,
+        |              unnest(t.cent) AS y) z) AS d2
+        |  FROM e, cent t),
+        |best AS (
+        |  SELECT vec_id, sub, code, d2, row_number() OVER (
+        |    PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |  FROM d)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN sub = 0 THEN code END) AS BIGINT) AS c0,
+        |  CAST(max(CASE WHEN sub = 1 THEN code END) AS BIGINT) AS c1,
+        |  CAST(max(CASE WHEN sub = 2 THEN code END) AS BIGINT) AS c2,
+        |  CAST(max(CASE WHEN sub = 3 THEN code END) AS BIGINT) AS c3,
+        |  round(sum(d2), 3) AS recon_err2
+        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+        pqCodes(emb(s, dir)).orderBy("vec_id")
     }
   )
 }

@@ -72,6 +72,32 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("pqCodes: centroid-slice inputs encode to their own code with zero error") {
+    import spark.implicits._
+    // vector j = exact concatenation of centroid j's four subspace
+    // slices → every subspace assigns code j with distance 0
+    val cents = (0 until 4).map(j =>
+      (j.toLong, SimilarityOps.Ivf.centroids(j)))
+    val mixed = (100L,
+      SimilarityOps.Ivf.centroids(0).slice(0, 16) ++
+        SimilarityOps.Ivf.centroids(1).slice(16, 32) ++
+        SimilarityOps.Ivf.centroids(2).slice(32, 48) ++
+        SimilarityOps.Ivf.centroids(3).slice(48, 64))
+    val out = SimilarityOps.pqCodes((cents :+ mixed).toDF("vec_id", "e"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          r.getDouble(5))).toMap
+    for (j <- 0 until 4) {
+      assert(out(j.toLong)._1 == ((j.toLong, j.toLong, j.toLong, j.toLong)),
+        out(j.toLong))
+      assert(out(j.toLong)._2 == 0.0, out(j.toLong))
+    }
+    // per-subspace independence: the spliced vector takes a DIFFERENT
+    // code in each subspace, still at zero error
+    assert(out(100L)._1 == ((0L, 1L, 2L, 3L)), out(100L))
+    assert(out(100L)._2 == 0.0, out(100L))
+  }
+
   test("prototypePrune keeps each cell's farthest members, rank ascending in similarity") {
     import spark.implicits._
     // two orthogonal prototypes; per cell, vectors at increasing

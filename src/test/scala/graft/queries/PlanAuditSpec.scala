@@ -120,6 +120,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus side exploded:\n$p")
   }
 
+  test("q82 PQ encoding is pure per-row folds: no join, no window, no hash shuffle") {
+    val p = plan("q82_pq_codes")
+    assert(!p.contains("Join"), s"sub-assignment must not join:\n$p")
+    assert(!p.contains("Window"), s"argmin must not rank through a window:\n$p")
+    assert(!p.contains("Generate"), s"corpus side exploded:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle (only the presentation sort may exchange):\n$p")
+  }
+
   test("q36 LSH candidate generation never degenerates to a cross join") {
     val p = plan("q36_lsh_near_dup_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
