@@ -279,6 +279,69 @@ object SimilarityOps {
         .reduce(_ + _), 3).as("recon_err2")): _*)
   }
 
+  /** q83's PQ-ADC search (Jégou et al. 2011 §IV): approximate
+    * nearest-neighbor over PQ CODES instead of raw vectors —
+    * asymmetric distance computation. Each query precomputes a
+    * 4×4-entry lookup table (distance from its subvector to every
+    * sub-centroid, a per-row expression on the tiny broadcast query
+    * side); a candidate's distance is then FOUR ARRAY LOOKUPS summed
+    * — the corpus never touches its floats again after encoding. This
+    * is why PQ compression matters at 100 TB: the scan side carries
+    * 1-byte codes, the per-candidate cost is O(m), and the plan is
+    * q40's shape — corpus partitioned, queries broadcast
+    * (BroadcastNestedLoopJoin), top-k via the bounded-heap rewrite,
+    * never a window funnel.
+    *
+    * `corpus` = (cand_id, ce), `queries` = (query_id, qe). Returns
+    * (query_id, cand_id, adc2 rounded, rnk ≤ k) — rnk ranks the RAW
+    * ADC distance ascending with cand_id tie-break.
+    */
+  def pqAdcSearch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus → codes (per-row, q82); floats dropped after encoding
+    val codes = pqCodes(
+        corpus.select(col("cand_id").as("vec_id"), col("ce").as("e")))
+      .select(col("vec_id").as("cand_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+    // query → per-subspace LUT (array ordered by code: subCodebooks
+    // are built in code order, transform preserves it)
+    def cbLit(s: Int): Column = array(
+      Pq.subCodebooks.filter(_._1 == s).map { case (_, c, v) =>
+        struct(lit(c).as("code"), typedLit(v).as("cent"))
+      }: _*)
+    // LUT entries quantize to integer micro-units at CONSTRUCTION:
+    // the ADC sum is then exact integer arithmetic — order-insensitive,
+    // so candidates sharing a code tie EXACTLY in both engines (a
+    // float sum would be engine-summation-order-dependent and break
+    // those ties differently)
+    val qluts = (0 until Pq.m).foldLeft(
+      queries.select(col("query_id"), col("qe"))) { (df, s) =>
+      val off = s * Pq.subDim + 1
+      df.withColumn(s"cb$s", cbLit(s))
+        .withColumn(s"lut$s",
+          expr(s"transform(cb$s, c -> CAST(floor(aggregate(zip_with(" +
+            s"slice(qe, $off, ${Pq.subDim}), c.cent, " +
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)" +
+            " * 1000000.0 + 0.5) AS BIGINT))"))
+        .drop(s"cb$s")
+    }.select(Seq(col("query_id")) ++
+      (0 until Pq.m).map(s => col(s"lut$s")): _*)
+    val adc = (0 until Pq.m).map(s =>
+      element_at(col(s"lut$s"), (col(s"c$s") + 1).cast("int")))
+      .reduce(_ + _)
+    // negated score so the (score DESC, id ASC) rewrite pattern
+    // applies; child carries ONLY (partition, score, id) — slim input
+    val scored = codes.crossJoin(broadcast(qluts))
+      .select(col("query_id"), col("cand_id"), (-adc).as("nadc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("nadc").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        (-col("nadc")).as("adc2_micro"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   // ----------------------------------------------------------------
   // per-row cell assignment — NO join, NO window, NO inflation
   // ----------------------------------------------------------------
@@ -755,6 +818,56 @@ object SimilarityOps {
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin) {
       (s, dir) =>
         pqCodes(emb(s, dir)).orderBy("vec_id")
+    },
+
+    // ---- q83: PQ-ADC approximate search ---------------------------
+    // The search path q82's codes exist for ([[pqAdcSearch]]): query
+    // LUTs + per-candidate table lookups. The oracle reuses the
+    // distance frame for BOTH candidate encoding (argmin) and query
+    // LUTs (equi-join on (sub, code)) — semantics the Spark plan
+    // expresses as per-row folds + one BroadcastNestedLoopJoin +
+    // the bounded-heap top-k (PlanAuditSpec pins the q40 shape).
+    QueryDef(
+      "q83_pq_adc_ann",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT * FROM (VALUES
+        |    ${Pq.sqlValues}) t(sub, code, cent)),
+        |d AS (
+        |  SELECT e.vec_id, t.sub, t.code,
+        |    (SELECT sum((x - y) * (x - y)) FROM
+        |      (SELECT unnest(e.emb[(t.sub * 16 + 1):(t.sub * 16 + 16)]) AS x,
+        |              unnest(t.cent) AS y) z) AS d2
+        |  FROM e, cent t),
+        |best AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |    FROM d WHERE vec_id >= 5) z WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS query_id, sub, code,
+        |    CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS dm
+        |  FROM d WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT l.query_id, b.vec_id AS cand_id,
+        |    CAST(sum(l.dm) AS BIGINT) AS adc2_micro
+        |  FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+        |  GROUP BY l.query_id, b.vec_id),
+        |r AS (
+        |  SELECT query_id, cand_id, adc2_micro, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc2_micro, cand_id) AS rnk
+        |  FROM adc)
+        |SELECT query_id, cand_id, adc2_micro,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
+      (s, dir) =>
+        val e = emb(s, dir)
+        pqAdcSearch(
+          e.filter(col("vec_id") >= 5)
+            .select(col("vec_id").as("cand_id"), col("e").as("ce")),
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("e").as("qe")),
+          k = 5)
+          .orderBy("query_id", "rnk")
     }
   )
 }

@@ -98,6 +98,32 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(out(100L)._2 == 0.0, out(100L))
   }
 
+  test("pqAdcSearch is exact on zero-reconstruction-error corpora") {
+    import spark.implicits._
+    // candidates are centroid splices (q82 encodes them losslessly) →
+    // ADC distance == true squared L2 distance → ADC top-k must equal
+    // the exact top-k computed driver-side
+    val splice = (a: Int, b: Int, c: Int, d: Int) =>
+      SimilarityOps.Ivf.centroids(a).slice(0, 16) ++
+        SimilarityOps.Ivf.centroids(b).slice(16, 32) ++
+        SimilarityOps.Ivf.centroids(c).slice(32, 48) ++
+        SimilarityOps.Ivf.centroids(d).slice(48, 64)
+    val cands = (for (a <- 0 until 4; b <- 0 until 4) yield
+      (10L + a * 4 + b, splice(a, b, (a + b) % 4, (a + 2 * b) % 4))).toSeq
+    val queries = Seq((0L, splice(0, 1, 1, 2)), (1L, splice(3, 3, 0, 0)))
+    val got = SimilarityOps.pqAdcSearch(
+      cands.toDF("cand_id", "ce"), queries.toDF("query_id", "qe"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    def d2(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    for ((qid, qe) <- queries) {
+      val exact = cands.sortBy { case (id, ce) => (d2(qe, ce), id) }
+        .take(3).map(_._1)
+      val adc = (1 to 3).map(r => got((qid, r.toLong)))
+      assert(adc == exact, s"query $qid: adc=$adc exact=$exact")
+    }
+  }
+
   test("prototypePrune keeps each cell's farthest members, rank ascending in similarity") {
     import spark.implicits._
     // two orthogonal prototypes; per cell, vectors at increasing

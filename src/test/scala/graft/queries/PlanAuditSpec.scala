@@ -97,7 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // here because the TopKRewrite optimizer rule (on in every graft
     // session) must rewrite both shapes
     for (q <- Seq("q40_cosine_topk", "q42_lsh_ann", "q44_ivf_ann",
-        "q51_media_feature_knn", "q64_group_sample", "q55_vocab_topk")) {
+        "q51_media_feature_knn", "q64_group_sample", "q55_vocab_topk",
+        "q83_pq_adc_ann")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q ranks through a window funnel:\n$p")
       assert(p.contains("partial_topk_collect"),
@@ -118,6 +119,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val gens = p.linesIterator.filter(_.contains("Generate")).toSeq
     assert(gens.forall(_.contains("posexplode(graft_top")),
       s"corpus side exploded:\n$p")
+  }
+
+  test("q83 PQ-ADC keeps the corpus partitioned; query LUTs are the broadcast side") {
+    val p = plan("q83_pq_adc_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus side reaches the join carrying CODES, not floats —
+    // the embedding column must not appear above the encoding project
+    assert(p.contains("partial_topk_collect"), p)
   }
 
   test("q82 PQ encoding is pure per-row folds: no join, no window, no hash shuffle") {
