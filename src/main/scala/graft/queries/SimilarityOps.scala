@@ -342,6 +342,70 @@ object SimilarityOps {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** q84's IVF-PQ search — the full FAISS-style ANN pipeline as one
+    * declarative plan: coarse IVF cells prune the candidate set (only
+    * the query's `nprobe` nearest cells are scored — q44's machinery),
+    * then PQ-ADC scores the survivors on their 1-byte codes (q83's
+    * machinery). Plan shape: per-row coarse assignment AND encoding on
+    * the corpus (no join, no inflation — floats end at the encode
+    * projection), probes+LUTs broadcast (BroadcastHashJoin on
+    * cell_id), bounded-heap `topk_collect` reduction. At 100 TB the
+    * scan side carries (cell_id, 4 codes) per vector, candidate cost
+    * is nprobe-bounded, and the reduction shuffles
+    * O(k·partitions·queries) rows.
+    */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
+      codebook: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def cbLit2(s: Int): Column = array(
+      Pq.subCodebooks.filter(_._1 == s).map { case (_, c, v) =>
+        struct(lit(c).as("code"), typedLit(v).as("cent"))
+      }: _*)
+    // corpus: coarse cell + PQ codes, all per-row; floats dropped here
+    val assigned0 = corpus
+      .withColumn("cb", codebookLit(codebook))
+      .withColumn("cell_id", nearestCell("ce", "cb"))
+      .drop("cb")
+    val assigned = (0 until Pq.m).foldLeft(assigned0) { (df, s) =>
+      val off = s * Pq.subDim + 1
+      df.withColumn(s"cb$s", cbLit2(s))
+        .withColumn(s"b$s",
+          expr(s"array_max(transform(cb$s, c -> named_struct(" +
+            s"'nd', -aggregate(zip_with(slice(ce, $off, ${Pq.subDim}), c.cent, " +
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v), " +
+            "'nc', -c.code)))"))
+        .drop(s"cb$s")
+    }.select(Seq(col("cand_id"), col("cell_id")) ++
+      (0 until Pq.m).map(s => (-col(s"b$s.nc")).cast("int").as(s"c$s")): _*)
+    // queries: nprobe coarse cells + integer micro LUTs, broadcast
+    val probes0 = queries
+      .withColumn("cb", codebookLit(codebook))
+      .select(col("query_id"), col("qe"),
+        explode(nearestCells("qe", "cb", nprobe)).as("pc"))
+      .select(col("query_id"), col("qe"), col("pc.cell_id").as("cell_id"))
+    val probes = (0 until Pq.m).foldLeft(probes0) { (df, s) =>
+      val off = s * Pq.subDim + 1
+      df.withColumn(s"cb$s", cbLit2(s))
+        .withColumn(s"lut$s",
+          expr(s"transform(cb$s, c -> CAST(floor(aggregate(zip_with(" +
+            s"slice(qe, $off, ${Pq.subDim}), c.cent, " +
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)" +
+            " * 1000000.0 + 0.5) AS BIGINT))"))
+        .drop(s"cb$s")
+    }.select(Seq(col("query_id"), col("cell_id")) ++
+      (0 until Pq.m).map(s => col(s"lut$s")): _*)
+    val adc = (0 until Pq.m).map(s =>
+      element_at(col(s"lut$s"), col(s"c$s") + 1)).reduce(_ + _)
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .select(col("query_id"), col("cand_id"), (-adc).as("nadc"))
+    scored.groupBy("query_id")
+      .agg(expr(s"topk_collect(nadc, cand_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("cand_id"),
+        (-col("col.score")).as("adc2_micro"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   // ----------------------------------------------------------------
   // per-row cell assignment — NO join, NO window, NO inflation
   // ----------------------------------------------------------------
@@ -867,6 +931,76 @@ object SimilarityOps {
           e.filter(col("vec_id") < 5)
             .select(col("vec_id").as("query_id"), col("e").as("qe")),
           k = 5)
+          .orderBy("query_id", "rnk")
+    },
+
+    // ---- q84: IVF-PQ composed search ------------------------------
+    // The full coarse-quantize + ADC pipeline ([[ivfPqSearch]]):
+    // q44's cell pruning feeding q83's code-space scoring. The oracle
+    // composes both queries' CTEs — coarse assignment and probes as
+    // naive cross+row_number, candidate codes as argmin, micro LUTs —
+    // while the Spark plan must stay per-row + one broadcast hash
+    // join + bounded heap (PlanAuditSpec).
+    QueryDef(
+      "q84_ivfpq_ann",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT * FROM (VALUES
+        |    ${Ivf.centSqlValues}) t(cell_id, cent)),
+        |pcent AS (SELECT * FROM (VALUES
+        |    ${Pq.sqlValues}) t(sub, code, cent)),
+        |asg AS (
+        |  SELECT cand_id, cell_id FROM (
+        |    SELECT c.vec_id AS cand_id, t.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(c.emb, t.cent) /
+        |          (sqrt(list_dot_product(c.emb, c.emb)) *
+        |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+        |    FROM e c, cent t WHERE c.vec_id >= 5) z WHERE rn = 1),
+        |prb AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT q.vec_id AS query_id, t.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.emb, t.cent) /
+        |          (sqrt(list_dot_product(q.emb, q.emb)) *
+        |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+        |    FROM e q, cent t WHERE q.vec_id < 5) z WHERE rn <= 2),
+        |d AS (
+        |  SELECT e.vec_id, t.sub, t.code,
+        |    (SELECT sum((x - y) * (x - y)) FROM
+        |      (SELECT unnest(e.emb[(t.sub * 16 + 1):(t.sub * 16 + 16)]) AS x,
+        |              unnest(t.cent) AS y) z) AS d2
+        |  FROM e, pcent t),
+        |best AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |    FROM d WHERE vec_id >= 5) z WHERE rn = 1),
+        |lut AS (
+        |  SELECT vec_id AS query_id, sub, code,
+        |    CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS dm
+        |  FROM d WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT p.query_id, a.cand_id,
+        |    CAST(sum(l.dm) AS BIGINT) AS adc2_micro
+        |  FROM prb p JOIN asg a ON p.cell_id = a.cell_id
+        |    JOIN best b ON b.vec_id = a.cand_id
+        |    JOIN lut l ON l.query_id = p.query_id AND l.sub = b.sub
+        |      AND l.code = b.code
+        |  GROUP BY p.query_id, a.cand_id),
+        |r AS (
+        |  SELECT query_id, cand_id, adc2_micro, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc2_micro, cand_id) AS rnk
+        |  FROM adc)
+        |SELECT query_id, cand_id, adc2_micro, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
+      (s, dir) =>
+        val e = emb(s, dir)
+        ivfPqSearch(
+          e.filter(col("vec_id") >= 5)
+            .select(col("vec_id").as("cand_id"), col("e").as("ce")),
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("e").as("qe")),
+          Ivf.codebook, nprobe = 2, k = 5)
           .orderBy("query_id", "rnk")
     }
   )

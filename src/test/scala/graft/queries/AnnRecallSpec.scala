@@ -124,6 +124,29 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqSearch with nprobe=k equals full pqAdcSearch (pruning-off equivalence)") {
+    import org.apache.spark.sql.functions._
+    // with every cell probed the IVF stage prunes nothing, so the
+    // composed operator must reproduce the exhaustive ADC ranking
+    // row for row on the real embeddings
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val full = rows(SimilarityOps.pqAdcSearch(corpus, queries, k = 5))
+    val ivfpq = rows(SimilarityOps.ivfPqSearch(corpus, queries,
+      SimilarityOps.Ivf.codebook, nprobe = SimilarityOps.Ivf.k, k = 5))
+    assert(full.nonEmpty && ivfpq == full,
+      s"missing=${(full.keySet -- ivfpq.keySet).take(3)} " +
+        s"diff=${full.collect { case (k, v) if ivfpq.get(k) != Some(v) => k }.take(3)}")
+  }
+
   test("prototypePrune keeps each cell's farthest members, rank ascending in similarity") {
     import spark.implicits._
     // two orthogonal prototypes; per cell, vectors at increasing

@@ -130,6 +130,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_collect"), p)
   }
 
+  test("q84 IVF-PQ: per-row assign+encode, one broadcast hash join, bounded heap") {
+    val p = plan("q84_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the query side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"rank funneled a window:\n$p")
+    assert(p.contains("partial_topk_collect"),
+      s"top-k is not a map-side bounded heap:\n$p")
+  }
+
   test("q82 PQ encoding is pure per-row folds: no join, no window, no hash shuffle") {
     val p = plan("q82_pq_codes")
     assert(!p.contains("Join"), s"sub-assignment must not join:\n$p")
