@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property coverage for the pure arithmetic under the layout
+  * operators: the Morton interleave (zvalue) against a plain-Scala
+  * reference plus its prefix law, and shardAssign's instr-arithmetic
+  * hex decode against a java.security md5 reference. Each law runs
+  * one Spark job over a generated batch (not one job per case).
+  */
+class ScaleOpsPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  /** reference Morton interleave: bit i of a → 2i+1, of b → 2i */
+  private def zRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }
+
+  test("zvalue equals the bit-interleave reference over a generated batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val rows = Seq.fill(512) {
+      val bits = 1 + rnd.nextInt(31)
+      val mask = (1L << bits) - 1
+      (rnd.nextLong().abs & mask, rnd.nextLong().abs & mask, bits)
+    }
+    val got = rows.groupBy(_._3).toSeq.flatMap { case (bits, rs) =>
+      rs.map(r => (r._1, r._2)).toDF("a", "b")
+        .select(col("a"), col("b"),
+          ScaleOps.zvalue(col("a"), col("b"), bits).as("z"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), bits, x.getLong(2)))
+    }
+    got.foreach { case (a, b, bits, z) =>
+      assert(z == zRef(a, b, bits), s"z($a, $b, $bits)")
+    }
+  }
+
+  test("zvalue prefix law: truncating z truncates both dimensions (scalacheck)") {
+    // z(a, b) >> 2i == z(a >> i, b >> i) — the property that makes
+    // aligned boxes contiguous z-ranges, i.e. why row-group pruning
+    // works on the layout
+    val bitsGen = Gen.chooseNum(1, 31)
+    check(Prop.forAll(bitsGen, Gen.chooseNum(0L, Long.MaxValue),
+      Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(0, 30)) {
+      (bits, a0, b0, i0) =>
+        val mask = (1L << bits) - 1
+        val (a, b, i) = (a0 & mask, b0 & mask, math.min(i0, bits))
+        (zRef(a, b, bits) >> (2 * i)) == zRef(a >> i, b >> i, bits - i)
+    })
+  }
+
+  test("shardAssign matches a java md5 reference for keys, shards, and range") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val cases = Seq.fill(12) {
+      (1 + rnd.nextInt(256), rnd.nextInt(100000).toString)
+    }
+    for ((n, seed) <- cases.distinct) {
+      val ids = (1L to 40L)
+      val got = ScaleOps.shardAssign(ids.toDF("doc_id"), "doc_id", n, seed)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("sort_key"), r.getAs[Long]("shard"))).toMap
+      for (id <- ids) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val want = (Integer.parseInt(hex.take(2), 16) % n).toLong
+        assert(got(id) == ((hex, want)), s"n=$n seed=$seed id=$id")
+      }
+    }
+  }
+}
