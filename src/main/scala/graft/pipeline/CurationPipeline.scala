@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.operators.ScaleOps
+import graft.queries.{DedupOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end corpus-curation composition — the pipeline a
+  * training-data team actually runs, assembled ENTIRELY from the
+  * oracle-checked operators (each stage is the exact function behind
+  * its query, so every stage's semantics are already pinned against
+  * DuckDB; this object adds ordering, not logic):
+  *
+  *   1. quality filter       — gopherKept          (q73)
+  *   2. PII redaction        — redactPii           (q74)
+  *   3. exact dedup          — md5 keep-first      (q30)
+  *   4. near-dup dedup       — MinHash/LSH pairs → connected
+  *      components → representative materialization (q36/q61/q76)
+  *   5. decontamination      — shingle overlap vs the probe source
+  *      (q58; the probe docs themselves are excluded from output)
+  *   6. importance weights   — DSIR                (q78)
+  *   7. sharded output       — writeTrainingShards (q79)
+  *
+  * Scale shape is inherited stage by stage: 1–2 are per-row
+  * projections; 3 is one hash-groupBy; 4 is the banded equi-join +
+  * size-gated CC; 5 is the size-gated probe join; 6 broadcasts a
+  * constant-size model; 7 is one repartition. Nothing here introduces
+  * a new shuffle beyond the operators' own — the stages communicate
+  * through narrow column projections of one persisted frame per
+  * boundary.
+  */
+object CurationPipeline {
+
+  /** Per-stage surviving-document counts, in pipeline order. */
+  final case class StageCount(stage: String, docs: Long)
+
+  /** Runs the full pipeline over a (doc_id, text, lang, source)
+    * corpus; writes training shards under `outDir` (doc_id, text
+    * REDACTED, lang, source, n_tok, importance_micro + shard/sort_key
+    * layout) and returns the stage ledger. `probeSource` documents
+    * serve as the contamination probe and are never emitted.
+    */
+  def run(spark: SparkSession, docs: DataFrame, probeSource: String,
+      outDir: String, minJaccard: Double = 0.5, minShared: Long = 3L,
+      nShards: Int = 16, seed: String = "42"): Seq[StageCount] = {
+    val ledger = Seq.newBuilder[StageCount]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      ledger += StageCount(name, p.count())
+      p
+    }
+
+    val input = stage("input", docs.select("doc_id", "text", "lang", "source"))
+
+    // 1. quality — per-row predicate, zero shuffle (q73)
+    val quality = stage("quality",
+      input.filter(TextOps.gopherKept(col("text"))))
+
+    // 2. redaction — per-row regexes (q74); redacted text REPLACES the
+    // raw text for every downstream stage and the output
+    val redacted = stage("redacted",
+      TextOps.redactPii(quality, "text")
+        .select(col("doc_id"), col("redacted").as("text"),
+          col("lang"), col("source")))
+
+    // 3. exact dedup — keep the min doc_id per content hash (q30)
+    val exact = stage("exact_dedup",
+      redacted.withColumn("keeper",
+          min("doc_id").over(org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keeper")).drop("keeper"))
+
+    // 4. near-dup dedup — LSH pairs → CC → keep representatives
+    // (q36/q61/q76); dedupMaterialize keeps each cluster's min doc_id
+    val pairs = DedupOps.nearDupPairs(spark,
+        exact.select("doc_id", "text"), minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val keptIds = DedupOps.dedupMaterialize(
+        exact.select("doc_id"), DedupOps.connectedComponents(pairs))
+      .filter(col("is_kept")).select("doc_id")
+    val nearDeduped = stage("near_dedup", exact.join(keptIds, Seq("doc_id")))
+
+    // 5. decontamination — flag docs sharing >= minShared distinct
+    // 3-token shingles with the probe source (q58), drop them AND the
+    // probe docs themselves
+    val sh = nearDeduped
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+      .select(col("doc_id"), col("source"),
+        concat(element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1), lit(" "),
+          element_at(col("t"), col("i") + 2)).as("g"))
+      .distinct()
+    val contaminated = DedupOps.decontaminate(sh, probeSource, minShared)
+      .select("doc_id")
+    val clean = stage("decontaminated",
+      nearDeduped.filter(col("source") =!= probeSource)
+        .join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // 6. DSIR weights — fitted on the clean corpus, target = English
+    // (q78); token-less docs scored 0 (they carry no features)
+    val weighted = clean
+      .join(TextOps.dsirWeights(clean.select("doc_id", "text", "lang"),
+        col("lang") === "en"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tok"),
+        coalesce(col("importance_micro"), lit(0L)).as("importance_micro"))
+
+    // 7. sharded, sorted, deterministic training output (q79)
+    ScaleOps.writeTrainingShards(weighted, "doc_id", nShards, seed, outDir)
+    ledger += StageCount("written",
+      spark.read.parquet(outDir).count())
+
+    Seq(input, quality, redacted, exact, nearDeduped, clean)
+      .foreach(_.unpersist())
+    ledger.result()
+  }
+}

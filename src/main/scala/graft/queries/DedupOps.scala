@@ -125,12 +125,21 @@ object DedupOps {
     * `sig` (tiny, one row/doc) to parquet.
     */
   private[queries] def nearDupPairs(s: SparkSession, dir: String,
+      minJaccard: Double): DataFrame =
+    nearDupPairs(s, Tables(s, dir, "documents").select("doc_id", "text"),
+      minJaccard)
+
+  /** Same over any (doc_id, text) frame — the composition entry
+    * ([[graft.pipeline.CurationPipeline]] runs it on the
+    * already-filtered corpus).
+    */
+  private[graft] def nearDupPairs(s: SparkSession, docs: DataFrame,
       minJaccard: Double): DataFrame = {
-    val sh = shingles(s, dir)
+    val sh = shingles(docs)
     // signature + set size from the native per-row expression — the
     // exploded `sh` frame is only needed for exact-Jaccard verify
     graft.functions.GraftFunctions.register(s)
-    val sig = Tables(s, dir, "documents")
+    val sig = docs
       .select(col("doc_id"), expr("minhash8(text)").as("m"))
       .filter(col("m").isNotNull)
       .select(col("doc_id") +:

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end run of the composed curation pipeline over the real
+  * sf0.001 corpus with PLANTED hazards — a PII doc, an exact
+  * duplicate, a near-duplicate, and a probe-contaminated doc — each
+  * of which must be caught by its stage, while the ledger stays
+  * monotone and the sharded output is deterministic.
+  */
+class CurationPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  test("curation pipeline: every planted hazard dies in its stage; output is clean, sharded, deterministic") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    // pick a quality-passing base doc to derive hazards from
+    val base = real
+      .filter(graft.queries.TextOps.gopherKept(col("text")))
+      .filter($"source" =!= "src0").orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].head()
+    val probeText = real.filter($"source" === "src0")
+      .orderBy("doc_id").select("text").as[String].head()
+    val planted = Seq(
+      // PII doc: passes the quality rules (24 words, mean wlen ~4.8,
+      // 3 stopwords, TTR ~0.96) and shares no 3-gram with the corpus
+      // (novel word order) — so it reaches redaction and must come
+      // out REDACTED rather than dropped
+      (90001L, "the quick data job reads many raw files and then writes " +
+        "clean sorted rows into the new table for easy scans contact " +
+        "someone@example.com now", "en", "src1"),
+      // exact duplicate of the base doc → exact-dedup stage
+      (90002L, base._2, "en", "src2"),
+      // near duplicate (one token swapped) → LSH/CC stage
+      (90003L, base._2.split("\\s+").toSeq.updated(0, "swapped")
+        .mkString(" "), "en", "src3"),
+      // probe-contaminated: a long span lifted from a src0 doc
+      (90004L, probeText, "en", "src4")
+    ).toDF("doc_id", "text", "lang", "source")
+    val docs = real.filter($"doc_id" < 90000L).unionByName(planted)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    val ledger = CurationPipeline.run(spark, docs, probeSource = "src0",
+      outDir = out)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+
+    // ledger is monotone non-increasing through the filtering stages
+    val order = Seq("input", "quality", "redacted", "exact_dedup",
+      "near_dedup", "decontaminated", "written")
+    assert(ledger.map(_.stage) == order, ledger)
+    val vals = order.map(counts)
+    assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, ledger)
+    assert(counts("written") == counts("decontaminated"), ledger)
+
+    val written = spark.read.parquet(out)
+    // planted hazards: PII doc kept but redacted; dup, near-dup, and
+    // contaminated docs gone; no probe-source docs anywhere
+    val byId = written.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(byId.contains(90001L) && byId(90001L).contains("<EMAIL>")
+      && !byId(90001L).contains("someone@example.com"), byId.get(90001L))
+    assert(!byId.contains(90002L) && !byId.contains(90003L)
+      && !byId.contains(90004L), byId.keySet.filter(_ >= 90000L))
+    assert(written.filter($"source" === "src0").count() == 0)
+    // the base doc survived as its cluster's representative, weighted
+    assert(byId.contains(base._1))
+    assert(written.filter($"doc_id" === base._1)
+      .head().getAs[Long]("importance_micro") > 0L)
+    // shard layout: every shard dir present via the partition column
+    assert(written.select("shard").distinct().count() == 16)
+
+    // determinism: a second run writes the identical kept set
+    val out2 = java.nio.file.Files.createTempDirectory("graft_curated2").toString
+    CurationPipeline.run(spark, docs, "src0", out2)
+    val again = spark.read.parquet(out2)
+      .select("doc_id", "shard", "sort_key").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getString(2))).toSet
+    val first = written.select("doc_id", "shard", "sort_key").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getString(2))).toSet
+    assert(again == first)
+  }
+}
