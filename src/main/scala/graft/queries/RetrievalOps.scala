@@ -112,6 +112,57 @@ object RetrievalOps {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** q85's hybrid retrieval: BM25 (lexical, [[bm25TopK]]) and dense
+    * cosine top-k (embedding space, the q40 machinery) fused by
+    * Reciprocal Rank Fusion (Cormack et al. 2009): fused score =
+    * Σ 1/(60 + rank) over the lists that retrieved the doc — the
+    * standard hybrid-search combiner because it needs no score
+    * calibration between heterogeneous retrievers. RRF terms are
+    * floor(1e6/(60+rank)) integer micro-units, so fusion arithmetic
+    * is exact and engine-stable given the (already pinned) input
+    * ranks.
+    *
+    * Scale shape: both retrievers end in bounded-heap reductions, so
+    * the fusion inputs are ≤k rows per query — the full-outer join
+    * and re-rank run on constant-size frames no matter the corpus;
+    * the per-query re-rank is the naive window TopKRewrite collapses.
+    * `vecQueryIds` keys `embFrame` rows (vec_id) that serve as the
+    * dense form of the SAME query ids used in `termQueries`.
+    */
+  def hybridRrfTopK(spark: SparkSession, docsFrame: DataFrame,
+      embFrame: DataFrame, termQueries: Seq[(Long, String)],
+      vecQueryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val sparse = bm25TopK(spark, docsFrame, termQueries, topK = k)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_s"))
+    val q = embFrame.filter(col("vec_id").isin(vecQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val c = embFrame.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("doc_id"), col("e").as("ce"))
+    val dense = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("doc_id"),
+        expr("cosine_sim(qe, ce)").as("cosine"))
+      .groupBy("query_id")
+      .agg(expr(s"topk_collect(cosine, doc_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk_d"))
+    def rrf(r: Column): Column =
+      when(r.isNotNull, floor(lit(1000000.0) / (lit(60) + r)).cast("long"))
+        .otherwise(0L)
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (rrf(col("rnk_s")) + rrf(col("rnk_d"))).as("rrf_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ---- q75: BM25-shaped retrieval (log-free idf, top-10) --------
     QueryDef(
@@ -155,6 +206,86 @@ object RetrievalOps {
          |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       bm25TopK(s, Tables(s, dir, "documents").select("doc_id", "text"),
         Queries, topK = 10)
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- q85: hybrid BM25 + dense retrieval, RRF-fused ------------
+    // [[hybridRrfTopK]] with vec_id 1..3 as the dense twins of term
+    // queries 1..3 (vec_id keys the same corpus row space). The
+    // oracle recomputes both retrievers — the BM25 CTEs are q75's
+    // (same termScoreSql text), the dense CTEs are q40's shape — and
+    // fuses with the same integer micro RRF terms, so the whole
+    // hybrid ranking is pinned end-to-end.
+    QueryDef(
+      "q85_hybrid_rrf",
+      s"""WITH q(query_id, term) AS (VALUES
+         |    ${Queries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+        .mkString(", ")}),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                                    x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tok GROUP BY doc_id),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT)
+         |      AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE w IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY w),
+         |sscored AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(sum($termScoreSql) AS BIGINT) AS score_micro
+         |  FROM tf t
+         |  JOIN dfreq f ON f.w = t.w
+         |  JOIN dl d2 ON d2.doc_id = t.doc_id
+         |  CROSS JOIN stats
+         |  JOIN q ON q.term = t.w
+         |  GROUP BY q.query_id, t.doc_id),
+         |sranked AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM sscored),
+         |sparse AS (SELECT query_id, doc_id, rnk FROM sranked WHERE rnk <= 10),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |dpairs AS (
+         |  SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+         |    list_dot_product(qv.emb, c.emb) /
+         |      (sqrt(list_dot_product(qv.emb, qv.emb)) *
+         |       sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+         |  FROM emb qv, emb c WHERE qv.vec_id IN (1, 2, 3) AND c.vec_id >= 5),
+         |dranked AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM dpairs),
+         |dense AS (SELECT query_id, doc_id, rnk FROM dranked WHERE rnk <= 10),
+         |fused AS (
+         |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |    coalesce(CAST(floor(1000000.0 / (60 + s.rnk)) AS BIGINT), 0)
+         |      + coalesce(CAST(floor(1000000.0 / (60 + d.rnk)) AS BIGINT), 0)
+         |      AS rrf_micro
+         |  FROM sparse s FULL OUTER JOIN dense d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fused)
+         |SELECT query_id, doc_id, rrf_micro, rnk
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      hybridRrfTopK(s,
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        Tables(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e")),
+        Queries, vecQueryIds = Seq(1L, 2L, 3L), k = 10)
         .orderBy("query_id", "rnk")
     }
   )

@@ -156,6 +156,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("hybridRrfTopK: dual-retrieved doc wins, single-list docs fuse by exact RRF micro terms") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // BM25: doc 10 #1, doc 11 #2 for query 1 ('hit'); doc 12 no match
+    val docs = Seq(
+      (10L, "hit hit hit pad pad pad pad"),
+      (11L, "hit pad pad pad pad pad pad"),
+      (12L, "pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    // dense: query vec 1; corpus 10/11/12 — 12 closest, then 10, 11
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (10L, Seq(0.9, 0.5)),
+      (11L, Seq(0.1, 1.0)),
+      (12L, Seq(1.0, 0.1))
+    ).toDF("vec_id", "e")
+    val out = RetrievalOps.hybridRrfTopK(spark, docs, emb,
+      termQueries = Seq(1L -> "hit"), vecQueryIds = Seq(1L), k = 10)
+      .collect().map(r => r.getLong(3) -> (r.getLong(1), r.getLong(2))).toMap
+    def t(r: Int): Long = math.floor(1000000.0 / (60 + r)).toLong
+    // doc 10: sparse #1 + dense #2; doc 12: dense #1 only; doc 11:
+    // sparse #2 + dense #3
+    assert(out(1L) == ((10L, t(1) + t(2))), out)
+    assert(out(2L) == ((11L, t(2) + t(3))), out)
+    assert(out(3L) == ((12L, t(1))), out)
+    assert(out.size == 3, out)
+  }
+
   test("dsirWeights: exact micro-weights, target-like raw docs score high, empty doc dropped") {
     import spark.implicits._
     // alpha/beta/omega/kappa land in 4 DISTINCT md5 4096-buckets

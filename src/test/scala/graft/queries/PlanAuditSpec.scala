@@ -140,6 +140,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"top-k is not a map-side bounded heap:\n$p")
   }
 
+  test("q85 hybrid RRF: both retrievers AND the fusion re-rank run off the Window") {
+    val p = plan("q85_hybrid_rrf")
+    assert(!p.contains("Window"),
+      s"a ranking stage fell back to a window funnel:\n$p")
+    // three bounded heaps: BM25 top-k, dense top-k, fused re-rank
+    val heaps = "partial_topk_collect".r.findAllIn(p).size
+    assert(heaps >= 3, s"expected 3 bounded-heap reductions, got $heaps:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dense side must broadcast queries over the partitioned corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q82 PQ encoding is pure per-row folds: no join, no window, no hash shuffle") {
     val p = plan("q82_pq_codes")
     assert(!p.contains("Join"), s"sub-assignment must not join:\n$p")
