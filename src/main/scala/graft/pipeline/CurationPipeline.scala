@@ -12,23 +12,25 @@ import org.apache.spark.storage.StorageLevel
   * its query, so every stage's semantics are already pinned against
   * DuckDB; this object adds ordering, not logic):
   *
-  *   1. quality filter       — gopherKept          (q73)
-  *   2. PII redaction        — redactPii           (q74)
+  *   1. PII redaction        — redactPii           (q74)
+  *   2. quality filter       — gopherKept          (q73)
   *   3. exact dedup          — md5 keep-first      (q30)
   *   4. near-dup dedup       — MinHash/LSH pairs → connected
   *      components → representative materialization (q36/q61/q76)
-  *   5. decontamination      — shingle overlap vs the probe source
-  *      (q58; the probe docs themselves are excluded from output)
+  *   5. decontamination      — shingle overlap vs the probe source,
+  *      with the PROBE side drawn from the full redacted input so a
+  *      probe doc filtered or deduped away upstream still flags its
+  *      surviving corpus twins (q58; probe docs are never emitted)
   *   6. importance weights   — DSIR                (q78)
   *   7. sharded output       — writeTrainingShards (q79)
   *
   * Scale shape is inherited stage by stage: 1–2 are per-row
-  * projections; 3 is one hash-groupBy; 4 is the banded equi-join +
-  * size-gated CC; 5 is the size-gated probe join; 6 broadcasts a
-  * constant-size model; 7 is one repartition. Nothing here introduces
-  * a new shuffle beyond the operators' own — the stages communicate
-  * through narrow column projections of one persisted frame per
-  * boundary.
+  * projections; 3 is one map-side-partial hash-groupBy plus an
+  * ids-only keeper join; 4 is the banded equi-join + size-gated CC;
+  * 5 is the size-gated probe join; 6 broadcasts a constant-size
+  * model; 7 is one repartition. Nothing here introduces a new shuffle
+  * beyond the operators' own — the stages communicate through narrow
+  * column projections of one persisted frame per boundary.
   */
 object CurationPipeline {
 
@@ -44,6 +46,11 @@ object CurationPipeline {
   def run(spark: SparkSession, docs: DataFrame, probeSource: String,
       outDir: String, minJaccard: Double = 0.5, minShared: Long = 3L,
       nShards: Int = 16, seed: String = "42"): Seq[StageCount] = {
+    // the gated operators (decontaminate, dedupMaterialize) persist
+    // frames internally that outlive their return on the broadcast
+    // path; snapshot the persistent-RDD set so run() can release
+    // exactly what it caused without touching caller caches
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val ledger = Seq.newBuilder[StageCount]
     def stage(name: String, df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -53,23 +60,27 @@ object CurationPipeline {
 
     val input = stage("input", docs.select("doc_id", "text", "lang", "source"))
 
-    // 1. quality — per-row predicate, zero shuffle (q73)
-    val quality = stage("quality",
-      input.filter(TextOps.gopherKept(col("text"))))
-
-    // 2. redaction — per-row regexes (q74); redacted text REPLACES the
-    // raw text for every downstream stage and the output
+    // 1. redaction — per-row regexes (q74); runs FIRST so every later
+    // stage (including the decontamination probe side) sees the same
+    // redacted text, and redacted text REPLACES raw everywhere
     val redacted = stage("redacted",
-      TextOps.redactPii(quality, "text")
+      TextOps.redactPii(input, "text")
         .select(col("doc_id"), col("redacted").as("text"),
           col("lang"), col("source")))
 
-    // 3. exact dedup — keep the min doc_id per content hash (q30)
-    val exact = stage("exact_dedup",
-      redacted.withColumn("keeper",
-          min("doc_id").over(org.apache.spark.sql.expressions.Window
-            .partitionBy(md5(col("text")))))
-        .filter(col("doc_id") === col("keeper")).drop("keeper"))
+    // 2. quality — per-row predicate, zero shuffle (q73)
+    val quality = stage("quality",
+      redacted.filter(TextOps.gopherKept(col("text"))))
+
+    // 3. exact dedup — keep the min doc_id per content hash: q30's
+    // hash-groupBy (map-side partials reduce to one (hash, keeper)
+    // row per distinct text) + an id-equality join back, so the only
+    // full-text shuffle is the join's own
+    val keepers = quality
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exact = stage("exact_dedup", quality.join(keepers, Seq("doc_id")))
 
     // 4. near-dup dedup — LSH pairs → CC → keep representatives
     // (q36/q61/q76); dedupMaterialize keeps each cluster's min doc_id
@@ -83,17 +94,17 @@ object CurationPipeline {
 
     // 5. decontamination — flag docs sharing >= minShared distinct
     // 3-token shingles with the probe source (q58), drop them AND the
-    // probe docs themselves
-    val sh = nearDeduped
-      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), col("source"),
-        explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
-      .select(col("doc_id"), col("source"),
-        concat(element_at(col("t"), col("i")), lit(" "),
-          element_at(col("t"), col("i") + 1), lit(" "),
-          element_at(col("t"), col("i") + 2)).as("g"))
-      .distinct()
+    // probe docs themselves. The PROBE side comes from the FULL
+    // redacted input: a probe doc that failed quality or lost a dedup
+    // cluster to a lower-id corpus twin must still contribute its
+    // shingles — otherwise that surviving twin (verbatim benchmark
+    // text!) sails through to the training shards. Corpus side =
+    // dedup survivors.
+    val sh = DedupOps.sourcedShingles(
+      redacted.filter(col("source") === probeSource)
+        .select("doc_id", "source", "text")
+        .unionByName(nearDeduped.filter(col("source") =!= probeSource)
+          .select("doc_id", "source", "text")))
     val contaminated = DedupOps.decontaminate(sh, probeSource, minShared)
       .select("doc_id")
     val clean = stage("decontaminated",
@@ -114,8 +125,14 @@ object CurationPipeline {
     ledger += StageCount("written",
       spark.read.parquet(outDir).count())
 
-    Seq(input, quality, redacted, exact, nearDeduped, clean)
+    Seq(input, redacted, quality, exact, nearDeduped, clean)
       .foreach(_.unpersist())
+    // release the operator-internal persists this run introduced
+    // (every action is complete by now — the shard write and the
+    // ledger counts — so nothing downstream still needs them)
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => cachedBefore.contains(id) }
+      .values.foreach(_.unpersist(false))
     ledger.result()
   }
 }

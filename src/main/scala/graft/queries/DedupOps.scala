@@ -384,7 +384,14 @@ object DedupOps {
     * probe (benchmark) rows can be split from the corpus rows.
     */
   private def sourcedShingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    sourcedShingles(Tables(s, dir, "documents")
+      .select("doc_id", "source", "text"))
+
+  /** Same over any (doc_id, source, text) frame — the composition
+    * entry ([[graft.pipeline.CurationPipeline]]).
+    */
+  private[graft] def sourcedShingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("source"),

@@ -126,22 +126,20 @@ object RetrievalOps {
     * the fusion inputs are ≤k rows per query — the full-outer join
     * and re-rank run on constant-size frames no matter the corpus;
     * the per-query re-rank is the naive window TopKRewrite collapses.
-    * `vecQueryIds` keys `embFrame` rows (vec_id) that serve as the
-    * dense form of the SAME query ids used in `termQueries`.
+    * The caller pre-splits the dense side (the q40/q83/q84
+    * convention): `denseCorpus` = (doc_id, ce), `denseQueries` =
+    * (query_id, qe) — query_id values must be the SAME ids used in
+    * `termQueries` for their rows to fuse.
     */
   def hybridRrfTopK(spark: SparkSession, docsFrame: DataFrame,
-      embFrame: DataFrame, termQueries: Seq[(Long, String)],
-      vecQueryIds: Seq[Long], k: Int): DataFrame = {
+      denseCorpus: DataFrame, denseQueries: DataFrame,
+      termQueries: Seq[(Long, String)], k: Int): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val sparse = bm25TopK(spark, docsFrame, termQueries, topK = k)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_s"))
-    val q = embFrame.filter(col("vec_id").isin(vecQueryIds: _*))
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    val c = embFrame.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("doc_id"), col("e").as("ce"))
-    val dense = c.crossJoin(broadcast(q))
+    val dense = denseCorpus.crossJoin(broadcast(denseQueries))
       .select(col("query_id"), col("doc_id"),
         expr("cosine_sim(qe, ce)").as("cosine"))
       .groupBy("query_id")
@@ -281,11 +279,15 @@ object RetrievalOps {
          |  FROM fused)
          |SELECT query_id, doc_id, rrf_micro, rnk
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
       hybridRrfTopK(s,
         Tables(s, dir, "documents").select("doc_id", "text"),
-        Tables(s, dir, "embeddings").select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("e")),
-        Queries, vecQueryIds = Seq(1L, 2L, 3L), k = 10)
+        e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("doc_id"), col("e").as("ce")),
+        e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("query_id"), col("e").as("qe")),
+        Queries, k = 10)
         .orderBy("query_id", "rnk")
     }
   )

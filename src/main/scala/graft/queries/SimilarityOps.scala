@@ -247,6 +247,40 @@ object SimilarityOps {
     }.mkString(",\n    ")
   }
 
+  /** Subspace `s`'s sub-codebook as an array-of-structs literal
+    * column (named `cb{s}` by convention at every use site) — the
+    * single source for the three PQ operators.
+    */
+  private def pqCbLit(s: Int): Column = array(
+    Pq.subCodebooks.filter(_._1 == s).map { case (_, c, v) =>
+      struct(lit(c).as("code"), typedLit(v).as("cent"))
+    }: _*)
+
+  /** Argmin-encode expression over subspace `s` of vector column
+    * `vec`: max of (-dist², -code) structs — ties break to the
+    * SMALLEST code, the oracle's `ORDER BY d2, code`.
+    */
+  private def pqEncodeExpr(s: Int, vec: String): String = {
+    val off = s * Pq.subDim + 1
+    s"array_max(transform(cb$s, c -> named_struct(" +
+      s"'nd', -aggregate(zip_with(slice($vec, $off, ${Pq.subDim}), c.cent, " +
+      "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v), " +
+      "'nc', -c.code)))"
+  }
+
+  /** Per-query ADC lookup table for subspace `s` of vector column
+    * `vec`, each entry quantized to integer micro-units at
+    * construction (code order = array order — subCodebooks are built
+    * code-ascending and transform preserves it).
+    */
+  private def pqLutExpr(s: Int, vec: String): String = {
+    val off = s * Pq.subDim + 1
+    s"transform(cb$s, c -> CAST(floor(aggregate(zip_with(" +
+      s"slice($vec, $off, ${Pq.subDim}), c.cent, " +
+      "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)" +
+      " * 1000000.0 + 0.5) AS BIGINT))"
+  }
+
   /** PQ encoding as pure per-row expressions — the q44/q80 pattern:
     * each subspace's sub-codebook travels as a literal array column
     * and the sub-assignment is an argmin fold over it (ties to the
@@ -257,21 +291,12 @@ object SimilarityOps {
     * doubles).
     */
   def pqCodes(vectors: DataFrame): DataFrame = {
-    def cbLit(s: Int): Column = array(
-      Pq.subCodebooks.filter(_._1 == s).map { case (_, c, v) =>
-        struct(lit(c).as("code"), typedLit(v).as("cent"))
-      }: _*)
     val base = (0 until Pq.m).foldLeft(
       vectors.select(col("vec_id"), col("e"))) { (df, s) =>
-      df.withColumn(s"cb$s", cbLit(s))
+      df.withColumn(s"cb$s", pqCbLit(s))
     }
     val scored = (0 until Pq.m).foldLeft(base) { (df, s) =>
-      val off = s * Pq.subDim + 1
-      df.withColumn(s"b$s",
-        expr(s"array_max(transform(cb$s, c -> named_struct(" +
-          s"'nd', -aggregate(zip_with(slice(e, $off, ${Pq.subDim}), c.cent, " +
-          "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v), " +
-          "'nc', -c.code)))"))
+      df.withColumn(s"b$s", expr(pqEncodeExpr(s, "e")))
     }
     scored.select(Seq(col("vec_id")) ++
       (0 until Pq.m).map(s => (-col(s"b$s.nc")).cast("long").as(s"c$s")) ++
@@ -303,26 +328,15 @@ object SimilarityOps {
         corpus.select(col("cand_id").as("vec_id"), col("ce").as("e")))
       .select(col("vec_id").as("cand_id"),
         col("c0"), col("c1"), col("c2"), col("c3"))
-    // query → per-subspace LUT (array ordered by code: subCodebooks
-    // are built in code order, transform preserves it)
-    def cbLit(s: Int): Column = array(
-      Pq.subCodebooks.filter(_._1 == s).map { case (_, c, v) =>
-        struct(lit(c).as("code"), typedLit(v).as("cent"))
-      }: _*)
-    // LUT entries quantize to integer micro-units at CONSTRUCTION:
-    // the ADC sum is then exact integer arithmetic — order-insensitive,
-    // so candidates sharing a code tie EXACTLY in both engines (a
-    // float sum would be engine-summation-order-dependent and break
-    // those ties differently)
+    // LUT entries quantize to integer micro-units at CONSTRUCTION
+    // (pqLutExpr): the ADC sum is then exact integer arithmetic —
+    // order-insensitive, so candidates sharing a code tie EXACTLY in
+    // both engines (a float sum would be engine-summation-order-
+    // dependent and break those ties differently)
     val qluts = (0 until Pq.m).foldLeft(
       queries.select(col("query_id"), col("qe"))) { (df, s) =>
-      val off = s * Pq.subDim + 1
-      df.withColumn(s"cb$s", cbLit(s))
-        .withColumn(s"lut$s",
-          expr(s"transform(cb$s, c -> CAST(floor(aggregate(zip_with(" +
-            s"slice(qe, $off, ${Pq.subDim}), c.cent, " +
-            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)" +
-            " * 1000000.0 + 0.5) AS BIGINT))"))
+      df.withColumn(s"cb$s", pqCbLit(s))
+        .withColumn(s"lut$s", expr(pqLutExpr(s, "qe")))
         .drop(s"cb$s")
     }.select(Seq(col("query_id")) ++
       (0 until Pq.m).map(s => col(s"lut$s")): _*)
@@ -357,23 +371,14 @@ object SimilarityOps {
   def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
       codebook: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    def cbLit2(s: Int): Column = array(
-      Pq.subCodebooks.filter(_._1 == s).map { case (_, c, v) =>
-        struct(lit(c).as("code"), typedLit(v).as("cent"))
-      }: _*)
     // corpus: coarse cell + PQ codes, all per-row; floats dropped here
     val assigned0 = corpus
       .withColumn("cb", codebookLit(codebook))
       .withColumn("cell_id", nearestCell("ce", "cb"))
       .drop("cb")
     val assigned = (0 until Pq.m).foldLeft(assigned0) { (df, s) =>
-      val off = s * Pq.subDim + 1
-      df.withColumn(s"cb$s", cbLit2(s))
-        .withColumn(s"b$s",
-          expr(s"array_max(transform(cb$s, c -> named_struct(" +
-            s"'nd', -aggregate(zip_with(slice(ce, $off, ${Pq.subDim}), c.cent, " +
-            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v), " +
-            "'nc', -c.code)))"))
+      df.withColumn(s"cb$s", pqCbLit(s))
+        .withColumn(s"b$s", expr(pqEncodeExpr(s, "ce")))
         .drop(s"cb$s")
     }.select(Seq(col("cand_id"), col("cell_id")) ++
       (0 until Pq.m).map(s => (-col(s"b$s.nc")).cast("int").as(s"c$s")): _*)
@@ -384,13 +389,8 @@ object SimilarityOps {
         explode(nearestCells("qe", "cb", nprobe)).as("pc"))
       .select(col("query_id"), col("qe"), col("pc.cell_id").as("cell_id"))
     val probes = (0 until Pq.m).foldLeft(probes0) { (df, s) =>
-      val off = s * Pq.subDim + 1
-      df.withColumn(s"cb$s", cbLit2(s))
-        .withColumn(s"lut$s",
-          expr(s"transform(cb$s, c -> CAST(floor(aggregate(zip_with(" +
-            s"slice(qe, $off, ${Pq.subDim}), c.cent, " +
-            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)" +
-            " * 1000000.0 + 0.5) AS BIGINT))"))
+      df.withColumn(s"cb$s", pqCbLit(s))
+        .withColumn(s"lut$s", expr(pqLutExpr(s, "qe")))
         .drop(s"cb$s")
     }.select(Seq(col("query_id"), col("cell_id")) ++
       (0 until Pq.m).map(s => col(s"lut$s")): _*)

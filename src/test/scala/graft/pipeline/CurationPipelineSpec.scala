@@ -26,12 +26,24 @@ class CurationPipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text", "lang", "source")
-    // pick a quality-passing base doc to derive hazards from
+    // pick a quality-passing base doc to derive hazards from — one
+    // that is NOT itself decontaminated away under the full probe
+    // set (the pipeline's probe side spans every src0 doc)
+    val contaminatedIds = graft.queries.DedupOps.decontaminate(
+        graft.queries.DedupOps.sourcedShingles(
+          real.select("doc_id", "source", "text")),
+        "src0", 3L)
+      .select("doc_id").as[Long].collect().toSet
     val base = real
       .filter(graft.queries.TextOps.gopherKept(col("text")))
-      .filter($"source" =!= "src0").orderBy("doc_id")
+      .filter($"source" =!= "src0")
+      .filter(!$"doc_id".isin(contaminatedIds.toSeq: _*))
+      .orderBy("doc_id")
       .select("doc_id", "text").as[(Long, String)].head()
+    // a QUALITY-PASSING probe doc, so its low-id twin below survives
+    // every stage before decontamination
     val probeText = real.filter($"source" === "src0")
+      .filter(graft.queries.TextOps.gopherKept(col("text")))
       .orderBy("doc_id").select("text").as[String].head()
     val planted = Seq(
       // PII doc: passes the quality rules (24 words, mean wlen ~4.8,
@@ -47,7 +59,12 @@ class CurationPipelineSpec extends AnyFunSuite {
       (90003L, base._2.split("\\s+").toSeq.updated(0, "swapped")
         .mkString(" "), "en", "src3"),
       // probe-contaminated: a long span lifted from a src0 doc
-      (90004L, probeText, "en", "src4")
+      (90004L, probeText, "en", "src4"),
+      // the ORDERING hazard: an exact probe twin whose id is LOWER
+      // than every real doc — it WINS the dedup stages against the
+      // probe doc, so only a probe side built from the pre-dedup
+      // input can flag it (the bug the probe-side sourcing fixes)
+      (0L, probeText, "en", "src5")
     ).toDF("doc_id", "text", "lang", "source")
     val docs = real.filter($"doc_id" < 90000L).unionByName(planted)
 
@@ -57,7 +74,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     val counts = ledger.map(s => s.stage -> s.docs).toMap
 
     // ledger is monotone non-increasing through the filtering stages
-    val order = Seq("input", "quality", "redacted", "exact_dedup",
+    val order = Seq("input", "redacted", "quality", "exact_dedup",
       "near_dedup", "decontaminated", "written")
     assert(ledger.map(_.stage) == order, ledger)
     val vals = order.map(counts)
@@ -73,6 +90,8 @@ class CurationPipelineSpec extends AnyFunSuite {
       && !byId(90001L).contains("someone@example.com"), byId.get(90001L))
     assert(!byId.contains(90002L) && !byId.contains(90003L)
       && !byId.contains(90004L), byId.keySet.filter(_ >= 90000L))
+    // the dedup-winning probe twin is caught by decontamination
+    assert(!byId.contains(0L), "low-id probe twin leaked to the output")
     assert(written.filter($"source" === "src0").count() == 0)
     // the base doc survived as its cluster's representative, weighted
     assert(byId.contains(base._1))

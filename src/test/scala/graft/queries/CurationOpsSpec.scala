@@ -172,8 +172,12 @@ class CurationOpsSpec extends AnyFunSuite {
       (11L, Seq(0.1, 1.0)),
       (12L, Seq(1.0, 0.1))
     ).toDF("vec_id", "e")
-    val out = RetrievalOps.hybridRrfTopK(spark, docs, emb,
-      termQueries = Seq(1L -> "hit"), vecQueryIds = Seq(1L), k = 10)
+    val out = RetrievalOps.hybridRrfTopK(spark, docs,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 5L)
+        .toDF("doc_id", "ce"),
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+        .toDF("query_id", "qe"),
+      termQueries = Seq(1L -> "hit"), k = 10)
       .collect().map(r => r.getLong(3) -> (r.getLong(1), r.getLong(2))).toMap
     def t(r: Int): Long = math.floor(1000000.0 / (60 + r)).toLong
     // doc 10: sparse #1 + dense #2; doc 12: dense #1 only; doc 11:
