@@ -119,6 +119,62 @@ object EtlQueries {
         .groupBy(floor(col("k") / 10).cast("long").as("k_bucket"))
         .agg(count(lit(1)).as("n"), max("k").as("max_k"))
         .orderBy("k_bucket")
+    },
+
+    // ---- q87: corpus snapshot diff --------------------------------
+    // The corpus-version ledger every recurring ingestion needs:
+    // "what changed between snapshot A and snapshot B" as per-source
+    // added/removed/changed/unchanged counts. Snapshot B is derived
+    // DETERMINISTICALLY from A (doc_id % 10 == 0 dropped, % 7 == 0
+    // rewritten, % 13 == 0 re-landed under a new id) so both engines
+    // rebuild the identical pair of snapshots from one table. The
+    // diff itself is the production shape: ONE full-outer join on the
+    // stable key comparing content hashes — linear, partial-agg
+    // rollup after; classification is hash equality, so text moves
+    // through the join as a 32-char digest, never the payload.
+    QueryDef(
+      "q87_snapshot_diff",
+      """WITH a AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN md5('v2:' || text)
+        |         ELSE md5(text) END AS h
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, md5('new:' || text) AS h
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |d AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.h <> b.h THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, change, count(*) AS n_docs
+        |FROM d GROUP BY source, change
+        |ORDER BY source, change""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "source", "text")
+      val a = docs.select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"))
+      val b = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, md5(concat(lit("v2:"), col("text"))))
+            .otherwise(md5(col("text"))).as("h"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            md5(concat(lit("new:"), col("text"))).as("h")))
+      a.select(col("doc_id"), col("source").as("src_a"), col("h").as("h_a"))
+        .join(b.select(col("doc_id"), col("source").as("src_b"),
+          col("h").as("h_b")), Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_a"), col("src_b")).as("source"),
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .when(col("h_a") =!= col("h_b"), "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy("source", "change")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "change")
     }
   )
 }

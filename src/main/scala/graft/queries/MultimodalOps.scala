@@ -169,6 +169,80 @@ object MultimodalOps {
           count(when(col("meta.width") < 64 || col("meta.height") < 64, 1))
             .as("n_downscaled_past_tile"))
         .orderBy("media_type")
+    },
+
+    // ---- q86: perceptual-hash media near-dup ----------------------
+    // The image/media dedup modality (pHash-shaped): an 8-bit
+    // signature from the stub decode's hash digits (bit i = digit i
+    // ≥ 8 — standing in for "DCT coefficient above median"), then
+    // near-dup pairs at hamming ≤ 1 WITHOUT an all-pairs join: each
+    // item explodes to its 9-entry hamming-1 ball and pairs come
+    // from an equi-join on (media_type, ball code) — the multi-probe
+    // LSH shape. A ball collision reaches hamming-2 (a⊕2^i = b⊕2^j),
+    // so an exact bit_count post-filter keeps only true ≤1 pairs —
+    // the same candidates-then-verify contract as q36/q46. At scale
+    // the ball size is constant (bits+1), so candidate volume is
+    // linear in items per (type, code) bucket.
+    {
+      // the signature expression is engine-shared text (instr
+      // arithmetic, q79's technique); the hamming-1 ball differs only
+      // in list-literal/xor syntax, so each engine gets its own
+      // spelling of the same 9 codes
+      val phashSql = "CAST(" + (1 to 8).map(i =>
+        s"(CASE WHEN instr('0123456789abcdef', substring(h, $i, 1)) - 1 >= 8" +
+          s" THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT)"
+      val ballSpark = "array(" +
+        (Seq("phash") ++ (0 until 8).map(b => s"phash ^ ${1 << b}"))
+          .mkString(", ") + ")"
+      val ballDuck = "[" +
+        (Seq("phash") ++ (0 until 8).map(b => s"xor(phash, ${1 << b})"))
+          .mkString(", ") + "]"
+      QueryDef(
+        "q86_media_phash_near_dup",
+        s"""WITH media AS (
+          |  SELECT doc_id AS media_id,
+          |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |         ELSE 'video' END AS media_type,
+          |    md5(text) AS h
+          |  FROM documents),
+          |coded AS (
+          |  SELECT media_id, media_type, $phashSql AS phash FROM media),
+          |ball AS (
+          |  SELECT media_id, media_type, phash,
+          |    unnest($ballDuck) AS v
+          |  FROM coded),
+          |cand AS (
+          |  SELECT DISTINCT a.media_type,
+          |    a.media_id AS media_a, b.media_id AS media_b,
+          |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          |  FROM ball a JOIN ball b
+          |    ON a.media_type = b.media_type AND a.v = b.v
+          |      AND a.media_id < b.media_id)
+          |SELECT media_type, media_a, media_b, hamming
+          |FROM cand WHERE hamming <= 1
+          |ORDER BY media_type, media_a, media_b""".stripMargin) { (s, dir) =>
+        val coded = Multimodal
+          .mediaFromDocuments(Tables(s, dir, "documents"))
+          .select(col("media_id"), col("media_type"),
+            md5(col("payload")).as("h"))
+          .select(col("media_id"), col("media_type"),
+            expr(phashSql).as("phash"))
+        val ball = coded.select(col("media_type"), col("media_id"),
+          col("phash"), explode(expr(ballSpark)).as("v"))
+        ball.as("a").join(ball.as("b"),
+            col("a.media_type") === col("b.media_type") &&
+              col("a.v") === col("b.v") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_type").as("media_type"),
+            col("a.media_id").as("media_a"),
+            col("b.media_id").as("media_b"),
+            expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)")
+              .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 1)
+          .orderBy("media_type", "media_a", "media_b")
+      }
     }
   )
 }

@@ -152,6 +152,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q86 media phash near-dup: candidates from the ball equi-join, never a cross join") {
+    val p = plan("q86_media_phash_near_dup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degenerated to an all-pairs theta join:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("q82 PQ encoding is pure per-row folds: no join, no window, no hash shuffle") {
     val p = plan("q82_pq_codes")
     assert(!p.contains("Join"), s"sub-assignment must not join:\n$p")
