@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-based corpus sources for the documents schema — how corpora
+  * actually arrive (JSONL dumps, CSV exports) before they hit the
+  * curation pipeline. Both readers apply the same split contract as
+  * the streaming deserializer (reference consumer's error routing,
+  * SURVEY §2.3 F2): well-formed rows flow to the documents frame,
+  * malformed lines are CAPTURED — never dropped, never fatal — and
+  * routed to a DLQ-shaped frame carrying the raw line.
+  *
+  * Scale notes: both formats scan splittably when the files are
+  * uncompressed or use a splittable codec (gzip forces one task per
+  * file — ship many files or use zstd/bzip2); the parse is per-row
+  * inside the scan, so cost ∝ bytes and the split adds no shuffle.
+  * PERMISSIVE mode + `columnNameOfCorruptRecord` is the native
+  * mechanism — corrupt lines surface as a column, not an exception.
+  */
+object CorpusSources {
+
+  /** documents-table schema + the corrupt-record capture column. */
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("_corrupt", StringType)))
+
+  /** (good, bad): good = documents-schema rows; bad = (raw_line).
+    * The raw frame is cached — Spark disallows queries that touch
+    * ONLY the corrupt-record column of a file scan (the bad branch)
+    * unless the parsed frame is materialized; callers unpersist via
+    * the returned good frame's `.unpersist()` lineage or just let
+    * the session age it out.
+    */
+  private def split(raw: DataFrame): (DataFrame, DataFrame) = {
+    val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = cached.filter(col("_corrupt").isNull &&
+        col("doc_id").isNotNull && col("text").isNotNull)
+      .select("doc_id", "text", "lang", "source")
+    // structurally-parseable rows missing REQUIRED fields are bad
+    // too — same contract as the proto mapper's unknown-field guard
+    val bad = cached.filter(col("_corrupt").isNotNull ||
+        col("doc_id").isNull || col("text").isNull)
+      .select(coalesce(col("_corrupt"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source")))).as("raw_line"))
+    (good, bad)
+  }
+
+  /** JSON-lines corpus: one document object per line. */
+  def jsonlDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    split(spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path))
+
+  /** CSV corpus with a header row. */
+  def csvDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    split(spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path))
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The file-source split contract: well-formed rows land in the
+  * documents frame, malformed or field-incomplete lines are captured
+  * in the DLQ frame — nothing dropped, nothing fatal, every input
+  * line accounted for exactly once.
+  */
+class CorpusSourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("jsonlDocuments splits good rows from corrupt and incomplete lines") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    Files.writeString(dir.resolve("part-0.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1"}
+        |{"doc_id": 2, "text": "zwei", "lang": "de", "source": "s1"}
+        |{"doc_id": 3, "text": "no closing brace", "lang": "en"
+        |not json at all
+        |{"doc_id": 4, "lang": "en", "source": "s2"}
+        |""".stripMargin)
+    val (good, bad) = CorpusSources.jsonlDocuments(spark, dir.toString)
+    val g = good.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(g == Map(1L -> "hello world", 2L -> "zwei"))
+    // 2 corrupt lines + 1 text-less object all captured
+    val b = bad.collect().map(_.getString(0))
+    assert(b.length == 3, b.toSeq)
+    assert(b.exists(_.contains("no closing brace")))
+    assert(b.contains("not json at all"))
+    assert(b.exists(l => l.contains("\"doc_id\":4") || l.contains("\"doc_id\": 4")),
+      b.toSeq)
+    assert(good.count() + bad.count() == 5)
+  }
+
+  test("csvDocuments splits header-conformant rows from malformed ones") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(dir.resolve("part-0.csv"),
+      """doc_id,text,lang,source
+        |1,alpha,en,s1
+        |oops,beta,en,s1
+        |2,gamma,de,s2
+        |3,,en,s1
+        |""".stripMargin)
+    val (good, bad) = CorpusSources.csvDocuments(spark, dir.toString)
+    val g = good.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(g == Map(1L -> "alpha", 2L -> "gamma"))
+    // non-numeric doc_id and empty text both routed to the DLQ side
+    assert(bad.count() == 2, bad.collect().map(_.getString(0)).toSeq)
+  }
+}
