@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.Tables
+import graft.pipeline.CurationPipeline
+import graft.sources.CorpusSources
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runnable end-to-end curation demo: corpus in (parquet testdata dir
+  * or a JSONL file), curated training shards out, stage ledger on
+  * stdout. The full library path a user runs:
+  *
+  *   CorpusSources (if JSONL) → CurationPipeline (q73/q74/q30/q36/
+  *   q61/q76/q58/q78/q79 compositions) → sharded parquet.
+  *
+  * Usage:
+  *   MAIN=graft.tools.CurationDemo tools/run_verify.sh <sfDirOrJsonl> <outDir>
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(in, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config(Tables.sessionConfs.foldLeft(
+        new org.apache.spark.SparkConf()) { case (c, (k, v)) => c.set(k, v) })
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs =
+      if (in.endsWith(".jsonl") || in.endsWith(".json")) {
+        val (good, bad) = CorpusSources.jsonlDocuments(spark, in)
+        println(s"[curate] jsonl intake: ${bad.count()} corrupt lines to DLQ")
+        good
+      } else Tables(spark, in, "documents")
+        .select("doc_id", "text", "lang", "source")
+
+    val ledger = CurationPipeline.run(spark, docs,
+      probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
+      outDir = outDir)
+    ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
+
+    val shards = spark.read.parquet(outDir)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_shards"), min("n").as("min_docs"),
+        max("n").as("max_docs"))
+      .head()
+    println(s"[curate] shards: ${shards.getLong(0)} " +
+      s"(${shards.getLong(1)}-${shards.getLong(2)} docs each) -> $outDir")
+    spark.stop()
+  }
+}
