@@ -24,6 +24,22 @@ object Tables {
     // — the production-default session shape; see graft.plans
     "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 
+  /** The local-session shape every runnable main needs (parallelism
+    * from SPARK_GRAFT_CPUS, shuffle partitions to match, UI off,
+    * [[sessionConfs]] applied) — one definition instead of a copy per
+    * main.
+    */
+  def localSession(defaultCpus: String = "4"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config(sessionConfs.foldLeft(
+        new org.apache.spark.SparkConf()) { case (c, (k, v)) => c.set(k, v) })
+      .getOrCreate()
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)

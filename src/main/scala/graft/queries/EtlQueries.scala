@@ -126,51 +126,65 @@ object EtlQueries {
     // "what changed between snapshot A and snapshot B" as per-source
     // added/removed/changed/unchanged counts. Snapshot B is derived
     // DETERMINISTICALLY from A (doc_id % 10 == 0 dropped, % 7 == 0
-    // rewritten, % 13 == 0 re-landed under a new id) so both engines
-    // rebuild the identical pair of snapshots from one table. The
-    // diff itself is the production shape: ONE full-outer join on the
-    // stable key comparing content hashes — linear, partial-agg
-    // rollup after; classification is hash equality, so text moves
-    // through the join as a 32-char digest, never the payload.
+    // rewritten, % 13 == 0 re-landed under a max(doc_id)+1-strided
+    // new id — collision-proof at any SF, the ScaleOps.scaleDocuments
+    // technique) so both engines rebuild the identical snapshot pair
+    // from one table. The diff itself is the production shape: ONE
+    // full-outer join on the stable key comparing content hashes —
+    // linear, partial-agg rollup after; text moves through the join
+    // as a 32-char digest, never the payload. Presence is tested via
+    // explicit membership markers (not hash nullness) and change via
+    // IS DISTINCT FROM, so null-text documents classify identically
+    // in both engines.
     QueryDef(
       "q87_snapshot_diff",
-      """WITH a AS (
-        |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      """WITH stride AS (SELECT max(doc_id) + 1 AS st FROM documents),
+        |a AS (
+        |  SELECT doc_id, source, md5(text) AS h, TRUE AS present
+        |  FROM documents),
         |b AS (
         |  SELECT doc_id, source,
         |    CASE WHEN doc_id % 7 = 0 THEN md5('v2:' || text)
-        |         ELSE md5(text) END AS h
+        |         ELSE md5(text) END AS h,
+        |    TRUE AS present
         |  FROM documents WHERE doc_id % 10 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, source, md5('new:' || text) AS h
+        |  SELECT doc_id + (SELECT st FROM stride) AS doc_id, source,
+        |    md5('new:' || text) AS h, TRUE AS present
         |  FROM documents WHERE doc_id % 13 = 0),
         |d AS (
         |  SELECT coalesce(a.source, b.source) AS source,
-        |    CASE WHEN a.doc_id IS NULL THEN 'added'
-        |         WHEN b.doc_id IS NULL THEN 'removed'
-        |         WHEN a.h <> b.h THEN 'changed'
+        |    CASE WHEN a.present IS NULL THEN 'added'
+        |         WHEN b.present IS NULL THEN 'removed'
+        |         WHEN a.h IS DISTINCT FROM b.h THEN 'changed'
         |         ELSE 'unchanged' END AS change
         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
         |SELECT source, change, count(*) AS n_docs
         |FROM d GROUP BY source, change
         |ORDER BY source, change""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents").select("doc_id", "source", "text")
+      val stride = docs.agg((max("doc_id") + 1).as("st"))
       val a = docs.select(col("doc_id"), col("source"),
-        md5(col("text")).as("h"))
+        md5(col("text")).as("h"), lit(true).as("present"))
       val b = docs.filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"), col("source"),
           when(col("doc_id") % 7 === 0, md5(concat(lit("v2:"), col("text"))))
-            .otherwise(md5(col("text"))).as("h"))
+            .otherwise(md5(col("text"))).as("h"),
+          lit(true).as("present"))
         .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-            md5(concat(lit("new:"), col("text"))).as("h")))
-      a.select(col("doc_id"), col("source").as("src_a"), col("h").as("h_a"))
+          .crossJoin(broadcast(stride))
+          .select((col("doc_id") + col("st")).as("doc_id"), col("source"),
+            md5(concat(lit("new:"), col("text"))).as("h"),
+            lit(true).as("present")))
+      a.select(col("doc_id"), col("source").as("src_a"), col("h").as("h_a"),
+          col("present").as("in_a"))
         .join(b.select(col("doc_id"), col("source").as("src_b"),
-          col("h").as("h_b")), Seq("doc_id"), "full_outer")
+          col("h").as("h_b"), col("present").as("in_b")),
+          Seq("doc_id"), "full_outer")
         .select(coalesce(col("src_a"), col("src_b")).as("source"),
-          when(col("h_a").isNull, "added")
-            .when(col("h_b").isNull, "removed")
-            .when(col("h_a") =!= col("h_b"), "changed")
+          when(col("in_a").isNull, "added")
+            .when(col("in_b").isNull, "removed")
+            .when(!(col("h_a") <=> col("h_b")), "changed")
             .otherwise("unchanged").as("change"))
         .groupBy("source", "change")
         .agg(count(lit(1)).as("n_docs"))

@@ -180,9 +180,16 @@ object MultimodalOps {
     // from an equi-join on (media_type, ball code) — the multi-probe
     // LSH shape. A ball collision reaches hamming-2 (a⊕2^i = b⊕2^j),
     // so an exact bit_count post-filter keeps only true ≤1 pairs —
-    // the same candidates-then-verify contract as q36/q46. At scale
-    // the ball size is constant (bits+1), so candidate volume is
-    // linear in items per (type, code) bucket.
+    // the same candidates-then-verify contract as q36/q46.
+    // SCALE NOTE: candidate volume is Σ(bucket²) over (type, code)
+    // buckets — with only 2^8 codes the 8-bit testbed signature
+    // SATURATES on a large corpus (occupancy ∝ n/256 ⇒ quadratic
+    // candidates). 8 bits is chosen so the oracle's ball stays
+    // enumerable and the toy corpus yields a populated result; a
+    // production deployment widens the SAME dataflow to a 64-bit
+    // signature (64-entry ball, near-singleton buckets at any
+    // realistic corpus — the q46 SimHash width), which changes only
+    // the two generated expression strings below.
     {
       // the signature expression is engine-shared text (instr
       // arithmetic, q79's technique); the hamming-1 ball differs only

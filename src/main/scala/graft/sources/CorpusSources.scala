@@ -30,20 +30,27 @@ object CorpusSources {
     StructField("_corrupt", StringType)))
 
   /** (good, bad): good = documents-schema rows; bad = (raw_line).
-    * The raw frame is cached — Spark disallows queries that touch
-    * ONLY the corrupt-record column of a file scan (the bad branch)
-    * unless the parsed frame is materialized; callers unpersist via
-    * the returned good frame's `.unpersist()` lineage or just let
-    * the session age it out.
+    * No caching: each branch re-scans the files (normal Spark file
+    * semantics — no session-lifetime cache to leak). Spark's
+    * corrupt-record restriction (queries touching ONLY the corrupt
+    * column must cache first) does not apply here because both
+    * branches also reference data columns.
+    *
+    * DLQ fidelity: truly-corrupt lines carry their VERBATIM raw text
+    * (the corrupt-record column). Structurally-parseable rows that
+    * miss required fields carry a canonical JSON re-rendering — the
+    * parser does not retain raw text for rows it parsed — so absent
+    * and null fields are indistinguishable on replay. Lines the
+    * reader never surfaces as rows (e.g. blank JSONL lines) appear
+    * in neither frame.
     */
   private def split(raw: DataFrame): (DataFrame, DataFrame) = {
-    val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val good = cached.filter(col("_corrupt").isNull &&
+    val good = raw.filter(col("_corrupt").isNull &&
         col("doc_id").isNotNull && col("text").isNotNull)
       .select("doc_id", "text", "lang", "source")
     // structurally-parseable rows missing REQUIRED fields are bad
     // too — same contract as the proto mapper's unknown-field guard
-    val bad = cached.filter(col("_corrupt").isNotNull ||
+    val bad = raw.filter(col("_corrupt").isNotNull ||
         col("doc_id").isNull || col("text").isNull)
       .select(coalesce(col("_corrupt"),
         to_json(struct(col("doc_id"), col("text"), col("lang"),
@@ -59,11 +66,17 @@ object CorpusSources {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path))
 
-  /** CSV corpus with a header row. */
+  /** CSV corpus with a header row. `enforceSchema=false` makes Spark
+    * VALIDATE header names against the schema instead of applying it
+    * positionally — a reordered export (`doc_id,source,lang,text`)
+    * fails loudly rather than silently swapping columns into the
+    * corpus.
+    */
   def csvDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     split(spark.read
       .schema(schema)
       .option("header", "true")
+      .option("enforceSchema", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path))

@@ -3,7 +3,6 @@ package graft.tools
 import graft.Tables
 import graft.pipeline.CurationPipeline
 import graft.sources.CorpusSources
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Runnable end-to-end curation demo: corpus in (parquet testdata dir
@@ -19,14 +18,7 @@ import org.apache.spark.sql.functions._
 object CurationDemo {
   def main(args: Array[String]): Unit = {
     val Array(in, outDir) = args.take(2)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.ui.enabled", "false")
-      .config(Tables.sessionConfs.foldLeft(
-        new org.apache.spark.SparkConf()) { case (c, (k, v)) => c.set(k, v) })
-      .getOrCreate()
+    val spark = Tables.localSession()
     spark.sparkContext.setLogLevel("WARN")
 
     val docs =
@@ -42,13 +34,19 @@ object CurationDemo {
       outDir = outDir)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
-    val shards = spark.read.parquet(outDir)
-      .groupBy("shard").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("n_shards"), min("n").as("min_docs"),
-        max("n").as("max_docs"))
-      .head()
-    println(s"[curate] shards: ${shards.getLong(0)} " +
-      s"(${shards.getLong(1)}-${shards.getLong(2)} docs each) -> $outDir")
+    // an all-filtered corpus writes no files — report that instead
+    // of tripping over an unreadable empty directory / null min-max
+    val shardLine = scala.util.Try {
+      val s = spark.read.parquet(outDir)
+        .groupBy("shard").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_shards"), min("n").as("min_docs"),
+          max("n").as("max_docs"))
+        .head()
+      if (s.isNullAt(1)) s"0 shards (empty output) -> $outDir"
+      else s"${s.getLong(0)} shards " +
+        s"(${s.getLong(1)}-${s.getLong(2)} docs each) -> $outDir"
+    }.getOrElse(s"0 shards (empty output) -> $outDir")
+    println(s"[curate] $shardLine")
     spark.stop()
   }
 }
