@@ -69,12 +69,7 @@ object PipelineDemo {
     }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Tables.localSession(defaultCpus = "8")
     spark.sparkContext.setLogLevel("WARN")
     val dir = Files.createTempDirectory("graft_demo").toString
     println(s"[demo] working dir: $dir")

@@ -8,13 +8,7 @@ import graft.{SparkEntry, Tables}
 object Explain {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .config(Tables.sessionConfs.foldLeft(
-        new org.apache.spark.SparkConf()) { case (c, (k, v)) => c.set(k, v) })
-      .getOrCreate()
+    val spark = Tables.localSession(defaultCpus = "8")
     spark.sparkContext.setLogLevel("ERROR")
     names.split(",").foreach { n =>
       println(s"========== $n ==========")
