@@ -152,6 +152,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q81 dup-ngram fractions: per-doc rollups with partials, no window, no cartesian") {
+    val p = plan("q81_dup_ngram_fraction")
+    assert(p.contains("partial_count"), s"gram rollup lost its partial:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q87 snapshot diff: one key join, digest-width shuffle, partial-agg rollup") {
+    val p = plan("q87_snapshot_diff")
+    assert(p.contains("partial_count"), s"ledger rollup lost its partial:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      // the 1-row stride frame rides a broadcast nested loop — the
+      // only acceptable "cross" in this plan
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // the diff join moves digests, not documents: no text column may
+    // survive into the join stage
+    assert(!p.linesIterator.exists(l => l.contains("FullOuter") && l.contains("text")),
+      s"document text crossed the diff join:\n$p")
+  }
+
   test("q86 media phash near-dup: candidates from the ball equi-join, never a cross join") {
     val p = plan("q86_media_phash_near_dup")
     assert(!p.contains("CartesianProduct"), p)
