@@ -127,29 +127,39 @@ object ScaleOps {
     * cut it into N equal shards, fix the order for reproducibility").
     *
     * sort_key = md5(seed:id) is the shuffle order (changing the seed
-    * is a fresh permutation); shard = the key's first two hex digits
-    * mod nShards, decoded with instr arithmetic so the IDENTICAL
-    * integer/string expression runs on Spark and the DuckDB oracle
-    * (no engine-specific hex-to-int builtin, no floats anywhere).
-    * Zero shuffles, zero state: at 100 TB this is a pure map over the
-    * corpus — the only wide ops are whatever the caller adds, and
-    * [[writeTrainingShards]] adds exactly one (the partition-align
-    * repartition before the sorted write).
+    * is a fresh permutation); shard = the key's first FOUR hex digits
+    * (65536 codes) mod nShards, decoded with instr arithmetic so the
+    * IDENTICAL integer/string expression runs on Spark and the DuckDB
+    * oracle (no engine-specific hex-to-int builtin, no floats
+    * anywhere). Zero shuffles, zero state: at 100 TB this is a pure
+    * map over the corpus — the only wide ops are whatever the caller
+    * adds, and [[writeTrainingShards]] adds exactly one (the
+    * partition-align repartition before the sorted write).
     *
-    * Output: input columns + (sort_key, shard). Shard sizes are
-    * binomial(n, 1/nShards) — tight around n/nShards at any real n.
+    * Output: input columns + (sort_key, shard). Per-shard probability
+    * is ceil-or-floor(65536/nShards)/65536 — within 1/65536 absolute
+    * of exact 1/nShards (≤0.4% relative at nShards ≤ 256), so shard
+    * sizes are binomial and tight around n/nShards at any real n.
     */
   def shardAssign(df: DataFrame, idCol: String, nShards: Int,
       seed: String): DataFrame = {
-    require(nShards >= 1 && nShards <= 256,
-      s"nShards must be in [1, 256] (two hex digits); got $nShards")
     require(seed.matches("[A-Za-z0-9_.-]*"), s"unsafe seed: $seed")
     df.withColumn("sort_key",
         md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
-      .withColumn("shard", expr(
-        "CAST((16 * (instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1)" +
-          " + (instr('0123456789abcdef', substr(sort_key, 2, 1)) - 1))" +
-          s" % $nShards AS BIGINT)"))
+      .withColumn("shard", expr(shardDecodeSql(nShards)))
+  }
+
+  /** The shard-id decode over a `sort_key` md5-hex column, as SQL
+    * text both Spark and DuckDB parse identically — exposed so the
+    * q79 oracle runs the very same expression the operator does.
+    */
+  def shardDecodeSql(nShards: Int): String = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536] (four hex digits); got $nShards")
+    def digit(i: Int) =
+      s"(instr('0123456789abcdef', substr(sort_key, $i, 1)) - 1)"
+    s"CAST((4096 * ${digit(1)} + 256 * ${digit(2)} + 16 * ${digit(3)}" +
+      s" + ${digit(4)}) % $nShards AS BIGINT)"
   }
 
   /** Materialize [[shardAssign]]'s permutation as training shards:

@@ -49,7 +49,10 @@ object CurationPipeline {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
     // path; snapshot the persistent-RDD set so run() can release
-    // exactly what it caused without touching caller caches
+    // what it caused. ASSUMES a single-threaded driver: a concurrent
+    // caller thread persisting frames mid-run would see them swept by
+    // the diff below — run() is not safe to overlap with other work
+    // on the same SparkSession
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val ledger = Seq.newBuilder[StageCount]
     def stage(name: String, df: DataFrame): DataFrame = {
@@ -119,13 +122,18 @@ object CurationPipeline {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tok"),
         coalesce(col("importance_micro"), lit(0L)).as("importance_micro"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 7. sharded, sorted, deterministic training output (q79)
     ScaleOps.writeTrainingShards(weighted, "doc_id", nShards, seed, outDir)
-    ledger += StageCount("written",
-      spark.read.parquet(outDir).count())
+    // 'written' counts the persisted frame the writer just drained —
+    // NOT a re-read of outDir: an all-filtered corpus writes zero
+    // part files (partitionBy of an empty frame), and reading an
+    // empty parquet dir throws (no schema to infer), which would
+    // lose the whole ledger after the pipeline already ran
+    ledger += StageCount("written", weighted.count())
 
-    Seq(input, redacted, quality, exact, nearDeduped, clean)
+    Seq(input, redacted, quality, exact, nearDeduped, clean, weighted)
       .foreach(_.unpersist())
     // release the operator-internal persists this run introduced
     // (every action is complete by now — the shard write and the

@@ -1225,24 +1225,25 @@ object TextOps {
 
     // ---- q79: deterministic training shards -----------------------
     // ScaleOps.shardAssign's seeded global permutation + 13-way
-    // sharding (13 ∤ 256, so the two-hex-digit mod is exercised off
-    // the friendly powers of two), summarized per shard. The shard
-    // decode is the SAME instr-arithmetic text both engines parse —
-    // integers and strings only, no float anywhere. The companion
-    // writer (ScaleOps.writeTrainingShards) materializes the same
-    // assignment as per-shard sorted parquet; ScaleOpsSpec pins
-    // exactly-once coverage, in-file order, and determinism.
+    // sharding (13 ∤ 65536, so the four-hex-digit mod is exercised
+    // off the friendly powers of two), summarized per shard. The
+    // shard decode is the SAME instr-arithmetic text both engines
+    // parse (ScaleOps.shardDecodeSql) — integers and strings only, no
+    // float anywhere. The companion writer
+    // (ScaleOps.writeTrainingShards) materializes the same assignment
+    // as per-shard sorted parquet; ScaleOpsSpec pins exactly-once
+    // coverage, in-file order, and determinism.
     QueryDef(
       "q79_training_shards",
-      """WITH a AS (
+      s"""WITH a AS (
         |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'),
+        |    len(list_filter(string_split_regex(text, '\\s+'),
         |                    x -> len(x) > 0)) AS n_tok,
         |    md5('42:' || CAST(doc_id AS VARCHAR)) AS sort_key
         |  FROM documents),
         |s AS (
         |  SELECT n_tok, sort_key,
-        |    CAST((16 * (instr('0123456789abcdef', substr(sort_key, 1, 1)) - 1) + (instr('0123456789abcdef', substr(sort_key, 2, 1)) - 1)) % 13 AS BIGINT) AS shard
+        |    ${graft.operators.ScaleOps.shardDecodeSql(13)} AS shard
         |  FROM a)
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,

@@ -29,6 +29,9 @@ object CorpusSources {
     StructField("source", StringType),
     StructField("_corrupt", StringType)))
 
+  /** schema without the capture column — what from_json parses. */
+  private val dataSchema = StructType(schema.fields.filterNot(_.name == "_corrupt"))
+
   /** (good, bad): good = documents-schema rows; bad = (raw_line).
     * No caching: each branch re-scans the files (normal Spark file
     * semantics — no session-lifetime cache to leak). Spark's
@@ -36,13 +39,13 @@ object CorpusSources {
     * column must cache first) does not apply here because both
     * branches also reference data columns.
     *
-    * DLQ fidelity: truly-corrupt lines carry their VERBATIM raw text
-    * (the corrupt-record column). Structurally-parseable rows that
-    * miss required fields carry a canonical JSON re-rendering — the
-    * parser does not retain raw text for rows it parsed — so absent
-    * and null fields are indistinguishable on replay. Lines the
-    * reader never surfaces as rows (e.g. blank JSONL lines) appear
-    * in neither frame.
+    * DLQ fidelity (CSV): truly-corrupt lines carry their VERBATIM raw
+    * text (the corrupt-record column). Structurally-parseable rows
+    * that miss required fields carry a canonical JSON re-rendering —
+    * the CSV parser does not retain raw text for rows it parsed — so
+    * absent and null fields are indistinguishable on replay. The
+    * JSONL reader does NOT share this caveat: it parses per row over
+    * text() and every DLQ record is the verbatim input line.
     */
   private def split(raw: DataFrame): (DataFrame, DataFrame) = {
     val good = raw.filter(col("_corrupt").isNull &&
@@ -58,13 +61,27 @@ object CorpusSources {
     (good, bad)
   }
 
-  /** JSON-lines corpus: one document object per line. */
-  def jsonlDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    split(spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path))
+  /** JSON-lines corpus: one document object per line. Reads lines via
+    * text() and parses per row with from_json, so the raw line rides
+    * beside its parse — EVERY DLQ record (unparseable, field-missing,
+    * or blank) is the verbatim input line, and replaying the DLQ
+    * reconstructs the original input byte-for-byte (matching the
+    * reference consumer's raw-message DLQ, consumer/Dlq semantics).
+    * The parse stays inside the scan stage: per-row, no shuffle, same
+    * splittability as the json reader.
+    */
+  def jsonlDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val parsed = spark.read.text(path)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), dataSchema).as("p"))
+    val good = parsed.filter(col("p").isNotNull &&
+        col("p.doc_id").isNotNull && col("p.text").isNotNull)
+      .select("p.doc_id", "p.text", "p.lang", "p.source")
+    val bad = parsed.filter(col("p").isNull ||
+        col("p.doc_id").isNull || col("p.text").isNull)
+      .select("raw_line")
+    (good, bad)
+  }
 
   /** CSV corpus with a header row. `enforceSchema=false` makes Spark
     * VALIDATE header names against the schema instead of applying it

@@ -67,7 +67,7 @@ class ScaleOpsPropertySpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
     val cases = Seq.fill(12) {
-      (1 + rnd.nextInt(256), rnd.nextInt(100000).toString)
+      (1 + rnd.nextInt(65536), rnd.nextInt(100000).toString)
     }
     for ((n, seed) <- cases.distinct) {
       val ids = (1L to 40L)
@@ -78,7 +78,7 @@ class ScaleOpsPropertySpec extends AnyFunSuite {
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$seed:$id".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
-        val want = (Integer.parseInt(hex.take(2), 16) % n).toLong
+        val want = (Integer.parseInt(hex.take(4), 16) % n).toLong
         assert(got(id) == ((hex, want)), s"n=$n seed=$seed id=$id")
       }
     }

@@ -110,4 +110,24 @@ class CurationPipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getAs[Long]("shard"), r.getString(2))).toSet
     assert(again == first)
   }
+
+  test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
+    import spark.implicits._
+    // every doc fails the gopher quality rules (too short), so the
+    // pipeline writes ZERO part files — the ledger must still come
+    // back whole, ending in written=0 (regression: the old 'written'
+    // re-read of the empty output dir threw on schema inference)
+    val docs = Seq(
+      (1L, "tiny", "en", "s1"),
+      (2L, "also tiny", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val ledger = CurationPipeline.run(spark, docs, probeSource = "src0",
+      outDir = out)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(ledger.map(_.stage) == Seq("input", "redacted", "quality",
+      "exact_dedup", "near_dedup", "decontaminated", "written"), ledger)
+    assert(counts("input") == 2L && counts("quality") == 0L
+      && counts("written") == 0L, ledger)
+  }
 }

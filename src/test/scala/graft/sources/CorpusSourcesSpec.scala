@@ -29,13 +29,13 @@ class CorpusSourcesSpec extends AnyFunSuite {
     val (good, bad) = CorpusSources.jsonlDocuments(spark, dir.toString)
     val g = good.collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(g == Map(1L -> "hello world", 2L -> "zwei"))
-    // 2 corrupt lines + 1 text-less object all captured
+    // 2 corrupt lines + 1 text-less object all captured — each as the
+    // VERBATIM input line (byte-for-byte DLQ replay fidelity)
     val b = bad.collect().map(_.getString(0))
-    assert(b.length == 3, b.toSeq)
-    assert(b.exists(_.contains("no closing brace")))
-    assert(b.contains("not json at all"))
-    assert(b.exists(l => l.contains("\"doc_id\":4") || l.contains("\"doc_id\": 4")),
-      b.toSeq)
+    assert(b.toSet == Set(
+      """{"doc_id": 3, "text": "no closing brace", "lang": "en"""",
+      "not json at all",
+      """{"doc_id": 4, "lang": "en", "source": "s2"}"""), b.toSeq)
     assert(good.count() + bad.count() == 5)
   }
 
