@@ -349,6 +349,14 @@ object Bench {
     *    median difference proved sign-unstable under stalls. Still
     *    raw — a negative value (decode floor above total floor) is an
     *    instrument flag that must stay visible, never clamped.
+    * `rows_per_sec` is n / min(total runs) — minima for the same
+    * stall-immunity reason (round 8's driver run recorded total runs
+    * [3.0, 8.6, 1.3, 13.8, 0.8]: the median said 337k rows/s while
+    * the un-stalled floor ran 1.2M — the median measured the host,
+    * not the pipeline). The median-based figure stays in the record
+    * as `rows_per_sec_median`; a large gap between the two is itself
+    * the stall flag.
+    *
     * Attribution rule for round-over-round diffs: `rows_per_sec`
     * under ~300k/s is a regression worth root-causing; the stage
     * split says WHERE — decode (wire codec / row mapper) vs sink
@@ -423,9 +431,11 @@ object Bench {
     val decodeSec = medianOf(decodeRuns)
     val totalSec = medianOf(totalRuns)
     val sinkSec = totalRuns.min - decodeRuns.min // raw; negative = visible flag
-    val rps = (n / totalSec).toLong
+    val rps = (n / totalRuns.min).toLong
+    val rpsMedian = (n / totalSec).toLong
     (s"""{"rows":$n,"sec":$totalSec,"decode_sec":$decodeSec,""" +
       s""""sink_sec":$sinkSec,"rows_per_sec":$rps,""" +
+      s""""rows_per_sec_median":$rpsMedian,""" +
       s""""decode_runs":[${decodeRuns.mkString(",")}],""" +
       s""""total_runs":[${totalRuns.mkString(",")}]}""", rps)
   }

@@ -1002,6 +1002,52 @@ object SimilarityOps {
             .select(col("vec_id").as("query_id"), col("e").as("qe")),
           Ivf.codebook, nprobe = 2, k = 5)
           .orderBy("query_id", "rnk")
+    },
+
+    // ---- q88: hard-negative mining --------------------------------
+    // Contrastive-training data prep (DPR, Karpukhin et al. 2020;
+    // ANCE): for each query vector, the top-k most-SIMILAR corpus
+    // vectors carrying a DIFFERENT label — near-misses the model must
+    // learn to push away. Exactly q40's dataflow (corpus partitioned
+    // and scanned once, query set broadcast, bounded-heap topk_collect
+    // — never a per-query window funnel) with one extra per-row
+    // label-mismatch predicate BEFORE the heap, so the filter runs
+    // map-side inside the scan's codegen stage. At 100 TB the plan is
+    // identical to q40's: zero corpus-side shuffle before the partial
+    // top-k reduction.
+    QueryDef(
+      "q88_hard_negatives",
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    (SELECT sum(x * y) FROM (SELECT unnest(q.emb) AS x, unnest(c.emb) AS y) z) AS dot,
+        |    sqrt((SELECT sum(x * x) FROM (SELECT unnest(q.emb) AS x) z)) AS qn,
+        |    sqrt((SELECT sum(y * y) FROM (SELECT unnest(c.emb) AS y) z)) AS cn
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5 AND c.label <> q.label),
+        |ranked AS (
+        |  SELECT query_id, cand_id, dot / (qn * cn) AS cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY dot / (qn * cn) DESC, cand_id) AS rnk
+        |  FROM pairs)
+        |SELECT query_id, cand_id, round(cosine, 4) AS cosine,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("e").as("qe"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+          col("e").as("ce"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("clabel") =!= col("qlabel"))
+        .select(col("query_id"), col("cand_id"),
+          expr("cosine_sim(qe, ce)").as("cosine"))
+      explodeTopK(scored.groupBy("query_id")
+        .agg(expr("topk_collect(cosine, cand_id, 10)").as("top")))
     }
   )
 }

@@ -104,6 +104,59 @@ object TextOps {
         min("cf").as("min_tok_cf"))
   }
 
+  /** q89's CCNet-style head/middle/tail bucketing by model score
+    * (Wenzek et al. 2020 split their corpus into thirds by LM
+    * perplexity and trained preferentially on the "head"). Score =
+    * q69's corpus-unigram likelihood proxy, quantized to an exact
+    * integer (1000·Σcf DIV n_tokens) so every comparison both engines
+    * make is integer arithmetic — no float threshold can disagree.
+    *
+    * Scale shape: scoring inherits q69's dataflow (one
+    * partial-aggregable vocab groupBy + a size-gated broadcast join).
+    * The tercile CUT is where naive plans die: ntile()/row_number()
+    * over the corpus is a single-reducer global sort. Instead the
+    * cumulative pass runs over the per-VALUE histogram
+    * (score_milli → doc count) — post-aggregation, bounded by score
+    * granularity (thousands of distinct values under Zipfian token
+    * stats), never corpus-sized; the per-bucket rollup reads the
+    * histogram alone, and a per-doc materialization would
+    * broadcast-join the tiny value→bucket map back. A doc's bucket is
+    * a pure function of its score value, so ties share a bucket and
+    * the cut is deterministic in both engines.
+    */
+  def pplBuckets(docsFrame: DataFrame,
+      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docsFrame
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVocab = vocab.count() // one-row action, gates the broadcast
+    val model =
+      if (nVocab <= maxBroadcastVocab) broadcast(vocab)
+      else { vocab.unpersist(); vocab }
+    val scored = tok.join(model, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("cf").as("sum_cf"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST((1000 * sum_cf) DIV n_tokens AS BIGINT)").as("score_milli"))
+    val hist = scored.groupBy("score_milli")
+      .agg(count(lit(1)).as("h_docs"), sum("n_tokens").as("h_toks"))
+    // cumulative docs from the BEST (highest-likelihood) score down —
+    // the window input is the histogram, not the corpus
+    val cum = hist
+      .withColumn("cum", sum("h_docs").over(Window.orderBy(col("score_milli").desc)))
+      .withColumn("total", sum("h_docs").over(Window.partitionBy()))
+      .withColumn("bucket",
+        when(col("cum") * 3 <= col("total"), "head")
+          .when(col("cum") * 3 <= col("total") * 2, "middle")
+          .otherwise("tail"))
+    cum.groupBy("bucket")
+      .agg(sum("h_docs").as("n_docs"), sum("h_toks").as("n_tokens"),
+        min("score_milli").as("min_score_milli"),
+        max("score_milli").as("max_score_milli"))
+  }
+
   /** q78's per-token importance weight, kept as ONE textual SQL
     * expression so Spark and the DuckDB oracle parse the identical
     * operation tree (identical IEEE evaluation order → identical
@@ -1257,6 +1310,47 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           min("sort_key").as("first_key"), max("sort_key").as("last_key"))
         .orderBy("shard")
+    },
+
+    // ---- q89: CCNet head/middle/tail perplexity buckets -----------
+    // The corpus split CCNet trains on (Wenzek et al. 2020): rank
+    // every document by LM score, cut the corpus into thirds, keep
+    // the "head". Score is q69's exact-integer likelihood proxy; the
+    // tercile cut is computed over the per-VALUE histogram (see
+    // [[pplBuckets]]) — never an ntile/row_number over the corpus.
+    // Both engines run the identical integer cut rule (3·cum ≤ total),
+    // so the boundary is bit-exact.
+    QueryDef(
+      "q89_ppl_buckets",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, count(*) AS cf FROM tok GROUP BY w),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(v.cf) AS BIGINT) AS sum_cf
+        |  FROM tok t JOIN vocab v ON t.w = v.w GROUP BY t.doc_id),
+        |s2 AS (SELECT doc_id, n_tokens,
+        |         (1000 * sum_cf) // n_tokens AS score_milli FROM sc),
+        |hist AS (SELECT score_milli, count(*) AS h_docs,
+        |           CAST(sum(n_tokens) AS BIGINT) AS h_toks
+        |         FROM s2 GROUP BY score_milli),
+        |c AS (SELECT score_milli, h_docs, h_toks,
+        |        sum(h_docs) OVER (ORDER BY score_milli DESC) AS cum,
+        |        sum(h_docs) OVER () AS total
+        |      FROM hist),
+        |b AS (SELECT CASE WHEN cum * 3 <= total THEN 'head'
+        |               WHEN cum * 3 <= total * 2 THEN 'middle'
+        |               ELSE 'tail' END AS bucket, h_docs, h_toks, score_milli
+        |      FROM c)
+        |SELECT bucket, CAST(sum(h_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(h_toks) AS BIGINT) AS n_tokens,
+        |  min(score_milli) AS min_score_milli,
+        |  max(score_milli) AS max_score_milli
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      pplBuckets(docs(s, dir).select("doc_id", "text"))
+        .orderBy("bucket")
     }
   )
 }

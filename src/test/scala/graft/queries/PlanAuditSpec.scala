@@ -322,6 +322,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"model fit lost its partial:\n$p")
   }
 
+  test("q88 hard negatives: corpus partitioned, label filter map-side, bounded heap") {
+    val p = plan("q88_hard_negatives")
+    // q40's audited shape must survive the extra label predicate:
+    // queries broadcast against the partitioned corpus, ranking via
+    // the partial top-k heap — no window funnel, no cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"q88 ranks through a window funnel:\n$p")
+    assert(p.contains("partial_topk_collect"),
+      s"q88 top-k is not a map-side partial aggregate:\n$p")
+  }
+
+  test("q89 ppl buckets: vocab broadcast, tercile window over the HISTOGRAM only") {
+    val p = plan("q89_ppl_buckets")
+    // scoring inherits q69's shape: size-gated vocab broadcast,
+    // partial-aggregable fit
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab under the gate must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"model fit lost its partial:\n$p")
+    // the cumulative cut is the one place an ntile-over-corpus could
+    // sneak in: the Window must sit ABOVE the score_milli histogram
+    // aggregation (its input is per-VALUE rows, never per-doc)
+    val idx = p.indexOf("Window")
+    assert(idx >= 0, s"expected the histogram cumulative window:\n$p")
+    assert(p.substring(idx).contains("keys=[score_milli"),
+      s"window input is not the score-value histogram:\n$p")
+  }
+
   test("q78 dsir: constant-size bucket stats broadcast, token stream never re-shuffles") {
     val p = plan("q78_dsir_importance")
     // the ≤4096-row stats frame must be the broadcast side — the
