@@ -214,7 +214,10 @@ object Bench {
     "q37_ngram_jaccard_top", "q65_dup_span_removal",
     "q36_lsh_near_dup_pairs", "q61_dedup_clusters",
     "q60_dup_span_ratio", "q76_dedup_materialize",
-    "q40_cosine_topk", "q44_ivf_ann", "q78_dsir_importance")
+    "q40_cosine_topk", "q44_ivf_ann", "q78_dsir_importance",
+    // q89's single-partition cumulative window is bounded by score
+    // GRANULARITY, not corpus size — the probe measures that claim
+    "q89_ppl_buckets")
 
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,

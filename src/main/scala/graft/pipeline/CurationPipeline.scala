@@ -21,6 +21,8 @@ import org.apache.spark.storage.StorageLevel
   *      with the PROBE side drawn from the full redacted input so a
   *      probe doc filtered or deduped away upstream still flags its
   *      surviving corpus twins (q58; probe docs are never emitted)
+  *   5b. (optional) CCNet perplexity cut — keep only the requested
+  *      head/middle/tail terciles (q89)
   *   6. importance weights   — DSIR                (q78)
   *   7. sharded output       — writeTrainingShards (q79)
   *
@@ -42,10 +44,19 @@ object CurationPipeline {
     * REDACTED, lang, source, n_tok, importance_micro + shard/sort_key
     * layout) and returns the stage ledger. `probeSource` documents
     * serve as the contamination probe and are never emitted.
+    *
+    * `keepPplBuckets`, when set, inserts the CCNet cut (Wenzek et al.
+    * 2020) after decontamination: score every surviving doc against
+    * the survivors' own unigram model (q89's exact-integer terciles,
+    * TextOps.pplDocBuckets) and keep only docs whose bucket is in the
+    * set — CCNet itself trains on head (or head+middle). Token-less
+    * docs carry no bucket and are dropped by the filter (they carry
+    * no trainable text either).
     */
   def run(spark: SparkSession, docs: DataFrame, probeSource: String,
       outDir: String, minJaccard: Double = 0.5, minShared: Long = 3L,
-      nShards: Int = 16, seed: String = "42"): Seq[StageCount] = {
+      nShards: Int = 16, seed: String = "42",
+      keepPplBuckets: Option[Set[String]] = None): Seq[StageCount] = {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
     // path; snapshot the persistent-RDD set so run() can release
@@ -114,10 +125,24 @@ object CurationPipeline {
       nearDeduped.filter(col("source") =!= probeSource)
         .join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // 6. DSIR weights — fitted on the clean corpus, target = English
-    // (q78); token-less docs scored 0 (they carry no features)
-    val weighted = clean
-      .join(TextOps.dsirWeights(clean.select("doc_id", "text", "lang"),
+    // 5b. optional CCNet perplexity cut (q89) — terciles are fitted
+    // on the decontaminated survivors, so the cut reflects the
+    // corpus actually being kept; left_semi against the per-doc
+    // bucket frame (whose value→bucket map is broadcast)
+    val kept = keepPplBuckets.fold(clean) { buckets =>
+      stage("ppl_" + buckets.toSeq.sorted.mkString("_"),
+        clean.join(
+          TextOps.pplDocBuckets(clean.select("doc_id", "text"))
+            .filter(col("bucket").isin(buckets.toSeq: _*))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+    }
+
+    // 6. DSIR weights — fitted on the emitted corpus (post-cut
+    // survivors), target = English (q78); token-less docs scored 0
+    // (they carry no features)
+    val weighted = kept
+      .join(TextOps.dsirWeights(kept.select("doc_id", "text", "lang"),
         col("lang") === "en"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tok"),
@@ -133,7 +158,7 @@ object CurationPipeline {
     // lose the whole ledger after the pipeline already ran
     ledger += StageCount("written", weighted.count())
 
-    Seq(input, redacted, quality, exact, nearDeduped, clean, weighted)
+    Seq(input, redacted, quality, exact, nearDeduped, clean, kept, weighted)
       .foreach(_.unpersist())
     // release the operator-internal persists this run introduced
     // (every action is complete by now — the shard write and the

@@ -125,8 +125,18 @@ object TextOps {
     * the cut is deterministic in both engines.
     */
   def pplBuckets(docsFrame: DataFrame,
-      maxBroadcastVocab: Long = 10000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      maxBroadcastVocab: Long = 10000000L): DataFrame =
+    bucketedHist(pplScores(docsFrame, maxBroadcastVocab))
+      .groupBy("bucket")
+      .agg(sum("h_docs").as("n_docs"), sum("h_toks").as("n_tokens"),
+        min("score_milli").as("min_score_milli"),
+        max("score_milli").as("max_score_milli"))
+
+  /** Per-doc exact-integer LM score (1000·Σcf DIV n_tokens) —
+    * q69's dataflow; token-less docs carry no rows.
+    */
+  private def pplScores(docsFrame: DataFrame,
+      maxBroadcastVocab: Long): DataFrame = {
     val tok = docsFrame
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
     val vocab = tok.groupBy("w").agg(count(lit(1)).as("cf"))
@@ -135,26 +145,49 @@ object TextOps {
     val model =
       if (nVocab <= maxBroadcastVocab) broadcast(vocab)
       else { vocab.unpersist(); vocab }
-    val scored = tok.join(model, Seq("w"))
+    tok.join(model, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("cf").as("sum_cf"))
       .select(col("doc_id"), col("n_tokens"),
         expr("CAST((1000 * sum_cf) DIV n_tokens AS BIGINT)").as("score_milli"))
-    val hist = scored.groupBy("score_milli")
+  }
+
+  /** The per-VALUE histogram of scores with each value's tercile
+    * bucket — cumulative docs from the BEST (highest-likelihood)
+    * score down; the window input is the histogram, not the corpus.
+    */
+  private def bucketedHist(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.groupBy("score_milli")
       .agg(count(lit(1)).as("h_docs"), sum("n_tokens").as("h_toks"))
-    // cumulative docs from the BEST (highest-likelihood) score down —
-    // the window input is the histogram, not the corpus
-    val cum = hist
       .withColumn("cum", sum("h_docs").over(Window.orderBy(col("score_milli").desc)))
       .withColumn("total", sum("h_docs").over(Window.partitionBy()))
       .withColumn("bucket",
         when(col("cum") * 3 <= col("total"), "head")
           .when(col("cum") * 3 <= col("total") * 2, "middle")
           .otherwise("tail"))
-    cum.groupBy("bucket")
-      .agg(sum("h_docs").as("n_docs"), sum("h_toks").as("n_tokens"),
-        min("score_milli").as("min_score_milli"),
-        max("score_milli").as("max_score_milli"))
+  }
+
+  /** Per-DOC bucket materialization — what a pipeline filters on
+    * (CCNet trains on head, often head+middle). The value→bucket map
+    * is the bucketed histogram (score-granularity-sized, never
+    * corpus-sized), broadcast back onto the per-doc score frame, so
+    * the corpus-side cost over [[pplBuckets]] is one map-side
+    * broadcast join. Token-less docs have no score and no bucket
+    * (they carry no rows). Returns (doc_id, score_milli, bucket).
+    */
+  def pplDocBuckets(docsFrame: DataFrame,
+      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+    // both the histogram side and the join side consume the scored
+    // frame — persist so the tokenize+score subtree executes once
+    // (internal persist, same contract as the vocab cache above:
+    // callers that must reclaim it sweep the persistent-RDD diff,
+    // as CurationPipeline.run does)
+    val scored = pplScores(docsFrame, maxBroadcastVocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val valueToBucket = bucketedHist(scored).select("score_milli", "bucket")
+    scored.join(broadcast(valueToBucket), Seq("score_milli"))
+      .select("doc_id", "score_milli", "bucket")
   }
 
   /** q78's per-token importance weight, kept as ONE textual SQL

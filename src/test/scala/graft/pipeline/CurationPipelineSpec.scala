@@ -111,6 +111,24 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("CCNet cut stage keeps only the requested terciles and feeds the shard writer") {
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    val out = java.nio.file.Files.createTempDirectory("graft_ccnet").toString
+    val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+      outDir = out, keepPplBuckets = Some(Set("head", "middle")))
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(ledger.map(_.stage) == Seq("input", "redacted", "quality",
+      "exact_dedup", "near_dedup", "decontaminated", "ppl_head_middle",
+      "written"), ledger)
+    // the cut drops the tail tercile: at least ~1/4 of survivors gone
+    // (exact share depends on value ties), and nothing new appears
+    val clean = counts("decontaminated")
+    val kept = counts("ppl_head_middle")
+    assert(kept < clean && kept >= clean / 2, ledger)
+    assert(counts("written") == kept, ledger)
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the

@@ -188,6 +188,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.size == 3, out)
   }
 
+  test("pplDocBuckets: per-doc buckets roll up EXACTLY to pplBuckets; terciles ordered by score") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // the per-doc materialization and the histogram rollup must tell
+    // the same story: identical (bucket, n_docs, min/max score)
+    val perDoc = graft.queries.TextOps.pplDocBuckets(docs)
+    val rolled = perDoc.groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.min("score_milli").as("min_score_milli"),
+        org.apache.spark.sql.functions.max("score_milli").as("max_score_milli"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val direct = graft.queries.TextOps.pplBuckets(docs)
+      .select("bucket", "n_docs", "min_score_milli", "max_score_milli")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rolled.toSeq == direct.toSeq)
+    // tercile semantics: every head score strictly above every middle
+    // score, every middle above every tail (buckets cut on value)
+    val m = direct.map(t => t._1 -> t).toMap
+    for (Seq(hi, lo) <- Seq(Seq("head", "middle"), Seq("middle", "tail"))
+         if m.contains(hi) && m.contains(lo))
+      assert(m(hi)._3 > m(lo)._4, s"$hi/$lo overlap: ${m(hi)} vs ${m(lo)}")
+    // head holds at most a third of docs (the ≤-cut), never more
+    val total = direct.map(_._2).sum
+    assert(m("head")._2 * 3 <= total, direct.toSeq)
+  }
+
   test("dsirWeights: exact micro-weights, target-like raw docs score high, empty doc dropped") {
     import spark.implicits._
     // alpha/beta/omega/kappa land in 4 DISTINCT md5 4096-buckets
