@@ -1384,6 +1384,61 @@ object TextOps {
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
       pplBuckets(docs(s, dir).select("doc_id", "text"))
         .orderBy("bucket")
+    },
+
+    // ---- q90: within-document repeated-chunk removal --------------
+    // Self-dedup: drop REPEATED chunks inside each document (repeated
+    // boilerplate paragraphs / navigation blocks on a page), keeping
+    // the first occurrence in order, and fingerprint the cleaned
+    // text. The cross-document twin is q65; this one is entirely
+    // per-row — chunking, first-occurrence dedup (array_distinct
+    // preserves first-seen order), reassembly, and hashing are
+    // higher-order array expressions inside the scan's codegen stage:
+    // ZERO shuffles before the presentation sort at ANY corpus size.
+    // Chunk = 2 tokens (toy-sized so repeats exist in the synthetic
+    // word-soup corpus; production would chunk at sentence/paragraph
+    // granularity — same expressions, bigger constant).
+    QueryDef(
+      "q90_self_chunk_dedup",
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, CAST(ceil(len(toks) / 2.0) AS BIGINT))) AS i
+        |  FROM t2),
+        |ch AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(toks[(i - 1) * 2 + 1 : least(i * 2, len(toks))], ' ') AS chunk_s
+        |  FROM idx),
+        |firsts AS (
+        |  SELECT doc_id, chunk_s, min(i) AS fi
+        |  FROM ch GROUP BY doc_id, chunk_s),
+        |agg AS (
+        |  SELECT c.doc_id,
+        |    (SELECT count(*) FROM ch WHERE ch.doc_id = c.doc_id) AS n_chunks,
+        |    count(*) AS n_kept,
+        |    md5(string_agg(chunk_s, ' ' ORDER BY fi)) AS kept_hash
+        |  FROM firsts c GROUP BY c.doc_id)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_kept AS BIGINT) AS n_kept, kept_hash
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), ceil(size(col("toks")).cast("double") / 2.0)
+              .cast("int")),
+            i => array_join(slice(col("toks"), (i - 1) * 2 + 1, lit(2)), " "))
+            .as("chunks"))
+        .select(col("doc_id"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          array_distinct(col("chunks")).as("kept"))
+        .select(col("doc_id"), col("n_chunks"),
+          size(col("kept")).cast("long").as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("kept_hash"))
+        .orderBy("doc_id")
     }
   )
 }

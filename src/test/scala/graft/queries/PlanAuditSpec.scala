@@ -334,6 +334,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q88 top-k is not a map-side partial aggregate:\n$p")
   }
 
+  test("q90 self-dedup is per-row: no join/window/hash shuffle before the output sort") {
+    val p = plan("q90_self_chunk_dedup")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"q90 must stay per-row:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q90 grew a hash shuffle:\n$p")
+  }
+
   test("q89 ppl buckets: vocab broadcast, tercile window over the HISTOGRAM only") {
     val p = plan("q89_ppl_buckets")
     // scoring inherits q69's shape: size-gated vocab broadcast,
