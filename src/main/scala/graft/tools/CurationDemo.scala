@@ -29,9 +29,13 @@ object CurationDemo {
       } else Tables(spark, in, "documents")
         .select("doc_id", "text", "lang", "source")
 
+    // SPARK_GRAFT_PPL_KEEP=head,middle enables the CCNet tercile cut
+    val keep = sys.env.get("SPARK_GRAFT_PPL_KEEP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
-      outDir = outDir)
+      outDir = outDir, keepPplBuckets = keep)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
     // an all-filtered corpus writes no files — report that instead
