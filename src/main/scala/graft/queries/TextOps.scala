@@ -132,6 +132,15 @@ object TextOps {
         min("score_milli").as("min_score_milli"),
         max("score_milli").as("max_score_milli"))
 
+  /** The batch-fitted unigram model (w, cf) — what [[pplScores]]
+    * joins against and what
+    * [[graft.streaming.StreamOps.pplBucketStream]] ships to the
+    * online scorer.
+    */
+  def unigramVocab(docsFrame: DataFrame): DataFrame =
+    docsFrame.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+
   /** Per-doc exact-integer LM score (1000·Σcf DIV n_tokens) —
     * q69's dataflow; token-less docs carry no rows.
     */
@@ -139,7 +148,7 @@ object TextOps {
       maxBroadcastVocab: Long): DataFrame = {
     val tok = docsFrame
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+    val vocab = unigramVocab(docsFrame)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nVocab = vocab.count() // one-row action, gates the broadcast
     val model =

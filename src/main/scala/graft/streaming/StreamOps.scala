@@ -231,6 +231,52 @@ object StreamOps {
     * Emits (doc_id, ts, n_tokens, importance_micro) on watermark
     * close.
     */
+  /** ONLINE CCNet perplexity-bucket tagging — the streaming form of
+    * the batch q89 cut ([[graft.queries.TextOps.pplDocBuckets]]): the
+    * unigram model AND the tercile thresholds are fitted OFFLINE on a
+    * reference corpus (CCNet itself fits on Wikipedia and ships fixed
+    * thresholds); arriving documents are scored and tagged online.
+    * `headMin`/`middleMin` are the fitted buckets' min_score_milli
+    * values (from `TextOps.pplBuckets`); bucket = head when score ≥
+    * headMin, middle when ≥ middleMin, else tail.
+    *
+    * Scale/state story: tokenize is stateless per-row; the model join
+    * follows the batch q69/q89 gate — vocab ≤ `maxBroadcastVocab`
+    * rows broadcasts (map-side scoring), oversized degrades to a
+    * per-batch shuffle join (the decontaminateStream pattern). Tokens
+    * the fit never saw take cf=0 via LEFT join + coalesce — identical
+    * arithmetic to the batch scorer on fit-covered corpora, so stream
+    * and batch agree row-for-row (pinned by StreamOpsSpec). The only
+    * streaming state is the per-(doc, ts) sum, evicted by the
+    * watermark. Emits (doc_id, ts, n_tokens, score_milli, bucket) on
+    * watermark close.
+    */
+  def pplBucketStream(docs: DataFrame, vocab: DataFrame,
+      headMin: Long, middleMin: Long, lateness: String = "1 hour",
+      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+    // one action on the STATIC model frame at stream setup (the q69
+    // size gate), never per batch
+    val nVocab = vocab.count()
+    val model =
+      if (nVocab <= maxBroadcastVocab) broadcast(vocab.select("w", "cf"))
+      else vocab.select("w", "cf")
+    docs
+      .withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.queries.TextOps.tokens(col("text"))).as("w"))
+      .join(model, Seq("w"), "left_outer")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("cf"), lit(0L)).as("cf"))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_tokens"), sum("cf").as("sum_cf"))
+      .select(col("doc_id"), col("ts"), col("n_tokens"),
+        expr("CAST((1000 * sum_cf) DIV n_tokens AS BIGINT)").as("score_milli"))
+      .withColumn("bucket",
+        when(col("score_milli") >= headMin, "head")
+          .when(col("score_milli") >= middleMin, "middle")
+          .otherwise("tail"))
+  }
+
   def dsirScoreStream(docs: DataFrame, model: DataFrame,
       lateness: String = "1 hour"): DataFrame = {
     // totals are constant across the (tiny, static) model frame; one

@@ -470,6 +470,50 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("tier") == null) // left outer keeps unmatched
   }
 
+  test("PARITY: online ppl-bucket tagging equals the batch q89 per-doc buckets row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // offline fit: unigram model + tercile thresholds on the corpus
+    // (the CCNet deployment shape — fit once, tag the stream)
+    val corpus = graft.Tables(spark, parityDir, "documents")
+    val vocab = graft.queries.TextOps
+      .unigramVocab(corpus.select("doc_id", "text")).persist()
+    val cuts = graft.queries.TextOps
+      .pplBuckets(corpus.select("doc_id", "text"))
+      .select("bucket", "min_score_milli")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cuts.keySet == Set("head", "middle", "tail"), cuts)
+
+    val docs = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(docs.map { case (id, t) => (id, t, ts(0)) })
+    val q = StreamOps.pplBucketStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), vocab,
+      headMin = cuts("head"), middleMin = cuts("middle"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ppl_parity").start()
+    q.processAllAvailable()
+    // watermark-advancing sentinel so every pending per-doc sum emits
+    stream.addData(Seq((-1L, "zzz",
+      new Timestamp(ts(0).getTime + 30L * 24 * 3600 * 1000))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ppl_parity")
+      .filter($"doc_id" >= 0)
+      .select($"doc_id", $"score_milli", $"bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val batch = graft.queries.TextOps
+      .pplDocBuckets(corpus.select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    vocab.unpersist()
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("PARITY: online DSIR scoring equals the batch q78 weights row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
