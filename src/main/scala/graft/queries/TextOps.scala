@@ -1434,20 +1434,36 @@ object TextOps {
         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
         |  CAST(n_kept AS BIGINT) AS n_kept, kept_hash
         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          transform(sequence(lit(1), ceil(size(col("toks")).cast("double") / 2.0)
-              .cast("int")),
-            i => array_join(slice(col("toks"), (i - 1) * 2 + 1, lit(2)), " "))
-            .as("chunks"))
-        .select(col("doc_id"),
-          size(col("chunks")).cast("long").as("n_chunks"),
-          array_distinct(col("chunks")).as("kept"))
-        .select(col("doc_id"), col("n_chunks"),
-          size(col("kept")).cast("long").as("n_kept"),
-          md5(array_join(col("kept"), " ")).as("kept_hash"))
+      selfChunkDedup(docs(s, dir).select("doc_id", "text"))
         .orderBy("doc_id")
     }
   )
+
+  /** q90's transformation as a reusable operator: chunk each doc into
+    * `chunkTokens`-token non-overlapping chunks (tail chunk may be
+    * shorter), drop repeated chunks keeping the first occurrence in
+    * order (array_distinct preserves first-seen order), fingerprint
+    * the reassembled text. Entirely per-row higher-order array
+    * expressions — zero shuffles at any corpus size. Token-less docs
+    * are excluded (no chunks to dedup). Returns (doc_id, n_chunks,
+    * n_kept, kept_hash).
+    */
+  def selfChunkDedup(docsFrame: DataFrame, chunkTokens: Int = 2): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1 (got $chunkTokens)")
+    docsFrame.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(1),
+            ceil(size(col("toks")).cast("double") / chunkTokens).cast("int")),
+          i => array_join(
+            slice(col("toks"), (i - 1) * chunkTokens + 1, lit(chunkTokens)),
+            " "))
+          .as("chunks"))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        array_distinct(col("chunks")).as("kept"))
+      .select(col("doc_id"), col("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("kept_hash"))
+  }
 }

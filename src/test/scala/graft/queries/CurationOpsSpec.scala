@@ -188,6 +188,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.size == 3, out)
   }
 
+  test("selfChunkDedup equals a plain-Scala reference over random small-vocab docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val words = Vector("alpha", "beta", "gamma", "delta")
+    val docs = (1L to 80L).map { id =>
+      (id, Seq.fill(rnd.nextInt(13))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (chunk <- Seq(1, 2, 3)) {
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) None
+        else {
+          val chunks = toks.grouped(chunk).map(_.mkString(" ")).toSeq
+          val kept = chunks.distinct
+          Some((id, chunks.size.toLong, kept.size.toLong,
+            md5hex(kept.mkString(" "))))
+        }
+      }.toSet
+      val got = graft.queries.TextOps
+        .selfChunkDedup(docs.toDF("doc_id", "text"), chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got == want, s"chunk=$chunk missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("pplDocBuckets: per-doc buckets roll up EXACTLY to pplBuckets; terciles ordered by score") {
     import spark.implicits._
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Dev-only: diff two BENCH artifacts (BENCH_out.json format) with the
+spread rule from Bench.scala's methodology note: a query MOVED only if
+its medians differ by more than the LARGER of the two runs' spreads —
+anything inside that envelope is run-to-run variance, not a change.
+Usage: tools/bench_diff.py OLD.json NEW.json [min_abs_delta_sec]
+"""
+import sys, json
+
+old = json.load(open(sys.argv[1]))
+new = json.load(open(sys.argv[2]))
+thr = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+od = old.get("queries_detail", {})
+nd = new.get("queries_detail", {})
+added = sorted(set(nd) - set(od))
+removed = sorted(set(od) - set(nd))
+moved = []
+for q in sorted(set(od) & set(nd)):
+    a, b = od[q], nd[q]
+    if a.get("median") is None or b.get("median") is None:
+        continue
+    delta = b["median"] - a["median"]
+    env = max(a.get("spread") or 0.0, b.get("spread") or 0.0)
+    if abs(delta) > env and abs(delta) >= thr:
+        moved.append((delta, q, a["median"], b["median"], env))
+for d, q, ma, mb, env in sorted(moved, reverse=True):
+    tag = "REGRESSED" if d > 0 else "improved "
+    print(f"{tag} {q:36s} {ma:7.3f}s -> {mb:7.3f}s"
+          f"  (delta {d:+.3f}, envelope {env:.3f})")
+if not moved:
+    print("no query moved outside its spread envelope")
+print(f"\ntotal: {old.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s"
+      f"; moved {len(moved)}, added {added or '[]'}, removed {removed or '[]'}")
+oi, ni = old.get("ingest", {}), new.get("ingest", {})
+print(f"ingest rows/s: {oi.get('rows_per_sec')} -> {ni.get('rows_per_sec')}")
