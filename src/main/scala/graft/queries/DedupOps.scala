@@ -379,6 +379,46 @@ object DedupOps {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** q91's per-probe-item contamination report — the AUDIT view of
+    * [[decontaminate]]: q58 answers "which corpus docs must go";
+    * this answers "which BENCHMARK items leaked, into how many corpus
+    * docs, and how hard" — the evidence an eval-integrity review
+    * reads (per leaked probe doc: twin count, worst overlap, total
+    * overlap mass).
+    *
+    * Dataflow: corpus shingles lose boilerplate via the q37
+    * stop-shingle df cap FIRST (a shingle in >maxDf corpus docs
+    * carries no contamination signal — Broder's stop-word argument —
+    * and is exactly the key that would make the pair join quadratic),
+    * then equi-join the gated-broadcast probe shingles and roll up
+    * (probe, corpus-doc) pairs. Pair fan-out is bounded by
+    * maxDf·|probe shingles|, both rollups partial-aggregable; at
+    * 100 TB the probe side is benchmark-sized (broadcast) and the
+    * corpus side shuffles only pairs that share a non-stop shingle.
+    */
+  def contaminationReport(sh: DataFrame, probeSource: String,
+      minShared: Long, maxDf: Long = StopShingleMaxDf,
+      maxBroadcastShingles: Long = MaxBroadcastProbeShingles): DataFrame = {
+    val corpus = dropStopShingles(
+      sh.filter(col("source") =!= probeSource).select("doc_id", "g"),
+      "g", maxDf)
+    val bench = sh.filter(col("source") === probeSource)
+      .select(col("doc_id").as("probe_id"), col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbe = bench.count()
+    val probe =
+      if (nProbe <= maxBroadcastShingles) broadcast(bench)
+      else { bench.unpersist(); bench }
+    corpus.join(probe, Seq("g"))
+      .groupBy("probe_id", "doc_id")
+      .agg(count(lit(1)).as("shared")) // shingles are distinct per doc
+      .filter(col("shared") >= minShared)
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        max("shared").as("max_shared"),
+        sum("shared").as("total_shared"))
+  }
+
   /** The (doc_id, source, g) distinct-shingle frame q58/q77 probe —
     * positional 3-token shingles with the source column kept so the
     * probe (benchmark) rows can be split from the corpus rows.
@@ -1199,6 +1239,43 @@ object DedupOps {
       val comp = connectedComponents(pairs)
       dedupMaterialize(Tables(s, dir, "documents"), comp)
         .orderBy("doc_id")
+    },
+
+    // ---- q91: per-probe-item contamination report -----------------
+    // The audit twin of q58: for each BENCHMARK doc that leaked, how
+    // many corpus twins carry >= minShared of its shingles, the worst
+    // single overlap, and the total overlap mass. Corpus-side
+    // stop-shingle df cap (q37's skew guard, mirrored in the oracle's
+    // HAVING) bounds the pair join; the probe side is the q58 gated
+    // broadcast. minShared = 3 so the report is busier than q58's
+    // sweep at toy SF.
+    QueryDef(
+      "q91_contamination_report",
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |corpus AS (SELECT doc_id, g FROM sh WHERE source <> 'src0'),
+        |keep AS (SELECT g FROM corpus GROUP BY g
+        |         HAVING count(*) <= $StopShingleMaxDf),
+        |probe AS (SELECT doc_id AS probe_id, g FROM sh WHERE source = 'src0'),
+        |pairs AS (
+        |  SELECT p.probe_id, c.doc_id, count(*) AS shared
+        |  FROM corpus c JOIN keep k ON c.g = k.g JOIN probe p ON c.g = p.g
+        |  GROUP BY p.probe_id, c.doc_id),
+        |fl AS (SELECT * FROM pairs WHERE shared >= 3)
+        |SELECT probe_id, count(*) AS n_corpus_docs,
+        |  CAST(max(shared) AS BIGINT) AS max_shared,
+        |  CAST(sum(shared) AS BIGINT) AS total_shared
+        |FROM fl GROUP BY probe_id ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      contaminationReport(sourcedShingles(s, dir), probeSource = "src0",
+        minShared = 3)
+        .orderBy("probe_id")
     }
   )
 }

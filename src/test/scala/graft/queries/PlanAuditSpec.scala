@@ -334,6 +334,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q88 top-k is not a map-side partial aggregate:\n$p")
   }
 
+  test("q91 contamination report: stop-shingle anti-join, probe broadcast, partial rollups") {
+    val p = plan("q91_contamination_report")
+    // the df cap must materialize as a LEFT ANTI join on the corpus
+    // side, and the gated probe side must broadcast at toy SF
+    assert(p.contains("LeftAnti"), s"stop-shingle cap lost its anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe under the gate must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    assert(p.contains("partial_count"), s"rollups lost their partials:\n$p")
+  }
+
   test("q90 self-dedup is per-row: no join/window/hash shuffle before the output sort") {
     val p = plan("q90_self_chunk_dedup")
     assert(!p.contains("Window") && !p.contains("Join"),
