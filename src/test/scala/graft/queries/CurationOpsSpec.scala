@@ -188,6 +188,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.size == 3, out)
   }
 
+  test("pplBuckets vocab broadcast is SIZE-GATED: both paths row-identical") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val saved = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // gate CLOSED ("oversized" vocab): scoring join degrades to a
+      // shuffle join — no broadcast anywhere in the plan
+      val gated = graft.queries.TextOps.pplBuckets(docs, maxBroadcastVocab = 0)
+      val gatedPlan = gated.queryExecution.executedPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin") &&
+        !gatedPlan.contains("BroadcastExchange"),
+        s"oversized vocab still broadcast:\n$gatedPlan")
+      // gate OPEN: map-side scoring via the vocab broadcast
+      val hinted = graft.queries.TextOps.pplBuckets(docs)
+      val hintedPlan = hinted.queryExecution.executedPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"small vocab not broadcast:\n$hintedPlan")
+      val (a, b) = (rows(gated), rows(hinted))
+      assert(a.nonEmpty && a == b,
+        s"paths diverge: missing=${(b -- a).take(3)} extra=${(a -- b).take(3)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("selfChunkDedup equals a plain-Scala reference over random small-vocab docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

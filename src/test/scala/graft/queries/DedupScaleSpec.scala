@@ -90,6 +90,50 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationReport: stop-shingles dropped, broadcast SIZE-GATED, both paths row-identical") {
+    import spark.implicits._
+    // probe 1 shares 2 shingles with corpus 10; probe 2 shares 1 with
+    // corpus 11; shingle "BP" is boilerplate carried by 12 corpus
+    // docs (> maxDf 10) AND probe 1 — the cap must erase it so none
+    // of the BP-only docs 13..24 ever pair
+    val base = Seq(
+      (1L, "probe", "a a a"), (1L, "probe", "b b b"), (1L, "probe", "BP"),
+      (2L, "probe", "c c c"),
+      (10L, "train", "a a a"), (10L, "train", "b b b"),
+      (11L, "train", "c c c"), (12L, "train", "x x x")) ++
+      (13L to 24L).map(id => (id, "train", "BP"))
+    val sh = base.toDF("doc_id", "source", "g")
+    val expected = Set((1L, 1L, 2L, 2L), (2L, 1L, 1L, 1L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val saved = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // gate CLOSED: probe join degrades to a shuffle join
+      val gated = DedupOps.contaminationReport(sh, "probe", minShared = 1,
+        maxBroadcastShingles = 0)
+      val gatedPlan = gated.queryExecution.executedPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin") &&
+        !gatedPlan.contains("BroadcastExchange"),
+        s"oversized probe still broadcast:\n$gatedPlan")
+      assert(rows(gated) == expected)
+
+      // gate OPEN: the probe broadcast hint is applied
+      val hinted = DedupOps.contaminationReport(sh, "probe", minShared = 1)
+      val hintedPlan = hinted.queryExecution.executedPlan.toString
+      assert(hintedPlan.contains("BroadcastHashJoin"),
+        s"small probe not broadcast:\n$hintedPlan")
+      assert(rows(hinted) == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("decontaminateBloom is row-identical to the exact path, even at high fpp") {
     import spark.implicits._
     // doc 10 shares 2 probe shingles, doc 11 shares 1, doc 12 none
