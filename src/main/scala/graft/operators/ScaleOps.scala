@@ -163,22 +163,31 @@ object ScaleOps {
   }
 
   /** Materialize [[shardAssign]]'s permutation as training shards:
-    * one parquet directory per shard, rows inside each file in
-    * sort_key order. The write is ONE shuffle (repartition on the
-    * shard column so each shard's rows land in a single task) + a
-    * per-partition sort — never a global orderBy: the permutation is
-    * already encoded per-row, so no single-reducer total sort exists
-    * at any corpus size. Hash collisions between shard ids may route
-    * two shards through one task; each shard dir still gets exactly
-    * one sorted file. For shards past single-task size, sub-split by
-    * a sort_key range before writing (same pattern, one more column).
+    * one directory per shard, rows inside each file in sort_key
+    * order. The write is ONE shuffle (repartition on the shard column
+    * so each shard's rows land in a single task) + a per-partition
+    * sort — never a global orderBy: the permutation is already
+    * encoded per-row, so no single-reducer total sort exists at any
+    * corpus size. Hash collisions between shard ids may route two
+    * shards through one task; each shard dir still gets exactly one
+    * sorted file. For shards past single-task size, sub-split by a
+    * sort_key range before writing (same pattern, one more column).
+    *
+    * `format`: "parquet" (default) or "json" — JSONL shards for
+    * training stacks that stream text lines rather than columnar
+    * files; identical layout, rows are JSON objects in sort_key
+    * order (the in-file order both writers inherit from the
+    * per-partition sort).
     */
   def writeTrainingShards(df: DataFrame, idCol: String, nShards: Int,
-      seed: String, outDir: String): Unit =
+      seed: String, outDir: String, format: String = "parquet"): Unit = {
+    require(Set("parquet", "json").contains(format),
+      s"format must be parquet or json (got $format)")
     shardAssign(df, idCol, nShards, seed)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "sort_key")
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      .write.mode("overwrite").partitionBy("shard").format(format).save(outDir)
+  }
 
   /** Corpus scaler for scale probing (Bench's 10× datapoint):
     * factor× a `documents`-shaped frame (doc_id, text, lang, source,

@@ -70,8 +70,27 @@ object CorpusSources {
     * The parse stays inside the scan stage: per-row, no shuffle, same
     * splittability as the json reader.
     */
-  def jsonlDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val parsed = spark.read.text(path)
+  def jsonlDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    splitJsonLines(spark.read.text(path))
+
+  /** Streaming form of [[jsonlDocuments]] — watch `path` for NEW
+    * JSONL files (the drop-a-file-in-the-landing-dir deployment, the
+    * file-source analogue of the kafka-shaped intake) with the SAME
+    * per-row parse and verbatim-DLQ split contract. Returns
+    * (good, bad) as streaming frames; each side runs as its own
+    * query over the shared file-stream source, and Spark's file
+    * source tracks processed files in the checkpoint, so restarts
+    * never re-ingest or drop a file.
+    */
+  def jsonlDocumentsStream(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    splitJsonLines(spark.readStream.text(path))
+
+  /** The shared JSONL split: raw text lines → (documents rows,
+    * verbatim DLQ lines). Identical plan for batch and streaming
+    * inputs — per-row from_json inside the scan, no shuffle.
+    */
+  private def splitJsonLines(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = raw
       .select(col("value").as("raw_line"),
         from_json(col("value"), dataSchema).as("p"))
     val good = parsed.filter(col("p").isNotNull &&

@@ -44,6 +44,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!ScaleOps.isExchangeFree(a.join(b, Seq("id"))))
   }
 
+  test("writeTrainingShards json format: same assignment, JSONL rows in sort_key order") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_json").toString
+    ScaleOps.writeTrainingShards(docs, "doc_id", nShards = 7,
+      seed = "42", outDir = out, format = "json")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("sort_key",
+        org.apache.spark.sql.types.StringType)))
+    val back = spark.read.schema(schema).json(out)
+      .select(col("doc_id"), col("sort_key"), input_file_name().as("file"))
+      .collect()
+    // every doc exactly once; the assignment equals shardAssign's
+    assert(back.map(_.getLong(0)).sorted.toSeq == (1L to 200L))
+    val want = ScaleOps.shardAssign(docs, "doc_id", 7, "42")
+      .select("doc_id", "sort_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back.forall(r => want(r.getLong(0)) == r.getString(1)))
+    // JSONL lines inside each file are in sort_key order
+    back.groupBy(_.getString(2)).values.foreach { rows =>
+      val keys = rows.map(_.getString(1)).toSeq
+      assert(keys == keys.sorted, s"json shard not sorted: $keys")
+    }
+  }
+
   test("writeTrainingShards: exactly-once coverage, sorted files, deterministic, seed-sensitive") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -39,6 +39,35 @@ class CorpusSourcesSpec extends AnyFunSuite {
     assert(good.count() + bad.count() == 5)
   }
 
+  test("jsonlDocumentsStream: streaming intake matches the batch split, DLQ stays verbatim") {
+    val dir = Files.createTempDirectory("graft_jsonl_stream")
+    Files.writeString(dir.resolve("part-0.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1"}
+        |broken line
+        |{"doc_id": 4, "lang": "en", "source": "s2"}
+        |""".stripMargin)
+    val (good, bad) = CorpusSources.jsonlDocumentsStream(spark, dir.toString)
+    val qg = good.writeStream.outputMode("append")
+      .format("memory").queryName("stream_good").start()
+    val qb = bad.writeStream.outputMode("append")
+      .format("memory").queryName("stream_bad").start()
+    qg.processAllAvailable()
+    qb.processAllAvailable()
+    // a file landing AFTER stream start is picked up incrementally
+    Files.writeString(dir.resolve("part-1.jsonl"),
+      """{"doc_id": 2, "text": "zwei", "lang": "de", "source": "s1"}
+        |""".stripMargin)
+    qg.processAllAvailable()
+    qb.processAllAvailable()
+    qg.stop(); qb.stop()
+    val g = spark.table("stream_good").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(g == Map(1L -> "hello world", 2L -> "zwei"))
+    val b = spark.table("stream_bad").collect().map(_.getString(0)).toSet
+    assert(b == Set("broken line",
+      """{"doc_id": 4, "lang": "en", "source": "s2"}"""), b)
+  }
+
   test("csvDocuments splits header-conformant rows from malformed ones") {
     val dir = Files.createTempDirectory("graft_csv")
     Files.writeString(dir.resolve("part-0.csv"),
