@@ -1436,6 +1436,58 @@ object TextOps {
         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
       selfChunkDedup(docs(s, dir).select("doc_id", "text"))
         .orderBy("doc_id")
+    },
+
+    // ---- q92: per-source corpus card ------------------------------
+    // The datasheet rollup every corpus release ships (Gebru et al.
+    // 2021 "Datasheets for Datasets"-shaped summary): per source —
+    // volume (docs/tokens), length profile, language mix, and the
+    // Gopher quality pass rate (the SAME gopherKept predicate q73 and
+    // the curation pipeline run, evaluated per-row inside the scan).
+    // ONE partial-aggregable groupBy(source): shuffle rows =
+    // |sources|·partitions at any corpus size; the only non-trivially
+    // partial metric (distinct langs) is bounded by the lang
+    // vocabulary. avg_tokens is one double division of exact integer
+    // sums, rounded identically on both engines.
+    QueryDef(
+      "q92_corpus_card",
+      """WITH toks AS (
+        |  SELECT source, lang,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, lang, CAST(len(t) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(t) = 0 THEN FALSE ELSE
+        |      (len(t) BETWEEN 20 AND 80)
+        |      AND (CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+        |           / len(t) BETWEEN 3.0 AND 6.0)
+        |      AND len(list_filter(t, x -> list_contains(
+        |            ['the','a','of','and','to','in','is'], x))) >= 2
+        |      AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3
+        |    END AS kept
+        |  FROM toks)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 2) AS avg_tokens,
+        |  CAST(max(n_tok) AS BIGINT) AS max_tokens,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"),
+          gopherKept(col("text")).as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          round(sum("n_tok").cast("double") / count(lit(1)), 2).as("avg_tokens"),
+          max("n_tok").as("max_tokens"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
     }
   )
 

@@ -334,6 +334,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q88 top-k is not a map-side partial aggregate:\n$p")
   }
 
+  test("q92 corpus card: one partial-aggregable rollup, no join, no window") {
+    val p = plan("q92_corpus_card")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("partial_count"), s"card rollup lost its partials:\n$p")
+  }
+
   test("q91 contamination report: stop-shingle anti-join, probe broadcast, partial rollups") {
     val p = plan("q91_contamination_report")
     // the df cap must materialize as a LEFT ANTI join on the corpus
