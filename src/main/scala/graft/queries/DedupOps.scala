@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  private val NumHashes = 8
+  private[graft] val NumHashes = 8
   private val NumBands = 4 // 2 hashes per band
 
   /** Document-frequency cap for shingle joins (q37): any 3-gram that
@@ -138,28 +138,8 @@ object DedupOps {
     val sh = shingles(docs)
     // signature + set size from the native per-row expression — the
     // exploded `sh` frame is only needed for exact-Jaccard verify
-    graft.functions.GraftFunctions.register(s)
-    val sig = docs
-      .select(col("doc_id"), expr("minhash8(text)").as("m"))
-      .filter(col("m").isNotNull)
-      .select(col("doc_id") +:
-        ((0 until NumHashes).map(i => col(s"m.h$i").as(s"h$i")) :+
-          col("m.n").as("n")): _*)
-    // Bands as rows → candidates via shuffle EQUI-join on the band
-    // hash (the oracle's OR-join is semantically identical but
-    // wouldn't scale; this does). Band hash folded to int64
-    // (xxhash64) — an 8-byte shuffle key instead of 64 hex chars; a
-    // collision could only add a candidate pair, which exact-Jaccard
-    // verification then rejects.
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until NumBands).map(b => struct(lit(b).as("band"),
-        xxhash64(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    val cand = bands.as("ba").join(bands.as("bb"),
-        col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
-          col("ba.doc_id") < col("bb.doc_id"))
-      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
-      .distinct()
+    val sig = minhashSig(s, docs)
+    val cand = bandedCandidates(sig)
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
@@ -172,6 +152,138 @@ object DedupOps {
       .join(sig.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .filter(jac >= minJaccard)
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+  }
+
+  /** Per-doc MinHash signature frame (doc_id, h0..h7, n) via the
+    * native per-row `minhash8` expression — zero shuffle; token-less
+    * docs (null signature) are dropped, so every signature row has
+    * >= 1 shingle (>= 3 tokens).
+    */
+  private[graft] def minhashSig(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs
+      .select(col("doc_id"), expr("minhash8(text)").as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id") +:
+        ((0 until NumHashes).map(i => col(s"m.h$i").as(s"h$i")) :+
+          col("m.n").as("n")): _*)
+  }
+
+  /** Banded LSH candidate pairs (doc_a < doc_b, distinct) from a
+    * signature frame. Bands as rows → candidates via shuffle
+    * EQUI-join on the band hash (the oracle's OR-join is semantically
+    * identical but wouldn't scale; this does). Band hash folded to
+    * int64 (xxhash64) — an 8-byte shuffle key instead of 64 hex
+    * chars; a collision could only add a candidate pair, which the
+    * caller's exact verification stage then rejects.
+    */
+  private def bandedCandidates(sig: DataFrame): DataFrame = {
+    val bands = bandFrame(sig)
+    bands.as("ba").join(bands.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** (doc_id, band, bh) band rows for a signature frame — the LSH
+    * join key material shared by the self-join (q36/q94) and the
+    * delta-vs-index join (q95).
+    */
+  private[graft] def bandFrame(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until NumBands).map(b => struct(lit(b).as("band"),
+        xxhash64(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+
+  /** q95's operator: INCREMENTAL dedup — the ingestion-time shape of
+    * near-dup dedup at 100 TB, where the standing corpus is never
+    * re-deduplicated; instead each arriving delta is checked against
+    * a persisted constant-width INDEX of the old corpus: its md5
+    * fingerprints (exact dups) and its MinHash signatures (near
+    * dups). Old TEXT is never read — the near-dup verify is the
+    * MinHash Jaccard ESTIMATE (fraction of agreeing signature
+    * components), computable from the index alone; banding gives
+    * candidate recall, the estimate gives precision (variance shrinks
+    * with NumHashes — production bumps 8 → 128 for tighter verify).
+    *
+    * Plan shape, all equi-joins on hashes: fingerprint left-join
+    * (8-byte-ish keys), band equi-join new-bands ⋈ old-bands (never a
+    * self-join over the union), per-candidate signature join, one
+    * partial-aggregable per-new-doc rollup. Delta-sized work
+    * throughout — the old side contributes only index rows.
+    *
+    * Returns one row per NEW doc: (doc_id, exact_dup ∈ {0,1}, n_cand,
+    * best_est, kept ∈ {0,1}) with kept = no exact twin AND best
+    * estimated Jaccard below `maxEstJaccard`. New docs with < 3
+    * tokens have no signature → no candidates → kept unless exact.
+    */
+  private[graft] def incrementalDedup(s: SparkSession, newDocs: DataFrame,
+      oldDocs: DataFrame, maxEstJaccard: Double = 0.5): DataFrame = {
+    val oldFp = oldDocs.select(md5(col("text")).as("fp")).distinct()
+    val exact = newDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(oldFp.withColumn("hit", lit(1L)), Seq("fp"), "left_outer")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("exact_dup"))
+    val sigNew = minhashSig(s, newDocs)
+    val sigOld = minhashSig(s, oldDocs)
+    val cand = bandFrame(sigNew).as("ba").join(bandFrame(sigOld).as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh"))
+      .select(col("ba.doc_id").as("new_id"), col("bb.doc_id").as("old_id"))
+      .distinct()
+    val agree = (0 until NumHashes).map(i =>
+      (col(s"a.h$i") === col(s"b.h$i")).cast("int")).reduce(_ + _)
+    val est = cand
+      .join(sigNew.as("a"), col("new_id") === col("a.doc_id"))
+      .join(sigOld.as("b"), col("old_id") === col("b.doc_id"))
+      .select(col("new_id"),
+        (agree.cast("double") / NumHashes).as("ej"))
+    val roll = est.groupBy("new_id")
+      .agg(count(lit(1)).as("n_cand"), max("ej").as("best_est"))
+    val bestEst = coalesce(col("best_est"), lit(0.0))
+    exact.join(roll, col("doc_id") === col("new_id"), "left_outer")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        bestEst.as("best_est"),
+        when(col("exact_dup") === 0L && bestEst < maxEstJaccard, 1L)
+          .otherwise(0L).as("kept"))
+  }
+
+  /** q94's operator: edit-distance-VERIFIED near-dup pairs — the
+    * same banded-MinHash candidate stage as q36, but verified with
+    * exact character-level Levenshtein similarity instead of shingle
+    * Jaccard (the fuzzy-dedup verify used when character-level
+    * fidelity matters: OCR corpora, code, short docs where 3-token
+    * shingles are coarse). edit_sim = 1 - lev / max(len); pairs kept
+    * at `minSim`.
+    *
+    * Scale shape: Levenshtein is O(L²) per pair, so it NEVER runs on
+    * the corpus pair space — only on the LSH candidates (banding
+    * bounds candidates at near-dup density, and q36's measured band
+    * precision makes that linear-ish in corpus size), and both sides
+    * are capped at `capChars` chars (identically in the oracle), so
+    * per-pair cost is a constant ~capChars² — the standard bound for
+    * fuzzy verify at 100 TB. Join plan: candidates ⋈ capped texts on
+    * doc_id twice — equi-joins, text moves only for candidate rows.
+    * Empty-text division-by-zero cannot occur: minhashSig drops
+    * token-less docs, so every candidate has >= 3 tokens.
+    */
+  private[graft] def editNearDupPairs(s: SparkSession, docs: DataFrame,
+      minSim: Double, capChars: Int = 4000): DataFrame = {
+    val cand = bandedCandidates(minhashSig(s, docs))
+    val capped = docs.select(col("doc_id"),
+      substring(col("text"), 1, capChars).as("ct"))
+    cand
+      .join(capped.select(col("doc_id").as("doc_a"), col("ct").as("ta")),
+        Seq("doc_a"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("ct").as("tb")),
+        Seq("doc_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 4))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
   }
 
   /** Edge-count budget for the single-pass connected-components path:
@@ -767,6 +879,92 @@ object DedupOps {
       nearDupPairs(s, dir, minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q94: edit-distance-verified near-dup pairs --------------
+    // q36's banded-MinHash candidate stage with exact Levenshtein
+    // verify instead of shingle Jaccard — the character-level
+    // fuzzy-dedup contract (candidates-then-verify; the O(L²)
+    // verify runs ONLY on LSH candidates, both sides capped at 4000
+    // chars in both engines). At sf0.01 the banding's one false
+    // positive (edit_sim 0.34) is killed by the 0.8 threshold while
+    // all true near-dups survive at >= 0.93 — the verify stage doing
+    // exactly its job. See editNearDupPairs for the plan shape.
+    QueryDef(
+      "q94_edit_near_dup",
+      s"""WITH $shingleSqlCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+         |capped AS (
+         |  SELECT doc_id, substring(text, 1, 4000) AS ct FROM documents),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(levenshtein(da.ct, db.ct) AS BIGINT) AS edit_dist,
+         |    round(1.0 - CAST(levenshtein(da.ct, db.ct) AS DOUBLE)
+         |      / greatest(len(da.ct), len(db.ct)), 4) AS edit_sim
+         |  FROM cand c
+         |  JOIN capped da ON da.doc_id = c.doc_a
+         |  JOIN capped db ON db.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, edit_dist, edit_sim
+         |FROM scored WHERE edit_sim >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      editNearDupPairs(s,
+        Tables(s, dir, "documents").select("doc_id", "text"), minSim = 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q95: incremental delta-vs-index dedup -------------------
+    // The ingestion-time dedup shape: check an arriving delta
+    // (doc_id % 4 = 0 — a deterministic stand-in for "today's crawl")
+    // against the standing corpus WITHOUT reading old text — exact
+    // twins via an md5 fingerprint join, near-dups via banded MinHash
+    // candidates verified by the signature-agreement Jaccard
+    // ESTIMATE (k/8 — an exact binary fraction, so no float
+    // divergence between engines). See incrementalDedup for why this
+    // is the only dedup plan that works on a 100 TB standing corpus.
+    QueryDef(
+      "q95_incremental_dedup",
+      s"""WITH $shingleSqlCte,
+         |newd AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+         |oldd AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+         |oldfp AS (SELECT DISTINCT md5(text) AS fp FROM oldd),
+         |exact AS (
+         |  SELECT n.doc_id,
+         |    CASE WHEN f.fp IS NULL THEN 0 ELSE 1 END AS exact_dup
+         |  FROM (SELECT doc_id, md5(text) AS fp FROM newd) n
+         |  LEFT JOIN oldfp f ON n.fp = f.fp),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM sig a JOIN sig b
+         |    ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0 AND (
+         |      (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+         |      (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+         |est AS (
+         |  SELECT c.new_id,
+         |    (CAST(a.h0 = b.h0 AS INT) + CAST(a.h1 = b.h1 AS INT) +
+         |     CAST(a.h2 = b.h2 AS INT) + CAST(a.h3 = b.h3 AS INT) +
+         |     CAST(a.h4 = b.h4 AS INT) + CAST(a.h5 = b.h5 AS INT) +
+         |     CAST(a.h6 = b.h6 AS INT) + CAST(a.h7 = b.h7 AS INT)) / 8.0 AS ej
+         |  FROM cand c JOIN sig a ON a.doc_id = c.new_id
+         |  JOIN sig b ON b.doc_id = c.old_id),
+         |roll AS (
+         |  SELECT new_id, count(*) AS n_cand, max(ej) AS best_est
+         |  FROM est GROUP BY new_id)
+         |SELECT e.doc_id, CAST(e.exact_dup AS BIGINT) AS exact_dup,
+         |  CAST(coalesce(r.n_cand, 0) AS BIGINT) AS n_cand,
+         |  CAST(coalesce(r.best_est, 0) AS DOUBLE) AS best_est,
+         |  CAST(CASE WHEN e.exact_dup = 0 AND coalesce(r.best_est, 0) < 0.5
+         |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM exact e LEFT JOIN roll r ON r.new_id = e.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      incrementalDedup(s,
+        docs.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 =!= 0), maxEstJaccard = 0.5)
+        .orderBy("doc_id")
     },
 
     // ---- q37: n-gram (3-token shingle) Jaccard top pairs ---------

@@ -1488,8 +1488,58 @@ object TextOps {
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
           countDistinct("lang").as("n_langs"))
         .orderBy("source")
+    },
+
+    // ---- q93: BPE pair-merge induction ---------------------------
+    // The first round of byte-pair-encoding tokenizer training
+    // (Sennrich et al. 2016): the top-k most frequent ADJACENT
+    // character pairs across the corpus, each occurrence weighted by
+    // its word's corpus frequency. BPE trainers run on the word
+    // FREQUENCY TABLE, not the raw corpus, and so does this plan:
+    // shuffle 1 reduces token occurrences to (word, count) — a
+    // massive partial-aggregable reduction (vocabulary-sized, not
+    // corpus-sized) — then bigrams explode off DISTINCT words only
+    // (fan-out = word length, vocab-bounded) into shuffle 2 whose key
+    // space is the charset² pair alphabet. Top-k is a total order
+    // (cnt DESC, pair ASC) over that constant-size aggregate, so the
+    // limit boundary is deterministic on both engines.
+    QueryDef(
+      "q93_bpe_pair_merges",
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |                            x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM words GROUP BY w),
+        |pairs AS (
+        |  SELECT wc, substring(w, CAST(i AS INT), 2) AS pair
+        |  FROM (SELECT w, wc, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM wc WHERE len(w) >= 2))
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      bpePairMerges(docs(s, dir).select("text"), topK = 20)
     }
   )
+
+  /** q93's operator: top-`topK` BPE merge candidates (adjacent char
+    * pairs weighted by word frequency) over any frame with a `text`
+    * column. Two partial-aggregable shuffles: token→(word, count)
+    * (vocab-sized), then word-bigram→(pair, count) (charset²-sized).
+    * No joins, no windows; the final sort+limit runs over the
+    * constant-size pair aggregate.
+    */
+  def bpePairMerges(docsFrame: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1 (got $topK)")
+    docsFrame.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wc").as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(topK)
+  }
 
   /** q90's transformation as a reusable operator: chunk each doc into
     * `chunkTokens`-token non-overlapping chunks (tail chunk may be

@@ -300,4 +300,70 @@ object StreamOps {
       .agg(count(lit(1)).as("n_tokens"),
         sum("term_micro").as("importance_micro"))
   }
+
+  /** ONLINE incremental dedup — the streaming form of the batch q95
+    * operator ([[graft.queries.DedupOps.incrementalDedup]]): every
+    * arriving document (`doc_id, text, ts`) is checked against the
+    * STATIC index of the standing corpus — exact twins via an md5
+    * fingerprint left-join, near-dup candidates via the per-row
+    * minhash8 signature banded against the index's band table,
+    * verified by the signature-agreement Jaccard estimate. This is
+    * the intake path a 100 TB corpus actually runs: old TEXT is
+    * never read, only its constant-width fingerprint/signature index
+    * (callers persist and broadcast it; a corpus whose index outgrows
+    * broadcast belongs in the batch gate-degrade path).
+    *
+    * State story: fingerprint join and band probe are stream-static
+    * broadcast joins (stateless); `explode_outer` keeps sub-shingle
+    * docs (null signature) alive so EVERY doc emits a verdict; the
+    * only streaming state is the per-(doc, ts, exact_dup) rollup,
+    * watermark-evicted. Candidate multiplicity (one old doc matching
+    * on several bands) is collapsed by `collect_set` — streaming
+    * aggs can't COUNT DISTINCT, but set-size is exact and tiny
+    * (candidates per doc). Emits the batch q95 row shape
+    * (doc_id, ts, exact_dup, n_cand, best_est, kept) on watermark
+    * close; parity with batch is pinned by StreamOpsSpec.
+    */
+  def incrementalDedupStream(docs: DataFrame, oldDocs: DataFrame,
+      maxEstJaccard: Double = 0.5, lateness: String = "1 hour"): DataFrame = {
+    val s = oldDocs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val nHashes = graft.queries.DedupOps.NumHashes
+    val oldFp = oldDocs.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("fp_hit", lit(1L))
+    val sigOld = graft.queries.DedupOps.minhashSig(s, oldDocs)
+    val oldBands = graft.queries.DedupOps.bandFrame(sigOld)
+      .withColumnRenamed("doc_id", "old_id")
+    val oldH = sigOld.select(col("doc_id").as("old_id") +:
+      (0 until nHashes).map(i => col(s"h$i").as(s"o_h$i")): _*)
+    val bandArr = expr(
+      (0 until nHashes / 2).map(b =>
+        s"named_struct('band', $b, 'bh', xxhash64(concat(m.h${2 * b}, m.h${2 * b + 1})))")
+        .mkString("array(", ", ", ")"))
+    val agree = (0 until nHashes).map(i =>
+      (col(s"m.h$i") === col(s"o_h$i")).cast("int")).reduce(_ + _)
+    docs
+      .withWatermark("ts", lateness)
+      .withColumn("fp", md5(col("text")))
+      .join(broadcast(oldFp), Seq("fp"), "left_outer")
+      .withColumn("exact_dup", coalesce(col("fp_hit"), lit(0L)))
+      .withColumn("m", expr("minhash8(text)"))
+      .select(col("doc_id"), col("ts"), col("exact_dup"), col("m"),
+        explode_outer(when(col("m").isNotNull, bandArr)).as("x"))
+      .select(col("doc_id"), col("ts"), col("exact_dup"), col("m"),
+        col("x.band").as("band"), col("x.bh").as("bh"))
+      .join(broadcast(oldBands), Seq("band", "bh"), "left_outer")
+      .join(broadcast(oldH), Seq("old_id"), "left_outer")
+      .withColumn("ej",
+        when(col("old_id").isNotNull, agree.cast("double") / nHashes))
+      .groupBy(col("doc_id"), col("ts"), col("exact_dup"))
+      .agg(collect_set(col("old_id")).as("cs"),
+        max(col("ej")).as("best_est0"))
+      .select(col("doc_id"), col("ts"), col("exact_dup"),
+        size(col("cs")).cast("long").as("n_cand"),
+        coalesce(col("best_est0"), lit(0.0)).as("best_est"))
+      .withColumn("kept",
+        when(col("exact_dup") === 0L && col("best_est") < maxEstJaccard, 1L)
+          .otherwise(0L))
+  }
 }

@@ -251,6 +251,87 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpePairMerges equals a plain-Scala BPE pair count over random small-vocab docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("spark", "scan", "sort", "a", "ab", "abab", "xy")
+    val docs = (1 to 60).map { _ =>
+      Tuple1(Seq.fill(rnd.nextInt(15))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    // reference: word frequency table -> adjacent char pairs weighted
+    // by word count (repeated pairs inside a word count each time)
+    val wc = docs.flatMap(_._1.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val pairCnt = new scala.collection.mutable.HashMap[String, Long]()
+    for ((w, c) <- wc if w.length >= 2; i <- 0 until w.length - 1)
+      pairCnt(w.substring(i, i + 2)) =
+        pairCnt.getOrElse(w.substring(i, i + 2), 0L) + c
+    for (k <- Seq(3, 5, 100)) {
+      val want = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(k)
+      val got = TextOps.bpePairMerges(docs.toDF("text"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want, s"k=$k got=$got want=$want")
+    }
+  }
+
+  test("editNearDupPairs: verify keeps true near-dups, kills banding collisions, no self-pairs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // doc 2 = doc 1 verbatim (guaranteed band collision, edit_dist 0);
+    // doc 3 = doc 1 with two tokens swapped out (jaccard ~0.9 -> the
+    // deterministic minhash8 signatures still band-collide); doc 4
+    // shares nothing
+    val edited = ((1 to 60).map(i =>
+      if (i == 10 || i == 40) s"zz$i" else s"tok$i")).mkString(" ")
+    val other = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, other))
+      .toDF("doc_id", "text")
+    val got = DedupOps.editNearDupPairs(spark, docs, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2))
+    val pairs = got.map(x => (x._1, x._2))
+    assert(pairs.contains((1L, 2L)), s"identical pair missing: ${got.toSeq}")
+    val exact = got.find(x => x._1 == 1L && x._2 == 2L).get
+    assert(exact._3 == 0L && exact._4 == 1.0, exact)
+    // every reported pair respects doc_a < doc_b and the threshold
+    assert(got.forall(x => x._1 < x._2 && x._4 >= 0.8), got.toSeq)
+    // doc 4 never pairs with anything (no shared shingles, and even a
+    // band collision would die at the edit-sim verify)
+    assert(got.forall(x => x._1 != 4L && x._2 != 4L), got.toSeq)
+    // the two-token edit keeps char-level similarity high; if banding
+    // surfaced it (deterministic given minhash8), sim must be >= 0.95
+    got.filter(x => x._2 == 3L).foreach(x => assert(x._4 >= 0.95, x))
+  }
+
+  test("incrementalDedup: exact twin dropped, near-dup estimated out, fresh + short docs kept") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val aEdited = (1 to 50).map(i => if (i == 25) "zz" else s"w$i").mkString(" ")
+    val fresh = (200 to 260).map(i => s"f$i").mkString(" ")
+    val olds = Seq((1L, a), (2L, (300 to 350).map(i => s"o$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val news = Seq(
+      (10L, a),        // exact twin of old 1
+      (11L, aEdited),  // near-dup of old 1 (49/50 tokens shared)
+      (12L, fresh),    // fresh content
+      (13L, "too short")) // < 3 tokens: no signature, no candidates
+      .toDF("doc_id", "text")
+    val got = DedupOps.incrementalDedup(spark, news, olds)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L), got)
+    // exact twin: fingerprint hit; banding also finds it with est 1.0
+    assert(got(10L)._1 == 1L && got(10L)._4 == 0L, got(10L))
+    assert(got(10L)._3 == 1.0, got(10L))
+    // near-dup: not exact, banding surfaces it, estimate kills it
+    assert(got(11L)._1 == 0L && got(11L)._2 >= 1L, got(11L))
+    assert(got(11L)._3 >= 0.5 && got(11L)._4 == 0L, got(11L))
+    // fresh and short docs survive with no candidates
+    assert(got(12L) == ((0L, 0L, 0.0, 1L)), got(12L))
+    assert(got(13L) == ((0L, 0L, 0.0, 1L)), got(13L))
+  }
+
   test("pplDocBuckets: per-doc buckets roll up EXACTLY to pplBuckets; terciles ordered by score") {
     import spark.implicits._
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")

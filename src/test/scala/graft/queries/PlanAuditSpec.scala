@@ -196,6 +196,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"candidate join must be an equi-join on (band, bh):\n$p")
   }
 
+  test("q93 BPE merge induction: no joins/windows, both aggs partial, bounded top-k") {
+    val p = plan("q93_bpe_pair_merges")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q93 must be two partial-aggregable rollups, nothing else:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"q93 aggs must have map-side partials:\n$p")
+    // sort+limit over the charset²-bounded pair aggregate must be a
+    // TakeOrdered, never a global Sort
+    assert(p.contains("TakeOrderedAndProject"), s"q93 top-k funnel:\n$p")
+  }
+
+  test("q94 edit-distance verify runs only on LSH candidates: equi-joins, no cartesian") {
+    val p = plan("q94_edit_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q94 candidate join must stay an equi-join on (band, bh):\n$p")
+    assert(!p.contains("Window"), s"q94 must not grow a window:\n$p")
+    // levenshtein must sit above the candidate join (verify stage),
+    // not inside the scan (which would be all-pairs work)
+    assert(p.contains("levenshtein"), s"q94 lost its verify stage:\n$p")
+  }
+
+  test("q95 incremental dedup: hash equi-joins only, partial rollup, no cartesian/window") {
+    val p = plan("q95_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q95 must join delta to index on hash keys only:\n$p")
+    assert(!p.contains("Window"), s"q95 must not grow a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      s"q95 per-new-doc rollup must be partial-aggregable:\n$p")
+  }
+
   test("q01 aggregates with a map-side partial (two-phase agg)") {
     val p = plan("q01_pricing_summary")
     // partial_sum before the exchange = map-side combine

@@ -552,4 +552,44 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("PARITY: online incremental dedup equals the batch q95 verdicts row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // the q95 split: doc_id % 4 = 0 is today's delta, the rest is the
+    // standing corpus whose index the stream checks against
+    val corpus = graft.Tables(spark, parityDir, "documents")
+      .select($"doc_id", $"text")
+    val oldDocs = corpus.filter($"doc_id" % 4 =!= 0).persist()
+    val newDocs = corpus.filter($"doc_id" % 4 === 0)
+      .as[(Long, String)].collect().toSeq
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(newDocs.map { case (id, t) => (id, t, ts(0)) })
+    val q = StreamOps.incrementalDedupStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), oldDocs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incdedup_parity").start()
+    q.processAllAvailable()
+    stream.addData(Seq((-1L, "zzz",
+      new Timestamp(ts(0).getTime + 30L * 24 * 3600 * 1000))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("incdedup_parity")
+      .filter($"doc_id" >= 0)
+      .select($"doc_id", $"exact_dup", $"n_cand", $"best_est", $"kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+
+    val batch = graft.queries.DedupOps.incrementalDedup(spark,
+      corpus.filter($"doc_id" % 4 === 0), oldDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    oldDocs.unpersist()
+    assert(batch.nonEmpty && batch.exists(_._5 == 0L),
+      "parity vacuous: no dropped docs in the delta")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }
