@@ -1490,6 +1490,38 @@ object TextOps {
         .orderBy("source")
     },
 
+    // ---- q96: token-budget selection -----------------------------
+    // "Train on the best half of the corpus": keep the
+    // highest-quality docs (alpha-ratio basis points, the q33
+    // signal) until 50% of total tokens fills. The cutoff is greedy
+    // at score-bucket granularity over the BOUNDED histogram with
+    // the exact-integer rule 2·cum <= total (q89's trick), so both
+    // engines select the identical doc set. See tokenBudgetSelect
+    // for the plan shape.
+    QueryDef(
+      "q96_token_budget_select",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |    CAST(floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      / n_chars * 10000 + 0.5) AS BIGINT) AS score_bp
+        |  FROM documents),
+        |hist AS (SELECT score_bp, CAST(sum(n_tok) AS BIGINT) AS btok
+        |         FROM m GROUP BY score_bp),
+        |tot AS (SELECT CAST(sum(btok) AS BIGINT) AS total FROM hist),
+        |cum AS (SELECT score_bp,
+        |          CAST(sum(btok) OVER (ORDER BY score_bp DESC) AS BIGINT) AS c
+        |        FROM hist),
+        |cut AS (SELECT coalesce(min(score_bp), 9223372036854775807) AS cutoff
+        |        FROM cum, tot WHERE 2 * c <= 1 * total)
+        |SELECT doc_id, n_tok, score_bp,
+        |  CAST(CASE WHEN score_bp >= cutoff THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM m, cut ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      tokenBudgetSelect(docs(s, dir).select("doc_id", "text", "n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---- q93: BPE pair-merge induction ---------------------------
     // The first round of byte-pair-encoding tokenizer training
     // (Sennrich et al. 2016): the top-k most frequent ADJACENT
@@ -1520,6 +1552,46 @@ object TextOps {
       bpePairMerges(docs(s, dir).select("text"), topK = 20)
     }
   )
+
+  /** q96's operator: TOKEN-BUDGET selection — keep the
+    * highest-quality documents until a token budget fills (the
+    * "train on the best `num`/`den` of the corpus" step that follows
+    * quality scoring). The greedy-from-the-top rule is applied at
+    * score-BUCKET granularity so the cutoff is a pure function of
+    * the score histogram: a bucket is kept iff the cumulative token
+    * count from the top through it satisfies den·cum <= num·total
+    * (exact integer arithmetic — q89's tercile-cut trick — so both
+    * engines pick the same cutoff bit-for-bit; docs within a bucket
+    * are kept or dropped together, the engine-portable boundary
+    * choice).
+    *
+    * Plan shape: per-doc score+tokens are per-row expressions; the
+    * histogram is ONE partial-aggregable rollup whose key space is
+    * bounded by score granularity (10001 basis-point values), the
+    * cumulative window runs over that bounded histogram — never an
+    * ntile/row_number over the corpus — and the 1-row cutoff
+    * broadcasts back for the per-doc verdict. `docsFrame` columns:
+    * (doc_id, text, n_chars).
+    */
+  def tokenBudgetSelect(docsFrame: DataFrame,
+      num: Int = 1, den: Int = 2): DataFrame = {
+    require(num >= 1 && den >= num, s"budget fraction $num/$den invalid")
+    import org.apache.spark.sql.expressions.Window
+    val m = docsFrame.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      floor(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+        / col("n_chars") * 10000 + 0.5).cast("long").as("score_bp"))
+    val hist = m.groupBy("score_bp").agg(sum("n_tok").as("btok"))
+    val w = Window.orderBy(col("score_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = hist.withColumn("c", sum("btok").over(w))
+      .crossJoin(broadcast(hist.agg(sum("btok").as("total"))))
+      .filter(col("c") * den <= col("total") * num)
+      .agg(coalesce(min("score_bp"), lit(Long.MaxValue)).as("cutoff"))
+    m.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_tok"), col("score_bp"),
+        when(col("score_bp") >= col("cutoff"), 1L).otherwise(0L).as("kept"))
+  }
 
   /** q93's operator: top-`topK` BPE merge candidates (adjacent char
     * pairs weighted by word frequency) over any frame with a `text`

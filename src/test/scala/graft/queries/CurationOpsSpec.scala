@@ -304,6 +304,46 @@ class CurationOpsSpec extends AnyFunSuite {
     got.filter(x => x._2 == 3L).foreach(x => assert(x._4 >= 0.95, x))
   }
 
+  test("tokenBudgetSelect matches a plain-Scala greedy bucket cut across budget fractions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // letters vs digits control the alpha-ratio score; token counts vary
+    val docs = (1L to 120L).map { id =>
+      val toks = Seq.fill(1 + rnd.nextInt(12))(
+        if (rnd.nextBoolean()) "abcde" else "12345" * (1 + rnd.nextInt(2)))
+      val text = toks.mkString(" ")
+      (id, text, text.length.toLong)
+    }
+    for ((num, den) <- Seq((1, 2), (1, 3), (9, 10))) {
+      // reference: per-doc integer score, per-bucket token sums, greedy
+      // from the top under den*cum <= num*total
+      val m = docs.map { case (id, text, nChars) =>
+        val nTok = text.split("\\s+").count(_.nonEmpty).toLong
+        val nAlpha = text.count(_.isLetter).toLong
+        val score = math.floor(nAlpha.toDouble / nChars * 10000 + 0.5).toLong
+        (id, nTok, score)
+      }
+      val hist = m.groupBy(_._3).map { case (s, g) => s -> g.map(_._2).sum }
+      val total = hist.values.sum
+      var cum = 0L
+      var cutoff = Long.MaxValue
+      for ((s, btok) <- hist.toSeq.sortBy(-_._1)) {
+        cum += btok
+        if (cum * den <= total * num) cutoff = s
+      }
+      val want = m.map { case (id, nTok, s) =>
+        (id, nTok, s, if (s >= cutoff) 1L else 0L) }.toSet
+      val got = TextOps.tokenBudgetSelect(
+        docs.toDF("doc_id", "text", "n_chars"), num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == want, s"$num/$den missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+      // non-vacuous: something kept, something dropped
+      assert(want.exists(_._4 == 1L) && want.exists(_._4 == 0L), s"$num/$den vacuous")
+    }
+  }
+
   test("incrementalDedup: exact twin dropped, near-dup estimated out, fresh + short docs kept") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"w$i").mkString(" ")

@@ -226,6 +226,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q95 per-new-doc rollup must be partial-aggregable:\n$p")
   }
 
+  test("q96 token-budget select: cumulative window over the score histogram, cutoff broadcast back") {
+    val p = plan("q96_token_budget_select")
+    // the budget cut must never become a cumulative window over the
+    // corpus: the Window's input is the score_bp histogram aggregation
+    val idx = p.indexOf("Window")
+    assert(idx >= 0, s"expected the histogram cumulative window:\n$p")
+    assert(p.substring(idx).contains("keys=[score_bp"),
+      s"window input is not the score-value histogram:\n$p")
+    assert(p.contains("partial_sum"), s"histogram lost its partial:\n$p")
+    // the 1-row cutoff joins back as a broadcast, never a shuffle
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"cutoff join must broadcast the 1-row frame:\n$p")
+  }
+
   test("q01 aggregates with a map-side partial (two-phase agg)") {
     val p = plan("q01_pricing_summary")
     // partial_sum before the exchange = map-side combine
