@@ -23,6 +23,8 @@ import org.apache.spark.storage.StorageLevel
   *      surviving corpus twins (q58; probe docs are never emitted)
   *   5b. (optional) CCNet perplexity cut — keep only the requested
   *      head/middle/tail terciles (q89)
+  *   5c. (optional) token-budget cut — keep the best docs by
+  *      alpha-ratio until num/den of surviving tokens fill (q96)
   *   6. importance weights   — DSIR                (q78)
   *   7. sharded output       — writeTrainingShards (q79)
   *
@@ -52,11 +54,19 @@ object CurationPipeline {
     * set — CCNet itself trains on head (or head+middle). Token-less
     * docs carry no bucket and are dropped by the filter (they carry
     * no trainable text either).
+    *
+    * `budgetFrac = Some((num, den))` inserts the token-budget cut
+    * (q96, TextOps.tokenBudgetSelect) after the CCNet stage: keep the
+    * highest-alpha-ratio docs until num/den of the surviving tokens
+    * fill, at score-bucket granularity (the histogram cutoff, never a
+    * corpus-wide window). n_chars is recomputed from the REDACTED
+    * text so the score reflects what is actually emitted.
     */
   def run(spark: SparkSession, docs: DataFrame, probeSource: String,
       outDir: String, minJaccard: Double = 0.5, minShared: Long = 3L,
       nShards: Int = 16, seed: String = "42",
-      keepPplBuckets: Option[Set[String]] = None): Seq[StageCount] = {
+      keepPplBuckets: Option[Set[String]] = None,
+      budgetFrac: Option[(Int, Int)] = None): Seq[StageCount] = {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
     // path; snapshot the persistent-RDD set so run() can release
@@ -138,10 +148,25 @@ object CurationPipeline {
           Seq("doc_id"), "left_semi"))
     }
 
+    // 5c. optional token-budget cut (q96) — keep the best docs by
+    // alpha-ratio until num/den of the surviving tokens fill; the
+    // cutoff comes from the bounded score histogram, so this stage
+    // adds one partial-aggregable rollup + a 1-row broadcast, nothing
+    // corpus-sized
+    val budgeted = budgetFrac.fold(kept) { case (num, den) =>
+      stage(s"budget_${num}_$den",
+        kept.join(
+          TextOps.tokenBudgetSelect(
+            kept.select(col("doc_id"), col("text"),
+              length(col("text")).cast("long").as("n_chars")), num, den)
+            .filter(col("kept") === 1L).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+    }
+
     // 6. DSIR weights — fitted on the emitted corpus (post-cut
     // survivors), target = English (q78); token-less docs scored 0
     // (they carry no features)
-    val weighted = kept
+    val weighted = budgeted
       .join(TextOps.dsirWeights(kept.select("doc_id", "text", "lang"),
         col("lang") === "en"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -158,7 +183,8 @@ object CurationPipeline {
     // lose the whole ledger after the pipeline already ran
     ledger += StageCount("written", weighted.count())
 
-    Seq(input, redacted, quality, exact, nearDeduped, clean, kept, weighted)
+    Seq(input, redacted, quality, exact, nearDeduped, clean, kept,
+        budgeted, weighted)
       .foreach(_.unpersist())
     // release the operator-internal persists this run introduced
     // (every action is complete by now — the shard write and the

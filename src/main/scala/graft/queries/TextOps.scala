@@ -1490,6 +1490,63 @@ object TextOps {
         .orderBy("source")
     },
 
+    // ---- q97: DSIR importance resampling -------------------------
+    // The step q78's weights exist FOR (Xie et al. 2023 step 2):
+    // accept each document with probability ~ its per-token
+    // importance ratio, deterministically — u = 4 hex digits of a
+    // seeded md5 (65536 codes, the q79 decode), accept iff
+    // u·1e6 < avg_micro·65536 where avg_micro = importance_micro
+    // DIV n_tokens (integer division, both engines exact). Docs with
+    // avg ratio >= ~1e6 (target-like) always survive; raw-like docs
+    // survive at their ratio. Adds ONE per-row hash + compare on top
+    // of q78's plan — no new shuffle, no float anywhere in the
+    // accept rule.
+    QueryDef(
+      "q97_dsir_resample",
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |                       x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, is_t, substr(md5(w), 1, 3) AS bucket FROM tok),
+        |stats AS (
+        |  SELECT bucket, count(*) AS cr,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM b GROUP BY bucket),
+        |tot AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(ct) AS BIGINT) AS nt
+        |  FROM stats),
+        |wts AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CAST(floor((((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096.0)) / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096.0))) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS importance_micro
+        |  FROM b JOIN stats USING (bucket) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |acc AS (
+        |  SELECT doc_id, n_tokens, importance_micro,
+        |    importance_micro // n_tokens AS avg_micro,
+        |    CAST((instr('0123456789abcdef', substring(md5('q97:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substring(md5('q97:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substring(md5('q97:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substring(md5('q97:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS BIGINT) AS u
+        |  FROM wts)
+        |SELECT doc_id, n_tokens, importance_micro,
+        |  CAST(CASE WHEN u * 1000000 < avg_micro * 65536
+        |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM acc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = dsirWeights(docs(s, dir).select("doc_id", "text", "lang"),
+        col("lang") === "en")
+      val u = conv(substring(md5(concat(lit("q97:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+      w.select(col("doc_id"), col("n_tokens"), col("importance_micro"),
+          when(u * 1000000L <
+              expr("importance_micro div n_tokens") * 65536L, 1L)
+            .otherwise(0L).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- q96: token-budget selection -----------------------------
     // "Train on the best half of the corpus": keep the
     // highest-quality docs (alpha-ratio basis points, the q33

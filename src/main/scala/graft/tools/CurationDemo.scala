@@ -33,9 +33,17 @@ object CurationDemo {
     val keep = sys.env.get("SPARK_GRAFT_PPL_KEEP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // SPARK_GRAFT_BUDGET_FRAC=1/2 enables the token-budget cut (q96)
+    val budget = sys.env.get("SPARK_GRAFT_BUDGET_FRAC").map { s =>
+      s.split("/") match {
+        case Array(n, d) => (n.trim.toInt, d.trim.toInt)
+        case _ => sys.error(
+          s"SPARK_GRAFT_BUDGET_FRAC must look like 1/2 (got '$s')")
+      }
+    }
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
-      outDir = outDir, keepPplBuckets = keep)
+      outDir = outDir, keepPplBuckets = keep, budgetFrac = budget)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
     // an all-filtered corpus writes no files — report that instead

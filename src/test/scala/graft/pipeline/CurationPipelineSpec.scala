@@ -129,6 +129,35 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(counts("written") == kept, ledger)
   }
 
+  test("token-budget stage halves the surviving tokens and feeds the shard writer") {
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    val out = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+      outDir = out, budgetFrac = Some((1, 2)))
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(ledger.map(_.stage) == Seq("input", "redacted", "quality",
+      "exact_dedup", "near_dedup", "decontaminated", "budget_1_2",
+      "written"), ledger)
+    val clean = counts("decontaminated")
+    val kept = counts("budget_1_2")
+    assert(kept < clean && kept > 0, ledger)
+    assert(counts("written") == kept, ledger)
+    // the budget rule bounds the EMITTED tokens at half the
+    // pre-budget survivors' tokens (bucket-granular, so <= exactly)
+    val emitted = spark.read.parquet(out)
+    val tokOut = emitted.agg(org.apache.spark.sql.functions.sum("n_tok"))
+      .head().getLong(0)
+    import org.apache.spark.sql.functions.{col, length, sum}
+    val tokClean = graft.queries.TextOps.tokenBudgetSelect(
+      Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars")))
+      .agg(sum("n_tok")).head().getLong(0)
+    assert(tokOut * 2 <= tokClean,
+      s"emitted $tokOut tokens > half of ~$tokClean")
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the

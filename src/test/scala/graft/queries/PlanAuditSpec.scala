@@ -240,6 +240,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cutoff join must broadcast the 1-row frame:\n$p")
   }
 
+  test("q97 resampling adds only a per-row accept on q78's plan: broadcast stats, no window") {
+    val p = plan("q97_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q97 must inherit q78's broadcast stats join:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the accept rule must stay per-row:\n$p")
+  }
+
   test("q01 aggregates with a map-side partial (two-phase agg)") {
     val p = plan("q01_pricing_summary")
     // partial_sum before the exchange = map-side combine
