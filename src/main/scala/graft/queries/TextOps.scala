@@ -1490,6 +1490,45 @@ object TextOps {
         .orderBy("source")
     },
 
+    // ---- q98: winnowing fingerprints -----------------------------
+    // Schleimer et al. 2003 (MOSS): select the RIGHTMOST minimum
+    // shingle hash in every w-hash sliding window — the classic
+    // local fingerprinting scheme with the guarantee that any match
+    // of >= w+k-1 tokens shares a fingerprint (what plagiarism /
+    // code-clone detection runs, and the positional alternative to
+    // MinHash when match LOCATION matters). Density ~2/(w+1).
+    // Entirely per-row nested higher-order expressions (window scan,
+    // rightmost-min via max(filter(positions, h=min)), distinct,
+    // sorted digest) — ZERO shuffles before the presentation sort at
+    // any corpus size, q90's plan shape.
+    QueryDef(
+      "q98_winnowing_fingerprints",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> len(x) > 0) AS t
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
+        |  FROM toks),
+        |sel AS (
+        |  SELECT doc_id, len(h) AS n_shingles,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(h) - 3, 1)),
+        |      i -> concat(CAST(list_max(list_filter(
+        |             generate_series(i, least(i + 3, len(h))),
+        |             j -> h[j] = list_min(h[i : least(i + 3, len(h))]))) AS VARCHAR),
+        |           ':', list_min(h[i : least(i + 3, len(h))])))) AS fps
+        |  FROM hs WHERE len(h) >= 1)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  md5(array_to_string(list_sort(fps), ' ')) AS fp_digest
+        |FROM sel ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      winnowingFingerprints(docs(s, dir).select("doc_id", "text"), 4)
+        .orderBy("doc_id")
+    },
+
     // ---- q97: DSIR importance resampling -------------------------
     // The step q78's weights exist FOR (Xie et al. 2023 step 2):
     // accept each document with probability ~ its per-token
@@ -1609,6 +1648,42 @@ object TextOps {
       bpePairMerges(docs(s, dir).select("text"), topK = 20)
     }
   )
+
+  /** q98's operator: winnowing fingerprints (Schleimer et al. 2003)
+    * over any (doc_id, text) frame — per doc: positional 3-token
+    * shingle md5s, then the rightmost-minimum hash of every `w`-hash
+    * window, deduplicated (the same (pos, hash) selected by
+    * overlapping windows collapses) and digested order-independently
+    * (selections sorted before hashing). Docs shorter than one
+    * shingle are excluded (no hashes to winnow); docs with fewer
+    * than `w` hashes winnow their single clipped window — the
+    * standard guarantee that every non-empty doc yields >= 1
+    * fingerprint. All nested higher-order array expressions in the
+    * scan's codegen stage: zero shuffles at any corpus size.
+    */
+  def winnowingFingerprints(docsFrame: DataFrame, w: Int): DataFrame = {
+    require(w >= 2, s"window must be >= 2 (got $w)")
+    docsFrame.select(col("doc_id"), tokens(col("text")).as("t"))
+      // guarded: Spark's sequence(1, 0) DESCENDS (see q65's note), so
+      // sub-shingle docs must short-circuit to an empty hash array
+      .select(col("doc_id"),
+        when(size(col("t")) < 3, expr("array()").cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(t) - 2), i -> " +
+              "md5(concat(element_at(t, i), ' ', element_at(t, i + 1), " +
+              "' ', element_at(t, i + 2))))")).as("h"))
+      .filter(size(col("h")) >= 1)
+      .select(col("doc_id"),
+        size(col("h")).cast("long").as("n_shingles"),
+        expr(
+          s"array_distinct(transform(sequence(1, greatest(size(h) - ${w - 1}, 1)), i -> " +
+            s"concat(cast(array_max(filter(sequence(i, least(i + ${w - 1}, size(h))), j -> " +
+            s"element_at(h, j) = array_min(slice(h, i, $w)))) as string), " +
+            s"':', array_min(slice(h, i, $w)))))").as("fps"))
+      .select(col("doc_id"), col("n_shingles"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws(" ", array_sort(col("fps")))).as("fp_digest"))
+  }
 
   /** q96's operator: TOKEN-BUDGET selection — keep the
     * highest-quality documents until a token budget fills (the

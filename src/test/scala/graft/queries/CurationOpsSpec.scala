@@ -344,6 +344,46 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowingFingerprints equals a plain-Scala winnower; guarantees and density hold") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (1L to 70L).map { id =>
+      (id, Seq.fill(rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    for (w <- Seq(2, 4, 7)) {
+      val want = docs.flatMap { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        val h = (0 to t.length - 3).map(i =>
+          md5hex(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
+        if (h.isEmpty) None
+        else {
+          // rightmost minimum per clipped window, 1-based positions
+          val sels = (1 to math.max(h.length - (w - 1), 1)).map { i =>
+            val win = (i to math.min(i + w - 1, h.length))
+            val mv = win.map(j => h(j - 1)).min
+            val pos = win.filter(j => h(j - 1) == mv).max
+            s"$pos:$mv"
+          }.distinct
+          Some((id, h.length.toLong, sels.size.toLong,
+            md5hex(sels.sorted.mkString(" "))))
+        }
+      }.toSet
+      val got = TextOps.winnowingFingerprints(docs.toDF("doc_id", "text"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got == want, s"w=$w missing=${(want -- got).take(2)} " +
+        s"extra=${(got -- want).take(2)}")
+      // winnowing guarantee: every doc with >= 1 hash has >= 1
+      // fingerprint; density never exceeds the hash count
+      assert(want.forall(x => x._3 >= 1 && x._3 <= x._2))
+    }
+  }
+
   test("incrementalDedup: exact twin dropped, near-dup estimated out, fresh + short docs kept") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"w$i").mkString(" ")

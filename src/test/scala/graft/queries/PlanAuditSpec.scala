@@ -248,6 +248,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the accept rule must stay per-row:\n$p")
   }
 
+  test("q98 winnowing is per-row: no join/window/hash shuffle before the output sort") {
+    val p = plan("q98_winnowing_fingerprints")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q98 must stay per-row:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"q98 grew a hash shuffle:\n$p")
+  }
+
   test("q01 aggregates with a map-side partial (two-phase agg)") {
     val p = plan("q01_pricing_summary")
     // partial_sum before the exchange = map-side combine
