@@ -1529,6 +1529,46 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- q99: winnowing match pairs ------------------------------
+    // The MOSS match step q98's fingerprints exist for: pairs of
+    // docs sharing >= 3 distinct selected hashes (position stripped
+    // for matching). The df <= 10 cap drops boilerplate fingerprints
+    // BEFORE pairing (q37's skew guard). At sf0.01 this yields
+    // exactly the 25 true near-dup pairs — random word-soup pairs
+    // share <= 2 fingerprints — so the winnowing density reduction
+    // (only ~2/(w+1) of shingles ever join) loses no recall on real
+    // near-dups. See winnowingMatches for the plan shape.
+    QueryDef(
+      "q99_winnowing_matches",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> len(x) > 0) AS t
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
+        |  FROM toks),
+        |sel AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(h) - 3, 1)),
+        |      i -> list_min(h[i : least(i + 3, len(h))]))) AS gs
+        |  FROM hs WHERE len(h) >= 1),
+        |g AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM sel),
+        |hot AS (SELECT g FROM g GROUP BY g HAVING count(*) > 10),
+        |cold AS (SELECT * FROM g WHERE g NOT IN (SELECT g FROM hot)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM pairs
+        |WHERE n_shared >= 3 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      winnowingMatches(docs(s, dir).select("doc_id", "text"), w = 4,
+        minShared = 3L, maxDf = 10L)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- q97: DSIR importance resampling -------------------------
     // The step q78's weights exist FOR (Xie et al. 2023 step 2):
     // accept each document with probability ~ its per-token
@@ -1661,7 +1701,17 @@ object TextOps {
     * fingerprint. All nested higher-order array expressions in the
     * scan's codegen stage: zero shuffles at any corpus size.
     */
-  def winnowingFingerprints(docsFrame: DataFrame, w: Int): DataFrame = {
+  def winnowingFingerprints(docsFrame: DataFrame, w: Int): DataFrame =
+    winnowSelections(docsFrame, w)
+      .select(col("doc_id"), col("n_shingles"),
+        size(col("fps")).cast("long").as("n_fp"),
+        md5(concat_ws(" ", array_sort(col("fps")))).as("fp_digest"))
+
+  /** The winnowing selection stage shared by q98 (per-doc digest) and
+    * q99 (cross-doc matching): (doc_id, n_shingles, fps) where fps =
+    * distinct "pos:hash" selections. Per-row only.
+    */
+  private[graft] def winnowSelections(docsFrame: DataFrame, w: Int): DataFrame = {
     require(w >= 2, s"window must be >= 2 (got $w)")
     docsFrame.select(col("doc_id"), tokens(col("text")).as("t"))
       // guarded: Spark's sequence(1, 0) DESCENDS (see q65's note), so
@@ -1680,9 +1730,34 @@ object TextOps {
             s"concat(cast(array_max(filter(sequence(i, least(i + ${w - 1}, size(h))), j -> " +
             s"element_at(h, j) = array_min(slice(h, i, $w)))) as string), " +
             s"':', array_min(slice(h, i, $w)))))").as("fps"))
-      .select(col("doc_id"), col("n_shingles"),
-        size(col("fps")).cast("long").as("n_fp"),
-        md5(concat_ws(" ", array_sort(col("fps")))).as("fp_digest"))
+  }
+
+  /** q99's operator: winnowing MATCH pairs — the MOSS match step the
+    * q98 fingerprints exist for: document pairs sharing at least
+    * `minShared` distinct selected HASHES (position stripped for
+    * matching; it localizes the match afterwards). The same
+    * candidates-then-count shape as every shingle join here, with the
+    * same skew guard: fingerprints selected in more than `maxDf` docs
+    * are boilerplate and dropped BEFORE pairing (df cap bounds the
+    * self-join fan-out at maxDf² per key — see
+    * DedupOps.dropStopShingles). Two partial-aggregable rollups + one
+    * capped equi-join; linear in total fingerprints at any corpus
+    * size, and fingerprints are already only ~2/(w+1) of shingles.
+    */
+  def winnowingMatches(docsFrame: DataFrame, w: Int,
+      minShared: Long, maxDf: Long): DataFrame = {
+    val g = winnowSelections(docsFrame, w)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(fps, f -> substring_index(f, ':', -1)))"))
+        .as("g"))
+    val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("g")
+    val cold = g.join(hot, Seq("g"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** q96's operator: TOKEN-BUDGET selection — keep the

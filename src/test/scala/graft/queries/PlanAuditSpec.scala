@@ -256,6 +256,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q98 grew a hash shuffle:\n$p")
   }
 
+  test("q99 winnowing matches: capped equi-join, no cartesian, partial rollups") {
+    val p = plan("q99_winnowing_matches")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q99 pairing must stay an equi-join on the fingerprint hash:\n$p")
+    assert(!p.contains("Window"), s"q99 must not grow a window:\n$p")
+    assert(p.contains("partial_count"),
+      s"q99 rollups must have map-side partials:\n$p")
+  }
+
   test("q01 aggregates with a map-side partial (two-phase agg)") {
     val p = plan("q01_pricing_summary")
     // partial_sum before the exchange = map-side combine
