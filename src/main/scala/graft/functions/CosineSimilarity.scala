@@ -102,5 +102,9 @@ object GraftFunctions {
       "bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps",
+      exprs => WinnowFps.fromExprs(exprs),
+      "scala_udf")
   }
 }

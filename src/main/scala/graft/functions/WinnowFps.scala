@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime for [[WinnowFps]] — companion-less object so generated
+  * Java calls the static forwarder directly.
+  */
+object WinnowImpl {
+
+  private val digestTL: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Winnowing selections (Schleimer et al. 2003) of `s` under window
+    * `w`: positional 3-token shingle md5 hex hashes h(1..m), then the
+    * RIGHTMOST minimum of every w-hash window (clipped; a doc with
+    * fewer than w hashes winnows its single clipped window),
+    * deduplicated keeping first occurrence. Exactly the oracle's
+    * `list_distinct(list_transform(windows, i ->
+    * max(filter(positions, h = window_min)) || ':' || window_min))` —
+    * the `<=` fold keeps the later index on hex-equal hashes, which
+    * IS the rightmost minimum. Null when the text has fewer than 3
+    * tokens (no shingle hashes), matching the oracle's
+    * `WHERE len(h) >= 1`.
+    *
+    * Returns struct(n_shingles: bigint, fps: array<string "pos:hex">).
+    */
+  def compute(s: UTF8String, w: Int): InternalRow = {
+    if (s == null) return null
+    val str = s.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks += str.substring(start, i)
+    }
+    if (toks.length < 3) return null
+    val m = toks.length - 2
+    val md = digestTL.get()
+    val hs = new Array[String](m)
+    var t = 0
+    while (t < m) {
+      hs(t) = md5hex(md, toks(t) + " " + toks(t + 1) + " " + toks(t + 2))
+      t += 1
+    }
+    val nWin = math.max(m - w + 1, 1)
+    // insertion-ordered dedup — the array_distinct contract
+    val sels = new java.util.LinkedHashSet[String]()
+    var s0 = 0
+    while (s0 < nWin) {
+      val end = math.min(s0 + w - 1, m - 1)
+      var best = s0
+      var j = s0 + 1
+      while (j <= end) {
+        if (hs(j).compareTo(hs(best)) <= 0) best = j
+        j += 1
+      }
+      sels.add((best + 1).toString + ":" + hs(best))
+      s0 += 1
+    }
+    val arr = new Array[Any](sels.size)
+    val it = sels.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.toLong, new GenericArrayData(arr)))
+  }
+}
+
+/** Native per-row winnowing — `winnow_fps(text, w)` →
+  * `struct<n_shingles: bigint, fps: array<string>>`.
+  *
+  * The selection is a pure function of one row's text, but its
+  * higher-order-function formulation runs INTERPRETED (Spark lambda
+  * expressions don't codegen): at sf0.1 the ~280 interpreted lambda
+  * calls per document measured 10+ s serial. This expression does
+  * the identical tokenize → shingle-md5 → rightmost-min-per-window →
+  * dedup in one JVM call per row inside WholeStageCodegen — zero
+  * shuffle between the scan and the fingerprints at any corpus size
+  * (q90's plan shape restored).
+  */
+case class WinnowFps(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 2, s"winnow_fps window must be >= 2 (got $w)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_shingles", LongType, nullable = false),
+    StructField("fps", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  override def nullIntolerant: Boolean = true
+  // ALWAYS nullable (see SimHash64): a non-null sub-shingle input
+  // yields null, and the non-nullable codegen branch would render
+  // ev.isNull as the literal `false`, breaking the generated code.
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowImpl.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.WinnowImpl.compute($c, $w);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  /** Build from SQL argument expressions: text + a foldable int
+    * literal window.
+    */
+  def fromExprs(exprs: Seq[Expression]): WinnowFps = {
+    require(exprs.length == 2,
+      s"winnow_fps(text, w) takes 2 arguments (got ${exprs.length})")
+    require(exprs(1).foldable, "winnow_fps window must be a literal")
+    WinnowFps(exprs.head,
+      exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
-import graft.functions.{BloomMightContain, CosineSimilarity, MinHash8, SimHash64, TopKCollect}
+import graft.functions.{BloomMightContain, CosineSimilarity, MinHash8, SimHash64, TopKCollect, WinnowFps}
 
 /** Optimizer rule for the brief's named scale-killer: a per-group
   * top-k written the natural way,
@@ -199,5 +199,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => WinnowFps.fromExprs(exprs)))
   }
 }

@@ -1529,6 +1529,55 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- q100: bigram-LM scoring with stupid backoff -------------
+    // The n-gram upgrade of q69's unigram model in the CCNet
+    // configuration: LM fitted on the REFERENCE split
+    // (doc_id % 4 <> 0 — the standing corpus), scoring the delta
+    // (doc_id % 4 = 0), so backoff genuinely fires on unseen
+    // bigrams. Integer micro-sums + the backoff/OOV count. See
+    // bigramLmScore for the plan shape.
+    QueryDef(
+      "q100_bigram_lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                             x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cu FROM (
+        |    SELECT unnest(t) AS w FROM toks WHERE doc_id % 4 <> 0) GROUP BY w),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cb FROM (
+        |    SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |          FROM toks WHERE doc_id % 4 <> 0 AND len(t) >= 2))
+        |  GROUP BY w1, w2),
+        |pairs AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE doc_id % 4 = 0 AND len(t) >= 2)),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN b.cb IS NOT NULL
+        |      THEN CAST(floor(1000000.0 * b.cb / u1.cu + 0.5) AS BIGINT)
+        |      ELSE CAST(floor(400000.0 * coalesce(u2.cu, 0) / t.n + 0.5) AS BIGINT)
+        |    END AS term_micro,
+        |    CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS backoff
+        |  FROM pairs p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN uni u1 ON u1.w = p.w1
+        |  LEFT JOIN uni u2 ON u2.w = p.w2
+        |  CROSS JOIN tot t)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+        |  CAST(sum(term_micro) AS BIGINT) AS lm_score_micro
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      bigramLmScore(d.filter(col("doc_id") % 4 === 0),
+        d.filter(col("doc_id") % 4 =!= 0))
+        .orderBy("doc_id")
+    },
+
     // ---- q99: winnowing match pairs ------------------------------
     // The MOSS match step q98's fingerprints exist for: pairs of
     // docs sharing >= 3 distinct selected hashes (position stripped
@@ -1713,23 +1762,21 @@ object TextOps {
     */
   private[graft] def winnowSelections(docsFrame: DataFrame, w: Int): DataFrame = {
     require(w >= 2, s"window must be >= 2 (got $w)")
-    docsFrame.select(col("doc_id"), tokens(col("text")).as("t"))
-      // guarded: Spark's sequence(1, 0) DESCENDS (see q65's note), so
-      // sub-shingle docs must short-circuit to an empty hash array
+    // the selection runs as the NATIVE winnow_fps expression
+    // (functions/WinnowFps.scala): its higher-order-function
+    // formulation is interpreted (Spark lambdas don't codegen) and
+    // measured 10+ s at sf0.1 — ~280 interpreted lambda calls per
+    // doc — where the native per-row call is <1 s with the identical
+    // tokenize → shingle-md5 → rightmost-min → dedup semantics
+    // (pinned against the plain-Scala reference in CurationOpsSpec
+    // and the DuckDB oracle). Zero shuffle before the caller's own
+    // aggregation at any corpus size.
+    graft.functions.GraftFunctions.register(docsFrame.sparkSession)
+    docsFrame
+      .select(col("doc_id"), expr(s"winnow_fps(text, $w)").as("x"))
+      .filter(col("x").isNotNull)
       .select(col("doc_id"),
-        when(size(col("t")) < 3, expr("array()").cast("array<string>"))
-          .otherwise(expr(
-            "transform(sequence(1, size(t) - 2), i -> " +
-              "md5(concat(element_at(t, i), ' ', element_at(t, i + 1), " +
-              "' ', element_at(t, i + 2))))")).as("h"))
-      .filter(size(col("h")) >= 1)
-      .select(col("doc_id"),
-        size(col("h")).cast("long").as("n_shingles"),
-        expr(
-          s"array_distinct(transform(sequence(1, greatest(size(h) - ${w - 1}, 1)), i -> " +
-            s"concat(cast(array_max(filter(sequence(i, least(i + ${w - 1}, size(h))), j -> " +
-            s"element_at(h, j) = array_min(slice(h, i, $w)))) as string), " +
-            s"':', array_min(slice(h, i, $w)))))").as("fps"))
+        col("x.n_shingles").as("n_shingles"), col("x.fps").as("fps"))
   }
 
   /** q99's operator: winnowing MATCH pairs — the MOSS match step the
@@ -1758,6 +1805,58 @@ object TextOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** q100's operator: bigram-LM quality scoring with STUPID BACKOFF
+    * (Brants et al. 2007) — the n-gram upgrade of q69's unigram
+    * model, in the CCNet configuration: the LM is fitted on a
+    * REFERENCE corpus (`model`) and scores a DIFFERENT corpus
+    * (`score`), so the backoff path genuinely fires on unseen
+    * bigrams. term(w1 w2) = cb/cu(w1) when the bigram was seen, else
+    * 0.4·cu(w2)/N (0 for out-of-vocab w2) — each term micro-quantized
+    * (floor(x·1e6 + 0.5), identical double arithmetic both engines)
+    * and SUMMED per doc, with the backoff count reported (the OOV
+    * signal CCNet thresholds on).
+    *
+    * Plan shape: model tables (uni, big) are two partial-aggregable
+    * rollups; scoring is three equi-joins on token keys — the plain
+    * shuffle join is the honest 100 TB default since the bigram table
+    * grows with the reference corpus (a known-small model can take
+    * q69's size-gated broadcast instead); one per-doc rollup. Docs
+    * with < 2 tokens carry no bigrams and are not scored.
+    */
+  def bigramLmScore(score: DataFrame, model: DataFrame): DataFrame = {
+    val pairExpr = expr(
+      "transform(sequence(1, size(t) - 1), i -> " +
+        "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+    val mToks = model.select(tokens(col("text")).as("t"))
+    val uni = mToks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").cast("long").as("n"))
+    val big = mToks.filter(size(col("t")) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    score.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(pairExpr).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(big, Seq("w1", "w2"), "left_outer")
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")),
+        Seq("w1"), "left_outer")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("cb").isNotNull,
+          floor(lit(1000000.0) * col("cb") / col("cu1") + 0.5).cast("long"))
+          .otherwise(floor(lit(400000.0) * coalesce(col("cu2"), lit(0L))
+            / col("n") + 0.5).cast("long")).as("term_micro"),
+        when(col("cb").isNull, 1L).otherwise(0L).as("backoff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("backoff").as("n_backoff"),
+        sum("term_micro").as("lm_score_micro"))
   }
 
   /** q96's operator: TOKEN-BUDGET selection — keep the

@@ -248,12 +248,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the accept rule must stay per-row:\n$p")
   }
 
-  test("q98 winnowing is per-row: no join/window/hash shuffle before the output sort") {
+  test("q98 winnowing: native winnow_fps per-row, no join/window/hash shuffle") {
     val p = plan("q98_winnowing_fingerprints")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"q98 must stay per-row:\n$p")
     assert(!p.contains("hashpartitioning"),
-      s"q98 grew a hash shuffle:\n$p")
+      s"q98 grew a key shuffle:\n$p")
+    // the selection must be the native expression (codegen'd per-row
+    // call), not the interpreted higher-order-function chain
+    assert(p.contains("winnow_fps"), s"q98 lost the native selection:\n$p")
   }
 
   test("q99 winnowing matches: capped equi-join, no cartesian, partial rollups") {
@@ -263,6 +266,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q99 must not grow a window:\n$p")
     assert(p.contains("partial_count"),
       s"q99 rollups must have map-side partials:\n$p")
+  }
+
+  test("q100 bigram LM: equi-joins + partial rollups, no cartesian beyond the 1-row total") {
+    val p = plan("q100_bigram_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      s"q100 scoring joins must stay equi-joins:\n$p")
+    assert(!p.contains("Window"), s"q100 must not grow a window:\n$p")
+    assert(p.contains("partial_count"),
+      s"q100 model rollups must have map-side partials:\n$p")
+    // the only nested-loop join allowed is the broadcast of the
+    // 1-row token-total frame
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"unexpected nested-loop joins:\n$p")
   }
 
   test("q01 aggregates with a map-side partial (two-phase agg)") {
