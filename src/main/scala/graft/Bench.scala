@@ -217,7 +217,10 @@ object Bench {
     "q40_cosine_topk", "q44_ivf_ann", "q78_dsir_importance",
     // q89's single-partition cumulative window is bounded by score
     // GRANULARITY, not corpus size — the probe measures that claim
-    "q89_ppl_buckets")
+    "q89_ppl_buckets",
+    // native winnow_fps + df-capped match join: the probe measures
+    // that the winnowed (~2/(w+1) density) pair join stays linear
+    "q99_winnowing_matches")
 
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,
