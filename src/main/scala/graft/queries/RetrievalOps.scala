@@ -22,21 +22,31 @@ import org.apache.spark.sql.functions._
   * per query).
   *
   * Determinism: the classic BM25 idf is a log — a transcendental
-  * whose last-ulp can differ across libm implementations — so the
-  * score uses the LOG-FREE idf ratio (N − df + 0.5)/(df + 0.5) (the
-  * same argument Robertson feeds to the log; log is monotone, so
-  * per-term ranking is unchanged). CAVEAT — cross-term ranking is
-  * NOT classic BM25: summing un-logged ratios is not a monotone
-  * transform of the sum of logs, and it amplifies rare-term
-  * dominance (one rare-term hit can outweigh several common-term
-  * hits — ratio ~13 vs ~0.02 in the test corpus). If true BM25
-  * ordering is ever needed, swap in a fixed-point quantized log
-  * table; the rest of the pipeline is unchanged. Every remaining
-  * operation is
-  * IEEE-exact (+,−,×,÷ of doubles derived from exact integers), and
-  * each per-term score is quantized to integer micro-units BEFORE
-  * the cross-term sum, so no float-accumulation-order divergence
-  * exists between engines at any term count.
+  * whose last-ulp can differ across libm implementations (ln is NOT
+  * required to be correctly rounded by IEEE 754, unlike + − × ÷ and
+  * sqrt). So the idf is computed by [[lnDetSql]], a DETERMINISTIC
+  * log built exclusively from correctly-rounded operations: six
+  * nested sqrt()s range-reduce the ratio r to m = r^(1/64) ∈
+  * [e^-0.36, e^0.36] for any corpus up to ~e^23 ≈ 10^10 docs, then
+  * ln(m) = 2·artanh(z), z = (m−1)/(m+1), via a 6-term Horner
+  * series in z² (|z| ≤ 0.18 ⇒ truncation < 2·z¹³/13 < 3e-10), and
+  * ln(r) = 64·ln(m). Every op in that tree is IEEE-correctly-rounded,
+  * so BOTH engines — parsing the SAME SQL text, hence the same
+  * expression tree — produce the BIT-IDENTICAL double, which is then
+  * quantized to an exact integer micro-idf per term (the q89/q96
+  * exact-integer trick applied to the transcendental: a per-term
+  * log-idf TABLE of |query terms| integer rows). Cross-term ranking
+  * is therefore TRUE textbook BM25 (Robertson idf
+  * log((N−df+0.5)/(df+0.5)), k1 = 1.2, b = 0.75) to within 3e-10 —
+  * including negative idf for df > N/2 terms, which every
+  * log-formula implementation shares. Each per-term score is
+  * quantized to integer micro-units BEFORE the cross-term sum, so no
+  * float-accumulation-order divergence exists between engines at any
+  * term count. DECIMAL trap: DuckDB parses bare decimal literals as
+  * DECIMAL and DECIMAL/DECIMAL division is decimal, not IEEE double —
+  * every constant below therefore meets a DOUBLE operand before any
+  * division (e.g. `CAST(1 AS DOUBLE)/3.0`), keeping the whole tree
+  * in correctly-rounded double arithmetic in both engines.
   */
 object RetrievalOps {
 
@@ -49,17 +59,47 @@ object RetrievalOps {
     2L -> "hash", 2L -> "window", 2L -> "scan",
     3L -> "dup", 3L -> "stream")
 
-  /** The per-term scoring formula, kept as ONE textual SQL expression
-    * so Spark and the DuckDB oracle parse the identical operation
-    * tree (identical IEEE evaluation order → identical doubles).
-    * k1 = 1.2, b = 0.75.
+  /** The Robertson idf argument (N − df + 0.5)/(df + 0.5) — exact
+    * integers widened to double, one correctly-rounded division. */
+  private val ratioSql =
+    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5))"
+
+  /** Deterministic ln of [[ratioSql]] — see object doc. m = r^(1/64)
+    * via six correctly-rounded sqrts; ln(r) = 64 · 2 · artanh(z) with
+    * z = (m−1)/(m+1), artanh by 6-term Horner in z². Constants are
+    * either exactly representable (0.5, 128.0, 1000000.0) or formed
+    * as double-division `CAST(1 AS DOUBLE)/k.0` so DuckDB never does
+    * DECIMAL arithmetic. Shared verbatim with the oracle.
+    */
+  private val lnDetSql: String = {
+    val m = (1 to 6).foldLeft(ratioSql)((s, _) => s"sqrt($s)")
+    val z = s"(($m - 1.0) / ($m + 1.0))"
+    val zz = s"($z * $z)"
+    def inv(k: Int) = s"(CAST(1 AS DOUBLE) / $k.0)"
+    val series = s"(1.0 + $zz * (${inv(3)} + $zz * (${inv(5)} + " +
+      s"$zz * (${inv(7)} + $zz * (${inv(9)} + $zz * ${inv(11)})))))"
+    s"(128.0 * $z * $series)"
+  }
+
+  /** The per-term integer micro-idf — the "log-idf table" entry:
+    * evaluated once per distinct query term (the dfreq frame, ≤
+    * |terms| rows), never per posting. */
+  private[queries] val idfMicroSql =
+    s"CAST(floor($lnDetSql * 1000000.0 + 0.5) AS BIGINT)"
+
+  /** The per-posting scoring formula: micro-idf (already ×10⁶, an
+    * exact integer ≤ ~24e6 so exact as a double) times the tf
+    * saturation factor, rounded half-up to integer micro-units.
+    * Kept as ONE textual SQL expression so Spark and the DuckDB
+    * oracle parse the identical operation tree (identical IEEE
+    * evaluation order → identical doubles). k1 = 1.2, b = 0.75.
     */
   private val termScoreSql =
-    "CAST(floor(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
-      "(CAST(df AS DOUBLE) + 0.5)) * " +
+    "CAST(floor(CAST(idf_micro AS DOUBLE) * " +
       "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
       "1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) " +
-      "* 1000000 + 0.5) AS BIGINT)"
+      "+ 0.5) AS BIGINT)"
 
   /** BM25-shaped top-k retrieval: returns (query_id, doc_id,
     * score_micro, rnk ≤ topK) for each query in `queries`.
@@ -91,9 +131,14 @@ object RetrievalOps {
     val tf = tok.join(broadcast(qterms.select("term").distinct()),
         col("w") === col("term"))
       .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // the log-idf TABLE: one integer micro-idf per distinct query
+    // term (≤ |terms| rows) — the deterministic-ln expression runs
+    // here, never on the posting-sized frame
+    val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("w"), expr(idfMicroSql).as("idf_micro"))
     val scored = tf
-      .join(broadcast(df_), Seq("w"))
+      .join(broadcast(idf), Seq("w"))
       .crossJoin(broadcast(stats))
       .join(broadcast(qterms), col("w") === col("term"))
       .select(col("query_id"), col("doc_id"),
@@ -185,11 +230,13 @@ object RetrievalOps {
          |  GROUP BY doc_id, w),
          |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
          |          FROM tf GROUP BY w),
+         |idf AS (SELECT w, $idfMicroSql AS idf_micro
+         |        FROM dfreq CROSS JOIN stats),
          |scored AS (
          |  SELECT q.query_id, t.doc_id,
          |    CAST(sum($termScoreSql) AS BIGINT) AS score_micro
          |  FROM tf t
-         |  JOIN dfreq f ON f.w = t.w
+         |  JOIN idf f ON f.w = t.w
          |  JOIN dl d2 ON d2.doc_id = t.doc_id
          |  CROSS JOIN stats
          |  JOIN q ON q.term = t.w
@@ -236,11 +283,13 @@ object RetrievalOps {
          |  GROUP BY doc_id, w),
          |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
          |          FROM tf GROUP BY w),
+         |idf AS (SELECT w, $idfMicroSql AS idf_micro
+         |        FROM dfreq CROSS JOIN stats),
          |sscored AS (
          |  SELECT q.query_id, t.doc_id,
          |    CAST(sum($termScoreSql) AS BIGINT) AS score_micro
          |  FROM tf t
-         |  JOIN dfreq f ON f.w = t.w
+         |  JOIN idf f ON f.w = t.w
          |  JOIN dl d2 ON d2.doc_id = t.doc_id
          |  CROSS JOIN stats
          |  JOIN q ON q.term = t.w

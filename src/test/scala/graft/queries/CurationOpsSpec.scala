@@ -110,15 +110,40 @@ class CurationOpsSpec extends AnyFunSuite {
     // query 1: only doc 7 matches at all
     assert(out((1L, 1L))._1 == 7L)
     assert(!out.contains((1L, 2L)))
-    // query 2: every doc matches; scores positive, k respected
+    // query 2: every doc matches; k respected
     assert((1L to 5L).forall(r => out.contains((2L, r))))
     assert(!out.contains((2L, 6L)))
-    // the rare-term hit scores far above any common-term hit:
-    // idf ratio (20-1+0.5)/(1+0.5) = 13 vs (20-20+0.5)/(20+0.5) ≈ 0.024
+    // TRUE-BM25 idf signs: rare term (df=1, N=20) has
+    // ln(19.5/1.5) ≈ +2.56 > 0; a term in EVERY doc (df=N) has
+    // ln(0.5/20.5) ≈ −3.71 < 0 — the textbook negative-idf regime
     val rareScore = out((1L, 1L))._2
     val bestCommon = out((2L, 1L))._2
-    assert(rareScore > 10L * bestCommon,
-      s"rare=$rareScore common=$bestCommon")
+    assert(rareScore > 0L, s"rare-term idf must be positive: $rareScore")
+    assert(bestCommon < 0L,
+      s"df=N term must carry textbook negative idf: $bestCommon")
+  }
+
+  test("idfMicroSql: deterministic ln matches libm log to the micro-unit across 9 decades") {
+    // the sqrt-range-reduction + artanh-series log (RetrievalOps
+    // object doc) must agree with math.log at the 1e-6 quantization
+    // for every (n_docs, df) regime: tiny corpora, df=1, df=N,
+    // df≈N/2 (idf≈0), and corpus sizes up to 10^10
+    import spark.implicits._
+    val cases = Seq(
+      (1L, 1L), (2L, 1L), (3L, 2L), (20L, 1L), (20L, 10L), (20L, 20L),
+      (6000L, 1L), (6000L, 300L), (6000L, 2999L), (6000L, 3000L),
+      (6000L, 5999L), (1000000L, 500000L), (1000000L, 3L),
+      (10000000000L, 3L), (10000000000L, 4999999999L),
+      (10000000000L, 10000000000L))
+    val got = cases.toDF("n_docs", "df")
+      .selectExpr("n_docs", "df", s"${RetrievalOps.idfMicroSql} AS idf")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (n, df) =>
+      val want = math.floor(
+        math.log((n - df + 0.5) / (df + 0.5)) * 1e6 + 0.5).toLong
+      assert(got((n, df)) == want,
+        s"N=$n df=$df got=${got((n, df))} want=$want")
+    }
   }
 
   test("dup-ngram fractions: repeated text flagged, distinct text near zero, short docs handled") {
