@@ -149,7 +149,8 @@ object WinnowFps {
     require(exprs.length == 2,
       s"winnow_fps(text, w) takes 2 arguments (got ${exprs.length})")
     require(exprs(1).foldable, "winnow_fps window must be a literal")
-    WinnowFps(exprs.head,
-      exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue())
+    val v = exprs(1).eval(InternalRow.empty)
+    require(v != null, "winnow_fps window must be a non-null literal")
+    WinnowFps(exprs.head, v.asInstanceOf[Number].intValue())
   }
 }

@@ -164,10 +164,12 @@ object CurationPipeline {
     }
 
     // 6. DSIR weights — fitted on the emitted corpus (post-cut
-    // survivors), target = English (q78); token-less docs scored 0
-    // (they carry no features)
+    // survivors, i.e. the budgeted frame when a budget is set), so
+    // docs the token-budget cut dropped do not shape the importance
+    // model's bucket statistics (r9 advice); target = English (q78);
+    // token-less docs scored 0 (they carry no features)
     val weighted = budgeted
-      .join(TextOps.dsirWeights(kept.select("doc_id", "text", "lang"),
+      .join(TextOps.dsirWeights(budgeted.select("doc_id", "text", "lang"),
         col("lang") === "en"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tok"),

@@ -95,4 +95,18 @@ class TextSignatureSpec extends AnyFunSuite {
     assert(native == reference)
     assert(!native.contains(4L) && !native.contains(6L)) // <3 tokens absent
   }
+
+  test("winnow_fps rejects a NULL window literal with a descriptive error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      docs.selectExpr("winnow_fps(text, CAST(NULL AS INT))").collect()
+    }
+    // the raw NPE the r9 advice flagged must be replaced by the
+    // require() message, wherever Spark wraps it
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-null literal")),
+      s"expected the require() message, got: ${messages(e).mkString(" | ")}")
+  }
 }

@@ -235,8 +235,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.substring(idx).contains("keys=[score_bp"),
       s"window input is not the score-value histogram:\n$p")
     assert(p.contains("partial_sum"), s"histogram lost its partial:\n$p")
-    // the 1-row cutoff joins back as a broadcast, never a shuffle
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+    // the 1-row cutoff joins back as a broadcast, never a shuffle —
+    // two independent asserts (the r9-advice fix: the || form was
+    // vacuously true whenever the BNLJ appeared)
+    assert(!p.contains("CartesianProduct"),
+      s"cutoff join fell back to a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
       s"cutoff join must broadcast the 1-row frame:\n$p")
   }
 
