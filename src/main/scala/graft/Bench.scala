@@ -38,6 +38,15 @@ object Bench {
     */
   val DefaultRuns = 3
 
+  /** Interference detection thresholds: a query's ok-run max/min
+    * ratio above this (AND a spread above [[SuspectSpreadAbsSec]],
+    * so sub-second scheduler jitter on fast queries never trips)
+    * triggers one re-run and, if still unstable with the worst run
+    * dropped, a `suspect` flag in the artifact.
+    */
+  val SuspectSpreadRatio = 3.0
+  val SuspectSpreadAbsSec = 0.25
+
   /** One timed execution: elapsed seconds, wall-clock start (epoch
     * ms), success flag.
     */
@@ -124,8 +133,43 @@ object Bench {
         }
       samples(d.name) += Sample((System.nanoTime() - t0) / 1e9, startMs, ok)
     }
+    // interference self-defense (round-9 verdict: the working-tree
+    // BENCH_r09 was host-stall-polluted — q75 4.2s vs 0.85s quiet —
+    // and could have driven a false brief). A query whose ok-run
+    // spread exceeds SuspectSpreadRatio× (and an absolute floor that
+    // keeps sub-second jitter out) is RE-RUN once: the median over
+    // 4 runs (avg of middle two) then excludes a single stall
+    // outright. If the spread is still wide after dropping the single
+    // worst run, the query is flagged `suspect` — its number should
+    // not be trusted for round-over-round diffs — and the artifact
+    // carries a top-level `interference` record either way, so a
+    // polluted run is self-describing instead of silently plausible.
+    def spreadTripped(ok: Seq[Double]): Boolean =
+      ok.size >= 2 && ok.max / math.max(ok.min, 1e-9) > SuspectSpreadRatio &&
+        ok.max - ok.min > SuspectSpreadAbsSec
+    val retimed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val suspects = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (runs > 1) for (d <- defs) {
+      val ok = samples(d.name).filter(_.ok).map(_.sec).toSeq
+      if (spreadTripped(ok)) {
+        retimed += d.name
+        val startMs = System.currentTimeMillis()
+        val t0 = System.nanoTime()
+        val ok2 = try { materialize(d.name); true }
+                  catch { case _: Throwable => false }
+        samples(d.name) += Sample((System.nanoTime() - t0) / 1e9, startMs, ok2)
+        val afterLessWorst = samples(d.name).filter(_.ok).map(_.sec)
+          .toSeq.sorted.dropRight(1)
+        if (spreadTripped(afterLessWorst)) suspects += d.name
+      }
+    }
     val results: Seq[(String, Timing)] =
       defs.map(d => d.name -> Timing(samples(d.name).toSeq))
+    def namesJson(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val interferenceJson =
+      s"""{"spread_ratio":$SuspectSpreadRatio,"abs_floor_sec":$SuspectSpreadAbsSec,""" +
+        s""""retimed":${namesJson(retimed)},"suspect":${namesJson(suspects)}}"""
     // ingestion throughput: the reference's actual surface is
     // Kafka→warehouse loading (envelope: 5 workers × 500-record
     // batches against BQ streaming inserts — BASELINE.md). Here the
@@ -167,6 +211,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,""" +
         s""""queries":$qs,"queries_detail":$qsDetail,""" +
         s""""failed":$failedJson,""" +
+        s""""interference":$interferenceJson,""" +
         s""""ingest":$ingest,""" +
         s""""scaleprobe":$probeFull,""" +
         s""""sf":"$sfDir"}"""
@@ -199,7 +244,9 @@ object Bench {
     val ingestShort = s""""ingest":{"rows_per_sec":$ingestRps}"""
     println(
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","runs_per_query":$runs,""" +
-        s""""queries":$qsShort,"failed":$failedJson,$ingestShort,""" +
+        s""""queries":$qsShort,"failed":$failedJson,""" +
+        s""""interference":{"retimed":${retimed.size},"suspect":${namesJson(suspects)}},""" +
+        s"""$ingestShort,""" +
         s""""scaleprobe":$probeCompact,""" +
         s""""detail":"$outPath","sf":"$sfDir"}""")
   }
@@ -220,7 +267,14 @@ object Bench {
     "q89_ppl_buckets",
     // native winnow_fps + df-capped match join: the probe measures
     // that the winnowed (~2/(w+1) density) pair join stays linear
-    "q99_winnowing_matches")
+    "q99_winnowing_matches",
+    // round-10 additions (r9 verdict #3): the four heavy queries that
+    // had no measured scaling datapoint — exactly the joins that
+    // could hide super-linearity
+    "q94_edit_near_dup",       // Levenshtein verify on LSH candidates
+    "q95_incremental_dedup",   // delta-vs-persisted-index join
+    "q86_media_phash_near_dup",// hamming-ball multi-probe equi-join
+    "q100_bigram_lm_score")    // bigram-LM shuffle joins
 
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,
