@@ -17,6 +17,10 @@ import org.apache.spark.storage.StorageLevel
   *   3. exact dedup          — md5 keep-first      (q30)
   *   4. near-dup dedup       — MinHash/LSH pairs → connected
   *      components → representative materialization (q36/q61/q76)
+  *   4b. (optional) edit-distance near-dup verify — the same LSH
+  *      candidate stage re-verified by character-level Levenshtein
+  *      similarity (q94), for corpora where 3-token shingle Jaccard
+  *      is too coarse (OCR noise, code, short docs)
   *   5. decontamination      — shingle overlap vs the probe source,
   *      with the PROBE side drawn from the full redacted input so a
   *      probe doc filtered or deduped away upstream still flags its
@@ -55,6 +59,13 @@ object CurationPipeline {
     * docs carry no bucket and are dropped by the filter (they carry
     * no trainable text either).
     *
+    * `editMinSim`, when set, inserts the edit-distance near-dup
+    * verify (q94, DedupOps.editNearDupPairs) after the MinHash
+    * stage: LSH candidates among the survivors whose Levenshtein
+    * similarity is >= the threshold cluster and collapse to their
+    * min-doc_id representative — the character-level fidelity pass
+    * for OCR/code corpora where shingle Jaccard under-counts.
+    *
     * `budgetFrac = Some((num, den))` inserts the token-budget cut
     * (q96, TextOps.tokenBudgetSelect) after the CCNet stage: keep the
     * highest-alpha-ratio docs until num/den of the surviving tokens
@@ -66,7 +77,8 @@ object CurationPipeline {
       outDir: String, minJaccard: Double = 0.5, minShared: Long = 3L,
       nShards: Int = 16, seed: String = "42",
       keepPplBuckets: Option[Set[String]] = None,
-      budgetFrac: Option[(Int, Int)] = None): Seq[StageCount] = {
+      budgetFrac: Option[(Int, Int)] = None,
+      editMinSim: Option[Double] = None): Seq[StageCount] = {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
     // path; snapshot the persistent-RDD set so run() can release
@@ -116,6 +128,28 @@ object CurationPipeline {
       .filter(col("is_kept")).select("doc_id")
     val nearDeduped = stage("near_dedup", exact.join(keptIds, Seq("doc_id")))
 
+    // 4b. optional edit-distance near-dup verify (q94) — the fuzzier
+    // character-level pass for OCR/code corpora: sparse character
+    // noise drags shingle Jaccard below stage 4's minJaccard verify
+    // (every touched token kills its 3 covering shingles) while
+    // Levenshtein similarity stays near 1 — such a pair still
+    // band-collides (a band needs only 2 agreeing minhashes) but
+    // stage 4 rejects it at verify. Candidates still come from LSH
+    // banding over the MinHash survivors (never all pairs), the
+    // O(L²) verify runs only above that equi-join with both sides
+    // capped — q94's exact scale contract — and the edges resolve
+    // through the same CC + min-id materialization as stage 4.
+    val editDeduped = editMinSim.fold(nearDeduped) { minSim =>
+      val epairs = DedupOps.editNearDupPairs(spark,
+          nearDeduped.select("doc_id", "text"), minSim)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val ekept = DedupOps.dedupMaterialize(
+          nearDeduped.select("doc_id"),
+          DedupOps.connectedComponents(epairs))
+        .filter(col("is_kept")).select("doc_id")
+      stage("edit_near_dedup", nearDeduped.join(ekept, Seq("doc_id")))
+    }
+
     // 5. decontamination — flag docs sharing >= minShared distinct
     // 3-token shingles with the probe source (q58), drop them AND the
     // probe docs themselves. The PROBE side comes from the FULL
@@ -127,12 +161,12 @@ object CurationPipeline {
     val sh = DedupOps.sourcedShingles(
       redacted.filter(col("source") === probeSource)
         .select("doc_id", "source", "text")
-        .unionByName(nearDeduped.filter(col("source") =!= probeSource)
+        .unionByName(editDeduped.filter(col("source") =!= probeSource)
           .select("doc_id", "source", "text")))
     val contaminated = DedupOps.decontaminate(sh, probeSource, minShared)
       .select("doc_id")
     val clean = stage("decontaminated",
-      nearDeduped.filter(col("source") =!= probeSource)
+      editDeduped.filter(col("source") =!= probeSource)
         .join(contaminated, Seq("doc_id"), "left_anti"))
 
     // 5b. optional CCNet perplexity cut (q89) — terciles are fitted
@@ -185,8 +219,8 @@ object CurationPipeline {
     // lose the whole ledger after the pipeline already ran
     ledger += StageCount("written", weighted.count())
 
-    Seq(input, redacted, quality, exact, nearDeduped, clean, kept,
-        budgeted, weighted)
+    Seq(input, redacted, quality, exact, nearDeduped, editDeduped,
+        clean, kept, budgeted, weighted)
       .foreach(_.unpersist())
     // release the operator-internal persists this run introduced
     // (every action is complete by now — the shard write and the

@@ -179,8 +179,6 @@ object RetrievalOps {
   def hybridRrfTopK(spark: SparkSession, docsFrame: DataFrame,
       denseCorpus: DataFrame, denseQueries: DataFrame,
       termQueries: Seq[(Long, String)], k: Int): DataFrame = {
-    import org.apache.spark.sql.Column
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val sparse = bm25TopK(spark, docsFrame, termQueries, topK = k)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_s"))
@@ -192,6 +190,50 @@ object RetrievalOps {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("doc_id"),
         (col("pos") + 1).cast("long").as("rnk_d"))
+    fuseRrf(sparse, dense, k)
+  }
+
+  /** The q85 hybrid with the dense retriever swapped for q84's
+    * IVF-PQ cell-pruned ADC search — the 100 TB shape of hybrid
+    * search. [[hybridRrfTopK]]'s brute dense side scans every corpus
+    * vector's floats per query batch; here the corpus reaches the
+    * probe join carrying (cell_id, 4 one-byte codes) per vector and
+    * only the `nprobe` probed cells are scored (asymmetric distance
+    * over broadcast integer LUTs — SimilarityOps.ivfPqSearch's
+    * contract). The sparse side, fusion arithmetic, and bounded-heap
+    * re-rank are byte-identical to [[hybridRrfTopK]] (same
+    * [[fuseRrf]]); only the dense candidate ranking changes, from
+    * exact cosine to ADC-approximated L2 — the standard
+    * recall-for-throughput trade. With nprobe = |cells| the IVF
+    * stage prunes nothing and the result is row-identical to fusing
+    * the exhaustive pqAdcSearch ranking (HybridIvfSpec pins this).
+    */
+  def hybridRrfTopKIvf(spark: SparkSession, docsFrame: DataFrame,
+      denseCorpus: DataFrame, denseQueries: DataFrame,
+      termQueries: Seq[(Long, String)], k: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sparse = bm25TopK(spark, docsFrame, termQueries, topK = k)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_s"))
+    val dense = SimilarityOps.ivfPqSearch(
+        denseCorpus.select(col("doc_id").as("cand_id"), col("ce")),
+        denseQueries, SimilarityOps.Ivf.codebook, nprobe, k)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("rnk").as("rnk_d"))
+    fuseRrf(sparse, dense, k)
+  }
+
+  /** RRF fusion + bounded-heap re-rank shared by both hybrid
+    * retrievers: inputs are the two ≤k-rows-per-query rank lists
+    * (query_id, doc_id, rnk_s / rnk_d), so the full-outer join and
+    * re-rank run on constant-size frames no matter the corpus. RRF
+    * terms are floor(1e6/(60+rank)) integer micro-units — exact,
+    * engine-stable fusion arithmetic given pinned input ranks. The
+    * naive window rank is the TopKRewrite bounded-heap pattern.
+    */
+  private[queries] def fuseRrf(sparse: DataFrame, dense: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
     def rrf(r: Column): Column =
       when(r.isNotNull, floor(lit(1000000.0) / (lit(60) + r)).cast("long"))
         .otherwise(0L)
@@ -337,6 +379,129 @@ object RetrievalOps {
         e.filter(col("vec_id").isin(1L, 2L, 3L))
           .select(col("vec_id").as("query_id"), col("e").as("qe")),
         Queries, k = 10)
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- q85_ivf: hybrid retrieval with the IVF-PQ dense side -----
+    // [[hybridRrfTopKIvf]] — the scale path: same sparse CTEs and
+    // fusion as q85, but the dense list is q84's cell-pruned ADC
+    // ranking (nprobe = 2 of 16 cells, integer micro LUTs). The
+    // oracle composes q75's BM25 CTEs with q84's IVF-PQ CTEs and the
+    // q85 fusion arithmetic, so the hybrid-at-scale ranking is pinned
+    // end-to-end exactly like its brute twin.
+    QueryDef(
+      "q85_hybrid_rrf_ivf",
+      s"""WITH q(query_id, term) AS (VALUES
+         |    ${Queries.map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+        .mkString(", ")}),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                                    x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tok GROUP BY doc_id),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT)
+         |      AS avgdl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE w IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY w),
+         |idf AS (SELECT w, $idfMicroSql AS idf_micro
+         |        FROM dfreq CROSS JOIN stats),
+         |sscored AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    CAST(sum($termScoreSql) AS BIGINT) AS score_micro
+         |  FROM tf t
+         |  JOIN idf f ON f.w = t.w
+         |  JOIN dl d2 ON d2.doc_id = t.doc_id
+         |  CROSS JOIN stats
+         |  JOIN q ON q.term = t.w
+         |  GROUP BY q.query_id, t.doc_id),
+         |sranked AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM sscored),
+         |sparse AS (SELECT query_id, doc_id, rnk FROM sranked WHERE rnk <= 10),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT * FROM (VALUES
+         |    ${SimilarityOps.Ivf.centSqlValues}) t(cell_id, cent)),
+         |pcent AS (SELECT * FROM (VALUES
+         |    ${SimilarityOps.Pq.sqlValues}) t(sub, code, cent)),
+         |asg AS (
+         |  SELECT cand_id, cell_id FROM (
+         |    SELECT c.vec_id AS cand_id, t.cell_id,
+         |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |        list_dot_product(c.emb, t.cent) /
+         |          (sqrt(list_dot_product(c.emb, c.emb)) *
+         |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+         |    FROM e c, cent t WHERE c.vec_id >= 5) z WHERE rn = 1),
+         |prb AS (
+         |  SELECT query_id, cell_id FROM (
+         |    SELECT qv.vec_id AS query_id, t.cell_id,
+         |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+         |        list_dot_product(qv.emb, t.cent) /
+         |          (sqrt(list_dot_product(qv.emb, qv.emb)) *
+         |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+         |    FROM e qv, cent t WHERE qv.vec_id IN (1, 2, 3)) z WHERE rn <= 2),
+         |pd AS (
+         |  SELECT e.vec_id, t.sub, t.code,
+         |    (SELECT sum((x - y) * (x - y)) FROM
+         |      (SELECT unnest(e.emb[(t.sub * 16 + 1):(t.sub * 16 + 16)]) AS x,
+         |              unnest(t.cent) AS y) z) AS d2
+         |  FROM e, pcent t),
+         |best AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |    FROM pd WHERE vec_id >= 5) z WHERE rn = 1),
+         |lut AS (
+         |  SELECT vec_id AS query_id, sub, code,
+         |    CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS dm
+         |  FROM pd WHERE vec_id IN (1, 2, 3)),
+         |adc AS (
+         |  SELECT p.query_id, a.cand_id,
+         |    CAST(sum(l.dm) AS BIGINT) AS adc2_micro
+         |  FROM prb p JOIN asg a ON p.cell_id = a.cell_id
+         |    JOIN best b ON b.vec_id = a.cand_id
+         |    JOIN lut l ON l.query_id = p.query_id AND l.sub = b.sub
+         |      AND l.code = b.code
+         |  GROUP BY p.query_id, a.cand_id),
+         |dranked AS (
+         |  SELECT query_id, cand_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc2_micro, cand_id) AS BIGINT) AS rnk
+         |  FROM adc),
+         |dense AS (SELECT query_id, doc_id, rnk FROM dranked WHERE rnk <= 10),
+         |fused AS (
+         |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |    coalesce(CAST(floor(1000000.0 / (60 + s.rnk)) AS BIGINT), 0)
+         |      + coalesce(CAST(floor(1000000.0 / (60 + d.rnk)) AS BIGINT), 0)
+         |      AS rrf_micro
+         |  FROM sparse s FULL OUTER JOIN dense d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fused)
+         |SELECT query_id, doc_id, rrf_micro, rnk
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      hybridRrfTopKIvf(s,
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("doc_id"), col("e").as("ce")),
+        e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("query_id"), col("e").as("qe")),
+        Queries, k = 10, nprobe = 2)
         .orderBy("query_id", "rnk")
     }
   )

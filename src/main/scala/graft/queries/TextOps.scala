@@ -1880,23 +1880,51 @@ object TextOps {
     * (doc_id, text, n_chars).
     */
   def tokenBudgetSelect(docsFrame: DataFrame,
+      num: Int = 1, den: Int = 2): DataFrame =
+    budgetMeasure(docsFrame)
+      .select("doc_id", "n_tok", "score_bp")
+      .crossJoin(broadcast(tokenBudgetCutoff(docsFrame, num, den)))
+      .select(col("doc_id"), col("n_tok"), col("score_bp"),
+        when(col("score_bp") >= col("cutoff"), 1L).otherwise(0L).as("kept"))
+
+  /** The per-doc budget measure — appends (n_tok, score_bp) to the
+    * input frame (passthrough of every other column keeps it usable
+    * on streams, where dropping the event-time column would orphan
+    * the watermark) — shared by the batch selector and the
+    * offline-fit / online-tag streaming split: one textual definition
+    * so every consumer scores docs identically. score_bp =
+    * alpha-character ratio in basis points.
+    */
+  private[graft] def budgetMeasure(docsFrame: DataFrame): DataFrame =
+    docsFrame
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .withColumn("score_bp",
+        floor(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          / col("n_chars") * 10000 + 0.5).cast("long"))
+
+  /** q96's fitted cutoff alone, as a 1-row (cutoff: long) frame — the
+    * offline-fit half of the streaming split
+    * ([[graft.streaming.StreamOps.tokenBudgetStream]] tags arriving
+    * docs against this constant): a bucket is kept iff the cumulative
+    * token count from the top through it satisfies den·cum <=
+    * num·total, and the cutoff is the smallest kept score_bp (docs
+    * with no kept bucket → Long.MaxValue, i.e. keep nothing). Pure
+    * function of the bounded score histogram (≤10001 rows), so the
+    * window below never sees corpus-sized input.
+    */
+  def tokenBudgetCutoff(docsFrame: DataFrame,
       num: Int = 1, den: Int = 2): DataFrame = {
     require(num >= 1 && den >= num, s"budget fraction $num/$den invalid")
     import org.apache.spark.sql.expressions.Window
-    val m = docsFrame.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tok"),
-      floor(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-        / col("n_chars") * 10000 + 0.5).cast("long").as("score_bp"))
-    val hist = m.groupBy("score_bp").agg(sum("n_tok").as("btok"))
+    val hist = budgetMeasure(docsFrame)
+      .select("n_tok", "score_bp")
+      .groupBy("score_bp").agg(sum("n_tok").as("btok"))
     val w = Window.orderBy(col("score_bp").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cut = hist.withColumn("c", sum("btok").over(w))
+    hist.withColumn("c", sum("btok").over(w))
       .crossJoin(broadcast(hist.agg(sum("btok").as("total"))))
       .filter(col("c") * den <= col("total") * num)
       .agg(coalesce(min("score_bp"), lit(Long.MaxValue)).as("cutoff"))
-    m.crossJoin(broadcast(cut))
-      .select(col("doc_id"), col("n_tok"), col("score_bp"),
-        when(col("score_bp") >= col("cutoff"), 1L).otherwise(0L).as("kept"))
   }
 
   /** q93's operator: top-`topK` BPE merge candidates (adjacent char

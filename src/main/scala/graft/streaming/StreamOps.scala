@@ -301,6 +301,31 @@ object StreamOps {
         sum("term_micro").as("importance_micro"))
   }
 
+  /** ONLINE token-budget tagging — the streaming form of the batch
+    * q96 cut ([[graft.queries.TextOps.tokenBudgetSelect]]), split the
+    * q89 way: the cutoff is FITTED OFFLINE
+    * ([[graft.queries.TextOps.tokenBudgetCutoff]] over a reference
+    * corpus — a pure function of the bounded score histogram, 1 row)
+    * and every arriving document (`doc_id, text, n_chars, ts`) is
+    * tagged online against that constant. A budget is inherently a
+    * corpus-level property, so the online form can't re-derive it
+    * from an unbounded stream — fitting offline and tagging online is
+    * exactly how CCNet-style pipelines deploy corpus-relative cuts.
+    *
+    * Scale/state story: the verdict needs only the row and the fitted
+    * constant, so the operator is fully STATELESS — per-row
+    * expressions, no watermark state, no shuffle; emits
+    * (doc_id, ts, n_tok, score_bp, kept) immediately. The measure and
+    * accept rule are the batch operator's own
+    * (TextOps.budgetMeasure + the same `score_bp >= cutoff` integer
+    * comparison), so on the fit corpus stream and batch agree
+    * row-for-row (pinned by StreamOpsSpec).
+    */
+  def tokenBudgetStream(docs: DataFrame, cutoff: Long): DataFrame =
+    graft.queries.TextOps.budgetMeasure(docs)
+      .select(col("doc_id"), col("ts"), col("n_tok"), col("score_bp"),
+        when(col("score_bp") >= lit(cutoff), 1L).otherwise(0L).as("kept"))
+
   /** ONLINE incremental dedup — the streaming form of the batch q95
     * operator ([[graft.queries.DedupOps.incrementalDedup]]): every
     * arriving document (`doc_id, text, ts`) is checked against the

@@ -158,6 +158,80 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"emitted $tokOut tokens > half of ~$tokClean")
   }
 
+  test("edit-verify stage: a shingle-Jaccard-invisible near-dup dies only under editMinSim") {
+    import graft.queries.{DedupOps, TextOps}
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    val contaminatedIds = DedupOps.decontaminate(
+        DedupOps.sourcedShingles(real.select("doc_id", "source", "text")),
+        "src0", 3L)
+      .select("doc_id").as[Long].collect().toSet
+    val base = real
+      .filter(TextOps.gopherKept(col("text")))
+      .filter($"source" =!= "src0")
+      .filter(!$"doc_id".isin(contaminatedIds.toSeq: _*))
+      .orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].head()
+
+    // the OCR-noise hazard: every k-th token perturbed — each touched
+    // token kills its 3 covering shingles, so shingle Jaccard falls
+    // below the stage-4 verify threshold while character-level
+    // similarity stays high. Band collision (2 agreeing minhashes) is
+    // probabilistic at that Jaccard, so SEARCH the deterministic
+    // perturbation family for one that provably (a) band-collides yet
+    // fails the 0.5-Jaccard verify — invisible to stage 4 — (b) is
+    // caught by the 0.8 edit verify, (c) passes the quality rules
+    def perturb(k: Int): String = base._2.split("\\s+").zipWithIndex
+      .map { case (w, i) => if (i % k == 0) "zz" + i else w }
+      .mkString(" ")
+    val chosen = (9 to 4 by -1).map(perturb).find { t =>
+      val pair = Seq((1L, base._2), (2L, t)).toDF("doc_id", "text")
+      DedupOps.nearDupPairs(spark, pair, 0.5).count() == 0 &&
+        DedupOps.editNearDupPairs(spark, pair, 0.8).count() == 1 &&
+        Seq(Tuple1(t)).toDF("text")
+          .filter(TextOps.gopherKept(col("text"))).count() == 1
+    }
+    assert(chosen.nonEmpty,
+      "no perturbation in the family is Jaccard-invisible but edit-visible")
+
+    val planted = Seq((90010L, chosen.get, "en", "srcE"))
+      .toDF("doc_id", "text", "lang", "source")
+    val docs = real.filter($"doc_id" < 90000L).unionByName(planted)
+
+    // control: WITHOUT the edit verify the hazard sails through
+    val out1 = java.nio.file.Files.createTempDirectory("graft_noedit").toString
+    val l1 = CurationPipeline.run(spark, docs, "src0", out1)
+    assert(l1.map(_.stage) == Seq("input", "redacted", "quality",
+      "exact_dedup", "near_dedup", "decontaminated", "written"), l1)
+    val kept1 = spark.read.parquet(out1).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept1.contains(90010L),
+      "control run should NOT catch the edit-only near-dup")
+    assert(kept1.contains(base._1), "base doc lost in control run")
+
+    // with the stage on: the hazard collapses into the base doc's
+    // cluster and the min-id representative (the base) survives
+    val out2 = java.nio.file.Files.createTempDirectory("graft_edit").toString
+    val l2 = CurationPipeline.run(spark, docs, "src0", out2,
+      editMinSim = Some(0.8))
+    assert(l2.map(_.stage) == Seq("input", "redacted", "quality",
+      "exact_dedup", "near_dedup", "edit_near_dedup", "decontaminated",
+      "written"), l2)
+    val c2 = l2.map(s => s.stage -> s.docs).toMap
+    assert(c2("edit_near_dedup") < c2("near_dedup"),
+      s"edit stage removed nothing: $l2")
+    val kept2 = spark.read.parquet(out2).select("doc_id").as[Long]
+      .collect().toSet
+    assert(!kept2.contains(90010L), "edit-only near-dup leaked past 4b")
+    assert(kept2.contains(base._1), "cluster representative lost")
+    // the stage only DEDUPES — everything it dropped is edit-similar
+    // to a survivor, nothing else changed vs the control
+    assert(kept1 -- kept2 == Set(90010L) ||
+      (kept1 -- kept2).contains(90010L),
+      s"unexpected extra drops: ${kept1 -- kept2}")
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the

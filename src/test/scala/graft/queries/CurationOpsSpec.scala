@@ -184,11 +184,18 @@ class CurationOpsSpec extends AnyFunSuite {
   test("hybridRrfTopK: dual-retrieved doc wins, single-list docs fuse by exact RRF micro terms") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    // BM25: doc 10 #1, doc 11 #2 for query 1 ('hit'); doc 12 no match
+    // BM25: doc 10 #1, doc 11 #2 for query 1 ('hit'); doc 12 no
+    // match. Docs 13/14 pad the corpus so df('hit') = 2 <= N/2 = 2.5
+    // keeps the Robertson idf POSITIVE — with the true log-idf
+    // (284e858) a term in more than half the corpus scores negative
+    // and tf-order inverts, which is textbook behavior, not the
+    // ranking this fixture exercises
     val docs = Seq(
       (10L, "hit hit hit pad pad pad pad"),
       (11L, "hit pad pad pad pad pad pad"),
-      (12L, "pad pad pad pad pad pad pad")
+      (12L, "pad pad pad pad pad pad pad"),
+      (13L, "more filler text rows here now"),
+      (14L, "still more filler text rows here")
     ).toDF("doc_id", "text")
     // dense: query vec 1; corpus 10/11/12 — 12 closest, then 10, 11
     val emb = Seq(
@@ -214,8 +221,15 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("pplBuckets vocab broadcast is SIZE-GATED: both paths row-identical") {
+    // no-op filter makes this frame canonically UNIQUE to this test:
+    // concurrent suites persist same-result frames (StreamOpsSpec's
+    // batch pplDocBuckets over the same table), and CacheManager
+    // substitution would swap this test's subtree for an
+    // InMemoryRelation whose CACHED plan — compiled under default
+    // confs with the broadcast — pollutes the plan-string asserts
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("doc_id") > -42L)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the IVF-PQ hybrid retriever to its exhaustive twin: with
+  * every coarse cell probed (nprobe = |cells|) the IVF stage prunes
+  * nothing, so [[RetrievalOps.hybridRrfTopKIvf]] must reproduce —
+  * row for row, fused score included — the hybrid built from the
+  * exhaustive pqAdcSearch ranking through the same fusion. This is
+  * the hybrid-level analogue of AnnRecallSpec's q84 pruning-off
+  * equivalence: it proves the swap-in dense retriever changes WHERE
+  * candidates come from (probed cells), never how they fuse.
+  */
+class HybridIvfSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  test("hybridRrfTopKIvf with nprobe=|cells| equals the exhaustive-ADC hybrid") {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val e = Tables(spark, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("doc_id"), col("e").as("ce"))
+    val queries = e.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    val ivf = rows(RetrievalOps.hybridRrfTopKIvf(spark, docs, corpus,
+      queries, RetrievalOps.Queries, k = 10, nprobe = SimilarityOps.Ivf.k))
+
+    // the exhaustive twin: same sparse list, dense list from the full
+    // (pruning-free) pqAdcSearch, same fusion
+    val sparse = RetrievalOps.bm25TopK(spark, docs, RetrievalOps.Queries,
+        topK = 10)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_s"))
+    val dense = SimilarityOps.pqAdcSearch(
+        corpus.select(col("doc_id").as("cand_id"), col("ce")),
+        queries, k = 10)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("rnk").as("rnk_d"))
+    val full = rows(RetrievalOps.fuseRrf(sparse, dense, k = 10))
+
+    assert(full.nonEmpty && ivf == full,
+      s"missing=${(full.keySet -- ivf.keySet).take(3)} " +
+        s"diff=${full.collect { case (k, v) if ivf.get(k) != Some(v) => k }.take(3)}")
+  }
+
+  test("nprobe=2 hybrid still recovers every sparse-only hit (fusion is total)") {
+    // cell pruning may change the DENSE candidate list, but a doc
+    // retrieved by BM25 must still appear in the fused ranking pool —
+    // the full-outer fusion cannot drop a list's rows
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val e = Tables(spark, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("doc_id"), col("e").as("ce"))
+    val queries = e.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+
+    val sparseTop = RetrievalOps.bm25TopK(spark, docs,
+        RetrievalOps.Queries, topK = 3)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k wide enough that rank-3 sparse hits cannot be pushed out of
+    // the fused top-k by dense-only rows (≤10 of them per query)
+    val fused = RetrievalOps.hybridRrfTopKIvf(spark, docs, corpus,
+        queries, RetrievalOps.Queries, k = 10, nprobe = 2)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lost = sparseTop -- fused
+    assert(lost.isEmpty, s"sparse hits lost by fusion: $lost")
+  }
+}

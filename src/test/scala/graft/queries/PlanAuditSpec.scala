@@ -152,6 +152,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q85_ivf hybrid: cell-probe hash join on the dense side, no window, no cartesian") {
+    val p = plan("q85_hybrid_rrf_ivf")
+    assert(!p.contains("Window"),
+      s"a ranking stage fell back to a window funnel:\n$p")
+    // three bounded heaps: BM25 top-k, IVF-PQ ADC top-k, fused re-rank
+    val heaps = "partial_topk_collect".r.findAllIn(p).size
+    assert(heaps >= 3, s"expected 3 bounded-heap reductions, got $heaps:\n$p")
+    // the dense side must be q84's shape: probes broadcast, corpus
+    // joined on cell_id by HASH — never the brute broadcast-nested-
+    // loop scan of every corpus vector
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-probe join must broadcast the query side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus floats end at the encode projection: no embedding column
+    // may survive into the probe join (the scan side carries codes)
+    assert(!p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("ce#")),
+      s"corpus floats crossed the probe join:\n$p")
+  }
+
   test("q81 dup-ngram fractions: per-doc rollups with partials, no window, no cartesian") {
     val p = plan("q81_dup_ngram_fraction")
     assert(p.contains("partial_count"), s"gram rollup lost its partial:\n$p")

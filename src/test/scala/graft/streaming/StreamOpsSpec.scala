@@ -592,4 +592,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("PARITY: online token-budget tagging equals the batch q96 verdicts row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // offline fit: the cutoff is a pure function of the fit corpus's
+    // score histogram — 1 row, read once at stream setup (the q89
+    // fit-offline/tag-online deployment shape)
+    val corpus = graft.Tables(spark, parityDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val cutoff = graft.queries.TextOps.tokenBudgetCutoff(corpus)
+      .head().getLong(0)
+
+    val docs = corpus.select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    val stream = MemoryStream[(Long, String, Long, Timestamp)]
+    stream.addData(docs.map { case (id, t, n) => (id, t, n, ts(0)) })
+    val q = StreamOps.tokenBudgetStream(
+      stream.toDF().toDF("doc_id", "text", "n_chars", "ts"), cutoff)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("budget_parity")
+      .select($"doc_id", $"n_tok", $"score_bp", $"kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val batch = graft.queries.TextOps.tokenBudgetSelect(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(batch.nonEmpty && batch.exists(_._4 == 0L)
+      && batch.exists(_._4 == 1L), "parity vacuous: one-sided verdicts")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }
