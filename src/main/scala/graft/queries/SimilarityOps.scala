@@ -369,19 +369,45 @@ object SimilarityOps {
     * O(k·partitions·queries) rows.
     */
   def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
-      codebook: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+      codebook: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame =
+    ivfPqSearchIndex(buildIvfPqIndex(corpus, codebook), queries,
+      codebook, nprobe, k)
+
+  /** The corpus half of [[ivfPqSearch]], exposed as a MATERIALIZABLE
+    * index: (cand_id, cell_id, c0..c3) — coarse cell + PQ codes, all
+    * per-row expressions (no join, no inflation); corpus floats end
+    * here. This is how ANN actually deploys at 100 TB: the index is
+    * built ONCE, persisted (parquet; ~5 ints per vector — the 32×
+    * state compression PQ exists for), and every subsequent query
+    * batch runs [[ivfPqSearchIndex]] against the stored index without
+    * ever re-reading or re-encoding corpus embeddings — the q95
+    * persisted-index pattern applied to ANN. Round-trip equivalence
+    * (write parquet, read back, search) is pinned by AnnRecallSpec.
+    */
+  def buildIvfPqIndex(corpus: DataFrame,
+      codebook: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // corpus: coarse cell + PQ codes, all per-row; floats dropped here
     val assigned0 = corpus
       .withColumn("cb", codebookLit(codebook))
       .withColumn("cell_id", nearestCell("ce", "cb"))
       .drop("cb")
-    val assigned = (0 until Pq.m).foldLeft(assigned0) { (df, s) =>
+    (0 until Pq.m).foldLeft(assigned0) { (df, s) =>
       df.withColumn(s"cb$s", pqCbLit(s))
         .withColumn(s"b$s", expr(pqEncodeExpr(s, "ce")))
         .drop(s"cb$s")
     }.select(Seq(col("cand_id"), col("cell_id")) ++
       (0 until Pq.m).map(s => (-col(s"b$s.nc")).cast("int").as(s"c$s")): _*)
+  }
+
+  /** The query half of [[ivfPqSearch]]: probe an already-built
+    * (cand_id, cell_id, c0..c3) index — see [[buildIvfPqIndex]] for
+    * why the split exists. Probes + integer micro LUTs broadcast
+    * (BroadcastHashJoin on cell_id against the partitioned index),
+    * bounded-heap `topk_collect` reduction.
+    */
+  def ivfPqSearchIndex(index: DataFrame, queries: DataFrame,
+      codebook: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     // queries: nprobe coarse cells + integer micro LUTs, broadcast
     val probes0 = queries
       .withColumn("cb", codebookLit(codebook))
@@ -396,7 +422,7 @@ object SimilarityOps {
       (0 until Pq.m).map(s => col(s"lut$s")): _*)
     val adc = (0 until Pq.m).map(s =>
       element_at(col(s"lut$s"), col(s"c$s") + 1)).reduce(_ + _)
-    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+    val scored = index.join(broadcast(probes), Seq("cell_id"))
       .select(col("query_id"), col("cand_id"), (-adc).as("nadc"))
     scored.groupBy("query_id")
       .agg(expr(s"topk_collect(nadc, cand_id, $k)").as("top"))

@@ -147,6 +147,35 @@ class AnnRecallSpec extends AnyFunSuite {
         s"diff=${full.collect { case (k, v) if ivfpq.get(k) != Some(v) => k }.take(3)}")
   }
 
+  test("ivfPqSearchIndex over a parquet-round-tripped index equals the fused search") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB deployment shape: build the (cand_id, cell_id,
+    // c0..c3) index once, persist it, search from storage — must be
+    // row-identical to the fused encode+search plan (which q84's
+    // oracle pins), including ADC scores
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    SimilarityOps.buildIvfPqIndex(corpus, SimilarityOps.Ivf.codebook)
+      .write.mode("overwrite").parquet(dir)
+    val stored = rows(SimilarityOps.ivfPqSearchIndex(
+      spark.read.parquet(dir), queries,
+      SimilarityOps.Ivf.codebook, nprobe = 2, k = 5))
+    val fused = rows(SimilarityOps.ivfPqSearch(corpus, queries,
+      SimilarityOps.Ivf.codebook, nprobe = 2, k = 5))
+    assert(fused.nonEmpty && stored == fused,
+      s"missing=${(fused.keySet -- stored.keySet).take(3)} " +
+        s"diff=${fused.collect { case (k, v) if stored.get(k) != Some(v) => k }.take(3)}")
+  }
+
   test("prototypePrune keeps each cell's farthest members, rank ascending in similarity") {
     import spark.implicits._
     // two orthogonal prototypes; per cell, vectors at increasing
