@@ -432,6 +432,32 @@ object SimilarityOps {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** q54's operator: SEMANTIC decontamination — flag corpus vectors
+    * whose cosine against any probe (eval-set) vector reaches
+    * `minCosine`; returns one row per contaminated doc:
+    * (cand_id, n_probes_hit, best_probe_id, best_cosine rounded).
+    * The embedding-space complement of the n-gram ladder
+    * (DedupOps.decontaminate / q77 Bloom / q91 report): catches
+    * PARAPHRASED benchmark leakage that shares no shingle with its
+    * source. `probes` broadcasts (eval sets are small), the threshold
+    * filter runs map-side, and only flagged pairs shuffle into the
+    * per-doc rollup — contamination-sized work over one corpus scan.
+    */
+  def semanticDecontaminate(corpus: DataFrame, probes: DataFrame,
+      minCosine: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val hits = corpus.crossJoin(broadcast(probes))
+      .select(col("cand_id"), col("probe_id"),
+        expr("cosine_sim(pe, ce)").as("cosine"))
+      .filter(col("cosine") >= minCosine)
+    hits.groupBy("cand_id")
+      .agg(count(lit(1)).as("n_probes_hit"),
+        max(struct(col("cosine"), (-col("probe_id")).as("np"))).as("b"))
+      .select(col("cand_id"), col("n_probes_hit"),
+        (-col("b.np")).as("best_probe_id"),
+        round(col("b.cosine"), 4).as("best_cosine"))
+  }
+
   // ----------------------------------------------------------------
   // per-row cell assignment — NO join, NO window, NO inflation
   // ----------------------------------------------------------------
@@ -1028,6 +1054,51 @@ object SimilarityOps {
             .select(col("vec_id").as("query_id"), col("e").as("qe")),
           Ivf.codebook, nprobe = 2, k = 5)
           .orderBy("query_id", "rnk")
+    },
+
+    // ---- q54: SEMANTIC decontamination ----------------------------
+    // The embedding-space rung the n-gram decontamination ladder
+    // (q58/q77/q91) cannot reach: a PARAPHRASED benchmark item shares
+    // no 3-token shingle with its source, but its embedding still
+    // sits next to the probe's. Flag every corpus vector whose cosine
+    // against ANY probe (eval-set) vector reaches the threshold and
+    // report, per contaminated doc, how many probes hit and the
+    // closest one. Plan shape is q88's: the probe set (eval sets are
+    // small by construction) BROADCASTS over the partitioned corpus,
+    // the threshold filter runs map-side inside the scan's codegen
+    // stage, and only FLAGGED pairs reach the per-doc rollup — so the
+    // shuffle is contamination-sized, not corpus-sized, at any SF.
+    // Best-probe tie-break: max of (cosine, -probe_id) structs =
+    // smallest probe_id, the oracle's ORDER BY cosine DESC, probe_id.
+    QueryDef(
+      "q54_semantic_decontamination",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_dot_product(q.emb, c.emb) /
+        |      (sqrt(list_dot_product(q.emb, q.emb)) *
+        |       sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+        |  FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |hits AS (SELECT * FROM pairs WHERE cosine >= 0.25),
+        |ranked AS (
+        |  SELECT cand_id, probe_id, cosine,
+        |    row_number() OVER (PARTITION BY cand_id
+        |      ORDER BY cosine DESC, probe_id) AS rn
+        |  FROM hits),
+        |cnt AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS n_probes_hit
+        |        FROM hits GROUP BY cand_id)
+        |SELECT c.cand_id, c.n_probes_hit,
+        |  r.probe_id AS best_probe_id, round(r.cosine, 4) AS best_cosine
+        |FROM cnt c JOIN ranked r ON r.cand_id = c.cand_id AND r.rn = 1
+        |ORDER BY c.cand_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      semanticDecontaminate(
+        e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("e").as("ce")),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("e").as("pe")),
+        minCosine = 0.25)
+        .orderBy("cand_id")
     },
 
     // ---- q88: hard-negative mining --------------------------------

@@ -152,6 +152,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q54 semantic decontamination: probes broadcast, map-side threshold, partial rollup") {
+    val p = plan("q54_semantic_decontamination")
+    // probe set broadcasts over the partitioned corpus — the q88/q40
+    // shape; never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // the per-doc rollup keeps its map-side partial, so only flagged
+    // pairs cross the one Exchange
+    assert(p.contains("partial_count"), s"rollup lost its partial:\n$p")
+  }
+
   test("q85_ivf hybrid: cell-probe hash join on the dense side, no window, no cartesian") {
     val p = plan("q85_hybrid_rrf_ivf")
     assert(!p.contains("Window"),
