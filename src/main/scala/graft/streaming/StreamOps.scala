@@ -326,6 +326,49 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("n_tok"), col("score_bp"),
         when(col("score_bp") >= lit(cutoff), 1L).otherwise(0L).as("kept"))
 
+  /** ONLINE semantic decontamination — the streaming form of the
+    * batch q54 operator
+    * ([[graft.queries.SimilarityOps.semanticDecontaminate]]): every
+    * arriving document embedding (`doc_id, ce: array<double>, ts`) is
+    * scored against the eval-set probe vectors and flagged when any
+    * cosine reaches `minCosine` — paraphrase-robust benchmark
+    * decontamination running at intake, where the n-gram
+    * [[decontaminateStream]] is blind.
+    *
+    * Scale/state story: the probe set is an eval set — small by
+    * construction — so it ships INSIDE the row expression as an
+    * array-of-structs literal (the SimilarityOps nearestCell move),
+    * making the operator fully STATELESS: per-row higher-order
+    * expressions, no join, no watermark state, no shuffle; emits
+    * (doc_id, ts, n_probes_hit, best_probe_id, best_cosine) for
+    * flagged docs immediately. Scoring arithmetic is the batch
+    * operator's own native `cosine_sim` and the same
+    * (cosine, -probe_id) struct-max tie-break, so stream and batch
+    * agree row-for-row on the fit corpus (pinned by StreamOpsSpec).
+    */
+  def semanticDecontaminateStream(docs: DataFrame,
+      probes: Seq[(Long, Seq[Double])], minCosine: Double): DataFrame = {
+    require(probes.nonEmpty, "semanticDecontaminateStream: empty probe set")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val probeLit = array(probes.map { case (id, v) =>
+      struct(lit(id).as("probe_id"), typedLit(v).as("pe"))
+    }: _*)
+    docs
+      .withColumn("pr", probeLit)
+      // flagged (cosine, -probe_id) structs only — array_max then
+      // breaks ties to the SMALLEST probe id, the batch tie-break
+      .withColumn("hits", expr(
+        s"filter(transform(pr, p -> named_struct(" +
+          s"'cosine', cosine_sim(p.pe, ce), 'np', -p.probe_id)), " +
+          s"s -> s.cosine >= $minCosine)"))
+      .filter(size(col("hits")) > 0)
+      .withColumn("b", array_max(col("hits")))
+      .select(col("doc_id"), col("ts"),
+        size(col("hits")).cast("long").as("n_probes_hit"),
+        (-col("b.np")).as("best_probe_id"),
+        round(col("b.cosine"), 4).as("best_cosine"))
+  }
+
   /** ONLINE incremental dedup — the streaming form of the batch q95
     * operator ([[graft.queries.DedupOps.incrementalDedup]]): every
     * arriving document (`doc_id, text, ts`) is checked against the

@@ -593,6 +593,46 @@ class StreamOpsSpec extends AnyFunSuite {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("PARITY: online semantic decontamination equals the batch q54 report row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables(spark, parityDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    // the eval-set probes ship as a driver-side constant — the
+    // deployment shape: fit/choose the eval set offline, flag online
+    val probes = e.filter(col("vec_id") < 5)
+      .select($"vec_id", $"e").as[(Long, Seq[Double])].collect().toSeq
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select($"vec_id", $"e").as[(Long, Seq[Double])].collect().toSeq
+
+    val stream = MemoryStream[(Long, Seq[Double], Timestamp)]
+    stream.addData(corpus.map { case (id, v) => (id, v, ts(0)) })
+    val q = StreamOps.semanticDecontaminateStream(
+      stream.toDF().toDF("doc_id", "ce", "ts"), probes, minCosine = 0.25)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semdecon_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("semdecon_parity")
+      .select($"doc_id", $"n_probes_hit", $"best_probe_id", $"best_cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val batch = graft.queries.SimilarityOps.semanticDecontaminate(
+        e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("e").as("ce")),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("e").as("pe")),
+        minCosine = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "parity vacuous: nothing flagged at 0.25")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("PARITY: online token-budget tagging equals the batch q96 verdicts row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
