@@ -25,6 +25,9 @@ import org.apache.spark.storage.StorageLevel
   *      with the PROBE side drawn from the full redacted input so a
   *      probe doc filtered or deduped away upstream still flags its
   *      surviving corpus twins (q58; probe docs are never emitted)
+  *   5a. (optional) SEMANTIC decontamination — embedding-space probe
+  *      sweep (q54) for PARAPHRASED benchmark leakage the shingle
+  *      stage cannot see (no shared 3-gram survives a rewrite)
   *   5b. (optional) CCNet perplexity cut — keep only the requested
   *      head/middle/tail terciles (q89)
   *   5c. (optional) token-budget cut — keep the best docs by
@@ -59,6 +62,15 @@ object CurationPipeline {
     * docs carry no bucket and are dropped by the filter (they carry
     * no trainable text either).
     *
+    * `semanticDecon = Some((docEmbeddings, probes, minCosine))`
+    * inserts the embedding-space decontamination sweep (q54,
+    * SimilarityOps.semanticDecontaminate) after the shingle stage:
+    * `docEmbeddings` = (doc_id, ce) for the corpus (any docs without
+    * a row simply cannot be flagged), `probes` = (probe_id, pe) for
+    * the eval set; surviving docs whose embedding reaches `minCosine`
+    * cosine against ANY probe are dropped — the paraphrase-robust
+    * rung shingle overlap cannot reach.
+    *
     * `editMinSim`, when set, inserts the edit-distance near-dup
     * verify (q94, DedupOps.editNearDupPairs) after the MinHash
     * stage: LSH candidates among the survivors whose Levenshtein
@@ -78,7 +90,9 @@ object CurationPipeline {
       nShards: Int = 16, seed: String = "42",
       keepPplBuckets: Option[Set[String]] = None,
       budgetFrac: Option[(Int, Int)] = None,
-      editMinSim: Option[Double] = None): Seq[StageCount] = {
+      editMinSim: Option[Double] = None,
+      semanticDecon: Option[(DataFrame, DataFrame, Double)] = None)
+      : Seq[StageCount] = {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
     // path; snapshot the persistent-RDD set so run() can release
@@ -165,9 +179,25 @@ object CurationPipeline {
           .select("doc_id", "source", "text")))
     val contaminated = DedupOps.decontaminate(sh, probeSource, minShared)
       .select("doc_id")
-    val clean = stage("decontaminated",
+    val clean0 = stage("decontaminated",
       editDeduped.filter(col("source") =!= probeSource)
         .join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // 5a. optional SEMANTIC decontamination (q54) — paraphrased
+    // leakage: embeddings of the shingle-stage survivors against the
+    // eval-set probe vectors; flagged docs drop. Work is
+    // contamination-sized (q54's broadcast + map-side threshold), and
+    // restricting the embedding side to survivors first keeps the
+    // scan aligned with the corpus actually at risk of emission.
+    val clean = semanticDecon.fold(clean0) { case (docEmb, probes, minCos) =>
+      val flagged = graft.queries.SimilarityOps.semanticDecontaminate(
+          docEmb.join(clean0.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("doc_id").as("cand_id"), col("ce")),
+          probes, minCos)
+        .select(col("cand_id").as("doc_id"))
+      stage("sem_decontaminated",
+        clean0.join(flagged, Seq("doc_id"), "left_anti"))
+    }
 
     // 5b. optional CCNet perplexity cut (q89) — terciles are fitted
     // on the decontaminated survivors, so the cut reflects the
@@ -220,7 +250,7 @@ object CurationPipeline {
     ledger += StageCount("written", weighted.count())
 
     Seq(input, redacted, quality, exact, nearDeduped, editDeduped,
-        clean, kept, budgeted, weighted)
+        clean0, clean, kept, budgeted, weighted)
       .foreach(_.unpersist())
     // release the operator-internal persists this run introduced
     // (every action is complete by now — the shard write and the

@@ -232,6 +232,56 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"unexpected extra drops: ${kept1 -- kept2}")
   }
 
+  test("semantic-decon stage: a paraphrased (shingle-invisible) probe twin dies only with embeddings on") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    // the PARAPHRASE hazard: novel wording (no 3-token shingle shared
+    // with any probe doc, passes quality) whose EMBEDDING sits next
+    // to an eval-set probe vector — the exact leak shingle
+    // decontamination is blind to
+    val planted = Seq((90020L, "the quick data job reads many raw files " +
+      "and then writes clean sorted rows into the new table for easy " +
+      "scans by analysts today", "en", "srcS"))
+      .toDF("doc_id", "text", "lang", "source")
+    val docs = real.filter($"doc_id" < 90000L).unionByName(planted)
+
+    // synthetic embedding space: probe 1 on axis 0; the planted doc
+    // nearly parallel (cos ~0.995); every real doc on axis 1
+    // (cos 0 to the probe)
+    val probes = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("probe_id", "pe")
+    val docEmb = docs.select("doc_id").as[Long].collect().toSeq
+      .map { id =>
+        if (id == 90020L) (id, Seq(1.0, 0.1, 0.0, 0.0))
+        else (id, Seq(0.0, 1.0, 0.0, 0.0))
+      }.toDF("doc_id", "ce")
+
+    // control: no embeddings → the paraphrase sails through
+    val out1 = java.nio.file.Files.createTempDirectory("graft_nosem").toString
+    CurationPipeline.run(spark, docs, "src0", out1)
+    val kept1 = spark.read.parquet(out1).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept1.contains(90020L),
+      "control run should NOT catch the paraphrased twin")
+
+    // with the stage on: flagged at cosine ~0.995 and dropped
+    val out2 = java.nio.file.Files.createTempDirectory("graft_sem").toString
+    val l2 = CurationPipeline.run(spark, docs, "src0", out2,
+      semanticDecon = Some((docEmb, probes, 0.9)))
+    assert(l2.map(_.stage) == Seq("input", "redacted", "quality",
+      "exact_dedup", "near_dedup", "decontaminated", "sem_decontaminated",
+      "written"), l2)
+    val c2 = l2.map(s => s.stage -> s.docs).toMap
+    assert(c2("sem_decontaminated") == c2("decontaminated") - 1,
+      s"exactly the planted doc should drop: $l2")
+    val kept2 = spark.read.parquet(out2).select("doc_id").as[Long]
+      .collect().toSet
+    assert(!kept2.contains(90020L), "paraphrased twin leaked past 5a")
+    assert(kept1 -- kept2 == Set(90020L),
+      s"unexpected extra drops: ${kept1 -- kept2}")
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the
