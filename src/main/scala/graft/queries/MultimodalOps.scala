@@ -11,6 +11,43 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  /** Width-generic perceptual-hash near-dup pairing — the ONE
+    * dataflow behind q86's 8-bit testbed AND the production 64-bit
+    * width the q86 SCALE NOTE prescribes (the ×30 probe measured the
+    * narrow width's predicted bucket saturation at 43×; this operator
+    * is how a deployment escapes it). Input: (media_id, media_type,
+    * phash) with phash an UNSIGNED-semantics long of `bits` bits.
+    * Each item explodes to its (bits+1)-entry hamming-1 ball and
+    * candidate pairs come from the (media_type, ball code) equi-join
+    * — multi-probe LSH, never an all-pairs join; a ball collision
+    * reaches hamming 2, so the exact bit_count post-filter keeps only
+    * true ≤1 pairs (candidates-then-verify, the q36/q46 contract).
+    * At 64 bits buckets are near-singletons at any realistic corpus,
+    * so candidate volume stays ~linear. Returns distinct
+    * (media_type, media_a < media_b, hamming ≤ 1).
+    */
+  def phashBallPairs(coded: org.apache.spark.sql.DataFrame,
+      bits: Int): org.apache.spark.sql.DataFrame = {
+    require(bits >= 2 && bits <= 64, s"bits must be in [2, 64] (got $bits)")
+    // shiftleft keeps the 1L<<63 entry a clean BIGINT (a raw
+    // -9223372036854775808 literal parses as decimal in SQL)
+    val ballExpr = "array(" + (Seq("phash") ++ (0 until bits).map(b =>
+      s"phash ^ shiftleft(CAST(1 AS BIGINT), $b)")).mkString(", ") + ")"
+    val ball = coded.select(col("media_type"), col("media_id"),
+      col("phash"), explode(expr(ballExpr)).as("v"))
+    ball.as("a").join(ball.as("b"),
+        col("a.media_type") === col("b.media_type") &&
+          col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_type").as("media_type"),
+        col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 1)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q50: ingest + stub-decode + per-modality stats ----------
@@ -188,8 +225,10 @@ object MultimodalOps {
     // enumerable and the toy corpus yields a populated result; a
     // production deployment widens the SAME dataflow to a 64-bit
     // signature (64-entry ball, near-singleton buckets at any
-    // realistic corpus — the q46 SimHash width), which changes only
-    // the two generated expression strings below.
+    // realistic corpus — the q46 SimHash width): the SAME
+    // [[phashBallPairs]] operator at bits = 64 (the ×30 probe
+    // MEASURED the narrow width's saturation at 43×; the 64-bit
+    // path is spec-pinned in MultimodalSpec).
     {
       // the signature expression is engine-shared text (instr
       // arithmetic, q79's technique); the hamming-1 ball differs only
@@ -199,9 +238,6 @@ object MultimodalOps {
         s"(CASE WHEN instr('0123456789abcdef', substring(h, $i, 1)) - 1 >= 8" +
           s" THEN ${1 << (i - 1)} ELSE 0 END)").mkString(" + ") +
         " AS BIGINT)"
-      val ballSpark = "array(" +
-        (Seq("phash") ++ (0 until 8).map(b => s"phash ^ ${1 << b}"))
-          .mkString(", ") + ")"
       val ballDuck = "[" +
         (Seq("phash") ++ (0 until 8).map(b => s"xor(phash, ${1 << b})"))
           .mkString(", ") + "]"
@@ -235,19 +271,9 @@ object MultimodalOps {
             md5(col("payload")).as("h"))
           .select(col("media_id"), col("media_type"),
             expr(phashSql).as("phash"))
-        val ball = coded.select(col("media_type"), col("media_id"),
-          col("phash"), explode(expr(ballSpark)).as("v"))
-        ball.as("a").join(ball.as("b"),
-            col("a.media_type") === col("b.media_type") &&
-              col("a.v") === col("b.v") &&
-              col("a.media_id") < col("b.media_id"))
-          .select(col("a.media_type").as("media_type"),
-            col("a.media_id").as("media_a"),
-            col("b.media_id").as("media_b"),
-            expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)")
-              .as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 1)
+        // the width-generic operator at the 8-bit testbed width —
+        // SAME code path a production deployment runs at bits = 64
+        phashBallPairs(coded, bits = 8)
           .orderBy("media_type", "media_a", "media_b")
       }
     }

@@ -102,4 +102,29 @@ class MultimodalSpec extends AnyFunSuite {
       .rdd.getNumPartitions
     assert(parts == 10)
   }
+
+  test("phashBallPairs at the production 64-bit width: exact hamming<=1, type-scoped, top-bit safe") {
+    import spark.implicits._
+    // crafted 64-bit codes: base pair at hamming 0, one at hamming 1
+    // flipping the TOP bit (1L<<63 — the sign-bit entry a naive
+    // negative literal would mangle), one at hamming 2 (must be
+    // rejected by the exact verify even though its ball collides),
+    // and a hamming-0 twin in a DIFFERENT media_type (must not pair)
+    val base = 0x0123456789abcdefL
+    val coded = Seq(
+      (1L, "image", base),
+      (2L, "image", base),                  // hamming 0 vs 1
+      (3L, "image", base ^ (1L << 63)),     // hamming 1 (top bit)
+      (4L, "image", base ^ 3L),             // hamming 2 → excluded
+      (5L, "audio", base)                   // other type → excluded
+    ).toDF("media_id", "media_type", "phash")
+    val got = graft.queries.MultimodalOps.phashBallPairs(coded, bits = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == Map(
+      ("image", 1L, 2L) -> 0L,
+      ("image", 1L, 3L) -> 1L,
+      ("image", 2L, 3L) -> 1L), got)
+  }
 }
