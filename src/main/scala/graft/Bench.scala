@@ -274,7 +274,12 @@ object Bench {
     "q94_edit_near_dup",       // Levenshtein verify on LSH candidates
     "q95_incremental_dedup",   // delta-vs-persisted-index join
     "q86_media_phash_near_dup",// hamming-ball multi-probe equi-join
-    "q100_bigram_lm_score")    // bigram-LM shuffle joins
+    "q100_bigram_lm_score",    // bigram-LM shuffle joins
+    // the line-dedup dup-table build + join-back: suffix-perturbed
+    // copies replicate the base corpus's duplicate-line structure
+    // ×factor, so both the dup table and the line stream scale
+    // linearly — the probe measures that the two-shuffle shape holds
+    "q101_line_dedup")
 
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,

@@ -58,6 +58,54 @@ object DedupOps {
     sh.join(stop, Seq(key), "left_anti")
   }
 
+  /** Corpus-level exact LINE dedup, keep-first (C4's span dedup at
+    * line granularity — Raffel et al. 2020 §2.2 discard all but one
+    * of any three-sentence span occurring more than once; RefinedWeb
+    * and Dolma run the same policy per line over the whole crawl).
+    * Input: (doc_id, `textCol`) with newline-delimited text. Every
+    * non-empty line is hashed; any line occurring more than once in
+    * the corpus keeps ONLY its first occurrence (minimum
+    * (doc_id, line_no)) and every other occurrence is removed.
+    * Returns (doc_id, n_lines, n_removed, kept_hash) per doc, where
+    * kept_hash digests the surviving lines re-joined with '\n' in
+    * original order (md5('') when nothing survives). Assumes
+    * < 1,000,000 lines per document (occurrence key packing).
+    *
+    * Scale shape: explode → ONE partial-aggregable groupBy on the
+    * line md5 (count + min occurrence key) filtered to df >= 2 —
+    * the duplicate-line table, typically ≪ |lines| on clean corpora
+    * — then one LEFT equi-join of the line stream against it and a
+    * final partial-aggregable per-doc rollup. No window over the
+    * corpus, no self-join, no comparison of line TEXT across the
+    * shuffle (only 128-bit hashes move twice); AQE broadcasts the
+    * dup table exactly when it is small and falls back to a shuffle
+    * join on boilerplate-heavy crawls where it is not.
+    */
+  def lineDedup(docsFrame: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = docsFrame
+      .select(col("doc_id"), posexplode(split(col(textCol), "\n")))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("line_no"),
+        col("col").as("line_text"))
+      .withColumn("occ_key", col("doc_id") * 1000000L + col("line_no"))
+      .withColumn("lh", md5(col("line_text")))
+    val dup = lines.groupBy("lh")
+      .agg(count(lit(1)).as("df"), min("occ_key").as("keeper_key"))
+      .filter(col("df") >= 2)
+      .select("lh", "keeper_key")
+    lines.join(dup, Seq("lh"), "left")
+      .withColumn("removed",
+        col("keeper_key").isNotNull && col("occ_key") =!= col("keeper_key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the NULL (removed) entries; array_sort
+        // on the (line_no, line_text) structs restores original order
+        md5(array_join(transform(array_sort(collect_list(
+            when(!col("removed"), struct(col("line_no"), col("line_text"))))),
+          e => e.getField("line_text")), "\n")).as("kept_hash"))
+  }
+
   /** doc_id + exploded distinct 3-token shingles over the
     * `documents` table at `dir`.
     */
@@ -1474,6 +1522,58 @@ object DedupOps {
       contaminationReport(sourcedShingles(s, dir), probeSource = "src0",
         minShared = 3)
         .orderBy("probe_id")
+    },
+
+    // ---- q101: corpus-level exact line dedup (keep-first) --------
+    // The C4/RefinedWeb line-granularity twin of q30's whole-doc and
+    // q71's chunk dedup: the synthetic corpus has no newlines, so the
+    // query derives deterministic 3-word "lines" from the token
+    // stream (identical expression both engines, the q74 planting
+    // pattern) and [[lineDedup]] removes every non-first occurrence
+    // of a repeated line corpus-wide. 3-word lines over the ~30-word
+    // shared vocabulary make cross-doc collisions common (~1.7k of
+    // ~9.2k lines removed at sf0.01), so keeper selection, the
+    // df >= 2 gate, and reconstruction order are all exercised.
+    QueryDef(
+      "q101_line_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(generate_series(0, CAST(ceil(len(t) / 3.0) AS BIGINT) - 1),
+        |      i -> array_to_string(t[(i*3+1):(i*3+3)], ' ')), chr(10)) AS t2
+        |  FROM toks WHERE len(t) > 0),
+        |lines AS (
+        |  SELECT doc_id, CAST(e.ln AS BIGINT) - 1 AS line_no, e.lx AS line_text,
+        |    doc_id * 1000000 + e.ln - 1 AS occ_key
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(string_split(t2, chr(10)),
+        |                                (lx, ln) -> {ln: ln, lx: lx})) AS e
+        |        FROM planted)
+        |  WHERE len(e.lx) > 0),
+        |dup AS (
+        |  SELECT md5(line_text) AS lh, min(occ_key) AS keeper_key
+        |  FROM lines GROUP BY md5(line_text) HAVING count(*) >= 2),
+        |marked AS (
+        |  SELECT l.doc_id, l.line_no, l.line_text,
+        |    (d.lh IS NOT NULL AND l.occ_key <> d.keeper_key) AS removed
+        |  FROM lines l LEFT JOIN dup d ON md5(l.line_text) = d.lh)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN NOT removed THEN line_text END,
+        |                          chr(10) ORDER BY line_no), '')) AS kept_hash
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), array_join(transform(
+            sequence(lit(0),
+              ceil(size(col("t")).cast("double") / 3).cast("int") - 1),
+            i => array_join(slice(col("t"), i * 3 + 1, lit(3)), " ")),
+          "\n").as("text"))
+      lineDedup(planted).orderBy("doc_id")
     }
   )
 }

@@ -1735,8 +1735,111 @@ object TextOps {
         |FROM pairs GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
       bpePairMerges(docs(s, dir).select("text"), topK = 20)
+    },
+
+    // ---- q102: C4 line-quality filter ----------------------------
+    // Raffel et al. 2020 §2.2's page cleaner over deterministic
+    // planted lines (the corpus has no newlines or punctuation, so
+    // the query derives 5-word lines and plants terminal punctuation
+    // on 2 of 3 lines, "lorem ipsum" on every 17th doc, and a brace
+    // on doc_id % 19 == 3 — identical expressions both engines, the
+    // q74 pattern). Every verdict path is populated at sf0.01:
+    // ~320 kept / ~120 too_few / ~30 lorem / ~25 brace.
+    QueryDef(
+      "q102_c4_line_filter",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(generate_series(0, CAST(ceil(len(t) / 5.0) AS BIGINT) - 1),
+        |      i -> array_to_string(t[(i*5+1):(i*5+5)], ' ')
+        |           || CASE CAST((doc_id + i) % 3 AS INTEGER)
+        |                WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '' END
+        |           || CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' lorem ipsum' ELSE '' END
+        |           || CASE WHEN doc_id % 19 = 3 AND i = 1 THEN ' {' ELSE '' END),
+        |    chr(10)) AS t2
+        |  FROM toks WHERE len(t) > 0),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(t2, chr(10)), l -> len(l) > 0) AS ls,
+        |    contains(lower(t2), 'lorem ipsum') AS has_lorem,
+        |    contains(t2, '{') AS has_brace
+        |  FROM planted),
+        |k AS (
+        |  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |    list_filter(ls, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?'))
+        |      AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 3)
+        |      AS kept_lines,
+        |    has_lorem, has_brace
+        |  FROM g)
+        |SELECT doc_id, n_lines, CAST(len(kept_lines) AS BIGINT) AS n_kept,
+        |  CASE WHEN has_lorem THEN 'lorem'
+        |       WHEN has_brace THEN 'brace'
+        |       WHEN len(kept_lines) < 5 THEN 'too_few'
+        |       ELSE 'kept' END AS verdict,
+        |  md5(CASE WHEN NOT has_lorem AND NOT has_brace AND len(kept_lines) >= 5
+        |       THEN array_to_string(kept_lines, chr(10)) ELSE '' END) AS kept_hash
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val planted = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), array_join(transform(
+            sequence(lit(0),
+              ceil(size(col("t")).cast("double") / 5).cast("int") - 1),
+            i => concat(
+              array_join(slice(col("t"), i * 5 + 1, lit(5)), " "),
+              when((col("doc_id") + i) % 3 === 0, lit("."))
+                .when((col("doc_id") + i) % 3 === 1, lit("!"))
+                .otherwise(lit("")),
+              when(col("doc_id") % 17 === 0 && i === 0, lit(" lorem ipsum"))
+                .otherwise(lit("")),
+              when(col("doc_id") % 19 === 3 && i === 1, lit(" {"))
+                .otherwise(lit("")))),
+          "\n").as("text"))
+      c4LineFilter(planted).orderBy("doc_id")
     }
   )
+
+  /** C4-style line-quality filter (Raffel et al. 2020 §2.2): keep
+    * only lines ending in terminal punctuation ('.', '!', '?') with
+    * at least `minWordsPerLine` words; drop the whole page when it
+    * mentions "lorem ipsum" (case-insensitive), contains a curly
+    * brace (the paper's code-page heuristic), or retains fewer than
+    * `minKeptLines` lines (the "fewer than N sentences" rule).
+    * Input: (doc_id, `textCol`) newline-delimited. Returns
+    * (doc_id, n_lines, n_kept, verdict, kept_hash) with verdict ∈
+    * {lorem, brace, too_few, kept}; kept_hash digests the surviving
+    * lines re-joined with '\n' (md5('') unless verdict = kept).
+    *
+    * Entirely per-row array/string expressions inside the scan's
+    * codegen stage — zero shuffle at any corpus size.
+    */
+  def c4LineFilter(docsFrame: DataFrame, textCol: String = "text",
+      minWordsPerLine: Int = 3, minKeptLines: Int = 5): DataFrame = {
+    val ls = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val keptLines = filter(ls, l =>
+      (endswith(l, lit(".")) || endswith(l, lit("!")) ||
+        endswith(l, lit("?"))) &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine)
+    docsFrame
+      .select(col("doc_id"),
+        size(ls).cast("long").as("n_lines"),
+        size(keptLines).cast("long").as("n_kept"),
+        (instr(lower(col(textCol)), "lorem ipsum") > 0).as("has_lorem"),
+        (instr(col(textCol), "{") > 0).as("has_brace"),
+        array_join(keptLines, "\n").as("kept_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        when(col("has_lorem"), "lorem")
+          .when(col("has_brace"), "brace")
+          .when(col("n_kept") < minKeptLines, "too_few")
+          .otherwise("kept").as("verdict"),
+        md5(when(!col("has_lorem") && !col("has_brace") &&
+            col("n_kept") >= minKeptLines, col("kept_text"))
+          .otherwise(lit(""))).as("kept_hash"))
+  }
 
   /** q98's operator: winnowing fingerprints (Schleimer et al. 2003)
     * over any (doc_id, text) frame — per doc: positional 3-token

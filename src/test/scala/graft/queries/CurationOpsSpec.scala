@@ -512,4 +512,57 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(4L)._2 > out(3L)._2, s"${out(4L)} vs ${out(3L)}")
     assert(!out.contains(5L))
   }
+
+  test("lineDedup: keep-first across and within docs, empty lines skipped") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Seq(
+      (1L, "alpha beta\ncommon line\ngamma"),
+      // cross-doc dup of "common line" (keeper is doc 1's line 1)
+      // PLUS a second within-doc occurrence — both must go
+      (2L, "common line\ndelta\ncommon line"),
+      (3L, "unique one\nunique two"),
+      // empty line is not a line: not counted, not hashed
+      (4L, "solo\n\ngamma zeta")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_hash")))).toMap
+    assert(out(1L) == ((3L, 0L, md5hex("alpha beta\ncommon line\ngamma"))))
+    assert(out(2L) == ((3L, 2L, md5hex("delta"))), out(2L))
+    assert(out(3L) == ((2L, 0L, md5hex("unique one\nunique two"))))
+    assert(out(4L) == ((2L, 0L, md5hex("solo\ngamma zeta"))), out(4L))
+  }
+
+  test("c4LineFilter: line rules, page verdicts, precedence, hash of survivors") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keptDoc = "one two three.\nfour five six!\nseven eight nine?\n" +
+      "ten eleven twelve.\nalpha beta gamma."
+    val rows = Seq(
+      (1L, keptDoc), // 5 kept lines → kept
+      // unpunctuated and 2-word lines dropped → 4 kept < 5 → too_few
+      (2L, "no punct here\nab cd.\n" + keptDoc.linesIterator.take(4).mkString("\n")),
+      // case-insensitive lorem page rule beats fine lines
+      (3L, keptDoc + "\nsee Lorem IPSUM inc."),
+      // brace page rule
+      (4L, keptDoc + "\nvar x = { a }."),
+      // both hazards → lorem wins (checked first)
+      (5L, keptDoc + "\nLorem ipsum { dolor }.")
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4LineFilter(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("verdict"), r.getAs[String]("kept_hash")))).toMap
+    assert(out(1L) == ((5L, 5L, "kept", md5hex(keptDoc))), out(1L))
+    assert(out(2L) == ((6L, 4L, "too_few", md5hex(""))), out(2L))
+    assert(out(3L)._3 == "lorem" && out(3L)._4 == md5hex(""), out(3L))
+    assert(out(4L)._3 == "brace", out(4L))
+    assert(out(5L)._3 == "lorem", out(5L))
+  }
 }

@@ -590,4 +590,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val read = p.linesIterator.find(_.contains("ReadSchema")).toSeq.mkString
     assert(!read.contains("text"), s"unmapped wide column not pruned:\n$read")
   }
+
+  test("q101 line dedup: equi-joins only, partial rollups, no window/cartesian") {
+    val p = plan("q101_line_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must never pair all lines:\n$p")
+    assert(!p.contains("Window"), s"no corpus-wide window:\n$p")
+    // dup-table build and per-doc rollup both map-side combine
+    assert(p.contains("partial_count"), s"rollups lack map-side partials:\n$p")
+  }
+
+  test("q102 C4 line filter is per-row: no join/window/hash shuffle") {
+    val p = plan("q102_c4_line_filter")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"line filter must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }
