@@ -13,6 +13,13 @@ import org.apache.spark.storage.StorageLevel
   * DuckDB; this object adds ordering, not logic):
   *
   *   1. PII redaction        — redactPii           (q74)
+  *   1a. (optional) C4 line-quality filter — terminal-punctuation /
+  *      min-words line rules + lorem/brace/too-few page verdicts
+  *      (q102); non-kept pages drop, kept pages are REWRITTEN to
+  *      their surviving lines
+  *   1b. (optional) corpus-level exact line dedup — every non-first
+  *      occurrence of a repeated line removed corpus-wide, docs
+  *      rewritten to their surviving lines (q101)
   *   2. quality filter       — gopherKept          (q73)
   *   3. exact dedup          — md5 keep-first      (q30)
   *   4. near-dup dedup       — MinHash/LSH pairs → connected
@@ -78,6 +85,18 @@ object CurationPipeline {
     * min-doc_id representative — the character-level fidelity pass
     * for OCR/code corpora where shingle Jaccard under-counts.
     *
+    * `c4Lines` / `dedupLines` insert the line-granularity cleanup
+    * stages (q102 / q101) right after redaction — for corpora with
+    * real newline structure (web crawls, OCR): the C4 page filter
+    * drops lorem/brace/too-few pages and strips unpunctuated or
+    * too-short lines from the rest; line dedup then removes every
+    * non-first occurrence of a line repeated ANYWHERE in the corpus
+    * (navigation chrome, license blocks). Both stages REWRITE `text`
+    * to the surviving lines, so the whole downstream pipeline —
+    * including the decontamination probe side — sees the cleaned
+    * text. Docs reduced to zero lines survive with empty text and
+    * die at the quality stage.
+    *
     * `budgetFrac = Some((num, den))` inserts the token-budget cut
     * (q96, TextOps.tokenBudgetSelect) after the CCNet stage: keep the
     * highest-alpha-ratio docs until num/den of the surviving tokens
@@ -91,7 +110,9 @@ object CurationPipeline {
       keepPplBuckets: Option[Set[String]] = None,
       budgetFrac: Option[(Int, Int)] = None,
       editMinSim: Option[Double] = None,
-      semanticDecon: Option[(DataFrame, DataFrame, Double)] = None)
+      semanticDecon: Option[(DataFrame, DataFrame, Double)] = None,
+      c4Lines: Boolean = false,
+      dedupLines: Boolean = false)
       : Seq[StageCount] = {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
@@ -118,9 +139,35 @@ object CurationPipeline {
         .select(col("doc_id"), col("redacted").as("text"),
           col("lang"), col("source")))
 
+    // 1a. optional C4 line-quality filter (q102) — per-row rules;
+    // pages with a non-kept verdict drop (inner join), kept pages are
+    // rewritten to their surviving lines. One doc_id equi-join of the
+    // corpus against its own per-row projection — no new aggregation.
+    val lineFiltered = if (!c4Lines) redacted else stage("line_filter",
+      redacted.join(
+          TextOps.c4LineFilterFrame(redacted.select("doc_id", "text"))
+            .filter(col("verdict") === "kept")
+            .select(col("doc_id"), col("kept_text")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("kept_text").as("text"),
+          col("lang"), col("source")))
+
+    // 1b. optional corpus-level exact line dedup (q101) — every
+    // non-first occurrence of a repeated line removed corpus-wide;
+    // docs rewritten to their surviving lines (possibly empty text,
+    // which the quality stage then drops). q101's two-equi-shuffle
+    // shape + one doc_id join back.
+    val lineDeduped = if (!dedupLines) lineFiltered else stage("line_dedup",
+      lineFiltered.join(
+          DedupOps.lineDedupFrame(lineFiltered.select("doc_id", "text"))
+            .select(col("doc_id"), col("kept_text")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("kept_text").as("text"),
+          col("lang"), col("source")))
+
     // 2. quality — per-row predicate, zero shuffle (q73)
     val quality = stage("quality",
-      redacted.filter(TextOps.gopherKept(col("text"))))
+      lineDeduped.filter(TextOps.gopherKept(col("text"))))
 
     // 3. exact dedup — keep the min doc_id per content hash: q30's
     // hash-groupBy (map-side partials reduce to one (hash, keeper)
@@ -249,8 +296,8 @@ object CurationPipeline {
     // lose the whole ledger after the pipeline already ran
     ledger += StageCount("written", weighted.count())
 
-    Seq(input, redacted, quality, exact, nearDeduped, editDeduped,
-        clean0, clean, kept, budgeted, weighted)
+    Seq(input, redacted, lineFiltered, lineDeduped, quality, exact,
+        nearDeduped, editDeduped, clean0, clean, kept, budgeted, weighted)
       .foreach(_.unpersist())
     // release the operator-internal persists this run introduced
     // (every action is complete by now — the shard write and the

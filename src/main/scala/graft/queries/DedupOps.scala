@@ -81,7 +81,17 @@ object DedupOps {
     * dup table exactly when it is small and falls back to a shuffle
     * join on boilerplate-heavy crawls where it is not.
     */
-  def lineDedup(docsFrame: DataFrame, textCol: String = "text"): DataFrame = {
+  def lineDedup(docsFrame: DataFrame, textCol: String = "text"): DataFrame =
+    lineDedupFrame(docsFrame, textCol)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("kept_text")).as("kept_hash"))
+
+  /** [[lineDedup]] returning the surviving TEXT instead of its digest
+    * — the form the curation pipeline consumes (kept lines re-joined
+    * with '\n'; '' when every line was removed). Docs with no
+    * non-empty lines have no line rows and are absent.
+    */
+  def lineDedupFrame(docsFrame: DataFrame, textCol: String = "text"): DataFrame = {
     val lines = docsFrame
       .select(col("doc_id"), posexplode(split(col(textCol), "\n")))
       .filter(length(col("col")) > 0)
@@ -101,9 +111,9 @@ object DedupOps {
         sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
         // collect_list skips the NULL (removed) entries; array_sort
         // on the (line_no, line_text) structs restores original order
-        md5(array_join(transform(array_sort(collect_list(
+        array_join(transform(array_sort(collect_list(
             when(!col("removed"), struct(col("line_no"), col("line_text"))))),
-          e => e.getField("line_text")), "\n")).as("kept_hash"))
+          e => e.getField("line_text")), "\n").as("kept_text"))
   }
 
   /** doc_id + exploded distinct 3-token shingles over the

@@ -1818,6 +1818,17 @@ object TextOps {
     * codegen stage — zero shuffle at any corpus size.
     */
   def c4LineFilter(docsFrame: DataFrame, textCol: String = "text",
+      minWordsPerLine: Int = 3, minKeptLines: Int = 5): DataFrame =
+    c4LineFilterFrame(docsFrame, textCol, minWordsPerLine, minKeptLines)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("verdict"),
+        md5(when(col("verdict") === "kept", col("kept_text"))
+          .otherwise(lit(""))).as("kept_hash"))
+
+  /** [[c4LineFilter]] returning the surviving TEXT instead of its
+    * digest — the form the curation pipeline consumes (kept lines
+    * re-joined with '\n'; only meaningful when verdict = kept).
+    */
+  def c4LineFilterFrame(docsFrame: DataFrame, textCol: String = "text",
       minWordsPerLine: Int = 3, minKeptLines: Int = 5): DataFrame = {
     val ls = filter(split(col(textCol), "\n"), l => length(l) > 0)
     val keptLines = filter(ls, l =>
@@ -1836,9 +1847,7 @@ object TextOps {
           .when(col("has_brace"), "brace")
           .when(col("n_kept") < minKeptLines, "too_few")
           .otherwise("kept").as("verdict"),
-        md5(when(!col("has_lorem") && !col("has_brace") &&
-            col("n_kept") >= minKeptLines, col("kept_text"))
-          .otherwise(lit(""))).as("kept_hash"))
+        col("kept_text"))
   }
 
   /** q98's operator: winnowing fingerprints (Schleimer et al. 2003)

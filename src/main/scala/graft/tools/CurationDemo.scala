@@ -41,9 +41,13 @@ object CurationDemo {
           s"SPARK_GRAFT_BUDGET_FRAC must look like 1/2 (got '$s')")
       }
     }
+    // SPARK_GRAFT_LINE_STAGES=1 enables the C4 line filter (q102) +
+    // corpus-level line dedup (q101) — for newline-structured corpora
+    val lineStages = sys.env.get("SPARK_GRAFT_LINE_STAGES").contains("1")
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
-      outDir = outDir, keepPplBuckets = keep, budgetFrac = budget)
+      outDir = outDir, keepPplBuckets = keep, budgetFrac = budget,
+      c4Lines = lineStages, dedupLines = lineStages)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
     // an all-filtered corpus writes no files — report that instead

@@ -282,6 +282,80 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"unexpected extra drops: ${kept1 -- kept2}")
   }
 
+  test("line stages: C4 page hazards and a corpus-repeated line die only with the stages on") {
+    import spark.implicits._
+    val footer = "the footer of this site."
+    // every doc passes the Gopher rules (incl. doc B AFTER losing the
+    // footer line), vocabularies are disjoint enough that no cross-doc
+    // near-dup or probe contamination fires — the line stages are the
+    // only thing that can kill the planted hazards
+    val docA = Seq("the quick parser reads files.", "every batch lands sorted rows.",
+      "content varies widely across pages.", "metrics track progress during runs.",
+      "alpha nodes emit stable output.", footer).mkString("\n")
+    val docB = Seq("beta workers copy fresh chunks.", "yellow signals mark the edges.",
+      footer, "quiet stages finish in order.", "green totals appear near charts.",
+      "final report sums all values.").mkString("\n")
+    val docBCleaned = docB.linesIterator.filterNot(_ == footer).mkString("\n")
+    val docC = Seq("the mapper splits a stream.", "rows gather into neat blocks.",
+      "code sample has { tokens.", "orange panels show busy hours.",
+      "workers drain queues rather fast.", "daily counts land before noon.")
+      .mkString("\n")
+    val docD = Seq("violet pages render quite slowly.", "classic lorem ipsum filler text.",
+      "the editor saves a draft.", "cached entries expire every hour.",
+      "simple designs win user trust.", "backup copies live in vaults.")
+      .mkString("\n")
+    val docE = Seq("small nightly jobs rarely fail.", "the cluster heals of itself.",
+      "spare capacity covers peak load.", "alerts reach oncall within seconds.")
+      .mkString("\n")
+    val docF = Seq("six engines process large graphs.", "tokens stream through tight loops.",
+      "the planner picks a path.", "results match expected golden files.",
+      "nothing stalls when memory grows.", "logs rotate after ten minutes.")
+      .mkString("\n")
+    val docG = Seq("seven drivers poll remote shards.", "compact indexes speed narrow reads.",
+      "a sweeper trims the cache.", "heavy writes batch under pressure.",
+      "stable clocks keep events ordered.", "weekly audits find zero gaps.")
+      .mkString("\n")
+    val docs = Seq(
+      (1L, docA, "en", "src1"), // keeper of the footer line
+      (2L, docB, "en", "src2"), // later occurrence → footer stripped
+      (3L, docC, "en", "src3"), // '{' page → brace verdict
+      (4L, docD, "en", "src4"), // lorem ipsum page
+      (5L, docE, "en", "src5"), // only 4 kept lines → too_few
+      (6L, docF, "en", "src6"),
+      (7L, docG, "en", "src7"),
+      (100L, "evaluation answers remain sealed inside locked drawers until release day.",
+        "en", "src0") // probe source, never emitted
+    ).toDF("doc_id", "text", "lang", "source")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_lines").toString
+    val ledger = CurationPipeline.run(spark, docs, probeSource = "src0",
+      outDir = out, c4Lines = true, dedupLines = true)
+    assert(ledger.map(_.stage) == Seq("input", "redacted", "line_filter",
+      "line_dedup", "quality", "exact_dedup", "near_dedup",
+      "decontaminated", "written"), ledger)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    // line_filter kills C (brace), D (lorem), E (too_few) and the
+    // one-line probe doc; nothing later kills anything
+    assert(counts("line_filter") == 4L, ledger)
+    assert(counts("written") == 4L, ledger)
+    val byId = spark.read.parquet(out).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(byId.keySet == Set(1L, 2L, 6L, 7L), byId.keySet)
+    // keep-first: doc A keeps the footer line, doc B loses exactly it
+    assert(byId(1L) == docA, byId.get(1L))
+    assert(byId(2L) == docBCleaned, byId.get(2L))
+
+    // control: with the stages off the same hazards sail through —
+    // the deaths above are attributable to the line stages alone
+    val out2 = java.nio.file.Files.createTempDirectory("graft_lines2").toString
+    val ledger2 = CurationPipeline.run(spark, docs, "src0", out2)
+    assert(!ledger2.map(_.stage).exists(_.startsWith("line_")), ledger2)
+    val byId2 = spark.read.parquet(out2).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(Set(3L, 4L, 5L).subsetOf(byId2.keySet), byId2.keySet)
+    assert(byId2(2L).contains(footer), "control run must keep the repeated line")
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the
