@@ -68,8 +68,10 @@ object DedupOps {
     * (doc_id, line_no)) and every other occurrence is removed.
     * Returns (doc_id, n_lines, n_removed, kept_hash) per doc, where
     * kept_hash digests the surviving lines re-joined with '\n' in
-    * original order (md5('') when nothing survives). Assumes
-    * < 1,000,000 lines per document (occurrence key packing).
+    * original order (md5('') when nothing survives). The occurrence
+    * key is a (doc_id, line_no) STRUCT whose lexicographic min picks
+    * the keeper — no arithmetic packing, so any doc_id range (incl.
+    * negative) and any lines-per-doc count are handled exactly.
     *
     * Scale shape: explode → ONE partial-aggregable groupBy on the
     * line md5 (count + min occurrence key) filtered to df >= 2 —
@@ -97,15 +99,15 @@ object DedupOps {
       .filter(length(col("col")) > 0)
       .select(col("doc_id"), col("pos").cast("long").as("line_no"),
         col("col").as("line_text"))
-      .withColumn("occ_key", col("doc_id") * 1000000L + col("line_no"))
+      .withColumn("occ", struct(col("doc_id"), col("line_no")))
       .withColumn("lh", md5(col("line_text")))
     val dup = lines.groupBy("lh")
-      .agg(count(lit(1)).as("df"), min("occ_key").as("keeper_key"))
+      .agg(count(lit(1)).as("df"), min("occ").as("keeper"))
       .filter(col("df") >= 2)
-      .select("lh", "keeper_key")
+      .select("lh", "keeper")
     lines.join(dup, Seq("lh"), "left")
       .withColumn("removed",
-        col("keeper_key").isNotNull && col("occ_key") =!= col("keeper_key"))
+        col("keeper").isNotNull && col("occ") =!= col("keeper"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
