@@ -41,11 +41,22 @@ object Tables {
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // already an instant — nothing to do
+      case TimestampType => df
+      // parquet Timestamp(isAdjustedToUTC=false, µs): the session TZ is
+      // pinned UTC above, so casting to TimestampType preserves the
+      // wall-clock value as the same instant the oracle (DuckDB) sees
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      // legacy testdata shape: parquet TIMESTAMP(NANOS) scanned as raw
+      // int64 via nanosAsLong — floor-convert nanos → µs
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected TIMESTAMP, TIMESTAMP_NTZ or INT64 nanos")
+    }
   }
 }
