@@ -156,13 +156,17 @@ object CurationPipeline {
     // non-first occurrence of a repeated line removed corpus-wide;
     // docs rewritten to their surviving lines (possibly empty text,
     // which the quality stage then drops). q101's two-equi-shuffle
-    // shape + one doc_id join back.
+    // shape + one doc_id join back. LEFT join: a doc whose text has
+    // zero non-empty lines gets no lineDedupFrame row but must still
+    // reach (and die at) the quality stage, not vanish here — the
+    // ledger attributes each drop to the stage whose rule fired.
     val lineDeduped = if (!dedupLines) lineFiltered else stage("line_dedup",
       lineFiltered.join(
           DedupOps.lineDedupFrame(lineFiltered.select("doc_id", "text"))
             .select(col("doc_id"), col("kept_text")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("kept_text").as("text"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("kept_text"), lit("")).as("text"),
           col("lang"), col("source")))
 
     // 2. quality — per-row predicate, zero shuffle (q73)

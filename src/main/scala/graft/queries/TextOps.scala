@@ -364,9 +364,13 @@ object TextOps {
       minStop: Int = 2, minTtr: Double = 0.3): Column = {
     val t = tokens(text)
     val n = size(t)
+    // divide by max(n,1): under ANSI SQL the (n > 0) conjunct below
+    // does NOT short-circuit, so a token-less doc would otherwise
+    // throw DIVIDE_BY_ZERO instead of being dropped
+    val nDiv = greatest(n, lit(1))
     val meanWlen = aggregate(t, lit(0L),
-      (acc, x) => acc + length(x)).cast("double") / n
-    val ttr = size(array_distinct(t)).cast("double") / n
+      (acc, x) => acc + length(x)).cast("double") / nDiv
+    val ttr = size(array_distinct(t)).cast("double") / nDiv
     val nStop = size(filter(t,
       x => x.isin("the", "a", "of", "and", "to", "in", "is")))
     (n > 0) &&

@@ -356,6 +356,38 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(byId2(2L).contains(footer), "control run must keep the repeated line")
   }
 
+  test("line_dedup attributes a zero-line doc's death to quality, not to itself") {
+    import spark.implicits._
+    // a whitespace-only doc yields NO rows from lineDedupFrame (no
+    // non-empty lines) — the 1b left join must carry it through with
+    // text '' so it dies at the quality stage the comment promises,
+    // not silently at line_dedup (ledger-attribution regression)
+    val footer = "the footer of this site."
+    val docA = Seq("the quick parser reads files.", "every batch lands sorted rows.",
+      "content varies widely across pages.", "metrics track progress during runs.",
+      "alpha nodes emit stable output.", footer).mkString("\n")
+    val docs = Seq(
+      (1L, docA, "en", "src1"),
+      (2L, "\n\n   \n", "en", "src2"), // zero non-empty lines
+      (100L, "evaluation answers remain sealed inside locked drawers until release day.",
+        "en", "src0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = java.nio.file.Files.createTempDirectory("graft_zeroline").toString
+    val ledger = CurationPipeline.run(spark, docs, probeSource = "src0",
+      outDir = out, dedupLines = true)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(ledger.map(_.stage) == Seq("input", "redacted", "line_dedup",
+      "quality", "exact_dedup", "near_dedup", "decontaminated",
+      "written"), ledger)
+    // both non-probe docs survive line_dedup; the whitespace doc dies
+    // at quality (the probe doc is single-line and also quality-fails)
+    assert(counts("line_dedup") == 3L,
+      s"zero-line doc dropped at line_dedup: $ledger")
+    assert(counts("quality") == 1L, ledger)
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), kept)
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the
