@@ -274,6 +274,11 @@ object Bench {
     "q94_edit_near_dup",       // Levenshtein verify on LSH candidates
     "q95_incremental_dedup",   // delta-vs-persisted-index join
     "q86_media_phash_near_dup",// hamming-ball multi-probe equi-join
+    // the production 64-bit width next to its 8-bit testbed: the pair
+    // of ratios is the measured version of the q86 SCALE NOTE — the
+    // narrow width saturates (Σ bucket² over 256 codes) while 64-bit
+    // buckets stay near-singleton and its ratio stays ~linear
+    "q86_64_media_phash_near_dup",
     "q100_bigram_lm_score",    // bigram-LM shuffle joins
     // the line-dedup dup-table build + join-back: suffix-perturbed
     // copies replicate the base corpus's duplicate-line structure

@@ -276,6 +276,91 @@ object MultimodalOps {
         phashBallPairs(coded, bits = 8)
           .orderBy("media_type", "media_a", "media_b")
       }
+    },
+
+    // ---- q86_64: PRODUCTION-width (64-bit) pHash near-dup ---------
+    // The width q86's SCALE NOTE prescribes, oracle-checked: a 64-bit
+    // signature from all 32 md5 digits (bits 0-31 = digit ≥ 8 — the
+    // "DCT coefficient above median" stand-in; bits 32-63 = digit
+    // parity), so buckets are near-singletons and candidate volume
+    // stays ~linear where the 8-bit testbed saturates (measured 43×
+    // at the ×30 probe). Because a 64-bit signature pairs almost
+    // nothing on a natural toy corpus, hamming-0/1/2 twins are
+    // PLANTED off the lowest media_ids — identical hash, the TOP-bit
+    // (bit 63, the sign bit: the overflow-prone lane in both
+    // engines' BIGINT) flip, a low-bit flip, and a hamming-2 decoy
+    // that must ball-collide yet be rejected by the exact bit_count
+    // verify. Both engines compute the same signed-BIGINT arithmetic.
+    {
+      def digit(i: Int) =
+        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      // bit value b as signed BIGINT, per engine: bit 63 is the sign
+      // bit — Spark's shiftleft wraps to Long.MinValue, DuckDB's <<
+      // overflows, so DuckDB gets the literal via a HUGEINT cast
+      def bitSpark(b: Int) = s"shiftleft(CAST(1 AS BIGINT), $b)"
+      def bitDuck(b: Int) =
+        if (b == 63) "CAST(-9223372036854775808 AS BIGINT)"
+        else s"(CAST(1 AS BIGINT) << $b)"
+      def phash64(bit: Int => String) = "CAST(" + ((1 to 32).map(i =>
+        s"(CASE WHEN ${digit(i)} >= 8 THEN ${bit(i - 1)} ELSE CAST(0 AS BIGINT) END)") ++
+        (1 to 32).map(i =>
+          s"(CASE WHEN ${digit(i)} % 2 = 1 THEN ${bit(31 + i)} ELSE CAST(0 AS BIGINT) END)"))
+        .mkString(" + ") + " AS BIGINT)"
+      val ballDuck64 = "[" +
+        (Seq("phash") ++ (0 until 64).map(b => s"xor(phash, ${bitDuck(b)})"))
+          .mkString(", ") + "]"
+      QueryDef(
+        "q86_64_media_phash_near_dup",
+        s"""WITH media AS (
+          |  SELECT doc_id AS media_id,
+          |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |         ELSE 'video' END AS media_type,
+          |    md5(text) AS h
+          |  FROM documents),
+          |coded AS (
+          |  SELECT media_id, media_type, ${phash64(bitDuck)} AS phash FROM media),
+          |planted AS (
+          |  SELECT * FROM coded
+          |  UNION ALL SELECT media_id + 1000000, media_type, phash
+          |    FROM coded WHERE media_id < 4
+          |  UNION ALL SELECT media_id + 2000000, media_type,
+          |    xor(phash, ${bitDuck(63)}) FROM coded WHERE media_id < 4
+          |  UNION ALL SELECT media_id + 3000000, media_type,
+          |    xor(phash, ${bitDuck(0)}) FROM coded WHERE media_id < 4
+          |  UNION ALL SELECT media_id + 4000000, media_type,
+          |    xor(xor(phash, ${bitDuck(0)}), ${bitDuck(1)})
+          |    FROM coded WHERE media_id < 4),
+          |ball AS (
+          |  SELECT media_id, media_type, phash, unnest($ballDuck64) AS v
+          |  FROM planted),
+          |cand AS (
+          |  SELECT DISTINCT a.media_type,
+          |    a.media_id AS media_a, b.media_id AS media_b,
+          |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          |  FROM ball a JOIN ball b
+          |    ON a.media_type = b.media_type AND a.v = b.v
+          |      AND a.media_id < b.media_id)
+          |SELECT media_type, media_a, media_b, hamming
+          |FROM cand WHERE hamming <= 1
+          |ORDER BY media_type, media_a, media_b""".stripMargin) { (s, dir) =>
+        val base = Multimodal
+          .mediaFromDocuments(Tables(s, dir, "documents"))
+          .select(col("media_id"), col("media_type"),
+            md5(col("payload")).as("h"))
+          .select(col("media_id"), col("media_type"),
+            expr(phash64(bitSpark)).as("phash"))
+        def twin(off: Long, ph: String) = base
+          .filter(col("media_id") < 4)
+          .select((col("media_id") + off).as("media_id"),
+            col("media_type"), expr(ph).as("phash"))
+        val coded = base
+          .unionByName(twin(1000000L, "phash"))
+          .unionByName(twin(2000000L, s"phash ^ ${bitSpark(63)}"))
+          .unionByName(twin(3000000L, s"phash ^ ${bitSpark(0)}"))
+          .unionByName(twin(4000000L, s"phash ^ ${bitSpark(0)} ^ ${bitSpark(1)}"))
+        phashBallPairs(coded, bits = 64)
+          .orderBy("media_type", "media_a", "media_b")
+      }
     }
   )
 }
