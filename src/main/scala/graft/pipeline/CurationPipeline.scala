@@ -205,8 +205,11 @@ object CurationPipeline {
     // capped — q94's exact scale contract — and the edges resolve
     // through the same CC + min-id materialization as stage 4.
     val editDeduped = editMinSim.fold(nearDeduped) { minSim =>
+      // the generous q94 verify-bill cap: no-op at natural density,
+      // bounds per-doc Levenshtein cost on adversarial (OCR) corpora
       val epairs = DedupOps.editNearDupPairs(spark,
-          nearDeduped.select("doc_id", "text"), minSim)
+          nearDeduped.select("doc_id", "text"), minSim,
+          maxCandidatesPerDoc = Some(64))
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val ekept = DedupOps.dedupMaterialize(
           nearDeduped.select("doc_id"),

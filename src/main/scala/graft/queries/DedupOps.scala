@@ -199,7 +199,7 @@ object DedupOps {
     // signature + set size from the native per-row expression — the
     // exploded `sh` frame is only needed for exact-Jaccard verify
     val sig = minhashSig(s, docs)
-    val cand = bandedCandidates(sig)
+    val cand = bandedCandidates(sig).select("doc_a", "doc_b")
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
@@ -229,21 +229,25 @@ object DedupOps {
           col("m.n").as("n")): _*)
   }
 
-  /** Banded LSH candidate pairs (doc_a < doc_b, distinct) from a
-    * signature frame. Bands as rows → candidates via shuffle
-    * EQUI-join on the band hash (the oracle's OR-join is semantically
-    * identical but wouldn't scale; this does). Band hash folded to
-    * int64 (xxhash64) — an 8-byte shuffle key instead of 64 hex
-    * chars; a collision could only add a candidate pair, which the
-    * caller's exact verification stage then rejects.
+  /** Banded LSH candidate pairs (doc_a < doc_b) from a signature
+    * frame, with `n_bands` = how many of the [[NumBands]] bands
+    * agree. Bands as rows → candidates via shuffle EQUI-join on the
+    * band hash (the oracle's OR-join is semantically identical but
+    * wouldn't scale; this does). Band hash folded to int64
+    * (xxhash64) — an 8-byte shuffle key instead of 64 hex chars; a
+    * collision could only add a candidate pair (or inflate its
+    * n_bands by one), which the caller's exact verification stage
+    * then rejects. The groupBy-count dedup costs the same shuffle
+    * the old `.distinct()` did; n_bands is free and is what the
+    * candidate-budget cap ranks by ([[editNearDupPairs]]).
     */
   private def bandedCandidates(sig: DataFrame): DataFrame = {
     val bands = bandFrame(sig)
     bands.as("ba").join(bands.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
           col("ba.doc_id") < col("bb.doc_id"))
-      .select(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("ba.doc_id").as("doc_a"), col("bb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
   }
 
   /** (doc_id, band, bh) band rows for a signature frame — the LSH
@@ -326,10 +330,42 @@ object DedupOps {
     * doc_id twice — equi-joins, text moves only for candidate rows.
     * Empty-text division-by-zero cannot occur: minhashSig drops
     * token-less docs, so every candidate has >= 3 tokens.
+    *
+    * `maxCandidatesPerDoc`: the VERIFY-BILL cap. Banding bounds the
+    * candidate count at natural near-dup density, but an adversarial
+    * corpus (OCR noise over boilerplate: thousands of docs banding
+    * together without being exact dups) can hand one doc thousands
+    * of candidates, and each costs a ~capChars² Levenshtein — the
+    * first bill to explode at 100 TB. With the cap, each doc keeps
+    * only its N most-promising candidates RANKED BY BAND AGREEMENT
+    * (more agreeing bands ⇒ higher estimated Jaccard ⇒ likelier to
+    * survive the verify; ties broken by partner id for determinism),
+    * a pair surviving if EITHER endpoint ranks it — so the TOTAL
+    * verify bill is bounded by 2N·n Levenshteins (each surviving
+    * pair is ranked by at least one endpoint, and each doc ranks at
+    * most 2N: N as the a-side, N as the b-side) — linear in corpus
+    * size with constant 2N regardless of corpus pathology — while a
+    * generous cap is a no-op on natural corpora (every candidate
+    * ranks). Two row_number windows over the candidate frame —
+    * candidate-sized shuffles keyed by doc, never corpus-sized.
     */
   private[graft] def editNearDupPairs(s: SparkSession, docs: DataFrame,
-      minSim: Double, capChars: Int = 4000): DataFrame = {
-    val cand = bandedCandidates(minhashSig(s, docs))
+      minSim: Double, capChars: Int = 4000,
+      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
+    val scored = bandedCandidates(minhashSig(s, docs))
+    val cand = maxCandidatesPerDoc.fold(scored.select("doc_a", "doc_b")) { n =>
+      require(n >= 1, s"maxCandidatesPerDoc must be >= 1 (got $n)")
+      import org.apache.spark.sql.expressions.Window
+      val byA = Window.partitionBy("doc_a")
+        .orderBy(col("n_bands").desc, col("doc_b"))
+      val byB = Window.partitionBy("doc_b")
+        .orderBy(col("n_bands").desc, col("doc_a"))
+      scored
+        .withColumn("ra", row_number().over(byA))
+        .withColumn("rb", row_number().over(byB))
+        .filter(col("ra") <= n || col("rb") <= n)
+        .select("doc_a", "doc_b")
+    }
     val capped = docs.select(col("doc_id"),
       substring(col("text"), 1, capChars).as("ct"))
     cand
@@ -971,8 +1007,13 @@ object DedupOps {
          |SELECT doc_a, doc_b, edit_dist, edit_sim
          |FROM scored WHERE edit_sim >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // generous verify-bill cap: a no-op at natural near-dup density
+      // (the oracle runs UNCAPPED and stays row-identical — the
+      // driver's hash compare proves the cap dropped nothing), while
+      // bounding per-doc Levenshtein cost on adversarial corpora
       editNearDupPairs(s,
-        Tables(s, dir, "documents").select("doc_id", "text"), minSim = 0.8)
+        Tables(s, dir, "documents").select("doc_id", "text"), minSim = 0.8,
+        maxCandidatesPerDoc = Some(64))
         .orderBy("doc_a", "doc_b")
     },
 

@@ -343,6 +343,31 @@ class CurationOpsSpec extends AnyFunSuite {
     got.filter(x => x._2 == 3L).foreach(x => assert(x._4 >= 0.95, x))
   }
 
+  test("editNearDupPairs candidate cap: generous cap is a no-op, tight cap keeps exactly the ranked pairs") {
+    import spark.implicits._
+    // adversarial clique: 10 identical docs → 45 candidate pairs, all
+    // with full band agreement — the verify-bill pathology the cap
+    // exists for (every pair costs a Levenshtein without it)
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = (1L to 10L).map(id => (id, text)).toDF("doc_id", "text")
+
+    def pairs(cap: Option[Int]) =
+      DedupOps.editNearDupPairs(spark, docs, minSim = 0.8,
+          maxCandidatesPerDoc = cap)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    val uncapped = pairs(None)
+    assert(uncapped.size == 45, s"expected the full clique: $uncapped")
+    // a cap at least the per-doc candidate count changes nothing
+    assert(pairs(Some(64)) == uncapped)
+    // cap = 1 with all-equal n_bands and id tie-breaks: pair (a, b)
+    // survives iff b is a's lowest partner (b = a + 1) or a is b's
+    // lowest partner (a = 1) — each doc ranks its best on both sides
+    val want = (2L to 10L).map(b => (1L, b)).toSet ++
+      (2L to 9L).map(a => (a, a + 1L)).toSet
+    assert(pairs(Some(1)) == want, s"got ${pairs(Some(1))}")
+  }
+
   test("tokenBudgetSelect matches a plain-Scala greedy bucket cut across budget fractions") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
