@@ -1828,31 +1828,44 @@ object TextOps {
         md5(when(col("verdict") === "kept", col("kept_text"))
           .otherwise(lit(""))).as("kept_hash"))
 
+  /** The C4 line/page rules as a single per-row STRUCT Column
+    * (n_lines, n_kept, verdict, kept_text) over a text Column — the
+    * rule engine shared by the batch frame (q102), the curation
+    * pipeline stage, and the streaming / ingestion-time forms
+    * ([[graft.streaming.StreamOps.c4LineFilterStream]]): pure
+    * codegen'd array expressions, zero state, zero shuffle at any
+    * batch size.
+    */
+  def c4LineStruct(text: Column,
+      minWordsPerLine: Int = 3, minKeptLines: Int = 5): Column = {
+    val ls = filter(split(text, "\n"), l => length(l) > 0)
+    val keptLines = filter(ls, l =>
+      (endswith(l, lit(".")) || endswith(l, lit("!")) ||
+        endswith(l, lit("?"))) &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine)
+    val nKept = size(keptLines)
+    struct(
+      size(ls).cast("long").as("n_lines"),
+      nKept.cast("long").as("n_kept"),
+      when(instr(lower(text), "lorem ipsum") > 0, "lorem")
+        .when(instr(text, "{") > 0, "brace")
+        .when(nKept < minKeptLines, "too_few")
+        .otherwise("kept").as("verdict"),
+      array_join(keptLines, "\n").as("kept_text"))
+  }
+
   /** [[c4LineFilter]] returning the surviving TEXT instead of its
     * digest — the form the curation pipeline consumes (kept lines
     * re-joined with '\n'; only meaningful when verdict = kept).
     */
   def c4LineFilterFrame(docsFrame: DataFrame, textCol: String = "text",
-      minWordsPerLine: Int = 3, minKeptLines: Int = 5): DataFrame = {
-    val ls = filter(split(col(textCol), "\n"), l => length(l) > 0)
-    val keptLines = filter(ls, l =>
-      (endswith(l, lit(".")) || endswith(l, lit("!")) ||
-        endswith(l, lit("?"))) &&
-        size(filter(split(l, " "), w => length(w) > 0)) >= minWordsPerLine)
+      minWordsPerLine: Int = 3, minKeptLines: Int = 5): DataFrame =
     docsFrame
       .select(col("doc_id"),
-        size(ls).cast("long").as("n_lines"),
-        size(keptLines).cast("long").as("n_kept"),
-        (instr(lower(col(textCol)), "lorem ipsum") > 0).as("has_lorem"),
-        (instr(col(textCol), "{") > 0).as("has_brace"),
-        array_join(keptLines, "\n").as("kept_text"))
-      .select(col("doc_id"), col("n_lines"), col("n_kept"),
-        when(col("has_lorem"), "lorem")
-          .when(col("has_brace"), "brace")
-          .when(col("n_kept") < minKeptLines, "too_few")
-          .otherwise("kept").as("verdict"),
-        col("kept_text"))
-  }
+        c4LineStruct(col(textCol), minWordsPerLine, minKeptLines).as("c4"))
+      .select(col("doc_id"), col("c4.n_lines").as("n_lines"),
+        col("c4.n_kept").as("n_kept"), col("c4.verdict").as("verdict"),
+        col("c4.kept_text").as("kept_text"))
 
   /** q98's operator: winnowing fingerprints (Schleimer et al. 2003)
     * over any (doc_id, text) frame — per doc: positional 3-token

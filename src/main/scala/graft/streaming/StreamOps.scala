@@ -326,6 +326,30 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("n_tok"), col("score_bp"),
         when(col("score_bp") >= lit(cutoff), 1L).otherwise(0L).as("kept"))
 
+  /** Streaming C4 line/page filter — the streaming form of the batch
+    * q102 operator: pages with a non-kept verdict (lorem / brace /
+    * too-few-kept-lines) drop, survivors are rewritten to their kept
+    * lines in `textCol`, every other column passes through untouched
+    * (so it composes in front of the stateful dedup stages and
+    * inside an ingestion [[graft.pipeline.CurateSink]]).
+    *
+    * Scale/state story: the rules are ONE per-row struct expression
+    * ([[graft.queries.TextOps.c4LineStruct]] — the exact engine q102
+    * and the pipeline stage run), so the operator is fully
+    * STATELESS: no watermark state, no join, no shuffle, verdicts
+    * emit immediately at any rate; stream and batch agree
+    * row-for-row (pinned by StreamOpsSpec).
+    */
+  def c4LineFilterStream(docs: DataFrame, textCol: String = "text",
+      minWordsPerLine: Int = 3, minKeptLines: Int = 5): DataFrame = {
+    val others = docs.columns.filter(_ != textCol).map(col).toSeq
+    docs
+      .withColumn("c4", graft.queries.TextOps.c4LineStruct(
+        col(textCol), minWordsPerLine, minKeptLines))
+      .filter(col("c4.verdict") === "kept")
+      .select(others :+ col("c4.kept_text").as(textCol): _*)
+  }
+
   /** ONLINE semantic decontamination — the streaming form of the
     * batch q54 operator
     * ([[graft.queries.SimilarityOps.semanticDecontaminate]]): every

@@ -293,4 +293,43 @@ class PipelineSpec extends AnyFunSuite {
     val red = r.getAs[String]("redacted")
     assert(red.contains("<EMAIL>") && !red.contains("ops@example.com"))
   }
+
+  test("ingestion-time curation: C4 line filter inside foreachBatch rewrites pages at landing") {
+    // the q102 page rules run INSIDE the ingest hot path: the same
+    // stateless c4LineFilterStream operator composes into CurateSink,
+    // so lorem/brace/thin pages never land and survivors land already
+    // rewritten to their kept lines — no second pass over the corpus
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("graft_c4_ingest").toString
+    val pipeline = new ProtoPipeline(cfg)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SrcRec]
+    val footer = "short line"
+    val goodPage = Seq("the quick parser reads files.",
+      "every batch lands sorted rows.", "content varies widely across pages.",
+      "metrics track progress during runs.", "alpha nodes emit stable output.",
+      "totals appear near the charts.", footer).mkString("\n")
+    val loremPage = "classic lorem ipsum filler text.\n" + goodPage
+    def msg(details: String): Array[Byte] = Wire.message { w =>
+      w.string(1, "order-1").string(3, details)
+        .message(4, Fixtures.timestampBytes(1700000000L))
+    }
+    stream.addData(rec(msg(goodPage), 300), rec(msg(loremPage), 301))
+    val curated = new CurateSink(new ParquetSink(s"$dir/out"),
+      df => StreamOps.c4LineFilterStream(df, "order_details_field"))
+    val q = pipeline.start(stream.toDF(), curated,
+      new DlqJsonSink(s"$dir/dlq"), s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(s"$dir/out")
+    assert(landed.count() == 1, "lorem page must be dropped at ingest")
+    val r = landed.first()
+    assert(r.getAs[Long]("message_offset") == 300L)
+    // landed text is the REWRITTEN page: kept lines only, the
+    // non-sentence footer line stripped
+    val text = r.getAs[String]("order_details_field")
+    assert(!text.contains(footer) && text.linesIterator.size == 6, text)
+  }
 }

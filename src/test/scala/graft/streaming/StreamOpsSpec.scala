@@ -470,6 +470,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("tier") == null) // left outer keeps unmatched
   }
 
+  test("PARITY: streaming C4 line filter equals the batch q102 frame, doc for doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus + planted pages covering every verdict: a kept
+    // multi-line page (rewritten to its kept lines), a lorem page, a
+    // brace page, a too-few page — stream and batch must agree on
+    // exactly which docs survive and on the rewritten text
+    val keptPage = Seq("the quick parser reads files.", "every batch lands sorted rows.",
+      "content varies widely across pages.", "metrics track progress during runs.",
+      "alpha nodes emit stable output.", "totals appear near the charts.").mkString("\n")
+    val real = graft.Tables(spark, parityDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val planted = Seq(
+      (90001L, keptPage),
+      (90002L, "lorem ipsum filler sits here.\n" + keptPage),
+      (90003L, "code sample has { tokens.\n" + keptPage),
+      (90004L, "one short line."))
+    val all = (real ++ planted).map { case (id, t) => (id, t, ts(0)) }
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(all)
+    val q = c4LineFilterStream(
+        stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("c4_line_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("c4_line_parity")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+
+    val batch = graft.queries.TextOps.c4LineFilterFrame(
+        all.toDF("doc_id", "text", "ts"))
+      .filter(col("verdict") === "kept")
+      .select("doc_id", "kept_text").as[(Long, String)].collect().toMap
+    assert(streamed == batch,
+      s"missing=${batch.keySet -- streamed.keySet} extra=${streamed.keySet -- batch.keySet}")
+    assert(streamed.contains(90001L) && streamed(90001L) == keptPage)
+    assert(!streamed.contains(90002L) && !streamed.contains(90003L)
+      && !streamed.contains(90004L))
+    // pass-through: the ts column survives the rewrite
+    assert(spark.table("c4_line_parity").columns.toSeq ==
+      Seq("doc_id", "ts", "text"))
+  }
+
   test("PARITY: online ppl-bucket tagging equals the batch q89 per-doc buckets row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
