@@ -399,6 +399,29 @@ object SimilarityOps {
       (0 until Pq.m).map(s => (-col(s"b$s.nc")).cast("int").as(s"c$s")): _*)
   }
 
+  /** INCREMENTAL maintenance of the [[buildIvfPqIndex]] index: encode
+    * ONLY the arriving delta (per-row, delta-sized work) and append
+    * it to the standing index, dropping delta rows whose cand_id is
+    * already indexed (at-least-once ingest re-delivers). With the
+    * codebook FIXED, encoding is per-row and therefore
+    * append-invariant: `append(build(old), delta) == build(old ∪
+    * delta)` row-identically — pinned by AnnRecallSpec (including
+    * through a parquet round-trip of the standing index) and by
+    * q84_ivfpq_incremental, whose DuckDB oracle is the FULL-rebuild
+    * search. The standing corpus is never re-read or re-encoded —
+    * the q95 standing-index contract completed for ANN. The
+    * overlap anti-join keys on cand_id over slim (5-int) index rows;
+    * bucketing the persisted index by cand_id makes it shuffle-free
+    * on the index side. Codebook drift (re-fitting centroids) is a
+    * REBUILD, not an append — the fixed codebook is exactly what
+    * makes per-row encoding incremental.
+    */
+  def appendToIvfPqIndex(index: DataFrame, delta: DataFrame,
+      codebook: Seq[(Int, Seq[Double])]): DataFrame =
+    index.unionByName(
+      buildIvfPqIndex(delta, codebook)
+        .join(index.select("cand_id"), Seq("cand_id"), "left_anti"))
+
   /** The query half of [[ivfPqSearch]]: probe an already-built
     * (cand_id, cell_id, c0..c3) index — see [[buildIvfPqIndex]] for
     * why the split exists. Probes + integer micro LUTs broadcast
@@ -605,6 +628,62 @@ object SimilarityOps {
     }
     cents
   }
+
+  /** q84's full-rebuild IVF-PQ oracle — shared verbatim by
+    * q84_ivfpq_incremental: the incremental append must be
+    * hash-identical to the rebuild, so the SAME SQL is its oracle.
+    */
+  private val ivfPqOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cent AS (SELECT * FROM (VALUES
+      |    ${Ivf.centSqlValues}) t(cell_id, cent)),
+      |pcent AS (SELECT * FROM (VALUES
+      |    ${Pq.sqlValues}) t(sub, code, cent)),
+      |asg AS (
+      |  SELECT cand_id, cell_id FROM (
+      |    SELECT c.vec_id AS cand_id, t.cell_id,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.emb, t.cent) /
+      |          (sqrt(list_dot_product(c.emb, c.emb)) *
+      |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+      |    FROM e c, cent t WHERE c.vec_id >= 5) z WHERE rn = 1),
+      |prb AS (
+      |  SELECT query_id, cell_id FROM (
+      |    SELECT q.vec_id AS query_id, t.cell_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.emb, t.cent) /
+      |          (sqrt(list_dot_product(q.emb, q.emb)) *
+      |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+      |    FROM e q, cent t WHERE q.vec_id < 5) z WHERE rn <= 2),
+      |d AS (
+      |  SELECT e.vec_id, t.sub, t.code,
+      |    (SELECT sum((x - y) * (x - y)) FROM
+      |      (SELECT unnest(e.emb[(t.sub * 16 + 1):(t.sub * 16 + 16)]) AS x,
+      |              unnest(t.cent) AS y) z) AS d2
+      |  FROM e, pcent t),
+      |best AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code, row_number() OVER (
+      |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |    FROM d WHERE vec_id >= 5) z WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS query_id, sub, code,
+      |    CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS dm
+      |  FROM d WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT p.query_id, a.cand_id,
+      |    CAST(sum(l.dm) AS BIGINT) AS adc2_micro
+      |  FROM prb p JOIN asg a ON p.cell_id = a.cell_id
+      |    JOIN best b ON b.vec_id = a.cand_id
+      |    JOIN lut l ON l.query_id = p.query_id AND l.sub = b.sub
+      |      AND l.code = b.code
+      |  GROUP BY p.query_id, a.cand_id),
+      |r AS (
+      |  SELECT query_id, cand_id, adc2_micro, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY adc2_micro, cand_id) AS rnk
+      |  FROM adc)
+      |SELECT query_id, cand_id, adc2_micro, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -995,61 +1074,42 @@ object SimilarityOps {
     // join + bounded heap (PlanAuditSpec).
     QueryDef(
       "q84_ivfpq_ann",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cent AS (SELECT * FROM (VALUES
-        |    ${Ivf.centSqlValues}) t(cell_id, cent)),
-        |pcent AS (SELECT * FROM (VALUES
-        |    ${Pq.sqlValues}) t(sub, code, cent)),
-        |asg AS (
-        |  SELECT cand_id, cell_id FROM (
-        |    SELECT c.vec_id AS cand_id, t.cell_id,
-        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |        list_dot_product(c.emb, t.cent) /
-        |          (sqrt(list_dot_product(c.emb, c.emb)) *
-        |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
-        |    FROM e c, cent t WHERE c.vec_id >= 5) z WHERE rn = 1),
-        |prb AS (
-        |  SELECT query_id, cell_id FROM (
-        |    SELECT q.vec_id AS query_id, t.cell_id,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_dot_product(q.emb, t.cent) /
-        |          (sqrt(list_dot_product(q.emb, q.emb)) *
-        |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
-        |    FROM e q, cent t WHERE q.vec_id < 5) z WHERE rn <= 2),
-        |d AS (
-        |  SELECT e.vec_id, t.sub, t.code,
-        |    (SELECT sum((x - y) * (x - y)) FROM
-        |      (SELECT unnest(e.emb[(t.sub * 16 + 1):(t.sub * 16 + 16)]) AS x,
-        |              unnest(t.cent) AS y) z) AS d2
-        |  FROM e, pcent t),
-        |best AS (
-        |  SELECT vec_id, sub, code FROM (
-        |    SELECT vec_id, sub, code, row_number() OVER (
-        |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
-        |    FROM d WHERE vec_id >= 5) z WHERE rn = 1),
-        |lut AS (
-        |  SELECT vec_id AS query_id, sub, code,
-        |    CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS dm
-        |  FROM d WHERE vec_id < 5),
-        |adc AS (
-        |  SELECT p.query_id, a.cand_id,
-        |    CAST(sum(l.dm) AS BIGINT) AS adc2_micro
-        |  FROM prb p JOIN asg a ON p.cell_id = a.cell_id
-        |    JOIN best b ON b.vec_id = a.cand_id
-        |    JOIN lut l ON l.query_id = p.query_id AND l.sub = b.sub
-        |      AND l.code = b.code
-        |  GROUP BY p.query_id, a.cand_id),
-        |r AS (
-        |  SELECT query_id, cand_id, adc2_micro, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY adc2_micro, cand_id) AS rnk
-        |  FROM adc)
-        |SELECT query_id, cand_id, adc2_micro, CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) {
+      ivfPqOracleSql) {
       (s, dir) =>
         val e = emb(s, dir)
         ivfPqSearch(
           e.filter(col("vec_id") >= 5)
             .select(col("vec_id").as("cand_id"), col("e").as("ce")),
+          e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("e").as("qe")),
+          Ivf.codebook, nprobe = 2, k = 5)
+          .orderBy("query_id", "rnk")
+    },
+
+    // ---- q84_ivfpq_incremental: standing index + delta append -----
+    // The ingestion-time shape of ANN index maintenance
+    // ([[appendToIvfPqIndex]]): the standing corpus's index is built
+    // once, the arriving delta (cand_id % 4 = 0 — q95's "today's
+    // crawl" stand-in) is encoded per-row and appended, and a batch
+    // of RE-DELIVERED already-indexed docs (cand_id % 8 = 1, a subset
+    // of the standing side — at-least-once ingest) must be dropped by
+    // the overlap anti-join. The ORACLE IS q84's FULL-REBUILD SQL
+    // verbatim: the driver's hash compare is the proof that
+    // append(build(old), delta ∪ redelivered) == build(old ∪ delta)
+    // through actual search results.
+    QueryDef(
+      "q84_ivfpq_incremental",
+      ivfPqOracleSql) {
+      (s, dir) =>
+        val e = emb(s, dir)
+        val cands = e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+        val standing = buildIvfPqIndex(
+          cands.filter(col("cand_id") % 4 =!= 0), Ivf.codebook)
+        val delta = cands.filter(
+          col("cand_id") % 4 === 0 || col("cand_id") % 8 === 1)
+        ivfPqSearchIndex(
+          appendToIvfPqIndex(standing, delta, Ivf.codebook),
           e.filter(col("vec_id") < 5)
             .select(col("vec_id").as("query_id"), col("e").as("qe")),
           Ivf.codebook, nprobe = 2, k = 5)

@@ -176,6 +176,51 @@ class AnnRecallSpec extends AnyFunSuite {
         s"diff=${fused.collect { case (k, v) if stored.get(k) != Some(v) => k }.take(3)}")
   }
 
+  test("appendToIvfPqIndex through a persisted index equals the full rebuild, re-deliveries dropped") {
+    import org.apache.spark.sql.functions._
+    // the standing-index maintenance contract: persist the old
+    // corpus's index, append a delta that ALSO re-delivers
+    // already-indexed docs (at-least-once ingest), and the result
+    // must be row-identical to rebuilding over the union — index
+    // rows AND search results — without re-reading old embeddings
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val old = corpus.filter(col("cand_id") % 4 =!= 0)
+    val delta = corpus.filter(
+      col("cand_id") % 4 === 0 || col("cand_id") % 8 === 1)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    SimilarityOps.buildIvfPqIndex(old, SimilarityOps.Ivf.codebook)
+      .write.mode("overwrite").parquet(dir)
+    val appended = SimilarityOps.appendToIvfPqIndex(
+      spark.read.parquet(dir), delta, SimilarityOps.Ivf.codebook)
+    val rebuilt = SimilarityOps.buildIvfPqIndex(
+      corpus, SimilarityOps.Ivf.codebook)
+
+    def idx(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (1 until r.length).map(r.getInt).toSeq).toMap
+    val ai = idx(appended)
+    assert(ai.nonEmpty && ai == idx(rebuilt),
+      "appended index != rebuilt index")
+    // no duplicate cand_id rows from the re-delivered docs
+    assert(appended.count() == appended.select("cand_id").distinct().count())
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val viaAppend = rows(SimilarityOps.ivfPqSearchIndex(appended, queries,
+      SimilarityOps.Ivf.codebook, nprobe = 2, k = 5))
+    val viaRebuild = rows(SimilarityOps.ivfPqSearchIndex(rebuilt, queries,
+      SimilarityOps.Ivf.codebook, nprobe = 2, k = 5))
+    assert(viaAppend.nonEmpty && viaAppend == viaRebuild)
+  }
+
   test("prototypePrune keeps each cell's farthest members, rank ascending in similarity") {
     import spark.implicits._
     // two orthogonal prototypes; per cell, vectors at increasing
