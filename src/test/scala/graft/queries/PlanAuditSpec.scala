@@ -213,6 +213,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q86_64 production-width pHash keeps the same ball equi-join shape at 64 bits") {
+    val p = plan("q86_64_media_phash_near_dup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degenerated to an all-pairs theta join:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q84 incremental append keeps the rebuild's shape: broadcast probe join, anti-join on cand_id, no cartesian") {
+    val p = plan("q84_ivfpq_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the query side:\n$p")
+    // the overlap dedup is a LeftAnti equi-join on cand_id over slim
+    // index rows — never a cartesian or a window
+    assert(p.contains("LeftAnti"), s"re-delivery dedup lost its anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"rank funneled a window:\n$p")
+    assert(p.contains("partial_topk_collect"),
+      s"top-k is not a map-side bounded heap:\n$p")
+  }
+
   test("q82 PQ encoding is pure per-row folds: no join, no window, no hash shuffle") {
     val p = plan("q82_pq_codes")
     assert(!p.contains("Join"), s"sub-assignment must not join:\n$p")
@@ -243,7 +264,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q94_edit_near_dup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q94 candidate join must stay an equi-join on (band, bh):\n$p")
-    assert(!p.contains("Window"), s"q94 must not grow a window:\n$p")
+    // the ONLY windows are the verify-bill cap's two candidate-sized
+    // row_number ranks, partitioned by the pair endpoints — never a
+    // corpus-wide or per-query funnel
+    val winKeys = "partitionBy=\\[(\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(winKeys.subsetOf(Set("doc_a", "doc_b")),
+      s"q94 windows must only be the per-doc candidate-cap ranks:\n$p")
     // levenshtein must sit above the candidate join (verify stage),
     // not inside the scan (which would be all-pairs work)
     assert(p.contains("levenshtein"), s"q94 lost its verify stage:\n$p")
