@@ -13,16 +13,25 @@ object Verify {
     // driver never sets it, so its runs always dump every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    SparkEntry.queries
-      .filter { case (name, _) =>
-        only.forall(_.exists(name.contains)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val attempted = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    val failed = attempted.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
+    // a query that errors at construction never reaches the compare
+    // artifact, so an all-green CORRECTNESS file can hide dead
+    // queries (it did in round 11) — record the failures loudly and
+    // machine-readably next to the dump
+    System.err.println(
+      s"[verify] dumped ${attempted.size - failed.size}/${attempted.size}" +
+        (if (failed.isEmpty) "" else s"; FAILED: ${failed.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,6 +47,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failed.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }
