@@ -378,10 +378,15 @@ object Bench {
     val full = s"""{"factor":$factor,"runs_per_query":$probeRuns,""" +
       s""""gen_sec":$genSec,"rows_base":$rowsBase,""" +
       s""""rows_scaled":${rowsBase * factor},"queries":$fullQ}"""
+    // first-wins short keys, full name on collision (the headline
+    // map's rule) — q86_64's "q86" prefix must not overwrite q86's
+    // probe entry in the compact JSON
+    val seenShort = scala.collection.mutable.HashSet.empty[String]
     val compactQ = probed.map { case (name, best, _, baseM) =>
       val short = name.takeWhile(_ != '_')
+      val key = if (seenShort.add(short)) short else name
       val ratio = for (m <- best; b <- baseM if b > 0) yield m / b
-      "\"" + short + "\":{\"s\":" + best.fold("null")(fmt3) +
+      "\"" + key + "\":{\"s\":" + best.fold("null")(fmt3) +
         ",\"r\":" + ratio.fold("null")(fmt3) + "}"
     }.mkString("{", ",", "}")
     (full, s"""{"factor":$factor,"queries":$compactQ}""")

@@ -352,20 +352,7 @@ object DedupOps {
   private[graft] def editNearDupPairs(s: SparkSession, docs: DataFrame,
       minSim: Double, capChars: Int = 4000,
       maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
-    val scored = bandedCandidates(minhashSig(s, docs))
-    val cand = maxCandidatesPerDoc.fold(scored.select("doc_a", "doc_b")) { n =>
-      require(n >= 1, s"maxCandidatesPerDoc must be >= 1 (got $n)")
-      import org.apache.spark.sql.expressions.Window
-      val byA = Window.partitionBy("doc_a")
-        .orderBy(col("n_bands").desc, col("doc_b"))
-      val byB = Window.partitionBy("doc_b")
-        .orderBy(col("n_bands").desc, col("doc_a"))
-      scored
-        .withColumn("ra", row_number().over(byA))
-        .withColumn("rb", row_number().over(byB))
-        .filter(col("ra") <= n || col("rb") <= n)
-        .select("doc_a", "doc_b")
-    }
+    val cand = editCandidates(s, docs, maxCandidatesPerDoc)
     val capped = docs.select(col("doc_id"),
       substring(col("text"), 1, capChars).as("ct"))
     cand
@@ -380,6 +367,31 @@ object DedupOps {
           greatest(length(col("ta")), length(col("tb"))), 4))
       .filter(col("edit_sim") >= minSim)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
+  }
+
+  /** [[editNearDupPairs]]'s candidate stage, exposed so the
+    * verify-bill contract is countable: each returned pair costs
+    * exactly one Levenshtein, so |editCandidates| IS the verify
+    * bill. DedupScaleSpec pins that on an adversarial clique the
+    * uncapped count grows quadratically while the capped count
+    * follows the 2N·n linear bound.
+    */
+  private[graft] def editCandidates(s: SparkSession, docs: DataFrame,
+      maxCandidatesPerDoc: Option[Int]): DataFrame = {
+    val scored = bandedCandidates(minhashSig(s, docs))
+    maxCandidatesPerDoc.fold(scored.select("doc_a", "doc_b")) { n =>
+      require(n >= 1, s"maxCandidatesPerDoc must be >= 1 (got $n)")
+      import org.apache.spark.sql.expressions.Window
+      val byA = Window.partitionBy("doc_a")
+        .orderBy(col("n_bands").desc, col("doc_b"))
+      val byB = Window.partitionBy("doc_b")
+        .orderBy(col("n_bands").desc, col("doc_a"))
+      scored
+        .withColumn("ra", row_number().over(byA))
+        .withColumn("rb", row_number().over(byB))
+        .filter(col("ra") <= n || col("rb") <= n)
+        .select("doc_a", "doc_b")
+    }
   }
 
   /** Edge-count budget for the single-pass connected-components path:

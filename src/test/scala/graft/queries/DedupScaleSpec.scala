@@ -250,6 +250,36 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(math.abs(b(3) - 0.0095) < 1e-12)
   }
 
+  test("q94 candidate cap flattens the adversarial verify bill: quadratic uncapped, 2N*n-bounded capped") {
+    import spark.implicits._
+    // the SCALE DATAPOINT for the verify-bill cap, counted not timed:
+    // each editCandidates pair costs exactly one Levenshtein, so the
+    // pair count IS the bill. An identical-docs clique (the OCR/
+    // boilerplate pathology: everything bands together) at two sizes —
+    // uncapped must grow as n(n-1)/2 (quadratic), capped at N must
+    // follow the exact 4n-10 closed form (< the 2N*n linear bound)
+    def clique(n: Int) = {
+      val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+      (1L to n.toLong).map(id => (id, text)).toDF("doc_id", "text")
+    }
+    def count(n: Int, cap: Option[Int]): Long =
+      DedupOps.editCandidates(spark, clique(n), cap).count()
+    for (n <- Seq(40, 120)) {
+      assert(count(n, None) == n.toLong * (n - 1) / 2,
+        s"uncapped clique n=$n must be the full pair space")
+      // cap N=2, all-equal band agreement, id tie-breaks: ra<=2 keeps
+      // (a,a+1),(a,a+2); rb<=2 keeps (1,b),(2,b) — union 4n-10 pairs
+      assert(count(n, Some(2)) == 4L * n - 10,
+        s"capped clique n=$n bill is not the 4n-10 ranked set")
+      assert(count(n, Some(2)) <= 2L * 2 * n, "2N*n bound violated")
+    }
+    // growth across the 3x size step: quadratic 9.15x vs linear 3.13x
+    assert(count(120, None) * 10 > count(40, None) * 90,
+      "uncapped growth should be ~quadratic")
+    assert(count(120, Some(2)) * 10 < count(40, Some(2)) * 35,
+      "capped growth must stay ~linear")
+  }
+
   test("connectedComponents resolves chains and keeps separate clusters apart") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11. Tiny graph →
