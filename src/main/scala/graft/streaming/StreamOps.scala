@@ -350,6 +350,38 @@ object StreamOps {
       .select(others :+ col("c4.kept_text").as(textCol): _*)
   }
 
+  /** STREAMING ANN index maintenance — the streaming form of
+    * [[graft.queries.SimilarityOps.appendToIvfPqIndex]]: every
+    * arriving embedding (`cand_id, ce: array<double>, ts`) is
+    * PQ-encoded per-row against the fixed codebook and emitted as a
+    * (cand_id, cell_id, c0..c3) index row for the sink to append to
+    * the standing index — the standing corpus is never re-read, and
+    * arriving vectors are never stored as floats beyond the
+    * micro-batch (the 32× PQ state compression applies to the stream
+    * too).
+    *
+    * Scale/state story: encoding is per-row expressions (cell argmax
+    * + sub-space argmins against the literal codebook — no join, no
+    * shuffle); re-deliveries of already-INDEXED docs die in a
+    * stream-static LEFT ANTI join against the standing index's slim
+    * (cand_id) side, and re-deliveries WITHIN the stream die in
+    * watermark-evicted dropDuplicates state keyed by cand_id — both
+    * delta-sized, neither grows with the standing corpus. With the
+    * codebook fixed, appending the emitted rows reproduces the full
+    * rebuild row-identically (the batch operator's invariant, pinned
+    * stream-vs-batch by StreamOpsSpec).
+    */
+  def annIndexAppendStream(docs: DataFrame, standingIndex: DataFrame,
+      codebook: Seq[(Int, Seq[Double])],
+      lateness: String = "1 hour"): DataFrame =
+    graft.queries.SimilarityOps.buildIvfPqIndex(
+        docs
+          .withWatermark("ts", lateness)
+          .dropDuplicatesWithinWatermark("cand_id")
+          .select("cand_id", "ce"),
+        codebook)
+      .join(standingIndex.select("cand_id"), Seq("cand_id"), "left_anti")
+
   /** ONLINE semantic decontamination — the streaming form of the
     * batch q54 operator
     * ([[graft.queries.SimilarityOps.semanticDecontaminate]]): every

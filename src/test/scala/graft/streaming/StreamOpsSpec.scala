@@ -515,6 +515,53 @@ class StreamOpsSpec extends AnyFunSuite {
       Seq("doc_id", "ts", "text"))
   }
 
+  test("PARITY: streaming ANN index append equals the batch rebuild's new rows, re-deliveries dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    val e = graft.Tables(spark, parityDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val standing = SimilarityOps.buildIvfPqIndex(
+      corpus.filter(col("cand_id") % 4 =!= 0), SimilarityOps.Ivf.codebook)
+
+    // the arriving delta: genuinely-new docs, re-deliveries of
+    // already-INDEXED docs (must die in the static anti-join), and an
+    // in-stream double delivery (must die in the watermark dedup)
+    val newDocs = corpus.filter(col("cand_id") % 4 === 0)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val redelivered = corpus.filter(col("cand_id") % 8 === 1)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val arriving = (newDocs ++ redelivered ++ newDocs.take(1))
+      .map { case (id, v) => (id, v, ts(0)) }
+
+    val stream = MemoryStream[(Long, Seq[Double], Timestamp)]
+    stream.addData(arriving)
+    val q = annIndexAppendStream(
+        stream.toDF().toDF("cand_id", "ce", "ts"),
+        standing, SimilarityOps.Ivf.codebook)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ann_append_parity").start()
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getInt).toSeq)
+    val streamed = rows(spark.table("ann_append_parity"))
+    // exactly the rebuild's NEW rows: full index minus standing rows
+    val want = rows(SimilarityOps.buildIvfPqIndex(
+      corpus, SimilarityOps.Ivf.codebook)).toMap --
+      rows(standing).map(_._1)
+    assert(streamed.length == streamed.map(_._1).distinct.length,
+      "duplicate index rows emitted")
+    assert(want.nonEmpty && streamed.toMap == want,
+      s"missing=${(want.keySet -- streamed.map(_._1)).take(3)} " +
+        s"extra=${(streamed.map(_._1).toSet -- want.keySet).take(3)}")
+  }
+
   test("PARITY: online ppl-bucket tagging equals the batch q89 per-doc buckets row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
