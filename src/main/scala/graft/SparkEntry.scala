@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupOps, EtlQueries, MultimodalOps, Relational, RetrievalOps, SimilarityOps, TextOps}
+import graft.queries.{DedupOps, EtlQueries, MultimodalOps, Relational, RetrievalOps, SimilarityOps, TextOps, WebOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     Relational.defs ++ EtlQueries.defs ++ TextOps.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ MultimodalOps.defs ++
-      RetrievalOps.defs
+      RetrievalOps.defs ++ WebOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-provenance curation operators: URL canonicalization, URL-level
+  * deduplication, and per-domain document caps.
+  *
+  * These are the stages a web-crawl training-data pipeline runs
+  * BEFORE content-level dedup — C4/CCNet/RefinedWeb-style corpora
+  * dedup on the canonicalized URL first (it is free relative to text
+  * hashing: the key is tens of bytes, already materialized, and
+  * catches the bulk of recrawl duplicates), then cap per-registered-
+  * domain document counts so no single domain dominates the mixture.
+  *
+  * The reference (beast) is a Kafka→BigQuery loader with no web
+  * curation surface; these operators are part of graft's north-star
+  * LLM-pipeline extension, like DedupOps/TextOps.
+  *
+  * Scale shape: canonicalization is a pure per-row expression chain
+  * (codegen'd, zero shuffle); URL dedup is one hash-groupBy on the
+  * canonical key with map-side partials; the domain cap is the
+  * bounded-heap `topk_collect` aggregate — per-domain state is
+  * O(cap), so a 100 TB crawl where one domain holds 10% of all docs
+  * costs that reducer O(cap) memory, not a window sort funnel of the
+  * whole domain.
+  */
+object WebOps {
+
+  /** Canonicalize a URL string column:
+    *
+    *  - scheme and host lowercased (RFC 3986 §6.2.2.1 — both are
+    *    case-insensitive; the path is NOT and is preserved);
+    *  - leading `www.` stripped from the host;
+    *  - default ports dropped (`https`:443, `http`:80); any other
+    *    explicit port kept;
+    *  - tracking parameters (`utm_*`) removed, remaining query
+    *    params sorted so param order never splits a key;
+    *  - fragment dropped (never sent to the server);
+    *  - trailing slashes stripped from the path.
+    *
+    * Everything is `functions._` regexp/array work — one codegen'd
+    * projection, no UDF, no shuffle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostport, ":[0-9]+$", "")), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val rawq = regexp_extract(url, "\\?([^#]*)", 1)
+    val q = array_join(
+      array_sort(filter(split(rawq, "&"),
+        p => length(p) > 0 && substring(p, 1, 4) =!= "utm_")), "&")
+    val portPart = when(
+      port =!= "" && !((scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80")),
+      concat(lit(":"), port)).otherwise(lit(""))
+    val qPart = when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))
+    concat(scheme, lit("://"), host, portPart, path, qPart)
+  }
+
+  /** The canonical host (registered-domain proxy) of a URL column —
+    * the same host normalization `canonicalizeUrl` applies.
+    */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_replace(
+        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+        ":[0-9]+$", "")),
+      "^www\\.", "")
+
+  /** URL-level dedup: group by canonical URL, keep the first-crawled
+    * doc (min doc_id). One shuffle, partial-aggregable.
+    */
+  def urlDedup(docsWithUrl: DataFrame, urlCol: String = "url"): DataFrame =
+    docsWithUrl
+      .groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+
+  /** Per-domain document cap: keep at most `cap` docs per canonical
+    * host, preferring longer docs (n_chars DESC, doc_id ASC tiebreak
+    * — `topk_collect`'s exact ordering, = `row_number()` semantics).
+    *
+    * Deliberately NOT a `row_number` window: a window partitioned by
+    * host sorts each domain's full row set on one reducer, and real
+    * crawls have domains with 10^8 pages. The bounded heap keeps
+    * O(cap) state per domain on both the map and reduce side.
+    */
+  def domainCap(docsWithUrl: DataFrame, cap: Int,
+      urlCol: String = "url"): DataFrame =
+    docsWithUrl
+      .groupBy(canonicalHost(col(urlCol)).as("host"))
+      .agg(expr(s"topk_collect(n_chars, doc_id, $cap)").as("top"))
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), col("col.id").as("doc_id"),
+        col("col.score").as("n_chars"),
+        (col("pos") + 1).cast("long").as("rnk"))
+
+  /** Deterministic synthetic URL for the `documents` table (the
+    * testdata carries no URL column). Derived only from (doc_id,
+    * source) with messy-but-realistic variation — mixed-case scheme
+    * and host, `www.` prefixes, explicit default port, trailing
+    * slash, `utm_*` tracking params, shuffled param order, fragments
+    * — so canonicalization has real work to do, and collisions are
+    * planted by construction: the canonical key is (source,
+    * doc_id % 50), giving exact duplicate groups the oracle computes
+    * independently. Both engines synthesize the identical string.
+    */
+  def synthUrl(d: Column, s: Column): Column = {
+    val k = (d % 50).cast("string")
+    concat(
+      when(d % 3 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(d % 2 === 0, "WWW.").otherwise(""),
+      s, lit(".Example.COM"),
+      when(d % 5 === 0, ":443").otherwise(""),
+      lit("/articles/"), k,
+      when(d % 4 === 0, "/").otherwise(""),
+      when(d % 2 === 1, concat(lit("?utm_source=feed&ref=rss&id="), k))
+        .otherwise(concat(lit("?id="), k, lit("&ref=rss"))),
+      when(d % 7 === 0, "#section-2").otherwise(""))
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def docsWithUrl(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("url", synthUrl(col("doc_id"), col("source")))
+
+  /** The oracle-side twin of `synthUrl` (DuckDB SQL). */
+  private val synthUrlSql: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+      | CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+      | source || '.Example.COM' ||
+      | CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      | '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+      | CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      | CASE WHEN doc_id % 2 = 1
+      |      THEN '?utm_source=feed&ref=rss&id=' || CAST(doc_id % 50 AS VARCHAR)
+      |      ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&ref=rss' END ||
+      | CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q103: URL canonicalization + URL-level dedup ------------
+    // The oracle runs the full canonicalization spec independently
+    // (regexp extraction, host/scheme lowering, www/port/utm/
+    // fragment/trailing-slash handling, param sort) — a hash match
+    // means the Spark expression chain implements the spec exactly.
+    QueryDef(
+      "q103_url_dedup",
+      s"""WITH u AS (
+         |  SELECT doc_id, $synthUrlSql AS url FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+         |  FROM u),
+         |p AS (
+         |  SELECT doc_id, scheme,
+         |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
+         |                   '^www\\.', '') AS host,
+         |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+         |    regexp_replace(rawpath, '/+$$', '') AS path,
+         |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+         |      x -> len(x) > 0 AND substr(x, 1, 4) <> 'utm_')), '&') AS q
+         |  FROM c)
+         |SELECT
+         |  scheme || '://' || host ||
+         |  CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+         |                             OR (scheme = 'http' AND port = '80'))
+         |       THEN ':' || port ELSE '' END ||
+         |  path ||
+         |  CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+         |  count(*) AS n_docs,
+         |  min(doc_id) AS keeper_doc_id
+         |FROM p
+         |GROUP BY canonical_url
+         |ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+      urlDedup(docsWithUrl(s, dir)).orderBy("canonical_url")
+    },
+
+    // ---- q104: per-domain document cap ---------------------------
+    // Oracle uses row_number() — the window shape the Spark side
+    // deliberately avoids; a hash match proves the bounded heap
+    // reproduces window semantics exactly (n_chars DESC, doc_id ASC).
+    QueryDef(
+      "q104_domain_cap",
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars, $synthUrlSql AS url FROM documents),
+         |h AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_replace(lower(regexp_replace(
+         |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |      ':[0-9]+$$', '')), '^www\\.', '') AS host
+         |  FROM u),
+         |r AS (
+         |  SELECT host, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY host
+         |                       ORDER BY n_chars DESC, doc_id) AS rnk
+         |  FROM h)
+         |SELECT host, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3
+         |ORDER BY host, rnk""".stripMargin) { (s, dir) =>
+      domainCap(docsWithUrl(s, dir), cap = 3).orderBy("host", "rnk")
+    })
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit + plan-shape proofs for the web-provenance curation
+  * operators (q103 URL dedup, q104 domain cap). The canonicalization
+  * spec itself is double-checked end-to-end by the q103 oracle
+  * (DuckDB re-implements every rule independently); here the rules
+  * are pinned one by one on handwritten URLs, and the q104 heap is
+  * pinned against the window shape it replaces.
+  */
+class WebOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    s
+  }
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("url")
+      .select(WebOps.canonicalizeUrl(col("url")).as("c"))
+      .head().getString(0)
+  }
+
+  test("canonicalizeUrl: scheme and host lowercase, path case kept") {
+    assert(canon("HTTPS://En.WIKIPEDIA.org/Wiki/Spark") ===
+      "https://en.wikipedia.org/Wiki/Spark")
+  }
+
+  test("canonicalizeUrl: leading www. stripped, deeper www kept") {
+    assert(canon("https://www.example.com/a") === "https://example.com/a")
+    assert(canon("https://www.www2.example.com/a") ===
+      "https://www2.example.com/a")
+  }
+
+  test("canonicalizeUrl: default ports dropped, explicit ports kept") {
+    assert(canon("https://example.com:443/a") === "https://example.com/a")
+    assert(canon("http://example.com:80/a") === "http://example.com/a")
+    assert(canon("http://example.com:8080/a") === "http://example.com:8080/a")
+    assert(canon("https://example.com:80/a") === "https://example.com:80/a")
+  }
+
+  test("canonicalizeUrl: utm params stripped, the rest sorted") {
+    assert(canon("https://e.com/p?utm_source=x&b=2&a=1") ===
+      "https://e.com/p?a=1&b=2")
+    assert(canon("https://e.com/p?a=1&b=2") === "https://e.com/p?a=1&b=2")
+    // all params tracking → no query at all
+    assert(canon("https://e.com/p?utm_source=x&utm_medium=y") ===
+      "https://e.com/p")
+    // utmx is NOT a utm_ param (the guard is substr, not a LIKE
+    // pattern whose _ wildcard would also match utmX)
+    assert(canon("https://e.com/p?utmx=1") === "https://e.com/p?utmx=1")
+  }
+
+  test("canonicalizeUrl: fragment dropped, trailing slashes stripped") {
+    assert(canon("https://e.com/a/b/#sec") === "https://e.com/a/b")
+    assert(canon("https://e.com/a///") === "https://e.com/a")
+    assert(canon("https://e.com/") === "https://e.com")
+    assert(canon("https://e.com") === "https://e.com")
+  }
+
+  test("canonicalizeUrl: query and fragment survive port/host rules") {
+    assert(canon("HTTP://WWW.Shop.COM:80/x/?utm_c=1&q=2#frag") ===
+      "http://shop.com/x?q=2")
+  }
+
+  test("equivalent messy URLs collapse to one canonical key") {
+    val variants = Seq(
+      "https://example.com/art/7?id=7&ref=rss",
+      "HTTPS://WWW.example.com:443/art/7/?utm_source=feed&ref=rss&id=7#s2",
+      "https://www.Example.COM/art/7?ref=rss&utm_campaign=x&id=7")
+    assert(variants.map(canon).distinct.size === 1)
+  }
+
+  test("q103 finds the planted duplicate groups at sf0.001") {
+    val df = SparkEntry.queries("q103_url_dedup")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val rows = df.collect()
+    // synthetic key = (source, doc_id % 50); every group's keeper is
+    // its min doc_id and group sizes cover >1 (planted collisions)
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_docs") > 1L))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables(spark, "/root/testdata/sf0.001", "documents").count()
+    assert(total === nDocs) // partition: every doc in exactly one group
+    df.unpersist()
+  }
+
+  test("q104 bounded heap == row_number window semantics") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("url", WebOps.synthUrl(col("doc_id"), col("source")))
+    val capped = WebOps.domainCap(docs, cap = 3)
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val windowed = docs
+      .withColumn("host", WebOps.canonicalHost(col("url")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("host", "doc_id", "n_chars", "rnk")
+
+    assert(capped.exceptAll(windowed).isEmpty && windowed.exceptAll(capped).isEmpty)
+  }
+
+  test("q104 plan: bounded heap, no Window node") {
+    val p = SparkEntry.queries("q104_domain_cap")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"q104 must not window-sort domains:\n$p")
+    assert(p.contains("partial_topkcollect") || p.contains("partial_topk_collect")
+      || p.toLowerCase.contains("topkcollect"),
+      s"q104 must reduce via the topk_collect partial aggregate:\n$p")
+  }
+
+  test("q103 plan: canonicalization stays in the scan's project, one shuffle") {
+    val p = SparkEntry.queries("q103_url_dedup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // one hash-agg exchange + the presentation sort's range exchange
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"q103 should shuffle once for the groupBy " +
+      s"(plus the ORDER BY range exchange), found $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+}
