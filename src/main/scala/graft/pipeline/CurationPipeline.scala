@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.operators.ScaleOps
-import graft.queries.{DedupOps, TextOps}
+import graft.queries.{DedupOps, TextOps, WebOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -12,6 +12,11 @@ import org.apache.spark.storage.StorageLevel
   * its query, so every stage's semantics are already pinned against
   * DuckDB; this object adds ordering, not logic):
   *
+  *   0. (optional) URL-level dedup — canonical-URL keep-first
+  *      (q103): the crawl pipeline's cheapest dedup rung, run on raw
+  *      provenance BEFORE any text processing — the key is tens of
+  *      bytes and already materialized, and recrawl duplicates shed
+  *      here never pay for redaction or hashing
   *   1. PII redaction        — redactPii           (q74)
   *   1a. (optional) C4 line-quality filter — terminal-punctuation /
   *      min-words line rules + lorem/brace/too-few page verdicts
@@ -103,6 +108,12 @@ object CurationPipeline {
     * fill, at score-bucket granularity (the histogram cutoff, never a
     * corpus-wide window). n_chars is recomputed from the REDACTED
     * text so the score reflects what is actually emitted.
+    *
+    * `urlCol`, when set, names a URL column on `docs` and inserts the
+    * URL-level dedup stage (q103, WebOps.urlDedup's keep-first rule)
+    * before everything else: docs sharing a canonical URL collapse to
+    * the min doc_id. The URL column is provenance only — it is
+    * dropped after the stage and never emitted.
     */
   def run(spark: SparkSession, docs: DataFrame, probeSource: String,
       outDir: String, minJaccard: Double = 0.5, minShared: Long = 3L,
@@ -112,7 +123,8 @@ object CurationPipeline {
       editMinSim: Option[Double] = None,
       semanticDecon: Option[(DataFrame, DataFrame, Double)] = None,
       c4Lines: Boolean = false,
-      dedupLines: Boolean = false)
+      dedupLines: Boolean = false,
+      urlCol: Option[String] = None)
       : Seq[StageCount] = {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
@@ -129,13 +141,29 @@ object CurationPipeline {
       p
     }
 
-    val input = stage("input", docs.select("doc_id", "text", "lang", "source"))
+    val input = stage("input", docs.select(
+      ("doc_id" +: "text" +: "lang" +: "source" +: urlCol.toSeq).map(col): _*))
 
-    // 1. redaction — per-row regexes (q74); runs FIRST so every later
-    // stage (including the decontamination probe side) sees the same
-    // redacted text, and redacted text REPLACES raw everywhere
+    // 0. optional URL-level dedup (q103) — keep the min-doc_id doc
+    // per canonical URL: one partial-aggregable groupBy on the
+    // canonical key + an ids-only join back (the q30 shape, but on a
+    // tens-of-bytes provenance key instead of a text hash). Runs
+    // before everything: a recrawl duplicate shed here never pays
+    // for redaction, line cleanup or content hashing.
+    val urlDeduped = urlCol.fold(input) { uc =>
+      val keepers = input
+        .groupBy(WebOps.canonicalizeUrl(col(uc)).as("cu"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      stage("url_dedup", input.join(keepers, Seq("doc_id")).drop(uc))
+    }
+
+    // 1. redaction — per-row regexes (q74); runs FIRST among the
+    // content stages so every later stage (including the
+    // decontamination probe side) sees the same redacted text, and
+    // redacted text REPLACES raw everywhere
     val redacted = stage("redacted",
-      TextOps.redactPii(input, "text")
+      TextOps.redactPii(urlDeduped, "text")
         .select(col("doc_id"), col("redacted").as("text"),
           col("lang"), col("source")))
 

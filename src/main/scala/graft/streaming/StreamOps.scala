@@ -119,6 +119,28 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming URL-level dedup — the streaming form of the batch
+    * q103 operator (queries.WebOps.urlDedup): canonicalize the URL
+    * per-row (a stateless codegen'd projection — RFC 3986 case/port
+    * normalization, www strip, utm_* removal, param sort) and keep
+    * the FIRST-arriving doc per canonical URL inside the watermark
+    * horizon. URL dedup is the cheapest dedup rung — the key is tens
+    * of bytes and already materialized — so at ingestion it runs
+    * BEFORE the content-hash rung ([[exactDedupDocStream]]), shedding
+    * recrawl duplicates that never pay for text hashing. State is one
+    * (canonical_url) row per distinct URL per horizon,
+    * watermark-evicted. Input: (doc_id, url, ts); output adds
+    * `canonical_url`. Batch q103 keeps min(doc_id); streaming
+    * keep-first keeps the earliest ARRIVAL — identical when docs
+    * arrive in doc_id order, which is what the parity spec drives.
+    */
+  def urlDedupStream(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("canonical_url",
+        graft.queries.WebOps.canonicalizeUrl(col("url")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Streaming NEAR-dup suppression for a document stream
     * (`doc_id, text, ts`): drop any document whose 64-bit SimHash
     * signature ([[graft.functions.SimHash64]] — computed per-row in

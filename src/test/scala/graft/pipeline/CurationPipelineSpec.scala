@@ -388,6 +388,54 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(kept == Set(1L), kept)
   }
 
+  test("url_dedup collapses recrawl variants at stage 0; control run keeps both") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    // two DIFFERENT quality-passing texts (unrelated docs, so nothing
+    // downstream would catch the pair) — but the SAME canonical URL
+    // under messy recrawl variation (case/www/port/utm/fragment/
+    // trailing slash): only the URL stage can collapse them
+    val two = real.filter(graft.queries.TextOps.gopherKept(col("text")))
+      .filter($"source" =!= "src0").orderBy("doc_id")
+      .select("text").as[String].take(2)
+    val docs = Seq(
+      (1L, two(0), "en", "src1",
+        "https://www.Example.COM:443/art/9?utm_source=feed&id=9"),
+      (2L, two(1), "en", "src2",
+        "HTTPS://example.com/art/9/?id=9#frag"),
+      (3L, two(1), "en", "src3",
+        "https://other.example.org/unique") // url-unique twin of 2
+    ).toDF("doc_id", "text", "lang", "source", "url")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_url").toString
+    val ledger = CurationPipeline.run(spark, docs, probeSource = "src0",
+      outDir = out, urlCol = Some("url"))
+    assert(ledger.map(_.stage) == Seq("input", "url_dedup", "redacted",
+      "quality", "exact_dedup", "near_dedup", "decontaminated",
+      "written"), ledger)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    // doc 2 dies at url_dedup (doc 1 is the canonical keeper); doc 3
+    // carries the same TEXT as 2 but a unique URL, so it survives the
+    // URL stage and proves the stage keyed on provenance, not content
+    assert(counts("url_dedup") == 2L, ledger)
+    assert(counts("written") == 2L, ledger)
+    val outDf = spark.read.parquet(out)
+    assert(!outDf.columns.contains("url"), outDf.columns.mkString(","))
+    val kept = outDf.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), kept)
+
+    // control: without urlCol the URL variants sail through (doc 2
+    // survives — its death above is attributable to the URL stage
+    // alone); the 2/3 CONTENT twins now meet exact dedup instead,
+    // which keeps the min id — the two rungs catch different pairs
+    val out2 = java.nio.file.Files.createTempDirectory("graft_url2").toString
+    val l2 = CurationPipeline.run(spark, docs.drop("url"), "src0", out2)
+    assert(!l2.map(_.stage).contains("url_dedup"), l2)
+    val kept2 = spark.read.parquet(out2).select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L), kept2)
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the

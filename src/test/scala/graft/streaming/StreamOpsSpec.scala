@@ -224,6 +224,44 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(hashes.length == real.map(_._2).distinct.length)
   }
 
+  test("PARITY: streaming URL dedup with keeper-first arrival equals batch q103 keepers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // q103's synthetic messy URLs over the real corpus: the canonical
+    // key is (source, doc_id % 50), so collision groups are planted
+    // by construction and the variants differ in case/www/port/utm/
+    // fragment noise the canonicalizer must see through
+    val withUrl = graft.Tables(spark, parityDir, "documents")
+      .withColumn("url", graft.queries.WebOps.synthUrl(col("doc_id"), col("source")))
+      .select("doc_id", "url").as[(Long, String)].collect().toSeq
+    // batch twin = q103's keeper rule (min doc_id per canonical URL),
+    // via the same canonicalize expression over the same rows
+    val batchTwin = withUrl.toDF("doc_id", "url")
+      .groupBy(graft.queries.WebOps.canonicalizeUrl(col("url")).as("cu"))
+      .agg(min("doc_id").as("k")).select("k").as[Long].collect().toSet
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val all = withUrl.map { case (id, u) => (id, u, ts(0)) }
+    stream.addData(all.filter(r => batchTwin.contains(r._1)))
+    val q = urlDedupStream(
+      stream.toDF().toDF("doc_id", "url", "ts"), lateness = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_dedup_parity").start()
+    q.processAllAvailable()
+    stream.addData(all.filterNot(r => batchTwin.contains(r._1)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("url_dedup_parity")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batchTwin,
+      s"missing=${batchTwin -- kept} extra=${kept -- batchTwin}")
+    // the emitted canonical key is unique among kept rows
+    val canon = spark.table("url_dedup_parity")
+      .select("canonical_url").as[String].collect()
+    assert(canon.length == canon.distinct.length)
+  }
+
   test("PARITY: streaming simhash suppression equals the batch keep-first-per-signature twin") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
