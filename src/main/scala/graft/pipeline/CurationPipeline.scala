@@ -26,6 +26,10 @@ import org.apache.spark.storage.StorageLevel
   *      occurrence of a repeated line removed corpus-wide, docs
   *      rewritten to their surviving lines (q101)
   *   2. quality filter       — gopherKept          (q73)
+  *   2b. (optional) model-based quality gate — q105's linear probe
+  *      over integer micro-quantized features; keep docs whose exact-
+  *      integer score clears the threshold (the classifier rung of
+  *      quality filtering, after the rule rung)
   *   3. exact dedup          — md5 keep-first      (q30)
   *   4. near-dup dedup       — MinHash/LSH pairs → connected
   *      components → representative materialization (q36/q61/q76)
@@ -114,6 +118,13 @@ object CurationPipeline {
     * before everything else: docs sharing a canonical URL collapse to
     * the min doc_id. The URL column is provenance only — it is
     * dropped after the stage and never emitted.
+    *
+    * `classifierMinScore`, when set, inserts the model-based quality
+    * gate (q105, TextOps.withClassifierScore) after the rule-based
+    * quality stage: keep only docs whose exact-integer linear-probe
+    * score is >= the threshold, with n_chars recomputed from the
+    * (redacted/rewritten) text actually flowing through. Pure
+    * per-row filter — no join, no shuffle.
     */
   def run(spark: SparkSession, docs: DataFrame, probeSource: String,
       outDir: String, minJaccard: Double = 0.5, minShared: Long = 3L,
@@ -124,7 +135,8 @@ object CurationPipeline {
       semanticDecon: Option[(DataFrame, DataFrame, Double)] = None,
       c4Lines: Boolean = false,
       dedupLines: Boolean = false,
-      urlCol: Option[String] = None)
+      urlCol: Option[String] = None,
+      classifierMinScore: Option[Long] = None)
       : Seq[StageCount] = {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
@@ -201,15 +213,29 @@ object CurationPipeline {
     val quality = stage("quality",
       lineDeduped.filter(TextOps.gopherKept(col("text"))))
 
+    // 2b. optional model-based quality gate (q105) — the classifier
+    // rung after the rule rung: score = the exact-integer linear
+    // probe over the (possibly rewritten) text, n_chars recomputed
+    // from what will actually be emitted. Pure per-row filter —
+    // no join, no shuffle.
+    val classified = classifierMinScore.fold(quality) { minScore =>
+      stage("classifier",
+        TextOps.withClassifierScore(
+            quality.withColumn("__nc", length(col("text")).cast("long")),
+            "__nc")
+          .filter(col("score") >= minScore)
+          .drop("__nc", "score"))
+    }
+
     // 3. exact dedup — keep the min doc_id per content hash: q30's
     // hash-groupBy (map-side partials reduce to one (hash, keeper)
     // row per distinct text) + an id-equality join back, so the only
     // full-text shuffle is the join's own
-    val keepers = quality
+    val keepers = classified
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val exact = stage("exact_dedup", quality.join(keepers, Seq("doc_id")))
+    val exact = stage("exact_dedup", classified.join(keepers, Seq("doc_id")))
 
     // 4. near-dup dedup — LSH pairs → CC → keep representatives
     // (q36/q61/q76); dedupMaterialize keeps each cluster's min doc_id
@@ -331,7 +357,8 @@ object CurationPipeline {
     // lose the whole ledger after the pipeline already ran
     ledger += StageCount("written", weighted.count())
 
-    Seq(input, redacted, lineFiltered, lineDeduped, quality, exact,
+    Seq(input, redacted, lineFiltered, lineDeduped, quality,
+      classified, exact,
         nearDeduped, editDeduped, clean0, clean, kept, budgeted, weighted)
       .foreach(_.unpersist())
     // release the operator-internal persists this run introduced

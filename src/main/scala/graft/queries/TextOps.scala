@@ -1804,6 +1804,43 @@ object TextOps {
                 .otherwise(lit("")))),
           "\n").as("text"))
       c4LineFilter(planted).orderBy("doc_id")
+    },
+
+    // ---- q105: model-based quality classifier --------------------
+    // The GPT-3/CCNet "classifier rung" of quality filtering — a
+    // LINEAR probe over handcrafted per-doc features, as opposed to
+    // q73's hard rule gate (Gopher) and q69/q89's LM scoring. The
+    // weight vector is a constant fitted OFFLINE (the FitCodebook
+    // pattern: a model is corpus-level state, not derivable per-row);
+    // scoring is one per-row expression chain — every feature is
+    // integer micro-quantized (`div` floor division on non-negative
+    // longs, identical in both engines) and the score is an exact
+    // integer dot product, so no float-order divergence can split
+    // the keep/drop verdict. Zero shuffle at any corpus size.
+    QueryDef(
+      "q105_quality_classifier",
+      s"""WITH f AS (
+         |  SELECT doc_id, n_chars,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    (n_alpha * 1000) // greatest(len(toks), 1) AS awl_milli,
+         |    (len(list_filter(toks, x -> x IN (${stop("en").map(w => s"'$w'").mkString(", ")}))) * 1000)
+         |      // greatest(len(toks), 1) AS stop_milli,
+         |    (n_alpha * 1000) // greatest(n_chars, 1) AS alpha_milli,
+         |    (len(list_distinct(toks)) * 1000) // greatest(len(toks), 1) AS ttr_milli,
+         |    least(len(toks), 400) AS len_term
+         |  FROM f)
+         |SELECT doc_id,
+         |  CAST(2*awl_milli + 3*stop_milli + 4*alpha_milli
+         |       + 2*ttr_milli + 5*len_term AS BIGINT) AS score,
+         |  CASE WHEN 2*awl_milli + 3*stop_milli + 4*alpha_milli
+         |            + 2*ttr_milli + 5*len_term >= 13600
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      qualityClassifierScore(docs(s, dir)).orderBy("doc_id")
     }
   )
 
@@ -2103,4 +2140,49 @@ object TextOps {
         size(col("kept")).cast("long").as("n_kept"),
         md5(array_join(col("kept"), " ")).as("kept_hash"))
   }
+
+  /** q105's linear quality probe: (doc_id, score, verdict) per doc.
+    *
+    * score = w · f over integer micro-quantized features — mean word
+    * length (alpha chars per token, milli), stopword ratio (milli),
+    * alpha-char ratio (milli), type-token ratio (milli), and a
+    * saturating length term (tokens capped at 400, so beyond-cap
+    * length stops buying score — the classifier prefers substantial
+    * docs without rewarding bloat). Weights and the keep threshold
+    * are offline-fitted constants; every term is exact-integer
+    * (`div` on non-negative longs), so the verdict is engine-stable.
+    * Pure per-row column work: zero shuffle at any corpus size.
+    */
+  /** q105's keep threshold (offline-fitted alongside the weights). */
+  val ClassifierKeepScore: Long = 13600L
+
+  /** Append q105's integer `score` column to any frame with a `text`
+    * column; `nCharsCol` names the char-count column the alpha-ratio
+    * term divides by (the table's `n_chars`, or a recomputed
+    * `length(text)` when text has been rewritten upstream). One
+    * per-row expression, no shuffle, no temp columns left behind.
+    */
+  def withClassifierScore(frame: DataFrame, nCharsCol: String): DataFrame = {
+    val stopList = stop("en").map(w => s"'$w'").mkString(", ")
+    frame
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("__alpha",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("__tok1",
+        greatest(size(col("__toks")).cast("long"), lit(1L)))
+      .withColumn("score", expr(
+        s"""2*((__alpha * 1000) div __tok1)
+           | + 3*((cast(size(filter(__toks, x -> x IN ($stopList))) as bigint) * 1000) div __tok1)
+           | + 4*((__alpha * 1000) div greatest($nCharsCol, 1))
+           | + 2*((cast(size(array_distinct(__toks)) as bigint) * 1000) div __tok1)
+           | + 5*least(cast(size(__toks) as bigint), 400)""".stripMargin)
+        .cast("long"))
+      .drop("__toks", "__alpha", "__tok1")
+  }
+
+  def qualityClassifierScore(docsFrame: DataFrame): DataFrame =
+    withClassifierScore(docsFrame, "n_chars")
+      .select(col("doc_id"), col("score"),
+        when(col("score") >= ClassifierKeepScore, "keep")
+          .otherwise("drop").as("verdict"))
 }

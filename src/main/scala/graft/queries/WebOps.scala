@@ -52,7 +52,9 @@ object WebOps {
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
-    val rawq = regexp_extract(url, "\\?([^#]*)", 1)
+    // the first '?' BEFORE any '#': a '?' inside the fragment is
+    // fragment content, not a query
+    val rawq = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val q = array_join(
       array_sort(filter(split(rawq, "&"),
         p => length(p) > 0 && substring(p, 1, 4) =!= "utm_")), "&")
@@ -160,7 +162,7 @@ object WebOps {
          |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
          |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-         |    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+         |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS rawq
          |  FROM u),
          |p AS (
          |  SELECT doc_id, scheme,

@@ -348,6 +348,26 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("n_tok"), col("score_bp"),
         when(col("score_bp") >= lit(cutoff), 1L).otherwise(0L).as("kept"))
 
+  /** ONLINE model-based quality gating — the streaming form of the
+    * batch q105 classifier (queries.TextOps.withClassifierScore):
+    * the weight vector is an offline-fitted constant baked into one
+    * per-row expression (a model is corpus-level state, underivable
+    * from an unbounded stream — the tokenBudgetStream pattern), so
+    * scoring is fully STATELESS: no watermark state, no shuffle, and
+    * the exact-integer score can never diverge from the batch twin.
+    * Input: any stream with (doc_id, text); output adds `score` and
+    * `verdict`.
+    */
+  def classifierScoreStream(docs: DataFrame): DataFrame = {
+    import graft.queries.TextOps
+    TextOps.withClassifierScore(
+        docs.withColumn("__nc", length(col("text")).cast("long")), "__nc")
+      .drop("__nc")
+      .withColumn("verdict",
+        when(col("score") >= TextOps.ClassifierKeepScore, "keep")
+          .otherwise("drop"))
+  }
+
   /** Streaming C4 line/page filter — the streaming form of the batch
     * q102 operator: pages with a non-kept verdict (lorem / brace /
     * too-few-kept-lines) drop, survivors are rewritten to their kept

@@ -436,6 +436,52 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(kept2 == Set(1L, 2L), kept2)
   }
 
+  test("classifier gate drops exactly the docs below the threshold; control run keeps them") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+      .filter($"source" =!= "src0")
+    // expected survivors of the gate, computed via the q105 scorer
+    // over the REDACTED text (what the pipeline actually scores) of
+    // the gopher-quality survivors — i.e. the stage's exact input
+    val redacted = graft.queries.TextOps.redactPii(real, "text")
+      .select(col("doc_id"), col("redacted").as("text"))
+      .filter(graft.queries.TextOps.gopherKept(col("text")))
+    val scored = graft.queries.TextOps.withClassifierScore(
+        redacted.withColumn("__nc", length(col("text")).cast("long")), "__nc")
+      .select("doc_id", "score").as[(Long, Long)].collect()
+    // a threshold strictly inside the observed score range, so the
+    // gate provably fires on some docs and spares others
+    val scores = scored.map(_._2).sorted
+    val thr = scores(scores.length / 2)
+    val expected = scored.filter(_._2 >= thr).map(_._1).toSet
+    assert(expected.nonEmpty && expected.size < scored.length,
+      s"degenerate threshold $thr over ${scores.length} docs")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_clf").toString
+    val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+      outDir = out, classifierMinScore = Some(thr))
+    assert(ledger.map(_.stage).containsSlice(Seq("quality", "classifier",
+      "exact_dedup")), ledger)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(counts("classifier") == expected.size.toLong, ledger)
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    // everything emitted cleared the threshold …
+    assert(kept.subsetOf(expected), s"sub-threshold docs emitted: ${kept -- expected}")
+
+    // control: without the gate the sub-threshold docs survive
+    val out2 = java.nio.file.Files.createTempDirectory("graft_clf2").toString
+    val l2 = CurationPipeline.run(spark, real, "src0", out2)
+    assert(!l2.map(_.stage).contains("classifier"), l2)
+    val kept2 = spark.read.parquet(out2).select("doc_id").as[Long].collect().toSet
+    assert((kept2 -- kept).nonEmpty, "control run must keep sub-threshold docs")
+    // … and the only above-threshold docs the gate run loses are the
+    // ones the DOWNSTREAM stages (near-dup etc.) also take from the
+    // control run — the gate itself drops exactly the sub-threshold set
+    assert((expected -- kept) == (expected -- kept2),
+      s"gate-run-only deaths: ${(expected -- kept) -- (expected -- kept2)}")
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the

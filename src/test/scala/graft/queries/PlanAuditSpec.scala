@@ -507,6 +507,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q90 grew a hash shuffle:\n$p")
   }
 
+  test("q105 classifier scoring is per-row: no join/window/hash shuffle before the output sort") {
+    val p = plan("q105_quality_classifier")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"q105 must stay per-row:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q105 grew a hash shuffle:\n$p")
+  }
+
   test("q89 ppl buckets: vocab broadcast, tercile window over the HISTOGRAM only") {
     val p = plan("q89_ppl_buckets")
     // scoring inherits q69's shape: size-gated vocab broadcast,

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the URL canonicalizer over generated messy URLs. A
+  * canonicalizer used as a DEDUP KEY must above all be idempotent —
+  * if canon(canon(u)) != canon(u), an already-canonicalized corpus
+  * re-keyed on recrawl splits its own duplicate groups. The laws are
+  * evaluated in one batch pass (generate once with a fixed seed,
+  * assert over the whole frame), not per-sample Spark jobs.
+  */
+class WebOpsPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "Https", "ftp")
+    www <- Gen.oneOf("", "www.", "WWW.", "www2.", "Www.")
+    host <- Gen.nonEmptyListOf(Gen.oneOf("site", "Example", "SHOP", "a1"))
+      .map(_.take(3).mkString("."))
+    tld <- Gen.oneOf("com", "ORG", "net")
+    port <- Gen.oneOf("", ":80", ":443", ":8080", ":9")
+    segs <- Gen.listOf(Gen.oneOf("Articles", "x", "p9", "Very-Long"))
+      .map(_.take(4))
+    slashes <- Gen.oneOf("", "/", "//", "///")
+    params <- Gen.someOf("utm_source=f", "utm_medium=m", "a=1", "b=2",
+      "ref=rss", "utmx=9", "id=7")
+    frag <- Gen.oneOf("", "#s", "#Sec-2")
+  } yield {
+    val path = if (segs.isEmpty) "" else "/" + segs.mkString("/")
+    val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+    s"$scheme://$www$host.$tld$port$path$slashes$q$frag"
+  }
+
+  private val urls: Seq[String] = {
+    val p = Gen.Parameters.default.withSize(40)
+    (0 until 500).flatMap(i =>
+      urlGen.apply(p, Seed(42L + i)): Option[String])
+  }
+
+  test("canonicalizeUrl laws: idempotent; lowercase scheme+host; no fragment/utm/default-port/trailing-slash") {
+    assert(urls.size >= 450, s"generator degenerated: ${urls.size}")
+    import spark.implicits._
+    val df = urls.toDF("url")
+      .withColumn("c1", WebOps.canonicalizeUrl(col("url")))
+      .withColumn("c2", WebOps.canonicalizeUrl(col("c1")))
+      .cache()
+
+    val broken = df.filter(col("c1") =!= col("c2"))
+      .select("url", "c1", "c2").take(5)
+    assert(broken.isEmpty, "idempotence broken:\n" + broken.mkString("\n"))
+
+    val laws = df.select(
+      // scheme+authority all-lowercase up to the first /, ? or #
+      max(regexp_extract(col("c1"), "^([^/?#]*)", 1) =!=
+        lower(regexp_extract(col("c1"), "^([^/?#]*)", 1))).as("upper_auth"),
+      max(col("c1").contains("#")).as("frag"),
+      max(col("c1").rlike("[?&]utm_")).as("utm"),
+      max(col("c1").rlike("/+([?#]|$)")).as("trailing_slash"),
+      max(col("c1").rlike("^https://[^/?#]*:443([/?#]|$)") ||
+        col("c1").rlike("^http://[^/?#]*:80([/?#]|$)")).as("default_port"),
+      // non-default ports and non-http(s) schemes survive
+      max(col("url").startsWith("ftp") && !col("c1").startsWith("ftp://"))
+        .as("scheme_lost")).head()
+    for (i <- 0 until laws.length)
+      assert(!laws.getBoolean(i), s"law ${laws.schema(i).name} violated")
+    df.unpersist()
+  }
+
+  test("canonical keys are stable across recrawl noise: variant pairs collide") {
+    import spark.implicits._
+    // for every generated URL, a noised recrawl variant (scheme/host
+    // case flip, added utm param, added fragment, extra trailing
+    // slash) must land on the SAME canonical key
+    val pairs = urls.map { u =>
+      val i = u.indexOf("://")
+      val (sch, rest) = u.splitAt(i)
+      val noised = sch.toUpperCase + rest +
+        (if (u.contains("?")) "&utm_noise=1" else "?utm_noise=1") +
+        (if (u.contains("#")) "" else "#reload")
+      (u, noised)
+    }
+    val df = pairs.toDF("a", "b")
+      .withColumn("ca", WebOps.canonicalizeUrl(col("a")))
+      .withColumn("cb", WebOps.canonicalizeUrl(col("b")))
+    val split = df.filter(col("ca") =!= col("cb")).take(5)
+    assert(split.isEmpty, "recrawl variant split its group:\n" + split.mkString("\n"))
+  }
+}

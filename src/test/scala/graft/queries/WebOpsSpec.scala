@@ -73,6 +73,11 @@ class WebOpsSpec extends AnyFunSuite {
     assert(canon("https://e.com") === "https://e.com")
   }
 
+  test("canonicalizeUrl: a '?' inside the fragment is not a query") {
+    assert(canon("https://e.com/p#s?a=1") === "https://e.com/p")
+    assert(canon("https://e.com/p?a=1#s?b=2") === "https://e.com/p?a=1")
+  }
+
   test("canonicalizeUrl: query and fragment survive port/host rules") {
     assert(canon("HTTP://WWW.Shop.COM:80/x/?utm_c=1&q=2#frag") ===
       "http://shop.com/x?q=2")

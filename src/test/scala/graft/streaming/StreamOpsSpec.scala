@@ -763,6 +763,36 @@ class StreamOpsSpec extends AnyFunSuite {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("PARITY: online classifier scoring equals the batch q105 rows row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables(spark, parityDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(docs.map { case (id, t) => (id, t, ts(0)) })
+    val q = StreamOps.classifierScoreStream(
+      stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("classifier_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("classifier_parity")
+      .select($"doc_id", $"score", $"verdict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    // batch q105 (the oracle-checked query itself); the testdata
+    // invariant n_chars == length(text) makes the stream's recomputed
+    // char count identical to the table column the query reads
+    val batch = graft.SparkEntry.queries("q105_quality_classifier")(spark, parityDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(batch.exists(_._3 == "keep") && batch.exists(_._3 == "drop"),
+      "parity vacuous: one-sided verdicts")
+    assert(streamed == batch,
+      s"stream-batch classifier mismatch: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+  }
+
   test("PARITY: online token-budget tagging equals the batch q96 verdicts row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
