@@ -21,13 +21,15 @@ object CurationDemo {
     val spark = Tables.localSession()
     spark.sparkContext.setLogLevel("WARN")
 
+    val extraCols = sys.env.get("SPARK_GRAFT_URL_COL").filter(_.nonEmpty).toSeq
     val docs =
       if (in.endsWith(".jsonl") || in.endsWith(".json")) {
         val (good, bad) = CorpusSources.jsonlDocuments(spark, in)
         println(s"[curate] jsonl intake: ${bad.count()} corrupt lines to DLQ")
         good
       } else Tables(spark, in, "documents")
-        .select("doc_id", "text", "lang", "source")
+        .select(("doc_id" +: "text" +: "lang" +: "source" +: extraCols)
+          .map(col): _*)
 
     // SPARK_GRAFT_PPL_KEEP=head,middle enables the CCNet tercile cut
     val keep = sys.env.get("SPARK_GRAFT_PPL_KEEP")
@@ -44,10 +46,19 @@ object CurationDemo {
     // SPARK_GRAFT_LINE_STAGES=1 enables the C4 line filter (q102) +
     // corpus-level line dedup (q101) — for newline-structured corpora
     val lineStages = sys.env.get("SPARK_GRAFT_LINE_STAGES").contains("1")
+    // SPARK_GRAFT_URL_COL=url enables URL-level dedup (q103) on that
+    // column of the input corpus
+    val urlCol = sys.env.get("SPARK_GRAFT_URL_COL").filter(_.nonEmpty)
+    urlCol.foreach(c => require(docs.columns.contains(c),
+      s"SPARK_GRAFT_URL_COL=$c not in input columns: ${docs.columns.mkString(",")}"))
+    // SPARK_GRAFT_CLASSIFIER_MIN=<score> enables the model-based
+    // quality gate (q105); use e.g. TextOps.ClassifierKeepScore=13600
+    val clfMin = sys.env.get("SPARK_GRAFT_CLASSIFIER_MIN").map(_.trim.toLong)
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
       outDir = outDir, keepPplBuckets = keep, budgetFrac = budget,
-      c4Lines = lineStages, dedupLines = lineStages)
+      c4Lines = lineStages, dedupLines = lineStages,
+      urlCol = urlCol, classifierMinScore = clfMin)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
     // an all-filtered corpus writes no files — report that instead
