@@ -742,6 +742,31 @@ object DedupOps {
     * useful cache — and the left join shuffles both sides on the
     * key, which is exactly the plan you want at that size.
     */
+  /** q106's keeper rule as a composition entry: for a (doc_id, text)
+    * frame and its CC labels, the kept ids — one per cluster, the
+    * max-q105-score member (min doc_id on ties). Unclustered docs
+    * keep themselves. Same shape as q106: per-row scoring, one
+    * partial-aggregable min(struct(-score, doc_id)) rollup — no
+    * window, O(1) agg state per cluster however large the cluster.
+    */
+  private[graft] def bestOfClusterIds(docsWithText: DataFrame,
+      comp: DataFrame): DataFrame = {
+    val scored = graft.queries.TextOps.withClassifierScore(
+        docsWithText.withColumn("__nc", length(col("text")).cast("long")),
+        "__nc")
+      .select(col("doc_id"), col("score"))
+    docsWithText.select("doc_id")
+      .join(comp.select(col("node"), col("cluster_id")),
+        col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+      .join(scored, Seq("doc_id"))
+      .groupBy("cid")
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("d")))
+        .as("m"))
+      .select(col("m.d").as("doc_id"))
+  }
+
   def dedupMaterialize(docs: DataFrame, comp: DataFrame,
       maxBroadcastClusterRows: Long = MaxBroadcastClusterRows): DataFrame = {
     val c = comp.select(col("node"), col("cluster_id"))
@@ -1549,6 +1574,119 @@ object DedupOps {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val comp = connectedComponents(pairs)
       dedupMaterialize(Tables(s, dir, "documents"), comp)
+        .orderBy("doc_id")
+    },
+
+    // ---- q106: QUALITY-AWARE dedup representatives ---------------
+    // q76 keeps each near-dup cluster's min doc_id — the arbitrary-
+    // but-deterministic rule. Real curation keeps the BEST member:
+    // here the q105 classifier score decides (max score, min doc_id
+    // tiebreak), so a clean original beats its OCR-noised twin
+    // instead of losing to a lower id. Shape on top of q76's CC:
+    // one per-cluster partial-aggregable min(struct(-score, doc_id))
+    // rollup + one equi-join back — NO window, no per-cluster sort,
+    // so a 10^6-member boilerplate cluster costs O(1) agg state, and
+    // the scoring itself is q105's zero-shuffle per-row expression.
+    QueryDef(
+      "q106_quality_dedup_rep",
+      s"""WITH RECURSIVE $shingleSqlCte,
+         |$lshPairSqlCtes,
+         |pairs AS (
+         |  SELECT i.doc_a AS a, i.doc_b AS b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |${graft.queries.TextOps.classifierSqlCtes},
+         |docsc AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, s.score
+         |  FROM documents d
+         |  LEFT JOIN comp c ON c.node = d.doc_id
+         |  JOIN clf_scored s ON s.doc_id = d.doc_id),
+         |best AS (SELECT cluster_id, max(score) AS ms FROM docsc GROUP BY cluster_id),
+         |rep AS (
+         |  SELECT b.cluster_id, min(d.doc_id) AS rep_doc
+         |  FROM best b JOIN docsc d
+         |    ON d.cluster_id = b.cluster_id AND d.score = b.ms
+         |  GROUP BY b.cluster_id)
+         |SELECT d.doc_id, d.cluster_id, d.score,
+         |  d.doc_id = r.rep_doc AS is_rep
+         |FROM docsc d JOIN rep r ON r.cluster_id = d.cluster_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val pairs = nearDupPairs(s, dir, minJaccard = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val comp = connectedComponents(pairs)
+      val scored = graft.queries.TextOps
+        .qualityClassifierScore(Tables(s, dir, "documents"))
+        .select("doc_id", "score")
+      val clustered = Tables(s, dir, "documents").select("doc_id")
+        .join(comp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .join(scored, Seq("doc_id"))
+      // best member per cluster WITHOUT a window: min of the
+      // order-encoding struct is partial-aggregable (score DESC via
+      // negation, doc_id ASC tiebreak — integer-exact, no float order)
+      val rep = clustered.groupBy("cluster_id")
+        .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("d")))
+          .as("m"))
+        .select(col("cluster_id"), col("m.d").as("rep_doc"))
+      clustered.join(rep, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("score"),
+          (col("doc_id") === col("rep_doc")).as("is_rep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q107: LEAKAGE-SAFE train/test split ---------------------
+    // q49 splits on md5(doc_id) — correct for independent docs, but
+    // near-duplicate docs hash independently, so a dup pair can
+    // straddle train/test and leak test content into training (the
+    // canonical eval-inflation bug; Lee et al. 2021 measure it on C4).
+    // Fix: split on md5(CLUSTER id) — every member of a near-dup
+    // cluster lands on the SAME side by construction. Cost on top of
+    // the CC frame: one per-row hash + the same left join q76 pays;
+    // the split rule itself is the q49 deterministic-digit technique.
+    QueryDef(
+      "q107_leakage_safe_split",
+      s"""WITH RECURSIVE $shingleSqlCte,
+         |$lshPairSqlCtes,
+         |pairs AS (
+         |  SELECT i.doc_a AS a, i.doc_b AS b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN instr('0123456789abcdef',
+         |         substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1 < 13
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM assigned ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = nearDupPairs(s, dir, minJaccard = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val comp = connectedComponents(pairs)
+      val dig = conv(substring(md5(col("cluster_id").cast("string")), 1, 1),
+        16, 10).cast("int")
+      Tables(s, dir, "documents").select("doc_id")
+        .join(comp, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          when(dig < 13, "train").otherwise("test").as("split"))
         .orderBy("doc_id")
     },
 

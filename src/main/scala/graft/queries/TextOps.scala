@@ -508,6 +508,37 @@ object TextOps {
       |  SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** q105's keep threshold (offline-fitted alongside the weights). */
+  val ClassifierKeepScore: Long = 13600L
+
+  /** The oracle-side twin of [[withClassifierScore]]: DuckDB CTEs
+    * defining `clf_scored(doc_id, score)` over `documents` — shared
+    * by q105 and every query that composes the classifier (q106).
+    */
+  private[queries] lazy val classifierSqlCtes: String = {
+    val stopList = stop("en").map(w => s"'$w'").mkString(", ")
+    s"""clf_f AS (
+       |  SELECT doc_id, n_chars,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+       |  FROM documents),
+       |clf_m AS (
+       |  SELECT doc_id,
+       |    (n_alpha * 1000) // greatest(len(toks), 1) AS awl_milli,
+       |    (len(list_filter(toks, x -> x IN ($stopList))) * 1000)
+       |      // greatest(len(toks), 1) AS stop_milli,
+       |    (n_alpha * 1000) // greatest(n_chars, 1) AS alpha_milli,
+       |    (len(list_distinct(toks)) * 1000) // greatest(len(toks), 1) AS ttr_milli,
+       |    least(len(toks), 400) AS len_term
+       |  FROM clf_f),
+       |clf_scored AS (
+       |  SELECT doc_id,
+       |    CAST(2*awl_milli + 3*stop_milli + 4*alpha_milli
+       |         + 2*ttr_milli + 5*len_term AS BIGINT) AS score
+       |  FROM clf_m)""".stripMargin
+  }
+
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact deduplication via content hash --------------------
@@ -1819,27 +1850,11 @@ object TextOps {
     // the keep/drop verdict. Zero shuffle at any corpus size.
     QueryDef(
       "q105_quality_classifier",
-      s"""WITH f AS (
-         |  SELECT doc_id, n_chars,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
-         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    (n_alpha * 1000) // greatest(len(toks), 1) AS awl_milli,
-         |    (len(list_filter(toks, x -> x IN (${stop("en").map(w => s"'$w'").mkString(", ")}))) * 1000)
-         |      // greatest(len(toks), 1) AS stop_milli,
-         |    (n_alpha * 1000) // greatest(n_chars, 1) AS alpha_milli,
-         |    (len(list_distinct(toks)) * 1000) // greatest(len(toks), 1) AS ttr_milli,
-         |    least(len(toks), 400) AS len_term
-         |  FROM f)
-         |SELECT doc_id,
-         |  CAST(2*awl_milli + 3*stop_milli + 4*alpha_milli
-         |       + 2*ttr_milli + 5*len_term AS BIGINT) AS score,
-         |  CASE WHEN 2*awl_milli + 3*stop_milli + 4*alpha_milli
-         |            + 2*ttr_milli + 5*len_term >= 13600
+      s"""WITH $classifierSqlCtes
+         |SELECT doc_id, score,
+         |  CASE WHEN score >= $ClassifierKeepScore
          |       THEN 'keep' ELSE 'drop' END AS verdict
-         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |FROM clf_scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
       qualityClassifierScore(docs(s, dir)).orderBy("doc_id")
     }
   )
@@ -2153,9 +2168,6 @@ object TextOps {
     * (`div` on non-negative longs), so the verdict is engine-stable.
     * Pure per-row column work: zero shuffle at any corpus size.
     */
-  /** q105's keep threshold (offline-fitted alongside the weights). */
-  val ClassifierKeepScore: Long = 13600L
-
   /** Append q105's integer `score` column to any frame with a `text`
     * column; `nCharsCol` names the char-count column the alpha-ratio
     * term divides by (the table's `n_chars`, or a recomputed

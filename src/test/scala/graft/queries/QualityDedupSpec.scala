@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the quality-aware dedup representatives (q106) and
+  * the leakage-safe split (q107) — the oracle pins row-level
+  * correctness; these pin the CONTRACTS the compositions exist for,
+  * plus the no-window plan shape q106's rollup promises.
+  */
+class QualityDedupSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    s
+  }
+
+  test("q105 oracle text interpolates the real threshold (object-init order)") {
+    // regression: defs is built at object init, so a constant declared
+    // BELOW it interpolates as 0 into the oracle SQL while the Spark
+    // side (lazy, query-time) uses the real value — caught live when
+    // the shared-CTE refactor moved the threshold below defs
+    assert(SparkEntry.oracleSql("q105_quality_classifier")
+      .contains(TextOps.ClassifierKeepScore.toString))
+    assert(TextOps.ClassifierKeepScore > 0L)
+  }
+
+  test("q106: one rep per cluster, and it carries the cluster-max score") {
+    val df = SparkEntry.queries("q106_quality_dedup_rep")(spark, dir).cache()
+    // exactly one representative per cluster
+    val badRep = df.groupBy("cluster_id")
+      .agg(sum(when(col("is_rep"), 1L).otherwise(0L)).as("n_rep"))
+      .filter(col("n_rep") =!= 1L)
+    assert(badRep.isEmpty, badRep.take(3).mkString(","))
+    // the rep's score is the cluster max
+    val joined = df.filter(col("is_rep"))
+      .join(df.groupBy("cluster_id").agg(max("score").as("ms")), Seq("cluster_id"))
+      .filter(col("score") =!= col("ms"))
+    assert(joined.isEmpty, joined.take(3).mkString(","))
+    // every doc appears exactly once
+    assert(df.count() === Tables(spark, dir, "documents").count())
+    // at least one genuine multi-member cluster exists in the corpus
+    // (otherwise the rep rule is vacuous at this SF)
+    assert(df.groupBy("cluster_id").count().filter(col("count") > 1)
+      .count() >= 1)
+    df.unpersist()
+  }
+
+  test("q106 plan: per-cluster rollup, no Window") {
+    val p = SparkEntry.queries("q106_quality_dedup_rep")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"q106 must pick representatives via the partial-aggregable rollup, not a window:\n$p")
+  }
+
+  test("q107: no near-dup cluster straddles the split; both sides populated") {
+    val df = SparkEntry.queries("q107_leakage_safe_split")(spark, dir).cache()
+    val crossing = df.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1)
+    assert(crossing.isEmpty,
+      "leakage: cluster on both sides " + crossing.take(3).mkString(","))
+    val sides = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.keySet === Set("train", "test"), sides)
+    assert(sides.values.forall(_ > 0), sides)
+    // and the raw near-dup PAIRS never straddle either (belt-and-
+    // braces over the cluster invariant: edges ⊆ clusters)
+    val pairs = DedupOps.nearDupPairs(spark, dir, 0.5)
+    val side = df.select(col("doc_id"), col("split"))
+    val straddle = pairs
+      .join(side.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), Seq("doc_a"))
+      .join(side.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.isEmpty, straddle.take(3).mkString(","))
+    df.unpersist()
+  }
+}
