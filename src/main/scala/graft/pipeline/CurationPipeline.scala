@@ -32,7 +32,9 @@ import org.apache.spark.storage.StorageLevel
   *      quality filtering, after the rule rung)
   *   3. exact dedup          — md5 keep-first      (q30)
   *   4. near-dup dedup       — MinHash/LSH pairs → connected
-  *      components → representative materialization (q36/q61/q76)
+  *      components → representative materialization (q36/q61/q76;
+  *      keeper = min doc_id, or the best-quality member under
+  *      `keepBestOfCluster` — the q106 rule)
   *   4b. (optional) edit-distance near-dup verify — the same LSH
   *      candidate stage re-verified by character-level Levenshtein
   *      similarity (q94), for corpora where 3-token shingle Jaccard
@@ -125,6 +127,12 @@ object CurationPipeline {
     * score is >= the threshold, with n_chars recomputed from the
     * (redacted/rewritten) text actually flowing through. Pure
     * per-row filter — no join, no shuffle.
+    *
+    * `keepBestOfCluster = true` switches the dedup keeper rule (both
+    * stage 4 and the optional 4b) from min-doc_id to q106's
+    * quality-aware rule: the max-classifier-score cluster member
+    * survives, min doc_id on ties — same cost shape (a partial-
+    * aggregable rollup replaces the is_kept filter).
     */
   def run(spark: SparkSession, docs: DataFrame, probeSource: String,
       outDir: String, minJaccard: Double = 0.5, minShared: Long = 3L,
@@ -136,7 +144,8 @@ object CurationPipeline {
       c4Lines: Boolean = false,
       dedupLines: Boolean = false,
       urlCol: Option[String] = None,
-      classifierMinScore: Option[Long] = None)
+      classifierMinScore: Option[Long] = None,
+      keepBestOfCluster: Boolean = false)
       : Seq[StageCount] = {
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
@@ -238,14 +247,22 @@ object CurationPipeline {
     val exact = stage("exact_dedup", classified.join(keepers, Seq("doc_id")))
 
     // 4. near-dup dedup — LSH pairs → CC → keep representatives
-    // (q36/q61/q76); dedupMaterialize keeps each cluster's min doc_id
+    // (q36/q61/q76). Default keeper = each cluster's min doc_id
+    // (dedupMaterialize); under `keepBestOfCluster` the q106 rule
+    // decides instead — the max-classifier-score member survives
+    // (min id on ties), so a clean original beats its noised twin
+    def clusterKeepers(frame: DataFrame, edges: DataFrame): DataFrame = {
+      val cc = DedupOps.connectedComponents(edges)
+      if (keepBestOfCluster)
+        DedupOps.bestOfClusterIds(frame.select("doc_id", "text"), cc)
+      else DedupOps.dedupMaterialize(frame.select("doc_id"), cc)
+        .filter(col("is_kept")).select("doc_id")
+    }
     val pairs = DedupOps.nearDupPairs(spark,
         exact.select("doc_id", "text"), minJaccard)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val keptIds = DedupOps.dedupMaterialize(
-        exact.select("doc_id"), DedupOps.connectedComponents(pairs))
-      .filter(col("is_kept")).select("doc_id")
-    val nearDeduped = stage("near_dedup", exact.join(keptIds, Seq("doc_id")))
+    val nearDeduped = stage("near_dedup",
+      exact.join(clusterKeepers(exact, pairs), Seq("doc_id")))
 
     // 4b. optional edit-distance near-dup verify (q94) — the fuzzier
     // character-level pass for OCR/code corpora: sparse character
@@ -265,11 +282,8 @@ object CurationPipeline {
           nearDeduped.select("doc_id", "text"), minSim,
           maxCandidatesPerDoc = Some(64))
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val ekept = DedupOps.dedupMaterialize(
-          nearDeduped.select("doc_id"),
-          DedupOps.connectedComponents(epairs))
-        .filter(col("is_kept")).select("doc_id")
-      stage("edit_near_dedup", nearDeduped.join(ekept, Seq("doc_id")))
+      stage("edit_near_dedup",
+        nearDeduped.join(clusterKeepers(nearDeduped, epairs), Seq("doc_id")))
     }
 
     // 5. decontamination — flag docs sharing >= minShared distinct

@@ -188,6 +188,43 @@ object WebOps {
       urlDedup(docsWithUrl(s, dir)).orderBy("canonical_url")
     },
 
+    // ---- q108: domain-level quality filter -----------------------
+    // RefinedWeb-style domain curation: a domain whose MEAN document
+    // quality is low gets dropped wholesale (content farms, SEO spam
+    // — per-doc filters leak their best pages; the domain signal is
+    // the stronger prior). Mean = exact-integer rule sum_score >=
+    // thr * n_docs, so the verdict cannot split on float division.
+    // Shape: q105's zero-shuffle per-row scoring + ONE partial-
+    // aggregable host rollup — the report frame is |domains|-sized.
+    // (To enforce on docs, semi-join docs against the kept hosts —
+    // an equi-join on the tens-of-bytes host key.)
+    QueryDef(
+      "q108_domain_quality_filter",
+      s"""WITH ${graft.queries.TextOps.classifierSqlCtes},
+         |u AS (
+         |  SELECT doc_id, $synthUrlSql AS url FROM documents),
+         |j AS (
+         |  SELECT s.score, u.url
+         |  FROM u JOIN clf_scored s ON s.doc_id = u.doc_id),
+         |h AS (
+         |  SELECT score,
+         |    regexp_replace(lower(regexp_replace(
+         |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |      ':[0-9]+$$', '')), '^www\\.', '') AS host
+         |  FROM j)
+         |SELECT host, count(*) AS n_docs,
+         |  CAST(sum(score) AS BIGINT) AS sum_score,
+         |  sum(score) >= 13700 * count(*) AS kept
+         |FROM h GROUP BY host
+         |ORDER BY host""".stripMargin) { (s, dir) =>
+      graft.queries.TextOps.withClassifierScore(docsWithUrl(s, dir), "n_chars")
+        .groupBy(canonicalHost(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+        .select(col("host"), col("n_docs"), col("sum_score"),
+          (col("sum_score") >= lit(13700L) * col("n_docs")).as("kept"))
+        .orderBy("host")
+    },
+
     // ---- q104: per-domain document cap ---------------------------
     // Oracle uses row_number() — the window shape the Spark side
     // deliberately avoids; a hash match proves the bounded heap

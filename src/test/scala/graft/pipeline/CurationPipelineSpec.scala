@@ -482,6 +482,51 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"gate-run-only deaths: ${(expected -- kept) -- (expected -- kept2)}")
   }
 
+  test("keepBestOfCluster: the near-dup keeper is the max-score member, not the min id") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+      .filter($"source" =!= "src0")
+    // plant a near-dup twin (one token swapped) of a quality-passing
+    // base doc under a HIGHER id — min-id keeps the base; the q106
+    // rule keeps whichever scores higher
+    val base = real
+      .filter(graft.queries.TextOps.gopherKept(col("text")))
+      .orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].head()
+    val twinText = base._2.split("\\s+").toSeq.updated(0, "swapped").mkString(" ")
+    val docs = real.filter($"doc_id" < 90000L)
+      .unionByName(Seq((90001L, twinText, "en", "src2"))
+        .toDF("doc_id", "text", "lang", "source"))
+
+    // expected keeper among {base, twin}: max q105 score, min id tie
+    val pairScores = Seq((base._1, base._2), (90001L, twinText))
+      .toDF("doc_id", "text")
+      .withColumn("__nc", length(col("text")).cast("long"))
+    val scored = graft.queries.TextOps
+      .withClassifierScore(pairScores, "__nc")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val expectKeeper =
+      if (scored(90001L) > scored(base._1)) 90001L else base._1
+
+    val out = java.nio.file.Files.createTempDirectory("graft_best").toString
+    val ledger = CurationPipeline.run(spark, docs, probeSource = "src0",
+      outDir = out, keepBestOfCluster = true)
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(expectKeeper) &&
+      !kept.contains(Set(base._1, 90001L).filterNot(_ == expectKeeper).head),
+      s"expected keeper $expectKeeper of pair (${base._1}, 90001); " +
+        s"scores=$scored kept∩pair=${kept.intersect(Set(base._1, 90001L))}")
+    assert(ledger.map(_.stage).contains("near_dedup"), ledger)
+
+    // control: min-id rule keeps the base doc regardless of score
+    val out2 = java.nio.file.Files.createTempDirectory("graft_best2").toString
+    CurationPipeline.run(spark, docs, "src0", out2)
+    val kept2 = spark.read.parquet(out2).select("doc_id").as[Long].collect().toSet
+    assert(kept2.contains(base._1) && !kept2.contains(90001L),
+      s"min-id control broken: ${kept2.intersect(Set(base._1, 90001L))}")
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the

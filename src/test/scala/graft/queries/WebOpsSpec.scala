@@ -132,6 +132,19 @@ class WebOpsSpec extends AnyFunSuite {
       s"q104 must reduce via the topk_collect partial aggregate:\n$p")
   }
 
+  test("q108 domain verdicts follow the exact-integer mean rule, both verdicts occur") {
+    val rows = SparkEntry.queries("q108_domain_quality_filter")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("sum_score") >= 13700L * r.getAs[Long]("n_docs")
+      assert(r.getAs[Boolean]("kept") === expect, r)
+    }
+    assert(rows.exists(_.getAs[Boolean]("kept")) &&
+      rows.exists(!_.getAs[Boolean]("kept")),
+      "threshold degenerate at this SF: one-sided verdicts")
+  }
+
   test("q103 plan: canonicalization stays in the scan's project, one shuffle") {
     val p = SparkEntry.queries("q103_url_dedup")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
