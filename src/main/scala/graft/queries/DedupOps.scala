@@ -1622,14 +1622,15 @@ object DedupOps {
       val pairs = nearDupPairs(s, dir, minJaccard = 0.5)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val comp = connectedComponents(pairs)
-      val scored = graft.queries.TextOps
+      // score inside the documents scan itself (q105 is per-row), so
+      // the cluster left-join is the ONLY join the doc stream pays
+      val clustered = graft.queries.TextOps
         .qualityClassifierScore(Tables(s, dir, "documents"))
         .select("doc_id", "score")
-      val clustered = Tables(s, dir, "documents").select("doc_id")
         .join(comp, col("doc_id") === col("node"), "left")
         .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .join(scored, Seq("doc_id"))
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("score"))
       // best member per cluster WITHOUT a window: min of the
       // order-encoding struct is partial-aggregable (score DESC via
       // negation, doc_id ASC tiebreak — integer-exact, no float order)
