@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q105 linear probe pinned against a straight-line Scala
+  * reference over generated text — every regex-whitespace shape,
+  * empty/whitespace-only docs, non-alpha runs, and the 400-token
+  * saturation boundary. The oracle already cross-checks DuckDB; this
+  * closes the triangle with an implementation that shares no code
+  * with either engine (plain Long arithmetic, no SQL).
+  */
+class ClassifierPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private val stopEn = Set("the", "a", "of", "and", "to", "in", "is")
+
+  private def refScore(text: String): Long = {
+    val toks = text.split("\\s+").toSeq.filter(_.nonEmpty)
+    val nAlpha = text.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLong
+    val nChars = text.length.toLong
+    val tok1 = math.max(toks.size.toLong, 1L)
+    val awl = nAlpha * 1000 / tok1
+    val stopM = toks.count(stopEn).toLong * 1000 / tok1
+    val alphaM = nAlpha * 1000 / math.max(nChars, 1L)
+    val ttrM = toks.distinct.size.toLong * 1000 / tok1
+    val lenT = math.min(toks.size.toLong, 400L)
+    2 * awl + 3 * stopM + 4 * alphaM + 2 * ttrM + 5 * lenT
+  }
+
+  private val word: Gen[String] = Gen.frequency(
+    3 -> Gen.nonEmptyListOf(Gen.alphaChar).map(_.take(12).mkString),
+    2 -> Gen.oneOf(stopEn.toSeq),
+    1 -> Gen.oneOf("123", "a1b2", "...", "{x}", "é∂ü", "word."),
+    1 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(8).mkString))
+  private val ws: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \t\n")
+  private val textGen: Gen[String] = Gen.frequency(
+    8 -> (for {
+      n <- Gen.choose(0, 60)
+      words <- Gen.listOfN(n, word)
+      seps <- Gen.listOfN(n, ws)
+      lead <- Gen.oneOf("", " ", "\n")
+    } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString),
+    1 -> Gen.oneOf("", " ", "\n\t ", " "),
+    // saturation boundary: > 400 tokens
+    1 -> Gen.choose(395, 410).map(n => Seq.fill(n)("tok").mkString(" ")))
+
+  test("q105 score equals the straight-line reference on generated text") {
+    val texts = {
+      val p = Gen.Parameters.default.withSize(50)
+      (0 until 400).flatMap(i => textGen.apply(p, Seed(7L + i)): Option[String])
+    }
+    assert(texts.size >= 350, s"generator degenerated: ${texts.size}")
+    import spark.implicits._
+    val got = TextOps.withClassifierScore(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+          .withColumn("__nc", length(col("text")).cast("long")), "__nc")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === refScore(t),
+        s"score mismatch on '${t.take(80).replace("\n", "\\n")}'")
+    }
+  }
+}
