@@ -720,6 +720,72 @@ object SimilarityOps {
         .agg(topK5.as("top")))
     },
 
+    // ---- q109: truncated-dimension two-stage ANN -----------------
+    // The Matryoshka-retrieval shape (Kusupati et al. 2022: MRL
+    // embeddings are trained so PREFIXES are themselves good
+    // embeddings): stage 1 scans the corpus with only the first 16
+    // of 64 dims (4× less memory bandwidth — at 100 TB the corpus
+    // scan IS the bill) into a bounded heap of 20 candidates per
+    // query; stage 2 re-ranks just those 20 with full-dimension
+    // cosine. Both reductions are `topk_collect` partial aggregates
+    // — never a per-query window funnel — and the re-rank join
+    // touches O(candidates) rows, not the corpus. The oracle spells
+    // out both stages with row_number windows; a hash match proves
+    // the two bounded heaps reproduce exact two-stage semantics.
+    QueryDef(
+      "q109_matryoshka_ann",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pre AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    (SELECT sum(x * y) FROM (SELECT unnest(q.emb[1:16]) AS x, unnest(c.emb[1:16]) AS y) z)
+        |      / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(q.emb[1:16]) AS x) z))
+        |         * sqrt((SELECT sum(y * y) FROM (SELECT unnest(c.emb[1:16]) AS y) z))) AS pcos
+        |  FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+        |cand AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY pcos DESC, cand_id) AS rnk
+        |    FROM pre) WHERE rnk <= 20),
+        |rer AS (
+        |  SELECT p.query_id, p.cand_id,
+        |    (SELECT sum(x * y) FROM (SELECT unnest(q.emb) AS x, unnest(c.emb) AS y) z)
+        |      / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(q.emb) AS x) z))
+        |         * sqrt((SELECT sum(y * y) FROM (SELECT unnest(c.emb) AS y) z))) AS cosine
+        |  FROM cand p
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e c ON c.vec_id = p.cand_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM rer)
+        |SELECT query_id, cand_id, round(cosine, 4) AS cosine,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+      // stage 1: prefix-dim scan, corpus partitioned, queries
+      // broadcast, bounded heap of 20 candidates per query
+      val cand = c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("cand_id"),
+          expr("cosine_sim(slice(qe, 1, 16), slice(ce, 1, 16))").as("pcos"))
+        .groupBy("query_id")
+        .agg(expr("topk_collect(pcos, cand_id, 20)").as("top"))
+        .select(col("query_id"), explode(col("top.id")).as("cand_id"))
+      // stage 2: full-dim re-rank of O(candidates) rows only
+      val rer = cand
+        .join(c, Seq("cand_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          expr("cosine_sim(qe, ce)").as("cosine"))
+      explodeTopK(rer.groupBy("query_id").agg(topK5.as("top")))
+    },
+
     // ---- q41: per-label norm statistics --------------------------
     QueryDef(
       "q41_embedding_norms",

@@ -515,6 +515,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q105 grew a hash shuffle:\n$p")
   }
 
+  test("q109 two-stage ANN: queries broadcast, both reductions bounded heaps, no Window") {
+    val p = plan("q109_matryoshka_ann")
+    assert(!p.contains("Window"),
+      s"q109 must reduce via topk_collect heaps, not windows:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).nonEmpty
+      || "BroadcastExchange".r.findAllIn(p).nonEmpty,
+      s"q109 stage-1 must broadcast the query side:\n$p")
+    assert("partial_topk_collect".r.findAllIn(p).size >= 2,
+      s"q109 must run two bounded-heap reductions:\n$p")
+  }
+
   test("q89 ppl buckets: vocab broadcast, tercile window over the HISTOGRAM only") {
     val p = plan("q89_ppl_buckets")
     // scoring inherits q69's shape: size-gated vocab broadcast,
