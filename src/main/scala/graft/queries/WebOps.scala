@@ -225,6 +225,74 @@ object WebOps {
         .orderBy("host")
     },
 
+    // ---- q110: domain authority (integer PageRank) ---------------
+    // Crawl-frontier prioritization / authority-based quality prior:
+    // PageRank over the host link graph, 5 unrolled iterations.
+    // EVERY arithmetic step is integer (mass in micro units; per-edge
+    // transfer pr*w `div` outdeg; damping 85/100 as integer mul/div),
+    // so the two engines cannot diverge on float order — the same
+    // micro-quantization move the RRF/DSIR/ppl operators use, applied
+    // to an ITERATIVE dataflow. Links are synthesized deterministically
+    // from (doc_id, source): host(doc) → 'src'+((doc_id*7+3) mod 20).
+    // Scale: the iterated frame is |domains|-sized (≪ docs — the
+    // doc-level work is one rollup building the weighted edge list);
+    // each iteration is one equi-join + one partial-aggregable
+    // groupBy on the dst key; lineage grows linearly (each pr_t is
+    // referenced once), no doubling.
+    QueryDef(
+      "q110_domain_pagerank",
+      { val iters = (1 to 5).map { i =>
+          val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+          s"""pr$i AS (
+             |  SELECT n.h AS h,
+             |    CAST(150000 + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS pr
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst_h AS h, SUM((p.pr * e.w) // o.od) AS inflow
+             |    FROM edges e
+             |    JOIN $prev p ON p.h = e.src_h
+             |    JOIN outdeg o ON o.src_h = e.src_h
+             |    GROUP BY e.dst_h) s ON s.h = n.h)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH links AS (
+           |  SELECT source AS src_h,
+           |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst_h
+           |  FROM documents),
+           |edges AS (
+           |  SELECT src_h, dst_h, count(*) AS w FROM links
+           |  WHERE src_h <> dst_h GROUP BY src_h, dst_h),
+           |outdeg AS (SELECT src_h, sum(w) AS od FROM edges GROUP BY src_h),
+           |nodes AS (
+           |  SELECT src_h AS h FROM links
+           |  UNION SELECT dst_h FROM links),
+           |pr0 AS (SELECT h, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+           |$iters
+           |SELECT h AS host, pr AS pr_micro FROM pr5 ORDER BY host""".stripMargin
+      }) { (s, dir) =>
+      val docsDf = docs(s, dir)
+      val links = docsDf.select(col("source").as("src_h"),
+        concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"))
+          .as("dst_h"))
+      val edges = links.filter(col("src_h") =!= col("dst_h"))
+        .groupBy("src_h", "dst_h").agg(count(lit(1)).as("w"))
+      val outdeg = edges.groupBy("src_h").agg(sum("w").as("od"))
+      val nodes = links.select(col("src_h").as("h"))
+        .union(links.select(col("dst_h").as("h"))).distinct()
+      var pr = nodes.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 5) {
+        val inflow = edges
+          .join(pr.withColumnRenamed("h", "src_h"), Seq("src_h"))
+          .join(outdeg, Seq("src_h"))
+          .select(col("dst_h").as("h"), expr("(pr * w) div od").as("c"))
+          .groupBy("h").agg(sum("c").as("inflow"))
+        pr = nodes.join(inflow, Seq("h"), "left")
+          .select(col("h"),
+            (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+              .as("pr"))
+      }
+      pr.select(col("h").as("host"), col("pr").as("pr_micro"))
+        .orderBy("host")
+    },
+
     // ---- q104: per-domain document cap ---------------------------
     // Oracle uses row_number() — the window shape the Spark side
     // deliberately avoids; a hash match proves the bounded heap
