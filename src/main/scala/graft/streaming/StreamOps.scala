@@ -348,6 +348,25 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("n_tok"), col("score_bp"),
         when(col("score_bp") >= lit(cutoff), 1L).otherwise(0L).as("kept"))
 
+  /** ONLINE domain-level quality gating — the streaming form of the
+    * batch q108 filter (queries.WebOps): domain verdicts are a
+    * CORPUS-level property (a mean over all of a domain's docs),
+    * underivable from an unbounded stream — so they are fitted
+    * OFFLINE by the batch q108 rollup and shipped as a (host, kept)
+    * frame, re-resolvable per micro-batch (the tokenBudgetStream /
+    * pplBucketStream deployment shape). Per-row work is the
+    * stateless host canonicalization + one broadcast left join on
+    * the tens-of-bytes host key; docs from unknown domains carry
+    * verdict NULL (no evidence) rather than silently dropping.
+    * Input: (doc_id, url, ts) + the verdict frame; output adds
+    * `host` and `domain_kept`.
+    */
+  def domainFilterStream(docs: DataFrame, domainVerdicts: DataFrame): DataFrame =
+    docs
+      .withColumn("host", graft.queries.WebOps.canonicalHost(col("url")))
+      .join(broadcast(domainVerdicts.select(col("host"),
+        col("kept").as("domain_kept"))), Seq("host"), "left_outer")
+
   /** ONLINE model-based quality gating — the streaming form of the
     * batch q105 classifier (queries.TextOps.withClassifierScore):
     * the weight vector is an offline-fitted constant baked into one

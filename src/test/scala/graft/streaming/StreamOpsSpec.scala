@@ -763,6 +763,38 @@ class StreamOpsSpec extends AnyFunSuite {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("PARITY: online domain gating equals the batch q108 verdicts doc for doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // offline fit: the batch q108 rollup over the full corpus
+    val verdicts = graft.SparkEntry.queries("q108_domain_quality_filter")(
+      spark, parityDir).select("host", "kept")
+    val withUrl = graft.Tables(spark, parityDir, "documents")
+      .withColumn("url", graft.queries.WebOps.synthUrl(col("doc_id"), col("source")))
+      .select("doc_id", "url").as[(Long, String)].collect().toSeq
+    // batch expectation per doc: its host's verdict
+    val batch = withUrl.toDF("doc_id", "url")
+      .withColumn("host", graft.queries.WebOps.canonicalHost(col("url")))
+      .join(verdicts, Seq("host"))
+      .select($"doc_id", $"kept").as[(Long, Boolean)].collect().toSet
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(withUrl.map { case (id, u) => (id, u, ts(0)) })
+    val q = StreamOps.domainFilterStream(
+      stream.toDF().toDF("doc_id", "url", "ts"), verdicts)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("domain_gate_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("domain_gate_parity")
+      .select($"doc_id", $"domain_kept").as[(Long, Boolean)].collect().toSet
+    assert(batch.exists(_._2) && batch.exists(!_._2),
+      "parity vacuous: one-sided verdicts")
+    assert(streamed == batch,
+      s"stream-batch domain gate mismatch: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+  }
+
   test("PARITY: online classifier scoring equals the batch q105 rows row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
