@@ -1014,6 +1014,82 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- q111: LSH estimator calibration report ------------------
+    // The QA artifact behind every MinHash threshold decision: for
+    // each banded candidate pair, how does the SIGNATURE-agreement
+    // estimate (k/8 agreeing minhashes — the only similarity the
+    // 100 TB index path q95 ever sees) track EXACT shingle Jaccard?
+    // Report rows bucket candidates by agreement count with the
+    // exact-Jaccard spread per bucket — this is how minJaccard and
+    // the band shape get tuned on a new corpus, and how estimator
+    // drift (tokenizer change, shingle width change) gets caught.
+    // Shape: the q36 candidate machinery + ONE more |candidates|-
+    // sized rollup; the LEFT intersection join keeps zero-overlap
+    // candidates (banding false positives) in the report — exactly
+    // the pairs a calibration must count.
+    QueryDef(
+      "q111_lsh_calibration",
+      s"""WITH $shingleSqlCte,
+         |agree AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(a.h0 = b.h0 AS INT) + CAST(a.h1 = b.h1 AS INT)
+         |    + CAST(a.h2 = b.h2 AS INT) + CAST(a.h3 = b.h3 AS INT)
+         |    + CAST(a.h4 = b.h4 AS INT) + CAST(a.h5 = b.h5 AS INT)
+         |    + CAST(a.h6 = b.h6 AS INT) + CAST(a.h7 = b.h7 AS INT) AS n_agree
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+         |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+         |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ints AS (
+         |  SELECT g.doc_a, g.doc_b, count(*) AS n_common
+         |  FROM agree g
+         |  JOIN sh sa ON sa.doc_id = g.doc_a
+         |  JOIN sh sb ON sb.doc_id = g.doc_b AND sa.g = sb.g
+         |  GROUP BY g.doc_a, g.doc_b),
+         |j AS (
+         |  SELECT g.n_agree,
+         |    CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+         |      / (za.n + zb.n - COALESCE(i.n_common, 0)) AS jac
+         |  FROM agree g
+         |  LEFT JOIN ints i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+         |  JOIN sizes za ON za.doc_id = g.doc_a
+         |  JOIN sizes zb ON zb.doc_id = g.doc_b)
+         |SELECT CAST(n_agree AS BIGINT) AS n_agree, count(*) AS n_pairs,
+         |  round(avg(jac), 4) AS avg_jaccard,
+         |  round(min(jac), 4) AS min_jaccard,
+         |  round(max(jac), 4) AS max_jaccard
+         |FROM j GROUP BY n_agree ORDER BY n_agree""".stripMargin) { (s, dir) =>
+      val docsF = Tables(s, dir, "documents").select("doc_id", "text")
+      val sg = minhashSig(s, docsF)
+      val sh = shingles(docsF)
+      val cand = bandedCandidates(sg).select("doc_a", "doc_b")
+      val sa = sg.select(col("doc_id").as("doc_a") +:
+        (col("n").as("na") +: (0 until NumHashes).map(i => col(s"h$i").as(s"a$i"))): _*)
+      val sb = sg.select(col("doc_id").as("doc_b") +:
+        (col("n").as("nb") +: (0 until NumHashes).map(i => col(s"h$i").as(s"b$i"))): _*)
+      val agree = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          (0 until NumHashes)
+            .map(i => (col(s"a$i") === col(s"b$i")).cast("long"))
+            .reduce(_ + _).as("n_agree"))
+      val ints = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_common"))
+      val jac = coalesce(col("n_common"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("n_common"), lit(0L)))
+      agree
+        .join(ints, Seq("doc_a", "doc_b"), "left")
+        .select(col("n_agree"), jac.as("jac"))
+        .groupBy("n_agree")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg("jac"), 4).as("avg_jaccard"),
+          round(min("jac"), 4).as("min_jaccard"),
+          round(max("jac"), 4).as("max_jaccard"))
+        .orderBy("n_agree")
+    },
+
     // ---- q94: edit-distance-verified near-dup pairs --------------
     // q36's banded-MinHash candidate stage with exact Levenshtein
     // verify instead of shingle Jaccard — the character-level
