@@ -17,6 +17,8 @@ import org.apache.spark.storage.StorageLevel
   *      provenance BEFORE any text processing — the key is tens of
   *      bytes and already materialized, and recrawl duplicates shed
   *      here never pay for redaction or hashing
+  *   0b. (optional) per-domain document cap — at most `cap` docs
+  *      per canonical host, longest first (q104's bounded heap)
   *   1. PII redaction        — redactPii           (q74)
   *   1a. (optional) C4 line-quality filter — terminal-punctuation /
   *      min-words line rules + lorem/brace/too-few page verdicts
@@ -128,6 +130,12 @@ object CurationPipeline {
     * (redacted/rewritten) text actually flowing through. Pure
     * per-row filter — no join, no shuffle.
     *
+    * `domainCapN = Some(cap)` (requires `urlCol`) inserts the
+    * per-domain document cap (q104, WebOps.domainCap) after URL
+    * dedup: at most `cap` docs per canonical host survive, longest
+    * first (doc_id tiebreak) — the no-single-domain-dominates rule,
+    * enforced via the bounded-heap rollup before any content work.
+    *
     * `keepBestOfCluster = true` switches the dedup keeper rule (both
     * stage 4 and the optional 4b) from min-doc_id to q106's
     * quality-aware rule: the max-classifier-score cluster member
@@ -145,8 +153,11 @@ object CurationPipeline {
       dedupLines: Boolean = false,
       urlCol: Option[String] = None,
       classifierMinScore: Option[Long] = None,
-      keepBestOfCluster: Boolean = false)
+      keepBestOfCluster: Boolean = false,
+      domainCapN: Option[Int] = None)
       : Seq[StageCount] = {
+    require(domainCapN.isEmpty || urlCol.nonEmpty,
+      "domainCapN needs urlCol: the cap keys on the URL's canonical host")
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
     // path; snapshot the persistent-RDD set so run() can release
@@ -176,15 +187,32 @@ object CurationPipeline {
         .groupBy(WebOps.canonicalizeUrl(col(uc)).as("cu"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-      stage("url_dedup", input.join(keepers, Seq("doc_id")).drop(uc))
+      // the url column survives this stage for the optional domain
+      // cap below; the redaction projection retires it either way
+      stage("url_dedup", input.join(keepers, Seq("doc_id")))
     }
+
+    // 0b. optional per-domain document cap (q104) — keep at most
+    // `cap` docs per canonical host, longest first (doc_id tiebreak):
+    // the no-single-domain-dominates rule, enforced BEFORE content
+    // work so a crawler that fetched one domain a million times pays
+    // for at most `cap` of its pages downstream. The bounded-heap
+    // topk_collect rollup + an ids-only join — never a per-host
+    // window sort.
+    val domainCapped = (for { uc <- urlCol; cap <- domainCapN } yield {
+      val kept = WebOps.domainCap(
+          urlDeduped.withColumn("n_chars", length(col("text")).cast("long")),
+          cap, uc)
+        .select("doc_id")
+      stage("domain_cap", urlDeduped.join(kept, Seq("doc_id")))
+    }).getOrElse(urlDeduped)
 
     // 1. redaction — per-row regexes (q74); runs FIRST among the
     // content stages so every later stage (including the
     // decontamination probe side) sees the same redacted text, and
     // redacted text REPLACES raw everywhere
     val redacted = stage("redacted",
-      TextOps.redactPii(urlDeduped, "text")
+      TextOps.redactPii(domainCapped, "text")
         .select(col("doc_id"), col("redacted").as("text"),
           col("lang"), col("source")))
 

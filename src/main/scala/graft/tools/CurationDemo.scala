@@ -54,11 +54,18 @@ object CurationDemo {
     // SPARK_GRAFT_CLASSIFIER_MIN=<score> enables the model-based
     // quality gate (q105); use e.g. TextOps.ClassifierKeepScore=13600
     val clfMin = sys.env.get("SPARK_GRAFT_CLASSIFIER_MIN").map(_.trim.toLong)
+    // SPARK_GRAFT_DOMAIN_CAP=<n> (with SPARK_GRAFT_URL_COL) enables
+    // the per-domain document cap (q104)
+    val domCap = sys.env.get("SPARK_GRAFT_DOMAIN_CAP").map(_.trim.toInt)
+    // SPARK_GRAFT_KEEP_BEST=1 switches the dedup keeper rule to
+    // q106's max-classifier-score member
+    val keepBest = sys.env.get("SPARK_GRAFT_KEEP_BEST").contains("1")
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
       outDir = outDir, keepPplBuckets = keep, budgetFrac = budget,
       c4Lines = lineStages, dedupLines = lineStages,
-      urlCol = urlCol, classifierMinScore = clfMin)
+      urlCol = urlCol, classifierMinScore = clfMin,
+      keepBestOfCluster = keepBest, domainCapN = domCap)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
     // an all-filtered corpus writes no files — report that instead

@@ -436,6 +436,39 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(kept2 == Set(1L, 2L), kept2)
   }
 
+  test("domain_cap keeps the longest `cap` docs per host; others unaffected") {
+    import spark.implicits._
+    // host = source.example.com under synthUrl with UNIQUE canonical
+    // URLs (distinct paths per doc), so url_dedup drops nothing and
+    // the cap is the only stage 0 rule that fires
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+      .select("doc_id", "text", "lang", "source", "url")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+      outDir = out, urlCol = Some("url"), domainCapN = Some(2))
+    assert(ledger.map(_.stage).containsSlice(
+      Seq("input", "url_dedup", "domain_cap", "redacted")), ledger)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(counts("url_dedup") == counts("input"), ledger) // unique URLs
+    // expected cap survivors: top-2 per source by (len desc, id asc)
+    val expected = real.select($"doc_id", $"source", length($"text").as("l"))
+      .as[(Long, String, Int)].collect()
+      .groupBy(_._2).values.flatMap(_.sortBy(r => (-r._3, r._1)).take(2))
+      .map(_._1).toSet
+    assert(counts("domain_cap") == expected.size.toLong, ledger)
+    // the longest-per-source survivors mostly exceed gopher's
+    // 80-word max, so downstream stages may legitimately empty the
+    // output — membership of the capped set itself is pinned by
+    // WebOpsSpec's heap==row_number parity; here the ledger proves
+    // the stage fired with exactly the expected survivor count and
+    // the pipeline stayed whole to the end
+    assert(ledger.last.stage == "written", ledger)
+  }
+
   test("classifier gate drops exactly the docs below the threshold; control run keeps them") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")
