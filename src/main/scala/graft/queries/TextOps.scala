@@ -1837,6 +1837,70 @@ object TextOps {
       c4LineFilter(planted).orderBy("doc_id")
     },
 
+    // ---- q112: token-distribution drift report -------------------
+    // Corpus-QA companion to q92's card: which tokens drive the
+    // distributional gap between two corpus splits (here: even-
+    // numbered sources as the REFERENCE mixture, odd as the
+    // CANDIDATE)? The per-token statistic is a χ²-shaped integer —
+    // per-million rates via `div`, then (ppm_ref - ppm_cand)² div
+    // (ppm_ref + ppm_cand + 1) — so the ranking is engine-exact and
+    // bounded (ppm ≤ 1e6 ⇒ score < 1e12, no overflow). This is the
+    // drift check run when a new crawl snapshot or source lands:
+    // boilerplate and templating show up as top drift tokens long
+    // before aggregate stats move. Shape: ONE (side, token) rollup
+    // with map-side partials, a 1-row totals frame broadcast back,
+    // and a TakeOrdered top-20 — nothing corpus-sized moves twice.
+    QueryDef(
+      "q112_token_drift",
+      """WITH toks AS (
+        |  SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |              THEN 'ref' ELSE 'cand' END AS side,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |                       x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT w,
+        |    count(*) FILTER (WHERE side = 'ref') AS c_ref,
+        |    count(*) FILTER (WHERE side = 'cand') AS c_cand
+        |  FROM toks GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+        |    CAST(sum(c_cand) AS BIGINT) AS t_cand FROM cnt),
+        |p AS (
+        |  SELECT w,
+        |    (c_ref * 1000000) // t_ref AS ppm_ref,
+        |    (c_cand * 1000000) // t_cand AS ppm_cand
+        |  FROM cnt, tot),
+        |d AS (
+        |  SELECT w, CAST(ppm_ref AS BIGINT) AS ppm_ref,
+        |    CAST(ppm_cand AS BIGINT) AS ppm_cand,
+        |    CAST((ppm_ref - ppm_cand) * (ppm_ref - ppm_cand)
+        |         // (ppm_ref + ppm_cand + 1) AS BIGINT) AS drift
+        |  FROM p)
+        |SELECT w, ppm_ref, ppm_cand, drift FROM d
+        |ORDER BY drift DESC, w LIMIT 20""".stripMargin) { (s, dir) =>
+      val side = when(
+        substring(col("source"), 4, 10).cast("int") % 2 === 0, "ref")
+        .otherwise("cand")
+      val cnt = docs(s, dir)
+        .select(side.as("side"), explode(tokens(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(when(col("side") === "ref", 1)).as("c_ref"),
+          count(when(col("side") === "cand", 1)).as("c_cand"))
+      val tot = cnt.agg(sum("c_ref").as("t_ref"), sum("c_cand").as("t_cand"))
+      // 1-row totals frame joined back (broadcast by AQE); per-token
+      // math in exact integers
+      cnt.crossJoin(broadcast(tot))
+        .select(col("w"),
+          expr("(c_ref * 1000000) div t_ref").as("ppm_ref"),
+          expr("(c_cand * 1000000) div t_cand").as("ppm_cand"))
+        .select(col("w"), col("ppm_ref"), col("ppm_cand"),
+          expr("(ppm_ref - ppm_cand) * (ppm_ref - ppm_cand)" +
+            " div (ppm_ref + ppm_cand + 1)").as("drift"))
+        .orderBy(col("drift").desc, col("w"))
+        .limit(20)
+    },
+
     // ---- q105: model-based quality classifier --------------------
     // The GPT-3/CCNet "classifier rung" of quality filtering — a
     // LINEAR probe over handcrafted per-doc features, as opposed to
