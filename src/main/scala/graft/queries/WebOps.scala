@@ -63,7 +63,13 @@ object WebOps {
         (scheme === "http" && port === "80")),
       concat(lit(":"), port)).otherwise(lit(""))
     val qPart = when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))
-    concat(scheme, lit("://"), host, portPart, path, qPart)
+    // NON-URL input (no scheme://) passes through verbatim: mapping
+    // every malformed value to the common prefix '://' would merge
+    // ALL bad-provenance docs into ONE dedup group and silently drop
+    // all but one — garbage keys must stay as distinct as the
+    // garbage itself
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
   }
 
   /** The canonical host (registered-domain proxy) of a URL column —
@@ -158,14 +164,14 @@ object WebOps {
       s"""WITH u AS (
          |  SELECT doc_id, $synthUrlSql AS url FROM documents),
          |c AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, url,
          |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
          |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
          |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS rawq
          |  FROM u),
          |p AS (
-         |  SELECT doc_id, scheme,
+         |  SELECT doc_id, url, scheme,
          |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
          |                   '^www\\.', '') AS host,
          |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
@@ -174,12 +180,14 @@ object WebOps {
          |      x -> len(x) > 0 AND substr(x, 1, 4) <> 'utm_')), '&') AS q
          |  FROM c)
          |SELECT
-         |  scheme || '://' || host ||
-         |  CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
-         |                             OR (scheme = 'http' AND port = '80'))
-         |       THEN ':' || port ELSE '' END ||
-         |  path ||
-         |  CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+         |  CASE WHEN scheme = '' THEN url ELSE
+         |    scheme || '://' || host ||
+         |    CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+         |                               OR (scheme = 'http' AND port = '80'))
+         |         THEN ':' || port ELSE '' END ||
+         |    path ||
+         |    CASE WHEN q <> '' THEN '?' || q ELSE '' END
+         |  END AS canonical_url,
          |  count(*) AS n_docs,
          |  min(doc_id) AS keeper_doc_id
          |FROM p

@@ -83,6 +83,17 @@ class WebOpsSpec extends AnyFunSuite {
       "http://shop.com/x?q=2")
   }
 
+  test("canonicalizeUrl: non-URL input passes through verbatim (keys stay distinct)") {
+    // mapping malformed values to a common '://' prefix would merge
+    // ALL bad-provenance docs into one dedup group — pinned here
+    assert(canon("plain text") === "plain text")
+    assert(canon("") === "")
+    assert(canon("mailto:x@y.com") === "mailto:x@y.com")
+    assert(canon("//relative/path") === "//relative/path")
+    // a real scheme with empty authority still canonicalizes
+    assert(canon("HTTP://") === "http://")
+  }
+
   test("equivalent messy URLs collapse to one canonical key") {
     val variants = Seq(
       "https://example.com/art/7?id=7&ref=rss",
