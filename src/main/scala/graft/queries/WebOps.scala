@@ -100,14 +100,25 @@ object WebOps {
     * O(cap) state per domain on both the map and reduce side.
     */
   def domainCap(docsWithUrl: DataFrame, cap: Int,
-      urlCol: String = "url"): DataFrame =
-    docsWithUrl
-      .groupBy(canonicalHost(col(urlCol)).as("host"))
+      urlCol: String = "url"): DataFrame = {
+    val withHost = docsWithUrl
+      .withColumn("__host", canonicalHost(col(urlCol)))
+    val capped = withHost.filter(col("__host") =!= "")
+      .groupBy(col("__host").as("host"))
       .agg(expr(s"topk_collect(n_chars, doc_id, $cap)").as("top"))
       .select(col("host"), posexplode(col("top")))
       .select(col("host"), col("col.id").as("doc_id"),
-        col("col.score").as("n_chars"),
+        col("col.score").cast("long").as("n_chars"),
         (col("pos") + 1).cast("long").as("rnk"))
+    // rows whose URL has no parseable host carry NO domain evidence —
+    // they are exempt from the cap (rnk 0), never pooled into one ''
+    // pseudo-domain where the heap would silently drop all but `cap`
+    // of the corpus's bad-provenance docs
+    val exempt = withHost.filter(col("__host") === "")
+      .select(lit("").as("host"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), lit(0L).as("rnk"))
+    capped.unionByName(exempt)
+  }
 
   /** Deterministic synthetic URL for the `documents` table (the
     * testdata carries no URL column). Derived only from (doc_id,

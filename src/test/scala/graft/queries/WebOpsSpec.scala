@@ -134,6 +134,22 @@ class WebOpsSpec extends AnyFunSuite {
     assert(capped.exceptAll(windowed).isEmpty && windowed.exceptAll(capped).isEmpty)
   }
 
+  test("domainCap exempts docs with no parseable host instead of pooling them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.com/x", 100L), (2L, "https://a.com/y", 90L),
+      (3L, "https://a.com/z", 80L), // a.com over cap=2 → dropped
+      (10L, "garbage-no-url", 50L),
+      (11L, "also not a url", 40L),
+      (12L, "", 30L) // three unparseables: ALL survive, rnk 0
+    ).toDF("doc_id", "url", "n_chars")
+    val out = WebOps.domainCap(docs, cap = 2)
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 10L, 11L, 12L), out)
+    assert(out(1L) == 1L && out(2L) == 2L)
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 0L), out)
+  }
+
   test("q104 plan: bounded heap, no Window node") {
     val p = SparkEntry.queries("q104_domain_cap")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
