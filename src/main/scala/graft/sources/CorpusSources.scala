@@ -108,6 +108,73 @@ object CorpusSources {
     * fails loudly rather than silently swapping columns into the
     * corpus.
     */
+  /** WARC/WET crawl-archive intake — the entry point of a web-crawl
+    * training corpus (CommonCrawl WET files are WARC files whose
+    * `conversion` records carry extracted plain text). Returns
+    * (good, bad):
+    *
+    *  - good: (doc_id, text, lang, source, url) — one row per
+    *    `conversion` record with a target URI and non-empty body.
+    *    doc_id = xxhash64(record id, or URI when absent) —
+    *    deterministic across re-reads; source = the URI's canonical
+    *    host ([[graft.queries.WebOps.canonicalHost]]), so the frame
+    *    feeds the domain operators directly; url = the raw
+    *    WARC-Target-URI, ready for q103 canonicalization; lang =
+    *    'und' (tag with the q32 language-ID operator downstream).
+    *  - bad: conversion records MISSING a target URI or body — the
+    *    verbatim record text, DLQ'd per the F2 split contract.
+    *    Non-document record types (warcinfo/request/metadata) are
+    *    filtered, not errors.
+    *
+    * Parse mechanics: records are delimited by the inter-record
+    * separator + next header (`\r\n\r\nWARC/1.0\r\n`) via the text
+    * reader's `lineSep`, so the scan stays SPLITTABLE on
+    * uncompressed/zstd files and the header/body parse is per-row
+    * column work (zero shuffle). KNOWN approximation: a body whose
+    * content contains that exact byte sequence at a record boundary
+    * splits early — the strict parse is Content-Length-driven and
+    * needs a custom FileFormat; the affected record lands in the DLQ
+    * (headerless fragment), never silently corrupts a neighbor.
+    * `.warc.gz` reads whole-file-per-task (gzip is not splittable) —
+    * CommonCrawl's many-files layout keeps that parallel.
+    */
+  def warcDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path)
+      .select(regexp_replace(col("value"), "^WARC/1\\.0\r\n", "").as("rec"))
+      .filter(length(trim(col("rec"))) > 0)
+    val headers = substring_index(col("rec"), "\r\n\r\n", 1)
+    val parsed = raw.select(
+      col("rec"),
+      headers.as("headers"),
+      // body = everything after the first blank line; records with
+      // no blank line (fragments) yield '' here and DLQ below
+      when(instr(col("rec"), "\r\n\r\n") > 0,
+        trim(col("rec").substr(instr(col("rec"), "\r\n\r\n") + lit(4),
+          length(col("rec"))), " \r\n\t"))
+        .otherwise(lit("")).as("body"))
+      .select(col("rec"), col("body"),
+        regexp_extract(col("headers"), "(?m)^WARC-Type: *(\\S+)", 1).as("wtype"),
+        regexp_extract(col("headers"), "(?m)^WARC-Target-URI: *(\\S+)", 1).as("uri"),
+        regexp_extract(col("headers"),
+          "(?m)^WARC-Record-ID: *<?([^>\r\n]+)", 1).as("rid"))
+    val good = parsed
+      .filter(col("wtype") === "conversion" &&
+        col("uri") =!= "" && col("body") =!= "")
+      .select(
+        xxhash64(when(col("rid") =!= "", col("rid")).otherwise(col("uri")))
+          .as("doc_id"),
+        col("body").as("text"),
+        lit("und").as("lang"),
+        graft.queries.WebOps.canonicalHost(col("uri")).as("source"),
+        col("uri").as("url"))
+    val bad = parsed
+      .filter((col("wtype") === "conversion" &&
+          (col("uri") === "" || col("body") === "")) ||
+        col("wtype") === "") // fragments from a mid-body false split
+      .select(col("rec").as("raw_line"))
+    (good, bad)
+  }
+
   def csvDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     split(spark.read
       .schema(schema)

@@ -27,6 +27,10 @@ object CurationDemo {
         val (good, bad) = CorpusSources.jsonlDocuments(spark, in)
         println(s"[curate] jsonl intake: ${bad.count()} corrupt lines to DLQ")
         good
+      } else if (in.endsWith(".warc") || in.endsWith(".warc.gz")) {
+        val (good, bad) = CorpusSources.warcDocuments(spark, in)
+        println(s"[curate] warc intake: ${bad.count()} bad records to DLQ")
+        good // carries a url column — pairs with SPARK_GRAFT_URL_COL=url
       } else Tables(spark, in, "documents")
         .select(("doc_id" +: "text" +: "lang" +: "source" +: extraCols)
           .map(col): _*)

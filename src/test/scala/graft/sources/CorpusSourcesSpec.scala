@@ -83,4 +83,53 @@ class CorpusSourcesSpec extends AnyFunSuite {
     // non-numeric doc_id and empty text both routed to the DLQ side
     assert(bad.count() == 2, bad.collect().map(_.getString(0)).toSeq)
   }
+
+  test("warcDocuments: conversion records land with host provenance; fragments and URI-less records DLQ") {
+    val crlf = "\r\n"
+    def rec(headers: Seq[String], body: String): String =
+      "WARC/1.0" + crlf + headers.mkString(crlf) + crlf + crlf + body
+    val warc = Seq(
+      rec(Seq("WARC-Type: warcinfo", "WARC-Record-ID: <urn:uuid:info-1>"),
+        "software: test-crawler 1.0"),
+      rec(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://WWW.Example.COM/a?utm_x=1",
+        "WARC-Record-ID: <urn:uuid:rec-a>"),
+        "the first extracted page text."),
+      // URI-less conversion -> DLQ
+      rec(Seq("WARC-Type: conversion", "WARC-Record-ID: <urn:uuid:rec-b>"),
+        "orphan text with no provenance."),
+      rec(Seq("WARC-Type: request",
+        "WARC-Target-URI: https://example.com/a"),
+        "GET /a HTTP/1.1"),
+      rec(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: http://news.site.org/x",
+        "WARC-Record-ID: <urn:uuid:rec-c>"),
+        "second page body." + crlf + "with two lines.")
+    ).mkString(crlf + crlf) + crlf + crlf
+    val dir = Files.createTempDirectory("graft_warc")
+    Files.writeString(dir.resolve("part-0.warc"), warc)
+
+    val (good, bad) = CorpusSources.warcDocuments(spark, dir.toString)
+    val g = good.collect()
+      .map(r => (r.getAs[String]("url"), (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("source"),
+        r.getAs[String]("lang")))).toMap
+    assert(g.keySet == Set("https://WWW.Example.COM/a?utm_x=1",
+      "http://news.site.org/x"), g.keySet)
+    // source = canonical host (lowered, www-stripped); lang tag 'und'
+    assert(g("https://WWW.Example.COM/a?utm_x=1")._3 == "example.com")
+    assert(g("http://news.site.org/x")._3 == "news.site.org")
+    assert(g.values.forall(_._4 == "und"))
+    // multi-line bodies survive intact
+    assert(g("http://news.site.org/x")._2 ==
+      "second page body." + crlf + "with two lines.")
+    // doc_id deterministic across re-reads
+    val (good2, _) = CorpusSources.warcDocuments(spark, dir.toString)
+    assert(good2.collect().map(_.getAs[Long]("doc_id")).toSet ==
+      g.values.map(_._1).toSet)
+    // DLQ: exactly the URI-less conversion record (warcinfo/request
+    // record types are filtered, not errors)
+    val b = bad.collect().map(_.getString(0))
+    assert(b.length == 1 && b.head.contains("urn:uuid:rec-b"), b.toSeq)
+  }
 }
