@@ -462,6 +462,26 @@ object TextOps {
   private def stopScore(lang: String): Column =
     size(filter(tokens(col("text")), x => x.isin(stop(lang): _*)))
 
+  /** q32's language heuristic as a reusable PER-ROW expression over
+    * any text column — CJK codepoint presence, then the stopword
+    * vote among {en, de, es, fr}, else 'unknown'. The exact decision
+    * chain the q32 oracle pins (same precedence, same tie rule), so
+    * intake paths (WARC) tag with the oracle-checked rule instead of
+    * a placeholder. Zero shuffle.
+    */
+  def predictedLang(text: Column): Column = {
+    def sc(lang: String): Column =
+      size(filter(tokens(text), x => x.isin(stop(lang): _*)))
+    val nCjk = length(text) - length(regexp_replace(text, "[一-鿿]", ""))
+    val (sEn, sDe, sEs, sFr) = (sc("en"), sc("de"), sc("es"), sc("fr"))
+    when(nCjk > 0, "zh")
+      .when(sEn >= greatest(sDe, sEs, sFr) && sEn > 0, "en")
+      .when(sDe >= greatest(sEs, sFr) && sDe > 0, "de")
+      .when(sEs >= sFr && sEs > 0, "es")
+      .when(sFr > 0, "fr")
+      .otherwise("unknown")
+  }
+
   private def sqlStopScore(lang: String): String = {
     val words = stop(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($words)))"
@@ -630,21 +650,9 @@ object TextOps {
          |SELECT predicted_lang, count(*) AS n_docs,
          |  count(*) FILTER (WHERE predicted_lang = lang) AS n_correct
          |FROM pred GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin) { (s, dir) =>
-      val nCjk = length(col("text")) -
-        length(regexp_replace(col("text"), "[一-鿿]", ""))
-      val scored = docs(s, dir).select(
-        col("lang"), nCjk.as("n_cjk"),
-        stopScore("en").as("s_en"), stopScore("de").as("s_de"),
-        stopScore("es").as("s_es"), stopScore("fr").as("s_fr"))
-      scored.withColumn("predicted_lang",
-          when(col("n_cjk") > 0, "zh")
-            .when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")) &&
-              col("s_en") > 0, "en")
-            .when(col("s_de") >= greatest(col("s_es"), col("s_fr")) &&
-              col("s_de") > 0, "de")
-            .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
-            .when(col("s_fr") > 0, "fr")
-            .otherwise("unknown"))
+      docs(s, dir)
+        .select(col("lang"),
+          predictedLang(col("text")).as("predicted_lang"))
         .groupBy("predicted_lang")
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("predicted_lang") === col("lang"), 1)).as("n_correct"))

@@ -164,7 +164,9 @@ object CorpusSources {
         xxhash64(when(col("rid") =!= "", col("rid")).otherwise(col("uri")))
           .as("doc_id"),
         col("body").as("text"),
-        lit("und").as("lang"),
+        // CCNet-style heuristic tag at intake — the oracle-checked
+        // q32 rule, not a placeholder
+        graft.queries.TextOps.predictedLang(col("body")).as("lang"),
         graft.queries.WebOps.canonicalHost(col("uri")).as("source"),
         col("uri").as("url"))
     val bad = parsed

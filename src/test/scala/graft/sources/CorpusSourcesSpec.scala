@@ -104,7 +104,7 @@ class CorpusSourcesSpec extends AnyFunSuite {
       rec(Seq("WARC-Type: conversion",
         "WARC-Target-URI: http://news.site.org/x",
         "WARC-Record-ID: <urn:uuid:rec-c>"),
-        "second page body." + crlf + "with two lines.")
+        "the second page body." + crlf + "with two lines.")
     ).mkString(crlf + crlf) + crlf + crlf
     val dir = Files.createTempDirectory("graft_warc")
     Files.writeString(dir.resolve("part-0.warc"), warc)
@@ -119,10 +119,12 @@ class CorpusSourcesSpec extends AnyFunSuite {
     // source = canonical host (lowered, www-stripped); lang tag 'und'
     assert(g("https://WWW.Example.COM/a?utm_x=1")._3 == "example.com")
     assert(g("http://news.site.org/x")._3 == "news.site.org")
-    assert(g.values.forall(_._4 == "und"))
+    // lang = the oracle-checked q32 heuristic at intake; both
+    // fixture bodies contain 'the' and no other language's stopwords
+    assert(g.values.forall(_._4 == "en"), g.values.map(_._4))
     // multi-line bodies survive intact
     assert(g("http://news.site.org/x")._2 ==
-      "second page body." + crlf + "with two lines.")
+      "the second page body." + crlf + "with two lines.")
     // doc_id deterministic across re-reads
     val (good2, _) = CorpusSources.warcDocuments(spark, dir.toString)
     assert(good2.collect().map(_.getAs[Long]("doc_id")).toSet ==
