@@ -102,12 +102,6 @@ object CorpusSources {
     (good, bad)
   }
 
-  /** CSV corpus with a header row. `enforceSchema=false` makes Spark
-    * VALIDATE header names against the schema instead of applying it
-    * positionally — a reordered export (`doc_id,source,lang,text`)
-    * fails loudly rather than silently swapping columns into the
-    * corpus.
-    */
   /** WARC/WET crawl-archive intake — the entry point of a web-crawl
     * training corpus (CommonCrawl WET files are WARC files whose
     * `conversion` records carry extracted plain text). Returns
@@ -120,7 +114,8 @@ object CorpusSources {
     *    host ([[graft.queries.WebOps.canonicalHost]]), so the frame
     *    feeds the domain operators directly; url = the raw
     *    WARC-Target-URI, ready for q103 canonicalization; lang =
-    *    'und' (tag with the q32 language-ID operator downstream).
+    *    the oracle-checked q32 heuristic applied at intake
+    *    (TextOps.predictedLang).
     *  - bad: conversion records MISSING a target URI or body — the
     *    verbatim record text, DLQ'd per the F2 split contract.
     *    Non-document record types (warcinfo/request/metadata) are
@@ -138,8 +133,23 @@ object CorpusSources {
     * `.warc.gz` reads whole-file-per-task (gzip is not splittable) —
     * CommonCrawl's many-files layout keeps that parallel.
     */
-  def warcDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path)
+  def warcDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    splitWarc(spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path))
+
+  /** Streaming form of [[warcDocuments]] — watch `path` for NEW
+    * `.warc`/`.wet` files (the crawl-landing-dir deployment) with the
+    * SAME record split and DLQ contract; the file source's checkpoint
+    * guarantees each archive is ingested exactly once across
+    * restarts.
+    */
+  def warcDocumentsStream(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    splitWarc(spark.readStream.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path))
+
+  /** The shared WARC split — identical plan for batch and streaming
+    * inputs (per-row header/body parse inside the scan, no shuffle).
+    */
+  private def splitWarc(rawIn: DataFrame): (DataFrame, DataFrame) = {
+    val raw = rawIn
       .select(regexp_replace(col("value"), "^WARC/1\\.0\r\n", "").as("rec"))
       .filter(length(trim(col("rec"))) > 0)
     val headers = substring_index(col("rec"), "\r\n\r\n", 1)
@@ -177,6 +187,12 @@ object CorpusSources {
     (good, bad)
   }
 
+  /** CSV corpus with a header row. `enforceSchema=false` makes Spark
+    * VALIDATE header names against the schema instead of applying it
+    * positionally — a reordered export (`doc_id,source,lang,text`)
+    * fails loudly rather than silently swapping columns into the
+    * corpus.
+    */
   def csvDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
     split(spark.read
       .schema(schema)

@@ -134,4 +134,50 @@ class CorpusSourcesSpec extends AnyFunSuite {
     val b = bad.collect().map(_.getString(0))
     assert(b.length == 1 && b.head.contains("urn:uuid:rec-b"), b.toSeq)
   }
+
+  test("warcDocumentsStream: streaming intake matches the batch split, archives land incrementally") {
+    val crlf = "\r\n"
+    def rec(headers: Seq[String], body: String): String =
+      "WARC/1.0" + crlf + headers.mkString(crlf) + crlf + crlf + body
+    def warcFile(recs: Seq[String]): String =
+      recs.mkString(crlf + crlf) + crlf + crlf
+    val dir = Files.createTempDirectory("graft_warc_stream")
+    Files.writeString(dir.resolve("a.warc"), warcFile(Seq(
+      rec(Seq("WARC-Type: warcinfo", "WARC-Record-ID: <urn:uuid:i>"), "software: c"),
+      rec(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://one.example.com/x",
+        "WARC-Record-ID: <urn:uuid:s-1>"), "the first streamed page."))))
+
+    val (good, bad) = CorpusSources.warcDocumentsStream(spark, dir.toString)
+    val qg = good.writeStream.outputMode("append")
+      .format("memory").queryName("warc_stream_good").start()
+    val qb = bad.writeStream.outputMode("append")
+      .format("memory").queryName("warc_stream_bad").start()
+    qg.processAllAvailable(); qb.processAllAvailable()
+    // a crawl archive landing AFTER stream start is ingested once
+    Files.writeString(dir.resolve("b.warc"), warcFile(Seq(
+      rec(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://two.example.com/y",
+        "WARC-Record-ID: <urn:uuid:s-2>"), "the second streamed page."),
+      rec(Seq("WARC-Type: conversion", "WARC-Record-ID: <urn:uuid:s-3>"),
+        "no uri here."))))
+    qg.processAllAvailable(); qb.processAllAvailable()
+    qg.stop(); qb.stop()
+
+    val g = spark.table("warc_stream_good").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text"))).toMap
+    assert(g == Map(
+      "one.example.com" -> "the first streamed page.",
+      "two.example.com" -> "the second streamed page."), g)
+    // stream rows equal the batch reader's rows over the same files
+    val (batchGood, batchBad) = CorpusSources.warcDocuments(spark, dir.toString)
+    val bg = batchGood.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    val sg = spark.table("warc_stream_good").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(sg == bg, s"stream-batch WARC mismatch")
+    val sb = spark.table("warc_stream_bad").collect().map(_.getString(0)).toSet
+    assert(sb.size == 1 && sb.head.contains("urn:uuid:s-3"), sb)
+    assert(batchBad.collect().map(_.getString(0)).toSet == sb)
+  }
 }
