@@ -360,6 +360,20 @@ object DedupOps {
         Seq("doc_a"))
       .join(capped.select(col("doc_id").as("doc_b"), col("ct").as("tb")),
         Seq("doc_b"))
+      // EXACT pruning before the O(L²) DP: edit_dist >= |Δlen|, so
+      // sim <= 1 - |Δlen|/maxlen — a pair whose length gap already
+      // puts that bound below minSim cannot pass the output filter
+      // and skips the DP entirely. The 1e-4 slack covers the output
+      // round(…, 4): a pair the rounding could lift to the threshold
+      // is never pruned, so results are row-identical (the oracle
+      // runs unpruned and the hash compare proves it). On mixed-
+      // length band collisions (short boilerplate colliding with
+      // long pages) this is the difference between a capped bill
+      // and a capped-but-still-burning bill.
+      .filter(lit(1.0) -
+        abs(length(col("ta")) - length(col("tb"))).cast("double") /
+          greatest(length(col("ta")), length(col("tb")), lit(1)) >=
+        minSim - 1e-4)
       .withColumn("edit_dist",
         levenshtein(col("ta"), col("tb")).cast("long"))
       .withColumn("edit_sim",
