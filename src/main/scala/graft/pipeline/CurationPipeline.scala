@@ -19,6 +19,8 @@ import org.apache.spark.storage.StorageLevel
   *      here never pay for redaction or hashing
   *   0b. (optional) per-domain document cap — at most `cap` docs
   *      per canonical host, longest first (q104's bounded heap)
+  *   0c. (optional) domain-quality gate — whole low-mean-quality
+  *      domains drop (q108's exact-integer mean rule)
   *   1. PII redaction        — redactPii           (q74)
   *   1a. (optional) C4 line-quality filter — terminal-punctuation /
   *      min-words line rules + lorem/brace/too-few page verdicts
@@ -136,6 +138,12 @@ object CurationPipeline {
     * first (doc_id tiebreak) — the no-single-domain-dominates rule,
     * enforced via the bounded-heap rollup before any content work.
     *
+    * `domainMeanMinScore = Some(thr)` (requires `urlCol`) inserts
+    * the domain-quality gate (q108's exact-integer mean rule) after
+    * the cap: domains whose mean q105 score is below `thr` drop
+    * wholesale before any content work; host-less docs carry no
+    * domain evidence and pass through.
+    *
     * `keepBestOfCluster = true` switches the dedup keeper rule (both
     * stage 4 and the optional 4b) from min-doc_id to q106's
     * quality-aware rule: the max-classifier-score cluster member
@@ -154,10 +162,13 @@ object CurationPipeline {
       urlCol: Option[String] = None,
       classifierMinScore: Option[Long] = None,
       keepBestOfCluster: Boolean = false,
-      domainCapN: Option[Int] = None)
+      domainCapN: Option[Int] = None,
+      domainMeanMinScore: Option[Long] = None)
       : Seq[StageCount] = {
     require(domainCapN.isEmpty || urlCol.nonEmpty,
       "domainCapN needs urlCol: the cap keys on the URL's canonical host")
+    require(domainMeanMinScore.isEmpty || urlCol.nonEmpty,
+      "domainMeanMinScore needs urlCol: the gate keys on the canonical host")
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
     // path; snapshot the persistent-RDD set so run() can release
@@ -207,12 +218,41 @@ object CurationPipeline {
       stage("domain_cap", urlDeduped.join(kept, Seq("doc_id")))
     }).getOrElse(urlDeduped)
 
+    // 0c. optional domain-quality gate (q108) — drop whole LOW-MEAN
+    // domains before any content work: per-row q105 scoring (zero
+    // shuffle), ONE partial-aggregable host rollup, and a left-semi
+    // join of kept hosts back onto the doc stream — NO forced
+    // broadcast: the kept-host frame is |domains|-sized, which on a
+    // full crawl is exactly the frame an unconditional broadcast
+    // hint would OOM on; AQE broadcasts it when it is actually
+    // small. The mean rule is exact integers (sum >= thr * n), like
+    // the batch query. Docs with no parseable host carry no domain
+    // evidence and pass.
+    val domainGated = (for { uc <- urlCol; thr <- domainMeanMinScore } yield {
+      val hosted = TextOps.withClassifierScore(
+          domainCapped.withColumn("__nc", length(col("text")).cast("long")),
+          "__nc")
+        .withColumn("__host", WebOps.canonicalHost(col(uc)))
+      val keptHosts = hosted.filter(col("__host") =!= "")
+        .groupBy("__host")
+        .agg(sum("score").as("s"), count(lit(1)).as("n"))
+        .filter(col("s") >= lit(thr) * col("n"))
+        .select("__host")
+      stage("domain_gate",
+        domainCapped.withColumn("__host", WebOps.canonicalHost(col(uc)))
+          .join(keptHosts, Seq("__host"), "left_semi")
+          .unionByName(domainCapped
+            .filter(WebOps.canonicalHost(col(uc)) === "")
+            .withColumn("__host", lit("")))
+          .drop("__host"))
+    }).getOrElse(domainCapped)
+
     // 1. redaction — per-row regexes (q74); runs FIRST among the
     // content stages so every later stage (including the
     // decontamination probe side) sees the same redacted text, and
     // redacted text REPLACES raw everywhere
     val redacted = stage("redacted",
-      TextOps.redactPii(domainCapped, "text")
+      TextOps.redactPii(domainGated, "text")
         .select(col("doc_id"), col("redacted").as("text"),
           col("lang"), col("source")))
 

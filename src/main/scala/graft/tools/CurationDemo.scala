@@ -64,12 +64,16 @@ object CurationDemo {
     // SPARK_GRAFT_KEEP_BEST=1 switches the dedup keeper rule to
     // q106's max-classifier-score member
     val keepBest = sys.env.get("SPARK_GRAFT_KEEP_BEST").contains("1")
+    // SPARK_GRAFT_DOMAIN_MIN=<mean score> (with SPARK_GRAFT_URL_COL)
+    // enables the q108 domain-quality gate
+    val domMin = sys.env.get("SPARK_GRAFT_DOMAIN_MIN").map(_.trim.toLong)
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
       outDir = outDir, keepPplBuckets = keep, budgetFrac = budget,
       c4Lines = lineStages, dedupLines = lineStages,
       urlCol = urlCol, classifierMinScore = clfMin,
-      keepBestOfCluster = keepBest, domainCapN = domCap)
+      keepBestOfCluster = keepBest, domainCapN = domCap,
+      domainMeanMinScore = domMin)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
     // an all-filtered corpus writes no files — report that instead

@@ -469,6 +469,40 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(ledger.last.stage == "written", ledger)
   }
 
+  test("domain_gate drops whole low-mean domains; host-less docs pass on no evidence") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+      .select("doc_id", "text", "lang", "source", "url")
+    // per-domain mean q105 score over the RAW input (= the stage's
+    // exact input), threshold at the median domain mean so the gate
+    // provably fires on some domains and spares others
+    val means = graft.queries.TextOps.withClassifierScore(
+        real.withColumn("__nc", length(col("text")).cast("long")), "__nc")
+      .groupBy("source").agg(sum("score").as("s"), count(lit(1)).as("n"))
+      .select($"source", $"s", $"n").as[(String, Long, Long)].collect()
+    val sortedMeans = means.map(m => m._2.toDouble / m._3).sorted
+    val thr = math.ceil(sortedMeans(sortedMeans.length / 2)).toLong
+    val keptSources = means.filter(m => m._2 >= thr * m._3).map(_._1).toSet
+    assert(keptSources.nonEmpty && keptSources.size < means.length, keptSources)
+
+    // plus one host-less doc: must pass the gate (no evidence)
+    val docs = real.unionByName(Seq(
+      (95001L, real.orderBy($"doc_id").select("text").as[String].head(),
+        "en", "srcX", "not a url")).toDF("doc_id", "text", "lang", "source", "url"))
+
+    val out = java.nio.file.Files.createTempDirectory("graft_dg").toString
+    val ledger = CurationPipeline.run(spark, docs, probeSource = "src0",
+      outDir = out, urlCol = Some("url"), domainMeanMinScore = Some(thr))
+    assert(ledger.map(_.stage).containsSlice(
+      Seq("url_dedup", "domain_gate", "redacted")), ledger)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    val expectedDocs = means.filter(m => keptSources(m._1)).map(_._3).sum + 1
+    assert(counts("domain_gate") == expectedDocs, ledger)
+  }
+
   test("classifier gate drops exactly the docs below the threshold; control run keeps them") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")
