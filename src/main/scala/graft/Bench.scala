@@ -178,6 +178,13 @@ object Bench {
     // processed on executors (nothing driver-side).
     val (ingest, ingestRps) = ingestBench(spark)
 
+    // WARC-intake throughput: the crawl-archive entry point (record
+    // split + header/body parse + lang-ID + host canonicalization)
+    // over a generated WET file. Disabled by SPARK_GRAFT_WARC_BENCH=0.
+    val warcIngest =
+      if (sys.env.get("SPARK_GRAFT_WARC_BENCH").contains("0")) """{"skipped":true}"""
+      else warcIngestBench(spark, sfDir)
+
     // scale probe: the six heaviest dedup-family queries re-timed on
     // a SPARK_GRAFT_SCALE_FACTOR× (default 10×) documents corpus —
     // the one in-sandbox datapoint that turns the dossier's
@@ -213,6 +220,7 @@ object Bench {
         s""""failed":$failedJson,""" +
         s""""interference":$interferenceJson,""" +
         s""""ingest":$ingest,""" +
+        s""""warc_ingest":$warcIngest,""" +
         s""""scaleprobe":$probeFull,""" +
         s""""sf":"$sfDir"}"""
     // Persist the FULL record to a file: the driver's stdout capture
@@ -442,6 +450,47 @@ object Bench {
   /** Returns (full ingest JSON record, rows_per_sec) — the scalar is
     * echoed separately in the compact stdout line.
     */
+  /** WARC/WET intake throughput: build a WET file by wrapping the sf
+    * documents in conversion records (`copies`×), then time the full
+    * `warcDocuments` good-side materialization — record split,
+    * header/body parse, q32 lang-ID, host canonicalization. Minimum
+    * over reps (stall immunity, the ingest rule); the parse count is
+    * asserted so a silent record-split regression fails the bench
+    * instead of producing a fast-but-wrong number.
+    */
+  private def warcIngestBench(spark: SparkSession, sfDir: String,
+      copies: Int = 10, reps: Int = 3): String = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "source").as[(Long, String, String)].collect()
+    val crlf = "\r\n"
+    val sb = new StringBuilder
+    var n = 0L
+    for (c <- 0 until copies; (d, t, src) <- docs) {
+      sb.append("WARC/1.0").append(crlf)
+        .append("WARC-Type: conversion").append(crlf)
+        .append("WARC-Target-URI: https://").append(src)
+        .append(".example.com/p/").append(c).append('/').append(d).append(crlf)
+        .append("WARC-Record-ID: <urn:uuid:").append(c).append('-')
+        .append(d).append('>').append(crlf).append(crlf)
+        .append(t).append(crlf).append(crlf)
+      n += 1
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_bench")
+    java.nio.file.Files.write(dir.resolve("bench.warc"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val times = (0 until reps + 1).map { _ =>
+      val t0 = System.nanoTime()
+      val (good, _) = graft.sources.CorpusSources.warcDocuments(spark, dir.toString)
+      val cnt = good.count()
+      require(cnt == n, s"warc bench parsed $cnt of $n records")
+      (System.nanoTime() - t0) / 1e9
+    }.drop(1) // first run is warmup
+    val best = times.min
+    val fmt = String.format(java.util.Locale.ROOT, "%.3f", Double.box(best))
+    s"""{"records":$n,"sec_min":$fmt,"rows_per_sec":${(n / best).toLong}}"""
+  }
+
   private def ingestBench(spark: SparkSession, n: Long = 1000000L): (String, Long) = {
     import graft.etl._
     import graft.pipeline.{PipelineConfig, ProtoPipeline}
