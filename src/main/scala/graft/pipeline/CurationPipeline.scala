@@ -178,10 +178,27 @@ object CurationPipeline {
     // on the same SparkSession
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val ledger = Seq.newBuilder[StageCount]
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Each stage persists, counts, and TRUNCATES LINEAGE. The
+    // truncation is load-bearing, not hygiene: several optional
+    // stages reference their input frame more than once (the domain
+    // cap's capped∪exempt union, the gate's semi-join + host-less
+    // union, the keeper rollups), so stacked stages multiply
+    // analyzed-plan subtrees — with cap+gate+line stages enabled the
+    // composed plan's RENDERED NAME alone exceeded the JVM string
+    // limit (OutOfMemoryError: UTF16 String size 1.37e9, reproduced
+    // on a 40-doc corpus) inside Dataset.persist's cachedName. The
+    // persisted data is already materialized by count(), so
+    // rebuilding the frame over p.rdd pins downstream plans to a
+    // LogicalRDD leaf (constant size) while the explicit unpersist
+    // at the end keeps storage management unchanged. Cost: one
+    // row<->internal conversion at each stage BOUNDARY read — linear
+    // and partition-parallel, vs. a super-linear plan-text blowup.
     def stage(name: String, df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       ledger += StageCount(name, p.count())
-      p
+      pinned += p
+      spark.createDataFrame(p.rdd, p.schema)
     }
 
     val input = stage("input", docs.select(
@@ -439,10 +456,9 @@ object CurationPipeline {
     // lose the whole ledger after the pipeline already ran
     ledger += StageCount("written", weighted.count())
 
-    Seq(input, redacted, lineFiltered, lineDeduped, quality,
-      classified, exact,
-        nearDeduped, editDeduped, clean0, clean, kept, budgeted, weighted)
-      .foreach(_.unpersist())
+    // the stage vals are lineage-truncated views; the actual cached
+    // frames are tracked in `pinned`
+    pinned.foreach(_.unpersist())
     // release the operator-internal persists this run introduced
     // (every action is complete by now — the shard write and the
     // ledger counts — so nothing downstream still needs them)

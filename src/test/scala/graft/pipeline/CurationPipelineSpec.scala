@@ -594,6 +594,30 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"min-id control broken: ${kept2.intersect(Set(base._1, 90001L))}")
   }
 
+  test("stacked optional stages do not blow up the plan (cap+gate regression)") {
+    import spark.implicits._
+    // regression: with domain cap AND domain gate stacked, the
+    // multiply-referenced stage subtrees previously grew the
+    // analyzed plan until Dataset.persist's rendered cache name
+    // exceeded the JVM string limit (OutOfMemoryError: UTF16 String
+    // size 1.37e9 — on a FORTY-doc corpus). stage()'s lineage
+    // truncation pins each boundary to a LogicalRDD leaf; this run
+    // completes in seconds or the bug is back
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0").limit(60)
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+      .select("doc_id", "text", "lang", "source", "url")
+    val out = java.nio.file.Files.createTempDirectory("graft_stack").toString
+    val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+      outDir = out, urlCol = Some("url"), domainCapN = Some(3),
+      domainMeanMinScore = Some(13000L), classifierMinScore = Some(13000L),
+      keepBestOfCluster = true)
+    assert(ledger.map(_.stage).containsSlice(Seq("url_dedup", "domain_cap",
+      "domain_gate", "redacted", "quality", "classifier")), ledger)
+    assert(ledger.last.stage == "written", ledger)
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the
