@@ -288,6 +288,11 @@ object Bench {
     // buckets stay near-singleton and its ratio stays ~linear
     "q86_64_media_phash_near_dup",
     "q100_bigram_lm_score",    // bigram-LM shuffle joins
+    // quality-aware representatives: the q36 candidate chain + CC +
+    // per-row scoring + one per-cluster rollup — the round-12 query
+    // whose composition could hide super-linearity (it inherits the
+    // banded pair space AND adds a corpus-sized scoring join-back)
+    "q106_quality_dedup_rep",
     // the line-dedup dup-table build + join-back: suffix-perturbed
     // copies replicate the base corpus's duplicate-line structure
     // ×factor, so both the dup table and the line stream scale
