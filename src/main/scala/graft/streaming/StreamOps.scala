@@ -358,14 +358,22 @@ object StreamOps {
     * stateless host canonicalization + one broadcast left join on
     * the tens-of-bytes host key; docs from unknown domains carry
     * verdict NULL (no evidence) rather than silently dropping.
+    * Docs with NO parseable host (canonicalHost yields '') also land
+    * on the NULL path: the verdict frame is defensively stripped of
+    * any '' pseudo-domain row here (a corpus with unparseable URLs
+    * pools them under '' in the offline q108 rollup, and inheriting
+    * that pooled verdict would contradict the no-evidence exemption
+    * that domainCap and the pipeline's domain_gate both enforce).
     * Input: (doc_id, url, ts) + the verdict frame; output adds
     * `host` and `domain_kept`.
     */
   def domainFilterStream(docs: DataFrame, domainVerdicts: DataFrame): DataFrame =
     docs
       .withColumn("host", graft.queries.WebOps.canonicalHost(col("url")))
-      .join(broadcast(domainVerdicts.select(col("host"),
-        col("kept").as("domain_kept"))), Seq("host"), "left_outer")
+      .join(broadcast(domainVerdicts
+        .filter(col("host") =!= lit(""))
+        .select(col("host"), col("kept").as("domain_kept"))),
+        Seq("host"), "left_outer")
 
   /** ONLINE model-based quality gating — the streaming form of the
     * batch q105 classifier (queries.TextOps.withClassifierScore):

@@ -27,13 +27,22 @@ object CurationDemo {
         val (good, bad) = CorpusSources.jsonlDocuments(spark, in)
         println(s"[curate] jsonl intake: ${bad.count()} corrupt lines to DLQ")
         good
-      } else if (in.endsWith(".warc") || in.endsWith(".warc.gz")) {
+      } else if (in.endsWith(".warc") || in.endsWith(".warc.gz") ||
+          in.endsWith(".wet") || in.endsWith(".wet.gz")) {
+        // WET conversion archives share the WARC record framing —
+        // same intake (CorpusSources dispatches on content, not name)
         val (good, bad) = CorpusSources.warcDocuments(spark, in)
         println(s"[curate] warc intake: ${bad.count()} bad records to DLQ")
         good // carries a url column — pairs with SPARK_GRAFT_URL_COL=url
-      } else Tables(spark, in, "documents")
-        .select(("doc_id" +: "text" +: "lang" +: "source" +: extraCols)
+      } else {
+        val table = Tables(spark, in, "documents")
+        // validate the extra column against the table schema BEFORE
+        // building the select — a missing SPARK_GRAFT_URL_COL should
+        // hit the friendly require below, not a raw AnalysisException
+        val present = extraCols.filter(table.columns.contains)
+        table.select(("doc_id" +: "text" +: "lang" +: "source" +: present)
           .map(col): _*)
+      }
 
     // SPARK_GRAFT_PPL_KEEP=head,middle enables the CCNet tercile cut
     val keep = sys.env.get("SPARK_GRAFT_PPL_KEEP")

@@ -795,6 +795,33 @@ class StreamOpsSpec extends AnyFunSuite {
       s"stream-batch domain gate mismatch: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
   }
 
+  test("domain gate: host-less docs get verdict NULL even when the verdict frame pools '' rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // an offline rollup over a corpus with unparseable URLs produces
+    // a '' pseudo-domain row; a host-less doc must NOT inherit it
+    val verdicts = Seq(("example.com", true), ("", false))
+      .toDF("host", "kept")
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(Seq(
+      (1L, "https://example.com/a", ts(0)),
+      (2L, "not a url at all", ts(0))))
+    val q = StreamOps.domainFilterStream(
+      stream.toDF().toDF("doc_id", "url", "ts"), verdicts)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("domain_gate_hostless").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("domain_gate_hostless")
+      .select($"doc_id", $"domain_kept")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(rows(1L) === Some(true))
+    assert(rows(2L) === None,
+      s"host-less doc inherited the pooled '' verdict: ${rows(2L)}")
+  }
+
   test("PARITY: online classifier scoring equals the batch q105 rows row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
