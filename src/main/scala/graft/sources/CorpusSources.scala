@@ -121,29 +121,45 @@ object CorpusSources {
     *    Non-document record types (warcinfo/request/metadata) are
     *    filtered, not errors.
     *
-    * Parse mechanics: records are delimited by the inter-record
-    * separator + next header (`\r\n\r\nWARC/1.0\r\n`) via the text
-    * reader's `lineSep`, so the scan stays SPLITTABLE on
-    * uncompressed/zstd files and the header/body parse is per-row
-    * column work (zero shuffle). KNOWN approximation: a body whose
-    * content contains that exact byte sequence at a record boundary
-    * splits early — the strict parse is Content-Length-driven and
-    * needs a custom FileFormat; the affected record lands in the DLQ
-    * (headerless fragment), never silently corrupts a neighbor.
-    * `.warc.gz` reads whole-file-per-task (gzip is not splittable) —
-    * CommonCrawl's many-files layout keeps that parallel.
+    * Parse mechanics: records are split CONTENT-LENGTH-EXACTLY by
+    * [[WarcFileFormat]] — a native FileFormat whose reader walks the
+    * mandatory `Content-Length` header, so a body that contains the
+    * inter-record byte sequence (`\r\n\r\nWARC/1.0\r\n`) is ingested
+    * INTACT, not truncated at the false boundary. Records without a
+    * Content-Length header (lenient/legacy archives) fall back to
+    * marker-scan splitting — byte-identical to the previous lineSep
+    * behavior. The scan stays SPLITTABLE on uncompressed files (with
+    * validated mid-split resync) and the header/body parse is per-row
+    * column work (zero shuffle). `.warc.gz` reads whole-file-per-task
+    * (gzip is not splittable) — CommonCrawl's many-files layout keeps
+    * that parallel.
     */
   def warcDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    splitWarc(spark.read.format("warc-record")
+      .schema(WarcFileFormat.schema).load(path))
+
+  /** The superseded lineSep-based record split, kept ONLY as the
+    * parity oracle for [[WarcFileFormat]] (CorpusSourcesSpec pins the
+    * two byte-identical on archives without embedded separators).
+    * KNOWN defect (why it was replaced): a body containing
+    * `\r\n\r\nWARC/1.0\r\n` splits early — the HEAD half (headers +
+    * truncated body) passes the good-side filters and enters the
+    * corpus silently truncated, while the tail fragment DLQs.
+    */
+  private[graft] def warcDocumentsLineSep(
+      spark: SparkSession, path: String): (DataFrame, DataFrame) =
     splitWarc(spark.read.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path))
 
   /** Streaming form of [[warcDocuments]] — watch `path` for NEW
     * `.warc`/`.wet` files (the crawl-landing-dir deployment) with the
-    * SAME record split and DLQ contract; the file source's checkpoint
-    * guarantees each archive is ingested exactly once across
-    * restarts.
+    * SAME Content-Length-exact record split and DLQ contract (the
+    * format serves batch and streaming scans identically); the file
+    * source's checkpoint guarantees each archive is ingested exactly
+    * once across restarts.
     */
   def warcDocumentsStream(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    splitWarc(spark.readStream.option("lineSep", "\r\n\r\nWARC/1.0\r\n").text(path))
+    splitWarc(spark.readStream.format("warc-record")
+      .schema(WarcFileFormat.schema).load(path))
 
   /** The shared WARC split — identical plan for batch and streaming
     * inputs (per-row header/body parse inside the scan, no shuffle).

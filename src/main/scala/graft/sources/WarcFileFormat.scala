@@ -1,0 +1,470 @@
+package graft.sources
+
+import java.io.InputStream
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Content-Length-exact WARC/WET record reader, as a native Spark
+  * `FileFormat` so the SAME scan serves `spark.read` and the
+  * streaming file source (checkpointed exactly-once listing), stays
+  * SPLITTABLE on uncompressed archives, and keeps the parse inside
+  * the scan stage (zero shuffle).
+  *
+  * One output column: `value` = one complete WARC record, verbatim
+  * (`WARC/1.0\r\n` version line + headers + blank line + body),
+  * without the inter-record `\r\n\r\n` separator.
+  *
+  * Why a custom format: the previous intake split records with the
+  * text reader's `lineSep = "\r\n\r\n" + "WARC/1.0\r\n"`, so a body
+  * that CONTAINS that byte sequence (a page quoting a WARC file) was
+  * silently truncated at the false boundary — the head half entered
+  * the corpus truncated and the tail fragment DLQ'd. This reader
+  * walks records by the mandatory `Content-Length` header (WARC/1.0
+  * spec §4: the record content block is exactly that many bytes), so
+  * separator bytes inside a body are just body.
+  *
+  * Robustness ladder per record:
+  *  1. `Content-Length: N` present → read exactly N body bytes, then
+  *     require the inter-record `\r\n\r\n` + (`WARC/` | EOF). A
+  *     mismatch (corrupt length) falls back to rule 2 for the rest of
+  *     that record — never fatal, matching the F2 capture contract
+  *     (reference consumer/ConsumerRecordConverter error routing).
+  *  2. No/invalid Content-Length → scan to the next inter-record
+  *     marker (`\r\n\r\nWARC/1.0\r\n`) — the old lineSep behavior,
+  *     byte-identical on archives without Content-Length headers.
+  *
+  * Split handling (uncompressed archives): a task whose range starts
+  * mid-file resyncs by scanning for the inter-record marker, then
+  * VALIDATES the candidate (header block parses within 256 KiB,
+  * carries `WARC-Type:`, and — when Content-Length is present — the
+  * walk lands on another record boundary or EOF) before accepting;
+  * a planted separator inside a body fails validation and the scan
+  * continues. A record belongs to the split containing the first
+  * byte of its preceding separator (the file's first record to the
+  * first split), so every record is emitted exactly once and readers
+  * run past their range end to finish a straddling record — the
+  * `LineRecordReader` convention. `.gz` archives read whole-file per
+  * task (gzip is not splittable); CommonCrawl's many-files layout
+  * keeps that parallel.
+  */
+final class WarcFileFormat extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "warc-record"
+
+  override def toString: String = "WarcRecord"
+
+  override def inferSchema(
+      sparkSession: SparkSession,
+      options: Map[String, String],
+      files: Seq[FileStatus]): Option[StructType] =
+    Some(WarcFileFormat.schema)
+
+  override def prepareWrite(
+      sparkSession: SparkSession,
+      job: Job,
+      options: Map[String, String],
+      dataSchema: StructType): OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "warc-record is a read-only format")
+
+  override def isSplitable(
+      sparkSession: SparkSession,
+      options: Map[String, String],
+      path: Path): Boolean = {
+    val conf = sparkSession.sessionState.newHadoopConf()
+    new CompressionCodecFactory(conf).getCodec(path) == null
+  }
+
+  override def buildReader(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : PartitionedFile => Iterator[InternalRow] = {
+    val confBc = sparkSession.sparkContext.broadcast(
+      new SerializableConfiguration(hadoopConf))
+    val wantValue = requiredSchema.fieldNames.contains("value")
+
+    (file: PartitionedFile) => {
+      val conf = confBc.value.value
+      val path = file.toPath
+      val fs = path.getFileSystem(conf)
+      val codec = new CompressionCodecFactory(conf).getCodec(path)
+      val records: Iterator[Array[Byte]] =
+        if (codec != null) {
+          // compressed: one task reads the whole decompressed stream
+          val in = codec.createInputStream(fs.open(path))
+          closeOnTaskEnd(in)
+          new WarcRecordIterator(in, splitEnd = Long.MaxValue,
+            versionLineConsumed = false)
+        } else if (file.start == 0L) {
+          val in = fs.open(path)
+          closeOnTaskEnd(in)
+          new WarcRecordIterator(in, splitEnd = file.length,
+            versionLineConsumed = false)
+        } else {
+          // mid-file split: resync to the first validated record
+          // whose separator starts inside [start, start+length)
+          val raw = fs.open(path)
+          closeOnTaskEnd(raw)
+          WarcRecordIterator.resync(raw, file.start,
+            file.start + file.length)
+        }
+      val proj = UnsafeProjection.create(requiredSchema)
+      val row = new GenericInternalRow(requiredSchema.length)
+      records.map { bytes =>
+        if (wantValue) row.update(0, UTF8String.fromBytes(bytes))
+        proj(row)
+      }
+    }
+  }
+
+  private def closeOnTaskEnd(in: InputStream): Unit =
+    Option(TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+
+  override def equals(other: Any): Boolean = other.isInstanceOf[WarcFileFormat]
+  override def hashCode(): Int = getClass.hashCode()
+}
+
+object WarcFileFormat {
+  /** The format's fixed schema: one verbatim record per row. */
+  val schema: StructType =
+    StructType(Seq(StructField("value", StringType, nullable = true)))
+}
+
+/** Byte-level WARC record walker over one input stream positioned at
+  * a record start. `splitEnd` is the ABSOLUTE offset (relative to the
+  * stream's own coordinate space — decompressed offset 0 for codec
+  * streams, file offset of the seek point plus consumed bytes
+  * otherwise) past which no new record is claimed; the iterator runs
+  * past it to finish a straddling record. `versionLineConsumed` marks
+  * that the 10 bytes `WARC/1.0\r\n` of the first record were already
+  * eaten by a marker scan and must be re-prefixed.
+  */
+private[sources] final class WarcRecordIterator(
+    in: InputStream,
+    splitEnd: Long,
+    versionLineConsumed: Boolean,
+    startPos: Long = 0L) extends Iterator[Array[Byte]] {
+
+  import WarcRecordIterator._
+
+  private val buf = new BufferedBytes(in, startPos)
+  private var pendingVersion = versionLineConsumed
+  private var nextRec: Array[Byte] = _
+  private var done = false
+  // reused across records — headers are small, bodies bypass it
+  private val headerBuf = new java.io.ByteArrayOutputStream(8192)
+
+  override def hasNext: Boolean = {
+    if (nextRec == null && !done) nextRec = advance()
+    nextRec != null
+  }
+
+  override def next(): Array[Byte] = {
+    if (!hasNext) throw new NoSuchElementException("end of WARC split")
+    val r = nextRec; nextRec = null; r
+  }
+
+  /** Reads one record, or null at split/stream end. */
+  private def advance(): Array[Byte] = {
+    if (buf.peek(0) < 0) { done = true; return null }
+    val out = headerBuf
+    out.reset()
+    if (pendingVersion) { out.write(VersionLine); pendingVersion = false }
+
+    // 1. header block: bytes up to and including the blank line
+    // (rolling 32-bit window == \r\n\r\n — no per-byte allocation)
+    var blankAt = -1 // offset in `out` where \r\n\r\n starts
+    var window = 0
+    var b = buf.read()
+    while (b >= 0 && blankAt < 0 && out.size < MaxHeaderBytes) {
+      out.write(b)
+      window = (window << 8) | b
+      if (window == CrlfCrlfWindow) blankAt = out.size - 4
+      else b = buf.read()
+    }
+    if (blankAt < 0) {
+      // EOF or runaway headers: capture to the next marker (or EOF)
+      // verbatim — the downstream split DLQs it as a fragment
+      return finishByMarker(out)
+    }
+
+    // 2. Content-Length-exact body walk
+    val headerBytes = out.toByteArray
+    contentLength(new String(headerBytes, 0, blankAt,
+        java.nio.charset.StandardCharsets.UTF_8)) match {
+      case Some(n) if n <= Int.MaxValue - headerBytes.length - 8 =>
+        // exact-size record array, body bulk-read straight into it —
+        // no growable-buffer churn on the hot path
+        val rec = java.util.Arrays.copyOf(headerBytes,
+          headerBytes.length + n.toInt)
+        val got = buf.readInto(rec, headerBytes.length, n.toInt)
+        if (got < n)
+          return emit(java.util.Arrays.copyOf(rec, // truncated archive
+            headerBytes.length + got))
+        // expect the inter-record separator, then a new record or EOF
+        val sepStart = buf.pos
+        if (buf.peek(0) < 0) return emit(rec) // clean EOF
+        if (buf.peekMatches(CrlfCrlf) &&
+            (buf.peekAtMatches(4, WarcSlash) || buf.peek(4) < 0)) {
+          buf.skip(4)
+          if (sepStart >= splitEnd) { done = true } // next split's record
+          return emit(rec)
+        }
+        // corrupt Content-Length: keep capturing to the next marker
+        out.reset(); out.write(rec, 0, rec.length)
+        finishByMarker(out)
+      case _ =>
+        // no Content-Length (legacy/lenient archives, or a length too
+        // large for one in-memory record): marker scan — byte-
+        // identical to the old lineSep record split
+        finishByMarker(out)
+    }
+  }
+
+  /** Appends bytes up to the next `\r\n\r\nWARC/1.0\r\n` marker (or
+    * EOF) and emits everything before the marker as the record; the
+    * consumed version line is re-prefixed onto the next record.
+    */
+  private def finishByMarker(out: java.io.ByteArrayOutputStream): Array[Byte] = {
+    var m = 0 // KMP match length against Marker
+    var b = buf.read()
+    while (b >= 0) {
+      out.write(b)
+      m = kmpStep(m, b)
+      if (m == Marker.length) {
+        val rec = java.util.Arrays.copyOf(out.toByteArray,
+          out.size - Marker.length)
+        pendingVersion = true
+        // marker's first byte decides ownership of the NEXT record
+        if (buf.pos - Marker.length >= splitEnd) done = true
+        return emit(rec)
+      }
+      b = buf.read()
+    }
+    done = true
+    emit(out.toByteArray)
+  }
+
+  private def emit(rec: Array[Byte]): Array[Byte] =
+    if (rec.isEmpty || allWhitespace(rec)) { // empty tail segment
+      if (done) null else advance()
+    } else rec
+}
+
+private[sources] object WarcRecordIterator {
+  private val CrlfCrlf = "\r\n\r\n".getBytes("US-ASCII")
+  /** \r\n\r\n as a rolling 32-bit byte window. */
+  private val CrlfCrlfWindow = 0x0d0a0d0a
+  private val VersionLine = "WARC/1.0\r\n".getBytes("US-ASCII")
+  private val WarcSlash = "WARC/".getBytes("US-ASCII")
+  /** Inter-record marker: separator + next version line. */
+  private val Marker = CrlfCrlf ++ VersionLine
+  private val MaxHeaderBytes = 256 * 1024
+  private val ClPattern =
+    java.util.regex.Pattern.compile("(?mi)^Content-Length:\\s*(\\d{1,18})\\s*$")
+
+  /** KMP failure table for [[Marker]]. */
+  private val Fail: Array[Int] = {
+    val f = new Array[Int](Marker.length)
+    var k = 0
+    for (i <- 1 until Marker.length) {
+      while (k > 0 && Marker(i) != Marker(k)) k = f(k - 1)
+      if (Marker(i) == Marker(k)) k += 1
+      f(i) = k
+    }
+    f
+  }
+
+  private def kmpStep(state: Int, b: Int): Int = {
+    var m = state
+    while (m > 0 && b != (Marker(m) & 0xff)) m = Fail(m - 1)
+    if (b == (Marker(m) & 0xff)) m + 1 else 0
+  }
+
+  private def contentLength(headers: String): Option[Long] = {
+    val m = ClPattern.matcher(headers)
+    if (m.find()) Some(m.group(1).toLong) else None
+  }
+
+  private def allWhitespace(a: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c != ' ' && c != '\r' && c != '\n' && c != '\t') return false
+      i += 1
+    }
+    true
+  }
+
+  /** Mid-file split resync: scan from `splitStart` for the
+    * inter-record marker, VALIDATE the candidate record (header block
+    * + Content-Length walk when present), and return an iterator over
+    * the records whose preceding separator starts in
+    * [splitStart, splitEnd). `raw` must be seekable (uncompressed).
+    */
+  def resync(raw: org.apache.hadoop.fs.FSDataInputStream,
+      splitStart: Long, splitEnd: Long): Iterator[Array[Byte]] = {
+    // markers straddling the boundary belong to THIS split when their
+    // first byte does: back up so a marker starting at splitStart-0
+    // .. is seen whole, but only accept first-byte >= splitStart
+    var scanFrom = splitStart
+    while (true) {
+      raw.seek(scanFrom)
+      val buf = new BufferedBytes(raw, scanFrom)
+      var m = 0
+      var b = buf.read()
+      var found = -1L
+      while (b >= 0 && found < 0) {
+        m = kmpStep(m, b)
+        if (m == Marker.length) {
+          val markerFirst = buf.pos - Marker.length
+          if (markerFirst >= splitEnd) return Iterator.empty
+          found = markerFirst
+        } else {
+          if (buf.pos - m >= splitEnd) return Iterator.empty // no marker in range
+          b = buf.read()
+        }
+      }
+      if (found < 0) return Iterator.empty // EOF without a marker
+      val candidate = found + 4 // record start = the version line
+      if (validates(raw, candidate)) {
+        raw.seek(candidate)
+        return new WarcRecordIterator(raw, splitEnd,
+          versionLineConsumed = false, startPos = candidate)
+      }
+      scanFrom = found + Marker.length // false marker: keep scanning
+    }
+    Iterator.empty // unreachable
+  }
+
+  /** Checks that `pos` really starts a record: version line, a
+    * parseable header block carrying `WARC-Type:`, and — when
+    * Content-Length is present — a walk landing on a separator+next
+    * record or EOF. Leaves the stream position unspecified.
+    */
+  private def validates(raw: org.apache.hadoop.fs.FSDataInputStream,
+      pos: Long): Boolean = {
+    raw.seek(pos)
+    val buf = new BufferedBytes(raw, pos)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    if (!buf.peekMatches(WarcSlash)) return false
+    var blank = false
+    var window = 0
+    var b = buf.read()
+    while (b >= 0 && !blank && out.size < MaxHeaderBytes) {
+      out.write(b)
+      window = (window << 8) | b
+      if (window == CrlfCrlfWindow) blank = true else b = buf.read()
+    }
+    if (!blank) return false
+    val headers = new String(out.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (!headers.regionMatches(true, 0, "WARC/", 0, 5)) return false
+    if (!WarcTypePattern.matcher(headers).find()) return false
+    contentLength(headers) match {
+      case Some(n) =>
+        if (buf.copyTo(null, n) < n) return true // truncated tail: accept
+        if (buf.peek(0) < 0) return true
+        buf.peekMatches(CrlfCrlf) &&
+          (buf.peekAtMatches(4, WarcSlash) || buf.peek(4) < 0)
+      case None => true
+    }
+  }
+
+  private val WarcTypePattern =
+    java.util.regex.Pattern.compile("(?mi)^WARC-Type:")
+}
+
+/** Minimal buffered byte reader with absolute-position tracking and
+  * bounded lookahead — the scan never allocates per byte and never
+  * reads the underlying stream twice.
+  */
+private[sources] final class BufferedBytes(in: InputStream, start: Long) {
+  private var buf = new Array[Byte](64 * 1024)
+  private var off = 0
+  private var len = 0
+  /** Absolute offset of the next unread byte. */
+  var pos: Long = start
+
+  private def ensure(n: Int): Int = {
+    if (len - off >= n) return len - off
+    if (off > 0) { System.arraycopy(buf, off, buf, 0, len - off); len -= off; off = 0 }
+    if (n > buf.length) buf = java.util.Arrays.copyOf(buf, n)
+    var r = 0
+    while (len < n && { r = in.read(buf, len, buf.length - len); r > 0 }) len += r
+    len - off
+  }
+
+  def read(): Int = {
+    if (ensure(1) < 1) return -1
+    val b = buf(off) & 0xff; off += 1; pos += 1; b
+  }
+
+  def peek(i: Int): Int =
+    if (ensure(i + 1) > i) buf(off + i) & 0xff else -1
+
+  def peekMatches(pat: Array[Byte]): Boolean = peekAtMatches(0, pat)
+
+  def peekAtMatches(at: Int, pat: Array[Byte]): Boolean = {
+    if (ensure(at + pat.length) < at + pat.length) return false
+    var i = 0
+    while (i < pat.length) {
+      if (buf(off + at + i) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  def skip(n: Int): Unit = {
+    var r = n
+    while (r > 0) { if (read() < 0) return; r -= 1 }
+  }
+
+  /** Bulk-reads up to `n` bytes into `dst` at `dstOff`, returning the
+    * count actually read.
+    */
+  def readInto(dst: Array[Byte], dstOff: Int, n: Int): Int = {
+    var copied = 0
+    while (copied < n) {
+      val avail = ensure(1)
+      if (avail < 1) return copied
+      val take = math.min(avail, n - copied)
+      System.arraycopy(buf, off, dst, dstOff + copied, take)
+      off += take; pos += take; copied += take
+    }
+    copied
+  }
+
+  /** Bulk-copies up to `n` bytes into `out` (or discards them when
+    * `out` is null), returning the count actually copied — the body
+    * walk moves whole buffers, not bytes.
+    */
+  def copyTo(out: java.io.ByteArrayOutputStream, n: Long): Long = {
+    var copied = 0L
+    while (copied < n) {
+      val avail = ensure(1)
+      if (avail < 1) return copied
+      val take = math.min(avail.toLong, n - copied).toInt
+      if (out != null) out.write(buf, off, take)
+      off += take; pos += take; copied += take
+    }
+    copied
+  }
+}

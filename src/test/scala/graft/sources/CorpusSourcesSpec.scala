@@ -180,4 +180,154 @@ class CorpusSourcesSpec extends AnyFunSuite {
     assert(sb.size == 1 && sb.head.contains("urn:uuid:s-3"), sb)
     assert(batchBad.collect().map(_.getString(0)).toSet == sb)
   }
+
+  // -------- Content-Length-exact record reader (WarcFileFormat) ----
+
+  private val crlf = "\r\n"
+  /** A spec-conformant record: mandatory Content-Length over the
+    * body's UTF-8 byte length.
+    */
+  private def recCL(headers: Seq[String], body: String): String = {
+    val n = body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    "WARC/1.0" + crlf +
+      (headers :+ s"Content-Length: $n").mkString(crlf) + crlf + crlf + body
+  }
+  private def archive(recs: Seq[String]): String =
+    recs.mkString(crlf + crlf) + crlf + crlf
+
+  test("Content-Length-exact: a body containing the inter-record separator is ingested INTACT") {
+    val hazardBody = "He said: see the raw dump below." +
+      crlf + crlf + "WARC/1.0" + crlf +
+      "this is quoted text inside the body, not a record." + crlf +
+      "end of quote."
+    val warc = archive(Seq(
+      recCL(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://a.example.com/1",
+        "WARC-Record-ID: <urn:uuid:cl-1>"), "an ordinary first page."),
+      recCL(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://b.example.com/2",
+        "WARC-Record-ID: <urn:uuid:cl-2>"), hazardBody),
+      recCL(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://c.example.com/3",
+        "WARC-Record-ID: <urn:uuid:cl-3>"), "an ordinary last page.")))
+    val dir = Files.createTempDirectory("graft_warc_cl")
+    Files.writeString(dir.resolve("cl.warc"), warc)
+
+    val (good, bad) = CorpusSources.warcDocuments(spark, dir.toString)
+    val byUrl = good.collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("text"))).toMap
+    assert(byUrl.keySet == Set("https://a.example.com/1",
+      "https://b.example.com/2", "https://c.example.com/3"), byUrl.keySet)
+    // the whole point: the embedded separator is just body bytes
+    assert(byUrl("https://b.example.com/2") == hazardBody,
+      s"hazard body truncated: '${byUrl("https://b.example.com/2")}'")
+    assert(bad.count() == 0, bad.collect().map(_.getString(0)).toSeq)
+
+    // and the superseded lineSep path DID truncate it (the defect
+    // this format replaces — pinned so the contrast stays visible)
+    val (oldGood, oldBad) =
+      CorpusSources.warcDocumentsLineSep(spark, dir.toString)
+    val oldByUrl = oldGood.collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("text"))).toMap
+    assert(oldByUrl("https://b.example.com/2") ==
+      "He said: see the raw dump below.",
+      "lineSep path unexpectedly exact now — drop the fallback note")
+    assert(oldBad.count() == 1) // the quoted-text fragment
+  }
+
+  test("PARITY: exact reader equals the lineSep split on archives without embedded separators") {
+    def rec(headers: Seq[String], body: String): String =
+      "WARC/1.0" + crlf + headers.mkString(crlf) + crlf + crlf + body
+    // mix Content-Length records (exact walk) with legacy CL-less
+    // ones (marker-scan fallback) — both shapes must match lineSep
+    val warc = archive(Seq(
+      rec(Seq("WARC-Type: warcinfo", "WARC-Record-ID: <urn:uuid:p-i>"),
+        "software: parity-crawler"),
+      recCL(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://p1.example.com/a",
+        "WARC-Record-ID: <urn:uuid:p-1>"),
+        "the first parity page." + crlf + "with a second line."),
+      rec(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://p2.example.com/b",
+        "WARC-Record-ID: <urn:uuid:p-2>"), "a legacy record, no length."),
+      recCL(Seq("WARC-Type: conversion",
+        "WARC-Record-ID: <urn:uuid:p-3>"), "uri-less, goes to dlq.")))
+    val dir = Files.createTempDirectory("graft_warc_parity")
+    Files.writeString(dir.resolve("p.warc"), warc)
+
+    val (g1, b1) = CorpusSources.warcDocuments(spark, dir.toString)
+    val (g2, b2) = CorpusSources.warcDocumentsLineSep(spark, dir.toString)
+    val rows1 = g1.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source"), r.getAs[String]("url"))).toSet
+    val rows2 = g2.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source"), r.getAs[String]("url"))).toSet
+    assert(rows1 == rows2,
+      s"only-exact=${rows1 -- rows2} only-linesep=${rows2 -- rows1}")
+    assert(rows1.size == 2)
+    // DLQ sides agree modulo the Content-Length header line the exact
+    // reader preserves verbatim
+    val dlq1 = b1.collect().map(_.getString(0)).toSeq
+    val dlq2 = b2.collect().map(_.getString(0)).toSeq
+    assert(dlq1.size == 1 && dlq2.size == 1)
+    assert(dlq1.head.contains("urn:uuid:p-3") &&
+      dlq2.head.contains("urn:uuid:p-3"))
+  }
+
+  test("SPLITTABLE: a multi-split scan emits every record exactly once, hazards included") {
+    // 240 records with planted separators sprinkled into bodies; read
+    // with tiny maxPartitionBytes so the resync + ownership rule is
+    // exercised across many split boundaries
+    val recs = (0 until 240).map { i =>
+      val filler = ("lorem ipsum dolor sit amet " * (1 + i % 7)).trim
+      val body =
+        if (i % 5 == 0)
+          s"page $i quotes a dump:" + crlf + crlf + "WARC/1.0" + crlf +
+            s"embedded fake preamble $i." + crlf + filler
+        else s"page $i." + crlf + filler
+      recCL(Seq("WARC-Type: conversion",
+        s"WARC-Target-URI: https://h$i.example.com/$i",
+        s"WARC-Record-ID: <urn:uuid:h-$i>"), body)
+    }
+    val dir = Files.createTempDirectory("graft_warc_split")
+    Files.writeString(dir.resolve("big.warc"), archive(recs))
+
+    val before = (spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+      spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val (good, bad) = CorpusSources.warcDocuments(spark, dir.toString)
+      assert(good.rdd.getNumPartitions > 4,
+        s"only ${good.rdd.getNumPartitions} partitions — split not exercised")
+      val urls = good.collect().map(_.getAs[String]("url"))
+      assert(urls.length == 240, s"got ${urls.length} records (dupes or losses)")
+      assert(urls.toSet == (0 until 240)
+        .map(i => s"https://h$i.example.com/$i").toSet)
+      assert(bad.count() == 0)
+      // hazard bodies intact across splits too
+      val h5 = good.filter(org.apache.spark.sql.functions.col("url") ===
+        "https://h5.example.com/5").collect().head.getAs[String]("text")
+      assert(h5.contains("embedded fake preamble 5."), h5)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", before._1)
+      spark.conf.set("spark.sql.files.openCostInBytes", before._2)
+    }
+  }
+
+  test("gzip: .warc.gz archives read whole-file per task with the same rows") {
+    val recs = (0 until 8).map(i => recCL(Seq("WARC-Type: conversion",
+      s"WARC-Target-URI: https://gz$i.example.com/$i",
+      s"WARC-Record-ID: <urn:uuid:gz-$i>"), s"gz page $i body."))
+    val dir = Files.createTempDirectory("graft_warc_gz")
+    val bytes = archive(recs).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("a.warc.gz")))
+    out.write(bytes); out.close()
+    val (good, bad) = CorpusSources.warcDocuments(spark, dir.toString)
+    assert(good.collect().map(_.getAs[String]("url")).toSet ==
+      (0 until 8).map(i => s"https://gz$i.example.com/$i").toSet)
+    assert(bad.count() == 0)
+  }
 }
