@@ -297,7 +297,11 @@ object Bench {
     // copies replicate the base corpus's duplicate-line structure
     // ×factor, so both the dup table and the line stream scale
     // linearly — the probe measures that the two-shuffle shape holds
-    "q101_line_dedup")
+    "q101_line_dedup",
+    // iterative BPE: the corpus is touched once (word-count shuffle);
+    // all 8 merge rounds run on the vocab-sized table — the probe
+    // measures that round cost is bounded by vocabulary, not corpus
+    "q113_bpe_train")
 
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,

@@ -1780,6 +1780,69 @@ object TextOps {
       bpePairMerges(docs(s, dir).select("text"), topK = 20)
     },
 
+    // ---- q113: iterative BPE training ----------------------------
+    // Full Sennrich-style tokenizer training: q93's round (pair
+    // rollup → deterministic winner) APPLIED and re-induced, 8
+    // unrolled rounds, plus the final top-30 symbol vocabulary. Both
+    // engines hold words as \x01-bracketed symbol strings and apply
+    // each merge with ONE plain replace — left-to-right
+    // non-overlapping in both, which on that encoding IS exact
+    // greedy BPE (see TextOps.bpeTrain). The oracle's per-round
+    // tables are MATERIALIZED CTEs (each is referenced twice: pair
+    // rollup + merge application — without materialization the
+    // inlined plan doubles per round); the Spark side persists each
+    // round for the same reason.
+    QueryDef(
+      "q113_bpe_train",
+      { val n = 8
+        val rounds = (1 to n).map { r =>
+          s"""p$r AS (
+             |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+             |    CAST(sum(wc) AS BIGINT) AS cnt
+             |  FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i
+             |        FROM (SELECT string_split(substring(s, 2, len(s) - 2),
+             |                chr(2) || chr(1)) AS syms, wc
+             |              FROM w${r - 1} WHERE len(s) > 0)
+             |        WHERE len(syms) >= 2)
+             |  GROUP BY a, b),
+             |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+             |w$r AS MATERIALIZED (
+             |  SELECT replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+             |    chr(1) || m.a || m.b || chr(2)) AS s, wc
+             |  FROM w${r - 1}, m$r m)""".stripMargin
+        }.mkString(",\n")
+        val mergeRows = (1 to n).map { r =>
+          s"""SELECT 'merge' AS kind, CAST($r AS BIGINT) AS step, a AS lhs,
+             |  b AS rhs, a || b AS token, cnt FROM m$r""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH words AS (
+           |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+           |                            x -> len(x) > 0)) AS w
+           |  FROM documents),
+           |wc AS (
+           |  SELECT w, count(*) AS wc FROM words
+           |  WHERE strpos(w, chr(1)) = 0 AND strpos(w, chr(2)) = 0
+           |  GROUP BY w),
+           |w0 AS MATERIALIZED (
+           |  SELECT array_to_string(list_transform(generate_series(1, len(w)),
+           |    i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '') AS s,
+           |    wc
+           |  FROM wc),
+           |$rounds
+           |SELECT * FROM (
+           |$mergeRows
+           |UNION ALL
+           |SELECT 'vocab', CAST($n AS BIGINT), NULL, NULL, token, cnt FROM (
+           |  SELECT sym AS token, CAST(sum(wc) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest(string_split(substring(s, 2, len(s) - 2),
+           |          chr(2) || chr(1))) AS sym, wc
+           |        FROM w$n WHERE len(s) > 0)
+           |  GROUP BY sym ORDER BY cnt DESC, token LIMIT 30))
+           |ORDER BY kind, step, token""".stripMargin
+      }) { (s, dir) =>
+      bpeTrain(docs(s, dir).select("text"), nMerges = 8, vocabTopK = 30)
+    },
+
     // ---- q102: C4 line-quality filter ----------------------------
     // Raffel et al. 2020 §2.2's page cleaner over deterministic
     // planted lines (the corpus has no newlines or punctuation, so
@@ -2198,6 +2261,96 @@ object TextOps {
       .groupBy("pair").agg(sum("wc").as("cnt"))
       .orderBy(desc("cnt"), asc("pair"))
       .limit(topK)
+  }
+
+  /** q113's operator: ITERATIVE BPE tokenizer training (Sennrich et
+    * al. 2016) — `nMerges` full rounds of count-pairs → pick winner →
+    * apply merge → re-induce, extending q93's single-round plan
+    * ([[bpePairMerges]]). Returns one tiny deterministic frame:
+    * `(kind, step, lhs, rhs, token, cnt)` — a `merge` row per round
+    * (the winning pair and its weighted count) plus the top-
+    * `vocabTopK` `vocab` rows of the final symbol inventory.
+    *
+    * Exact-greedy merge trick (engine parity): each word is held as a
+    * SYMBOL STRING with every symbol bracketed by \x01..\x02, and
+    * a round's merge is ONE plain `replace(s, \x01a\x02\x01b
+    * \x02, \x01ab\x02)`. Plain replace is left-to-right
+    * non-overlapping in Spark and DuckDB alike, and on the bracketed
+    * encoding that IS greedy BPE: occurrences of a distinct pair
+    * (a≠b) can never overlap, and same-symbol runs ([a,a,a]) resolve
+    * left-to-right exactly as the canonical trainer does — so the
+    * two engines cannot diverge, without any per-row fold. Words
+    * containing the bracket code points are excluded up front (both
+    * engines, documented corpus precondition).
+    *
+    * Scale story: the corpus is touched ONCE (token→word-count
+    * shuffle, vocabulary-sized output, partial-aggregable); every
+    * round after that runs on the vocab-sized word table — explode
+    * adjacent symbol pairs (fan-out = word length) into one
+    * partial-aggregable pair rollup, collect exactly ONE winner row,
+    * apply one codegen'd replace. Each round's table is persisted
+    * and the previous round unpersisted, so round r never replays
+    * rounds 1..r-1; driver state is one row per round. No windows,
+    * no joins, no corpus-sized shuffle after round 0.
+    */
+  def bpeTrain(docsFrame: DataFrame, nMerges: Int, vocabTopK: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1 (got $nMerges)")
+    require(vocabTopK >= 1, s"vocabTopK must be >= 1 (got $vocabTopK)")
+    val spark = docsFrame.sparkSession
+    val B1 = "\u0001"; val B2 = "\u0002"
+    val wc = docsFrame.select(explode(tokens(col("text"))).as("w"))
+      .filter(instr(col("w"), B1) === 0 && instr(col("w"), B2) === 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var words = wc.select(
+      array_join(transform(sequence(lit(1), length(col("w"))),
+        i => concat(lit(B1), col("w").substr(i, lit(1)), lit(B2))), "")
+        .as("s"),
+      col("wc")).persist()
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val top = words.filter(length(col("s")) > 0)
+        .select(split(expr("substring(s, 2, length(s) - 2)"), B2 + B1)
+          .as("syms"), col("wc"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (prev != null) prev.unpersist()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (a, b, cnt) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += (("merge", r.toLong, a, b, a + b, cnt))
+        prev = words
+        words = words.select(
+          replace(col("s"), lit(B1 + a + B2 + B1 + b + B2),
+            lit(B1 + a + b + B2)).as("s"),
+          col("wc")).persist()
+      }
+    }
+    val vocab = words.filter(length(col("s")) > 0)
+      .select(explode(split(expr("substring(s, 2, length(s) - 2)"), B2 + B1))
+        .as("token"), col("wc"))
+      .groupBy("token").agg(sum("wc").as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(vocabTopK)
+      .collect()
+      .map(r => ("vocab", nMerges.toLong, null: String, null: String,
+        r.getString(0), r.getLong(1)))
+    if (prev != null) prev.unpersist()
+    words.unpersist()
+    import spark.implicits._
+    (merges.toSeq ++ vocab)
+      .toDF("kind", "step", "lhs", "rhs", "token", "cnt")
+      .orderBy("kind", "step", "token")
   }
 
   /** q90's transformation as a reusable operator: chunk each doc into

@@ -314,6 +314,65 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain equals a plain-Scala greedy BPE trainer, chain words included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // chain-heavy vocabulary: [a,b,a,b] and [a,a,a] shapes are where
+    // a naive separator-string replace diverges from greedy BPE —
+    // exactly what the bracketed encoding must get right
+    val lexicon = Vector("abab", "aaa", "banana", "xyxyxy", "ab", "a",
+      "spark", "anana", "bananas")
+    val docs = (1 to 80).map { _ =>
+      Tuple1(Seq.fill(1 + rnd.nextInt(12))(lexicon(rnd.nextInt(lexicon.size)))
+        .mkString(" "))
+    }
+    val wc = docs.flatMap(_._1.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+
+    // reference trainer: word table as symbol vectors, greedy
+    // left-to-right merge application per round
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val n = 6; val topK = 12
+    var words: Map[String, (Vector[String], Long)] =
+      wc.map { case (w, c) => w -> (w.map(_.toString).toVector, c) }
+    val wantMerges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String, String, String, Long)]
+    for (r <- 1 to n) {
+      val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((_, (syms, c)) <- words; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) =
+          pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((a, b), cnt) = pc.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      wantMerges += (("merge", r.toLong, a, b, a + b, cnt))
+      words = words.map { case (w, (syms, c)) => w -> (applyMerge(syms, a, b), c) }
+    }
+    val vc = new scala.collection.mutable.HashMap[String, Long]()
+    for ((_, (syms, c)) <- words; s <- syms)
+      vc(s) = vc.getOrElse(s, 0L) + c
+    val wantVocab = vc.toSeq.sortBy { case (s, c) => (-c, s) }.take(topK)
+      .map { case (s, c) => ("vocab", n.toLong, null: String, null: String, s, c) }
+
+    val got = TextOps.bpeTrain(docs.toDF("text"), nMerges = n, vocabTopK = topK)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    val want = (wantMerges.toSeq ++ wantVocab)
+      .sortBy(x => (x._1, x._2, x._5))
+    assert(got == want,
+      s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+  }
+
   test("editNearDupPairs: verify keeps true near-dups, kills banding collisions, no self-pairs") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
