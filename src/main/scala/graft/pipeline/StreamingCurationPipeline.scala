@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import graft.queries.DedupOps
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
+
+/** The INGESTION-TIME curation composition — the streaming twin of
+  * [[CurationPipeline]], assembled from the same oracle-checked
+  * operator functions and mirroring its stage order:
+  *
+  *   url_dedup      → q103's rule as watermarked stream state
+  *                    (keep the FIRST-arriving doc per canonical URL;
+  *                    equals batch min-doc_id when arrival follows
+  *                    doc_id order — the established parity rule)
+  *   line_filter    → q102's C4 page/line rules, stateless per row
+  *   classifier     → q105's exact-integer linear probe, stateless
+  *   incr_dedup     → q95's delta-vs-standing-index verdicts (exact
+  *                    fingerprints + banded MinHash estimate against
+  *                    a PERSISTED index — the standing corpus is
+  *                    never re-read as text)
+  *   decontaminated → q58's shingle sweep against the broadcast
+  *                    probe set
+  *
+  * Placement of state — the part that makes this runnable forever:
+  * the ONLY cross-batch stream state is url_dedup's per-canonical-URL
+  * row, watermark-evicted. Every later stage is either per-row
+  * (line_filter, classifier) or STREAM-STATIC (incr_dedup,
+  * decontaminated: joins against frames that are fixed for the run),
+  * so they execute inside `foreachBatch` as a [[CurateSink]] chain —
+  * the same batch operator functions the oracle queries pin, applied
+  * per micro-batch. New-vs-new near-dups across micro-batches are
+  * deliberately NOT chased here (pair state in a stream grows
+  * quadratically — the q46 note); they belong to the periodic batch
+  * compaction that also refreshes the standing index.
+  *
+  * Reference lineage: the foreachBatch + Sink-decorator shape is the
+  * reference's consumer→sink pipeline (README.md:11-16,
+  * sink/Sink.java:6-10) with curation stages as the transform rungs.
+  */
+object StreamingCurationPipeline {
+  import CurationPipeline.StageCount
+
+  /** Everything fixed for the run. `standingCorpus` is the
+    * (doc_id, text) frame whose index q95 verdicts are computed
+    * against — persist it; `probeShingles` is the distinct
+    * benchmark-shingle frame (one `g` column), broadcast per batch.
+    */
+  final case class Config(
+      standingCorpus: DataFrame,
+      probeShingles: DataFrame,
+      classifierMinScore: Long,
+      maxEstJaccard: Double = 0.5,
+      minShared: Long = 3L,
+      c4MinWordsPerLine: Int = 3,
+      c4MinKeptLines: Int = 5,
+      lateness: String = "1 hour")
+
+  /** Starts the composed pipeline over a (doc_id, text, url, ts)
+    * stream, landing survivors in `landing`. Returns the running
+    * query and a ledger accessor: per-stage surviving-row counts in
+    * pipeline order, summed across micro-batches — the streaming
+    * form of [[CurationPipeline.run]]'s return value. The ledger's
+    * url_dedup row counts rows ENTERING the batch chain (i.e. after
+    * the stateful keep-first); the pre-dedup input count lives in the
+    * source's own metrics, not here.
+    */
+  def start(docs: DataFrame, cfg: Config, landing: Sink,
+      checkpointDir: Option[String] = None)
+      : (StreamingQuery, () => Seq[StageCount]) = {
+    val spark = docs.sparkSession
+    val ledger = new scala.collection.mutable.LinkedHashMap[String, Long]()
+    // frames persisted by the counting wrapper during ONE batch;
+    // foreachBatch runs driver-side and sequentially, so plain
+    // buffers are safe
+    val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def counted(name: String)(t: DataFrame => DataFrame)
+        : DataFrame => DataFrame = df => {
+      val out = t(df).persist(StorageLevel.MEMORY_AND_DISK)
+      live += out
+      val n = out.count()
+      ledger.synchronized {
+        ledger.update(name, ledger.getOrElse(name, 0L) + n)
+      }
+      out
+    }
+
+    // the per-batch stage transforms, each the function behind its
+    // oracle query (see object doc). Order = CurationPipeline's.
+    val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+      // rows arriving from the stateful URL-dedup rung; provenance
+      // columns retire here, like the batch pipeline's projection
+      "url_dedup" -> ((df: DataFrame) =>
+        df.drop("canonical_url", "url")),
+      "line_filter" -> ((df: DataFrame) =>
+        StreamOps.c4LineFilterStream(df, "text",
+          cfg.c4MinWordsPerLine, cfg.c4MinKeptLines)),
+      "classifier" -> ((df: DataFrame) =>
+        StreamOps.classifierScoreStream(df)
+          .filter(col("score") >= cfg.classifierMinScore)
+          .drop("score", "verdict")),
+      "incr_dedup" -> ((df: DataFrame) => {
+        val verdicts = DedupOps.incrementalDedup(spark,
+          df.select("doc_id", "text"), cfg.standingCorpus,
+          cfg.maxEstJaccard)
+        df.join(verdicts.filter(col("kept") === 1L).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }),
+      "decontaminated" -> ((df: DataFrame) => {
+        // q58's rule, delta-sized: distinct doc shingles ⋈ broadcast
+        // probe set, per-doc shared count (the decontaminateStream
+        // expression, run per batch)
+        val sh = df
+          .withColumn("t", graft.queries.TextOps.tokens(col("text")))
+          .withColumn("gs",
+            when(size(col("t")) < 3, expr("array()").cast("array<string>"))
+              .otherwise(expr(
+                "array_distinct(transform(sequence(1, size(t) - 2), i -> " +
+                  "concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', " +
+                  "element_at(t, i + 2))))")))
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+        val flagged = sh.join(broadcast(cfg.probeShingles), Seq("g"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= cfg.minShared)
+          .select("doc_id")
+        df.join(flagged, Seq("doc_id"), "left_anti")
+      }))
+
+    // innermost rung: land the survivors, then release the batch's
+    // stage caches whether the landing succeeded or not
+    val release: Sink = new Sink {
+      val name = s"curated(${landing.name})"
+      def write(df: DataFrame, batchId: Long): Unit =
+        try landing.write(df, batchId)
+        finally { live.foreach(_.unpersist()); live.clear() }
+    }
+    // CurateSink chain in pipeline order (outermost transform runs
+    // first), each rung counting its survivors into the ledger
+    val sink = stages.foldRight(release) { case ((name, t), inner) =>
+      new CurateSink(inner, counted(name)(t))
+    }
+
+    val deduped = StreamOps.urlDedupStream(docs, cfg.lateness)
+    val writer = deduped.writeStream.outputMode("append")
+      .queryName("curate_stream")
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    val query = writer
+      .foreachBatch((batch: DataFrame, id: Long) => sink.write(batch, id))
+      .start()
+    (query, () => ledger.synchronized {
+      ledger.toSeq.map { case (s, n) => StageCount(s, n) }
+    })
+  }
+}

@@ -1,0 +1,228 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import graft.queries.{DedupOps, TextOps, WebOps}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream==batch parity for the composed ingestion pipeline
+  * ([[StreamingCurationPipeline]]): a planted-hazard corpus delivered
+  * over TWO micro-batches (so the url-dedup state and the per-batch
+  * stage chain are both exercised across a batch boundary) must land
+  * the same survivors with the same stage ledger as the hand-composed
+  * batch chain built from the same operator functions — and every
+  * planted hazard must die at exactly its intended stage.
+  */
+class StreamingCurationPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+      .plusSeconds(minute * 60L))
+
+  // each page: six hand-written English lines with DISTINCT sentence
+  // structure and vocabulary — every line >= 3 words with terminal
+  // punctuation (C4-clean), stopword-rich with high TTR (classifier-
+  // clean), and structurally unlike every other page so no clean page
+  // accidentally MinHash-collides with the standing corpus
+  private val pageA = Seq(
+    "the harbor lighthouse blinks twice before the fog settles over the pier.",
+    "fishermen mend their nets while gulls argue about scraps near the seawall.",
+    "a rusted trawler waits for the tide to lift it off the sandbar.",
+    "salt stains every window of the small office beside the marina gate.",
+    "by noon the breakwater disappears under spray from the incoming swell.",
+    "children count the buoys and lose track somewhere past the channel marker."
+  ).mkString("\n")
+  private val pageB = Seq(
+    "an orchard in late spring hums with bees working the apple blossoms.",
+    "wooden ladders lean against trunks that have outlived three generations of farmers.",
+    "cider presses stand idle until the first frost sweetens the fruit.",
+    "a fencerow of brambles keeps the deer honest but not discouraged.",
+    "grafted branches carry two kinds of apples on one patient tree.",
+    "nobody remembers who planted the oldest row but everyone eats from it."
+  ).mkString("\n")
+  private val pageC = Seq(
+    "inside the observatory dome a telescope swings slowly toward the winter sky.",
+    "astronomers compare tonight's catalog against plates taken fifty years ago.",
+    "someone always forgets gloves and regrets it by the second hour.",
+    "the eyepiece fogs when visitors hold their breath too close to it.",
+    "a tripod mounted camera tracks one bright comet across the meridian.",
+    "dawn ends the session and the shutters close over the star charts."
+  ).mkString("\n")
+  private val pageD = Seq(
+    "molten iron pours from the crucible in a ribbon of orange light.",
+    "the foundry floor shakes when the big furnace doors swing open.",
+    "each ingot cools in its mold under a crust of grey scale.",
+    "apprentices learn the anvil before anyone trusts them with the ladle.",
+    "a quench tank hisses and throws steam against the soot black rafters.",
+    "orders for bronze fittings pile up faster than the night shift casts them."
+  ).mkString("\n")
+  private val pageE = Seq(
+    "the library basement keeps an atlas too large for any reading table.",
+    "archivists file brittle letters between sheets of acid free tissue.",
+    "a lectern by the stairs displays one illuminated folio each month.",
+    "the card index survives because the oldest patrons refuse the computer.",
+    "rain on the high windows makes the reading room feel like a ship.",
+    "closing time arrives and the lamps dim one aisle after another."
+  ).mkString("\n")
+  private val pageF = Seq(
+    "vines climb the trellis wires in rows that follow the hill's curve.",
+    "every barrel in the cellar wears a chalk date and a cork stain.",
+    "the press runs for one loud week and sleeps the rest of the year.",
+    "pickers start at first light before the harvest sun gets heavy.",
+    "a cellar door propped open lets the ferment smell drift uphill.",
+    "the winemaker taps each cask and listens like a doctor with a patient."
+  ).mkString("\n")
+  private val pageG = Seq(
+    "the stadium scoreboard flickers once and then lights the whole east stand.",
+    "vendors haul crates through the tunnel an hour before the turnstiles open.",
+    "bleacher seats near the dugout fill first on every summer evening.",
+    "a pennant from the championship year still hangs above section nine.",
+    "groundskeepers chalk the lines twice because the wind erases their work.",
+    "after the final out the crowd drains away like water from a basin."
+  ).mkString("\n")
+
+  private val loremPage = ("lorem ipsum dolor sit amet something." +: (1 to 5)
+    .map(i => s"an otherwise fine line number $i ends with punctuation."))
+    .mkString("\n")
+  private val gibberishPage = (1 to 5)
+    .map(i => s"zq$i xj vk.").mkString("\n")
+
+  private val benchmarkSentence =
+    "quetzal riddle evaluates sandstone answers against gilded rubric panels carefully."
+  // pageC with the benchmark sentence planted as a C4-surviving line
+  private val contaminatedPage = pageC + "\n" + benchmarkSentence
+  private val nearDupOfF = pageF.replace("barrel", "cask")
+
+  test("PARITY: streamed curation equals the batch chain; each hazard dies at its stage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val standing = Seq((1001L, pageE), (1002L, pageF))
+      .toDF("doc_id", "text")
+    val probeShingles = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    val minScore = TextOps.ClassifierKeepScore
+
+    // vacuity guards: the planted texts must actually separate at the
+    // classifier threshold, or the stage assertions test nothing
+    val scores = StreamOps.classifierScoreStream(
+        Seq((1L, pageA), (2L, gibberishPage), (3L, pageD),
+          (4L, contaminatedPage)).toDF("doc_id", "text"))
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(1L) >= minScore && scores(3L) >= minScore &&
+      scores(4L) >= minScore,
+      s"clean pages must clear the classifier: $scores (min $minScore)")
+    assert(scores(2L) < minScore,
+      s"gibberish page must fail the classifier: $scores")
+
+    // the planted corpus: (doc_id, text, url, ts, expected fate)
+    //  1 pageA clean                       -> survives
+    //  2 url-dup of 1 (same canonical url) -> url_dedup
+    //  3 lorem page                        -> line_filter
+    //  4 gibberish                         -> classifier
+    //  5 exact twin of standing pageE      -> incr_dedup (exact)
+    //  6 near-dup of standing pageF        -> incr_dedup (near)
+    //  7 pageC + benchmark sentence        -> decontaminated
+    //  8 pageD clean                       -> survives
+    //  9 url-dup of 1 arriving in BATCH 2  -> url_dedup (cross-batch)
+    val batch1 = Seq(
+      (1L, pageA, "https://site.example.com/a", ts(0)),
+      (2L, pageB, "https://SITE.example.com/a?utm_source=x", ts(1)),
+      (3L, loremPage, "https://site.example.com/lorem", ts(2)),
+      (4L, gibberishPage, "https://site.example.com/gib", ts(3)),
+      (5L, pageE, "https://site.example.com/e", ts(4)))
+    val batch2 = Seq(
+      (6L, nearDupOfF, "https://site.example.com/f", ts(5)),
+      (7L, contaminatedPage, "https://site.example.com/c", ts(6)),
+      (8L, pageD, "https://site.example.com/d", ts(7)),
+      (9L, pageG, "https://site.example.com/a?utm_medium=y", ts(8)))
+
+    val cfg = StreamingCurationPipeline.Config(
+      standingCorpus = standing,
+      probeShingles = probeShingles,
+      classifierMinScore = minScore)
+
+    val landed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val collectSink = new Sink {
+      val name = "collect"
+      def write(df: DataFrame, batchId: Long): Unit =
+        landed ++= df.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+    }
+
+    val stream = MemoryStream[(Long, String, String, Timestamp)]
+    val (query, ledger) = StreamingCurationPipeline.start(
+      stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, collectSink)
+    stream.addData(batch1)
+    query.processAllAvailable()
+    stream.addData(batch2)
+    query.processAllAvailable()
+    query.stop()
+
+    // hazard-by-hazard: the ledger decrements at exactly the planted
+    // stages (9 in; -2 url dups, -1 lorem, -1 gibberish, -2 standing
+    // twins, -1 contaminated = 2 out)
+    val got = ledger().map(s => s.stage -> s.docs)
+    assert(got == Seq("url_dedup" -> 7L, "line_filter" -> 6L,
+      "classifier" -> 5L, "incr_dedup" -> 3L, "decontaminated" -> 2L), got)
+    assert(landed.map(_._1).sorted == Seq(1L, 8L), landed.map(_._1))
+
+    // batch reference: the same operator functions, one batch, whole
+    // corpus — stage counts and survivors must match the stream run
+    val all = (batch1 ++ batch2).toDF("doc_id", "text", "url", "ts")
+    val urlKeepers = all
+      .groupBy(WebOps.canonicalizeUrl(col("url")).as("cu"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val urlDeduped = all.join(urlKeepers, Seq("doc_id")).drop("url")
+    val lineFiltered = StreamOps.c4LineFilterStream(urlDeduped)
+    val classified = StreamOps.classifierScoreStream(lineFiltered)
+      .filter(col("score") >= minScore).drop("score", "verdict")
+    val incrDeduped = classified.join(
+      DedupOps.incrementalDedup(spark, classified.select("doc_id", "text"),
+          standing, cfg.maxEstJaccard)
+        .filter(col("kept") === 1L).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sh = incrDeduped
+      .withColumn("t", TextOps.tokens(col("text")))
+      .withColumn("gs",
+        when(size(col("t")) < 3, expr("array()").cast("array<string>"))
+          .otherwise(expr(
+            "array_distinct(transform(sequence(1, size(t) - 2), i -> " +
+              "concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', " +
+              "element_at(t, i + 2))))")))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val flagged = sh.join(broadcast(probeShingles), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= cfg.minShared).select("doc_id")
+    val decon = incrDeduped.join(flagged, Seq("doc_id"), "left_anti")
+
+    val batchLedger = Seq(
+      "url_dedup" -> urlDeduped.count(),
+      "line_filter" -> lineFiltered.count(),
+      "classifier" -> classified.count(),
+      "incr_dedup" -> incrDeduped.count(),
+      "decontaminated" -> decon.count())
+    assert(got == batchLedger,
+      s"stream-batch ledger mismatch: $got vs $batchLedger")
+    val batchSurvivors = decon.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(landed.toSet == batchSurvivors,
+      s"survivor mismatch: ${landed.toSet -- batchSurvivors} vs ${batchSurvivors -- landed.toSet}")
+    // survivors' text is the C4-rewritten text (here: unchanged,
+    // every line of a clean page passes the line rules)
+    assert(landed.toMap.apply(1L) == pageA)
+  }
+}
