@@ -144,6 +144,20 @@ object CurationPipeline {
     * wholesale before any content work; host-less docs carry no
     * domain evidence and pass through.
     *
+    * `authorityLinks` + `authorityMinPrMicro` (both required
+    * together, and require `domainMeanMinScore`) join an AUTHORITY
+    * PRIOR into the domain gate: `authorityLinks` is a host link
+    * graph (src_h, dst_h — one row per link occurrence) over which
+    * `WebOps.domainPageRank` iterates to convergence (q114's
+    * exact-integer arithmetic, lineage-pinned rounds); a domain
+    * whose converged rank is >= `authorityMinPrMicro` micro-units is
+    * RESCUED from the mean-quality drop — the RefinedWeb-style rule
+    * that a high-authority domain (news wire, reference site) with a
+    * mixed page-quality profile should not drop wholesale on the
+    * mean signal alone. The rescue set is |domains|-sized; it unions
+    * into the kept-host frame before the same left-semi join, so the
+    * stage's cost shape is unchanged.
+    *
     * `keepBestOfCluster = true` switches the dedup keeper rule (both
     * stage 4 and the optional 4b) from min-doc_id to q106's
     * quality-aware rule: the max-classifier-score cluster member
@@ -163,12 +177,20 @@ object CurationPipeline {
       classifierMinScore: Option[Long] = None,
       keepBestOfCluster: Boolean = false,
       domainCapN: Option[Int] = None,
-      domainMeanMinScore: Option[Long] = None)
+      domainMeanMinScore: Option[Long] = None,
+      authorityLinks: Option[DataFrame] = None,
+      authorityMinPrMicro: Option[Long] = None)
       : Seq[StageCount] = {
     require(domainCapN.isEmpty || urlCol.nonEmpty,
       "domainCapN needs urlCol: the cap keys on the URL's canonical host")
     require(domainMeanMinScore.isEmpty || urlCol.nonEmpty,
       "domainMeanMinScore needs urlCol: the gate keys on the canonical host")
+    require(authorityLinks.isDefined == authorityMinPrMicro.isDefined,
+      "authorityLinks and authorityMinPrMicro come together: the prior " +
+        "needs both the link graph and the rescue threshold")
+    require(authorityLinks.isEmpty || domainMeanMinScore.nonEmpty,
+      "the authority prior joins INTO the domain gate — it needs " +
+        "domainMeanMinScore set (there is no gate to rescue from otherwise)")
     // the gated operators (decontaminate, dedupMaterialize) persist
     // frames internally that outlive their return on the broadcast
     // path; snapshot the persistent-RDD set so run() can release
@@ -250,11 +272,22 @@ object CurationPipeline {
           domainCapped.withColumn("__nc", length(col("text")).cast("long")),
           "__nc")
         .withColumn("__host", WebOps.canonicalHost(col(uc)))
-      val keptHosts = hosted.filter(col("__host") =!= "")
+      val meanPass = hosted.filter(col("__host") =!= "")
         .groupBy("__host")
         .agg(sum("score").as("s"), count(lit(1)).as("n"))
         .filter(col("s") >= lit(thr) * col("n"))
         .select("__host")
+      // optional authority prior: converged-PageRank rescue of
+      // high-authority low-mean domains. The rescue frame is
+      // |domains|-sized; duplicate kept-host keys are harmless under
+      // the left-semi join, so no distinct
+      val keptHosts = (for { lk <- authorityLinks; minPr <- authorityMinPrMicro }
+        yield {
+          val (ranks, _) = WebOps.domainPageRank(lk)
+          meanPass.union(ranks.filter(col("pr_micro") >= minPr)
+            .filter(col("host") =!= "")
+            .select(col("host").as("__host")))
+        }).getOrElse(meanPass)
       stage("domain_gate",
         domainCapped.withColumn("__host", WebOps.canonicalHost(col(uc)))
           .join(keptHosts, Seq("__host"), "left_semi")

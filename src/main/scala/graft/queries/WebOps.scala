@@ -120,6 +120,92 @@ object WebOps {
     capped.unionByName(exempt)
   }
 
+  /** Iterative integer PageRank over a host link graph with
+    * CONVERGENCE-based termination — the production path for deep
+    * iteration counts where q110's fixed 5-round unroll is not
+    * enough (crawl-frontier authority needs 10-50 rounds on a real
+    * web graph).
+    *
+    * `links` holds one row per link occurrence (`srcCol`, `dstCol`
+    * string hosts); parallel edges become integer weights. The
+    * arithmetic is q110's exact-integer scheme — mass in micro
+    * units, per-edge transfer `pr*w div outdeg`, damping 85/100 as
+    * integer mul/div — so the update is a deterministic function
+    * pr_{t+1} = f(pr_t): a run that stops early at an exact fixpoint
+    * (max |pr_t − pr_{t-1}| <= tolMicro with tolMicro = 0) is
+    * ROW-IDENTICAL to the run that grinds out all `maxIters` rounds.
+    * Convergence is a cost knob, never a semantics knob — which is
+    * what keeps the N-round unrolled DuckDB CTE a valid oracle for
+    * the converged result (q114).
+    *
+    * Scale shape: the iterated frame is |domains|-sized (≪ docs);
+    * each round is ONE equi-join against the pinned edge list + ONE
+    * partial-aggregable rollup on the dst key. Every round persists,
+    * materializes, and LINEAGE-TRUNCATES its rank frame to a
+    * LogicalRDD leaf (CurationPipeline's pinning move — without it
+    * the analyzed plan grows per round and the convergence check
+    * re-analyzes the whole prefix each time); the previous round's
+    * cache is dropped as soon as the next round is materialized, so
+    * peak storage is two |domains|-sized frames regardless of depth.
+    * All caches are released before returning — the returned frame
+    * is a lineage-truncated view of the final round's computed
+    * partitions; callers reading it more than once should persist.
+    *
+    * Returns (ranks = (host, pr_micro), itersRun).
+    */
+  def domainPageRank(links: DataFrame, maxIters: Int = 20,
+      tolMicro: Long = 0L, srcCol: String = "src_h",
+      dstCol: String = "dst_h"): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1 (got $maxIters)")
+    require(tolMicro >= 0L, s"tolMicro must be >= 0 (got $tolMicro)")
+    val spark = links.sparkSession
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      cached += p
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val src = col(srcCol); val dst = col(dstCol)
+    // edges / outdeg / nodes are re-read every round — pin once
+    val edges = pin(links.filter(src =!= dst)
+      .groupBy(src.as("src_h"), dst.as("dst_h")).agg(count(lit(1)).as("w")))
+    val outdeg = pin(edges.groupBy("src_h").agg(sum("w").as("od")))
+    val nodes = pin(links.select(src.as("h"))
+      .union(links.select(dst.as("h"))).distinct())
+
+    var pr = pin(nodes.withColumn("pr", lit(1000000L)))
+    var prCache = cached.last
+    var itersRun = 0
+    var converged = false
+    while (itersRun < maxIters && !converged) {
+      val inflow = edges
+        .join(pr.withColumnRenamed("h", "src_h"), Seq("src_h"))
+        .join(outdeg, Seq("src_h"))
+        .select(col("dst_h").as("h"), expr("(pr * w) div od").as("c"))
+        .groupBy("h").agg(sum("c").as("inflow"))
+      val next = pin(nodes.join(inflow, Seq("h"), "left")
+        .select(col("h"),
+          (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+            .as("pr")))
+      val nextCache = cached.last
+      itersRun += 1
+      // both sides are pinned |domains|-sized caches — the delta agg
+      // is one cheap join; nodes never appear or vanish mid-run, so
+      // an inner join covers the full key set
+      val delta = next.join(
+          pr.withColumnRenamed("pr", "prev_pr"), Seq("h"))
+        .agg(coalesce(max(abs(col("pr") - col("prev_pr"))), lit(0L)).as("d"))
+        .head().getLong(0)
+      prCache.unpersist()
+      pr = next
+      prCache = nextCache
+      converged = delta <= tolMicro
+    }
+    cached.foreach(_.unpersist())
+    (pr.select(col("h").as("host"), col("pr").as("pr_micro")), itersRun)
+  }
+
   /** Deterministic synthetic URL for the `documents` table (the
     * testdata carries no URL column). Derived only from (doc_id,
     * source) with messy-but-realistic variation — mixed-case scheme
@@ -309,6 +395,51 @@ object WebOps {
               .as("pr"))
       }
       pr.select(col("h").as("host"), col("pr").as("pr_micro"))
+        .orderBy("host")
+    },
+
+    // ---- q114: converged PageRank (iterative, early-stop) --------
+    // The production-depth path: `domainPageRank` iterates to an
+    // exact integer fixpoint (tolMicro=0) with per-round lineage
+    // pinning, stopping early when pr_t == pr_{t-1}. The oracle
+    // unrolls ALL 12 rounds — a hash match proves early termination
+    // is invisible in the result (pr_{t+1} = f(pr_t), so a fixpoint
+    // at round k pins every round after it), i.e. convergence is a
+    // cost knob, not a semantics knob.
+    QueryDef(
+      "q114_domain_pagerank_converged",
+      { val iters = (1 to 12).map { i =>
+          val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+          s"""pr$i AS (
+             |  SELECT n.h AS h,
+             |    CAST(150000 + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS pr
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst_h AS h, SUM((p.pr * e.w) // o.od) AS inflow
+             |    FROM edges e
+             |    JOIN $prev p ON p.h = e.src_h
+             |    JOIN outdeg o ON o.src_h = e.src_h
+             |    GROUP BY e.dst_h) s ON s.h = n.h)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH links AS (
+           |  SELECT source AS src_h,
+           |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst_h
+           |  FROM documents),
+           |edges AS (
+           |  SELECT src_h, dst_h, count(*) AS w FROM links
+           |  WHERE src_h <> dst_h GROUP BY src_h, dst_h),
+           |outdeg AS (SELECT src_h, sum(w) AS od FROM edges GROUP BY src_h),
+           |nodes AS (
+           |  SELECT src_h AS h FROM links
+           |  UNION SELECT dst_h FROM links),
+           |pr0 AS (SELECT h, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+           |$iters
+           |SELECT h AS host, pr AS pr_micro FROM pr12 ORDER BY host""".stripMargin
+      }) { (s, dir) =>
+      val docsDf = docs(s, dir)
+      val links = docsDf.select(col("source").as("src_h"),
+        concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"))
+          .as("dst_h"))
+      domainPageRank(links, maxIters = 12, tolMicro = 0L)._1
         .orderBy("host")
     },
 

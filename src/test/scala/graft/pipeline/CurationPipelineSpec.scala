@@ -503,6 +503,54 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(counts("domain_gate") == expectedDocs, ledger)
   }
 
+  test("authority prior rescues a high-rank low-mean domain; control run still drops it") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+      .select("doc_id", "text", "lang", "source", "url")
+    // same mean/threshold derivation as the domain_gate test: gate
+    // fires on the below-median-mean domains
+    val means = graft.queries.TextOps.withClassifierScore(
+        real.withColumn("__nc", length(col("text")).cast("long")), "__nc")
+      .groupBy("source").agg(sum("score").as("s"), count(lit(1)).as("n"))
+      .select($"source", $"s", $"n").as[(String, Long, Long)].collect()
+    val sortedMeans = means.map(m => m._2.toDouble / m._3).sorted
+    val thr = math.ceil(sortedMeans(sortedMeans.length / 2)).toLong
+    val dropped = means.filter(m => m._2 < thr * m._3)
+    assert(dropped.nonEmpty, "gate degenerate: nothing to rescue")
+    // the rescue target: the lowest-mean dropped domain, made
+    // high-authority by pointing every other host's link at it
+    val target = dropped.minBy(m => m._2.toDouble / m._3)._1
+    val targetHost = s"$target.example.com"
+    val links = means.map(_._1).filter(_ != target)
+      .map(s => (s"$s.example.com", targetHost)).toSeq
+      .toDF("src_h", "dst_h")
+    // only the target has inbound links — every other host converges
+    // to the base mass 150000, so thresholding at the target's own
+    // converged rank rescues exactly it
+    val (ranks, _) = graft.queries.WebOps.domainPageRank(links)
+    val targetPr = ranks.filter($"host" === targetHost)
+      .select("pr_micro").as[Long].head()
+    assert(targetPr > 150000L, s"target rank $targetPr not above base mass")
+
+    def runWith(prior: Boolean): Map[String, Long] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_auth").toString
+      CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = out, urlCol = Some("url"), domainMeanMinScore = Some(thr),
+        authorityLinks = if (prior) Some(links) else None,
+        authorityMinPrMicro = if (prior) Some(targetPr) else None)
+        .map(s => s.stage -> s.docs).toMap
+    }
+    val control = runWith(prior = false)
+    val rescued = runWith(prior = true)
+    val targetDocs = means.find(_._1 == target).get._3
+    assert(rescued("domain_gate") == control("domain_gate") + targetDocs,
+      s"control=${control("domain_gate")} rescued=${rescued("domain_gate")} " +
+        s"targetDocs=$targetDocs")
+  }
+
   test("classifier gate drops exactly the docs below the threshold; control run keeps them") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")

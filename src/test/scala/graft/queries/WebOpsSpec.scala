@@ -181,4 +181,56 @@ class WebOpsSpec extends AnyFunSuite {
       s"(plus the ORDER BY range exchange), found $exchanges:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("domainPageRank: symmetric 2-cycle hits the exact fixpoint in one round") {
+    import spark.implicits._
+    val links = Seq(("a", "b"), ("b", "a")).toDF("src_h", "dst_h")
+    val (ranks, iters) = WebOps.domainPageRank(links, maxIters = 50)
+    // pr1 = 150000 + 85*1000000/100 = 1000000 = pr0 — fixpoint on
+    // round one, so the convergence check must stop immediately
+    assert(iters === 1)
+    val m = ranks.as[(String, Long)].collect().toMap
+    assert(m === Map("a" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("domainPageRank: 5-round run is row-identical to q110's unrolled plan") {
+    val dir = "/root/testdata/sf0.001"
+    val links = Tables(spark, dir, "documents")
+      .select(col("source").as("src_h"),
+        concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"))
+          .as("dst_h"))
+    val (ranks, _) = WebOps.domainPageRank(links, maxIters = 5)
+    val got = ranks.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = SparkEntry.queries("q110_domain_pagerank")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
+  test("domainPageRank: converges on the sf0.001 host graph before maxIters") {
+    val dir = "/root/testdata/sf0.001"
+    val links = Tables(spark, dir, "documents")
+      .select(col("source").as("src_h"),
+        concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"))
+          .as("dst_h"))
+    val (ranks, iters) = WebOps.domainPageRank(links, maxIters = 100)
+    assert(iters < 100, s"no exact fixpoint within 100 rounds")
+    // fixpoint means one more round changes nothing: the converged
+    // frame equals the (iters+1)-capped run
+    val (again, _) = WebOps.domainPageRank(links, maxIters = iters + 1)
+    val a = ranks.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = again.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a === b)
+  }
+
+  test("domainPageRank releases every cache it pinned") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val links = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src_h", "dst_h")
+    val (ranks, _) = WebOps.domainPageRank(links, maxIters = 30)
+    ranks.collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked persisted RDDs: ${after -- before}")
+  }
 }
