@@ -180,11 +180,19 @@ final class DedupSink(inner: Sink,
   * a retry duplicates them. `atomicWrites = true` (default) coalesces
   * every attempt to one partition — each write call is then
   * all-or-nothing and the landed table is exactly the good rows.
-  * `atomicWrites = false` keeps the sink's native write parallelism
-  * (the 100 TB bulk path): delivery degrades to the reference's own
-  * model — at-least-once with replayed rows deduplicated downstream
-  * by insert identity (DedupSink / EtlQueries q21 /
-  * BQRowWithInsertId.java:10-12).
+  * `atomicWrites = false` keeps the sink's native write parallelism:
+  * delivery degrades to the reference's own model — at-least-once
+  * with replayed rows deduplicated downstream by insert identity
+  * (DedupSink / EtlQueries q21 / BQRowWithInsertId.java:10-12).
+  *
+  * CHOOSING THE MODE: the atomic default is the scale-LIMITED path —
+  * one writer per attempt — and is meant for exactness-critical
+  * small sinks (config tables, dim loads, low-volume landings). A
+  * 100 TB deployment runs `atomicWrites = false` and dedups replays
+  * downstream on insert identity, exactly the at-least-once +
+  * insertId contract the reference's BQ sink ships with; the
+  * partial-landing → replay → downstream-dedup recovery is
+  * exercised end-to-end in SinksSpec ("bulk path").
   */
 final class BisectSink(inner: Sink, poison: Sink,
     atomicWrites: Boolean = true) extends Sink {

@@ -156,6 +156,49 @@ class SinksSpec extends AnyFunSuite {
     assert(landed.toSeq == (1 to 20).filterNot(_ == 13))
   }
 
+  test("bulk path: atomicWrites=false lands replays, downstream insert-identity dedup recovers effective-once") {
+    import spark.implicits._
+    // a warehouse with PER-PARTITION commit semantics (Spark's JDBC
+    // writer): partitions land sequentially until one contains the
+    // poison row, which fails the write AFTER earlier partitions
+    // committed — the partial-landing mode atomicWrites=true exists
+    // to prevent and the bulk path accepts + dedups downstream
+    val landed = ArrayBuffer.empty[Int]
+    val dlq = ArrayBuffer.empty[Int]
+    val warehouse = new Sink {
+      val name = "wh"
+      def write(d: DataFrame, id: Long): Unit = {
+        val parts = d.select("x").rdd
+          .map(_.getInt(0)).glom().collect()
+        parts.foreach { xs =>
+          if (xs.contains(17)) throw new RuntimeException("constraint")
+          landed.synchronized { landed ++= xs }
+        }
+      }
+    }
+    val poisonSink = new Sink {
+      val name = "poison"
+      def write(d: DataFrame, id: Long): Unit =
+        dlq.synchronized { dlq ++= d.select("x").collect().map(_.getInt(0)) }
+    }
+    // range partitioning puts 1-10 BEFORE the poison partition, so
+    // the first attempt deterministically part-lands
+    val batch = (1 to 40).toDF("x").repartitionByRange(4, $"x")
+    new BisectSink(warehouse, poisonSink, atomicWrites = false)
+      .write(batch, 0L)
+    val good = (1 to 40).filterNot(_ == 17)
+    assert(dlq.sorted == Seq(17))
+    // at-least-once: every good row landed, and the bisect replay
+    // after the partial landing DUPLICATED some of them
+    assert(landed.toSet == good.toSet, landed.sorted)
+    assert(landed.size > good.size,
+      s"expected replayed duplicates in the landed table, got exactly-once " +
+        s"(${landed.size} rows) — the partial-landing scenario did not fire")
+    // downstream q21-style keep-first on insert identity restores
+    // effective-once
+    assert(landed.distinct.sorted == good, landed.sorted)
+  }
+
   test("BisectSink on an all-good batch writes exactly once") {
     import spark.implicits._
     val calls = new AtomicInteger(0)
