@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Build a WET conversion archive from a documents.parquet testdata
+table, with a few PLANTED bad records (missing URI / empty body) so a
+CurationDemo run exercises the intake DLQ. Driver-side tooling only
+(like check.py) — the library never depends on this.
+
+Usage: python3 tools/make_wet.py <sfDir> <out.wet> [copies]
+"""
+import sys
+
+import pyarrow.parquet as pq
+
+sf, out = sys.argv[1], sys.argv[2]
+copies = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "source"])
+rows = list(zip(t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+                t.column("source").to_pylist()))
+crlf = "\r\n"
+recs = []
+for c in range(copies):
+    for d, txt, src in rows:
+        body = txt.encode("utf-8")
+        # recrawl copies carry the SAME page under varying crawl noise
+        # (utm params, explicit default port) so URL canonicalization
+        # has real work: copies collapse to one canonical key
+        noise = "" if c == 0 else f"?utm_source=recrawl&utm_run={c}"
+        host = f"WWW.{src}.example.com:443" if c % 2 else f"{src}.example.com"
+        recs.append(
+            f"WARC/1.0{crlf}"
+            f"WARC-Type: conversion{crlf}"
+            f"WARC-Target-URI: https://{host}/p/{d}{noise}{crlf}"
+            f"WARC-Record-ID: <urn:uuid:{c}-{d}>{crlf}"
+            f"Content-Length: {len(body)}{crlf}{crlf}"
+            f"{txt}{crlf}{crlf}")
+# planted hazards: a record with no Target-URI and one with an empty
+# body — both must land in the intake DLQ, not the corpus
+for bad in [
+    f"WARC/1.0{crlf}WARC-Type: conversion{crlf}"
+    f"WARC-Record-ID: <urn:uuid:bad-1>{crlf}"
+    f"Content-Length: 9{crlf}{crlf}orphaned?{crlf}{crlf}",
+    f"WARC/1.0{crlf}WARC-Type: conversion{crlf}"
+    f"WARC-Target-URI: https://bad.example.com/empty{crlf}"
+    f"WARC-Record-ID: <urn:uuid:bad-2>{crlf}"
+    f"Content-Length: 0{crlf}{crlf}{crlf}{crlf}",
+]:
+    recs.append(bad)
+with open(out, "w", encoding="utf-8", newline="") as f:
+    f.write("".join(recs))
+print(f"wrote {len(recs)} records ({len(rows) * copies} good, 2 planted bad) to {out}")
