@@ -1843,6 +1843,90 @@ object TextOps {
       bpeTrain(docs(s, dir).select("text"), nMerges = 8, vocabTopK = 30)
     },
 
+    // ---- q115: BPE encoding with the learned tokenizer -----------
+    // The apply side of q113: train 8 merges, then ENCODE every
+    // document and report per-doc sequence lengths (whitespace words
+    // vs BPE tokens) — the statistic packing/budgeting actually
+    // needs once a real tokenizer exists. Exactness argument: both
+    // engines apply the learned merges in rank order with plain
+    // left-to-right replaces on the bracketed encoding; rank-order
+    // single-pass application IS canonical greedy BPE because a
+    // round-k symbol cannot occur in a round-j<k pair (it did not
+    // exist when round j was learned). The oracle re-trains
+    // independently (q113's unrolled CTEs) and applies its own 8
+    // scalar merges as nested replaces, so a hash match pins
+    // training AND encoding end-to-end.
+    QueryDef(
+      "q115_bpe_token_count",
+      { val n = 8
+        val rounds = (1 to n).map { r =>
+          s"""p$r AS (
+             |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+             |    CAST(sum(wc) AS BIGINT) AS cnt
+             |  FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i
+             |        FROM (SELECT string_split(substring(s, 2, len(s) - 2),
+             |                chr(2) || chr(1)) AS syms, wc
+             |              FROM w${r - 1} WHERE len(s) > 0)
+             |        WHERE len(syms) >= 2)
+             |  GROUP BY a, b),
+             |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+             |w$r AS MATERIALIZED (
+             |  SELECT replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+             |    chr(1) || m.a || m.b || chr(2)) AS s, wc
+             |  FROM w${r - 1}, m$r m)""".stripMargin
+        }.mkString(",\n")
+        val applied = (1 to n).foldLeft("s") { (acc, r) =>
+          s"replace($acc, chr(1) || m$r.a || chr(2) || chr(1) || m$r.b || chr(2), " +
+            s"chr(1) || m$r.a || m$r.b || chr(2))"
+        }
+        s"""WITH words AS (
+           |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+           |                            x -> len(x) > 0)) AS w
+           |  FROM documents),
+           |wc AS (
+           |  SELECT w, count(*) AS wc FROM words
+           |  WHERE strpos(w, chr(1)) = 0 AND strpos(w, chr(2)) = 0
+           |  GROUP BY w),
+           |w0 AS MATERIALIZED (
+           |  SELECT array_to_string(list_transform(generate_series(1, len(w)),
+           |    i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '') AS s,
+           |    wc
+           |  FROM wc),
+           |$rounds,
+           |dt AS (
+           |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+           |    x -> len(x) > 0 AND strpos(x, chr(1)) = 0
+           |         AND strpos(x, chr(2)) = 0 AND strpos(x, chr(3)) = 0) AS toks
+           |  FROM documents),
+           |ds AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+           |    array_to_string(list_transform(toks, w ->
+           |      array_to_string(list_transform(generate_series(1, len(w)),
+           |        i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '')),
+           |      chr(3)) AS s
+           |  FROM dt),
+           |enc AS (
+           |  SELECT doc_id, n_words, $applied AS es
+           |  FROM ds, m1, m2, m3, m4, m5, m6, m7, m8)
+           |SELECT doc_id, n_words,
+           |  CAST(len(es) - len(replace(es, chr(1), '')) AS BIGINT) AS n_bpe
+           |FROM enc ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val d = docs(s, dir)
+      val learned = bpeTrain(d.select("text"), nMerges = 8, vocabTopK = 1)
+        .filter(col("kind") === "merge").orderBy("step")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val cleanToks = filter(tokens(col("text")), w =>
+        instr(w, "\u0001") === 0 && instr(w, "\u0002") === 0 &&
+          instr(w, "\u0003") === 0)
+      bpeEncode(d, learned)
+        .select(col("doc_id"),
+          size(cleanToks).cast("long").as("n_words"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
     // ---- q102: C4 line-quality filter ----------------------------
     // Raffel et al. 2020 §2.2's page cleaner over deterministic
     // planted lines (the corpus has no newlines or punctuation, so
@@ -2351,6 +2435,51 @@ object TextOps {
     (merges.toSeq ++ vocab)
       .toDF("kind", "step", "lhs", "rhs", "token", "cnt")
       .orderBy("kind", "step", "token")
+  }
+
+  /** BPE ENCODING with a trained merge list — the apply side of
+    * [[bpeTrain]]: segment every document's words into the tokens
+    * the learned tokenizer produces. Appends `bpe_tokens`
+    * (array<string>) to the frame.
+    *
+    * Correctness: merges are applied strictly in RANK order, one
+    * left-to-right non-overlapping `replace` each, on the same
+    * \x01..\x02-bracketed symbol encoding the trainer uses. That IS
+    * canonical greedy BPE encoding: a merge learned at round k
+    * creates a symbol that cannot appear in any pair learned at a
+    * round j < k (the symbol did not exist yet), so applying the
+    * list in order never re-enables an earlier merge — the single
+    * ordered pass is exact, not an approximation. Words are joined
+    * with a \x03 boundary before the replaces, so the WHOLE document
+    * is encoded by `|merges|` chained string replaces (a pair
+    * pattern `\x01a\x02\x01b\x02` can never span the `\x02\x03\x01`
+    * word boundary). Tokens containing the bracket/boundary code
+    * points are excluded, mirroring the trainer's corpus
+    * precondition.
+    *
+    * Scale shape: pure per-row codegen'd column work — zero shuffle,
+    * zero state, cost = corpus bytes × |merges| replace passes,
+    * embarrassingly parallel at any width. The merge list is a tiny
+    * driver-side literal (it came out of training), so nothing is
+    * broadcast or joined.
+    */
+  def bpeEncode(docsFrame: DataFrame, mergeList: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val B1 = "\u0001"; val B2 = "\u0002"; val SEP = "\u0003"
+    val toks = filter(tokens(col(textCol)), w =>
+      instr(w, B1) === 0 && instr(w, B2) === 0 && instr(w, SEP) === 0)
+    val bracketed = array_join(transform(toks, w =>
+      array_join(transform(sequence(lit(1), length(w)),
+        i => concat(lit(B1), w.substr(i, lit(1)), lit(B2))), "")), SEP)
+    val encoded = mergeList.foldLeft(bracketed) { case (s, (a, b)) =>
+      replace(s, lit(B1 + a + B2 + B1 + b + B2), lit(B1 + a + b + B2))
+    }
+    // flat token stream: drop word boundaries, strip the outer
+    // brackets, split on the inter-symbol seam; empty docs → []
+    val flat = replace(encoded, lit(SEP), lit(""))
+    docsFrame.withColumn("bpe_tokens",
+      when(length(flat) === 0, array().cast("array<string>"))
+        .otherwise(split(flat.substr(lit(2), length(flat) - 2), B2 + B1)))
   }
 
   /** q90's transformation as a reusable operator: chunk each doc into

@@ -373,6 +373,60 @@ class CurationOpsSpec extends AnyFunSuite {
       s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
   }
 
+  test("bpeEncode equals a plain-Scala rank-order encoder on chain-heavy words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val lexicon = Vector("abab", "aaa", "banana", "xyxyxy", "ab", "a",
+      "spark", "anana", "bananas")
+    val docsSeq = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(10))(
+        lexicon(rnd.nextInt(lexicon.size))).mkString(" "))
+    }
+    val docsDf = docsSeq.toDF("doc_id", "text")
+    val learned = TextOps.bpeTrain(docsDf.select("text"),
+      nMerges = 6, vocabTopK = 1)
+      .filter($"kind" === "merge").orderBy("step")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    // canonical greedy encode = the learned merges applied in rank
+    // order, each greedily left-to-right (see bpeEncode's doc for why
+    // rank order never re-enables an earlier merge)
+    def encodeWord(w: String): Vector[String] =
+      learned.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (a, b)) => applyMerge(syms, a, b)
+      }
+    val want = docsSeq.map { case (id, text) =>
+      id -> text.split("\\s+").filter(_.nonEmpty).toVector.flatMap(encodeWord)
+    }.toMap
+
+    val got = TextOps.bpeEncode(docsDf, learned)
+      .select($"doc_id", $"bpe_tokens").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(got.view.mapValues(_.toVector).toMap == want,
+      s"first diff: ${want.keys.find(k => want(k) != got(k).toVector)
+        .map(k => (k, want(k), got(k)))}")
+  }
+
+  test("bpeEncode plan: pure per-row projection, zero exchanges") {
+    import spark.implicits._
+    val docsDf = Seq((1L, "banana ab aaa")).toDF("doc_id", "text")
+    val p = TextOps.bpeEncode(docsDf, Seq(("a", "n"), ("b", "an")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+  }
+
   test("editNearDupPairs: verify keeps true near-dups, kills banding collisions, no self-pairs") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
