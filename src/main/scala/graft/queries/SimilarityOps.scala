@@ -629,6 +629,86 @@ object SimilarityOps {
     cents
   }
 
+  /** EXACT-INTEGER Lloyd k-means (q116) — corpus clustering as an
+    * oracle-checkable operator (diversity sampling, cluster-balanced
+    * mixtures, SemDeDup-style cluster formation all start here).
+    * [[kmeansFit]] above is the offline float fitter behind the IVF
+    * codebook constants; this is the PRODUCTION path whose every
+    * arithmetic step is engine-exact:
+    *
+    *  - coordinates micro-quantized with the repo's explicit half-up
+    *    rule `floor(x*1000 + 0.5)` then SHIFTED by +1000 so every
+    *    value is non-negative — Spark's `div` truncates toward zero
+    *    while DuckDB's `//` floors, and the two only agree on
+    *    non-negative operands; squared-L2 assignment is
+    *    shift-invariant, so the shift changes no decision and is
+    *    subtracted back in the output;
+    *  - seeding = the k lowest-vec_id vectors (deterministic,
+    *    engine-trivial);
+    *  - assignment = per-row integer argmin against the k·dim
+    *    centroid LITERAL (zero shuffle, zero join; ties to the
+    *    smallest cell_id via the (negd, -cell) struct-max, =
+    *    `row_number ORDER BY d, cell_id`);
+    *  - update = ONE partial-aggregable groupBy with `dim` integer
+    *    sum columns; the k-row result is collected driver-side
+    *    (k·dim longs — constant, the [[kmeansFit]] legitimacy) and
+    *    the new centroid is the exact integer mean `sum div n`;
+    *    empty cells keep their previous centroid.
+    *
+    * Scale shape: each round costs one scan of the persisted micro
+    * frame + one map-side-combined rollup whose shuffle is
+    * k·partitions rows; lineage stays constant (every round reads
+    * the same persisted leaf); driver state is k·dim longs. Returns
+    * the flat frame (cell_id, dim, c_micro, n_members) — unshifted
+    * micro centroids plus final-round populations.
+    */
+  def kmeansMicro(embFrame: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val spark = embFrame.sparkSession
+    val Shift = 1000L
+    val micro = embFrame.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000 + lit(0.5)).cast("long") + Shift)
+        .as("em"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      micro.count()
+      val minShifted = micro.select(min(array_min(col("em")))).head().getLong(0)
+      require(minShifted >= 0L,
+        s"kmeansMicro needs coordinates in [-1, 1] (shifted min $minShifted " +
+          "< 0 breaks the div/floor-division agreement)")
+      val dim = micro.select(size(col("em"))).head().getInt(0)
+      var cents: Seq[(Int, Seq[Long])] = micro.orderBy("vec_id").limit(k)
+        .collect().sortBy(_.getLong(0))
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
+      var counts = Map.empty[Int, Long]
+      for (_ <- 1 to iters) {
+        val cb = array(cents.map { case (c, v) =>
+          struct(lit(c).as("cell_id"), typedLit(v).as("cent")) }: _*)
+        val assigned = micro.withColumn("cb", cb).select(col("em"),
+          expr("-array_max(transform(cb, c -> named_struct(" +
+            "'negd', -aggregate(zip_with(em, c.cent, (a, b) -> (a - b) * (a - b)), " +
+            "cast(0 as bigint), (acc, x) -> acc + x), " +
+            "'nc', -c.cell_id))).nc").as("cell_id"))
+        val sums = (0 until dim).map(i => sum(col("em").getItem(i)).as(s"s$i"))
+        val rows = assigned.groupBy("cell_id")
+          .agg(count(lit(1)).as("n"), sums: _*).collect()
+        counts = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val next = rows.map { r =>
+          val n = r.getLong(1)
+          r.getInt(0) -> (0 until dim).map(i => r.getLong(2 + i) / n)
+        }.toMap
+        cents = cents.map { case (c, v) => c -> next.getOrElse(c, v) }
+      }
+      import spark.implicits._
+      cents.flatMap { case (c, v) =>
+        v.zipWithIndex.map { case (x, i) =>
+          (c, i.toLong, x - Shift, counts.getOrElse(c, 0L)) }
+      }.toDF("cell_id", "dim", "c_micro", "n_members")
+    } finally micro.unpersist()
+  }
+
   /** q84's full-rebuild IVF-PQ oracle — shared verbatim by
     * q84_ivfpq_incremental: the incremental append must be
     * hash-identical to the rebuild, so the SAME SQL is its oracle.
@@ -1271,6 +1351,60 @@ object SimilarityOps {
           expr("cosine_sim(qe, ce)").as("cosine"))
       explodeTopK(scored.groupBy("query_id")
         .agg(expr("topk_collect(cosine, cand_id, 10)").as("top")))
+    },
+
+    // ---- q116: exact-integer Lloyd k-means -----------------------
+    // Corpus clustering as an oracle-checked ITERATIVE operator (see
+    // kmeansMicro's doc for the exactness argument: half-up micro
+    // quantization, +1000 shift so div == // on every operand,
+    // integer squared-L2 assignment, integer-mean update). The
+    // oracle unrolls 3 full Lloyd rounds; a hash match pins
+    // seeding, every assignment, every update, and the final
+    // populations.
+    QueryDef(
+      "q116_kmeans_micro",
+      { val n = 3
+        val rounds = (1 to n).map { r =>
+          s"""a$r AS (
+             |  SELECT vec_id, em, cell_id FROM (
+             |    SELECT e.vec_id, e.em, c.cell_id,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        (SELECT sum((a - b) * (a - b))
+             |         FROM (SELECT unnest(e.em) AS a, unnest(c.cent) AS b) z),
+             |        c.cell_id) AS rn
+             |    FROM e, c${r - 1} c) w WHERE rn = 1),
+             |s$r AS (
+             |  SELECT cell_id, i, CAST(sum(v) AS BIGINT) AS s
+             |  FROM (SELECT cell_id, unnest(em) AS v,
+             |          generate_subscripts(em, 1) AS i FROM a$r)
+             |  GROUP BY cell_id, i),
+             |n$r AS (SELECT cell_id, count(*) AS n FROM a$r GROUP BY cell_id),
+             |c$r AS (
+             |  SELECT c.cell_id, COALESCE(m.cent, c.cent) AS cent
+             |  FROM c${r - 1} c LEFT JOIN (
+             |    SELECT s.cell_id, list(s.s // n.n ORDER BY s.i) AS cent
+             |    FROM s$r s JOIN n$r n USING (cell_id)
+             |    GROUP BY s.cell_id) m ON m.cell_id = c.cell_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT) + 1000) AS em
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1
+           |      AS cell_id, em AS cent
+           |  FROM e ORDER BY vec_id LIMIT 8),
+           |$rounds
+           |SELECT f.cell_id, CAST(f.i - 1 AS BIGINT) AS dim,
+           |  f.v - 1000 AS c_micro, COALESCE(n$n.n, 0) AS n_members
+           |FROM (SELECT cell_id, unnest(cent) AS v,
+           |        generate_subscripts(cent, 1) AS i FROM c$n) f
+           |LEFT JOIN n$n ON n$n.cell_id = f.cell_id
+           |ORDER BY f.cell_id, dim""".stripMargin
+      }) { (s, dir) =>
+      kmeansMicro(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+        k = 8, iters = 3)
+        .orderBy("cell_id", "dim")
     }
   )
 }
