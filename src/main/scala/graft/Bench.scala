@@ -301,7 +301,15 @@ object Bench {
     // iterative BPE: the corpus is touched once (word-count shuffle);
     // all 8 merge rounds run on the vocab-sized table — the probe
     // measures that round cost is bounded by vocabulary, not corpus
-    "q113_bpe_train")
+    "q113_bpe_train",
+    // BPE encode: training (vocab-bounded, above) + the per-row
+    // replace-chain encode pass — the probe measures that encoding
+    // stays ∝ corpus bytes with zero shuffle
+    "q115_bpe_token_count",
+    // integer Lloyd k-means: per-row assignment ∝ rows × k·dim, the
+    // rollup shuffle is k·partitions rows — the probe measures that
+    // round cost is assignment-scan-bound, nothing corpus-sized moves
+    "q116_kmeans_micro")
 
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,

@@ -662,6 +662,25 @@ object SimilarityOps {
     * the flat frame (cell_id, dim, c_micro, n_members) — unshifted
     * micro centroids plus final-round populations.
     */
+  /** Integer argmin cell assignment: nearest centroid of the BIGINT
+    * vector column `emCol` against the (cell_id, cent) struct-array
+    * column `cbCol` by squared L2, ties to the smallest cell_id (=
+    * `row_number ORDER BY d, cell_id` = 1). Pure per-row lambda work
+    * — shared by [[kmeansMicro]]'s rounds and the online
+    * `StreamOps.clusterAssignStream`.
+    */
+  private[graft] def microArgmin(emCol: String, cbCol: String): Column =
+    expr(s"-array_max(transform($cbCol, c -> named_struct(" +
+      s"'negd', -aggregate(zip_with($emCol, c.cent, (a, b) -> (a - b) * (a - b)), " +
+      "cast(0 as bigint), (acc, x) -> acc + x), " +
+      "'nc', -c.cell_id))).nc")
+
+  /** The (cell_id, cent) struct-array literal for a micro centroid
+    * set — [[codebookLit]]'s integer twin. */
+  private[graft] def microCodebookLit(cents: Seq[(Int, Seq[Long])]): Column =
+    array(cents.map { case (c, v) =>
+      struct(lit(c).as("cell_id"), typedLit(v).as("cent")) }: _*)
+
   def kmeansMicro(embFrame: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
@@ -684,13 +703,8 @@ object SimilarityOps {
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
       var counts = Map.empty[Int, Long]
       for (_ <- 1 to iters) {
-        val cb = array(cents.map { case (c, v) =>
-          struct(lit(c).as("cell_id"), typedLit(v).as("cent")) }: _*)
-        val assigned = micro.withColumn("cb", cb).select(col("em"),
-          expr("-array_max(transform(cb, c -> named_struct(" +
-            "'negd', -aggregate(zip_with(em, c.cent, (a, b) -> (a - b) * (a - b)), " +
-            "cast(0 as bigint), (acc, x) -> acc + x), " +
-            "'nc', -c.cell_id))).nc").as("cell_id"))
+        val assigned = micro.withColumn("cb", microCodebookLit(cents))
+          .select(col("em"), microArgmin("em", "cb").as("cell_id"))
         val sums = (0 until dim).map(i => sum(col("em").getItem(i)).as(s"s$i"))
         val rows = assigned.groupBy("cell_id")
           .agg(count(lit(1)).as("n"), sums: _*).collect()

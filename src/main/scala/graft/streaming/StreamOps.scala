@@ -375,6 +375,38 @@ object StreamOps {
         .select(col("host"), col("kept").as("domain_kept"))),
         Seq("host"), "left_outer")
 
+  /** ONLINE cluster tagging — the apply side of the batch q116
+    * k-means (queries.SimilarityOps.kmeansMicro): arriving
+    * embeddings are micro-quantized with the identical half-up rule
+    * and assigned to their nearest fitted centroid by the identical
+    * integer squared-L2 argmin (SimilarityOps.microArgmin — the very
+    * expression the trainer's rounds run). `centroids` is
+    * kmeansMicro's output frame (cell_id, dim, c_micro), collected
+    * ONCE at stream setup into a k·dim literal (a fitted model is
+    * corpus-level state, underivable from an unbounded stream — the
+    * classifier/tokenBudget pattern). No shift is needed online:
+    * squared L2 is shift-invariant and assignment does no division,
+    * so unshifted micros give the same argmin the shifted trainer
+    * computes. Fully STATELESS: no watermark state, no join, no
+    * shuffle; cluster tags emit immediately at any rate. Input: any
+    * stream with an `embedding` array<float> column; output adds
+    * `cell_id`.
+    */
+  def clusterAssignStream(docs: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.queries.SimilarityOps
+    val cents = centroids.select("cell_id", "dim", "c_micro").collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      .sortBy(_._1)
+    docs
+      .withColumn("__em", transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
+      .withColumn("__cb", SimilarityOps.microCodebookLit(cents))
+      .withColumn("cell_id", SimilarityOps.microArgmin("__em", "__cb"))
+      .drop("__em", "__cb")
+  }
+
   /** ONLINE model-based quality gating — the streaming form of the
     * batch q105 classifier (queries.TextOps.withClassifierScore):
     * the weight vector is an offline-fitted constant baked into one

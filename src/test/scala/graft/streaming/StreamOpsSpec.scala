@@ -887,4 +887,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("PARITY: online cluster tagging equals the offline integer argmin for every vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // offline fit: q116's exact-integer k-means on the parity corpus
+    val embTable = graft.Tables(spark, parityDir, "embeddings")
+      .select("vec_id", "embedding")
+    val centroids = graft.queries.SimilarityOps.kmeansMicro(
+      embTable, k = 4, iters = 2)
+    val centSeq = centroids.collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toVector }
+      .sortBy(_._1)
+
+    val vecs = embTable.as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float], Timestamp)]
+    stream.addData(vecs.map { case (id, e) => (id, e, ts(0)) })
+    val q = StreamOps.clusterAssignStream(
+      stream.toDF().toDF("vec_id", "embedding", "ts"), centroids)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cluster_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cluster_parity")
+      .select($"vec_id", $"cell_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // reference: unshifted micro quantization + integer L2 argmin,
+    // ties to the smallest cell — shift-invariance means this equals
+    // the trainer's shifted assignment rule
+    def micro(e: Seq[Float]): Vector[Long] =
+      e.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toVector
+    val want = vecs.map { case (id, e) =>
+      val m = micro(e)
+      id -> centSeq.map { case (c, ct) =>
+        (ct.zip(m).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+    }.toMap
+    assert(want.values.toSet.size > 1, "parity vacuous: one cluster")
+    assert(streamed == want,
+      s"first diff: ${want.find { case (id, c) => streamed.get(id) != Some(c) }}")
+  }
 }
