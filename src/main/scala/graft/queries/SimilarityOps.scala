@@ -723,6 +723,51 @@ object SimilarityOps {
     } finally micro.unpersist()
   }
 
+  /** CLUSTER-BALANCED SELECTION (q117): the diversity-sampling
+    * composition built on [[kmeansMicro]] — instead of the global
+    * quality top-K (which can drain from one embedding mode), keep
+    * the best `perCell` docs of EVERY k-means cell by the q105
+    * integer classifier score. Fit → per-row assignment with the
+    * FINAL centroids ([[microArgmin]], the online rule) → one
+    * id-keyed equi-join to the per-row scores → bounded-heap
+    * `topk_collect` per cell.
+    *
+    * Scale shape: fit as kmeansMicro (assignment-scan-bound,
+    * constant driver state); final assignment and scoring are
+    * per-row; the join is one id-keyed equi-join (AQE
+    * broadcast-promotes the smaller side when it fits); selection
+    * keeps O(perCell) heap state per cell on both map and reduce
+    * side — the q104 anti-window move, so the hottest cell costs
+    * O(perCell) memory, never a per-cell sort funnel. Returns
+    * (cell_id, doc_id, score, rnk), rnk 1..perCell best-first.
+    */
+  def clusterBalancedSelect(embFrame: DataFrame, docsFrame: DataFrame,
+      k: Int, iters: Int, perCell: Int): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1 (got $perCell)")
+    graft.functions.GraftFunctions.register(embFrame.sparkSession)
+    val cents = kmeansMicro(embFrame, k, iters).collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      .sortBy(_._1)
+    val assigned = embFrame
+      .withColumn("__em", transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
+      .withColumn("__cb", microCodebookLit(cents))
+      .select(col("vec_id").as("doc_id"),
+        microArgmin("__em", "__cb").as("cell_id"))
+    val scored = graft.queries.TextOps
+      .withClassifierScore(docsFrame, "n_chars")
+      .select(col("doc_id"), col("score"))
+    assigned.join(scored, Seq("doc_id"))
+      .groupBy("cell_id")
+      .agg(expr(s"topk_collect(score, doc_id, $perCell)").as("top"))
+      .select(col("cell_id"), posexplode(col("top")))
+      .select(col("cell_id"), col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** q84's full-rebuild IVF-PQ oracle — shared verbatim by
     * q84_ivfpq_incremental: the incremental append must be
     * hash-identical to the rebuild, so the SAME SQL is its oracle.
@@ -1377,48 +1422,90 @@ object SimilarityOps {
     // populations.
     QueryDef(
       "q116_kmeans_micro",
-      { val n = 3
-        val rounds = (1 to n).map { r =>
-          s"""a$r AS (
-             |  SELECT vec_id, em, cell_id FROM (
-             |    SELECT e.vec_id, e.em, c.cell_id,
-             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |        (SELECT sum((a - b) * (a - b))
-             |         FROM (SELECT unnest(e.em) AS a, unnest(c.cent) AS b) z),
-             |        c.cell_id) AS rn
-             |    FROM e, c${r - 1} c) w WHERE rn = 1),
-             |s$r AS (
-             |  SELECT cell_id, i, CAST(sum(v) AS BIGINT) AS s
-             |  FROM (SELECT cell_id, unnest(em) AS v,
-             |          generate_subscripts(em, 1) AS i FROM a$r)
-             |  GROUP BY cell_id, i),
-             |n$r AS (SELECT cell_id, count(*) AS n FROM a$r GROUP BY cell_id),
-             |c$r AS (
-             |  SELECT c.cell_id, COALESCE(m.cent, c.cent) AS cent
-             |  FROM c${r - 1} c LEFT JOIN (
-             |    SELECT s.cell_id, list(s.s // n.n ORDER BY s.i) AS cent
-             |    FROM s$r s JOIN n$r n USING (cell_id)
-             |    GROUP BY s.cell_id) m ON m.cell_id = c.cell_id)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (
-           |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-           |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT) + 1000) AS em
-           |  FROM embeddings),
-           |c0 AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1
-           |      AS cell_id, em AS cent
-           |  FROM e ORDER BY vec_id LIMIT 8),
-           |$rounds
-           |SELECT f.cell_id, CAST(f.i - 1 AS BIGINT) AS dim,
-           |  f.v - 1000 AS c_micro, COALESCE(n$n.n, 0) AS n_members
-           |FROM (SELECT cell_id, unnest(cent) AS v,
-           |        generate_subscripts(cent, 1) AS i FROM c$n) f
-           |LEFT JOIN n$n ON n$n.cell_id = f.cell_id
-           |ORDER BY f.cell_id, dim""".stripMargin
-      }) { (s, dir) =>
+      s"""WITH ${kmeansSqlCtes(n = 3, k = 8)}
+         |SELECT f.cell_id, CAST(f.i - 1 AS BIGINT) AS dim,
+         |  f.v - 1000 AS c_micro, COALESCE(n3.n, 0) AS n_members
+         |FROM (SELECT cell_id, unnest(cent) AS v,
+         |        generate_subscripts(cent, 1) AS i FROM c3) f
+         |LEFT JOIN n3 ON n3.cell_id = f.cell_id
+         |ORDER BY f.cell_id, dim""".stripMargin) { (s, dir) =>
       kmeansMicro(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
         k = 8, iters = 3)
         .orderBy("cell_id", "dim")
+    },
+
+    // ---- q117: cluster-balanced quality selection ----------------
+    // Diversity sampling built on q116: keep the top-5 docs of EVERY
+    // final k-means cell by the q105 integer classifier score (the
+    // global top-K would drain from one embedding mode). The oracle
+    // runs the full chain independently — 3 unrolled Lloyd rounds, a
+    // FINAL-centroid assignment pass, the classifier CTEs, and a
+    // per-cell row_number — so a hash match pins fit, assignment,
+    // scoring, and the bounded-heap selection (which must reproduce
+    // window semantics exactly, q104's argument).
+    QueryDef(
+      "q117_cluster_balanced_select",
+      s"""WITH ${kmeansSqlCtes(n = 3, k = 8)},
+         |${graft.queries.TextOps.classifierSqlCtes},
+         |af AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (SELECT sum((a - b) * (a - b))
+         |         FROM (SELECT unnest(e.em) AS a, unnest(c.cent) AS b) z),
+         |        c.cell_id) AS rn
+         |    FROM e, c3 c) w WHERE rn = 1),
+         |r AS (
+         |  SELECT af.cell_id, s.doc_id, s.score,
+         |    row_number() OVER (PARTITION BY af.cell_id
+         |                       ORDER BY s.score DESC, s.doc_id) AS rnk
+         |  FROM af JOIN clf_scored s ON s.doc_id = af.vec_id)
+         |SELECT cell_id, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5
+         |ORDER BY cell_id, rnk""".stripMargin) { (s, dir) =>
+      clusterBalancedSelect(
+        Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+        Tables(s, dir, "documents").select("doc_id", "text", "n_chars"),
+        k = 8, iters = 3, perCell = 5)
+        .orderBy("cell_id", "rnk")
     }
   )
+
+  /** The shared q116/q117 oracle prologue: micro-quantized (+1000
+    * shifted) embeddings, first-k seeding, and `n` unrolled Lloyd
+    * rounds — defines CTEs e, c0, and a_r/s_r/n_r/c_r for r=1..n.
+    */
+  private def kmeansSqlCtes(n: Int, k: Int): String = {
+    val rounds = (1 to n).map { r =>
+      s"""a$r AS (
+         |  SELECT vec_id, em, cell_id FROM (
+         |    SELECT e.vec_id, e.em, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (SELECT sum((a - b) * (a - b))
+         |         FROM (SELECT unnest(e.em) AS a, unnest(c.cent) AS b) z),
+         |        c.cell_id) AS rn
+         |    FROM e, c${r - 1} c) w WHERE rn = 1),
+         |s$r AS (
+         |  SELECT cell_id, i, CAST(sum(v) AS BIGINT) AS s
+         |  FROM (SELECT cell_id, unnest(em) AS v,
+         |          generate_subscripts(em, 1) AS i FROM a$r)
+         |  GROUP BY cell_id, i),
+         |n$r AS (SELECT cell_id, count(*) AS n FROM a$r GROUP BY cell_id),
+         |c$r AS (
+         |  SELECT c.cell_id, COALESCE(m.cent, c.cent) AS cent
+         |  FROM c${r - 1} c LEFT JOIN (
+         |    SELECT s.cell_id, list(s.s // n.n ORDER BY s.i) AS cent
+         |    FROM s$r s JOIN n$r n USING (cell_id)
+         |    GROUP BY s.cell_id) m ON m.cell_id = c.cell_id)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT) + 1000) AS em
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1
+       |      AS cell_id, em AS cent
+       |  FROM e ORDER BY vec_id LIMIT $k),
+       |$rounds""".stripMargin
+  }
 }

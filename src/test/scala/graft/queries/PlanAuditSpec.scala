@@ -121,6 +121,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus side exploded:\n$p")
   }
 
+  test("q117 cluster-balanced select: literal assignment, one id equi-join, heap rank") {
+    // fit runs eagerly inside the query; the returned frame's plan is
+    // the apply side: assignment + score join + per-cell selection
+    val p = plan("q117_cluster_balanced_select")
+    assert(!p.contains("Window"), s"per-cell rank funneled a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"assignment degenerated into a cross:\n$p")
+    assert(p.contains("partial_topk_collect"),
+      s"per-cell rank is not a map-side bounded heap:\n$p")
+    // exactly one join: docs-scores on the id key (assignment is a
+    // per-row argmin against the centroid literal, not a join)
+    assert("Join".r.findAllIn(p).size <= 2, // operator name + its refs
+      s"more than the one id equi-join:\n$p")
+  }
+
   test("q83 PQ-ADC keeps the corpus partitioned; query LUTs are the broadcast side") {
     val p = plan("q83_pq_adc_ann")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
