@@ -309,7 +309,11 @@ object Bench {
     // integer Lloyd k-means: per-row assignment ∝ rows × k·dim, the
     // rollup shuffle is k·partitions rows — the probe measures that
     // round cost is assignment-scan-bound, nothing corpus-sized moves
-    "q116_kmeans_micro")
+    "q116_kmeans_micro",
+    // converged PageRank: 10× docs → 10× link rows but the SAME
+    // |domains|-sized iterated frame — the probe measures that depth
+    // cost is edge-rollup-bound, not corpus-bound
+    "q114_domain_pagerank_converged")
 
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,

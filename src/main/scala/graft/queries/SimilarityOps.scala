@@ -422,6 +422,43 @@ object SimilarityOps {
       buildIvfPqIndex(delta, codebook)
         .join(index.select("cand_id"), Seq("cand_id"), "left_anti"))
 
+  /** IVF index DRIFT detector (q118) — the operational answer to
+    * "codebook drift = rebuild by design" ([[appendToIvfPqIndex]]):
+    * WHEN to rebuild. Compares the per-cell population SHARE of the
+    * standing index against an arriving delta's index rows; a cell
+    * whose share moved by >= `voteThresholdBp` basis points casts a
+    * rebuild vote. Shares are exact integers (`n*10000 div total`,
+    * all operands non-negative), so votes are engine-stable.
+    *
+    * Works on INDEX frames (cand_id, cell_id, ...) — the artifacts
+    * the incremental-ANN deployment already has on disk: the
+    * standing corpus's embeddings are never re-read (q95's
+    * argument). Scale shape: two partial-aggregable rollups over
+    * slim index rows, a \|cells\|-sized full-outer join, one 1-row
+    * totals broadcast back (q96's move). Nothing corpus-sized moves.
+    * Returns (cell_id, n_standing, n_delta, share_standing_bp,
+    * share_delta_bp, drift_bp, rebuild_vote).
+    */
+  def ivfDriftReport(standing: DataFrame, delta: DataFrame,
+      voteThresholdBp: Long): DataFrame = {
+    require(voteThresholdBp >= 0,
+      s"voteThresholdBp must be >= 0 (got $voteThresholdBp)")
+    val sCnt = standing.groupBy("cell_id").agg(count(lit(1)).as("n_standing"))
+    val dCnt = delta.groupBy("cell_id").agg(count(lit(1)).as("n_delta"))
+    val joined = sCnt.join(dCnt, Seq("cell_id"), "full_outer")
+      .select(col("cell_id"),
+        coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+    val totals = joined.agg(sum("n_standing").as("t_s"), sum("n_delta").as("t_d"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("cell_id"), col("n_standing"), col("n_delta"),
+        expr("(n_standing * 10000) div greatest(t_s, 1)").as("share_standing_bp"),
+        expr("(n_delta * 10000) div greatest(t_d, 1)").as("share_delta_bp"))
+      .withColumn("drift_bp",
+        abs(col("share_delta_bp") - col("share_standing_bp")))
+      .withColumn("rebuild_vote", col("drift_bp") >= voteThresholdBp)
+  }
+
   /** The query half of [[ivfPqSearch]]: probe an already-built
     * (cand_id, cell_id, c0..c3) index — see [[buildIvfPqIndex]] for
     * why the split exists. Probes + integer micro LUTs broadcast
@@ -1468,6 +1505,62 @@ object SimilarityOps {
         Tables(s, dir, "documents").select("doc_id", "text", "n_chars"),
         k = 8, iters = 3, perCell = 5)
         .orderBy("cell_id", "rnk")
+    },
+
+    // ---- q118: IVF index drift report ----------------------------
+    // The rebuild trigger for the incremental-ANN deployment: an
+    // 80/20 standing/delta split of the corpus, both sides indexed
+    // with the SAME fitted codebook (the deployment invariant), then
+    // per-cell share drift in exact basis points. The oracle assigns
+    // cells independently (q84's row_number-over-cosine pattern) and
+    // recomputes shares with `//` — a hash match pins assignment,
+    // both rollups, the full-outer alignment, and every vote.
+    QueryDef(
+      "q118_ivf_drift",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cent AS (SELECT * FROM (VALUES
+         |    ${Ivf.centSqlValues}) t(cell_id, cent)),
+         |asg AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, t.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.emb, t.cent) /
+         |          (sqrt(list_dot_product(e.emb, e.emb)) *
+         |           sqrt(list_dot_product(t.cent, t.cent))) DESC, t.cell_id) AS rn
+         |    FROM e, cent t) z WHERE rn = 1),
+         |s AS (SELECT cell_id, count(*) AS n_standing FROM asg
+         |      WHERE vec_id % 10 < 8 GROUP BY cell_id),
+         |d AS (SELECT cell_id, count(*) AS n_delta FROM asg
+         |      WHERE vec_id % 10 >= 8 GROUP BY cell_id),
+         |j AS (
+         |  SELECT COALESCE(s.cell_id, d.cell_id) AS cell_id,
+         |    CAST(COALESCE(s.n_standing, 0) AS BIGINT) AS n_standing,
+         |    CAST(COALESCE(d.n_delta, 0) AS BIGINT) AS n_delta
+         |  FROM s FULL JOIN d ON d.cell_id = s.cell_id),
+         |t AS (SELECT sum(n_standing) AS t_s, sum(n_delta) AS t_d FROM j),
+         |r AS (
+         |  SELECT cell_id, n_standing, n_delta,
+         |    CAST((n_standing * 10000) // greatest(t_s, 1) AS BIGINT)
+         |      AS share_standing_bp,
+         |    CAST((n_delta * 10000) // greatest(t_d, 1) AS BIGINT)
+         |      AS share_delta_bp
+         |  FROM j, t)
+         |SELECT cell_id, n_standing, n_delta, share_standing_bp,
+         |  share_delta_bp,
+         |  abs(share_delta_bp - share_standing_bp) AS drift_bp,
+         |  abs(share_delta_bp - share_standing_bp) >= 250 AS rebuild_vote
+         |FROM r ORDER BY cell_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = emb(s, dir)
+      val standing = e.filter(col("vec_id") % 10 < 8)
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+      val delta = e.filter(col("vec_id") % 10 >= 8)
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+      ivfDriftReport(
+        buildIvfPqIndex(standing, Ivf.codebook),
+        buildIvfPqIndex(delta, Ivf.codebook),
+        voteThresholdBp = 250L)
+        .orderBy("cell_id")
     }
   )
 

@@ -296,6 +296,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pops.values.forall(_ > 0), pops)
   }
 
+  test("ivfDriftReport: exact basis-point shares, full-outer alignment, votes") {
+    import spark.implicits._
+    // standing 80/20 across cells 0/1; delta 50/40/10 across 0/1/2 —
+    // cell 2 exists only in the delta (the full-outer case)
+    val standing = ((1 to 80).map(i => (i.toLong, 0)) ++
+      (81 to 100).map(i => (i.toLong, 1))).toDF("cand_id", "cell_id")
+    val delta = ((1 to 50).map(i => (1000L + i, 0)) ++
+      (51 to 90).map(i => (1000L + i, 1)) ++
+      (91 to 100).map(i => (1000L + i, 2))).toDF("cand_id", "cell_id")
+    val got = SimilarityOps.ivfDriftReport(standing, delta,
+        voteThresholdBp = 1500L)
+      .as[(Int, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, 80L, 50L, 8000L, 5000L, 3000L, true),
+      (1, 20L, 40L, 2000L, 4000L, 2000L, true),
+      (2, 0L, 10L, 0L, 1000L, 1000L, false)), got)
+  }
+
   test("kmeansMicro assignment plan: no join, no exchange before the rollup") {
     import spark.implicits._
     val df = (0 until 20).map(i => (i.toLong, Seq.fill(4)(i / 100.0f)))
