@@ -158,6 +158,13 @@ object CurationPipeline {
     * into the kept-host frame before the same left-semi join, so the
     * stage's cost shape is unchanged.
     *
+    * `blockLexicon`, when set, inserts the C4 §2.2 lexicon page gate
+    * (q119, TextOps.lexiconFlagged) after the line stages: a page
+    * containing ANY blocklisted token drops wholesale. It runs on
+    * the REWRITTEN text, so a page whose only blocklisted line just
+    * died in the C4 line filter legitimately survives. Pure per-row
+    * predicate — no join, no shuffle.
+    *
     * `keepBestOfCluster = true` switches the dedup keeper rule (both
     * stage 4 and the optional 4b) from min-doc_id to q106's
     * quality-aware rule: the max-classifier-score cluster member
@@ -179,7 +186,8 @@ object CurationPipeline {
       domainCapN: Option[Int] = None,
       domainMeanMinScore: Option[Long] = None,
       authorityLinks: Option[DataFrame] = None,
-      authorityMinPrMicro: Option[Long] = None)
+      authorityMinPrMicro: Option[Long] = None,
+      blockLexicon: Option[Seq[String]] = None)
       : Seq[StageCount] = {
     require(domainCapN.isEmpty || urlCol.nonEmpty,
       "domainCapN needs urlCol: the cap keys on the URL's canonical host")
@@ -336,9 +344,18 @@ object CurationPipeline {
           coalesce(col("kept_text"), lit("")).as("text"),
           col("lang"), col("source")))
 
+    // 1c. optional C4 lexicon page gate (q119) — any page containing
+    // a blocklisted token drops wholesale; runs on the rewritten
+    // text (a page whose only blocklisted line just died in 1a
+    // legitimately survives). Pure per-row predicate, zero shuffle.
+    val lexGated = blockLexicon.fold(lineDeduped) { lex =>
+      stage("lexicon_gate",
+        lineDeduped.filter(TextOps.lexiconFlagged(col("text"), lex) === 0L))
+    }
+
     // 2. quality — per-row predicate, zero shuffle (q73)
     val quality = stage("quality",
-      lineDeduped.filter(TextOps.gopherKept(col("text"))))
+      lexGated.filter(TextOps.gopherKept(col("text"))))
 
     // 2b. optional model-based quality gate (q105) — the classifier
     // rung after the rule rung: score = the exact-integer linear

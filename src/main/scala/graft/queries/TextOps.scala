@@ -1927,6 +1927,29 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- q119: C4 lexicon page gate ------------------------------
+    // The blocklist page rule next to q102's line rules: any page
+    // containing a blocklisted token drops wholesale. The demo
+    // lexicon is ('dup', 'forbiddenword') — 'dup' appears in ~5% of
+    // the corpus (both verdicts occur), 'forbiddenword' in none (the
+    // no-hit path is exercised, not just declared). Oracle
+    // re-tokenizes and re-matches independently.
+    QueryDef(
+      "q119_lexicon_page_gate",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0),
+        |    x -> x IN ('dup', 'forbiddenword'))) AS BIGINT) AS n_flagged,
+        |  len(list_filter(
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0),
+        |    x -> x IN ('dup', 'forbiddenword'))) = 0 AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      lexiconPageGate(docs(s, dir), Seq("dup", "forbiddenword"))
+        .orderBy("doc_id")
+    },
+
     // ---- q102: C4 line-quality filter ----------------------------
     // Raffel et al. 2020 §2.2's page cleaner over deterministic
     // planted lines (the corpus has no newlines or punctuation, so
@@ -2098,6 +2121,40 @@ object TextOps {
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("verdict"),
         md5(when(col("verdict") === "kept", col("kept_text"))
           .otherwise(lit(""))).as("kept_hash"))
+
+  /** C4 §2.2's LEXICON page gate (Raffel et al. 2020) — the
+    * remaining C4 page rule next to [[c4LineStruct]]: a page
+    * containing ANY word from a blocklist drops wholesale. The
+    * lexicon ships as a LITERAL `isin` inside the tokens filter
+    * (real blocklists are a few hundred words — codegen'd set
+    * membership per token, zero shuffle, zero state at any corpus
+    * size; a corpus-derived lexicon would broadcast instead, q69's
+    * gate). Matching is case-insensitive on whitespace tokens —
+    * deliberately NOT substring matching, so "classic" never trips
+    * a blocklist entry "ass" (the documented C4 false-positive
+    * trade, decided toward token exactness).
+    *
+    * Returns (doc_id, n_flagged, kept): flagged-token count and the
+    * page verdict. Pure per-row column work — composes into the
+    * pipeline stage, the streaming twin, and an ingestion-time
+    * CurateSink identically.
+    */
+  def lexiconPageGate(docsFrame: DataFrame, lexicon: Seq[String],
+      textCol: String = "text"): DataFrame =
+    docsFrame.select(col("doc_id"),
+      lexiconFlagged(col(textCol), lexicon).as("n_flagged"))
+      .withColumn("kept", col("n_flagged") === 0L)
+
+  /** The flagged-token COUNT behind [[lexiconPageGate]] as a bare
+    * Column — `lexiconFlagged(text, lex) === 0` is the page-keep
+    * predicate the pipeline stage and the streaming twin filter on
+    * directly (a pure per-row predicate needs no join-back).
+    */
+  def lexiconFlagged(text: Column, lexicon: Seq[String]): Column = {
+    require(lexicon.nonEmpty, "lexicon gate needs a non-empty blocklist")
+    val lex = lexicon.map(_.toLowerCase(java.util.Locale.ROOT))
+    size(filter(tokens(lower(text)), x => x.isin(lex: _*))).cast("long")
+  }
 
   /** The C4 line/page rules as a single per-row STRUCT Column
     * (n_lines, n_kept, verdict, kept_text) over a text Column — the

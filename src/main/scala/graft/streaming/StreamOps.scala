@@ -375,6 +375,20 @@ object StreamOps {
         .select(col("host"), col("kept").as("domain_kept"))),
         Seq("host"), "left_outer")
 
+  /** ONLINE lexicon page gate — the streaming form of the batch
+    * q119 rule (queries.TextOps.lexiconFlagged): pages containing a
+    * blocklisted token drop before they ever land. The blocklist is
+    * a literal baked into one per-row predicate, so the gate is
+    * fully STATELESS — no watermark state, no join, no shuffle —
+    * and composes in front of the stateful dedup stages or inside
+    * an ingestion [[graft.pipeline.CurateSink]]. Survivors pass
+    * through with every column untouched.
+    */
+  def lexiconGateStream(docs: DataFrame, lexicon: Seq[String],
+      textCol: String = "text"): DataFrame =
+    docs.filter(
+      graft.queries.TextOps.lexiconFlagged(col(textCol), lexicon) === 0L)
+
   /** ONLINE cluster tagging — the apply side of the batch q116
     * k-means (queries.SimilarityOps.kmeansMicro): arriving
     * embeddings are micro-quantized with the identical half-up rule

@@ -551,6 +551,31 @@ class CurationPipelineSpec extends AnyFunSuite {
         s"targetDocs=$targetDocs")
   }
 
+  test("lexicon_gate drops blocklisted pages; control run keeps them") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .select("doc_id", "text", "lang", "source")
+    val flagged = real
+      .filter(graft.queries.TextOps.lexiconFlagged($"text", Seq("dup")) > 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty, "corpus has no 'dup' pages — gate vacuous")
+    val n = real.count()
+
+    def runWith(lex: Option[Seq[String]]): Map[String, Long] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_lex").toString
+      CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = out, blockLexicon = lex)
+        .map(s => s.stage -> s.docs).toMap
+    }
+    val gated = runWith(Some(Seq("dup", "forbiddenword")))
+    assert(gated("lexicon_gate") == n - flagged.size,
+      s"expected ${n - flagged.size}, ledger: $gated")
+    val control = runWith(None)
+    assert(!control.contains("lexicon_gate"), control)
+    assert(control("quality") >= gated("quality"), (control, gated))
+  }
+
   test("classifier gate drops exactly the docs below the threshold; control run keeps them") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")

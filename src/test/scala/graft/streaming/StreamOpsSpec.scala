@@ -888,6 +888,30 @@ class StreamOpsSpec extends AnyFunSuite {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("PARITY: online lexicon gate passes exactly the batch q119 keepers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables(spark, parityDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(docs.map { case (id, t) => (id, t, ts(0)) })
+    val q = StreamOps.lexiconGateStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), Seq("dup", "forbiddenword"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lexicon_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lexicon_parity")
+      .select($"doc_id").as[Long].collect().toSet
+    val batch = graft.SparkEntry.queries("q119_lexicon_page_gate")(
+        spark, parityDir)
+      .filter($"kept").select($"doc_id").as[Long].collect().toSet
+    assert(batch.size < docs.size, "parity vacuous: nothing blocklisted")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("PARITY: online cluster tagging equals the offline integer argmin for every vector") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
