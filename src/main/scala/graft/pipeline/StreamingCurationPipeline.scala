@@ -16,6 +16,8 @@ import org.apache.spark.storage.StorageLevel
   *                    equals batch min-doc_id when arrival follows
   *                    doc_id order — the established parity rule)
   *   line_filter    → q102's C4 page/line rules, stateless per row
+  *   lexicon_gate   → (optional) q119's blocklist page rule on the
+  *                    rewritten text, stateless per row
   *   classifier     → q105's exact-integer linear probe, stateless
   *   incr_dedup     → q95's delta-vs-standing-index verdicts (exact
   *                    fingerprints + banded MinHash estimate against
@@ -56,6 +58,7 @@ object StreamingCurationPipeline {
       minShared: Long = 3L,
       c4MinWordsPerLine: Int = 3,
       c4MinKeptLines: Int = 5,
+      blockLexicon: Option[Seq[String]] = None,
       lateness: String = "1 hour")
 
   /** Starts the composed pipeline over a (doc_id, text, url, ts)
@@ -96,7 +99,14 @@ object StreamingCurationPipeline {
         df.drop("canonical_url", "url")),
       "line_filter" -> ((df: DataFrame) =>
         StreamOps.c4LineFilterStream(df, "text",
-          cfg.c4MinWordsPerLine, cfg.c4MinKeptLines)),
+          cfg.c4MinWordsPerLine, cfg.c4MinKeptLines))) ++
+      // optional q119 lexicon page gate — batch order: after the
+      // line rewrite (a page whose only blocklisted line just died
+      // survives), before the classifier; stateless per-row
+      cfg.blockLexicon.toSeq.map(lex =>
+        "lexicon_gate" -> ((df: DataFrame) =>
+          StreamOps.lexiconGateStream(df, lex))) ++
+      Seq[(String, DataFrame => DataFrame)](
       "classifier" -> ((df: DataFrame) =>
         StreamOps.classifierScoreStream(df)
           .filter(col("score") >= cfg.classifierMinScore)

@@ -76,13 +76,18 @@ object CurationDemo {
     // SPARK_GRAFT_DOMAIN_MIN=<mean score> (with SPARK_GRAFT_URL_COL)
     // enables the q108 domain-quality gate
     val domMin = sys.env.get("SPARK_GRAFT_DOMAIN_MIN").map(_.trim.toLong)
+    // SPARK_GRAFT_BLOCKLIST=word1,word2 enables the q119 C4 lexicon
+    // page gate on the comma-separated blocklist
+    val blocklist = sys.env.get("SPARK_GRAFT_BLOCKLIST")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
       outDir = outDir, keepPplBuckets = keep, budgetFrac = budget,
       c4Lines = lineStages, dedupLines = lineStages,
       urlCol = urlCol, classifierMinScore = clfMin,
       keepBestOfCluster = keepBest, domainCapN = domCap,
-      domainMeanMinScore = domMin)
+      domainMeanMinScore = domMin, blockLexicon = blocklist)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
     // an all-filtered corpus writes no files — report that instead
