@@ -165,6 +165,21 @@ object CurationPipeline {
     * died in the C4 line filter legitimately survives. Pure per-row
     * predicate — no join, no shuffle.
     *
+    * `stageDir`, when set, makes every stage boundary DURABLE: each
+    * is written to `<stageDir>/stage_NN_<name>` parquet instead of
+    * an in-memory pin, and a rerun pointed at the same dir RESUMES —
+    * the longest completed prefix of boundaries is loaded, only the
+    * remainder recomputes (stage bodies are by-name, so skipped
+    * stages never even build their plans or run their gate
+    * decisions). The config is fingerprinted into the dir and
+    * validated fail-loud on resume; reusing a stageDir with a
+    * different config is an error, and resuming over a CHANGED input
+    * corpus is the caller's contract to avoid. The durable path is
+    * the 100 TB deployment default: a multi-stage run over a real
+    * corpus will eventually lose an executor or a driver, and
+    * restart-from-stage-k is the difference between an hour and a
+    * day.
+    *
     * `keepBestOfCluster = true` switches the dedup keeper rule (both
     * stage 4 and the optional 4b) from min-doc_id to q106's
     * quality-aware rule: the max-classifier-score cluster member
@@ -187,7 +202,8 @@ object CurationPipeline {
       domainMeanMinScore: Option[Long] = None,
       authorityLinks: Option[DataFrame] = None,
       authorityMinPrMicro: Option[Long] = None,
-      blockLexicon: Option[Seq[String]] = None)
+      blockLexicon: Option[Seq[String]] = None,
+      stageDir: Option[String] = None)
       : Seq[StageCount] = {
     require(domainCapN.isEmpty || urlCol.nonEmpty,
       "domainCapN needs urlCol: the cap keys on the URL's canonical host")
@@ -224,11 +240,65 @@ object CurationPipeline {
     // at the end keeps storage management unchanged. Cost: one
     // row<->internal conversion at each stage BOUNDARY read — linear
     // and partition-parallel, vs. a super-linear plan-text blowup.
-    def stage(name: String, df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      ledger += StageCount(name, p.count())
-      pinned += p
-      spark.createDataFrame(p.rdd, p.schema)
+    // With `stageDir` set, each boundary is instead WRITTEN to
+    // parquet and read back — the same constant-size scan-leaf
+    // pinning, made DURABLE: a rerun pointed at the same stageDir
+    // loads the longest completed PREFIX of boundaries instead of
+    // recomputing it (the 100 TB restart story — a 13-stage run
+    // that dies at stage 9 resumes at stage 9). The stage argument
+    // is by-name, so a skipped stage's plan (including any eager
+    // gate decisions inside the operators) is never even built.
+    // Resume assumes the SAME input corpus; the CONFIG is
+    // fingerprinted and validated fail-loud, the corpus is the
+    // caller's contract.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    stageDir.foreach { root =>
+      val fp = Seq(probeSource, minJaccard, minShared, nShards, seed,
+        keepPplBuckets.map(_.toSeq.sorted), budgetFrac, editMinSim,
+        semanticDecon.map(_._3), c4Lines, dedupLines, urlCol,
+        classifierMinScore, keepBestOfCluster, domainCapN,
+        domainMeanMinScore, authorityMinPrMicro, blockLexicon).mkString("|")
+      val cfgPath = new org.apache.hadoop.fs.Path(root, "pipeline_config.txt")
+      val fs = cfgPath.getFileSystem(hconf)
+      if (fs.exists(cfgPath)) {
+        val in = fs.open(cfgPath)
+        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        require(prev == fp,
+          s"stageDir $root was written by a DIFFERENT pipeline config —\n" +
+            s"  stored:  $prev\n  current: $fp\n" +
+            "resuming would mix stage semantics; use a fresh stageDir")
+      } else {
+        val out = fs.create(cfgPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    var stageIdx = 0
+    // once one boundary is missing, everything after it recomputes —
+    // a later leftover dir (from a config-compatible older run) must
+    // not be trusted across a recomputed predecessor
+    var chainIntact = stageDir.isDefined
+    def stage(name: String, df: => DataFrame): DataFrame = stageDir match {
+      case Some(root) =>
+        stageIdx += 1
+        val path = f"$root/stage_$stageIdx%02d_$name"
+        val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        if (chainIntact && done.getFileSystem(hconf).exists(done)) {
+          val p = spark.read.parquet(path)
+          ledger += StageCount(name, p.count())
+          p
+        } else {
+          chainIntact = false
+          df.write.mode("overwrite").parquet(path)
+          val p = spark.read.parquet(path)
+          ledger += StageCount(name, p.count())
+          p
+        }
+      case None =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        ledger += StageCount(name, p.count())
+        pinned += p
+        spark.createDataFrame(p.rdd, p.schema)
     }
 
     val input = stage("input", docs.select(

@@ -551,6 +551,66 @@ class CurationPipelineSpec extends AnyFunSuite {
         s"targetDocs=$targetDocs")
   }
 
+  test("stageDir: durable boundaries resume the completed prefix; config drift fails loud") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .select("doc_id", "text", "lang", "source")
+    val sdir = java.nio.file.Files.createTempDirectory("graft_sd").toString
+
+    def runOnce(): (Seq[CurationPipeline.StageCount], Set[Long]) = {
+      val out = java.nio.file.Files.createTempDirectory("graft_sd_out").toString
+      val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = out, stageDir = Some(sdir))
+      val docsOut = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      (ledger, docsOut)
+    }
+    val (ledger1, out1) = runOnce()
+    assert(ledger1.nonEmpty && out1.nonEmpty)
+    val stages = new java.io.File(sdir).listFiles()
+      .filter(_.getName.startsWith("stage_")).map(_.getName).sorted
+    assert(stages.length >= 6, stages.toSeq)
+
+    // full resume: every boundary exists — identical ledger + output
+    // without recomputation (proxy: the boundary files are untouched)
+    val mtimes = stages.map(s =>
+      s -> new java.io.File(s"$sdir/$s/_SUCCESS").lastModified()).toMap
+    val (ledger2, out2) = runOnce()
+    assert(ledger2 == ledger1, s"$ledger2 vs $ledger1")
+    assert(out2 == out1)
+    stages.foreach { s =>
+      assert(new java.io.File(s"$sdir/$s/_SUCCESS").lastModified()
+        == mtimes(s), s"stage $s was rewritten on a clean resume")
+    }
+
+    // break the chain at stage 4: that boundary and everything after
+    // recompute; the prefix is loaded untouched
+    val broken = stages(3)
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(delete)
+      f.delete()
+    }
+    delete(new java.io.File(s"$sdir/$broken"))
+    val (ledger3, out3) = runOnce()
+    assert(ledger3 == ledger1, s"$ledger3 vs $ledger1")
+    assert(out3 == out1)
+    stages.take(3).foreach { s =>
+      assert(new java.io.File(s"$sdir/$s/_SUCCESS").lastModified()
+        == mtimes(s), s"prefix stage $s was rewritten")
+    }
+    assert(new java.io.File(s"$sdir/$broken/_SUCCESS").lastModified()
+      > mtimes(broken), "broken stage was not recomputed")
+
+    // config drift: same stageDir, different knobs → loud refusal
+    val ex = intercept[IllegalArgumentException] {
+      CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = java.nio.file.Files.createTempDirectory("graft_sd_x").toString,
+        minJaccard = 0.9, stageDir = Some(sdir))
+    }
+    assert(ex.getMessage.contains("DIFFERENT pipeline config"), ex.getMessage)
+  }
+
   test("lexicon_gate drops blocklisted pages; control run keeps them") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")
