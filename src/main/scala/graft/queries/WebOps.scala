@@ -206,6 +206,24 @@ object WebOps {
     (pr.select(col("h").as("host"), col("pr").as("pr_micro")), itersRun)
   }
 
+  /** URL pattern gate — the provenance-side twin of the q119 lexicon
+    * page gate: crawl pipelines block URL shapes (login/session
+    * pages, calendar explosions, fragment-bearing recrawls) BEFORE
+    * any content work, because the URL is free relative to the page
+    * bytes. `patterns` are regexes OR-ed into one per-row predicate;
+    * keep to syntax Java regex and RE2 share (literals, classes,
+    * anchors — the q74 rule). Pure codegen'd projection: zero
+    * shuffle, zero state at any corpus size. Returns (doc_id, url,
+    * kept).
+    */
+  def urlPatternGate(docsWithUrl: DataFrame, patterns: Seq[String],
+      urlCol: String = "url"): DataFrame = {
+    require(patterns.nonEmpty, "urlPatternGate needs at least one pattern")
+    val blocked = patterns.map(p => col(urlCol).rlike(p)).reduce(_ || _)
+    docsWithUrl.select(col("doc_id"), col(urlCol).as("url"),
+      (!blocked).as("kept"))
+  }
+
   /** Deterministic synthetic URL for the `documents` table (the
     * testdata carries no URL column). Derived only from (doc_id,
     * source) with messy-but-realistic variation — mixed-case scheme
@@ -291,6 +309,24 @@ object WebOps {
          |GROUP BY canonical_url
          |ORDER BY canonical_url""".stripMargin) { (s, dir) =>
       urlDedup(docsWithUrl(s, dir)).orderBy("canonical_url")
+    },
+
+    // ---- q120: URL pattern gate ----------------------------------
+    // Block-by-URL-shape before any content work: the demo patterns
+    // flag fragment-bearing URLs (doc_id%7==0 under synthUrl) and
+    // explicit-port URLs (doc_id%5==0) — both verdicts occur and the
+    // oracle re-matches the regexes independently (RE2 vs Java regex
+    // agree on this literal syntax, the q74 rule).
+    QueryDef(
+      "q120_url_pattern_gate",
+      s"""WITH u AS (
+         |  SELECT doc_id, $synthUrlSql AS url FROM documents)
+         |SELECT doc_id, url,
+         |  NOT (regexp_matches(url, '#section') OR
+         |       regexp_matches(url, ':443/')) AS kept
+         |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      urlPatternGate(docsWithUrl(s, dir), Seq("#section", ":443/"))
+        .orderBy("doc_id")
     },
 
     // ---- q108: domain-level quality filter -----------------------
