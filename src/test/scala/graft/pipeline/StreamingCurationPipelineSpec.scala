@@ -225,4 +225,49 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     // every line of a clean page passes the line rules)
     assert(landed.toMap.apply(1L) == pageA)
   }
+
+  test("RESTART: committed batches never re-land; url-dedup state survives the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scp_ckpt").toString
+    val cfg = StreamingCurationPipeline.Config(
+      standingCorpus = Seq((1001L, pageE)).toDF("doc_id", "text"),
+      probeShingles = benchmarkSentence.split("\\s+").toSeq
+        .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g"),
+      classifierMinScore = TextOps.ClassifierKeepScore)
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val collectSink = new Sink {
+      val name = "collect"
+      def write(df: DataFrame, batchId: Long): Unit =
+        landed ++= df.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    val stream = MemoryStream[(Long, String, String, Timestamp)]
+    def startQuery() = StreamingCurationPipeline.start(
+      stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, collectSink,
+      checkpointDir = Some(s"$dir/ckpt"))
+
+    stream.addData(Seq(
+      (1L, pageA, "https://site.example.com/a", ts(0)),
+      (2L, pageD, "https://site.example.com/d", ts(1))))
+    val (q1, _) = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(landed.sorted == Seq(1L, 2L), landed)
+
+    // post-restart: doc 3 is a canonical URL dup of PRE-restart doc 1
+    // — the keep-first verdict must come from checkpoint-restored
+    // state, not from anything in this run's batches
+    stream.addData(Seq(
+      (3L, pageG, "https://SITE.example.com/a?utm_source=x", ts(5)),
+      (4L, pageB, "https://site.example.com/b", ts(6))))
+    val (q2, ledger2) = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    // committed batch 1 did not re-land; the cross-restart dup died
+    assert(landed.sorted == Seq(1L, 2L, 4L), landed)
+    // the restarted instance's ledger saw exactly ONE row enter the
+    // batch chain (doc 4): doc 3 was dropped by restored state
+    val got = ledger2().map(s => s.stage -> s.docs).toMap
+    assert(got("url_dedup") == 1L, got)
+  }
 }
