@@ -368,7 +368,13 @@ object Bench {
     // and a stall-inflated probe median would fabricate exactly the
     // super-linearity this probe exists to detect. Full runs stay in
     // the artifact so the spread is visible.
+    // SPARK_GRAFT_SCALE_PROBE_ONLY=q36_...,q94_... restricts the
+    // probe to a comma-separated subset — for targeted one-offs at
+    // large factors (×30) where the full list costs an hour
+    val probeOnly = sys.env.get("SPARK_GRAFT_SCALE_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val probeList = ScaleProbeQueries.filter(SparkEntry.queries.contains)
+      .filter(q => probeOnly.forall(_.contains(q)))
     val probeSamples: Map[String, scala.collection.mutable.ArrayBuffer[Double]] =
       probeList.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     for (_ <- 0 until probeRuns; name <- probeList) {
