@@ -558,6 +558,64 @@ object TextOps {
        |  FROM clf_m)""".stripMargin
   }
 
+  /** The shared q115/q121 oracle prologue: word-frequency BPE
+    * training (`n` unrolled MATERIALIZED-CTE rounds, q113's scheme)
+    * plus the per-document encode — defines CTEs through `enc`
+    * (doc_id, lang, n_words, es), where `es` is the fully-merged
+    * bracketed symbol string (token count = chr(1) occurrences).
+    */
+  private def bpeEncodeSqlCtes(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (
+         |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+         |    CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i
+         |        FROM (SELECT string_split(substring(s, 2, len(s) - 2),
+         |                chr(2) || chr(1)) AS syms, wc
+         |              FROM w${r - 1} WHERE len(s) > 0)
+         |        WHERE len(syms) >= 2)
+         |  GROUP BY a, b),
+         |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+         |    chr(1) || m.a || m.b || chr(2)) AS s, wc
+         |  FROM w${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val applied = (1 to n).foldLeft("s") { (acc, r) =>
+      s"replace($acc, chr(1) || m$r.a || chr(2) || chr(1) || m$r.b || chr(2), " +
+        s"chr(1) || m$r.a || m$r.b || chr(2))"
+    }
+    s"""words AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                            x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |wc AS (
+       |  SELECT w, count(*) AS wc FROM words
+       |  WHERE strpos(w, chr(1)) = 0 AND strpos(w, chr(2)) = 0
+       |  GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(generate_series(1, len(w)),
+       |    i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '') AS s,
+       |    wc
+       |  FROM wc),
+       |$rounds,
+       |dt AS (
+       |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'),
+       |    x -> len(x) > 0 AND strpos(x, chr(1)) = 0
+       |         AND strpos(x, chr(2)) = 0 AND strpos(x, chr(3)) = 0) AS toks
+       |  FROM documents),
+       |ds AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_words,
+       |    array_to_string(list_transform(toks, w ->
+       |      array_to_string(list_transform(generate_series(1, len(w)),
+       |        i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '')),
+       |      chr(3)) AS s
+       |  FROM dt),
+       |enc AS (
+       |  SELECT doc_id, lang, n_words, $applied AS es
+       |  FROM ds, m1, m2, m3, m4, m5, m6, m7, m8)""".stripMargin
+  }
+
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1858,60 +1916,10 @@ object TextOps {
     // training AND encoding end-to-end.
     QueryDef(
       "q115_bpe_token_count",
-      { val n = 8
-        val rounds = (1 to n).map { r =>
-          s"""p$r AS (
-             |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
-             |    CAST(sum(wc) AS BIGINT) AS cnt
-             |  FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i
-             |        FROM (SELECT string_split(substring(s, 2, len(s) - 2),
-             |                chr(2) || chr(1)) AS syms, wc
-             |              FROM w${r - 1} WHERE len(s) > 0)
-             |        WHERE len(syms) >= 2)
-             |  GROUP BY a, b),
-             |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-             |w$r AS MATERIALIZED (
-             |  SELECT replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
-             |    chr(1) || m.a || m.b || chr(2)) AS s, wc
-             |  FROM w${r - 1}, m$r m)""".stripMargin
-        }.mkString(",\n")
-        val applied = (1 to n).foldLeft("s") { (acc, r) =>
-          s"replace($acc, chr(1) || m$r.a || chr(2) || chr(1) || m$r.b || chr(2), " +
-            s"chr(1) || m$r.a || m$r.b || chr(2))"
-        }
-        s"""WITH words AS (
-           |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
-           |                            x -> len(x) > 0)) AS w
-           |  FROM documents),
-           |wc AS (
-           |  SELECT w, count(*) AS wc FROM words
-           |  WHERE strpos(w, chr(1)) = 0 AND strpos(w, chr(2)) = 0
-           |  GROUP BY w),
-           |w0 AS MATERIALIZED (
-           |  SELECT array_to_string(list_transform(generate_series(1, len(w)),
-           |    i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '') AS s,
-           |    wc
-           |  FROM wc),
-           |$rounds,
-           |dt AS (
-           |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-           |    x -> len(x) > 0 AND strpos(x, chr(1)) = 0
-           |         AND strpos(x, chr(2)) = 0 AND strpos(x, chr(3)) = 0) AS toks
-           |  FROM documents),
-           |ds AS (
-           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
-           |    array_to_string(list_transform(toks, w ->
-           |      array_to_string(list_transform(generate_series(1, len(w)),
-           |        i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '')),
-           |      chr(3)) AS s
-           |  FROM dt),
-           |enc AS (
-           |  SELECT doc_id, n_words, $applied AS es
-           |  FROM ds, m1, m2, m3, m4, m5, m6, m7, m8)
-           |SELECT doc_id, n_words,
-           |  CAST(len(es) - len(replace(es, chr(1), '')) AS BIGINT) AS n_bpe
-           |FROM enc ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
+      s"""WITH ${bpeEncodeSqlCtes(8)}
+         |SELECT doc_id, n_words,
+         |  CAST(len(es) - len(replace(es, chr(1), '')) AS BIGINT) AS n_bpe
+         |FROM enc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
       val learned = bpeTrain(d.select("text"), nMerges = 8, vocabTopK = 1)
         .filter(col("kind") === "merge").orderBy("step")
@@ -1925,6 +1933,47 @@ object TextOps {
           size(cleanToks).cast("long").as("n_words"),
           size(col("bpe_tokens")).cast("long").as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // ---- q121: tokenizer fertility by language -------------------
+    // The multilingual tokenizer-quality statistic: BPE tokens per
+    // whitespace word, rolled up per language (a tokenizer trained
+    // on one language mix over-fragments the others — fertility is
+    // the number that catches it). Exact-integer ratio in milli
+    // units (`sum_bpe*1000 div sum_words`, non-negative operands) on
+    // top of q115's train+encode chain; the rollup is one
+    // partial-aggregable |languages|-sized groupBy.
+    QueryDef(
+      "q121_bpe_fertility_by_lang",
+      s"""WITH ${bpeEncodeSqlCtes(8)},
+         |d2 AS (
+         |  SELECT lang, n_words,
+         |    len(es) - len(replace(es, chr(1), '')) AS n_bpe
+         |  FROM enc)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST((sum(n_bpe) * 1000) // greatest(sum(n_words), 1) AS BIGINT)
+         |    AS fertility_milli
+         |FROM d2 GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val learned = bpeTrain(d.select("text"), nMerges = 8, vocabTopK = 1)
+        .filter(col("kind") === "merge").orderBy("step")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val cleanToks = filter(tokens(col("text")), w =>
+        instr(w, "\u0001") === 0 && instr(w, "\u0002") === 0 &&
+          instr(w, "\u0003") === 0)
+      bpeEncode(d, learned)
+        .select(col("lang"),
+          size(cleanToks).cast("long").as("n_words"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"))
+        .withColumn("fertility_milli",
+          expr("(n_bpe * 1000) div greatest(n_words, 1)"))
+        .orderBy("lang")
     },
 
     // ---- q119: C4 lexicon page gate ------------------------------

@@ -234,7 +234,8 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
       standingCorpus = Seq((1001L, pageE)).toDF("doc_id", "text"),
       probeShingles = benchmarkSentence.split("\\s+").toSeq
         .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g"),
-      classifierMinScore = TextOps.ClassifierKeepScore)
+      classifierMinScore = TextOps.ClassifierKeepScore,
+      blockLexicon = Some(Seq("zanzibar")))
     val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
     val collectSink = new Sink {
       val name = "collect"
@@ -247,12 +248,18 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
       stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, collectSink,
       checkpointDir = Some(s"$dir/ckpt"))
 
+    // doc 5 carries a blocklisted token on a C4-clean line: it must
+    // survive the line filter and die at the composed lexicon_gate
     stream.addData(Seq(
       (1L, pageA, "https://site.example.com/a", ts(0)),
-      (2L, pageD, "https://site.example.com/d", ts(1))))
-    val (q1, _) = startQuery()
+      (2L, pageD, "https://site.example.com/d", ts(1)),
+      (5L, pageB + "\nthe zanzibar ferry runs across the strait at dawn.",
+        "https://site.example.com/z", ts(2))))
+    val (q1, ledger1) = startQuery()
     q1.processAllAvailable(); q1.stop()
     assert(landed.sorted == Seq(1L, 2L), landed)
+    val got1 = ledger1().map(s => s.stage -> s.docs).toMap
+    assert(got1("line_filter") == 3L && got1("lexicon_gate") == 2L, got1)
 
     // post-restart: doc 3 is a canonical URL dup of PRE-restart doc 1
     // — the keep-first verdict must come from checkpoint-restored
