@@ -136,6 +136,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"more than the one id equi-join:\n$p")
   }
 
+  test("q119/q120 page gates: pure per-row predicates, no join, only the ORDER BY exchange") {
+    for (q <- Seq("q119_lexicon_page_gate", "q120_url_pattern_gate")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("Window"), s"$q must not window:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q should only shuffle for the presentation sort:\n$p")
+    }
+  }
+
+  test("q121 fertility rollup: encode stays per-row, one partial-aggregable lang rollup") {
+    val p = plan("q121_bpe_fertility_by_lang")
+    assert(!p.contains("Join"), s"encode+rollup must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    // agg exchange + presentation sort exchange only
+    assert("Exchange".r.findAllIn(p).size <= 2, s"plan shuffles too much:\n$p")
+  }
+
   test("q83 PQ-ADC keeps the corpus partitioned; query LUTs are the broadcast side") {
     val p = plan("q83_pq_adc_ann")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
