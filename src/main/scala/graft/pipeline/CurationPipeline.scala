@@ -358,8 +358,11 @@ object CurationPipeline {
       // optional authority prior: converged-PageRank rescue of
       // high-authority low-mean domains. The rescue frame is
       // |domains|-sized; duplicate kept-host keys are harmless under
-      // the left-semi join, so no distinct
-      val keptHosts = (for { lk <- authorityLinks; minPr <- authorityMinPrMicro }
+      // the left-semi join, so no distinct. LAZY: domainPageRank runs
+      // driver-side actions per round — it must fire inside the
+      // by-name stage body so a stageDir resume that loads the
+      // domain_gate boundary never pays for the iteration
+      lazy val keptHosts = (for { lk <- authorityLinks; minPr <- authorityMinPrMicro }
         yield {
           val (ranks, _) = WebOps.domainPageRank(lk)
           meanPass.union(ranks.filter(col("pr_micro") >= minPr)

@@ -74,6 +74,19 @@ object StreamingCurationPipeline {
       checkpointDir: Option[String] = None)
       : (StreamingQuery, () => Seq[StageCount]) = {
     val spark = docs.sparkSession
+    // the standing corpus's dedup index is built and PERSISTED once
+    // at stream setup — the q95 contract ("the standing corpus is
+    // never re-read as text") applied to the composed pipeline: every
+    // micro-batch joins against these constant-width cached frames
+    // instead of re-hashing the corpus per batch. The pins live for
+    // the query's lifetime by design.
+    val standingIndex = {
+      val idx = DedupOps.buildDedupIndex(spark, cfg.standingCorpus)
+      def pin(df: DataFrame): DataFrame = {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+      }
+      DedupOps.DedupIndex(pin(idx.fp), pin(idx.sig), pin(idx.bands))
+    }
     val ledger = new scala.collection.mutable.LinkedHashMap[String, Long]()
     // frames persisted by the counting wrapper during ONE batch;
     // foreachBatch runs driver-side and sequentially, so plain
@@ -112,8 +125,8 @@ object StreamingCurationPipeline {
           .filter(col("score") >= cfg.classifierMinScore)
           .drop("score", "verdict")),
       "incr_dedup" -> ((df: DataFrame) => {
-        val verdicts = DedupOps.incrementalDedup(spark,
-          df.select("doc_id", "text"), cfg.standingCorpus,
+        val verdicts = DedupOps.incrementalDedupAgainstIndex(spark,
+          df.select("doc_id", "text"), standingIndex,
           cfg.maxEstJaccard)
         df.join(verdicts.filter(col("kept") === 1L).select("doc_id"),
           Seq("doc_id"), "left_semi")
@@ -122,15 +135,8 @@ object StreamingCurationPipeline {
         // q58's rule, delta-sized: distinct doc shingles ⋈ broadcast
         // probe set, per-doc shared count (the decontaminateStream
         // expression, run per batch)
-        val sh = df
-          .withColumn("t", graft.queries.TextOps.tokens(col("text")))
-          .withColumn("gs",
-            when(size(col("t")) < 3, expr("array()").cast("array<string>"))
-              .otherwise(expr(
-                "array_distinct(transform(sequence(1, size(t) - 2), i -> " +
-                  "concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', " +
-                  "element_at(t, i + 2))))")))
-          .select(col("doc_id"), explode(col("gs")).as("g"))
+        val sh = df.select(col("doc_id"),
+          explode(graft.queries.TextOps.distinctShingles(col("text"))).as("g"))
         val flagged = sh.join(broadcast(cfg.probeShingles), Seq("g"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= cfg.minShared)

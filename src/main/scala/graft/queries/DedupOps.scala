@@ -282,15 +282,39 @@ object DedupOps {
     * estimated Jaccard below `maxEstJaccard`. New docs with < 3
     * tokens have no signature → no candidates → kept unless exact.
     */
+  /** The standing-corpus dedup INDEX — the constant-width frames q95
+    * checks deltas against (exact md5 fingerprints, minhash
+    * signatures, banded signature table). Build it ONCE per standing
+    * corpus and persist: a long-running intake (the streaming
+    * curation pipeline) re-reads these every micro-batch, and
+    * rebuilding them from corpus TEXT per batch is exactly the
+    * re-scan the incremental design exists to avoid.
+    */
+  private[graft] final case class DedupIndex(
+      fp: DataFrame, sig: DataFrame, bands: DataFrame)
+
+  private[graft] def buildDedupIndex(s: SparkSession,
+      oldDocs: DataFrame): DedupIndex = {
+    val sigOld = minhashSig(s, oldDocs)
+    DedupIndex(
+      oldDocs.select(md5(col("text")).as("fp")).distinct(),
+      sigOld, bandFrame(sigOld))
+  }
+
   private[graft] def incrementalDedup(s: SparkSession, newDocs: DataFrame,
-      oldDocs: DataFrame, maxEstJaccard: Double = 0.5): DataFrame = {
-    val oldFp = oldDocs.select(md5(col("text")).as("fp")).distinct()
+      oldDocs: DataFrame, maxEstJaccard: Double = 0.5): DataFrame =
+    incrementalDedupAgainstIndex(s, newDocs,
+      buildDedupIndex(s, oldDocs), maxEstJaccard)
+
+  private[graft] def incrementalDedupAgainstIndex(s: SparkSession,
+      newDocs: DataFrame, idx: DedupIndex,
+      maxEstJaccard: Double = 0.5): DataFrame = {
     val exact = newDocs.select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(oldFp.withColumn("hit", lit(1L)), Seq("fp"), "left_outer")
+      .join(idx.fp.withColumn("hit", lit(1L)), Seq("fp"), "left_outer")
       .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("exact_dup"))
     val sigNew = minhashSig(s, newDocs)
-    val sigOld = minhashSig(s, oldDocs)
-    val cand = bandFrame(sigNew).as("ba").join(bandFrame(sigOld).as("bb"),
+    val sigOld = idx.sig
+    val cand = bandFrame(sigNew).as("ba").join(idx.bands.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh"))
       .select(col("ba.doc_id").as("new_id"), col("bb.doc_id").as("old_id"))
       .distinct()

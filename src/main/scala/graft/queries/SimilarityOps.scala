@@ -718,6 +718,20 @@ object SimilarityOps {
     array(cents.map { case (c, v) =>
       struct(lit(c).as("cell_id"), typedLit(v).as("cent")) }: _*)
 
+  /** Collect a [[kmeansMicro]] output frame (cell_id, dim, c_micro,
+    * …) back into the Seq form [[microCodebookLit]] takes — the ONE
+    * reshape every consumer of a fitted centroid frame needs
+    * (clusterBalancedSelect, StreamOps.clusterAssignStream, specs).
+    * k·dim rows — constant driver traffic.
+    */
+  private[graft] def collectCentroids(centroids: DataFrame)
+      : Seq[(Int, Seq[Long])] =
+    centroids.select("cell_id", "dim", "c_micro").collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (c, rows) =>
+        c -> (rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq: Seq[Long]) }
+      .sortBy(_._1)
+
   def kmeansMicro(embFrame: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
@@ -738,6 +752,8 @@ object SimilarityOps {
       var cents: Seq[(Int, Seq[Long])] = micro.orderBy("vec_id").limit(k)
         .collect().sortBy(_.getLong(0))
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
+      require(cents.nonEmpty,
+        "kmeansMicro needs a non-empty corpus (no vectors to seed from)")
       var counts = Map.empty[Int, Long]
       for (_ <- 1 to iters) {
         val assigned = micro.withColumn("cb", microCodebookLit(cents))
@@ -782,11 +798,7 @@ object SimilarityOps {
       k: Int, iters: Int, perCell: Int): DataFrame = {
     require(perCell >= 1, s"perCell must be >= 1 (got $perCell)")
     graft.functions.GraftFunctions.register(embFrame.sparkSession)
-    val cents = kmeansMicro(embFrame, k, iters).collect()
-      .groupBy(_.getInt(0)).toSeq
-      .map { case (c, rows) =>
-        c -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
-      .sortBy(_._1)
+    val cents = collectCentroids(kmeansMicro(embFrame, k, iters))
     val assigned = embFrame
       .withColumn("__em", transform(col("embedding"), x =>
         floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))

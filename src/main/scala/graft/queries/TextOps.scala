@@ -21,6 +21,20 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), x => length(x) > 0)
 
+  /** A text column's DISTINCT 3-token shingles as one array — empty
+    * for sub-shingle docs (guarded: Spark's sequence() descends on
+    * start > stop). The shingle rule shared by the online
+    * decontamination stream and the composed streaming-curation
+    * stage, so a change to the rule reaches every consumer.
+    */
+  def distinctShingles(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1),
+          lit(" "), element_at(t, i + 2)))))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -558,13 +572,13 @@ object TextOps {
        |  FROM clf_m)""".stripMargin
   }
 
-  /** The shared q115/q121 oracle prologue: word-frequency BPE
-    * training (`n` unrolled MATERIALIZED-CTE rounds, q113's scheme)
-    * plus the per-document encode — defines CTEs through `enc`
-    * (doc_id, lang, n_words, es), where `es` is the fully-merged
-    * bracketed symbol string (token count = chr(1) occurrences).
+  /** The shared q113/q115/q121 oracle trainer: word-frequency BPE
+    * training as `n` unrolled MATERIALIZED-CTE rounds — defines CTEs
+    * words/wc/w0 and p_r/m_r/w_r for r=1..n. ONE generator so the
+    * merge-round scheme (tie-break, bracket encoding, MATERIALIZED
+    * hint) can never diverge between the training and encode oracles.
     */
-  private def bpeEncodeSqlCtes(n: Int): String = {
+  private def bpeTrainSqlCtes(n: Int): String = {
     val rounds = (1 to n).map { r =>
       s"""p$r AS (
          |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
@@ -581,10 +595,6 @@ object TextOps {
          |    chr(1) || m.a || m.b || chr(2)) AS s, wc
          |  FROM w${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
-    val applied = (1 to n).foldLeft("s") { (acc, r) =>
-      s"replace($acc, chr(1) || m$r.a || chr(2) || chr(1) || m$r.b || chr(2), " +
-        s"chr(1) || m$r.a || m$r.b || chr(2))"
-    }
     s"""words AS (
        |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
        |                            x -> len(x) > 0)) AS w
@@ -598,7 +608,22 @@ object TextOps {
        |    i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '') AS s,
        |    wc
        |  FROM wc),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** The shared q115/q121 oracle prologue: [[bpeTrainSqlCtes]] plus
+    * the per-document encode — extends the trainer CTEs through
+    * `enc` (doc_id, lang, n_words, es), where `es` is the
+    * fully-merged bracketed symbol string (token count = chr(1)
+    * occurrences).
+    */
+  private def bpeEncodeSqlCtes(n: Int): String = {
+    val applied = (1 to n).foldLeft("s") { (acc, r) =>
+      s"replace($acc, chr(1) || m$r.a || chr(2) || chr(1) || m$r.b || chr(2), " +
+        s"chr(1) || m$r.a || m$r.b || chr(2))"
+    }
+    val mTables = (1 to n).map(r => s"m$r").mkString(", ")
+    s"""${bpeTrainSqlCtes(n)},
        |dt AS (
        |  SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'),
        |    x -> len(x) > 0 AND strpos(x, chr(1)) = 0
@@ -613,7 +638,7 @@ object TextOps {
        |  FROM dt),
        |enc AS (
        |  SELECT doc_id, lang, n_words, $applied AS es
-       |  FROM ds, m1, m2, m3, m4, m5, m6, m7, m8)""".stripMargin
+       |  FROM ds, $mTables)""".stripMargin
   }
 
 
@@ -1853,40 +1878,11 @@ object TextOps {
     QueryDef(
       "q113_bpe_train",
       { val n = 8
-        val rounds = (1 to n).map { r =>
-          s"""p$r AS (
-             |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
-             |    CAST(sum(wc) AS BIGINT) AS cnt
-             |  FROM (SELECT syms, wc, unnest(generate_series(1, len(syms) - 1)) AS i
-             |        FROM (SELECT string_split(substring(s, 2, len(s) - 2),
-             |                chr(2) || chr(1)) AS syms, wc
-             |              FROM w${r - 1} WHERE len(s) > 0)
-             |        WHERE len(syms) >= 2)
-             |  GROUP BY a, b),
-             |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-             |w$r AS MATERIALIZED (
-             |  SELECT replace(s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
-             |    chr(1) || m.a || m.b || chr(2)) AS s, wc
-             |  FROM w${r - 1}, m$r m)""".stripMargin
-        }.mkString(",\n")
         val mergeRows = (1 to n).map { r =>
           s"""SELECT 'merge' AS kind, CAST($r AS BIGINT) AS step, a AS lhs,
              |  b AS rhs, a || b AS token, cnt FROM m$r""".stripMargin
         }.mkString("\nUNION ALL\n")
-        s"""WITH words AS (
-           |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
-           |                            x -> len(x) > 0)) AS w
-           |  FROM documents),
-           |wc AS (
-           |  SELECT w, count(*) AS wc FROM words
-           |  WHERE strpos(w, chr(1)) = 0 AND strpos(w, chr(2)) = 0
-           |  GROUP BY w),
-           |w0 AS MATERIALIZED (
-           |  SELECT array_to_string(list_transform(generate_series(1, len(w)),
-           |    i -> chr(1) || substring(w, CAST(i AS INT), 1) || chr(2)), '') AS s,
-           |    wc
-           |  FROM wc),
-           |$rounds
+        s"""WITH ${bpeTrainSqlCtes(n)}
            |SELECT * FROM (
            |$mergeRows
            |UNION ALL
@@ -1914,6 +1910,14 @@ object TextOps {
     // independently (q113's unrolled CTEs) and applies its own 8
     // scalar merges as nested replaces, so a hash match pins
     // training AND encoding end-to-end.
+    //
+    // CORPUS PRECONDITION (q113/q115/q121 oracles alike): the corpus
+    // must yield at least the unrolled number of merges. bpeTrain/
+    // bpeEncode handle merge EXHAUSTION gracefully (shorter merge
+    // list), but the SQL twin's round-r cross join `FROM w_{r-1},
+    // m_r` empties when m_r is empty — on a degenerate vocabulary
+    // the two sides diverge LOUDLY at the hash gate rather than
+    // silently; shrink the unroll if such a corpus ever matters.
     QueryDef(
       "q115_bpe_token_count",
       s"""WITH ${bpeEncodeSqlCtes(8)}

@@ -147,9 +147,14 @@ object WebOps {
     * re-analyzes the whole prefix each time); the previous round's
     * cache is dropped as soon as the next round is materialized, so
     * peak storage is two |domains|-sized frames regardless of depth.
-    * All caches are released before returning — the returned frame
-    * is a lineage-truncated view of the final round's computed
-    * partitions; callers reading it more than once should persist.
+    * The loop's working pins (edge list, outdeg, nodes, superseded
+    * rounds) are released before returning; the FINAL round's cache
+    * stays live backing the returned frame — dropping it would
+    * replay the whole round chain (including the corpus-sized edge
+    * rollup) on the caller's first action. The live frame is
+    * |domains|-sized; long-lived sessions release it via the
+    * SparkContext persistent-RDD handle (CurationPipeline's
+    * end-of-run sweep does this on the authority-prior path).
     *
     * Returns (ranks = (host, pr_micro), itersRun).
     */
@@ -202,7 +207,15 @@ object WebOps {
       prCache = nextCache
       converged = delta <= tolMicro
     }
-    cached.foreach(_.unpersist())
+    // release the loop's working pins (edge list, outdeg, nodes,
+    // superseded rounds) but KEEP the final round's cache live — the
+    // caller is about to consume the ranks, and dropping the cache
+    // here would replay the entire round chain on that first action
+    // (and on every one after). The frame is |domains|-sized;
+    // `ranks.unpersist()` releases it when the caller is done, and
+    // CurationPipeline.run's end-of-run cache sweep catches it on the
+    // authority-prior path
+    cached.filterNot(_ eq prCache).foreach(_.unpersist())
     (pr.select(col("h").as("host"), col("pr").as("pr_micro")), itersRun)
   }
 

@@ -227,9 +227,14 @@ private[sources] final class WarcRecordIterator(
           if (sepStart >= splitEnd) { done = true } // next split's record
           return emit(rec)
         }
-        // corrupt Content-Length: keep capturing to the next marker
-        out.reset(); out.write(rec, 0, rec.length)
-        finishByMarker(out)
+        // corrupt Content-Length: keep capturing to the next marker —
+        // into a FRESH buffer, not the shared headerBuf: rec carries
+        // the whole mis-declared body, and ByteArrayOutputStream
+        // never shrinks, so writing it into headerBuf would retain a
+        // body-sized allocation for the rest of the task
+        val fb = new java.io.ByteArrayOutputStream(rec.length + 8192)
+        fb.write(rec, 0, rec.length)
+        finishByMarker(fb)
       case _ =>
         // no Content-Length (legacy/lenient archives, or a length too
         // large for one in-memory record): marker scan — byte-
@@ -349,7 +354,13 @@ private[sources] object WarcRecordIterator {
         return new WarcRecordIterator(raw, splitEnd,
           versionLineConsumed = false, startPos = candidate)
       }
-      scanFrom = found + Marker.length // false marker: keep scanning
+      // false marker: keep scanning from the NEXT byte, not past the
+      // whole marker — a TRUE marker can overlap the false one's tail
+      // (a body ending in the quoted marker bytes directly before the
+      // real separator shares its trailing \r\n with the real
+      // marker's head; advancing by Marker.length would jump into the
+      // true marker and silently drop the record it opens)
+      scanFrom = found + 1
     }
     Iterator.empty // unreachable
   }

