@@ -70,6 +70,22 @@ object CurationPipeline {
   /** Per-stage surviving-document counts, in pipeline order. */
   final case class StageCount(stage: String, docs: Long)
 
+  /** Order-independent content digest of a SMALL caller-supplied
+    * frame (column names + row count + summed per-row xxhash64),
+    * folded into the durable-resume fingerprint so a DataFrame-valued
+    * input that drifted between runs is rejected exactly like a
+    * changed scalar knob. One tiny aggregate job per fingerprinted
+    * frame, only on the `stageDir` path — never call this on a
+    * corpus-sized frame.
+    */
+  private def frameDigest(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val r = df.select(count(lit(1)), sum(xxhash64(cols.map(col): _*)))
+      .collect().head
+    cols.mkString(",") + ":" + r.getLong(0) + ":" +
+      (if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Runs the full pipeline over a (doc_id, text, lang, source)
     * corpus; writes training shards under `outDir` (doc_id, text
     * REDACTED, lang, source, n_tok, importance_micro + shard/sort_key
@@ -172,9 +188,13 @@ object CurationPipeline {
     * remainder recomputes (stage bodies are by-name, so skipped
     * stages never even build their plans or run their gate
     * decisions). The config is fingerprinted into the dir and
-    * validated fail-loud on resume; reusing a stageDir with a
-    * different config is an error, and resuming over a CHANGED input
-    * corpus is the caller's contract to avoid. The durable path is
+    * validated fail-loud on resume — including a content digest of
+    * the small DataFrame-valued inputs (`authorityLinks`, the
+    * `semanticDecon` probe set); reusing a stageDir with a different
+    * config is an error. Resuming over a CHANGED input corpus — or
+    * changed `semanticDecon` docEmbeddings, which are corpus-sized
+    * and deliberately not digest-scanned on every restart — is the
+    * caller's contract to avoid. The durable path is
     * the 100 TB deployment default: a multi-stage run over a real
     * corpus will eventually lose an executor or a driver, and
     * restart-from-stage-k is the difference between an hour and a
@@ -253,11 +273,22 @@ object CurationPipeline {
     // caller's contract.
     val hconf = spark.sparkContext.hadoopConfiguration
     stageDir.foreach { root =>
+      // DataFrame-valued inputs drift too: fold a content digest of
+      // the SMALL caller-supplied frames (the |domains|-sized link
+      // graph, the eval-set probes) into the fingerprint so a resume
+      // with a different graph or probe set fails loudly exactly
+      // like a scalar-knob drift. semanticDecon's docEmbeddings is
+      // corpus-sized — digesting it would cost a full scan per
+      // restart — so it stays under the same caller-pinned contract
+      // as the corpus itself (documented above).
       val fp = Seq(probeSource, minJaccard, minShared, nShards, seed,
         keepPplBuckets.map(_.toSeq.sorted), budgetFrac, editMinSim,
-        semanticDecon.map(_._3), c4Lines, dedupLines, urlCol,
+        semanticDecon.map { case (_, probes, minCos) =>
+          (frameDigest(probes), minCos) },
+        c4Lines, dedupLines, urlCol,
         classifierMinScore, keepBestOfCluster, domainCapN,
-        domainMeanMinScore, authorityMinPrMicro, blockLexicon).mkString("|")
+        domainMeanMinScore, authorityMinPrMicro, blockLexicon,
+        authorityLinks.map(frameDigest)).mkString("|")
       val cfgPath = new org.apache.hadoop.fs.Path(root, "pipeline_config.txt")
       val fs = cfgPath.getFileSystem(hconf)
       if (fs.exists(cfgPath)) {

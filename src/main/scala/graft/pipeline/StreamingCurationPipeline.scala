@@ -65,7 +65,10 @@ object StreamingCurationPipeline {
     * stream, landing survivors in `landing`. Returns the running
     * query and a ledger accessor: per-stage surviving-row counts in
     * pipeline order, summed across micro-batches — the streaming
-    * form of [[CurationPipeline.run]]'s return value. The ledger's
+    * form of [[CurationPipeline.run]]'s return value. Counts are
+    * keyed per batchId internally and OVERWRITTEN on a replayed or
+    * retried batch, so the totals stay exact under foreachBatch's
+    * at-least-once delivery instead of inflating on retries. The ledger's
     * url_dedup row counts rows ENTERING the batch chain (i.e. after
     * the stateful keep-first); the pre-dedup input count lives in the
     * source's own metrics, not here.
@@ -87,10 +90,20 @@ object StreamingCurationPipeline {
       }
       DedupOps.DedupIndex(pin(idx.fp), pin(idx.sig), pin(idx.bands))
     }
-    val ledger = new scala.collection.mutable.LinkedHashMap[String, Long]()
-    // frames persisted by the counting wrapper during ONE batch;
-    // foreachBatch runs driver-side and sequentially, so plain
-    // buffers are safe
+    // per-stage counts keyed by BATCH ID and overwritten, not summed
+    // blindly: a failed/retried foreachBatch invocation (or a
+    // replayed uncommitted batch after restart) re-runs every stage,
+    // and a += ledger would inflate totals past the true row counts.
+    // Keying by batchId makes the recount idempotent — the retry
+    // overwrites its own earlier numbers — so the reported totals
+    // are exact even though foreachBatch delivery is at-least-once.
+    val ledger = new scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.LinkedHashMap[Long, Long]]()
+    // batchId of the foreachBatch invocation currently running;
+    // foreachBatch runs driver-side and sequentially, so a plain var
+    // (and the plain buffers below) are safe
+    var currentBatch = -1L
+    // frames persisted by the counting wrapper during ONE batch
     val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def counted(name: String)(t: DataFrame => DataFrame)
         : DataFrame => DataFrame = df => {
@@ -98,7 +111,9 @@ object StreamingCurationPipeline {
       live += out
       val n = out.count()
       ledger.synchronized {
-        ledger.update(name, ledger.getOrElse(name, 0L) + n)
+        ledger.getOrElseUpdate(name,
+          new scala.collection.mutable.LinkedHashMap[Long, Long]())
+          .update(currentBatch, n)
       }
       out
     }
@@ -163,10 +178,15 @@ object StreamingCurationPipeline {
       .queryName("curate_stream")
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     val query = writer
-      .foreachBatch((batch: DataFrame, id: Long) => sink.write(batch, id))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        currentBatch = id
+        sink.write(batch, id)
+      }
       .start()
     (query, () => ledger.synchronized {
-      ledger.toSeq.map { case (s, n) => StageCount(s, n) }
+      ledger.toSeq.map { case (s, perBatch) =>
+        StageCount(s, perBatch.valuesIterator.sum)
+      }
     })
   }
 }

@@ -2580,9 +2580,13 @@ object TextOps {
       instr(w, B1) === 0 && instr(w, B2) === 0 && instr(w, SEP) === 0)
     // bracket each word with ONE literal-pattern regex pass (the
     // compiled pattern is cached) — measured ~2× faster end-to-end
-    // than the per-char sequence/substr array build at sf0.1
+    // than the per-char sequence/substr array build at sf0.1.
+    // (?s) because Java's '.' excludes U+0085/U+2028/U+2029, which
+    // the ASCII-only \s+ tokenizer does NOT strip — without it a
+    // token carrying one of those is mis-bracketed and leaks \x01/
+    // \x02 sentinels into bpe_tokens
     val bracketed = array_join(transform(toks, w =>
-      regexp_replace(w, "(.)", B1 + "$1" + B2)), SEP)
+      regexp_replace(w, "(?s)(.)", B1 + "$1" + B2)), SEP)
     val encoded = mergeList.foldLeft(bracketed) { case (s, (a, b)) =>
       replace(s, lit(B1 + a + B2 + B1 + b + B2), lit(B1 + a + b + B2))
     }

@@ -46,11 +46,13 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Split handling (uncompressed archives): a task whose range starts
   * mid-file resyncs by scanning for the inter-record marker, then
-  * VALIDATES the candidate (header block parses within 256 KiB,
-  * carries `WARC-Type:`, and — when Content-Length is present — the
-  * walk lands on another record boundary or EOF) before accepting;
-  * a planted separator inside a body fails validation and the scan
-  * continues. A record belongs to the split containing the first
+  * VALIDATES the candidate (header block parses within 256 KiB and
+  * carries `WARC-Type:`) before accepting; a planted separator inside
+  * a body fails validation and the scan continues. Validation
+  * intentionally does NOT re-walk Content-Length: a genuine record
+  * with a corrupt declared length must be accepted so the corrupt-CL
+  * fallback DLQs it — identically to a sequential read — instead of
+  * the record silently vanishing when a split boundary precedes it. A record belongs to the split containing the first
   * byte of its preceding separator (the file's first record to the
   * first split), so every record is emitted exactly once and readers
   * run past their range end to finish a straddling record — the
@@ -365,10 +367,22 @@ private[sources] object WarcRecordIterator {
     Iterator.empty // unreachable
   }
 
-  /** Checks that `pos` really starts a record: version line, a
-    * parseable header block carrying `WARC-Type:`, and — when
-    * Content-Length is present — a walk landing on a separator+next
-    * record or EOF. Leaves the stream position unspecified.
+  /** Checks that `pos` really starts a record: version line and a
+    * parseable header block carrying `WARC-Type:`. Deliberately does
+    * NOT require the Content-Length walk to land on a separator: a
+    * genuine record whose declared length is corrupt must still be
+    * ACCEPTED here so the iterator's in-line corrupt-CL fallback
+    * captures it to the next marker and routes it to the DLQ — the
+    * same outcome a sequential read from the previous record gives.
+    * Rejecting it would make the record vanish from both outputs
+    * whenever Spark happens to place a split boundary just before it,
+    * breaking the "never fatal, error-routed" contract. The cost is
+    * symmetrical and small: body text that fakes a FULL header block
+    * including `WARC-Type:` is accepted as a candidate, emitting one
+    * DLQ-able fragment — but such text already passed the old walk
+    * too whenever its quoted Content-Length was self-consistent, so
+    * the walk never actually defended against it. Leaves the stream
+    * position unspecified.
     */
   private def validates(raw: org.apache.hadoop.fs.FSDataInputStream,
       pos: Long): Boolean = {
@@ -388,15 +402,7 @@ private[sources] object WarcRecordIterator {
     val headers = new String(out.toByteArray,
       java.nio.charset.StandardCharsets.UTF_8)
     if (!headers.regionMatches(true, 0, "WARC/", 0, 5)) return false
-    if (!WarcTypePattern.matcher(headers).find()) return false
-    contentLength(headers) match {
-      case Some(n) =>
-        if (buf.copyTo(null, n) < n) return true // truncated tail: accept
-        if (buf.peek(0) < 0) return true
-        buf.peekMatches(CrlfCrlf) &&
-          (buf.peekAtMatches(4, WarcSlash) || buf.peek(4) < 0)
-      case None => true
-    }
+    WarcTypePattern.matcher(headers).find()
   }
 
   private val WarcTypePattern =

@@ -356,6 +356,56 @@ class CorpusSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("SPLITTABLE: a corrupt Content-Length record is captured, not dropped, wherever splits land") {
+    // every 8th record under-declares its Content-Length by 5 bytes,
+    // so the exact walk lands mid-body and the reader must fall back
+    // to marker-scan capture. With tiny splits, some corrupt records
+    // become RESYNC candidates: a validates() that re-walks the
+    // declared length rejects them there, and the record vanishes
+    // from both outputs — while a sequential read captures it via
+    // the corrupt-CL fallback. Pin the fix: acceptance is by header
+    // block + WARC-Type only, so split placement never decides
+    // whether a record survives.
+    val recs = (0 until 240).map { i =>
+      val filler = ("corrupt length case filler " * (1 + i % 7)).trim
+      val body = s"page $i." + crlf + filler
+      if (i % 8 == 3) {
+        val n = body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        "WARC/1.0" + crlf + Seq("WARC-Type: conversion",
+          s"WARC-Target-URI: https://c$i.example.com/$i",
+          s"WARC-Record-ID: <urn:uuid:c-$i>",
+          s"Content-Length: ${n - 5}").mkString(crlf) + crlf + crlf + body
+      } else recCL(Seq("WARC-Type: conversion",
+        s"WARC-Target-URI: https://c$i.example.com/$i",
+        s"WARC-Record-ID: <urn:uuid:c-$i>"), body)
+    }
+    val dir = Files.createTempDirectory("graft_warc_badcl")
+    Files.writeString(dir.resolve("badcl.warc"), archive(recs))
+
+    val before = (spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+      spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val (good, bad) = CorpusSources.warcDocuments(spark, dir.toString)
+      assert(good.rdd.getNumPartitions > 4,
+        s"only ${good.rdd.getNumPartitions} partitions — split not exercised")
+      val urls = good.collect().map(_.getAs[String]("url"))
+      assert(urls.length == 240, s"got ${urls.length} records (dupes or losses)")
+      assert(urls.toSet == (0 until 240)
+        .map(i => s"https://c$i.example.com/$i").toSet)
+      assert(bad.count() == 0)
+      // the corrupt record's body is captured WHOLE (marker-scan
+      // fallback), not cut at the mis-declared length
+      val t3 = good.filter(org.apache.spark.sql.functions.col("url") ===
+        "https://c3.example.com/3").collect().head.getAs[String]("text")
+      assert(t3.endsWith("filler"), t3)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", before._1)
+      spark.conf.set("spark.sql.files.openCostInBytes", before._2)
+    }
+  }
+
   test("gzip: .warc.gz archives read whole-file per task with the same rows") {
     val recs = (0 until 8).map(i => recCL(Seq("WARC-Type: conversion",
       s"WARC-Target-URI: https://gz$i.example.com/$i",
