@@ -1,0 +1,286 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Preprocessed BPE merge table — ONE reference object per
+  * expression, so the PLAN is constant-size no matter how many
+  * merges the tokenizer carries (the previous |merges|-chained
+  * `replace` plan grew a node per merge and capped out around two
+  * orders of magnitude below a production 30k-merge vocabulary).
+  *
+  * Symbols are interned to dense int ids; a pair of adjacent symbol
+  * ids looks up its merge rank(s) in one long-keyed hash probe.
+  * `pairRanks` holds a SORTED rank array per pair, not a single
+  * rank: a training run can in principle emit the same pair string
+  * at two ranks (a later merge can re-create a symbol string an
+  * earlier round consumed), and encode-side parity with the
+  * in-rank-order semantics needs the first rank that is applicable
+  * given when the participating instances were created (see
+  * [[BpeEncodeImpl.compute]]).
+  *
+  * Equality/hashCode are by the merge list, so Catalyst plan
+  * canonicalization dedups expressions carrying the same tokenizer;
+  * toString stays constant-size so plan rendering never embeds the
+  * vocabulary.
+  */
+final class BpeTable(val merges: IndexedSeq[(String, String)])
+    extends Serializable {
+
+  /** symbol string -> dense id (only symbols that participate in a
+    * merge get ids; anything else can never merge and stays id -1).
+    */
+  val symId = new java.util.HashMap[String, Integer]()
+  /** (idA << 32 | idB) -> sorted 1-based ranks of that pair. */
+  val pairRanks = new java.util.HashMap[java.lang.Long, Array[Int]]()
+  /** rank-1 -> left/right symbol ids and the merged instance. */
+  val rankA = new Array[Int](merges.length)
+  val rankB = new Array[Int](merges.length)
+  val rankMergedId = new Array[Int](merges.length)
+  val rankMergedStr = new Array[String](merges.length)
+
+  private def intern(s: String): Int = {
+    val got = symId.get(s)
+    if (got != null) got.intValue()
+    else { val id = symId.size(); symId.put(s, id); id }
+  }
+
+  {
+    val tmp = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    var r = 0
+    while (r < merges.length) {
+      val (a, b) = merges(r)
+      val ia = intern(a); val ib = intern(b)
+      rankA(r) = ia; rankB(r) = ib
+      rankMergedId(r) = intern(a + b)
+      rankMergedStr(r) = a + b
+      val key = java.lang.Long.valueOf((ia.toLong << 32) | ib.toLong)
+      var buf = tmp.get(key)
+      if (buf == null) {
+        buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        tmp.put(key, buf)
+      }
+      buf += (r + 1) // 1-based rank; insertion order is ascending
+      r += 1
+    }
+    val it = tmp.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      pairRanks.put(e.getKey, e.getValue.toArray)
+    }
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case t: BpeTable => t.merges == merges
+    case _ => false
+  }
+  override def hashCode(): Int = merges.hashCode()
+  override def toString: String = s"bpe_table(${merges.length} merges)"
+}
+
+/** Runtime for [[BpeEncodeExpr]] — static forwarder target for the
+  * generated code, like [[WinnowImpl]].
+  */
+object BpeEncodeImpl {
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Greedy BPE encoding of `text` under `table`, token stream
+    * flattened across words — semantically IDENTICAL to applying the
+    * merge list strictly in rank order with one left-to-right
+    * non-overlapping replace per merge (the oracle's chained-replace
+    * formulation), but with per-row cost independent of |merges|.
+    *
+    * Algorithm: per word, repeatedly find the minimum APPLICABLE
+    * rank among adjacent symbol pairs and merge all its occurrences
+    * in one left-to-right pass. A rank is applicable to an
+    * occurrence only if BOTH participating instances were created at
+    * a strictly smaller rank (initial characters count as rank 0) —
+    * this is exactly "the occurrence exists when the in-order sweep
+    * reaches that rank". Why the guard matters: a later merge can
+    * re-create a symbol STRING an earlier-rank pair uses (e.g.
+    * round i learns ab+c, round j learns abc+d, round m>j learns
+    * a+bc — also "abc"); the plain min-rank loop would then fire the
+    * rank-j merge on a rank-m instance, which the in-order sweep
+    * (and the oracle) never does. Applied ranks are non-decreasing —
+    * a pass at rank r only creates instances of creation-rank r,
+    * whose pairs are applicable only at ranks > r — so the loop
+    * visits exactly the merges the in-order sweep applies, in the
+    * same order, and the left-to-right pass per rank matches the
+    * replace's non-overlapping scan.
+    *
+    * Words containing the \u0001/\u0002/\u0003 sentinel code points
+    * are excluded, mirroring the bracketed-string formulation's
+    * documented corpus precondition (the oracle excludes them too).
+    *
+    * Cost: O(word_len) hash probes per applied merge and at most
+    * word_len-1 applied merges per word — quadratic in word length,
+    * CONSTANT in vocabulary size.
+    */
+  def compute(text: UTF8String, table: BpeTable): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      var hasSentinel = false
+      while (i < n && !isWs(s.charAt(i))) {
+        val c = s.charAt(i)
+        if (c == '\u0001' || c == '\u0002' || c == '\u0003')
+          hasSentinel = true
+        i += 1
+      }
+      if (i > start && !hasSentinel)
+        encodeWord(s, start, i, table, out)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Encodes one word (s[from, until)) and appends its UTF8String
+    * tokens to `out`.
+    */
+  private def encodeWord(s: String, from: Int, until: Int,
+      table: BpeTable, out: scala.collection.mutable.ArrayBuffer[Any])
+      : Unit = {
+    // initial symbols: one per CODE POINT (the trainer brackets with
+    // substr(w, i, 1), which is code-point addressed in both engines)
+    var cap = until - from
+    val syms = new Array[String](cap)
+    val ids = new Array[Int](cap)
+    val cr = new Array[Int](cap) // creation rank; 0 = initial char
+    var m = 0
+    var p = from
+    while (p < until) {
+      val cp = s.codePointAt(p)
+      val w = Character.charCount(cp)
+      val cs = s.substring(p, p + w)
+      syms(m) = cs
+      val id = table.symId.get(cs)
+      ids(m) = if (id == null) -1 else id.intValue()
+      cr(m) = 0
+      m += 1
+      p += w
+    }
+    var len = m
+    var continue = len >= 2
+    while (continue) {
+      // find the minimum applicable rank among adjacent pairs
+      var best = Int.MaxValue
+      var i = 0
+      while (i < len - 1) {
+        val a = ids(i); val b = ids(i + 1)
+        if (a >= 0 && b >= 0) {
+          val ranks = table.pairRanks.get(
+            java.lang.Long.valueOf((a.toLong << 32) | b.toLong))
+          if (ranks != null) {
+            val floor = if (cr(i) > cr(i + 1)) cr(i) else cr(i + 1)
+            // first rank strictly above both creation ranks
+            var k = 0
+            while (k < ranks.length && ranks(k) <= floor) k += 1
+            if (k < ranks.length && ranks(k) < best) best = ranks(k)
+          }
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        // one left-to-right non-overlapping pass for rank `best`
+        val pa = table.rankA(best - 1); val pb = table.rankB(best - 1)
+        val mid = table.rankMergedId(best - 1)
+        val mstr = table.rankMergedStr(best - 1)
+        var w = 0; var r = 0
+        while (r < len) {
+          if (r < len - 1 && ids(r) == pa && ids(r + 1) == pb &&
+              cr(r) < best && cr(r + 1) < best) {
+            syms(w) = mstr; ids(w) = mid; cr(w) = best; r += 2
+          } else {
+            syms(w) = syms(r); ids(w) = ids(r); cr(w) = cr(r); r += 1
+          }
+          w += 1
+        }
+        len = w
+        continue = len >= 2
+      }
+    }
+    var k = 0
+    while (k < len) { out += UTF8String.fromString(syms(k)); k += 1 }
+  }
+}
+
+/** Native greedy BPE encoding — `bpe_encode(text, merges)` →
+  * `array<string>` of BPE tokens (word boundaries dropped), where
+  * `merges` is a FOLDABLE array<struct<lhs,rhs>> evaluated at plan
+  * time into one [[BpeTable]] reference object.
+  *
+  * Why native: the column formulation applies the merge list as
+  * |merges| chained codegen'd `replace` calls — exact, but the plan
+  * grows a node per merge, so a production tokenizer (30k-50k
+  * merges) exceeds any codegen/plan-size budget (this repo measured
+  * a JVM-string-limit OOM from plan growth at far smaller sizes)
+  * and pays corpus_bytes × |merges| replace passes. This expression
+  * does the whole encode in one JVM call per row inside
+  * WholeStageCodegen with per-row cost INDEPENDENT of |merges|, and
+  * the plan carries one constant-size node regardless of vocabulary.
+  */
+case class BpeEncodeExpr(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeImpl.compute(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.BpeEncodeImpl.compute($c, $tableRef);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+object BpeEncodeExpr {
+  /** Build from SQL argument expressions: text + a foldable
+    * array<struct<string,string>> merge list, evaluated here ONCE
+    * into the reference-object table (the array literal never
+    * reaches the executed plan).
+    */
+  def fromExprs(exprs: Seq[Expression]): BpeEncodeExpr = {
+    require(exprs.length == 2,
+      s"bpe_encode(text, merges) takes 2 arguments (got ${exprs.length})")
+    require(exprs(1).foldable, "bpe_encode merges must be a literal")
+    val v = exprs(1).eval(InternalRow.empty)
+    require(v != null, "bpe_encode merges must be a non-null literal")
+    val arr = v.asInstanceOf[ArrayData]
+    val merges = (0 until arr.numElements()).map { i =>
+      val row = arr.getStruct(i, 2)
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        s"bpe_encode merge $i has a null side")
+      (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+    }
+    BpeEncodeExpr(exprs.head, new BpeTable(merges))
+  }
+}

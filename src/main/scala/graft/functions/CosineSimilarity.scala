@@ -106,5 +106,9 @@ object GraftFunctions {
       "winnow_fps",
       exprs => WinnowFps.fromExprs(exprs),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode",
+      exprs => BpeEncodeExpr.fromExprs(exprs),
+      "scala_udf")
   }
 }

@@ -2552,28 +2552,45 @@ object TextOps {
     * the learned tokenizer produces. Appends `bpe_tokens`
     * (array<string>) to the frame.
     *
-    * Correctness: merges are applied strictly in RANK order, one
-    * left-to-right non-overlapping `replace` each, on the same
-    * \x01..\x02-bracketed symbol encoding the trainer uses. That IS
-    * canonical greedy BPE encoding: a merge learned at round k
-    * creates a symbol that cannot appear in any pair learned at a
-    * round j < k (the symbol did not exist yet), so applying the
-    * list in order never re-enables an earlier merge — the single
-    * ordered pass is exact, not an approximation. Words are joined
-    * with a \x03 boundary before the replaces, so the WHOLE document
-    * is encoded by `|merges|` chained string replaces (a pair
-    * pattern `\x01a\x02\x01b\x02` can never span the `\x02\x03\x01`
-    * word boundary). Tokens containing the bracket/boundary code
-    * points are excluded, mirroring the trainer's corpus
-    * precondition.
+    * Runs as the NATIVE `bpe_encode` expression
+    * ([[graft.functions.BpeEncodeExpr]]): one codegen'd JVM call per
+    * row against a single merge-table reference object, so the PLAN
+    * is constant-size and the per-row cost is INDEPENDENT of
+    * |merges| — a production 30k-merge tokenizer costs the same plan
+    * as an 8-merge one. (The previous formulation chained one
+    * `replace` per merge: exact, but plan nodes and per-row passes
+    * both grew linearly with the vocabulary — kept as
+    * [[bpeEncodeChained]], the parity reference.) Semantics are the
+    * rank-order greedy application the oracle pins; the expression's
+    * min-applicable-rank loop is provably the same function (see
+    * [[graft.functions.BpeEncodeImpl.compute]]). Words containing
+    * the \x01/\x02/\x03 code points are excluded, mirroring the
+    * trainer's corpus precondition.
     *
     * Scale shape: pure per-row codegen'd column work — zero shuffle,
-    * zero state, cost = corpus bytes × |merges| replace passes,
-    * embarrassingly parallel at any width. The merge list is a tiny
-    * driver-side literal (it came out of training), so nothing is
-    * broadcast or joined.
+    * zero state, embarrassingly parallel at any width. The merge
+    * table rides the plan as ONE reference object (it came out of
+    * training), so nothing is broadcast or joined.
     */
   def bpeEncode(docsFrame: DataFrame, mergeList: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docsFrame.sparkSession)
+    docsFrame.withColumn("bpe_tokens",
+      call_function("bpe_encode", col(textCol),
+        typedLit(mergeList.toIndexedSeq)))
+  }
+
+  /** The superseded |merges|-chained-replace encoding, kept ONLY as
+    * the parity reference for the native [[bpeEncode]] expression
+    * (BpeEncodeSpec pins the two row-identical, and the bench's
+    * merge-scaling datapoint measures the gap). KNOWN ceiling (why
+    * it was replaced): the plan grows one codegen'd `replace` node
+    * per merge, so a production vocabulary (30k+ merges) exceeds any
+    * plan-size/codegen budget and pays corpus bytes × |merges|
+    * passes.
+    */
+  private[graft] def bpeEncodeChained(docsFrame: DataFrame,
+      mergeList: Seq[(String, String)],
       textCol: String = "text"): DataFrame = {
     val B1 = "\u0001"; val B2 = "\u0002"; val SEP = "\u0003"
     val toks = filter(tokens(col(textCol)), w =>

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native bpe_encode expression vs the chained-replace reference
+  * it replaced: the two must be ROW-IDENTICAL on every input — the
+  * native path's min-applicable-rank loop is claimed to be the same
+  * function as in-rank-order chained replaces, and this spec is the
+  * machine check of that claim, including the adversarial corner
+  * (a later merge re-creating a symbol string an earlier-rank pair
+  * uses) where a naive min-rank loop diverges.
+  */
+class BpeEncodeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Pure-JVM reference: the chained-replace semantics verbatim —
+    * bracket each word per code point, apply each merge in rank
+    * order as ONE literal left-to-right non-overlapping replace on
+    * the \x03-joined document string, flatten.
+    */
+  private def chainedRef(text: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    val words = text.split("\\s+").filter(_.nonEmpty).filterNot(w =>
+      w.exists(c => c == '\u0001' || c == '\u0002' || c == '\u0003'))
+    def bracket(w: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        sb.append('\u0001').append(w.substring(i, i + cc)).append('\u0002')
+        i += cc
+      }
+      sb.toString
+    }
+    var s = words.map(bracket).mkString("\u0003")
+    for ((a, b) <- merges)
+      s = s.replace("\u0001" + a + "\u0002\u0001" + b + "\u0002",
+        "\u0001" + a + b + "\u0002")
+    val flat = s.replace("\u0003", "")
+    if (flat.isEmpty) Seq.empty
+    else flat.substring(1, flat.length - 1).split("\u0002\u0001", -1).toSeq
+  }
+
+  private def native(text: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    val arr = BpeEncodeImpl.compute(UTF8String.fromString(text),
+      new BpeTable(merges.toIndexedSeq))
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  test("symbol-recreation corner: rank-j pair must NOT fire on a rank-m>j instance") {
+    // merges re-create "xyz" at rank 5 via a different split than the
+    // rank-3 derivation; the rank-4 pair (xyz, q) was learned BEFORE
+    // rank 5, so in-order application never sees the rank-5 instance.
+    // A min-rank loop without the creation-rank guard merges xyz+q
+    // here — the regression this test pins.
+    val merges = Seq("y" -> "z", "x" -> "y", "xy" -> "z",
+      "xyz" -> "q", "x" -> "yz")
+    assert(chainedRef("xyzq", merges) == Seq("xyz", "q"))
+    assert(native("xyzq", merges) == Seq("xyz", "q"))
+  }
+
+  test("duplicate pair at two ranks: each application window honors creation times") {
+    // (a,b) learned at ranks 1 and 4; rank 3 creates a fresh "b"-
+    //...ending adjacency only after rank 1 has passed. The second
+    // listing must still apply where applicable.
+    val merges = Seq("a" -> "b", "c" -> "d", "cd" -> "a", "a" -> "b")
+    // word "cdab": r1 merges ab -> [c, d, ab]; r2 -> [cd, ab];
+    // r3 -> (cd,a)? "a" is consumed inside ab, no match; r4 no bare
+    // (a,b) left. tokens [cd, ab]
+    assert(native("cdab", merges) == chainedRef("cdab", merges))
+    // word "cda b": second word's lone chars; (cd,a) fires at r3
+    assert(native("cda b", merges) == chainedRef("cda b", merges))
+  }
+
+  test("edges: null, empty, whitespace-only, sentinel words, U+2028, non-BMP") {
+    val merges = Seq("a" -> "b", "ab" -> "c")
+    assert(BpeEncodeImpl.compute(null, new BpeTable(merges.toIndexedSeq)) == null)
+    assert(native("", merges) == Seq.empty)
+    assert(native(" \t\n ", merges) == Seq.empty)
+    // a word carrying a bracket sentinel is excluded wholesale
+    assert(native("abc a\u0001bc abc", merges) == Seq("abc", "abc"))
+    // U+2028 is NOT \s-whitespace: it stays inside the word and is
+    // bracketed like any other code point (the (?s) parity fix)
+    assert(native("a\u2028b", merges) == chainedRef("a\u2028b", merges))
+    assert(native("a\u2028b", merges) == Seq("a", "\u2028", "b"))
+    // non-BMP: one symbol per CODE POINT, not per UTF-16 unit
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(native(s"a${clef}b ab", merges) ==
+      Seq("a", clef, "b", "ab"))
+    assert(native(s"a${clef}b ab", merges) ==
+      chainedRef(s"a${clef}b ab", merges))
+  }
+
+  test("PROPERTY: native == chained reference on random words and derivation-style merge lists") {
+    val rnd = new scala.util.Random(20260814L)
+    val base = "abcd"
+    var trial = 0
+    while (trial < 400) {
+      // grow a symbol pool the way training does: each merge joins
+      // two random pool symbols — duplicate pair strings and multi-
+      // split re-creations (the adversarial corner) arise naturally
+      val pool = scala.collection.mutable.ArrayBuffer[String](
+        base.map(_.toString): _*)
+      val nMerges = 1 + rnd.nextInt(12)
+      val merges = (1 to nMerges).map { _ =>
+        val a = pool(rnd.nextInt(pool.length))
+        val b = pool(rnd.nextInt(pool.length))
+        pool += (a + b)
+        (a, b)
+      }
+      val text = (1 to (1 + rnd.nextInt(4))).map { _ =>
+        (1 to (1 + rnd.nextInt(10)))
+          .map(_ => base(rnd.nextInt(base.length))).mkString
+      }.mkString(" ")
+      val got = native(text, merges)
+      val want = chainedRef(text, merges)
+      assert(got == want,
+        s"trial $trial diverged\n text=$text\n merges=$merges\n " +
+          s"native=$got\n chained=$want")
+      trial += 1
+    }
+  }
+
+  test("SPARK PARITY: native bpeEncode == chained path on a corpus with trained merges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat"),
+      (2L, "a very merry berry ferry"),
+      (3L, ""),
+      (4L, "one\u2028line two\u2028line"),
+      (5L, "dup dup dup dup dup words words"),
+      (6L, "mixed CASE Mixed case MIXED")).toDF("doc_id", "text")
+    val merges = graft.queries.TextOps.bpeTrain(
+      docs.select("text"), nMerges = 8, vocabTopK = 1)
+      .filter(org.apache.spark.sql.functions.col("kind") === "merge")
+      .orderBy("step").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(merges.nonEmpty)
+    val nat = graft.queries.TextOps.bpeEncode(docs, merges)
+      .select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val cha = graft.queries.TextOps.bpeEncodeChained(docs, merges)
+      .select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(nat == cha, s"native=$nat\nchained=$cha")
+  }
+
+  test("PLAN SIZE: the analyzed plan is constant-size in |merges|") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    def planLen(n: Int): Int = {
+      val merges = (1 to n).map(i => (s"s$i", s"t$i"))
+      graft.queries.TextOps.bpeEncode(docs, merges)
+        .queryExecution.analyzed.toString.length
+    }
+    val small = planLen(8)
+    val big = planLen(4096)
+    assert(big <= small + 64,
+      s"plan grew with |merges|: 8 merges -> $small chars, " +
+        s"4096 merges -> $big chars")
+  }
+}

@@ -153,6 +153,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
     // agg exchange + presentation sort exchange only
     assert("Exchange".r.findAllIn(p).size <= 2, s"plan shuffles too much:\n$p")
+    // the encode must run as the NATIVE expression (one constant-size
+    // node), not the superseded |merges|-chained replace column
+    assert(p.contains("bpe_encode"),
+      s"encode is not the native bpe_encode expression:\n$p")
   }
 
   test("q83 PQ-ADC keeps the corpus partitioned; query LUTs are the broadcast side") {
