@@ -185,6 +185,19 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_WARC_BENCH").contains("0")) """{"skipped":true}"""
       else warcIngestBench(spark, sfDir)
 
+    // BPE merge-count scaling: the datapoint behind the native
+    // bpe_encode expression's production-vocabulary claim. Disabled
+    // by SPARK_GRAFT_BPE_BENCH=0.
+    val bpeScale =
+      if (sys.env.get("SPARK_GRAFT_BPE_BENCH").contains("0")) """{"skipped":true}"""
+      else try bpeMergeScaleBench(spark, sfDir)
+      catch {
+        case t: Throwable =>
+          val msg = (t.getClass.getName + ": " + String.valueOf(t.getMessage))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          s"""{"error":"$msg"}"""
+      }
+
     // scale probe: the six heaviest dedup-family queries re-timed on
     // a SPARK_GRAFT_SCALE_FACTOR× (default 10×) documents corpus —
     // the one in-sandbox datapoint that turns the dossier's
@@ -221,6 +234,7 @@ object Bench {
         s""""interference":$interferenceJson,""" +
         s""""ingest":$ingest,""" +
         s""""warc_ingest":$warcIngest,""" +
+        s""""bpe_scale":$bpeScale,""" +
         s""""scaleprobe":$probeFull,""" +
         s""""sf":"$sfDir"}"""
     // Persist the FULL record to a file: the driver's stdout capture
@@ -315,6 +329,83 @@ object Bench {
     // cost is edge-rollup-bound, not corpus-bound
     "q114_domain_pagerank_converged")
 
+  /** The native-vs-chained BPE encode merge-count scaling record:
+    * train once at SPARK_GRAFT_BPE_MERGES (default 1024) merges with
+    * the driver-side trainer rounds, then time a full corpus encode
+    * (token-count aggregate through the noop sink) through BOTH
+    * paths at several prefix sizes of the SAME merge list —
+    * native at {8, 64, 128, n} and the superseded chained-replace
+    * column at {8, 64, 128} (the chained plan grows a codegen'd
+    * replace node per merge; 1024 is exactly the regime it cannot
+    * enter, which is the point of the comparison). Each timing is
+    * the MIN of interleaved runs (stall discipline). The headline
+    * derived numbers are the per-merge SLOPES: chained pays ~linear
+    * seconds per added merge, the native expression's slope should
+    * be ~zero — that pair of numbers is the "survives a production
+    * vocabulary" claim, measured.
+    */
+  private def bpeMergeScaleBench(spark: SparkSession, sfDir: String)
+      : String = {
+    val nTrain = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "1024").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BPE_BENCH_RUNS", "2").toInt
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    import org.apache.spark.sql.functions.{col, size, sum}
+    val tTrain = System.nanoTime()
+    val merges = graft.queries.TextOps.bpeTrain(docs, nTrain, 1)
+      .filter(col("kind") === "merge").orderBy("step")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val trainSec = (System.nanoTime() - tTrain) / 1e9
+    val nativeSizes = Seq(8, 64, 128, merges.length).distinct
+      .filter(_ <= merges.length)
+    val chainedSizes = Seq(8, 64, 128).filter(_ <= merges.length)
+    def encodeOnce(df: DataFrame): Unit =
+      df.select(sum(size(col("bpe_tokens"))).as("n_bpe"))
+        .write.format("noop").mode("overwrite").save()
+    // warmup both paths once (codegen, shuffle-less plan caches)
+    encodeOnce(graft.queries.TextOps.bpeEncode(docs, merges.take(8)))
+    encodeOnce(graft.queries.TextOps.bpeEncodeChained(docs, merges.take(8)))
+    val nat = scala.collection.mutable.LinkedHashMap[Int,
+      scala.collection.mutable.ArrayBuffer[Double]](
+      nativeSizes.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    val cha = scala.collection.mutable.LinkedHashMap[Int,
+      scala.collection.mutable.ArrayBuffer[Double]](
+      chainedSizes.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    for (_ <- 0 until reps) {
+      for (n <- nativeSizes) {
+        val t0 = System.nanoTime()
+        encodeOnce(graft.queries.TextOps.bpeEncode(docs, merges.take(n)))
+        nat(n) += (System.nanoTime() - t0) / 1e9
+      }
+      for (n <- chainedSizes) {
+        val t0 = System.nanoTime()
+        encodeOnce(graft.queries.TextOps.bpeEncodeChained(docs, merges.take(n)))
+        cha(n) += (System.nanoTime() - t0) / 1e9
+      }
+    }
+    docs.unpersist()
+    def mins(m: scala.collection.mutable.LinkedHashMap[Int,
+        scala.collection.mutable.ArrayBuffer[Double]]): Seq[(Int, Double)] =
+      m.toSeq.map { case (n, xs) => (n, xs.min) }
+    val natMin = mins(nat); val chaMin = mins(cha)
+    def slope(xs: Seq[(Int, Double)]): Option[Double] =
+      if (xs.size < 2) None
+      else {
+        val lo = xs.head; val hi = xs.last
+        if (hi._1 == lo._1) None else Some((hi._2 - lo._2) / (hi._1 - lo._1))
+      }
+    def secsJson(xs: Seq[(Int, Double)]): String =
+      xs.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
+    s"""{"n_merges_trained":${merges.length},"train_sec":$trainSec,""" +
+      s""""runs_each":$reps,""" +
+      s""""native_sec":${secsJson(natMin)},""" +
+      s""""chained_sec":${secsJson(chaMin)},""" +
+      s""""native_slope_sec_per_merge":${slope(natMin).fold("null")(_.toString)},""" +
+      s""""chained_slope_sec_per_merge":${slope(chaMin).fold("null")(_.toString)}}"""
+  }
+
   /** Build a factor× (default 10×) documents corpus from sfDir and
     * re-time [[ScaleProbeQueries]] on it; returns (full JSON record,
     * compact JSON record) with per-query probe seconds (per-query MIN
@@ -339,7 +430,7 @@ object Bench {
   private def scaleProbeBench(spark: SparkSession, sfDir: String,
       baseMedians: Map[String, Double]): (String, String) = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    val probeRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_RUNS", "2").toInt
+    val probeRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_RUNS", "3").toInt
     require(factor >= 2, s"SPARK_GRAFT_SCALE_FACTOR must be >= 2 (got $factor)")
     require(probeRuns >= 1, s"SPARK_GRAFT_SCALE_PROBE_RUNS must be >= 1 (got $probeRuns)")
 
@@ -360,13 +451,19 @@ object Bench {
     def fmt3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
-    // runs INTERLEAVED round-robin across the probe list (the main
-    // loop's stall discipline): a host stall lands on one run of many
-    // queries instead of poisoning both runs of one. The headline
-    // probe number and the ratio use the per-query MIN — a stall can
-    // only INFLATE a run (same rationale as the ingest stage minima),
-    // and a stall-inflated probe median would fabricate exactly the
-    // super-linearity this probe exists to detect. Full runs stay in
+    // runs INTERLEAVED (base, ×factor) PAIRS round-robin across the
+    // probe list (the main loop's stall discipline, upgraded after
+    // the r12/r13 artifacts both carried a stall-fabricated q36
+    // ratio): a host stall lands on one run of many queries instead
+    // of poisoning a whole series, and the ratio's DENOMINATOR is
+    // re-measured in the same window as its numerator instead of
+    // inherited from the headline loop minutes earlier — a stall
+    // that covered the headline run of one query would otherwise
+    // deflate the base and fabricate super-linearity even with a
+    // clean probe. The reported ratio is min(probe)/min(base) over
+    // >= 3 pairs — a stall can only INFLATE a run (same rationale
+    // as the ingest stage minima), so the minima are the
+    // stall-resistant estimates on both sides. Full runs stay in
     // the artifact so the spread is visible.
     // SPARK_GRAFT_SCALE_PROBE_ONLY=q36_...,q94_... restricts the
     // probe to a comma-separated subset — for targeted one-offs at
@@ -377,22 +474,33 @@ object Bench {
       .filter(q => probeOnly.forall(_.contains(q)))
     val probeSamples: Map[String, scala.collection.mutable.ArrayBuffer[Double]] =
       probeList.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
-    for (_ <- 0 until probeRuns; name <- probeList) {
+    val baseSamples: Map[String, scala.collection.mutable.ArrayBuffer[Double]] =
+      probeList.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    def timeInto(name: String, dir: String,
+        sink: scala.collection.mutable.ArrayBuffer[Double]): Unit = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, probeDir)
+        SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-        probeSamples(name) += (System.nanoTime() - t0) / 1e9
+        sink += (System.nanoTime() - t0) / 1e9
       } catch {
         case t: Throwable =>
           System.err.println(
             s"[scaleprobe] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
       }
     }
+    for (_ <- 0 until probeRuns; name <- probeList) {
+      timeInto(name, sfDir, baseSamples(name))
+      timeInto(name, probeDir, probeSamples(name))
+    }
     val probed = probeList.map { name =>
       val secs = probeSamples(name).toSeq
       val best = secs.sorted.headOption
-      (name, best, secs, baseMedians.get(name))
+      // base = the paired re-measurement's min; the headline median
+      // (a different, possibly stalled window) only as a last resort
+      val baseBest = baseSamples(name).toSeq.sorted.headOption
+        .orElse(baseMedians.get(name))
+      (name, best, secs, baseBest, baseSamples(name).toSeq)
     }
 
     // best-effort cleanup of the generated probe corpus
@@ -402,12 +510,13 @@ object Bench {
         .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 
-    val fullQ = probed.map { case (name, best, secs, baseM) =>
+    val fullQ = probed.map { case (name, best, secs, baseM, baseRuns) =>
       val ratio = for (m <- best; b <- baseM if b > 0) yield m / b
       "\"" + name + "\":{" +
         "\"min_sec\":" + best.fold("null")(_.toString) + "," +
         "\"runs\":[" + secs.mkString(",") + "]," +
         "\"base_sec\":" + baseM.fold("null")(_.toString) + "," +
+        "\"base_runs\":[" + baseRuns.mkString(",") + "]," +
         "\"ratio\":" + ratio.fold("null")(_.toString) + "}"
     }.mkString("{", ",", "}")
     val full = s"""{"factor":$factor,"runs_per_query":$probeRuns,""" +
@@ -417,7 +526,7 @@ object Bench {
     // map's rule) — q86_64's "q86" prefix must not overwrite q86's
     // probe entry in the compact JSON
     val seenShort = scala.collection.mutable.HashSet.empty[String]
-    val compactQ = probed.map { case (name, best, _, baseM) =>
+    val compactQ = probed.map { case (name, best, _, baseM, _) =>
       val short = name.takeWhile(_ != '_')
       val key = if (seenShort.add(short)) short else name
       val ratio = for (m <- best; b <- baseM if b > 0) yield m / b

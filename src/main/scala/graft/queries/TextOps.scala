@@ -2458,36 +2458,204 @@ object TextOps {
   }
 
   /** q113's operator: ITERATIVE BPE tokenizer training (Sennrich et
-    * al. 2016) — `nMerges` full rounds of count-pairs → pick winner →
-    * apply merge → re-induce, extending q93's single-round plan
-    * ([[bpePairMerges]]). Returns one tiny deterministic frame:
-    * `(kind, step, lhs, rhs, token, cnt)` — a `merge` row per round
-    * (the winning pair and its weighted count) plus the top-
-    * `vocabTopK` `vocab` rows of the final symbol inventory.
+    * al. 2016) — `nMerges` rounds of count-pairs → pick winner →
+    * apply merge → re-induce, over the word-frequency table. Returns
+    * one tiny deterministic frame: `(kind, step, lhs, rhs, token,
+    * cnt)` — a `merge` row per round (the winning pair and its
+    * weighted count) plus the top-`vocabTopK` `vocab` rows of the
+    * final symbol inventory.
     *
-    * Exact-greedy merge trick (engine parity): each word is held as a
-    * SYMBOL STRING with every symbol bracketed by \x01..\x02, and
-    * a round's merge is ONE plain `replace(s, \x01a\x02\x01b
-    * \x02, \x01ab\x02)`. Plain replace is left-to-right
-    * non-overlapping in Spark and DuckDB alike, and on the bracketed
-    * encoding that IS greedy BPE: occurrences of a distinct pair
-    * (a≠b) can never overlap, and same-symbol runs ([a,a,a]) resolve
-    * left-to-right exactly as the canonical trainer does — so the
-    * two engines cannot diverge, without any per-row fold. Words
-    * containing the bracket code points are excluded up front (both
-    * engines, documented corpus precondition).
+    * Architecture (the shape every production trainer uses — Spark
+    * counts, a single node trains): the corpus is touched ONCE by a
+    * distributed token→(word, count) rollup (partial-aggregable,
+    * vocabulary-sized output); the rounds then run DRIVER-SIDE over
+    * that table with INCREMENTAL pair-count updates — applying a
+    * merge only re-counts the words that contain the winning pair,
+    * the classic Sennrich algorithm. `nMerges` costs ONE Spark job
+    * total (the rollup), not a job per round: the previous
+    * round-per-job loop spent ~50ms of scheduling floor per merge,
+    * which at a production 32k-merge vocabulary is half an hour of
+    * pure scheduling — the driver rounds are microseconds each.
     *
-    * Scale story: the corpus is touched ONCE (token→word-count
-    * shuffle, vocabulary-sized output, partial-aggregable); every
-    * round after that runs on the vocab-sized word table — explode
-    * adjacent symbol pairs (fan-out = word length) into one
-    * partial-aggregable pair rollup, collect exactly ONE winner row,
-    * apply one codegen'd replace. Each round's table is persisted
-    * and the previous round unpersisted, so round r never replays
-    * rounds 1..r-1; driver state is one row per round. No windows,
-    * no joins, no corpus-sized shuffle after round 0.
+    * Exactness: the driver rounds compute the identical function as
+    * the distributed loop (same weighted pair counts, same
+    * (cnt desc, lhs, rhs) winner rule with UTF-8-byte string order —
+    * Spark's and DuckDB's — and the same left-to-right
+    * non-overlapping merge application). [[bpeTrainDistributed]] is
+    * retained as the proof twin (BpeTrainSpec pins the two
+    * frame-identical) and as the fallback when the vocabulary
+    * exceeds [[MaxDriverTrainVocab]] distinct words — beyond that
+    * the per-round distributed loop still answers, it just pays the
+    * scheduling floor. At 100 TB a raw web vocabulary can exceed
+    * driver memory; real deployments train on a frequency-floored
+    * or sampled word table (every production tokenizer does), which
+    * this rollup produces naturally.
     */
   def bpeTrain(docsFrame: DataFrame, nMerges: Int, vocabTopK: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1 (got $nMerges)")
+    require(vocabTopK >= 1, s"vocabTopK must be >= 1 (got $vocabTopK)")
+    val spark = docsFrame.sparkSession
+    val B1 = "\u0001"; val B2 = "\u0002"
+    val wc = docsFrame.select(explode(tokens(col("text"))).as("w"))
+      .filter(instr(col("w"), B1) === 0 && instr(col("w"), B2) === 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .persist()
+    try {
+      if (wc.count() > MaxDriverTrainVocab)
+        bpeTrainDistributed(docsFrame, nMerges, vocabTopK)
+      else {
+        val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+        driverBpeTrain(spark, rows, nMerges, vocabTopK)
+      }
+    } finally wc.unpersist()
+  }
+
+  /** Vocabulary-size ceiling for the driver-side training rounds;
+    * above it [[bpeTrain]] falls back to the distributed
+    * round-per-job loop. 32M words × ~50 B ≈ 1.6 GB of driver state
+    * — comfortably inside the driver of any cluster that would run
+    * a 100 TB job.
+    */
+  private[graft] val MaxDriverTrainVocab = 32L * 1000 * 1000
+
+  /** UTF-8-byte string order — Spark's (UTF8String) and DuckDB's
+    * default collation, which differs from Java's UTF-16
+    * `String.compareTo` for supplementary-plane code points. Every
+    * driver-side tie-break must use THIS order or the engines
+    * diverge on exotic vocabularies.
+    */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** The driver-side training rounds over a collected (word, count)
+    * table: canonical incremental BPE. State: each distinct word as
+    * a symbol array + an inverted pair→words index + a pair→count
+    * map; a round picks the (cnt desc, lhs asc, rhs asc) winner by
+    * one map scan, then re-counts ONLY the words the index says
+    * contain the pair (left-to-right non-overlapping application,
+    * exactly the bracketed replace's semantics). The index is
+    * add-only with stale entries skipped on read — bounded by total
+    * pair occurrences ever created.
+    */
+  private def driverBpeTrain(spark: SparkSession,
+      wordCounts: Array[(String, Long)], nMerges: Int, vocabTopK: Int)
+      : DataFrame = {
+    val nW = wordCounts.length
+    val syms = new Array[Array[String]](nW)
+    val wcs = new Array[Long](nW)
+    val pairCnt = new scala.collection.mutable.HashMap[(String, String), Long]()
+    val pairWords = new scala.collection.mutable.HashMap[(String, String),
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    def addOccurrences(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = pairCnt.getOrElse(p, 0L) + sign * wcs(wi)
+        if (c <= 0L) pairCnt.remove(p) else pairCnt.update(p, c)
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < nW) {
+      val (w, c) = wordCounts(wi)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = 0
+      while (p < w.length) {
+        val cc = Character.charCount(w.codePointAt(p))
+        buf += w.substring(p, p + cc)
+        p += cc
+      }
+      syms(wi) = buf.toArray
+      wcs(wi) = c
+      addOccurrences(wi, 1L)
+      wi += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, String, String, String, Long)]
+    var r = 1
+    while (r <= nMerges && pairCnt.nonEmpty) {
+      // winner = max count, ties by UTF-8-byte (lhs, rhs) ascending
+      var best: (String, String) = null
+      var bestC = -1L
+      for ((p, c) <- pairCnt) {
+        if (c > bestC || (c == bestC &&
+            (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2)))))
+          { best = p; bestC = c }
+      }
+      merges += (("merge", r.toLong, best._1, best._2,
+        best._1 + best._2, bestC))
+      val merged = best._1 + best._2
+      // apply to exactly the words the index lists (stale entries —
+      // words whose occurrence was consumed by an earlier merge —
+      // no longer contain the pair and fall through the rescan)
+      val hits = pairWords.remove(best).getOrElse(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      val seen = new java.util.HashSet[Integer]()
+      for (h <- hits; if seen.add(h)) {
+        val s = syms(h)
+        var contains = false
+        var i = 0
+        while (i < s.length - 1 && !contains) {
+          if (s(i) == best._1 && s(i + 1) == best._2) contains = true
+          i += 1
+        }
+        if (contains) {
+          addOccurrences(h, -1L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2) {
+              out += merged; j += 2
+            } else { out += s(j); j += 1 }
+          }
+          syms(h) = out.toArray
+          addOccurrences(h, 1L)
+        }
+      }
+      r += 1
+    }
+    // final symbol inventory, weighted by word count
+    val vocabCnt = new scala.collection.mutable.HashMap[String, Long]()
+    wi = 0
+    while (wi < nW) {
+      for (s <- syms(wi))
+        vocabCnt.update(s, vocabCnt.getOrElse(s, 0L) + wcs(wi))
+      wi += 1
+    }
+    val nDone = merges.size.toLong
+    val vocab = vocabCnt.toSeq
+      .sortWith { case ((t1, c1), (t2, c2)) =>
+        c1 > c2 || (c1 == c2 && utf8Lt(t1, t2)) }
+      .take(vocabTopK)
+      .map { case (t, c) => ("vocab", math.max(nDone, nMerges.toLong),
+        null: String, null: String, t, c) }
+    import spark.implicits._
+    (merges.toSeq ++ vocab)
+      .toDF("kind", "step", "lhs", "rhs", "token", "cnt")
+      .orderBy("kind", "step", "token")
+  }
+
+  /** The superseded round-per-Spark-job training loop, retained as
+    * the proof twin for the driver-side rounds (BpeTrainSpec pins
+    * the two frame-identical) and as [[bpeTrain]]'s fallback when
+    * the vocabulary exceeds [[MaxDriverTrainVocab]]. Exact-greedy
+    * merge trick (engine parity, shared with the oracle's unrolled
+    * CTEs): each word is held as a SYMBOL STRING with every symbol
+    * bracketed by \x01..\x02, and a round's merge is ONE plain
+    * `replace(s, \x01a\x02\x01b\x02, \x01ab\x02)` — left-to-right
+    * non-overlapping in Spark and DuckDB alike, which on that
+    * encoding IS greedy BPE. The corpus is touched once; every
+    * round runs on the vocab-sized word table with one
+    * partial-aggregable pair rollup and a 1-row collect.
+    */
+  private[graft] def bpeTrainDistributed(docsFrame: DataFrame,
+      nMerges: Int, vocabTopK: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1 (got $nMerges)")
     require(vocabTopK >= 1, s"vocabTopK must be >= 1 (got $vocabTopK)")
     val spark = docsFrame.sparkSession

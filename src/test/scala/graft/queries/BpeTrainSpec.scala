@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side BPE training rounds vs the distributed
+  * round-per-job loop they replaced: the two must be
+  * FRAME-IDENTICAL (same merges in the same order with the same
+  * counts, same vocab rows) — the driver rounds claim to be the
+  * identical function minus the per-round scheduling floor, and
+  * this spec is the machine check, exercising ties, exhaustion,
+  * same-symbol runs, and multi-round re-derivations.
+  */
+class BpeTrainSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long,
+      String, String, String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getString(2),
+      if (r.isNullAt(3)) null else r.getString(3),
+      r.getString(4), r.getLong(5))).toSeq
+
+  private def check(texts: Seq[String], nMerges: Int, topK: Int): Unit = {
+    import spark.implicits._
+    val docs = texts.toDF("text")
+    val a = rows(TextOps.bpeTrain(docs, nMerges, topK))
+    val b = rows(TextOps.bpeTrainDistributed(docs, nMerges, topK))
+    assert(a == b, s"driver=$a\ndistributed=$b")
+  }
+
+  test("driver rounds == distributed loop: English-ish corpus, 8 merges") {
+    check(Seq(
+      "the cat sat on the mat the cat sat",
+      "the quick brown fox jumps over the lazy dog",
+      "a very merry berry ferry carries the cherry",
+      "low lower lowest newer newest widest wide"), 8, 30)
+  }
+
+  test("driver rounds == distributed loop: count ties broken by (lhs, rhs) byte order") {
+    // every pair occurs exactly once per word: all counts tie and the
+    // winner is decided purely by the string order rule
+    check(Seq("zy xw vu ts", "ba dc fe hg"), 6, 20)
+  }
+
+  test("driver rounds == distributed loop: same-symbol runs resolve left-to-right") {
+    check(Seq("aaaa aaa aa", "bbbb aaaa bbbb"), 5, 10)
+  }
+
+  test("driver rounds == distributed loop: exhaustion stops early with a short merge list") {
+    // two tiny words exhaust after 3 merges; asking for 10 must yield
+    // the same truncated list on both paths
+    check(Seq("ab ab ab", "cd"), 10, 10)
+  }
+
+  test("driver rounds == distributed loop: multi-round re-derivation stress") {
+    val rnd = new scala.util.Random(7L)
+    val texts = (1 to 12).map { _ =>
+      (1 to 8).map(_ => (1 to (1 + rnd.nextInt(6)))
+        .map(_ => "abcde" (rnd.nextInt(5))).mkString).mkString(" ")
+    }
+    check(texts, 12, 25)
+  }
+}
