@@ -63,11 +63,94 @@ object SchemaEvolution {
     changes
   }
 
-  /** Day-partitioning spec (K10). Non-time partition columns are
-    * rejected exactly like the reference.
+  /** Day-partitioning spec (K10) + table labels (the K9 sub-behavior
+    * BQClient carries on TableInfo — BQClient.java:40-44,55-66).
+    * Non-time partition columns are rejected exactly like the
+    * reference.
     */
   final case class PartitionSpec(column: String,
-      expiryDays: Option[Int] = None)
+      expiryDays: Option[Int] = None,
+      labels: Map[String, String] = Map.empty)
+
+  /** What the label upsert did — BQClient's create / update / skip
+    * matrix (create the table with labels; update when the stored
+    * labels differ; skip when they already match).
+    */
+  sealed trait LabelOutcome
+  case object LabelsCreated extends LabelOutcome
+  case object LabelsUpdated extends LabelOutcome
+  case object LabelsSkipped extends LabelOutcome
+
+  /** Config-string labels parser — LabelMapConverter.java:14-33
+    * re-expressed: comma-separated `k=v` entries; entries without a
+    * `=` are dropped, keys are trimmed and empty keys dropped,
+    * values are trimmed and TRUNCATED to 63 characters (the
+    * reference's MAX_LENGTH, BigQuery's label-value limit);
+    * insertion order preserved (later duplicate keys overwrite,
+    * LinkedHashMap semantics).
+    */
+  def parseLabels(input: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (chunk <- input.split(",", -1)) {
+      val entry = chunk.split("=", -1)
+      if (entry.length > 1) {
+        val key = entry(0).trim
+        if (key.nonEmpty) {
+          val v = entry(1).trim
+          out.update(key, if (v.length > 63) v.substring(0, 63) else v)
+        }
+      }
+    }
+    out.toMap
+  }
+
+  private def labelsPath(path: String) = new Path(path, "_table_labels")
+
+  /** The landed table's stored labels (empty when none were ever
+    * written). Stored as sorted `k=v` lines in a `_table_labels`
+    * sidecar inside the table directory — the parquet-warehouse
+    * analog of BigQuery's table-metadata labels (an `ALTER TABLE SET
+    * TBLPROPERTIES` for catalog-backed tables would be the same
+    * operation against the metastore).
+    */
+  def readLabels(spark: SparkSession, path: String): Map[String, String] = {
+    val p = labelsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    }
+  }
+
+  /** Label upsert — the BQClient matrix (BQClient.java:55-66,88-92):
+    * CREATE when the table has no stored labels yet, UPDATE only
+    * when the desired map differs from the stored one, SKIP when
+    * they already match (the reference's shouldUpdateTable label
+    * clause — no write, no churn, on the hot path this is the
+    * common case). Key order is irrelevant to the comparison, like
+    * BigQuery's label maps.
+    */
+  def upsertLabels(spark: SparkSession, path: String,
+      labels: Map[String, String]): LabelOutcome = {
+    val p = labelsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existed = fs.exists(p)
+    if (existed && readLabels(spark, path) == labels) LabelsSkipped
+    else {
+      val out = fs.create(p, true)
+      try out.write(labels.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (existed) LabelsUpdated else LabelsCreated
+    }
+  }
 
   def validatePartitionSpec(schema: StructType, spec: PartitionSpec): Unit = {
     val f = schema.fields.find(_.name == spec.column).getOrElse(
@@ -91,15 +174,19 @@ object SchemaEvolution {
 
   /** Upsert: create-if-absent / validate evolution — then append the
     * batch day-partitioned on `dt=YYYY-MM-DD` derived from the spec
-    * column (K9 + K10 in one step, as BqSink+BQClient compose).
+    * column, then upsert the spec's labels (K9 + K10 in one step, as
+    * BqSink+BQClient compose — BQClient carries the labels on every
+    * table upsert and its diff decides whether anything is written).
     */
-  def writePartitioned(df: DataFrame, path: String, spec: PartitionSpec): Unit = {
+  def writePartitioned(df: DataFrame, path: String,
+      spec: PartitionSpec): LabelOutcome = {
     validatePartitionSpec(df.schema, spec)
     currentSchema(df.sparkSession, path).foreach { cur =>
       validate(StructType(cur.filterNot(_.name == "dt")), df.schema)
     }
     df.withColumn("dt", date_format(col(spec.column), "yyyy-MM-dd"))
       .write.mode("append").partitionBy("dt").parquet(path)
+    upsertLabels(df.sparkSession, path, spec.labels)
   }
 
   /** Partition expiry: drop dt= partitions older than expiryDays

@@ -65,6 +65,42 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assertThrows[TableUpdateFailure](writePartitioned(bad, dir, PartitionSpec("ts")))
   }
 
+  test("label upsert matrix: create with labels, update on diff, skip on match (BQClient.java:55-92)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lbl").toString + "/table"
+    val v1 = Seq((1L, "a", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("id", "name", "ts")
+    val labels = Map("team" -> "data", "env" -> "prod")
+    // CREATE: table did not exist; labels land with it
+    assert(writePartitioned(v1, dir, PartitionSpec("ts", labels = labels))
+      == LabelsCreated)
+    assert(readLabels(spark, dir) == labels)
+    // SKIP: same labels (different key order) — no metadata churn
+    assert(writePartitioned(v1, dir,
+      PartitionSpec("ts", labels = Map("env" -> "prod", "team" -> "data")))
+      == LabelsSkipped)
+    // UPDATE: a changed value rewrites the stored map
+    val changed = Map("team" -> "data", "env" -> "staging")
+    assert(writePartitioned(v1, dir, PartitionSpec("ts", labels = changed))
+      == LabelsUpdated)
+    assert(readLabels(spark, dir) == changed)
+    // labels are table metadata, not data: rows unaffected
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("parseLabels: LabelMapConverter parity (separators, trims, 63-char truncation)") {
+    assert(parseLabels("a=b,c=d") == Map("a" -> "b", "c" -> "d"))
+    // no '=' entries and empty keys are dropped; values trimmed
+    assert(parseLabels("noequals, =orphan,key = spaced ,k=v")
+      == Map("key" -> "spaced", "k" -> "v"))
+    // value truncated to the reference's MAX_LENGTH = 63
+    val long = "x" * 80
+    assert(parseLabels(s"k=$long")("k") == "x" * 63)
+    // later duplicate key overwrites (LinkedHashMap put semantics)
+    assert(parseLabels("k=1,k=2") == Map("k" -> "2"))
+    assert(parseLabels("") == Map.empty)
+  }
+
   test("partition expiry drops only stale dt= partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_exp").toString + "/table"
