@@ -141,6 +141,15 @@ object CurationPipeline {
     * the min doc_id. The URL column is provenance only — it is
     * dropped after the stage and never emitted.
     *
+    * `urlGatePatterns` (requires `urlCol`) inserts the URL pattern
+    * gate (q120, WebOps.urlBlocked) as stage 0a, FIRST — before even
+    * URL dedup, because the raw URL shape is free relative to
+    * canonicalization: a login/session/calendar URL blocked here
+    * never pays for anything, including the dedup rollup. The gate
+    * runs on the RAW url (patterns may target exactly the parts —
+    * params, fragments — canonicalization strips), matching q120.
+    * Pure per-row predicate — no join, no shuffle.
+    *
     * `classifierMinScore`, when set, inserts the model-based quality
     * gate (q105, TextOps.withClassifierScore) after the rule-based
     * quality stage: keep only docs whose exact-integer linear-probe
@@ -216,6 +225,7 @@ object CurationPipeline {
       c4Lines: Boolean = false,
       dedupLines: Boolean = false,
       urlCol: Option[String] = None,
+      urlGatePatterns: Option[Seq[String]] = None,
       classifierMinScore: Option[Long] = None,
       keepBestOfCluster: Boolean = false,
       domainCapN: Option[Int] = None,
@@ -225,6 +235,8 @@ object CurationPipeline {
       blockLexicon: Option[Seq[String]] = None,
       stageDir: Option[String] = None)
       : Seq[StageCount] = {
+    require(urlGatePatterns.isEmpty || urlCol.nonEmpty,
+      "urlGatePatterns needs urlCol: the gate matches against the URL")
     require(domainCapN.isEmpty || urlCol.nonEmpty,
       "domainCapN needs urlCol: the cap keys on the URL's canonical host")
     require(domainMeanMinScore.isEmpty || urlCol.nonEmpty,
@@ -285,7 +297,7 @@ object CurationPipeline {
         keepPplBuckets.map(_.toSeq.sorted), budgetFrac, editMinSim,
         semanticDecon.map { case (_, probes, minCos) =>
           (frameDigest(probes), minCos) },
-        c4Lines, dedupLines, urlCol,
+        c4Lines, dedupLines, urlCol, urlGatePatterns,
         classifierMinScore, keepBestOfCluster, domainCapN,
         domainMeanMinScore, authorityMinPrMicro, blockLexicon,
         authorityLinks.map(frameDigest)).mkString("|")
@@ -335,20 +347,29 @@ object CurationPipeline {
     val input = stage("input", docs.select(
       ("doc_id" +: "text" +: "lang" +: "source" +: urlCol.toSeq).map(col): _*))
 
+    // 0a. optional URL pattern gate (q120) — block URL shapes before
+    // ANY other work, dedup included: the raw-URL predicate is free
+    // relative to even canonicalization, and a blocked recrawl
+    // never enters the dedup rollup. Per-row codegen'd filter.
+    val urlGated = (for { uc <- urlCol; pats <- urlGatePatterns } yield
+      stage("url_gate",
+        input.filter(!WebOps.urlBlocked(col(uc), pats)))
+    ).getOrElse(input)
+
     // 0. optional URL-level dedup (q103) — keep the min-doc_id doc
     // per canonical URL: one partial-aggregable groupBy on the
     // canonical key + an ids-only join back (the q30 shape, but on a
     // tens-of-bytes provenance key instead of a text hash). Runs
-    // before everything: a recrawl duplicate shed here never pays
-    // for redaction, line cleanup or content hashing.
-    val urlDeduped = urlCol.fold(input) { uc =>
-      val keepers = input
+    // before everything else: a recrawl duplicate shed here never
+    // pays for redaction, line cleanup or content hashing.
+    val urlDeduped = urlCol.fold(urlGated) { uc =>
+      val keepers = urlGated
         .groupBy(WebOps.canonicalizeUrl(col(uc)).as("cu"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       // the url column survives this stage for the optional domain
       // cap below; the redaction projection retires it either way
-      stage("url_dedup", input.join(keepers, Seq("doc_id")))
+      stage("url_dedup", urlGated.join(keepers, Seq("doc_id")))
     }
 
     // 0b. optional per-domain document cap (q104) — keep at most

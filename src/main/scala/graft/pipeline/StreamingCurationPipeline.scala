@@ -11,6 +11,10 @@ import org.apache.spark.storage.StorageLevel
   * [[CurationPipeline]], assembled from the same oracle-checked
   * operator functions and mirroring its stage order:
   *
+  *   url_gate       → (optional) q120's URL pattern gate, stateless
+  *                    per row BEFORE the stateful dedup (batch
+  *                    order; a blocked recrawl never allocates
+  *                    dedup state) — ledger row via observe()
   *   url_dedup      → q103's rule as watermarked stream state
   *                    (keep the FIRST-arriving doc per canonical URL;
   *                    equals batch min-doc_id when arrival follows
@@ -59,6 +63,7 @@ object StreamingCurationPipeline {
       c4MinWordsPerLine: Int = 3,
       c4MinKeptLines: Int = 5,
       blockLexicon: Option[Seq[String]] = None,
+      urlGatePatterns: Option[Seq[String]] = None,
       lateness: String = "1 hour")
 
   /** Starts the composed pipeline over a (doc_id, text, url, ts)
@@ -173,20 +178,67 @@ object StreamingCurationPipeline {
       new CurateSink(inner, counted(name)(t))
     }
 
-    val deduped = StreamOps.urlDedupStream(docs, cfg.lateness)
+    // stage 0a: the optional q120 URL pattern gate, BEFORE the
+    // stateful dedup (batch order — and a blocked recrawl never
+    // allocates URL-dedup state). It is a stateless filter upstream
+    // of the foreachBatch chain, so its ledger row comes from an
+    // observe() metric: per-batch survivor counts delivered by the
+    // progress listener, keyed by batchId like every chain stage
+    // (replays overwrite — same idempotency rule).
+    val gated = cfg.urlGatePatterns.fold(docs) { pats =>
+      docs.filter(!graft.queries.WebOps.urlBlocked(col("url"), pats))
+        .observe("url_gate", count(lit(1)).as("n"))
+    }
+    val deduped = StreamOps.urlDedupStream(gated, cfg.lateness)
     val writer = deduped.writeStream.outputMode("append")
       .queryName("curate_stream")
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    // listener registered BEFORE start so no early batch is missed;
+    // it filters on the started query's id as soon as that is known
+    // (tests run pipelines sequentially — a second curate_stream
+    // only appears after this one terminates and unregisters)
+    @volatile var qid: java.util.UUID = null
+    cfg.urlGatePatterns.foreach { _ =>
+      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          if (e.progress.name == "curate_stream" &&
+              (qid == null || e.progress.id == qid)) {
+            val m = e.progress.observedMetrics.get("url_gate")
+            if (m != null) ledger.synchronized {
+              ledger.getOrElseUpdate("url_gate",
+                new scala.collection.mutable.LinkedHashMap[Long, Long]())
+                .update(e.progress.batchId, m.getLong(0))
+            }
+          }
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (qid != null && e.id == qid) spark.streams.removeListener(this)
+      }
+      spark.streams.addListener(l)
+    }
     val query = writer
       .foreachBatch { (batch: DataFrame, id: Long) =>
         currentBatch = id
         sink.write(batch, id)
       }
       .start()
+    qid = query.id
     (query, () => ledger.synchronized {
-      ledger.toSeq.map { case (s, perBatch) =>
+      val rows = ledger.toSeq.map { case (s, perBatch) =>
         StageCount(s, perBatch.valuesIterator.sum)
       }
+      // url_gate's counts arrive via the async listener, so its
+      // insertion order is arbitrary — pin it to its pipeline
+      // position (first)
+      val (gate, rest) = rows.partition(_.stage == "url_gate")
+      gate ++ rest
     })
   }
 }

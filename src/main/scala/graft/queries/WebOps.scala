@@ -230,11 +230,17 @@ object WebOps {
     * kept).
     */
   def urlPatternGate(docsWithUrl: DataFrame, patterns: Seq[String],
-      urlCol: String = "url"): DataFrame = {
-    require(patterns.nonEmpty, "urlPatternGate needs at least one pattern")
-    val blocked = patterns.map(p => col(urlCol).rlike(p)).reduce(_ || _)
+      urlCol: String = "url"): DataFrame =
     docsWithUrl.select(col("doc_id"), col(urlCol).as("url"),
-      (!blocked).as("kept"))
+      (!urlBlocked(col(urlCol), patterns)).as("kept"))
+
+  /** The gate's per-row predicate, shared by the query above and the
+    * batch/streaming pipeline stages (one rule, every consumer —
+    * the lexiconFlagged convention).
+    */
+  def urlBlocked(url: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "urlPatternGate needs at least one pattern")
+    patterns.map(url.rlike(_)).reduce(_ || _)
   }
 
   /** Deterministic synthetic URL for the `documents` table (the

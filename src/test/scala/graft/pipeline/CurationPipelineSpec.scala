@@ -436,6 +436,54 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(kept2 == Set(1L, 2L), kept2)
   }
 
+  test("url_gate blocks URL shapes before url_dedup; control run keeps them") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    val two = real.filter(graft.queries.TextOps.gopherKept(col("text")))
+      .filter($"source" =!= "src0").orderBy("doc_id")
+      .select("text").as[String].take(3)
+    val docs = Seq(
+      // blocked by URL shape alone (quality-passing text)
+      (1L, two(0), "en", "src1", "https://example.com/login?next=/a"),
+      // blocked calendar explosion
+      (2L, two(1), "en", "src2", "https://example.com/cal/2020/01/01"),
+      // clean URL, SAME canonical URL as another clean doc — must
+      // still reach url_dedup and collapse there (gate ran FIRST,
+      // dedup still did its job after)
+      (3L, two(2), "en", "src3", "https://example.com/a?utm_source=x"),
+      (4L, two(2), "en", "src4", "https://EXAMPLE.com/a")
+    ).toDF("doc_id", "text", "lang", "source", "url")
+    val pats = Seq("/login", "/cal/\\d{4}/")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_ug").toString
+    val ledger = CurationPipeline.run(spark, docs, probeSource = "src0",
+      outDir = out, urlCol = Some("url"), urlGatePatterns = Some(pats))
+    assert(ledger.map(_.stage).take(3) == Seq("input", "url_gate",
+      "url_dedup"), ledger)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(counts("url_gate") == 2L, ledger) // docs 1, 2 blocked
+    assert(counts("url_dedup") == 1L, ledger) // 3/4 collapse to 3
+    val kept = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept == Set(3L), kept)
+
+    // control: no gate — stage absent, the login/calendar docs
+    // survive all the way out (their deaths above were the gate's)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_ug2").toString
+    val l2 = CurationPipeline.run(spark, docs, "src0", out2,
+      urlCol = Some("url"))
+    assert(!l2.map(_.stage).contains("url_gate"), l2)
+    val kept2 = spark.read.parquet(out2).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept2 == Set(1L, 2L, 3L), kept2)
+
+    // the gate requires the url column it matches on
+    assertThrows[IllegalArgumentException](
+      CurationPipeline.run(spark, docs.drop("url"), "src0", out2,
+        urlGatePatterns = Some(pats)))
+  }
+
   test("domain_cap keeps the longest `cap` docs per host; others unaffected") {
     import spark.implicits._
     // host = source.example.com under synthUrl with UNIQUE canonical

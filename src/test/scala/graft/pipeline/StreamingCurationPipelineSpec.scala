@@ -277,4 +277,67 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     val got = ledger2().map(s => s.stage -> s.docs).toMap
     assert(got("url_dedup") == 1L, got)
   }
+
+  test("url_gate blocks URL shapes before dedup state; control run keeps them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    //  1 pageA clean url                   -> survives
+    //  2 login URL (batch 1)               -> url_gate
+    //  3 calendar URL (batch 2, CROSS-batch gate) -> url_gate
+    //  4 canonical URL dup of 1 (batch 2)  -> url_dedup (the gate ran
+    //    first and dedup still caught its pair afterwards)
+    val batch1 = Seq(
+      (1L, pageA, "https://site.example.com/a", ts(0)),
+      (2L, pageB, "https://site.example.com/login?next=/a", ts(1)))
+    val batch2 = Seq(
+      (3L, pageD, "https://site.example.com/cal/2020/02/01", ts(5)),
+      (4L, pageG, "https://SITE.example.com/a?utm_source=x", ts(6)))
+    val pats = Seq("/login", "/cal/\\d{4}/")
+
+    def run(gate: Option[Seq[String]]): (Seq[Long],
+        Seq[(String, Long)]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        urlGatePatterns = gate)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val collectSink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      val stream = MemoryStream[(Long, String, String, Timestamp)]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, collectSink)
+      stream.addData(batch1)
+      query.processAllAvailable()
+      stream.addData(batch2)
+      query.processAllAvailable()
+      query.stop()
+      // the url_gate row arrives via the async progress listener:
+      // wait briefly for the final batch's metric to land
+      if (gate.isDefined) {
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline &&
+            !ledger().exists(s => s.stage == "url_gate" && s.docs == 2L))
+          Thread.sleep(50)
+      }
+      (landed.toSeq.sorted, ledger().map(s => s.stage -> s.docs))
+    }
+
+    val (landedOn, ledgerOn) = run(Some(pats))
+    assert(ledgerOn == Seq("url_gate" -> 2L, "url_dedup" -> 1L,
+      "line_filter" -> 1L, "classifier" -> 1L, "incr_dedup" -> 1L,
+      "decontaminated" -> 1L), ledgerOn)
+    assert(landedOn == Seq(1L), landedOn)
+
+    // control: no gate — row absent, the login/calendar docs sail
+    // through to landing (their deaths above were the gate's alone)
+    val (landedOff, ledgerOff) = run(None)
+    assert(!ledgerOff.exists(_._1 == "url_gate"), ledgerOff)
+    assert(landedOff == Seq(1L, 2L, 3L), landedOff)
+  }
 }
