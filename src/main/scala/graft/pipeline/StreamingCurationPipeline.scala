@@ -29,6 +29,12 @@ import org.apache.spark.storage.StorageLevel
   *                    never re-read as text)
   *   decontaminated → q58's shingle sweep against the broadcast
   *                    probe set
+  *   cluster_tag    → (optional) q116's online per-row argmin
+  *                    against run-pinned centroids — survivors land
+  *                    tagged with `cell_id` (a tag, not a filter);
+  *                    needs an `embedding` column on the stream.
+  *                    q117's per-cell best-of cut stays batch-only
+  *                    (corpus-level cutoff — the tokenBudget rule)
   *
   * Placement of state — the part that makes this runnable forever:
   * the ONLY cross-batch stream state is url_dedup's per-canonical-URL
@@ -64,6 +70,7 @@ object StreamingCurationPipeline {
       c4MinKeptLines: Int = 5,
       blockLexicon: Option[Seq[String]] = None,
       urlGatePatterns: Option[Seq[String]] = None,
+      clusterCentroids: Option[DataFrame] = None,
       lateness: String = "1 hour")
 
   /** Starts the composed pipeline over a (doc_id, text, url, ts)
@@ -162,7 +169,18 @@ object StreamingCurationPipeline {
           .filter(col("n_shared") >= cfg.minShared)
           .select("doc_id")
         df.join(flagged, Seq("doc_id"), "left_anti")
-      }))
+      })) ++
+      // optional cluster TAG (q116's online assignment rule,
+      // StreamOps.clusterAssignStream): annotates survivors with
+      // their k-means cell against the run-pinned centroid literal —
+      // a tag, not a filter (count == decontaminated's), stateless
+      // per row. Requires the stream to carry `embedding`. The
+      // per-cell best-of cut (q117) stays with the periodic batch
+      // compaction — corpus-level cutoffs are underivable online
+      // (the tokenBudget rule, documented on clusterBalancedSelect).
+      cfg.clusterCentroids.toSeq.map(cents =>
+        "cluster_tag" -> ((df: DataFrame) =>
+          StreamOps.clusterAssignStream(df, cents)))
 
     // innermost rung: land the survivors, then release the batch's
     // stage caches whether the landing succeeded or not

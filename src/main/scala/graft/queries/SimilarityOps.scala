@@ -793,6 +793,15 @@ object SimilarityOps {
     * side — the q104 anti-window move, so the hottest cell costs
     * O(perCell) memory, never a per-cell sort funnel. Returns
     * (cell_id, doc_id, score, rnk), rnk 1..perCell best-first.
+    *
+    * BATCH-ONLY by nature (the tokenBudget rule): "best perCell per
+    * cell" is a corpus-level cutoff, underivable from an unbounded
+    * stream without unbounded heap state per cell and without
+    * revoking already-emitted rows when a better doc arrives. The
+    * streaming pipeline instead TAGS rows with their cell
+    * ([[graft.streaming.StreamOps.clusterAssignStream]], the
+    * cluster_tag stage) and leaves the per-cell cut to the periodic
+    * batch compaction that also refreshes the dedup index.
     */
   def clusterBalancedSelect(embFrame: DataFrame, docsFrame: DataFrame,
       k: Int, iters: Int, perCell: Int): DataFrame = {

@@ -81,11 +81,17 @@ object CurationDemo {
     val blocklist = sys.env.get("SPARK_GRAFT_BLOCKLIST")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
+    // SPARK_GRAFT_URL_GATE=pat1,pat2 (with SPARK_GRAFT_URL_COL)
+    // enables the q120 URL pattern gate as stage 0a
+    val urlGate = sys.env.get("SPARK_GRAFT_URL_GATE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
       outDir = outDir, keepPplBuckets = keep, budgetFrac = budget,
       c4Lines = lineStages, dedupLines = lineStages,
-      urlCol = urlCol, classifierMinScore = clfMin,
+      urlCol = urlCol, urlGatePatterns = urlGate,
+      classifierMinScore = clfMin,
       keepBestOfCluster = keepBest, domainCapN = domCap,
       domainMeanMinScore = domMin, blockLexicon = blocklist)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))

@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.Tables
+import graft.queries.SimilarityOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Runnable IVF-PQ index-maintenance demo — the OPERATIONAL loop the
+  * incremental-ANN operators exist for, end to end:
+  *
+  *   1. build the standing index from the day-one corpus and persist
+  *      it (the on-disk artifact every later day starts from);
+  *   2. a delta arrives → encode ONLY the delta and take the q118
+  *      drift report against the standing index (slim index rows on
+  *      both sides — the standing corpus's embeddings are never
+  *      re-read);
+  *   3. vote quorum NOT reached → `appendToIvfPqIndex` (per-row
+  *      delta-sized work, append-invariant with the fixed codebook);
+  *   4. a DRIFTED delta arrives (the demo shifts its vectors, the
+  *      "new data mode" scenario the detector exists for) → the
+  *      report's votes fire → REFIT the codebook on the full corpus
+  *      (kmeansFit from the standing seeds) and REBUILD — the one
+  *      corpus-sized operation, which is exactly why the report
+  *      gates it.
+  *
+  * Usage:
+  *   MAIN=graft.tools.IndexMaintenanceDemo tools/run_verify.sh <sfDir> <outDir>
+  * Knobs: SPARK_GRAFT_DRIFT_BP (vote threshold, default 250 bp),
+  * SPARK_GRAFT_DRIFT_QUORUM (min voting cells; default = a MAJORITY
+  * of cells — a small delta's per-cell shares carry +-1-row
+  * quantization noise that can flip isolated votes, while a real
+  * data-mode shift moves most cells at once, so the quorum asks
+  * "is the shift corpus-wide?", not "did any cell wiggle?").
+  */
+object IndexMaintenanceDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(in, outDir) = args.take(2)
+    val spark = Tables.localSession()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val thresholdBp = sys.env.getOrElse("SPARK_GRAFT_DRIFT_BP", "250").toLong
+    val quorumEnv = sys.env.get("SPARK_GRAFT_DRIFT_QUORUM").map(_.trim.toInt)
+    val codebook = SimilarityOps.Ivf.codebook
+
+    val e = Tables(spark, in, "embeddings")
+      .select(col("vec_id").as("cand_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+
+    // day 1: index the standing 80% and persist the artifact
+    val standingCorpus = e.filter(col("cand_id") % 10 < 8)
+    val idxPath = s"$outDir/ivfpq_index"
+    SimilarityOps.buildIvfPqIndex(standingCorpus, codebook)
+      .write.mode("overwrite").parquet(idxPath)
+    val standingIdx = spark.read.parquet(idxPath)
+    println(s"[index] standing index: ${standingIdx.count()} rows -> $idxPath")
+
+    /** Prints the report; returns (voting cells, quorum) — quorum
+      * defaults to a majority of the report's cells.
+      */
+    def report(name: String, deltaIdx: DataFrame): (Long, Int) = {
+      val r = SimilarityOps.ivfDriftReport(standingIdx, deltaIdx, thresholdBp)
+        .orderBy("cell_id").collect()
+      println(s"[index] drift report ($name, threshold $thresholdBp bp):")
+      r.foreach { row =>
+        println(f"[index]   cell ${row.getInt(0)}%2d  standing ${row.getLong(1)}%4d" +
+          f"  delta ${row.getLong(2)}%4d  drift ${row.getLong(5)}%5d bp" +
+          s"  vote ${row.getBoolean(6)}")
+      }
+      (r.count(_.getBoolean(6)).toLong,
+        quorumEnv.getOrElse((r.length + 1) / 2))
+    }
+
+    // day 2: an in-distribution delta — votes stay under quorum,
+    // the cheap path (append) is taken
+    val deltaA = e.filter(col("cand_id") % 10 === 8)
+    val deltaAIdx = SimilarityOps.buildIvfPqIndex(deltaA, codebook)
+    val (votesA, quorum) = report("in-distribution delta", deltaAIdx)
+    println(s"[index] $votesA voting cells (quorum $quorum)")
+    if (votesA < quorum) {
+      SimilarityOps.appendToIvfPqIndex(standingIdx, deltaA, codebook)
+        .write.mode("overwrite").parquet(s"$outDir/ivfpq_index_appended")
+      val n = spark.read.parquet(s"$outDir/ivfpq_index_appended").count()
+      println(s"[index] APPEND: delta encoded per-row, standing corpus " +
+        s"untouched ($n rows)")
+    } else println("[index] unexpected rebuild vote on in-distribution delta")
+
+    // day 3: a DRIFTED delta — a new data mode the fitted centroids
+    // have never seen (vectors shifted off the corpus manifold)
+    val deltaB = e.filter(col("cand_id") % 10 === 9)
+      .select(col("cand_id"),
+        transform(col("ce"), x => x + lit(0.8)).as("ce"))
+    val deltaBIdx = SimilarityOps.buildIvfPqIndex(deltaB, codebook)
+    val (votesB, _) = report("drifted delta", deltaBIdx)
+    println(s"[index] $votesB voting cells (quorum $quorum)")
+    if (votesB >= quorum) {
+      // the gated expensive path: refit centroids on the FULL corpus
+      // (standing + both deltas) and re-encode everything
+      val full = standingCorpus.unionByName(deltaA).unionByName(deltaB)
+        .select(col("cand_id"), col("ce").as("e"))
+      val refit = SimilarityOps.kmeansFit(full,
+        SimilarityOps.Ivf.seeds, iters = 3)
+      SimilarityOps.buildIvfPqIndex(full.select(col("cand_id"),
+          col("e").as("ce")), refit)
+        .write.mode("overwrite").parquet(s"$outDir/ivfpq_index_rebuilt")
+      val n = spark.read.parquet(s"$outDir/ivfpq_index_rebuilt").count()
+      println(s"[index] REBUILD: codebook refit on the full corpus, " +
+        s"$n rows re-encoded — the corpus-sized cost the drift vote gates")
+    } else println("[index] drifted delta did not reach quorum — raise " +
+      "SPARK_GRAFT_DRIFT_BP sensitivity or check the corpus")
+    spark.stop()
+  }
+}

@@ -340,4 +340,72 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(!ledgerOff.exists(_._1 == "url_gate"), ledgerOff)
     assert(landedOff == Seq(1L, 2L, 3L), landedOff)
   }
+
+  test("cluster_tag annotates survivors with their k-means cell; control run has no tag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    // two well-separated embedding modes so the fit is non-vacuous
+    val fitEmb = Seq(
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.1f, 0.9f)), (4L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.queries.SimilarityOps.kmeansMicro(
+      fitEmb, k = 2, iters = 2)
+
+    val rows = Seq(
+      (1L, pageA, "https://site.example.com/a", ts(0), Seq(0.92f, 0.08f)),
+      (2L, pageD, "https://site.example.com/d", ts(1), Seq(0.07f, 0.93f)),
+      (3L, pageG, "https://site.example.com/g", ts(5), Seq(0.88f, 0.12f)))
+
+    def run(cents: Option[DataFrame]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        clusterCentroids = cents)
+      val landedCols =
+        scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val landed = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      val collectSink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit = {
+          landedCols += df.columns.toSeq
+          if (df.columns.contains("cell_id"))
+            landed ++= df.select("doc_id", "cell_id").collect()
+              .map(r => (r.getLong(0), r.getInt(1)))
+        }
+      }
+      val stream = MemoryStream[(Long, String, String, Timestamp, Seq[Float])]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts", "embedding"),
+        cfg, collectSink)
+      stream.addData(rows.take(2))
+      query.processAllAvailable()
+      stream.addData(rows.drop(2))
+      query.processAllAvailable()
+      query.stop()
+      (landed.toSeq.sortBy(_._1), landedCols.toSeq,
+        ledger().map(s => s.stage -> s.docs).toMap)
+    }
+
+    val (tagged, _, ledgerOn) = run(Some(centroids))
+    // a TAG, not a filter: cluster_tag count equals decontaminated's
+    assert(ledgerOn("cluster_tag") == 3L &&
+      ledgerOn("decontaminated") == 3L, ledgerOn)
+    // stream==batch parity: the landed tags equal the batch
+    // assignment of the same rows against the same centroids
+    val want = StreamOps.clusterAssignStream(
+        rows.toDF("doc_id", "text", "url", "ts", "embedding"), centroids)
+      .select("doc_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sortBy(_._1)
+    assert(want.map(_._2).toSet.size > 1, "parity vacuous: one cell")
+    assert(tagged == want, s"stream=$tagged batch=$want")
+
+    // control: no centroids — no stage row, no cell_id column landed
+    val (_, colsOff, ledgerOff) = run(None)
+    assert(!ledgerOff.contains("cluster_tag"), ledgerOff)
+    assert(colsOff.forall(!_.contains("cell_id")), colsOff)
+  }
 }
