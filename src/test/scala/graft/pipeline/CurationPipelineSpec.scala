@@ -659,6 +659,34 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("DIFFERENT pipeline config"), ex.getMessage)
   }
 
+  test("stageDir fingerprint covers DataFrame inputs: a drifted link graph fails loud") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+      .select("doc_id", "text", "lang", "source", "url")
+    val links1 = Seq(("a.example.com", "b.example.com"),
+      ("c.example.com", "b.example.com")).toDF("src_h", "dst_h")
+    val sdir = java.nio.file.Files.createTempDirectory("graft_sdf").toString
+    def runWith(links: org.apache.spark.sql.DataFrame) =
+      CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = java.nio.file.Files.createTempDirectory("graft_sdf_o").toString,
+        urlCol = Some("url"), domainMeanMinScore = Some(1L),
+        authorityLinks = Some(links), authorityMinPrMicro = Some(999999999L),
+        stageDir = Some(sdir))
+    runWith(links1)
+    // identical frame content (rebuilt, different object) → resumes
+    runWith(Seq(("a.example.com", "b.example.com"),
+      ("c.example.com", "b.example.com")).toDF("src_h", "dst_h"))
+    // drifted graph, every scalar knob identical → loud refusal: the
+    // scalar fingerprint alone would silently mix stage semantics
+    val ex = intercept[IllegalArgumentException] {
+      runWith(Seq(("a.example.com", "z.example.com")).toDF("src_h", "dst_h"))
+    }
+    assert(ex.getMessage.contains("DIFFERENT pipeline config"), ex.getMessage)
+  }
+
   test("lexicon_gate drops blocklisted pages; control run keeps them") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")
