@@ -1980,6 +1980,41 @@ object TextOps {
         .orderBy("lang")
     },
 
+    // ---- q122: BPE encoding at depth (64 merges, token identity) -
+    // The oracle pin for the r14 BPE machinery at a NON-TRIVIAL
+    // merge count: train 64 rounds (driver-side incremental rounds —
+    // the oracle re-trains via 64 unrolled materialized CTE rounds,
+    // so a hash match pins the driver trainer against the SQL
+    // formulation at 8× q113's depth) and encode through the native
+    // bpe_encode expression. `fp` is the md5 of the full bracketed
+    // token STREAM (word boundaries dropped), so the match pins
+    // token IDENTITY — every symbol of every document — not just
+    // counts. Corpus precondition: sf0.01 exhausts at 89 merges
+    // (measured), so 64 rounds never empty the oracle's m_r tables.
+    QueryDef(
+      "q122_bpe_encode64",
+      s"""WITH ${bpeEncodeSqlCtes(64)},
+         |f AS (SELECT doc_id, replace(es, chr(3), '') AS flat FROM enc)
+         |SELECT doc_id,
+         |  CAST(len(flat) - len(replace(flat, chr(1), '')) AS BIGINT)
+         |    AS n_bpe,
+         |  md5(flat) AS fp
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val learned = bpeTrain(d.select("text"), nMerges = 64, vocabTopK = 1)
+        .filter(col("kind") === "merge").orderBy("step")
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      bpeEncode(d, learned)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe"),
+          md5(when(size(col("bpe_tokens")) === 0, lit(""))
+            .otherwise(concat(lit("\u0001"),
+              array_join(col("bpe_tokens"), "\u0002\u0001"),
+              lit("\u0002"))).cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // ---- q119: C4 lexicon page gate ------------------------------
     // The blocklist page rule next to q102's line rules: any page
     // containing a blocklisted token drops wholesale. The demo
