@@ -350,6 +350,13 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BPE_BENCH_RUNS", "2").toInt
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("text").persist(StorageLevel.MEMORY_AND_DISK)
+    try bpeMergeScaleBody(spark, sfDir, docs, nTrain, reps)
+    finally docs.unpersist() // even on error — a leaked text-column
+    // cache would skew the scale probe that runs right after
+  }
+
+  private def bpeMergeScaleBody(spark: SparkSession, sfDir: String,
+      docs: DataFrame, nTrain: Int, reps: Int): String = {
     docs.count()
     import org.apache.spark.sql.functions.{col, size, sum}
     // the synthetic corpus has a ~31-word vocabulary and EXHAUSTS
@@ -402,7 +409,6 @@ object Bench {
         cha(n) += (System.nanoTime() - t0) / 1e9
       }
     }
-    docs.unpersist()
     def mins(m: scala.collection.mutable.LinkedHashMap[Int,
         scala.collection.mutable.ArrayBuffer[Double]]): Seq[(Int, Double)] =
       m.toSeq.map { case (n, xs) => (n, xs.min) }

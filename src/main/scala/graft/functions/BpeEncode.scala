@@ -154,7 +154,7 @@ object BpeEncodeImpl {
       : Unit = {
     // initial symbols: one per CODE POINT (the trainer brackets with
     // substr(w, i, 1), which is code-point addressed in both engines)
-    var cap = until - from
+    val cap = until - from
     val syms = new Array[String](cap)
     val ids = new Array[Int](cap)
     val cr = new Array[Int](cap) // creation rank; 0 = initial char

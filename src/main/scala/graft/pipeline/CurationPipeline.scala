@@ -351,9 +351,12 @@ object CurationPipeline {
     // ANY other work, dedup included: the raw-URL predicate is free
     // relative to even canonicalization, and a blocked recrawl
     // never enters the dedup rollup. Per-row codegen'd filter.
+    // NULL urls PASS (coalesce): no pattern matched them, and the
+    // gate must not be stricter than the q120 rule it shares — the
+    // domain gate's no-evidence-passes convention.
     val urlGated = (for { uc <- urlCol; pats <- urlGatePatterns } yield
       stage("url_gate",
-        input.filter(!WebOps.urlBlocked(col(uc), pats)))
+        input.filter(coalesce(!WebOps.urlBlocked(col(uc), pats), lit(true))))
     ).getOrElse(input)
 
     // 0. optional URL-level dedup (q103) — keep the min-doc_id doc

@@ -80,7 +80,14 @@ object StreamingCurationPipeline {
     * form of [[CurationPipeline.run]]'s return value. Counts are
     * keyed per batchId internally and OVERWRITTEN on a replayed or
     * retried batch, so the totals stay exact under foreachBatch's
-    * at-least-once delivery instead of inflating on retries. The ledger's
+    * at-least-once delivery instead of inflating on retries.
+    * CAVEAT (url_gate only): that stage runs upstream of the
+    * foreachBatch chain, so its counts arrive via the ASYNC
+    * StreamingQueryListener — a snapshot taken immediately after
+    * `processAllAvailable()` can momentarily lag the chain stages
+    * by the latest batch (url_gate < url_dedup is then possible);
+    * poll briefly when exact cross-stage consistency matters. The
+    * chain stages themselves are always mutually consistent. The ledger's
     * url_dedup row counts rows ENTERING the batch chain (i.e. after
     * the stateful keep-first); the pre-dedup input count lives in the
     * source's own metrics, not here.
@@ -175,12 +182,19 @@ object StreamingCurationPipeline {
       // their k-means cell against the run-pinned centroid literal —
       // a tag, not a filter (count == decontaminated's), stateless
       // per row. Requires the stream to carry `embedding`. The
+      // centroid frame is COLLECTED ONCE here at stream setup: the
+      // stage transform runs every micro-batch, and collecting
+      // inside it would re-execute the centroid plan (a full k-means
+      // fit, for kmeansMicro's lazy output) per batch — and let a
+      // live-data frame drift the tags between batches. The
       // per-cell best-of cut (q117) stays with the periodic batch
       // compaction — corpus-level cutoffs are underivable online
       // (the tokenBudget rule, documented on clusterBalancedSelect).
-      cfg.clusterCentroids.toSeq.map(cents =>
+      cfg.clusterCentroids.toSeq.map { centFrame =>
+        val pinned = graft.queries.SimilarityOps.collectCentroids(centFrame)
         "cluster_tag" -> ((df: DataFrame) =>
-          StreamOps.clusterAssignStream(df, cents)))
+          StreamOps.clusterAssignStream(df, pinned))
+      }
 
     // innermost rung: land the survivors, then release the batch's
     // stage caches whether the landing succeeded or not
@@ -203,8 +217,11 @@ object StreamingCurationPipeline {
     // observe() metric: per-batch survivor counts delivered by the
     // progress listener, keyed by batchId like every chain stage
     // (replays overwrite — same idempotency rule).
+    // NULL urls PASS (coalesce) — same no-evidence rule as the batch
+    // stage; without it the NULL predicate silently drops the row
     val gated = cfg.urlGatePatterns.fold(docs) { pats =>
-      docs.filter(!graft.queries.WebOps.urlBlocked(col("url"), pats))
+      docs.filter(coalesce(
+          !graft.queries.WebOps.urlBlocked(col("url"), pats), lit(true)))
         .observe("url_gate", count(lit(1)).as("n"))
     }
     val deduped = StreamOps.urlDedupStream(gated, cfg.lateness)

@@ -2537,7 +2537,7 @@ object TextOps {
       .persist()
     try {
       if (wc.count() > MaxDriverTrainVocab)
-        bpeTrainDistributed(docsFrame, nMerges, vocabTopK)
+        bpeTrainDistributedFromWc(wc, nMerges, vocabTopK)
       else {
         val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
         driverBpeTrain(spark, rows, nMerges, vocabTopK)
@@ -2566,12 +2566,19 @@ object TextOps {
   /** The driver-side training rounds over a collected (word, count)
     * table: canonical incremental BPE. State: each distinct word as
     * a symbol array + an inverted pair→words index + a pair→count
-    * map; a round picks the (cnt desc, lhs asc, rhs asc) winner by
-    * one map scan, then re-counts ONLY the words the index says
-    * contain the pair (left-to-right non-overlapping application,
-    * exactly the bracketed replace's semantics). The index is
-    * add-only with stale entries skipped on read — bounded by total
-    * pair occurrences ever created.
+    * map + a LAZY-DELETION max-heap over (cnt desc, lhs asc, rhs
+    * asc); a round pops heap entries until one matches the pair's
+    * CURRENT count (stale snapshots — counts that changed since the
+    * push — are discarded), then re-counts ONLY the words the index
+    * says contain the winning pair (left-to-right non-overlapping
+    * application, exactly the bracketed replace's semantics). Every
+    * count change pushes a fresh snapshot, so picking a round is
+    * O(stale-pops · log) amortized instead of a full map scan —
+    * at the design ceiling (tens of millions of distinct pairs,
+    * 32k merges) a scan-per-round would cost ~10^11 comparisons of
+    * driver CPU, re-creating the very floor the driver rounds exist
+    * to remove. The index and heap are add-only, bounded by total
+    * pair-count updates ever made.
     */
   private def driverBpeTrain(spark: SparkSession,
       wordCounts: Array[(String, Long)], nMerges: Int, vocabTopK: Int)
@@ -2582,13 +2589,37 @@ object TextOps {
     val pairCnt = new scala.collection.mutable.HashMap[(String, String), Long]()
     val pairWords = new scala.collection.mutable.HashMap[(String, String),
       scala.collection.mutable.ArrayBuffer[Int]]()
+    // (cnt, lhs, rhs) snapshots, max-cnt first, ties by UTF-8-byte
+    // ascending (lhs, rhs) — the engines' ORDER BY cnt DESC, a, b
+    final case class Snap(cnt: Long, a: String, b: String)
+    val heap = new java.util.PriorityQueue[Snap](1024,
+      new java.util.Comparator[Snap] {
+        def compare(x: Snap, y: Snap): Int = {
+          if (x.cnt != y.cnt) java.lang.Long.compare(y.cnt, x.cnt)
+          else {
+            val c = org.apache.spark.unsafe.types.UTF8String
+              .fromString(x.a).compareTo(
+                org.apache.spark.unsafe.types.UTF8String.fromString(y.a))
+            if (c != 0) c
+            else org.apache.spark.unsafe.types.UTF8String
+              .fromString(x.b).compareTo(
+                org.apache.spark.unsafe.types.UTF8String.fromString(y.b))
+          }
+        }
+      })
     def addOccurrences(wi: Int, sign: Long): Unit = {
       val s = syms(wi)
       var i = 0
       while (i < s.length - 1) {
         val p = (s(i), s(i + 1))
         val c = pairCnt.getOrElse(p, 0L) + sign * wcs(wi)
-        if (c <= 0L) pairCnt.remove(p) else pairCnt.update(p, c)
+        if (c <= 0L) pairCnt.remove(p)
+        else {
+          pairCnt.update(p, c)
+          // every LIVE count gets a snapshot; the pop loop discards
+          // snapshots whose count has since changed
+          heap.add(Snap(c, p._1, p._2))
+        }
         if (sign > 0)
           pairWords.getOrElseUpdate(p,
             scala.collection.mutable.ArrayBuffer.empty[Int]) += wi
@@ -2614,15 +2645,16 @@ object TextOps {
       .empty[(String, Long, String, String, String, Long)]
     var r = 1
     while (r <= nMerges && pairCnt.nonEmpty) {
-      // winner = max count, ties by UTF-8-byte (lhs, rhs) ascending
-      var best: (String, String) = null
-      var bestC = -1L
-      for ((p, c) <- pairCnt) {
-        if (c > bestC || (c == bestC &&
-            (utf8Lt(p._1, best._1) ||
-              (p._1 == best._1 && utf8Lt(p._2, best._2)))))
-          { best = p; bestC = c }
+      // winner = the freshest max-count snapshot: pop stale entries
+      // (count changed since push) until the top matches the live map
+      var bestSnap: Snap = null
+      while (bestSnap == null) {
+        val top = heap.poll() // non-null: every live count was pushed
+        if (pairCnt.getOrElse((top.a, top.b), 0L) == top.cnt)
+          bestSnap = top
       }
+      val best = (bestSnap.a, bestSnap.b)
+      val bestC = bestSnap.cnt
       merges += (("merge", r.toLong, best._1, best._2,
         best._1 + best._2, bestC))
       val merged = best._1 + best._2
@@ -2691,13 +2723,26 @@ object TextOps {
     */
   private[graft] def bpeTrainDistributed(docsFrame: DataFrame,
       nMerges: Int, vocabTopK: Int): DataFrame = {
+    val B1 = "\u0001"; val B2 = "\u0002"
+    bpeTrainDistributedFromWc(
+      docsFrame.select(explode(tokens(col("text"))).as("w"))
+        .filter(instr(col("w"), B1) === 0 && instr(col("w"), B2) === 0)
+        .groupBy("w").agg(count(lit(1)).as("wc")),
+      nMerges, vocabTopK)
+  }
+
+  /** [[bpeTrainDistributed]] given an ALREADY-BUILT (w, wc) table —
+    * so [[bpeTrain]]'s large-vocab fallback reuses the persisted
+    * rollup it just counted instead of scanning and shuffling the
+    * corpus a second time (exactly the regime where the corpus is
+    * 100 TB and one extra pass is the dominant cost).
+    */
+  private def bpeTrainDistributedFromWc(wc: DataFrame,
+      nMerges: Int, vocabTopK: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1 (got $nMerges)")
     require(vocabTopK >= 1, s"vocabTopK must be >= 1 (got $vocabTopK)")
-    val spark = docsFrame.sparkSession
+    val spark = wc.sparkSession
     val B1 = "\u0001"; val B2 = "\u0002"
-    val wc = docsFrame.select(explode(tokens(col("text"))).as("w"))
-      .filter(instr(col("w"), B1) === 0 && instr(col("w"), B2) === 0)
-      .groupBy("w").agg(count(lit(1)).as("wc"))
     var words = wc.select(
       array_join(transform(sequence(lit(1), length(col("w"))),
         i => concat(lit(B1), col("w").substr(i, lit(1)), lit(B2))), "")

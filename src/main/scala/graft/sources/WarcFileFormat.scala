@@ -469,19 +469,4 @@ private[sources] final class BufferedBytes(in: InputStream, start: Long) {
     copied
   }
 
-  /** Bulk-copies up to `n` bytes into `out` (or discards them when
-    * `out` is null), returning the count actually copied — the body
-    * walk moves whole buffers, not bytes.
-    */
-  def copyTo(out: java.io.ByteArrayOutputStream, n: Long): Long = {
-    var copied = 0L
-    while (copied < n) {
-      val avail = ensure(1)
-      if (avail < 1) return copied
-      val take = math.min(avail.toLong, n - copied).toInt
-      if (out != null) out.write(buf, off, take)
-      off += take; pos += take; copied += take
-    }
-    copied
-  }
 }

@@ -397,9 +397,21 @@ object StreamOps {
     * stream with an `embedding` array<float> column; output adds
     * `cell_id`.
     */
-  def clusterAssignStream(docs: DataFrame, centroids: DataFrame): DataFrame = {
+  def clusterAssignStream(docs: DataFrame, centroids: DataFrame): DataFrame =
+    clusterAssignStream(docs,
+      graft.queries.SimilarityOps.collectCentroids(centroids))
+
+  /** The pre-collected form: callers that apply the assignment
+    * repeatedly (a foreachBatch stage runs its transform EVERY
+    * micro-batch) must collect the centroid frame ONCE at setup and
+    * pass the Seq, or each batch re-executes whatever plan produced
+    * the centroids — including a full k-means fit if the frame is
+    * the fitter's lazy output — and a live-data centroid frame
+    * would silently drift the tags between batches.
+    */
+  def clusterAssignStream(docs: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
     import graft.queries.SimilarityOps
-    val cents = SimilarityOps.collectCentroids(centroids)
     docs
       .withColumn("__em", transform(col("embedding"), x =>
         floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))

@@ -81,10 +81,15 @@ object CurationDemo {
     val blocklist = sys.env.get("SPARK_GRAFT_BLOCKLIST")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
-    // SPARK_GRAFT_URL_GATE=pat1,pat2 (with SPARK_GRAFT_URL_COL)
-    // enables the q120 URL pattern gate as stage 0a
+    // SPARK_GRAFT_URL_GATE='pat1 pat2' (with SPARK_GRAFT_URL_COL)
+    // enables the q120 URL pattern gate as stage 0a. Patterns are
+    // WHITESPACE-separated, not comma-separated: these are regexes,
+    // and commas are routine inside them ({m,n} quantifiers,
+    // character classes) — a comma split would shred
+    // '/cal/\d{4}/\d{1,2}/' into invalid fragments. URLs cannot
+    // contain literal whitespace, so the separator is unambiguous.
     val urlGate = sys.env.get("SPARK_GRAFT_URL_GATE")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(_.split("\\s+").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),

@@ -452,7 +452,11 @@ class CurationPipelineSpec extends AnyFunSuite {
       // still reach url_dedup and collapse there (gate ran FIRST,
       // dedup still did its job after)
       (3L, two(2), "en", "src3", "https://example.com/a?utm_source=x"),
-      (4L, two(2), "en", "src4", "https://EXAMPLE.com/a")
+      (4L, two(2), "en", "src4", "https://EXAMPLE.com/a"),
+      // NULL url: no pattern matched it, so the gate must PASS it
+      // (the no-evidence rule) — a raw !rlike filter would silently
+      // drop it on the NULL predicate
+      (5L, two(0), "en", "src5", null)
     ).toDF("doc_id", "text", "lang", "source", "url")
     val pats = Seq("/login", "/cal/\\d{4}/")
 
@@ -462,11 +466,11 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(ledger.map(_.stage).take(3) == Seq("input", "url_gate",
       "url_dedup"), ledger)
     val counts = ledger.map(s => s.stage -> s.docs).toMap
-    assert(counts("url_gate") == 2L, ledger) // docs 1, 2 blocked
-    assert(counts("url_dedup") == 1L, ledger) // 3/4 collapse to 3
+    assert(counts("url_gate") == 3L, ledger) // docs 1, 2 blocked; 5 passes
+    assert(counts("url_dedup") == 2L, ledger) // 3/4 collapse to 3
     val kept = spark.read.parquet(out).select("doc_id").as[Long]
       .collect().toSet
-    assert(kept == Set(3L), kept)
+    assert(kept == Set(3L, 5L), kept)
 
     // control: no gate — stage absent, the login/calendar docs
     // survive all the way out (their deaths above were the gate's)
