@@ -317,9 +317,14 @@ object Bench {
     // measures that round cost is bounded by vocabulary, not corpus
     "q113_bpe_train",
     // BPE encode: training (vocab-bounded, above) + the per-row
-    // replace-chain encode pass — the probe measures that encoding
-    // stays ∝ corpus bytes with zero shuffle
+    // native encode pass — the probe measures that encoding stays
+    // ∝ corpus bytes with zero shuffle
     "q115_bpe_token_count",
+    // the same chain at 64 merges through the native expression +
+    // token-identity fingerprint — the probe measures that merge
+    // DEPTH costs nothing at scale (the bpe_scale record's claim,
+    // re-checked on ×factor data every round)
+    "q122_bpe_encode64",
     // integer Lloyd k-means: per-row assignment ∝ rows × k·dim, the
     // rollup shuffle is k·partitions rows — the probe measures that
     // round cost is assignment-scan-bound, nothing corpus-sized moves
