@@ -2820,6 +2820,43 @@ object TextOps {
     * table rides the plan as ONE reference object (it came out of
     * training), so nothing is broadcast or joined.
     */
+  /** Persist a trained merge list as the tokenizer MODEL artifact —
+    * one tiny rank-ordered parquet (step, lhs, rhs). The operational
+    * peer of the persisted ANN index: training happens once
+    * (expensive corpus rollup), every later job — batch encode,
+    * streaming ingestion, the next incremental corpus build — loads
+    * the artifact instead of retraining, and two jobs loading the
+    * same path can never disagree on the tokenizer. Single file by
+    * construction (the model is vocabulary-sized).
+    */
+  def saveBpeModel(spark: SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("step", "lhs", "rhs")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveBpeModel]] artifact back into the rank-ordered
+    * merge list [[bpeEncode]]/[[bpeEncodeChained]] take. Fails loud
+    * on a malformed artifact (missing columns / null sides) rather
+    * than silently encoding with a truncated tokenizer.
+    */
+  def loadBpeModel(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("step").cast("long"), col("lhs"), col("rhs"))
+      .orderBy("step").collect()
+    rows.zipWithIndex.map { case (r, i) =>
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"BPE model at $path has a null merge side at step ${r.getLong(0)}")
+      require(r.getLong(0) == i + 1L,
+        s"BPE model at $path has non-contiguous steps " +
+          s"(expected ${i + 1}, got ${r.getLong(0)}) — truncated artifact?")
+      (r.getString(1), r.getString(2))
+    }.toSeq
+  }
+
   def bpeEncode(docsFrame: DataFrame, mergeList: Seq[(String, String)],
       textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docsFrame.sparkSession)

@@ -58,6 +58,35 @@ class BpeTrainSpec extends AnyFunSuite {
     check(Seq("ab ab ab", "cd"), 10, 10)
   }
 
+  test("model persistence: save -> load round-trips the merge list and the encoding") {
+    import spark.implicits._
+    val docs = Seq("the cat sat on the mat", "a very merry berry",
+      "low lower lowest").toDF("text")
+    val merges = TextOps.bpeTrain(docs, nMerges = 10, vocabTopK = 1)
+      .filter(org.apache.spark.sql.functions.col("kind") === "merge")
+      .orderBy("step").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(merges.nonEmpty)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_model").toString + "/model"
+    TextOps.saveBpeModel(spark, merges, path)
+    val loaded = TextOps.loadBpeModel(spark, path)
+    assert(loaded == merges, s"loaded=$loaded trained=$merges")
+    // the loaded model encodes identically through the native path
+    val a = TextOps.bpeEncode(docs, merges).select("bpe_tokens")
+      .collect().map(_.getSeq[String](0)).toSeq
+    val b = TextOps.bpeEncode(docs, loaded).select("bpe_tokens")
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(a == b)
+    // a truncated artifact (step gap) fails loud, not silently
+    spark.createDataFrame(Seq((1L, "a", "b"), (3L, "c", "d")))
+      .toDF("step", "lhs", "rhs")
+      .write.mode("overwrite").parquet(path + "_bad")
+    val ex = intercept[IllegalArgumentException](
+      TextOps.loadBpeModel(spark, path + "_bad"))
+    assert(ex.getMessage.contains("non-contiguous"), ex.getMessage)
+  }
+
   test("driver rounds == distributed loop: multi-round re-derivation stress") {
     val rnd = new scala.util.Random(7L)
     val texts = (1 to 12).map { _ =>

@@ -406,6 +406,32 @@ class CorpusSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip: MULTI-MEMBER .warc.gz (the CommonCrawl layout) reads every record") {
+    // real CommonCrawl archives gzip EACH record as its own member
+    // and concatenate the members — a decompressor that stops at the
+    // first member's end would silently read one record per file.
+    // Pin that the codec path (Hadoop GzipCodec) walks all members.
+    val recs = (0 until 12).map(i => recCL(Seq("WARC-Type: conversion",
+      s"WARC-Target-URI: https://mm$i.example.com/$i",
+      s"WARC-Record-ID: <urn:uuid:mm-$i>"), s"member $i body."))
+    val dir = Files.createTempDirectory("graft_warc_mmgz")
+    val out = java.nio.file.Files.newOutputStream(dir.resolve("mm.warc.gz"))
+    for (r <- recs) {
+      val gz = new java.util.zip.GZIPOutputStream(out) {
+        // leave the underlying stream open between members
+        override def close(): Unit = { finish(); flush() }
+      }
+      gz.write((r + crlf + crlf)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.close()
+    }
+    out.close()
+    val (good, bad) = CorpusSources.warcDocuments(spark, dir.toString)
+    assert(good.collect().map(_.getAs[String]("url")).toSet ==
+      (0 until 12).map(i => s"https://mm$i.example.com/$i").toSet)
+    assert(bad.count() == 0)
+  }
+
   test("gzip: .warc.gz archives read whole-file per task with the same rows") {
     val recs = (0 until 8).map(i => recCL(Seq("WARC-Type: conversion",
       s"WARC-Target-URI: https://gz$i.example.com/$i",
