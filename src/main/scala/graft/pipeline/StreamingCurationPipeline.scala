@@ -35,6 +35,10 @@ import org.apache.spark.storage.StorageLevel
   *                    needs an `embedding` column on the stream.
   *                    q117's per-cell best-of cut stays batch-only
   *                    (corpus-level cutoff — the tokenBudget rule)
+  *   token_tag      → (optional) BPE token count under a loaded
+  *                    tokenizer model artifact (native bpe_encode,
+  *                    per-row, model as one plan constant) —
+  *                    survivors land with `n_bpe`
   *
   * Placement of state — the part that makes this runnable forever:
   * the ONLY cross-batch stream state is url_dedup's per-canonical-URL
@@ -71,6 +75,7 @@ object StreamingCurationPipeline {
       blockLexicon: Option[Seq[String]] = None,
       urlGatePatterns: Option[Seq[String]] = None,
       clusterCentroids: Option[DataFrame] = None,
+      bpeModel: Option[Seq[(String, String)]] = None,
       lateness: String = "1 hour")
 
   /** Starts the composed pipeline over a (doc_id, text, url, ts)
@@ -194,7 +199,20 @@ object StreamingCurationPipeline {
         val pinned = graft.queries.SimilarityOps.collectCentroids(centFrame)
         "cluster_tag" -> ((df: DataFrame) =>
           StreamOps.clusterAssignStream(df, pinned))
-      }
+      } ++
+      // optional TOKENIZER tag: annotate survivors with their BPE
+      // token count under a loaded [[graft.queries.TextOps
+      // .loadBpeModel]] artifact — the ingest-time budget/packing
+      // statistic computed with the REAL tokenizer, not whitespace.
+      // The native bpe_encode expression is per-row and carries the
+      // model as one plan constant, so the stage is stateless and
+      // adds zero shuffle; a tag, not a filter.
+      cfg.bpeModel.toSeq.map(model =>
+        "token_tag" -> ((df: DataFrame) =>
+          graft.queries.TextOps.bpeEncode(df, model)
+            .withColumn("n_bpe",
+              size(col("bpe_tokens")).cast("long"))
+            .drop("bpe_tokens")))
 
     // innermost rung: land the survivors, then release the batch's
     // stage caches whether the landing succeeded or not

@@ -408,4 +408,67 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(!ledgerOff.contains("cluster_tag"), ledgerOff)
     assert(colsOff.forall(!_.contains("cell_id")), colsOff)
   }
+
+  test("token_tag annotates survivors with BPE counts from a LOADED model artifact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    // train on the pages the stream will carry, persist, RELOAD —
+    // the artifact path is part of what this test pins
+    val merges = TextOps.bpeTrain(
+      Seq(pageA, pageD).toDF("text"), nMerges = 12, vocabTopK = 1)
+      .filter(col("kind") === "merge").orderBy("step")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft_scp_model").toString + "/model"
+    TextOps.saveBpeModel(spark, merges, modelPath)
+    val model = TextOps.loadBpeModel(spark, modelPath)
+
+    def run(m: Option[Seq[(String, String)]]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        bpeModel = m)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val cols = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val sink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit = {
+          cols += df.columns.toSeq
+          if (df.columns.contains("n_bpe"))
+            landed ++= df.select("doc_id", "n_bpe").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+        }
+      }
+      val stream = MemoryStream[(Long, String, String, Timestamp)]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, sink)
+      stream.addData(Seq(
+        (1L, pageA, "https://site.example.com/a", ts(0)),
+        (2L, pageD, "https://site.example.com/d", ts(1))))
+      query.processAllAvailable()
+      query.stop()
+      (landed.toSeq.sortBy(_._1), cols.toSeq,
+        ledger().map(s => s.stage -> s.docs).toMap)
+    }
+
+    val (tagged, _, ledgerOn) = run(Some(model))
+    assert(ledgerOn("token_tag") == 2L, ledgerOn)
+    // parity: the landed counts equal the batch encode of the same
+    // texts under the same model
+    val want = TextOps.bpeEncode(
+        Seq((1L, pageA), (2L, pageD)).toDF("doc_id", "text"), model)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("bpe_tokens")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(want.forall(_._2 > 0), want)
+    assert(tagged == want, s"stream=$tagged batch=$want")
+
+    val (_, colsOff, ledgerOff) = run(None)
+    assert(!ledgerOff.contains("token_tag"), ledgerOff)
+    assert(colsOff.forall(!_.contains("n_bpe")), colsOff)
+  }
 }
