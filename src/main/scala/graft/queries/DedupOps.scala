@@ -924,6 +924,88 @@ object DedupOps {
   def removeDupSpans(s: SparkSession, dir: String): DataFrame =
     removeDupSpans(Tables(s, dir, "documents").select("doc_id", "text"))
 
+  /** q123's CHARACTER-level ExactSubstr removal — the full-strength
+    * version of q65: remove every character lying inside a substring
+    * of length >= `winLen` that occurs verbatim more than once in the
+    * corpus (Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better", whose ExactSubstr uses winLen = 50; reference
+    * repo has no analog — this is north-star surface).
+    *
+    * Why no suffix array: ExactSubstr with a minimum match length L
+    * only ever asks "is this position inside a duplicated run of
+    * >= L chars?", and a position is in such a run IFF some char
+    * L-gram covering it occurs >= 2 times. So the L-truncated
+    * positional L-gram frequency table answers the query EXACTLY —
+    * the suffix array in the paper is a single-machine device for
+    * the same truncated comparison, while the L-gram df is one
+    * partial-aggregable shuffle that distributes over any cluster.
+    *
+    * Occurrence df is TOTAL occurrences (not distinct docs, unlike
+    * q65's shingle df): a verbatim self-repeat inside one document is
+    * duplicated text and gets removed — matching the paper, and
+    * pinned in DedupScaleSpec.
+    *
+    * Plan shape, linear in corpus bytes: one positional explode
+    * (L bytes per char shuffled — the stated cost; `exact = false`
+    * folds the gram to 128 bits first, the q60-style escape hatch
+    * when L x corpus dominates), one partial-agg df shuffle, one
+    * equi-join back restricted to df >= 2, a per-doc sorted dup-start
+    * list (bounded by doc length), then a per-row O(|dup_starts|)
+    * interval-merge rebuild via `aggregate` — NOT q65's per-position
+    * arrays_overlap scan, which is O(n x |dup_starts|) per doc.
+    */
+  def removeDupCharSpans(docs0: DataFrame, winLen: Int = 50,
+      exact: Boolean = true): DataFrame = {
+    val L = winLen
+    val d = docs0.select(col("doc_id"), col("text"),
+      length(col("text")).as("n"))
+    val pos = d.filter(col("n") >= L)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, n - ${L - 1})")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $L)").as("g"))
+    val keyed =
+      if (exact) pos.select(col("doc_id"), col("i"), col("g").as("k1"))
+      else pos.select(col("doc_id"), col("i"),
+        xxhash64(col("g")).as("k1"),
+        xxhash64(lit("charspan:h2"), col("g")).as("k2"))
+    val keys = keyed.columns.filter(c => c != "doc_id" && c != "i").toSeq
+    val dfG = keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+    val dupStarts = keyed
+      .join(dfG.filter(col("df") >= 2).select(keys.map(col): _*), keys)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ds"))
+    d.join(dupStarts, Seq("doc_id"), "left_outer")
+      .withColumn("ds",
+        coalesce(col("ds"), expr("array()").cast("array<int>")))
+      // one left-to-right pass over the SORTED dup starts: `nxt` is
+      // the first position not yet known covered; each start i first
+      // flushes the uncovered gap [nxt, i-1], then extends coverage
+      // to i+L-1. The finish lambda flushes the tail. Short docs
+      // (n < L) have ds = [] and fall straight through to the tail
+      // flush — no sequence(a,b) descending-range hazard to special-
+      // case, unlike q65's per-position formulation.
+      .withColumn("cleaned_text", expr(
+        s"""aggregate(ds,
+           |  named_struct('nxt', 1, 'acc', ''),
+           |  (st, i) -> named_struct(
+           |    'nxt', greatest(st.nxt, i + $L),
+           |    'acc', concat(st.acc,
+           |      if(i > st.nxt, substring(text, st.nxt, i - st.nxt), ''))),
+           |  st -> concat(st.acc,
+           |    if(st.nxt <= n, substring(text, st.nxt, n - st.nxt + 1), '')))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        length(col("cleaned_text")).cast("long").as("n_kept_chars"),
+        col("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q123 over the `documents` table at `dir`. */
+  def removeDupCharSpans(s: SparkSession, dir: String): DataFrame =
+    removeDupCharSpans(
+      Tables(s, dir, "documents").select("doc_id", "text"))
+
   /** q66's per-document novelty score — the curation signal for
     * dataset ordering/pruning: the fraction of a document's distinct
     * 3-token shingles whose FIRST occurrence (min doc_id, the
@@ -1007,6 +1089,36 @@ object DedupOps {
       |FROM per_doc p JOIN (SELECT doc_id, lang FROM documents) t
       |  ON p.doc_id = t.doc_id
       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+
+  /** q123's oracle SQL — shared by the exact and fold paths (same
+    * rationale as dupSpanSql: the fold is collision-free at driver
+    * SF, pinned path-identical in DedupScaleSpec). DuckDB rebuilds
+    * via the per-position covered test; the Spark side merges
+    * intervals — equivalent kept sets: position j survives IFF no
+    * duplicated gram start i has i <= j <= i + 49.
+    */
+  private val charSpanSql =
+    """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+      |posg AS (
+      |  SELECT doc_id, i, substr(text, i, 50) AS g
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, n - 49)) AS i
+      |        FROM d WHERE n >= 50)),
+      |dfg AS (SELECT g, count(*) AS df FROM posg GROUP BY g),
+      |dup AS (
+      |  SELECT p.doc_id, list(p.i) AS ds
+      |  FROM posg p JOIN dfg ON p.g = dfg.g
+      |  WHERE dfg.df >= 2 GROUP BY p.doc_id),
+      |sel AS (
+      |  SELECT d.doc_id, d.text, d.n,
+      |    list_filter(generate_series(1, d.n), j ->
+      |      NOT list_has_any(coalesce(u.ds, []),
+      |        generate_series(greatest(j - 49, 1), least(j, d.n - 49))))
+      |      AS kept
+      |  FROM d LEFT JOIN dup u ON d.doc_id = u.doc_id)
+      |SELECT doc_id, n AS n_chars, len(kept) AS n_kept_chars,
+      |  coalesce(array_to_string(list_transform(kept, j -> substr(text, j, 1)), ''), '')
+      |    AS cleaned_text
+      |FROM sel ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1450,6 +1562,33 @@ object DedupOps {
         |    AS cleaned_text
         |FROM sel ORDER BY doc_id""".stripMargin) { (s, dir) =>
       removeDupSpans(s, dir)
+    },
+
+    // ---- q123: CHARACTER-level ExactSubstr removal ---------------
+    // The full-strength granularity q65 approximates at token level:
+    // every char inside a verbatim >= 50-char duplicated substring
+    // (total occurrences, so within-doc repeats count) is removed and
+    // the text rebuilt — hash-checked byte-for-byte against DuckDB's
+    // per-position formulation (the Spark side uses the O(|starts|)
+    // interval merge; same kept set, see removeDupCharSpans).
+    QueryDef(
+      "q123_exact_substr_removal",
+      charSpanSql) { (s, dir) =>
+      removeDupCharSpans(s, dir)
+    },
+
+    // ---- q123f: the 128-bit-fold scale variant -------------------
+    // Same semantics with the gram df keyed on a two-half xxhash64
+    // fold — the documented escape hatch when the L x corpus-bytes
+    // gram shuffle dominates at 100 TB. Declared against the SAME
+    // exact-string oracle (collision odds ~n^2/2^129; DedupScaleSpec
+    // pins exact == fold), so the bench gets the measured pair.
+    QueryDef(
+      "q123_exact_substr_removal_fold",
+      charSpanSql) { (s, dir) =>
+      removeDupCharSpans(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        exact = false)
     },
 
     // ---- q66: document novelty scoring ---------------------------

@@ -414,6 +414,60 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(out(6L) == ((6L, 6L, "six fresh tokens appear only once")))
   }
 
+  test("removeDupCharSpans: char-level ExactSubstr semantics vs brute force") {
+    import spark.implicits._
+    val S = "the quick brown fox jumps over the lazy dog 0123456789 abcde" // 60
+    assert(S.length == 60)
+    val docs = Seq(
+      1L -> ("A" * 30 + S + "B" * 30),   // cross-doc shared 60-char span
+      2L -> ("U" * 40 + S),              //   → S removed from BOTH
+      3L -> ("c" * 100),                 // within-doc verbatim repeat: every
+                                         //   50-gram occurs 51x → all removed
+      4L -> "short doc",                 // n < 50: no grams, passes intact
+      5L -> "",                          // empty
+      6L -> (0 until 40).map(i =>        // strictly-increasing index blocks:
+        f"$i%03d").mkString)           //   no 50-gram can repeat
+      .toDF("doc_id", "text")
+
+    // brute-force reference: total-occurrence 50-gram counts → covered
+    // positions → rebuilt text
+    val texts = Seq(
+      1L -> ("A" * 30 + S + "B" * 30), 2L -> ("U" * 40 + S),
+      3L -> ("c" * 100), 4L -> "short doc", 5L -> "",
+      6L -> (0 until 40).map(i => f"$i%03d").mkString)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, t) <- texts; i <- 0 to t.length - 50)
+      counts.updateWith(t.substring(i, i + 50))(c => Some(c.getOrElse(0) + 1))
+    val expected = texts.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - 50; if counts(t.substring(i, i + 50)) >= 2;
+           j <- i until i + 50) covered(j) = true
+      val cleaned = t.zipWithIndex.collect {
+        case (ch, j) if !covered(j) => ch }.mkString
+      id -> ((t.length.toLong, cleaned.length.toLong, cleaned))
+    }.toMap
+
+    val out = DedupOps.removeDupCharSpans(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out == expected)
+    // the hand-pinned essentials (guard against a degenerate brute force)
+    assert(out(1L) == ((120L, 60L, "A" * 30 + "B" * 30)))
+    assert(out(2L) == ((100L, 40L, "U" * 40)))
+    assert(out(3L) == ((100L, 0L, ""))) // self-repeat IS removed (vs q65 df)
+    assert(out(4L) == ((9L, 9L, "short doc")))
+    assert(out(5L) == ((0L, 0L, "")))
+    assert(out(6L)._2 == 120L)
+
+    // the 128-bit-fold escape hatch is row-identical at this density
+    val fold = DedupOps.removeDupCharSpans(docs, exact = false)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(fold == out)
+  }
+
   test("noveltyScores on a planted copy: original 1.0, copy 0.0, sub-shingle docs absent") {
     import spark.implicits._
     val docs = Seq(

@@ -323,6 +323,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q95 per-new-doc rollup must be partial-aggregable:\n$p")
   }
 
+  test("q123 char-level ExactSubstr: gram df partial-aggs, equi-joins only, no window") {
+    for (q <- Seq("q123_exact_substr_removal", "q123_exact_substr_removal_fold")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay on hash equi-joins:\n$p")
+      assert(!p.contains("Window"), s"$q must not grow a window:\n$p")
+      // the occurrence-count df shuffle must combine map-side — at
+      // 100 TB the gram stream is L x corpus bytes before the partial
+      assert(p.contains("partial_count"),
+        s"$q gram df lost its map-side partial:\n$p")
+      // the rebuild reads only (doc_id, text): no stray columns
+      val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!read.contains("lang") && !read.contains("url"),
+        s"$q reads columns the rewrite never touches:\n$read")
+    }
+  }
+
   test("q96 token-budget select: cumulative window over the score histogram, cutoff broadcast back") {
     val p = plan("q96_token_budget_select")
     // the budget cut must never become a cumulative window over the
