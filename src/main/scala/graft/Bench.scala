@@ -332,7 +332,13 @@ object Bench {
     // converged PageRank: 10× docs → 10× link rows but the SAME
     // |domains|-sized iterated frame — the probe measures that depth
     // cost is edge-rollup-bound, not corpus-bound
-    "q114_domain_pagerank_converged")
+    "q114_domain_pagerank_converged",
+    // char-level ExactSubstr, 128-bit-fold path (the 100 TB shape —
+    // the exact-string twin differs only in df key width): positional
+    // 50-gram df is ∝ corpus CHARS, the heaviest per-byte stream in
+    // the repo — the probe measures that the df shuffle + join-back +
+    // interval-merge rebuild all stay linear
+    "q123_exact_substr_removal_fold")
 
   /** The native-vs-chained BPE encode merge-count scaling record:
     * train once at SPARK_GRAFT_BPE_MERGES (default 1024) merges with
