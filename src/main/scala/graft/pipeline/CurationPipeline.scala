@@ -128,6 +128,16 @@ object CurationPipeline {
     * text. Docs reduced to zero lines survive with empty text and
     * die at the quality stage.
     *
+    * `exactSubstrL = Some(L)` inserts the character-level
+    * ExactSubstr rewrite (q123, DedupOps.removeDupCharSpans) after
+    * the line stages and lexicon gate: every character inside a
+    * verbatim >= L-char substring that occurs >= 2 times across the
+    * surviving corpus (within-doc repeats count) is removed and the
+    * text rebuilt — the Lee et al. 2022 dedup rung at full
+    * character fidelity, where stage 4's MinHash pass works at
+    * whole-document granularity and the line stage at line
+    * granularity. Gutted docs die at the quality stage.
+    *
     * `budgetFrac = Some((num, den))` inserts the token-budget cut
     * (q96, TextOps.tokenBudgetSelect) after the CCNet stage: keep the
     * highest-alpha-ratio docs until num/den of the surviving tokens
@@ -233,6 +243,7 @@ object CurationPipeline {
       authorityLinks: Option[DataFrame] = None,
       authorityMinPrMicro: Option[Long] = None,
       blockLexicon: Option[Seq[String]] = None,
+      exactSubstrL: Option[Int] = None,
       stageDir: Option[String] = None)
       : Seq[StageCount] = {
     require(urlGatePatterns.isEmpty || urlCol.nonEmpty,
@@ -300,7 +311,7 @@ object CurationPipeline {
         c4Lines, dedupLines, urlCol, urlGatePatterns,
         classifierMinScore, keepBestOfCluster, domainCapN,
         domainMeanMinScore, authorityMinPrMicro, blockLexicon,
-        authorityLinks.map(frameDigest)).mkString("|")
+        exactSubstrL, authorityLinks.map(frameDigest)).mkString("|")
       val cfgPath = new org.apache.hadoop.fs.Path(root, "pipeline_config.txt")
       val fs = cfgPath.getFileSystem(hconf)
       if (fs.exists(cfgPath)) {
@@ -481,9 +492,34 @@ object CurationPipeline {
         lineDeduped.filter(TextOps.lexiconFlagged(col("text"), lex) === 0L))
     }
 
+    // 1d. optional character-level ExactSubstr rewrite (q123) —
+    // every char inside a verbatim >= L-char substring occurring
+    // >= 2 times in the surviving corpus (total occurrences, so
+    // within-doc self-repeats count) is removed and the text
+    // rebuilt; runs on the rewritten text AFTER the line stages (a
+    // line dedup first makes the gram stream smaller, and the two
+    // remove different things: whole repeated lines vs verbatim
+    // spans straddling line structure). q123's exact shape: one
+    // positional-gram df shuffle + join-back + per-row interval
+    // merge (the _fold key variant is the 100 TB hatch when
+    // L x corpus bytes dominates — the stage keeps the
+    // oracle-pinned exact-string df). Docs gutted to nothing
+    // survive with empty text and die at the quality stage, like
+    // the line stages.
+    val substrDeduped = exactSubstrL.fold(lexGated) { l =>
+      stage("exact_substr",
+        lexGated.join(
+            DedupOps.removeDupCharSpans(
+                lexGated.select("doc_id", "text"), winLen = l)
+              .select(col("doc_id"), col("cleaned_text")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("cleaned_text").as("text"),
+            col("lang"), col("source")))
+    }
+
     // 2. quality — per-row predicate, zero shuffle (q73)
     val quality = stage("quality",
-      lexGated.filter(TextOps.gopherKept(col("text"))))
+      substrDeduped.filter(TextOps.gopherKept(col("text"))))
 
     // 2b. optional model-based quality gate (q105) — the classifier
     // rung after the rule rung: score = the exact-integer linear

@@ -40,6 +40,13 @@ import org.apache.spark.storage.StorageLevel
   *                    per-row, model as one plan constant) —
   *                    survivors land with `n_bpe`
   *
+  * The batch pipeline's `exact_substr` rewrite (q123) stays
+  * batch-only by the same rule as q117's cut: its duplicated-gram df
+  * is corpus-GLOBAL (a span seen once in this micro-batch may repeat
+  * against text that arrived an hour ago), so a faithful streaming
+  * version would accrete an unbounded positional-gram index. It
+  * belongs to the periodic batch compaction alongside index refresh.
+  *
   * Placement of state — the part that makes this runnable forever:
   * the ONLY cross-batch stream state is url_dedup's per-canonical-URL
   * row, watermark-evicted. Every later stage is either per-row

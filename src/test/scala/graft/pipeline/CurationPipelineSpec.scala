@@ -716,6 +716,47 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(control("quality") >= gated("quality"), (control, gated))
   }
 
+  test("exact_substr stage rewrites text to the q123 cleaned form; control run skips it") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .select("doc_id", "text", "lang", "source")
+    // the stage's exact input is the redacted text (no line stages /
+    // lexicon gate enabled here), so the expected rewrite is q123's
+    // operator applied to exactly that frame
+    val redacted = graft.queries.TextOps.redactPii(real, "text")
+      .select(col("doc_id"), col("redacted").as("text"))
+    val expected = graft.queries.DedupOps
+      .removeDupCharSpans(redacted, winLen = 50)
+      .select("doc_id", "cleaned_text").as[(Long, String)].collect().toMap
+    assert(expected.values.exists(_.isEmpty),
+      "no doc fully removed — the tiny-vocab corpus should gut some")
+    assert(expected.values.exists(_.nonEmpty), "everything removed")
+
+    def runWith(l: Option[Int]): (Map[String, Long], Map[Long, String]) = {
+      val out = java.nio.file.Files.createTempDirectory("graft_xs").toString
+      val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = out, exactSubstrL = l)
+        .map(s => s.stage -> s.docs).toMap
+      val kept = spark.read.parquet(out)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      (ledger, kept)
+    }
+    val (ledger, kept) = runWith(Some(50))
+    // the stage rewrites, never drops: doc count is carried through
+    assert(ledger("exact_substr") == redacted.count(), ledger)
+    // every emitted doc's text is exactly the q123 rewrite of its
+    // redacted input (survivors of quality/dedup are a subset)
+    assert(kept.nonEmpty)
+    kept.foreach { case (id, t) =>
+      assert(t == expected(id), s"doc $id: pipeline text != q123 rewrite") }
+    val (control, controlKept) = runWith(None)
+    assert(!control.contains("exact_substr"), control)
+    // with the rewrite off, emitted text is the redacted original
+    val redactedMap = redacted.as[(Long, String)].collect().toMap
+    controlKept.foreach { case (id, t) => assert(t == redactedMap(id)) }
+  }
+
   test("classifier gate drops exactly the docs below the threshold; control run keeps them") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")

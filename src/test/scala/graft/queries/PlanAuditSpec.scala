@@ -340,6 +340,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q123 as a pipeline stage: the rewrite's ORDER BY is eliminated below the join") {
+    // the standalone query orders by doc_id for the oracle compare;
+    // consumed as CurationPipeline's exact_substr stage (join back on
+    // doc_id, reselect), that sort is dead weight — at 100 TB a
+    // corpus-wide global sort per stage. Catalyst's EliminateSorts
+    // must drop it; pin that so a formulation change never silently
+    // reintroduces the sort.
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val joined = docs.join(
+      DedupOps.removeDupCharSpans(docs.select("doc_id", "text"))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("cleaned_text")),
+      Seq("doc_id"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Sort "),
+      s"the stage consumer pays q123's oracle ORDER BY:\n$p")
+  }
+
   test("q96 token-budget select: cumulative window over the score histogram, cutoff broadcast back") {
     val p = plan("q96_token_budget_select")
     // the budget cut must never become a cumulative window over the
