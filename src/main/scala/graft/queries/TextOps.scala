@@ -2186,6 +2186,29 @@ object TextOps {
          |       THEN 'keep' ELSE 'drop' END AS verdict
          |FROM clf_scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
       qualityClassifierScore(docs(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- q124: in-engine quality-classifier TRAINING -------------
+    // The fit that produces a q105-style gate instead of consuming
+    // one: an exact-integer batch perceptron over the q78
+    // hashed-unigram features ([[perceptronTrain]]), labels = the
+    // lang='en' seed (the CCNet/GPT-3 curated-vs-raw split; same
+    // target q78's DSIR fit uses, so the two selection rungs are
+    // directly comparable). 3 rounds; the oracle unrolls them as
+    // CTEs — margins → misclassified set → per-bucket gradient →
+    // next weights — and re-derives the final per-doc margin, so
+    // one hash compare pins the whole training trajectory, not just
+    // the final verdicts.
+    QueryDef(
+      "q124_perceptron_quality",
+      perceptronOracleSql("lang = 'en'", rounds = 3)) { (s, dir) =>
+      val d = docs(s, dir)
+      val w = perceptronTrain(d, col("lang") === "en", rounds = 3)
+      perceptronMargins(
+          perceptronFeatures(d, col("lang") === "en"), w)
+        .select(col("doc_id"), col("y"), col("margin"),
+          when(col("margin") > 0, "keep").otherwise("drop").as("verdict"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2969,4 +2992,175 @@ object TextOps {
       .select(col("doc_id"), col("score"),
         when(col("score") >= ClassifierKeepScore, "keep")
           .otherwise("drop").as("verdict"))
+
+  // ---- q124: IN-ENGINE quality-classifier training ----------------
+
+  /** The bias feature's bucket key — 4 chars, so it can never collide
+    * with the 3-hex-char md5 buckets of real tokens.
+    */
+  private[graft] val PerceptronBiasBucket = "____"
+
+  /** The hashed-unigram feature frame behind [[perceptronTrain]]:
+    * per-doc bucket COUNTS over the q78 4096-bucket hashing trick
+    * (`substr(md5(w), 1, 3)` — the portable engine-shared hash that
+    * collapses the unbounded vocabulary into a fixed feature space),
+    * plus one bias row (`____`, cnt 1) per document so token-less
+    * docs still carry a margin and the intercept trains like any
+    * other weight. `y` is the ±1 label carried through so training
+    * never re-joins labels. One explode + one partial-aggregable
+    * count shuffle — the corpus is touched ONCE; rounds run on this
+    * frame alone.
+    */
+  private[graft] def perceptronFeatures(
+      docsFrame: DataFrame, isTarget: Column): DataFrame = {
+    val y = when(isTarget, 1L).otherwise(-1L)
+    docsFrame
+      .select(col("doc_id"), y.as("y"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("y"),
+        substring(md5(col("w")), 1, 3).as("bucket"))
+      .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt"))
+      .unionByName(docsFrame.select(col("doc_id"), y.as("y"),
+        lit(PerceptronBiasBucket).as("bucket"), lit(1L).as("cnt")))
+  }
+
+  /** Per-doc margins `w · x` under a driver-side weight map: the
+    * ≤4097-row weights frame is broadcast, unseen buckets score 0,
+    * and the per-doc sum is partial-aggregable. Grouping by (doc_id,
+    * y) is satisfied by a doc_id partitioning, so a feature frame
+    * pre-partitioned on doc_id computes margins with ZERO shuffle.
+    */
+  private[graft] def perceptronMargins(
+      feat: DataFrame, weights: Map[String, Long]): DataFrame = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("bucket", "wt")
+    feat.join(broadcast(wdf), Seq("bucket"), "left")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * coalesce(col("wt"), lit(0L))).as("margin"))
+  }
+
+  /** TRAIN the quality classifier in the engine (q124) — the step
+    * q105's literal weight vector exists downstream OF. The GPT-3 /
+    * CCNet quality filter is a linear classifier TRAINED on a labeled
+    * seed (curated corpus = positive, raw crawl = negative;
+    * Brown et al. 2020 appendix A); this is that fit as an exact
+    * batch perceptron over the q78 hashed-unigram features, so the
+    * fitted weights — not offline constants — feed the gate.
+    *
+    * Per round (Rosenblatt batch rule, lr 1, all-integer so the
+    * trajectory is engine-exact):
+    *   margin_d = Σ_b w[b]·cnt_db   (bias via the `____` feature)
+    *   mis      = { d : y_d · margin_d <= 0 }   (0 counts as wrong)
+    *   w       += Σ_{d∈mis} y_d · cnt_db        (per bucket)
+    * Round 1 from the all-zero vector therefore updates on every
+    * doc — the class-conditional count difference — exactly what the
+    * unrolled oracle's first CTE states. Early-stops when a round
+    * misclassifies nothing (the update is a pure function of the
+    * weight state, so skipped rounds are identities — the PageRank
+    * convergence argument).
+    *
+    * Scale shape: the feature frame is built once (one explode + one
+    * count rollup), REPARTITIONED BY doc_id and persisted; each round
+    * is ONE job over it — broadcast weights join + margin rollup +
+    * misclassified filter + self-join on doc_id + per-bucket gradient
+    * rollup — and because every one of those keys is clustered by
+    * doc_id (or is the ≤4097-bucket rollup), the round's only
+    * exchange is the map-side-combined gradient aggregation
+    * (PlanAuditSpec-pinned). Driver state and per-round collect are
+    * ≤4097 longs, the kmeansMicro legitimacy. Rounds are sequential
+    * by nature (each needs the previous weights) — cost = rounds ×
+    * one cached-frame pass, like Lloyd iterations.
+    *
+    * Returns the weight map (bucket → weight, bias under `____`).
+    */
+  def perceptronTrain(
+      docsFrame: DataFrame, isTarget: Column, rounds: Int)
+      : Map[String, Long] = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val feat = perceptronFeatures(docsFrame, isTarget)
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      feat.count()
+      var w = Map.empty[String, Long]
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        val mis = perceptronMargins(feat, w)
+          .filter(col("y") * col("margin") <= 0).select("doc_id")
+        val grads = feat.join(mis, Seq("doc_id"))
+          .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
+          .collect().map(row => row.getString(0) -> row.getLong(1))
+        if (grads.isEmpty) converged = true
+        else w = grads.foldLeft(w) { case (acc, (b, g)) =>
+          acc.updated(b, acc.getOrElse(b, 0L) + g) }
+        r += 1
+      }
+      w
+    } finally feat.unpersist()
+  }
+
+  /** Score an (unlabeled) corpus under trained perceptron weights:
+    * (doc_id, margin, verdict), keep iff margin > 0. Per-row feature
+    * build + ≤4097-row broadcast join + one partial-aggregable
+    * per-doc sum — the deployment half of [[perceptronTrain]], shaped
+    * like every other gate scorer.
+    */
+  def perceptronScore(
+      docsFrame: DataFrame, weights: Map[String, Long]): DataFrame =
+    perceptronMargins(
+        perceptronFeatures(docsFrame, lit(true)).drop("y")
+          .withColumn("y", lit(0L)),
+        weights)
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") > 0, "keep").otherwise("drop").as("verdict"))
+
+  /** The q124 unrolled-CTE oracle: `rounds` perceptron rounds as
+    * DuckDB CTEs. Round 1 is stated directly as the all-docs update
+    * (w=0 margins are identically 0 and y·0 <= 0); later rounds state
+    * margin → misclassified → gradient → weight CTEs. Inner joins
+    * are safe from round 1 on because w1 covers every bucket the
+    * feature frame contains and gradients never leave that set.
+    */
+  private[graft] def perceptronOracleSql(
+      label: String, rounds: Int): String = {
+    require(rounds >= 1)
+    val head =
+      s"""WITH tok AS (
+         |  SELECT doc_id, CASE WHEN $label THEN 1 ELSE -1 END AS y,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                       x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id, y, substr(md5(w), 1, 3) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT doc_id, CASE WHEN $label THEN 1 ELSE -1 END,
+         |    '$PerceptronBiasBucket', CAST(1 AS BIGINT)
+         |  FROM documents),
+         |w1 AS (
+         |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS wt
+         |  FROM feat GROUP BY bucket)""".stripMargin
+    val later = (2 to rounds).map { r =>
+      s"""m${r - 1} AS (
+         |  SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS m
+         |  FROM feat f JOIN w${r - 1} w USING (bucket) GROUP BY 1, 2),
+         |g${r - 1} AS (
+         |  SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS g
+         |  FROM feat
+         |  WHERE doc_id IN (SELECT doc_id FROM m${r - 1} WHERE y * m <= 0)
+         |  GROUP BY bucket),
+         |w$r AS (
+         |  SELECT w.bucket, w.wt + COALESCE(g.g, 0) AS wt
+         |  FROM w${r - 1} w LEFT JOIN g${r - 1} g USING (bucket))""".stripMargin
+    }
+    val tail =
+      s"""SELECT f.doc_id, f.y, CAST(sum(f.cnt * w.wt) AS BIGINT) AS margin,
+         |  CASE WHEN CAST(sum(f.cnt * w.wt) AS BIGINT) > 0
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM feat f JOIN w$rounds w USING (bucket)
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+    (Seq(head) ++ later).mkString(",\n") + "\n" + tail
+  }
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for q124's in-engine perceptron trainer on inline
+  * corpora where the round-by-round weight trajectory is hand-
+  * computable, plus the convergence / early-stop / deployment-scorer
+  * contracts the oracle can't isolate.
+  */
+class PerceptronSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  /** (doc_id, text, lang) frames with lang='en' as the +1 label. */
+  private def corpus(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("round 1 weight is the class-conditional count difference (hand math)") {
+    // two docs, disjoint vocab: at w=0 every margin is 0, both docs
+    // misclassified, so each token bucket gets y * count and the bias
+    // gets (+1) + (-1) = 0
+    val d = corpus((1L, "aa aa bb", "en"), (2L, "cc", "de"))
+    val w = TextOps.perceptronTrain(d, col("lang") === "en", rounds = 1)
+    def bucket(tok: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      md.take(2).map(b => f"$b%02x").mkString.take(3)
+    }
+    assert(w(bucket("aa")) == 2L, w)   // +1 * count 2
+    assert(w(bucket("bb")) == 1L, w)
+    assert(w(bucket("cc")) == -1L, w)  // -1 * count 1
+    assert(w(TextOps.PerceptronBiasBucket) == 0L, w)
+    assert(w.size == 4, w)
+  }
+
+  test("separable corpus converges; extra rounds are identities (early stop)") {
+    val d = corpus(
+      (1L, "good fine nice", "en"), (2L, "good good", "en"),
+      (3L, "schlecht mies", "de"), (4L, "mies", "de"))
+    val w3 = TextOps.perceptronTrain(d, col("lang") === "en", rounds = 3)
+    val w50 = TextOps.perceptronTrain(d, col("lang") === "en", rounds = 50)
+    assert(w3 == w50, "early stop must make extra rounds identities")
+    // converged = every training doc on its label's side
+    val verdicts = TextOps.perceptronScore(d, w3)
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts == Map(1L -> "keep", 2L -> "keep",
+      3L -> "drop", 4L -> "drop"), verdicts)
+  }
+
+  test("token-less docs train and score through the bias feature") {
+    // both empty-text docs carry ONLY the bias row; labels conflict,
+    // so the bias can never separate them, but they must appear in
+    // the score output (never silently dropped) and training must
+    // terminate at the round cap without diverging
+    val d = corpus((1L, "", "en"), (2L, "   ", "de"), (3L, "tok", "en"))
+    val w = TextOps.perceptronTrain(d, col("lang") === "en", rounds = 4)
+    val scored = TextOps.perceptronScore(d, w)
+    assert(scored.count() == 3L)
+    val m = scored.select("doc_id", "margin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // empty docs' margin is exactly the bias weight
+    assert(m(1L) == w(TextOps.PerceptronBiasBucket), (m, w))
+    assert(m(2L) == w(TextOps.PerceptronBiasBucket), (m, w))
+  }
+
+  test("trainer finds a token-borne signal among 4096 buckets on the real corpus") {
+    // the synthetic corpus shares ONE vocabulary across langs and
+    // sources (verified: per-token class ratios match the prior), so
+    // no metadata label is unigram-learnable; a label that IS a token
+    // function — "mentions 'scan'" — tests the machinery end to end:
+    // training must drive that one bucket's weight to dominate
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang")
+    val isPos = array_contains(TextOps.tokens(col("text")), "scan")
+    val w = TextOps.perceptronTrain(d, isPos, rounds = 40)
+    assert(w.nonEmpty)
+    val scored = TextOps.perceptronScore(d, w)
+    assert(scored.count() == d.count(),
+      "every doc must be scored (bias feature covers token-less docs)")
+    val labeled = scored.join(
+      d.select(col("doc_id"), isPos.as("pos")), Seq("doc_id"))
+    val n = labeled.count().toDouble
+    val correct = labeled.filter(
+      (col("verdict") === "keep") === col("pos")).count().toDouble
+    val majority = math.max(
+      d.filter(isPos).count(), d.filter(!isPos).count()).toDouble
+    assert(correct / n > majority / n,
+      s"trained accuracy ${correct / n} <= majority baseline ${majority / n}")
+    assert(correct / n >= 0.9,
+      s"a single-token signal should be nearly separable, got ${correct / n}")
+  }
+}

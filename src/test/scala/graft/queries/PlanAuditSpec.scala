@@ -449,6 +449,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("q124 perceptron round job: doc_id clustering makes the gradient rollup the only new shuffle") {
+    // the trainer repartitions the feature frame by doc_id once; a
+    // round's job — broadcast weights join → per-doc margin rollup →
+    // misclassified filter → self-join on doc_id → per-bucket
+    // gradient rollup — must then introduce exactly ONE more
+    // exchange (the <=4097-key bucket rollup): the margin groupBy
+    // (doc_id, y) and the doc_id join are both satisfied by the
+    // standing partitioning. 2 hashpartitioning exchanges total =
+    // the repartition itself + the gradient rollup.
+    import org.apache.spark.sql.functions.{col, sum}
+    val feat = TextOps.perceptronFeatures(
+        Tables(spark, dir, "documents").select("doc_id", "text", "lang"),
+        col("lang") === "en")
+      .repartition(col("doc_id"))
+    val mis = TextOps.perceptronMargins(feat, Map("0ab" -> 3L))
+      .filter(col("y") * col("margin") <= 0).select("doc_id")
+    val round = feat.join(mis, Seq("doc_id"))
+      .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // 3 distinct exchanges: the feature-count rollup and the
+    // repartition (both BELOW the trainer's persist — paid once for
+    // any round count) + the per-round gradient rollup. The margins
+    // branch must REUSE the repartition exchange, not re-shuffle.
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("ReusedExchange")).size
+    assert(shuffles == 3,
+      s"expected feature-build + repartition + gradient-rollup shuffles only, got $shuffles:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"margins branch re-shuffles instead of reusing the doc_id repartition:\n$p")
+    assert(p.contains("partial_sum"), s"gradient rollup lacks map-side partial:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).nonEmpty,
+      s"weights frame must broadcast:\n$p")
+  }
+
   test("q59 mixture sampling is a per-row filter with only rollup + sort shuffles") {
     val p = plan("q59_source_mixing")
     val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
