@@ -267,11 +267,136 @@ object WebOps {
       when(d % 7 === 0, "#section-2").otherwise(""))
   }
 
+  // ---- HTML main-content extraction (q125) ------------------------
+
+  /** Block-boundary tags: void breaks (`<br>`, `<hr>`) and the
+    * CLOSING tags of block-level elements — each becomes a newline
+    * so the extracted text keeps the page's paragraph structure.
+    */
+  private[graft] val BlockBreakRe =
+    "(?i)(?:<(?:br|hr)\\s*/?>|</(?:p|div|h[1-6]|li|tr|td|th|table|thead|tbody|ul|ol|blockquote|pre|section|article|header|footer|nav)\\s*>)"
+
+  /** Drop the parts of an HTML page that are never content: comments
+    * (FIRST, so commented-out markup can't confuse later passes),
+    * `<script>`/`<style>` elements with their bodies (a script body
+    * legally contains bare `<` and `>` — the lazy `.*?</script>`
+    * walk is why tag-stripping alone mis-extracts), and the whole
+    * `<head>` element (title/meta are metadata, not content).
+    */
+  private def stripNonContent(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?is)<!--.*?-->", "")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script\\b[^>]*>.*?</script>", "")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", "")
+    regexp_replace(noStyle, "(?is)<head\\b[^>]*>.*?</head>", "")
+  }
+
+  /** Tag-strip + entity-decode + whitespace-normalize an HTML
+    * FRAGMENT that already had script/style/head removed. The six
+    * core entities (+ numeric twins) are decoded with `&amp;` LAST,
+    * so `&amp;lt;` correctly yields the literal text `&lt;`.
+    */
+  private def fragmentText(frag: Column): Column = {
+    val noTags = regexp_replace(frag, "<[^>]*>", "")
+    val ent = Seq(
+      "&nbsp;|&#160;" -> " ", "&lt;|&#60;" -> "<", "&gt;|&#62;" -> ">",
+      "&quot;|&#34;" -> "\"", "&apos;|&#39;" -> "'", "&amp;|&#38;" -> "&")
+      .foldLeft(noTags) { case (c, (p, r)) => regexp_replace(c, p, r) }
+    trim(regexp_replace(regexp_replace(ent, "[ \\t\\r]+", " "),
+      "\\s*\\n\\s*", "\n"), " \n\t\r")
+  }
+
+  /** HTML → text extraction (q125): comments/script/style/head
+    * removed, block boundaries become newlines, remaining tags
+    * stripped, core entities decoded, whitespace normalized. Pure
+    * per-row `regexp_replace` chain — codegen'd, zero shuffle, the
+    * same scale shape as canonicalization. This is the WET-conversion
+    * step CommonCrawl applies to raw crawl archives; boilerplate
+    * removal on top is [[htmlMainText]].
+    */
+  def htmlToText(html: Column): Column = {
+    val blocks = regexp_replace(stripNonContent(html), BlockBreakRe, "\n")
+    fragmentText(blocks)
+  }
+
+  /** [[htmlToText]] plus LINK-DENSITY boilerplate removal (the
+    * jusText/readability heuristic): the page is split at block
+    * boundaries and a block whose anchor text makes up more than
+    * `maxLinkDensityPct` percent of its text is dropped — navigation
+    * bars, footer link farms, and "related articles" boxes are
+    * mostly links; body prose is not. Per-block work is higher-order
+    * array expressions over the split — still per-row, no shuffle,
+    * no UDF. Blocks with no text at all are dropped (they carry no
+    * content and would only add blank lines).
+    *
+    * Not oracle-mirrored (the nested extract-all/lambda chain has no
+    * faithful DuckDB twin) — pinned by WebOpsSpec on planted
+    * nav/footer fixtures instead; q125 pins the shared extraction
+    * chain underneath it.
+    */
+  def htmlMainText(html: Column, maxLinkDensityPct: Int = 50): Column = {
+    require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
+      s"maxLinkDensityPct must be 0..100 (got $maxLinkDensityPct)")
+    val frags = split(stripNonContent(html), BlockBreakRe)
+    val parts = transform(frags, f => struct(
+      fragmentText(f).as("t"),
+      length(fragmentText(concat_ws(" ", regexp_extract_all(f,
+        lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))))).as("al")))
+    val kept = filter(parts, p => length(p.getField("t")) > 0 &&
+      p.getField("al") * 100 <= lit(maxLinkDensityPct) * length(p.getField("t")))
+    trim(regexp_replace(
+      array_join(transform(kept, p => p.getField("t")), "\n"),
+      "\\s*\\n\\s*", "\n"), " \n\t\r")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
   private def docsWithUrl(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("url", synthUrl(col("doc_id"), col("source")))
+
+  /** The q125 synthetic page wrapper (the testdata carries no HTML
+    * column): every hazard class the extractor must survive, planted
+    * deterministically around the document's text — a head with
+    * title/style/script (the script body contains bare `<`, `&&`,
+    * `>`), a nav div of links, per-line `<p>` paragraphs, an HTML
+    * comment, and an entity gauntlet incl. `&amp;` vs `&lt;`
+    * ordering. Both engines build the identical string.
+    */
+  private val htmlPagePrefix =
+    "<html><head><title>skip me</title><style>p{color:red}</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script></head>" +
+      "<body><div id=\"nav\"><a href=\"/\">Home</a> | <a href=\"/about\">About</a></div><h1>"
+  private val htmlPageSuffix =
+    "</p><!-- footer --><div>&amp; more &lt;tags&gt; &quot;quoted&quot;&nbsp;end</div></body></html>"
+
+  /** The oracle-side twin of [[htmlToText]]: the same ordered pattern
+    * chain as DuckDB `regexp_replace(..., 'g')` nesting. Patterns are
+    * shared ASCII regex both engines (Java regex / RE2) read
+    * identically; `\s` differs only on `\x0B`, which neither the
+    * corpus nor the wrapper contains.
+    */
+  private def htmlToTextSql(inner: String): String = {
+    val steps = Seq(
+      """(?is)<!--.*?-->""" -> "''",
+      """(?is)<script\b[^>]*>.*?</script>""" -> "''",
+      """(?is)<style\b[^>]*>.*?</style>""" -> "''",
+      """(?is)<head\b[^>]*>.*?</head>""" -> "''",
+      BlockBreakRe -> "chr(10)",
+      """<[^>]*>""" -> "''",
+      """&nbsp;|&#160;""" -> "' '",
+      """&lt;|&#60;""" -> "'<'",
+      """&gt;|&#62;""" -> "'>'",
+      """&quot;|&#34;""" -> "'\"'",
+      """&apos;|&#39;""" -> "chr(39)",
+      """&amp;|&#38;""" -> "'&'",
+      """[ \t\r]+""" -> "' '",
+      """\s*\n\s*""" -> "chr(10)")
+    val chain = steps.foldLeft(inner) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', $r, 'g')" }
+    s"trim($chain, ' ' || chr(10) || chr(9) || chr(13))"
+  }
 
   /** The oracle-side twin of `synthUrl` (DuckDB SQL). */
   private val synthUrlSql: String =
@@ -521,5 +646,33 @@ object WebOps {
          |FROM r WHERE rnk <= 3
          |ORDER BY host, rnk""".stripMargin) { (s, dir) =>
       domainCap(docsWithUrl(s, dir), cap = 3).orderBy("host", "rnk")
+    },
+
+    // ---- q125: HTML main-content extraction ----------------------
+    // The WET-conversion rung: raw page markup → training text
+    // (CommonCrawl runs exactly this to produce the WET archives the
+    // warc intake reads). Each document is wrapped in a
+    // deterministic hazard-planting page (head/script/style, a nav
+    // link row, per-line paragraphs, a comment, an entity gauntlet)
+    // and extracted back; the oracle rebuilds the page AND runs the
+    // same ordered pattern chain independently, so a hash match pins
+    // tag semantics, script-body `<`/`>` survival, block-break
+    // placement, entity order (`&amp;` last), and whitespace
+    // normalization at once. Pure per-row regexp chain — zero
+    // shuffle at any corpus size (the canonicalization scale shape).
+    QueryDef(
+      "q125_html_extract",
+      s"""WITH page AS (
+         |  SELECT doc_id,
+         |    '$htmlPagePrefix' || lang || '</h1><p>' ||
+         |    replace(text, chr(10), '</p><p>') || '$htmlPageSuffix' AS html
+         |  FROM documents)
+         |SELECT doc_id, ${htmlToTextSql("html")} AS extracted
+         |FROM page ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val page = concat(lit(htmlPagePrefix), col("lang"), lit("</h1><p>"),
+        regexp_replace(col("text"), "\n", "</p><p>"), lit(htmlPageSuffix))
+      docs(s, dir)
+        .select(col("doc_id"), htmlToText(page).as("extracted"))
+        .orderBy("doc_id")
     })
 }

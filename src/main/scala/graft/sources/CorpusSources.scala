@@ -161,15 +161,17 @@ object CorpusSources {
     splitWarc(spark.readStream.format("warc-record")
       .schema(WarcFileFormat.schema).load(path))
 
-  /** The shared WARC split — identical plan for batch and streaming
-    * inputs (per-row header/body parse inside the scan, no shuffle).
+  /** The per-record WARC header/body parse shared by the WET
+    * ([[splitWarc]]) and raw-HTML ([[splitWarcHtml]]) intakes:
+    * (rec, body, wtype, uri, rid) — per-row column work inside the
+    * scan, no shuffle.
     */
-  private def splitWarc(rawIn: DataFrame): (DataFrame, DataFrame) = {
+  private def parsedWarc(rawIn: DataFrame): DataFrame = {
     val raw = rawIn
       .select(regexp_replace(col("value"), "^WARC/1\\.0\r\n", "").as("rec"))
       .filter(length(trim(col("rec"))) > 0)
     val headers = substring_index(col("rec"), "\r\n\r\n", 1)
-    val parsed = raw.select(
+    raw.select(
       col("rec"),
       headers.as("headers"),
       // body = everything after the first blank line; records with
@@ -183,6 +185,13 @@ object CorpusSources {
         regexp_extract(col("headers"), "(?m)^WARC-Target-URI: *(\\S+)", 1).as("uri"),
         regexp_extract(col("headers"),
           "(?m)^WARC-Record-ID: *<?([^>\r\n]+)", 1).as("rid"))
+  }
+
+  /** The shared WARC split — identical plan for batch and streaming
+    * inputs (per-row header/body parse inside the scan, no shuffle).
+    */
+  private def splitWarc(rawIn: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = parsedWarc(rawIn)
     val good = parsed
       .filter(col("wtype") === "conversion" &&
         col("uri") =!= "" && col("body") =!= "")
@@ -199,6 +208,80 @@ object CorpusSources {
       .filter((col("wtype") === "conversion" &&
           (col("uri") === "" || col("body") === "")) ||
         col("wtype") === "") // fragments from a mid-body false split
+      .select(col("rec").as("raw_line"))
+    (good, bad)
+  }
+
+  /** RAW-crawl HTML intake — the WET-generation step run IN the
+    * engine instead of upstream of it: WARC `response` records (raw
+    * HTTP captures) → HTTP-header strip → `text/html` content-type
+    * gate → [[graft.queries.WebOps.htmlMainText]] extraction (q125's
+    * oracle-pinned chain plus link-density boilerplate removal).
+    * Returns (good, bad):
+    *
+    *  - good: (doc_id, text, lang, source, url) — the SAME shape as
+    *    [[warcDocuments]], so pipelines and domain operators are
+    *    agnostic to whether the crawl landed as WET or raw WARC;
+    *    `text` is the extracted main text.
+    *  - bad: response records missing a target URI, or whose body has
+    *    no HTTP header terminator (no payload is recoverable) — the
+    *    verbatim record, per the F2 DLQ contract.
+    *
+    * Non-response record types (warcinfo/request/metadata) and
+    * non-HTML content types (images, pdf, json) are FILTERED, not
+    * errors — the same rule the WET path applies to non-conversion
+    * records. Pages whose extraction comes back EMPTY (pure
+    * link-farm/boilerplate pages) are filtered too: WET archives
+    * likewise carry no conversion record for text-less pages.
+    *
+    * Scale shape: everything through extraction is per-row regexp /
+    * higher-order-array column work inside the scan — no shuffle, no
+    * UDF; splittability and the `.warc.gz` whole-file-per-task
+    * caveat are [[WarcFileFormat]]'s, unchanged.
+    */
+  def warcHtmlDocuments(
+      spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    splitWarcHtml(spark.read.format("warc-record")
+      .schema(WarcFileFormat.schema).load(path))
+
+  /** Streaming form of [[warcHtmlDocuments]] — the raw-crawl
+    * landing-dir deployment, same split contract; the file source's
+    * checkpoint gives exactly-once archive ingestion across restarts.
+    */
+  def warcHtmlDocumentsStream(
+      spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    splitWarcHtml(spark.readStream.format("warc-record")
+      .schema(WarcFileFormat.schema).load(path))
+
+  private def splitWarcHtml(rawIn: DataFrame): (DataFrame, DataFrame) = {
+    val resp = parsedWarc(rawIn).filter(col("wtype") === "response")
+    val withHttp = resp.select(
+      col("rec"), col("uri"), col("rid"),
+      // the WARC body of a response record is the raw HTTP message:
+      // status line + headers, blank line, payload
+      when(instr(col("body"), "\r\n\r\n") > 0,
+        substring_index(col("body"), "\r\n\r\n", 1))
+        .otherwise(lit(null)).as("http_headers"),
+      when(instr(col("body"), "\r\n\r\n") > 0,
+        col("body").substr(instr(col("body"), "\r\n\r\n") + lit(4),
+          length(col("body"))))
+        .otherwise(lit(null)).as("payload"))
+      .withColumn("ctype", lower(regexp_extract(col("http_headers"),
+        "(?mi)^Content-Type: *([^;\r\n]+)", 1)))
+    val good = withHttp
+      .filter(col("payload").isNotNull && col("uri") =!= "" &&
+        col("ctype").contains("html"))
+      .withColumn("text", graft.queries.WebOps.htmlMainText(col("payload")))
+      .filter(col("text") =!= "")
+      .select(
+        xxhash64(when(col("rid") =!= "", col("rid")).otherwise(col("uri")))
+          .as("doc_id"),
+        col("text"),
+        graft.queries.TextOps.predictedLang(col("text")).as("lang"),
+        graft.queries.WebOps.canonicalHost(col("uri")).as("source"),
+        col("uri").as("url"))
+    val bad = resp
+      .filter(col("uri") === "" || instr(col("body"), "\r\n\r\n") === 0)
       .select(col("rec").as("raw_line"))
     (good, bad)
   }

@@ -486,6 +486,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"weights frame must broadcast:\n$p")
   }
 
+  test("q125 html extraction stays in the scan's project; only the presentation sort shuffles") {
+    val p = plan("q125_html_extract")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"expected the presentation sort only, got $shuffles:\n$p")
+  }
+
   test("q59 mixture sampling is a per-row filter with only rollup + sort shuffles") {
     val p = plan("q59_source_mixing")
     val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size

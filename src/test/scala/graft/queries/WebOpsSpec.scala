@@ -237,4 +237,73 @@ class WebOpsSpec extends AnyFunSuite {
     leaked.foreach(id =>
       spark.sparkContext.getPersistentRDDs(id).unpersist(blocking = false))
   }
+
+  // ---- q125 HTML extraction --------------------------------------
+
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(WebOps.htmlToText(col("h"))).head().getString(0)
+  }
+
+  private def mainText(html: String, pct: Int = 50): String = {
+    import spark.implicits._
+    Seq(html).toDF("h")
+      .select(WebOps.htmlMainText(col("h"), pct)).head().getString(0)
+  }
+
+  test("htmlToText: script bodies with bare < > and && vanish whole; inline tags don't break lines") {
+    val html = "<p>before <b>bold</b> and <a href='/x'>a link</a></p>" +
+      "<script>if (1 < 2 && 3 > 2) { document.write('</p>'); }</script>" +
+      "<p>after</p>"
+    // NOTE the script body even contains a quoted '</p>' — the lazy
+    // .*?</script> walk must NOT treat it as a block break
+    assert(extract(html) == "before bold and a link\nafter")
+  }
+
+  test("htmlToText: head (title/meta/style) is metadata, not content") {
+    val html = "<html><head><title>SEO Title</title>" +
+      "<meta name='description' content='desc words'>" +
+      "<style>body { color: red; }</style></head>" +
+      "<body><h1>Real Heading</h1><p>body text</p></body></html>"
+    assert(extract(html) == "Real Heading\nbody text")
+  }
+
+  test("htmlToText: comments die first, so commented-out markup can't resurface") {
+    val html = "<p>keep</p><!-- <p>ghost paragraph</p> --><div>also keep</div>"
+    assert(extract(html) == "keep\nalso keep")
+  }
+
+  test("htmlToText: entity decode is ordered — &amp;lt; yields literal &lt;") {
+    val html = "<p>a &lt; b &amp;&amp; c &gt; d</p>" +
+      "<p>&quot;q&quot; &apos;a&apos; &#39;n&#39;&nbsp;end</p>" +
+      "<p>escaped: &amp;lt; stays text</p>"
+    assert(extract(html) ==
+      "a < b && c > d\n\"q\" 'a' 'n' end\nescaped: &lt; stays text")
+  }
+
+  test("htmlToText: whitespace collapses inside lines, block breaks dedupe") {
+    val html = "<div>  spaced\t\tout  </div><div></div><div>next</div>"
+    assert(extract(html) == "spaced out\nnext")
+  }
+
+  test("htmlMainText: link-dense blocks (nav/footer) drop, prose with an inline link survives") {
+    val html =
+      "<div><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>Contact</a></div>" +
+      "<p>This paragraph is real prose that happens to cite " +
+      "<a href='/ref'>one reference</a> among many ordinary words.</p>" +
+      "<div><a href='/1'>related</a> | <a href='/2'>stories</a></div>"
+    val out = mainText(html)
+    assert(out == "This paragraph is real prose that happens to cite " +
+      "one reference among many ordinary words.", out)
+    // the pure extractor keeps all three blocks — the gate is the diff
+    assert(extract(html).linesIterator.size == 3)
+  }
+
+  test("htmlMainText: the density threshold is inclusive and tunable") {
+    // anchor text 'half' = 4 chars, block text 'half off' = 8 chars
+    // => exactly 50% density: kept at the default 50, dropped at 49
+    val html = "<p><a href='/x'>half</a> off</p><p>pure prose here</p>"
+    assert(mainText(html) == "half off\npure prose here")
+    assert(mainText(html, 49) == "pure prose here")
+  }
 }

@@ -446,4 +446,69 @@ class CorpusSourcesSpec extends AnyFunSuite {
       (0 until 8).map(i => s"https://gz$i.example.com/$i").toSet)
     assert(bad.count() == 0)
   }
+
+  test("warcHtmlDocuments: response records extract main text; non-HTML filtered; malformed HTTP DLQs") {
+    val crlf = "\r\n"
+    def rec(headers: Seq[String], body: String): String =
+      "WARC/1.0" + crlf + headers.mkString(crlf) + crlf + crlf + body
+    def http(ctype: String, payload: String): String =
+      "HTTP/1.1 200 OK" + crlf + s"Content-Type: $ctype" + crlf +
+        "Server: test" + crlf + crlf + payload
+    val warc = Seq(
+      rec(Seq("WARC-Type: warcinfo", "WARC-Record-ID: <urn:uuid:info>"),
+        "software: crawler"),
+      // the real page: nav boilerplate must die, prose must survive
+      rec(Seq("WARC-Type: response",
+        "WARC-Target-URI: https://WWW.News.ORG/story?utm_x=1",
+        "WARC-Record-ID: <urn:uuid:html-a>"),
+        http("text/html; charset=utf-8",
+          "<html><head><title>t</title></head><body>" +
+            "<div><a href='/'>Home</a> <a href='/b'>About</a></div>" +
+            "<p>the story text is here.</p>" +
+            "<script>var x = 1 < 2;</script></body></html>")),
+      // image response -> filtered, not an error
+      rec(Seq("WARC-Type: response",
+        "WARC-Target-URI: https://news.org/logo.png",
+        "WARC-Record-ID: <urn:uuid:img>"),
+        http("image/png", "PNGBYTES")),
+      // response with NO http header terminator -> DLQ
+      rec(Seq("WARC-Type: response",
+        "WARC-Target-URI: https://news.org/broken",
+        "WARC-Record-ID: <urn:uuid:broken>"),
+        "HTTP/1.1 200 OK only a status line, no blank line"),
+      // URI-less response -> DLQ
+      rec(Seq("WARC-Type: response", "WARC-Record-ID: <urn:uuid:nouri>"),
+        http("text/html", "<p>orphan</p>")),
+      // pure link-farm page extracts to nothing -> filtered like WET
+      rec(Seq("WARC-Type: response",
+        "WARC-Target-URI: https://news.org/links",
+        "WARC-Record-ID: <urn:uuid:farm>"),
+        http("text/html",
+          "<div><a href='/1'>one</a> <a href='/2'>two</a></div>")),
+      // a conversion record is the WET path's business, not this one's
+      rec(Seq("WARC-Type: conversion",
+        "WARC-Target-URI: https://news.org/wet",
+        "WARC-Record-ID: <urn:uuid:wet>"),
+        "already extracted text.")
+    ).mkString(crlf + crlf) + crlf + crlf
+    val dir = Files.createTempDirectory("graft_warc_html")
+    Files.writeString(dir.resolve("crawl.warc"), warc)
+
+    val (good, bad) = CorpusSources.warcHtmlDocuments(spark, dir.toString)
+    val g = good.collect()
+    assert(g.length == 1, g.toSeq)
+    val row = g.head
+    assert(row.getAs[String]("text") == "the story text is here.", row)
+    assert(row.getAs[String]("url") == "https://WWW.News.ORG/story?utm_x=1")
+    assert(row.getAs[String]("source") == "news.org")
+    assert(row.getAs[String]("lang") == "en")
+    // deterministic doc_id across re-reads
+    val (good2, _) = CorpusSources.warcHtmlDocuments(spark, dir.toString)
+    assert(good2.head().getAs[Long]("doc_id") == row.getAs[Long]("doc_id"))
+    // DLQ: exactly the header-less and URI-less responses, verbatim
+    val b = bad.collect().map(_.getString(0))
+    assert(b.length == 2, b.toSeq)
+    assert(b.exists(_.contains("urn:uuid:broken")), b.toSeq)
+    assert(b.exists(_.contains("urn:uuid:nouri")), b.toSeq)
+  }
 }
