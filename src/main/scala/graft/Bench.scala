@@ -338,7 +338,15 @@ object Bench {
     // 50-gram df is ∝ corpus CHARS, the heaviest per-byte stream in
     // the repo — the probe measures that the df shuffle + join-back +
     // interval-merge rebuild all stay linear
-    "q123_exact_substr_removal_fold")
+    "q123_exact_substr_removal_fold",
+    // perceptron training: rounds iterate a doc_id-clustered cached
+    // feature frame with a broadcast weights join and a ≤4097-key
+    // gradient rollup — the probe measures that round cost is
+    // feature-scan-bound (the kmeansMicro argument applied to a
+    // JOIN-bearing round body). q125's html extraction is NOT probed:
+    // a single per-row regexp projection with zero shuffle is
+    // structurally incapable of super-linearity (plan-audited).
+    "q124_perceptron_quality")
 
   /** The native-vs-chained BPE encode merge-count scaling record:
     * train once at SPARK_GRAFT_BPE_MERGES (default 1024) merges with
