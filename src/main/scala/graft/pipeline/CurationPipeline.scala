@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.operators.ScaleOps
 import graft.queries.{DedupOps, TextOps, WebOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -34,6 +34,9 @@ import org.apache.spark.storage.StorageLevel
   *      over integer micro-quantized features; keep docs whose exact-
   *      integer score clears the threshold (the classifier rung of
   *      quality filtering, after the rule rung)
+  *   2c. (optional) TRAINED model gate — q124's batch perceptron
+  *      fitted on the current survivors under caller seed labels;
+  *      docs the trained boundary calls positive survive
   *   3. exact dedup          — md5 keep-first      (q30)
   *   4. near-dup dedup       — MinHash/LSH pairs → connected
   *      components → representative materialization (q36/q61/q76;
@@ -167,6 +170,21 @@ object CurationPipeline {
     * (redacted/rewritten) text actually flowing through. Pure
     * per-row filter — no join, no shuffle.
     *
+    * `perceptronGate = Some((isTarget, rounds))` inserts the TRAINED
+    * model gate (q124) after the q105 constant-weight gate: an
+    * exact-integer batch perceptron is fitted ON the current
+    * survivors under the caller's seed labels (`isTarget` — any
+    * Column over the pipeline frame, e.g. `col("source") ===
+    * "curated"`; the GPT-3 curated-vs-raw recipe), and docs the
+    * trained boundary calls positive (margin > 0, q124's verdict
+    * rule) survive. Training costs rounds × one pass over the
+    * survivors' cached feature frame (driver state ≤4097 longs —
+    * perceptronTrain's contract); the gate itself is the STATELESS
+    * per-row margin expression (`perceptronMarginCol`), so the stage
+    * adds no join and no new shuffle beyond the fit's own. With
+    * `stageDir` resume, a loaded boundary skips the training
+    * entirely (by-name stage bodies).
+    *
     * `domainCapN = Some(cap)` (requires `urlCol`) inserts the
     * per-domain document cap (q104, WebOps.domainCap) after URL
     * dedup: at most `cap` docs per canonical host survive, longest
@@ -237,6 +255,7 @@ object CurationPipeline {
       urlCol: Option[String] = None,
       urlGatePatterns: Option[Seq[String]] = None,
       classifierMinScore: Option[Long] = None,
+      perceptronGate: Option[(Column, Int)] = None,
       keepBestOfCluster: Boolean = false,
       domainCapN: Option[Int] = None,
       domainMeanMinScore: Option[Long] = None,
@@ -309,7 +328,9 @@ object CurationPipeline {
         semanticDecon.map { case (_, probes, minCos) =>
           (frameDigest(probes), minCos) },
         c4Lines, dedupLines, urlCol, urlGatePatterns,
-        classifierMinScore, keepBestOfCluster, domainCapN,
+        classifierMinScore,
+        perceptronGate.map { case (c, r) => s"$c|$r" },
+        keepBestOfCluster, domainCapN,
         domainMeanMinScore, authorityMinPrMicro, blockLexicon,
         exactSubstrL, authorityLinks.map(frameDigest)).mkString("|")
       val cfgPath = new org.apache.hadoop.fs.Path(root, "pipeline_config.txt")
@@ -535,15 +556,34 @@ object CurationPipeline {
           .drop("__nc", "score"))
     }
 
+    // 2c. optional TRAINED model gate (q124) — the classifier rung
+    // with its boundary fitted IN the run instead of shipped as
+    // constants: batch-perceptron-train on the current survivors
+    // under the caller's seed labels, keep docs the trained boundary
+    // calls positive (margin > 0, q124's verdict rule). The fit is
+    // rounds × one pass over the survivors' cached feature frame
+    // (driver state <=4097 longs); the gate is the STATELESS per-row
+    // margin expression, so the stage adds no join and no new
+    // shuffle beyond the fit's own. Inside the by-name stage body, a
+    // stageDir resume that loads this boundary never trains.
+    val perceptroned = perceptronGate.fold(classified) {
+      case (isTarget, rounds) =>
+        stage("perceptron_gate", {
+          val w = TextOps.perceptronTrain(classified, isTarget, rounds)
+          classified.filter(
+            TextOps.perceptronMarginCol(col("text"), w) > 0)
+        })
+    }
+
     // 3. exact dedup — keep the min doc_id per content hash: q30's
     // hash-groupBy (map-side partials reduce to one (hash, keeper)
     // row per distinct text) + an id-equality join back, so the only
     // full-text shuffle is the join's own
-    val keepers = classified
+    val keepers = perceptroned
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val exact = stage("exact_dedup", classified.join(keepers, Seq("doc_id")))
+    val exact = stage("exact_dedup", perceptroned.join(keepers, Seq("doc_id")))
 
     // 4. near-dup dedup — LSH pairs → CC → keep representatives
     // (q36/q61/q76). Default keeper = each cluster's min doc_id

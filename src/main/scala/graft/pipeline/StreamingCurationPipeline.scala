@@ -23,6 +23,10 @@ import org.apache.spark.storage.StorageLevel
   *   lexicon_gate   → (optional) q119's blocklist page rule on the
   *                    rewritten text, stateless per row
   *   classifier     → q105's exact-integer linear probe, stateless
+  *   perceptron_gate→ (optional) q124's TRAINED boundary under a
+  *                    loaded savePerceptronModel artifact — the
+  *                    batch-fitted weights consumed at ingestion
+  *                    time (per-row margin, keep iff > 0)
   *   incr_dedup     → q95's delta-vs-standing-index verdicts (exact
   *                    fingerprints + banded MinHash estimate against
   *                    a PERSISTED index — the standing corpus is
@@ -83,6 +87,7 @@ object StreamingCurationPipeline {
       urlGatePatterns: Option[Seq[String]] = None,
       clusterCentroids: Option[DataFrame] = None,
       bpeModel: Option[Seq[(String, String)]] = None,
+      perceptronWeights: Option[Map[String, Long]] = None,
       lateness: String = "1 hour")
 
   /** Starts the composed pipeline over a (doc_id, text, url, ts)
@@ -169,7 +174,21 @@ object StreamingCurationPipeline {
       "classifier" -> ((df: DataFrame) =>
         StreamOps.classifierScoreStream(df)
           .filter(col("score") >= cfg.classifierMinScore)
-          .drop("score", "verdict")),
+          .drop("score", "verdict"))) ++
+      // optional TRAINED model gate — q124's deployment half in the
+      // batch stage order (2c: after the constant-weight classifier,
+      // before the dedup rungs). The weights are a corpus-level
+      // artifact fitted OFFLINE (perceptronTrain + the
+      // save/loadPerceptronModel hand-off — a decision boundary is
+      // underivable from an unbounded stream, the tokenBudget rule);
+      // scoring is the stateless per-row margin expression, keep iff
+      // margin > 0 (q124's verdict rule).
+      cfg.perceptronWeights.toSeq.map(w =>
+        "perceptron_gate" -> ((df: DataFrame) =>
+          StreamOps.perceptronScoreStream(df, w)
+            .filter(col("margin") > 0)
+            .drop("margin", "verdict"))) ++
+      Seq[(String, DataFrame => DataFrame)](
       "incr_dedup" -> ((df: DataFrame) => {
         val verdicts = DedupOps.incrementalDedupAgainstIndex(spark,
           df.select("doc_id", "text"), standingIndex,

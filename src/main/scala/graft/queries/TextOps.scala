@@ -3115,6 +3115,56 @@ object TextOps {
       .select(col("doc_id"), col("margin"),
         when(col("margin") > 0, "keep").otherwise("drop").as("verdict"))
 
+  /** Per-row margin under trained perceptron weights WITHOUT the
+    * explode + per-doc rollup: margin = bias + Σ_tokens
+    * weight[bucket(token)] — integer-identical to [[perceptronScore]]
+    * 's per-bucket count-weighted sum, but computed inside one
+    * higher-order expression against the weights map as a plan
+    * literal (≤4097 entries — the semanticDecontaminate move).
+    * FULLY STATELESS: no shuffle, no aggregation state — this is the
+    * form a streaming scorer must take (a streaming groupBy would be
+    * a stateful agg), and any batch caller that wants the margin as
+    * a free per-row column can use it too.
+    */
+  def perceptronMarginCol(text: Column, weights: Map[String, Long]): Column = {
+    val bias = weights.getOrElse(PerceptronBiasBucket, 0L)
+    val tokWeights = weights - PerceptronBiasBucket
+    if (tokWeights.isEmpty) lit(bias)
+    else aggregate(
+      tokens(text),
+      lit(bias),
+      (acc, w) => acc +
+        coalesce(element_at(typedLit(tokWeights),
+          substring(md5(w), 1, 3)), lit(0L)))
+  }
+
+  /** Persist a trained perceptron model ([[perceptronTrain]]'s weight
+    * map, bias included under `____`) as a parquet artifact — the
+    * deployment hand-off: the batch fit runs where the labels live,
+    * the ingestion stream loads the artifact and scores per-row
+    * ([[graft.streaming.StreamOps]]). One ≤4097-row file.
+    */
+  def savePerceptronModel(spark: SparkSession,
+      weights: Map[String, Long], path: String): Unit = {
+    import spark.implicits._
+    weights.toSeq.toDF("bucket", "w")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[savePerceptronModel]] artifact. Fails loud on a
+    * malformed artifact (null bucket/weight) rather than silently
+    * scoring with a truncated model.
+    */
+  def loadPerceptronModel(
+      spark: SparkSession, path: String): Map[String, Long] = {
+    spark.read.parquet(path).select("bucket", "w").collect().map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"perceptron model at $path has a null bucket or weight row")
+      r.getString(0) -> r.getLong(1)
+    }.toMap
+  }
+
   /** The q124 unrolled-CTE oracle: `rounds` perceptron rounds as
     * DuckDB CTEs. Round 1 is stated directly as the all-docs update
     * (w=0 margins are identically 0 and y·0 <= 0); later rounds state

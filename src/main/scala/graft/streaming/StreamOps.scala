@@ -440,6 +440,27 @@ object StreamOps {
           .otherwise("drop"))
   }
 
+  /** Online TRAINED-classifier scoring — the q124 deployment twin:
+    * the batch perceptron fit runs where the labels live
+    * ([[graft.queries.TextOps.perceptronTrain]], persisted via
+    * `savePerceptronModel`), the stream scores every arriving doc
+    * under the loaded weights. The model is a corpus-level artifact
+    * by the tokenBudget rule (a decision boundary is underivable
+    * from an unbounded stream); scoring is ONE per-row higher-order
+    * expression against the ≤4097-entry weights-map literal
+    * ([[graft.queries.TextOps.perceptronMarginCol]]) — fully
+    * STATELESS: no shuffle, no aggregation state, no watermark.
+    * Emits `margin` and `verdict` (keep iff margin > 0) beside every
+    * input column; batch/stream parity pinned in StreamOpsSpec.
+    */
+  def perceptronScoreStream(
+      docs: DataFrame, weights: Map[String, Long]): DataFrame =
+    docs
+      .withColumn("margin",
+        graft.queries.TextOps.perceptronMarginCol(col("text"), weights))
+      .withColumn("verdict",
+        when(col("margin") > 0, "keep").otherwise("drop"))
+
   /** Streaming C4 line/page filter — the streaming form of the batch
     * q102 operator: pages with a non-kept verdict (lorem / brace /
     * too-few-kept-lines) drop, survivors are rewritten to their kept

@@ -757,6 +757,49 @@ class CurationPipelineSpec extends AnyFunSuite {
     controlKept.foreach { case (id, t) => assert(t == redactedMap(id)) }
   }
 
+  test("perceptron_gate trains on the quality survivors and keeps exactly the positive-margin docs") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .select("doc_id", "text", "lang", "source")
+    // the label a unigram model CAN learn on the shared-vocab corpus:
+    // mentions of 'scan' (the PerceptronSpec rationale) — any Column
+    // over the pipeline frame is a legal seed
+    val isSeed = array_contains(
+      graft.queries.TextOps.tokens(col("text")), "scan")
+
+    // expected = train on exactly the stage's input (redact → quality
+    // survivors; no other optional stages on) and keep margin > 0
+    val redacted = graft.queries.TextOps.redactPii(real, "text")
+      .select(col("doc_id"), col("redacted").as("text"),
+        col("lang"), col("source"))
+    val preStage = redacted.filter(
+      graft.queries.TextOps.gopherKept(col("text")))
+    val w = graft.queries.TextOps.perceptronTrain(preStage, isSeed, 40)
+    val expectedKept = preStage.filter(
+        graft.queries.TextOps.perceptronMarginCol(col("text"), w) > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expectedKept.nonEmpty &&
+      expectedKept.size < preStage.count(),
+      s"fixture vacuous: gate keeps ${expectedKept.size} of ${preStage.count()}")
+
+    def runWith(g: Option[(org.apache.spark.sql.Column, Int)]) = {
+      val out = java.nio.file.Files.createTempDirectory("graft_pg").toString
+      val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = out, perceptronGate = g)
+        .map(s => s.stage -> s.docs).toMap
+      (ledger, out)
+    }
+    val (ledger, _) = runWith(Some((isSeed, 40)))
+    assert(ledger("perceptron_gate") == expectedKept.size, ledger)
+    assert(ledger("quality") == preStage.count(), ledger)
+    // downstream stages only ever see gate survivors
+    assert(ledger("exact_dedup") <= expectedKept.size, ledger)
+    val (control, _) = runWith(None)
+    assert(!control.contains("perceptron_gate"), control)
+    assert(control("exact_dedup") >= ledger("exact_dedup"), (control, ledger))
+  }
+
   test("classifier gate drops exactly the docs below the threshold; control run keeps them") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")

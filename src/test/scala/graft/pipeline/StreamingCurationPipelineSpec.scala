@@ -471,4 +471,60 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(!ledgerOff.contains("token_tag"), ledgerOff)
     assert(colsOff.forall(!_.contains("n_bpe")), colsOff)
   }
+
+  test("perceptron_gate drops what the TRAINED boundary rejects; control run keeps it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    // offline fit where the labels live: harbor prose is the curated
+    // seed (+), foundry prose the raw crawl (−); persist + RELOAD —
+    // the artifact hand-off is part of what this test pins
+    val fit = Seq((1L, pageA, true), (2L, pageD, false))
+      .toDF("doc_id", "text", "is_seed")
+    val w = TextOps.perceptronTrain(fit, col("is_seed"), rounds = 8)
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft_scp_pmodel").toString + "/model"
+    TextOps.savePerceptronModel(spark, w, modelPath)
+    val weights = TextOps.loadPerceptronModel(spark, modelPath)
+
+    // batch verdicts under the same loaded weights = the parity oracle
+    val batchKept = TextOps.perceptronScore(
+        Seq((1L, pageA), (2L, pageD)).toDF("doc_id", "text"), weights)
+      .filter(col("verdict") === "keep")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L),
+      s"fixture drifted: the trained boundary should keep only pageA, got $batchKept")
+
+    def run(pw: Option[Map[String, Long]]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        perceptronWeights = pw)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      val stream = MemoryStream[(Long, String, String, Timestamp)]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, sink)
+      stream.addData(Seq(
+        (1L, pageA, "https://site.example.com/a", ts(0)),
+        (2L, pageD, "https://site.example.com/d", ts(1))))
+      query.processAllAvailable()
+      query.stop()
+      (landed.toSet, ledger().map(s => s.stage -> s.docs).toMap)
+    }
+
+    val (kept, ledgerOn) = run(Some(weights))
+    assert(kept == batchKept, s"stream=$kept batch=$batchKept")
+    assert(ledgerOn("classifier") == 2L, ledgerOn)
+    assert(ledgerOn("perceptron_gate") == 1L, ledgerOn)
+    val (keptOff, ledgerOff) = run(None)
+    assert(!ledgerOff.contains("perceptron_gate"), ledgerOff)
+    assert(keptOff == Set(1L, 2L), keptOff)
+  }
 }

@@ -852,6 +852,48 @@ class StreamOpsSpec extends AnyFunSuite {
       s"stream-batch classifier mismatch: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
   }
 
+  test("PARITY: online perceptron scoring equals the batch q124 margins through a persisted model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // offline fit where the labels live + artifact hand-off — the
+    // full deployment loop: train, save, load, score online
+    val corpus = graft.Tables(spark, parityDir, "documents")
+      .select("doc_id", "text", "lang")
+    val fitted = graft.queries.TextOps
+      .perceptronTrain(corpus, col("lang") === "en", rounds = 3)
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft_pmodel").toString
+    graft.queries.TextOps.savePerceptronModel(spark, fitted, modelDir)
+    val weights = graft.queries.TextOps.loadPerceptronModel(spark, modelDir)
+    assert(weights == fitted, "model round-trip changed the weights")
+
+    val docs = corpus.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(docs.map { case (id, t) => (id, t, ts(0)) })
+    val q = StreamOps.perceptronScoreStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), weights)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("perceptron_parity").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("perceptron_parity")
+      .select($"doc_id", $"margin", $"verdict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    // batch q124 re-trains the same 3 rounds on the same corpus and
+    // emits the final margins — the stream's per-token map-literal
+    // sum must land integer-identical to the batch per-bucket rollup
+    val batch = graft.SparkEntry
+      .queries("q124_perceptron_quality")(spark, parityDir)
+      .select($"doc_id", $"margin", $"verdict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-batch perceptron mismatch: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+  }
+
   test("PARITY: online token-budget tagging equals the batch q96 verdicts row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
