@@ -29,6 +29,10 @@ import org.apache.spark.storage.StorageLevel
   *   1b. (optional) corpus-level exact line dedup — every non-first
   *      occurrence of a repeated line removed corpus-wide, docs
   *      rewritten to their surviving lines (q101)
+  *   1e. (optional) CHARACTER-exact decontamination rewrite — chars
+  *      inside verbatim >= L-char substrings shared with the
+  *      redacted probe set excised from non-probe docs (q126); the
+  *      rewrite-not-drop rung beside stage 5's shingle DROP rule
   *   2. quality filter       — gopherKept          (q73)
   *   2b. (optional) model-based quality gate — q105's linear probe
   *      over integer micro-quantized features; keep docs whose exact-
@@ -140,6 +144,14 @@ object CurationPipeline {
     * character fidelity, where stage 4's MinHash pass works at
     * whole-document granularity and the line stage at line
     * granularity. Gutted docs die at the quality stage.
+    *
+    * `exactSubstrDeconL = Some(L)` inserts the CHARACTER-exact
+    * decontamination rewrite (q126, DedupOps.removeProbeCharSpans)
+    * after the self-dedup rewrite: chars inside verbatim >= L-char
+    * substrings shared with the redacted probe set are excised from
+    * non-probe docs — the rewrite-not-drop decontamination rung
+    * beside stage 5's shingle-threshold DROP rule. Probe rows pass
+    * through untouched and die at stage 5 as always.
     *
     * `budgetFrac = Some((num, den))` inserts the token-budget cut
     * (q96, TextOps.tokenBudgetSelect) after the CCNet stage: keep the
@@ -263,6 +275,7 @@ object CurationPipeline {
       authorityMinPrMicro: Option[Long] = None,
       blockLexicon: Option[Seq[String]] = None,
       exactSubstrL: Option[Int] = None,
+      exactSubstrDeconL: Option[Int] = None,
       stageDir: Option[String] = None)
       : Seq[StageCount] = {
     require(urlGatePatterns.isEmpty || urlCol.nonEmpty,
@@ -332,7 +345,8 @@ object CurationPipeline {
         perceptronGate.map { case (c, r) => s"$c|$r" },
         keepBestOfCluster, domainCapN,
         domainMeanMinScore, authorityMinPrMicro, blockLexicon,
-        exactSubstrL, authorityLinks.map(frameDigest)).mkString("|")
+        exactSubstrL, exactSubstrDeconL,
+        authorityLinks.map(frameDigest)).mkString("|")
       val cfgPath = new org.apache.hadoop.fs.Path(root, "pipeline_config.txt")
       val fs = cfgPath.getFileSystem(hconf)
       if (fs.exists(cfgPath)) {
@@ -538,9 +552,37 @@ object CurationPipeline {
             col("lang"), col("source")))
     }
 
+    // 1e. optional CHARACTER-exact decontamination rewrite (q126) —
+    // every char of a non-probe doc inside a verbatim >= L-char
+    // substring that also occurs anywhere in the REDACTED probe set
+    // is removed and the text rebuilt: the rewrite-not-drop rung of
+    // the decontamination ladder (stage 5 still DROPS docs sharing
+    // >= minShared 3-token shingles; this excises sub-threshold
+    // verbatim quotes from the survivors' text itself). The probe
+    // side is the redacted probe docs — same sourcing rule as stage
+    // 5's probe side; probe rows pass through untouched (they feed
+    // stage 5's shingle sweep and are dropped there as always).
+    // Gutted docs die at quality, like every rewrite stage.
+    val substrDeconed = exactSubstrDeconL.fold(substrDeduped) { l =>
+      stage("substr_decon", {
+        val probes = redacted.filter(col("source") === probeSource)
+          .select("text")
+        val nonProbe = substrDeduped.filter(col("source") =!= probeSource)
+        nonProbe.join(
+            DedupOps.removeProbeCharSpans(
+                nonProbe.select("doc_id", "text"), probes, winLen = l)
+              .select(col("doc_id"), col("cleaned_text")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("cleaned_text").as("text"),
+            col("lang"), col("source"))
+          .unionByName(
+            substrDeduped.filter(col("source") === probeSource))
+      })
+    }
+
     // 2. quality — per-row predicate, zero shuffle (q73)
     val quality = stage("quality",
-      substrDeduped.filter(TextOps.gopherKept(col("text"))))
+      substrDeconed.filter(TextOps.gopherKept(col("text"))))
 
     // 2b. optional model-based quality gate (q105) — the classifier
     // rung after the rule rung: score = the exact-integer linear

@@ -954,27 +954,25 @@ object DedupOps {
     * interval-merge rebuild via `aggregate` — NOT q65's per-position
     * arrays_overlap scan, which is O(n x |dup_starts|) per doc.
     */
-  def removeDupCharSpans(docs0: DataFrame, winLen: Int = 50,
-      exact: Boolean = true): DataFrame = {
-    val L = winLen
-    val d = docs0.select(col("doc_id"), col("text"),
-      length(col("text")).as("n"))
-    val pos = d.filter(col("n") >= L)
+  /** Positional char L-grams of a (doc_id, text, n) frame: one row
+    * per position 1..n-L+1 with the L-char substring starting there.
+    * Shared by the self-dedup (q123) and probe-decontamination
+    * (q126) span operators.
+    */
+  private def positionalCharGrams(d: DataFrame, L: Int): DataFrame =
+    d.filter(col("n") >= L)
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, n - ${L - 1})")).as("i"))
       .select(col("doc_id"), col("i"),
         expr(s"substring(text, i, $L)").as("g"))
-    val keyed =
-      if (exact) pos.select(col("doc_id"), col("i"), col("g").as("k1"))
-      else pos.select(col("doc_id"), col("i"),
-        xxhash64(col("g")).as("k1"),
-        xxhash64(lit("charspan:h2"), col("g")).as("k2"))
-    val keys = keyed.columns.filter(c => c != "doc_id" && c != "i").toSeq
-    val dfG = keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
-    val dupStarts = keyed
-      .join(dfG.filter(col("df") >= 2).select(keys.map(col): _*), keys)
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("i"))).as("ds"))
+
+  /** The shared rebuild tail: given the (doc_id, ds) sorted
+    * dup-start lists, remove every char covered by [i, i+L-1] for
+    * any i in ds and reassemble — one left-to-right interval-merge
+    * pass per row (see the q123 doc for the lambda walk).
+    */
+  private def charSpanRebuild(
+      d: DataFrame, dupStarts: DataFrame, L: Int): DataFrame =
     d.join(dupStarts, Seq("doc_id"), "left_outer")
       .withColumn("ds",
         coalesce(col("ds"), expr("array()").cast("array<int>")))
@@ -999,12 +997,73 @@ object DedupOps {
         length(col("cleaned_text")).cast("long").as("n_kept_chars"),
         col("cleaned_text"))
       .orderBy("doc_id")
+
+  def removeDupCharSpans(docs0: DataFrame, winLen: Int = 50,
+      exact: Boolean = true): DataFrame = {
+    val L = winLen
+    val d = docs0.select(col("doc_id"), col("text"),
+      length(col("text")).as("n"))
+    val pos = positionalCharGrams(d, L)
+    val keyed =
+      if (exact) pos.select(col("doc_id"), col("i"), col("g").as("k1"))
+      else pos.select(col("doc_id"), col("i"),
+        xxhash64(col("g")).as("k1"),
+        xxhash64(lit("charspan:h2"), col("g")).as("k2"))
+    val keys = keyed.columns.filter(c => c != "doc_id" && c != "i").toSeq
+    val dfG = keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+    val dupStarts = keyed
+      .join(dfG.filter(col("df") >= 2).select(keys.map(col): _*), keys)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ds"))
+    charSpanRebuild(d, dupStarts, L)
   }
 
   /** q123 over the `documents` table at `dir`. */
   def removeDupCharSpans(s: SparkSession, dir: String): DataFrame =
     removeDupCharSpans(
       Tables(s, dir, "documents").select("doc_id", "text"))
+
+  /** q126: CHARACTER-exact DECONTAMINATION — [[removeDupCharSpans]]'s
+    * machinery pointed at an EVAL PROBE SET instead of the corpus
+    * itself (Lee et al.'s ExactSubstr applied the way GPT-3/PaLM
+    * decontaminate): every character of a corpus document lying
+    * inside a verbatim >= `winLen`-char substring that also occurs
+    * ANYWHERE in the probe set is removed and the text rebuilt.
+    *
+    * The decontamination ladder's char-fidelity rung: q58/q77/q91
+    * flag at 3-token-shingle granularity and DROP whole documents,
+    * q54 catches paraphrases in embedding space — this one REWRITES,
+    * so a long document quoting one benchmark question loses the
+    * quote, not its life (the same rewrite-not-drop economics as the
+    * q123 self-dedup rung; docs gutted to nothing die at quality
+    * downstream, never silently here).
+    *
+    * Plan shape: the probe-side DISTINCT L-gram table is probe-sized
+    * (an eval set is small by construction — q54's argument), built
+    * with one explode + distinct; the corpus's positional grams
+    * LEFT-SEMI join it (AQE broadcast-promotes the probe side when
+    * it fits), then the same per-doc sorted-starts interval-merge
+    * rebuild as q123. Corpus-side cost is identical to q123's
+    * stated L x corpus-bytes stream; the df table q123 shuffles is
+    * replaced by the smaller probe-gram side.
+    */
+  def removeProbeCharSpans(docs0: DataFrame, probes0: DataFrame,
+      winLen: Int = 50): DataFrame = {
+    val L = winLen
+    val d = docs0.select(col("doc_id"), col("text"),
+      length(col("text")).as("n"))
+    val probeGrams = probes0
+      .select(col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= L)
+      .select(col("text"), explode(expr(s"sequence(1, n - ${L - 1})")).as("i"))
+      .select(expr(s"substring(text, i, $L)").as("g"))
+      .distinct()
+    val dupStarts = positionalCharGrams(d, L)
+      .join(probeGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ds"))
+    charSpanRebuild(d, dupStarts, L)
+  }
 
   /** q66's per-document novelty score — the curation signal for
     * dataset ordering/pruning: the fraction of a document's distinct
@@ -1589,6 +1648,50 @@ object DedupOps {
       removeDupCharSpans(
         Tables(s, dir, "documents").select("doc_id", "text"),
         exact = false)
+    },
+
+    // ---- q126: CHARACTER-exact decontamination -------------------
+    // q123's span machinery pointed at the src0 eval probe set (the
+    // established probe convention): chars inside a verbatim 50-char
+    // substring that also occurs anywhere in src0 are removed from
+    // every non-src0 doc and the text rebuilt — the GPT-3/PaLM
+    // ExactSubstr decontamination rung, rewrite-not-drop. The oracle
+    // re-derives the probe gram set AND the per-position covered
+    // test independently (the q123 oracle's formulation with the df
+    // table swapped for the probe semi-join).
+    QueryDef(
+      "q126_exact_substr_decon",
+      """WITH d AS (SELECT doc_id, text, len(text) AS n
+        |           FROM documents WHERE source <> 'src0'),
+        |posg AS (
+        |  SELECT doc_id, i, substr(text, i, 50) AS g
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, n - 49)) AS i
+        |        FROM d WHERE n >= 50)),
+        |pd AS (SELECT text, len(text) AS n
+        |       FROM documents WHERE source = 'src0'),
+        |pg AS (
+        |  SELECT DISTINCT substr(text, i, 50) AS g
+        |  FROM (SELECT text, unnest(generate_series(1, n - 49)) AS i
+        |        FROM pd WHERE n >= 50)),
+        |dup AS (
+        |  SELECT p.doc_id, list(p.i) AS ds
+        |  FROM posg p WHERE p.g IN (SELECT g FROM pg)
+        |  GROUP BY p.doc_id),
+        |sel AS (
+        |  SELECT d.doc_id, d.text, d.n,
+        |    list_filter(generate_series(1, d.n), j ->
+        |      NOT list_has_any(coalesce(u.ds, []),
+        |        generate_series(greatest(j - 49, 1), least(j, d.n - 49))))
+        |      AS kept
+        |  FROM d LEFT JOIN dup u ON d.doc_id = u.doc_id)
+        |SELECT doc_id, n AS n_chars, len(kept) AS n_kept_chars,
+        |  coalesce(array_to_string(list_transform(kept, j -> substr(text, j, 1)), ''), '')
+        |    AS cleaned_text
+        |FROM sel ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      removeProbeCharSpans(
+        docs.filter(col("source") =!= "src0").select("doc_id", "text"),
+        docs.filter(col("source") === "src0").select("text"))
     },
 
     // ---- q66: document novelty scoring ---------------------------

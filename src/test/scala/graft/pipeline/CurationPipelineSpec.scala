@@ -757,6 +757,48 @@ class CurationPipelineSpec extends AnyFunSuite {
     controlKept.foreach { case (id, t) => assert(t == redactedMap(id)) }
   }
 
+  test("substr_decon stage excises probe-shared spans from non-probe docs; control run skips it") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    // expected: the stage's exact input is the redacted text (no
+    // other optional stages on), probes = redacted src0 docs
+    val redactedAll = graft.queries.TextOps.redactPii(real, "text")
+      .select(col("doc_id"), col("redacted").as("text"), col("source"))
+    val probeTexts = redactedAll.filter($"source" === "src0").select("text")
+    val nonProbe = redactedAll.filter($"source" =!= "src0")
+    val expected = graft.queries.DedupOps
+      .removeProbeCharSpans(nonProbe.select("doc_id", "text"), probeTexts,
+        winLen = 50)
+      .select("doc_id", "cleaned_text").as[(Long, String)].collect().toMap
+    val touched = nonProbe.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap.filter { case (id, t) => expected(id) != t }
+    assert(touched.nonEmpty,
+      "fixture vacuous: no non-probe doc shares a 50-char span with src0")
+
+    def runWith(l: Option[Int]) = {
+      val out = java.nio.file.Files.createTempDirectory("graft_sd").toString
+      val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = out, exactSubstrDeconL = l)
+        .map(s => s.stage -> s.docs).toMap
+      val kept = spark.read.parquet(out)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      (ledger, kept)
+    }
+    val (ledger, kept) = runWith(Some(50))
+    // rewrite-not-drop: the stage carries every pre-stage doc
+    assert(ledger("substr_decon") == redactedAll.count(), ledger)
+    // every emitted doc's text is exactly the q126 rewrite
+    assert(kept.nonEmpty)
+    kept.foreach { case (id, t) =>
+      assert(t == expected(id), s"doc $id: pipeline text != q126 rewrite") }
+    val (control, controlKept) = runWith(None)
+    assert(!control.contains("substr_decon"), control)
+    val redactedMap = nonProbe.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    controlKept.foreach { case (id, t) => assert(t == redactedMap(id)) }
+  }
+
   test("perceptron_gate trains on the quality survivors and keeps exactly the positive-margin docs") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -468,6 +468,61 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(fold == out)
   }
 
+  test("removeProbeCharSpans: probe quotes excised, corpus-internal dups untouched") {
+    import spark.implicits._
+    val Q = "which planet has the longest day measured in solar time?!" // 57
+    assert(Q.length == 57)
+    val corpus = Seq(
+      // quotes the benchmark question mid-document → exactly the
+      // quote (and the surrounding <50-char remainder logic) goes
+      1L -> ("intro words before the quote " + Q + " and analysis after"),
+      // a corpus-INTERNAL duplicate pair that shares no probe text —
+      // the probe variant must leave both intact (q123's business,
+      // not q126's)
+      2L -> ("D" * 80),
+      3L -> ("D" * 80),
+      // clean doc, shorter than the window
+      4L -> "entirely unrelated prose.",
+      5L -> "")
+      .toDF("doc_id", "text")
+    val probes = Seq("context line. " + Q + " choose one answer.")
+      .toDF("text")
+
+    // brute force: covered iff some 50-gram starting in [i-49, i]
+    // occurs in the probe's 50-gram set
+    val probeGrams = {
+      val t = "context line. " + Q + " choose one answer."
+      (0 to t.length - 50).map(i => t.substring(i, i + 50)).toSet
+    }
+    val texts = Seq(
+      1L -> ("intro words before the quote " + Q + " and analysis after"),
+      2L -> ("D" * 80), 3L -> ("D" * 80),
+      4L -> "entirely unrelated prose.", 5L -> "")
+    val expected = texts.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - 50;
+           if probeGrams.contains(t.substring(i, i + 50));
+           j <- i until i + 50) covered(j) = true
+      val cleaned = t.zipWithIndex.collect {
+        case (ch, j) if !covered(j) => ch }.mkString
+      id -> ((t.length.toLong, cleaned.length.toLong, cleaned))
+    }.toMap
+
+    val out = DedupOps.removeProbeCharSpans(corpus, probes)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out == expected)
+    // essentials: the quote is gone from doc 1 but the doc survives
+    // with its own prose; the internal dup pair is untouched
+    assert(!out(1L)._3.contains("longest day"), out(1L))
+    assert(out(1L)._3.nonEmpty, out(1L))
+    assert(out(2L) == ((80L, 80L, "D" * 80)), out(2L))
+    assert(out(3L) == ((80L, 80L, "D" * 80)), out(3L))
+    assert(out(4L) == ((25L, 25L, "entirely unrelated prose.")))
+    assert(out(5L) == ((0L, 0L, "")))
+  }
+
   test("noveltyScores on a planted copy: original 1.0, copy 0.0, sub-shingle docs absent") {
     import spark.implicits._
     val docs = Seq(
