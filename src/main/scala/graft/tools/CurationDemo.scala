@@ -91,6 +91,31 @@ object CurationDemo {
     val urlGate = sys.env.get("SPARK_GRAFT_URL_GATE")
       .map(_.split("\\s+").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
+    // SPARK_GRAFT_SUBSTR_L=<L> enables the q123 character-level
+    // ExactSubstr rewrite at window L (Lee et al. use 50)
+    val substrL = sys.env.get("SPARK_GRAFT_SUBSTR_L").map(_.trim.toInt)
+    // SPARK_GRAFT_SUBSTR_DECON_L=<L> enables the q126 char-exact
+    // decontamination rewrite vs the probe source at window L
+    val substrDeconL =
+      sys.env.get("SPARK_GRAFT_SUBSTR_DECON_L").map(_.trim.toInt)
+    // SPARK_GRAFT_PERCEPTRON='<seedCol>=<value>,<rounds>' enables the
+    // q124 trained-model gate: seed labels = (input column == value),
+    // e.g. 'lang=en,8' — train on the survivors, keep margin > 0
+    val perceptron = sys.env.get("SPARK_GRAFT_PERCEPTRON").map { sp =>
+      sp.split(",") match {
+        case Array(eq, r) => eq.split("=") match {
+          case Array(c, v) =>
+            require(docs.columns.contains(c.trim),
+              s"SPARK_GRAFT_PERCEPTRON column '${c.trim}' not in input " +
+                s"columns: ${docs.columns.mkString(",")}")
+            (col(c.trim) === v.trim, r.trim.toInt)
+          case _ => sys.error(
+            s"SPARK_GRAFT_PERCEPTRON must look like lang=en,8 (got '$sp')")
+        }
+        case _ => sys.error(
+          s"SPARK_GRAFT_PERCEPTRON must look like lang=en,8 (got '$sp')")
+      }
+    }
     val ledger = CurationPipeline.run(spark, docs,
       probeSource = sys.env.getOrElse("SPARK_GRAFT_PROBE_SOURCE", "src0"),
       outDir = outDir, keepPplBuckets = keep, budgetFrac = budget,
@@ -98,7 +123,9 @@ object CurationDemo {
       urlCol = urlCol, urlGatePatterns = urlGate,
       classifierMinScore = clfMin,
       keepBestOfCluster = keepBest, domainCapN = domCap,
-      domainMeanMinScore = domMin, blockLexicon = blocklist)
+      domainMeanMinScore = domMin, blockLexicon = blocklist,
+      exactSubstrL = substrL, exactSubstrDeconL = substrDeconL,
+      perceptronGate = perceptron)
     ledger.foreach(s => println(f"[curate] ${s.stage}%-15s ${s.docs}%8d docs"))
 
     // an all-filtered corpus writes no files — report that instead
