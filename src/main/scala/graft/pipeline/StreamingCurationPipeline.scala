@@ -22,6 +22,11 @@ import org.apache.spark.storage.StorageLevel
   *   line_filter    → q102's C4 page/line rules, stateless per row
   *   lexicon_gate   → (optional) q119's blocklist page rule on the
   *                    rewritten text, stateless per row
+  *   substr_decon   → (optional) q126's char-exact decontamination
+  *                    REWRITE against a run-pinned probe L-gram
+  *                    table (built once at setup — an eval set is
+  *                    fixed for the run); q123's self-dedup twin
+  *                    stays batch-only (corpus-accreting gram side)
   *   classifier     → q105's exact-integer linear probe, stateless
   *   perceptron_gate→ (optional) q124's TRAINED boundary under a
   *                    loaded savePerceptronModel artifact — the
@@ -88,6 +93,8 @@ object StreamingCurationPipeline {
       clusterCentroids: Option[DataFrame] = None,
       bpeModel: Option[Seq[(String, String)]] = None,
       perceptronWeights: Option[Map[String, Long]] = None,
+      substrDeconProbe: Option[DataFrame] = None,
+      substrDeconL: Int = 50,
       lateness: String = "1 hour")
 
   /** Starts the composed pipeline over a (doc_id, text, url, ts)
@@ -170,6 +177,28 @@ object StreamingCurationPipeline {
       cfg.blockLexicon.toSeq.map(lex =>
         "lexicon_gate" -> ((df: DataFrame) =>
           StreamOps.lexiconGateStream(df, lex))) ++
+      // optional CHARACTER-exact decontamination rewrite (q126) —
+      // batch stage order (1e: after the line rewrite, before the
+      // classifier scores what will actually be emitted). The probe
+      // L-gram table is built and PINNED once at stream setup (the
+      // standing-index pattern: an eval set is fixed for the run);
+      // each batch's positional grams semi-join it and the text is
+      // rebuilt — a REWRITE, not a filter (count == input's). The
+      // self-dedup twin (q123) stays batch-only; this one streams
+      // because its gram side is run-pinned, not corpus-accreting.
+      cfg.substrDeconProbe.toSeq.map { probe =>
+        val grams = {
+          val g = DedupOps.probeCharGrams(probe, cfg.substrDeconL)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          g.count(); g
+        }
+        "substr_decon" -> ((df: DataFrame) =>
+          df.drop("text").join(
+              DedupOps.removeProbeCharSpansAgainst(
+                  df.select("doc_id", "text"), grams, cfg.substrDeconL)
+                .select(col("doc_id"), col("cleaned_text").as("text")),
+              Seq("doc_id")))
+      } ++
       Seq[(String, DataFrame => DataFrame)](
       "classifier" -> ((df: DataFrame) =>
         StreamOps.classifierScoreStream(df)

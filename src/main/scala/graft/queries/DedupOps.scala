@@ -1048,16 +1048,35 @@ object DedupOps {
     * replaced by the smaller probe-gram side.
     */
   def removeProbeCharSpans(docs0: DataFrame, probes0: DataFrame,
-      winLen: Int = 50): DataFrame = {
+      winLen: Int = 50): DataFrame =
+    removeProbeCharSpansAgainst(docs0,
+      probeCharGrams(probes0, winLen), winLen)
+
+  /** The probe-side DISTINCT L-gram table [[removeProbeCharSpans]]
+    * semi-joins against — exposed so a streaming deployment can
+    * build and PIN it once at stream setup (the buildDedupIndex
+    * pattern) instead of re-deriving it every micro-batch. One
+    * `g` column, probe-sized.
+    */
+  def probeCharGrams(probes0: DataFrame, winLen: Int = 50): DataFrame = {
     val L = winLen
-    val d = docs0.select(col("doc_id"), col("text"),
-      length(col("text")).as("n"))
-    val probeGrams = probes0
+    probes0
       .select(col("text"), length(col("text")).as("n"))
       .filter(col("n") >= L)
       .select(col("text"), explode(expr(s"sequence(1, n - ${L - 1})")).as("i"))
       .select(expr(s"substring(text, i, $L)").as("g"))
       .distinct()
+  }
+
+  /** [[removeProbeCharSpans]] against a pre-built (possibly pinned)
+    * [[probeCharGrams]] frame — the streaming form's per-batch body.
+    * `winLen` MUST be the L the gram frame was built with.
+    */
+  def removeProbeCharSpansAgainst(docs0: DataFrame,
+      probeGrams: DataFrame, winLen: Int): DataFrame = {
+    val L = winLen
+    val d = docs0.select(col("doc_id"), col("text"),
+      length(col("text")).as("n"))
     val dupStarts = positionalCharGrams(d, L)
       .join(probeGrams, Seq("g"), "left_semi")
       .groupBy("doc_id")

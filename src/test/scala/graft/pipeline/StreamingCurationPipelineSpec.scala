@@ -472,6 +472,63 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(colsOff.forall(!_.contains("n_bpe")), colsOff)
   }
 
+  test("substr_decon excises the probe quote at ingestion; without it the doc dies at decontamination") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    // pageB quoting the whole benchmark sentence: its shingles trip
+    // stage 5's DROP rule — unless the substr_decon REWRITE removed
+    // the verbatim quote first, in which case the cleaned doc
+    // legitimately survives. The stage interplay IS the point.
+    val quoted = pageB + "\n" + benchmarkSentence
+    assert(benchmarkSentence.length >= 50)
+    val probeTexts = Seq(benchmarkSentence).toDF("text")
+    val expected = DedupOps.removeProbeCharSpans(
+        Seq((2L, quoted)).toDF("doc_id", "text"), probeTexts)
+      .head().getAs[String]("cleaned_text")
+    assert(!expected.contains("quetzal") && expected.contains("orchard"),
+      s"fixture drifted: $expected")
+
+    def run(probe: Option[org.apache.spark.sql.DataFrame]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        substrDeconProbe = probe)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val sink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+      }
+      val stream = MemoryStream[(Long, String, String, Timestamp)]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, sink)
+      stream.addData(Seq(
+        (1L, pageA, "https://site.example.com/a", ts(0)),
+        (2L, quoted, "https://site.example.com/b", ts(1))))
+      query.processAllAvailable()
+      query.stop()
+      (landed.toMap, ledger().map(s => s.stage -> s.docs).toMap)
+    }
+
+    val (kept, ledgerOn) = run(Some(probeTexts))
+    assert(ledgerOn("substr_decon") == 2L, ledgerOn)   // rewrite, not filter
+    assert(ledgerOn("decontaminated") == 2L, ledgerOn) // the quote is GONE
+    assert(kept.keySet == Set(1L, 2L), kept.keySet)
+    assert(kept(2L) == expected,
+      s"stream rewrite != batch q126 rewrite: ${kept(2L)}")
+    assert(kept(1L) == pageA)
+
+    val (keptOff, ledgerOff) = run(None)
+    assert(!ledgerOff.contains("substr_decon"), ledgerOff)
+    // without the rewrite the quoting doc trips the shingle sweep
+    assert(ledgerOff("decontaminated") == 1L, ledgerOff)
+    assert(keptOff.keySet == Set(1L), keptOff.keySet)
+  }
+
   test("perceptron_gate drops what the TRAINED boundary rejects; control run keeps it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
