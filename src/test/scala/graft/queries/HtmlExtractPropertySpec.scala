@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the q125 HTML extractor over generated pages. The law that
+  * matters for a WET-conversion step is LOSSLESSNESS on content: for
+  * any plain text, wrapping it in block markup — with arbitrary
+  * scripts, comments, and attributes interleaved — and extracting
+  * must return exactly that text. Evaluated in one batch pass
+  * (generate with a fixed seed, assert over the whole frame), the
+  * WebOpsPropertySpec discipline.
+  */
+class HtmlExtractPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+  private val lineGen: Gen[String] =
+    Gen.nonEmptyListOf(wordGen).map(_.take(6).mkString(" "))
+  // script bodies draw from EXACTLY the hazard alphabet — bare < > &
+  // quotes, braces — with any accidental close-tag prefix defused so
+  // the generated element stays well-formed
+  private val scriptBodyGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('<', '>', '&', ' ', '/', '\'', '"',
+        '{', '}', ';', '=', '.')))
+    .map(_.mkString.replace("</script", "<./script"))
+  // NB no '>' inside attribute values: the regex extractor's tag
+  // strip stops at the first '>' (the standard regex-HTML
+  // limitation) — scripts/styles are immune (their removal spans to
+  // the close tag) but a plain open tag would leak a residue
+  private val attrGen: Gen[String] = Gen.oneOf("",
+    " class='a'", " id=\"x\" data-v='1-0'", " style='color:red'")
+
+  private case class Page(lines: Seq[String], html: String)
+
+  private val pageGen: Gen[Page] = for {
+    lines <- Gen.nonEmptyListOf(lineGen).map(_.take(5))
+    script <- scriptBodyGen
+    attr <- attrGen
+    blockTag <- Gen.oneOf("p", "div", "li", "h2", "blockquote")
+    comment <- Gen.oneOf("", "<!-- <p>ghost</p> \n multi\nline -->")
+    at <- Gen.choose(0, lines.size)
+  } yield {
+    val blocks = lines.map(l => s"<$blockTag$attr>$l</$blockTag>")
+    val injected = (blocks.take(at) ++
+      Seq(s"<script$attr>$script</script>", comment) ++
+      blocks.drop(at)).mkString
+    Page(lines, s"<html><head><title>t</title></head><body>$injected</body></html>")
+  }
+
+  private val pages: Seq[Page] = {
+    val p = Gen.Parameters.default.withSize(40)
+    (0 until 400).flatMap(i => pageGen.apply(p, Seed(7L + i)): Option[Page])
+  }
+
+  test("LOSSLESS: block-wrapped text survives scripts, comments, and attributes verbatim") {
+    import spark.implicits._
+    assert(pages.size >= 300, s"generator drought: ${pages.size}")
+    val got = pages.map(_.html).zipWithIndex.map(_.swap).toDF("i", "h")
+      .select($"i", WebOps.htmlToText($"h").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    pages.zipWithIndex.foreach { case (pg, i) =>
+      assert(got(i) == pg.lines.mkString("\n"),
+        s"page $i mangled:\n html=${pg.html}\n got=${got(i)}") }
+  }
+
+  test("MONOTONE: htmlMainText emits a subset of htmlToText's lines, in order") {
+    import spark.implicits._
+    // append a pure-link nav block so the gate has something to cut
+    val withNav = pages.take(150).map(p =>
+      p.copy(html = p.html.replace("</body>",
+        "<div><a href='/1'>one</a> <a href='/2'>two</a></div></body>")))
+    val rows = withNav.map(_.html).zipWithIndex.map(_.swap).toDF("i", "h")
+      .select($"i", WebOps.htmlToText($"h").as("full"),
+        WebOps.htmlMainText($"h").as("main"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    rows.foreach { case (i, full, main) =>
+      val fullLines = full.linesIterator.toSeq
+      val mainLines = main.linesIterator.toSeq
+      // subsequence check: the gate only removes whole blocks
+      val it = fullLines.iterator
+      assert(mainLines.forall(m => it.contains(m)),
+        s"page $i: main lines not a subsequence\n full=$fullLines\n main=$mainLines")
+      // and it did cut the planted nav
+      assert(!mainLines.exists(_.contains("one two")), s"page $i kept the nav")
+    }
+  }
+}
