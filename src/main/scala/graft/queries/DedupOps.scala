@@ -1000,6 +1000,9 @@ object DedupOps {
 
   def removeDupCharSpans(docs0: DataFrame, winLen: Int = 50,
       exact: Boolean = true): DataFrame = {
+    require(winLen >= 2, s"winLen must be >= 2 (got $winLen): at 0 " +
+      "every position is a zero-length 'duplicate' and at 1 single " +
+      "repeated characters erase — neither is an ExactSubstr window")
     val L = winLen
     val d = docs0.select(col("doc_id"), col("text"),
       length(col("text")).as("n"))
@@ -1059,6 +1062,7 @@ object DedupOps {
     * `g` column, probe-sized.
     */
   def probeCharGrams(probes0: DataFrame, winLen: Int = 50): DataFrame = {
+    require(winLen >= 2, s"winLen must be >= 2 (got $winLen)")
     val L = winLen
     probes0
       .select(col("text"), length(col("text")).as("n"))
@@ -1074,6 +1078,7 @@ object DedupOps {
     */
   def removeProbeCharSpansAgainst(docs0: DataFrame,
       probeGrams: DataFrame, winLen: Int): DataFrame = {
+    require(winLen >= 2, s"winLen must be >= 2 (got $winLen)")
     val L = winLen
     val d = docs0.select(col("doc_id"), col("text"),
       length(col("text")).as("n"))

@@ -3130,12 +3130,19 @@ object TextOps {
     val bias = weights.getOrElse(PerceptronBiasBucket, 0L)
     val tokWeights = weights - PerceptronBiasBucket
     if (tokWeights.isEmpty) lit(bias)
-    else aggregate(
-      tokens(text),
-      lit(bias),
-      (acc, w) => acc +
-        coalesce(element_at(typedLit(tokWeights),
-          substring(md5(w), 1, 3)), lit(0L)))
+    // outer coalesce: NULL text → NULL token array → NULL aggregate,
+    // but the batch feature path still bills such a doc its bias row
+    // (perceptronFeatures builds it from the docs frame, not the
+    // token stream) — so the per-row form must score bias too, or
+    // batch/stream parity breaks on null-text rows
+    else coalesce(
+      aggregate(
+        tokens(text),
+        lit(bias),
+        (acc, w) => acc +
+          coalesce(element_at(typedLit(tokWeights),
+            substring(md5(w), 1, 3)), lit(0L))),
+      lit(bias))
   }
 
   /** Persist a trained perceptron model ([[perceptronTrain]]'s weight

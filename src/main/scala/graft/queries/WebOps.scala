@@ -276,20 +276,27 @@ object WebOps {
   private[graft] val BlockBreakRe =
     "(?i)(?:<(?:br|hr)\\s*/?>|</(?:p|div|h[1-6]|li|tr|td|th|table|thead|tbody|ul|ol|blockquote|pre|section|article|header|footer|nav)\\s*>)"
 
-  /** Drop the parts of an HTML page that are never content: comments
-    * (FIRST, so commented-out markup can't confuse later passes),
-    * `<script>`/`<style>` elements with their bodies (a script body
-    * legally contains bare `<` and `>` — the lazy `.*?</script>`
-    * walk is why tag-stripping alone mis-extracts), and the whole
-    * `<head>` element (title/meta are metadata, not content).
+  /** Drop the parts of an HTML page that are never content:
+    * `<script>`/`<style>` elements with their bodies FIRST (a script
+    * body legally contains bare `<`, `>` — and, critically, a
+    * dangling `<!--`: the ancient comment-hiding idiom
+    * `<script><!-- code //--></script>` is real-page HTML, and a
+    * comments-first pass would pair that `<!--` with a later `-->`
+    * and swallow the genuine content between; removing the script
+    * WITH its body first defuses it), then comments (before
+    * tag-strip, so commented-out markup like `<!-- <p>ghost</p> -->`
+    * can't resurface; a commented-out script normally carries its
+    * close tag, so the script-first pass leaves `<!--  -->` for this
+    * pass to finish), then the whole `<head>` element (title/meta
+    * are metadata, not content).
     */
   private def stripNonContent(html: Column): Column = {
-    val noComments = regexp_replace(html, "(?is)<!--.*?-->", "")
     val noScript =
-      regexp_replace(noComments, "(?is)<script\\b[^>]*>.*?</script>", "")
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", "")
     val noStyle =
       regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", "")
-    regexp_replace(noStyle, "(?is)<head\\b[^>]*>.*?</head>", "")
+    val noComments = regexp_replace(noStyle, "(?is)<!--.*?-->", "")
+    regexp_replace(noComments, "(?is)<head\\b[^>]*>.*?</head>", "")
   }
 
   /** Tag-strip + entity-decode + whitespace-normalize an HTML
@@ -339,10 +346,21 @@ object WebOps {
     require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
       s"maxLinkDensityPct must be 0..100 (got $maxLinkDensityPct)")
     val frags = split(stripNonContent(html), BlockBreakRe)
+    // anchor text per fragment = fully-matched <a>…</a> contents PLUS
+    // the two straddle cases a block break can cut an anchor into: a
+    // DANGLING OPEN (an <a…> with no close before the fragment ends —
+    // its tail text is link text continuing into the next fragment)
+    // and a DANGLING CLOSE (text up to a </a> with no open before it
+    // — link text continued FROM the previous fragment). Without
+    // these, '<a>Line one<br>Line two</a>' nav cards measure 0% link
+    // density in both halves and boilerplate walks through the gate.
     val parts = transform(frags, f => struct(
       fragmentText(f).as("t"),
-      length(fragmentText(concat_ws(" ", regexp_extract_all(f,
-        lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))))).as("al")))
+      length(fragmentText(concat_ws(" ",
+        concat_ws(" ", regexp_extract_all(f,
+          lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))),
+        regexp_extract(f, "(?is)<a\\b[^>]*>((?:(?!</a).)*)$", 1),
+        regexp_extract(f, "(?is)^((?:(?!<a\\b).)*?)</a", 1)))).as("al")))
     val kept = filter(parts, p => length(p.getField("t")) > 0 &&
       p.getField("al") * 100 <= lit(maxLinkDensityPct) * length(p.getField("t")))
     trim(regexp_replace(
@@ -379,9 +397,9 @@ object WebOps {
     */
   private def htmlToTextSql(inner: String): String = {
     val steps = Seq(
-      """(?is)<!--.*?-->""" -> "''",
       """(?is)<script\b[^>]*>.*?</script>""" -> "''",
       """(?is)<style\b[^>]*>.*?</style>""" -> "''",
+      """(?is)<!--.*?-->""" -> "''",
       """(?is)<head\b[^>]*>.*?</head>""" -> "''",
       BlockBreakRe -> "chr(10)",
       """<[^>]*>""" -> "''",

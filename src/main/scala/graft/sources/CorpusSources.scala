@@ -190,20 +190,30 @@ object CorpusSources {
   /** The shared WARC split — identical plan for batch and streaming
     * inputs (per-row header/body parse inside the scan, no shuffle).
     */
+  /** The shared (doc_id, text, lang, source, url) document-row
+    * projection both WARC good sides emit — ONE place for the
+    * doc_id rule (xxhash64 of record id, URI fallback), the q32
+    * lang tag, and the canonical-host provenance, so the WET and
+    * raw-HTML intakes cannot drift apart. `textCol` names the
+    * column carrying the document text.
+    */
+  private def documentRows(frame: DataFrame, textCol: String): DataFrame =
+    frame.select(
+      xxhash64(when(col("rid") =!= "", col("rid")).otherwise(col("uri")))
+        .as("doc_id"),
+      col(textCol).as("text"),
+      // CCNet-style heuristic tag at intake — the oracle-checked
+      // q32 rule, not a placeholder
+      graft.queries.TextOps.predictedLang(col(textCol)).as("lang"),
+      graft.queries.WebOps.canonicalHost(col("uri")).as("source"),
+      col("uri").as("url"))
+
   private def splitWarc(rawIn: DataFrame): (DataFrame, DataFrame) = {
     val parsed = parsedWarc(rawIn)
-    val good = parsed
-      .filter(col("wtype") === "conversion" &&
-        col("uri") =!= "" && col("body") =!= "")
-      .select(
-        xxhash64(when(col("rid") =!= "", col("rid")).otherwise(col("uri")))
-          .as("doc_id"),
-        col("body").as("text"),
-        // CCNet-style heuristic tag at intake — the oracle-checked
-        // q32 rule, not a placeholder
-        graft.queries.TextOps.predictedLang(col("body")).as("lang"),
-        graft.queries.WebOps.canonicalHost(col("uri")).as("source"),
-        col("uri").as("url"))
+    val good = documentRows(
+      parsed.filter(col("wtype") === "conversion" &&
+        col("uri") =!= "" && col("body") =!= ""),
+      "body")
     val bad = parsed
       .filter((col("wtype") === "conversion" &&
           (col("uri") === "" || col("body") === "")) ||
@@ -255,33 +265,36 @@ object CorpusSources {
 
   private def splitWarcHtml(rawIn: DataFrame): (DataFrame, DataFrame) = {
     val resp = parsedWarc(rawIn).filter(col("wtype") === "response")
+    // the WARC body of a response record is the raw HTTP message:
+    // status line + headers, blank line, payload. A WELL-FORMED
+    // header-only message (redirect, 204/304 — a large share of any
+    // real crawl) loses its trailing blank line to parsedWarc's body
+    // trim, so "no \r\n\r\n" does NOT mean malformed: anything
+    // starting with the HTTP/ signature is an HTTP message whose
+    // payload is simply empty. Only a body with no HTTP signature at
+    // all is unrecoverable and DLQs.
+    val isHttp = col("body").startsWith("HTTP/")
+    val hasPayload = instr(col("body"), "\r\n\r\n") > 0
     val withHttp = resp.select(
-      col("rec"), col("uri"), col("rid"),
-      // the WARC body of a response record is the raw HTTP message:
-      // status line + headers, blank line, payload
-      when(instr(col("body"), "\r\n\r\n") > 0,
-        substring_index(col("body"), "\r\n\r\n", 1))
-        .otherwise(lit(null)).as("http_headers"),
-      when(instr(col("body"), "\r\n\r\n") > 0,
+      col("rec"), col("uri"), col("rid"), col("body"),
+      when(hasPayload, substring_index(col("body"), "\r\n\r\n", 1))
+        .otherwise(col("body")).as("http_headers"),
+      when(hasPayload,
         col("body").substr(instr(col("body"), "\r\n\r\n") + lit(4),
           length(col("body"))))
-        .otherwise(lit(null)).as("payload"))
+        .otherwise(lit("")).as("payload"))
       .withColumn("ctype", lower(regexp_extract(col("http_headers"),
         "(?mi)^Content-Type: *([^;\r\n]+)", 1)))
-    val good = withHttp
-      .filter(col("payload").isNotNull && col("uri") =!= "" &&
-        col("ctype").contains("html"))
-      .withColumn("text", graft.queries.WebOps.htmlMainText(col("payload")))
-      .filter(col("text") =!= "")
-      .select(
-        xxhash64(when(col("rid") =!= "", col("rid")).otherwise(col("uri")))
-          .as("doc_id"),
-        col("text"),
-        graft.queries.TextOps.predictedLang(col("text")).as("lang"),
-        graft.queries.WebOps.canonicalHost(col("uri")).as("source"),
-        col("uri").as("url"))
+    val good = documentRows(
+      withHttp
+        .filter(isHttp && col("uri") =!= "" &&
+          col("ctype").contains("html"))
+        .withColumn("extracted",
+          graft.queries.WebOps.htmlMainText(col("payload")))
+        .filter(col("extracted") =!= ""),
+      "extracted")
     val bad = resp
-      .filter(col("uri") === "" || instr(col("body"), "\r\n\r\n") === 0)
+      .filter(col("uri") === "" || !isHttp)
       .select(col("rec").as("raw_line"))
     (good, bad)
   }

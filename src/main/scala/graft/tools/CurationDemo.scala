@@ -105,9 +105,16 @@ object CurationDemo {
       sp.split(",") match {
         case Array(eq, r) => eq.split("=") match {
           case Array(c, v) =>
-            require(docs.columns.contains(c.trim),
-              s"SPARK_GRAFT_PERCEPTRON column '${c.trim}' not in input " +
-                s"columns: ${docs.columns.mkString(",")}")
+            // validate against the PIPELINE frame's columns, not the
+            // raw input's: provenance columns (url) retire at the
+            // redaction projection, and the gate evaluates the seed
+            // on the post-redaction frame — a url-based seed would
+            // otherwise fail deep in the run as an unresolved column
+            val pipelineCols = Set("doc_id", "text", "lang", "source")
+            require(pipelineCols(c.trim),
+              s"SPARK_GRAFT_PERCEPTRON column '${c.trim}' must be one " +
+                s"of ${pipelineCols.mkString(",")} (the pipeline frame " +
+                "at the gate stage; provenance columns retire earlier)")
             (col(c.trim) === v.trim, r.trim.toInt)
           case _ => sys.error(
             s"SPARK_GRAFT_PERCEPTRON must look like lang=en,8 (got '$sp')")

@@ -74,6 +74,14 @@ class PerceptronSpec extends AnyFunSuite {
     // empty docs' margin is exactly the bias weight
     assert(m(1L) == w(TextOps.PerceptronBiasBucket), (m, w))
     assert(m(2L) == w(TextOps.PerceptronBiasBucket), (m, w))
+    // NULL text scores the bias too — the per-row margin expression
+    // must agree with the batch feature path (which bills every doc
+    // its bias row regardless of text), or batch/stream parity
+    // breaks on null-text rows
+    val nm = spark.range(1).select(
+      TextOps.perceptronMarginCol(lit(null).cast("string"), w).as("m"))
+      .head().getLong(0)
+    assert(nm == w(TextOps.PerceptronBiasBucket), (nm, w))
   }
 
   test("trainer finds a token-borne signal among 4096 buckets on the real corpus") {

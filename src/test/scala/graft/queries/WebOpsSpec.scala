@@ -268,9 +268,31 @@ class WebOpsSpec extends AnyFunSuite {
     assert(extract(html) == "Real Heading\nbody text")
   }
 
-  test("htmlToText: comments die first, so commented-out markup can't resurface") {
+  test("htmlToText: commented-out markup can't resurface") {
     val html = "<p>keep</p><!-- <p>ghost paragraph</p> --><div>also keep</div>"
     assert(extract(html) == "keep\nalso keep")
+    // commented-out SCRIPT: the script-first pass removes the element,
+    // the comment pass finishes the husk
+    assert(extract("<p>a</p><!-- <script>old()</script> --><p>b</p>")
+      == "a\nb")
+  }
+
+  test("htmlToText: the comment-hiding idiom (dangling <!-- inside a script) cannot swallow content") {
+    // '<!--' inside a script body is real-page HTML (legacy comment
+    // hiding; also legal JS 'x<!--y'). A comments-first pass would
+    // pair it with the '-->' in the later comment and delete REAL.
+    val html = "<script>var a = x<!--y;</script><p>REAL</p>" +
+      "<!-- footer --><p>also real</p>"
+    assert(extract(html) == "REAL\nalso real")
+  }
+
+  test("htmlMainText: an anchor straddling a block break still counts as link text") {
+    // the <br> splits the anchor across two fragments; the dangling
+    // open/close measurement must still see both halves as link text
+    val html = "<div><a href='/x'>Line one<br>Line two</a></div>" +
+      "<p>genuine prose lives here with many ordinary words.</p>"
+    val out = mainText(html)
+    assert(out == "genuine prose lives here with many ordinary words.", out)
   }
 
   test("htmlToText: entity decode is ordered — &amp;lt; yields literal &lt;") {

@@ -471,11 +471,18 @@ class CorpusSourcesSpec extends AnyFunSuite {
         "WARC-Target-URI: https://news.org/logo.png",
         "WARC-Record-ID: <urn:uuid:img>"),
         http("image/png", "PNGBYTES")),
-      // response with NO http header terminator -> DLQ
+      // response with NO HTTP signature at all -> DLQ (unrecoverable)
       rec(Seq("WARC-Type: response",
         "WARC-Target-URI: https://news.org/broken",
         "WARC-Record-ID: <urn:uuid:broken>"),
-        "HTTP/1.1 200 OK only a status line, no blank line"),
+        "GARBAGE bytes that are not an http message"),
+      // well-formed HEADER-ONLY response (redirect): the record
+      // walker trims the trailing blank line, but HTTP/ + no payload
+      // is a legitimate empty message — FILTERED, never DLQ'd
+      rec(Seq("WARC-Type: response",
+        "WARC-Target-URI: https://news.org/moved",
+        "WARC-Record-ID: <urn:uuid:redirect>"),
+        "HTTP/1.1 301 Moved Permanently\r\nLocation: /new\r\n\r\n"),
       // URI-less response -> DLQ
       rec(Seq("WARC-Type: response", "WARC-Record-ID: <urn:uuid:nouri>"),
         http("text/html", "<p>orphan</p>")),
