@@ -957,6 +957,91 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(ledger.last.stage == "written", ledger)
   }
 
+  test("EVERY optional stage on at once: full ledger order, monotone filters, durable resume") {
+    import spark.implicits._
+    // the raw corpus is punctuation-free word soup the C4 line rules
+    // would rightly kill wholesale; restructure each doc into
+    // terminal-punctuated 8-word lines so the line stages filter
+    // instead of exterminate
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect().toSeq
+      .map { case (id, t, l, src) =>
+        (id, t.split("\\s+").grouped(8)
+          .map(_.mkString(" ") + ".").mkString("\n"), l, src)
+      }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("url",
+        graft.queries.WebOps.synthUrl(col("doc_id"), col("source")))
+    val probes = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("probe_id", "pe")
+    val docEmb = real.select("doc_id").as[Long].collect().toSeq
+      .map(id => (id, Seq(0.0, 1.0, 0.0, 0.0))).toDF("doc_id", "ce")
+    val links = Seq(("a.example.com", "b.example.com")).toDF("src_h", "dst_h")
+    val sdir = java.nio.file.Files.createTempDirectory("graft_all_sd").toString
+
+    def runOnce() = {
+      val out = java.nio.file.Files.createTempDirectory("graft_all").toString
+      val ledger = CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = out,
+        keepPplBuckets = Some(Set("head", "middle")),
+        budgetFrac = Some((1, 2)),
+        editMinSim = Some(0.9),
+        semanticDecon = Some((docEmb, probes, 0.9)),
+        c4Lines = true, dedupLines = true,
+        urlCol = Some("url"),
+        urlGatePatterns = Some(Seq("#section-2$")),
+        classifierMinScore = Some(10000L),
+        // an all-positive seed: the gate stage (train + filter +
+        // fingerprint + resume) is exercised without entangling this
+        // test in the synthetic corpus's learnability (the gate's
+        // selective behavior has its own dedicated test)
+        perceptronGate = Some((lit(true), 4)),
+        keepBestOfCluster = true,
+        domainCapN = Some(20),
+        domainMeanMinScore = Some(1L),
+        authorityLinks = Some(links),
+        authorityMinPrMicro = Some(1000000L),
+        blockLexicon = Some(Seq("window")),
+        exactSubstrL = Some(50),
+        exactSubstrDeconL = Some(50),
+        stageDir = Some(sdir))
+      val kept = scala.util.Try(spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet)
+        .getOrElse(Set.empty[Long])
+      (ledger, kept)
+    }
+    val (ledger, kept) = runOnce()
+    assert(kept.nonEmpty, s"all-on run emitted nothing: $ledger")
+    // the complete documented stage order, every option firing
+    assert(ledger.map(_.stage) == Seq("input", "url_gate", "url_dedup",
+      "domain_cap", "domain_gate", "redacted", "line_filter", "line_dedup",
+      "lexicon_gate", "exact_substr", "substr_decon", "quality",
+      "classifier", "perceptron_gate", "exact_dedup", "near_dedup",
+      "edit_near_dedup", "decontaminated", "sem_decontaminated",
+      "ppl_head_middle", "budget_1_2", "written"), ledger)
+    val c = ledger.map(s => s.stage -> s.docs).toMap
+    // filters are monotone; the rewrite stages carry their input
+    val vals = ledger.map(_.docs)
+    assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, ledger)
+    assert(c("exact_substr") == c("lexicon_gate"), ledger)
+    assert(c("substr_decon") == c("exact_substr"), ledger)
+    assert(c("url_gate") < c("input"), "the #section-2 gate never fired")
+    assert(c("lexicon_gate") < c("line_dedup"), "the blocklist never fired")
+    assert(c("written") == c("budget_1_2"), ledger)
+
+    // durable resume with EVERY knob in the fingerprint: identical
+    // ledger + output, no boundary rewritten
+    val stages = new java.io.File(sdir).listFiles()
+      .filter(_.getName.startsWith("stage_")).map(_.getName).sorted
+    val mtimes = stages.map(s =>
+      s -> new java.io.File(s"$sdir/$s/_SUCCESS").lastModified()).toMap
+    val (ledger2, kept2) = runOnce()
+    assert(ledger2 == ledger && kept2 == kept)
+    stages.foreach { s =>
+      assert(new java.io.File(s"$sdir/$s/_SUCCESS").lastModified()
+        == mtimes(s), s"stage $s was rewritten on a clean all-on resume")
+    }
+  }
+
   test("all-filtered corpus returns a complete ledger with written=0 instead of throwing") {
     import spark.implicits._
     // every doc fails the gopher quality rules (too short), so the
