@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime for [[CharGramHashes]] — companion-less object so the
+  * generated Java calls the static forwarder directly (the
+  * [[WinnowImpl]] convention).
+  */
+object CharGramHashesImpl {
+
+  // Two independent polynomial bases, arithmetic mod 2^64 (Long
+  // wrap-around). Collisions across the 128-bit pair only ever cost
+  // PERFORMANCE on the verified paths (a false candidate is killed by
+  // the string compare); the unverified fold path documents the same
+  // accepted-collision semantics as its xxhash64 predecessor.
+  private val B1 = 1000003L
+  private val B2 = 0x9E3779B1L
+
+  /** All positional char L-gram rolling hashes of `s`: element p
+    * (0-based) is struct(i = p+1, h1, h2) where (h1, h2) hash the L
+    * CODE POINTS starting at 1-based character position p+1 — the
+    * same character counting as `substring(s, i, L)`, so equal
+    * substrings always hash equal (surrogate pairs are one position,
+    * exactly as Spark's UTF8String.substringSQL counts them). Empty
+    * array when the text is shorter than L characters. One O(n) pass,
+    * zero per-gram string allocation — the whole point: the explode →
+    * substring(i, L) formulation materializes L bytes per character
+    * (50× corpus bytes for ExactSubstr's L = 50) before anything can
+    * hash or join them.
+    */
+  def compute(s: UTF8String, L: Int): GenericArrayData = {
+    if (s == null) return null
+    val str = s.toString
+    val len = str.length
+    // code points, counted the way substring counts characters
+    var n = 0
+    var ci = 0
+    while (ci < len) { ci += Character.charCount(str.codePointAt(ci)); n += 1 }
+    if (n < L) return new GenericArrayData(Array.empty[Any])
+    val cps = new Array[Int](n)
+    ci = 0
+    var k = 0
+    while (ci < len) {
+      val cp = str.codePointAt(ci)
+      cps(k) = cp
+      k += 1
+      ci += Character.charCount(cp)
+    }
+    var pw1 = 1L; var pw2 = 1L
+    var t = 0
+    while (t < L - 1) { pw1 *= B1; pw2 *= B2; t += 1 }
+    var h1 = 0L; var h2 = 0L
+    var j = 0
+    while (j < L) { h1 = h1 * B1 + cps(j); h2 = h2 * B2 + cps(j); j += 1 }
+    val m = n - L + 1
+    val out = new Array[Any](m)
+    out(0) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](1, h1, h2))
+    var p = 1
+    while (p < m) {
+      h1 = (h1 - cps(p - 1) * pw1) * B1 + cps(p + L - 1)
+      h2 = (h2 - cps(p - 1) * pw2) * B2 + cps(p + L - 1)
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p + 1, h1, h2))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native positional char-L-gram rolling hashes —
+  * `chargram_hashes(text, L)` →
+  * `array<struct<i: int, h1: bigint, h2: bigint>>`.
+  *
+  * The ExactSubstr family's gram generator (q123/q126,
+  * [[graft.queries.DedupOps]]): equal L-char substrings hash to equal
+  * 128-bit pairs, so a df/semi-join over (h1, h2) finds every true
+  * duplicated window (plus a vanishing set of collision candidates a
+  * downstream `substring` equality check removes on the exact paths).
+  * Replaces the explode → substring(i, L) → xxhash64 chain: O(n) per
+  * row instead of O(n·L) bytes materialized, inside WholeStageCodegen.
+  */
+case class CharGramHashes(child: Expression, winLen: Int)
+    extends UnaryExpression {
+  require(winLen >= 2, s"chargram_hashes L must be >= 2 (got $winLen)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chargram_hashes expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "chargram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramHashesImpl.compute(input.asInstanceOf[UTF8String], winLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.CharGramHashesImpl.compute($c, $winLen);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGramHashes = copy(child = newChild)
+}
+
+object CharGramHashes {
+  def fromExprs(exprs: Seq[Expression]): CharGramHashes = {
+    require(exprs.length == 2,
+      s"chargram_hashes(text, L) takes 2 arguments (got ${exprs.length})")
+    require(exprs(1).foldable, "chargram_hashes L must be a literal")
+    val v = exprs(1).eval(InternalRow.empty)
+    require(v != null, "chargram_hashes L must be a non-null literal")
+    CharGramHashes(exprs.head, v.asInstanceOf[Number].intValue())
+  }
+}

@@ -110,5 +110,9 @@ object GraftFunctions {
       "bpe_encode",
       exprs => BpeEncodeExpr.fromExprs(exprs),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chargram_hashes",
+      exprs => CharGramHashes.fromExprs(exprs),
+      "scala_udf")
   }
 }

@@ -945,26 +945,54 @@ object DedupOps {
     * duplicated text and gets removed — matching the paper, and
     * pinned in DedupScaleSpec.
     *
-    * Plan shape, linear in corpus bytes: one positional explode
-    * (L bytes per char shuffled — the stated cost; `exact = false`
-    * folds the gram to 128 bits first, the q60-style escape hatch
-    * when L x corpus dominates), one partial-agg df shuffle, one
-    * equi-join back restricted to df >= 2, a per-doc sorted dup-start
-    * list (bounded by doc length), then a per-row O(|dup_starts|)
-    * interval-merge rebuild via `aggregate` — NOT q65's per-position
-    * arrays_overlap scan, which is O(n x |dup_starts|) per doc.
+    * Plan shape, linear in corpus bytes, built on the native
+    * [[graft.functions.CharGramHashes]] rolling-hash expression
+    * (`chargram_hashes(text, L)` — O(n) per row, zero per-gram
+    * string allocation; the r14 rewrite of the explode →
+    * `substring(i, L)` formulation, which materialized L bytes per
+    * character — 50x corpus bytes at the paper's L = 50 — before
+    * anything could hash or join). HASH-PREFILTER, STRING-VERIFY:
+    *
+    *  1. one 128-bit-hash df shuffle (~28 bytes/position, partial
+    *     agg) finds every (h1, h2) occurring >= 2 times;
+    *  2. the positions carrying those hashes are the CANDIDATES —
+    *     every true duplicate is one (equal strings hash equal),
+    *     plus a vanishing collision tail;
+    *  3. `exact = true` re-acquires the candidates' text (join back
+    *     to the docs frame on doc_id — candidate-sized, AQE
+    *     broadcast-promotes it at natural dup density), materializes
+    *     the L-char gram for CANDIDATES ONLY, and recomputes the df
+    *     over actual strings. A gram with true df >= 2 has all its
+    *     occurrences in the candidate set (they share a hash), so the
+    *     candidate-restricted string df IS the true df: the answer is
+    *     exact regardless of hash quality — collisions only ever add
+    *     verify work. `exact = false` (the `_fold` path) skips the
+    *     verify and keeps the q60-style accepted-collision semantics
+    *     (128 bits, collision-free at any plausible corpus);
+    *  4. the per-doc sorted dup-start list, then the per-row
+    *     O(|dup_starts|) interval-merge rebuild via `aggregate` —
+    *     NOT q65's per-position arrays_overlap scan, which is
+    *     O(n x |dup_starts|) per doc.
+    *
+    * Worst case (a pathologically self-duplicated corpus) the
+    * candidate set approaches all positions and step 3's join-back
+    * degrades to one corpus-text shuffle — the same order as the
+    * pre-r14 formulation's every-run cost.
     */
-  /** Positional char L-grams of a (doc_id, text, n) frame: one row
-    * per position 1..n-L+1 with the L-char substring starting there.
-    * Shared by the self-dedup (q123) and probe-decontamination
-    * (q126) span operators.
+  /** Positional char L-gram 128-bit hashes of a (doc_id, text, n)
+    * frame: one row per position 1..n-L+1 with the rolling hash pair
+    * of the L-char window starting there. Shared by the self-dedup
+    * (q123) and probe-decontamination (q126) span operators.
+    * `withText = true` carries the text column through (used when the
+    * consumer stays shuffle-free — never shuffle this form).
     */
-  private def positionalCharGrams(d: DataFrame, L: Int): DataFrame =
-    d.filter(col("n") >= L)
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, n - ${L - 1})")).as("i"))
-      .select(col("doc_id"), col("i"),
-        expr(s"substring(text, i, $L)").as("g"))
+  private def positionalCharGramHashes(
+      d: DataFrame, L: Int, withText: Boolean = false): DataFrame = {
+    val keep = if (withText) Seq(col("doc_id"), col("text")) else Seq(col("doc_id"))
+    d.select(keep :+ explode(expr(s"chargram_hashes(text, $L)")).as("s"): _*)
+      .select(keep ++ Seq(col("s.i").as("i"),
+        col("s.h1").as("k1"), col("s.h2").as("k2")): _*)
+  }
 
   /** The shared rebuild tail: given the (doc_id, ds) sorted
     * dup-start lists, remove every char covered by [i, i+L-1] for
@@ -1004,20 +1032,28 @@ object DedupOps {
       "every position is a zero-length 'duplicate' and at 1 single " +
       "repeated characters erase — neither is an ExactSubstr window")
     val L = winLen
+    graft.functions.GraftFunctions.register(docs0.sparkSession)
     val d = docs0.select(col("doc_id"), col("text"),
       length(col("text")).as("n"))
-    val pos = positionalCharGrams(d, L)
-    val keyed =
-      if (exact) pos.select(col("doc_id"), col("i"), col("g").as("k1"))
-      else pos.select(col("doc_id"), col("i"),
-        xxhash64(col("g")).as("k1"),
-        xxhash64(lit("charspan:h2"), col("g")).as("k2"))
-    val keys = keyed.columns.filter(c => c != "doc_id" && c != "i").toSeq
-    val dfG = keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
-    val dupStarts = keyed
-      .join(dfG.filter(col("df") >= 2).select(keys.map(col): _*), keys)
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("i"))).as("ds"))
+    val ph = positionalCharGramHashes(d, L)
+    val dupH = ph.groupBy("k1", "k2").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("k1", "k2")
+    val candIdx = ph.join(dupH, Seq("k1", "k2")).select("doc_id", "i")
+    val dupStarts =
+      if (!exact)
+        candIdx.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("i"))).as("ds"))
+      else {
+        // verify: the L-char gram is materialized for candidates only
+        val candG = candIdx.join(d.select("doc_id", "text"), Seq("doc_id"))
+          .select(col("doc_id"), col("i"),
+            expr(s"substring(text, i, $L)").as("g"))
+        val dupG = candG.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select("g")
+        candG.join(dupG, Seq("g"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("i"))).as("ds"))
+      }
     charSpanRebuild(d, dupStarts, L)
   }
 
@@ -1043,12 +1079,14 @@ object DedupOps {
     *
     * Plan shape: the probe-side DISTINCT L-gram table is probe-sized
     * (an eval set is small by construction — q54's argument), built
-    * with one explode + distinct; the corpus's positional grams
-    * LEFT-SEMI join it (AQE broadcast-promotes the probe side when
-    * it fits), then the same per-doc sorted-starts interval-merge
-    * rebuild as q123. Corpus-side cost is identical to q123's
-    * stated L x corpus-bytes stream; the df table q123 shuffles is
-    * replaced by the smaller probe-gram side.
+    * with one explode + distinct; the corpus side rolls its L-gram
+    * hashes natively ([[graft.functions.CharGramHashes]], O(n) per
+    * row), LEFT-SEMI joins the BROADCAST probe hash set in-scan, and
+    * only the surviving candidates materialize their L-char gram for
+    * the broadcast string-verify semi-join — char-exact regardless
+    * of hash collisions, ZERO corpus shuffle (the only shuffle is
+    * the per-doc dup-start rollup over matched positions), then the
+    * same sorted-starts interval-merge rebuild as q123.
     */
   def removeProbeCharSpans(docs0: DataFrame, probes0: DataFrame,
       winLen: Int = 50): DataFrame =
@@ -1080,10 +1118,28 @@ object DedupOps {
       probeGrams: DataFrame, winLen: Int): DataFrame = {
     require(winLen >= 2, s"winLen must be >= 2 (got $winLen)")
     val L = winLen
+    graft.functions.GraftFunctions.register(docs0.sparkSession)
     val d = docs0.select(col("doc_id"), col("text"),
       length(col("text")).as("n"))
-    val dupStarts = positionalCharGrams(d, L)
-      .join(probeGrams, Seq("g"), "left_semi")
+    // probe-side hash set: each distinct probe gram is exactly L
+    // chars, so chargram_hashes yields its single (h1, h2) — the
+    // same rolling hash the corpus side computes. Probe-sized by
+    // construction (an eval set is small — q54's argument), so both
+    // probe joins below are EXPLICIT broadcasts: the corpus never
+    // shuffles at all on this path. Hash semi-join prefilters
+    // in-scan (one long-pair probe per position instead of an L-char
+    // substring build + compare); the string semi-join verifies the
+    // few candidates, so the rewrite stays char-exact regardless of
+    // hash collisions.
+    val pgH = probeGrams
+      .select(expr(s"element_at(chargram_hashes(g, $L), 1)").as("s"))
+      .select(col("s.h1").as("k1"), col("s.h2").as("k2")).distinct()
+    val candG = positionalCharGramHashes(d, L, withText = true)
+      .join(broadcast(pgH), Seq("k1", "k2"), "left_semi")
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $L)").as("g"))
+    val dupStarts = candG
+      .join(broadcast(probeGrams), Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("i"))).as("ds"))
     charSpanRebuild(d, dupStarts, L)

@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native rolling-hash gram generator must agree with Spark's
+  * `substring(text, i, L)` character counting exactly — two positions
+  * hash equal IFF their substrings are equal (at test scale, where
+  * 128-bit collisions don't happen), including the surrogate-pair and
+  * multibyte cases the ASCII corpus never exercises.
+  */
+class CharGramHashesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private def gramRows(text: String, L: Int): Seq[(Int, Long, Long)] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq(text).toDF("text")
+      .select(explode(expr(s"chargram_hashes(text, $L)")).as("s"))
+      .select(col("s.i"), col("s.h1"), col("s.h2"))
+      .as[(Int, Long, Long)].collect().toSeq
+  }
+
+  test("hash equality tracks substring equality, 1-based positions, full coverage") {
+    import spark.implicits._
+    val text = "abcabcabxabcab"
+    val L = 3
+    val rows = gramRows(text, L)
+    assert(rows.map(_._1) == (1 to text.length - L + 1).toSeq)
+    val subs = Seq(text).toDF("text")
+      .select(explode(expr(s"chargram_hashes(text, $L)")).as("s"), col("text"))
+      .select(col("s.i").as("i"),
+        expr(s"substring(text, s.i, $L)").as("g"))
+      .as[(Int, String)].collect().toMap
+    val byHash = rows.groupBy(r => (r._2, r._3)).values
+    byHash.foreach { grp =>
+      assert(grp.map(r => subs(r._1)).distinct.size == 1,
+        s"hash collision inside $grp")
+    }
+    // and conversely: equal substrings always share a hash pair
+    val byGram = rows.groupBy(r => subs(r._1)).values
+    byGram.foreach { grp =>
+      assert(grp.map(r => (r._2, r._3)).distinct.size == 1,
+        s"equal grams hashed differently: $grp")
+    }
+  }
+
+  test("surrogate pairs and multibyte count as ONE character, like substring") {
+    import spark.implicits._
+    // U+1F600 (surrogate pair in UTF-16), é (2-byte UTF-8), plus ASCII
+    val text = "a😀béa😀bé"
+    val L = 4
+    val rows = gramRows(text, L)
+    // 8 characters as substring counts them → 5 windows
+    assert(rows.map(_._1) == Seq(1, 2, 3, 4, 5), rows)
+    val subs = Seq(text).toDF("text")
+      .select(explode(expr(s"chargram_hashes(text, $L)")).as("s"), col("text"))
+      .select(col("s.i").as("i"),
+        expr(s"substring(text, s.i, $L)").as("g"))
+      .as[(Int, String)].collect().toMap
+    // window 1 and 5 are the same 4-char string → same hash; window 2 differs
+    assert(subs(1) == subs(5))
+    assert(rows.find(_._1 == 1).get._2 == rows.find(_._1 == 5).get._2)
+    assert(rows.find(_._1 == 1).get._3 == rows.find(_._1 == 5).get._3)
+    assert(rows.find(_._1 == 1).get._2 != rows.find(_._1 == 2).get._2)
+  }
+
+  test("short and empty inputs yield an empty array; null yields null") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val out = Seq((1L, "ab"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("chargram_hashes(text, 3)").as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+      .toMap
+    assert(out(1L) != null && out(1L).isEmpty)
+    assert(out(2L) != null && out(2L).isEmpty)
+    assert(out(3L) == null)
+  }
+}

@@ -355,8 +355,14 @@ class PlanAuditSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("cleaned_text")),
       Seq("doc_id"))
     val p = joined.queryExecution.executedPlan.toString
-    assert(!p.contains("Sort "),
-      s"the stage consumer pays q123's oracle ORDER BY:\n$p")
+    // a GLOBAL sort (the `true` global flag) is the oracle ORDER BY
+    // surviving — a corpus-wide range-shuffle per stage. The r14
+    // hash-prefilter formulation adds candidate-sized joins the
+    // AQE-off static planner renders as SortMergeJoin, whose LOCAL
+    // per-partition sorts (`false` flag; broadcast-promoted away
+    // under AQE at runtime) are not that hazard.
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isDefined,
+      s"the stage consumer pays q123's oracle ORDER BY (global sort):\n$p")
   }
 
   test("q96 token-budget select: cumulative window over the score histogram, cutoff broadcast back") {
