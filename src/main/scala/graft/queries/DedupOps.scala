@@ -877,10 +877,11 @@ object DedupOps {
     * explode (q60's distinct frame can't say WHERE a duplicated
     * shingle sits), one partial-aggregable df shuffle on the shingle
     * string, one equi-join back restricted to df >= 2 shingles, a
-    * per-doc collect_list of duplicated START positions (bounded by
-    * tokens-per-doc — training corpora cap document length), and a
-    * per-row codegen'd rebuild (filter/transform over the token
-    * array). No pair joins anywhere.
+    * per-doc SORTED collect_list of duplicated START positions
+    * (bounded by tokens-per-doc — training corpora cap document
+    * length), and a per-row O(|t| + |starts|) interval-merge rebuild
+    * (the q123 charSpanRebuild walk at token granularity). No pair
+    * joins anywhere.
     *
     * `docs0` columns: (doc_id, text).
     */
@@ -899,24 +900,36 @@ object DedupOps {
       .groupBy("g").agg(count(lit(1)).as("df"))
     val dupStarts = pos
       .join(dfG.filter(col("df") >= 2).select("g"), Seq("g"))
-      .groupBy("doc_id").agg(collect_list(col("i")).as("dup_starts"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("dup_starts"))
     docs.join(dupStarts, Seq("doc_id"), "left_outer")
       .withColumn("ds",
         coalesce(col("dup_starts"), expr("array()").cast("array<int>")))
-      // Spark's sequence(a, b) DESCENDS when a > b (DuckDB's returns
-      // empty), so the degenerate short-doc cases are split out
-      // explicitly instead of relying on empty covering ranges.
-      .withColumn("kept",
-        when(size(col("t")) === 0, expr("array()").cast("array<int>"))
-          .when(size(col("t")) < 3, expr("sequence(1, size(t))"))
-          .otherwise(expr(
-            "filter(sequence(1, size(t)), j -> NOT arrays_overlap(ds, " +
-              "sequence(greatest(j - 2, 1), least(j, size(t) - 2))))")))
+      // token j is removed IFF some dup start i has i <= j <= i + 2 —
+      // so each start kills the interval [i, i+2] and the kept tokens
+      // are one left-to-right interval-merge over the SORTED starts
+      // (the q123 charSpanRebuild walk at token granularity, r14):
+      // O(|t| + |ds|) per row, vs the prior per-position
+      // arrays_overlap scan's O(|t| x |ds|) with two array builds per
+      // position. `nxt` is the first position not yet known covered;
+      // each start flushes the uncovered slice [nxt, i-1], then
+      // extends coverage to i+2; the finish lambda flushes the tail.
+      // Degenerate docs (empty, < 3 tokens) have ds = [] and fall
+      // straight through to the tail flush — no sequence(a, b)
+      // descending-range hazard to special-case.
+      .withColumn("kept", expr(
+        """aggregate(ds,
+          |  named_struct('nxt', 1, 'acc', slice(t, 1, 0)),
+          |  (st, i) -> named_struct(
+          |    'nxt', greatest(st.nxt, i + 3),
+          |    'acc', if(i > st.nxt,
+          |      concat(st.acc, slice(t, st.nxt, i - st.nxt)), st.acc)),
+          |  st -> if(st.nxt <= size(t),
+          |    concat(st.acc, slice(t, st.nxt, size(t) - st.nxt + 1)),
+          |    st.acc))""".stripMargin))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
-        concat_ws(" ", expr("transform(kept, j -> element_at(t, j))"))
-          .as("cleaned_text"))
+        concat_ws(" ", col("kept")).as("cleaned_text"))
       .orderBy("doc_id")
   }
 
