@@ -414,6 +414,71 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(out(6L) == ((6L, 6L, "six fresh tokens appear only once")))
   }
 
+  test("interval-merge rebuilds match brute force on a seeded random tiny-alphabet corpus") {
+    import spark.implicits._
+    // the r14 rebuild walks (q65 token-level, q123 char-level exact +
+    // fold) vs an independent per-position predicate, on a corpus
+    // built to maximize chance overlaps: tiny alphabets, random
+    // lengths, seeded for determinism
+    val rnd = new scala.util.Random(20260815L)
+    val docs = (1L to 60L).map { id =>
+      val n = rnd.nextInt(14)
+      (id, (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar.toString)
+        .mkString(" "))
+    }
+
+    // --- q65 token granularity: df = DISTINCT docs per shingle ----
+    val tokOf = docs.map { case (id, text) =>
+      id -> text.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val shingleDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    tokOf.foreach { case (id, t) =>
+      (0 to t.length - 3).foreach { i0 =>
+        val g = t.slice(i0, i0 + 3).mkString(" ")
+        shingleDocs(g) = shingleDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    val expTok = tokOf.map { case (id, t) =>
+      val starts = (0 to t.length - 3)
+        .filter(i0 => shingleDocs(t.slice(i0, i0 + 3).mkString(" ")).size >= 2)
+        .map(_ + 1).toSet
+      id -> t.zipWithIndex.collect {
+        case (w, j0) if !starts.exists(i => i <= j0 + 1 && j0 + 1 <= i + 2) => w
+      }.mkString(" ")
+    }
+    val gotTok = DedupOps.removeDupSpans(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gotTok == expTok)
+
+    // --- q123 char granularity: df = TOTAL occurrences, L = 5 -----
+    val chardocs = (1L to 60L).map { id =>
+      val n = rnd.nextInt(25)
+      (id, (0 until n).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val L = 5
+    val gramCount = scala.collection.mutable.Map[String, Int]()
+    chardocs.foreach { case (_, s) =>
+      (0 to s.length - L).foreach { i0 =>
+        val g = s.substring(i0, i0 + L)
+        gramCount(g) = gramCount.getOrElse(g, 0) + 1
+      }
+    }
+    val expChar = chardocs.map { case (id, s) =>
+      val starts = (0 to s.length - L)
+        .filter(i0 => gramCount(s.substring(i0, i0 + L)) >= 2)
+        .map(_ + 1)
+      id -> s.zipWithIndex.collect {
+        case (c, j0) if !starts.exists(i => i <= j0 + 1 && j0 + 1 <= i + L - 1) => c
+      }.mkString
+    }.toMap
+    for (exact <- Seq(true, false)) {
+      val got = DedupOps.removeDupCharSpans(
+          chardocs.toDF("doc_id", "text"), winLen = L, exact = exact)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(got == expChar, s"exact=$exact diverged from brute force")
+    }
+  }
+
   test("removeDupCharSpans: char-level ExactSubstr semantics vs brute force") {
     import spark.implicits._
     val S = "the quick brown fox jumps over the lazy dog 0123456789 abcde" // 60
