@@ -340,6 +340,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 probe decontamination: zero corpus shuffle — probe sides broadcast, only doc_id rollups repartition") {
+    val p = plan("q126_exact_substr_decon")
+    // both probe-side joins (hash prefilter + string verify) must be
+    // the explicit broadcasts the formulation declares — a shuffled
+    // join here means the corpus gram stream moved
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q126 corpus side shuffled for a probe join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q126 lost its broadcast probe joins:\n$p")
+    // the CORPUS gram stream (the only Generate over chargram_hashes
+    // — the probe hash side is a per-row element_at project) must
+    // flow into the broadcast hash semi-join WITHOUT leaving its
+    // WholeStageCodegen stage: same `*(N)` id on both nodes means no
+    // exchange sits between the corpus scan and the join. The
+    // remaining hashpartitioning exchanges are the probe-side
+    // distincts (probe-sized by the source=probe construction) and
+    // the per-doc dup-start rollup.
+    val genStage = "\\*\\((\\d+)\\) Generate explode\\(chargram_hashes".r
+      .findFirstMatchIn(p).map(_.group(1))
+    assert(genStage.isDefined, s"q126 lost the native gram generator:\n$p")
+    assert(("\\*\\(" + genStage.get + "\\) BroadcastHashJoin \\[k1").r
+      .findFirstIn(p).isDefined,
+      s"corpus grams left codegen stage ${genStage.get} before the " +
+        s"probe hash semi-join (an exchange moved the corpus):\n$p")
+  }
+
   test("q123 as a pipeline stage: the rewrite's ORDER BY is eliminated below the join") {
     // the standalone query orders by doc_id for the oracle compare;
     // consumed as CurationPipeline's exact_substr stage (join back on
