@@ -23,49 +23,103 @@ object CharGramHashesImpl {
   private val B2 = 0x9E3779B1L
 
   /** All positional char L-gram rolling hashes of `s`: element p
-    * (0-based) is struct(i = p+1, h1, h2) where (h1, h2) hash the L
-    * CODE POINTS starting at 1-based character position p+1 — the
-    * same character counting as `substring(s, i, L)`, so equal
-    * substrings always hash equal (surrogate pairs are one position,
-    * exactly as Spark's UTF8String.substringSQL counts them). Empty
-    * array when the text is shorter than L characters. One O(n) pass,
-    * zero per-gram string allocation — the whole point: the explode →
-    * substring(i, L) formulation materializes L bytes per character
-    * (50× corpus bytes for ExactSubstr's L = 50) before anything can
-    * hash or join them.
+    * (0-based) is struct(i = p+1, h1, h2) where (h1, h2) hash the
+    * RAW UTF-8 BYTES of the L-character window starting at 1-based
+    * character position p+1. Character boundaries are walked with
+    * `UTF8String.numBytesForFirstByte` — the identical mechanism
+    * behind `substring(s, i, L)` and `length(s)` — and the hash is
+    * over bytes, which is exactly Spark's string-equality relation
+    * (UTF8String compares bytes): two windows hash equal IFF a
+    * downstream `substring` equality would call them equal, even on
+    * malformed UTF-8 (a `toString`-based walk would re-count
+    * replacement-decoded code points and could misalign positions
+    * against the byte-native consumers). Empty array when the text
+    * is shorter than L characters. One O(bytes) pass with a
+    * constant-size power table, zero per-gram allocation — the whole
+    * point: the explode → substring(i, L) formulation materializes L
+    * bytes per character (50× corpus bytes for ExactSubstr's L = 50)
+    * before anything can hash or join them.
     */
   def compute(s: UTF8String, L: Int): GenericArrayData = {
     if (s == null) return null
-    val str = s.toString
-    val len = str.length
-    // code points, counted the way substring counts characters
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // char-start byte offsets, the substringSQL walk (a malformed
+    // lead byte near the end counts as one char exactly as numChars
+    // does; offsets stay clamped to nb)
     var n = 0
-    var ci = 0
-    while (ci < len) { ci += Character.charCount(str.codePointAt(ci)); n += 1 }
-    if (n < L) return new GenericArrayData(Array.empty[Any])
-    val cps = new Array[Int](n)
-    ci = 0
-    var k = 0
-    while (ci < len) {
-      val cp = str.codePointAt(ci)
-      cps(k) = cp
-      k += 1
-      ci += Character.charCount(cp)
+    var off = 0
+    while (off < nb) {
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      n += 1
     }
-    var pw1 = 1L; var pw2 = 1L
-    var t = 0
-    while (t < L - 1) { pw1 *= B1; pw2 *= B2; t += 1 }
-    var h1 = 0L; var h2 = 0L
-    var j = 0
-    while (j < L) { h1 = h1 * B1 + cps(j); h2 = h2 * B2 + cps(j); j += 1 }
+    if (n < L) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](n + 1)
+    off = 0
+    var i = 0
+    while (off < nb) {
+      offs(i) = off
+      i += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    offs(n) = nb
+    // powers up to the max window BYTE length (≤ 4 bytes/char × L)
+    val maxW = {
+      var w = 0
+      var p = 0
+      val m0 = n - L + 1
+      while (p < m0) {
+        val d = offs(p + L) - offs(p)
+        if (d > w) w = d
+        p += 1
+      }
+      w
+    }
+    val pow1 = new Array[Long](maxW + 1)
+    val pow2 = new Array[Long](maxW + 1)
+    pow1(0) = 1L; pow2(0) = 1L
+    var t = 1
+    while (t <= maxW) {
+      pow1(t) = pow1(t - 1) * B1
+      pow2(t) = pow2(t - 1) * B2
+      t += 1
+    }
+    // h = Σ b_j · B^(len-1-j) over the current window's bytes;
+    // slide = strip the outgoing char's bytes from the front
+    // (subtract b·B^(len-1), len--) then append the incoming char's
+    // bytes (h = h·B + b, len++)
     val m = n - L + 1
     val out = new Array[Any](m)
+    var h1 = 0L; var h2 = 0L
+    var wlen = 0
+    var j = offs(0)
+    while (j < offs(L)) {
+      val b = bytes(j) & 0xff
+      h1 = h1 * B1 + b
+      h2 = h2 * B2 + b
+      wlen += 1
+      j += 1
+    }
     out(0) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](1, h1, h2))
     var p = 1
     while (p < m) {
-      h1 = (h1 - cps(p - 1) * pw1) * B1 + cps(p + L - 1)
-      h2 = (h2 - cps(p - 1) * pw2) * B2 + cps(p + L - 1)
+      var o = offs(p - 1)
+      while (o < offs(p)) {
+        val b = bytes(o) & 0xff
+        h1 -= b * pow1(wlen - 1)
+        h2 -= b * pow2(wlen - 1)
+        wlen -= 1
+        o += 1
+      }
+      var a = offs(p + L - 1)
+      while (a < offs(p + L)) {
+        val b = bytes(a) & 0xff
+        h1 = h1 * B1 + b
+        h2 = h2 * B2 + b
+        wlen += 1
+        a += 1
+      }
       out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](p + 1, h1, h2))
       p += 1
@@ -120,6 +174,10 @@ object CharGramHashes {
     require(exprs.length == 2,
       s"chargram_hashes(text, L) takes 2 arguments (got ${exprs.length})")
     require(exprs(1).foldable, "chargram_hashes L must be a literal")
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(exprs(1).dataType),
+      s"chargram_hashes L must be an integer literal, got " +
+        exprs(1).dataType.simpleString)
     val v = exprs(1).eval(InternalRow.empty)
     require(v != null, "chargram_hashes L must be a non-null literal")
     CharGramHashes(exprs.head, v.asInstanceOf[Number].intValue())

@@ -187,15 +187,24 @@ object StreamingCurationPipeline {
       // self-dedup twin (q123) stays batch-only; this one streams
       // because its gram side is run-pinned, not corpus-accreting.
       cfg.substrDeconProbe.toSeq.map { probe =>
-        val grams = {
+        // the gram table AND its 128-bit hash twin are built, pinned
+        // and counted ONCE here; the broadcast decision (size-gated,
+        // the decontaminate idiom) is made once too, so the
+        // per-batch body adds zero probe-side re-derivation
+        val (grams, gramHashes) = {
           val g = DedupOps.probeCharGrams(probe, cfg.substrDeconL)
             .persist(StorageLevel.MEMORY_AND_DISK)
-          g.count(); g
+          val small = g.count() <= DedupOps.MaxBroadcastProbeShingles
+          val h = DedupOps.probeCharGramHashes(g, cfg.substrDeconL)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          h.count()
+          if (small) (broadcast(g), broadcast(h)) else (g, h)
         }
         "substr_decon" -> ((df: DataFrame) =>
           df.drop("text").join(
-              DedupOps.removeProbeCharSpansAgainst(
-                  df.select("doc_id", "text"), grams, cfg.substrDeconL)
+              DedupOps.removeProbeCharSpansPinned(
+                  df.select("doc_id", "text"), grams, gramHashes,
+                  cfg.substrDeconL)
                 .select(col("doc_id"), col("cleaned_text").as("text")),
               Seq("doc_id")))
       } ++

@@ -1094,12 +1094,15 @@ object DedupOps {
     * (an eval set is small by construction — q54's argument), built
     * with one explode + distinct; the corpus side rolls its L-gram
     * hashes natively ([[graft.functions.CharGramHashes]], O(n) per
-    * row), LEFT-SEMI joins the BROADCAST probe hash set in-scan, and
-    * only the surviving candidates materialize their L-char gram for
-    * the broadcast string-verify semi-join — char-exact regardless
-    * of hash collisions, ZERO corpus shuffle (the only shuffle is
-    * the per-doc dup-start rollup over matched positions), then the
-    * same sorted-starts interval-merge rebuild as q123.
+    * row), LEFT-SEMI joins the SIZE-GATED-broadcast probe hash set
+    * in-scan, and only the surviving candidates materialize their
+    * L-char gram for the string-verify semi-join — char-exact
+    * regardless of hash collisions, no corpus gram shuffle (the
+    * remaining shuffles are the per-doc dup-start rollup over
+    * matched positions and, at pathological contamination density,
+    * the rebuild's doc_id join — see
+    * [[removeProbeCharSpansPinned]]), then the same sorted-starts
+    * interval-merge rebuild as q123.
     */
   def removeProbeCharSpans(docs0: DataFrame, probes0: DataFrame,
       winLen: Int = 50): DataFrame =
@@ -1128,31 +1131,67 @@ object DedupOps {
     * `winLen` MUST be the L the gram frame was built with.
     */
   def removeProbeCharSpansAgainst(docs0: DataFrame,
-      probeGrams: DataFrame, winLen: Int): DataFrame = {
+      probeGrams0: DataFrame, winLen: Int,
+      maxBroadcastGrams: Long = MaxBroadcastProbeShingles): DataFrame = {
+    require(winLen >= 2, s"winLen must be >= 2 (got $winLen)")
+    // SIZE-GATED broadcast, the decontaminate idiom: one cheap count
+    // of the (persisted, probe-sized) gram table decides broadcast
+    // safety at construction time — a stacked eval suite too big for
+    // the driver degrades to AQE-negotiated joins instead of a
+    // broadcast OOM. The persist is left for LRU eviction.
+    val probeGrams = probeGrams0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = probeGrams.count() <= maxBroadcastGrams
+    val pgH = probeCharGramHashes(probeGrams, winLen)
+    removeProbeCharSpansPinned(docs0,
+      if (small) broadcast(probeGrams) else probeGrams,
+      if (small) broadcast(pgH) else pgH, winLen)
+  }
+
+  /** The probe-side 128-bit hash twin of [[probeCharGrams]]: each
+    * distinct probe gram is exactly L chars, so `chargram_hashes`
+    * yields its single (h1, h2) — the same rolling hash the corpus
+    * side computes. One (k1, k2) row per distinct gram, probe-sized.
+    */
+  def probeCharGramHashes(probeGrams: DataFrame, winLen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(probeGrams.sparkSession)
+    probeGrams
+      .select(expr(s"element_at(chargram_hashes(g, $winLen), 1)").as("s"))
+      .select(col("s.h1").as("k1"), col("s.h2").as("k2")).distinct()
+  }
+
+  /** [[removeProbeCharSpansAgainst]]'s body over PRE-PINNED probe
+    * frames — the streaming form: the caller builds [[probeCharGrams]]
+    * and [[probeCharGramHashes]] ONCE at stream setup, owns their
+    * persistence AND the broadcast decision (wrap each in
+    * `broadcast(...)` when probe-sized; the `Against` overload
+    * size-gates automatically), and this per-batch body adds no
+    * probe-side re-derivation, no count, no re-hash.
+    *
+    * The hash semi-join prefilters in-scan (one long-pair probe per
+    * position instead of an L-char substring build + compare); the
+    * string semi-join verifies the few candidates, so the rewrite
+    * stays char-exact regardless of hash collisions. With a
+    * broadcast probe side the corpus gram stream never shuffles; the
+    * remaining shuffles are the per-doc dup-start rollup over
+    * MATCHED positions and the rebuild's doc_id join (candidate-
+    * sized → AQE-broadcast at natural contamination density; a
+    * pathologically contaminated corpus degrades it to one
+    * corpus-text shuffle).
+    */
+  def removeProbeCharSpansPinned(docs0: DataFrame, probeGrams: DataFrame,
+      probeGramHashes: DataFrame, winLen: Int): DataFrame = {
     require(winLen >= 2, s"winLen must be >= 2 (got $winLen)")
     val L = winLen
     graft.functions.GraftFunctions.register(docs0.sparkSession)
     val d = docs0.select(col("doc_id"), col("text"),
       length(col("text")).as("n"))
-    // probe-side hash set: each distinct probe gram is exactly L
-    // chars, so chargram_hashes yields its single (h1, h2) — the
-    // same rolling hash the corpus side computes. Probe-sized by
-    // construction (an eval set is small — q54's argument), so both
-    // probe joins below are EXPLICIT broadcasts: the corpus never
-    // shuffles at all on this path. Hash semi-join prefilters
-    // in-scan (one long-pair probe per position instead of an L-char
-    // substring build + compare); the string semi-join verifies the
-    // few candidates, so the rewrite stays char-exact regardless of
-    // hash collisions.
-    val pgH = probeGrams
-      .select(expr(s"element_at(chargram_hashes(g, $L), 1)").as("s"))
-      .select(col("s.h1").as("k1"), col("s.h2").as("k2")).distinct()
     val candG = positionalCharGramHashes(d, L, withText = true)
-      .join(broadcast(pgH), Seq("k1", "k2"), "left_semi")
+      .join(probeGramHashes, Seq("k1", "k2"), "left_semi")
       .select(col("doc_id"), col("i"),
         expr(s"substring(text, i, $L)").as("g"))
     val dupStarts = candG
-      .join(broadcast(probeGrams), Seq("g"), "left_semi")
+      .join(probeGrams, Seq("g"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("i"))).as("ds"))
     charSpanRebuild(d, dupStarts, L)

@@ -75,6 +75,35 @@ class CharGramHashesSpec extends AnyFunSuite {
     assert(rows.find(_._1 == 1).get._2 != rows.find(_._1 == 2).get._2)
   }
 
+  test("malformed UTF-8 stays aligned with UTF8String's char counting (byte-level walk)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 0xC3 declares a 2-byte sequence but is followed by ASCII 'A' —
+    // UTF8String.numChars counts [0xC3,0x41] as ONE char (lead-byte
+    // walk), while a toString round-trip decodes TWO code points
+    // (U+FFFD, 'A'). The hash positions must follow the byte-native
+    // counting that substring()/length() use, not the decoded one.
+    val bytes = Array[Byte](0xC3.toByte, 0x41, 0x42, 0x43,
+      0xC3.toByte, 0x41, 0x42, 0x43)
+    val s = UTF8String.fromBytes(bytes)
+    val L = 3
+    val out = CharGramHashesImpl.compute(s, L)
+    assert(s.numChars() == 6, "precondition: lead-byte walk counts 6")
+    assert(s.toString.length == 8, "precondition: decode yields 8")
+    assert(out.numElements() == s.numChars() - L + 1,
+      s"windows must follow numChars, got ${out.numElements()}")
+    // windows 1 and 4 cover byte-identical slices ([C3 41] B C vs
+    // [C3 41] B C) → equal hashes; window 2 (B C [C3 41]) differs
+    def row(p: Int) = out.getStruct(p, 3)
+    assert(row(0).getLong(1) == row(3).getLong(1)
+      && row(0).getLong(2) == row(3).getLong(2),
+      "byte-identical windows must hash equal on malformed input")
+    assert(row(0).getLong(1) != row(1).getLong(1),
+      "distinct windows collided")
+    // and the declared positions are 1-based over CHARS, not bytes
+    assert((0 until out.numElements()).map(p => row(p).getInt(0))
+      == (1 to 4))
+  }
+
   test("short and empty inputs yield an empty array; null yields null") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
