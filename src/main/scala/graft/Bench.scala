@@ -339,6 +339,11 @@ object Bench {
     // the repo — the probe measures that the df shuffle + join-back +
     // interval-merge rebuild all stay linear
     "q123_exact_substr_removal_fold",
+    // char-exact decontamination: the q123 gram stream semi-joined
+    // against a FIXED probe hash set (broadcast, size-gated) — the
+    // probe measures that a 10× corpus costs 10× scan and no more
+    // (the probe side is constant; only matched positions shuffle)
+    "q126_exact_substr_decon",
     // perceptron training: rounds iterate a doc_id-clustered cached
     // feature frame with a broadcast weights join and a ≤4097-key
     // gradient rollup — the probe measures that round cost is
