@@ -550,6 +550,45 @@ object Bench {
       (name, best, secs, baseBest, baseSamples(name).toSeq)
     }
 
+    // FIXED-probe decontamination datapoint: the q126 probe row
+    // above scales the src0 eval partition ×factor along with the
+    // corpus (both join sides grow — conservative), but a production
+    // eval set is FIXED while the corpus grows. Here the probe gram
+    // table + hash twin are pinned ONCE from the BASE corpus's src0
+    // docs and the same pinned frames decontaminate the base and the
+    // ×factor corpora — the measured version of "10× corpus costs
+    // 10× scan and no more when the probe side is constant".
+    // (ScaleOps suffix-perturbs the copies, so match volume stays
+    // base-sized while the scanned bytes grow ×factor — exactly the
+    // deployment shape.) Interleaved pairs, min/min, as everywhere.
+    val fixedProbeDecon: Option[(Double, Double, Seq[Double], Seq[Double])] =
+      if (!probeList.contains("q126_exact_substr_decon")) None
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val g = graft.queries.DedupOps.probeCharGrams(
+            base.filter(col("source") === "src0").select("text"), 50)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        g.count()
+        val h = graft.queries.DedupOps.probeCharGramHashes(g, 50)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        h.count()
+        val (bg, bh) = (broadcast(g), broadcast(h))
+        def run(dir: String): Double = {
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+            .filter(col("source") =!= "src0").select("doc_id", "text")
+          val t0 = System.nanoTime()
+          graft.queries.DedupOps
+            .removeProbeCharSpansPinned(docs, bg, bh, 50)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val bs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val ps = scala.collection.mutable.ArrayBuffer.empty[Double]
+        for (_ <- 0 until probeRuns) { bs += run(sfDir); ps += run(probeDir) }
+        g.unpersist(); h.unpersist()
+        Some((bs.min, ps.min, bs.toSeq, ps.toSeq))
+      }
+
     // best-effort cleanup of the generated probe corpus
     try {
       import scala.jdk.CollectionConverters._
@@ -566,9 +605,16 @@ object Bench {
         "\"base_runs\":[" + baseRuns.mkString(",") + "]," +
         "\"ratio\":" + ratio.fold("null")(_.toString) + "}"
     }.mkString("{", ",", "}")
+    val fixedProbeJson = fixedProbeDecon.fold("null") {
+      case (b, p, bruns, pruns) =>
+        s"""{"base_sec":$b,"scaled_sec":$p,"ratio":${p / b},""" +
+          s""""base_runs":[${bruns.mkString(",")}],""" +
+          s""""scaled_runs":[${pruns.mkString(",")}]}"""
+    }
     val full = s"""{"factor":$factor,"runs_per_query":$probeRuns,""" +
       s""""gen_sec":$genSec,"rows_base":$rowsBase,""" +
-      s""""rows_scaled":${rowsBase * factor},"queries":$fullQ}"""
+      s""""rows_scaled":${rowsBase * factor},""" +
+      s""""fixed_probe_decon":$fixedProbeJson,"queries":$fullQ}"""
     // first-wins short keys, full name on collision (the headline
     // map's rule) — q86_64's "q86" prefix must not overwrite q86's
     // probe entry in the compact JSON
