@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Laws for the rolling char-L-gram hashes behind the ExactSubstr
+  * family, over generated mixed-script text (ASCII, 2-byte Latin,
+  * 3-byte CJK, astral/surrogate-pair emoji — every UTF-8 width):
+  *
+  *  1. positions cover exactly 1..numChars-L+1 (UTF8String counting);
+  *  2. equal substrings (the UTF8String.substringSQL slices the SQL
+  *     `substring` consumer sees) ⇒ equal hash pairs — the law the
+  *     candidate join depends on for RECALL (no true dup missed);
+  *  3. within one generated corpus, unequal substrings ⇒ unequal
+  *     pairs (128-bit collisions are not expected at test scale —
+  *     a failure here means the rolling arithmetic is broken, not
+  *     bad luck).
+  */
+class CharGramPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  // small alphabets force repeats so law 2 actually fires
+  private val ch: Gen[String] = Gen.oneOf(
+    "a", "b", "é", "ü", "汉", "字", "😀", "🜁", " ", "\n")
+  private val text: Gen[String] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, ch)).map(_.mkString)
+  private val winLen: Gen[Int] = Gen.choose(2, 6)
+
+  test("positions, recall, and collision-freedom over mixed-width UTF-8") {
+    check(Prop.forAll(text, winLen) { (t: String, l: Int) =>
+      val s = UTF8String.fromString(t)
+      val out = CharGramHashesImpl.compute(s, l)
+      val n = s.numChars()
+      val m = math.max(n - l + 1, 0)
+      val rows = (0 until out.numElements()).map { p =>
+        val r = out.getStruct(p, 3)
+        (r.getInt(0), (r.getLong(1), r.getLong(2)))
+      }
+      val posLaw = rows.map(_._1) == (1 to m)
+      // the consumer-visible window at 1-based position i
+      def window(i: Int): UTF8String = s.substringSQL(i, l)
+      val byPos = rows.toMap
+      val pairs = for {
+        i <- 1 to m; j <- 1 to m if i < j
+      } yield (window(i) == window(j)) == (byPos(i) == byPos(j))
+      posLaw && pairs.forall(identity)
+    })
+  }
+
+  test("cross-document law: the same window text hashes identically from different rows") {
+    check(Prop.forAll(text, text, winLen) { (a: String, b: String, l: Int) =>
+      val sa = UTF8String.fromString(a)
+      val sb = UTF8String.fromString(b)
+      val ha = CharGramHashesImpl.compute(sa, l)
+      val hb = CharGramHashesImpl.compute(sb, l)
+      def rows(s: UTF8String, o: org.apache.spark.sql.catalyst.util.GenericArrayData) =
+        (0 until o.numElements()).map { p =>
+          val r = o.getStruct(p, 3)
+          s.substringSQL(r.getInt(0), l).toString -> (r.getLong(1), r.getLong(2))
+        }
+      val all = rows(sa, ha) ++ rows(sb, hb)
+      // group by window TEXT: every group carries one hash pair, and
+      // distinct texts never share one (the equi-join correctness law
+      // across documents, which is where the df actually runs)
+      val byText = all.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+      byText.values.forall(_.size == 1) &&
+        byText.values.flatten.toSeq.distinct.size == byText.size
+    })
+  }
+}
