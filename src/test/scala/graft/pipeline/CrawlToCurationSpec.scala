@@ -148,6 +148,13 @@ class CrawlToCurationSpec extends AnyFunSuite {
     query.processAllAvailable()
     qBad.processAllAvailable()
     query.stop(); qBad.stop()
+    // the url_gate row arrives via the ASYNC progress listener
+    // (start()'s documented caveat): wait briefly for both batches'
+    // metrics to land before reading the ledger
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline &&
+        !ledger().exists(s => s.stage == "url_gate" && s.docs == 4L))
+      Thread.sleep(50)
 
     // survivors: exactly A and D, with the EXTRACTED main text (nav
     // links and script killed by extraction, prose lines intact —
@@ -165,7 +172,7 @@ class CrawlToCurationSpec extends AnyFunSuite {
     assert(byUrl("https://coast.example.com/story") == pageA.mkString("\n"))
     assert(byUrl("https://coast.example.com/foundry") == pageD.mkString("\n"))
 
-    // the ledger attributes every death to its stage: 6 good docs in
+    // the ledger attributes every death to its stage: 5 good docs in
     // (A,B,J + R,D — the garbage record DLQ'd and the image filtered
     // at INTAKE, so neither enters the chain); the gate kills B, the
     // cross-batch state kills R, the line rules kill J
