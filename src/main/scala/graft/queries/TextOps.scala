@@ -84,6 +84,87 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   }
 
+  /** q127's operator: GREEDY DOC-BOUNDARY packing — the SFT-style
+    * packer. Unlike [[packSequences]] (concat-and-cut: documents are
+    * split across sequence boundaries, fine for causal-LM pretraining
+    * where attention masks hide the seams), instruction-tuning and
+    * eval batches must keep each document intact: per source, walk
+    * documents in doc_id order and first-fit them into `window`-token
+    * bins — a doc that would overflow the open bin CLOSES it and
+    * opens the next; an oversize doc (n_tok > window) gets a bin to
+    * itself (never split, the bin overflows). Output is the per-source
+    * packing QA report: bins used, docs/tokens packed, wasted slots
+    * (sum over bins of max(0, window - fill)) and fill rate in exact
+    * basis points (`n_tokens*10000 div (n_bins*window)`, non-negative
+    * operands so Spark `div` == DuckDB `//`).
+    *
+    * Scale shape: greedy state is inherently sequential, so the walk
+    * is SHARDED exactly like [[packSequences]] — salt = floor(doc_id
+    * / saltDocs) bounds every (source, salt) group at `saltDocs`
+    * docs whatever the source distribution — but where concat-and-cut
+    * can stitch shard cuts back together with an offset table, a
+    * first-fit bin CANNOT cross a shard boundary (its contents depend
+    * on the whole prefix), so shards are INDEPENDENT packing units:
+    * at most one partial trailing bin per shard, a deliberate ≤
+    * |shards|·window token overhead that buys embarrassing
+    * parallelism (real packers shard exactly this way — each output
+    * file is its own packing domain). The fold itself is one
+    * codegen'd `aggregate` lambda over the shard's sorted (doc_id,
+    * n_tok) list — one hash shuffle on (source, salt), per-group
+    * memory bounded at saltDocs structs, no window, no driver state.
+    * `input` columns: (source, doc_id, n_tok).
+    */
+  def greedyPack(input: DataFrame, window: Int, saltDocs: Long): DataFrame = {
+    val w = lit(window.toLong)
+    val shards = input.filter(col("n_tok") > 0)
+      .withColumn("salt", floor(col("doc_id") / saltDocs))
+      .groupBy("source", "salt")
+      .agg(
+        sort_array(collect_list(struct(col("doc_id"),
+          col("n_tok").cast("long").as("n_tok")))).as("ds"),
+        count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    // acc = (bins opened, fill of the open bin, waste of CLOSED bins);
+    // the finish lambda closes the last bin. Waste only accrues when
+    // a bin actually closes (bins > 0 guard: opening the first bin
+    // closes nothing).
+    val folded = shards.withColumn("acc",
+      aggregate(
+        col("ds"),
+        struct(lit(0L).as("bins"), lit(0L).as("fill"), lit(0L).as("waste")),
+        (acc, x) => {
+          val fits = acc.getField("bins") > 0 &&
+            acc.getField("fill") + x.getField("n_tok") <= w
+          struct(
+            when(fits, acc.getField("bins"))
+              .otherwise(acc.getField("bins") + 1).as("bins"),
+            when(fits, acc.getField("fill") + x.getField("n_tok"))
+              .otherwise(x.getField("n_tok")).as("fill"),
+            when(fits, acc.getField("waste"))
+              .otherwise(acc.getField("waste") +
+                when(acc.getField("bins") > 0,
+                  greatest(lit(0L), w - acc.getField("fill")))
+                  .otherwise(lit(0L))).as("waste"))
+        },
+        acc => struct(
+          acc.getField("bins").as("bins"),
+          (acc.getField("waste") +
+            when(acc.getField("bins") > 0,
+              greatest(lit(0L), w - acc.getField("fill")))
+              .otherwise(lit(0L))).as("waste"))))
+    folded
+      .groupBy("source")
+      .agg(
+        sum(col("acc.bins")).as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(col("acc.waste")).as("waste_tok"))
+      .withColumn("fill_bp",
+        expr(s"n_tokens * 10000 div (n_bins * $window)"))
+      .select(col("source"), col("n_bins"), col("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"), col("waste_tok"),
+        col("fill_bp"))
+  }
+
   /** q69's model-based quality scoring (CCNet-shaped, two-pass): pass
     * 1 fits the "model" — corpus-wide unigram counts; pass 2 scores
     * every document against it (mean/min corpus frequency of its
@@ -1024,6 +1105,61 @@ object TextOps {
           size(tokens(col("text"))).cast("long").as("n_tok")),
         window = 2048, saltDocs = 64)
         .orderBy("source", "seq_id")
+    },
+
+    // ---- greedy doc-boundary packing (SFT-style) ------------------
+    // q62 splits documents at sequence boundaries (pretraining);
+    // q127 keeps every document intact — first-fit in doc_id order,
+    // overflow closes the bin — and reports the per-source packing
+    // efficiency (bins, waste, fill basis points). The greedy walk is
+    // sequential by nature, so it runs sharded (salt = doc_id/256
+    // bounds each fold at 256 docs); bins never cross a shard
+    // boundary, which the oracle mirrors by recursing per (source,
+    // salt). window=256 at this doc-length distribution (10-99
+    // tokens) packs ~4 docs/bin with real waste to account for.
+    QueryDef(
+      "q127_greedy_pack",
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, CAST(floor(doc_id / 256) AS BIGINT) AS salt, doc_id,
+        |    CAST(n_tok AS BIGINT) AS n_tok,
+        |    row_number() OVER (PARTITION BY source, CAST(floor(doc_id / 256) AS BIGINT)
+        |                       ORDER BY doc_id) AS rn
+        |  FROM t WHERE n_tok > 0),
+        |steps AS (
+        |  SELECT source, salt, rn, CAST(1 AS BIGINT) AS bin, n_tok AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.source, r.salt, r.rn,
+        |    CASE WHEN s.fill + r.n_tok > 256 THEN s.bin + 1 ELSE s.bin END,
+        |    CASE WHEN s.fill + r.n_tok > 256 THEN r.n_tok ELSE s.fill + r.n_tok END
+        |  FROM steps s JOIN r ON r.source = s.source AND r.salt = s.salt
+        |    AND r.rn = s.rn + 1),
+        |bins AS (
+        |  SELECT source, salt, bin, max(fill) AS fill
+        |  FROM steps GROUP BY source, salt, bin),
+        |ba AS (
+        |  SELECT source, count(*) AS n_bins,
+        |    sum(greatest(0, 256 - fill)) AS waste_tok
+        |  FROM bins GROUP BY source),
+        |tot AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        |  FROM r GROUP BY source)
+        |SELECT ba.source, CAST(ba.n_bins AS BIGINT) AS n_bins,
+        |  CAST(tot.n_docs AS BIGINT) AS n_docs,
+        |  CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(ba.waste_tok AS BIGINT) AS waste_tok,
+        |  CAST(tot.n_tokens * 10000 // (ba.n_bins * 256) AS BIGINT) AS fill_bp
+        |FROM ba JOIN tot USING (source)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      greedyPack(
+        docs(s, dir).select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok")),
+        window = 256, saltDocs = 256)
+        .orderBy("source")
     },
 
     // ---- deterministic per-group sampling ------------------------

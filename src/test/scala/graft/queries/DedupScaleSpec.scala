@@ -657,6 +657,53 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(maxShard <= 64, s"shard of $maxShard docs exceeds saltDocs")
   }
 
+  test("greedyPack matches a pure-Scala first-fit reference; oversize and empty docs handled") {
+    import spark.implicits._
+    val window = 100
+    val saltDocs = 64L
+    // hot-source skew + an oversize doc (250 > window) + zero-token
+    // docs that must not open bins or count as packed
+    val rows = (0 until 800).map { i =>
+      val src = if (i % 10 == 9) s"cold${i % 3}" else "hot"
+      val tok = if (i == 500) 250L else if (i % 50 == 17) 0L else (i % 37 + 1).toLong
+      (src, i.toLong, tok)
+    }
+    val df = rows.toDF("source", "doc_id", "n_tok")
+    val out = TextOps.greedyPack(df, window = window, saltDocs = saltDocs)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
+    // reference: per (source, salt) shard, first-fit in doc_id order
+    val expected = rows.filter(_._3 > 0)
+      .groupBy(r => (r._1, r._2 / saltDocs)).toSeq
+      .flatMap { case ((src, _), ds) =>
+        var fills = List.empty[Long] // closed+open bin fills, this shard
+        ds.sortBy(_._2).foreach { case (_, _, t) =>
+          fills = fills match {
+            case f :: rest if f + t <= window => (f + t) :: rest
+            case _ => t :: fills
+          }
+        }
+        fills.map(f => (src, f))
+      }
+      .groupBy(_._1).map { case (src, bins) =>
+        val fills = bins.map(_._2)
+        val nBins = fills.size.toLong
+        val nTok = fills.sum
+        val waste = fills.map(f => math.max(0L, window - f)).sum
+        src -> ((nBins,
+          rows.count(r => r._1 == src && r._3 > 0).toLong,
+          nTok, waste, nTok * 10000 / (nBins * window)))
+      }
+    assert(out == expected)
+    // the oversize doc's bin overflows rather than splitting the doc:
+    // its shard contributes no waste entry below zero and the doc is
+    // still counted exactly once
+    assert(out("hot")._2 == rows.count(r => r._1 == "hot" && r._3 > 0))
+  }
+
   test("scaleDocuments preserves near-dup structure: q36 pairs scale exactly ×factor") {
     // the scale-probe corpus generator (Bench's 10× datapoint) must
     // scale the dedup WORKLOAD linearly, not square it: each copy is

@@ -575,6 +575,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q127 greedy pack: no Window at all — the fold is a per-shard aggregate lambda") {
+    val p = plan("q127_greedy_pack")
+    // the greedy walk runs inside the (source, salt) groupBy's
+    // collect_list + aggregate() lambda; a Window here would mean the
+    // sequential state leaked back into a per-source funnel
+    assert(!p.contains("Window"), s"greedy pack must not window:\n$p")
+    assert(!p.contains("Join"), s"greedy pack joins nothing:\n$p")
+    // shard groupBy + per-source rollup + presentation sort; the
+    // shard agg holds a collect_list so it cannot partial-aggregate,
+    // but its key space is (source, salt) — bounded per group at
+    // saltDocs docs by construction
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 3, s"unexpected shuffle count $shuffles:\n$p")
+    // the per-source rollup of shard results partial-aggregates
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q63 quantization is per-row math with only rollup + sort shuffles") {
     val p = plan("q63_embedding_quantization")
     assert(!p.contains("Window"), p)
