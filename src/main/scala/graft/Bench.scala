@@ -569,23 +569,19 @@ object Bench {
     val fixedProbeDecon: Option[(Double, Double, Seq[Double], Seq[Double])] =
       if (!probeList.contains("q126_exact_substr_decon")) None
       else {
-        import org.apache.spark.sql.functions.{broadcast, col}
-        val g = graft.queries.DedupOps.probeCharGrams(
-            base.filter(col("source") === "src0").select("text"), 50)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val h = graft.queries.DedupOps.probeCharGramHashes(g, 50)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        import org.apache.spark.sql.functions.col
         // a failure here (broadcast limit at a big SF, executor loss)
         // must cost THIS record only, never the probe measurements
         // already collected or the temp-corpus cleanup below
+        var pinned: Option[graft.queries.DedupOps.PinnedProbeFrames] = None
         try {
-          // the production callers' size gate, not an unconditional
-          // broadcast: an oversized src0 gram table degrades to
+          // the production callers' pin-and-size-gate step, shared
+          // verbatim: an oversized src0 gram table degrades to
           // AQE-negotiated joins exactly as removeProbeCharSpansAgainst
-          val small =
-            g.count() <= graft.queries.DedupOps.MaxBroadcastProbeShingles
-          h.count()
-          val (bg, bh) = if (small) (broadcast(g), broadcast(h)) else (g, h)
+          val pp = graft.queries.DedupOps.pinProbeCharFrames(
+            base.filter(col("source") === "src0").select("text"), 50)
+          pinned = Some(pp)
+          val (bg, bh) = (pp.grams, pp.hashes)
           def run(dir: String): Double = {
             val docs = spark.read.parquet(s"$dir/documents.parquet")
               .filter(col("source") =!= "src0").select("doc_id", "text")
@@ -605,7 +601,7 @@ object Bench {
               s"[scaleprobe] FAILED fixed_probe_decon: " +
                 s"${t.getClass.getName}: ${t.getMessage}")
             None
-        } finally { g.unpersist(); h.unpersist() }
+        } finally pinned.foreach(_.unpersist())
       }
 
     // best-effort cleanup of the generated probe corpus

@@ -138,6 +138,21 @@ object SchemaEvolution {
     */
   def upsertLabels(spark: SparkSession, path: String,
       labels: Map[String, String]): LabelOutcome = {
+    // The newline-delimited `k=v` sidecar cannot represent newlines
+    // (either side) or '=' in KEYS (values may contain '=' — the read
+    // splits at the first). An unrepresentable label would round-trip
+    // to a DIFFERENT map, so the skip-on-match diff would report
+    // LabelsUpdated forever and readers would see phantom keys — fail
+    // loud at the write instead. (parseLabels can't produce these:
+    // its config syntax splits on ',' and '=' itself.)
+    labels.foreach { case (k, v) =>
+      require(!k.contains('=') && !k.exists(c => c == '\n' || c == '\r'),
+        s"label key ${k.take(40)} contains '=' or a newline — " +
+          "not representable in the k=v sidecar")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"label value for key '$k' contains a newline — " +
+          "not representable in the k=v sidecar")
+    }
     val p = labelsPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existed = fs.exists(p)

@@ -87,10 +87,19 @@ object CurationPipeline {
     */
   private def frameDigest(df: DataFrame): String = {
     val cols = df.columns.sorted
-    val r = df.select(count(lit(1)), sum(xxhash64(cols.map(col): _*)))
-      .collect().head
+    // Spark 4 runs ANSI mode by default, where sum() over raw
+    // xxhash64 values (uniform 64-bit) throws ARITHMETIC_OVERFLOW on
+    // almost any real frame. Mod-reduce each term first (sum of
+    // <1e9 terms can't overflow below ~9e9 rows — far past "small
+    // caller-supplied frame") and pair it with the overflow-free
+    // bit_xor so duplicate-row cancellation in one stays visible in
+    // the other.
+    val h = xxhash64(cols.toIndexedSeq.map(col): _*)
+    val r = df.select(count(lit(1)), sum(pmod(h, lit(1000000007L))),
+      bit_xor(h)).collect().head
     cols.mkString(",") + ":" + r.getLong(0) + ":" +
-      (if (r.isNullAt(1)) 0L else r.getLong(1))
+      (if (r.isNullAt(1)) 0L else r.getLong(1)) + ":" +
+      (if (r.isNullAt(2)) 0L else r.getLong(2))
   }
 
   /** Runs the full pipeline over a (doc_id, text, lang, source)

@@ -191,15 +191,9 @@ object StreamingCurationPipeline {
         // and counted ONCE here; the broadcast decision (size-gated,
         // the decontaminate idiom) is made once too, so the
         // per-batch body adds zero probe-side re-derivation
-        val (grams, gramHashes) = {
-          val g = DedupOps.probeCharGrams(probe, cfg.substrDeconL)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val small = g.count() <= DedupOps.MaxBroadcastProbeShingles
-          val h = DedupOps.probeCharGramHashes(g, cfg.substrDeconL)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          h.count()
-          if (small) (broadcast(g), broadcast(h)) else (g, h)
-        }
+        val pinnedProbe =
+          DedupOps.pinProbeCharFrames(probe, cfg.substrDeconL)
+        val (grams, gramHashes) = (pinnedProbe.grams, pinnedProbe.hashes)
         "substr_decon" -> ((df: DataFrame) =>
           df.drop("text").join(
               DedupOps.removeProbeCharSpansPinned(
@@ -315,8 +309,8 @@ object StreamingCurationPipeline {
     // (tests run pipelines sequentially — a second curate_stream
     // only appears after this one terminates and unregisters)
     @volatile var qid: java.util.UUID = null
-    cfg.urlGatePatterns.foreach { _ =>
-      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    val gateListener = cfg.urlGatePatterns.map { _ =>
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryStartedEvent): Unit = ()
@@ -338,14 +332,24 @@ object StreamingCurationPipeline {
               .QueryTerminatedEvent): Unit =
           if (qid != null && e.id == qid) spark.streams.removeListener(this)
       }
-      spark.streams.addListener(l)
     }
-    val query = writer
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        currentBatch = id
-        sink.write(batch, id)
+    gateListener.foreach(spark.streams.addListener)
+    // if start() itself throws, qid never gets assigned and the
+    // terminated-event unregister can't fire — a leaked listener
+    // whose name-only filter (qid == null) would swallow every future
+    // curate_stream's url_gate counts into this dead run's ledger.
+    // Unregister on the failure path before rethrowing.
+    val query =
+      try writer
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          currentBatch = id
+          sink.write(batch, id)
+        }
+        .start()
+      catch { case t: Throwable =>
+        gateListener.foreach(spark.streams.removeListener)
+        throw t
       }
-      .start()
     qid = query.id
     (query, () => ledger.synchronized {
       val rows = ledger.toSeq.map { case (s, perBatch) =>

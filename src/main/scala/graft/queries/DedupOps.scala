@@ -999,13 +999,10 @@ object DedupOps {
     * `withText = true` carries the text column through (used when the
     * consumer stays shuffle-free — never shuffle this form).
     */
-  private def positionalCharGramHashes(
-      d: DataFrame, L: Int, withText: Boolean = false): DataFrame = {
-    val keep = if (withText) Seq(col("doc_id"), col("text")) else Seq(col("doc_id"))
-    d.select(keep :+ explode(expr(s"chargram_hashes(text, $L)")).as("s"): _*)
-      .select(keep ++ Seq(col("s.i").as("i"),
-        col("s.h1").as("k1"), col("s.h2").as("k2")): _*)
-  }
+  private def positionalCharGramHashes(d: DataFrame, L: Int): DataFrame =
+    d.select(col("doc_id"), explode(expr(s"chargram_hashes(text, $L)")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"),
+        col("s.h1").as("k1"), col("s.h2").as("k2"))
 
   /** The shared rebuild tail: given the (doc_id, ds) sorted
     * dup-start lists, remove every char covered by [i, i+L-1] for
@@ -1133,19 +1130,59 @@ object DedupOps {
   def removeProbeCharSpansAgainst(docs0: DataFrame,
       probeGrams0: DataFrame, winLen: Int,
       maxBroadcastGrams: Long = MaxBroadcastProbeShingles): DataFrame = {
+    val pinned =
+      pinProbeCharFramesFromGrams(probeGrams0, winLen, maxBroadcastGrams)
+    removeProbeCharSpansPinned(docs0, pinned.grams, pinned.hashes, winLen)
+  }
+
+  /** The pinned probe-side pair for char-exact decontamination:
+    * `grams`/`hashes` are what [[removeProbeCharSpansPinned]]
+    * consumes (broadcast-wrapped iff the size gate passed);
+    * `unpersist()` releases the underlying cached frames (the
+    * broadcast HINT wraps the persisted plan, so unpersisting
+    * through the wrapped handle is not guaranteed to match the cache
+    * entry — the handle keeps the raw frames for that).
+    */
+  final case class PinnedProbeFrames(grams: DataFrame, hashes: DataFrame,
+      private val rawGrams: DataFrame, private val rawHashes: DataFrame) {
+    def unpersist(): Unit = { rawGrams.unpersist(); rawHashes.unpersist() }
+  }
+
+  /** The probe-pinning step shared by every char-decontamination
+    * caller (batch [[removeProbeCharSpansAgainst]], the streaming
+    * pipeline's substr_decon setup, Bench's fixed-probe scale
+    * record): build [[probeCharGrams]] + [[probeCharGramHashes]],
+    * persist and materialize both, and make the broadcast decision
+    * ONCE — SIZE-GATED, the decontaminate idiom: one cheap count of
+    * the probe-sized gram table decides broadcast safety at
+    * construction time, so a stacked eval suite too big for the
+    * driver degrades to AQE-negotiated joins instead of a broadcast
+    * OOM. Persists are left for LRU eviction (or the handle's
+    * `unpersist()`). Feed `grams`/`hashes` to
+    * [[removeProbeCharSpansPinned]] per batch.
+    */
+  def pinProbeCharFrames(probes0: DataFrame, winLen: Int,
+      maxBroadcastGrams: Long = MaxBroadcastProbeShingles)
+      : PinnedProbeFrames =
+    pinProbeCharFramesFromGrams(
+      probeCharGrams(probes0, winLen), winLen, maxBroadcastGrams)
+
+  /** [[pinProbeCharFrames]] when the caller already built the gram
+    * table (`winLen` MUST be the L it was built with — the hash twin
+    * fails loud on a mismatch).
+    */
+  def pinProbeCharFramesFromGrams(probeGrams0: DataFrame, winLen: Int,
+      maxBroadcastGrams: Long = MaxBroadcastProbeShingles)
+      : PinnedProbeFrames = {
     require(winLen >= 2, s"winLen must be >= 2 (got $winLen)")
-    // SIZE-GATED broadcast, the decontaminate idiom: one cheap count
-    // of the (persisted, probe-sized) gram table decides broadcast
-    // safety at construction time — a stacked eval suite too big for
-    // the driver degrades to AQE-negotiated joins instead of a
-    // broadcast OOM. The persist is left for LRU eviction.
-    val probeGrams = probeGrams0
+    val g = probeGrams0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = probeGrams.count() <= maxBroadcastGrams
-    val pgH = probeCharGramHashes(probeGrams, winLen)
-    removeProbeCharSpansPinned(docs0,
-      if (small) broadcast(probeGrams) else probeGrams,
-      if (small) broadcast(pgH) else pgH, winLen)
+    val small = g.count() <= maxBroadcastGrams
+    val h = probeCharGramHashes(g, winLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    h.count()
+    if (small) PinnedProbeFrames(broadcast(g), broadcast(h), g, h)
+    else PinnedProbeFrames(g, h, g, h)
   }
 
   /** The probe-side 128-bit hash twin of [[probeCharGrams]]: each
@@ -1156,7 +1193,17 @@ object DedupOps {
   def probeCharGramHashes(probeGrams: DataFrame, winLen: Int): DataFrame = {
     graft.functions.GraftFunctions.register(probeGrams.sparkSession)
     probeGrams
-      .select(expr(s"element_at(chargram_hashes(g, $winLen), 1)").as("s"))
+      // fail LOUD on a winLen that doesn't match the L the gram frame
+      // was built with: chargram_hashes of an off-length gram would
+      // otherwise surface as an opaque mid-job INVALID_ARRAY_INDEX
+      // from element_at (or, worse for a longer gram, silently hash
+      // only its first window)
+      .select(when(length(col("g")) =!= winLen,
+          raise_error(concat(lit(s"probeCharGramHashes: winLen=$winLen " +
+            "does not match the gram frame's L (gram length "),
+            length(col("g")).cast("string"), lit(")"))))
+        .otherwise(expr(s"element_at(chargram_hashes(g, $winLen), 1)"))
+        .as("s"))
       .select(col("s.h1").as("k1"), col("s.h2").as("k2")).distinct()
   }
 
@@ -1168,16 +1215,22 @@ object DedupOps {
     * size-gates automatically), and this per-batch body adds no
     * probe-side re-derivation, no count, no re-hash.
     *
-    * The hash semi-join prefilters in-scan (one long-pair probe per
-    * position instead of an L-char substring build + compare); the
-    * string semi-join verifies the few candidates, so the rewrite
-    * stays char-exact regardless of hash collisions. With a
-    * broadcast probe side the corpus gram stream never shuffles; the
-    * remaining shuffles are the per-doc dup-start rollup over
-    * MATCHED positions and the rebuild's doc_id join (candidate-
-    * sized → AQE-broadcast at natural contamination density; a
-    * pathologically contaminated corpus degrades it to one
-    * corpus-text shuffle).
+    * The hash semi-join prefilters POSITIONS-ONLY rows in-scan (one
+    * long-pair probe per position instead of an L-char substring
+    * build + compare); matched positions re-acquire text with a
+    * candidate-sized doc_id join-back (AQE-broadcast at natural
+    * contamination density — q123's exact-path shape) and the string
+    * semi-join verifies them, so the rewrite stays char-exact
+    * regardless of hash collisions. Positions-only matters beyond
+    * tidiness: carrying the full text on every exploded position row
+    * (the pre-review shape) shuffles ~|doc| bytes PER POSITION —
+    * O(n²) bytes per document — the moment the probe side fails the
+    * size gate and the hash join degrades from broadcast to
+    * shuffle. With the narrow rows the degraded join moves 24-byte
+    * tuples; the remaining shuffles are the per-doc dup-start rollup
+    * over MATCHED positions and the rebuild's doc_id join (a
+    * pathologically contaminated corpus degrades the join-back to
+    * one corpus-text shuffle).
     */
   def removeProbeCharSpansPinned(docs0: DataFrame, probeGrams: DataFrame,
       probeGramHashes: DataFrame, winLen: Int): DataFrame = {
@@ -1186,8 +1239,10 @@ object DedupOps {
     graft.functions.GraftFunctions.register(docs0.sparkSession)
     val d = docs0.select(col("doc_id"), col("text"),
       length(col("text")).as("n"))
-    val candG = positionalCharGramHashes(d, L, withText = true)
+    val candIdx = positionalCharGramHashes(d, L)
       .join(probeGramHashes, Seq("k1", "k2"), "left_semi")
+      .select("doc_id", "i")
+    val candG = candIdx.join(d.select("doc_id", "text"), Seq("doc_id"))
       .select(col("doc_id"), col("i"),
         expr(s"substring(text, i, $L)").as("g"))
     val dupStarts = candG

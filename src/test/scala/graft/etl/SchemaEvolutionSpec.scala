@@ -86,6 +86,18 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(readLabels(spark, dir) == changed)
     // labels are table metadata, not data: rows unaffected
     assert(spark.read.parquet(dir).count() == 3)
+
+    // labels the newline-delimited k=v sidecar cannot represent fail
+    // LOUD instead of silently round-tripping to a different map
+    // (which would break the skip-on-match diff forever and show
+    // readers phantom keys); '=' in VALUES is fine — read splits at
+    // the first '='
+    assertThrows[IllegalArgumentException](
+      upsertLabels(spark, dir, Map("k" -> "a\nb=c")))
+    assertThrows[IllegalArgumentException](
+      upsertLabels(spark, dir, Map("bad=key" -> "v")))
+    assert(upsertLabels(spark, dir, Map("k" -> "a=b")) == LabelsUpdated)
+    assert(readLabels(spark, dir) == Map("k" -> "a=b"))
   }
 
   test("parseLabels: LabelMapConverter parity (separators, trims, 63-char truncation)") {

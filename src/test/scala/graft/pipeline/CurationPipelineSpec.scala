@@ -689,6 +689,23 @@ class CurationPipelineSpec extends AnyFunSuite {
       runWith(Seq(("a.example.com", "z.example.com")).toDF("src_h", "dst_h"))
     }
     assert(ex.getMessage.contains("DIFFERENT pipeline config"), ex.getMessage)
+
+    // regression: a realistic-size link graph must digest without
+    // ANSI ARITHMETIC_OVERFLOW — sum() over raw uniform 64-bit
+    // xxhash64 values threw at a handful of rows before the
+    // mod-reduction (Spark 4 defaults spark.sql.ansi.enabled=true)
+    val big = (0 until 64)
+      .map(i => (s"h$i.example.com", s"t${i % 7}.example.com"))
+      .toDF("src_h", "dst_h")
+    val sdir2 = java.nio.file.Files.createTempDirectory("graft_sdf2").toString
+    def runBig() =
+      CurationPipeline.run(spark, real, probeSource = "src0",
+        outDir = java.nio.file.Files.createTempDirectory("graft_sdf_o").toString,
+        urlCol = Some("url"), domainMeanMinScore = Some(1L),
+        authorityLinks = Some(big), authorityMinPrMicro = Some(999999999L),
+        stageDir = Some(sdir2))
+    runBig() // create
+    runBig() // resume under the identical digest
   }
 
   test("lexicon_gate drops blocklisted pages; control run keeps them") {

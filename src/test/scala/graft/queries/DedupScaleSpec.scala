@@ -586,6 +586,16 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(out(3L) == ((80L, 80L, "D" * 80)), out(3L))
     assert(out(4L) == ((25L, 25L, "entirely unrelated prose.")))
     assert(out(5L) == ((0L, 0L, "")))
+
+    // winLen/L mismatch fails LOUD with a named error, not an opaque
+    // mid-job INVALID_ARRAY_INDEX (or a silent first-window hash)
+    val grams40 = DedupOps.probeCharGrams(probes, winLen = 40)
+    val ex = intercept[Exception] {
+      DedupOps.probeCharGramHashes(grams40, winLen = 50).collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("does not match the gram frame"),
+      s"expected the named mismatch error, got: $ex")
   }
 
   test("noveltyScores on a planted copy: original 1.0, copy 0.0, sub-shingle docs absent") {
