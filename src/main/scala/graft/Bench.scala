@@ -356,7 +356,14 @@ object Bench {
     // JOIN-bearing round body). q125's html extraction is NOT probed:
     // a single per-row regexp projection with zero shuffle is
     // structurally incapable of super-linearity (plan-audited).
-    "q124_perceptron_quality")
+    "q124_perceptron_quality",
+    // greedy doc-boundary packing: ×10 docs → ×10 (source, salt)
+    // groups but the SAME ≤saltDocs-struct fold state per group —
+    // the probe measures that the sharded sequential walk stays
+    // group-count-linear (the collect_list agg cannot partial-
+    // aggregate, so this is the row that would catch a per-group
+    // blowup)
+    "q127_greedy_pack")
 
   /** The native-vs-chained BPE encode merge-count scaling record:
     * train once at SPARK_GRAFT_BPE_MERGES (default 1024) merges with

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.DedupOps
+
+/** The periodic batch COMPACTION job a streaming-curation deployment
+  * runs — the half of the dedup story [[StreamingCurationPipeline]]
+  * deliberately defers (its scaladoc: new-vs-new near-dups across
+  * micro-batches are never chased online because pair state in a
+  * stream grows quadratically; "they belong to the periodic batch
+  * compaction that also refreshes the standing index"). This is that
+  * job, closing the loop the way `tools.IndexMaintenanceDemo` closes
+  * the IVF one:
+  *
+  *   1. EXACT new-vs-new: md5 groupBy over the landing, keep min
+  *      doc_id per content hash (q30's rule) — catches cross-batch
+  *      exact twins with distinct URLs, which the stream's url_dedup
+  *      (same URL only) and incr_dedup (delta-vs-STANDING index only)
+  *      both let through by design.
+  *   2. NEAR new-vs-new: the full batch chain on the exact survivors
+  *      — banded MinHash pairs (q36) → connected components (q61) →
+  *      keep the min-doc_id representative per cluster (q76's rule).
+  *   3. INDEX REFRESH: the compacted survivors' fingerprint/
+  *      signature/band rows are APPENDED to the standing dedup index
+  *      (loaded from `standingIndexDir` when given) and persisted to
+  *      `refreshedIndexDir` — the q95 design held end-to-end: the
+  *      standing corpus text is never re-read; only the newcomers
+  *      are signed, and the next stream run loads the refreshed
+  *      artifact at setup.
+  *
+  * Scale shape: every stage is the already-audited batch operator —
+  * one md5 rollup, the banded pair join (never all-pairs), the
+  * O(log d)-round CC, candidate-sized equi-joins. The landing is a
+  * compaction WINDOW (yesterday's intake), not the standing corpus,
+  * so the pair stage runs at window size; the index union is
+  * constant-width rows on both sides.
+  */
+object Compaction {
+
+  /** What the compaction did. `docsIn` counts landing rows;
+    * `exactDupsRemoved` step-1 losses; `nearDupsRemoved` step-2
+    * losses; `docsOut` = survivors written/returned;
+    * `indexRowsAppended` = signature rows added to the refreshed
+    * index (docs with < 3 tokens carry a fingerprint but no
+    * signature, so this can be below `docsOut`).
+    */
+  final case class CompactionSummary(docsIn: Long, exactDupsRemoved: Long,
+      nearDupsRemoved: Long, docsOut: Long, indexRowsAppended: Long)
+
+  /** Compacts a landed (doc_id, text, ...) frame. Returns the
+    * compacted frame (original columns, non-representative rows
+    * dropped) and the summary. When `refreshedIndexDir` is set, the
+    * compacted docs' index rows are unioned with the standing index
+    * loaded from `standingIndexDir` (when given — an absent standing
+    * index means this window IS the new standing corpus) and saved
+    * there; pass the refreshed dir as the next stream run's index.
+    */
+  def compactLanding(spark: SparkSession, landed: DataFrame,
+      minJaccard: Double = 0.5,
+      standingIndexDir: Option[String] = None,
+      refreshedIndexDir: Option[String] = None): (DataFrame, CompactionSummary) = {
+    // the refreshed index is written while the standing one is still
+    // being read lazily — same dir would overwrite the files under
+    // the reader. Version the dirs (index_v1 → index_v2), the way
+    // every artifact rotation here works.
+    require(refreshedIndexDir.isEmpty ||
+        refreshedIndexDir != standingIndexDir,
+      "refreshedIndexDir must differ from standingIndexDir " +
+        "(overwrite-under-read)")
+    // doc_ids must be globally unique across standing corpus and
+    // landing (the WARC intake's xxhash64 ids are) — sig/band rows
+    // are keyed by doc_id in the merged index.
+    val docs = landed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsIn = docs.count()
+
+    // step 1: exact — q30's keeper rule
+    val keepers = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactSurvivors = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exactSurvivors.count()
+
+    // step 2: near — q36 pairs → q61 components → q76 min-id keeper.
+    // cluster_id IS the min node of its component, so representatives
+    // are the rows whose doc_id never appears as a non-min member.
+    val pairs = DedupOps.nearDupPairs(spark,
+        exactSurvivors.select("doc_id", "text"), minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = DedupOps.connectedComponents(pairs)
+    val dropped = comp.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+    val compacted = exactSurvivors.join(dropped, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsOut = compacted.count()
+
+    // step 3: refresh the standing index from the survivors ONLY
+    val appended = refreshedIndexDir.map { outDir =>
+      val add = DedupOps.buildDedupIndex(spark,
+        compacted.select("doc_id", "text"))
+      val merged = standingIndexDir.map(DedupOps.loadDedupIndex(spark, _))
+        .fold(add) { standing =>
+          DedupOps.DedupIndex(
+            standing.fp.union(add.fp).distinct(),
+            standing.sig.union(add.sig),
+            standing.bands.union(add.bands))
+        }
+      DedupOps.saveDedupIndex(merged, outDir)
+      add.sig.count()
+    }
+
+    docs.unpersist()
+    (compacted, CompactionSummary(docsIn, docsIn - afterExact,
+      afterExact - docsOut, docsOut, appended.getOrElse(0L)))
+  }
+}

@@ -138,11 +138,16 @@ object DedupOps {
           element_at(col("t"), col("i") + 2)).as("g"))
       .distinct()
 
-  private val shingleSqlCte =
-    """toks AS (
+  private val shingleSqlCte = shingleSqlCteFrom("documents")
+
+  /** [[shingleSqlCte]] over an arbitrary (doc_id, text) CTE/table —
+    * q128 composes it over the exact-dedup survivors.
+    */
+  private def shingleSqlCteFrom(from: String) =
+    s"""toks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
-      |  FROM documents),
+      |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
+      |  FROM $from),
       |sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_transform(
       |    generate_series(1, greatest(len(t) - 2, 0)),
@@ -305,6 +310,35 @@ object DedupOps {
       oldDocs: DataFrame, maxEstJaccard: Double = 0.5): DataFrame =
     incrementalDedupAgainstIndex(s, newDocs,
       buildDedupIndex(s, oldDocs), maxEstJaccard)
+
+  /** Persist a [[DedupIndex]] as three parquet tables under `dir` —
+    * the saveBpeModel / buildIvfPqIndex analog for the dedup index:
+    * build once from standing-corpus TEXT, every later batch or
+    * streaming job (and every restart) loads the constant-width
+    * artifact instead of re-scanning the corpus. Overwrites.
+    */
+  private[graft] def saveDedupIndex(idx: DedupIndex, dir: String): Unit = {
+    idx.fp.write.mode("overwrite").parquet(s"$dir/fp")
+    idx.sig.write.mode("overwrite").parquet(s"$dir/sig")
+    idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  /** Load a persisted [[DedupIndex]]. Fails loud (parquet read
+    * error) on a missing/truncated artifact — same contract as
+    * loadBpeModel: a half-written index must never silently verdict
+    * every delta "kept".
+    */
+  private[graft] def loadDedupIndex(s: SparkSession,
+      dir: String): DedupIndex = {
+    val idx = DedupIndex(
+      s.read.parquet(s"$dir/fp"),
+      s.read.parquet(s"$dir/sig"),
+      s.read.parquet(s"$dir/bands"))
+    require(idx.fp.columns.sameElements(Array("fp")) &&
+        idx.sig.columns.contains("h0") && idx.bands.columns.contains("bh"),
+      s"$dir does not hold a dedup index (fp/sig/bands schemas)")
+    idx
+  }
 
   private[graft] def incrementalDedupAgainstIndex(s: SparkSession,
       newDocs: DataFrame, idx: DedupIndex,
@@ -1968,6 +2002,65 @@ object DedupOps {
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
         .orderBy("cluster_id")
+    },
+
+    // ---- q128: landing-compaction report --------------------------
+    // The summary row of pipeline.Compaction.compactLanding — the
+    // periodic batch job that catches what the streaming pipeline
+    // deliberately defers (new-vs-new exact AND near dups across
+    // micro-batches): q30's exact keeper rule, then q36 pairs → q61
+    // components → q76's min-id representative over the exact
+    // survivors. Each stage is an already-oracled operator; this
+    // query pins their COMPOSITION (the near-dup chain must run on
+    // exact SURVIVORS — running it on the raw landing would count
+    // exact twins twice). Four exact-integer counts, so the compare
+    // is engine-portable by construction.
+    QueryDef(
+      "q128_compaction_report",
+      s"""WITH RECURSIVE k AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM k)),
+         |${shingleSqlCteFrom("d")},
+         |$lshPairSqlCtes,
+         |pairs AS (
+         |  SELECT i.doc_a AS a, i.doc_b AS b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |dropped AS (SELECT node FROM comp WHERE node <> cluster_id)
+         |SELECT
+         |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs_in,
+         |  CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM d)
+         |    AS BIGINT) AS exact_removed,
+         |  CAST((SELECT count(*) FROM dropped) AS BIGINT) AS neardup_removed,
+         |  CAST((SELECT count(*) FROM d) - (SELECT count(*) FROM dropped)
+         |    AS BIGINT) AS docs_out""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val keepers = d.groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val exactSurvivors = d.join(keepers, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = nearDupPairs(s, exactSurvivors, minJaccard = 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val dropped = connectedComponents(pairs)
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      d.agg(count(lit(1)).as("docs_in"))
+        .crossJoin(exactSurvivors.agg(count(lit(1)).as("after_exact")))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+        .select(col("docs_in"),
+          (col("docs_in") - col("after_exact")).as("exact_removed"),
+          col("n_dropped").as("neardup_removed"),
+          (col("after_exact") - col("n_dropped")).as("docs_out"))
     },
 
     // ---- q39: embedding-cosine near-dup (label-blocked exact) ----

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import graft.queries.DedupOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The periodic-compaction loop [[Compaction]] closes: new-vs-new
+  * exact and near dups removed from a landing window, and the
+  * standing dedup index refreshed WITHOUT re-reading standing text —
+  * so the next stream run's incr_dedup catches re-sends of what this
+  * window landed.
+  */
+class CompactionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  // long docs with heavy overlap for the near-dup pair: one word
+  // swapped out of ~30 keeps Jaccard (and the signature-agreement
+  // estimate) far above the 0.5 thresholds
+  private val base =
+    "the migration of arctic terns covers forty thousand miles " +
+      "each year as they trace daylight between polar summers " +
+      "feeding on small fish and resting on drifting ice floes " +
+      "while researchers track their tiny geolocators across oceans"
+  // one word swapped: verified (md5-mirror of minhash8) to keep a
+  // full LSH band agreeing, so the pair is a banding candidate and
+  // exact Jaccard 0.838 clears the 0.5 threshold
+  private val nearDup = base.replace("polar", "solar")
+  private val unique1 =
+    "quarterly grain futures settled lower on improved harvest " +
+      "forecasts from the southern plains while export inspections " +
+      "topped analyst estimates for a third consecutive week"
+  private val unique2 =
+    "the restored pipe organ in the abbey uses hand carved oak " +
+      "stops and a wind system driven by twin bellows that two " +
+      "volunteers still pump by rope during candlelit recitals"
+
+  test("compactLanding removes new-vs-new exact and near dups; summary counts exact") {
+    import spark.implicits._
+    val landing = Seq(
+      10L -> base,
+      11L -> nearDup,      // near-dup of 10 → dropped (10 is min)
+      12L -> unique1,
+      13L -> unique1,      // exact twin of 12 → dropped
+      14L -> unique2
+    ).toDF("doc_id", "text")
+
+    val (compacted, sum) = Compaction.compactLanding(spark, landing)
+    assert(compacted.select("doc_id").as[Long].collect().sorted
+      === Array(10L, 12L, 14L))
+    assert(sum == Compaction.CompactionSummary(
+      docsIn = 5, exactDupsRemoved = 1, nearDupsRemoved = 1,
+      docsOut = 3, indexRowsAppended = 0))
+  }
+
+  test("index refresh: the NEXT delta's re-sends are caught only through the refreshed index") {
+    import spark.implicits._
+    val standing = Seq(1L -> unique2).toDF("doc_id", "text")
+    val standingDir =
+      java.nio.file.Files.createTempDirectory("graft_cmp_idx0").toString
+    DedupOps.saveDedupIndex(
+      DedupOps.buildDedupIndex(spark, standing), standingDir)
+
+    val landing = Seq(10L -> base, 11L -> nearDup, 12L -> unique1)
+      .toDF("doc_id", "text")
+    val refreshedDir =
+      java.nio.file.Files.createTempDirectory("graft_cmp_idx1").toString
+
+    // same-dir rotation is rejected (overwrite-under-read)
+    assertThrows[IllegalArgumentException](
+      Compaction.compactLanding(spark, landing,
+        standingIndexDir = Some(standingDir),
+        refreshedIndexDir = Some(standingDir)))
+
+    val (compacted, sum) = Compaction.compactLanding(spark, landing,
+      standingIndexDir = Some(standingDir),
+      refreshedIndexDir = Some(refreshedDir))
+    assert(compacted.select("doc_id").as[Long].collect().sorted
+      === Array(10L, 12L))
+    assert(sum.nearDupsRemoved == 1 && sum.docsOut == 2)
+    // survivors signed + the standing doc's rows carried over
+    assert(sum.indexRowsAppended == 2)
+
+    // tomorrow's delta: an exact re-send of a doc this window landed,
+    // a near-dup of it, a re-send of the ORIGINAL standing doc, and
+    // fresh content
+    val delta = Seq(
+      20L -> base,                              // exact re-send
+      // near-dup re-send: band-agreeing swap, signature agreement
+      // 7/8 = 0.875 >= the 0.5 est threshold
+      21L -> base.replace("miles", "kilometers"),
+      22L -> unique2,                           // standing re-send
+      23L -> ("completely fresh reporting about municipal transit " +
+        "timetable reform across seventeen districts this spring")
+    ).toDF("doc_id", "text")
+
+    def verdicts(dir: String): Map[Long, (Long, Long)] =
+      DedupOps.incrementalDedupAgainstIndex(spark, delta,
+          DedupOps.loadDedupIndex(spark, dir))
+        .select("doc_id", "exact_dup", "kept").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // the refreshed index catches all three re-sends; fresh is kept
+    val after = verdicts(refreshedDir)
+    assert(after(20L) == ((1L, 0L)), s"exact re-send: ${after(20L)}")
+    assert(after(21L)._2 == 0L, s"near-dup re-send kept: ${after(21L)}")
+    assert(after(22L) == ((1L, 0L)), s"standing re-send: ${after(22L)}")
+    assert(after(23L) == ((0L, 1L)), s"fresh doc: ${after(23L)}")
+
+    // the UN-refreshed standing index misses the window's docs — the
+    // gap the compaction exists to close
+    val before = verdicts(standingDir)
+    assert(before(20L) == ((0L, 1L)) && before(21L)._2 == 1L)
+    assert(before(22L) == ((1L, 0L)))
+  }
+}

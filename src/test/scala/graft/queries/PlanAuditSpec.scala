@@ -344,8 +344,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q126_exact_substr_decon")
     // both probe-side joins (hash prefilter + string verify) must be
     // the explicit broadcasts the formulation declares — a shuffled
-    // join here means the corpus gram stream moved
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+    // join on the gram/hash keys means the corpus gram stream moved.
+    // doc_id joins are exempt: the positions-only formulation (the
+    // review fix that keeps the degraded-probe path from shuffling
+    // ~|doc| bytes per position) re-acquires candidate text with a
+    // candidate-sized doc_id join-back, which the AQE-off static
+    // planner renders as SortMergeJoin (broadcast-promoted at
+    // runtime — the q123 audit's note applies verbatim)
+    val smjKeys = "SortMergeJoin \\[(\\w+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(smjKeys.forall(_ == "doc_id"),
+      s"q126 corpus side shuffled for a probe join (SMJ on $smjKeys):\n$p")
+    assert(!p.contains("ShuffledHashJoin"),
       s"q126 corpus side shuffled for a probe join:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"q126 lost its broadcast probe joins:\n$p")
