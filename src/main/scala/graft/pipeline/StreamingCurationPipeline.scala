@@ -95,7 +95,14 @@ object StreamingCurationPipeline {
       perceptronWeights: Option[Map[String, Long]] = None,
       substrDeconProbe: Option[DataFrame] = None,
       substrDeconL: Int = 50,
-      lateness: String = "1 hour")
+      lateness: String = "1 hour",
+      // when set, incr_dedup's standing index is LOADED from this
+      // persisted artifact (saveDedupIndex / Compaction's refreshed
+      // dir) instead of being re-signed from standingCorpus TEXT —
+      // the restart/rotation story: setup cost drops to a parquet
+      // read of constant-width rows, and a post-compaction run picks
+      // up the refreshed index by pointing here
+      standingIndexDir: Option[String] = None)
 
   /** Starts the composed pipeline over a (doc_id, text, url, ts)
     * stream, landing survivors in `landing`. Returns the running
@@ -127,7 +134,9 @@ object StreamingCurationPipeline {
     // instead of re-hashing the corpus per batch. The pins live for
     // the query's lifetime by design.
     val standingIndex = {
-      val idx = DedupOps.buildDedupIndex(spark, cfg.standingCorpus)
+      val idx = cfg.standingIndexDir
+        .map(DedupOps.loadDedupIndex(spark, _))
+        .getOrElse(DedupOps.buildDedupIndex(spark, cfg.standingCorpus))
       def pin(df: DataFrame): DataFrame = {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
       }

@@ -226,6 +226,59 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(landed.toMap.apply(1L) == pageA)
   }
 
+  test("LOADED-index setup: standingIndexDir verdicts identically to signing the corpus text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE), (1002L, pageF))
+      .toDF("doc_id", "text")
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_scp_idx").toString
+    DedupOps.saveDedupIndex(
+      DedupOps.buildDedupIndex(spark, standing), idxDir)
+
+    // hazards aimed at incr_dedup only: exact twin of E, near-dup of
+    // F, one clean page
+    val rows = Seq(
+      (1L, pageA, "https://site.example.com/a", ts(0)),
+      (5L, pageE, "https://site.example.com/e", ts(1)),
+      (6L, nearDupOfF, "https://site.example.com/f", ts(2)))
+    val probeShingles = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+
+    def runWith(cfg: StreamingCurationPipeline.Config)
+        : (Seq[Long], Seq[(String, Long)]) = {
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      val stream = MemoryStream[(Long, String, String, Timestamp)]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, sink)
+      stream.addData(rows)
+      query.processAllAvailable()
+      query.stop()
+      (landed.toSeq.sorted, ledger().map(s => s.stage -> s.docs))
+    }
+
+    val minScore = TextOps.ClassifierKeepScore
+    // the loaded-artifact run never touches standing TEXT: an empty
+    // (schema-only) standingCorpus proves setup read only the index
+    val (gotLanded, gotLedger) = runWith(StreamingCurationPipeline.Config(
+      standingCorpus = standing.limit(0),
+      probeShingles = probeShingles,
+      classifierMinScore = minScore,
+      standingIndexDir = Some(idxDir)))
+    val (refLanded, refLedger) = runWith(StreamingCurationPipeline.Config(
+      standingCorpus = standing,
+      probeShingles = probeShingles,
+      classifierMinScore = minScore))
+    assert(gotLanded == Seq(1L), s"loaded-index survivors: $gotLanded")
+    assert(gotLanded == refLanded && gotLedger == refLedger,
+      s"loaded-index run diverged: $gotLedger vs $refLedger")
+  }
+
   test("RESTART: committed batches never re-land; url-dedup state survives the checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
