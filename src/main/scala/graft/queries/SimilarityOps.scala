@@ -882,6 +882,57 @@ object SimilarityOps {
       |SELECT query_id, cand_id, adc2_micro, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** q129's operator: MARGIN-based bitext mining (Artetxe & Schwenk
+    * 2019; the CCMatrix/NLLB miner). For each `a` in `aSide`
+    * ((a_id, ea) double vectors) the best `b` in `bSide` by the
+    * margin criterion — cos(a,b) relative to both sides' mean
+    * cosine to their k nearest opposite-side neighbors, which
+    * suppresses HUB vectors that raw cosine would mine for
+    * everything. Exact-integer transport: cosines floor-quantized to
+    * micro units, margin_bp = 2·cm·10⁴·na·nb div (sa·nb + sb·na) —
+    * all operands positive (cm > 0 candidates, positive-denominator
+    * filter), so the arithmetic is engine-exact. Returns (a_id,
+    * mined_b, cos_micro, margin_bp) with margin_bp >= minMarginBp.
+    *
+    * Scale: the three reductions (two knn sums, the argmax) are
+    * bounded-heap topk_collect partial aggregates; the pair frame
+    * is built once, persisted, reused. Brute-force pairs are the
+    * testbed shape (q39/q40's convention) — production feeds ANN
+    * candidates (q42/q44/q84) into the same margin arithmetic.
+    */
+  def bitextMarginMine(aSide: DataFrame, bSide: DataFrame,
+      k: Int = 4, minMarginBp: Long = 10000L): DataFrame = {
+    graft.functions.GraftFunctions.register(aSide.sparkSession)
+    val pairs = aSide.crossJoin(broadcast(bSide))
+      .select(col("a_id"), col("b_id"),
+        floor(expr("cosine_sim(ea, eb)") * lit(1000000.0))
+          .cast("long").as("cm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def knn(key: String, other: String, s2: String, n2: String) = pairs
+      .groupBy(key)
+      .agg(expr(s"topk_collect(cm, $other, $k)").as("top"))
+      .select(col(key),
+        expr("aggregate(top, CAST(0 AS BIGINT), (acc, t) -> acc + t.score)")
+          .as(s2),
+        size(col("top")).cast("long").as(n2))
+    val ka = knn("a_id", "b_id", "sa", "na")
+    val kb = knn("b_id", "a_id", "sb", "nb")
+    val cand = pairs.filter(col("cm") > 0)
+      .join(ka, Seq("a_id")).join(kb, Seq("b_id"))
+      .filter(col("sa") * col("nb") + col("sb") * col("na") > 0)
+      .select(col("a_id"), col("b_id"), col("cm"),
+        expr("(2 * cm * 10000 * na * nb) div (sa * nb + sb * na)")
+          .as("margin_bp"))
+    cand.groupBy("a_id")
+      .agg(expr("topk_collect(margin_bp, b_id, 1)").as("top"))
+      .select(col("a_id"), expr("top[0].id").as("b_id"),
+        expr("top[0].score").as("margin_bp"))
+      .filter(col("margin_bp") >= minMarginBp)
+      .join(pairs, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id").as("mined_b"),
+        col("cm").as("cos_micro"), col("margin_bp"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q40: exact brute-force cosine top-k ---------------------
@@ -981,6 +1032,73 @@ object SimilarityOps {
         .select(col("query_id"), col("cand_id"),
           expr("cosine_sim(qe, ce)").as("cosine"))
       explodeTopK(rer.groupBy("query_id").agg(topK5.as("top")))
+    },
+
+    // ---- q129: margin-based bitext mining -------------------------
+    // The CCMatrix/LASER parallel-pair miner (Artetxe & Schwenk 2019
+    // margin criterion; Schwenk et al. 2021): raw cosine is a biased
+    // mining score — hub vectors are near everything — so a candidate
+    // pair is scored by its cosine RELATIVE to each side's average
+    // cosine to its k nearest neighbors on the opposite side:
+    // margin(a,b) = cos(a,b) / ((knnMean(a)+knnMean(b))/2), mine b =
+    // argmax margin per a, keep margin >= 1. Exact-integer transport:
+    // cosines floor-quantized to micro units (identical doubles →
+    // identical floor, the q40-pinned bit-parity), the margin as one
+    // all-positive integer division — 2·cm·10⁴·na·nb div
+    // (sa·nb+sb·na) — so Spark div == DuckDB // and the compare is
+    // exact. Only cm > 0 pairs are mining candidates (numerator
+    // positivity; a negative-cosine pair is never a translation).
+    //
+    // Scale shape: both knn reductions and the final argmax are
+    // bounded-heap `topk_collect` partial aggregates — O(k·partitions
+    // ·|side|) shuffle rows, never a window funnel; the scored pair
+    // frame is built ONCE, persisted, and reused by all three
+    // reductions plus the candidate-sized stats join-back. The
+    // brute-force pair build is the testbed (the q39/q40 convention);
+    // production mines over ANN candidates (q42/q44/q84's machinery)
+    // and the margin arithmetic is candidate-frame-agnostic.
+    QueryDef(
+      "q129_bitext_margin_mining",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, emb AS ea FROM e WHERE label % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, emb AS eb FROM e WHERE label % 2 = 1),
+        |p AS (
+        |  SELECT a_id, b_id, CAST(floor(
+        |    ((SELECT sum(x * y) FROM (SELECT unnest(ea) AS x, unnest(eb) AS y) z)
+        |     / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(ea) AS x) z))
+        |        * sqrt((SELECT sum(y * y) FROM (SELECT unnest(eb) AS y) z))))
+        |    * 1000000) AS BIGINT) AS cm
+        |  FROM a, b),
+        |ka AS (
+        |  SELECT a_id, sum(cm) AS sa, count(*) AS na FROM (
+        |    SELECT a_id, cm, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cm DESC, b_id) AS rnk FROM p) r
+        |  WHERE rnk <= 4 GROUP BY a_id),
+        |kb AS (
+        |  SELECT b_id, sum(cm) AS sb, count(*) AS nb FROM (
+        |    SELECT b_id, cm, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY cm DESC, a_id) AS rnk FROM p) r
+        |  WHERE rnk <= 4 GROUP BY b_id),
+        |cand AS (
+        |  SELECT p.a_id, p.b_id, p.cm,
+        |    (2 * p.cm * 10000 * na * nb) // (sa * nb + sb * na) AS margin_bp
+        |  FROM p JOIN ka USING (a_id) JOIN kb USING (b_id)
+        |  WHERE p.cm > 0 AND sa * nb + sb * na > 0),
+        |best AS (
+        |  SELECT a_id, b_id, cm, margin_bp, row_number() OVER (
+        |    PARTITION BY a_id ORDER BY margin_bp DESC, b_id) AS rnk
+        |  FROM cand)
+        |SELECT a_id, b_id AS mined_b, CAST(cm AS BIGINT) AS cos_micro,
+        |  CAST(margin_bp AS BIGINT) AS margin_bp
+        |FROM best WHERE rnk = 1 AND margin_bp >= 10000
+        |ORDER BY a_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      bitextMarginMine(
+        e.filter(col("label") % 2 === 0)
+          .select(col("vec_id").as("a_id"), col("e").as("ea")),
+        e.filter(col("label") % 2 === 1)
+          .select(col("vec_id").as("b_id"), col("e").as("eb")))
+        .orderBy("a_id")
     },
 
     // ---- q41: per-label norm statistics --------------------------

@@ -343,4 +343,68 @@ class AnnRecallSpec extends AnyFunSuite {
     // exactly ONE exchange: the k-keyed rollup shuffle
     assert("Exchange".r.findAllIn(p).size <= 1, s"one shuffle expected:\n$p")
   }
+
+  test("bitextMarginMine matches a plain-Scala margin reference and ranks true pairs over the hub") {
+    import spark.implicits._
+    // A side: three axis vectors. B side: near-copies of a1/a2 (the
+    // true "translations"), plus a HUB equidistant from everything —
+    // the vector raw-cosine mining would happily pair with a3, whose
+    // real translation is absent.
+    def v(xs: Double*): Seq[Double] = xs
+    val aVecs = Map(
+      1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0), 3L -> v(0, 0, 1, 0))
+    val h = math.sqrt(1.0 / 3)
+    val bVecs = Map(
+      11L -> v(0.95, 0.05, 0, 0), // translation of a1
+      12L -> v(0.08, 0.92, 0, 0), // translation of a2
+      19L -> v(h, h, h, 0))       // the hub
+    val aDf = aVecs.toSeq.toDF("a_id", "ea")
+    val bDf = bVecs.toSeq.toDF("b_id", "eb")
+    val out = SimilarityOps.bitextMarginMine(aDf, bDf, k = 4,
+        minMarginBp = 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // plain-Scala reference: same dot/norm arithmetic (array order),
+    // same floor micro-quantization, same integer margin
+    def cosMicro(a: Seq[Double], b: Seq[Double]): Long = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x * x))
+      math.floor(dot / (na * nb) * 1000000.0).toLong
+    }
+    val cm = for ((ai, av) <- aVecs; (bi, bv) <- bVecs)
+      yield (ai, bi) -> cosMicro(av, bv)
+    def knnSum(id: Long, overA: Boolean): (Long, Long) = {
+      val cs = cm.collect {
+        case ((ai, bi), c) if (if (overA) bi == id else ai == id) => c
+      }.toSeq.sorted.reverse.take(4)
+      (cs.sum, cs.size.toLong)
+    }
+    val expected = aVecs.keys.flatMap { ai =>
+      val (sa, na) = knnSum(ai, overA = false)
+      val margins = bVecs.keys.toSeq.flatMap { bi =>
+        val c = cm((ai, bi))
+        val (sb, nb) = knnSum(bi, overA = true)
+        if (c > 0 && sa * nb + sb * na > 0)
+          Some((bi, c, 2 * c * 10000 * na * nb / (sa * nb + sb * na)))
+        else None
+      }
+      if (margins.isEmpty) None
+      else {
+        val best = margins.minBy { case (bi, _, m) => (-m, bi) }
+        Some(ai -> ((best._1, best._2, best._3)))
+      }
+    }.toMap
+    assert(out == expected, s"got $out expected $expected")
+
+    // semantics: the true pairs mine their translations, and their
+    // margins dominate the hub pairing forced on a3 — the relative
+    // suppression the criterion exists for (raw cosine ranks the hub
+    // for a3 exactly as high as any true pair's cosine ranks)
+    assert(out(1L)._1 == 11L && out(2L)._1 == 12L)
+    assert(out(3L)._1 == 19L, "a3's only positive match is the hub")
+    assert(out(1L)._3 > out(3L)._3 && out(2L)._3 > out(3L)._3,
+      s"hub pairing must score below true pairs: $out")
+  }
 }

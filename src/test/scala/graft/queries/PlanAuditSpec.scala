@@ -602,6 +602,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q129 bitext mining: heap reductions, no window, pair build broadcasts the B side") {
+    val p = plan("q129_bitext_margin_mining")
+    // all three reductions (two knn sums, the final argmax) are
+    // bounded-heap topk_collect partial aggregates — a Window here
+    // would funnel the |A|×|B| pair frame through per-key sorts
+    assert(!p.contains("Window"), s"q129 must not window the pair frame:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("partial_topk_collect"),
+      s"q129 lost its map-side heap partials:\n$p")
+    // the pair build is the documented query-broadcast ANN shape
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q129 pair build is not the broadcast cross shape:\n$p")
+  }
+
   test("q63 quantization is per-row math with only rollup + sort shuffles") {
     val p = plan("q63_embedding_quantization")
     assert(!p.contains("Window"), p)
