@@ -1,0 +1,86 @@
+package graft.tools
+
+import graft.Tables
+import graft.pipeline.Compaction
+import graft.queries.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Runnable landing-compaction demo — the OPERATIONAL loop behind
+  * `pipeline.Compaction` (q128) and the persisted dedup index,
+  * end to end:
+  *
+  *   1. day 1: sign the standing corpus ONCE and persist the
+  *      fp/sig/bands artifact (`saveDedupIndex`) — the setup every
+  *      stream run loads (`Config.standingIndexDir`) instead of
+  *      re-hashing corpus text;
+  *   2. a day's landing window arrives with the hazards the stream
+  *      deliberately lets through (new-vs-new exact twins under
+  *      distinct URLs, new-vs-new near-dups across micro-batches) →
+  *      `compactLanding` removes them (q30 → q36 → q61 → q76 over
+  *      the WINDOW only) and refreshes the index by signing the
+  *      SURVIVORS and unioning with the loaded artifact — standing
+  *      text never re-read;
+  *   3. tomorrow's delta probes BOTH artifacts: re-sends of the
+  *      window's docs are caught only through the refreshed index —
+  *      the verdict gap the compaction exists to close.
+  *
+  * Usage:
+  *   MAIN=graft.tools.CompactionDemo tools/run_verify.sh <sfDir> <outDir>
+  */
+object CompactionDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(in, outDir) = args.take(2)
+    val spark = Tables.localSession()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val docs = Tables(spark, in, "documents").select("doc_id", "text")
+
+    // day 1: standing corpus = src0..; artifact persisted once
+    val standing = docs.filter(col("doc_id") % 5 =!= 0L)
+    val standingDir = s"$outDir/dedup_index_v1"
+    DedupOps.saveDedupIndex(
+      DedupOps.buildDedupIndex(spark, standing), standingDir)
+    println(s"[compact] standing index " +
+      s"(${standing.count()} docs signed once) -> $standingDir")
+
+    // day 2's landing window: fresh docs + planted new-vs-new hazards
+    // (an exact twin and a near-miss copy of window docs — the pairs
+    // the stream's url_dedup and delta-vs-STANDING incr_dedup both
+    // pass by design)
+    val window = docs.filter(col("doc_id") % 5 === 0L)
+    val twin = window.limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val nearMiss = window.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" trailing navigation boilerplate line"))
+          .as("text"))
+    val landing = window.union(twin).union(nearMiss)
+    println(s"[compact] landing window: ${landing.count()} docs " +
+      "(incl. 1 planted exact twin, 1 planted near-dup)")
+
+    val refreshedDir = s"$outDir/dedup_index_v2"
+    val (compacted, sum) = Compaction.compactLanding(spark, landing,
+      standingIndexDir = Some(standingDir),
+      refreshedIndexDir = Some(refreshedDir))
+    println(s"[compact] in ${sum.docsIn}  -exact ${sum.exactDupsRemoved}" +
+      s"  -near ${sum.nearDupsRemoved}  out ${sum.docsOut}" +
+      s"  index +${sum.indexRowsAppended} sig rows -> $refreshedDir")
+    compacted.write.mode("overwrite").parquet(s"$outDir/compacted")
+
+    // day 3: the delta re-sends one compacted doc verbatim
+    val resend = compacted.limit(1)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    def verdict(dir: String): String = {
+      val v = DedupOps.incrementalDedupAgainstIndex(spark, resend,
+          DedupOps.loadDedupIndex(spark, dir))
+        .select("exact_dup", "kept").collect().head
+      s"exact_dup=${v.getLong(0)} kept=${v.getLong(1)}"
+    }
+    println(s"[compact] day-3 re-send vs STANDING index: " +
+      s"${verdict(standingDir)}  (missed — the gap)")
+    println(s"[compact] day-3 re-send vs REFRESHED index: " +
+      s"${verdict(refreshedDir)}  (caught)")
+    spark.stop()
+  }
+}
