@@ -63,9 +63,16 @@ object Compaction {
     // the refreshed index is written while the standing one is still
     // being read lazily — same dir would overwrite the files under
     // the reader. Version the dirs (index_v1 → index_v2), the way
-    // every artifact rotation here works.
-    require(refreshedIndexDir.isEmpty ||
-        refreshedIndexDir != standingIndexDir,
+    // every artifact rotation here works. Compare FS-qualified paths,
+    // not raw strings: "/idx" vs "/idx/" vs a relative spelling of
+    // the same directory must not slip past the guard.
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    require(refreshedIndexDir.isEmpty || standingIndexDir.isEmpty ||
+        refreshedIndexDir.map(qualified) != standingIndexDir.map(qualified),
       "refreshedIndexDir must differ from standingIndexDir " +
         "(overwrite-under-read)")
     // doc_ids must be globally unique across standing corpus and
@@ -74,23 +81,16 @@ object Compaction {
     val docs = landed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docsIn = docs.count()
 
-    // step 1: exact — q30's keeper rule
-    val keepers = docs.groupBy(md5(col("text")).as("fp"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val exactSurvivors = docs.join(keepers, Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // steps 1+2 (exact keepers, then q36 pairs → q61 components →
+    // q76's min-id representative over the exact survivors) run via
+    // the shared DedupOps.newVsNewCompaction — the SAME code path
+    // q128's oracle pins, so a rule drift here cannot hide behind a
+    // stale copy. cluster_id IS the min node of its component, so
+    // representatives are the rows whose doc_id never appears as a
+    // non-min member.
+    val (exactSurvivors, dropped) =
+      DedupOps.newVsNewCompaction(docs, minJaccard)
     val afterExact = exactSurvivors.count()
-
-    // step 2: near — q36 pairs → q61 components → q76 min-id keeper.
-    // cluster_id IS the min node of its component, so representatives
-    // are the rows whose doc_id never appears as a non-min member.
-    val pairs = DedupOps.nearDupPairs(spark,
-        exactSurvivors.select("doc_id", "text"), minJaccard)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val comp = DedupOps.connectedComponents(pairs)
-    val dropped = comp.filter(col("node") =!= col("cluster_id"))
-      .select(col("node").as("doc_id"))
     val compacted = exactSurvivors.join(dropped, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docsOut = compacted.count()
@@ -110,6 +110,10 @@ object Compaction {
       add.sig.count()
     }
 
+    // the returned `compacted` stays persisted (the caller reads it);
+    // the internal frames are released — a daily compaction must not
+    // accrete one orphaned window-sized cache entry per run
+    exactSurvivors.unpersist()
     docs.unpersist()
     (compacted, CompactionSummary(docsIn, docsIn - afterExact,
       afterExact - docsOut, docsOut, appended.getOrElse(0L)))

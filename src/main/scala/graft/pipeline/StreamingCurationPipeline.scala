@@ -360,6 +360,14 @@ object StreamingCurationPipeline {
         throw t
       }
     qid = query.id
+    // terminate-race: a query that dies IMMEDIATELY (bad source,
+    // checkpoint failure) can deliver its QueryTerminatedEvent on the
+    // async bus before qid was assigned above — the guard in
+    // onQueryTerminated then skipped the unregister. If the query is
+    // already dead here, unregister now (removeListener on an
+    // already-removed listener is a no-op; a terminate event arriving
+    // after this point sees qid set and unregisters normally).
+    if (!query.isActive) gateListener.foreach(spark.streams.removeListener)
     (query, () => ledger.synchronized {
       val rows = ledger.toSeq.map { case (s, perBatch) =>
         StageCount(s, perBatch.valuesIterator.sum)

@@ -311,6 +311,31 @@ object DedupOps {
     incrementalDedupAgainstIndex(s, newDocs,
       buildDedupIndex(s, oldDocs), maxEstJaccard)
 
+  /** The new-vs-new compaction steps shared VERBATIM by
+    * `pipeline.Compaction.compactLanding` and its q128 oracle pin
+    * (so a rule drift cannot pass the oracle against a stale copy):
+    * q30's exact keeper rule, then q36 pairs → q61 components over
+    * the EXACT survivors. Returns (exactSurvivors — persisted, the
+    * caller owns release; droppedNearIds — the non-representative
+    * member doc_ids).
+    */
+  private[graft] def newVsNewCompaction(docs: DataFrame,
+      minJaccard: Double): (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    val keepers = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactSurvivors = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = nearDupPairs(s,
+        exactSurvivors.select("doc_id", "text"), minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val dropped = connectedComponents(pairs)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+    (exactSurvivors, dropped)
+  }
+
   /** Persist a [[DedupIndex]] as three parquet tables under `dir` —
     * the saveBpeModel / buildIvfPqIndex analog for the dedup index:
     * build once from standing-corpus TEXT, every later batch or
@@ -1211,10 +1236,14 @@ object DedupOps {
     require(winLen >= 2, s"winLen must be >= 2 (got $winLen)")
     val g = probeGrams0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = g.count() <= maxBroadcastGrams
     val h = probeCharGramHashes(g, winLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    h.count()
+    // a count that throws (executor loss, a big-SF failure the Bench
+    // caller explicitly isolates) must not orphan the cache entries —
+    // the caller has no handle yet to unpersist through
+    val small =
+      try { val s = g.count() <= maxBroadcastGrams; h.count(); s }
+      catch { case t: Throwable => g.unpersist(); h.unpersist(); throw t }
     if (small) PinnedProbeFrames(broadcast(g), broadcast(h), g, h)
     else PinnedProbeFrames(g, h, g, h)
   }
@@ -2045,15 +2074,9 @@ object DedupOps {
          |  CAST((SELECT count(*) FROM d) - (SELECT count(*) FROM dropped)
          |    AS BIGINT) AS docs_out""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents").select("doc_id", "text")
-      val keepers = d.groupBy(md5(col("text")).as("fp"))
-        .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val exactSurvivors = d.join(keepers, Seq("doc_id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = nearDupPairs(s, exactSurvivors, minJaccard = 0.5)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val dropped = connectedComponents(pairs)
-        .filter(col("node") =!= col("cluster_id"))
-        .select(col("node").as("doc_id"))
+      // the SAME steps compactLanding runs (shared helper) — the pin
+      // exercises the shipped composition, not a copy of it
+      val (exactSurvivors, dropped) = newVsNewCompaction(d, minJaccard = 0.5)
       d.agg(count(lit(1)).as("docs_in"))
         .crossJoin(exactSurvivors.agg(count(lit(1)).as("after_exact")))
         .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))

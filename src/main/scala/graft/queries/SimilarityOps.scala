@@ -903,7 +903,16 @@ object SimilarityOps {
   def bitextMarginMine(aSide: DataFrame, bSide: DataFrame,
       k: Int = 4, minMarginBp: Long = 10000L): DataFrame = {
     graft.functions.GraftFunctions.register(aSide.sparkSession)
-    val pairs = aSide.crossJoin(broadcast(bSide))
+    // zero-norm (or null) vectors make cosine 0/0 = NaN, and
+    // floor(NaN*1e6).cast(long) THROWS under Spark 4's default ANSI
+    // mode — one degenerate embedding (an empty doc's) would kill the
+    // whole mining job. A zero vector is unminable by definition:
+    // drop it on both sides (mirrored in the oracle)
+    def nonZero(c: String) = expr(
+      s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x) > 0")
+    val a = aSide.filter(nonZero("ea"))
+    val b = bSide.filter(nonZero("eb"))
+    val pairs = a.crossJoin(broadcast(b))
       .select(col("a_id"), col("b_id"),
         floor(expr("cosine_sim(ea, eb)") * lit(1000000.0))
           .cast("long").as("cm"))
@@ -1060,8 +1069,10 @@ object SimilarityOps {
     QueryDef(
       "q129_bitext_margin_mining",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |a AS (SELECT vec_id AS a_id, emb AS ea FROM e WHERE label % 2 = 0),
-        |b AS (SELECT vec_id AS b_id, emb AS eb FROM e WHERE label % 2 = 1),
+        |a AS (SELECT vec_id AS a_id, emb AS ea FROM e WHERE label % 2 = 0
+        |  AND (SELECT sum(x * x) FROM (SELECT unnest(emb) AS x) z) > 0),
+        |b AS (SELECT vec_id AS b_id, emb AS eb FROM e WHERE label % 2 = 1
+        |  AND (SELECT sum(x * x) FROM (SELECT unnest(emb) AS x) z) > 0),
         |p AS (
         |  SELECT a_id, b_id, CAST(floor(
         |    ((SELECT sum(x * y) FROM (SELECT unnest(ea) AS x, unnest(eb) AS y) z)

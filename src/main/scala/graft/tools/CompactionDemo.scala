@@ -49,9 +49,14 @@ object CompactionDemo {
     // the stream's url_dedup and delta-vs-STANDING incr_dedup both
     // pass by design)
     val window = docs.filter(col("doc_id") % 5 === 0L)
-    val twin = window.limit(1)
+    // deterministic hazard sources: an unordered limit(1) picks a
+    // plan-dependent doc. The twin copies the min-doc_id window doc;
+    // the near-miss appends to the LONGEST one (high shingle overlap
+    // → Jaccard comfortably over 0.5 whatever the length mix)
+    val twin = window.orderBy("doc_id").limit(1)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    val nearMiss = window.orderBy("doc_id").limit(1)
+    val nearMiss = window
+      .orderBy(length(col("text")).desc, col("doc_id")).limit(1)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat(col("text"), lit(" trailing navigation boilerplate line"))
           .as("text"))
@@ -68,8 +73,16 @@ object CompactionDemo {
       s"  index +${sum.indexRowsAppended} sig rows -> $refreshedDir")
     compacted.write.mode("overwrite").parquet(s"$outDir/compacted")
 
-    // day 3: the delta re-sends one compacted doc verbatim
-    val resend = compacted.limit(1)
+    // day 3: the delta re-sends one compacted doc verbatim — chosen
+    // DETERMINISTICALLY as the min-doc_id compacted doc the STANDING
+    // index does not already flag (some window docs have planted
+    // near-dup twins in the standing corpus by the sf split; a doc
+    // the old index already catches would not demonstrate the gap)
+    val unknownToStanding = DedupOps.incrementalDedupAgainstIndex(spark,
+        compacted, DedupOps.loadDedupIndex(spark, standingDir))
+      .filter(col("kept") === 1L).select("doc_id")
+    val resend = compacted.join(unknownToStanding, Seq("doc_id"), "left_semi")
+      .orderBy("doc_id").limit(1)
       .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
     def verdict(dir: String): String = {
       val v = DedupOps.incrementalDedupAgainstIndex(spark, resend,
