@@ -429,7 +429,90 @@ object WebOps {
       |      ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&ref=rss' END ||
       | CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)""".stripMargin
 
+  /** q130's operator: CRAWL-FRONTIER planning — the step that closes
+    * the crawl loop (intake → extract → curate → compact → decide
+    * what to fetch NEXT). From a `discovered` outlink frame
+    * ((src_h, dst_h, url): one row per link occurrence seen in
+    * extracted pages) and the `seen` URL set (what the crawl already
+    * fetched — q103's keeper set), emit the next batch: unseen URLs
+    * prioritized by DISTINCT referring hosts (citation votes — the
+    * classic frontier signal; a URL ten sites point at outranks one
+    * deep-linked by its own site), capped at `perHostK` per target
+    * host (the politeness budget: a crawler never floods one origin
+    * however popular it got).
+    *
+    * Scale shape: the seen-set anti-join is a hash equi-join on the
+    * canonical URL (the q103 key; when the seen set outgrows joins,
+    * q77's Bloom predicate is the drop-in prefilter — no false
+    * negatives means no re-crawls missed, only fpp·|discovered|
+    * wasted probes); the vote rollup is two-phase count-distinct
+    * (partial-aggregable); the per-host cap is the bounded-heap
+    * `topk_collect` — O(k·partitions·hosts) shuffle rows, never a
+    * per-host window sort (q104's argument). Nothing corpus-sized
+    * moves twice.
+    */
+  def crawlFrontier(discovered: DataFrame, seen: DataFrame,
+      perHostK: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(discovered.sparkSession)
+    val fresh = discovered.join(seen, Seq("url"), "left_anti")
+    val votes = fresh
+      .groupBy(col("dst_h").as("host"), col("url"))
+      .agg(countDistinct("src_h").as("n_referrers"))
+    votes.groupBy("host")
+      .agg(expr(s"topk_collect(n_referrers, url, $perHostK)").as("top"))
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), col("col.id").as("url"),
+        col("col.score").as("n_referrers"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- q130: crawl-frontier planning -----------------------------
+    // Synthetic-but-deterministic crawl state from the documents
+    // table: each doc "discovers" one outlink (q110's dst_h rule,
+    // page slot doc_id % 40) and the crawl has already "seen" each
+    // source's own pages — so recrawls of existing (host, page)
+    // slots drop in the anti-join and the rest rank by distinct
+    // referring hosts under the per-host politeness cap.
+    QueryDef(
+      "q130_crawl_frontier",
+      """WITH discovered AS (
+        |  SELECT source AS src_h,
+        |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst_h,
+        |    'https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |seen AS (
+        |  SELECT DISTINCT 'https://' || source || '.example.com/p/'
+        |    || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT d.* FROM discovered d
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = d.url)),
+        |votes AS (
+        |  SELECT dst_h AS host, url, count(DISTINCT src_h) AS n_referrers
+        |  FROM fresh GROUP BY dst_h, url),
+        |ranked AS (
+        |  SELECT host, url, n_referrers, row_number() OVER (
+        |    PARTITION BY host ORDER BY n_referrers DESC, url) AS rnk
+        |  FROM votes)
+        |SELECT host, url, CAST(n_referrers AS BIGINT) AS n_referrers,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY host, rnk""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val dstH = concat(lit("src"),
+        ((col("doc_id") * 7 + 3) % 20).cast("string"))
+      val discovered = d.select(col("source").as("src_h"),
+        dstH.as("dst_h"),
+        concat(lit("https://"), dstH, lit(".example.com/p/"),
+          (col("doc_id") % 40).cast("string")).as("url"))
+      val seen = d.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p/"),
+          (col("doc_id") % 40).cast("string")).as("url")).distinct()
+      crawlFrontier(discovered, seen, perHostK = 3)
+        .orderBy("host", "rnk")
+    },
 
     // ---- q103: URL canonicalization + URL-level dedup ------------
     // The oracle runs the full canonicalization spec independently

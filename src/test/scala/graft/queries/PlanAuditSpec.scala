@@ -615,6 +615,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q129 pair build is not the broadcast cross shape:\n$p")
   }
 
+  test("q130 crawl frontier: anti-join + partial count-distinct + heap cap, no window") {
+    val p = plan("q130_crawl_frontier")
+    // the per-host politeness cap is the bounded heap, never a
+    // per-host window sort (q104's argument applied to the frontier)
+    assert(!p.contains("Window"), s"q130 must not window per host:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("partial_topk_collect"),
+      s"q130 lost its map-side heap partial:\n$p")
+    // seen-set suppression is a hash anti-join on the URL key
+    assert(p.contains("LeftAnti"), s"q130 lost the seen-set anti-join:\n$p")
+    // the referrer-vote rollup two-phases (partial count distinct)
+    assert(p.contains("partial_count"), s"q130 vote rollup not partial:\n$p")
+  }
+
   test("q63 quantization is per-row math with only rollup + sort shuffles") {
     val p = plan("q63_embedding_quantization")
     assert(!p.contains("Window"), p)

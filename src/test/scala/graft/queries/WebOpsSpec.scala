@@ -328,4 +328,35 @@ class WebOpsSpec extends AnyFunSuite {
     assert(mainText(html) == "half off\npure prose here")
     assert(mainText(html, 49) == "pure prose here")
   }
+
+  test("crawlFrontier: seen urls suppressed, referrer votes rank, per-host cap holds") {
+    import spark.implicits._
+    val discovered = Seq(
+      // hostA/new1: three distinct referrers (one repeats — distinct
+      // counts once), the frontier's top pick for hostA
+      ("r1", "hostA", "https://hostA/new1"),
+      ("r2", "hostA", "https://hostA/new1"),
+      ("r3", "hostA", "https://hostA/new1"),
+      ("r3", "hostA", "https://hostA/new1"),
+      // hostA/new2 and /new3 and /new4: 2, 1, 1 votes — the k=2 cap
+      // must keep new2 and (tie broken by url asc) new3, drop new4
+      ("r1", "hostA", "https://hostA/new2"),
+      ("r2", "hostA", "https://hostA/new2"),
+      ("r9", "hostA", "https://hostA/new3"),
+      ("r9", "hostA", "https://hostA/new4"),
+      // already crawled → suppressed entirely
+      ("r1", "hostA", "https://hostA/old"),
+      // another host is its own budget
+      ("r1", "hostB", "https://hostB/x")
+    ).toDF("src_h", "dst_h", "url")
+    val seen = Seq("https://hostA/old").toDF("url")
+    val out = WebOps.crawlFrontier(discovered, seen, perHostK = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      ("hostA", "https://hostA/new1", 3L, 1L),
+      ("hostA", "https://hostA/new2", 2L, 2L),
+      ("hostB", "https://hostB/x", 1L, 1L)), out)
+  }
 }
