@@ -363,7 +363,15 @@ object Bench {
     // group-count-linear (the collect_list agg cannot partial-
     // aggregate, so this is the row that would catch a per-group
     // blowup)
-    "q127_greedy_pack")
+    "q127_greedy_pack",
+    // crawl-frontier planning: ×10 docs → ×10 discovered links AND a
+    // ×10 seen set — the probe measures that the anti-join +
+    // count-distinct rollup + per-host heap all stay link-count-
+    // linear (q129 is NOT probed: its brute-force pair build is
+    // quadratic BY DESIGN as the testbed — the production path feeds
+    // ANN candidates; q128 is q36+q61 over exact survivors, probed
+    // through those rows)
+    "q130_crawl_frontier")
 
   /** The native-vs-chained BPE encode merge-count scaling record:
     * train once at SPARK_GRAFT_BPE_MERGES (default 1024) merges with

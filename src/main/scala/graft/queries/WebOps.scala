@@ -442,19 +442,43 @@ object WebOps {
     * however popular it got).
     *
     * Scale shape: the seen-set anti-join is a hash equi-join on the
-    * canonical URL (the q103 key; when the seen set outgrows joins,
-    * q77's Bloom predicate is the drop-in prefilter — no false
-    * negatives means no re-crawls missed, only fpp·|discovered|
-    * wasted probes); the vote rollup is two-phase count-distinct
-    * (partial-aggregable); the per-host cap is the bounded-heap
-    * `topk_collect` — O(k·partitions·hosts) shuffle rows, never a
-    * per-host window sort (q104's argument). Nothing corpus-sized
-    * moves twice.
+    * canonical URL (the q103 key); with `seenBloomFpp` set, q77's
+    * Bloom move applies FOR REAL: a no-false-negative filter built
+    * from the seen set runs inside the discovered scan, so
+    * definitely-unseen links (the overwhelming majority on a healthy
+    * crawl) never join at all — only the bloom-positive slice (true
+    * re-crawls + fpp·|discovered| false positives) takes the exact
+    * anti-join, making the output ROW-IDENTICAL to the plain path at
+    * any fpp (spec-pinned at fpp 0.5). The vote rollup is two-phase
+    * count-distinct (partial-aggregable); the per-host cap is the
+    * bounded-heap `topk_collect` — O(k·partitions·hosts) shuffle
+    * rows, never a per-host window sort (q104's argument). Nothing
+    * corpus-sized moves twice.
     */
   def crawlFrontier(discovered: DataFrame, seen: DataFrame,
-      perHostK: Int = 3): DataFrame = {
+      perHostK: Int = 3, seenBloomFpp: Option[Double] = None): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
-    val fresh = discovered.join(seen, Seq("url"), "left_anti")
+    val fresh = seenBloomFpp match {
+      case None => discovered.join(seen, Seq("url"), "left_anti")
+      case Some(fpp) =>
+        val seenD = seen.select("url").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = seenD.count()
+        val bloom = seenD.select(xxhash64(col("url")).as("uh"))
+          .stat.bloomFilter("uh", math.max(n, 1L), fpp)
+        val bloomBytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          bos.toByteArray
+        }
+        val might = call_function("bloom_might_contain",
+          lit(bloomBytes), xxhash64(col("url")))
+        // no false negatives: !might ⇒ certainly unseen, never joins
+        discovered.filter(!might)
+          .union(discovered.filter(might)
+            .join(seenD, Seq("url"), "left_anti")
+            .select(discovered.columns.map(col).toIndexedSeq: _*))
+    }
     val votes = fresh
       .groupBy(col("dst_h").as("host"), col("url"))
       .agg(countDistinct("src_h").as("n_referrers"))

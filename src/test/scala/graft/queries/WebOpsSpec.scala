@@ -358,5 +358,15 @@ class WebOpsSpec extends AnyFunSuite {
       ("hostA", "https://hostA/new1", 3L, 1L),
       ("hostA", "https://hostA/new2", 2L, 2L),
       ("hostB", "https://hostB/x", 1L, 1L)), out)
+
+    // the Bloom seen-set path is row-identical even at fpp 0.5 (no
+    // false negatives + exact anti-join on the bloom-positive slice
+    // — the q77 pin applied to the frontier)
+    val bloomOut = WebOps.crawlFrontier(discovered, seen, perHostK = 2,
+        seenBloomFpp = Some(0.5))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(bloomOut == out, s"bloom path diverged: $bloomOut vs $out")
   }
 }
