@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the session's composition operators against
+  * straight-line Scala references sharing no code with either engine
+  * (the ClassifierPropertySpec pattern): greedy packing over random
+  * skew/oversize/empty mixes, the crawl frontier over random link
+  * graphs (exact AND Bloom paths), and margin mining over random
+  * vector sets including zero vectors (the ANSI-NaN hazard input).
+  */
+class PackFrontierPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default.withSize(60), Seed(seed)).get
+
+  // ---- greedy packing -------------------------------------------
+
+  private def refGreedy(rows: Seq[(String, Long, Long)], window: Int,
+      saltDocs: Long): Map[String, (Long, Long, Long, Long, Long)] =
+    rows.filter(_._3 > 0)
+      .groupBy(r => (r._1, r._2 / saltDocs)).toSeq
+      .flatMap { case ((src, _), ds) =>
+        var fills = List.empty[Long]
+        ds.sortBy(_._2).foreach { case (_, _, t) =>
+          fills = fills match {
+            case f :: rest if f + t <= window => (f + t) :: rest
+            case _ => t :: fills
+          }
+        }
+        fills.map(f => (src, f))
+      }
+      .groupBy(_._1).map { case (src, bins) =>
+        val fills = bins.map(_._2)
+        val nBins = fills.size.toLong
+        val nTok = fills.sum
+        val waste = fills.map(f => math.max(0L, window - f)).sum
+        src -> ((nBins,
+          rows.count(r => r._1 == src && r._3 > 0).toLong,
+          nTok, waste, nTok * 10000 / (nBins * window)))
+      }
+
+  test("greedyPack equals the reference on random skew/oversize/empty corpora") {
+    import spark.implicits._
+    val corpusGen = for {
+      n <- Gen.choose(1, 500)
+      nSrc <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, nSrc - 1)
+        // zeros (dropped), tiny, typical, and oversize (> any window)
+        t <- Gen.frequency(1 -> Gen.const(0L), 2 -> Gen.choose(1L, 5L),
+          6 -> Gen.choose(5L, 90L), 1 -> Gen.choose(150L, 400L))
+      } yield (s"s$s", t))
+      window <- Gen.choose(40, 120)
+      salt <- Gen.oneOf(16L, 64L, 1000L)
+    } yield (rows.zipWithIndex.map { case ((s, t), i) => (s, i.toLong, t) },
+      window, salt)
+    for (seed <- 11L to 13L) {
+      val (rows, window, salt) = sample(corpusGen, seed)
+      val out = TextOps.greedyPack(rows.toDF("source", "doc_id", "n_tok"),
+          window, salt)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))))
+        .toMap
+      assert(out == refGreedy(rows, window, salt),
+        s"seed $seed window $window salt $salt")
+    }
+  }
+
+  // ---- crawl frontier -------------------------------------------
+
+  private def refFrontier(links: Seq[(String, String, String)],
+      seen: Set[String], k: Int): Set[(String, String, Long, Long)] =
+    links.filterNot(l => seen(l._3))
+      .groupBy(l => (l._2, l._3))
+      .map { case ((h, u), ls) => (h, u, ls.map(_._1).distinct.size.toLong) }
+      .groupBy(_._1).flatMap { case (_, urls) =>
+        urls.toSeq.sortBy { case (_, u, v) => (-v, u) }.take(k).zipWithIndex
+          .map { case ((h, u, v), i) => (h, u, v, i + 1L) }
+      }.toSet
+
+  test("crawlFrontier (exact AND bloom) equals the reference on random graphs") {
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(1, 300)
+      links <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, 9); h <- Gen.choose(0, 5); p <- Gen.choose(0, 12)
+      } yield (s"r$s", s"h$h", s"https://h$h/p$p"))
+      nSeen <- Gen.choose(0, 25)
+      seen <- Gen.listOfN(nSeen,
+        for { h <- Gen.choose(0, 5); p <- Gen.choose(0, 12) }
+          yield s"https://h$h/p$p")
+      k <- Gen.choose(1, 4)
+    } yield (links, seen.toSet, k)
+    for (seed <- 21L to 23L) {
+      val (links, seen, k) = sample(graphGen, seed)
+      val ref = refFrontier(links, seen, k)
+      val linksDf = links.toDF("src_h", "dst_h", "url")
+      val seenDf = (seen.toSeq :+ "https://never-discovered/x")
+        .toDF("url")
+      def run(fpp: Option[Double]) =
+        WebOps.crawlFrontier(linksDf, seenDf, k, fpp).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3))).toSet
+      assert(run(None) == ref, s"seed $seed exact path")
+      assert(run(Some(0.4)) == ref, s"seed $seed bloom path")
+    }
+  }
+
+  // ---- margin mining --------------------------------------------
+
+  private def refMine(aVecs: Map[Long, Seq[Double]],
+      bVecs: Map[Long, Seq[Double]], k: Int, minBp: Long)
+      : Map[Long, (Long, Long, Long)] = {
+    def nz(m: Map[Long, Seq[Double]]) =
+      m.filter(_._2.exists(_ != 0.0))
+    val (a, b) = (nz(aVecs), nz(bVecs))
+    def cosMicro(x: Seq[Double], y: Seq[Double]): Long = {
+      val dot = x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      val nx = math.sqrt(x.foldLeft(0.0)((s, v) => s + v * v))
+      val ny = math.sqrt(y.foldLeft(0.0)((s, v) => s + v * v))
+      math.floor(dot / (nx * ny) * 1000000.0).toLong
+    }
+    val cm = for ((ai, av) <- a; (bi, bv) <- b)
+      yield (ai, bi) -> cosMicro(av, bv)
+    def knn(id: Long, overA: Boolean): (Long, Long) = {
+      val cs = cm.collect {
+        case ((ai, bi), c) if (if (overA) bi == id else ai == id) => c
+      }.toSeq.sorted.reverse.take(k)
+      (cs.sum, cs.size.toLong)
+    }
+    a.keys.flatMap { ai =>
+      val (sa, na) = knn(ai, overA = false)
+      val ms = b.keys.toSeq.flatMap { bi =>
+        val c = cm((ai, bi))
+        val (sb, nb) = knn(bi, overA = true)
+        if (c > 0 && sa * nb + sb * na > 0)
+          Some((bi, c, 2 * c * 10000 * na * nb / (sa * nb + sb * na)))
+        else None
+      }
+      if (ms.isEmpty) None
+      else {
+        val best = ms.minBy { case (bi, _, m) => (-m, bi) }
+        if (best._3 >= minBp) Some(ai -> ((best._1, best._2, best._3)))
+        else None
+      }
+    }.toMap
+  }
+
+  test("bitextMarginMine equals the reference on random vectors incl. zero vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(4, Gen.frequency(
+      8 -> Gen.choose(-100, 100).map(_ / 50.0),
+      1 -> Gen.const(0.0)))
+    val setGen = for {
+      na <- Gen.choose(1, 10)
+      nb <- Gen.choose(1, 10)
+      avs <- Gen.listOfN(na, vecGen)
+      bvs <- Gen.listOfN(nb, vecGen)
+      hasZeroA <- Gen.oneOf(true, false)
+    } yield (
+      (avs :+ (if (hasZeroA) List(0.0, 0.0, 0.0, 0.0) else avs.head))
+        .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toMap,
+      (bvs :+ List(0.0, 0.0, 0.0, 0.0))
+        .zipWithIndex.map { case (v, i) => (100L + i, v.toSeq) }.toMap)
+    for (seed <- 31L to 33L) {
+      val (aVecs, bVecs) = sample(setGen, seed)
+      val out = SimilarityOps.bitextMarginMine(
+          aVecs.toSeq.toDF("a_id", "ea"), bVecs.toSeq.toDF("b_id", "eb"),
+          k = 3, minMarginBp = 9000L)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(out == refMine(aVecs, bVecs, 3, 9000L), s"seed $seed")
+    }
+  }
+}
