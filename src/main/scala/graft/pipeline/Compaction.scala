@@ -21,6 +21,10 @@ import graft.queries.DedupOps
   *   2. NEAR new-vs-new: the full batch chain on the exact survivors
   *      — banded MinHash pairs (q36) → connected components (q61) →
   *      keep the min-doc_id representative per cluster (q76's rule).
+  *      Optionally (2b, `exactSubstrL`) the q123 char-level
+  *      ExactSubstr span REWRITE over the survivors — the other
+  *      stage the streaming scaladoc defers here, window-internal
+  *      by design (see the inline note).
   *   3. INDEX REFRESH: the compacted survivors' fingerprint/
   *      signature/band rows are APPENDED to the standing dedup index
   *      (loaded from `standingIndexDir` when given) and persisted to
@@ -43,10 +47,13 @@ object Compaction {
     * losses; `docsOut` = survivors written/returned;
     * `indexRowsAppended` = signature rows added to the refreshed
     * index (docs with < 3 tokens carry a fingerprint but no
-    * signature, so this can be below `docsOut`).
+    * signature, so this can be below `docsOut`); `charsRemoved` =
+    * characters excised by the optional q123 span rewrite (0 when
+    * the stage is off — a rewrite loses characters, never docs).
     */
   final case class CompactionSummary(docsIn: Long, exactDupsRemoved: Long,
-      nearDupsRemoved: Long, docsOut: Long, indexRowsAppended: Long)
+      nearDupsRemoved: Long, docsOut: Long, indexRowsAppended: Long,
+      charsRemoved: Long = 0L)
 
   /** Compacts a landed (doc_id, text, ...) frame. Returns the
     * compacted frame (original columns, non-representative rows
@@ -59,7 +66,8 @@ object Compaction {
   def compactLanding(spark: SparkSession, landed: DataFrame,
       minJaccard: Double = 0.5,
       standingIndexDir: Option[String] = None,
-      refreshedIndexDir: Option[String] = None): (DataFrame, CompactionSummary) = {
+      refreshedIndexDir: Option[String] = None,
+      exactSubstrL: Option[Int] = None): (DataFrame, CompactionSummary) = {
     // the refreshed index is written while the standing one is still
     // being read lazily — same dir would overwrite the files under
     // the reader. Version the dirs (index_v1 → index_v2), the way
@@ -91,8 +99,35 @@ object Compaction {
     val (exactSurvivors, dropped) =
       DedupOps.newVsNewCompaction(docs, minJaccard)
     val afterExact = exactSurvivors.count()
-    val compacted = exactSurvivors.join(dropped, Seq("doc_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = exactSurvivors.join(dropped, Seq("doc_id"), "left_anti")
+
+    // optional step 2b: the q123 char-level ExactSubstr span REWRITE
+    // the streaming scaladoc defers here ("belongs to the periodic
+    // batch compaction") — duplicated ≥L-char spans WITHIN the
+    // window excised, text rebuilt. Scope is deliberately
+    // window-internal: window-vs-STANDING spans would need standing
+    // TEXT, which this job never re-reads (that tier is q126's
+    // probe-style decon against a pinned gram artifact). Runs BEFORE
+    // the index refresh so the refreshed index signs the text that
+    // actually stands.
+    val (compacted, charsRemoved) = exactSubstrL match {
+      case None =>
+        val c = survivors
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (c, 0L)
+      case Some(l) =>
+        val rw = DedupOps.removeDupCharSpans(
+            survivors.select("doc_id", "text"), l)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val removed = rw
+          .agg(sum(col("n_chars") - col("n_kept_chars"))).collect().head
+        val c = survivors.drop("text")
+          .join(rw.select(col("doc_id"), col("cleaned_text").as("text")),
+            Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count(); rw.unpersist()
+        (c, if (removed.isNullAt(0)) 0L else removed.getLong(0))
+    }
     val docsOut = compacted.count()
 
     // step 3: refresh the standing index from the survivors ONLY
@@ -116,6 +151,6 @@ object Compaction {
     exactSurvivors.unpersist()
     docs.unpersist()
     (compacted, CompactionSummary(docsIn, docsIn - afterExact,
-      afterExact - docsOut, docsOut, appended.getOrElse(0L)))
+      afterExact - docsOut, docsOut, appended.getOrElse(0L), charsRemoved))
   }
 }

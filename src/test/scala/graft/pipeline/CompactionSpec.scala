@@ -61,6 +61,43 @@ class CompactionSpec extends AnyFunSuite {
       docsOut = 3, indexRowsAppended = 0))
   }
 
+  test("optional q123 span rewrite: window-internal duplicated spans excised, docs keep their lives") {
+    import spark.implicits._
+    // two docs that are NOT near-dups (quote is a small fraction of
+    // each) sharing one verbatim 61-char quote — the compaction's
+    // span tier must excise BOTH occurrences (total-occurrence
+    // semantics) while both docs survive every dedup rung
+    val quote =
+      "the committee voted nine to two against the rezoning proposal"
+    assert(quote.length == 61)
+    val d1 = "local news roundup for tuesday begins with council business " +
+      quote + " and continues with the harbor dredging schedule updates " +
+      "plus a note on the farmers market relocating to elm street"
+    val d2 = "in an unrelated statewide wrap the wire service reported " +
+      quote + " while separately covering the university expansion bond " +
+      "measure and the new regional transit timetable consultation"
+    val landing = Seq(10L -> d1, 11L -> d2, 12L -> unique1)
+      .toDF("doc_id", "text")
+
+    val (off, sumOff) = Compaction.compactLanding(spark, landing)
+    assert(sumOff.docsOut == 3 && sumOff.charsRemoved == 0)
+    assert(off.filter(col("text").contains("rezoning")).count() == 2)
+
+    val (on, sumOn) = Compaction.compactLanding(spark, landing,
+      exactSubstrL = Some(50))
+    assert(sumOn.docsOut == 3, s"rewrite must not drop docs: $sumOn")
+    assert(sumOn.charsRemoved >= 2L * quote.length,
+      s"both occurrences excised: $sumOn")
+    val texts = on.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!texts(10L).contains("rezoning") && !texts(11L).contains("rezoning"),
+      "the duplicated quote must be gone from both docs")
+    assert(texts(10L).contains("farmers market") &&
+      texts(11L).contains("transit timetable"),
+      "each doc's own prose survives")
+    assert(texts(12L) == unique1, "span-free docs pass through unchanged")
+  }
+
   test("index refresh: the NEXT delta's re-sends are caught only through the refreshed index") {
     import spark.implicits._
     val standing = Seq(1L -> unique2).toDF("doc_id", "text")
