@@ -429,6 +429,25 @@ object WebOps {
       |      ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&ref=rss' END ||
       | CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)""".stripMargin
 
+  /** q131's operator: OUTLINK extraction from raw HTML — the feed
+    * between page intake (q125 / `warcHtmlDocuments`) and frontier
+    * planning (q130): every absolute http(s) `href` target, in
+    * attribute order. One per-row `regexp_extract_all` + array
+    * filter inside the scan's codegen — zero shuffle, cost ∝ page
+    * bytes (the q125 argument). Scope is the engine-portable subset:
+    * double- or single-quoted href attributes with absolute http(s)
+    * targets; relative/fragment/protocol-relative links are a
+    * base-URL resolution problem deliberately out of scope (the
+    * reference curation pipelines mine absolute links for the
+    * cross-host graph — same-host relative links add no authority
+    * signal and recrawl discovery gets them from sitemaps).
+    */
+  def htmlLinks(html: Column): Column =
+    filter(
+      regexp_extract_all(html,
+        lit("href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+      x => x.rlike("^https?://"))
+
   /** q130's operator: CRAWL-FRONTIER planning — the step that closes
     * the crawl loop (intake → extract → curate → compact → decide
     * what to fetch NEXT). From a `discovered` outlink frame
@@ -536,6 +555,45 @@ object WebOps {
           (col("doc_id") % 40).cast("string")).as("url")).distinct()
       crawlFrontier(discovered, seen, perHostK = 3)
         .orderBy("host", "rnk")
+    },
+
+    // ---- q131: outlink extraction from raw HTML --------------------
+    // q125's synthesized page fixture extended with two absolute
+    // links per doc (one double-quoted https, one single-quoted
+    // http — the q130 URL shapes, so the two queries compose); the
+    // prefix's relative nav hrefs ("/", "/about") must be filtered.
+    QueryDef(
+      "q131_html_links",
+      s"""WITH page AS (
+         |  SELECT doc_id,
+         |    '$htmlPagePrefix' || lang || '</h1><p>' ||
+         |    replace(text, chr(10), '</p><p>') || '</p>' ||
+         |    '<a href="https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+         |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+         |      || '">next</a>' ||
+         |    '<a href=''http://mirror.example.org/m'
+         |      || CAST(doc_id % 7 AS VARCHAR) || '''>mirror</a>' ||
+         |    '$htmlPageSuffix' AS html
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, list_filter(
+         |    regexp_extract_all(html, 'href\\s*=\\s*["'']([^"'']+)["'']', 1),
+         |    x -> regexp_matches(x, '^https?://')) AS ls
+         |  FROM page)
+         |SELECT doc_id, unnest(ls) AS link
+         |FROM l ORDER BY doc_id, link""".stripMargin) { (s, dir) =>
+      val page = concat(lit(htmlPagePrefix), col("lang"), lit("</h1><p>"),
+        regexp_replace(col("text"), "\n", "</p><p>"), lit("</p>"),
+        lit("<a href=\"https://src"),
+        ((col("doc_id") * 7 + 3) % 20).cast("string"),
+        lit(".example.com/p/"), (col("doc_id") % 40).cast("string"),
+        lit("\">next</a>"),
+        lit("<a href='http://mirror.example.org/m"),
+        (col("doc_id") % 7).cast("string"), lit("'>mirror</a>"),
+        lit(htmlPageSuffix))
+      docs(s, dir)
+        .select(col("doc_id"), explode(htmlLinks(page)).as("link"))
+        .orderBy("doc_id", "link")
     },
 
     // ---- q103: URL canonicalization + URL-level dedup ------------

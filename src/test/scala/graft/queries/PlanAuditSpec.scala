@@ -628,6 +628,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"q130 vote rollup not partial:\n$p")
   }
 
+  test("q131 link extraction is per-row array work: no join, presentation sort only") {
+    val p = plan("q131_html_links")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q131 must be per-row:\n$p")
+    // the only exchange is the oracle's presentation ORDER BY
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"q131 grew a non-presentation shuffle:\n$p")
+  }
+
   test("q63 quantization is per-row math with only rollup + sort shuffles") {
     val p = plan("q63_embedding_quantization")
     assert(!p.contains("Window"), p)

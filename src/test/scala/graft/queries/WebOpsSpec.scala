@@ -369,4 +369,39 @@ class WebOpsSpec extends AnyFunSuite {
       .toSet
     assert(bloomOut == out, s"bloom path diverged: $bloomOut vs $out")
   }
+
+  test("htmlLinks: absolute http(s) hrefs only, attribute order, both quote styles") {
+    import spark.implicits._
+    val html =
+      """<a href="https://a.example.com/1">one</a>
+        |<a href='http://b.example.org/2'>two</a>
+        |<a href="/relative">no</a> <a href="#frag">no</a>
+        |<a href="//proto.example.com/x">no</a>
+        |<a href="ftp://files.example.com/y">no</a>
+        |<link rel="stylesheet" href="https://cdn.example.com/s.css">
+        |<a href = "https://spaced.example.com/3">spaced attr</a>""".stripMargin
+    val out = Seq((1L, html), (2L, "no links here"))
+      .toDF("doc_id", "html")
+      .select(col("doc_id"), WebOps.htmlLinks(col("html")).as("ls"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("https://a.example.com/1",
+      "http://b.example.org/2", "https://cdn.example.com/s.css",
+      "https://spaced.example.com/3"), out(1L))
+    assert(out(2L).isEmpty)
+
+    // composition: extracted links feed the frontier directly
+    val discovered = Seq((1L, html)).toDF("doc_id", "html")
+      .select(lit("crawler-seed").as("src_h"),
+        explode(WebOps.htmlLinks(col("html"))).as("url"))
+      .select(col("src_h"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("dst_h"),
+        col("url"))
+    val plan = WebOps.crawlFrontier(discovered,
+        Seq("https://a.example.com/1").toDF("url"), perHostK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plan == Set(
+      ("b.example.org", "http://b.example.org/2"),
+      ("cdn.example.com", "https://cdn.example.com/s.css"),
+      ("spaced.example.com", "https://spaced.example.com/3")), plan)
+  }
 }
