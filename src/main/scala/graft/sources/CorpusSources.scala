@@ -263,19 +263,24 @@ object CorpusSources {
     splitWarcHtml(spark.readStream.format("warc-record")
       .schema(WarcFileFormat.schema).load(path))
 
-  private def splitWarcHtml(rawIn: DataFrame): (DataFrame, DataFrame) = {
+  // the WARC body of a response record is the raw HTTP message:
+  // status line + headers, blank line, payload. A WELL-FORMED
+  // header-only message (redirect, 204/304 — a large share of any
+  // real crawl) loses its trailing blank line to parsedWarc's body
+  // trim, so "no \r\n\r\n" does NOT mean malformed: anything
+  // starting with the HTTP/ signature is an HTTP message whose
+  // payload is simply empty. Only a body with no HTTP signature at
+  // all is unrecoverable and DLQs.
+  private val isHttp = col("body").startsWith("HTTP/")
+
+  /** response records parsed down to (rec, uri, rid, payload, ctype)
+    * — the shared front half of the HTML document AND outlink
+    * extractors.
+    */
+  private def htmlResponses(rawIn: DataFrame): DataFrame = {
     val resp = parsedWarc(rawIn).filter(col("wtype") === "response")
-    // the WARC body of a response record is the raw HTTP message:
-    // status line + headers, blank line, payload. A WELL-FORMED
-    // header-only message (redirect, 204/304 — a large share of any
-    // real crawl) loses its trailing blank line to parsedWarc's body
-    // trim, so "no \r\n\r\n" does NOT mean malformed: anything
-    // starting with the HTTP/ signature is an HTTP message whose
-    // payload is simply empty. Only a body with no HTTP signature at
-    // all is unrecoverable and DLQs.
-    val isHttp = col("body").startsWith("HTTP/")
     val hasPayload = instr(col("body"), "\r\n\r\n") > 0
-    val withHttp = resp.select(
+    resp.select(
       col("rec"), col("uri"), col("rid"), col("body"),
       when(hasPayload, substring_index(col("body"), "\r\n\r\n", 1))
         .otherwise(col("body")).as("http_headers"),
@@ -285,6 +290,10 @@ object CorpusSources {
         .otherwise(lit("")).as("payload"))
       .withColumn("ctype", lower(regexp_extract(col("http_headers"),
         "(?mi)^Content-Type: *([^;\r\n]+)", 1)))
+  }
+
+  private def splitWarcHtml(rawIn: DataFrame): (DataFrame, DataFrame) = {
+    val withHttp = htmlResponses(rawIn)
     val good = documentRows(
       withHttp
         .filter(isHttp && col("uri") =!= "" &&
@@ -293,11 +302,32 @@ object CorpusSources {
           graft.queries.WebOps.htmlMainText(col("payload")))
         .filter(col("extracted") =!= ""),
       "extracted")
-    val bad = resp
+    val bad = withHttp
       .filter(col("uri") === "" || !isHttp)
       .select(col("rec").as("raw_line"))
     (good, bad)
   }
+
+  /** The link-graph sidecar of the raw-crawl intake (CommonCrawl
+    * ships exactly this split: WET text next to WAT link metadata,
+    * both derived from the same response archives): every absolute
+    * http(s) outlink of every HTML response as (src_h, dst_h, url) —
+    * the `discovered` frame [[graft.queries.WebOps.crawlFrontier]]
+    * consumes directly, so intake → frontier composes without a
+    * second parse of the archives' HTTP layer. Per-row regexp array
+    * work on the same scan shape as the text extractor; URI-less and
+    * non-HTML responses contribute nothing (they DLQ / filter on the
+    * document side).
+    */
+  def warcHtmlOutlinks(spark: SparkSession, path: String): DataFrame =
+    htmlResponses(spark.read.format("warc-record")
+        .schema(WarcFileFormat.schema).load(path))
+      .filter(isHttp && col("uri") =!= "" && col("ctype").contains("html"))
+      .select(graft.queries.WebOps.canonicalHost(col("uri")).as("src_h"),
+        explode(graft.queries.WebOps.htmlLinks(col("payload"))).as("url"))
+      .select(col("src_h"),
+        graft.queries.WebOps.canonicalHost(col("url")).as("dst_h"),
+        col("url"))
 
   /** CSV corpus with a header row. `enforceSchema=false` makes Spark
     * VALIDATE header names against the schema instead of applying it

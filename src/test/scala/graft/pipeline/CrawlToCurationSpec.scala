@@ -65,7 +65,12 @@ class CrawlToCurationSpec extends AnyFunSuite {
       "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html; charset=utf-8" +
         crlf + crlf +
         "<html><head><title>t</title><style>p { color: red }</style></head>" +
-        "<body><div><a href=\"/\">Home</a> <a href=\"/x\">About</a></div>" +
+        "<body><div><a href=\"/\">Home</a> <a href=\"/x\">About</a> " +
+        // absolute outlinks in the boilerplate nav (stripped from the
+        // TEXT by link-density; mined by the WAT-sidecar extractor):
+        // one already-crawled target, one new cross-host target
+        "<a href=\"https://coast.example.com/story\">story</a> " +
+        "<a href=\"https://planet.example.net/hub\">hub</a></div>" +
         lines.map(l => s"<p>$l</p>").mkString +
         "<script>var a = 1 < 2 && 3 > 2;</script></body></html>")
   private def warcFile(recs: Seq[String]): String =
@@ -187,5 +192,20 @@ class CrawlToCurationSpec extends AnyFunSuite {
     // DLQ: exactly the signature-less response, verbatim
     assert(dlq.length == 1 && dlq.head.contains("urn:uuid:garbage"),
       dlq.toSeq)
+
+    // the LOOP CLOSES: the same archives' WAT-style link sidecar +
+    // the crawl log feed the frontier planner — the already-crawled
+    // /story target is suppressed by the seen set, the new
+    // cross-host hub is what the crawler fetches next
+    import spark.implicits._
+    val discovered = CorpusSources.warcHtmlOutlinks(spark, dir.toString)
+    val seen = urlOf.values.toSeq.distinct.toDF("url")
+    val plan = graft.queries.WebOps.crawlFrontier(discovered, seen,
+        perHostK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(plan.toSet ==
+      Set(("planet.example.net", "https://planet.example.net/hub",
+        1L)), // every referrer is coast.example.com → ONE distinct host
+      plan.toSeq.toString)
   }
 }
