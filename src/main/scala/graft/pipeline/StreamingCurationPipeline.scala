@@ -54,7 +54,9 @@ import org.apache.spark.storage.StorageLevel
   * is corpus-GLOBAL (a span seen once in this micro-batch may repeat
   * against text that arrived an hour ago), so a faithful streaming
   * version would accrete an unbounded positional-gram index. It
-  * belongs to the periodic batch compaction alongside index refresh.
+  * belongs to the periodic batch compaction alongside index refresh —
+  * which ships as [[Compaction.compactLanding]] (`exactSubstrL` is
+  * that stage).
   *
   * Placement of state — the part that makes this runnable forever:
   * the ONLY cross-batch stream state is url_dedup's per-canonical-URL
@@ -66,7 +68,9 @@ import org.apache.spark.storage.StorageLevel
   * per micro-batch. New-vs-new near-dups across micro-batches are
   * deliberately NOT chased here (pair state in a stream grows
   * quadratically — the q46 note); they belong to the periodic batch
-  * compaction that also refreshes the standing index.
+  * compaction that also refreshes the standing index —
+  * [[Compaction.compactLanding]], whose refreshed artifact the next
+  * run loads via `Config.standingIndexDir`.
   *
   * Reference lineage: the foreachBatch + Sink-decorator shape is the
   * reference's consumer→sink pipeline (README.md:11-16,

@@ -320,8 +320,22 @@ object CorpusSources {
     * document side).
     */
   def warcHtmlOutlinks(spark: SparkSession, path: String): DataFrame =
-    htmlResponses(spark.read.format("warc-record")
-        .schema(WarcFileFormat.schema).load(path))
+    outlinkRows(htmlResponses(spark.read.format("warc-record")
+      .schema(WarcFileFormat.schema).load(path)))
+
+  /** Streaming twin of [[warcHtmlOutlinks]] — fully stateless per-row
+    * extraction, so the link sidecar lands continuously next to the
+    * document stream from the same archive dir; the periodic frontier
+    * job (`WebOps.crawlFrontier`) then reads the landed links in
+    * batch (planning is corpus-level by nature, the tokenBudget
+    * rule).
+    */
+  def warcHtmlOutlinksStream(spark: SparkSession, path: String): DataFrame =
+    outlinkRows(htmlResponses(spark.readStream.format("warc-record")
+      .schema(WarcFileFormat.schema).load(path)))
+
+  private def outlinkRows(withHttp: DataFrame): DataFrame =
+    withHttp
       .filter(isHttp && col("uri") =!= "" && col("ctype").contains("html"))
       .select(graft.queries.WebOps.canonicalHost(col("uri")).as("src_h"),
         explode(graft.queries.WebOps.htmlLinks(col("payload"))).as("url"))

@@ -518,4 +518,43 @@ class CorpusSourcesSpec extends AnyFunSuite {
     assert(b.exists(_.contains("urn:uuid:broken")), b.toSeq)
     assert(b.exists(_.contains("urn:uuid:nouri")), b.toSeq)
   }
+
+  test("warcHtmlOutlinks: the WAT sidecar — absolute links per response, stream==batch") {
+    val crlf = "\r\n"
+    def rec(headers: Seq[String], body: String): String =
+      "WARC/1.0" + crlf + headers.mkString(crlf) + crlf + crlf + body
+    def http(payload: String): String =
+      "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf +
+        crlf + payload
+    val warc = Seq(
+      rec(Seq("WARC-Type: response",
+        "WARC-Target-URI: https://a.example.com/p",
+        "WARC-Record-ID: <urn:uuid:o1>"),
+        http("<a href=\"https://b.example.net/x\">x</a>" +
+          "<a href='/rel'>rel</a>" +
+          "<a href=\"http://c.example.org/y\">y</a>")),
+      // URI-less response contributes no links (it DLQs on the
+      // document side)
+      rec(Seq("WARC-Type: response", "WARC-Record-ID: <urn:uuid:o2>"),
+        http("<a href=\"https://d.example.com/z\">z</a>"))
+    ).mkString(crlf + crlf) + crlf + crlf
+    val dir = Files.createTempDirectory("graft_warc_links")
+    Files.writeString(dir.resolve("l.warc"), warc)
+
+    val expected = Set(
+      ("a.example.com", "b.example.net", "https://b.example.net/x"),
+      ("a.example.com", "c.example.org", "http://c.example.org/y"))
+    val batch = CorpusSources.warcHtmlOutlinks(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(batch == expected, batch)
+
+    val q = CorpusSources.warcHtmlOutlinksStream(spark, dir.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("warc_links_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("warc_links_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == expected, streamed)
+  }
 }
