@@ -124,16 +124,26 @@ object Compaction {
         val c = survivors.drop("text")
           .join(rw.select(col("doc_id"), col("cleaned_text").as("text")),
             Seq("doc_id"))
+          // the caller's column ORDER must not depend on whether the
+          // rewrite stage is on (positional consumers downstream)
+          .select(survivors.columns.map(col).toIndexedSeq: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         c.count(); rw.unpersist()
         (c, if (removed.isNullAt(0)) 0L else removed.getLong(0))
     }
     val docsOut = compacted.count()
 
-    // step 3: refresh the standing index from the survivors ONLY
+    // step 3: refresh the standing index from the survivors ONLY —
+    // signing their RAW (pre-rewrite) text: a re-fetch of a surviving
+    // page arrives in crawled form, and fingerprints/signatures of
+    // the span-gutted rewrite would miss it (a page that is 80%
+    // boilerplate block keeps only 20% Jaccard with its own raw
+    // re-send). The landed corpus carries the rewritten text; the
+    // index represents what the crawl SAW.
     val appended = refreshedIndexDir.map { outDir =>
       val add = DedupOps.buildDedupIndex(spark,
-        compacted.select("doc_id", "text"))
+        docs.join(compacted.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id", "text"))
       val merged = standingIndexDir.map(DedupOps.loadDedupIndex(spark, _))
         .fold(add) { standing =>
           DedupOps.DedupIndex(

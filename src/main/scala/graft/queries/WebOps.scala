@@ -442,11 +442,22 @@ object WebOps {
     * cross-host graph — same-host relative links add no authority
     * signal and recrawl discovery gets them from sitemaps).
     */
-  def htmlLinks(html: Column): Column =
-    filter(
-      regexp_extract_all(html,
-        lit("href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
-      x => x.rlike("^https?://"))
+  def htmlLinks(html: Column): Column = {
+    // quote styles extracted SEPARATELY with matching-pair patterns:
+    // a single mixed class like ["']([^"']+)["'] lets an opening
+    // double quote close on an apostrophe INSIDE the URL
+    // (href="https://a.com/O'Brien" would emit the truncated
+    // https://a.com/O). RE2 has no backreferences, so the oracle
+    // cannot express (["'])...\1 — two anchored extractions,
+    // double-quoted links first, is the engine-portable form (output
+    // order: all double-quoted targets in attribute order, then all
+    // single-quoted ones).
+    val dq = regexp_extract_all(html,
+      lit("href\\s*=\\s*\"([^\"]+)\""), lit(1))
+    val sq = regexp_extract_all(html,
+      lit("href\\s*=\\s*'([^']+)'"), lit(1))
+    filter(concat(dq, sq), x => x.rlike("^https?://"))
+  }
 
   /** q130's operator: CRAWL-FRONTIER planning — the step that closes
     * the crawl loop (intake → extract → curate → compact → decide
@@ -477,13 +488,27 @@ object WebOps {
   def crawlFrontier(discovered: DataFrame, seen: DataFrame,
       perHostK: Int = 3, seenBloomFpp: Option[Double] = None): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
+    // both sides compare on the q103 CANONICAL key — the sidecar
+    // emits raw hrefs and crawl logs vary in spelling, so a raw
+    // string join would re-emit an already-crawled page for any
+    // non-canonical variant (www./utm/fragment/host-case) and split
+    // one page's referrer votes across its spellings. Null targets
+    // are unfetchable — dropped identically on both paths.
+    val d = discovered.filter(col("url").isNotNull)
+      .withColumn("url", canonicalizeUrl(col("url")))
+    val seenC = seen.filter(col("url").isNotNull)
+      .select(canonicalizeUrl(col("url")).as("url")).distinct()
     val fresh = seenBloomFpp match {
-      case None => discovered.join(seen, Seq("url"), "left_anti")
+      case None => d.join(seenC, Seq("url"), "left_anti")
       case Some(fpp) =>
-        val seenD = seen.select("url").distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = seenD.count()
-        val bloom = seenD.select(xxhash64(col("url")).as("uh"))
+        // deliberately NOT persisted: a planner job has no lifecycle
+        // hook to release a cache entry, and an accreting seen-set
+        // pin per run is worse than the extra scans (seen is read
+        // for the count, the bloom build, and the join; discovered
+        // is read once per union branch — callers with expensive
+        // lineages persist their own frames before calling)
+        val n = seenC.count()
+        val bloom = seenC.select(xxhash64(col("url")).as("uh"))
           .stat.bloomFilter("uh", math.max(n, 1L), fpp)
         val bloomBytes = {
           val bos = new java.io.ByteArrayOutputStream()
@@ -493,10 +518,10 @@ object WebOps {
         val might = call_function("bloom_might_contain",
           lit(bloomBytes), xxhash64(col("url")))
         // no false negatives: !might ⇒ certainly unseen, never joins
-        discovered.filter(!might)
-          .union(discovered.filter(might)
-            .join(seenD, Seq("url"), "left_anti")
-            .select(discovered.columns.map(col).toIndexedSeq: _*))
+        d.filter(!might)
+          .union(d.filter(might)
+            .join(seenC, Seq("url"), "left_anti")
+            .select(d.columns.map(col).toIndexedSeq: _*))
     }
     val votes = fresh
       .groupBy(col("dst_h").as("host"), col("url"))
@@ -577,7 +602,9 @@ object WebOps {
          |  FROM documents),
          |l AS (
          |  SELECT doc_id, list_filter(
-         |    regexp_extract_all(html, 'href\\s*=\\s*["'']([^"'']+)["'']', 1),
+         |    list_concat(
+         |      regexp_extract_all(html, 'href\\s*=\\s*"([^"]+)"', 1),
+         |      regexp_extract_all(html, 'href\\s*=\\s*''([^'']+)''', 1)),
          |    x -> regexp_matches(x, '^https?://')) AS ls
          |  FROM page)
          |SELECT doc_id, unnest(ls) AS link

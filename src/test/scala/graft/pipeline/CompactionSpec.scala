@@ -96,6 +96,20 @@ class CompactionSpec extends AnyFunSuite {
       texts(11L).contains("transit timetable"),
       "each doc's own prose survives")
     assert(texts(12L) == unique1, "span-free docs pass through unchanged")
+
+    // the refreshed index signs the RAW (pre-rewrite) text: a
+    // re-fetch of the page arrives in crawled form, and an index of
+    // the span-gutted rewrite would miss it
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_cmp_rw_idx").toString
+    Compaction.compactLanding(spark, landing, exactSubstrL = Some(50),
+      refreshedIndexDir = Some(idxDir))
+    val resend = Seq(99L -> d1).toDF("doc_id", "text")
+    val v = DedupOps.incrementalDedupAgainstIndex(spark, resend,
+        DedupOps.loadDedupIndex(spark, idxDir))
+      .select("exact_dup", "kept").collect().head
+    assert(v.getLong(0) == 1L && v.getLong(1) == 0L,
+      s"raw re-send of a rewritten doc must be exact-caught: $v")
   }
 
   test("index refresh: the NEXT delta's re-sends are caught only through the refreshed index") {

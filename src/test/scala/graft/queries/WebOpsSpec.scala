@@ -332,32 +332,32 @@ class WebOpsSpec extends AnyFunSuite {
   test("crawlFrontier: seen urls suppressed, referrer votes rank, per-host cap holds") {
     import spark.implicits._
     val discovered = Seq(
-      // hostA/new1: three distinct referrers (one repeats — distinct
-      // counts once), the frontier's top pick for hostA
-      ("r1", "hostA", "https://hostA/new1"),
-      ("r2", "hostA", "https://hostA/new1"),
-      ("r3", "hostA", "https://hostA/new1"),
-      ("r3", "hostA", "https://hostA/new1"),
-      // hostA/new2 and /new3 and /new4: 2, 1, 1 votes — the k=2 cap
+      // hosta/new1: three distinct referrers (one repeats — distinct
+      // counts once), the frontier's top pick for hosta
+      ("r1", "hosta", "https://hosta/new1"),
+      ("r2", "hosta", "https://hosta/new1"),
+      ("r3", "hosta", "https://hosta/new1"),
+      ("r3", "hosta", "https://hosta/new1"),
+      // hosta/new2 and /new3 and /new4: 2, 1, 1 votes — the k=2 cap
       // must keep new2 and (tie broken by url asc) new3, drop new4
-      ("r1", "hostA", "https://hostA/new2"),
-      ("r2", "hostA", "https://hostA/new2"),
-      ("r9", "hostA", "https://hostA/new3"),
-      ("r9", "hostA", "https://hostA/new4"),
+      ("r1", "hosta", "https://hosta/new2"),
+      ("r2", "hosta", "https://hosta/new2"),
+      ("r9", "hosta", "https://hosta/new3"),
+      ("r9", "hosta", "https://hosta/new4"),
       // already crawled → suppressed entirely
-      ("r1", "hostA", "https://hostA/old"),
+      ("r1", "hosta", "https://hosta/old"),
       // another host is its own budget
-      ("r1", "hostB", "https://hostB/x")
+      ("r1", "hostb", "https://hostb/x")
     ).toDF("src_h", "dst_h", "url")
-    val seen = Seq("https://hostA/old").toDF("url")
+    val seen = Seq("https://hosta/old").toDF("url")
     val out = WebOps.crawlFrontier(discovered, seen, perHostK = 2)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(out == Set(
-      ("hostA", "https://hostA/new1", 3L, 1L),
-      ("hostA", "https://hostA/new2", 2L, 2L),
-      ("hostB", "https://hostB/x", 1L, 1L)), out)
+      ("hosta", "https://hosta/new1", 3L, 1L),
+      ("hosta", "https://hosta/new2", 2L, 2L),
+      ("hostb", "https://hostb/x", 1L, 1L)), out)
 
     // the Bloom seen-set path is row-identical even at fpp 0.5 (no
     // false negatives + exact anti-join on the bloom-positive slice
@@ -370,7 +370,7 @@ class WebOpsSpec extends AnyFunSuite {
     assert(bloomOut == out, s"bloom path diverged: $bloomOut vs $out")
   }
 
-  test("htmlLinks: absolute http(s) hrefs only, attribute order, both quote styles") {
+  test("htmlLinks: absolute http(s) hrefs only, both quote styles, opposite-quote chars survive") {
     import spark.implicits._
     val html =
       """<a href="https://a.example.com/1">one</a>
@@ -384,10 +384,22 @@ class WebOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "html")
       .select(col("doc_id"), WebOps.htmlLinks(col("html")).as("ls"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // output order: double-quoted targets in attribute order, then
+    // single-quoted ones (the matching-pair extraction runs per
+    // quote style — see htmlLinks' scaladoc)
     assert(out(1L) == Seq("https://a.example.com/1",
-      "http://b.example.org/2", "https://cdn.example.com/s.css",
-      "https://spaced.example.com/3"), out(1L))
+      "https://cdn.example.com/s.css", "https://spaced.example.com/3",
+      "http://b.example.org/2"), out(1L))
     assert(out(2L).isEmpty)
+
+    // an apostrophe INSIDE a double-quoted URL must not truncate it
+    // (the single mixed-quote class regression: emitted .../O before
+    // the per-quote-style split)
+    val apos = Seq((3L, "<a href=\"https://a.example.com/O'Brien\">b</a>"))
+      .toDF("doc_id", "html")
+      .select(WebOps.htmlLinks(col("html")).as("ls"))
+      .head().getSeq[String](0)
+    assert(apos == Seq("https://a.example.com/O'Brien"), apos)
 
     // composition: extracted links feed the frontier directly
     val discovered = Seq((1L, html)).toDF("doc_id", "html")
