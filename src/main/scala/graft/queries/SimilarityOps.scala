@@ -916,6 +916,19 @@ object SimilarityOps {
       .select(col("a_id"), col("b_id"),
         floor(expr("cosine_sim(ea, eb)") * lit(1000000.0))
           .cast("long").as("cm"))
+    marginFromPairs(pairs, k, minMarginBp)
+  }
+
+  /** The margin arithmetic over ANY candidate (a_id, b_id, cm) pair
+    * frame — shared by the exhaustive testbed ([[bitextMarginMine]])
+    * and the IVF-candidate production shape
+    * ([[bitextMarginMineIvf]]): the knn means, the integer margin,
+    * and the per-a argmax are candidate-frame-agnostic by
+    * construction.
+    */
+  private def marginFromPairs(pairs0: DataFrame, k: Int,
+      minMarginBp: Long): DataFrame = {
+    val pairs = pairs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def knn(key: String, other: String, s2: String, n2: String) = pairs
       .groupBy(key)
@@ -941,6 +954,84 @@ object SimilarityOps {
       .select(col("a_id"), col("b_id").as("mined_b"),
         col("cm").as("cos_micro"), col("margin_bp"))
   }
+
+  /** [[bitextMarginMine]] in its PRODUCTION shape: candidates from
+    * the IVF coarse quantizer instead of the exhaustive cross —
+    * every b assigned to its nearest codebook cell per-row (zero
+    * shuffle, q44's move), every a probing its `nprobe` nearest
+    * cells, candidates from the cell equi-join (never a cartesian;
+    * a pair appears at most once since b lives in exactly one cell),
+    * then the SAME margin arithmetic over the candidate frame. The
+    * knn means are computed over candidates — the real CCMatrix
+    * semantics (its kNN graphs are FAISS-approximate too); at
+    * `nprobe = |codebook|` the candidate set IS the full pair space
+    * and the output is row-identical to the exhaustive path
+    * (spec-pinned — the q84 nprobe=k pinning trick), which is also
+    * why q132's oracle can be q129's exhaustive SQL verbatim.
+    */
+  def bitextMarginMineIvf(aSide: DataFrame, bSide: DataFrame,
+      codebook: Seq[(Int, Seq[Double])], nprobe: Int,
+      k: Int = 4, minMarginBp: Long = 10000L): DataFrame = {
+    graft.functions.GraftFunctions.register(aSide.sparkSession)
+    def nonZero(c: String) = expr(
+      s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x) > 0")
+    val b = bSide.filter(nonZero("eb"))
+      .withColumn("cb", codebookLit(codebook))
+      .withColumn("cell_id", nearestCell("eb", "cb"))
+      .select("cell_id", "b_id", "eb")
+    val a = aSide.filter(nonZero("ea"))
+      .withColumn("cb", codebookLit(codebook))
+      .select(col("a_id"), col("ea"),
+        explode(nearestCells("ea", "cb", nprobe)).as("pc"))
+      .select(col("pc.cell_id").as("cell_id"), col("a_id"), col("ea"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .select(col("a_id"), col("b_id"),
+        floor(expr("cosine_sim(ea, eb)") * lit(1000000.0))
+          .cast("long").as("cm"))
+    marginFromPairs(pairs, k, minMarginBp)
+  }
+
+  /** The exhaustive margin-mining oracle, shared by q129 (the
+    * exhaustive testbed) and q132 (the IVF candidate path at
+    * nprobe = |codebook|, where the candidate set is the full pair
+    * space and the exhaustive SQL checks it exactly).
+    */
+  private val bitextOracleSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, emb AS ea FROM e WHERE label % 2 = 0
+        |  AND (SELECT sum(x * x) FROM (SELECT unnest(emb) AS x) z) > 0),
+        |b AS (SELECT vec_id AS b_id, emb AS eb FROM e WHERE label % 2 = 1
+        |  AND (SELECT sum(x * x) FROM (SELECT unnest(emb) AS x) z) > 0),
+        |p AS (
+        |  SELECT a_id, b_id, CAST(floor(
+        |    ((SELECT sum(x * y) FROM (SELECT unnest(ea) AS x, unnest(eb) AS y) z)
+        |     / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(ea) AS x) z))
+        |        * sqrt((SELECT sum(y * y) FROM (SELECT unnest(eb) AS y) z))))
+        |    * 1000000) AS BIGINT) AS cm
+        |  FROM a, b),
+        |ka AS (
+        |  SELECT a_id, sum(cm) AS sa, count(*) AS na FROM (
+        |    SELECT a_id, cm, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cm DESC, b_id) AS rnk FROM p) r
+        |  WHERE rnk <= 4 GROUP BY a_id),
+        |kb AS (
+        |  SELECT b_id, sum(cm) AS sb, count(*) AS nb FROM (
+        |    SELECT b_id, cm, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY cm DESC, a_id) AS rnk FROM p) r
+        |  WHERE rnk <= 4 GROUP BY b_id),
+        |cand AS (
+        |  SELECT p.a_id, p.b_id, p.cm,
+        |    (2 * p.cm * 10000 * na * nb) // (sa * nb + sb * na) AS margin_bp
+        |  FROM p JOIN ka USING (a_id) JOIN kb USING (b_id)
+        |  WHERE p.cm > 0 AND sa * nb + sb * na > 0),
+        |best AS (
+        |  SELECT a_id, b_id, cm, margin_bp, row_number() OVER (
+        |    PARTITION BY a_id ORDER BY margin_bp DESC, b_id) AS rnk
+        |  FROM cand)
+        |SELECT a_id, b_id AS mined_b, CAST(cm AS BIGINT) AS cos_micro,
+        |  CAST(margin_bp AS BIGINT) AS margin_bp
+        |FROM best WHERE rnk = 1 AND margin_bp >= 10000
+        |ORDER BY a_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1068,47 +1159,33 @@ object SimilarityOps {
     // and the margin arithmetic is candidate-frame-agnostic.
     QueryDef(
       "q129_bitext_margin_mining",
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |a AS (SELECT vec_id AS a_id, emb AS ea FROM e WHERE label % 2 = 0
-        |  AND (SELECT sum(x * x) FROM (SELECT unnest(emb) AS x) z) > 0),
-        |b AS (SELECT vec_id AS b_id, emb AS eb FROM e WHERE label % 2 = 1
-        |  AND (SELECT sum(x * x) FROM (SELECT unnest(emb) AS x) z) > 0),
-        |p AS (
-        |  SELECT a_id, b_id, CAST(floor(
-        |    ((SELECT sum(x * y) FROM (SELECT unnest(ea) AS x, unnest(eb) AS y) z)
-        |     / (sqrt((SELECT sum(x * x) FROM (SELECT unnest(ea) AS x) z))
-        |        * sqrt((SELECT sum(y * y) FROM (SELECT unnest(eb) AS y) z))))
-        |    * 1000000) AS BIGINT) AS cm
-        |  FROM a, b),
-        |ka AS (
-        |  SELECT a_id, sum(cm) AS sa, count(*) AS na FROM (
-        |    SELECT a_id, cm, row_number() OVER (PARTITION BY a_id
-        |      ORDER BY cm DESC, b_id) AS rnk FROM p) r
-        |  WHERE rnk <= 4 GROUP BY a_id),
-        |kb AS (
-        |  SELECT b_id, sum(cm) AS sb, count(*) AS nb FROM (
-        |    SELECT b_id, cm, row_number() OVER (PARTITION BY b_id
-        |      ORDER BY cm DESC, a_id) AS rnk FROM p) r
-        |  WHERE rnk <= 4 GROUP BY b_id),
-        |cand AS (
-        |  SELECT p.a_id, p.b_id, p.cm,
-        |    (2 * p.cm * 10000 * na * nb) // (sa * nb + sb * na) AS margin_bp
-        |  FROM p JOIN ka USING (a_id) JOIN kb USING (b_id)
-        |  WHERE p.cm > 0 AND sa * nb + sb * na > 0),
-        |best AS (
-        |  SELECT a_id, b_id, cm, margin_bp, row_number() OVER (
-        |    PARTITION BY a_id ORDER BY margin_bp DESC, b_id) AS rnk
-        |  FROM cand)
-        |SELECT a_id, b_id AS mined_b, CAST(cm AS BIGINT) AS cos_micro,
-        |  CAST(margin_bp AS BIGINT) AS margin_bp
-        |FROM best WHERE rnk = 1 AND margin_bp >= 10000
-        |ORDER BY a_id""".stripMargin) { (s, dir) =>
+      bitextOracleSql) { (s, dir) =>
       val e = emb(s, dir)
       bitextMarginMine(
         e.filter(col("label") % 2 === 0)
           .select(col("vec_id").as("a_id"), col("e").as("ea")),
         e.filter(col("label") % 2 === 1)
           .select(col("vec_id").as("b_id"), col("e").as("eb")))
+        .orderBy("a_id")
+    },
+
+    // ---- q132: bitext mining through the IVF candidate path -------
+    // The production shape of q129 — candidates from the coarse
+    // quantizer's cell equi-join, margins over candidates. At
+    // nprobe = |codebook| (here: all 16 fitted cells) the candidate
+    // set IS the full pair space, so the EXHAUSTIVE oracle checks
+    // the approximate machinery exactly (the q84 pinning trick);
+    // production drops nprobe to prune.
+    QueryDef(
+      "q132_bitext_margin_ivf",
+      bitextOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      bitextMarginMineIvf(
+        e.filter(col("label") % 2 === 0)
+          .select(col("vec_id").as("a_id"), col("e").as("ea")),
+        e.filter(col("label") % 2 === 1)
+          .select(col("vec_id").as("b_id"), col("e").as("eb")),
+        Ivf.codebook, nprobe = Ivf.k)
         .orderBy("a_id")
     },
 

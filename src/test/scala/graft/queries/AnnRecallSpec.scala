@@ -406,5 +406,23 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(out(3L)._1 == 19L, "a3's only positive match is the hub")
     assert(out(1L)._3 > out(3L)._3 && out(2L)._3 > out(3L)._3,
       s"hub pairing must score below true pairs: $out")
+
+    // the IVF candidate path at nprobe = |codebook| is ROW-IDENTICAL
+    // to the exhaustive miner (full probe ⇒ the cell equi-join
+    // reproduces the whole pair space — the q84 pinning trick); at
+    // nprobe = 1 it returns a subset of those rows
+    val cb = Seq(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0),
+      2 -> Seq(0.0, 0.0, 1.0, 0.0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val full = rows(SimilarityOps.bitextMarginMineIvf(aDf, bDf, cb,
+      nprobe = cb.size, k = 4, minMarginBp = 0L))
+    assert(full == rows(SimilarityOps.bitextMarginMine(aDf, bDf, k = 4,
+      minMarginBp = 0L)), "full-probe IVF mining must equal exhaustive")
+    val pruned = rows(SimilarityOps.bitextMarginMineIvf(aDf, bDf, cb,
+      nprobe = 1, k = 4, minMarginBp = 0L))
+    assert(pruned.map(_._1).subsetOf(full.map(_._1)) && pruned.nonEmpty,
+      s"pruned probe must mine a nonempty subset of queries: $pruned")
   }
 }

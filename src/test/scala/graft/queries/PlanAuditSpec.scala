@@ -637,6 +637,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"q131 grew a non-presentation shuffle:\n$p")
   }
 
+  test("q132 IVF bitext mining: cell equi-join candidates, heap reductions, no cartesian") {
+    val p = plan("q132_bitext_margin_ivf")
+    assert(!p.contains("Window"), s"q132 must not window:\n$p")
+    // candidates come from the cell_id equi-join — never the
+    // exhaustive cross (that is q129's testbed job)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q132 candidate build must be the cell equi-join:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("partial_topk_collect"),
+      s"q132 lost its map-side heap partials:\n$p")
+  }
+
   test("q63 quantization is per-row math with only rollup + sort shuffles") {
     val p = plan("q63_embedding_quantization")
     assert(!p.contains("Window"), p)
