@@ -928,6 +928,10 @@ object SimilarityOps {
     */
   private def marginFromPairs(pairs0: DataFrame, k: Int,
       minMarginBp: Long): DataFrame = {
+    // persisted because three reductions and the final join-back all
+    // read it; left for LRU eviction (the q58/q77 convention — the
+    // returned frame still references it lazily, so there is no
+    // in-function release point)
     val pairs = pairs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def knn(key: String, other: String, s2: String, n2: String) = pairs

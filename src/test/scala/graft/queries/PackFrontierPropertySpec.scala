@@ -68,7 +68,7 @@ class PackFrontierPropertySpec extends AnyFunSuite {
       salt <- Gen.oneOf(16L, 64L, 1000L)
     } yield (rows.zipWithIndex.map { case ((s, t), i) => (s, i.toLong, t) },
       window, salt)
-    for (seed <- 11L to 13L) {
+    for (seed <- 11L to 16L) {
       val (rows, window, salt) = sample(corpusGen, seed)
       val out = TextOps.greedyPack(rows.toDF("source", "doc_id", "n_tok"),
           window, salt)
@@ -107,7 +107,7 @@ class PackFrontierPropertySpec extends AnyFunSuite {
           yield s"https://h$h/p$p")
       k <- Gen.choose(1, 4)
     } yield (links, seen.toSet, k)
-    for (seed <- 21L to 23L) {
+    for (seed <- 21L to 26L) {
       val (links, seen, k) = sample(graphGen, seed)
       val ref = refFrontier(links, seen, k)
       val linksDf = links.toDF("src_h", "dst_h", "url")
@@ -178,7 +178,7 @@ class PackFrontierPropertySpec extends AnyFunSuite {
         .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toMap,
       (bvs :+ List(0.0, 0.0, 0.0, 0.0))
         .zipWithIndex.map { case (v, i) => (100L + i, v.toSeq) }.toMap)
-    for (seed <- 31L to 33L) {
+    for (seed <- 31L to 36L) {
       val (aVecs, bVecs) = sample(setGen, seed)
       val out = SimilarityOps.bitextMarginMine(
           aVecs.toSeq.toDF("a_id", "ea"), bVecs.toSeq.toDF("b_id", "eb"),
