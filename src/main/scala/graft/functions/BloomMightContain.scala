@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
@@ -67,4 +67,59 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
+}
+
+/** Executor-side lazily-deserialized view of a BROADCAST serialized
+  * Bloom filter. Serializing this wrapper ships only the broadcast
+  * handle (a block id, ~bytes); each executor pulls the filter bytes
+  * once through the torrent broadcast and deserializes once per
+  * expression instance — vs the literal form, which embeds the full
+  * filter in the logical plan and every task binary. At real crawl
+  * scale (hundreds of MB of seen-set filter) the literal form bloats
+  * the plan n_tasks-fold; this form ships it once per executor.
+  */
+private[graft] class BloomBroadcastRef(
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+  extends Serializable {
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bcast.value))
+  def mightContainLong(h: Long): Boolean = bloom.mightContainLong(h)
+}
+
+/** [[BloomMightContain]]'s broadcast twin: the filter arrives via a
+  * `SparkContext.broadcast` handle held OUTSIDE the expression tree
+  * (a constructor field, not a child), so the plan stays
+  * constant-size however large the filter. Same no-false-negative
+  * contract, same single codegen'd probe per row. Constructed via
+  * [[GraftFunctions.bloomMightContainBroadcast]] (it cannot be
+  * SQL-registered — a broadcast handle cannot pass through the
+  * function registry's Expression-only calling convention).
+  */
+case class BloomMightContainBroadcast(
+    ref: BloomBroadcastRef, child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain_bcast expects a bigint hash, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain_bcast"
+
+  override def nullSafeEval(value: Any): Any =
+    ref.mightContainLong(value.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bloomRef", ref,
+      classOf[BloomBroadcastRef].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $r.mightContainLong($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainBroadcast =
+    copy(child = newChild)
 }

@@ -115,4 +115,25 @@ object GraftFunctions {
       exprs => CharGramHashes.fromExprs(exprs),
       "scala_udf")
   }
+
+  /** Column form of [[BloomMightContainBroadcast]]: probe `hash`
+    * (bigint, conventionally `xxhash64(key)`) against a serialized
+    * Bloom filter shipped ONCE per executor via broadcast — the
+    * constant-plan-size alternative to
+    * `call_function("bloom_might_contain", lit(bytes), hash)` for
+    * filters too large to ride the plan. The broadcast handle lives
+    * until the caller's SparkContext releases it (callers running
+    * many planner rounds can `.destroy()` the returned handle's
+    * broadcast after the job — the second element of the pair).
+    */
+  def bloomMightContainBroadcast(
+      spark: SparkSession, bloomBytes: Array[Byte],
+      hash: org.apache.spark.sql.Column): (org.apache.spark.sql.Column,
+        org.apache.spark.broadcast.Broadcast[Array[Byte]]) = {
+    val bcast = spark.sparkContext.broadcast(bloomBytes)
+    val col = org.apache.spark.sql.graft.ColumnBridge.column(
+      BloomMightContainBroadcast(new BloomBroadcastRef(bcast),
+        org.apache.spark.sql.graft.ColumnBridge.expression(hash)))
+    (col, bcast)
+  }
 }

@@ -146,10 +146,23 @@ object Compaction {
           .select("doc_id", "text"))
       val merged = standingIndexDir.map(DedupOps.loadDedupIndex(spark, _))
         .fold(add) { standing =>
+          // sig/bands anti-joined on doc_id, not blindly unioned:
+          // replaying a window against an already-refreshed index (a
+          // crash retry chaining v2 as `standing`) must be a no-op,
+          // not a per-doc duplicate signature/band accretion that
+          // fans out every later incremental sig join and grows the
+          // index unboundedly. fp is (fp)-only — distinct covers it.
+          // The anti-join probe is one window's worth of doc_ids vs
+          // a constant-width standing table: hash equi-join, cheap.
+          val freshSig = add.sig.join(
+            standing.sig.select("doc_id"), Seq("doc_id"), "left_anti")
+          val freshBands = add.bands.join(
+            standing.bands.select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
           DedupOps.DedupIndex(
             standing.fp.union(add.fp).distinct(),
-            standing.sig.union(add.sig),
-            standing.bands.union(add.bands))
+            standing.sig.union(freshSig),
+            standing.bands.union(freshBands))
         }
       DedupOps.saveDedupIndex(merged, outDir)
       add.sig.count()

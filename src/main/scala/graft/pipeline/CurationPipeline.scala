@@ -84,6 +84,16 @@ object CurationPipeline {
     * changed scalar knob. One tiny aggregate job per fingerprinted
     * frame, only on the `stageDir` path — never call this on a
     * corpus-sized frame.
+    *
+    * COMPAT NOTE: the digest format changed in r14 (was
+    * `count:sum`, now `count:modsum:bitxor` — the ANSI-overflow fix
+    * above). Fingerprints written by pre-r14 runs therefore never
+    * match again: the FIRST resume across the upgrade does one full
+    * recompute (by design — an unmatchable fingerprint means
+    * recompute, never trust), then re-fingerprints in the new
+    * format. Operators reading the stage ledger should read that
+    * one-time recompute as the format migration, not a skip-logic
+    * regression.
     */
   private def frameDigest(df: DataFrame): String = {
     val cols = df.columns.sorted

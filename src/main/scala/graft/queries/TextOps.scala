@@ -38,6 +38,18 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Exact integer floor division of `doc_id` by a positive constant.
+    * `floor(doc_id / n)` routes through doubles and mis-rounds above
+    * 2^53 — and the WARC intake's xxhash64 doc_ids use the full i64
+    * range, so the documented "every (source, salt) group bounded at
+    * saltDocs docs" shard bound would hold only approximately there.
+    * Spark `div` and DuckDB `//` both truncate toward zero with
+    * sign-of-dividend `%`, so this truncate-then-adjust form is
+    * all-integer and evaluates identically in both engines at any id.
+    */
+  private def saltFloorDiv(n: Long): Column =
+    expr(s"(doc_id div $n) + (CASE WHEN doc_id % $n < 0 THEN -1 ELSE 0 END)")
+
   /** Training-sequence packing (concat-and-cut) with HOT-SOURCE
     * SALTING, the q62 operator: per source, documents are
     * concatenated in doc_id order and cut into fixed `window`-token
@@ -64,7 +76,7 @@ object TextOps {
     */
   def packSequences(input: DataFrame, window: Int, saltDocs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val salted = input.withColumn("salt", floor(col("doc_id") / saltDocs))
+    val salted = input.withColumn("salt", saltFloorDiv(saltDocs))
     val wLocal = Window.partitionBy("source", "salt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOffset = Window.partitionBy("source").orderBy("salt")
@@ -117,7 +129,7 @@ object TextOps {
   def greedyPack(input: DataFrame, window: Int, saltDocs: Long): DataFrame = {
     val w = lit(window.toLong)
     val shards = input.filter(col("n_tok") > 0)
-      .withColumn("salt", floor(col("doc_id") / saltDocs))
+      .withColumn("salt", saltFloorDiv(saltDocs))
       .groupBy("source", "salt")
       .agg(
         sort_array(collect_list(struct(col("doc_id"),
@@ -1124,10 +1136,14 @@ object TextOps {
         |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok
         |  FROM documents),
         |r AS (
-        |  SELECT source, CAST(floor(doc_id / 256) AS BIGINT) AS salt, doc_id,
+        |  SELECT source,
+        |    CAST((doc_id // 256) + (CASE WHEN doc_id % 256 < 0 THEN -1 ELSE 0 END)
+        |         AS BIGINT) AS salt, doc_id,
         |    CAST(n_tok AS BIGINT) AS n_tok,
-        |    row_number() OVER (PARTITION BY source, CAST(floor(doc_id / 256) AS BIGINT)
-        |                       ORDER BY doc_id) AS rn
+        |    row_number() OVER (
+        |      PARTITION BY source,
+        |        (doc_id // 256) + (CASE WHEN doc_id % 256 < 0 THEN -1 ELSE 0 END)
+        |      ORDER BY doc_id) AS rn
         |  FROM t WHERE n_tok > 0),
         |steps AS (
         |  SELECT source, salt, rn, CAST(1 AS BIGINT) AS bin, n_tok AS fill

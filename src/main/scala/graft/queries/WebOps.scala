@@ -515,8 +515,18 @@ object WebOps {
           bloom.writeTo(bos)
           bos.toByteArray
         }
-        val might = call_function("bloom_might_contain",
-          lit(bloomBytes), xxhash64(col("url")))
+        // the filter ships via sparkContext.broadcast, NOT as a plan
+        // literal: a real crawl's seen-set filter is fpp-sized in
+        // |seen| (hundreds of MB at billions of URLs), and a
+        // lit(bytes) would ride the logical plan and every task
+        // binary; the broadcast handle is a block id, pulled once
+        // per executor. The handle is deliberately not destroyed
+        // here — the returned plan is lazy and both union branches
+        // reference it; it dies with the session/context (one
+        // filter-sized block per planner run, not per task).
+        val (might, _) = graft.functions.GraftFunctions
+          .bloomMightContainBroadcast(discovered.sparkSession, bloomBytes,
+            xxhash64(col("url")))
         // no false negatives: !might ⇒ certainly unseen, never joins
         d.filter(!might)
           .union(d.filter(might)

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** The one `private[sql]` bridge graft needs: Column ⇄ Catalyst
+  * Expression conversion, for expressions that cannot pass through
+  * the function registry's Expression-only calling convention (a
+  * broadcast handle is a constructor field, not a child — see
+  * [[graft.functions.BloomMightContainBroadcast]]). Spark 4 removed
+  * the public `Column(expr)` constructor in the Connect refactor;
+  * `classic.ExpressionUtils` is the supported classic-session path
+  * and this package object simply re-exports it where graft can see
+  * it. No other Spark internals are touched.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
