@@ -185,6 +185,35 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_WARC_BENCH").contains("0")) """{"skipped":true}"""
       else warcIngestBench(spark, sfDir)
 
+    // q94 verify-bill observability: the ≤ 2N·n Levenshtein-bill
+    // contract as MEASURED numbers — signature docs, candidate
+    // pairs, DPs actually run (after the exact length-gap prune) —
+    // at the shipped minBands=1 and at the evaluated minBands=2
+    // prefilter, so the bill constant and what the prefilter would
+    // buy are both in the artifact every round. Counts only, no
+    // timing. Disabled by SPARK_GRAFT_Q94_BILL=0.
+    val q94Bill =
+      if (sys.env.get("SPARK_GRAFT_Q94_BILL").contains("0")) """{"skipped":true}"""
+      else try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val cap = 64 // q94's shipped maxCandidatesPerDoc
+        val (nSig, c1, l1) = graft.queries.DedupOps
+          .editVerifyBill(spark, docs, minSim = 0.8, capChars = 4000,
+            maxCandidatesPerDoc = cap, minBands = 1)
+        val (_, c2, l2) = graft.queries.DedupOps
+          .editVerifyBill(spark, docs, minSim = 0.8, capChars = 4000,
+            maxCandidatesPerDoc = cap, minBands = 2)
+        s"""{"cap":$cap,"n_sig":$nSig,"bound_2Nn":${2L * cap * nSig},""" +
+          s""""minbands1":{"cand":$c1,"lev":$l1},""" +
+          s""""minbands2":{"cand":$c2,"lev":$l2}}"""
+      } catch {
+        case t: Throwable =>
+          val msg = (t.getClass.getName + ": " + String.valueOf(t.getMessage))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          s"""{"error":"$msg"}"""
+      }
+
     // BPE merge-count scaling: the datapoint behind the native
     // bpe_encode expression's production-vocabulary claim. Disabled
     // by SPARK_GRAFT_BPE_BENCH=0.
@@ -235,6 +264,7 @@ object Bench {
         s""""ingest":$ingest,""" +
         s""""warc_ingest":$warcIngest,""" +
         s""""bpe_scale":$bpeScale,""" +
+        s""""q94_bill":$q94Bill,""" +
         s""""scaleprobe":$probeFull,""" +
         s""""sf":"$sfDir"}"""
     // Persist the FULL record to a file: the driver's stdout capture
@@ -371,7 +401,15 @@ object Bench {
     // quadratic BY DESIGN as the testbed — the production path feeds
     // ANN candidates; q128 is q36+q61 over exact survivors, probed
     // through those rows)
-    "q130_crawl_frontier")
+    "q130_crawl_frontier",
+    // bitext mining through IVF candidates: ×factor embeddings on
+    // BOTH language sides → ×factor cell-equi-join candidate rows at
+    // fixed (|cells|, nprobe) — the probe measures the
+    // "candidate-bounded at any corpus size" claim with a standing
+    // row (it was argued from the plan shape only through r14; q129's
+    // exhaustive crossJoin twin is NOT probed — quadratic by design
+    // as the oracle testbed)
+    "q132_bitext_margin_ivf")
 
   /** The native-vs-chained BPE encode merge-count scaling record:
     * train once at SPARK_GRAFT_BPE_MERGES (default 1024) merges with

@@ -176,4 +176,74 @@ object Compaction {
     (compacted, CompactionSummary(docsIn, docsIn - afterExact,
       afterExact - docsOut, docsOut, appended.getOrElse(0L), charsRemoved))
   }
+
+  /** The SCHEDULING HOOK that closes the maintenance loop in-stream:
+    * a landing-sink decorator that runs [[compactLanding]]
+    * automatically when enough rows have landed, then rotates the
+    * standing index live via
+    * [[StreamingCurationPipeline.Running.refreshIndex]].
+    *
+    * Per micro-batch: `inner.write` lands the survivors as before,
+    * then the batch is appended to the current landing WINDOW
+    * (parquet under `workDir/window_v<N>/batch=<id>` — batchId-keyed
+    * overwrite, so a foreachBatch retry re-lands idempotently, the
+    * ledger convention). When the window's accumulated row count
+    * reaches `rowThreshold`, the trigger FIRES on the driver between
+    * batches: `compactLanding` over the whole window against the
+    * current index artifact, compacted survivors written to
+    * `workDir/compacted_v<N>`, the refreshed index to
+    * `workDir/index_v<N>`, and `onRefresh(newIndexDir)` invoked —
+    * wire it to `Running.refreshIndex` and the NEXT delta's re-sends
+    * of this window die in-stream (the verdict gap q128 documents).
+    * A fresh window directory then starts accumulating.
+    *
+    * Threshold choice is the operator's latency/throughput dial: the
+    * trigger work is one compaction of `rowThreshold`-ish rows (q30
+    * → q36 → q61 shapes — window-sized, never corpus-sized) plus a
+    * constant-width index union; everything stays off the per-batch
+    * hot path until the threshold crosses. Counting uses the
+    * batch's own row count (one count() of an already-computed
+    * frame). The initial index artifact must exist at
+    * `initialIndexDir` (the stream's own `standingIndexDir`).
+    */
+  final class CompactionTriggerSink(
+      inner: graft.pipeline.Sink, workDir: String, initialIndexDir: String,
+      rowThreshold: Long, onRefresh: String => Unit,
+      minJaccard: Double = 0.5) extends graft.pipeline.Sink {
+    require(rowThreshold >= 1, s"rowThreshold must be >= 1 (got $rowThreshold)")
+    val name = s"compaction-trigger(${inner.name})"
+    // driver-side state (foreachBatch runs sequentially): the live
+    // window version, its accumulated row count, the current index
+    private var version = 0
+    private var windowRows = 0L
+    private var indexDir = initialIndexDir
+    /** Dirs of compactions fired so far (newest last) — observable
+      * for tests/ops. */
+    def firedIndexDirs: Seq[String] = (1 to version).map(v => s"$workDir/index_v$v")
+    def currentIndexDir: String = indexDir
+
+    def write(df: DataFrame, batchId: Long): Unit = {
+      inner.write(df, batchId)
+      val spark = df.sparkSession
+      val win = s"$workDir/window_v${version + 1}"
+      df.select("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$win/batch=$batchId")
+      windowRows += df.count()
+      if (windowRows >= rowThreshold) {
+        version += 1
+        val landed = spark.read.parquet(s"$win/batch=*")
+        val newIndexDir = s"$workDir/index_v$version"
+        val (compacted, _) = Compaction.compactLanding(spark, landed,
+          minJaccard = minJaccard,
+          standingIndexDir = Some(indexDir),
+          refreshedIndexDir = Some(newIndexDir))
+        compacted.write.mode("overwrite")
+          .parquet(s"$workDir/compacted_v$version")
+        compacted.unpersist() // compactLanding's contract: caller releases
+        indexDir = newIndexDir
+        windowRows = 0L
+        onRefresh(newIndexDir)
+      }
+    }
+  }
 }

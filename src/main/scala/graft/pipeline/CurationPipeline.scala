@@ -295,7 +295,16 @@ object CurationPipeline {
       blockLexicon: Option[Seq[String]] = None,
       exactSubstrL: Option[Int] = None,
       exactSubstrDeconL: Option[Int] = None,
-      stageDir: Option[String] = None)
+      stageDir: Option[String] = None,
+      // opt-in corpus drift rejection for resumable runs: fold a
+      // content digest of the INPUT CORPUS into the stageDir
+      // fingerprint, so a resume against a mutated corpus fails loud
+      // instead of silently mixing old boundaries with new input.
+      // Costs one full corpus scan (count + per-row hash rollup) per
+      // run/restart — that is the price of the check, which is why
+      // it is a knob and not the default (the default keeps the
+      // corpus under the caller-pinned contract, documented below)
+      corpusDigest: Boolean = false)
       : Seq[StageCount] = {
     require(urlGatePatterns.isEmpty || urlCol.nonEmpty,
       "urlGatePatterns needs urlCol: the gate matches against the URL")
@@ -354,7 +363,10 @@ object CurationPipeline {
       // like a scalar-knob drift. semanticDecon's docEmbeddings is
       // corpus-sized — digesting it would cost a full scan per
       // restart — so it stays under the same caller-pinned contract
-      // as the corpus itself (documented above).
+      // as the corpus itself (documented above), UNLESS the caller
+      // opts into `corpusDigest`: then the corpus content digest is
+      // folded in too (one scan per restart — drift rejection bought
+      // at the price the default declines to pay).
       val fp = Seq(probeSource, minJaccard, minShared, nShards, seed,
         keepPplBuckets.map(_.toSeq.sorted), budgetFrac, editMinSim,
         semanticDecon.map { case (_, probes, minCos) =>
@@ -365,7 +377,8 @@ object CurationPipeline {
         keepBestOfCluster, domainCapN,
         domainMeanMinScore, authorityMinPrMicro, blockLexicon,
         exactSubstrL, exactSubstrDeconL,
-        authorityLinks.map(frameDigest)).mkString("|")
+        authorityLinks.map(frameDigest),
+        if (corpusDigest) Some(frameDigest(docs)) else None).mkString("|")
       val cfgPath = new org.apache.hadoop.fs.Path(root, "pipeline_config.txt")
       val fs = cfgPath.getFileSystem(hconf)
       if (fs.exists(cfgPath)) {

@@ -70,7 +70,13 @@ import org.apache.spark.storage.StorageLevel
   * quadratically — the q46 note); they belong to the periodic batch
   * compaction that also refreshes the standing index —
   * [[Compaction.compactLanding]], whose refreshed artifact the next
-  * run loads via `Config.standingIndexDir`.
+  * run loads via `Config.standingIndexDir`. That "periodic" is not
+  * left to an external scheduler: wrap the landing sink in
+  * [[Compaction.CompactionTriggerSink]] (row-threshold trigger) and
+  * wire its `onRefresh` to [[Running.refreshIndex]] — the compaction
+  * fires between micro-batches and the refreshed index swaps in
+  * live, so re-sends of the compacted window die in-stream without
+  * a restart (trigger e2e spec-pinned).
   *
   * Reference lineage: the foreachBatch + Sink-decorator shape is the
   * reference's consumer→sink pipeline (README.md:11-16,
@@ -130,21 +136,53 @@ object StreamingCurationPipeline {
   def start(docs: DataFrame, cfg: Config, landing: Sink,
       checkpointDir: Option[String] = None)
       : (StreamingQuery, () => Seq[StageCount]) = {
+    val r = startWithControl(docs, cfg, landing, checkpointDir)
+    (r.query, r.ledger)
+  }
+
+  /** [[start]]'s return plus the INDEX-ROTATION control: a live
+    * handle for swapping incr_dedup's standing index mid-stream.
+    */
+  final case class Running(query: StreamingQuery,
+      ledger: () => Seq[StageCount], refreshIndex: String => Unit)
+
+  /** [[start]] with the maintenance control surface exposed:
+    * `refreshIndex(dir)` loads a persisted index artifact
+    * ([[DedupOps.saveDedupIndex]] / `Compaction`'s refreshed dir),
+    * pins it, swaps it in as incr_dedup's standing index, and
+    * releases the old pins — WITHOUT a stream restart. The swap
+    * takes effect from the next micro-batch (foreachBatch runs
+    * driver-side and sequentially, so calling this from inside a
+    * sink — the [[Compaction.CompactionTriggerSink]] loop — or from
+    * any other thread is safe; an in-flight batch keeps the index it
+    * started with). This is how the periodic compaction closes the
+    * new-vs-new verdict gap online: after `compactLanding` refreshes
+    * the artifact, re-sends of the compacted window die in-stream.
+    */
+  def startWithControl(docs: DataFrame, cfg: Config, landing: Sink,
+      checkpointDir: Option[String] = None): Running = {
     val spark = docs.sparkSession
     // the standing corpus's dedup index is built and PERSISTED once
     // at stream setup — the q95 contract ("the standing corpus is
     // never re-read as text") applied to the composed pipeline: every
     // micro-batch joins against these constant-width cached frames
     // instead of re-hashing the corpus per batch. The pins live for
-    // the query's lifetime by design.
-    val standingIndex = {
-      val idx = cfg.standingIndexDir
-        .map(DedupOps.loadDedupIndex(spark, _))
-        .getOrElse(DedupOps.buildDedupIndex(spark, cfg.standingCorpus))
+    // the query's lifetime by design (or until refreshIndex rotates
+    // them).
+    def pinIndex(idx: DedupOps.DedupIndex): DedupOps.DedupIndex = {
       def pin(df: DataFrame): DataFrame = {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
       }
       DedupOps.DedupIndex(pin(idx.fp), pin(idx.sig), pin(idx.bands))
+    }
+    @volatile var standingIndex = pinIndex(cfg.standingIndexDir
+      .map(DedupOps.loadDedupIndex(spark, _))
+      .getOrElse(DedupOps.buildDedupIndex(spark, cfg.standingCorpus)))
+    def refreshIndex(dir: String): Unit = {
+      val next = pinIndex(DedupOps.loadDedupIndex(spark, dir))
+      val old = standingIndex
+      standingIndex = next
+      Seq(old.fp, old.sig, old.bands).foreach(_.unpersist())
     }
     // per-stage counts keyed by BATCH ID and overwritten, not summed
     // blindly: a failed/retried foreachBatch invocation (or a
@@ -372,7 +410,7 @@ object StreamingCurationPipeline {
     // already-removed listener is a no-op; a terminate event arriving
     // after this point sees qid set and unregisters normally).
     if (!query.isActive) gateListener.foreach(spark.streams.removeListener)
-    (query, () => ledger.synchronized {
+    Running(query, () => ledger.synchronized {
       val rows = ledger.toSeq.map { case (s, perBatch) =>
         StageCount(s, perBatch.valuesIterator.sum)
       }
@@ -381,6 +419,6 @@ object StreamingCurationPipeline {
       // position (first)
       val (gate, rest) = rows.partition(_.stage == "url_gate")
       gate ++ rest
-    })
+    }, refreshIndex)
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents`: MinHash signatures,
@@ -434,8 +434,9 @@ object DedupOps {
     */
   private[graft] def editNearDupPairs(s: SparkSession, docs: DataFrame,
       minSim: Double, capChars: Int = 4000,
-      maxCandidatesPerDoc: Option[Int] = None): DataFrame = {
-    val cand = editCandidates(s, docs, maxCandidatesPerDoc)
+      maxCandidatesPerDoc: Option[Int] = None,
+      minBands: Int = 1): DataFrame = {
+    val cand = editCandidates(s, docs, maxCandidatesPerDoc, minBands)
     val capped = docs.select(col("doc_id"),
       substring(col("text"), 1, capChars).as("ct"))
     cand
@@ -453,10 +454,7 @@ object DedupOps {
       // length band collisions (short boilerplate colliding with
       // long pages) this is the difference between a capped bill
       // and a capped-but-still-burning bill.
-      .filter(lit(1.0) -
-        abs(length(col("ta")) - length(col("tb"))).cast("double") /
-          greatest(length(col("ta")), length(col("tb")), lit(1)) >=
-        minSim - 1e-4)
+      .filter(lengthGapPass(minSim))
       .withColumn("edit_dist",
         levenshtein(col("ta"), col("tb")).cast("long"))
       .withColumn("edit_sim",
@@ -466,16 +464,43 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
   }
 
+  /** The exact length-gap prune shared by [[editNearDupPairs]] and
+    * the bill counter: columns `ta`/`tb` must be the capped texts.
+    */
+  private def lengthGapPass(minSim: Double): Column =
+    lit(1.0) -
+      abs(length(col("ta")) - length(col("tb"))).cast("double") /
+        greatest(length(col("ta")), length(col("tb")), lit(1)) >=
+      minSim - 1e-4
+
   /** [[editNearDupPairs]]'s candidate stage, exposed so the
     * verify-bill contract is countable: each returned pair costs
     * exactly one Levenshtein, so |editCandidates| IS the verify
     * bill. DedupScaleSpec pins that on an adversarial clique the
     * uncapped count grows quadratically while the capped count
     * follows the 2N·n linear bound.
+    *
+    * `minBands`: band-agreement PREFILTER applied before the cap
+    * ranking — keep only candidate pairs agreeing on >= minBands of
+    * the [[NumBands]] bands (>= 2 agreeing bands ⇒ estimated
+    * Jaccard well above the banding threshold, so surviving the
+    * verify is likelier). Default 1 is a no-op: the q94 contract is
+    * row-parity with the oracle's full banded candidate set, and a
+    * single-band candidate CAN be a true near-dup (at minhash8's
+    * resolution a 0.8-Jaccard pair agrees on any one band with
+    * p≈0.64 — two-band agreement is NOT implied). minBands=2 is the
+    * documented production knob for adversarial corpora where the
+    * bill constant matters more than tail recall; the bench's
+    * `q94_bill` record measures both settings' candidate/DP counts
+    * side by side every round.
     */
   private[graft] def editCandidates(s: SparkSession, docs: DataFrame,
-      maxCandidatesPerDoc: Option[Int]): DataFrame = {
-    val scored = bandedCandidates(minhashSig(s, docs))
+      maxCandidatesPerDoc: Option[Int], minBands: Int = 1): DataFrame = {
+    require(minBands >= 1, s"minBands must be >= 1 (got $minBands)")
+    val scored0 = bandedCandidates(minhashSig(s, docs))
+    val scored =
+      if (minBands == 1) scored0
+      else scored0.filter(col("n_bands") >= minBands)
     maxCandidatesPerDoc.fold(scored.select("doc_a", "doc_b")) { n =>
       require(n >= 1, s"maxCandidatesPerDoc must be >= 1 (got $n)")
       import org.apache.spark.sql.expressions.Window
@@ -489,6 +514,35 @@ object DedupOps {
         .filter(col("ra") <= n || col("rb") <= n)
         .select("doc_a", "doc_b")
     }
+  }
+
+  /** The q94 VERIFY BILL, measured: (signature docs, candidate
+    * pairs after cap/prefilter, Levenshtein DPs actually run — i.e.
+    * candidates surviving the exact length-gap prune). The 2N·n
+    * bound the scaladoc promises is `2 * maxCandidatesPerDoc *
+    * nSig`; the bench emits these numbers per round so the bound is
+    * a measured artifact, not an argued one. Counting runs the
+    * candidate stage (the dominant cost) once — cheap relative to
+    * the verify itself since no DP executes.
+    */
+  private[graft] def editVerifyBill(s: SparkSession, docs: DataFrame,
+      minSim: Double, capChars: Int, maxCandidatesPerDoc: Int,
+      minBands: Int = 1): (Long, Long, Long) = {
+    val cand = editCandidates(s, docs, Some(maxCandidatesPerDoc), minBands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+    val capped = docs.select(col("doc_id"),
+      substring(col("text"), 1, capChars).as("ct"))
+    val nLev = cand
+      .join(capped.select(col("doc_id").as("doc_a"), col("ct").as("ta")),
+        Seq("doc_a"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("ct").as("tb")),
+        Seq("doc_b"))
+      .filter(lengthGapPass(minSim))
+      .count()
+    cand.unpersist()
+    val nSig = minhashSig(s, docs).count()
+    (nSig, nCand, nLev)
   }
 
   /** Edge-count budget for the single-pass connected-components path:

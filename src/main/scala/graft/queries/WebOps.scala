@@ -434,30 +434,151 @@ object WebOps {
     * planning (q130): every absolute http(s) `href` target, in
     * attribute order. One per-row `regexp_extract_all` + array
     * filter inside the scan's codegen — zero shuffle, cost ∝ page
-    * bytes (the q125 argument). Scope is the engine-portable subset:
-    * double- or single-quoted href attributes with absolute http(s)
-    * targets; relative/fragment/protocol-relative links are a
-    * base-URL resolution problem deliberately out of scope (the
-    * reference curation pipelines mine absolute links for the
-    * cross-host graph — same-host relative links add no authority
-    * signal and recrawl discovery gets them from sitemaps).
+    * bytes (the q125 argument). Scope: double- or single-quoted href
+    * attributes with absolute http(s) targets — the cross-host
+    * authority-graph subset. Relative/fragment/protocol-relative
+    * links resolve through [[htmlLinksResolved]] (q133), which is
+    * what frontier DISCOVERY consumes: most real internal links are
+    * relative, and a frontier fed absolute-only hrefs systematically
+    * under-discovers.
     */
-  def htmlLinks(html: Column): Column = {
-    // quote styles extracted SEPARATELY with matching-pair patterns:
-    // a single mixed class like ["']([^"']+)["'] lets an opening
-    // double quote close on an apostrophe INSIDE the URL
-    // (href="https://a.com/O'Brien" would emit the truncated
-    // https://a.com/O). RE2 has no backreferences, so the oracle
-    // cannot express (["'])...\1 — two anchored extractions,
-    // double-quoted links first, is the engine-portable form (output
-    // order: all double-quoted targets in attribute order, then all
-    // single-quoted ones).
+  def htmlLinks(html: Column): Column =
+    filter(htmlHrefs(html), x => x.rlike("^https?://"))
+
+  /** Every raw `href` attribute value of an HTML column, in attribute
+    * order — the shared extraction under [[htmlLinks]] (absolute-only
+    * filter) and [[htmlLinksResolved]] (RFC 3986 resolution against
+    * the page URL).
+    *
+    * Quote styles extracted SEPARATELY with matching-pair patterns:
+    * a single mixed class like ["']([^"']+)["'] lets an opening
+    * double quote close on an apostrophe INSIDE the URL
+    * (href="https://a.com/O'Brien" would emit the truncated
+    * https://a.com/O). RE2 has no backreferences, so the oracle
+    * cannot express (["'])...\1 — two anchored extractions,
+    * double-quoted links first, is the engine-portable form (output
+    * order: all double-quoted targets in attribute order, then all
+    * single-quoted ones).
+    */
+  def htmlHrefs(html: Column): Column = {
     val dq = regexp_extract_all(html,
       lit("href\\s*=\\s*\"([^\"]+)\""), lit(1))
     val sq = regexp_extract_all(html,
       lit("href\\s*=\\s*'([^']+)'"), lit(1))
-    filter(concat(dq, sq), x => x.rlike("^https?://"))
+    concat(dq, sq)
   }
+
+  /** RFC 3986 §5.2.4 `remove_dot_segments` over an ABSOLUTE path
+    * column (must start with `/` — the merge in [[resolveUrl]]
+    * guarantees it): `/a/b/../c` → `/a/c`, `/a/./b` → `/a/b`,
+    * leading `..` at root dropped, trailing `.`/`..`/`/` keeps the
+    * trailing slash (`/a/b/..` → `/a/`), interior empty segments
+    * preserved (poppable like any segment).
+    *
+    * The RFC algorithm is a sequential stack walk; per-row that
+    * would be a UDF. Instead: a segment survives iff NO LATER prefix
+    * sum (counting normal/empty segments +1, `..` −1, `.` 0) dips
+    * below its own — exactly the stack-pop condition — so the whole
+    * removal is `transform`/`filter`/`aggregate` higher-order
+    * expressions inside codegen, O(n²) in the SEGMENT count of one
+    * path (a dozen-ish), zero shuffle, and the DuckDB oracle can
+    * re-derive it with the same 1-based `list_*` lambdas.
+    */
+  private[graft] def removeDotSegments(p: Column): Column = {
+    val raw = split(p, "/") // leading "" from the absolute "/"
+    val afterLead = slice(raw, lit(2), size(raw))
+    val endsSlash = p.endsWith("/")
+    val lastRaw = element_at(raw, -1)
+    val trailing = endsSlash || lastRaw === "." || lastRaw === ".."
+    // a trailing "/" splits into a final empty segment — drop it
+    // (the `trailing` flag re-adds the slash); interior empties stay
+    val segs = when(endsSlash,
+      filter(afterLead, (_, i) => i < size(afterLead) - 1))
+      .otherwise(afterLead)
+    val vals = transform(segs,
+      s => when(s === "..", -1).when(s === ".", 0).otherwise(1))
+    val sums = transform(vals,
+      (_, i) => aggregate(slice(vals, lit(1), i + 1), lit(0), (a, x) => a + x))
+    val kept = filter(segs, (s, i) =>
+      s =!= "." && s =!= ".." &&
+        aggregate(slice(sums, i + 2, size(sums)), lit(Int.MaxValue),
+          (a, x) => least(a, x)) >= element_at(sums, i + 1))
+    when(size(kept) === 0, lit("/"))
+      .otherwise(concat(lit("/"), array_join(kept, "/"),
+        when(trailing, lit("/")).otherwise(lit(""))))
+  }
+
+  /** RFC 3986 §5 reference resolution: resolve an `href` reference
+    * against the page's base URL, as per-row regexp/array
+    * expressions — zero shuffle, no UDF. Handles every reference
+    * class a crawl sees:
+    *
+    *  - absolute (`scheme:...`) → returned verbatim (dot segments in
+    *    a fully-specified URI are the author's path, same
+    *    preserve-the-path doctrine as [[canonicalizeUrl]]);
+    *  - protocol-relative (`//host/p`) → base scheme adopted, path
+    *    dot-normalized;
+    *  - fragment-only (`#x`) → the base sans fragment (same page);
+    *  - query-only (`?x=1`, or an empty ref) → base path with the
+    *    reference's query;
+    *  - absolute-path (`/p`) → base scheme://authority + normalized
+    *    path;
+    *  - relative-path (`p`, `./p`, `../p`) → merged against the base
+    *    DIRECTORY (base path up to its last `/`; `/` if the base
+    *    path is empty), then dot-normalized (§5.2.3 merge + §5.2.4).
+    *
+    * The reference's query survives resolution; its fragment is
+    * dropped (never sent to the server — [[canonicalizeUrl]] drops
+    * base fragments for the same reason). A base with no
+    * `scheme://` is unresolvable → NULL (callers filter). Scheme
+    * case is preserved; canonicalization is the NEXT stage's job.
+    */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val refScheme = regexp_extract(ref, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val bScheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val bAuth = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val bPath = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val root = concat(bScheme, lit("://"), bAuth)
+    val bDirRaw = regexp_replace(bPath, "[^/]*$", "")
+    val bDir = when(bDirRaw === "", lit("/")).otherwise(bDirRaw)
+    val hPath = regexp_extract(ref, "^([^?#]*)", 1)
+    // the first '?' BEFORE any '#' — the canonicalizeUrl rule
+    val hQuery = regexp_extract(ref, "^[^#?]*\\?([^#]*)", 1)
+    val qPart = when(hQuery =!= "", concat(lit("?"), hQuery)).otherwise(lit(""))
+    val ppAuth = regexp_extract(ref, "^//([^/?#]*)", 1)
+    val ppPath = regexp_extract(ref, "^//[^/?#]*([^?#]*)", 1)
+    when(refScheme =!= "", ref)
+      .when(bScheme === "", lit(null).cast("string"))
+      .when(ref.startsWith("//"),
+        concat(bScheme, lit("://"), ppAuth,
+          when(ppPath === "", lit("")).otherwise(removeDotSegments(ppPath)),
+          qPart))
+      .when(ref.startsWith("#"), regexp_extract(base, "^([^#]*)", 1))
+      .when(hPath === "", concat(root, bPath, qPart))
+      .when(hPath.startsWith("/"),
+        concat(root, removeDotSegments(hPath), qPart))
+      .otherwise(concat(root,
+        removeDotSegments(concat(bDir, hPath)), qPart))
+  }
+
+  /** [[htmlLinks]] with RFC 3986 resolution: EVERY href of the page —
+    * relative, rooted, protocol-relative, absolute — resolved against
+    * the page URL and filtered to fetchable http(s) targets. This is
+    * the outlink surface a real crawl needs ([[htmlLinks]]'s
+    * absolute-only subset systematically misses same-site links,
+    * which are the majority of real internal navigation); the WARC
+    * link sidecar ([[graft.sources.CorpusSources.warcHtmlOutlinks]])
+    * feeds each record's target URI as the base. Still one
+    * per-row expression chain inside the scan — zero shuffle.
+    */
+  def htmlLinksResolved(html: Column, base: Column): Column =
+    // (?i): a base with an uppercase scheme spelling resolves its
+    // relative links under that spelling (resolution preserves case;
+    // canonicalization later lowercases) — the fetchability filter
+    // must not care
+    filter(transform(htmlHrefs(html), h => resolveUrl(base, h)),
+      x => x.rlike("^(?i:https?)://"))
 
   /** q130's operator: CRAWL-FRONTIER planning — the step that closes
     * the crawl loop (intake → extract → curate → compact → decide
@@ -630,6 +751,127 @@ object WebOps {
         lit(htmlPageSuffix))
       docs(s, dir)
         .select(col("doc_id"), explode(htmlLinks(page)).as("link"))
+        .orderBy("doc_id", "link")
+    },
+
+    // ---- q133: RFC 3986 reference resolution -----------------------
+    // Every href class a crawl sees, planted around each doc's text:
+    // relative with ../ and ./, rooted, protocol-relative (with dot
+    // segments), query-only, fragment-only, a non-http scheme
+    // (dropped), and an absolute link (verbatim) — resolved against
+    // the q103 synthetic page URL, whose gauntlet (uppercase scheme,
+    // :443 port, trailing-slash dirs, query + fragment) exercises
+    // every parse in the resolver. The oracle re-derives resolution
+    // INDEPENDENTLY in SQL: same §5.2.3 merge, and §5.2.4
+    // remove_dot_segments via the suffix-min rule (a segment
+    // survives iff no later prefix sum dips below its own — the
+    // stack-pop condition) over DuckDB's 1-based list lambdas.
+    QueryDef(
+      "q133_url_resolve",
+      s"""WITH page AS (
+         |  SELECT doc_id, $synthUrlSql AS base,
+         |    '$htmlPagePrefix' || lang || '</h1><p>' ||
+         |    replace(text, chr(10), '</p><p>') || '</p>' ||
+         |    '<a href="../rel/r' || CAST(doc_id % 9 AS VARCHAR) || '">up</a>' ||
+         |    '<a href="./s' || CAST(doc_id % 5 AS VARCHAR) || '/./x.html">sib</a>' ||
+         |    '<a href="deep/a/../b' || CAST(doc_id % 4 AS VARCHAR) || '">deep</a>' ||
+         |    '<a href="?page=' || CAST(doc_id % 4 AS VARCHAR) || '">q</a>' ||
+         |    '<a href="#top">top</a>' ||
+         |    '<a href="mailto:team@example.com">mail</a>' ||
+         |    '<a href=''//cdn' || CAST(doc_id % 3 AS VARCHAR)
+         |      || '.example.net/lib/../pkg.js''>cdn</a>' ||
+         |    '<a href=''https://abs.example.org/x' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '/../y''>abs</a>' ||
+         |    '$htmlPageSuffix' AS html
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, base, unnest(list_concat(
+         |    regexp_extract_all(html, 'href\\s*=\\s*"([^"]+)"', 1),
+         |    regexp_extract_all(html, 'href\\s*=\\s*''([^'']+)''', 1))) AS ref
+         |  FROM page),
+         |parsed AS (
+         |  SELECT doc_id, base, ref,
+         |    regexp_extract(ref, '^([A-Za-z][A-Za-z0-9+.-]*):', 1) AS rscheme,
+         |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS bscheme,
+         |    regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS bauth,
+         |    regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath,
+         |    regexp_extract(ref, '^([^?#]*)', 1) AS hpath,
+         |    CASE WHEN regexp_extract(ref, '^[^#?]*\\?([^#]*)', 1) <> ''
+         |         THEN '?' || regexp_extract(ref, '^[^#?]*\\?([^#]*)', 1)
+         |         ELSE '' END AS qpart
+         |  FROM l),
+         |m AS (
+         |  SELECT *,
+         |    CASE WHEN rscheme <> '' THEN NULL
+         |         WHEN ref LIKE '//%'
+         |           THEN nullif(regexp_extract(ref, '^//[^/?#]*([^?#]*)', 1), '')
+         |         WHEN ref LIKE '#%' THEN NULL
+         |         WHEN hpath = '' THEN NULL
+         |         WHEN hpath LIKE '/%' THEN hpath
+         |         ELSE (CASE WHEN regexp_replace(bpath, '[^/]*$$', '') = ''
+         |                    THEN '/'
+         |                    ELSE regexp_replace(bpath, '[^/]*$$', '') END) || hpath
+         |         END AS mpath
+         |  FROM parsed),
+         |d1 AS (SELECT *, string_split(mpath, '/') AS rawsegs FROM m),
+         |d2 AS (
+         |  SELECT *,
+         |    CASE WHEN mpath LIKE '%/'
+         |         THEN list_slice(rawsegs, 2, len(rawsegs) - 1)
+         |         ELSE list_slice(rawsegs, 2, len(rawsegs)) END AS segs,
+         |    (mpath LIKE '%/' OR rawsegs[len(rawsegs)] = '.'
+         |      OR rawsegs[len(rawsegs)] = '..') AS trail_slash
+         |  FROM d1),
+         |d3 AS (SELECT *, list_transform(segs, s ->
+         |    CASE WHEN s = '..' THEN -1 WHEN s = '.' THEN 0 ELSE 1 END) AS vals
+         |  FROM d2),
+         |d4 AS (SELECT *, list_transform(vals, (x, i) ->
+         |    coalesce(list_aggregate(list_slice(vals, 1, i), 'sum'), 0)) AS sums
+         |  FROM d3),
+         |d5 AS (SELECT *, list_filter(segs, (s, i) ->
+         |    s <> '.' AND s <> '..' AND
+         |    coalesce(list_aggregate(list_slice(sums, i + 1, len(sums)), 'min'),
+         |             2147483647) >= sums[i]) AS kept
+         |  FROM d4),
+         |d6 AS (
+         |  SELECT *,
+         |    CASE WHEN mpath IS NULL THEN NULL
+         |         WHEN len(kept) = 0 THEN '/'
+         |         ELSE '/' || array_to_string(kept, '/') ||
+         |              (CASE WHEN trail_slash THEN '/' ELSE '' END) END AS rpath
+         |  FROM d5),
+         |resolved AS (
+         |  SELECT doc_id,
+         |    CASE WHEN rscheme <> '' THEN ref
+         |         WHEN bscheme = '' THEN NULL
+         |         WHEN ref LIKE '//%' THEN bscheme || '://' ||
+         |           regexp_extract(ref, '^//([^/?#]*)', 1) ||
+         |           coalesce(rpath, '') || qpart
+         |         WHEN ref LIKE '#%' THEN regexp_extract(base, '^([^#]*)', 1)
+         |         WHEN hpath = '' THEN bscheme || '://' || bauth || bpath || qpart
+         |         ELSE bscheme || '://' || bauth || rpath || qpart END AS link
+         |  FROM d6)
+         |SELECT doc_id, link FROM resolved
+         |WHERE regexp_matches(link, '^(?i:https?)://')
+         |ORDER BY doc_id, link""".stripMargin) { (s, dir) =>
+      val d = col("doc_id")
+      val page = concat(lit(htmlPagePrefix), col("lang"), lit("</h1><p>"),
+        regexp_replace(col("text"), "\n", "</p><p>"), lit("</p>"),
+        lit("<a href=\"../rel/r"), (d % 9).cast("string"), lit("\">up</a>"),
+        lit("<a href=\"./s"), (d % 5).cast("string"), lit("/./x.html\">sib</a>"),
+        lit("<a href=\"deep/a/../b"), (d % 4).cast("string"), lit("\">deep</a>"),
+        lit("<a href=\"?page="), (d % 4).cast("string"), lit("\">q</a>"),
+        lit("<a href=\"#top\">top</a>"),
+        lit("<a href=\"mailto:team@example.com\">mail</a>"),
+        lit("<a href='//cdn"), (d % 3).cast("string"),
+        lit(".example.net/lib/../pkg.js'>cdn</a>"),
+        lit("<a href='https://abs.example.org/x"), (d % 7).cast("string"),
+        lit("/../y'>abs</a>"),
+        lit(htmlPageSuffix))
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(htmlLinksResolved(page,
+            synthUrl(col("doc_id"), col("source")))).as("link"))
         .orderBy("doc_id", "link")
     },
 

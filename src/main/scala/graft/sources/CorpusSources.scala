@@ -338,7 +338,13 @@ object CorpusSources {
     withHttp
       .filter(isHttp && col("uri") =!= "" && col("ctype").contains("html"))
       .select(graft.queries.WebOps.canonicalHost(col("uri")).as("src_h"),
-        explode(graft.queries.WebOps.htmlLinks(col("payload"))).as("url"))
+        // RFC 3986 resolution against the record's target URI: the
+        // sidecar must surface RELATIVE links too (same-site nav is
+        // the majority of real internal links) or the frontier it
+        // feeds systematically under-discovers — the WAT convention
+        // likewise records resolved absolute targets
+        explode(graft.queries.WebOps.htmlLinksResolved(
+          col("payload"), col("uri"))).as("url"))
       .select(col("src_h"),
         graft.queries.WebOps.canonicalHost(col("url")).as("dst_h"),
         col("url"))

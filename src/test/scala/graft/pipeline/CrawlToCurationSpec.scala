@@ -195,17 +195,24 @@ class CrawlToCurationSpec extends AnyFunSuite {
 
     // the LOOP CLOSES: the same archives' WAT-style link sidecar +
     // the crawl log feed the frontier planner — the already-crawled
-    // /story target is suppressed by the seen set, the new
-    // cross-host hub is what the crawler fetches next
+    // /story target is suppressed by the seen set, and the plan
+    // surfaces BOTH the new cross-host hub and the RELATIVE nav
+    // targets ("/", "/x") the sidecar resolved against each page's
+    // URI: same-site discovery is exactly what the absolute-only
+    // extractor used to systematically miss
     import spark.implicits._
     val discovered = CorpusSources.warcHtmlOutlinks(spark, dir.toString)
     val seen = urlOf.values.toSeq.distinct.toDF("url")
     val plan = graft.queries.WebOps.crawlFrontier(discovered, seen,
         perHostK = 3)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    assert(plan.toSet ==
-      Set(("planet.example.net", "https://planet.example.net/hub",
-        1L)), // every referrer is coast.example.com → ONE distinct host
+    assert(plan.toSet == Set(
+      // every referrer is coast.example.com → ONE distinct host each
+      ("planet.example.net", "https://planet.example.net/hub", 1L),
+      // "/" resolves to the host root; the frontier's canonical key
+      // then strips the trailing slash
+      ("coast.example.com", "https://coast.example.com", 1L),
+      ("coast.example.com", "https://coast.example.com/x", 1L)),
       plan.toSeq.toString)
   }
 }

@@ -663,6 +663,42 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("DIFFERENT pipeline config"), ex.getMessage)
   }
 
+  test("corpusDigest knob: a resume against a MUTATED corpus fails loud with it on, passes (documented) with it off") {
+    import spark.implicits._
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"source" =!= "src0")
+      .select("doc_id", "text", "lang", "source")
+    // mutated: one doc's text changes — the drift the default
+    // contract pins on the caller and the knob detects
+    val mutated = base.withColumn("text",
+      when($"doc_id" === base.select(min("doc_id")).head().getLong(0),
+        concat($"text", lit(" silently drifted"))).otherwise($"text"))
+    def out() =
+      java.nio.file.Files.createTempDirectory("graft_cd_out").toString
+
+    // knob ON: first run writes the corpus-digesting fingerprint;
+    // the mutated resume is refused loudly
+    val sdirOn = java.nio.file.Files.createTempDirectory("graft_cd_on").toString
+    CurationPipeline.run(spark, base, probeSource = "src0", outDir = out(),
+      stageDir = Some(sdirOn), corpusDigest = true)
+    val ex = intercept[IllegalArgumentException] {
+      CurationPipeline.run(spark, mutated, probeSource = "src0",
+        outDir = out(), stageDir = Some(sdirOn), corpusDigest = true)
+    }
+    assert(ex.getMessage.contains("DIFFERENT pipeline config"), ex.getMessage)
+
+    // knob OFF (default): the same mutated resume is ACCEPTED — the
+    // corpus stays under the caller-pinned contract, by design (the
+    // boundaries loaded are the OLD corpus's; this is exactly the
+    // silent mix the knob exists to reject)
+    val sdirOff = java.nio.file.Files.createTempDirectory("graft_cd_off").toString
+    val l1 = CurationPipeline.run(spark, base, probeSource = "src0",
+      outDir = out(), stageDir = Some(sdirOff))
+    val l2 = CurationPipeline.run(spark, mutated, probeSource = "src0",
+      outDir = out(), stageDir = Some(sdirOff))
+    assert(l2 == l1, "full-prefix resume must load the old boundaries")
+  }
+
   test("stageDir fingerprint covers DataFrame inputs: a drifted link graph fails loud") {
     import spark.implicits._
     val real = Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -279,6 +279,78 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
       s"loaded-index run diverged: $gotLedger vs $refLedger")
   }
 
+  test("COMPACTION TRIGGER fires mid-stream: the refreshed index kills the next delta's re-send; control run lands it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus E/F, index artifact v0 persisted once — the
+    // stream loads it (standingIndexDir), the trigger rotates it
+    val standing = Seq((1001L, pageE), (1002L, pageF))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trig").toString
+    val v0 = s"$tmp/index_v0"
+    DedupOps.saveDedupIndex(DedupOps.buildDedupIndex(spark, standing), v0)
+    val probeShingles = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    val cfg = StreamingCurationPipeline.Config(
+      standingCorpus = standing, probeShingles = probeShingles,
+      classifierMinScore = TextOps.ClassifierKeepScore,
+      standingIndexDir = Some(v0))
+    // batch 1: two clean pages (= rowThreshold → the trigger FIRES
+    // after the batch); batch 2: a verbatim RE-SEND of page A under
+    // a new doc_id + url (so url_dedup passes it — exactly the
+    // new-vs-new gap q128 documents) and one fresh clean page
+    val batch1 = Seq(
+      (1L, pageA, "https://site.example.com/a", ts(0)),
+      (2L, pageB, "https://site.example.com/b", ts(1)))
+    val batch2 = Seq(
+      (3L, pageA, "https://mirror.example.org/re-send", ts(5)),
+      (4L, pageC, "https://site.example.com/c", ts(6)))
+
+    def run(withTrigger: Boolean): (Seq[Long], Seq[String]) = {
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val collect = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      // the trigger needs the refresh handle that start() returns —
+      // wire through a late-bound holder (data only flows after
+      // addData, well past the assignment below)
+      @volatile var refresh: String => Unit = _ => ()
+      val workDir = java.nio.file.Files
+        .createTempDirectory("graft_trig_work").toString
+      val trigger = new Compaction.CompactionTriggerSink(
+        collect, workDir, v0, rowThreshold = 2L, onRefresh = d => refresh(d))
+      val sink: Sink = if (withTrigger) trigger else collect
+      val stream = MemoryStream[(Long, String, String, Timestamp)]
+      val running = StreamingCurationPipeline.startWithControl(
+        stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, sink)
+      refresh = running.refreshIndex
+      stream.addData(batch1)
+      running.query.processAllAvailable()
+      stream.addData(batch2)
+      running.query.processAllAvailable()
+      running.query.stop()
+      (landed.toSeq.sorted, trigger.firedIndexDirs)
+    }
+
+    val (landedT, fired) = run(withTrigger = true)
+    // the trigger fired exactly once (batch 1 reached the threshold;
+    // batch 2's single survivor stayed under it) and the re-send
+    // died at incr_dedup THROUGH the refreshed index — doc 3's text
+    // is in no standing corpus, only in the compacted window
+    assert(fired.size == 1, fired)
+    assert(landedT == Seq(1L, 2L, 4L), landedT)
+    // the refreshed artifact really holds the window's signatures
+    val v1 = DedupOps.loadDedupIndex(spark, fired.head)
+    assert(v1.sig.filter(col("doc_id").isin(1L, 2L)).count() == 2L)
+
+    // CONTROL: same stream, no trigger → the re-send LANDS (v0 knows
+    // nothing about page A) — the verdict gap the trigger closes
+    val (landedC, _) = run(withTrigger = false)
+    assert(landedC == Seq(1L, 2L, 3L, 4L), landedC)
+  }
+
   test("RESTART: committed batches never re-land; url-dedup state survives the checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -280,6 +280,40 @@ class DedupScaleSpec extends AnyFunSuite {
       "capped growth must stay ~linear")
   }
 
+  test("editCandidates minBands prefilter: 1 is the identity, 2 keeps only multi-band agreement") {
+    import spark.implicits._
+    // identical docs agree on all 4 bands; docs sharing only part of
+    // their token sets overlap on some minhash components → pairs
+    // with fewer agreeing bands. The EXPECTED split per minBands is
+    // re-derived here from the band frame itself, so the test holds
+    // whatever the hash values are.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base + " extra alpha beta gamma delta"),
+      (4L, base + " other words entirely unrelated here now"),
+      (5L, (21 to 60).map(i => s"tok$i").mkString(" ")),
+      (6L, (31 to 70).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val bands = DedupOps.bandFrame(DedupOps.minhashSig(spark, docs))
+    val agree = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id", $"b.doc_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // vacuity guard: the fixture must exercise BOTH sides of the cut
+    assert(agree.values.exists(_ == 1L) && agree.values.exists(_ >= 2L),
+      s"fixture has no single-band or no multi-band pair: $agree")
+    val n1 = DedupOps.editCandidates(spark, docs, None, minBands = 1).count()
+    val n2 = DedupOps.editCandidates(spark, docs, None, minBands = 2).count()
+    assert(n1 == agree.size.toLong, s"minBands=1 must be the identity ($n1)")
+    assert(n2 == agree.count(_._2 >= 2L).toLong,
+      s"minBands=2 must keep exactly the multi-band pairs ($n2)")
+    // the prefilter composes with the cap (prefilter runs FIRST)
+    val n2c = DedupOps.editCandidates(spark, docs, Some(1), minBands = 2).count()
+    assert(n2c <= n2, "cap after prefilter can only shrink the set")
+  }
+
   test("connectedComponents resolves chains and keeps separate clusters apart") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11. Tiny graph →

@@ -637,6 +637,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"q131 grew a non-presentation shuffle:\n$p")
   }
 
+  test("q133 URL resolution is per-row HOF work: no join, presentation sort only") {
+    val p = plan("q133_url_resolve")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q133 must be per-row:\n$p")
+    // the whole §5.2.3 merge + §5.2.4 dot-removal runs inside the
+    // scan's projection; the only exchange is the presentation sort
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"q133 grew a non-presentation shuffle:\n$p")
+  }
+
   test("q132 IVF bitext mining: cell equi-join candidates, heap reductions, no cartesian") {
     val p = plan("q132_bitext_margin_ivf")
     assert(!p.contains("Window"), s"q132 must not window:\n$p")

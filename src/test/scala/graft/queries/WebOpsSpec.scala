@@ -36,6 +36,75 @@ class WebOpsSpec extends AnyFunSuite {
       .head().getString(0)
   }
 
+  private def resolve(base: String, ref: String): String = {
+    import spark.implicits._
+    Seq((base, ref)).toDF("b", "r")
+      .select(WebOps.resolveUrl(col("b"), col("r")).as("u"))
+      .head().getString(0)
+  }
+
+  test("resolveUrl: RFC 3986 §5.4 normal-example battery") {
+    // the RFC's own test vectors (base http://a/b/c/d;p?q), the
+    // subset within the resolver's documented scope (query kept,
+    // ref fragments dropped, empty ref → base sans query)
+    val b = "http://a/b/c/d;p?q"
+    assert(resolve(b, "g") === "http://a/b/c/g")
+    assert(resolve(b, "./g") === "http://a/b/c/g")
+    assert(resolve(b, "g/") === "http://a/b/c/g/")
+    assert(resolve(b, "/g") === "http://a/g")
+    assert(resolve(b, "//g") === "http://g")
+    assert(resolve(b, "?y") === "http://a/b/c/d;p?y")
+    assert(resolve(b, "g?y") === "http://a/b/c/g?y")
+    assert(resolve(b, ".") === "http://a/b/c/")
+    assert(resolve(b, "./") === "http://a/b/c/")
+    assert(resolve(b, "..") === "http://a/b/")
+    assert(resolve(b, "../") === "http://a/b/")
+    assert(resolve(b, "../g") === "http://a/b/g")
+    assert(resolve(b, "../..") === "http://a/")
+    assert(resolve(b, "../../") === "http://a/")
+    assert(resolve(b, "../../g") === "http://a/g")
+  }
+
+  test("resolveUrl: RFC 3986 §5.4.2 abnormal examples — excess dots clamp at root") {
+    val b = "http://a/b/c/d;p?q"
+    assert(resolve(b, "../../../g") === "http://a/g")
+    assert(resolve(b, "../../../../g") === "http://a/g")
+    assert(resolve(b, "/./g") === "http://a/g")
+    assert(resolve(b, "/../g") === "http://a/g")
+    assert(resolve(b, "g.") === "http://a/b/c/g.")
+    assert(resolve(b, ".g") === "http://a/b/c/.g")
+    assert(resolve(b, "g..") === "http://a/b/c/g..")
+    assert(resolve(b, "..g") === "http://a/b/c/..g")
+    assert(resolve(b, "./../g") === "http://a/b/g")
+    assert(resolve(b, "./g/.") === "http://a/b/c/g/")
+    assert(resolve(b, "g/./h") === "http://a/b/c/g/h")
+    assert(resolve(b, "g/../h") === "http://a/b/c/h")
+  }
+
+  test("resolveUrl: fragments, schemes, protocol-relative, unresolvable bases") {
+    val b = "https://h.example.com:8443/dir/page.html?k=1#frag"
+    // fragment-only → same page, base fragment dropped
+    assert(resolve(b, "#top") === "https://h.example.com:8443/dir/page.html?k=1")
+    // ref fragment dropped, query kept
+    assert(resolve(b, "x.html?a=2#sec") ===
+      "https://h.example.com:8443/dir/x.html?a=2")
+    // absolute ref verbatim (path preserved, the canonicalizeUrl doctrine)
+    assert(resolve(b, "ftp://x/y/../z") === "ftp://x/y/../z")
+    // protocol-relative adopts the base scheme and dot-normalizes
+    assert(resolve(b, "//cdn.example.net/lib/../pkg.js") ===
+      "https://cdn.example.net/pkg.js")
+    assert(resolve(b, "//cdn.example.net") === "https://cdn.example.net")
+    // empty base path: directory is "/"
+    assert(resolve("https://h", "a/b") === "https://h/a/b")
+    // base without scheme:// is unresolvable → null
+    import spark.implicits._
+    val r = Seq(("not-a-url", "x")).toDF("b", "r")
+      .select(WebOps.resolveUrl(col("b"), col("r")).as("u")).head()
+    assert(r.isNullAt(0))
+    // interior empty segments are real segments (poppable)
+    assert(resolve("http://a/x//y/", "../g") === "http://a/x//g")
+  }
+
   test("canonicalizeUrl: scheme and host lowercase, path case kept") {
     assert(canon("HTTPS://En.WIKIPEDIA.org/Wiki/Spark") ===
       "https://en.wikipedia.org/Wiki/Spark")

@@ -519,7 +519,7 @@ class CorpusSourcesSpec extends AnyFunSuite {
     assert(b.exists(_.contains("urn:uuid:nouri")), b.toSeq)
   }
 
-  test("warcHtmlOutlinks: the WAT sidecar — absolute links per response, stream==batch") {
+  test("warcHtmlOutlinks: the WAT sidecar — RESOLVED links per response (relative included), stream==batch") {
     val crlf = "\r\n"
     def rec(headers: Seq[String], body: String): String =
       "WARC/1.0" + crlf + headers.mkString(crlf) + crlf + crlf + body
@@ -532,6 +532,9 @@ class CorpusSourcesSpec extends AnyFunSuite {
         "WARC-Record-ID: <urn:uuid:o1>"),
         http("<a href=\"https://b.example.net/x\">x</a>" +
           "<a href='/rel'>rel</a>" +
+          "<a href=\"../up/u\">up</a>" +
+          "<a href=\"//e.example.io/pp\">pp</a>" +
+          "<a href=\"mailto:x@y.z\">m</a>" +
           "<a href=\"http://c.example.org/y\">y</a>")),
       // URI-less response contributes no links (it DLQs on the
       // document side)
@@ -541,8 +544,16 @@ class CorpusSourcesSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_warc_links")
     Files.writeString(dir.resolve("l.warc"), warc)
 
+    // the sidecar resolves every href against the record's target
+    // URI (RFC 3986): same-site rooted and ../ links surface (the
+    // majority of real internal navigation — a frontier fed
+    // absolute-only hrefs under-discovers), protocol-relative adopts
+    // the base scheme, non-http schemes drop
     val expected = Set(
       ("a.example.com", "b.example.net", "https://b.example.net/x"),
+      ("a.example.com", "a.example.com", "https://a.example.com/rel"),
+      ("a.example.com", "a.example.com", "https://a.example.com/up/u"),
+      ("a.example.com", "e.example.io", "https://e.example.io/pp"),
       ("a.example.com", "c.example.org", "http://c.example.org/y"))
     val batch = CorpusSources.warcHtmlOutlinks(spark, dir.toString)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
