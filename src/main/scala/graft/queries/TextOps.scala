@@ -177,6 +177,84 @@ object TextOps {
         col("fill_bp"))
   }
 
+  /** q134's operator: BEST-FIT-DECREASING doc-boundary packing — the
+    * fill-rate upgrade of [[greedyPack]] real SFT packers ship
+    * alongside first-fit. Per (source, salt) shard: docs sorted by
+    * n_tok DESC (doc_id ASC tiebreak), each placed into the OPEN bin
+    * with the LARGEST fill that still takes it (best fit = least
+    * remaining slack); no bin fits → a new bin opens (an oversize
+    * doc thereby gets a bin to itself, the [[greedyPack]] rule).
+    * All bins stay open for the whole shard walk — unlike first-fit
+    * in arrival order, BFD revisits earlier bins, which is exactly
+    * where the fill gain comes from. Same output report shape as
+    * [[greedyPack]] (n_bins/n_docs/n_tokens/waste_tok/fill_bp per
+    * source) so the two strategies diff row for row.
+    *
+    * Scale shape: identical sharding to [[greedyPack]] (salt bounds
+    * each fold at `saltDocs` docs; bins never cross shards). The
+    * fold accumulator is the open-bin FILL ARRAY — O(bins) ≤
+    * O(saltDocs) per group, same bound as the sorted doc list the
+    * shard already holds; per doc the best-fit probe is one
+    * filter + array_max + positional replace over that array, all
+    * inside the codegen'd `aggregate` lambda. One hash shuffle on
+    * (source, salt), no window, no driver state.
+    */
+  def greedyPackBfd(input: DataFrame, window: Int, saltDocs: Long): DataFrame = {
+    val w = lit(window.toLong)
+    val shards = input.filter(col("n_tok") > 0)
+      .withColumn("salt", saltFloorDiv(saltDocs))
+      .groupBy("source", "salt")
+      .agg(
+        // sort key (-n_tok, doc_id): ascending sort_array = token
+        // count DESC with deterministic id tiebreak
+        sort_array(collect_list(struct(
+          (-col("n_tok")).cast("long").as("neg"),
+          col("doc_id"), col("n_tok").cast("long").as("n_tok")))).as("ds"),
+        count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val fills = aggregate(
+      col("ds"),
+      array().cast("array<bigint>"),
+      (acc, x) => {
+        val t = x.getField("n_tok")
+        val fitting = filter(acc, f => f + t <= w)
+        // replace the FIRST bin holding the best (max) fitting fill;
+        // array_position is first-occurrence, 1-based
+        val best = array_max(fitting)
+        val pos = array_position(acc, best)
+        when(size(fitting) === 0, concat(acc, array(t)))
+          .otherwise(transform(acc,
+            (f, i) => when(i.cast("long") === pos - 1, f + t).otherwise(f)))
+      })
+    shards
+      .withColumn("fills", fills)
+      .groupBy("source")
+      .agg(
+        sum(size(col("fills"))).cast("long").as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(aggregate(col("fills"), lit(0L),
+          (a, f) => a + greatest(w - f, lit(0L)))).as("waste_tok"))
+      .withColumn("fill_bp",
+        expr(s"n_tokens * 10000 div (n_bins * $window)"))
+      .select(col("source"), col("n_bins"), col("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"), col("waste_tok"),
+        col("fill_bp"))
+  }
+
+  /** The packing QA COMPARISON: both strategies' reports side by
+    * side, keyed by a `strategy` column ("ff" / "bfd") — the
+    * operational table a packing job prints to decide which to ship
+    * for a corpus (BFD fill ≥ FF fill by construction on any input
+    * where revisiting bins helps; the spec pins a strict win).
+    */
+  def packingComparison(input: DataFrame, window: Int,
+      saltDocs: Long): DataFrame =
+    greedyPack(input, window, saltDocs).withColumn("strategy", lit("ff"))
+      .unionByName(greedyPackBfd(input, window, saltDocs)
+        .withColumn("strategy", lit("bfd")))
+      .select(col("strategy"), col("source"), col("n_bins"), col("n_docs"),
+        col("n_tokens"), col("waste_tok"), col("fill_bp"))
+
   /** q69's model-based quality scoring (CCNet-shaped, two-pass): pass
     * 1 fits the "model" — corpus-wide unigram counts; pass 2 scores
     * every document against it (mean/min corpus frequency of its
@@ -1172,6 +1250,68 @@ object TextOps {
         |FROM ba JOIN tot USING (source)
         |ORDER BY source""".stripMargin) { (s, dir) =>
       greedyPack(
+        docs(s, dir).select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok")),
+        window = 256, saltDocs = 256)
+        .orderBy("source")
+    },
+
+    // ---- q134: best-fit-decreasing packing ------------------------
+    // q127's first-fit twin at the same window/salt: docs sorted by
+    // n_tok DESC (doc_id tiebreak), each into the fullest open bin
+    // that still takes it. The oracle carries the OPEN-BIN FILL LIST
+    // as recursive-CTE state and replays the exact best-fit rule
+    // (max fitting fill, first occurrence on ties) — so a hash match
+    // pins sort order, fit rule, tie handling, oversize behavior and
+    // the waste arithmetic at once.
+    QueryDef(
+      "q134_bfd_pack",
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    CAST((doc_id // 256) + (CASE WHEN doc_id % 256 < 0 THEN -1 ELSE 0 END)
+        |         AS BIGINT) AS salt, doc_id,
+        |    CAST(n_tok AS BIGINT) AS n_tok,
+        |    row_number() OVER (
+        |      PARTITION BY source,
+        |        (doc_id // 256) + (CASE WHEN doc_id % 256 < 0 THEN -1 ELSE 0 END)
+        |      ORDER BY n_tok DESC, doc_id) AS rn
+        |  FROM t WHERE n_tok > 0),
+        |steps AS (
+        |  SELECT source, salt, rn, [n_tok] AS fills FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.source, r.salt, r.rn,
+        |    CASE WHEN len(list_filter(s.fills, f -> f + r.n_tok <= 256)) = 0
+        |         THEN list_append(s.fills, r.n_tok)
+        |         ELSE list_transform(s.fills, (f, i) ->
+        |           CASE WHEN i = list_position(s.fills,
+        |                  list_aggregate(list_filter(s.fills,
+        |                    f2 -> f2 + r.n_tok <= 256), 'max'))
+        |                THEN f + r.n_tok ELSE f END) END
+        |  FROM steps s JOIN r ON r.source = s.source AND r.salt = s.salt
+        |    AND r.rn = s.rn + 1),
+        |fin AS (
+        |  SELECT source, salt, arg_max(fills, rn) AS fills
+        |  FROM steps GROUP BY source, salt),
+        |ba AS (
+        |  SELECT source, sum(len(fills)) AS n_bins,
+        |    sum(list_aggregate(list_transform(fills,
+        |      f -> greatest(256 - f, 0)), 'sum')) AS waste_tok
+        |  FROM fin GROUP BY source),
+        |tot AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        |  FROM r GROUP BY source)
+        |SELECT ba.source, CAST(ba.n_bins AS BIGINT) AS n_bins,
+        |  CAST(tot.n_docs AS BIGINT) AS n_docs,
+        |  CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(ba.waste_tok AS BIGINT) AS waste_tok,
+        |  CAST(tot.n_tokens * 10000 // (ba.n_bins * 256) AS BIGINT) AS fill_bp
+        |FROM ba JOIN tot USING (source)
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      greedyPackBfd(
         docs(s, dir).select(col("source"), col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tok")),
         window = 256, saltDocs = 256)

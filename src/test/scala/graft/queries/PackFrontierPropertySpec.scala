@@ -82,6 +82,78 @@ class PackFrontierPropertySpec extends AnyFunSuite {
     }
   }
 
+  // best-fit-decreasing reference: n_tok DESC (doc_id tiebreak),
+  // into the fullest open bin that fits — first occurrence on fill
+  // ties, exactly the array_position rule the operator and oracle use
+  private def refBfd(rows: Seq[(String, Long, Long)], window: Int,
+      saltDocs: Long): Map[String, (Long, Long, Long, Long, Long)] =
+    rows.filter(_._3 > 0)
+      .groupBy(r => (r._1, r._2 / saltDocs)).toSeq
+      .flatMap { case ((src, _), ds) =>
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.sortBy(d => (-d._3, d._2)).foreach { case (_, _, t) =>
+          val fitting = fills.filter(_ + t <= window)
+          if (fitting.isEmpty) fills += t
+          else {
+            val idx = fills.indexOf(fitting.max)
+            fills(idx) += t
+          }
+        }
+        fills.map(f => (src, f))
+      }
+      .groupBy(_._1).map { case (src, bins) =>
+        val fills = bins.map(_._2)
+        val nBins = fills.size.toLong
+        val nTok = fills.sum
+        val waste = fills.map(f => math.max(0L, window - f)).sum
+        src -> ((nBins,
+          rows.count(r => r._1 == src && r._3 > 0).toLong,
+          nTok, waste, nTok * 10000 / (nBins * window)))
+      }
+
+  test("greedyPackBfd equals the reference on random skew/oversize/empty corpora") {
+    import spark.implicits._
+    val corpusGen = for {
+      n <- Gen.choose(1, 500)
+      nSrc <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, nSrc - 1)
+        t <- Gen.frequency(1 -> Gen.const(0L), 2 -> Gen.choose(1L, 5L),
+          6 -> Gen.choose(5L, 90L), 1 -> Gen.choose(150L, 400L))
+      } yield (s"s$s", t))
+      window <- Gen.choose(40, 120)
+      salt <- Gen.oneOf(16L, 64L, 1000L)
+    } yield (rows.zipWithIndex.map { case ((s, t), i) => (s, i.toLong, t) },
+      window, salt)
+    for (seed <- 21L to 26L) {
+      val (rows, window, salt) = sample(corpusGen, seed)
+      val out = TextOps.greedyPackBfd(rows.toDF("source", "doc_id", "n_tok"),
+          window, salt)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))))
+        .toMap
+      assert(out == refBfd(rows, window, salt),
+        s"seed $seed window $window salt $salt")
+    }
+  }
+
+  test("packingComparison: BFD strictly beats first-fit on the textbook fixture") {
+    import spark.implicits._
+    // sizes 6,5,4,3,2,1 at window 7: first-fit in doc order packs 4
+    // bins (7500 bp); BFD revisits bins and packs 3 perfect bins
+    // (10000 bp) — the fill gain the strategy exists for
+    val rows = Seq(6L, 5L, 4L, 3L, 2L, 1L).zipWithIndex
+      .map { case (t, i) => ("s0", i.toLong, t) }
+      .toDF("source", "doc_id", "n_tok")
+    val cmp = TextOps.packingComparison(rows, window = 7, saltDocs = 1000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(6)))).toMap
+    assert(cmp("ff") == ((4L, 7500L)), cmp)
+    assert(cmp("bfd") == ((3L, 10000L)), cmp)
+  }
+
   // ---- crawl frontier -------------------------------------------
 
   private def refFrontier(links: Seq[(String, String, String)],
