@@ -975,7 +975,20 @@ object SimilarityOps {
     */
   def bitextMarginMineIvf(aSide: DataFrame, bSide: DataFrame,
       codebook: Seq[(Int, Seq[Double])], nprobe: Int,
-      k: Int = 4, minMarginBp: Long = 10000L): DataFrame = {
+      k: Int = 4, minMarginBp: Long = 10000L): DataFrame =
+    marginFromPairs(
+      bitextIvfCandidates(aSide, bSide, codebook, nprobe), k, minMarginBp)
+
+  /** The candidate half of [[bitextMarginMineIvf]], exposed so
+    * callers (and the bench's bitext_production probe) can measure
+    * the candidate-frame CONTRACT directly: with a codebook sized so
+    * cell populations stay constant ([[scaledIvfCodebook]]) and a
+    * fixed `nprobe`, |candidates| grows linearly in |a| — never the
+    * |a|·|b| cross the exhaustive testbed pays. Returns
+    * (a_id, b_id, cm) with cm = floor(cosine·1e6) micro-cosine.
+    */
+  def bitextIvfCandidates(aSide: DataFrame, bSide: DataFrame,
+      codebook: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(aSide.sparkSession)
     def nonZero(c: String) = expr(
       s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x) > 0")
@@ -988,11 +1001,49 @@ object SimilarityOps {
       .select(col("a_id"), col("ea"),
         explode(nearestCells("ea", "cb", nprobe)).as("pc"))
       .select(col("pc.cell_id").as("cell_id"), col("a_id"), col("ea"))
-    val pairs = a.join(b, Seq("cell_id"))
+    a.join(b, Seq("cell_id"))
       .select(col("a_id"), col("b_id"),
         floor(expr("cosine_sim(ea, eb)") * lit(1000000.0))
           .cast("long").as("cm"))
-    marginFromPairs(pairs, k, minMarginBp)
+  }
+
+  /** Fit a CORPUS-PROPORTIONAL coarse codebook: |cells| =
+    * clamp(ceil(n / targetCellRows), minCells, maxCells), so cell
+    * populations hold near `targetCellRows` as the corpus grows —
+    * the IVF sizing discipline that keeps [[bitextIvfCandidates]]
+    * (and any fixed-nprobe cell probe) candidate-bounded per query
+    * row at any corpus size. A FIXED codebook on a growing corpus
+    * instead grows every cell linearly, and the cell equi-join
+    * degrades toward the exhaustive cross (measured: the ×30 probe
+    * of the full-probe q132 testbed shape read 253× — the number
+    * this helper exists to avoid).
+    *
+    * The Lloyd fit runs over a deterministic hash-gated SAMPLE of at
+    * most ~fitSampleRows vectors (xxhash64 gate — the index-build
+    * cost stays bounded no matter the corpus), seeded from the same
+    * md5 stream as [[Ivf.seeds]] and 3-decimal rounded per iteration
+    * ([[kmeansFit]]), so the result is deterministic and
+    * SQL-literal-representable. Per-row cell ASSIGNMENT against the
+    * literal codebook costs O(|cells|·dim) arithmetic per vector —
+    * the flat-quantizer cost every IVF pays at index-build; engines
+    * with very large cell counts swap in a tree/graph coarse
+    * quantizer for assignment, which changes this constant, not the
+    * candidate contract measured here.
+    */
+  def scaledIvfCodebook(vectors: DataFrame, vecCol: String, dim: Int,
+      targetCellRows: Long, minCells: Int = 16, maxCells: Int = 4096,
+      fitSampleRows: Long = 4096L, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    require(targetCellRows >= 1, s"targetCellRows >= 1 (got $targetCellRows)")
+    val n = vectors.count()
+    val cells = math.min(maxCells.toLong, math.max(minCells.toLong,
+      (n + targetCellRows - 1) / targetCellRows)).toInt
+    val seeds: Seq[(Int, Seq[Double])] =
+      (0 until cells).map(c => c -> (0 until dim).map(d => Ivf.seedWeight(c, d)))
+    val den = math.max(1L, n / math.max(1L, fitSampleRows))
+    val sample = vectors
+      .filter(pmod(xxhash64(col(vecCol)), lit(den)) === 0)
+      .select(col(vecCol).as("e"))
+    kmeansFit(sample, seeds, iters)
   }
 
   /** The exhaustive margin-mining oracle, shared by q129 (the

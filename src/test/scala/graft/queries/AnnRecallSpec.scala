@@ -425,4 +425,49 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(pruned.map(_._1).subsetOf(full.map(_._1)) && pruned.nonEmpty,
       s"pruned probe must mine a nonempty subset of queries: $pruned")
   }
+
+  test("scaledIvfCodebook: corpus-proportional cells, deterministic, candidate-bounded, exhaustive at full probe") {
+    import spark.implicits._
+    val bDf = (0 until 200).map(i => (100L + i) -> point(i % 4, i))
+      .toDF("b_id", "eb")
+    val aDf = (0 until 40).map(i => i.toLong -> point(i % 4, i + 1000))
+      .toDF("a_id", "ea")
+
+    // |cells| = ceil(n / targetCellRows), clamped both ways
+    val cb = SimilarityOps.scaledIvfCodebook(
+      bDf.select("eb"), "eb", dim = dim, targetCellRows = 10)
+    assert(cb.size == 20, s"ceil(200/10) cells expected, got ${cb.size}")
+    assert(SimilarityOps.scaledIvfCodebook(bDf.select("eb"), "eb",
+      dim = dim, targetCellRows = 50).size == 16, "minCells floor")
+    assert(SimilarityOps.scaledIvfCodebook(bDf.select("eb"), "eb",
+      dim = dim, targetCellRows = 1, maxCells = 32).size == 32,
+      "maxCells ceiling")
+
+    // deterministic: hash-gated sample + md5 seeds + rounded Lloyd
+    assert(cb == SimilarityOps.scaledIvfCodebook(
+      bDf.select("eb"), "eb", dim = dim, targetCellRows = 10))
+
+    // candidate contract: full probe reproduces the whole pair space
+    // (every vector here is nonzero); a fixed small nprobe emits a
+    // strict, nonempty subset — the bound the bench's
+    // bitext_production record measures at ×factor
+    val nFull = SimilarityOps
+      .bitextIvfCandidates(aDf, bDf, cb, nprobe = cb.size).count()
+    assert(nFull == 40L * 200L, s"full probe must be the cross: $nFull")
+    val nPruned = SimilarityOps
+      .bitextIvfCandidates(aDf, bDf, cb, nprobe = 2).count()
+    assert(nPruned > 0 && nPruned < nFull,
+      s"pruned candidates must be a strict nonempty subset: $nPruned")
+
+    // correctness is probe-independent at full probe: mining through
+    // the SCALED codebook equals the exhaustive miner row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows(SimilarityOps.bitextMarginMineIvf(aDf, bDf, cb,
+      nprobe = cb.size, k = 4, minMarginBp = 0L)) ==
+      rows(SimilarityOps.bitextMarginMine(aDf, bDf, k = 4,
+        minMarginBp = 0L)),
+      "full-probe mining through a scaled codebook must equal exhaustive")
+  }
 }
