@@ -416,6 +416,38 @@ object WebOps {
     s"trim($chain, ' ' || chr(10) || chr(9) || chr(13))"
   }
 
+  /** q135's synthetic per-host robots.txt templates — ONE Scala
+    * constant each, shipped verbatim to the Spark plan (`lit`) and to
+    * the DuckDB oracle ([[sqlStrLit]]), so both engines parse the
+    * byte-identical file. Host class = host number % 4; together the
+    * four exercise every RFC 9309 branch the battery pins: wildcard +
+    * `$`-anchored allow override (A), specific-group shadowing with
+    * unknown keys inside the rule run (B), inapplicable-group
+    * default-allow (C), and multi-UA groups / empty Disallow /
+    * uppercase keys / CRLF endings (D).
+    */
+  private val robotsTxtA =
+    "# class A: wildcard + anchored allow\nUser-agent: *\n" +
+      "Disallow: /p/1*\nAllow: /p/15$\n\n" +
+      "Sitemap: https://example.com/sitemap.xml\n"
+  private val robotsTxtB =
+    "User-agent: GraftBot\nDisallow: /p/2\nCrawl-delay: 5\n" +
+      "Allow: /p/22\n\nUser-agent: *\nDisallow: /\n"
+  private val robotsTxtC =
+    "# members only\nUser-agent: otherbot\nDisallow: /\n"
+  private val robotsTxtD =
+    "User-Agent: graftbot\r\nUser-agent: extra\r\nDisallow:\r\n" +
+      "ALLOW: /p/3\r\nDisallow: /p/3*\r\n\r\nUser-agent: *\r\nAllow: /\r\n"
+
+  /** A Scala string as a DuckDB string-literal expression (quotes
+    * doubled, CR/LF as chr() concats so the oracle text survives any
+    * whitespace handling between here and the DuckDB parser).
+    */
+  private def sqlStrLit(s: String): String =
+    "'" + s.replace("'", "''")
+      .replace("\r", "'||chr(13)||'")
+      .replace("\n", "'||chr(10)||'") + "'"
+
   /** The oracle-side twin of `synthUrl` (DuckDB SQL). */
   private val synthUrlSql: String =
     """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
@@ -580,6 +612,125 @@ object WebOps {
     filter(transform(htmlHrefs(html), h => resolveUrl(base, h)),
       x => x.rlike("^(?i:https?)://"))
 
+  /** RFC 9309 (robots.txt) — the applicable rule group for a crawler
+    * product token, parsed entirely with per-row array/regexp
+    * expressions (a robots file is one small row per host; parsing
+    * never leaves the row, zero shuffle, no UDF):
+    *
+    *  - lines are comment-stripped (`#` to EOL), CRLF-tolerant, and
+    *    parsed into case-insensitive `key: value` records;
+    *  - GROUPS follow the RFC ABNF: one or more consecutive
+    *    `User-agent` lines open a group (blank/unknown lines — e.g.
+    *    `Crawl-delay`, `Sitemap` — never close the UA run or the
+    *    rule run), `Allow`/`Disallow` lines belong to the most
+    *    recent group;
+    *  - group SELECTION is most-specific-match: a group token
+    *    matches if it is `*` (specificity 0) or a case-insensitive
+    *    prefix of `userAgent` (specificity = token length); all
+    *    groups tied at the best specificity contribute their rules
+    *    (the RFC's merge of same-token groups). No matching group —
+    *    or a matching group with no rules — means crawl-all-allowed
+    *    (the returned array is empty);
+    *  - empty rule values (`Disallow:` = allow everything) are
+    *    dropped at parse time.
+    *
+    * Returns `array<struct<allow boolean, pat string>>` for
+    * [[robotsAllows]]. Line count per file is tiny (the RFC caps
+    * parseable size at 500 KiB; real files are a few KB), so the
+    * O(lines²) prefix scans inside the lambdas are per-row constant
+    * work, the same budget q133's dot-segment prefix sums spend.
+    */
+  def robotsGroupRules(txt: Column, userAgent: String): Column = {
+    val ua = userAgent.toLowerCase
+    // (kind, key, value): kind 2 = user-agent, 1 = allow/disallow,
+    // 0 = anything else (blank, comment-only, unknown key)
+    val lines = transform(split(regexp_replace(txt, "\r", ""), "\n"), l => {
+      val noc = regexp_replace(l, "#.*$", "")
+      val key = lower(trim(regexp_extract(noc, "^\\s*([A-Za-z-]+)\\s*:", 1)))
+      val v = trim(regexp_extract(noc, "^\\s*[A-Za-z-]+\\s*:(.*)$", 1))
+      struct(
+        when(key === "user-agent", lit(2))
+          .when(key === "allow" || key === "disallow", lit(1))
+          .otherwise(lit(0)).as("kind"),
+        key.as("key"), v.as("value"))
+    })
+    // a UA line STARTS a new group iff the nearest significant line
+    // above it is a rule (or there is none) — consecutive UA lines
+    // extend the current group's token set (RFC ABNF: startgroupline
+    // *(startgroupline / emptyline) *(rule / emptyline))
+    val starts = transform(lines, (x, i) => {
+      val prevSig = filter(slice(lines, lit(1), i),
+        p => p.getField("kind") > 0)
+      (x.getField("kind") === 2 &&
+        (size(prevSig) === 0 ||
+          element_at(prevSig, -1).getField("kind") === 1)).cast("int")
+    })
+    // group id per line = prefix sum of starts (q133's technique)
+    val withGrp = transform(lines, (x, i) => struct(
+      x.getField("kind").as("kind"), x.getField("key").as("key"),
+      x.getField("value").as("value"),
+      aggregate(slice(starts, lit(1), i + 1), lit(0), _ + _).as("grp")))
+    // specificity of the group containing line g: best token score
+    // over that group's UA lines ('*' → 0, case-insensitive prefix
+    // of ua → token length, else/empty → -1 = inapplicable)
+    def specOf(g: Column): Column = coalesce(array_max(transform(
+      filter(withGrp, y =>
+        y.getField("kind") === 2 && y.getField("grp") === g), y => {
+        val tok = lower(y.getField("value"))
+        when(length(tok) === 0, lit(-1))
+          .when(tok === "*", lit(0))
+          .when(lit(ua).substr(lit(1), length(tok)) === tok, length(tok))
+          .otherwise(lit(-1))
+      })), lit(-1))
+    val best = coalesce(array_max(transform(
+      filter(withGrp, x => x.getField("kind") === 2),
+      x => specOf(x.getField("grp")))), lit(-1))
+    when(best < 0, array().cast("array<struct<allow:boolean,pat:string>>"))
+      .otherwise(transform(
+        filter(withGrp, x => x.getField("kind") === 1 &&
+          length(x.getField("value")) > 0 &&
+          specOf(x.getField("grp")) === best),
+        x => struct((x.getField("key") === "allow").as("allow"),
+          x.getField("value").as("pat"))))
+  }
+
+  /** RFC 9309 §2.2.2 rule matching against a path(+query) string:
+    * every rule pattern is a path prefix with `*` wildcards and an
+    * optional trailing `$` end-anchor; among MATCHING rules the
+    * longest pattern (raw octet length, anchors included) wins, and
+    * an Allow beats a Disallow of equal length. No matching rule —
+    * including an empty rule array — means allowed. Pure per-row
+    * expression work: each pattern compiles to an anchored regex
+    * (specials escaped, `*` → `.*`) and the winner is one
+    * `array_max` over (len, allow) structs.
+    */
+  def robotsAllows(rules: Column, pathq: Column): Column = {
+    val scored = filter(transform(rules, r => {
+      val pat = r.getField("pat")
+      val ends = pat.endsWith("$")
+      val core = when(ends, pat.substr(lit(1), length(pat) - 1))
+        .otherwise(pat)
+      val esc = regexp_replace(core, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+      val rx = concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+        when(ends, lit("$")).otherwise(lit("")))
+      struct(length(pat).as("len"), r.getField("allow").as("allow"),
+        rlike(pathq, rx).as("m"))
+    }), s => s.getField("m"))
+    val bestRule = array_max(transform(scored,
+      s => struct(s.getField("len").as("len"),
+        s.getField("allow").as("allow"))))
+    bestRule.isNull || bestRule.getField("allow")
+  }
+
+  /** The path+query a robots rule matches against (RFC 9309 matches
+    * on the path with the query appended; the fragment never reaches
+    * the server). An empty path reads as "/".
+    */
+  def urlPathQuery(url: Column): Column = {
+    val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(length(p) === 0, lit("/")).otherwise(p)
+  }
+
   /** q130's operator: CRAWL-FRONTIER planning — the step that closes
     * the crawl loop (intake → extract → curate → compact → decide
     * what to fetch NEXT). From a `discovered` outlink frame
@@ -607,7 +758,9 @@ object WebOps {
     * corpus-sized moves twice.
     */
   def crawlFrontier(discovered: DataFrame, seen: DataFrame,
-      perHostK: Int = 3, seenBloomFpp: Option[Double] = None): DataFrame = {
+      perHostK: Int = 3, seenBloomFpp: Option[Double] = None,
+      robots: Option[DataFrame] = None,
+      userAgent: String = "graftbot"): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
     // both sides compare on the q103 CANONICAL key — the sidecar
     // emits raw hrefs and crawl logs vary in spelling, so a raw
@@ -654,7 +807,24 @@ object WebOps {
             .join(seenC, Seq("url"), "left_anti")
             .select(d.columns.map(col).toIndexedSeq: _*))
     }
-    val votes = fresh
+    // ROBOTS gate (q135): RFC 9309 allow/deny BEFORE voting and the
+    // politeness cap — a disallowed URL must neither be fetched nor
+    // consume one of its host's k slots. The robots frame is one
+    // (host, robots_txt) row per crawled host — |hosts|-sized, tiny
+    // next to the link stream — so it ships broadcast and the gate
+    // stays inside the discovered scan. Rules parse ONCE per robots
+    // row ([[robotsGroupRules]]); a host absent from the frame (no
+    // robots.txt served) is allow-all, per the RFC's unreachable-
+    // robots rule.
+    val gated = robots.fold(fresh) { r =>
+      val rr = broadcast(r.select(col("host").as("r_host"),
+        robotsGroupRules(col("robots_txt"), userAgent).as("r_rules")))
+      fresh.join(rr, fresh("dst_h") === rr("r_host"), "left")
+        .filter(col("r_rules").isNull ||
+          robotsAllows(col("r_rules"), urlPathQuery(col("url"))))
+        .drop("r_host", "r_rules")
+    }
+    val votes = gated
       .groupBy(col("dst_h").as("host"), col("url"))
       .agg(countDistinct("src_h").as("n_referrers"))
     votes.groupBy("host")
@@ -873,6 +1043,142 @@ object WebOps {
           explode(htmlLinksResolved(page,
             synthUrl(col("doc_id"), col("source")))).as("link"))
         .orderBy("doc_id", "link")
+    },
+
+    // ---- q135: robots.txt-gated crawl frontier ---------------------
+    // q130's frontier with the RFC 9309 politeness contract applied
+    // BEFORE voting and the per-host cap: each host serves one of
+    // four robots.txt templates (byte-identical constants on both
+    // engines), the gate parses groups/rules per host and
+    // longest-match-filters every candidate URL. The oracle
+    // re-derives the ENTIRE parse independently in SQL — line split,
+    // comment strip, group grammar via lag/prefix-sum windows,
+    // most-specific UA-token selection, pattern→regex compilation
+    // with wildcard/anchor handling, and the (longest, allow-wins)
+    // verdict — then re-runs q130's vote/cap pipeline over the
+    // allowed slice.
+    QueryDef(
+      "q135_robots_frontier",
+      s"""WITH discovered AS (
+         |  SELECT source AS src_h,
+         |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst_h,
+         |    'https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+         |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+         |  FROM documents),
+         |seen AS (
+         |  SELECT DISTINCT 'https://' || source || '.example.com/p/'
+         |    || CAST(doc_id % 40 AS VARCHAR) AS url
+         |  FROM documents),
+         |hostt AS (
+         |  SELECT DISTINCT (doc_id * 7 + 3) % 20 AS hn FROM documents),
+         |robt AS (
+         |  SELECT 'src' || CAST(hn AS VARCHAR) AS host,
+         |    CASE hn % 4
+         |      WHEN 0 THEN ${sqlStrLit(robotsTxtA)}
+         |      WHEN 1 THEN ${sqlStrLit(robotsTxtB)}
+         |      WHEN 2 THEN ${sqlStrLit(robotsTxtC)}
+         |      ELSE ${sqlStrLit(robotsTxtD)} END AS txt
+         |  FROM hostt),
+         |ln AS (
+         |  SELECT host,
+         |    unnest(string_split(replace(txt, chr(13), ''), chr(10))) AS raw,
+         |    generate_subscripts(
+         |      string_split(replace(txt, chr(13), ''), chr(10)), 1) AS pos
+         |  FROM robt),
+         |pl AS (
+         |  SELECT host, pos,
+         |    lower(trim(regexp_extract(regexp_replace(raw, '#.*$$', ''),
+         |      '^\\s*([A-Za-z-]+)\\s*:', 1))) AS k,
+         |    trim(regexp_extract(regexp_replace(raw, '#.*$$', ''),
+         |      '^\\s*[A-Za-z-]+\\s*:(.*)$$', 1)) AS v
+         |  FROM ln),
+         |kl AS (
+         |  SELECT *, CASE WHEN k = 'user-agent' THEN 2
+         |                 WHEN k IN ('allow', 'disallow') THEN 1
+         |                 ELSE 0 END AS kind
+         |  FROM pl),
+         |sg AS (
+         |  SELECT *, lag(kind) OVER (PARTITION BY host ORDER BY pos) AS pk
+         |  FROM kl WHERE kind > 0),
+         |st AS (
+         |  SELECT *, CASE WHEN kind = 2 AND (pk IS NULL OR pk = 1)
+         |                 THEN 1 ELSE 0 END AS s
+         |  FROM sg),
+         |gr AS (
+         |  SELECT *, sum(s) OVER (PARTITION BY host ORDER BY pos) AS grp
+         |  FROM st),
+         |spec AS (
+         |  SELECT host, grp, max(CASE WHEN lower(v) = '*' THEN 0
+         |    WHEN length(v) > 0 AND strpos('graftbot', lower(v)) = 1
+         |      THEN length(v)
+         |    ELSE -1 END) AS sp
+         |  FROM gr WHERE kind = 2 GROUP BY host, grp),
+         |bst AS (SELECT host, max(sp) AS bs FROM spec GROUP BY host),
+         |rules AS (
+         |  SELECT g.host, (g.k = 'allow') AS alw, g.v AS pat
+         |  FROM gr g
+         |  JOIN spec sp ON sp.host = g.host AND sp.grp = g.grp
+         |  JOIN bst b ON b.host = g.host
+         |  WHERE g.kind = 1 AND length(g.v) > 0
+         |    AND sp.sp = b.bs AND b.bs >= 0),
+         |fresh AS (
+         |  SELECT d.* FROM discovered d
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = d.url)),
+         |cand AS (
+         |  SELECT src_h, dst_h, url,
+         |    CASE WHEN regexp_extract(url,
+         |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+         |      THEN '/'
+         |      ELSE regexp_extract(url,
+         |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS pq
+         |  FROM fresh),
+         |m AS (
+         |  SELECT c.src_h, c.dst_h, c.url, r.alw, length(r.pat) AS plen
+         |  FROM cand c JOIN rules r ON r.host = c.dst_h
+         |  WHERE regexp_matches(c.pq,
+         |    '^' || replace(regexp_replace(
+         |      CASE WHEN r.pat LIKE '%$$'
+         |           THEN substr(r.pat, 1, length(r.pat) - 1)
+         |           ELSE r.pat END,
+         |      '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
+         |    || CASE WHEN r.pat LIKE '%$$' THEN '$$' ELSE '' END)),
+         |verdict AS (
+         |  SELECT *, row_number() OVER (PARTITION BY src_h, dst_h, url
+         |    ORDER BY plen DESC, alw DESC) AS rn
+         |  FROM m),
+         |gated AS (
+         |  SELECT c.src_h, c.dst_h, c.url
+         |  FROM cand c LEFT JOIN (SELECT * FROM verdict WHERE rn = 1) v
+         |    ON v.src_h = c.src_h AND v.dst_h = c.dst_h AND v.url = c.url
+         |  WHERE v.url IS NULL OR v.alw),
+         |votes AS (
+         |  SELECT dst_h AS host, url, count(DISTINCT src_h) AS n_referrers
+         |  FROM gated GROUP BY dst_h, url),
+         |ranked AS (
+         |  SELECT host, url, n_referrers, row_number() OVER (
+         |    PARTITION BY host ORDER BY n_referrers DESC, url) AS rnk
+         |  FROM votes)
+         |SELECT host, url, CAST(n_referrers AS BIGINT) AS n_referrers,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY host, rnk""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val hn = (col("doc_id") * 7 + 3) % 20
+      val dstH = concat(lit("src"), hn.cast("string"))
+      val discovered = d.select(col("source").as("src_h"),
+        dstH.as("dst_h"),
+        concat(lit("https://"), dstH, lit(".example.com/p/"),
+          (col("doc_id") % 40).cast("string")).as("url"))
+      val seen = d.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p/"),
+          (col("doc_id") % 40).cast("string")).as("url")).distinct()
+      val robots = d.select(hn.as("hn")).distinct()
+        .select(concat(lit("src"), col("hn").cast("string")).as("host"),
+          when(col("hn") % 4 === 0, lit(robotsTxtA))
+            .when(col("hn") % 4 === 1, lit(robotsTxtB))
+            .when(col("hn") % 4 === 2, lit(robotsTxtC))
+            .otherwise(lit(robotsTxtD)).as("robots_txt"))
+      crawlFrontier(discovered, seen, perHostK = 3, robots = Some(robots))
+        .orderBy("host", "rnk")
     },
 
     // ---- q103: URL canonicalization + URL-level dedup ------------

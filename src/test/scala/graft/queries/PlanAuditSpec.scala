@@ -628,6 +628,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"q130 vote rollup not partial:\n$p")
   }
 
+  test("q135 robots gate: broadcast robots join, parse stays per-row, q130 shape preserved") {
+    val p = plan("q135_robots_frontier")
+    // q130's contract survives the gate
+    assert(!p.contains("Window"), s"q135 must not window per host:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("partial_topk_collect"),
+      s"q135 lost its map-side heap partial:\n$p")
+    assert(p.contains("LeftAnti"), s"q135 lost the seen-set anti-join:\n$p")
+    // the |hosts|-sized robots frame ships broadcast — rule parsing
+    // happens once per robots row inside the small side, and the
+    // link stream never shuffles for the gate
+    assert(p.contains("BroadcastHashJoin"),
+      s"q135 robots join must broadcast the robots frame:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q135 gate must stay an equi-join:\n$p")
+  }
+
   test("q131 link extraction is per-row array work: no join, presentation sort only") {
     val p = plan("q131_html_links")
     assert(!p.contains("Join") && !p.contains("Window"),

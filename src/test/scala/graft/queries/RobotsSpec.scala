@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 (robots.txt) battery for [[WebOps.robotsGroupRules]] /
+  * [[WebOps.robotsAllows]] and the q135 frontier gate — the crawl
+  * loop's politeness contract, pinned the way the RFC 3986 §5.4
+  * battery pins the resolver: group selection by most-specific
+  * user-agent token, rule-run grammar (multi-UA groups, blank and
+  * unknown lines never splitting a group), and longest-match
+  * allow/disallow with `*` wildcards and `$` anchors.
+  */
+class RobotsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private def rules(txt: String, ua: String = "graftbot"): Seq[(Boolean, String)] = {
+    import spark.implicits._
+    Seq(txt).toDF("t")
+      .select(WebOps.robotsGroupRules(col("t"), ua).as("r"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getBoolean(0), r.getString(1)))
+  }
+
+  private def allowed(txt: String, path: String, ua: String = "graftbot"): Boolean = {
+    import spark.implicits._
+    Seq(txt).toDF("t")
+      .select(WebOps.robotsAllows(
+        WebOps.robotsGroupRules(col("t"), ua), lit(path)).as("a"))
+      .head().getBoolean(0)
+  }
+
+  // ---- group selection --------------------------------------------
+
+  test("specific user-agent group beats the * group") {
+    val txt = "User-agent: graftbot\nDisallow: /private\n\n" +
+      "User-agent: *\nDisallow: /"
+    assert(rules(txt) == Seq((false, "/private")))
+    assert(allowed(txt, "/public") && !allowed(txt, "/private/x"))
+    // a crawler the specific group doesn't match falls to *
+    assert(rules(txt, ua = "otherbot") == Seq((false, "/")))
+  }
+
+  test("longest matching token is most specific; prefix match is case-insensitive") {
+    val txt = "User-agent: graft\nDisallow: /a\n\n" +
+      "User-agent: GraftBot\nDisallow: /b\n\n" +
+      "User-agent: *\nDisallow: /c"
+    // both 'graft' (5) and 'graftbot' (8) prefix-match; 8 wins
+    assert(rules(txt) == Seq((false, "/b")))
+  }
+
+  test("no matching group at all means crawl-all-allowed (empty rules)") {
+    val txt = "User-agent: otherbot\nDisallow: /"
+    assert(rules(txt).isEmpty)
+    assert(allowed(txt, "/anything"))
+  }
+
+  test("groups tied at best specificity merge their rules (RFC same-token merge)") {
+    val txt = "User-agent: *\nDisallow: /a\n\n" +
+      "User-agent: *\nDisallow: /b"
+    assert(rules(txt).toSet == Set((false, "/a"), (false, "/b")))
+  }
+
+  test("matching group with no rules is allow-all, and shadows the * group") {
+    // a trailing rule-less group: per the RFC ABNF, UA lines separated
+    // only by blank lines MERGE into one group, so the only way a
+    // group carries no rules is at EOF — and a matching empty group
+    // still shadows the * group (most-specific selection, then
+    // nothing to disallow)
+    val txt = "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n"
+    assert(rules(txt).isEmpty && allowed(txt, "/x"))
+    // and the blank-line-separated UA lines really are ONE group
+    val merged = "User-agent: graftbot\n\nUser-agent: *\nDisallow: /"
+    assert(rules(merged) == Seq((false, "/")))
+  }
+
+  // ---- group grammar ----------------------------------------------
+
+  test("consecutive user-agent lines form one multi-UA group") {
+    val txt = "User-agent: alphabot\nUser-agent: graftbot\nDisallow: /g"
+    assert(rules(txt) == Seq((false, "/g")))
+    assert(rules(txt, ua = "alphabot") == Seq((false, "/g")))
+  }
+
+  test("blank lines and unknown keys never split a group") {
+    val txt = "User-agent: graftbot\n\nDisallow: /a\nCrawl-delay: 5\n" +
+      "Sitemap: https://x.example.com/s.xml\nAllow: /a/ok\n"
+    assert(rules(txt) == Seq((false, "/a"), (true, "/a/ok")))
+  }
+
+  test("a user-agent line after rules starts a NEW group") {
+    val txt = "User-agent: *\nDisallow: /a\nUser-agent: graftbot\nDisallow: /b"
+    // graftbot (spec 8) takes only the second group
+    assert(rules(txt) == Seq((false, "/b")))
+    assert(rules(txt, ua = "elsebot") == Seq((false, "/a")))
+  }
+
+  test("comments, CRLF line endings, mixed-case keys, empty Disallow") {
+    val txt = "# welcome\r\nUSER-AGENT: GraftBot # inline\r\n" +
+      "Disallow:\r\nALLOW: /open\r\nDISALLOW: /shut\r\n"
+    // empty Disallow dropped; keys case-insensitive; CRLF tolerated
+    assert(rules(txt) == Seq((true, "/open"), (false, "/shut")))
+  }
+
+  // ---- rule matching ----------------------------------------------
+
+  test("prefix match, default allow when nothing matches") {
+    val txt = "User-agent: *\nDisallow: /fish"
+    assert(!allowed(txt, "/fish"))
+    assert(!allowed(txt, "/fishing/rod"))
+    assert(allowed(txt, "/Fish"), "path matching is case-sensitive")
+    assert(allowed(txt, "/catfish"))
+  }
+
+  test("* wildcard and $ anchor") {
+    val txt = "User-agent: *\nDisallow: /*.php\nDisallow: /exact$"
+    assert(!allowed(txt, "/index.php"))
+    assert(!allowed(txt, "/a/b.php?x=1"), "wildcard spans segments")
+    assert(!allowed(txt, "/exact"))
+    assert(allowed(txt, "/exactly"), "$ anchors the end")
+    assert(allowed(txt, "/file.html"))
+  }
+
+  test("longest match wins; Allow beats Disallow on a tie (RFC 9309 examples)") {
+    // RFC example: allow the page, disallow its folder
+    val t1 = "User-agent: *\nAllow: /this/page.html\nDisallow: /this/"
+    assert(allowed(t1, "/this/page.html") && !allowed(t1, "/this/other"))
+    // RFC example: only the root document allowed
+    val t2 = "User-agent: *\nAllow: /$\nDisallow: /"
+    assert(allowed(t2, "/") && !allowed(t2, "/x"))
+    // equal-length tie → allow
+    val t3 = "User-agent: *\nDisallow: /p/1*\nAllow: /p/1$"
+    assert(allowed(t3, "/p/1") && !allowed(t3, "/p/12"))
+  }
+
+  test("regex metacharacters in patterns are literal") {
+    val txt = "User-agent: *\nDisallow: /a(b)+c?.d"
+    assert(!allowed(txt, "/a(b)+c?.d"))
+    assert(allowed(txt, "/abbcXd"), "pattern chars must not act as regex")
+  }
+
+  test("rules match path+query") {
+    val txt = "User-agent: *\nDisallow: /search?q=*"
+    assert(!allowed(txt, "/search?q=secret"))
+    assert(allowed(txt, "/search"))
+  }
+
+  // ---- frontier integration ---------------------------------------
+
+  test("crawlFrontier robots gate: denied URLs neither rank nor consume a politeness slot") {
+    import spark.implicits._
+    // three voters each discover both /keep and /no on host h; /no
+    // outranks /keep by votes but robots denies it — with the gate,
+    // /keep takes the single slot instead of the frontier going empty
+    val discovered = Seq(
+      ("s1", "h", "https://h.example.com/no"),
+      ("s2", "h", "https://h.example.com/no"),
+      ("s3", "h", "https://h.example.com/no"),
+      ("s1", "h", "https://h.example.com/keep"),
+      ("s2", "h", "https://h.example.com/keep"),
+      ("x1", "open", "https://open.example.com/no")
+    ).toDF("src_h", "dst_h", "url")
+    val seen = Seq("https://h.example.com/old").toDF("url")
+    val robots = Seq(
+      ("h", "User-agent: graftbot\nDisallow: /no\n\nUser-agent: *\nDisallow: /")
+      // host "open" serves no robots.txt → allow-all
+    ).toDF("host", "robots_txt")
+
+    val out = WebOps.crawlFrontier(discovered, seen, perHostK = 1,
+        robots = Some(robots))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("h", "https://h.example.com/keep", 2L),
+      ("open", "https://open.example.com/no", 1L)), out)
+
+    // control: without robots the denied URL takes the slot
+    val ctl = WebOps.crawlFrontier(discovered, seen, perHostK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ctl == Set(
+      ("h", "https://h.example.com/no"),
+      ("open", "https://open.example.com/no")), ctl)
+  }
+
+  test("urlPathQuery: path+query, no fragment, empty path reads as /") {
+    import spark.implicits._
+    val got = Seq(
+      "https://h.example.com/a/b?x=1#frag",
+      "https://h.example.com",
+      "HTTPS://h.example.com/UP"
+    ).toDF("u").select(WebOps.urlPathQuery(col("u")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("/a/b?x=1", "/", "/UP"), got)
+  }
+}
