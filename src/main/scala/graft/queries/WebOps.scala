@@ -437,7 +437,8 @@ object WebOps {
     "# members only\nUser-agent: otherbot\nDisallow: /\n"
   private val robotsTxtD =
     "User-Agent: graftbot\r\nUser-agent: extra\r\nDisallow:\r\n" +
-      "ALLOW: /p/3\r\nDisallow: /p/3*\r\n\r\nUser-agent: *\r\nAllow: /\r\n"
+      "ALLOW: /p/3\r\nDisallow: /p/3*\r\nCrawl-delay: bananas\r\n\r\n" +
+      "User-agent: *\r\nAllow: /\r\nCrawl-delay: 9\r\n"
 
   /** A Scala string as a DuckDB string-literal expression (quotes
     * doubled, CR/LF as chr() concats so the oracle text survives any
@@ -447,6 +448,147 @@ object WebOps {
     "'" + s.replace("'", "''")
       .replace("\r", "'||chr(13)||'")
       .replace("\n", "'||chr(10)||'") + "'"
+
+  /** The q135/q136 oracle's shared CTE chain, ending at `ranked`:
+    * q130's synthetic crawl state, the robots templates, the FULL
+    * independent RFC 9309 re-parse (line split → comment strip →
+    * key/value → group grammar via lag/prefix-sum windows →
+    * most-specific token selection → rule extraction), candidate
+    * pattern matching via SQL-side regex compilation, the
+    * (longest, allow-wins) verdict, and the vote/rank pipeline over
+    * the allowed slice. q135 selects `rnk <= 3` from it; q136
+    * appends the Crawl-delay extraction and budget CTEs.
+    */
+  private def robotsFrontierCtes: String =
+    s"""WITH discovered AS (
+       |  SELECT source AS src_h,
+       |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst_h,
+       |    'https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+       |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+       |  FROM documents),
+       |seen AS (
+       |  SELECT DISTINCT 'https://' || source || '.example.com/p/'
+       |    || CAST(doc_id % 40 AS VARCHAR) AS url
+       |  FROM documents),
+       |hostt AS (
+       |  SELECT DISTINCT (doc_id * 7 + 3) % 20 AS hn FROM documents),
+       |robt AS (
+       |  SELECT 'src' || CAST(hn AS VARCHAR) AS host,
+       |    CASE hn % 4
+       |      WHEN 0 THEN ${sqlStrLit(robotsTxtA)}
+       |      WHEN 1 THEN ${sqlStrLit(robotsTxtB)}
+       |      WHEN 2 THEN ${sqlStrLit(robotsTxtC)}
+       |      ELSE ${sqlStrLit(robotsTxtD)} END AS txt
+       |  FROM hostt),
+       |ln AS (
+       |  SELECT host,
+       |    unnest(string_split(replace(txt, chr(13), ''), chr(10))) AS raw,
+       |    generate_subscripts(
+       |      string_split(replace(txt, chr(13), ''), chr(10)), 1) AS pos
+       |  FROM robt),
+       |pl AS (
+       |  SELECT host, pos,
+       |    lower(trim(regexp_extract(regexp_replace(raw, '#.*$$', ''),
+       |      '^\\s*([A-Za-z-]+)\\s*:', 1))) AS k,
+       |    trim(regexp_extract(regexp_replace(raw, '#.*$$', ''),
+       |      '^\\s*[A-Za-z-]+\\s*:(.*)$$', 1)) AS v
+       |  FROM ln),
+       |kl AS (
+       |  SELECT *, CASE WHEN k = 'user-agent' THEN 2
+       |                 WHEN k IN ('allow', 'disallow') THEN 1
+       |                 ELSE 0 END AS kind
+       |  FROM pl),
+       |sg AS (
+       |  SELECT *, lag(kind) OVER (PARTITION BY host ORDER BY pos) AS pk
+       |  FROM kl WHERE kind > 0),
+       |st AS (
+       |  SELECT *, CASE WHEN kind = 2 AND (pk IS NULL OR pk = 1)
+       |                 THEN 1 ELSE 0 END AS s
+       |  FROM sg),
+       |gr0 AS (
+       |  SELECT *, sum(s) OVER (PARTITION BY host ORDER BY pos) AS grp
+       |  FROM st),
+       |gr AS (
+       |  SELECT k2.host, k2.pos, k2.k, k2.v, k2.kind,
+       |    (SELECT max(g.grp) FROM gr0 g
+       |     WHERE g.host = k2.host AND g.pos <= k2.pos) AS grp
+       |  FROM kl k2),
+       |spec AS (
+       |  SELECT host, grp, max(CASE WHEN lower(v) = '*' THEN 0
+       |    WHEN length(v) > 0 AND strpos('graftbot', lower(v)) = 1
+       |      THEN length(v)
+       |    ELSE -1 END) AS sp
+       |  FROM gr WHERE kind = 2 GROUP BY host, grp),
+       |bst AS (SELECT host, max(sp) AS bs FROM spec GROUP BY host),
+       |rules AS (
+       |  SELECT g.host, (g.k = 'allow') AS alw, g.v AS pat
+       |  FROM gr g
+       |  JOIN spec sp ON sp.host = g.host AND sp.grp = g.grp
+       |  JOIN bst b ON b.host = g.host
+       |  WHERE g.kind = 1 AND length(g.v) > 0
+       |    AND sp.sp = b.bs AND b.bs >= 0),
+       |fresh AS (
+       |  SELECT d.* FROM discovered d
+       |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = d.url)),
+       |cand AS (
+       |  SELECT src_h, dst_h, url,
+       |    CASE WHEN regexp_extract(url,
+       |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+       |      THEN '/'
+       |      ELSE regexp_extract(url,
+       |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS pq
+       |  FROM fresh),
+       |m AS (
+       |  SELECT c.src_h, c.dst_h, c.url, r.alw, length(r.pat) AS plen
+       |  FROM cand c JOIN rules r ON r.host = c.dst_h
+       |  WHERE regexp_matches(c.pq,
+       |    '^' || replace(regexp_replace(
+       |      CASE WHEN r.pat LIKE '%$$'
+       |           THEN substr(r.pat, 1, length(r.pat) - 1)
+       |           ELSE r.pat END,
+       |      '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
+       |    || CASE WHEN r.pat LIKE '%$$' THEN '$$' ELSE '' END)),
+       |verdict AS (
+       |  SELECT *, row_number() OVER (PARTITION BY src_h, dst_h, url
+       |    ORDER BY plen DESC, alw DESC) AS rn
+       |  FROM m),
+       |gated AS (
+       |  SELECT c.src_h, c.dst_h, c.url
+       |  FROM cand c LEFT JOIN (SELECT * FROM verdict WHERE rn = 1) v
+       |    ON v.src_h = c.src_h AND v.dst_h = c.dst_h AND v.url = c.url
+       |  WHERE v.url IS NULL OR v.alw),
+       |votes AS (
+       |  SELECT dst_h AS host, url, count(DISTINCT src_h) AS n_referrers
+       |  FROM gated GROUP BY dst_h, url),
+       |ranked AS (
+       |  SELECT host, url, n_referrers, row_number() OVER (
+       |    PARTITION BY host ORDER BY n_referrers DESC, url) AS rnk
+       |  FROM votes)""".stripMargin
+
+  /** The q135/q136 synthetic crawl state: q130's discovered/seen
+    * frames plus the per-host robots frame serving the four
+    * byte-identical template files.
+    */
+  private def robotsFrontierFrames(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val d = docs(s, dir)
+    val hn = (col("doc_id") * 7 + 3) % 20
+    val dstH = concat(lit("src"), hn.cast("string"))
+    val discovered = d.select(col("source").as("src_h"),
+      dstH.as("dst_h"),
+      concat(lit("https://"), dstH, lit(".example.com/p/"),
+        (col("doc_id") % 40).cast("string")).as("url"))
+    val seen = d.select(
+      concat(lit("https://"), col("source"), lit(".example.com/p/"),
+        (col("doc_id") % 40).cast("string")).as("url")).distinct()
+    val robots = d.select(hn.as("hn")).distinct()
+      .select(concat(lit("src"), col("hn").cast("string")).as("host"),
+        when(col("hn") % 4 === 0, lit(robotsTxtA))
+          .when(col("hn") % 4 === 1, lit(robotsTxtB))
+          .when(col("hn") % 4 === 2, lit(robotsTxtC))
+          .otherwise(lit(robotsTxtD)).as("robots_txt"))
+    (discovered, seen, robots)
+  }
 
   /** The oracle-side twin of `synthUrl` (DuckDB SQL). */
   private val synthUrlSql: String =
@@ -641,9 +783,28 @@ object WebOps {
     * work, the same budget q133's dot-segment prefix sums spend.
     */
   def robotsGroupRules(txt: Column, userAgent: String): Column = {
-    val ua = userAgent.toLowerCase
-    // (kind, key, value): kind 2 = user-agent, 1 = allow/disallow,
-    // 0 = anything else (blank, comment-only, unknown key)
+    val withGrp = robotsLines(txt)
+    val best = robotsBestSpec(withGrp, userAgent)
+    when(best < 0, array().cast("array<struct<allow:boolean,pat:string>>"))
+      .otherwise(transform(
+        filter(withGrp, x => x.getField("kind") === 1 &&
+          length(x.getField("value")) > 0 &&
+          robotsSpecOf(withGrp, x.getField("grp"), userAgent) === best),
+        x => struct((x.getField("key") === "allow").as("allow"),
+          x.getField("value").as("pat"))))
+  }
+
+  /** The shared parse behind [[robotsGroupRules]] /
+    * [[robotsCrawlDelay]] / [[robotsSitemaps]]: the file as an array
+    * of (kind, key, value, grp) line records, where kind 2 =
+    * user-agent, 1 = allow/disallow, 0 = anything else, and grp is
+    * the RFC group id (a UA line STARTS a new group iff the nearest
+    * significant line above it is a rule or there is none —
+    * consecutive UA lines extend the current group's token set per
+    * the ABNF: startgroupline *(startgroupline / emptyline)
+    * *(rule / emptyline); blank/unknown lines never split a group).
+    */
+  private def robotsLines(txt: Column): Column = {
     val lines = transform(split(regexp_replace(txt, "\r", ""), "\n"), l => {
       val noc = regexp_replace(l, "#.*$", "")
       val key = lower(trim(regexp_extract(noc, "^\\s*([A-Za-z-]+)\\s*:", 1)))
@@ -654,10 +815,6 @@ object WebOps {
           .otherwise(lit(0)).as("kind"),
         key.as("key"), v.as("value"))
     })
-    // a UA line STARTS a new group iff the nearest significant line
-    // above it is a rule (or there is none) — consecutive UA lines
-    // extend the current group's token set (RFC ABNF: startgroupline
-    // *(startgroupline / emptyline) *(rule / emptyline))
     val starts = transform(lines, (x, i) => {
       val prevSig = filter(slice(lines, lit(1), i),
         p => p.getField("kind") > 0)
@@ -666,14 +823,21 @@ object WebOps {
           element_at(prevSig, -1).getField("kind") === 1)).cast("int")
     })
     // group id per line = prefix sum of starts (q133's technique)
-    val withGrp = transform(lines, (x, i) => struct(
+    transform(lines, (x, i) => struct(
       x.getField("kind").as("kind"), x.getField("key").as("key"),
       x.getField("value").as("value"),
       aggregate(slice(starts, lit(1), i + 1), lit(0), _ + _).as("grp")))
-    // specificity of the group containing line g: best token score
-    // over that group's UA lines ('*' → 0, case-insensitive prefix
-    // of ua → token length, else/empty → -1 = inapplicable)
-    def specOf(g: Column): Column = coalesce(array_max(transform(
+  }
+
+  /** Specificity of the group containing id `g`: best token score
+    * over that group's UA lines ('*' → 0, case-insensitive prefix of
+    * the crawler token → token length, else/empty → -1 =
+    * inapplicable).
+    */
+  private def robotsSpecOf(withGrp: Column, g: Column,
+      userAgent: String): Column = {
+    val ua = userAgent.toLowerCase
+    coalesce(array_max(transform(
       filter(withGrp, y =>
         y.getField("kind") === 2 && y.getField("grp") === g), y => {
         val tok = lower(y.getField("value"))
@@ -682,17 +846,48 @@ object WebOps {
           .when(lit(ua).substr(lit(1), length(tok)) === tok, length(tok))
           .otherwise(lit(-1))
       })), lit(-1))
-    val best = coalesce(array_max(transform(
-      filter(withGrp, x => x.getField("kind") === 2),
-      x => specOf(x.getField("grp")))), lit(-1))
-    when(best < 0, array().cast("array<struct<allow:boolean,pat:string>>"))
-      .otherwise(transform(
-        filter(withGrp, x => x.getField("kind") === 1 &&
-          length(x.getField("value")) > 0 &&
-          specOf(x.getField("grp")) === best),
-        x => struct((x.getField("key") === "allow").as("allow"),
-          x.getField("value").as("pat"))))
   }
+
+  /** Best specificity over every group in the file (−1 = no group
+    * applies to this crawler at all).
+    */
+  private def robotsBestSpec(withGrp: Column, userAgent: String): Column =
+    coalesce(array_max(transform(
+      filter(withGrp, x => x.getField("kind") === 2),
+      x => robotsSpecOf(withGrp, x.getField("grp"), userAgent))), lit(-1))
+
+  /** The applicable group's `Crawl-delay` in seconds (the de-facto
+    * extension Bing/Yandex honor; not in RFC 9309 but parsed with
+    * the same group grammar — an unknown key inside the rule run,
+    * scoped to the group like its rules). Returns the MAXIMUM
+    * numeric value across the best-specificity groups — the
+    * conservative read when merged same-token groups disagree — or
+    * null when the applicable group carries none (crawl at the
+    * crawler's own default pace). Non-numeric values are ignored
+    * rather than ANSI-throwing.
+    */
+  def robotsCrawlDelay(txt: Column, userAgent: String): Column = {
+    val withGrp = robotsLines(txt)
+    val best = robotsBestSpec(withGrp, userAgent)
+    when(best < 0, lit(null).cast("double"))
+      .otherwise(array_max(transform(
+        filter(withGrp, x => x.getField("key") === "crawl-delay" &&
+          x.getField("value").rlike("^[0-9]+(\\.[0-9]+)?$") &&
+          robotsSpecOf(withGrp, x.getField("grp"), userAgent) === best),
+        x => x.getField("value").cast("double"))))
+  }
+
+  /** Every `Sitemap:` URL in the file, in order. Sitemap records are
+    * GROUP-INDEPENDENT by the sitemaps.org protocol (they inform any
+    * crawler regardless of the user-agent context they appear in),
+    * so this reads across groups — frontier seeding can union these
+    * with the discovered-link stream.
+    */
+  def robotsSitemaps(txt: Column): Column =
+    transform(
+      filter(robotsLines(txt), x => x.getField("key") === "sitemap" &&
+        length(x.getField("value")) > 0),
+      x => x.getField("value"))
 
   /** RFC 9309 §2.2.2 rule matching against a path(+query) string:
     * every rule pattern is a path prefix with `*` wildcards and an
@@ -760,7 +955,8 @@ object WebOps {
   def crawlFrontier(discovered: DataFrame, seen: DataFrame,
       perHostK: Int = 3, seenBloomFpp: Option[Double] = None,
       robots: Option[DataFrame] = None,
-      userAgent: String = "graftbot"): DataFrame = {
+      userAgent: String = "graftbot",
+      windowSec: Option[Double] = None): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
     // both sides compare on the q103 CANONICAL key — the sidecar
     // emits raw hrefs and crawl logs vary in spelling, so a raw
@@ -827,12 +1023,35 @@ object WebOps {
     val votes = gated
       .groupBy(col("dst_h").as("host"), col("url"))
       .agg(countDistinct("src_h").as("n_referrers"))
-    votes.groupBy("host")
+    val ranked = votes.groupBy("host")
       .agg(expr(s"topk_collect(n_referrers, url, $perHostK)").as("top"))
       .select(col("host"), posexplode(col("top")))
       .select(col("host"), col("col.id").as("url"),
         col("col.score").as("n_referrers"),
         (col("pos") + 1).cast("long").as("rnk"))
+    // CRAWL-DELAY budget (q136): with `windowSec` set, each host's
+    // slot count tightens from the flat perHostK to the fetches its
+    // declared Crawl-delay permits inside one scheduling window —
+    // 1 + floor(window / delay) (the t=0 fetch plus one per elapsed
+    // delay), never more than perHostK. Hosts declaring no (or a
+    // non-positive) delay keep the flat cap. The heap state stays
+    // O(perHostK) — the tighter budget is a projection-side filter
+    // on the already-bounded top list, and the caps frame is
+    // |hosts|-sized broadcast like the rules.
+    (robots, windowSec) match {
+      case (Some(r), Some(w)) =>
+        val d = robotsCrawlDelay(col("robots_txt"), userAgent)
+        val caps = broadcast(r.select(col("host").as("c_host"),
+          when(d.isNotNull && d > 0,
+            least(lit(perHostK).cast("long"),
+              (lit(1) + floor(lit(w) / d)).cast("long")))
+            .otherwise(lit(perHostK).cast("long")).as("cap")))
+        ranked.join(caps, ranked("host") === caps("c_host"), "left")
+          .filter(col("rnk") <= coalesce(col("cap"),
+            lit(perHostK).cast("long")))
+          .drop("c_host", "cap")
+      case _ => ranked
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1059,125 +1278,49 @@ object WebOps {
     // allowed slice.
     QueryDef(
       "q135_robots_frontier",
-      s"""WITH discovered AS (
-         |  SELECT source AS src_h,
-         |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst_h,
-         |    'https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
-         |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
-         |  FROM documents),
-         |seen AS (
-         |  SELECT DISTINCT 'https://' || source || '.example.com/p/'
-         |    || CAST(doc_id % 40 AS VARCHAR) AS url
-         |  FROM documents),
-         |hostt AS (
-         |  SELECT DISTINCT (doc_id * 7 + 3) % 20 AS hn FROM documents),
-         |robt AS (
-         |  SELECT 'src' || CAST(hn AS VARCHAR) AS host,
-         |    CASE hn % 4
-         |      WHEN 0 THEN ${sqlStrLit(robotsTxtA)}
-         |      WHEN 1 THEN ${sqlStrLit(robotsTxtB)}
-         |      WHEN 2 THEN ${sqlStrLit(robotsTxtC)}
-         |      ELSE ${sqlStrLit(robotsTxtD)} END AS txt
-         |  FROM hostt),
-         |ln AS (
-         |  SELECT host,
-         |    unnest(string_split(replace(txt, chr(13), ''), chr(10))) AS raw,
-         |    generate_subscripts(
-         |      string_split(replace(txt, chr(13), ''), chr(10)), 1) AS pos
-         |  FROM robt),
-         |pl AS (
-         |  SELECT host, pos,
-         |    lower(trim(regexp_extract(regexp_replace(raw, '#.*$$', ''),
-         |      '^\\s*([A-Za-z-]+)\\s*:', 1))) AS k,
-         |    trim(regexp_extract(regexp_replace(raw, '#.*$$', ''),
-         |      '^\\s*[A-Za-z-]+\\s*:(.*)$$', 1)) AS v
-         |  FROM ln),
-         |kl AS (
-         |  SELECT *, CASE WHEN k = 'user-agent' THEN 2
-         |                 WHEN k IN ('allow', 'disallow') THEN 1
-         |                 ELSE 0 END AS kind
-         |  FROM pl),
-         |sg AS (
-         |  SELECT *, lag(kind) OVER (PARTITION BY host ORDER BY pos) AS pk
-         |  FROM kl WHERE kind > 0),
-         |st AS (
-         |  SELECT *, CASE WHEN kind = 2 AND (pk IS NULL OR pk = 1)
-         |                 THEN 1 ELSE 0 END AS s
-         |  FROM sg),
-         |gr AS (
-         |  SELECT *, sum(s) OVER (PARTITION BY host ORDER BY pos) AS grp
-         |  FROM st),
-         |spec AS (
-         |  SELECT host, grp, max(CASE WHEN lower(v) = '*' THEN 0
-         |    WHEN length(v) > 0 AND strpos('graftbot', lower(v)) = 1
-         |      THEN length(v)
-         |    ELSE -1 END) AS sp
-         |  FROM gr WHERE kind = 2 GROUP BY host, grp),
-         |bst AS (SELECT host, max(sp) AS bs FROM spec GROUP BY host),
-         |rules AS (
-         |  SELECT g.host, (g.k = 'allow') AS alw, g.v AS pat
-         |  FROM gr g
-         |  JOIN spec sp ON sp.host = g.host AND sp.grp = g.grp
-         |  JOIN bst b ON b.host = g.host
-         |  WHERE g.kind = 1 AND length(g.v) > 0
-         |    AND sp.sp = b.bs AND b.bs >= 0),
-         |fresh AS (
-         |  SELECT d.* FROM discovered d
-         |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = d.url)),
-         |cand AS (
-         |  SELECT src_h, dst_h, url,
-         |    CASE WHEN regexp_extract(url,
-         |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
-         |      THEN '/'
-         |      ELSE regexp_extract(url,
-         |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS pq
-         |  FROM fresh),
-         |m AS (
-         |  SELECT c.src_h, c.dst_h, c.url, r.alw, length(r.pat) AS plen
-         |  FROM cand c JOIN rules r ON r.host = c.dst_h
-         |  WHERE regexp_matches(c.pq,
-         |    '^' || replace(regexp_replace(
-         |      CASE WHEN r.pat LIKE '%$$'
-         |           THEN substr(r.pat, 1, length(r.pat) - 1)
-         |           ELSE r.pat END,
-         |      '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
-         |    || CASE WHEN r.pat LIKE '%$$' THEN '$$' ELSE '' END)),
-         |verdict AS (
-         |  SELECT *, row_number() OVER (PARTITION BY src_h, dst_h, url
-         |    ORDER BY plen DESC, alw DESC) AS rn
-         |  FROM m),
-         |gated AS (
-         |  SELECT c.src_h, c.dst_h, c.url
-         |  FROM cand c LEFT JOIN (SELECT * FROM verdict WHERE rn = 1) v
-         |    ON v.src_h = c.src_h AND v.dst_h = c.dst_h AND v.url = c.url
-         |  WHERE v.url IS NULL OR v.alw),
-         |votes AS (
-         |  SELECT dst_h AS host, url, count(DISTINCT src_h) AS n_referrers
-         |  FROM gated GROUP BY dst_h, url),
-         |ranked AS (
-         |  SELECT host, url, n_referrers, row_number() OVER (
-         |    PARTITION BY host ORDER BY n_referrers DESC, url) AS rnk
-         |  FROM votes)
-         |SELECT host, url, CAST(n_referrers AS BIGINT) AS n_referrers,
-         |  CAST(rnk AS BIGINT) AS rnk
-         |FROM ranked WHERE rnk <= 3 ORDER BY host, rnk""".stripMargin) { (s, dir) =>
-      val d = docs(s, dir)
-      val hn = (col("doc_id") * 7 + 3) % 20
-      val dstH = concat(lit("src"), hn.cast("string"))
-      val discovered = d.select(col("source").as("src_h"),
-        dstH.as("dst_h"),
-        concat(lit("https://"), dstH, lit(".example.com/p/"),
-          (col("doc_id") % 40).cast("string")).as("url"))
-      val seen = d.select(
-        concat(lit("https://"), col("source"), lit(".example.com/p/"),
-          (col("doc_id") % 40).cast("string")).as("url")).distinct()
-      val robots = d.select(hn.as("hn")).distinct()
-        .select(concat(lit("src"), col("hn").cast("string")).as("host"),
-          when(col("hn") % 4 === 0, lit(robotsTxtA))
-            .when(col("hn") % 4 === 1, lit(robotsTxtB))
-            .when(col("hn") % 4 === 2, lit(robotsTxtC))
-            .otherwise(lit(robotsTxtD)).as("robots_txt"))
+      robotsFrontierCtes + """
+        |SELECT host, url, CAST(n_referrers AS BIGINT) AS n_referrers,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY host, rnk""".stripMargin) { (s, dir) =>
+      val (discovered, seen, robots) = robotsFrontierFrames(s, dir)
       crawlFrontier(discovered, seen, perHostK = 3, robots = Some(robots))
+        .orderBy("host", "rnk")
+    },
+
+    // ---- q136: crawl-delay-budgeted frontier -----------------------
+    // q135 with the de-facto Crawl-delay extension applied as a
+    // per-host fetch BUDGET: inside a 4-second scheduling window a
+    // host declaring `Crawl-delay: d` yields 1 + floor(4/d) slots
+    // (capped at the flat 3) — template B's delay of 5 tightens its
+    // hosts to ONE fetch; D's non-numeric delay and the delay in D's
+    // inapplicable * group must both be ignored. The oracle extends
+    // q135's full independent parse with the delay extraction
+    // (numeric gate, group-scoped, max-of-merged-groups) and the
+    // budget arithmetic.
+    QueryDef(
+      "q136_crawl_delay_budget",
+      robotsFrontierCtes + """,
+        |dly AS (
+        |  SELECT g.host, max(CAST(g.v AS DOUBLE)) AS delay
+        |  FROM gr g
+        |  JOIN spec sp ON sp.host = g.host AND sp.grp = g.grp
+        |  JOIN bst b ON b.host = g.host
+        |  WHERE g.k = 'crawl-delay'
+        |    AND regexp_matches(g.v, '^[0-9]+(\.[0-9]+)?$')
+        |    AND sp.sp = b.bs AND b.bs >= 0
+        |  GROUP BY g.host),
+        |caps AS (
+        |  SELECT host, CASE WHEN delay > 0
+        |    THEN LEAST(3, 1 + CAST(floor(4.0 / delay) AS BIGINT)) END AS cap
+        |  FROM dly)
+        |SELECT r.host, r.url, CAST(r.n_referrers AS BIGINT) AS n_referrers,
+        |  CAST(r.rnk AS BIGINT) AS rnk
+        |FROM ranked r LEFT JOIN caps c ON c.host = r.host
+        |WHERE r.rnk <= COALESCE(c.cap, 3)
+        |ORDER BY r.host, r.rnk""".stripMargin) { (s, dir) =>
+      val (discovered, seen, robots) = robotsFrontierFrames(s, dir)
+      crawlFrontier(discovered, seen, perHostK = 3, robots = Some(robots),
+        windowSec = Some(4.0))
         .orderBy("host", "rnk")
     },
 

@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property laws for the RFC 9309 parser/matcher over GENERATED
+  * robots.txt files, checked against an INDEPENDENT plain-Scala
+  * reference: the reference parses with an imperative state machine
+  * (not the prefix-sum group assembly) and matches with a recursive
+  * glob walker (not compiled regexes), so agreement pins the spec,
+  * not the implementation. Six seeds (the repo's property-law
+  * convention), evaluated in one batch pass per law.
+  */
+class RobotsPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  // ---- the reference implementation --------------------------------
+
+  private case class RefLine(kind: Int, key: String, value: String, grp: Int)
+
+  private def refParse(txt: String): Seq[RefLine] = {
+    val kv = "^\\s*([A-Za-z-]+)\\s*:(.*)$".r
+    var grp = 0
+    var lastSig = 0 // 0 = none yet, 1 = rule, 2 = user-agent
+    txt.replace("\r", "").split("\n", -1).toSeq.map { raw =>
+      val noc = raw.replaceAll("#.*$", "")
+      val (key, v) = noc match {
+        case kv(k, rest) => (k.toLowerCase, rest.trim)
+        case _ => ("", "")
+      }
+      val kind =
+        if (key == "user-agent") 2
+        else if (key == "allow" || key == "disallow") 1
+        else 0
+      if (kind == 2 && lastSig != 2) grp += 1
+      if (kind > 0) lastSig = kind
+      RefLine(kind, key, v, grp)
+    }
+  }
+
+  private def refSpecs(parsed: Seq[RefLine], ua: String): Map[Int, Int] =
+    parsed.filter(_.kind == 2).groupBy(_.grp).map { case (g, ls) =>
+      g -> ls.map { l =>
+        val tok = l.value.toLowerCase
+        if (tok.isEmpty) -1
+        else if (tok == "*") 0
+        else if (ua.toLowerCase.startsWith(tok)) tok.length
+        else -1
+      }.max
+    }
+
+  private def refRules(txt: String, ua: String): Seq[(Boolean, String)] = {
+    val parsed = refParse(txt)
+    val specs = refSpecs(parsed, ua)
+    val best = if (specs.isEmpty) -1 else specs.values.max
+    if (best < 0) Nil
+    else parsed.filter(l => l.kind == 1 && l.value.nonEmpty &&
+      specs.getOrElse(l.grp, -1) == best)
+      .map(l => (l.key == "allow", l.value))
+  }
+
+  /** recursive glob walk: '*' wildcard, optional trailing '$' anchor,
+    * everything else (incl. a mid-pattern '$') literal; always
+    * anchored at the start.
+    */
+  private def patMatches(pat0: String, s: String): Boolean = {
+    val anchored = pat0.endsWith("$")
+    val pat = if (anchored) pat0.dropRight(1) else pat0
+    def go(pi: Int, si: Int): Boolean =
+      if (pi == pat.length) !anchored || si == s.length
+      else if (pat(pi) == '*') (si to s.length).exists(j => go(pi + 1, j))
+      else si < s.length && s(si) == pat(pi) && go(pi + 1, si + 1)
+    go(0, 0)
+  }
+
+  private def refAllowed(txt: String, ua: String, path: String): Boolean = {
+    val matched = refRules(txt, ua).filter { case (_, p) => patMatches(p, path) }
+    if (matched.isEmpty) true
+    else matched.maxBy { case (a, p) => (p.length, a) }._1
+  }
+
+  private def refDelay(txt: String, ua: String): Option[Double] = {
+    val parsed = refParse(txt)
+    val specs = refSpecs(parsed, ua)
+    val best = if (specs.isEmpty) -1 else specs.values.max
+    if (best < 0) None
+    else parsed.filter(l => l.key == "crawl-delay" &&
+      l.value.matches("^[0-9]+(\\.[0-9]+)?$") &&
+      specs.getOrElse(l.grp, -1) == best)
+      .map(_.value.toDouble).reduceOption(_ max _)
+  }
+
+  private def refSitemaps(txt: String): Seq[String] =
+    refParse(txt).filter(l => l.key == "sitemap" && l.value.nonEmpty)
+      .map(_.value)
+
+  // ---- generators ---------------------------------------------------
+
+  private val tokenGen = Gen.oneOf(
+    "*", "graftbot", "graft", "GRAFTBOT", "GraftBot", "otherbot",
+    "graftbotx", "g", "")
+  private val patGen = Gen.oneOf(
+    "/", "/a", "/a/b", "/p*", "/*.php", "/exact$", "/a$b", "/p/1",
+    "/p/1*", "/p/15$", "/search?q=*", "*", "/(x)+?", "")
+  private val lineGen: Gen[String] = Gen.frequency(
+    4 -> tokenGen.map(t => s"User-agent: $t"),
+    2 -> tokenGen.map(t => s"USER-AGENT:$t"),
+    5 -> Gen.zip(Gen.oneOf("Allow", "ALLOW", "allow"), patGen)
+      .map { case (k, p) => s"$k: $p" },
+    7 -> Gen.zip(Gen.oneOf("Disallow", "DISALLOW", "disallow"), patGen)
+      .map { case (k, p) => s"$k:$p" },
+    2 -> Gen.oneOf("", " ", "# a comment", "not a record at all"),
+    2 -> Gen.oneOf("Crawl-delay: 3", "Crawl-delay: 1.5",
+      "Crawl-delay: fast", "crawl-DELAY: 10"),
+    1 -> Gen.oneOf("Sitemap: https://x.example.com/s.xml",
+      "Sitemap: https://x.example.com/t.xml", "Sitemap:"),
+    1 -> patGen.map(p => s"Disallow: $p # trailing comment"))
+  private val fileGen: Gen[String] = for {
+    n <- Gen.choose(0, 14)
+    ls <- Gen.listOfN(n, lineGen)
+    sep <- Gen.oneOf("\n", "\r\n")
+  } yield ls.mkString(sep)
+
+  private val paths = Seq("/", "/a", "/a/b", "/index.php", "/exact",
+    "/exactly", "/p/1", "/p/15", "/p/19", "/a$b", "/search?q=x", "/(x)+?")
+
+  private val files: Seq[String] = {
+    val p = Gen.Parameters.default.withSize(30)
+    (0 until 6).flatMap(seed =>
+      (0 until 60).flatMap(i =>
+        fileGen.apply(p, Seed(seed * 1000L + i)): Option[String]))
+  }
+
+  test("generated robots files: rules, verdicts, crawl-delay, sitemaps all match the reference") {
+    assert(files.size >= 300, s"generator degenerated: ${files.size}")
+    import spark.implicits._
+    val df = files.toDF("t").select(
+      col("t"),
+      WebOps.robotsGroupRules(col("t"), "graftbot").as("r"),
+      WebOps.robotsCrawlDelay(col("t"), "graftbot").as("d"),
+      WebOps.robotsSitemaps(col("t")).as("s"),
+      array(paths.map(p =>
+        WebOps.robotsAllows(
+          WebOps.robotsGroupRules(col("t"), "graftbot"), lit(p))): _*)
+        .as("v"))
+    val got = df.collect()
+    var checked = 0
+    got.foreach { row =>
+      val txt = row.getString(0)
+      val rules = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getBoolean(0), r.getString(1)))
+      assert(rules == refRules(txt, "graftbot"),
+        s"rules mismatch on:\n$txt\ngot $rules expected ${refRules(txt, "graftbot")}")
+      val delay = if (row.isNullAt(2)) None else Some(row.getDouble(2))
+      assert(delay == refDelay(txt, "graftbot"),
+        s"delay mismatch on:\n$txt\ngot $delay expected ${refDelay(txt, "graftbot")}")
+      assert(row.getSeq[String](3) == refSitemaps(txt),
+        s"sitemaps mismatch on:\n$txt")
+      val verdicts = row.getSeq[Boolean](4)
+      paths.zip(verdicts).foreach { case (p, v) =>
+        assert(v == refAllowed(txt, "graftbot", p),
+          s"verdict mismatch on path $p of:\n$txt")
+        checked += 1
+      }
+    }
+    // the corpus must actually exercise denial, not just default-allow
+    val denied = got.count(_.getSeq[Boolean](4).contains(false))
+    assert(denied > 30, s"too few denying files to be a real test: $denied")
+    assert(checked == files.size * paths.size)
+  }
+
+  test("a second crawler token disagrees with graftbot somewhere (group selection is real)") {
+    import spark.implicits._
+    val df = files.toDF("t").select(
+      WebOps.robotsAllows(
+        WebOps.robotsGroupRules(col("t"), "graftbot"), lit("/a")).as("g"),
+      WebOps.robotsAllows(
+        WebOps.robotsGroupRules(col("t"), "unrelatedbot"), lit("/a")).as("u"),
+      col("t"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == refAllowed(r.getString(2), "unrelatedbot", "/a"))
+    }
+    assert(rows.exists(r => r.getBoolean(0) != r.getBoolean(1)),
+      "no file distinguishes the two crawlers — generator too weak")
+  }
+}

@@ -191,6 +191,37 @@ class RobotsSpec extends AnyFunSuite {
       ("open", "https://open.example.com/no")), ctl)
   }
 
+  test("crawlFrontier windowSec: Crawl-delay tightens a host's slots; no/garbage delay keeps the flat cap") {
+    import spark.implicits._
+    val discovered = Seq(
+      ("s1", "slow", "https://slow.example.com/a"),
+      ("s2", "slow", "https://slow.example.com/a"),
+      ("s1", "slow", "https://slow.example.com/b"),
+      ("s1", "fast", "https://fast.example.com/a"),
+      ("s2", "fast", "https://fast.example.com/b")
+    ).toDF("src_h", "dst_h", "url")
+    val seen = Seq("https://slow.example.com/old").toDF("url")
+    val robots = Seq(
+      // 1 + floor(4/5) = 1 slot in a 4s window
+      ("slow", "User-agent: *\nCrawl-delay: 5\nDisallow: /x"),
+      // non-numeric delay is ignored → flat cap
+      ("fast", "User-agent: *\nCrawl-delay: soonish\nDisallow: /x")
+    ).toDF("host", "robots_txt")
+    val out = WebOps.crawlFrontier(discovered, seen, perHostK = 3,
+        robots = Some(robots), windowSec = Some(4.0))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("slow", "https://slow.example.com/a"), // 2 votes beat b's 1
+      ("fast", "https://fast.example.com/a"),
+      ("fast", "https://fast.example.com/b")), out)
+    // robotsSitemaps reads across groups
+    val sm = Seq("User-agent: a\nSitemap: https://h/s1.xml\nDisallow: /\n" +
+        "User-agent: *\nSitemap: https://h/s2.xml").toDF("t")
+      .select(WebOps.robotsSitemaps(col("t")).as("s"))
+      .head().getSeq[String](0)
+    assert(sm == Seq("https://h/s1.xml", "https://h/s2.xml"), sm)
+  }
+
   test("urlPathQuery: path+query, no fragment, empty path reads as /") {
     import spark.implicits._
     val got = Seq(
