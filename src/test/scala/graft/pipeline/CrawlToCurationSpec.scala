@@ -214,5 +214,22 @@ class CrawlToCurationSpec extends AnyFunSuite {
       ("coast.example.com", "https://coast.example.com", 1L),
       ("coast.example.com", "https://coast.example.com/x", 1L)),
       plan.toSeq.toString)
+
+    // ... and the plan HONORS robots.txt when the crawl has fetched
+    // one: coast disallows /x for this crawler and declares a
+    // Crawl-delay that leaves a single slot in the window, planet
+    // serves none — the denied target dies at the gate (not by
+    // losing a slot), the budget caps coast to one fetch, and the
+    // robots-less host is untouched
+    val robots = Seq(("coast.example.com",
+      "User-agent: graftbot\nDisallow: /x\nCrawl-delay: 5\n\n" +
+        "User-agent: *\nDisallow: /")).toDF("host", "robots_txt")
+    val polite = graft.queries.WebOps.crawlFrontier(discovered, seen,
+        perHostK = 3, robots = Some(robots), windowSec = Some(4.0))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(polite.toSet == Set(
+      ("planet.example.net", "https://planet.example.net/hub", 1L),
+      ("coast.example.com", "https://coast.example.com", 1L)),
+      polite.toSeq.toString)
   }
 }
