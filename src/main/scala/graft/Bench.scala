@@ -394,6 +394,11 @@ object Bench {
     // aggregate, so this is the row that would catch a per-group
     // blowup)
     "q127_greedy_pack",
+    // best-fit-decreasing twin: same shard-local bounds as q127 but
+    // the fold carries the open-bin fill array — the probe measures
+    // that the O(bins)≤O(saltDocs) accumulator holds as group counts
+    // grow ×factor (the row that would catch a fill-array blowup)
+    "q134_bfd_pack",
     // crawl-frontier planning: ×10 docs → ×10 discovered links AND a
     // ×10 seen set — the probe measures that the anti-join +
     // count-distinct rollup + per-host heap all stay link-count-
@@ -401,7 +406,13 @@ object Bench {
     // quadratic BY DESIGN as the testbed — the production path feeds
     // ANN candidates; q128 is q36+q61 over exact survivors, probed
     // through those rows)
-    "q130_crawl_frontier")
+    "q130_crawl_frontier",
+    // robots-gated frontier: ×factor links against the SAME 20-host
+    // robots frame — the probe measures that the broadcast gate (rule
+    // parse once per host, per-row verdicts inside the scan) adds a
+    // link-count-linear projection and nothing host-joined ever
+    // shuffles the big side
+    "q135_robots_frontier")
     // q132 is deliberately NOT a standing row: its oracle-pinned
     // configuration is nprobe = |codebook| (full probe), where the
     // cell equi-join reproduces the ENTIRE pair space by construction
