@@ -2307,6 +2307,73 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- q137: minimal-token segmentation (WordPiece objective) ---
+    // The tokenizer family's OTHER objective: fewest vocabulary
+    // pieces per word (chars + top-256 weighted substrings), solved
+    // as unit-cost BFS over the word-position DAG. The oracle
+    // re-derives vocabulary induction AND the DP independently — the
+    // BFS as a true recursive CTE (states deduped on (w, pos, d),
+    // d-bounded, min at the target position = shortest path since
+    // every edge costs 1) — then re-weights by per-source word
+    // occurrences into exact-integer fertility basis points.
+    QueryDef(
+      "q137_min_token_segment",
+      """WITH RECURSIVE tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT source, w, count(*) AS cnt FROM tok
+        |  WHERE len(w) <= 24 GROUP BY source, w),
+        |dw AS (SELECT w, sum(cnt) AS wcnt FROM tf GROUP BY w),
+        |pc0 AS (
+        |  SELECT wcnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+        |    i -> list_filter(list_transform([2, 3, 4], L ->
+        |      CASE WHEN i + L - 1 <= len(w) THEN substr(w, i, L) END),
+        |      x -> x IS NOT NULL)))) AS piece
+        |  FROM dw),
+        |pc AS (SELECT piece, sum(wcnt) AS pfreq FROM pc0 GROUP BY piece),
+        |topp AS (
+        |  SELECT piece FROM (
+        |    SELECT piece, row_number() OVER (ORDER BY pfreq DESC, piece)
+        |      AS rn FROM pc) z
+        |  WHERE rn <= 256),
+        |ch AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(w) + 1),
+        |    i -> substr(w, i, 1))) AS piece
+        |  FROM dw),
+        |vocab AS (SELECT piece FROM topp UNION SELECT piece FROM ch),
+        |ed0 AS (
+        |  SELECT w, unnest(flatten(list_transform(range(1, len(w) + 1),
+        |    i -> list_filter(list_transform([1, 2, 3, 4], L ->
+        |      CASE WHEN i + L - 1 <= len(w)
+        |           THEN struct_pack(f := i - 1, t := i - 1 + L,
+        |                            piece := substr(w, i, L)) END),
+        |      x -> x IS NOT NULL)))) AS e
+        |  FROM dw),
+        |edges AS (
+        |  SELECT e0.w, struct_extract(e0.e, 'f') AS f,
+        |    struct_extract(e0.e, 't') AS t
+        |  FROM ed0 e0 JOIN vocab v ON v.piece = struct_extract(e0.e, 'piece')),
+        |bfs(w, pos, d) AS (
+        |  SELECT w, 0, 0 FROM dw
+        |  UNION
+        |  SELECT e.w, e.t, b.d + 1
+        |  FROM bfs b JOIN edges e ON e.w = b.w AND e.f = b.pos
+        |  WHERE b.d < 24),
+        |nt AS (
+        |  SELECT b.w, min(b.d) AS ntok
+        |  FROM bfs b JOIN dw d ON d.w = b.w AND b.pos = len(d.w)
+        |  GROUP BY b.w)
+        |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |  CAST(sum(cnt * ntok) AS BIGINT) AS n_pieces,
+        |  CAST((sum(cnt * ntok) * 10000) // sum(cnt) AS BIGINT) AS fert_bp
+        |FROM tf JOIN nt USING (w)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      minTokenSegment(docs(s, dir)).orderBy("source")
+    },
+
     // ---- q119: C4 lexicon page gate ------------------------------
     // The blocklist page rule next to q102's line rules: any page
     // containing a blocklisted token drops wholesale. The demo
@@ -2805,6 +2872,123 @@ object TextOps {
       .groupBy("pair").agg(sum("wc").as("cnt"))
       .orderBy(desc("cnt"), asc("pair"))
       .limit(topK)
+  }
+
+  /** MINIMAL-TOKEN segmentation costs per distinct word (the
+    * WordPiece-family objective BPE does not cover: segment each
+    * word into the FEWEST vocabulary pieces, vocabulary = every
+    * single character plus the `vocabTopK` most frequent 2..
+    * `maxPieceLen`-char substrings weighted by word frequency —
+    * single chars guarantee segmentability, so the DP always
+    * terminates with an exact integer answer).
+    *
+    * Scale shape (the q113 discipline): EVERYTHING segmentation-side
+    * runs on the DISTINCT-word table, never the corpus — candidate
+    * pieces explode Σ\|w\|·maxPieceLen rows over distinct words, the
+    * vocabulary is one partial-aggregable rollup + a bounded top-K,
+    * and the DP is unit-cost BFS over the word-position DAG
+    * ((word, from, to) edges through in-vocab pieces), iterated as
+    * join+min rounds on a Σ\|w\|-sized frame with a convergence
+    * early-stop (q114's converged-PageRank driver pattern; rounds ≤
+    * the longest analyzed word, and the 1-row convergence probe is
+    * the only driver traffic). Words longer than `maxWordLen` are
+    * excluded from the ANALYSIS on both engines — the documented
+    * bound that keeps the oracle's recursive BFS finite.
+    *
+    * Returns (w, ntok): the minimal piece count per analyzed
+    * distinct word.
+    */
+  def minTokenWordCosts(docsFrame: DataFrame, vocabTopK: Int = 256,
+      maxPieceLen: Int = 4, maxWordLen: Int = 24): DataFrame = {
+    require(vocabTopK >= 1 && maxPieceLen >= 2 && maxWordLen >= 1)
+    val dw = docsFrame.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    dw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // multi-char candidate pieces, weighted by word frequency; the
+    // CASE-null + filter guard keeps sequence() ascending-only
+    // (Spark's sequence DESCENDS on start > stop — the q70 lesson)
+    val pieceFreq = dw.select(col("wcnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  filter(transform(sequence(2, $maxPieceLen), L ->
+           |    CASE WHEN i + L - 1 <= length(w)
+           |         THEN substring(w, i, L) END),
+           |  x -> x IS NOT NULL)))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("pfreq"))
+      .orderBy(desc("pfreq"), asc("piece"))
+      .limit(vocabTopK)
+      .select("piece")
+    val chars = dw.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("piece")).distinct()
+    val vocab = pieceFreq.union(chars).distinct()
+
+    // the word-position DAG: an edge (from, to) per in-vocab piece
+    val cand = dw.select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  filter(transform(sequence(1, $maxPieceLen), L ->
+           |    CASE WHEN i + L - 1 <= length(w)
+           |         THEN struct(i - 1 AS f, i - 1 + L AS t,
+           |                     substring(w, i, L) AS piece) END),
+           |  x -> x IS NOT NULL)))""".stripMargin)).as("e"))
+      .select(col("w"), col("e.f").as("from"), col("e.t").as("to"),
+        col("e.piece").as("piece"))
+    val edges = cand.join(vocab, Seq("piece")).select("w", "from", "to")
+    edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // unit-cost BFS, kept-min per (w, pos), converged early-stop
+    var dist = dw.select(col("w"), lit(0).as("pos"), lit(0L).as("d"))
+    var signature = (-1L, -1L)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxWordLen) {
+      val step = dist.alias("dst")
+        .join(edges.alias("ed"),
+          col("dst.w") === col("ed.w") && col("dst.pos") === col("ed.from"))
+        .select(col("dst.w").as("w"), col("ed.to").as("pos"),
+          (col("dst.d") + 1).as("d"))
+      // localCheckpoint per round: the union-join-rollup lineage
+      // would otherwise nest exponentially across rounds (the q61
+      // label-propagation lesson — the blocks are tiny, the PLAN is
+      // the hazard)
+      val next = dist.union(step).groupBy("w", "pos")
+        .agg(min("d").as("d"))
+        .localCheckpoint()
+      val probe = next.agg(count(lit(1)), sum("d")).head()
+      val sig = (probe.getLong(0), probe.getLong(1))
+      converged = sig == signature
+      signature = sig
+      dist = next
+      round += 1
+    }
+    dist.alias("dst")
+      .join(dw.alias("dw"), col("dst.w") === col("dw.w") &&
+        col("dst.pos") === length(col("dw.w")))
+      .select(col("dst.w").as("w"), col("dst.d").as("ntok"))
+  }
+
+  /** q137's operator: the per-source fertility report of
+    * [[minTokenWordCosts]] — word occurrences weighted back in (the
+    * corpus is touched exactly twice: the word count and nothing
+    * else; the join-back runs on the (source, word) count table, not
+    * raw text), with fertility in exact integer basis points so the
+    * compare is engine-portable.
+    */
+  def minTokenSegment(docsFrame: DataFrame, vocabTopK: Int = 256,
+      maxPieceLen: Int = 4, maxWordLen: Int = 24): DataFrame = {
+    val tf = docsFrame
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val costs = minTokenWordCosts(docsFrame, vocabTopK, maxPieceLen,
+      maxWordLen)
+    tf.join(costs, Seq("w"))
+      .groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_words"),
+        sum(col("cnt") * col("ntok")).cast("long").as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 10000 div n_words").as("fert_bp"))
   }
 
   /** q113's operator: ITERATIVE BPE tokenizer training (Sennrich et

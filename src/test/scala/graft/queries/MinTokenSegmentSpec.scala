@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q137's minimal-token segmentation against an INDEPENDENT
+  * plain-Scala reference: vocabulary induction re-derived with plain
+  * collections and the DP as classic bottom-up O(n·L) array walking
+  * (not BFS), so agreement pins the objective, not the
+  * implementation. Includes the case the objective exists for —
+  * a word where greedy longest-match-first pays MORE pieces than
+  * the DP optimum.
+  */
+class MinTokenSegmentSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  /** reference vocab: single chars + top-K (freq desc, piece asc)
+    * multi-char substrings weighted by word frequency
+    */
+  private def refVocab(wcnt: Map[String, Long], topK: Int,
+      maxPieceLen: Int): Set[String] = {
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wcnt; l <- 2 to maxPieceLen; i <- 0 to w.length - l)
+      freq(w.substring(i, i + l)) = freq.getOrElse(w.substring(i, i + l), 0L) + c
+    val top = freq.toSeq.sortBy { case (p, f) => (-f, p) }.take(topK)
+      .map(_._1).toSet
+    top ++ wcnt.keys.flatMap(_.map(_.toString))
+  }
+
+  /** classic bottom-up DP: dp(i) = min pieces covering the first i
+    * chars; Int.MaxValue = unreachable (never happens — chars are
+    * always in vocab)
+    */
+  private def refCost(w: String, vocab: Set[String], maxPieceLen: Int): Int = {
+    val dp = Array.fill(w.length + 1)(Int.MaxValue)
+    dp(0) = 0
+    for (i <- 1 to w.length; l <- 1 to math.min(maxPieceLen, i)
+         if dp(i - l) != Int.MaxValue && vocab(w.substring(i - l, i)))
+      dp(i) = math.min(dp(i), dp(i - l) + 1)
+    dp(w.length)
+  }
+
+  private def greedyCost(w: String, vocab: Set[String], maxPieceLen: Int): Int = {
+    var i = 0; var n = 0
+    while (i < w.length) {
+      val l = (math.min(maxPieceLen, w.length - i) to 1 by -1)
+        .find(l => vocab(w.substring(i, i + l))).get
+      i += l; n += 1
+    }
+    n
+  }
+
+  private def sparkCosts(words: Seq[String], topK: Int): Map[String, Long] = {
+    import spark.implicits._
+    val docs = words.mkString(" ")
+    TextOps.minTokenWordCosts(Seq(docs).toDF("text"), vocabTopK = topK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("DP beats greedy longest-match where it should, and matches the reference") {
+    // corpus weights force vocab ⊇ {aa, abb} but NOT bb at topK=3
+    // (freqs: aa 51 > ab 41 = abb 41 = bb 41, ties break piece-asc
+    // so ab and abb make the cut, bb does not); word 'aabb' then
+    // costs 3 under greedy longest-first (aa|b|b — bb unavailable)
+    // but 2 under the DP (a|abb)
+    val words = Seq.fill(50)("aa") ++ Seq.fill(40)("abb") ++ Seq("aabb")
+    val wcnt = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = refVocab(wcnt, topK = 3, maxPieceLen = 4)
+    assert(vocab.intersect(Set("aa", "abb", "bb")) == Set("aa", "abb"),
+      vocab)
+    assert(greedyCost("aabb", vocab, 4) == 3)
+    assert(refCost("aabb", vocab, 4) == 2)
+    val got = sparkCosts(words, topK = 3)
+    assert(got("aabb") == 2L, got)
+    assert(got == wcnt.keys.map(w =>
+      w -> refCost(w, vocab, 4).toLong).toMap, got)
+    assert(got("aa") == 1L && got("abb") == 1L, got)
+  }
+
+  test("generated corpora: every analyzed word matches the reference DP (6 seeds)") {
+    val wordGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    for (seed <- 0 until 6) {
+      val p = Gen.Parameters.default
+      val words = (0 until 120).flatMap(i =>
+        wordGen.apply(p, Seed(seed * 7919L + i)): Option[String])
+      assert(words.size >= 100, s"generator degenerated: ${words.size}")
+      val wcnt = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val vocab = refVocab(wcnt, topK = 8, maxPieceLen = 4)
+      val expected = wcnt.keys.map(w =>
+        w -> refCost(w, vocab, 4).toLong).toMap
+      val got = sparkCosts(words, topK = 8)
+      assert(got == expected,
+        s"seed $seed mismatch: ${got.toSeq.diff(expected.toSeq)}")
+      // coverage guarantee: chars are always vocab, so no word is
+      // unreachable
+      assert(got.values.forall(_ >= 1))
+    }
+  }
+
+  test("maxWordLen bounds the analysis on both the cost and report sides") {
+    import spark.implicits._
+    val docs = Seq("short short toolongwordxxxxxxxxxxxxxxxxxxxxxxxxxx ok")
+      .toDF("text")
+    val costs = TextOps.minTokenWordCosts(docs, vocabTopK = 4)
+      .collect().map(_.getString(0)).toSet
+    assert(costs == Set("short", "ok"), costs)
+    val rep = TextOps.minTokenSegment(
+        docs.withColumn("source", lit("s0")), vocabTopK = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rep == Seq(("s0", 3L)), rep) // 2×short + ok, long word excluded
+  }
+}
