@@ -412,7 +412,13 @@ object Bench {
     // parse once per host, per-row verdicts inside the scan) adds a
     // link-count-linear projection and nothing host-joined ever
     // shuffles the big side
-    "q135_robots_frontier")
+    "q135_robots_frontier",
+    // minimal-token segmentation: ScaleOps' suffix-perturbed copies
+    // grow the DISTINCT-word table ×factor, so the probe measures
+    // the claim that vocabulary induction, the edge build, and the
+    // BFS rounds are all word-table-bounded (the corpus is touched
+    // only by the two word counts)
+    "q137_min_token_segment")
     // q132 is deliberately NOT a standing row: its oracle-pinned
     // configuration is nprobe = |codebook| (full probe), where the
     // cell equi-join reproduces the ENTIRE pair space by construction

@@ -2955,7 +2955,8 @@ object TextOps {
       val next = dist.union(step).groupBy("w", "pos")
         .agg(min("d").as("d"))
         .localCheckpoint()
-      val probe = next.agg(count(lit(1)), sum("d")).head()
+      val probe = next
+        .agg(count(lit(1)), coalesce(sum("d"), lit(0L))).head()
       val sig = (probe.getLong(0), probe.getLong(1))
       converged = sig == signature
       signature = sig
