@@ -917,6 +917,14 @@ object WebOps {
     bestRule.isNull || bestRule.getField("allow")
   }
 
+  /** q58's broadcast size gate applied to the robots frame: up to
+    * this many (host, robots_txt) rows ship broadcast into the
+    * frontier gate; a larger host set degrades to a shuffle
+    * equi-join (AQE-negotiated) instead of forcing a broadcast that
+    * would not fit.
+    */
+  val MaxBroadcastRobotsHosts = 1000000L
+
   /** The path+query a robots rule matches against (RFC 9309 matches
     * on the path with the query appended; the fragment never reaches
     * the server). An empty path reads as "/".
@@ -1008,13 +1016,20 @@ object WebOps {
     // consume one of its host's k slots. The robots frame is one
     // (host, robots_txt) row per crawled host — |hosts|-sized, tiny
     // next to the link stream — so it ships broadcast and the gate
-    // stays inside the discovered scan. Rules parse ONCE per robots
-    // row ([[robotsGroupRules]]); a host absent from the frame (no
+    // stays inside the discovered scan, behind the q58 size gate: a
+    // web-scale host set past MaxBroadcastRobotsHosts degrades to a
+    // shuffle equi-join instead of OOMing executors on a forced
+    // broadcast (the count is one scan of the hosts table, free next
+    // to the link stream). Rules parse ONCE per robots row
+    // ([[robotsGroupRules]]); a host absent from the frame (no
     // robots.txt served) is allow-all, per the RFC's unreachable-
     // robots rule.
+    lazy val robotsSmall =
+      robots.exists(_.count() <= MaxBroadcastRobotsHosts)
     val gated = robots.fold(fresh) { r =>
-      val rr = broadcast(r.select(col("host").as("r_host"),
-        robotsGroupRules(col("robots_txt"), userAgent).as("r_rules")))
+      val rr0 = r.select(col("host").as("r_host"),
+        robotsGroupRules(col("robots_txt"), userAgent).as("r_rules"))
+      val rr = if (robotsSmall) broadcast(rr0) else rr0
       fresh.join(rr, fresh("dst_h") === rr("r_host"), "left")
         .filter(col("r_rules").isNull ||
           robotsAllows(col("r_rules"), urlPathQuery(col("url"))))
@@ -1041,11 +1056,12 @@ object WebOps {
     (robots, windowSec) match {
       case (Some(r), Some(w)) =>
         val d = robotsCrawlDelay(col("robots_txt"), userAgent)
-        val caps = broadcast(r.select(col("host").as("c_host"),
+        val caps0 = r.select(col("host").as("c_host"),
           when(d.isNotNull && d > 0,
             least(lit(perHostK).cast("long"),
               (lit(1) + floor(lit(w) / d)).cast("long")))
-            .otherwise(lit(perHostK).cast("long")).as("cap")))
+            .otherwise(lit(perHostK).cast("long")).as("cap"))
+        val caps = if (robotsSmall) broadcast(caps0) else caps0
         ranked.join(caps, ranked("host") === caps("c_host"), "left")
           .filter(col("rnk") <= coalesce(col("cap"),
             lit(perHostK).cast("long")))
