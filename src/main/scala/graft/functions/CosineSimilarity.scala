@@ -95,6 +95,10 @@ object GraftFunctions {
       exprs => SimHash64(exprs(0)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_resolve",
+      exprs => UrlResolve(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash8",
       exprs => MinHash8(exprs(0)),
       "scala_udf")

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The imperative twin of `WebOps.resolveUrlDeclarative` — RFC 3986
+  * §5 reference resolution as one static walk over the two strings.
+  *
+  * The declarative HOF form is the SPEC (and the DuckDB oracle's
+  * shape), but higher-order expressions evaluate interpreted — at
+  * ~9 hrefs/page its ~500-node tree costs ~20 ms per document, which
+  * made link resolution the single most expensive projection in the
+  * repo (q133 at 118 s/5k docs — 40% of the whole headline bench).
+  * This is the bpe_encode/cosine_sim move, preference tier (b):
+  * identical semantics, one short branchy function inside
+  * whole-stage codegen. Parity with the declarative form is
+  * property-pinned over generated base/href corpora plus the RFC
+  * §5.4 battery (UrlResolvePropertySpec).
+  *
+  * One documented divergence: a NULL base with an absolute `ref`
+  * returns NULL here (null-intolerant expression), where the
+  * declarative when-chain returns the absolute ref. No caller
+  * resolves against a null base — the WARC intake DLQs URI-less
+  * records before links are extracted.
+  */
+object UrlResolver {
+
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isSchemeChar(c: Char): Boolean =
+    isAlpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+
+  /** Index of the ':' closing a leading `scheme:` token, or -1. */
+  private def schemeEnd(s: String): Int = {
+    if (s.isEmpty || !isAlpha(s.charAt(0))) return -1
+    var i = 1
+    while (i < s.length && isSchemeChar(s.charAt(i))) i += 1
+    if (i < s.length && s.charAt(i) == ':') i else -1
+  }
+
+  /** §5.2.4 remove_dot_segments over an absolute path — the same
+    * suffix-min formulation as the declarative twin (a segment
+    * survives iff no later prefix sum dips below its own), ported
+    * literally so the two agree on every corner (interior empty
+    * segments poppable, trailing `.`/`..`/`/` keeps the slash,
+    * leading `..` at root dropped).
+    */
+  private[graft] def removeDotSegments(p: String): String = {
+    val raw = p.split("/", -1)
+    val endsSlash = p.endsWith("/")
+    val lastRaw = raw(raw.length - 1)
+    val trailing = endsSlash || lastRaw == "." || lastRaw == ".."
+    val nSeg = (raw.length - 1) - (if (endsSlash) 1 else 0)
+    if (nSeg <= 0) return "/"
+    val segs = new Array[String](nSeg)
+    System.arraycopy(raw, 1, segs, 0, nSeg)
+    val sums = new Array[Int](nSeg)
+    var acc = 0
+    var i = 0
+    while (i < nSeg) {
+      val s = segs(i)
+      acc += (if (s == "..") -1 else if (s == ".") 0 else 1)
+      sums(i) = acc
+      i += 1
+    }
+    val sufMin = new Array[Int](nSeg + 1)
+    sufMin(nSeg) = Int.MaxValue
+    i = nSeg - 1
+    while (i >= 0) { sufMin(i) = math.min(sufMin(i + 1), sums(i)); i -= 1 }
+    val sb = new java.lang.StringBuilder(p.length)
+    var kept = 0
+    i = 0
+    while (i < nSeg) {
+      val s = segs(i)
+      if (s != "." && s != ".." && sufMin(i + 1) >= sums(i)) {
+        sb.append('/').append(s)
+        kept += 1
+      }
+      i += 1
+    }
+    if (kept == 0) "/"
+    else if (trailing) sb.append('/').toString
+    else sb.toString
+  }
+
+  /** §5 resolution; returns null for an unresolvable base (no
+    * `scheme://`). Mirrors the declarative when-chain branch for
+    * branch, including the canonicalizeUrl query rule (the first `?`
+    * BEFORE any `#` opens the query) and fragment dropping.
+    */
+  def resolve(base: String, ref: String): String = {
+    if (schemeEnd(ref) >= 0) return ref
+    val se = schemeEnd(base)
+    if (se < 0 || se + 2 >= base.length ||
+      base.charAt(se + 1) != '/' || base.charAt(se + 2) != '/') return null
+    val bScheme = base.substring(0, se)
+    var i = se + 3
+    val authStart = i
+    while (i < base.length && base.charAt(i) != '/' &&
+      base.charAt(i) != '?' && base.charAt(i) != '#') i += 1
+    val bAuth = base.substring(authStart, i)
+    val pathStart = i
+    while (i < base.length && base.charAt(i) != '?' &&
+      base.charAt(i) != '#') i += 1
+    val bPath = base.substring(pathStart, i)
+    val root = bScheme + "://" + bAuth
+
+    val hashIdx = ref.indexOf('#')
+    val qIdxRaw = ref.indexOf('?')
+    val qIdx = if (qIdxRaw >= 0 && (hashIdx < 0 || qIdxRaw < hashIdx))
+      qIdxRaw else -1
+    val qPart = if (qIdx >= 0) {
+      val end = if (hashIdx >= 0) hashIdx else ref.length
+      if (end > qIdx + 1) "?" + ref.substring(qIdx + 1, end) else ""
+    } else ""
+
+    if (ref.startsWith("//")) {
+      var j = 2
+      val as = j
+      while (j < ref.length && ref.charAt(j) != '/' &&
+        ref.charAt(j) != '?' && ref.charAt(j) != '#') j += 1
+      val ppAuth = ref.substring(as, j)
+      val ps = j
+      while (j < ref.length && ref.charAt(j) != '?' &&
+        ref.charAt(j) != '#') j += 1
+      val ppPath = ref.substring(ps, j)
+      return bScheme + "://" + ppAuth +
+        (if (ppPath.isEmpty) "" else removeDotSegments(ppPath)) + qPart
+    }
+    if (ref.startsWith("#")) {
+      val h = base.indexOf('#')
+      return if (h < 0) base else base.substring(0, h)
+    }
+    var k = 0
+    while (k < ref.length && ref.charAt(k) != '?' &&
+      ref.charAt(k) != '#') k += 1
+    val hPath = ref.substring(0, k)
+    if (hPath.isEmpty) return root + bPath + qPart
+    if (hPath.charAt(0) == '/')
+      return root + removeDotSegments(hPath) + qPart
+    val slash = bPath.lastIndexOf('/')
+    val bDir = if (slash < 0) "/" else bPath.substring(0, slash + 1)
+    root + removeDotSegments(bDir + hPath) + qPart
+  }
+
+  /** UTF8String entry point for eval and generated code. */
+  def resolveU(base: UTF8String, ref: UTF8String): UTF8String = {
+    val out = resolve(base.toString, ref.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+}
+
+/** `url_resolve(base, ref)` — [[UrlResolver.resolve]] as a native
+  * binary expression (string, string) → string, null on null input
+  * or an unresolvable base.
+  */
+case class UrlResolve(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"url_resolve expects (string, string), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_resolve"
+
+  override def nullSafeEval(b: Any, r: Any): Any =
+    UrlResolver.resolveU(b.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) => s"""
+       |${ev.value} = graft.functions.UrlResolver.resolveU($b, $r);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolve =
+    copy(left = newLeft, right = newRight)
+}

@@ -706,8 +706,28 @@ object WebOps {
     * base fragments for the same reason). A base with no
     * `scheme://` is unresolvable → NULL (callers filter). Scheme
     * case is preserved; canonicalization is the NEXT stage's job.
+    *
+    * Since r15 this Column is the NATIVE
+    * [[graft.functions.UrlResolve]] expression (the bpe_encode
+    * move): the HOF chain below ([[resolveUrlDeclarative]]) is the
+    * SPEC and the oracle's shape, but higher-order expressions
+    * evaluate interpreted and its ~500-node tree cost ~20 ms/page at
+    * ~9 hrefs — 40% of the whole headline bench. The native walk is
+    * property-pinned equal to the declarative twin
+    * (UrlResolvePropertySpec) and drops q133 from 118 s to
+    * sub-second at sf0.1.
     */
   def resolveUrl(base: Column, ref: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.UrlResolve(
+      ColumnBridge.expression(base), ColumnBridge.expression(ref)))
+  }
+
+  /** The declarative HOF twin of [[resolveUrl]] — kept as the
+    * executable spec the property laws compare against (and the
+    * shape the q133 oracle mirrors in SQL).
+    */
+  private[graft] def resolveUrlDeclarative(base: Column, ref: Column): Column = {
     val refScheme = regexp_extract(ref, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     val bScheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val bAuth = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity laws for the native `url_resolve` expression against the
+  * declarative HOF twin (the executable spec): every (base, ref)
+  * pair from a generated gauntlet must resolve identically through
+  * both paths — the RFC §5.4 battery in WebOpsSpec pins the
+  * semantics, this spec pins that the fast path IS the spec on
+  * thousands of adversarial combinations (dot-segment storms, empty
+  * refs, bare '?'/'#', scheme-ish tokens, unresolvable bases,
+  * interior empty segments, queries after fragments).
+  */
+class UrlResolvePropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private val baseGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+    host <- Gen.oneOf("a.example.com", "B.example.COM:443", "x", "")
+    path <- Gen.oneOf("", "/", "/a/b/c", "/a/b/", "/a//b", "/d1/d2/doc",
+      "/trailing/./", "/up/../x")
+    q <- Gen.oneOf("", "?q=1&b=2", "?")
+    f <- Gen.oneOf("", "#frag", "#f?notquery")
+  } yield s"$scheme://$host$path$q$f"
+
+  private val badBaseGen: Gen[String] = Gen.oneOf(
+    "", "nota url", "relative/path", "1http://x.com/a", "http:/x.com/a",
+    "http:x", "//host.only/p")
+
+  private val refGen: Gen[String] = Gen.oneOf(
+    "", ".", "..", "./", "../", "g", "g/", "./g", "../g", "../../g",
+    "../../../../g", "g/./h", "g/../h", "a//b", "/", "/g", "/g/../h",
+    "//cdn.example.net/lib/../p.js", "//h", "//", "?y=2", "?", "#s",
+    "#", "?y#z", "#z?y", "g?y", "g#s", "g?y#s", "mailto:team@x.org",
+    "HTTPS://abs.example.org/x/../y", "a+b-c.d:opaque", "1abc:notscheme",
+    ":colonfirst", "g;p=1", "g..", "..g", ".hidden", "%2E/g",
+    "deep/a/../b", "x/../../y", "trailing/..", "trailing/.")
+
+  test("native url_resolve == declarative spec over the generated gauntlet") {
+    import spark.implicits._
+    val p = Gen.Parameters.default
+    val bases = ((0 until 40).flatMap(i =>
+      baseGen.apply(p, Seed(100L + i)): Option[String]) ++
+      (0 until 10).flatMap(i =>
+        badBaseGen.apply(p, Seed(900L + i)): Option[String])).distinct
+    val refs = ((0 until 80).flatMap(i =>
+      refGen.apply(p, Seed(7000L + i)): Option[String])).distinct
+    assert(bases.size >= 20 && refs.size >= 25,
+      s"generators degenerated: ${bases.size} × ${refs.size}")
+    val pairs = for (b <- bases; r <- refs) yield (b, r)
+    val df = pairs.toDF("base", "ref")
+      .withColumn("fast", WebOps.resolveUrl(col("base"), col("ref")))
+      .withColumn("spec",
+        WebOps.resolveUrlDeclarative(col("base"), col("ref")))
+    val bad = df.filter(
+      (col("fast").isNull =!= col("spec").isNull) ||
+        (col("fast").isNotNull && col("fast") =!= col("spec")))
+      .collect()
+    assert(bad.isEmpty,
+      s"${bad.length} divergences, first 5:\n" +
+        bad.take(5).map(_.toString).mkString("\n"))
+    // the gauntlet must actually exercise both outcomes
+    val n = df.count()
+    val nulls = df.filter(col("fast").isNull).count()
+    assert(n == pairs.size && nulls > 0 && nulls < n,
+      s"degenerate gauntlet: $nulls/$n null")
+  }
+}
