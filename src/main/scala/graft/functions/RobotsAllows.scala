@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The imperative twin of `WebOps.robotsAllowsDeclarative` — RFC
+  * 9309 longest-match rule evaluation with a COMPILED-PATTERN CACHE.
+  *
+  * The declarative form compiles each rule's regex per row per rule
+  * (`rlike` with a computed pattern defeats Spark's last-regex
+  * cache the moment a row carries more than one rule), which put the
+  * robots gate at ~0.4 ms per link — fine at 5k links, the dominant
+  * gate cost at crawl scale. Here each DISTINCT rule pattern
+  * compiles once per executor (the rules frame is \|hosts\|-sized,
+  * so the cache is bounded by the distinct patterns the crawl's
+  * hosts declare; a defensive cap evicts wholesale if a pathological
+  * corpus exceeds it). Matching itself is the same anchored regex
+  * the declarative twin builds: specials escaped, `*` → `.*`,
+  * trailing `$` an end anchor; verdict = max (raw pattern length,
+  * allow) over matching rules, allowed when nothing matches.
+  *
+  * Verification: the RFC battery and the 360-file property law
+  * (independent state-machine + recursive-glob reference) both run
+  * through this expression, and a dedicated parity law pins it equal
+  * to the declarative twin on generated rule sets.
+  */
+object RobotsMatcher {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private val MaxCachedPatterns = 100000
+
+  private def compiled(pat: String): java.util.regex.Pattern = {
+    val got = cache.get(pat)
+    if (got != null) return got
+    val anchored = pat.endsWith("$")
+    val core = if (anchored) pat.substring(0, pat.length - 1) else pat
+    val sb = new java.lang.StringBuilder(core.length + 8)
+    sb.append('^')
+    var i = 0
+    while (i < core.length) {
+      val c = core.charAt(i)
+      if (c == '*') sb.append(".*")
+      else {
+        if (".^$+?(){}[]|\\".indexOf(c) >= 0) sb.append('\\')
+        sb.append(c)
+      }
+      i += 1
+    }
+    if (anchored) sb.append('$')
+    val p = java.util.regex.Pattern.compile(sb.toString)
+    if (cache.size() >= MaxCachedPatterns) cache.clear()
+    cache.putIfAbsent(pat, p)
+    p
+  }
+
+  /** rules = array<struct<allow boolean, pat string>>; returns the
+    * RFC verdict for pathq. Null rule entries / null fields never
+    * occur (the parser builds the array), but are skipped
+    * defensively.
+    */
+  def allows(rules: ArrayData, pathq: UTF8String): Boolean = {
+    val path = pathq.toString
+    val n = rules.numElements()
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < n) {
+      if (!rules.isNullAt(i)) {
+        val row = rules.getStruct(i, 2)
+        if (!row.isNullAt(1)) {
+          val pat = row.getUTF8String(1).toString
+          // find() with the '^' anchor == rlike's unanchored search
+          // of an anchored pattern
+          if (compiled(pat).matcher(path).find()) {
+            val allow = !row.isNullAt(0) && row.getBoolean(0)
+            val len = pat.length
+            if (len > bestLen || (len == bestLen && allow && !bestAllow)) {
+              bestLen = len
+              bestAllow = allow
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    bestLen < 0 || bestAllow
+  }
+}
+
+/** `robots_allows(rules, path)` — [[RobotsMatcher.allows]] as a
+  * native binary expression.
+  */
+case class RobotsAllows(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StructType(Array(a, p)), _), StringType)
+        if a.dataType == BooleanType && p.dataType == StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"robots_allows expects (array<struct<allow boolean, pat string>>, string), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_allows"
+
+  override def nullSafeEval(rules: Any, path: Any): Any =
+    RobotsMatcher.allows(rules.asInstanceOf[ArrayData],
+      path.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (rules, path) => s"""
+       |${ev.value} = graft.functions.RobotsMatcher.allows($rules, $path);
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsAllows =
+    copy(left = newLeft, right = newRight)
+}

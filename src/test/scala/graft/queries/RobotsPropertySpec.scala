@@ -181,6 +181,23 @@ class RobotsPropertySpec extends AnyFunSuite {
     assert(checked == files.size * paths.size)
   }
 
+  test("native robots_allows == declarative spec on every generated file × path") {
+    import spark.implicits._
+    val df = files.toDF("t").select(
+      array(paths.map(p =>
+        WebOps.robotsAllows(
+          WebOps.robotsGroupRules(col("t"), "graftbot"), lit(p))): _*)
+        .as("fast"),
+      array(paths.map(p =>
+        WebOps.robotsAllowsDeclarative(
+          WebOps.robotsGroupRules(col("t"), "graftbot"), lit(p))): _*)
+        .as("spec"),
+      col("t"))
+    val bad = df.filter(col("fast") =!= col("spec")).collect()
+    assert(bad.isEmpty,
+      s"${bad.length} divergences, first:\n${bad.headOption.map(_.getString(2))}")
+  }
+
   test("a second crawler token disagrees with graftbot somewhere (group selection is real)") {
     import spark.implicits._
     val df = files.toDF("t").select(
