@@ -434,7 +434,9 @@ object WebOps {
     "User-agent: GraftBot\nDisallow: /p/2\nCrawl-delay: 5\n" +
       "Allow: /p/22\n\nUser-agent: *\nDisallow: /\n"
   private val robotsTxtC =
-    "# members only\nUser-agent: otherbot\nDisallow: /\n"
+    "Sitemap: https://cmaps.example.com/a.xml\n# members only\n" +
+      "User-agent: otherbot\nDisallow: /\n" +
+      "Sitemap: https://cmaps.example.com/b.xml\n"
   private val robotsTxtD =
     "User-Agent: graftbot\r\nUser-agent: extra\r\nDisallow:\r\n" +
       "ALLOW: /p/3\r\nDisallow: /p/3*\r\nCrawl-delay: bananas\r\n\r\n" +
@@ -1374,6 +1376,31 @@ object WebOps {
       crawlFrontier(discovered, seen, perHostK = 3, robots = Some(robots),
         windowSec = Some(4.0))
         .orderBy("host", "rnk")
+    },
+
+    // ---- q138: sitemap extraction from robots.txt ------------------
+    // The discovery side of the robots surface: every Sitemap record
+    // in file order, read ACROSS groups per the sitemaps protocol
+    // (template C plants one before any group and one after an
+    // inapplicable group — both must surface; template A's sits
+    // after the * group's rules). Reuses the q135 parse CTEs: the
+    // oracle selects the sitemap-keyed lines from the same
+    // independently-parsed line table.
+    QueryDef(
+      "q138_robots_sitemaps",
+      robotsFrontierCtes + """,
+        |sm AS (
+        |  SELECT host, v AS sitemap, row_number() OVER (
+        |    PARTITION BY host ORDER BY pos) AS sm_idx
+        |  FROM kl WHERE k = 'sitemap' AND v <> '')
+        |SELECT host, CAST(sm_idx AS BIGINT) AS sm_idx, sitemap
+        |FROM sm ORDER BY host, sm_idx""".stripMargin) { (s, dir) =>
+      val (_, _, robots) = robotsFrontierFrames(s, dir)
+      robots.select(col("host"),
+          posexplode(robotsSitemaps(col("robots_txt"))))
+        .select(col("host"), (col("pos") + 1).cast("long").as("sm_idx"),
+          col("col").as("sitemap"))
+        .orderBy("host", "sm_idx")
     },
 
     // ---- q103: URL canonicalization + URL-level dedup ------------
