@@ -366,6 +366,36 @@ object StreamOps {
         .select(col("host"), col("kept").as("domain_kept"))),
         Seq("host"), "left_outer")
 
+  /** ONLINE robots gate — the streaming form of q135's frontier
+    * gate: arriving discovered links (src_h, dst_h, url) are tagged
+    * with the RFC 9309 verdict against a STATIC robots frame
+    * (host, robots_txt). Rules parse ONCE per robots row on the
+    * broadcast side (queries.WebOps.robotsGroupRules), the per-link
+    * verdict is the native `robots_allows` matcher (compiled-pattern
+    * cache per executor) over the canonicalized URL's path+query —
+    * byte-for-byte the batch gate's key and match. A host with no
+    * robots row is allow-all per the RFC's unreachable-robots rule.
+    * Fully STATELESS beyond the broadcast: no watermark state, no
+    * shuffle of the link stream — the politeness VERDICT is
+    * per-row; the politeness BUDGET (voting, per-host caps,
+    * Crawl-delay slots) stays a batch planning decision
+    * (crawlFrontier), exactly as a real crawler separates
+    * fetch-time rule checks from scheduler-time budgeting. Output
+    * adds `robots_allowed`; callers filter or route.
+    */
+  def robotsGateStream(links: DataFrame, robots: DataFrame,
+      userAgent: String = "graftbot"): DataFrame = {
+    import graft.queries.WebOps
+    val rr = broadcast(robots.select(col("host").as("r_host"),
+      WebOps.robotsGroupRules(col("robots_txt"), userAgent)
+        .as("r_rules")))
+    links.join(rr, col("dst_h") === col("r_host"), "left_outer")
+      .withColumn("robots_allowed", col("r_rules").isNull ||
+        WebOps.robotsAllows(col("r_rules"),
+          WebOps.urlPathQuery(WebOps.canonicalizeUrl(col("url")))))
+      .drop("r_host", "r_rules")
+  }
+
   /** ONLINE lexicon page gate — the streaming form of the batch
     * q119 rule (queries.TextOps.lexiconFlagged): pages containing a
     * blocklisted token drop before they ever land. The blocklist is

@@ -997,4 +997,58 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == want,
       s"first diff: ${want.find { case (id, c) => streamed.get(id) != Some(c) }}")
   }
+
+  test("ONLINE robots gate: hand-computed verdicts; gate-then-plan equals plan-with-gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq(
+      ("slow", "User-agent: graftbot\nDisallow: /no*\nCrawl-delay: 5"),
+      ("open", "User-agent: otherbot\nDisallow: /")
+    ).toDF("host", "robots_txt")
+    val links = Seq(
+      ("s1", "slow", "https://slow.example.com/no/1"),    // denied: /no*
+      // canonicalization feeds the match: utm params strip, so the
+      // canonical path+query is '/no2' and the wildcard catches it
+      ("s1", "slow", "https://slow.example.com/no2?utm_source=x"),
+      ("s2", "slow", "https://slow.example.com/yes"),     // allowed
+      ("s1", "open", "https://open.example.com/no"),      // group inapplicable
+      ("s2", "ghost", "https://ghost.example.com/x")      // no robots row
+    )
+    val stream = MemoryStream[(String, String, String)]
+    stream.addData(links)
+    val q = StreamOps.robotsGateStream(
+      stream.toDF().toDF("src_h", "dst_h", "url"), robots)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("robots_gate_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val tagged = spark.table("robots_gate_stream")
+      .select($"url", $"robots_allowed").as[(String, Boolean)]
+      .collect().toMap
+    assert(tagged == Map(
+      "https://slow.example.com/no/1" -> false,
+      "https://slow.example.com/no2?utm_source=x" -> false,
+      "https://slow.example.com/yes" -> true,
+      "https://open.example.com/no" -> true,
+      "https://ghost.example.com/x" -> true), tagged)
+
+    // COMPOSITION PARITY: filtering the stream's survivors and then
+    // planning without robots must equal planning with the gate —
+    // the fetch-time rule check and the scheduler-time budget are
+    // separable exactly because the gate runs before voting
+    val seen = Seq("https://slow.example.com/old").toDF("url")
+    val survivors = spark.table("robots_gate_stream")
+      .filter($"robots_allowed").select("src_h", "dst_h", "url")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val gateThenPlan = rows(graft.queries.WebOps.crawlFrontier(
+      survivors, seen, perHostK = 3))
+    val planWithGate = rows(graft.queries.WebOps.crawlFrontier(
+      links.toDF("src_h", "dst_h", "url"), seen, perHostK = 3,
+      robots = Some(robots)))
+    assert(gateThenPlan == planWithGate && gateThenPlan.nonEmpty,
+      s"$gateThenPlan vs $planWithGate")
+  }
 }
