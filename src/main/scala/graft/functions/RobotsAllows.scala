@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * gate cost at crawl scale. Here each DISTINCT rule pattern
   * compiles once per executor (the rules frame is \|hosts\|-sized,
   * so the cache is bounded by the distinct patterns the crawl's
-  * hosts declare; a defensive cap evicts wholesale if a pathological
-  * corpus exceeds it). Matching itself is the same anchored regex
+  * hosts declare; a defensive two-generation cap bounds memory under
+  * a pathological corpus without thrashing the hot set — see
+  * [[RobotsMatcher.maxCachedPatterns]]). Matching itself is the same
+  * anchored regex
   * the declarative twin builds: specials escaped, `*` → `.*`,
   * trailing `$` an end anchor; verdict = max (raw pattern length,
   * allow) over matching rules, allowed when nothing matches.
@@ -30,31 +32,72 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RobotsMatcher {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
-  private val MaxCachedPatterns = 100000
+  private type PatternMap =
+    java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]
+
+  /** Eviction is TWO-GENERATION, not clear-all: when the current
+    * generation reaches the cap it becomes the previous generation
+    * and a fresh map opens; a hit in the previous generation promotes
+    * the compiled pattern into the current one. A pattern in active
+    * use therefore never recompiles however much one-shot churn flows
+    * past it (the old wholesale `cache.clear()` forced every executor
+    * to recompile its whole working set each time a pathological
+    * >cap-distinct-pattern corpus tripped the cap), memory stays
+    * bounded at ~2×cap entries, and reads remain lock-free — the
+    * only lock is the rare generation flip. Overridable cap + compile
+    * counter are spec hooks (RobotsSpec pins bounded recompiles under
+    * churn at a tiny cap).
+    */
+  private[graft] val DefaultMaxCachedPatterns = 100000
+  @volatile private[graft] var maxCachedPatterns = DefaultMaxCachedPatterns
+  private[graft] val compileCount = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var generations: (PatternMap, PatternMap) =
+    (new PatternMap(), new PatternMap())
+
+  private[graft] def cacheSizes: (Int, Int) = {
+    val (cur, prev) = generations
+    (cur.size(), prev.size())
+  }
+
+  private[graft] def resetCacheForTest(cap: Int): Unit = synchronized {
+    maxCachedPatterns = cap
+    compileCount.set(0L)
+    generations = (new PatternMap(), new PatternMap())
+  }
 
   private def compiled(pat: String): java.util.regex.Pattern = {
-    val got = cache.get(pat)
-    if (got != null) return got
-    val anchored = pat.endsWith("$")
-    val core = if (anchored) pat.substring(0, pat.length - 1) else pat
-    val sb = new java.lang.StringBuilder(core.length + 8)
-    sb.append('^')
-    var i = 0
-    while (i < core.length) {
-      val c = core.charAt(i)
-      if (c == '*') sb.append(".*")
-      else {
-        if (".^$+?(){}[]|\\".indexOf(c) >= 0) sb.append('\\')
-        sb.append(c)
+    val (cur, prev) = generations
+    val hit = cur.get(pat)
+    if (hit != null) return hit
+    var p = prev.get(pat)
+    if (p == null) {
+      val anchored = pat.endsWith("$")
+      val core = if (anchored) pat.substring(0, pat.length - 1) else pat
+      val sb = new java.lang.StringBuilder(core.length + 8)
+      sb.append('^')
+      var i = 0
+      while (i < core.length) {
+        val c = core.charAt(i)
+        if (c == '*') sb.append(".*")
+        else {
+          if (".^$+?(){}[]|\\".indexOf(c) >= 0) sb.append('\\')
+          sb.append(c)
+        }
+        i += 1
       }
-      i += 1
+      if (anchored) sb.append('$')
+      p = java.util.regex.Pattern.compile(sb.toString)
+      compileCount.incrementAndGet()
     }
-    if (anchored) sb.append('$')
-    val p = java.util.regex.Pattern.compile(sb.toString)
-    if (cache.size() >= MaxCachedPatterns) cache.clear()
-    cache.putIfAbsent(pat, p)
+    // promote/insert into the CURRENT generation, flipping first if
+    // full (concurrent tasks may transiently overshoot the cap by a
+    // few entries — bounded by thread count, never by corpus size)
+    if (cur.size() >= maxCachedPatterns) synchronized {
+      val (c2, _) = generations
+      if (c2.size() >= maxCachedPatterns)
+        generations = (new PatternMap(), c2)
+    }
+    generations._1.putIfAbsent(pat, p)
     p
   }
 

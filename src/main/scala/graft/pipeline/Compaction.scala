@@ -205,6 +205,11 @@ object Compaction {
     * batch's own row count (one count() of an already-computed
     * frame). The initial index artifact must exist at
     * `initialIndexDir` (the stream's own `standingIndexDir`).
+    *
+    * RESTART-SAFE: a new sink over an existing `workDir` resumes
+    * from the newest complete rotated index and the live window's
+    * landed rows (see [[recoverFrom]]) — `initialIndexDir` only
+    * seeds the very first lifetime.
     */
   final class CompactionTriggerSink(
       inner: graft.pipeline.Sink, workDir: String, initialIndexDir: String,
@@ -213,16 +218,57 @@ object Compaction {
     require(rowThreshold >= 1, s"rowThreshold must be >= 1 (got $rowThreshold)")
     val name = s"compaction-trigger(${inner.name})"
     // driver-side state (foreachBatch runs sequentially): the live
-    // window version, its accumulated row count, the current index
+    // window version, its accumulated row count, the current index.
+    // RECOVERED from workDir on the first write of a (re)started
+    // stream — driver-memory-only state would reset to version=0 on
+    // restart, re-compact already-compacted batches against the STALE
+    // initial index, and mode("overwrite") would clobber the prior
+    // run's index_v1/compacted_v1 artifacts.
     private var version = 0
     private var windowRows = 0L
     private var indexDir = initialIndexDir
+    private var recovered = false
     /** Dirs of compactions fired so far (newest last) — observable
       * for tests/ops. */
     def firedIndexDirs: Seq[String] = (1 to version).map(v => s"$workDir/index_v$v")
     def currentIndexDir: String = indexDir
 
+    /** Resume (version, indexDir, windowRows) from what a previous
+      * stream lifetime left under `workDir`: the newest COMPLETE
+      * rotated index (bands is written last by saveDedupIndex, so its
+      * `_SUCCESS` marker certifies the whole artifact — a crash
+      * mid-rotation leaves no marker and the window re-compacts
+      * against the previous index, idempotently by the doc_id
+      * anti-join) plus the rows already landed in the live window.
+      * The replayed first micro-batch after a restart may be counted
+      * once in the recovered total and once on re-land — that can
+      * only fire the trigger one batch EARLY, never corrupt results
+      * (the window re-read comes from the batchId-keyed files, not
+      * the counter).
+      */
+    private def recoverFrom(spark: SparkSession): Unit = {
+      import org.apache.hadoop.fs.Path
+      val wd = new Path(workDir)
+      val fs = wd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wd)) {
+        val complete = fs.listStatus(wd).map(_.getPath.getName)
+          .filter(_.startsWith("index_v"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("index_v").toInt).toOption)
+          .filter(v => fs.exists(
+            new Path(s"$workDir/index_v$v/bands/_SUCCESS")))
+        if (complete.nonEmpty) {
+          version = complete.max
+          indexDir = s"$workDir/index_v$version"
+        }
+        val win = new Path(s"$workDir/window_v${version + 1}")
+        if (fs.exists(win) && fs.listStatus(win).nonEmpty)
+          windowRows = spark.read.parquet(s"$workDir/window_v${version + 1}/batch=*").count()
+      }
+      recovered = true
+    }
+
     def write(df: DataFrame, batchId: Long): Unit = {
+      if (!recovered) recoverFrom(df.sparkSession)
       inner.write(df, batchId)
       val spark = df.sparkSession
       val win = s"$workDir/window_v${version + 1}"

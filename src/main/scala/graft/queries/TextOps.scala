@@ -2963,10 +2963,20 @@ object TextOps {
       dist = next
       round += 1
     }
-    dist.alias("dst")
+    // materialize the final (w, ntok) frame BEFORE releasing the
+    // inputs: the eager localCheckpoint cuts its lineage off dw/edges
+    // so both can unpersist here instead of leaking one executor
+    // storage entry per invocation (bench min-of-N runs and scale
+    // probes call this repeatedly; the per-round checkpoint blocks
+    // above are freed by the ContextCleaner once `dist` rebinds).
+    val out = dist.alias("dst")
       .join(dw.alias("dw"), col("dst.w") === col("dw.w") &&
         col("dst.pos") === length(col("dw.w")))
       .select(col("dst.w").as("w"), col("dst.d").as("ntok"))
+      .localCheckpoint()
+    dw.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** q137's operator: the per-source fertility report of

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.queries.DedupOps
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -171,5 +171,69 @@ class CompactionSpec extends AnyFunSuite {
     val before = verdicts(standingDir)
     assert(before(20L) == ((0L, 1L)) && before(21L)._2 == 1L)
     assert(before(22L) == ((1L, 0L)))
+  }
+
+  test("CompactionTriggerSink: a restarted sink resumes version/index/window from workDir") {
+    import spark.implicits._
+    val initDir =
+      java.nio.file.Files.createTempDirectory("graft_trig_idx0").toString
+    DedupOps.saveDedupIndex(
+      DedupOps.buildDedupIndex(spark, Seq(1L -> unique2).toDF("doc_id", "text")),
+      initDir)
+    val workDir =
+      java.nio.file.Files.createTempDirectory("graft_trig_work").toString
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val refreshes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val inner = new Sink {
+      val name = "probe"
+      def write(df: DataFrame, batchId: Long): Unit = { landed += batchId; () }
+    }
+    def freshDoc(id: Long, tag: String): (Long, String) =
+      id -> (s"entirely $tag reporting on the $id canal lock schedule " +
+        "with seasonal maintenance notes and a volunteer roster update " +
+        s"covering district $tag number ${id * 7} in depth")
+
+    // lifetime 1: batch 0+1 fire v1; batch 2 lands in the live window
+    val sink1 = new Compaction.CompactionTriggerSink(inner, workDir,
+      initDir, rowThreshold = 2, onRefresh = refreshes += _)
+    sink1.write(Seq(freshDoc(10L, "alpha")).toDF("doc_id", "text"), 0L)
+    sink1.write(Seq(freshDoc(11L, "beta")).toDF("doc_id", "text"), 1L)
+    assert(sink1.currentIndexDir == s"$workDir/index_v1" &&
+      refreshes.toSeq == Seq(s"$workDir/index_v1"))
+    sink1.write(Seq(freshDoc(12L, "gamma")).toDF("doc_id", "text"), 2L)
+    assert(refreshes.size == 1, "below threshold: no second fire")
+    val v1Compacted = spark.read.parquet(s"$workDir/compacted_v1")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    // lifetime 2: a NEW sink over the same workDir (stream restart).
+    // Driver-memory-only state would reset to version=0 here, re-read
+    // window_v1 (already-compacted batches 0+1), compact them against
+    // the STALE initial index, and clobber index_v1/compacted_v1.
+    val sink2 = new Compaction.CompactionTriggerSink(inner, workDir,
+      initDir, rowThreshold = 2, onRefresh = refreshes += _)
+    sink2.write(Seq(freshDoc(13L, "delta")).toDF("doc_id", "text"), 3L)
+    assert(sink2.currentIndexDir == s"$workDir/index_v2",
+      s"recovered window (1 row) + batch 3 must fire v2, " +
+        s"got ${sink2.currentIndexDir}")
+    assert(refreshes.toSeq ==
+      Seq(s"$workDir/index_v1", s"$workDir/index_v2"))
+    // the prior lifetime's artifacts survive untouched
+    assert(spark.read.parquet(s"$workDir/compacted_v1")
+      .select("doc_id").as[Long].collect().sorted.toSeq == v1Compacted)
+    // v2 compacted exactly the live window (batches 2+3), not a replay
+    assert(spark.read.parquet(s"$workDir/compacted_v2")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(12L, 13L))
+    // v2 chained off v1: it catches exact re-sends of EVERY landed
+    // doc — 10/11 only via the v1 rows carried over, 12/13 via the
+    // v2 window's own signing
+    val idx = DedupOps.loadDedupIndex(spark, s"$workDir/index_v2")
+    val delta = Seq(
+      200L -> freshDoc(10L, "alpha")._2,
+      201L -> freshDoc(11L, "beta")._2,
+      202L -> freshDoc(12L, "gamma")._2,
+      203L -> freshDoc(13L, "delta")._2).toDF("doc_id", "text")
+    val caught = DedupOps.incrementalDedupAgainstIndex(spark, delta, idx)
+      .filter(col("exact_dup") === 1L).count()
+    assert(caught == 4, s"all four re-sends exact-caught: $caught")
   }
 }

@@ -222,6 +222,43 @@ class RobotsSpec extends AnyFunSuite {
     assert(sm == Seq("https://h/s1.xml", "https://h/s2.xml"), sm)
   }
 
+  test("pattern cache: two-generation eviction keeps the hot set compiled under churn") {
+    import graft.functions.RobotsMatcher
+    val cap = 200
+    RobotsMatcher.resetCacheForTest(cap)
+    try {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      def hit(pat: String): Unit = {
+        val rules = new GenericArrayData(Array[Any](
+          InternalRow(false, UTF8String.fromString(pat))))
+        RobotsMatcher.allows(rules, UTF8String.fromString("/never-matches"))
+        ()
+      }
+      val hot = (0 until 50).map(i => s"/hot/$i*")
+      // hostile corpus: each round floods 100 fresh one-shot patterns
+      // between uses of the 50-pattern hot set — 5×cap distinct
+      // patterns total, so the cap trips repeatedly. The per-round
+      // gap (150 insertions) stays under the cap, which is exactly
+      // the two-generation survival guarantee: a pattern re-accessed
+      // within `cap` insertions of its last use never recompiles.
+      for (round <- 0 until 5) {
+        hot.foreach(hit)
+        (0 until 100).foreach(j => hit(s"/churn/$round-$j$$"))
+      }
+      hot.foreach(hit)
+      val compiles = RobotsMatcher.compileCount.get()
+      // hot patterns compile ONCE each (generation promotion keeps
+      // them alive); churn compiles once per distinct pattern. The
+      // old clear-all eviction recompiled the hot set every round.
+      assert(compiles == 50 + 5 * 100, s"compiles=$compiles")
+      val (cur, prev) = RobotsMatcher.cacheSizes
+      assert(cur <= cap + 8 && prev <= cap + 8, s"sizes=($cur,$prev)")
+    } finally RobotsMatcher.resetCacheForTest(
+      RobotsMatcher.DefaultMaxCachedPatterns)
+  }
+
   test("urlPathQuery: path+query, no fragment, empty path reads as /") {
     import spark.implicits._
     val got = Seq(
