@@ -139,7 +139,15 @@ object UrlResolver {
     while (k < ref.length && ref.charAt(k) != '?' &&
       ref.charAt(k) != '#') k += 1
     val hPath = ref.substring(0, k)
-    if (hPath.isEmpty) return root + bPath + qPart
+    if (hPath.isEmpty) {
+      // §5.2.2: empty path keeps the base path; the base QUERY
+      // survives too unless the reference defines its own (an empty
+      // reference resolves to the base sans fragment — the
+      // fragment-only rule; a `?x` reference replaces the query)
+      if (qIdx >= 0) return root + bPath + qPart
+      val h = base.indexOf('#')
+      return if (h < 0) base else base.substring(0, h)
+    }
     if (hPath.charAt(0) == '/')
       return root + removeDotSegments(hPath) + qPart
     val slash = bPath.lastIndexOf('/')

@@ -695,8 +695,10 @@ object WebOps {
     *  - protocol-relative (`//host/p`) → base scheme adopted, path
     *    dot-normalized;
     *  - fragment-only (`#x`) → the base sans fragment (same page);
-    *  - query-only (`?x=1`, or an empty ref) → base path with the
-    *    reference's query;
+    *  - query-only (`?x=1`) → base path with the reference's query;
+    *  - EMPTY reference (`""`) → the base sans fragment, base query
+    *    preserved (§5.2.2: T.query = Base.query when the reference
+    *    defines none — same-document reference);
     *  - absolute-path (`/p`) → base scheme://authority + normalized
     *    path;
     *  - relative-path (`p`, `./p`, `../p`) → merged against the base
@@ -751,7 +753,12 @@ object WebOps {
           when(ppPath === "", lit("")).otherwise(removeDotSegments(ppPath)),
           qPart))
       .when(ref.startsWith("#"), regexp_extract(base, "^([^#]*)", 1))
-      .when(hPath === "", concat(root, bPath, qPart))
+      // §5.2.2: an empty path with a DEFINED ref query (`?x=1`)
+      // replaces the query; a wholly empty reference keeps the base
+      // query too (base sans fragment — the fragment-only rule)
+      .when(hPath === "" && ref.rlike("^[^#]*\\?"),
+        concat(root, bPath, qPart))
+      .when(hPath === "", regexp_extract(base, "^([^#]*)", 1))
       .when(hPath.startsWith("/"),
         concat(root, removeDotSegments(hPath), qPart))
       .otherwise(concat(root,
@@ -1291,7 +1298,9 @@ object WebOps {
          |           regexp_extract(ref, '^//([^/?#]*)', 1) ||
          |           coalesce(rpath, '') || qpart
          |         WHEN ref LIKE '#%' THEN regexp_extract(base, '^([^#]*)', 1)
-         |         WHEN hpath = '' THEN bscheme || '://' || bauth || bpath || qpart
+         |         WHEN hpath = '' AND regexp_matches(ref, '^[^#]*\\?')
+         |           THEN bscheme || '://' || bauth || bpath || qpart
+         |         WHEN hpath = '' THEN regexp_extract(base, '^([^#]*)', 1)
          |         ELSE bscheme || '://' || bauth || rpath || qpart END AS link
          |  FROM d6)
          |SELECT doc_id, link FROM resolved

@@ -46,8 +46,10 @@ class WebOpsSpec extends AnyFunSuite {
   test("resolveUrl: RFC 3986 §5.4 normal-example battery") {
     // the RFC's own test vectors (base http://a/b/c/d;p?q), the
     // subset within the resolver's documented scope (query kept,
-    // ref fragments dropped, empty ref → base sans query)
+    // ref fragments dropped)
     val b = "http://a/b/c/d;p?q"
+    // §5.2.2: an empty reference keeps the base path AND query
+    assert(resolve(b, "") === "http://a/b/c/d;p?q")
     assert(resolve(b, "g") === "http://a/b/c/g")
     assert(resolve(b, "./g") === "http://a/b/c/g")
     assert(resolve(b, "g/") === "http://a/b/c/g/")
