@@ -462,6 +462,14 @@ object WebOps {
     * appends the Crawl-delay extraction and budget CTEs.
     */
   private def robotsFrontierCtes: String =
+    robotsParseCtes + ",\n" + frontierRankCtes("fresh")
+
+  /** The parse half of [[robotsFrontierCtes]]: synthetic crawl state,
+    * robots templates, the full independent RFC 9309 re-parse, and
+    * the `fresh` (unseen-discoveries) frame. q140 interposes its
+    * sitemap-seed CTEs between this and [[frontierRankCtes]].
+    */
+  private def robotsParseCtes: String =
     s"""WITH discovered AS (
        |  SELECT source AS src_h,
        |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst_h,
@@ -531,15 +539,21 @@ object WebOps {
        |    AND sp.sp = b.bs AND b.bs >= 0),
        |fresh AS (
        |  SELECT d.* FROM discovered d
-       |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = d.url)),
-       |cand AS (
+       |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = d.url))""".stripMargin
+
+  /** The rank half of [[robotsFrontierCtes]] — candidate pathq, rule
+    * matching, (longest, allow-wins) verdict, vote rollup, per-host
+    * rank — over any (src_h, dst_h, url) CTE named `input`.
+    */
+  private def frontierRankCtes(input: String): String =
+    s"""cand AS (
        |  SELECT src_h, dst_h, url,
        |    CASE WHEN regexp_extract(url,
        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
        |      THEN '/'
        |      ELSE regexp_extract(url,
        |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS pq
-       |  FROM fresh),
+       |  FROM $input),
        |m AS (
        |  SELECT c.src_h, c.dst_h, c.url, r.alw, length(r.pat) AS plen
        |  FROM cand c JOIN rules r ON r.host = c.dst_h
@@ -1009,15 +1023,37 @@ object WebOps {
       perHostK: Int = 3, seenBloomFpp: Option[Double] = None,
       robots: Option[DataFrame] = None,
       userAgent: String = "graftbot",
-      windowSec: Option[Double] = None): DataFrame = {
+      windowSec: Option[Double] = None,
+      seedSitemaps: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
+    // SITEMAP SEEDING (q140): robots-declared sitemaps are the OTHER
+    // discovery source a real crawler consumes — a sitemap-only page
+    // (linked by nobody) is never planned from outlinks alone. Each
+    // `Sitemap:` record becomes one discovery row voted for by its
+    // declaring host (src_h = declarer, dst_h = the sitemap URL's
+    // canonical host), then flows through the SAME canonicalization,
+    // seen anti-join, robots gate, vote rollup and politeness caps
+    // as link discoveries — one |hosts|-bounded frame unioned into a
+    // link-stream-sized scan, no extra shuffle stage.
+    val discoveredAll =
+      if (!seedSitemaps) discovered
+      else {
+        val r = robots.getOrElse(throw new IllegalArgumentException(
+          "seedSitemaps requires the robots frame (the sitemap source)"))
+        discovered.select(col("src_h"), col("dst_h"), col("url"))
+          .union(r.select(col("host").as("src_h"),
+              explode(robotsSitemaps(col("robots_txt"))).as("url"))
+            .filter(col("url").rlike("^(?i:https?)://"))
+            .select(col("src_h"), canonicalHost(col("url")).as("dst_h"),
+              col("url")))
+      }
     // both sides compare on the q103 CANONICAL key — the sidecar
     // emits raw hrefs and crawl logs vary in spelling, so a raw
     // string join would re-emit an already-crawled page for any
     // non-canonical variant (www./utm/fragment/host-case) and split
     // one page's referrer votes across its spellings. Null targets
     // are unfetchable — dropped identically on both paths.
-    val d = discovered.filter(col("url").isNotNull)
+    val d = discoveredAll.filter(col("url").isNotNull)
       .withColumn("url", canonicalizeUrl(col("url")))
     val seenC = seen.filter(col("url").isNotNull)
       .select(canonicalizeUrl(col("url")).as("url")).distinct()
@@ -1410,6 +1446,62 @@ object WebOps {
         .select(col("host"), (col("pos") + 1).cast("long").as("sm_idx"),
           col("col").as("sitemap"))
         .orderBy("host", "sm_idx")
+    },
+
+    // ---- q140: sitemap-seeded crawl frontier -----------------------
+    // Closes the discovery gap q138 left: robots-declared sitemaps
+    // feed frontier planning as a second discovery source, so a
+    // sitemap-only page (linked by nobody) gets planned. Each Sitemap
+    // record votes with its declaring host as the referrer, flows
+    // through the SAME canonicalization / seen anti-join / robots
+    // gate / vote rollup / Crawl-delay budget as link discoveries.
+    // Template A's hosts (hn%4==0, 5 of them) all declare
+    // example.com/sitemap.xml; template C's (hn%4==2) declare the two
+    // cmaps.example.com maps — so the three sitemap targets rank with
+    // 5 referrer votes each on hosts the outlink stream never
+    // produces. The oracle re-derives the seed rows from its own
+    // independently parsed line table (kl) and re-runs the full
+    // verdict/vote/budget chain over the unioned discovery set.
+    QueryDef(
+      "q140_sitemap_frontier",
+      robotsParseCtes + """,
+        |smd AS (
+        |  SELECT host AS src_h,
+        |    regexp_replace(lower(regexp_replace(
+        |      regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      ':[0-9]+$', '')), '^www\\.', '') AS dst_h,
+        |    v AS url
+        |  FROM kl
+        |  WHERE k = 'sitemap' AND v <> ''
+        |    AND regexp_matches(v, '^(?i:https?)://')),
+        |fresh2 AS (
+        |  SELECT * FROM fresh
+        |  UNION ALL
+        |  SELECT s.* FROM smd s
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen se WHERE se.url = s.url)),
+        |""".stripMargin + frontierRankCtes("fresh2") + """,
+        |dly AS (
+        |  SELECT g.host, max(CAST(g.v AS DOUBLE)) AS delay
+        |  FROM gr g
+        |  JOIN spec sp ON sp.host = g.host AND sp.grp = g.grp
+        |  JOIN bst b ON b.host = g.host
+        |  WHERE g.k = 'crawl-delay'
+        |    AND regexp_matches(g.v, '^[0-9]+(\.[0-9]+)?$')
+        |    AND sp.sp = b.bs AND b.bs >= 0
+        |  GROUP BY g.host),
+        |caps AS (
+        |  SELECT host, CASE WHEN delay > 0
+        |    THEN LEAST(3, 1 + CAST(floor(4.0 / delay) AS BIGINT)) END AS cap
+        |  FROM dly)
+        |SELECT r.host, r.url, CAST(r.n_referrers AS BIGINT) AS n_referrers,
+        |  CAST(r.rnk AS BIGINT) AS rnk
+        |FROM ranked r LEFT JOIN caps c ON c.host = r.host
+        |WHERE r.rnk <= COALESCE(c.cap, 3)
+        |ORDER BY r.host, r.rnk""".stripMargin) { (s, dir) =>
+      val (discovered, seen, robots) = robotsFrontierFrames(s, dir)
+      crawlFrontier(discovered, seen, perHostK = 3, robots = Some(robots),
+        windowSec = Some(4.0), seedSitemaps = true)
+        .orderBy("host", "rnk")
     },
 
     // ---- q103: URL canonicalization + URL-level dedup ------------

@@ -231,5 +231,31 @@ class CrawlToCurationSpec extends AnyFunSuite {
       ("planet.example.net", "https://planet.example.net/hub", 1L),
       ("coast.example.com", "https://coast.example.com", 1L)),
       polite.toSeq.toString)
+
+    // ... and robots-declared SITEMAPS seed discovery (q140):
+    // quiet.example.org's sitemap is linked by NOBODY in the outlink
+    // stream — outlink-only planning can never reach it — but coast's
+    // robots.txt declares it, so with seedSitemaps=true it gets
+    // planned (voted for by its declaring host). The seeds obey the
+    // SAME politeness machinery as link discoveries: a declared
+    // sitemap on a path the target host disallows for this crawler
+    // dies at the robots gate, and a declaration pointing at an
+    // already-crawled URL is suppressed by the seen anti-join.
+    val robotsWithMaps = Seq(("coast.example.com",
+      "User-agent: graftbot\nDisallow: /x\nCrawl-delay: 5\n\n" +
+        "User-agent: *\nDisallow: /\n" +
+        "Sitemap: https://quiet.example.org/sitemap.xml\n" +
+        "Sitemap: https://coast.example.com/x/map.xml\n" +      // gated
+        "Sitemap: https://coast.example.com/story\n"))          // seen
+      .toDF("host", "robots_txt")
+    val seeded = graft.queries.WebOps.crawlFrontier(discovered, seen,
+        perHostK = 3, robots = Some(robotsWithMaps),
+        windowSec = Some(4.0), seedSitemaps = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(seeded.toSet == Set(
+      ("planet.example.net", "https://planet.example.net/hub", 1L),
+      ("coast.example.com", "https://coast.example.com", 1L),
+      ("quiet.example.org", "https://quiet.example.org/sitemap.xml", 1L)),
+      seeded.toSeq.toString)
   }
 }
