@@ -1,0 +1,212 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.DedupOps
+
+/** TAKEDOWN / PURGE — the deletion half of the maintenance story.
+  *
+  * Every standing artifact in this library only GROWS: the dedup
+  * index refresh unions survivors ([[Compaction.compactLanding]]
+  * step 3), `appendToIvfPqIndex` appends, landed shards are
+  * immutable. A production training-data pipeline also needs the
+  * other direction: a copyright or PII takedown notice arrives as a
+  * doc_id list and/or URL patterns, and the named documents must
+  * leave EVERY artifact they touched — the landed corpus, the dedup
+  * index (fp/sig/bands), the ANN index — with an auditable ledger of
+  * what was removed from each.
+  *
+  * RE-SEND POLICY (the correctness subtlety, pinned by
+  * CompactionSpec's purge matrix and the q139 oracle): after a
+  * purge, the same content arriving AGAIN must be judged against the
+  * REMAINING corpus only. A stale fingerprint/signature row would
+  * "ghost-dedup" the re-send — dropped as a duplicate of a document
+  * that no longer exists, silently re-enforcing a withdrawn page
+  * forever (or, for a re-licensed page, blocking its legitimate
+  * return). So sig/band rows of purged doc_ids are anti-joined away,
+  * and fp rows need the finer rule below. The flip side holds too: a
+  * purged doc whose exact twin REMAINS in the corpus must still
+  * dedup on re-send — that is correct dedup against standing
+  * content, not a ghost.
+  *
+  * THE SHARED-FINGERPRINT RULE: the fp table is content-keyed
+  * (`(fp)` only, no doc_id — DedupOps.buildDedupIndex), so "remove
+  * the purged docs' fingerprints" is wrong whenever a purged doc's
+  * md5 is also some kept doc's md5: dropping it would un-dedup
+  * re-sends of content that still stands. The rule is set-theoretic:
+  * remove `md5(purged) EXCEPT md5(kept)`. At scale the kept side is
+  * NOT a second corpus scan: the purge rewrites the corpus anyway
+  * (the anti-join below), and the md5 probe runs in that same pass
+  * against a broadcast of the notice-sized purged-fp set — only kept
+  * md5s that MATCH a purged fp survive the semi-join, so the EXCEPT
+  * operates on two notice-sized frames.
+  *
+  * Scale shape: the takedown notice is tiny (thousands of ids/
+  * patterns vs a 10^9-doc corpus), so every join here is a
+  * broadcast-able anti/semi-join keyed on doc_id or an 8-byte-ish
+  * hash; the corpus moves once (its rewrite), the index artifacts
+  * move once (their rotation), nothing shuffles on a corpus-sized
+  * key. Artifact rotation follows the compaction convention:
+  * purged artifacts are written to NEW versioned dirs (never
+  * overwrite-under-read), and a re-purge of the same notice is a
+  * no-op by construction (anti-joins against already-absent rows).
+  */
+object Purge {
+
+  /** A takedown notice: explicit doc_ids and/or URL regex patterns
+    * (Java regex, matched with `rlike` against the corpus `url`
+    * column — patterns require the corpus to carry one).
+    */
+  final case class TakedownSpec(docIds: Seq[Long] = Nil,
+      urlPatterns: Seq[String] = Nil) {
+    require(docIds.nonEmpty || urlPatterns.nonEmpty,
+      "empty takedown spec (no docIds, no urlPatterns)")
+  }
+
+  /** Per-artifact removal counts — the audit ledger's native form.
+    * `resendDied`/`resendKept`: what the purged index verdicts for a
+    * re-send of each purged doc (died = exact or near dup of the
+    * REMAINING corpus — legitimate; kept = re-enters, proving no
+    * ghost rows survived).
+    */
+  final case class PurgeSummary(
+      corpusRemoved: Long, corpusRetained: Long,
+      fpRemoved: Long, fpRetained: Long,
+      sigRemoved: Long, sigRetained: Long,
+      bandRemoved: Long, bandRetained: Long,
+      annRemoved: Long = 0L, annRetained: Long = 0L,
+      resendDied: Long = 0L, resendKept: Long = 0L) {
+    /** The ledger as rows — (artifact, n_removed, n_retained). */
+    def ledger(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      Seq(("ann", annRemoved, annRetained),
+        ("bands", bandRemoved, bandRetained),
+        ("corpus", corpusRemoved, corpusRetained),
+        ("fp", fpRemoved, fpRetained),
+        ("resend", resendDied, resendKept),
+        ("sig", sigRemoved, sigRetained))
+        .toDF("artifact", "n_removed", "n_retained")
+    }
+  }
+
+  /** Resolve a takedown notice against a corpus: the distinct
+    * doc_ids to purge. id list → broadcast semi-join probe; URL
+    * patterns → one per-row disjunction inside the corpus scan.
+    */
+  def resolveTakedown(corpus: DataFrame, spec: TakedownSpec): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val byUrl: Option[DataFrame] = if (spec.urlPatterns.isEmpty) None else {
+      require(corpus.columns.contains("url"),
+        "urlPatterns given but the corpus has no `url` column")
+      Some(corpus.filter(
+          spec.urlPatterns.map(col("url").rlike).reduce(_ || _))
+        .select("doc_id"))
+    }
+    val byId: Option[DataFrame] = if (spec.docIds.isEmpty) None else
+      // semi-join against the corpus (not the raw list): the ledger
+      // counts DOCS REMOVED, and a notice id that never landed must
+      // not inflate it
+      Some(corpus.select("doc_id")
+        .join(broadcast(spec.docIds.toDF("doc_id")), Seq("doc_id"),
+          "left_semi"))
+    (byUrl ++ byId).reduce(_ union _).distinct()
+  }
+
+  /** Purge a dedup index: sig/bands by doc_id anti-join, fp by the
+    * shared-fingerprint rule (scaladoc above). `purgedDocs` needs
+    * (doc_id, text) — fingerprints are content-keyed, so the purge
+    * must see the purged TEXT once; `keptCorpus` needs (text) and is
+    * only probed against the broadcast purged-fp set.
+    */
+  private[graft] def purgeDedupIndex(idx: DedupOps.DedupIndex,
+      purgedDocs: DataFrame, keptCorpus: DataFrame): DedupOps.DedupIndex = {
+    val purgedIds = broadcast(purgedDocs.select("doc_id").distinct())
+    val purgedFps = purgedDocs.select(md5(col("text")).as("fp")).distinct()
+    // kept md5s that collide with a purged fp — notice-sized output
+    // from one kept-corpus pass over a broadcast probe
+    val sharedFps = keptCorpus.select(md5(col("text")).as("fp"))
+      .join(broadcast(purgedFps), Seq("fp"), "left_semi").distinct()
+    val fpDrop = purgedFps.join(sharedFps, Seq("fp"), "left_anti")
+    DedupOps.DedupIndex(
+      idx.fp.join(broadcast(fpDrop), Seq("fp"), "left_anti"),
+      idx.sig.join(purgedIds, Seq("doc_id"), "left_anti"),
+      idx.bands.join(purgedIds, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Purge an IVF-PQ ANN index ((cand_id, cell_id, c0..c3) rows —
+    * SimilarityOps.buildIvfPqIndex): drop the purged ids' rows. The
+    * index never stores floats, so there is nothing else to excise.
+    */
+  def purgeAnnIndex(index: DataFrame, purgedIds: DataFrame): DataFrame =
+    index.join(broadcast(purgedIds.select("cand_id").distinct()),
+      Seq("cand_id"), "left_anti")
+
+  /** The whole notice against in-memory frames: resolve → split the
+    * corpus → purge the dedup index → verdict the re-sends against
+    * the PURGED index (the policy proof). Returns (kept corpus,
+    * purged index, summary). The ANN half is [[purgeAnnIndex]] —
+    * separate because its ids live in a different key space
+    * (vec_id vs doc_id) in this repo's test tables.
+    */
+  private[graft] def purgeCorpusAndIndex(corpus: DataFrame,
+      idx: DedupOps.DedupIndex, spec: TakedownSpec,
+      maxEstJaccard: Double = 0.5)
+      : (DataFrame, DedupOps.DedupIndex, PurgeSummary) = {
+    val spark = corpus.sparkSession
+    val purgedIds = resolveTakedown(corpus, spec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val purgedDocs = corpus
+      .join(broadcast(purgedIds), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = corpus.join(broadcast(purgedIds), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val purgedIdx = purgeDedupIndex(idx,
+      purgedDocs.select("doc_id", "text"), kept.select("text"))
+
+    val nPurged = purgedDocs.count()
+    val nKept = kept.count()
+    val fpBefore = idx.fp.count(); val fpAfter = purgedIdx.fp.count()
+    val sigBefore = idx.sig.count(); val sigAfter = purgedIdx.sig.count()
+    val bBefore = idx.bands.count(); val bAfter = purgedIdx.bands.count()
+    // re-send verdict against the PURGED index: anything that dies
+    // here dies against REMAINING content (exact twin or >= 0.5
+    // near-dup still standing), never against a ghost row
+    val verdicts = DedupOps.incrementalDedupAgainstIndex(spark,
+      purgedDocs.select("doc_id", "text"), purgedIdx, maxEstJaccard)
+    val resendKept = verdicts.filter(col("kept") === 1L).count()
+
+    purgedIds.unpersist(); purgedDocs.unpersist()
+    (kept, purgedIdx, PurgeSummary(
+      corpusRemoved = nPurged, corpusRetained = nKept,
+      fpRemoved = fpBefore - fpAfter, fpRetained = fpAfter,
+      sigRemoved = sigBefore - sigAfter, sigRetained = sigAfter,
+      bandRemoved = bBefore - bAfter, bandRetained = bAfter,
+      resendDied = nPurged - resendKept, resendKept = resendKept))
+  }
+
+  /** The persisted-artifact form: load the standing index from
+    * `standingIndexDir`, purge corpus + index, write both to NEW
+    * dirs (rotation, never overwrite-under-read — the compaction
+    * convention), return the summary. The caller points the next
+    * stream run / compaction lifetime at the purged dirs.
+    */
+  def purgePersisted(spark: SparkSession, corpus: DataFrame,
+      standingIndexDir: String, purgedCorpusDir: String,
+      purgedIndexDir: String, spec: TakedownSpec): PurgeSummary = {
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
+    require(qualified(purgedIndexDir) != qualified(standingIndexDir),
+      "purgedIndexDir must differ from standingIndexDir " +
+        "(overwrite-under-read)")
+    val idx = DedupOps.loadDedupIndex(spark, standingIndexDir)
+    val (kept, purgedIdx, summary) = purgeCorpusAndIndex(corpus, idx, spec)
+    kept.write.mode("overwrite").parquet(purgedCorpusDir)
+    DedupOps.saveDedupIndex(purgedIdx, purgedIndexDir)
+    kept.unpersist()
+    summary
+  }
+}

@@ -2140,6 +2140,108 @@ object DedupOps {
           (col("after_exact") - col("n_dropped")).as("docs_out"))
     },
 
+    // ---- q139: takedown purge ledger -------------------------------
+    // The DELETION half of the maintenance story (pipeline.Purge): a
+    // takedown notice (doc_id list + URL pattern) purged from every
+    // standing artifact — corpus, dedup index (fp by the
+    // shared-fingerprint rule, sig/bands by doc_id), ANN index — with
+    // the per-artifact removal ledger as the result, PLUS the re-send
+    // policy row: each purged doc re-sent against the PURGED index,
+    // counting verdicts. The oracle re-derives every count
+    // set-theoretically: fp removal is md5(purged) EXCEPT md5(kept)
+    // (a purged doc whose exact twin remains must keep its
+    // fingerprint), and the re-send verdict uses the q95 machinery
+    // with the purged/kept split — proving the shipped purge leaves
+    // the index exactly equal to "an index that never saw the purged
+    // docs" (kept fps = post-purge fps), i.e. no ghost-dedup rows.
+    QueryDef(
+      "q139_takedown_purge",
+      s"""WITH $shingleSqlCte,
+         |u AS (SELECT doc_id, ${graft.queries.WebOps.synthUrlSql} AS url
+         |      FROM documents),
+         |purged AS (
+         |  SELECT DISTINCT doc_id FROM u
+         |  WHERE doc_id IN (3, 12, 21, 30, 39, 48)
+         |     OR regexp_matches(url, '#section-2$$')),
+         |pd AS (SELECT d.doc_id, d.text FROM documents d
+         |       WHERE d.doc_id IN (SELECT doc_id FROM purged)),
+         |kd AS (SELECT d.doc_id, d.text FROM documents d
+         |       WHERE d.doc_id NOT IN (SELECT doc_id FROM purged)),
+         |fp_all AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+         |fp_kept AS (SELECT DISTINCT md5(text) AS fp FROM kd),
+         |fp_drop AS (
+         |  SELECT fp FROM (SELECT DISTINCT md5(text) AS fp FROM pd)
+         |  WHERE fp NOT IN (SELECT fp FROM fp_kept)),
+         |sigp AS (SELECT count(*) AS n FROM sig
+         |         WHERE doc_id IN (SELECT doc_id FROM purged)),
+         |sigk AS (SELECT count(*) AS n FROM sig
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM purged)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM sig a JOIN sig b
+         |    ON a.doc_id IN (SELECT doc_id FROM purged)
+         |   AND b.doc_id NOT IN (SELECT doc_id FROM purged)
+         |   AND ((a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3)
+         |     OR (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+         |est AS (
+         |  SELECT c.new_id,
+         |    (CAST(a.h0 = b.h0 AS INT) + CAST(a.h1 = b.h1 AS INT) +
+         |     CAST(a.h2 = b.h2 AS INT) + CAST(a.h3 = b.h3 AS INT) +
+         |     CAST(a.h4 = b.h4 AS INT) + CAST(a.h5 = b.h5 AS INT) +
+         |     CAST(a.h6 = b.h6 AS INT) + CAST(a.h7 = b.h7 AS INT)) / 8.0 AS ej
+         |  FROM cand c JOIN sig a ON a.doc_id = c.new_id
+         |  JOIN sig b ON b.doc_id = c.old_id),
+         |best AS (SELECT new_id, max(ej) AS best_est FROM est GROUP BY new_id),
+         |verd AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN md5(d.text) IN (SELECT fp FROM fp_kept) THEN 0
+         |         WHEN coalesce(b.best_est, 0) >= 0.5 THEN 0
+         |         ELSE 1 END AS kept
+         |  FROM purged p JOIN documents d ON d.doc_id = p.doc_id
+         |  LEFT JOIN best b ON b.new_id = p.doc_id)
+         |SELECT 'ann' AS artifact,
+         |  (SELECT count(*) FROM embeddings
+         |   WHERE vec_id IN (3, 12, 21, 30, 39, 48)) AS n_removed,
+         |  (SELECT count(*) FROM embeddings
+         |   WHERE vec_id NOT IN (3, 12, 21, 30, 39, 48)) AS n_retained
+         |UNION ALL SELECT 'bands',
+         |  4 * (SELECT n FROM sigp), 4 * (SELECT n FROM sigk)
+         |UNION ALL SELECT 'corpus',
+         |  (SELECT count(*) FROM purged),
+         |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM purged)
+         |UNION ALL SELECT 'fp',
+         |  (SELECT count(*) FROM fp_drop),
+         |  (SELECT count(*) FROM fp_all) - (SELECT count(*) FROM fp_drop)
+         |UNION ALL SELECT 'resend',
+         |  (SELECT count(*) FROM verd WHERE kept = 0),
+         |  (SELECT count(*) FROM verd WHERE kept = 1)
+         |UNION ALL SELECT 'sig',
+         |  (SELECT n FROM sigp), (SELECT n FROM sigk)
+         |ORDER BY artifact""".stripMargin) { (s, dir) =>
+      import graft.pipeline.Purge
+      val corpus = graft.queries.WebOps.docsWithUrl(s, dir)
+        .select("doc_id", "url", "text")
+      val noticeIds = Seq(3L, 12L, 21L, 30L, 39L, 48L)
+      val spec = Purge.TakedownSpec(docIds = noticeIds,
+        urlPatterns = Seq("#section-2$"))
+      val idx = buildDedupIndex(s, corpus.select("doc_id", "text"))
+      val (kept, _, sum0) = Purge.purgeCorpusAndIndex(corpus, idx, spec)
+      kept.unpersist()
+      // the ANN half of the notice: the same ids against the
+      // embeddings-keyed IVF-PQ index (vec_id key space)
+      val ann = SimilarityOps.buildIvfPqIndex(
+        Tables(s, dir, "embeddings").select(col("vec_id").as("cand_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ce")),
+        SimilarityOps.Ivf.codebook)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import s.implicits._
+      val purgedAnn = Purge.purgeAnnIndex(ann, noticeIds.toDF("cand_id"))
+      val annBefore = ann.count(); val annAfter = purgedAnn.count()
+      ann.unpersist()
+      sum0.copy(annRemoved = annBefore - annAfter, annRetained = annAfter)
+        .ledger(s).orderBy("artifact")
+    },
+
     // ---- q39: embedding-cosine near-dup (label-blocked exact) ----
     // The embedding-space dedup modality: exact pairwise cosine over
     // a BLOCKED pair space (equi-join on the blocking key `label`,

@@ -371,7 +371,7 @@ object WebOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  private def docsWithUrl(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docsWithUrl(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("url", synthUrl(col("doc_id"), col("source")))
 
   /** The q125 synthetic page wrapper (the testdata carries no HTML
@@ -607,7 +607,7 @@ object WebOps {
   }
 
   /** The oracle-side twin of `synthUrl` (DuckDB SQL). */
-  private val synthUrlSql: String =
+  private[graft] val synthUrlSql: String =
     """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
       | CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
       | source || '.Example.COM' ||

@@ -236,4 +236,141 @@ class CompactionSpec extends AnyFunSuite {
       .filter(col("exact_dup") === 1L).count()
     assert(caught == 4, s"all four re-sends exact-caught: $caught")
   }
+
+  // ---------------------------------------------------------------
+  // PURGE MATRIX (pipeline.Purge): the takedown notice against every
+  // artifact, the shared-fingerprint rule, and the re-send policy.
+  // ---------------------------------------------------------------
+
+  // corpus for the purge cases: 1↔2 a standing near-dup pair (both
+  // kept unless purged), 3+4 exact twins split across the purge line
+  // (the shared-fingerprint case), 5 a unique purged doc
+  private def purgeCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, base, "https://a.example.com/keep/1"),
+      (2L, nearDup, "https://a.example.com/keep/2"),
+      (3L, unique1, "https://b.example.com/dmca/3"),
+      (4L, unique1, "https://a.example.com/keep/4"),
+      (5L, unique2, "https://a.example.com/keep/5")
+    ).toDF("doc_id", "text", "url")
+  }
+
+  test("purge: notice resolution, shared-fingerprint rule, per-artifact ledger") {
+    val corpus = purgeCorpus(spark)
+    // notice: doc 5 by id (999 never landed — must not count), doc 3
+    // by URL pattern
+    val spec = Purge.TakedownSpec(docIds = Seq(5L, 999L),
+      urlPatterns = Seq("/dmca/"))
+    val idx = DedupOps.buildDedupIndex(spark,
+      corpus.select("doc_id", "text"))
+    val (kept, purgedIdx, sum) = Purge.purgeCorpusAndIndex(corpus, idx, spec)
+    import spark.implicits._
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    // fp: purged fps = {unique1, unique2}; unique1 is SHARED with
+    // kept doc 4 so it must STAY (dropping it would un-dedup
+    // re-sends of content that still stands) — only unique2 leaves
+    assert((sum.fpRemoved, sum.fpRetained) == (1L, 3L), sum)
+    assert((sum.sigRemoved, sum.sigRetained) == (2L, 3L), sum)
+    assert((sum.bandRemoved, sum.bandRetained) == (8L, 12L), sum)
+    assert((sum.corpusRemoved, sum.corpusRetained) == (2L, 3L), sum)
+    // re-send policy: doc 3's content still stands (twin 4) → its
+    // re-send dies as an EXACT dup of remaining content; doc 5 was
+    // the only copy → re-enters (no ghost row)
+    assert((sum.resendDied, sum.resendKept) == (1L, 1L), sum)
+    val verdicts = DedupOps.incrementalDedupAgainstIndex(spark,
+        corpus.filter(col("doc_id").isin(3L, 5L))
+          .select("doc_id", "text"), purgedIdx)
+      .select("doc_id", "exact_dup", "kept").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(verdicts(3L) == ((1L, 0L)), verdicts)
+    assert(verdicts(5L) == ((0L, 1L)), verdicts)
+    kept.unpersist()
+  }
+
+  test("purge: re-send of a purged near-dup dies against the REMAINING twin, not a ghost") {
+    val corpus = purgeCorpus(spark)
+    // purge doc 2 — its near-dup partner 1 STANDS
+    val spec = Purge.TakedownSpec(docIds = Seq(2L))
+    val idx = DedupOps.buildDedupIndex(spark,
+      corpus.select("doc_id", "text"))
+    val (kept, purgedIdx, sum) = Purge.purgeCorpusAndIndex(corpus, idx, spec)
+    // not exact anywhere (fp leaves: nearDup's md5 is unique) …
+    assert(sum.fpRemoved == 1L, sum)
+    // … but the re-send is still caught — by doc 1's signature, the
+    // legitimate near-dup verdict against remaining content
+    import spark.implicits._
+    val v = DedupOps.incrementalDedupAgainstIndex(spark,
+        Seq(200L -> nearDup).toDF("doc_id", "text"), purgedIdx)
+      .select("exact_dup", "best_est", "kept").collect().head
+    assert(v.getLong(0) == 0L && v.getDouble(1) >= 0.5 && v.getLong(2) == 0L,
+      v.toString)
+    // and doc 2's own stale rows are gone: no candidate against
+    // doc_id 2 remains in the band table
+    assert(purgedIdx.bands.filter(col("doc_id") === 2L).count() == 0)
+    kept.unpersist()
+  }
+
+  test("purge: re-purge of the same notice is a no-op (idempotent)") {
+    val corpus = purgeCorpus(spark)
+    val spec = Purge.TakedownSpec(docIds = Seq(5L), urlPatterns = Seq("/dmca/"))
+    val idx = DedupOps.buildDedupIndex(spark, corpus.select("doc_id", "text"))
+    val (kept1, idx1, _) = Purge.purgeCorpusAndIndex(corpus, idx, spec)
+    val (kept2, _, sum2) = Purge.purgeCorpusAndIndex(kept1, idx1, spec)
+    assert((sum2.corpusRemoved, sum2.fpRemoved, sum2.sigRemoved,
+      sum2.bandRemoved) == ((0L, 0L, 0L, 0L)), sum2)
+    assert(kept2.count() == kept1.count())
+    kept1.unpersist(); kept2.unpersist()
+  }
+
+  test("purgePersisted: artifacts rotate to new dirs, standing dir intact, same-dir refused") {
+    import spark.implicits._
+    val corpus = purgeCorpus(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_purge").toString
+    val standingDir = s"$root/index_v1"
+    DedupOps.saveDedupIndex(
+      DedupOps.buildDedupIndex(spark, corpus.select("doc_id", "text")),
+      standingDir)
+    intercept[IllegalArgumentException] {
+      Purge.purgePersisted(spark, corpus, standingDir,
+        s"$root/corpus_v2", standingDir + "/",
+        Purge.TakedownSpec(docIds = Seq(5L)))
+    }
+    val sum = Purge.purgePersisted(spark, corpus, standingDir,
+      s"$root/corpus_v2", s"$root/index_v2",
+      Purge.TakedownSpec(docIds = Seq(5L), urlPatterns = Seq("/dmca/")))
+    assert((sum.corpusRemoved, sum.corpusRetained) == (2L, 3L), sum)
+    // rotated artifacts hold the purged state…
+    assert(spark.read.parquet(s"$root/corpus_v2")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    val v2 = DedupOps.loadDedupIndex(spark, s"$root/index_v2")
+    assert(v2.sig.count() == 3 && v2.fp.count() == 3)
+    // …and the standing artifact is untouched (overwrite-under-read
+    // guard + rotation): the prior lifetime can still be read whole
+    val v1 = DedupOps.loadDedupIndex(spark, standingDir)
+    assert(v1.sig.count() == 5 && v1.fp.count() == 4)
+  }
+
+  test("purgeAnnIndex: purged rows leave; result row-identical to an index that never saw them") {
+    import spark.implicits._
+    // per-row PQ encoding makes purge/build commute: purging ids from
+    // build(all) must equal build(kept) EXACTLY — the append-
+    // invariance argument (appendToIvfPqIndex) run in reverse
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id").as("cand_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val all = graft.queries.SimilarityOps.buildIvfPqIndex(
+      e, graft.queries.SimilarityOps.Ivf.codebook)
+    val purgedIds = Seq(5L, 7L, 23L).toDF("cand_id")
+    val purged = Purge.purgeAnnIndex(all, purgedIds)
+    val fresh = graft.queries.SimilarityOps.buildIvfPqIndex(
+      e.join(purgedIds, Seq("cand_id"), "left_anti"),
+      graft.queries.SimilarityOps.Ivf.codebook)
+    assert(purged.collect().toSet == fresh.collect().toSet)
+    assert(purged.filter(col("cand_id").isin(5L, 7L, 23L)).count() == 0)
+    assert(purged.count() == 37)
+  }
 }
