@@ -216,6 +216,20 @@ object CurationPipeline {
     * `stageDir` resume, a loaded boundary skips the training
     * entirely (by-name stage bodies).
     *
+    * `langIdGate = Some((models, keepLangs))` inserts the TRAINED
+    * language-ID gate (q141, TextOps.langIdPredict) before the
+    * quality rung — the CCNet order: filter to target languages,
+    * then score quality within them. `models` is the fit-offline
+    * artifact ([[graft.queries.TextOps.langIdTrain]] /
+    * `loadLangIdModel` — trained where labels exist, shipped as a
+    * ≤4097×|langs| weight table); docs whose argmax-margin class is
+    * in `keepLangs` survive. Cost: one trigram feature pass over the
+    * current survivors, one broadcast join, two partial-aggregable
+    * rollups, one id semi-join back — no corpus-keyed shuffle wider
+    * than the frame itself. (A STREAMING twin would want the margin
+    * as a per-row native expression — the url_resolve playbook —
+    * not built yet because no streaming stage consumes language ID.)
+    *
     * `domainCapN = Some(cap)` (requires `urlCol`) inserts the
     * per-domain document cap (q104, WebOps.domainCap) after URL
     * dedup: at most `cap` docs per canonical host survive, longest
@@ -287,6 +301,7 @@ object CurationPipeline {
       urlGatePatterns: Option[Seq[String]] = None,
       classifierMinScore: Option[Long] = None,
       perceptronGate: Option[(Column, Int)] = None,
+      langIdGate: Option[(Seq[(String, Map[String, Long])], Set[String])] = None,
       keepBestOfCluster: Boolean = false,
       domainCapN: Option[Int] = None,
       domainMeanMinScore: Option[Long] = None,
@@ -374,6 +389,12 @@ object CurationPipeline {
         c4Lines, dedupLines, urlCol, urlGatePatterns,
         classifierMinScore,
         perceptronGate.map { case (c, r) => s"$c|$r" },
+        // weights serialized sorted so the fingerprint is stable
+        // across JVMs and map orderings
+        langIdGate.map { case (models, keep) =>
+          models.map { case (c, w) =>
+            s"$c:${w.toSeq.sorted.mkString(",")}" }.mkString(";") +
+            "|" + keep.toSeq.sorted.mkString(",") },
         keepBestOfCluster, domainCapN,
         domainMeanMinScore, authorityMinPrMicro, blockLexicon,
         exactSubstrL, exactSubstrDeconL,
@@ -612,9 +633,27 @@ object CurationPipeline {
       })
     }
 
+    // 1f. optional TRAINED language-ID gate (q141) — the CCNet
+    // order: restrict to target languages BEFORE the quality rungs
+    // (the downstream classifier/perceptron gates are fitted on
+    // target-language seeds and mis-score everything else). The
+    // models are a fit-offline artifact; scoring is one trigram
+    // feature pass + broadcast weights join + two partial-aggregable
+    // rollups + the id semi-join back (langIdPredict's plan shape).
+    val langGated = langIdGate.fold(substrDeconed) {
+      case (models, keepLangs) =>
+        stage("lang_gate",
+          substrDeconed.join(
+            TextOps.langIdPredict(
+                substrDeconed.select("doc_id", "text"), models)
+              .filter(col("predicted_lang").isin(keepLangs.toSeq: _*))
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+    }
+
     // 2. quality — per-row predicate, zero shuffle (q73)
     val quality = stage("quality",
-      substrDeconed.filter(TextOps.gopherKept(col("text"))))
+      langGated.filter(TextOps.gopherKept(col("text"))))
 
     // 2b. optional model-based quality gate (q105) — the classifier
     // rung after the rule rung: score = the exact-integer linear

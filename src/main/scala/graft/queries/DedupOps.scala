@@ -2224,9 +2224,18 @@ object DedupOps {
       val noticeIds = Seq(3L, 12L, 21L, 30L, 39L, 48L)
       val spec = Purge.TakedownSpec(docIds = noticeIds,
         urlPatterns = Seq("#section-2$"))
-      val idx = buildDedupIndex(s, corpus.select("doc_id", "text"))
+      // the ledger counts each index table before AND after the
+      // purge, and the re-send verdict probes sig/bands again — cache
+      // the built index so the corpus is signed ONCE, not per count
+      // (the persisted-artifact flow reads parquet instead; this is
+      // the in-memory flow's equivalent)
+      val idx0 = buildDedupIndex(s, corpus.select("doc_id", "text"))
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val idx = DedupIndex(idx0.fp.persist(lvl), idx0.sig.persist(lvl),
+        idx0.bands.persist(lvl))
       val (kept, _, sum0) = Purge.purgeCorpusAndIndex(corpus, idx, spec)
       kept.unpersist()
+      idx.fp.unpersist(); idx.sig.unpersist(); idx.bands.unpersist()
       // the ANN half of the notice: the same ids against the
       // embeddings-keyed IVF-PQ index (vec_id key space)
       val ann = SimilarityOps.buildIvfPqIndex(

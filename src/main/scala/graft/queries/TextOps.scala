@@ -2568,6 +2568,43 @@ object TextOps {
         .select(col("doc_id"), col("y"), col("margin"),
           when(col("margin") > 0, "keep").otherwise("drop").as("verdict"))
         .orderBy("doc_id")
+    },
+
+    // ---- q141: TRAINED language ID vs the q32 heuristic -----------
+    // The fastText shape (Joulin et al. 2016) fitted in-engine: five
+    // one-vs-rest exact-integer perceptrons over hashed char-trigram
+    // features ([[langIdTrain]]), 3 rounds each, prediction = argmax
+    // margin (ties to the first class), over the marker-planted
+    // corpus ([[langIdMarker]] — the raw synthetic labels carry no
+    // textual signal, so BOTH contestants score the same planted
+    // text; the q74/q125 planting pattern). The oracle unrolls ALL
+    // FIVE training trajectories as CTE chains (q124's discipline ×
+    // classes) and re-derives the q32 heuristic per doc, so one hash
+    // compare pins the fits AND the head-to-head accuracy table —
+    // the trained model must beat the stopword/CJK heuristic for the
+    // stage swap to be worth it (LangIdSpec asserts the inequality
+    // on unplanted prose; this query makes it a standing artifact).
+    QueryDef(
+      "q141_trained_lang_id",
+      langIdOracleSql(LangIdClasses, rounds = 6)) { (s, dir) =>
+      val markers = typedLit(
+        LangIdClasses.map(c => c -> langIdMarker(c)).toMap)
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" "),
+          coalesce(element_at(markers, col("lang")), lit("")))
+          .as("text"))
+      val models = langIdTrain(d, LangIdClasses, rounds = 6)
+      d.select(col("doc_id"), col("lang"),
+          predictedLang(col("text")).as("hpred"))
+        .join(langIdPredict(d.select("doc_id", "text"), models),
+          Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("predicted_lang") === col("lang"), 1))
+            .as("n_trained_correct"),
+          count(when(col("hpred") === col("lang"), 1))
+            .as("n_heuristic_correct"))
+        .orderBy("lang")
     }
   )
 
@@ -3563,28 +3600,39 @@ object TextOps {
   def perceptronTrain(
       docsFrame: DataFrame, isTarget: Column, rounds: Int)
       : Map[String, Long] = {
-    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
     val feat = perceptronFeatures(docsFrame, isTarget)
       .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       feat.count()
-      var w = Map.empty[String, Long]
-      var r = 0
-      var converged = false
-      while (r < rounds && !converged) {
-        val mis = perceptronMargins(feat, w)
-          .filter(col("y") * col("margin") <= 0).select("doc_id")
-        val grads = feat.join(mis, Seq("doc_id"))
-          .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
-          .collect().map(row => row.getString(0) -> row.getLong(1))
-        if (grads.isEmpty) converged = true
-        else w = grads.foldLeft(w) { case (acc, (b, g)) =>
-          acc.updated(b, acc.getOrElse(b, 0L) + g) }
-        r += 1
-      }
-      w
+      perceptronTrainOnFeatures(feat, rounds)
     } finally feat.unpersist()
+  }
+
+  /** The round loop of [[perceptronTrain]] over an ALREADY-built
+    * (doc_id, y, bucket, cnt) feature frame — the caller owns its
+    * partitioning, persistence and release. Split out so multiclass
+    * trainers ([[langIdTrain]]) can run one cached feature pass per
+    * CLASS without re-exploding the corpus per class.
+    */
+  private[graft] def perceptronTrainOnFeatures(
+      feat: DataFrame, rounds: Int): Map[String, Long] = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    var w = Map.empty[String, Long]
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val mis = perceptronMargins(feat, w)
+        .filter(col("y") * col("margin") <= 0).select("doc_id")
+      val grads = feat.join(mis, Seq("doc_id"))
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
+        .collect().map(row => row.getString(0) -> row.getLong(1))
+      if (grads.isEmpty) converged = true
+      else w = grads.foldLeft(w) { case (acc, (b, g)) =>
+        acc.updated(b, acc.getOrElse(b, 0L) + g) }
+      r += 1
+    }
+    w
   }
 
   /** Score an (unlabeled) corpus under trained perceptron weights:
@@ -3706,5 +3754,281 @@ object TextOps {
          |FROM feat f JOIN w$rounds w USING (bucket)
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
     (Seq(head) ++ later).mkString(",\n") + "\n" + tail
+  }
+
+  // ---- q141: TRAINED language ID (one-vs-rest, char trigrams) -----
+
+  /** The fixed class list the q141 oracle unrolls CTE chains for —
+    * the synthetic corpus's planted labels. [[langIdTrain]] takes the
+    * list explicitly (a class the corpus lacks trains to all-negative
+    * weights, harmlessly).
+    */
+  // a def, not a val: it is referenced while the `queries` val is
+  // initializing, which runs earlier in the object body — a val here
+  // would still be null at that point (the classic object-init trap;
+  // PerceptronBiasBucket survives it only because a literal-typed
+  // object val is constant-folded at use sites)
+  private[graft] def LangIdClasses: Seq[String] =
+    Seq("de", "en", "es", "fr", "zh")
+
+  /** Hashed char-TRIGRAM feature frame for language ID:
+    * (doc_id, lang, bucket, cnt) over `lower(text)` — the fastText
+    * shape (Joulin et al. 2016: subword n-grams hashed into a fixed
+    * bucket space), with q78/q124's portable engine-shared hash
+    * (`substr(md5(gram), 1, 3)` → 4096 buckets) and one bias row per
+    * doc ([[PerceptronBiasBucket]]) so sub-trigram docs still carry a
+    * margin. Char trigrams — not word unigrams — because language
+    * identity lives in subword statistics: they survive OOV words,
+    * short docs, and agglutinative morphology, and CJK text (3-byte
+    * chars, no spaces) yields trigrams no Latin corpus produces.
+    *
+    * Plan shape: positions via `sequence` + explode (generator
+    * inside the scan stage), one dynamic-pos `substring` + md5 per
+    * gram, one partial-aggregable count rollup — the corpus is
+    * touched ONCE and the frame is ~n_chars rows pre-rollup, ≤4097
+    * distinct buckets per doc after. At 100 TB the md5-per-gram
+    * projection is the portability price; the accepted-collision
+    * escape hatch is `chargram_hashes(text, 3)` (q123's native
+    * rolling hash) bucketed by `pmod(h1, 4096)` — same frame, no
+    * md5, oracle twin then needs the q123f fold convention.
+    */
+  private[graft] def langIdFeatures(docsFrame: DataFrame): DataFrame = {
+    val grams = docsFrame
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(when(length(col("t")) >= 3,
+            sequence(lit(1), length(col("t")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(expr("substring(t, i, 3)")), 1, 3).as("bucket"))
+    grams.groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
+      .unionByName(docsFrame.select(col("doc_id"), col("lang"),
+        lit(PerceptronBiasBucket).as("bucket"), lit(1L).as("cnt")))
+  }
+
+  /** TRAIN the language identifier (q141): one-vs-rest batch
+    * perceptrons — [[perceptronTrainOnFeatures]]'s exact-integer
+    * round rule per class — over the shared char-trigram feature
+    * frame. The corpus is exploded ONCE (the frame is built, doc_id-
+    * repartitioned and cached here); each class's fit is `rounds` ×
+    * one pass over that cache with its own ±1 labeling — a
+    * projection, not a re-read. Returns (lang → weights) in `langs`
+    * order; weights are integer so the trajectory is engine-exact
+    * (the q124 discipline — the oracle unrolls every round per
+    * class).
+    *
+    * This is the TRAINED replacement for the q32 stopword/CJK
+    * heuristic: fit where labels exist (a labeled seed corpus),
+    * ship the ≤4097×|langs| weight table to score any unlabeled
+    * crawl ([[saveLangIdModel]] / [[langIdPredict]]).
+    */
+  def langIdTrain(docsFrame: DataFrame,
+      langs: Seq[String] = LangIdClasses,
+      rounds: Int = 3): Seq[(String, Map[String, Long])] = {
+    require(langs.nonEmpty, "langIdTrain needs at least one class")
+    val feat = langIdFeatures(docsFrame)
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      feat.count()
+      langs.map { c =>
+        c -> perceptronTrainOnFeatures(
+          feat.select(col("doc_id"),
+            when(col("lang") === c, 1L).otherwise(-1L).as("y"),
+            col("bucket"), col("cnt")), rounds)
+      }
+    } finally feat.unpersist()
+  }
+
+  /** Score a corpus under trained [[langIdTrain]] models:
+    * (doc_id, predicted_lang, margin) — per doc, the argmax-margin
+    * class (ties to the lexicographically FIRST class, a fixed rule
+    * both engines implement). `docsFrame` needs (doc_id, text); a
+    * `lang` column is ignored if present.
+    *
+    * Plan shape: the trigram feature frame joins ONE broadcast
+    * (bucket, class, weight) table (≤4097×|langs| rows — every
+    * feature bucket appears in every class's round-1 weights, so the
+    * inner join drops nothing), then two partial-aggregable rollups:
+    * per-(doc, class) margin sums, then a per-doc `max(struct(margin,
+    * -class_idx))` argmax — no window, no per-class corpus pass, and
+    * the second rollup rides the first's partitioning.
+    */
+  def langIdPredict(docsFrame: DataFrame,
+      models0: Seq[(String, Map[String, Long])]): DataFrame = {
+    require(models0.nonEmpty, "langIdPredict needs at least one model")
+    // sort by class name so the tie rule is LEXICOGRAPHIC regardless
+    // of the caller's model order — the exact rule the q141 oracle
+    // states (ORDER BY m DESC, cand ASC)
+    val models = models0.sortBy(_._1)
+    val spark = docsFrame.sparkSession
+    import spark.implicits._
+    val langs = models.map(_._1)
+    val wAll = models.zipWithIndex.flatMap { case ((_, w), ci) =>
+      w.toSeq.map { case (b, wt) => (b, ci, wt) }
+    }.toDF("bucket", "ci", "wt")
+    val feat = langIdFeatures(
+      docsFrame.select(col("doc_id"), lit("").as("lang"), col("text")))
+    val byClass = feat.join(broadcast(wAll), Seq("bucket"))
+      .groupBy("doc_id", "ci")
+      .agg(sum(col("cnt") * col("wt")).as("margin"))
+    val idxToLang = typedLit(langs.zipWithIndex.map(_.swap).toMap)
+    byClass
+      .groupBy("doc_id")
+      .agg(max(struct(col("margin"),
+        (-col("ci")).cast("long").as("nci"))).as("top"))
+      .select(col("doc_id"),
+        element_at(idxToLang, (-col("top.nci")).cast("int"))
+          .as("predicted_lang"),
+        col("top.margin").as("margin"))
+  }
+
+  /** Persist trained [[langIdTrain]] models as one parquet artifact
+    * ((lang, bucket, w) rows) — the fit-offline/score-online hand-off,
+    * q124's [[savePerceptronModel]] generalized per class.
+    */
+  def saveLangIdModel(spark: SparkSession,
+      models: Seq[(String, Map[String, Long])], path: String): Unit = {
+    import spark.implicits._
+    models.flatMap { case (c, w) =>
+      w.toSeq.map { case (b, wt) => (c, b, wt) }
+    }.toDF("lang", "bucket", "w")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveLangIdModel]] artifact; class order is
+    * lexicographic (the training default), fail-loud on null rows.
+    */
+  def loadLangIdModel(spark: SparkSession,
+      path: String): Seq[(String, Map[String, Long])] = {
+    spark.read.parquet(path).select("lang", "bucket", "w").collect()
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+          s"langID model at $path has a null row")
+        (r.getString(0), r.getString(1), r.getLong(2))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap)
+      .toSeq.sortBy(_._1)
+  }
+
+  /** The deterministic per-language text MARKER q141 plants before
+    * training (the q74/q125 planting pattern): the synthetic corpus's
+    * `lang` labels sit on uniformly English-SQL word soup — no label
+    * is derivable from the raw text, by either model — so the query
+    * appends a per-lang phrase (3× the q32 stoplist; a CJK phrase
+    * for zh) to give both contestants a real signal. The HEURISTIC
+    * sees exactly its own stopwords (its best case) yet still loses
+    * docs where the soup's natural English stopwords outvote the
+    * marker under q32's en-first precedence — which is precisely the
+    * failure mode a trained model fixes. LangIdSpec carries the
+    * unplanted-prose evidence; this keeps the oracle-checked compare
+    * non-vacuous.
+    */
+  private[graft] def langIdMarker(lang: String): String = {
+    val phrase = lang match {
+      case "de" => "die schnelle abfrage und der sortierte index" +
+        " für große tabellen"
+      case "en" => "the quick query and the sorted index over large tables"
+      case "es" => "la consulta rápida y el índice ordenado para" +
+        " tablas grandes"
+      case "fr" => "la requête rapide et les index triés pour" +
+        " les grandes tables"
+      case "zh" => "的 一 是 在 不 了 有 和 人 这"
+      case other => other
+    }
+    Seq.fill(3)(phrase).mkString(" ")
+  }
+
+  /** The q141 unrolled-CTE oracle: the marker-planted corpus, the
+    * shared trigram feature CTE, then per class a
+    * [[perceptronOracleSql]]-style chain (`rounds` rounds of margins
+    * → misclassified → gradient → weights), the per-class final
+    * margins, the argmax prediction (margin DESC, class ASC), and
+    * the q32 heuristic re-stated per doc over the SAME planted text
+    * — so one hash compare pins five training trajectories AND the
+    * trained-vs-heuristic accuracy table.
+    */
+  private[graft] def langIdOracleSql(
+      langs: Seq[String], rounds: Int): String = {
+    require(rounds >= 1)
+    val markerCase = langs
+      .map(c => s"WHEN '$c' THEN '${langIdMarker(c)}'")
+      .mkString("CASE lang ", " ", " ELSE '' END")
+    val head =
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text || ' ' || $markerCase AS text
+         |  FROM documents),
+         |tri AS (
+         |  SELECT doc_id, lang, substr(md5(substr(t, i, 3)), 1, 3) AS bucket
+         |  FROM (SELECT doc_id, lang, t,
+         |          unnest(generate_series(1, length(t) - 2)) AS i
+         |        FROM (SELECT doc_id, lang, lower(text) AS t FROM d)
+         |        WHERE length(t) >= 3)),
+         |feat AS (
+         |  SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tri GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT doc_id, lang, '$PerceptronBiasBucket', CAST(1 AS BIGINT)
+         |  FROM d)""".stripMargin
+    def yOf(c: String, pfx: String = "") =
+      s"CASE WHEN ${pfx}lang = '$c' THEN 1 ELSE -1 END"
+    val perClass = langs.flatMap { c =>
+      val w1 =
+        s"""w1_$c AS (
+           |  SELECT bucket, CAST(sum(${yOf(c)} * cnt) AS BIGINT) AS wt
+           |  FROM feat GROUP BY bucket)""".stripMargin
+      val later = (2 to rounds).map { r =>
+        s"""m${r - 1}_$c AS (
+           |  SELECT f.doc_id, ${yOf(c, "f.")} AS y,
+           |    CAST(sum(f.cnt * w.wt) AS BIGINT) AS m
+           |  FROM feat f JOIN w${r - 1}_$c w USING (bucket) GROUP BY 1, 2),
+           |g${r - 1}_$c AS (
+           |  SELECT bucket, CAST(sum(${yOf(c)} * cnt) AS BIGINT) AS g
+           |  FROM feat
+           |  WHERE doc_id IN (SELECT doc_id FROM m${r - 1}_$c WHERE y * m <= 0)
+           |  GROUP BY bucket),
+           |w${r}_$c AS (
+           |  SELECT w.bucket, w.wt + COALESCE(g.g, 0) AS wt
+           |  FROM w${r - 1}_$c w LEFT JOIN g${r - 1}_$c g USING (bucket))""".stripMargin
+      }
+      val mf =
+        s"""mf_$c AS (
+           |  SELECT f.doc_id, CAST(sum(f.cnt * w.wt) AS BIGINT) AS m
+           |  FROM feat f JOIN w${rounds}_$c w USING (bucket) GROUP BY 1)""".stripMargin
+      Seq(w1) ++ later :+ mf
+    }
+    val allm = langs
+      .map(c => s"SELECT doc_id, '$c' AS cand, m FROM mf_$c")
+      .mkString("allm AS (\n  ", "\n  UNION ALL ", ")")
+    val tail =
+      s"""pred AS (
+         |  SELECT doc_id, cand AS predicted FROM (
+         |    SELECT doc_id, cand, m, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY m DESC, cand) AS rn
+         |    FROM allm) z WHERE rn = 1),
+         |heur AS (
+         |  SELECT doc_id, CASE
+         |    WHEN n_cjk > 0 THEN 'zh'
+         |    WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+         |    WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |    WHEN s_fr > 0 THEN 'fr'
+         |    ELSE 'unknown' END AS hpred
+         |  FROM (SELECT doc_id,
+         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk,
+         |    ${sqlStopScore("en")} AS s_en,
+         |    ${sqlStopScore("de")} AS s_de,
+         |    ${sqlStopScore("es")} AS s_es,
+         |    ${sqlStopScore("fr")} AS s_fr
+         |  FROM d) z)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE p.predicted = d.lang) AS n_trained_correct,
+         |  count(*) FILTER (WHERE h.hpred = d.lang) AS n_heuristic_correct
+         |FROM d
+         |JOIN pred p ON p.doc_id = d.doc_id
+         |JOIN heur h ON h.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    (Seq(head) ++ perClass ++ Seq(allm, tail)).mkString(",\n")
   }
 }

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The trained language identifier (q141): one-vs-rest char-trigram
+  * perceptrons — accuracy vs the q32 heuristic on the planted
+  * corpus, prediction determinism (argmax tie-break), the model
+  * artifact round-trip, and the CurationPipeline lang_gate stage.
+  */
+class LangIdSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  // real multilingual prose — the text the q32 heuristic and the
+  // trained model both face in the wild (the synthetic tables' lang
+  // labels sit on uniform English word soup, so q141 plants markers;
+  // HERE the language signal is the prose itself)
+  private val prose: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(
+      "die alte bibliothek am marktplatz öffnet ihre türen jeden morgen" +
+        " bevor der nebel über dem fluss sich hebt",
+      "der bäcker an der ecke verkauft das dunkle brot schon seit" +
+        " vierzig jahren und niemand kennt sein rezept",
+      // a heuristic trap: no word from q32's de stoplist, one hit on
+      // the FR list ('des') — the stopword vote calls German prose
+      // French; trigrams (sch/ein/…) still read German
+      "ein kleiner junge spielt mit seinem hund am ufer des flusses" +
+        " wo im sommer viele boote liegen",
+      "die lokomotive zieht zwölf wagen voller kohle durch das enge" +
+        " tal und ist niemals pünktlich"),
+    "en" -> Seq(
+      "the lighthouse keeper climbs two hundred steps every evening" +
+        " to light the lamp before the fog rolls in",
+      "a traveling circus arrived in town with three elephants and" +
+        " the children talked about it for weeks",
+      "the old bridge across the river is closed to trucks but the" +
+        " farmers still drive their tractors over it",
+      "every autumn the orchard behind the school gives more apples" +
+        " than the whole village can eat"),
+    "es" -> Seq(
+      "el mercado de la plaza abre temprano y los vendedores gritan" +
+        " los precios de la fruta fresca",
+      "la biblioteca del pueblo guarda un mapa antiguo que muestra" +
+        " los caminos perdidos de la sierra",
+      "el panadero de la esquina vende pan oscuro desde hace cuarenta" +
+        " años y nadie conoce su receta",
+      // a heuristic trap: no word from q32's es stoplist, three hits
+      // on the FR list ('la') — real Spanish the stopword vote calls
+      // French; the trigram profile still reads Spanish
+      "la luna llena ilumina la playa mientras la marea sube" +
+        " lentamente hacia las rocas del puerto viejo"),
+    "fr" -> Seq(
+      "le gardien du phare monte deux cents marches chaque soir pour" +
+        " allumer la lampe avant le brouillard",
+      "la boulangerie du coin vend le pain noir depuis quarante ans" +
+        " et personne ne connaît la recette",
+      "en hiver les enfants descendent la colline derrière la mairie" +
+        " avec leurs luges en bois",
+      "le vieux pont sur la rivière est fermé aux camions mais les" +
+        " fermiers y passent avec leurs tracteurs"),
+    "zh" -> Seq(
+      "灯塔看守人每天晚上爬两百级台阶在大雾来临之前点亮灯",
+      "集市广场的老图书馆每天早晨在河上的雾气散去之前开门",
+      "街角的面包师四十年来一直卖黑面包没有人知道他的配方",
+      "冬天孩子们坐着木雪橇从市政厅后面的陡坡上滑下来"))
+
+  test("trained langID beats the q32 heuristic on real multilingual prose") {
+    import spark.implicits._
+    val rows = prose.flatMap { case (lang, texts) =>
+      texts.map(t => (lang, t)) }.zipWithIndex
+      .map { case ((lang, t), i) => (i.toLong, lang, t) }
+    val d = rows.toDF("doc_id", "lang", "text")
+    val models = TextOps.langIdTrain(d, rounds = 6)
+    val scored = d
+      .select(col("doc_id"), col("lang"),
+        TextOps.predictedLang(col("text")).as("hpred"))
+      .join(TextOps.langIdPredict(d.select("doc_id", "text"), models),
+        Seq("doc_id"))
+    val row = scored.agg(
+        count(lit(1)),
+        count(when(col("predicted_lang") === col("lang"), 1)),
+        count(when(col("hpred") === col("lang"), 1)))
+      .collect().head
+    val (n, trained, heur) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(n == 20L)
+    // the heuristic's known failure mode on real prose: 'la'/'les'
+    // overlap between es/fr stoplists + the en-first precedence —
+    // it must be imperfect here or the comparison is vacuous
+    assert(heur < n, s"heuristic already perfect ($heur/$n) — vacuous")
+    assert(trained > heur,
+      s"trained $trained/$n must beat heuristic $heur/$n")
+    assert(trained == n, s"trained must nail the training prose: $trained/$n")
+  }
+
+  test("argmax tie-break: equal margins resolve to the lexicographically first class") {
+    import spark.implicits._
+    val d = Seq((1L, "whatever text")).toDF("doc_id", "text")
+    // both classes score ONLY the bias — margins tie exactly
+    val bias = TextOps.PerceptronBiasBucket
+    val models = Seq(
+      "bb" -> Map(bias -> 7L),
+      "aa" -> Map(bias -> 7L))
+    val out = TextOps.langIdPredict(d, models).collect().head
+    assert(out.getString(1) == "aa" && out.getLong(2) == 7L, out.toString)
+  }
+
+  test("sub-trigram and empty docs predict via the bias alone (no crash, deterministic)") {
+    import spark.implicits._
+    val d = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val bias = TextOps.PerceptronBiasBucket
+    val models = Seq("en" -> Map(bias -> -3L), "fr" -> Map(bias -> 2L))
+    val got = TextOps.langIdPredict(d, models).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> (("fr", 2L)), 2L -> (("fr", 2L))), got.toString)
+  }
+
+  test("model artifact round-trip: save/load preserves weights and predictions") {
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "text").filter(col("doc_id") < 100)
+    val models = TextOps.langIdTrain(d, rounds = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_langid").toString + "/model"
+    TextOps.saveLangIdModel(spark, models, dir)
+    val loaded = TextOps.loadLangIdModel(spark, dir)
+    assert(loaded.toMap == models.toMap)
+    // class order is lexicographic on load — the training default,
+    // so tie-breaks survive the artifact hand-off
+    assert(loaded.map(_._1) == loaded.map(_._1).sorted)
+    val a = TextOps.langIdPredict(d.select("doc_id", "text"), models)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextOps.langIdPredict(d.select("doc_id", "text"), loaded)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("CurationPipeline lang_gate: off-language docs die at the gate, ledger attributes them") {
+    import spark.implicits._
+    // clean prose that survives the quality rungs in both languages
+    val en = Seq(
+      (1L, "the old harbor master keeps a careful log of every tide " +
+        "and storm that has touched the breakwater in forty years", "en"),
+      (2L, "a traveling library van brings new novels to the village " +
+        "square every second thursday and it always leaves again " +
+        "with empty shelves in the back", "en"))
+    val fr = Seq(
+      (3L, "le vieux gardien du port tient un registre soigneux de " +
+        "chaque maree et de chaque tempete depuis quarante ans", "fr"),
+      (4L, "une bibliotheque ambulante apporte des romans neufs sur la " +
+        "place du village et repart chaque fois les etageres vides", "fr"))
+    val corpus = (en ++ fr).map { case (id, t, lang) =>
+      (id, t, lang, "crawl") }
+      .toDF("doc_id", "text", "lang", "source")
+    val models = TextOps.langIdTrain(corpus, langs = Seq("en", "fr"),
+      rounds = 3)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_langgate").toString
+    val counts = graft.pipeline.CurationPipeline.run(spark,
+      corpus, probeSource = "none", outDir = outDir + "/out",
+      langIdGate = Some((models, Set("en"))))
+    val byStage = counts.map(s => s.stage -> s.docs).toMap
+    assert(byStage("lang_gate") == 2L, byStage)
+    val survivors = spark.read.parquet(outDir + "/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L), survivors)
+  }
+}
