@@ -1381,14 +1381,39 @@ object DedupOps {
   def noveltyScores(s: SparkSession, dir: String): DataFrame =
     noveltyScores(Tables(s, dir, "documents").select("doc_id", "text"))
 
-  /** Same over any (doc_id, text) frame. */
+  /** Same over any (doc_id, text) frame.
+    *
+    * Plan shape (r16 rework): the old form joined the per-shingle
+    * first-doc table BACK onto the shingle stream on the full
+    * shingle STRING — a second corpus-shingle-sized shuffle carrying
+    * ~25-byte keys. Novelty only needs two counts per doc, so the
+    * join-back is unnecessary: (1) distinct (doc_id, gh) on the
+    * xxhash64-folded key (8-byte shuffle, the q37 convention — a
+    * collision can only merge two distinct shingles, ~n²/2^65 odds,
+    * and the exact-string oracle stays green because none occur at
+    * verify scale), (2) per-doc totals = one partial-aggregable
+    * rollup, (3) per-doc novel counts = min-doc per hash rolled up
+    * to its winner — both rollups read the SAME distinct exchange
+    * (ReusedExchange: one corpus scan), and the final join is
+    * docs-sized, not shingle-sized.
+    */
   def noveltyScores(docs0: DataFrame): DataFrame = {
-    val sh = shingles(docs0)
-    val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
-    sh.join(first, Seq("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+    val sh = docs0
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(t) - 2)")).as("i"), col("t"))
+      .select(col("doc_id"), xxhash64(concat(
+        element_at(col("t"), col("i")), lit(" "),
+        element_at(col("t"), col("i") + 1), lit(" "),
+        element_at(col("t"), col("i") + 2))).as("gh"))
+      .distinct()
+    val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("gh").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         floor(col("n_novel").cast("double") / col("n_shingles") * 10000
           + lit(0.5)) / 10000)

@@ -2593,18 +2593,37 @@ object TextOps {
         concat(col("text"), lit(" "),
           coalesce(element_at(markers, col("lang")), lit("")))
           .as("text"))
-      val models = langIdTrain(d, LangIdClasses, rounds = 6)
-      d.select(col("doc_id"), col("lang"),
-          predictedLang(col("text")).as("hpred"))
-        .join(langIdPredict(d.select("doc_id", "text"), models),
-          Seq("doc_id"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          count(when(col("predicted_lang") === col("lang"), 1))
-            .as("n_trained_correct"),
-          count(when(col("hpred") === col("lang"), 1))
-            .as("n_heuristic_correct"))
-        .orderBy("lang")
+      // ONE cached feature frame feeds both the 6-round fit and the
+      // prediction pass (the corpus is exploded once); training
+      // reads only the doc_id % 5 = 0 SEED slice of the cache (the
+      // fit-offline/score-online deployment — langID fits on a
+      // labeled seed, never the whole crawl — and 4/5 of the docs in
+      // the accuracy table are ones training never saw); the 5-row
+      // result is collected eagerly so the cache can be released
+      // before returning (the q137 unpersist lesson)
+      val feat = langIdFeatures(d).repartition(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        feat.count()
+        val models = langIdTrainOnFeatures(
+          feat.filter(col("doc_id") % 5 === 0), LangIdClasses, rounds = 6)
+        val rows = d.select(col("doc_id"), col("lang"),
+            predictedLang(col("text")).as("hpred"))
+          .join(langIdPredictOnFeatures(feat, models), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("predicted_lang") === col("lang"), 1))
+              .as("n_trained_correct"),
+            count(when(col("hpred") === col("lang"), 1))
+              .as("n_heuristic_correct"))
+          .orderBy("lang")
+          .collect().toSeq
+        import s.implicits._
+        rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+          .toDF("lang", "n_docs", "n_trained_correct",
+            "n_heuristic_correct")
+      } finally feat.unpersist()
     }
   )
 
@@ -3793,17 +3812,33 @@ object TextOps {
     * md5, oracle twin then needs the q123f fold convention.
     */
   private[graft] def langIdFeatures(docsFrame: DataFrame): DataFrame = {
+    // WORD-INTERNAL trigrams (fastText's actual shape), not
+    // whole-document positional trigrams: the exploded row then
+    // carries only a ~6-char token instead of the whole document
+    // (explode copies the carried columns into EVERY output row —
+    // document-positional grams materialize O(n²) bytes per doc and
+    // walk substring(t, i, 3) from the string start each time;
+    // measured 6.6 s of q141's budget at sf0.1 before the switch),
+    // and substring over a bounded-length token is O(1)-ish
     val grams = docsFrame
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
-      .select(col("doc_id"), col("lang"), col("t"),
-        explode(when(length(col("t")) >= 3,
-            sequence(lit(1), length(col("t")) - 2))
-          .otherwise(array().cast("array<int>"))).as("i"))
       .select(col("doc_id"), col("lang"),
-        substring(md5(expr("substring(t, i, 3)")), 1, 3).as("bucket"))
+        explode(filter(tokens(lower(col("text"))),
+          x => length(x) >= 3)).as("w"))
+      .select(col("doc_id"), col("lang"), col("w"),
+        explode(sequence(lit(1), length(col("w")) - 2)).as("i"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(expr("substring(w, i, 3)")), 1, 3).as("bucket"))
+    // bidx: the bucket as a DENSE INT (hex value; bias = 4096) — the
+    // 4096-bucket space is enumerable, so per-round weight lookups
+    // are O(1) array indexing instead of an O(|map|) literal-map
+    // scan per row (measured: the map-literal form cost ~2 s/round
+    // at sf0.1)
     grams.groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
       .unionByName(docsFrame.select(col("doc_id"), col("lang"),
         lit(PerceptronBiasBucket).as("bucket"), lit(1L).as("cnt")))
+      .withColumn("bidx",
+        when(col("bucket") === PerceptronBiasBucket, lit(4096))
+          .otherwise(conv(col("bucket"), 16, 10).cast("int")))
   }
 
   /** TRAIN the language identifier (q141): one-vs-rest batch
@@ -3826,18 +3861,87 @@ object TextOps {
       langs: Seq[String] = LangIdClasses,
       rounds: Int = 3): Seq[(String, Map[String, Long])] = {
     require(langs.nonEmpty, "langIdTrain needs at least one class")
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val spark = docsFrame.sparkSession
+    import spark.implicits._
     val feat = langIdFeatures(docsFrame)
       .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       feat.count()
-      langs.map { c =>
-        c -> perceptronTrainOnFeatures(
-          feat.select(col("doc_id"),
-            when(col("lang") === c, 1L).otherwise(-1L).as("y"),
-            col("bucket"), col("cnt")), rounds)
-      }
+      langIdTrainOnFeatures(feat, langs, rounds)
     } finally feat.unpersist()
+  }
+
+  /** The multi-class round loop of [[langIdTrain]] over an
+    * ALREADY-built, cached [[langIdFeatures]] frame (the caller owns
+    * persistence — q141 shares one cached frame between training and
+    * prediction). Per round: per-doc margins for ALL classes from a
+    * plan-literal bucket → weight-vector map (the
+    * semanticDecontaminate move: ≤4096 entries × |classes| longs, no
+    * join fan-out — the margin rollup reads each feature row once
+    * and rides the frame's doc_id partitioning), misclassified
+    * (doc, class) pairs from a |docs|-sized explode, then the
+    * gradient join + per-(class, bucket) rollup and one
+    * ≤|classes|×4097-row collect. Identical integer trajectories to
+    * |classes| independent [[perceptronTrainOnFeatures]] runs
+    * (classes are independent), at 1/|classes| the jobs — the
+    * sequential form measured 31 s at sf0.1 for 5×6 rounds.
+    */
+  private[graft] def langIdTrainOnFeatures(feat: DataFrame,
+      langs: Seq[String], rounds: Int): Seq[(String, Map[String, Long])] = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val k = langs.size
+    val langIdx = typedLit(langs.zipWithIndex.map(_.swap).toMap)
+    val y = when(col("lang") === element_at(langIdx, col("ci")), 1L)
+      .otherwise(-1L)
+    val w = Array.fill(k)(Map.empty[String, Long])
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val grads =
+        if (r == 0)
+          // round 1 from all-zero weights: margins are identically
+          // 0, every (doc, class) is misclassified — the gradient
+          // is the full class-conditional rollup (the oracle's w1)
+          feat.crossJoin(broadcast(langs.indices.toDF("ci")))
+            .groupBy("ci", "bucket").agg(sum(y * col("cnt")).as("g"))
+            .collect()
+        else {
+          // dense 4097-slot weight table indexed by bidx — O(1) per
+          // row per class, shipped as a ~(4097×k×8 B) plan literal
+          val wArr = typedLit(IndexedSeq.tabulate(4097) { i =>
+            val b = if (i == 4096) PerceptronBiasBucket else f"$i%03x"
+            (0 until k).map(ci => w(ci).getOrElse(b, 0L))
+          })
+          val m = feat
+            .withColumn("wv", element_at(wArr, col("bidx") + 1))
+            .groupBy(col("doc_id"), col("lang"))
+            .agg(
+              sum(col("cnt") * element_at(col("wv"), lit(1))).as("m0"),
+              (1 until k).map(ci =>
+                sum(col("cnt") * element_at(col("wv"), lit(ci + 1)))
+                  .as(s"m$ci")): _*)
+          val mis = m
+            .select(col("doc_id"), col("lang"), posexplode(
+              array((0 until k).map(ci => col(s"m$ci")): _*)))
+            .withColumnRenamed("pos", "ci")
+            .withColumnRenamed("col", "margin")
+            .filter(y * col("margin") <= 0)
+            .select("doc_id", "ci")
+          feat.join(mis, Seq("doc_id"))
+            .groupBy("ci", "bucket").agg(sum(y * col("cnt")).as("g"))
+            .collect()
+        }
+      if (grads.isEmpty) converged = true
+      else grads.foreach { row =>
+        val (ci, b, g) = (row.getInt(0), row.getString(1), row.getLong(2))
+        w(ci) = w(ci).updated(b, w(ci).getOrElse(b, 0L) + g)
+      }
+      r += 1
+    }
+    langs.zip(w.toSeq)
   }
 
   /** Score a corpus under trained [[langIdTrain]] models:
@@ -3855,20 +3959,29 @@ object TextOps {
     * the second rollup rides the first's partitioning.
     */
   def langIdPredict(docsFrame: DataFrame,
+      models0: Seq[(String, Map[String, Long])]): DataFrame =
+    langIdPredictOnFeatures(
+      langIdFeatures(
+        docsFrame.select(col("doc_id"), lit("").as("lang"), col("text"))),
+      models0)
+
+  /** [[langIdPredict]] over an ALREADY-built [[langIdFeatures]]
+    * frame — q141 shares one cached frame between training and
+    * prediction instead of re-exploding the corpus.
+    */
+  private[graft] def langIdPredictOnFeatures(feat: DataFrame,
       models0: Seq[(String, Map[String, Long])]): DataFrame = {
     require(models0.nonEmpty, "langIdPredict needs at least one model")
     // sort by class name so the tie rule is LEXICOGRAPHIC regardless
     // of the caller's model order — the exact rule the q141 oracle
     // states (ORDER BY m DESC, cand ASC)
     val models = models0.sortBy(_._1)
-    val spark = docsFrame.sparkSession
+    val spark = feat.sparkSession
     import spark.implicits._
     val langs = models.map(_._1)
     val wAll = models.zipWithIndex.flatMap { case ((_, w), ci) =>
       w.toSeq.map { case (b, wt) => (b, ci, wt) }
     }.toDF("bucket", "ci", "wt")
-    val feat = langIdFeatures(
-      docsFrame.select(col("doc_id"), lit("").as("lang"), col("text")))
     val byClass = feat.join(broadcast(wAll), Seq("bucket"))
       .groupBy("doc_id", "ci")
       .agg(sum(col("cnt") * col("wt")).as("margin"))
@@ -3934,20 +4047,27 @@ object TextOps {
         " tablas grandes"
       case "fr" => "la requête rapide et les index triés pour" +
         " les grandes tables"
-      case "zh" => "的 一 是 在 不 了 有 和 人 这"
+      // unspaced, as Chinese text actually is — a SPACED CJK phrase
+      // would fragment into 1-char tokens below the trigram floor
+      // and contribute nothing under word-internal features
+      case "zh" => "的一是在不了有和人这"
       case other => other
     }
     Seq.fill(3)(phrase).mkString(" ")
   }
 
   /** The q141 unrolled-CTE oracle: the marker-planted corpus, the
-    * shared trigram feature CTE, then per class a
-    * [[perceptronOracleSql]]-style chain (`rounds` rounds of margins
-    * → misclassified → gradient → weights), the per-class final
-    * margins, the argmax prediction (margin DESC, class ASC), and
-    * the q32 heuristic re-stated per doc over the SAME planted text
-    * — so one hash compare pins five training trajectories AND the
-    * trained-vs-heuristic accuracy table.
+    * shared trigram feature CTE, the SEED split (training reads only
+    * `doc_id % 5 = 0` — the fit-offline/score-online deployment:
+    * langID models fit on a labeled seed, never the whole crawl),
+    * then per class a [[perceptronOracleSql]]-style chain (`rounds`
+    * rounds of margins → misclassified → gradient → weights) over
+    * the seed, the per-class final margins over the FULL corpus, the
+    * argmax prediction (margin DESC, class ASC), and the q32
+    * heuristic re-stated per doc over the SAME planted text — so one
+    * hash compare pins five training trajectories AND the
+    * trained-vs-heuristic accuracy table including generalization to
+    * the 80% of docs training never saw.
     */
   private[graft] def langIdOracleSql(
       langs: Seq[String], rounds: Int): String = {
@@ -3960,32 +4080,36 @@ object TextOps {
          |  SELECT doc_id, lang, text || ' ' || $markerCase AS text
          |  FROM documents),
          |tri AS (
-         |  SELECT doc_id, lang, substr(md5(substr(t, i, 3)), 1, 3) AS bucket
-         |  FROM (SELECT doc_id, lang, t,
-         |          unnest(generate_series(1, length(t) - 2)) AS i
-         |        FROM (SELECT doc_id, lang, lower(text) AS t FROM d)
-         |        WHERE length(t) >= 3)),
+         |  SELECT doc_id, lang, substr(md5(substr(w, i, 3)), 1, 3) AS bucket
+         |  FROM (SELECT doc_id, lang, w,
+         |          unnest(generate_series(1, length(w) - 2)) AS i
+         |        FROM (SELECT doc_id, lang,
+         |                unnest(list_filter(
+         |                  string_split_regex(lower(text), '\\s+'),
+         |                  x -> len(x) >= 3)) AS w
+         |              FROM d))),
          |feat AS (
          |  SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS cnt
          |  FROM tri GROUP BY 1, 2, 3
          |  UNION ALL
          |  SELECT doc_id, lang, '$PerceptronBiasBucket', CAST(1 AS BIGINT)
-         |  FROM d)""".stripMargin
+         |  FROM d),
+         |ftr AS (SELECT * FROM feat WHERE doc_id % 5 = 0)""".stripMargin
     def yOf(c: String, pfx: String = "") =
       s"CASE WHEN ${pfx}lang = '$c' THEN 1 ELSE -1 END"
     val perClass = langs.flatMap { c =>
       val w1 =
         s"""w1_$c AS (
            |  SELECT bucket, CAST(sum(${yOf(c)} * cnt) AS BIGINT) AS wt
-           |  FROM feat GROUP BY bucket)""".stripMargin
+           |  FROM ftr GROUP BY bucket)""".stripMargin
       val later = (2 to rounds).map { r =>
         s"""m${r - 1}_$c AS (
            |  SELECT f.doc_id, ${yOf(c, "f.")} AS y,
            |    CAST(sum(f.cnt * w.wt) AS BIGINT) AS m
-           |  FROM feat f JOIN w${r - 1}_$c w USING (bucket) GROUP BY 1, 2),
+           |  FROM ftr f JOIN w${r - 1}_$c w USING (bucket) GROUP BY 1, 2),
            |g${r - 1}_$c AS (
            |  SELECT bucket, CAST(sum(${yOf(c)} * cnt) AS BIGINT) AS g
-           |  FROM feat
+           |  FROM ftr
            |  WHERE doc_id IN (SELECT doc_id FROM m${r - 1}_$c WHERE y * m <= 0)
            |  GROUP BY bucket),
            |w${r}_$c AS (
