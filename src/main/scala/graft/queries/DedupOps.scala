@@ -255,6 +255,66 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** q142's operator: MIRROR-HOST detection — near-dup dedup lifted
+    * from document to HOST granularity. Web corpora carry whole
+    * mirrored sites (CDN fronts, country-code twins, scraper
+    * re-hosts, archive.org-style copies); doc-level near-dup finds
+    * the page pairs one at a time, but the actionable unit is the
+    * HOST pair — a confirmed mirror drops (or down-weights, q59's
+    * mixing) the entire duplicate host in one decision, and feeds
+    * the crawl loop (q130) so the mirror is never fetched again.
+    *
+    * The dataflow is the q36 machinery at host granularity, hinging
+    * on one algebraic fact: a host's content is the UNION of its
+    * docs' shingle sets, and MinHash commutes with union —
+    * min over docs of (min over doc-shingles of h) = min over the
+    * union — so the host signature is a partial-aggregable
+    * `min(h_i)` rollup over the per-doc `minhash8` signatures (zero
+    * extra text reads, |hosts| rows out). Banding the host
+    * signatures prunes the |hosts|^2 pair space exactly as q36
+    * prunes doc pairs; exact Jaccard verify runs only on banded
+    * candidates via the (host, shingle)-distinct frame. At 100 TB:
+    * per-doc signatures are the scan, both rollups partial-
+    * aggregate, the verify join touches candidate hosts' shingle
+    * rows only, and the report is |mirror-candidate-pairs|-sized —
+    * no stage is corpus-pair-shaped. (Banding at the host level is
+    * probabilistic exactly like q36: a mirror diluted below the
+    * band threshold by unique boilerplate can be missed; the
+    * md5-deterministic signatures make the decision reproducible
+    * and oracle-checkable.)
+    *
+    * `hostDocs` = (host, text), one row per (host, page) placement.
+    * Returns (host_a, host_b, n_common, na, nb, jaccard, mirror)
+    * for every banded candidate pair sharing >= 1 shingle.
+    */
+  private[graft] def hostMirrorPairs(s: SparkSession, hostDocs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val asDocs = hostDocs.select(col("host").as("doc_id"), col("text"))
+    // (host, g) distinct — the host's shingle UNION (verify + sizes)
+    val hs = shingles(asDocs).withColumnRenamed("doc_id", "host")
+    val hostSig = minhashSig(s, asDocs).groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("h0"),
+        (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+    val cand = bandedCandidates(hostSig)
+      .select(col("doc_a").as("host_a"), col("doc_b").as("host_b"))
+    val sizes = hs.groupBy("host").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(hs.select(col("host").as("host_a"), col("g")), Seq("host_a"))
+      .join(hs.select(col("host").as("host_b"), col("g")), Seq("host_b", "g"))
+      .groupBy("host_a", "host_b")
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(sizes.select(col("host").as("host_a"), col("n").as("na")),
+        Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("n").as("nb")),
+        Seq("host_b"))
+      .select(col("host_a"), col("host_b"), col("n_common"),
+        col("na"), col("nb"), round(jac, 4).as("jaccard"),
+        (jac >= minJaccard).as("mirror"))
+  }
+
   /** (doc_id, band, bh) band rows for a signature frame — the LSH
     * join key material shared by the self-join (q36/q94) and the
     * delta-vs-index join (q95).
@@ -2627,6 +2687,80 @@ object DedupOps {
             i => array_join(slice(col("t"), i * 3 + 1, lit(3)), " ")),
           "\n").as("text"))
       lineDedup(planted).orderBy("doc_id")
+    },
+
+    // ---- q142: mirror-host detection ------------------------------
+    // Host-granularity near-dup (see hostMirrorPairs). The corpus has
+    // no natural cross-host mirrors, so the query plants them
+    // deterministically (the q130/q74 pattern — both engines build
+    // the identical placement): every doc lands on base host
+    // h<doc_id%24>; hosts m0..m7 are FULL mirrors (same doc set as
+    // their h twin → jaccard 1.0, flagged), m8..m11 are PARTIAL
+    // mirrors (alternating doc_id blocks → jaccard ~0.5, reported
+    // unflagged).
+    // The oracle re-derives host signatures (min-md5 over the shingle
+    // union), replays the 4-band OR-join, and verifies exact Jaccard
+    // — a hash match pins signature/union commutativity, banding, and
+    // verify all at once.
+    QueryDef(
+      "q142_mirror_hosts",
+      """WITH hd AS (
+        |  SELECT 'h' || CAST(doc_id % 24 AS VARCHAR) AS host, text FROM documents
+        |  UNION ALL
+        |  SELECT 'm' || CAST(doc_id % 24 AS VARCHAR), text FROM documents
+        |  WHERE doc_id % 24 < 8
+        |  UNION ALL
+        |  SELECT 'm' || CAST(doc_id % 24 AS VARCHAR), text FROM documents
+        |  WHERE doc_id % 24 >= 8 AND doc_id % 24 < 12
+        |    AND (doc_id // 24) % 2 = 0),
+        |toks AS (
+        |  SELECT host,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM hd),
+        |sh AS (
+        |  SELECT DISTINCT host, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks),
+        |sig AS (
+        |  SELECT host,
+        |    min(md5('0' || g)) AS h0, min(md5('1' || g)) AS h1,
+        |    min(md5('2' || g)) AS h2, min(md5('3' || g)) AS h3,
+        |    min(md5('4' || g)) AS h4, min(md5('5' || g)) AS h5,
+        |    min(md5('6' || g)) AS h6, min(md5('7' || g)) AS h7
+        |  FROM sh GROUP BY host),
+        |cand AS (
+        |  SELECT a.host AS host_a, b.host AS host_b
+        |  FROM sig a JOIN sig b ON a.host < b.host AND (
+        |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+        |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+        |sizes AS (SELECT host, count(*) AS n FROM sh GROUP BY host),
+        |inter AS (
+        |  SELECT c.host_a, c.host_b, count(*) AS n_common
+        |  FROM cand c
+        |  JOIN sh sa ON sa.host = c.host_a
+        |  JOIN sh sb ON sb.host = c.host_b AND sa.g = sb.g
+        |  GROUP BY c.host_a, c.host_b)
+        |SELECT i.host_a, i.host_b, CAST(i.n_common AS BIGINT) AS n_common,
+        |  CAST(za.n AS BIGINT) AS na, CAST(zb.n AS BIGINT) AS nb,
+        |  round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 4)
+        |    AS jaccard,
+        |  CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.8
+        |    AS mirror
+        |FROM inter i
+        |JOIN sizes za ON za.host = i.host_a
+        |JOIN sizes zb ON zb.host = i.host_b
+        |ORDER BY host_a, host_b""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val k = col("doc_id") % 24
+      val hostOf = (p: String) => concat(lit(p), k.cast("string")).as("host")
+      val hostDocs = d.select(hostOf("h"), col("text"))
+        .union(d.filter(k < 8).select(hostOf("m"), col("text")))
+        .union(d.filter(k >= 8 && k < 12 &&
+            expr("doc_id div 24") % 2 === 0)
+          .select(hostOf("m"), col("text")))
+      hostMirrorPairs(s, hostDocs, minJaccard = 0.8)
+        .orderBy("host_a", "host_b")
     }
   )
 }

@@ -1024,7 +1024,8 @@ object WebOps {
       robots: Option[DataFrame] = None,
       userAgent: String = "graftbot",
       windowSec: Option[Double] = None,
-      seedSitemaps: Boolean = false): DataFrame = {
+      seedSitemaps: Boolean = false,
+      dropTraps: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
     // SITEMAP SEEDING (q140): robots-declared sitemaps are the OTHER
     // discovery source a real crawler consumes — a sitemap-only page
@@ -1053,8 +1054,13 @@ object WebOps {
     // non-canonical variant (www./utm/fragment/host-case) and split
     // one page's referrer votes across its spellings. Null targets
     // are unfetchable — dropped identically on both paths.
-    val d = discoveredAll.filter(col("url").isNotNull)
+    val d0 = discoveredAll.filter(col("url").isNotNull)
       .withColumn("url", canonicalizeUrl(col("url")))
+    // SPIDER-TRAP gate (q143): URL-shape pathology filter BEFORE the
+    // seen anti-join and voting — a trap URL must neither rank nor
+    // consume a politeness slot, and (unlike robots) the verdict is
+    // a pure per-row predicate, so it rides the discovered scan.
+    val d = if (dropTraps) d0.filter(!urlIsTrap(col("url"))) else d0
     val seenC = seen.filter(col("url").isNotNull)
       .select(canonicalizeUrl(col("url")).as("url")).distinct()
     val fresh = seenBloomFpp match {
@@ -1149,6 +1155,150 @@ object WebOps {
           .drop("c_host", "cap")
       case _ => ranked
     }
+  }
+
+  /** q143's detector: URL-shape spider-trap flags. Crawler traps —
+    * infinite URL spaces serving unbounded synthetic pages — burn
+    * fetch budget and flood the corpus with near-empty template
+    * text; the classic defenses (Heydon & Najork's Mercator, §3.4
+    * "crawler traps") are URL-SHAPE heuristics applied before
+    * fetching, because by the time content arrives the budget is
+    * spent. Flags, each computable from the URL string alone:
+    *
+    *  - `has_repeat`: some path segment occurs >= 3 times
+    *    (`/cat/cat/cat/...` — the cycle-through-symlink /
+    *    relative-link-loop signature);
+    *  - `has_session`: a session-id query param with a long hex
+    *    value (`phpsessid`/`jsessionid`/`sessionid`/`sid` —
+    *    per-visitor infinite URL aliasing);
+    *  - `is_calendar`: a `/YYYY/MM/DD/` date path (endless-calendar
+    *    traps — every "next day" link resolves forever);
+    *  - `too_deep`: path depth >= 8 (runaway recursive structure).
+    *
+    * All array/regexp HOFs over the one URL value — per-row codegen,
+    * zero shuffle at any scale (the canonicalization plan shape);
+    * the segment-repeat scan is O(depth^2) on a <=dozens-element
+    * array. Wired into [[crawlFrontier]] via `dropTraps` so a trap
+    * URL neither ranks nor consumes its host's politeness slot.
+    */
+  def urlTrapFlags(url: Column): Column = {
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val segs = filter(split(path, "/"), x => length(x) > 0)
+    val depth = size(segs)
+    val hasRepeat = exists(segs,
+      x => size(filter(segs, y => y === x)) >= 3)
+    val hasSession = url.rlike(
+      "(?i)[?&](phpsessid|jsessionid|sessionid|sid)=[0-9a-f]{8,}")
+    val isCalendar = path.rlike("/20[0-9]{2}/[0-9]{2}/[0-9]{2}(/|$)")
+    val tooDeep = depth >= 8
+    struct(depth.cast("long").as("depth"), hasRepeat.as("has_repeat"),
+      hasSession.as("has_session"), isCalendar.as("is_calendar"),
+      tooDeep.as("too_deep"),
+      (hasRepeat || hasSession || isCalendar || tooDeep).as("trap"))
+  }
+
+  /** `true` iff [[urlTrapFlags]] flags the URL as a trap. */
+  def urlIsTrap(url: Column): Column = urlTrapFlags(url).getField("trap")
+
+  /** The q143 synthetic URL: [[synthUrl]]'s planting pattern extended
+    * with deterministic trap shapes so every detector branch fires —
+    * segment loops (doc_id%9), session ids (%11), calendar paths
+    * (%13), runaway depth (%17), clean `/p/<id>` otherwise. CASE
+    * precedence resolves overlaps; the oracle builds the identical
+    * string.
+    */
+  private def synthTrapUrl(d: Column, src: Column): Column = {
+    val base = concat(lit("https://"), src, lit(".example.com"))
+    val id = d.cast("string")
+    when(d % 9 === 0,
+      concat(base, repeat(lit("/cat"), (lit(3) + d % 3).cast("int")),
+        lit("/p/"), id))
+      .when(d % 11 === 0,
+        concat(base, lit("/shop/item?phpsessid="),
+          substring(md5(id), 1, 16)))
+      .when(d % 13 === 0,
+        concat(base, lit("/2024/"), lpad((d % 12 + 1).cast("string"), 2, "0"),
+          lit("/"), lpad((d % 28 + 1).cast("string"), 2, "0"), lit("/event")))
+      .when(d % 17 === 0,
+        concat(base, lit("/a/b/c/d/e/f/g/h/i/j/x-"), id))
+      .otherwise(concat(base, lit("/p/"), id))
+  }
+
+  /** Oracle twin of [[synthTrapUrl]]. (No continuation line may
+    * START with `||` — this string is interpolated into a QueryDef
+    * SQL whose own stripMargin would eat the first pipe.)
+    */
+  private def synthTrapUrlSql: String =
+    """CASE
+      |    WHEN doc_id % 9 = 0 THEN 'https://' || source || '.example.com' ||
+      |      repeat('/cat', CAST(3 + doc_id % 3 AS INT)) || '/p/' || CAST(doc_id AS VARCHAR)
+      |    WHEN doc_id % 11 = 0 THEN 'https://' || source || '.example.com' ||
+      |      '/shop/item?phpsessid=' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+      |    WHEN doc_id % 13 = 0 THEN 'https://' || source || '.example.com' ||
+      |      '/2024/' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+      |      '/' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/event'
+      |    WHEN doc_id % 17 = 0 THEN 'https://' || source || '.example.com' ||
+      |      '/a/b/c/d/e/f/g/h/i/j/x-' || CAST(doc_id AS VARCHAR)
+      |    ELSE 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+      |  END""".stripMargin
+
+  /** q144's operator: RECRAWL SCHEDULING — the refresh half of the
+    * crawl loop. Discovery (q130/q140) decides what to fetch FIRST;
+    * a production crawler spends most of its budget RE-fetching
+    * pages it already has, and the question is which ones. Cho &
+    * Garcia-Molina (TOIT 2003, "Estimating frequency of change")
+    * give the standing estimator: observing a page n times at
+    * (roughly regular) intervals and detecting X changes, the
+    * change-rate MLE with their small-sample bias correction is
+    *
+    *   lambda = -ln((n - X + 0.5) / (n + 0.5)) per interval
+    *
+    * (X/n alone is biased low: a page that changed twice between
+    * visits still counts one detected change). The revisit PRIORITY
+    * for a page last fetched `age` ago is the probability it has
+    * changed since: 1 - exp(-lambda * age / interval) — rank by it,
+    * take the fetch budget's top K. Everything derives from three
+    * integers per URL (n, X, span) plus the age, so the whole
+    * schedule is ONE partial-aggregable rollup over the fetch log +
+    * a top-K — at 100 TB of fetch history the log never re-shuffles,
+    * and the budget cut is a bounded sort of |URLs| score rows.
+    * Scores are emitted micro-quantized (ppm) so the ranking and the
+    * oracle compare on exact integers, not last-ulp transcendentals
+    * (ln/exp may differ across engines in the final bit; at ppm
+    * quantization a flip needs the true value within ~1e-10 of a
+    * boundary).
+    */
+  def recrawlPriorities(events: DataFrame, topK: Int = 50): DataFrame = {
+    val log0 = events.select(
+      concat(lit("https://s"), (col("user_id") % 20).cast("string"),
+        lit(".example.com/u/"), col("user_id").cast("string")).as("url"),
+      unix_micros(col("ts")).as("t_us"),
+      col("event_type").isin("purchase", "error").cast("long").as("changed"))
+    val perUrl = log0.groupBy("url").agg(
+      count(lit(1)).as("n_fetches"),
+      sum("changed").as("n_changes"),
+      min("t_us").as("first_us"),
+      max("t_us").as("last_us"))
+      .filter(col("n_fetches") >= 2 && col("last_us") > col("first_us"))
+    val now = log0.agg(max("t_us").as("now_us"))
+    val withAge = perUrl.crossJoin(broadcast(now))
+      .withColumn("age_us", col("now_us") - col("last_us"))
+      .withColumn("span_us", col("last_us") - col("first_us"))
+      // exact-rational argument: (2n+1)/(2(n-X)+1) == (n+.5)/(n-X+.5)
+      .withColumn("r_nats",
+        log((col("n_fetches") * 2 + 1).cast("double") /
+          ((col("n_fetches") - col("n_changes")) * 2 + 1).cast("double")))
+    withAge.select(
+      col("url"), col("n_fetches"), col("n_changes"),
+      expr("age_us div 1000000").as("age_sec"),
+      floor(col("r_nats") * (col("n_fetches") - 1) * lit(86400000000.0) /
+        col("span_us") * lit(1000000.0) + lit(0.5)).as("lambda_uday"),
+      floor((lit(1.0) - exp(-(col("r_nats") * (col("n_fetches") - 1) *
+        col("age_us") / col("span_us")))) * lit(1000000.0) + lit(0.5))
+        .as("priority_ppm"))
+      .orderBy(col("priority_ppm").desc, col("url"))
+      .limit(topK)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1765,5 +1915,95 @@ object WebOps {
       docs(s, dir)
         .select(col("doc_id"), htmlToText(page).as("extracted"))
         .orderBy("doc_id")
+    },
+
+    // ---- q143: spider-trap URL gate -------------------------------
+    // URL-shape pathology detection (see urlTrapFlags). The synthetic
+    // URL plants every trap class deterministically (CASE precedence
+    // shared with the oracle); the oracle re-derives every flag with
+    // independent DuckDB list/regexp machinery — nested-lambda
+    // segment-repeat scan included — so a hash match pins the
+    // detector's semantics, not just the planting.
+    QueryDef(
+      "q143_spider_trap_gate",
+      s"""WITH u AS (
+         |  SELECT doc_id, $synthTrapUrlSql AS url FROM documents),
+         |p AS (
+         |  SELECT doc_id, url,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+         |  FROM u),
+         |f AS (
+         |  SELECT doc_id, url, path,
+         |    list_filter(string_split(path, '/'), x -> len(x) > 0) AS segs
+         |  FROM p),
+         |v AS (
+         |  SELECT doc_id, url,
+         |    CAST(len(segs) AS BIGINT) AS depth,
+         |    len(list_filter(segs,
+         |      x -> len(list_filter(segs, y -> y = x)) >= 3)) > 0 AS has_repeat,
+         |    regexp_matches(url,
+         |      '(?i)[?&](phpsessid|jsessionid|sessionid|sid)=[0-9a-f]{8,}')
+         |      AS has_session,
+         |    regexp_matches(path, '/20[0-9]{2}/[0-9]{2}/[0-9]{2}(/|$$)')
+         |      AS is_calendar,
+         |    len(segs) >= 8 AS too_deep
+         |  FROM f)
+         |SELECT doc_id, url, depth, has_repeat, has_session, is_calendar,
+         |  too_deep,
+         |  (has_repeat OR has_session OR is_calendar OR too_deep) AS trap
+         |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = urlTrapFlags(col("url"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          synthTrapUrl(col("doc_id"), col("source")).as("url"))
+        .select(col("doc_id"), col("url"), t.getField("depth").as("depth"),
+          t.getField("has_repeat").as("has_repeat"),
+          t.getField("has_session").as("has_session"),
+          t.getField("is_calendar").as("is_calendar"),
+          t.getField("too_deep").as("too_deep"),
+          t.getField("trap").as("trap"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q144: recrawl scheduling ---------------------------------
+    // Change-rate-estimated refresh priorities over the events table
+    // read as a fetch log (see recrawlPriorities): url from user_id,
+    // fetch time from ts, change-detected from event_type — both
+    // engines derive the identical log. The oracle recomputes the
+    // Cho & Garcia-Molina estimator, the staleness probability and
+    // the micro-quantization independently; ties at the budget cut
+    // break on url.
+    QueryDef(
+      "q144_recrawl_schedule",
+      """WITH flog AS (
+        |  SELECT 'https://s' || CAST(user_id % 20 AS VARCHAR)
+        |      || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+        |    epoch_us(ts) AS t_us,
+        |    CASE WHEN event_type IN ('purchase', 'error') THEN 1 ELSE 0 END
+        |      AS changed
+        |  FROM events),
+        |g AS (SELECT max(t_us) AS now_us FROM flog),
+        |per AS (
+        |  SELECT url, count(*) AS n_fetches, sum(changed) AS n_changes,
+        |    min(t_us) AS first_us, max(t_us) AS last_us
+        |  FROM flog GROUP BY url),
+        |calc AS (
+        |  SELECT url, n_fetches, n_changes,
+        |    (g.now_us - last_us) AS age_us,
+        |    (last_us - first_us) AS span_us,
+        |    ln((n_fetches * 2 + 1) * 1.0
+        |       / ((n_fetches - n_changes) * 2 + 1)) AS r_nats
+        |  FROM per, g
+        |  WHERE n_fetches >= 2 AND last_us > first_us)
+        |SELECT url, n_fetches, CAST(n_changes AS BIGINT) AS n_changes,
+        |  age_us // 1000000 AS age_sec,
+        |  CAST(floor(r_nats * (n_fetches - 1) * 86400000000.0 / span_us
+        |    * 1000000.0 + 0.5) AS BIGINT) AS lambda_uday,
+        |  CAST(floor((1.0 - exp(-(r_nats * (n_fetches - 1) * age_us
+        |    / span_us))) * 1000000.0 + 0.5) AS BIGINT) AS priority_ppm
+        |FROM calc
+        |ORDER BY priority_ppm DESC, url
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      recrawlPriorities(Tables(s, dir, "events"), topK = 50)
     })
 }

@@ -906,4 +906,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"line filter must not shuffle:\n$p")
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("q143 spider-trap gate is per-row: no join/window/hash shuffle") {
+    val p = plan("q143_spider_trap_gate")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0,
+      s"trap gate must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q142 mirror hosts: equi-joins only, partial-agg rollups, no window") {
+    val p = plan("q142_mirror_hosts")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"mirror detection must never pair all hosts:\n$p")
+    assert(!p.contains("Window"), s"no window funnel:\n$p")
+    // host signature (min-of-mins) and shingle-size rollups partial-agg
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"host rollups lack map-side partials:\n$p")
+  }
+
+  test("q144 recrawl schedule: one partial-agg rollup + broadcast now, top-k off Window") {
+    val p = plan("q144_recrawl_schedule")
+    assert(!p.contains("Window"), s"budget cut through a window funnel:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k is not a distributed partial top-k:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"fetch-log rollup lacks map-side partials:\n$p")
+    // the 1-row "now" frame must broadcast, never shuffle the rollup again
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"global-now join should broadcast the 1-row frame:\n$p")
+  }
 }

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the round-16 crawl-lifecycle additions: the
+  * spider-trap URL gate (q143), host-mirror detection (q142), and
+  * recrawl scheduling (q144). The oracle queries double-check each
+  * end-to-end on the corpus; here the semantics are pinned one case
+  * at a time on handwritten inputs, plus the frontier integration
+  * (a trap neither ranks nor consumes a politeness slot).
+  */
+class TrapRecrawlMirrorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    s
+  }
+
+  private def trapOf(url: String): (Long, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+    import spark.implicits._
+    val r = Seq(url).toDF("url")
+      .select(WebOps.urlTrapFlags(col("url")).as("t"))
+      .select("t.depth", "t.has_repeat", "t.has_session", "t.is_calendar",
+        "t.too_deep", "t.trap")
+      .head()
+    (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+      r.getBoolean(4), r.getBoolean(5))
+  }
+
+  // ---- q143: urlTrapFlags ------------------------------------------
+
+  test("trap: repeated path segment >= 3 flags; twice does not") {
+    assert(trapOf("https://a.com/cat/cat/cat/p/1") ===
+      ((5L, true, false, false, false, true)))
+    assert(trapOf("https://a.com/cat/cat/p/1") ===
+      ((4L, false, false, false, false, false)))
+  }
+
+  test("trap: session-id params, case-insensitive, hex length gate") {
+    // long hex under a known param name → trap
+    assert(trapOf("https://a.com/x?PHPSESSID=deadbeef01")._3)
+    assert(trapOf("https://a.com/x?a=1&jsessionid=0123456789abcdef")._3)
+    // short hex value → not a session trap
+    assert(!trapOf("https://a.com/x?sid=abc123")._3)
+    // same value under an unlisted name → not flagged
+    assert(!trapOf("https://a.com/x?page=deadbeef01")._3)
+  }
+
+  test("trap: calendar path and runaway depth") {
+    assert(trapOf("https://a.com/blog/2024/03/15/post")._4)
+    assert(!trapOf("https://a.com/v2024/03/15")._4)
+    val deep = trapOf("https://a.com/a/b/c/d/e/f/g/h")
+    assert(deep._1 === 8L && deep._5 && deep._6)
+    assert(!trapOf("https://a.com/a/b/c/d/e/f/g")._5)
+  }
+
+  test("trap: clean URLs pass; empty path is depth 0") {
+    assert(!trapOf("https://a.com/products/widgets?color=blue")._6)
+    assert(trapOf("https://a.com")._1 === 0L)
+    assert(!trapOf("https://a.com")._6)
+  }
+
+  // ---- q143 frontier integration -----------------------------------
+
+  test("frontier dropTraps: a trap neither ranks nor burns its host's slot") {
+    import spark.implicits._
+    // host t.com discovers 3 urls: one trap (most referrers) + two
+    // clean. perHostK=2: with the gate ON the two clean urls BOTH
+    // plan (the trap freed its slot); OFF, the trap outranks one.
+    val discovered = Seq(
+      ("s1", "t.com", "https://t.com/cat/cat/cat/p"),
+      ("s2", "t.com", "https://t.com/cat/cat/cat/p"),
+      ("s3", "t.com", "https://t.com/cat/cat/cat/p"),
+      ("s1", "t.com", "https://t.com/clean1"),
+      ("s1", "t.com", "https://t.com/clean2"))
+      .toDF("src_h", "dst_h", "url")
+    val seen = Seq.empty[String].toDF("url")
+    val on = WebOps.crawlFrontier(discovered, seen, perHostK = 2,
+      dropTraps = true).select("url").as[String].collect().sorted
+    assert(on === Array("https://t.com/clean1", "https://t.com/clean2"))
+    val off = WebOps.crawlFrontier(discovered, seen, perHostK = 2)
+      .select("url").as[String].collect().toSet
+    assert(off.contains("https://t.com/cat/cat/cat/p"))
+    assert(off.size === 2)
+  }
+
+  // ---- q142: hostMirrorPairs ---------------------------------------
+
+  test("mirror hosts: identical union flagged, partial reported, disjoint absent") {
+    import spark.implicits._
+    val page1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val page2 = "one two three four five six seven eight nine ten"
+    val page3 = "red orange yellow green blue indigo violet umber ochre teal"
+    val hostDocs = Seq(
+      ("a.com", page1), ("a.com", page2),
+      ("b.com", page1), ("b.com", page2), // full mirror of a.com
+      ("c.com", page1), ("c.com", page3), // partial overlap with a.com
+      ("d.com", page3)                    // shares nothing with a.com
+    ).toDF("host", "text")
+    val out = DedupOps.hostMirrorPairs(spark, hostDocs, minJaccard = 0.8)
+      .select("host_a", "host_b", "jaccard", "mirror")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getBoolean(3))).sortBy(p => (p._1, p._2))
+    val ab = out.find(p => p._1 == "a.com" && p._2 == "b.com")
+    assert(ab.exists(p => p._3 === 1.0 && p._4))
+    // partial pair: reported (if banded) it must NOT carry the flag
+    out.filter(p => Set(p._1, p._2) == Set("a.com", "c.com"))
+      .foreach(p => assert(!p._4 && p._3 < 0.8))
+    // disjoint hosts can never appear: no shared shingle survives
+    // the intersection join even if a band hash collided
+    assert(!out.exists(p => Set(p._1, p._2) == Set("a.com", "d.com")))
+  }
+
+  test("mirror hosts: signature commutes with union (min-of-mins)") {
+    import spark.implicits._
+    // two hosts carry the SAME shingle union split across DIFFERENT
+    // doc boundaries — min-of-mins means the host signatures are
+    // identical, so every band agrees (deterministically, no LSH
+    // luck involved) and exact verify reads jaccard 1.0.
+    val hostDocs = Seq(
+      ("u.com", "aa bb cc dd ee"), ("u.com", "ff gg hh ii jj"),
+      ("w.com", "aa bb cc dd ee"), ("w.com", "ff gg hh"),
+      ("w.com", "gg hh ii jj")).toDF("host", "text")
+    val r = DedupOps.hostMirrorPairs(spark, hostDocs, minJaccard = 0.8)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("host_a") === "u.com")
+    assert(r.head.getAs[Double]("jaccard") === 1.0)
+    assert(r.head.getAs[Boolean]("mirror"))
+  }
+
+  // ---- q144: recrawlPriorities --------------------------------------
+
+  test("recrawl: estimator ranks the fast-changing stale page first") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1: changes on every fetch, last seen long ago → hot.
+    // user 21 (same host bucket spacing): never changes → priority 0.
+    // user 2: one fetch only → excluded (no interval estimate).
+    val events = (
+      (0 until 10).map(i => (1L, ts(i * 10), "purchase", 0.0, "")) ++
+      (0 until 10).map(i => (21L, ts(i * 10), "view", 0.0, "")) ++
+      Seq((2L, ts(0), "purchase", 0.0, "")) ++
+      Seq((3L, ts(500), "view", 0.0, ""))   // anchors "now" far out
+    ).toDF("user_id", "ts", "event_type", "value", "props")
+    val out = WebOps.recrawlPriorities(events, topK = 10)
+      .select("url", "n_fetches", "n_changes", "priority_ppm")
+      .collect()
+    val byUrl = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val hot = byUrl("https://s1.example.com/u/1")
+    val cold = byUrl("https://s1.example.com/u/21")
+    assert(hot._2 === 10L && cold._2 === 0L)
+    assert(hot._3 > 900000L) // changed every visit, stale → ~certain
+    assert(cold._3 === 0L)   // never changed → zero priority
+    assert(!byUrl.contains("https://s2.example.com/u/2")) // n=1 dropped
+    // ranking: hot first among the two comparable urls
+    assert(out.head.getString(0) === "https://s1.example.com/u/1")
+  }
+}
