@@ -38,6 +38,50 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** One q145 EM round as oracle CTEs over the shared `dw`/`edges`
+    * tables: cost quantization from `counts`, Bellman-Ford forward DP
+    * (min per (word, pos) per round, word-length-bounded rounds),
+    * (cost, piece-length)-argmin backpointers, backward path walk,
+    * weighted path-piece counts. Suffixed `$n` so both EM rounds
+    * unroll into one WITH RECURSIVE chain. (No generated line may
+    * start with `|` — the enclosing SQL literal stripMargins AFTER
+    * interpolation.)
+    */
+  private def unigramRoundSqlCtes(n: Int, counts: String): String =
+    s"""tot$n AS (SELECT sum(cnt) AS total FROM $counts),
+cost$n AS (
+  SELECT piece,
+    CAST(floor(-ln(cnt * 1.0 / total) * 1000000.0 + 0.5) AS BIGINT) AS c
+  FROM $counts, tot$n),
+we$n AS (
+  SELECT e.w, e.t, e.pl, c.c FROM edges e JOIN cost$n c ON c.piece = e.piece),
+dp$n(rnd, w, pos, d) AS (
+  SELECT 0, w, 0, CAST(0 AS BIGINT) FROM dw
+  UNION ALL
+  SELECT rnd + 1, w, pos, min(d) FROM (
+    SELECT rnd, w, pos, d FROM dp$n
+    UNION ALL
+    SELECT p.rnd, x.w, x.t, p.d + x.c
+    FROM dp$n p JOIN we$n x ON x.w = p.w AND x.t - x.pl = p.pos
+  ) GROUP BY rnd, w, pos HAVING rnd < 24),
+dmin$n AS (SELECT w, pos, min(d) AS d FROM dp$n GROUP BY w, pos),
+bp$n AS (
+  SELECT w, t, pl FROM (
+    SELECT x.w, x.t, x.pl, row_number() OVER (PARTITION BY x.w, x.t
+      ORDER BY f.d + x.c, x.pl) AS rn
+    FROM we$n x JOIN dmin$n f ON f.w = x.w AND f.pos = x.t - x.pl) z
+  WHERE rn = 1),
+walk$n(w, pos, piece) AS (
+  SELECT w, len(w), CAST(NULL AS VARCHAR) FROM dw
+  UNION ALL
+  SELECT k.w, k.pos - b.pl, substr(k.w, k.pos - b.pl + 1, b.pl)
+  FROM walk$n k JOIN bp$n b ON b.w = k.w AND b.t = k.pos
+  WHERE k.pos > 0),
+cnt$n AS (
+  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+  FROM walk$n k JOIN dw ON dw.w = k.w
+  WHERE k.piece IS NOT NULL GROUP BY piece)"""
+
   /** Exact integer floor division of `doc_id` by a positive constant.
     * `floor(doc_id / n)` routes through doubles and mis-rounds above
     * 2^53 — and the WARC intake's xxhash64 doc_ids use the full i64
@@ -2374,6 +2418,64 @@ object TextOps {
       minTokenSegment(docs(s, dir)).orderBy("source")
     },
 
+    // ---- q145: unigram-LM tokenizer training (SentencePiece) -----
+    // The trainer triad's third member (see unigramLmSegment):
+    // Viterbi hard-EM over the distinct-word table. The oracle
+    // re-derives EVERYTHING independently — substring seeding, the
+    // micro-nat cost quantization, the min-plus forward DP as a
+    // Bellman-Ford recursive CTE (min per (word, pos) per round,
+    // word-length-bounded), the (cost, piece-length) argmin
+    // backpointers, the backward path walk as a second recursive
+    // CTE, the zero-use prune and the +1-smoothed re-estimation —
+    // twice (both EM rounds unrolled, the q141 discipline). A hash
+    // match pins seeding, quantization, DP values, tie-breaks, path
+    // reconstruction, pruning and re-estimation all at once.
+    QueryDef(
+      "q145_unigram_lm_segment",
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+         |    x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |dw AS (SELECT w, count(*) AS wcnt FROM tok WHERE len(w) <= 24 GROUP BY w),
+         |pf0 AS (
+         |  SELECT wcnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+         |    i -> list_filter(list_transform([1, 2, 3, 4], L ->
+         |      CASE WHEN i + L - 1 <= len(w) THEN substr(w, i, L) END),
+         |      x -> x IS NOT NULL)))) AS piece
+         |  FROM dw),
+         |pf AS (SELECT piece, sum(wcnt) AS cnt FROM pf0 GROUP BY piece),
+         |seed AS (
+         |  SELECT piece, cnt FROM pf WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM pf WHERE len(piece) >= 2) z
+         |  WHERE rn <= 256),
+         |ed AS (
+         |  SELECT w, unnest(flatten(list_transform(range(1, len(w) + 1),
+         |    t -> list_filter(list_transform([1, 2, 3, 4], L ->
+         |      CASE WHEN t - L >= 0
+         |           THEN struct_pack(t := t, pl := L,
+         |                            piece := substr(w, t - L + 1, L)) END),
+         |      x -> x IS NOT NULL)))) AS e
+         |  FROM dw),
+         |edges AS (
+         |  SELECT w, struct_extract(e, 't') AS t, struct_extract(e, 'pl') AS pl,
+         |    struct_extract(e, 'piece') AS piece
+         |  FROM ed),
+         |${unigramRoundSqlCtes(1, "seed")},
+         |kept AS (
+         |  SELECT s.piece, coalesce(c1.cnt, 0) + 1 AS cnt
+         |  FROM seed s LEFT JOIN cnt1 c1 ON c1.piece = s.piece
+         |  WHERE len(s.piece) = 1 OR coalesce(c1.cnt, 0) + 1 > 1),
+         |${unigramRoundSqlCtes(2, "kept")}
+         |SELECT k.piece, k.cnt, c.c AS cost_unats
+         |FROM cnt2 k JOIN cost2 c ON c.piece = k.piece
+         |ORDER BY k.cnt DESC, k.piece
+         |LIMIT 64""".stripMargin) { (s, dir) =>
+      unigramLmSegment(docs(s, dir))
+    },
+
     // ---- q119: C4 lexicon page gate ------------------------------
     // The blocklist page rule next to q102's line rules: any page
     // containing a blocklisted token drops wholesale. The demo
@@ -3056,6 +3158,147 @@ object TextOps {
         sum(col("cnt") * col("ntok")).cast("long").as("n_pieces"))
       .select(col("source"), col("n_words"), col("n_pieces"),
         expr("n_pieces * 10000 div n_words").as("fert_bp"))
+  }
+
+  /** Piece costs in micro-nats from a (piece, cnt) table: the unigram
+    * LM negative log-probability -ln(cnt/total), floor(x*1e6 + 0.5)-
+    * quantized to exact integers so the min-plus DP below compares
+    * identically across engines (a last-ulp ln() divergence flips a
+    * micro-nat only when the true value sits within ~1e-10 of a
+    * boundary). The 1-row total ships broadcast.
+    */
+  private def pieceCostFrame(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
+      .select(col("piece"),
+        floor(-log(col("cnt").cast("double") / col("total")) *
+          lit(1000000.0) + lit(0.5)).as("c"))
+
+  /** One VITERBI segmentation pass (the hard-EM E-step of
+    * [[unigramLmSegment]]): segment every analyzed distinct word into
+    * the minimum-total-cost piece sequence under `vcost` (piece →
+    * micro-nat cost; MUST contain every single character of the
+    * analyzed words so the DP never strands), and return the
+    * frequency-weighted piece counts along the chosen paths.
+    *
+    * The DP is ROW-LOCAL: each distinct word carries its in-vocab
+    * edge list (one |Σ|w||-bounded broadcast-join against the
+    * piece-cost table), and forward costs / backpointers / the
+    * backward path walk are all higher-order array folds inside one
+    * projection — no iterated joins, no per-round jobs (contrast
+    * q137's BFS, built before the fold formulation was proven out;
+    * at 100 TB this is |distinct words| embarrassingly-parallel rows
+    * after one partial-aggregable rollup). Ties (equal path cost)
+    * break on the SHORTEST piece at each backpointer — pinned
+    * identically in the oracle's (cost, piece-length) argmin.
+    */
+  private def viterbiPieceCounts(dw: DataFrame, vcost: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    // (w, wcnt, t, pl, piece): candidate piece of length pl ending at t
+    val cands = dw.select(col("w"), col("wcnt"),
+        explode(expr(s"""flatten(transform(sequence(1, length(w)), t ->
+          |  filter(transform(sequence(1, $maxPieceLen), L ->
+          |    CASE WHEN t - L >= 0
+          |         THEN struct(t AS t, L AS pl,
+          |                     substring(w, t - L + 1, L) AS piece) END),
+          |  x -> x IS NOT NULL)))""".stripMargin)).as("e"))
+      .select(col("w"), col("wcnt"), col("e.t").as("t"),
+        col("e.pl").as("pl"), col("e.piece").as("piece"))
+    val es = cands.join(broadcast(vcost), Seq("piece"))
+      .groupBy("w", "wcnt")
+      .agg(collect_list(struct(col("t"), col("pl"), col("c"))).as("es"))
+    // cl[t][L]: cost of the length-L piece ending at t (absent → INF;
+    // INF = 1e12 keeps any sum far under 2^63 while never winning a
+    // min against a real path — every char is in vocab by contract)
+    val seg = es
+      .withColumn("cl", expr(s"""transform(sequence(1, length(w)), t ->
+        |  transform(sequence(1, $maxPieceLen), L ->
+        |    coalesce(get(filter(es, e -> e.t = t AND e.pl = L), 0).c,
+        |             1000000000000L)))""".stripMargin))
+      .withColumn("d", expr(s"""aggregate(sequence(1, length(w)),
+        |  array(cast(0 as bigint)),
+        |  (acc, t) -> array_append(acc, array_min(filter(
+        |    transform(sequence(1, $maxPieceLen), L ->
+        |      CASE WHEN t - L >= 0
+        |           THEN element_at(acc, t - L + 1) + cl[t - 1][L - 1] END),
+        |    x -> x IS NOT NULL))))""".stripMargin))
+      .withColumn("bpl", expr(s"""transform(sequence(1, length(w)), t ->
+        |  array_min(filter(transform(sequence(1, $maxPieceLen), L ->
+        |    CASE WHEN t - L >= 0 AND element_at(d, t - L + 1)
+        |              + cl[t - 1][L - 1] = element_at(d, t + 1)
+        |         THEN L END), x -> x IS NOT NULL)))""".stripMargin))
+      .withColumn("ps", expr("""aggregate(sequence(1, length(w)),
+        |  named_struct('p', length(w), 'ps', cast(array() as array<string>)),
+        |  (acc, i) -> CASE WHEN acc.p > 0
+        |    THEN named_struct(
+        |      'p', acc.p - element_at(bpl, acc.p),
+        |      'ps', array_append(acc.ps, substring(w,
+        |              acc.p - element_at(bpl, acc.p) + 1,
+        |              element_at(bpl, acc.p))))
+        |    ELSE acc END,
+        |  acc -> acc.ps)""".stripMargin))
+    seg.select(col("wcnt"), explode(col("ps")).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("cnt"))
+  }
+
+  /** q145's operator: UNIGRAM-LM tokenizer training (the SentencePiece
+    * family — Kudo 2018 — completing the trainer triad next to q93/
+    * q113's BPE and q137's WordPiece-objective segmentation) via
+    * Viterbi hard-EM:
+    *
+    *  1. SEED: vocabulary = every character of the analyzed words +
+    *     the `vocabTopK` most frequent 2..`maxPieceLen`-char
+    *     substrings, seeded with their frequency-weighted substring
+    *     counts (Kudo's suffix-array seeding re-expressed as the
+    *     bounded-length substring rollup — exact for pieces <=
+    *     maxPieceLen).
+    *  2. E-step: Viterbi-segment every distinct word under the
+    *     current piece costs ([[viterbiPieceCounts]]); count pieces
+    *     along the chosen paths (hard EM — the paper's lattice
+    *     E-step softens this with forward-backward marginals;
+    *     Viterbi counts are its argmax limit and keep every number
+    *     an exact integer).
+    *  3. M-step + PRUNE: re-estimate costs from the path counts
+    *     (+1-smoothed); multi-char pieces that no path used are
+    *     dropped (the paper prunes by likelihood loss; zero-use is
+    *     its conservative core), characters are never dropped (the
+    *     segmentability guarantee).
+    *  4. One more E-step under the re-estimated model; report the
+    *     `topOut` most-used pieces with their micro-nat costs.
+    *
+    * Scale shape: the corpus is touched ONCE (the distinct-word
+    * rollup); both EM rounds run on the |distinct words|-bounded
+    * frame with row-local DP folds, the piece tables are
+    * vocabulary-sized broadcasts, and every count is a
+    * partial-aggregable rollup. The report is `topOut` rows.
+    */
+  def unigramLmSegment(docsFrame: DataFrame, vocabTopK: Int = 256,
+      maxPieceLen: Int = 4, maxWordLen: Int = 24,
+      topOut: Int = 64): DataFrame = {
+    require(vocabTopK >= 1 && maxPieceLen >= 2 && topOut >= 1)
+    val dw = docsFrame.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .localCheckpoint() // two EM rounds re-read it; cut the corpus lineage
+    val pf = dw.select(col("wcnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  filter(transform(sequence(1, $maxPieceLen), L ->
+           |    CASE WHEN i + L - 1 <= length(w)
+           |         THEN substring(w, i, L) END),
+           |  x -> x IS NOT NULL)))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("cnt"))
+    val seed = pf.filter(length(col("piece")) === 1)
+      .union(pf.filter(length(col("piece")) >= 2)
+        .orderBy(desc("cnt"), asc("piece")).limit(vocabTopK))
+    val cnt1 = viterbiPieceCounts(dw, pieceCostFrame(seed), maxPieceLen)
+    val kept = seed.select("piece")
+      .join(cnt1, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("cnt"), lit(0L)) + 1).as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") > 1)
+    val cost2 = pieceCostFrame(kept)
+    viterbiPieceCounts(dw, cost2, maxPieceLen)
+      .join(cost2, Seq("piece"))
+      .select(col("piece"), col("cnt"), col("c").as("cost_unats"))
+      .orderBy(desc("cnt"), asc("piece")).limit(topOut)
   }
 
   /** q113's operator: ITERATIVE BPE tokenizer training (Sennrich et

@@ -925,6 +925,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"host rollups lack map-side partials:\n$p")
   }
 
+  test("q145 unigram LM: distinct-word-bounded, vocab broadcast, no window/cartesian") {
+    val p = plan("q145_unigram_lm_segment")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"), s"no window funnel:\n$p")
+    // piece-cost tables join the candidate frame broadcast
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    // word and piece rollups partial-aggregate
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"rollups lack map-side partials:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"seed/report top-k must be distributed partial top-k:\n$p")
+  }
+
   test("q144 recrawl schedule: one partial-agg rollup + broadcast now, top-k off Window") {
     val p = plan("q144_recrawl_schedule")
     assert(!p.contains("Window"), s"budget cut through a window funnel:\n$p")

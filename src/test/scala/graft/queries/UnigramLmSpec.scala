@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for q145's unigram-LM (SentencePiece-family) trainer.
+  * The oracle pins the full EM trajectory end-to-end; here the
+  * semantics are pinned on handwritten corpora: frequent substrings
+  * become pieces, costs order by frequency, characters guarantee
+  * segmentability, and the char-coverage invariant (every word's
+  * characters are covered by exactly one path) holds.
+  */
+class UnigramLmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    s
+  }
+
+  private def train(texts: Seq[String], topOut: Int = 1000) = {
+    import spark.implicits._
+    TextOps.unigramLmSegment(texts.toDF("text"), topOut = topOut)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  }
+
+  test("frequent substrings become pieces; costs order by use") {
+    // "hello" (5 chars, maxPieceLen 4) must split; the dominant
+    // split reuses the highest-frequency pieces. 'o' also ends
+    // "soo" — whatever the chosen split, coverage and frequency
+    // ordering are pinned below.
+    val out = train(Seq.fill(10)("hello hello world").toList)
+    val byPiece = out.map(p => p._1 -> p._2).toMap
+    // multi-char pieces won: no word segments into bare chars only
+    assert(out.exists(p => p._1.length >= 3 && p._2 >= 10),
+      s"no multi-char piece survived EM: ${out.mkString(", ")}")
+    // the two 'hello' occurrences dominate 'world': some piece of
+    // 'hello' carries 2x the count of any piece unique to 'world'
+    val helloCnt = out.filter(p => "hello".contains(p._1)).map(_._2).max
+    val worldOnly = out.filter(p => "world".contains(p._1) &&
+      !"hello".contains(p._1)).map(_._2)
+    assert(worldOnly.nonEmpty && helloCnt >= 2 * worldOnly.max)
+    // cost orders inversely with count among round-2 vocab users
+    val maxCnt = out.map(_._2).max
+    val cheapest = out.filter(_._2 == maxCnt).map(_._3).min
+    assert(out.forall(p => p._2 == maxCnt || p._3 >= cheapest))
+    assert(byPiece.values.forall(_ > 0))
+  }
+
+  test("char-coverage invariant: piece counts cover every word exactly once") {
+    val texts = Seq("alpha beta gamma", "beta gamma delta", "gamma epsilon")
+    val out = train(texts)
+    val coveredChars = out.map(p => p._1.length.toLong * p._2).sum
+    val totalChars = texts.flatMap(_.split("\\s+")).map(_.length.toLong).sum
+    assert(coveredChars === totalChars,
+      s"paths must tile each word: covered $coveredChars of $totalChars")
+  }
+
+  test("unique characters stay segmentable (never pruned)") {
+    // 'zq' appears once; its chars are nobody's frequent substring,
+    // yet the output must still cover it (chars are never dropped)
+    val out = train(Seq("zq", "the the the the the"))
+    val coveredChars = out.map(p => p._1.length.toLong * p._2).sum
+    assert(coveredChars === 2L + 5 * 3)
+    assert(out.exists(p => p._1 == "the" && p._2 == 5L))
+  }
+}
