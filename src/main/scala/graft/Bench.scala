@@ -430,7 +430,20 @@ object Bench {
     // the claim that vocabulary induction, the edge build, and the
     // BFS rounds are all word-table-bounded (the corpus is touched
     // only by the two word counts)
-    "q137_min_token_segment")
+    "q137_min_token_segment",
+    // mirror-host detection: ×factor docs land on the SAME 36
+    // planted hosts, so per-host shingle unions grow ×factor while
+    // the pair space stays fixed — the probe measures that the
+    // min-of-mins signature rollup and the candidate-restricted
+    // intersection join stay shingle-count-linear (the row that
+    // would catch the verify join degrading toward all-pairs)
+    "q142_mirror_hosts",
+    // unigram-LM trainer: the q137 argument applied to a JOIN- and
+    // fold-bearing EM round body — the distinct-word table grows
+    // ×factor and the probe measures that seeding, both Viterbi
+    // passes (row-local folds after one broadcast cost join) and
+    // the prune/re-estimation rollups are all word-table-bounded
+    "q145_unigram_lm_segment")
     // q132 is deliberately NOT a standing row: its oracle-pinned
     // configuration is nprobe = |codebook| (full probe), where the
     // cell equi-join reproduces the ENTIRE pair space by construction
