@@ -1269,7 +1269,16 @@ object WebOps {
     * quantization a flip needs the true value within ~1e-10 of a
     * boundary).
     */
-  def recrawlPriorities(events: DataFrame, topK: Int = 50): DataFrame = {
+  def recrawlPriorities(events: DataFrame, topK: Int = 50): DataFrame =
+    recrawlScores(events)
+      .orderBy(col("priority_ppm").desc, col("url"))
+      .limit(topK)
+
+  /** [[recrawlPriorities]]' scored frame without the budget cut —
+    * (url, n_fetches, n_changes, age_sec, lambda_uday, priority_ppm)
+    * — the form [[unifiedCrawlPlan]] merges with discovery.
+    */
+  def recrawlScores(events: DataFrame): DataFrame = {
     val log0 = events.select(
       concat(lit("https://s"), (col("user_id") % 20).cast("string"),
         lit(".example.com/u/"), col("user_id").cast("string")).as("url"),
@@ -1297,8 +1306,55 @@ object WebOps {
       floor((lit(1.0) - exp(-(col("r_nats") * (col("n_fetches") - 1) *
         col("age_us") / col("span_us")))) * lit(1000000.0) + lit(0.5))
         .as("priority_ppm"))
-      .orderBy(col("priority_ppm").desc, col("url"))
-      .limit(topK)
+  }
+
+  /** q146's operator: the UNIFIED crawl scheduler — discovery
+    * (q130's frontier) and refresh (q144's recrawl) competing for
+    * the SAME per-host politeness budget, which is how a production
+    * scheduler actually allocates fetches (a host's k slots serve
+    * both its unseen pages and its stale ones; two independent
+    * top-k's would overspend every host that has both).
+    *
+    * A common priority scale makes the competition well-defined:
+    * revisits already score the CHANGE PROBABILITY since last fetch
+    * (ppm, q144); a fresh discovery's worth is its referrer support
+    * saturated onto the same [0, 1e6) scale as
+    * `1e6·n/(n+1)` (1 referrer → 500000, asymptote 1e6 — the
+    * exact-integer harmonic ramp; a heavily-cited new page outranks
+    * a probably-unchanged revisit, a single-referrer page loses to
+    * a probably-changed one). Disjoint by construction: a seen URL
+    * is never fresh (anti-join), a revisit is always seen.
+    *
+    * Plan shape: q130's vote rollup + q144's fetch-log rollup
+    * (both partial-aggregable), one union, the q104 bounded-heap
+    * `topk_collect` per host (never a window over the link stream),
+    * and a |plan|-sized join-back to re-attach the source tag.
+    */
+  def unifiedCrawlPlan(discovered: DataFrame, seen: DataFrame,
+      events: DataFrame, perHostK: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(discovered.sparkSession)
+    val d = discovered.filter(col("url").isNotNull)
+      .withColumn("url", canonicalizeUrl(col("url")))
+    val seenC = seen.filter(col("url").isNotNull)
+      .select(canonicalizeUrl(col("url")).as("url")).distinct()
+    val fresh = d.join(seenC, Seq("url"), "left_anti")
+      .groupBy(col("dst_h").as("host"), col("url"))
+      .agg(countDistinct("src_h").as("n_referrers"))
+      .select(col("host"), col("url"),
+        expr("(1000000 * n_referrers) div (n_referrers + 1)").as("ppm"),
+        lit("discover").as("src"))
+    val revisit = recrawlScores(events)
+      .select(canonicalHost(col("url")).as("host"), col("url"),
+        col("priority_ppm").as("ppm"), lit("revisit").as("src"))
+    val cand = fresh.union(revisit)
+    val ranked = cand.groupBy("host")
+      .agg(expr(s"topk_collect(ppm, url, $perHostK)").as("top"))
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), col("col.id").as("url"),
+        col("col.score").as("ppm"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    ranked.join(cand.select("host", "url", "src"), Seq("host", "url"))
+      .select(col("host"), col("url"), col("ppm"), col("src"), col("rnk"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2005,5 +2061,90 @@ object WebOps {
         |ORDER BY priority_ppm DESC, url
         |LIMIT 50""".stripMargin) { (s, dir) =>
       recrawlPriorities(Tables(s, dir, "events"), topK = 50)
+    },
+
+    // ---- q146: unified crawl scheduler ----------------------------
+    // Discovery and refresh under ONE per-host budget (see
+    // unifiedCrawlPlan). Discovery state derives from documents
+    // (q130's planting, full-domain host keys so both branches key
+    // identically), the fetch log from events (q144's planting) —
+    // the two branches genuinely compete per host at sf0.01. The
+    // oracle re-derives the harmonic discovery ramp, the full q144
+    // estimator chain, the union and the per-host budget cut
+    // independently.
+    QueryDef(
+      "q146_unified_crawl_plan",
+      """WITH discovered AS (
+        |  SELECT source AS src_h,
+        |    's' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com' AS dst_h,
+        |    'https://s' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |seen AS (
+        |  SELECT DISTINCT 'https://s' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT dst_h AS host, url,
+        |    (1000000 * count(DISTINCT src_h))
+        |      // (count(DISTINCT src_h) + 1) AS ppm,
+        |    'discover' AS src
+        |  FROM discovered d
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = d.url)
+        |  GROUP BY dst_h, url),
+        |flog AS (
+        |  SELECT 'https://s' || CAST(user_id % 20 AS VARCHAR)
+        |      || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+        |    epoch_us(ts) AS t_us,
+        |    CASE WHEN event_type IN ('purchase', 'error') THEN 1 ELSE 0 END
+        |      AS changed
+        |  FROM events),
+        |g AS (SELECT max(t_us) AS now_us FROM flog),
+        |per AS (
+        |  SELECT url, count(*) AS n_fetches, sum(changed) AS n_changes,
+        |    min(t_us) AS first_us, max(t_us) AS last_us
+        |  FROM flog GROUP BY url),
+        |calc AS (
+        |  SELECT url, n_fetches, n_changes,
+        |    (g.now_us - last_us) AS age_us,
+        |    (last_us - first_us) AS span_us,
+        |    ln((n_fetches * 2 + 1) * 1.0
+        |       / ((n_fetches - n_changes) * 2 + 1)) AS r_nats
+        |  FROM per, g
+        |  WHERE n_fetches >= 2 AND last_us > first_us),
+        |revisit AS (
+        |  SELECT regexp_replace(lower(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      ':[0-9]+$', '')), '^www\.', '') AS host,
+        |    url,
+        |    CAST(floor((1.0 - exp(-(r_nats * (n_fetches - 1) * age_us
+        |      / span_us))) * 1000000.0 + 0.5) AS BIGINT) AS ppm,
+        |    'revisit' AS src
+        |  FROM calc),
+        |cand AS (
+        |  SELECT host, url, CAST(ppm AS BIGINT) AS ppm, src FROM fresh
+        |  UNION ALL
+        |  SELECT host, url, ppm, src FROM revisit),
+        |ranked AS (
+        |  SELECT host, url, ppm, src, row_number() OVER (
+        |    PARTITION BY host ORDER BY ppm DESC, url) AS rnk
+        |  FROM cand)
+        |SELECT host, url, ppm, src, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY host, rnk""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val k = ((col("doc_id") * 7 + 3) % 20).cast("string")
+      val discovered = d.select(col("source").as("src_h"),
+        concat(lit("s"), k, lit(".example.com")).as("dst_h"),
+        concat(lit("https://s"), k, lit(".example.com/p/"),
+          (col("doc_id") % 40).cast("string")).as("url"))
+      val seen = d.select(
+        concat(lit("https://s"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), (col("doc_id") % 40).cast("string"))
+          .as("url")).distinct()
+      unifiedCrawlPlan(discovered, seen, Tables(s, dir, "events"),
+        perHostK = 3)
+        .orderBy("host", "rnk")
     })
 }

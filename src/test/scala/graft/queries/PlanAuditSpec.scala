@@ -938,6 +938,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"seed/report top-k must be distributed partial top-k:\n$p")
   }
 
+  test("q146 unified plan: bounded heap per host, no window over the union") {
+    val p = plan("q146_unified_crawl_plan")
+    assert(!p.contains("Window"), s"budget cut through a window funnel:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("topk_collect"),
+      s"per-host cut must be the bounded-heap aggregate:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"vote/fetch-log rollups lack map-side partials:\n$p")
+  }
+
   test("q144 recrawl schedule: one partial-agg rollup + broadcast now, top-k off Window") {
     val p = plan("q144_recrawl_schedule")
     assert(!p.contains("Window"), s"budget cut through a window funnel:\n$p")

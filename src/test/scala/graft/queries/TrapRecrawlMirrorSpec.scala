@@ -171,4 +171,44 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
     // ranking: hot first among the two comparable urls
     assert(out.head.getString(0) === "https://s1.example.com/u/1")
   }
+
+  // ---- q146: unifiedCrawlPlan ---------------------------------------
+
+  test("unified plan: discovery and revisit share one per-host budget") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // host s1.example.com: two fresh discoveries (1 and 3 referrers)
+    // + one hot stale revisit (user 1: changes every fetch, old) +
+    // one cold revisit (user 21: never changes). k=3 must pick the
+    // 3-referrer discovery, the hot revisit, the 1-referrer
+    // discovery — and DROP the cold revisit (ppm 0 loses the slot).
+    val discovered = Seq(
+      ("a", "s1.example.com", "https://s1.example.com/p/solo"),
+      ("a", "s1.example.com", "https://s1.example.com/p/hot"),
+      ("b", "s1.example.com", "https://s1.example.com/p/hot"),
+      ("c", "s1.example.com", "https://s1.example.com/p/hot"))
+      .toDF("src_h", "dst_h", "url")
+    val seen = Seq.empty[String].toDF("url")
+    val events = (
+      (0 until 10).map(i => (1L, ts(i * 10), "purchase", 0.0, "")) ++
+      (0 until 10).map(i => (21L, ts(i * 10), "view", 0.0, "")) ++
+      Seq((3L, ts(500), "view", 0.0, ""))
+    ).toDF("user_id", "ts", "event_type", "value", "props")
+    val plan = WebOps.unifiedCrawlPlan(discovered, seen, events,
+      perHostK = 3)
+      .filter(col("host") === "s1.example.com")
+      .orderBy("rnk")
+      .select("url", "src", "rnk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(plan.length === 3)
+    // 3 referrers -> 750000 ppm beats the ~certainly-changed revisit
+    // only if staleness < 750000; user 1's staleness is ~1.0 so the
+    // revisit leads, then the 3-referrer page, then the solo one
+    assert(plan(0) === (("https://s1.example.com/u/1", "revisit", 1L)))
+    assert(plan(1) === (("https://s1.example.com/p/hot", "discover", 2L)))
+    assert(plan(2) === (("https://s1.example.com/p/solo", "discover", 3L)))
+    // the never-changed revisit lost the budget entirely
+    assert(!plan.exists(_._1.endsWith("/u/21")))
+  }
 }
