@@ -315,6 +315,17 @@ object DedupOps {
         (jac >= minJaccard).as("mirror"))
   }
 
+  /** The actionable set from [[hostMirrorPairs]]: every host that is
+    * the LARGER side of a flagged mirror pair — dropping exactly
+    * these keeps one representative per mirror chain (host_a < host_b
+    * by construction, so the lexicographically-first host of any
+    * chain is never emitted). Feed to
+    * [[graft.queries.WebOps.crawlFrontier]]'s `dropHosts`.
+    */
+  private[graft] def mirrorDupHosts(pairs: DataFrame): DataFrame =
+    pairs.filter(col("mirror"))
+      .select(col("host_b").as("host")).distinct()
+
   /** (doc_id, band, bh) band rows for a signature frame — the LSH
     * join key material shared by the self-join (q36/q94) and the
     * delta-vs-index join (q95).

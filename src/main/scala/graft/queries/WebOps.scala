@@ -1025,7 +1025,8 @@ object WebOps {
       userAgent: String = "graftbot",
       windowSec: Option[Double] = None,
       seedSitemaps: Boolean = false,
-      dropTraps: Boolean = false): DataFrame = {
+      dropTraps: Boolean = false,
+      dropHosts: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
     // SITEMAP SEEDING (q140): robots-declared sitemaps are the OTHER
     // discovery source a real crawler consumes — a sitemap-only page
@@ -1060,7 +1061,15 @@ object WebOps {
     // seen anti-join and voting — a trap URL must neither rank nor
     // consume a politeness slot, and (unlike robots) the verdict is
     // a pure per-row predicate, so it rides the discovered scan.
-    val d = if (dropTraps) d0.filter(!urlIsTrap(col("url"))) else d0
+    val d1 = if (dropTraps) d0.filter(!urlIsTrap(col("url"))) else d0
+    // MIRROR-HOST gate (q142): hosts confirmed as duplicate mirrors
+    // (mirrorDupHosts over hostMirrorPairs' verdicts) never get
+    // fetched again — an anti-join on the |flagged hosts|-sized
+    // frame (tiny next to the link stream; planner stats broadcast
+    // it at any realistic mirror count).
+    val d = dropHosts.fold(d1)(h =>
+      d1.join(h.select(col("host").as("dst_h")), Seq("dst_h"),
+        "left_anti"))
     val seenC = seen.filter(col("url").isNotNull)
       .select(canonicalizeUrl(col("url")).as("url")).distinct()
     val fresh = seenBloomFpp match {

@@ -396,6 +396,22 @@ object StreamOps {
       .drop("r_host", "r_rules")
   }
 
+  /** Streaming twin of q143's spider-trap gate: tag each arriving
+    * discovery with the URL-shape trap verdict. Fully STATELESS —
+    * the verdict is a pure per-row expression over the (canonical)
+    * URL, so it runs at fetch/discovery time with no watermark, no
+    * state store, no shuffle; the per-host fetch budget stays a
+    * batch planning decision exactly as in [[robotsGateStream]]'s
+    * gate-then-plan split. Parity with the batch operator is the
+    * same expression by construction ([[graft.queries.WebOps.urlTrapFlags]]),
+    * spec-pinned stream==batch on real rows.
+    */
+  def trapGateStream(links: DataFrame): DataFrame = {
+    import graft.queries.WebOps
+    links.withColumn("trap",
+      WebOps.urlIsTrap(WebOps.canonicalizeUrl(col("url"))))
+  }
+
   /** ONLINE lexicon page gate — the streaming form of the batch
     * q119 rule (queries.TextOps.lexiconFlagged): pages containing a
     * blocklisted token drop before they ever land. The blocklist is

@@ -172,6 +172,26 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
     assert(out.head.getString(0) === "https://s1.example.com/u/1")
   }
 
+  test("mirror-aware frontier: a confirmed duplicate host is never planned") {
+    import spark.implicits._
+    val page = "alpha beta gamma delta epsilon zeta eta theta"
+    val hostDocs = Seq(("a.com", page), ("b.com", page))
+      .toDF("host", "text")
+    val dup = DedupOps.mirrorDupHosts(
+      DedupOps.hostMirrorPairs(spark, hostDocs, minJaccard = 0.8))
+    assert(dup.as[String].collect().toSeq === Seq("b.com"))
+    val discovered = Seq(
+      ("s1", "a.com", "https://a.com/p"),
+      ("s1", "b.com", "https://b.com/p"),
+      ("s2", "b.com", "https://b.com/q"))
+      .toDF("src_h", "dst_h", "url")
+    val planned = WebOps.crawlFrontier(discovered,
+      Seq.empty[String].toDF("url"), perHostK = 3,
+      dropHosts = Some(dup))
+      .select("url").as[String].collect().toSet
+    assert(planned === Set("https://a.com/p"))
+  }
+
   // ---- q146: unifiedCrawlPlan ---------------------------------------
 
   test("unified plan: discovery and revisit share one per-host budget") {

@@ -1051,4 +1051,53 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(gateThenPlan == planWithGate && gateThenPlan.nonEmpty,
       s"$gateThenPlan vs $planWithGate")
   }
+
+  test("ONLINE trap gate: stream verdicts == batch q143 flags; gate-then-plan equals dropTraps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val links = Seq(
+      ("s1", "t.com", "https://t.com/cat/cat/cat/p"),       // repeat trap
+      ("s1", "t.com", "https://t.com/x?sid=deadbeef01"),    // session trap
+      ("s2", "t.com", "https://t.com/2024/03/15/post"),     // calendar trap
+      ("s1", "t.com", "https://t.com/clean?utm_source=x"),  // clean (canon strips utm)
+      ("s2", "u.com", "https://u.com/ok"))                  // clean
+    val stream = MemoryStream[(String, String, String)]
+    stream.addData(links)
+    val q = StreamOps.trapGateStream(
+      stream.toDF().toDF("src_h", "dst_h", "url"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trap_gate_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val tagged = spark.table("trap_gate_stream")
+      .select($"url", $"trap").as[(String, Boolean)].collect().toMap
+    assert(tagged == Map(
+      "https://t.com/cat/cat/cat/p" -> true,
+      "https://t.com/x?sid=deadbeef01" -> true,
+      "https://t.com/2024/03/15/post" -> true,
+      "https://t.com/clean?utm_source=x" -> false,
+      "https://u.com/ok" -> false), tagged)
+    // batch parity: the stream verdict is the same expression q143
+    // applies, checked on the same rows through the batch path
+    val batch = links.toDF("src_h", "dst_h", "url")
+      .select($"url", graft.queries.WebOps.urlIsTrap(
+        graft.queries.WebOps.canonicalizeUrl($"url")).as("trap"))
+      .as[(String, Boolean)].collect().toMap
+    assert(batch == tagged)
+    // composition parity: filter survivors then plan == dropTraps plan
+    val seen = Seq.empty[String].toDF("url")
+    val survivors = spark.table("trap_gate_stream")
+      .filter(!$"trap").select("src_h", "dst_h", "url")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val gateThenPlan = rows(graft.queries.WebOps.crawlFrontier(
+      survivors, seen, perHostK = 3))
+    val planWithGate = rows(graft.queries.WebOps.crawlFrontier(
+      links.toDF("src_h", "dst_h", "url"), seen, perHostK = 3,
+      dropTraps = true))
+    assert(gateThenPlan == planWithGate && gateThenPlan.nonEmpty,
+      s"$gateThenPlan vs $planWithGate")
+  }
 }
