@@ -2476,6 +2476,67 @@ cnt$n AS (
       unigramLmSegment(docs(s, dir))
     },
 
+    // ---- q147: DoReMi domain mixture reweighting ------------------
+    // The published artifact of Xie et al. 2023 computed from the
+    // repo's LM pair (see doremiDomainWeights): per-position clipped
+    // excess loss of the unigram proxy over the backoff-bigram
+    // reference, rolled to |domains|, then the smoothed
+    // exponentiated softmax. The oracle re-derives both fits, both
+    // loss quantizations, the clip, and the softmax independently.
+    QueryDef(
+      "q147_doremi_weights",
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cu FROM (
+        |    SELECT unnest(t) AS w FROM toks WHERE (doc_id // 20) % 4 <> 0) GROUP BY w),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM uni),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS cb FROM (
+        |    SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |          FROM toks WHERE (doc_id // 20) % 4 <> 0 AND len(t) >= 2))
+        |  GROUP BY w1, w2),
+        |pairs AS (
+        |  SELECT source, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE (doc_id // 20) % 4 = 0 AND len(t) >= 2)),
+        |terms AS (
+        |  SELECT p.source,
+        |    CAST(floor(ln((t.n + t.v) * 1.0 / (coalesce(u2.cu, 0) + 1))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS uni_u,
+        |    CASE WHEN b.cb IS NOT NULL
+        |      THEN CAST(floor(ln(u1.cu * 1.0 / b.cb) * 1000000.0 + 0.5) AS BIGINT)
+        |      ELSE CAST(floor(ln((t.n + t.v) * 1.0
+        |        / (0.4 * (coalesce(u2.cu, 0) + 1))) * 1000000.0 + 0.5) AS BIGINT)
+        |    END AS bi_u
+        |  FROM pairs p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN uni u1 ON u1.w = p.w1
+        |  LEFT JOIN uni u2 ON u2.w = p.w2
+        |  CROSS JOIN tot t),
+        |dom AS (
+        |  SELECT source, count(*) AS n_pos,
+        |    CAST(sum(greatest(CAST(0 AS BIGINT), uni_u - bi_u)) AS BIGINT)
+        |      AS excess_sum
+        |  FROM terms GROUP BY source),
+        |we AS (
+        |  SELECT source, n_pos, excess_sum,
+        |    exp(5.0 * (excess_sum * 1.0 / n_pos) / 1000000.0) AS e
+        |  FROM dom),
+        |nz AS (SELECT sum(e) AS z, count(*) AS k FROM we)
+        |SELECT source, n_pos, excess_sum,
+        |  CAST(floor(excess_sum * 1.0 / n_pos + 0.5) AS BIGINT)
+        |    AS excess_avg_unats,
+        |  CAST(floor((1.0 - 0.1) * e / z * 1000000.0
+        |    + 0.1 / k * 1000000.0 + 0.5) AS BIGINT) AS weight_ppm
+        |FROM we, nz
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      doremiDomainWeights(docs(s, dir)).orderBy("source")
+    },
+
     // ---- q119: C4 lexicon page gate ------------------------------
     // The blocklist page rule next to q102's line rules: any page
     // containing a blocklisted token drops wholesale. The demo
@@ -2942,6 +3003,83 @@ cnt$n AS (
       .agg(count(lit(1)).as("n_bigrams"),
         sum("backoff").as("n_backoff"),
         sum("term_micro").as("lm_score_micro"))
+  }
+
+  /** q147's operator: DOMAIN MIXTURE REWEIGHTING, the DoReMi shape
+    * (Xie et al. 2023): a training mixture should OVERWEIGHT the
+    * domains where a weak proxy model lags a stronger reference
+    * most — "hard but learnable" domains — rather than sampling by
+    * corpus share. The paper trains a proxy under Group DRO; its
+    * published output is one artifact: domain weights
+    * `alpha_d = (1-c) * softmax(eta * excess_d) + c/k`. This
+    * operator computes that artifact with the repo's LM machinery
+    * standing in for the model pair: the PROXY is the unigram LM,
+    * the REFERENCE the backoff bigram LM (strictly stronger), both
+    * fitted on the held split (doc_id%4 != 0, the q100 convention)
+    * and scoring the eval split per TOKEN POSITION; per-position
+    * excess = max(0, uniLoss - biLoss) (the paper's clip), each
+    * loss micro-nat-quantized BEFORE summation so the per-domain
+    * rollups are exact integers.
+    *
+    * Scale shape: both fits are partial-aggregable rollups
+    * (vocab/bigram-sized); scoring is the q100 join chain; the
+    * excess rollup is |domains|-sized; the softmax runs on that
+    * tiny frame with a broadcast 1-row normalizer. Only the final
+    * softmax division and exp are floats — quantized to ppm on
+    * identical expression shapes both engines.
+    */
+  def doremiDomainWeights(docsFrame: DataFrame, etaPct: Int = 500,
+      smoothPct: Int = 10): DataFrame = {
+    val pairExpr = expr(
+      "transform(sequence(1, size(t) - 1), i -> " +
+        "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+    val fit = docsFrame.filter(expr("doc_id div 20") % 4 =!= 0)
+      .select(tokens(col("text")).as("t"))
+    val uni = fit.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").cast("long").as("n"),
+      count(lit(1)).as("v"))
+    val big = fit.filter(size(col("t")) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val pos = docsFrame.filter(expr("doc_id div 20") % 4 === 0)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(pairExpr).as("p"))
+      .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(big, Seq("w1", "w2"), "left_outer")
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")),
+        Seq("w1"), "left_outer")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left_outer")
+      .crossJoin(broadcast(tot))
+    // per-position micro-nat losses: +1-smoothed unigram over the
+    // target token; stupid-backoff (0.4) bigram — quantized BEFORE
+    // the rollup so domain sums are exact integers
+    val uniU = floor(log((col("n") + col("v")).cast("double") /
+      (coalesce(col("cu2"), lit(0L)) + 1)) * lit(1000000.0) + lit(0.5))
+    val biU = when(col("cb").isNotNull,
+      floor(log(col("cu1").cast("double") / col("cb")) *
+        lit(1000000.0) + lit(0.5)))
+      .otherwise(floor(log((col("n") + col("v")).cast("double") /
+        (lit(0.4) * (coalesce(col("cu2"), lit(0L)) + 1))) *
+        lit(1000000.0) + lit(0.5)))
+    val dom = pos
+      .select(col("source"), greatest(lit(0L), uniU - biU).as("ex_u"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pos"), sum("ex_u").as("excess_sum"))
+    val e = exp(lit(etaPct / 100.0) *
+      (col("excess_sum").cast("double") / col("n_pos")) / lit(1000000.0))
+    val withE = dom.withColumn("e", e)
+    val z = withE.agg(sum("e").as("z"), count(lit(1)).as("k"))
+    withE.crossJoin(broadcast(z))
+      .select(col("source"), col("n_pos"), col("excess_sum"),
+        floor(col("excess_sum").cast("double") / col("n_pos") + lit(0.5))
+          .as("excess_avg_unats"),
+        floor((lit(1.0) - lit(smoothPct / 100.0)) * col("e") / col("z") *
+          lit(1000000.0) + lit(smoothPct / 100.0) / col("k") *
+          lit(1000000.0) + lit(0.5)).as("weight_ppm"))
   }
 
   /** q96's operator: TOKEN-BUDGET selection — keep the

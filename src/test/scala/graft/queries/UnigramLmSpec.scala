@@ -68,6 +68,35 @@ class UnigramLmSpec extends AnyFunSuite {
       s"paths must tile each word: covered $coveredChars of $totalChars")
   }
 
+  test("doremi: bigram-predictable domains carry high excess and upweight") {
+    import spark.implicits._
+    // domain A: deterministic token chains — the bigram reference
+    // nails every transition while the unigram proxy stays uniform,
+    // so A's excess (proxy - reference) is LARGE: hard for the weak
+    // model but learnable. domain B: every bigram unique — the
+    // reference backs off everywhere, excess ~0. DoReMi must
+    // overweight A. doc_ids chosen so (id div 20) % 4 splits each
+    // domain into fit (ids 20..79) and eval (ids 0..19) rows.
+    val chainA = "a b c d e a b c d e a b c d e a b c d e"
+    def saladB(i: Int) =
+      (0 until 20).map(j => s"t${(i * 20 + j) % 97}x${i}y$j").mkString(" ")
+    val docs = (
+      (0 until 10).map(i => (i.toLong, chainA, "A")) ++
+      (20 until 60).map(i => (i.toLong, chainA, "A")) ++
+      (10 until 20).map(i => (i.toLong, saladB(i), "B")) ++
+      (60 until 100).map(i => (i.toLong, saladB(i), "B"))
+    ).toDF("doc_id", "text", "source")
+    val w = TextOps.doremiDomainWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(w.keySet === Set("A", "B"))
+    val (exA, wA) = w("A"); val (exB, wB) = w("B")
+    assert(exA > exB, s"chain domain must carry the excess: $exA vs $exB")
+    assert(wA > wB && wA > 500000L,
+      s"DoReMi must overweight the learnable domain: $wA vs $wB")
+    // weights are a smoothed distribution: sum within rounding of 1e6
+    assert(math.abs(wA + wB - 1000000L) <= 2L)
+  }
+
   test("unique characters stay segmentable (never pruned)") {
     // 'zq' appears once; its chars are nobody's frequent substring,
     // yet the output must still cover it (chars are never dropped)
