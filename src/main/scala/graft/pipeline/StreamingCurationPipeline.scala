@@ -105,6 +105,13 @@ object StreamingCurationPipeline {
       perceptronWeights: Option[Map[String, Long]] = None,
       substrDeconProbe: Option[DataFrame] = None,
       substrDeconL: Int = 50,
+      // optional q141 language gate — batch-fitted one-vs-rest langID
+      // models (the saveLangIdModel artifact) + the languages to
+      // keep; scored by the stateless per-row langIdPredictCol
+      // expression in the batch pipeline's CCNet position (after the
+      // rewrites, before the quality rungs)
+      langIdGate: Option[(Seq[(String, Map[String, Long])], Set[String])] =
+        None,
       lateness: String = "1 hour",
       // when set, incr_dedup's standing index is LOADED from this
       // persisted artifact (saveDedupIndex / Compaction's refreshed
@@ -252,6 +259,18 @@ object StreamingCurationPipeline {
                   cfg.substrDeconL)
                 .select(col("doc_id"), col("cleaned_text").as("text")),
               Seq("doc_id")))
+      } ++
+      // optional q141 LANGUAGE gate — the batch pipeline's lang_gate
+      // in its CCNet position (language filter before the quality
+      // rungs, whose classifiers are target-language-fitted).
+      // Stateless: the one-vs-rest argmax is a single per-row
+      // expression (langIdPredictCol — the q141 streaming twin), so
+      // the gate adds zero state and zero shuffle.
+      cfg.langIdGate.toSeq.map { case (models, keep) =>
+        "lang_gate" -> ((df: DataFrame) =>
+          df.filter(graft.queries.TextOps
+            .langIdPredictCol(col("text"), models)
+            .getField("predicted_lang").isin(keep.toSeq: _*)))
       } ++
       Seq[(String, DataFrame => DataFrame)](
       "classifier" -> ((df: DataFrame) =>

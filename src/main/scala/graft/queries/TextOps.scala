@@ -4080,6 +4080,54 @@ cnt$n AS (
       lit(bias))
   }
 
+  /** One langID class margin as a single per-row expression — the
+    * [[perceptronMarginCol]] deployment form lifted to q141's
+    * word-internal char-trigram features: a nested fold (tokens →
+    * trigram positions) with the ≤4097-entry weight map as a
+    * literal, md5-bucketed exactly like [[langIdFeatures]]. Bias
+    * billed exactly as the batch path bills it (every doc carries
+    * the bias row, null text included).
+    */
+  def langIdMarginCol(text: Column, weights: Map[String, Long]): Column = {
+    val bias = weights.getOrElse(PerceptronBiasBucket, 0L)
+    val tokWeights = weights - PerceptronBiasBucket
+    if (tokWeights.isEmpty) lit(bias)
+    else coalesce(
+      aggregate(
+        filter(tokens(lower(text)), x => length(x) >= 3),
+        lit(bias),
+        (acc, w) => acc + coalesce(
+          aggregate(sequence(lit(1), length(w) - 2), lit(0L),
+            (a2, i) => a2 + coalesce(
+              element_at(typedLit(tokWeights),
+                substring(md5(w.substr(i, lit(3))), 1, 3)),
+              lit(0L))),
+          lit(0L))),
+      lit(bias))
+  }
+
+  /** Per-row one-vs-rest langID prediction — [[langIdPredict]]'s
+    * argmax as ONE stateless expression (struct of predicted_lang,
+    * margin): per-class margins via [[langIdMarginCol]], argmax via
+    * `greatest` over (margin, -class_idx, lang) structs with models
+    * sorted by name, so ties break LEXICOGRAPHIC exactly like the
+    * batch `max(struct(margin, -ci))` rule. The streaming deployment
+    * form ([[graft.streaming.StreamOps.langIdStream]]).
+    */
+  def langIdPredictCol(text: Column,
+      models0: Seq[(String, Map[String, Long])]): Column = {
+    require(models0.nonEmpty, "langIdPredictCol needs at least one model")
+    val models = models0.sortBy(_._1)
+    val structs = models.zipWithIndex.map { case ((lang, w), i) =>
+      struct(langIdMarginCol(text, w).as("margin"),
+        lit(-i.toLong).as("nci"), lit(lang).as("lang"))
+    }
+    val top =
+      if (structs.size == 1) structs.head else greatest(structs: _*)
+    struct(top.getField("lang").as("predicted_lang"),
+      top.getField("margin").as("margin"))
+  }
+
   /** Persist a trained perceptron model ([[perceptronTrain]]'s weight
     * map, bias included under `____`) as a parquet artifact — the
     * deployment hand-off: the batch fit runs where the labels live,

@@ -499,6 +499,22 @@ object StreamOps {
     * Emits `margin` and `verdict` (keep iff margin > 0) beside every
     * input column; batch/stream parity pinned in StreamOpsSpec.
     */
+  /** Streaming language ID — q141's deployment twin: batch-fitted
+    * one-vs-rest models (the [[graft.queries.TextOps.saveLangIdModel]]
+    * artifact) scored per-row by the single stateless
+    * [[graft.queries.TextOps.langIdPredictCol]] expression — no
+    * explode, no margin rollup, no state store; verdicts emit
+    * immediately at any rate. Composes as the CCNet-order language
+    * gate in front of the quality stages exactly like the batch
+    * pipeline's `lang_gate`.
+    */
+  def langIdStream(docs: DataFrame,
+      models: Seq[(String, Map[String, Long])]): DataFrame = {
+    val p = graft.queries.TextOps.langIdPredictCol(col("text"), models)
+    docs.withColumn("predicted_lang", p.getField("predicted_lang"))
+      .withColumn("margin", p.getField("margin"))
+  }
+
   def perceptronScoreStream(
       docs: DataFrame, weights: Map[String, Long]): DataFrame =
     docs

@@ -709,4 +709,65 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(!ledgerOff.contains("perceptron_gate"), ledgerOff)
     assert(keptOff == Set(1L, 2L), keptOff)
   }
+
+  test("lang_gate drops the off-language page at ingestion; control run keeps it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pageFr = Seq(
+      "le phare du port clignote deux fois avant que le brouillard descende.",
+      "les pecheurs reparent leurs filets pendant que les mouettes se disputent.",
+      "un chalutier rouille attend que la maree le souleve du banc de sable.",
+      "le sel tache chaque fenetre du petit bureau pres de la marina.",
+      "vers midi la digue disparait sous les embruns de la houle montante.",
+      "les enfants comptent les bouees et perdent le compte vers le chenal."
+    ).mkString("\n")
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    // fit offline where the labels live, persist + reload (the
+    // artifact hand-off is part of what this pins)
+    val fit = Seq((1L, "en", pageA), (2L, "en", pageB),
+      (3L, "fr", pageFr)).toDF("doc_id", "lang", "text")
+    val models = TextOps.langIdTrain(fit, langs = Seq("en", "fr"),
+      rounds = 4)
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft_scp_lmodel").toString + "/model"
+    TextOps.saveLangIdModel(spark, models, modelPath)
+    val loaded = TextOps.loadLangIdModel(spark, modelPath)
+    // batch verdicts under the same loaded models = the parity oracle
+    val batchLang = TextOps.langIdPredict(
+        Seq((1L, pageA), (2L, pageFr)).toDF("doc_id", "text"), loaded)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchLang == Map(1L -> "en", 2L -> "fr"),
+      s"fixture drifted: $batchLang")
+
+    def run(gate: Option[(Seq[(String, Map[String, Long])], Set[String])]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        langIdGate = gate)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      val stream = MemoryStream[(Long, String, String, Timestamp)]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts"), cfg, sink)
+      stream.addData(Seq(
+        (1L, pageA, "https://site.example.com/a", ts(0)),
+        (2L, pageFr, "https://site.example.com/fr", ts(1))))
+      query.processAllAvailable()
+      query.stop()
+      (landed.toSet, ledger().map(s => s.stage -> s.docs).toMap)
+    }
+
+    val (kept, ledgerOn) = run(Some((loaded, Set("en"))))
+    assert(kept == Set(1L), s"only the English page lands: $kept")
+    assert(ledgerOn("lang_gate") == 1L, ledgerOn)
+    val (keptOff, ledgerOff) = run(None)
+    assert(!ledgerOff.contains("lang_gate"), ledgerOff)
+    assert(keptOff == Set(1L, 2L), keptOff)
+  }
 }

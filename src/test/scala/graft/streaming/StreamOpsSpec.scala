@@ -1052,6 +1052,52 @@ class StreamOpsSpec extends AnyFunSuite {
       s"$gateThenPlan vs $planWithGate")
   }
 
+  test("ONLINE language ID: stream predictions == batch q141 through the artifact round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog with the usual flair"),
+      (2L, "en", "these are the words that the english model should learn from this"),
+      (3L, "fr", "les mots que le modele doit apprendre avec les accents des phrases"),
+      (4L, "fr", "une autre phrase pour que les trigrammes soient bien distincts"),
+      (5L, "en", "another english sentence with common function words and the rest"),
+      (6L, "fr", "encore des mots francais avec les articles et les prepositions"))
+      .toDF("doc_id", "lang", "text")
+    val models = graft.queries.TextOps.langIdTrain(train,
+      langs = Seq("en", "fr"), rounds = 3)
+    // deployment hand-off: through the persisted artifact
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_langid_stream").toString
+    graft.queries.TextOps.saveLangIdModel(spark, models, s"$dir/model")
+    val loaded = graft.queries.TextOps.loadLangIdModel(spark, s"$dir/model")
+    val score = Seq(
+      (10L, "the dog and the fox are friends with the other animals"),
+      (11L, "les chats et les chiens sont des animaux avec les autres"),
+      (12L, "zz"), // no >=3-char token: bias-only, tie rule decides
+      (13L, null.asInstanceOf[String])) // null text: bias-only too
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(score)
+    val q = StreamOps.langIdStream(
+      stream.toDF().toDF("doc_id", "text"), loaded)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("langid_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedMap = spark.table("langid_stream")
+      .select($"doc_id", $"predicted_lang", $"margin")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val batch = graft.queries.TextOps.langIdPredict(
+      score.toDF("doc_id", "text"), loaded)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(streamedMap == batch,
+      s"stream $streamedMap vs batch $batch")
+    // and the predictions are non-vacuous: the two prose rows split
+    assert(streamedMap(10L)._1 === "en" && streamedMap(11L)._1 === "fr")
+  }
+
   test("ONLINE trap gate: stream verdicts == batch q143 flags; gate-then-plan equals dropTraps") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
