@@ -315,6 +315,51 @@ object DedupOps {
         (jac >= minJaccard).as("mirror"))
   }
 
+  /** q148's operator: CONTAINMENT near-dup pairs (Broder 1997's
+    * other resemblance measure): C(A→B) = |S(A)∩S(B)| / |S(A)| — the
+    * DIRECTIONAL overlap that catches quote-inclusion, article-in-
+    * digest, and doc-in-concatenation duplication where symmetric
+    * Jaccard (and therefore q36's LSH banding, calibrated on it)
+    * goes blind: a document quoted verbatim inside one three times
+    * its size has containment 1.0 but Jaccard ~0.33 — under every
+    * banding threshold. Candidate generation is q37's machinery
+    * (shared-shingle equi-join under the stop-shingle df cap — the
+    * cap drops shingles from BOTH sides of a pair, so a containment
+    * of 1.0 survives capping exactly), then both directional ratios
+    * plus Jaccard for contrast; pairs kept at
+    * `greatest(C(A→B), C(B→A)) >= minContain`.
+    *
+    * Scale shape: identical to q37 — |shingles|·maxDf-bounded pair
+    * join, two partial-aggregable rollups, equi-joins on 8-byte
+    * hashed keys; the report is |qualifying pairs|-sized.
+    */
+  def containmentPairs(docs: DataFrame, minContain: Double = 0.9,
+      maxDf: Long = StopShingleMaxDf): DataFrame = {
+    val sh = dropStopShingles(
+      shingles(docs).withColumn("gh", xxhash64(col("g"))).drop("g"),
+      "gh", maxDf)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("gh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val cab = col("n_common").cast("double") / col("na")
+    val cba = col("n_common").cast("double") / col("nb")
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .filter(greatest(cab, cba) >= minContain)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("na"), col("nb"),
+        round(cab, 4).as("contain_a_in_b"),
+        round(cba, 4).as("contain_b_in_a"),
+        round(jac, 4).as("jaccard"))
+  }
+
   /** The actionable set from [[hostMirrorPairs]]: every host that is
     * the LARGER side of a flagged mirror pair — dropping exactly
     * these keeps one representative per mirror chain (host_a < host_b
@@ -2772,6 +2817,68 @@ object DedupOps {
           .select(hostOf("m"), col("text")))
       hostMirrorPairs(s, hostDocs, minJaccard = 0.8)
         .orderBy("host_a", "host_b")
+    },
+
+    // ---- q148: containment near-dup pairs --------------------------
+    // Directional overlap (see containmentPairs). The corpus has no
+    // natural quote-inclusion, so the query plants it: every 10th doc
+    // is quoted verbatim inside a composite three docs wide
+    // (doc_id+100000) — containment 1.0 at Jaccard ~0.33, exactly
+    // the pair the symmetric threshold (and LSH banding) misses; the
+    // corpus's natural exact dups surface as 1.0/1.0 pairs beside
+    // them. Oracle replays the planting, the df cap, the pair join
+    // and both ratios on the string shingles (identical modulo
+    // xxhash64 collisions, the q37 rule).
+    QueryDef(
+      "q148_containment_pairs",
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |comp AS (
+         |  SELECT a.doc_id + 100000 AS doc_id,
+         |    a.text || ' ' || b.text || ' ' || c.text AS text
+         |  FROM base a
+         |  JOIN base b ON b.doc_id = a.doc_id + 1
+         |  JOIN base c ON c.doc_id = a.doc_id + 2
+         |  WHERE a.doc_id % 10 = 0),
+         |d2 AS (SELECT * FROM base UNION ALL SELECT * FROM comp),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
+         |  FROM d2),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(t) - 2, 0)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+         |  FROM toks),
+         |hot AS (SELECT g FROM sh0 GROUP BY g
+         |        HAVING count(*) > $StopShingleMaxDf),
+         |sh AS (SELECT doc_id, g FROM sh0 WHERE g NOT IN (SELECT g FROM hot)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh sa JOIN sh sb ON sa.g = sb.g AND sa.doc_id < sb.doc_id
+         |  GROUP BY sa.doc_id, sb.doc_id)
+         |SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+         |  CAST(za.n AS BIGINT) AS na, CAST(zb.n AS BIGINT) AS nb,
+         |  round(CAST(i.n_common AS DOUBLE) / za.n, 4) AS contain_a_in_b,
+         |  round(CAST(i.n_common AS DOUBLE) / zb.n, 4) AS contain_b_in_a,
+         |  round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 4)
+         |    AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE greatest(CAST(i.n_common AS DOUBLE) / za.n,
+         |               CAST(i.n_common AS DOUBLE) / zb.n) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents").select("doc_id", "text")
+      val comp = base.as("a")
+        .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .join(base.as("c"), col("c.doc_id") === col("a.doc_id") + 2)
+        .filter(col("a.doc_id") % 10 === 0)
+        .select((col("a.doc_id") + 100000).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text"), lit(" "),
+            col("c.text")).as("text"))
+      containmentPairs(base.union(comp), minContain = 0.9)
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

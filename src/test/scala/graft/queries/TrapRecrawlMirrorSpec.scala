@@ -192,6 +192,33 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
     assert(planned === Set("https://a.com/p"))
   }
 
+  // ---- q148: containmentPairs ---------------------------------------
+
+  test("containment: a quoted doc is caught at jaccard LSH cannot see") {
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")     // 12 tokens
+    val filler = (1 to 36).map(i => s"f$i").mkString(" ")    // 36 tokens
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$filler $small"),  // quotes doc 1 verbatim at the end
+      (3L, "entirely unrelated words with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, minContain = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val (cab, cba, jac) = out((1L, 2L))
+    assert(cab === 1.0, s"every shingle of the quoted doc is in the host: $cab")
+    assert(jac < 0.5, s"the pair is invisible to the symmetric threshold: $jac")
+    assert(cba < 0.5, s"direction matters: the host is not in the quote: $cba")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // and q36's banded near-dup pairs at its own threshold MISS it —
+    // the gap containment exists to close
+    val lsh = DedupOps.nearDupPairs(spark, docs, minJaccard = 0.5)
+      .collect()
+    assert(!lsh.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "fixture drifted: jaccard-threshold dedup should miss the quote pair")
+  }
+
   // ---- q146: unifiedCrawlPlan ---------------------------------------
 
   test("unified plan: discovery and revisit share one per-host budget") {
