@@ -360,6 +360,71 @@ object DedupOps {
         round(jac, 4).as("jaccard"))
   }
 
+  /** q149's operator: CONTENT-DEFINED CHUNKING dedup (the Rabin/
+    * FastCDC family re-expressed): chunk boundaries are declared
+    * where a rolling window hash of the text hits a target pattern
+    * (here: the first 2 hex chars of md5 over the trailing 8-char
+    * window <= '03', p = 1/64), with min/max chunk bounds (16/128
+    * chars) enforced sequentially. Because boundaries depend only on
+    * LOCAL content, an insertion shifts every byte after it yet the
+    * cut points RESYNCHRONIZE within one chunk — the property that
+    * makes CDC the storage-dedup standard (LBFS, Venti, restic) and
+    * the sub-document twin of q65/q123's span dedup: fixed-width
+    * chunking (q70/q71) loses every chunk after a one-word insert;
+    * CDC loses one.
+    *
+    * Everything chunking-side is per-row HOFs (boundary mask, the
+    * sequential cut fold, chunk slicing, fingerprints) — zero
+    * shuffle until the one partial-aggregable fingerprint-df rollup
+    * + a chunk-occurrence join-back; the q123 plan family. Returns
+    * (doc_id, n_chunks, n_dup_chunks, dup_bp) where a chunk
+    * occurrence is dup iff its fingerprint occurs >= 2 times
+    * corpus-wide (total occurrences, within-doc repeats count — the
+    * q123 rule).
+    */
+  def cdcChunkDedup(docs: DataFrame, minChunk: Int = 16,
+      maxChunk: Int = 128, window: Int = 8): DataFrame = {
+    require(minChunk >= window && maxChunk > minChunk)
+    // ONE expression with each intermediate bound ONCE via the
+    // `transform(array(x), v -> ...)` let-idiom: chained withColumns
+    // would be inlined by CollapseProject, re-evaluating the whole
+    // boundary mask at EVERY fold step / every chunk slice — measured
+    // as a >700 s hang at sf0.01 before this form (the O(n^4) plan);
+    // bound-once, the row costs O(len) md5s + an O(len) fold.
+    val fpsExpr = expr(
+      s"""flatten(transform(
+         |  array(transform(sequence(1, length(text)), i ->
+         |    i >= $window AND substring(md5(substring(text,
+         |      i - ${window - 1}, $window)), 1, 2) <= '03')),
+         |  bm -> flatten(transform(
+         |    array(aggregate(sequence(1, length(text)),
+         |      array(cast(0 as bigint)),
+         |      (acc, i) -> CASE
+         |        WHEN i - element_at(acc, size(acc)) >= $maxChunk
+         |          OR (i - element_at(acc, size(acc)) >= $minChunk
+         |              AND element_at(bm, i))
+         |        THEN array_append(acc, cast(i as bigint))
+         |        ELSE acc END)),
+         |    cuts -> transform(
+         |      array(CASE WHEN element_at(cuts, size(cuts)) <> length(text)
+         |        THEN array_append(cuts, cast(length(text) as bigint))
+         |        ELSE cuts END),
+         |      cuts2 -> transform(sequence(1, size(cuts2) - 1), j ->
+         |        md5(substring(text,
+         |          cast(element_at(cuts2, j) + 1 as int),
+         |          cast(element_at(cuts2, j + 1) - element_at(cuts2, j)
+         |            as int)))))))))""".stripMargin)
+    val chunked = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(flatten(fpsExpr)).as("fp"))
+    val dfreq = chunked.groupBy("fp").agg(count(lit(1)).as("df"))
+    chunked.join(dfreq, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("n_dup_chunks * 10000 div n_chunks").as("dup_bp"))
+  }
+
   /** The actionable set from [[hostMirrorPairs]]: every host that is
     * the LARGER side of a flagged mirror pair — dropping exactly
     * these keeps one representative per mirror chain (host_a < host_b
@@ -2879,6 +2944,71 @@ object DedupOps {
             col("c.text")).as("text"))
       containmentPairs(base.union(comp), minContain = 0.9)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q149: content-defined chunking dedup -----------------------
+    // CDC (see cdcChunkDedup). The planting is the operator's reason
+    // to exist made visible: every 9th doc gets a SHIFTED twin
+    // (doc_id+200000 = a fixed preamble || text) — fixed-width
+    // chunking would share nothing past the insert; CDC's
+    // resynchronizing cuts make both twins read high dup_bp. The
+    // oracle recomputes the boundary mask, the sequential min/max
+    // cut fold (list-of-lists reduce), the chunk slicing,
+    // fingerprints and the df rule independently.
+    QueryDef(
+      "q149_cdc_chunk_dedup",
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'shifted insert padding words ' || text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |bm0 AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(1, len(text) + 1), i ->
+        |      i >= 8 AND substr(md5(substr(text, CAST(i - 7 AS INT), 8)),
+        |                        1, 2) <= '03') AS bm
+        |  FROM d2 WHERE len(text) >= 1),
+        |cut0 AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT)],
+        |        list_transform(range(1, len(text) + 1),
+        |                       i -> [CAST(i AS BIGINT)])),
+        |      (acc, x) -> CASE
+        |        WHEN x[1] - acc[len(acc)] >= 128
+        |          OR (x[1] - acc[len(acc)] >= 16
+        |              AND bm[CAST(x[1] AS INT)])
+        |        THEN list_append(acc, x[1])
+        |        -- slice-copy, NOT bare `acc`: DuckDB 1.0's list_reduce
+        |        -- corrupts a pass-through accumulator (vector reuse)
+        |        ELSE acc[1:len(acc)] END) AS cuts
+        |  FROM bm0),
+        |cut1 AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN cuts[len(cuts)] <> len(text)
+        |      THEN list_append(cuts, CAST(len(text) AS BIGINT))
+        |      ELSE cuts END AS cuts2
+        |  FROM cut0),
+        |fps AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(cuts2)), j ->
+        |    md5(substr(text, CAST(cuts2[j] + 1 AS INT),
+        |               CAST(cuts2[j + 1] - cuts2[j] AS INT))))) AS fp
+        |  FROM cut1),
+        |dfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+        |SELECT f.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST((sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 10000)
+        |    // count(*) AS BIGINT) AS dup_bp
+        |FROM fps f JOIN dfreq d ON d.fp = f.fp
+        |GROUP BY f.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents").select("doc_id", "text")
+      val shifted = base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("shifted insert padding words "), col("text"))
+            .as("text"))
+      cdcChunkDedup(base.union(shifted)).orderBy("doc_id")
     }
   )
 }

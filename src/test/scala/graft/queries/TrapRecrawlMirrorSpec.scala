@@ -219,6 +219,31 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
       "fixture drifted: jaccard-threshold dedup should miss the quote pair")
   }
 
+  // ---- q149: cdcChunkDedup --------------------------------------------
+
+  test("cdc: chunk boundaries resynchronize after an insertion") {
+    import spark.implicits._
+    val a = (1 to 120).map(i => s"tok$i").mkString(" ") // ~900 chars
+    val b = "inserted prefix " + a
+    val out = DedupOps.cdcChunkDedup(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nA, dupA, bpA) = out(1L)
+    val (nB, dupB, bpB) = out(2L)
+    assert(nA >= 5, s"fixture too short to chunk: $nA")
+    // CDC: the insertion shifts every byte of B, yet most chunks
+    // re-align — both docs read a high duplicated-chunk ratio
+    assert(bpA >= 6000 && bpB >= 6000,
+      s"cuts failed to resynchronize: $bpA / $bpB ($dupA/$nA, $dupB/$nB)")
+    // fixed-width chunking on the same pair shares (almost) nothing —
+    // the property CDC exists to fix, computed inline for contrast
+    val fixedShared = a.grouped(64).toSet
+      .intersect(b.grouped(64).toSet).size
+    assert(fixedShared <= 1,
+      s"fixture drifted: fixed chunks should misalign, shared=$fixedShared")
+  }
+
   // ---- q146: unifiedCrawlPlan ---------------------------------------
 
   test("unified plan: discovery and revisit share one per-host budget") {
