@@ -959,6 +959,13 @@ object Bench {
   }
 
   private def ingestBench(spark: SparkSession, n: Long = 1000000L): (String, Long) = {
+    // GC barrier: this stage runs AFTER the 150+-query loop, so its
+    // JVM inherits whatever heap shape the suite left behind — two
+    // same-host runs with IDENTICAL calibration rows measured 2.0M
+    // vs 0.9M rows/s before this barrier (the within-run spread was
+    // small both times; the variance was all inherited heap state).
+    // A compacted heap is the reproducible starting point.
+    System.gc(); System.gc()
     import graft.etl._
     import graft.pipeline.{PipelineConfig, ProtoPipeline}
     import org.apache.spark.sql.functions._

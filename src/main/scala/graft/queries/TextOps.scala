@@ -38,6 +38,43 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** The q145/q150 oracle HEADER CTEs: tokenization, the distinct-word
+    * table, substring seeding and the word-position edge table. (No
+    * line may start with `|` — interpolated into stripMargin'd SQL.)
+    */
+  private def unigramHeaderSqlCtes: String =
+    """tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+    x -> len(x) > 0)) AS w
+  FROM documents),
+dw AS (SELECT w, count(*) AS wcnt FROM tok WHERE len(w) <= 24 GROUP BY w),
+pf0 AS (
+  SELECT wcnt, unnest(flatten(list_transform(range(1, len(w) + 1),
+    i -> list_filter(list_transform([1, 2, 3, 4], L ->
+      CASE WHEN i + L - 1 <= len(w) THEN substr(w, i, L) END),
+      x -> x IS NOT NULL)))) AS piece
+  FROM dw),
+pf AS (SELECT piece, sum(wcnt) AS cnt FROM pf0 GROUP BY piece),
+seed AS (
+  SELECT piece, cnt FROM pf WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM pf WHERE len(piece) >= 2) z
+  WHERE rn <= 256),
+ed AS (
+  SELECT w, unnest(flatten(list_transform(range(1, len(w) + 1),
+    t -> list_filter(list_transform([1, 2, 3, 4], L ->
+      CASE WHEN t - L >= 0
+           THEN struct_pack(t := t, pl := L,
+                            piece := substr(w, t - L + 1, L)) END),
+      x -> x IS NOT NULL)))) AS e
+  FROM dw),
+edges AS (
+  SELECT w, struct_extract(e, 't') AS t, struct_extract(e, 'pl') AS pl,
+    struct_extract(e, 'piece') AS piece
+  FROM ed)"""
+
   /** One q145 EM round as oracle CTEs over the shared `dw`/`edges`
     * tables: cost quantization from `counts`, Bellman-Ford forward DP
     * (min per (word, pos) per round, word-length-bounded rounds),
@@ -2432,37 +2469,7 @@ cnt$n AS (
     // reconstruction, pruning and re-estimation all at once.
     QueryDef(
       "q145_unigram_lm_segment",
-      s"""WITH RECURSIVE tok AS (
-         |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
-         |    x -> len(x) > 0)) AS w
-         |  FROM documents),
-         |dw AS (SELECT w, count(*) AS wcnt FROM tok WHERE len(w) <= 24 GROUP BY w),
-         |pf0 AS (
-         |  SELECT wcnt, unnest(flatten(list_transform(range(1, len(w) + 1),
-         |    i -> list_filter(list_transform([1, 2, 3, 4], L ->
-         |      CASE WHEN i + L - 1 <= len(w) THEN substr(w, i, L) END),
-         |      x -> x IS NOT NULL)))) AS piece
-         |  FROM dw),
-         |pf AS (SELECT piece, sum(wcnt) AS cnt FROM pf0 GROUP BY piece),
-         |seed AS (
-         |  SELECT piece, cnt FROM pf WHERE len(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, cnt FROM (
-         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-         |    FROM pf WHERE len(piece) >= 2) z
-         |  WHERE rn <= 256),
-         |ed AS (
-         |  SELECT w, unnest(flatten(list_transform(range(1, len(w) + 1),
-         |    t -> list_filter(list_transform([1, 2, 3, 4], L ->
-         |      CASE WHEN t - L >= 0
-         |           THEN struct_pack(t := t, pl := L,
-         |                            piece := substr(w, t - L + 1, L)) END),
-         |      x -> x IS NOT NULL)))) AS e
-         |  FROM dw),
-         |edges AS (
-         |  SELECT w, struct_extract(e, 't') AS t, struct_extract(e, 'pl') AS pl,
-         |    struct_extract(e, 'piece') AS piece
-         |  FROM ed),
+      s"""WITH RECURSIVE $unigramHeaderSqlCtes,
          |${unigramRoundSqlCtes(1, "seed")},
          |kept AS (
          |  SELECT s.piece, coalesce(c1.cnt, 0) + 1 AS cnt
@@ -2474,6 +2481,38 @@ cnt$n AS (
          |ORDER BY k.cnt DESC, k.piece
          |LIMIT 64""".stripMargin) { (s, dir) =>
       unigramLmSegment(docs(s, dir))
+    },
+
+    // ---- q150: fertility under the trained unigram-LM tokenizer ---
+    // The q137 report with q145's trained model doing the segmenting
+    // (see unigramFertility) — the fertility triad's third member.
+    // The oracle re-runs the full two-round EM chain, reads per-word
+    // piece counts off round 2's walk, and re-weights by per-source
+    // occurrences into exact-integer basis points.
+    QueryDef(
+      "q150_unigram_fertility",
+      s"""WITH RECURSIVE $unigramHeaderSqlCtes,
+         |${unigramRoundSqlCtes(1, "seed")},
+         |kept AS (
+         |  SELECT s.piece, coalesce(c1.cnt, 0) + 1 AS cnt
+         |  FROM seed s LEFT JOIN cnt1 c1 ON c1.piece = s.piece
+         |  WHERE len(s.piece) = 1 OR coalesce(c1.cnt, 0) + 1 > 1),
+         |${unigramRoundSqlCtes(2, "kept")},
+         |nt AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS ntok
+         |  FROM walk2 WHERE piece IS NOT NULL GROUP BY w),
+         |tf AS (
+         |  SELECT source, w, count(*) AS cnt FROM (
+         |    SELECT source, unnest(list_filter(
+         |      string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS w
+         |    FROM documents)
+         |  WHERE len(w) <= 24 GROUP BY source, w)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * ntok) AS BIGINT) AS n_pieces,
+         |  CAST((sum(cnt * ntok) * 10000) // sum(cnt) AS BIGINT) AS fert_bp
+         |FROM tf JOIN nt USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      unigramFertility(docs(s, dir)).orderBy("source")
     },
 
     // ---- q147: DoReMi domain mixture reweighting ------------------
@@ -3330,6 +3369,17 @@ cnt$n AS (
     * identically in the oracle's (cost, piece-length) argmin.
     */
   private def viterbiPieceCounts(dw: DataFrame, vcost: DataFrame,
+      maxPieceLen: Int): DataFrame =
+    viterbiSegments(dw, vcost, maxPieceLen)
+      .select(col("wcnt"), explode(col("ps")).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("cnt"))
+
+  /** The segmentation frame behind [[viterbiPieceCounts]] —
+    * (w, wcnt, ps: the chosen piece sequence, reversed) — exposed so
+    * the fertility report (q150) can read per-word piece counts
+    * without re-deriving paths.
+    */
+  private def viterbiSegments(dw: DataFrame, vcost: DataFrame,
       maxPieceLen: Int): DataFrame = {
     // (w, wcnt, t, pl, piece): candidate piece of length pl ending at t
     val cands = dw.select(col("w"), col("wcnt"),
@@ -3374,8 +3424,7 @@ cnt$n AS (
         |              element_at(bpl, acc.p))))
         |    ELSE acc END,
         |  acc -> acc.ps)""".stripMargin))
-    seg.select(col("wcnt"), explode(col("ps")).as("piece"))
-      .groupBy("piece").agg(sum("wcnt").as("cnt"))
+    seg.select(col("w"), col("wcnt"), col("ps"))
   }
 
   /** q145's operator: UNIGRAM-LM tokenizer training (the SentencePiece
@@ -3412,7 +3461,22 @@ cnt$n AS (
   def unigramLmSegment(docsFrame: DataFrame, vocabTopK: Int = 256,
       maxPieceLen: Int = 4, maxWordLen: Int = 24,
       topOut: Int = 64): DataFrame = {
-    require(vocabTopK >= 1 && maxPieceLen >= 2 && topOut >= 1)
+    require(topOut >= 1)
+    val (dw, cost2) =
+      unigramModel(docsFrame, vocabTopK, maxPieceLen, maxWordLen)
+    viterbiPieceCounts(dw, cost2, maxPieceLen)
+      .join(cost2, Seq("piece"))
+      .select(col("piece"), col("cnt"), col("c").as("cost_unats"))
+      .orderBy(desc("cnt"), asc("piece")).limit(topOut)
+  }
+
+  /** The q145 EM chain up to the round-2 model: (distinct-word frame,
+    * (piece, c) cost table) — shared by the vocab report (q145) and
+    * the fertility report (q150).
+    */
+  private def unigramModel(docsFrame: DataFrame, vocabTopK: Int,
+      maxPieceLen: Int, maxWordLen: Int): (DataFrame, DataFrame) = {
+    require(vocabTopK >= 1 && maxPieceLen >= 2)
     val dw = docsFrame.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
@@ -3432,11 +3496,34 @@ cnt$n AS (
       .join(cnt1, Seq("piece"), "left")
       .select(col("piece"), (coalesce(col("cnt"), lit(0L)) + 1).as("cnt"))
       .filter(length(col("piece")) === 1 || col("cnt") > 1)
-    val cost2 = pieceCostFrame(kept)
-    viterbiPieceCounts(dw, cost2, maxPieceLen)
-      .join(cost2, Seq("piece"))
-      .select(col("piece"), col("cnt"), col("c").as("cost_unats"))
-      .orderBy(desc("cnt"), asc("piece")).limit(topOut)
+    (dw, pieceCostFrame(kept))
+  }
+
+  /** q150's operator: per-source FERTILITY under the trained
+    * unigram-LM tokenizer — the q137 report shape with q145's model
+    * doing the segmenting, completing the fertility triad (q115 BPE,
+    * q137 WordPiece-objective, q150 unigram-LM): pieces-per-word
+    * weighted back by per-source occurrences, exact-integer basis
+    * points. Same scale shape as q137's report: the corpus is
+    * touched twice (the model's word rollup + the per-source word
+    * count); everything else is distinct-word-bounded.
+    */
+  def unigramFertility(docsFrame: DataFrame, vocabTopK: Int = 256,
+      maxPieceLen: Int = 4, maxWordLen: Int = 24): DataFrame = {
+    val (dw, cost2) =
+      unigramModel(docsFrame, vocabTopK, maxPieceLen, maxWordLen)
+    val nt = viterbiSegments(dw, cost2, maxPieceLen)
+      .select(col("w"), size(col("ps")).cast("long").as("ntok"))
+    val tf = docsFrame
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    tf.join(nt, Seq("w"))
+      .groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_words"),
+        sum(col("cnt") * col("ntok")).cast("long").as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 10000 div n_words").as("fert_bp"))
   }
 
   /** q113's operator: ITERATIVE BPE tokenizer training (Sennrich et

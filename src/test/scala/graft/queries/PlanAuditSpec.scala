@@ -948,6 +948,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"vote/fetch-log rollups lack map-side partials:\n$p")
   }
 
+  test("q147 doremi: partial-agg fits, broadcast normalizers, no window") {
+    val p = plan("q147_doremi_weights")
+    assert(!p.contains("Window"), s"no window funnel:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"LM fits lack map-side partials:\n$p")
+    // the 1-row (n, v) totals and the softmax normalizer broadcast
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q148 containment: df-capped pair join, no cartesian/window") {
+    val p = plan("q148_containment_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must never pair all docs:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"),
+      s"shingle rollups lack map-side partials:\n$p")
+  }
+
+  test("q149 cdc: per-row chunking, one df rollup + join-back, no window") {
+    val p = plan("q149_cdc_chunk_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"),
+      s"fingerprint df lacks map-side partials:\n$p")
+  }
+
   test("q144 recrawl schedule: one partial-agg rollup + broadcast now, top-k off Window") {
     val p = plan("q144_recrawl_schedule")
     assert(!p.contains("Window"), s"budget cut through a window funnel:\n$p")
