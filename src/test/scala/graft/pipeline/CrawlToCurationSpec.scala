@@ -257,5 +257,32 @@ class CrawlToCurationSpec extends AnyFunSuite {
       ("coast.example.com", "https://coast.example.com", 1L),
       ("quiet.example.org", "https://quiet.example.org/sitemap.xml", 1L)),
       seeded.toSeq.toString)
+
+    // ... and the r16 gates complete the loop: URL-SHAPE traps
+    // (q143) die before voting — a sidecar-discovered calendar trap
+    // and a segment loop never take a slot — and a host the content
+    // side has flagged as a MIRROR (q142's mirrorDupHosts verdict;
+    // derivation pinned in TrapRecrawlMirrorSpec) drops from
+    // discovery wholesale, freeing its budget for original hosts
+    val withTraps = discovered.select("src_h", "dst_h", "url").union(Seq(
+      ("coast.example.com", "planet.example.net",
+        "https://planet.example.net/2024/01/05/post"),
+      ("coast.example.com", "planet.example.net",
+        "https://planet.example.net/cat/cat/cat/p"))
+      .toDF("src_h", "dst_h", "url"))
+    val trapGated = graft.queries.WebOps.crawlFrontier(withTraps, seen,
+        perHostK = 3, dropTraps = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(trapGated == Set(
+      ("planet.example.net", "https://planet.example.net/hub"),
+      ("coast.example.com", "https://coast.example.com"),
+      ("coast.example.com", "https://coast.example.com/x")),
+      trapGated.toString)
+    val mirrorFree = graft.queries.WebOps.crawlFrontier(withTraps, seen,
+        perHostK = 3, dropTraps = true,
+        dropHosts = Some(Seq("planet.example.net").toDF("host")))
+      .collect().map(r => r.getString(1)).toSet
+    assert(mirrorFree == Set("https://coast.example.com",
+      "https://coast.example.com/x"), mirrorFree.toString)
   }
 }
