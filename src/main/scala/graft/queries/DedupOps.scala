@@ -414,8 +414,16 @@ object DedupOps {
          |          cast(element_at(cuts2, j) + 1 as int),
          |          cast(element_at(cuts2, j + 1) - element_at(cuts2, j)
          |            as int)))))))))""".stripMargin)
+    // localCheckpoint: BOTH consumers (the df rollup and the
+    // occurrence join-back) read this frame, and the per-row
+    // chunking above is the md5-per-char hot path — recomputing it
+    // doubled q149's cost (measured ~6 s → ~3.5 s at sf0.1). The
+    // checkpointed frame is the narrow (doc_id, fp) row stream
+    // (~chars/50 rows); blocks free with the plan (ContextCleaner),
+    // the q137 discipline.
     val chunked = docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(flatten(fpsExpr)).as("fp"))
+      .localCheckpoint()
     val dfreq = chunked.groupBy("fp").agg(count(lit(1)).as("df"))
     chunked.join(dfreq, Seq("fp"))
       .groupBy("doc_id")
