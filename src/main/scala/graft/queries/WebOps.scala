@@ -1340,7 +1340,9 @@ object WebOps {
     * and a |plan|-sized join-back to re-attach the source tag.
     */
   def unifiedCrawlPlan(discovered: DataFrame, seen: DataFrame,
-      events: DataFrame, perHostK: Int = 3): DataFrame = {
+      events: DataFrame, perHostK: Int = 3,
+      robots: Option[DataFrame] = None,
+      userAgent: String = "graftbot"): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
     val d = discovered.filter(col("url").isNotNull)
       .withColumn("url", canonicalizeUrl(col("url")))
@@ -1355,7 +1357,19 @@ object WebOps {
     val revisit = recrawlScores(events)
       .select(canonicalHost(col("url")).as("host"), col("url"),
         col("priority_ppm").as("ppm"), lit("revisit").as("src"))
-    val cand = fresh.union(revisit)
+    // ROBOTS gate on the UNION: revisits need re-gating too — a page
+    // fetched legally last month may sit behind a new Disallow today,
+    // and a crawler that keeps refreshing it violates RFC 9309. Same
+    // |hosts|-sized broadcast verdict as crawlFrontier's gate.
+    val cand0 = fresh.union(revisit)
+    val cand = robots.fold(cand0) { r =>
+      val rr = broadcast(r.select(col("host").as("r_host"),
+        robotsGroupRules(col("robots_txt"), userAgent).as("r_rules")))
+      cand0.join(rr, cand0("host") === rr("r_host"), "left")
+        .filter(col("r_rules").isNull ||
+          robotsAllows(col("r_rules"), urlPathQuery(col("url"))))
+        .drop("r_host", "r_rules")
+    }
     val ranked = cand.groupBy("host")
       .agg(expr(s"topk_collect(ppm, url, $perHostK)").as("top"))
       .select(col("host"), posexplode(col("top")))

@@ -283,4 +283,33 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
     // the never-changed revisit lost the budget entirely
     assert(!plan.exists(_._1.endsWith("/u/21")))
   }
+
+  test("unified plan: a new Disallow kills the revisit too (rules change between fetches)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1's page (/u/1 on s1.example.com) was fetched legally —
+    // now the host disallows /u/. The hot revisit must die at the
+    // gate, leaving the discovery as the host's only plan row.
+    val discovered = Seq(("a", "s1.example.com", "https://s1.example.com/p/new"))
+      .toDF("src_h", "dst_h", "url")
+    val events = (
+      (0 until 10).map(i => (1L, ts(i * 10), "purchase", 0.0, "")) ++
+      Seq((3L, ts(500), "view", 0.0, ""))
+    ).toDF("user_id", "ts", "event_type", "value", "props")
+    val robots = Seq(("s1.example.com",
+      "User-agent: graftbot\nDisallow: /u/")).toDF("host", "robots_txt")
+    val seen = Seq.empty[String].toDF("url")
+    val gated = WebOps.unifiedCrawlPlan(discovered, seen, events,
+        perHostK = 3, robots = Some(robots))
+      .filter(col("host") === "s1.example.com")
+      .select("url").as[String].collect().toSet
+    assert(gated === Set("https://s1.example.com/p/new"), gated.toString)
+    // without the gate the stale hot page leads the plan
+    val open = WebOps.unifiedCrawlPlan(discovered, seen, events,
+        perHostK = 3)
+      .filter(col("host") === "s1.example.com")
+      .orderBy("rnk").select("url").as[String].collect()
+    assert(open.head === "https://s1.example.com/u/1", open.toSeq.toString)
+  }
 }
