@@ -295,7 +295,21 @@ object DedupOps {
     val hostSig = minhashSig(s, asDocs).groupBy(col("doc_id"))
       .agg(min(col("h0")).as("h0"),
         (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+    // bandedCandidates prunes through xxhash64 band KEYS; unlike
+    // nearDupPairs (where a key-collision candidate dies at the
+    // jaccard threshold), this report RETAINS mirror=false rows, so a
+    // 2^-64 band-key collision would add a row the exact-band oracle
+    // never produces. Re-verify each candidate on exact h_i equality
+    // (the oracle's own OR-of-bands condition) — a pair-sized join
+    // against the |hosts|-sized signature frame.
+    val exactBand = (0 until NumHashes / 2).map { b =>
+      col(s"sa.h${2 * b}") === col(s"sb.h${2 * b}") &&
+        col(s"sa.h${2 * b + 1}") === col(s"sb.h${2 * b + 1}")
+    }.reduce(_ || _)
     val cand = bandedCandidates(hostSig)
+      .join(hostSig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(hostSig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(exactBand)
       .select(col("doc_a").as("host_a"), col("doc_b").as("host_b"))
     val sizes = hs.groupBy("host").agg(count(lit(1)).as("n"))
     val inter = cand

@@ -1331,8 +1331,10 @@ object WebOps {
     * `1e6·n/(n+1)` (1 referrer → 500000, asymptote 1e6 — the
     * exact-integer harmonic ramp; a heavily-cited new page outranks
     * a probably-unchanged revisit, a single-referrer page loses to
-    * a probably-changed one). Disjoint by construction: a seen URL
-    * is never fresh (anti-join), a revisit is always seen.
+    * a probably-changed one). The branches are kept disjoint by an
+    * anti-join of fresh against (seen ∪ fetch-log URLs) — the fetch
+    * log proves a URL is seen even when `seen` is incomplete, so one
+    * URL can never hold two of a host's k slots.
     *
     * Plan shape: q130's vote rollup + q144's fetch-log rollup
     * (both partial-aggregable), one union, the q104 bounded-heap
@@ -1348,15 +1350,22 @@ object WebOps {
       .withColumn("url", canonicalizeUrl(col("url")))
     val seenC = seen.filter(col("url").isNotNull)
       .select(canonicalizeUrl(col("url")).as("url")).distinct()
-    val fresh = d.join(seenC, Seq("url"), "left_anti")
+    val revisit = recrawlScores(events)
+      .select(canonicalHost(col("url")).as("host"), col("url"),
+        col("priority_ppm").as("ppm"), lit("revisit").as("src"))
+    // DISJOINTNESS ENFORCED, not assumed of the caller: the fetch log
+    // proves a URL is seen even when `seen` is stale/incomplete. A URL
+    // landing in both branches would take two of its host's k slots
+    // and duplicate plan rows at the src join-back. The revisit row
+    // wins (it carries the measured change probability); the fresh
+    // candidate dies in the same anti-join that kills seen URLs.
+    val fresh = d
+      .join(seenC.union(revisit.select("url")), Seq("url"), "left_anti")
       .groupBy(col("dst_h").as("host"), col("url"))
       .agg(countDistinct("src_h").as("n_referrers"))
       .select(col("host"), col("url"),
         expr("(1000000 * n_referrers) div (n_referrers + 1)").as("ppm"),
         lit("discover").as("src"))
-    val revisit = recrawlScores(events)
-      .select(canonicalHost(col("url")).as("host"), col("url"),
-        col("priority_ppm").as("ppm"), lit("revisit").as("src"))
     // ROBOTS gate on the UNION: revisits need re-gating too — a page
     // fetched legally last month may sit behind a new Disallow today,
     // and a crawler that keeps refreshing it violates RFC 9309. Same

@@ -486,19 +486,6 @@ object StreamOps {
           .otherwise("drop"))
   }
 
-  /** Online TRAINED-classifier scoring — the q124 deployment twin:
-    * the batch perceptron fit runs where the labels live
-    * ([[graft.queries.TextOps.perceptronTrain]], persisted via
-    * `savePerceptronModel`), the stream scores every arriving doc
-    * under the loaded weights. The model is a corpus-level artifact
-    * by the tokenBudget rule (a decision boundary is underivable
-    * from an unbounded stream); scoring is ONE per-row higher-order
-    * expression against the ≤4097-entry weights-map literal
-    * ([[graft.queries.TextOps.perceptronMarginCol]]) — fully
-    * STATELESS: no shuffle, no aggregation state, no watermark.
-    * Emits `margin` and `verdict` (keep iff margin > 0) beside every
-    * input column; batch/stream parity pinned in StreamOpsSpec.
-    */
   /** Streaming language ID — q141's deployment twin: batch-fitted
     * one-vs-rest models (the [[graft.queries.TextOps.saveLangIdModel]]
     * artifact) scored per-row by the single stateless
@@ -515,6 +502,19 @@ object StreamOps {
       .withColumn("margin", p.getField("margin"))
   }
 
+  /** Online TRAINED-classifier scoring — the q124 deployment twin:
+    * the batch perceptron fit runs where the labels live
+    * ([[graft.queries.TextOps.perceptronTrain]], persisted via
+    * `savePerceptronModel`), the stream scores every arriving doc
+    * under the loaded weights. The model is a corpus-level artifact
+    * by the tokenBudget rule (a decision boundary is underivable
+    * from an unbounded stream); scoring is ONE per-row higher-order
+    * expression against the ≤4097-entry weights-map literal
+    * ([[graft.queries.TextOps.perceptronMarginCol]]) — fully
+    * STATELESS: no shuffle, no aggregation state, no watermark.
+    * Emits `margin` and `verdict` (keep iff margin > 0) beside every
+    * input column; batch/stream parity pinned in StreamOpsSpec.
+    */
   def perceptronScoreStream(
       docs: DataFrame, weights: Map[String, Long]): DataFrame =
     docs

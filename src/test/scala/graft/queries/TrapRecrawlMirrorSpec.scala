@@ -284,6 +284,39 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
     assert(!plan.exists(_._1.endsWith("/u/21")))
   }
 
+  test("unified plan: a URL in both branches takes ONE slot, as a revisit") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1's page is ALSO freshly "discovered" (a referrer linked to
+    // it) while the caller's `seen` frame forgot it was ever fetched —
+    // the stale-seen shape the disjointness anti-join exists for. The
+    // fetch log proves the URL is seen: it must appear ONCE, as a
+    // revisit, never as two rows or two of the host's k slots.
+    val discovered = Seq(
+      ("a", "s1.example.com", "https://s1.example.com/u/1"),
+      ("b", "s1.example.com", "https://s1.example.com/u/1"),
+      ("a", "s1.example.com", "https://s1.example.com/p/new"))
+      .toDF("src_h", "dst_h", "url")
+    val events = (
+      (0 until 10).map(i => (1L, ts(i * 10), "purchase", 0.0, "")) ++
+      Seq((3L, ts(500), "view", 0.0, ""))
+    ).toDF("user_id", "ts", "event_type", "value", "props")
+    val seen = Seq.empty[String].toDF("url")
+    val plan = WebOps.unifiedCrawlPlan(discovered, seen, events,
+        perHostK = 2)
+      .filter(col("host") === "s1.example.com")
+      .orderBy("rnk").select("url", "src", "rnk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(plan.count(_._1.endsWith("/u/1")) === 1,
+      s"double-branch URL must hold exactly one slot: ${plan.toSeq}")
+    assert(plan.find(_._1.endsWith("/u/1")).get._2 === "revisit",
+      s"the fetch-log row wins: ${plan.toSeq}")
+    // the second slot goes to the genuinely-fresh page, proving /u/1
+    // didn't burn both
+    assert(plan.exists(_._1.endsWith("/p/new")), plan.toSeq.toString)
+  }
+
   test("unified plan: a new Disallow kills the revisit too (rules change between fetches)") {
     import spark.implicits._
     import java.sql.Timestamp
