@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.ScaleOps
 import graft.queries.DedupOps
 
 /** TAKEDOWN / PURGE — the deletion half of the maintenance story.
@@ -13,8 +14,10 @@ import graft.queries.DedupOps
   * other direction: a copyright or PII takedown notice arrives as a
   * doc_id list and/or URL patterns, and the named documents must
   * leave EVERY artifact they touched — the landed corpus, the dedup
-  * index (fp/sig/bands), the ANN index — with an auditable ledger of
-  * what was removed from each.
+  * index (fp/sig/bands), the ANN index, and the materialized
+  * training shards ([[purgeTrainingShards]] — the immutable files a
+  * trainer actually reads) — with an auditable ledger of what was
+  * removed from each.
   *
   * RE-SEND POLICY (the correctness subtlety, pinned by
   * CompactionSpec's purge matrix and the q139 oracle): after a
@@ -63,11 +66,20 @@ object Purge {
       "empty takedown spec (no docIds, no urlPatterns)")
   }
 
+  /** Shard-purge ledger: how many q79 shard dirs were rewritten and
+    * the doc movement inside the AFFECTED shards (unaffected shards
+    * are never read, so their docs appear in no count here — the
+    * corpus row already carries the global totals).
+    */
+  final case class ShardPurgeSummary(shardsRewritten: Long,
+      docsRemoved: Long, docsRetained: Long)
+
   /** Per-artifact removal counts — the audit ledger's native form.
     * `resendDied`/`resendKept`: what the purged index verdicts for a
     * re-send of each purged doc (died = exact or near dup of the
     * REMAINING corpus — legitimate; kept = re-enters, proving no
-    * ghost rows survived).
+    * ghost rows survived). `shards`: present when the notice also
+    * reached materialized training shards ([[purgeTrainingShards]]).
     */
   final case class PurgeSummary(
       corpusRemoved: Long, corpusRetained: Long,
@@ -75,16 +87,18 @@ object Purge {
       sigRemoved: Long, sigRetained: Long,
       bandRemoved: Long, bandRetained: Long,
       annRemoved: Long = 0L, annRetained: Long = 0L,
-      resendDied: Long = 0L, resendKept: Long = 0L) {
+      resendDied: Long = 0L, resendKept: Long = 0L,
+      shards: Option[ShardPurgeSummary] = None) {
     /** The ledger as rows — (artifact, n_removed, n_retained). */
     def ledger(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      Seq(("ann", annRemoved, annRetained),
+      (Seq(("ann", annRemoved, annRetained),
         ("bands", bandRemoved, bandRetained),
         ("corpus", corpusRemoved, corpusRetained),
         ("fp", fpRemoved, fpRetained),
-        ("resend", resendDied, resendKept),
-        ("sig", sigRemoved, sigRetained))
+        ("resend", resendDied, resendKept)) ++
+        shards.map(s => ("shards", s.docsRemoved, s.docsRetained)) ++
+        Seq(("sig", sigRemoved, sigRetained)))
         .toDF("artifact", "n_removed", "n_retained")
     }
   }
@@ -133,6 +147,72 @@ object Purge {
       idx.sig.join(purgedIds, Seq("doc_id"), "left_anti"),
       idx.bands.join(purgedIds, Seq("doc_id"), "left_anti"))
   }
+
+  /** Purge the materialized TRAINING SHARDS
+    * ([[graft.operators.ScaleOps.writeTrainingShards]]) — the
+    * immutable sorted files a trainer actually reads. A takedown
+    * that rewrites the corpus but leaves the doc inside a shard file
+    * is not a takedown; this closes that gap.
+    *
+    * Scale shape: shard membership is a PURE FUNCTION of the seeded
+    * md5 key (shard = decode(md5(seed:id)) — ScaleOps.shardAssign),
+    * so the affected-shard set is computed from the NOTICE alone,
+    * never by scanning shards; only the affected shard dirs are then
+    * read (partition pruning on the `shard` dir column) and
+    * rewritten — with a 10k-doc notice against 65k shards, at most
+    * 10k of the shard files move and the rest are untouched bytes.
+    * The rewrite preserves the q79 in-file order contract (one file
+    * per shard, rows in sort_key order — the purge deletes rows from
+    * the permutation without re-permuting survivors) and follows the
+    * rotation convention: rewritten shards land under `rewriteDir`
+    * with the same `shard=K` layout, never overwriting under a
+    * reader. The serving view after the purge is "shard K from
+    * rewriteDir if K was affected, else from shardsDir" (pinned by
+    * ScaleOpsSpec: that union is exactly the kept corpus).
+    *
+    * `purgedIds` is [[resolveTakedown]]'s output shape (one `idCol`
+    * column, notice-sized — every join against it broadcasts).
+    * `nShards`/`seed` must be the values the shards were written
+    * with; a wrong seed silently rewrites the wrong shards, so
+    * callers should treat (nShards, seed) as part of the shard
+    * artifact's identity.
+    */
+  def purgeTrainingShards(spark: SparkSession, shardsDir: String,
+      rewriteDir: String, purgedIds: DataFrame, idCol: String,
+      nShards: Int, seed: String,
+      format: String = "parquet"): ShardPurgeSummary = {
+    require(Set("parquet", "json").contains(format),
+      s"format must be parquet or json (got $format)")
+    val affected = ScaleOps
+      .shardAssign(purgedIds.select(idCol).distinct(), idCol, nShards, seed)
+      .select("shard").distinct()
+      .collect().map(_.getLong(0).toInt).sorted
+    if (affected.isEmpty) ShardPurgeSummary(0L, 0L, 0L)
+    else {
+      // the partition-discovery column `shard` infers as INT; filter
+      // with int literals so the isin prunes partitions (a cast on
+      // the partition attribute would defeat pruning)
+      val aff = spark.read.format(format).load(shardsDir)
+        .filter(col("shard").isin(affected.map(Int.box): _*))
+      val before = aff.count()
+      aff.join(broadcast(purgedIds.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+        .repartition(affected.length, col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite").partitionBy("shard").format(format)
+        .save(rewriteDir)
+      val after = spark.read.format(format).load(rewriteDir).count()
+      ShardPurgeSummary(affected.length.toLong, before - after, after)
+    }
+  }
+
+  /** The training-shard artifact a [[purgePersisted]] notice must
+    * also reach: where the shards live, where rewritten ones go, and
+    * the (idCol, nShards, seed) identity they were written with.
+    */
+  final case class ShardArtifact(shardsDir: String, rewriteDir: String,
+      idCol: String, nShards: Int, seed: String,
+      format: String = "parquet")
 
   /** Purge an IVF-PQ ANN index ((cand_id, cell_id, c0..c3) rows —
     * SimilarityOps.buildIvfPqIndex): drop the purged ids' rows. The
@@ -193,7 +273,8 @@ object Purge {
     */
   def purgePersisted(spark: SparkSession, corpus: DataFrame,
       standingIndexDir: String, purgedCorpusDir: String,
-      purgedIndexDir: String, spec: TakedownSpec): PurgeSummary = {
+      purgedIndexDir: String, spec: TakedownSpec,
+      shardArtifact: Option[ShardArtifact] = None): PurgeSummary = {
     def qualified(d: String) = {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -202,11 +283,23 @@ object Purge {
     require(qualified(purgedIndexDir) != qualified(standingIndexDir),
       "purgedIndexDir must differ from standingIndexDir " +
         "(overwrite-under-read)")
+    shardArtifact.foreach(sa =>
+      require(qualified(sa.rewriteDir) != qualified(sa.shardsDir),
+        "shard rewriteDir must differ from shardsDir " +
+          "(overwrite-under-read)"))
     val idx = DedupOps.loadDedupIndex(spark, standingIndexDir)
     val (kept, purgedIdx, summary) = purgeCorpusAndIndex(corpus, idx, spec)
     kept.write.mode("overwrite").parquet(purgedCorpusDir)
     DedupOps.saveDedupIndex(purgedIdx, purgedIndexDir)
     kept.unpersist()
-    summary
+    // the notice must also leave the materialized training shards —
+    // the artifact a trainer actually reads
+    shardArtifact.fold(summary) { sa =>
+      val ids = resolveTakedown(corpus, spec)
+        .withColumnRenamed("doc_id", sa.idCol)
+      summary.copy(shards = Some(purgeTrainingShards(spark,
+        sa.shardsDir, sa.rewriteDir, ids, sa.idCol, sa.nShards,
+        sa.seed, sa.format)))
+    }
   }
 }

@@ -2479,6 +2479,88 @@ object DedupOps {
         .ledger(s).orderBy("artifact")
     },
 
+    // ---- q151: training-shard purge ---------------------------------
+    // q139's missing artifact: the materialized TRAINING SHARDS (q79,
+    // ScaleOps.writeTrainingShards) — the immutable sorted files a
+    // trainer actually reads. A takedown that rewrites the corpus but
+    // leaves the doc inside a shard file is not a takedown. This
+    // query runs the real thing end-to-end — write the 13-way sharded
+    // corpus, purge a deterministic notice (doc_id % 23 = 5) with
+    // Purge.purgeTrainingShards, and count the per-shard ledger FROM
+    // THE FILES (original affected dirs vs rewritten dirs) — while
+    // the oracle re-derives it set-theoretically from the seeded-md5
+    // shard function the files were written with. Shard membership
+    // is a pure function of the notice (shard = decode(md5(seed:id)))
+    // so the affected-shard set never scans shards; only affected
+    // dirs are read (partition-pruned) and rewritten. ScaleOpsSpec
+    // pins the serving-view contract (rewritten ∪ unaffected = kept
+    // corpus, in-file sort_key order preserved).
+    QueryDef(
+      "q151_shard_purge",
+      s"""WITH a AS (
+         |  SELECT doc_id, md5('17:' || CAST(doc_id AS VARCHAR)) AS sort_key
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    ${graft.operators.ScaleOps.shardDecodeSql(13)} AS shard
+         |  FROM a),
+         |p AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 5),
+         |aff AS (SELECT DISTINCT shard FROM s
+         |        WHERE doc_id IN (SELECT doc_id FROM p))
+         |SELECT shard,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM p)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM p)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+         |FROM s WHERE shard IN (SELECT shard FROM aff)
+         |GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      import graft.operators.ScaleOps
+      import graft.pipeline.Purge
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_q151")
+      val shardsDir = base.resolve("shards").toString
+      val rewriteDir = base.resolve("rewrite").toString
+      try {
+        ScaleOps.writeTrainingShards(d, "doc_id", nShards = 13,
+          seed = "17", outDir = shardsDir)
+        val purged = d.filter(col("doc_id") % 23 === 5).select("doc_id")
+        Purge.purgeTrainingShards(s, shardsDir, rewriteDir, purged,
+          "doc_id", nShards = 13, seed = "17")
+        // the ledger counted from the ACTUAL files: original affected
+        // dirs vs the rewritten dirs. The affected set comes from the
+        // notice via the same pure shard function the operator uses
+        // (NOT from rewriteDir's surviving dirs), so a fully-purged
+        // shard still reports (n, 0) via the left join + coalesce.
+        val affected = broadcast(ScaleOps
+          .shardAssign(purged, "doc_id", 13, "17")
+          .select(col("shard").cast("int").as("shard")).distinct())
+        val afterA = s.read.parquet(rewriteDir)
+          .groupBy("shard").agg(count(lit(1)).as("n_after"))
+        val beforeA = s.read.parquet(shardsDir)
+          .join(affected, Seq("shard"), "left_semi")
+          .groupBy("shard").agg(count(lit(1)).as("n_before"))
+        val rows = beforeA.join(afterA, Seq("shard"), "left")
+          .select(col("shard").cast("long").as("shard"),
+            (col("n_before") - coalesce(col("n_after"), lit(0L)))
+              .as("n_removed"),
+            coalesce(col("n_after"), lit(0L)).as("n_retained"))
+          .orderBy("shard").collect().toSeq
+        // materialize before deleting the temp dirs, then return the
+        // collected ledger (13-row bounded)
+        import s.implicits._
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("shard", "n_removed", "n_retained")
+      } finally {
+        def rm(p: java.nio.file.Path): Unit = {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(base)
+      }
+    },
+
     // ---- q39: embedding-cosine near-dup (label-blocked exact) ----
     // The embedding-space dedup modality: exact pairwise cosine over
     // a BLOCKED pair space (equi-join on the blocking key `label`,

@@ -110,6 +110,64 @@ class ScaleOpsSpec extends AnyFunSuite {
       byShard.view.mapValues(_.length).toMap.toString)
   }
 
+  test("purgeTrainingShards: serving view = kept corpus, order kept, unaffected untouched") {
+    import spark.implicits._
+    import graft.pipeline.Purge
+    val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_shard_purge")
+    val shardsDir = base.resolve("shards").toString
+    val rewriteDir = base.resolve("rewrite").toString
+    ScaleOps.writeTrainingShards(docs, "doc_id", nShards = 13,
+      seed = "42", outDir = shardsDir)
+    val purgedIds = (1L to 500L).filter(_ % 37 == 0) // 13 docs
+    val want = ScaleOps.shardAssign(docs, "doc_id", 13, "42")
+      .select("doc_id", "shard", "sort_key").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val affectedShards = purgedIds.map(id => want(id)._1).toSet
+    assert(affectedShards.size < 13, "fixture: some shards must be unaffected")
+    val sp = Purge.purgeTrainingShards(spark, shardsDir, rewriteDir,
+      purgedIds.toDF("doc_id"), "doc_id", nShards = 13, seed = "42")
+    assert(sp.shardsRewritten == affectedShards.size.toLong)
+    assert(sp.docsRemoved == purgedIds.size.toLong)
+    // rewriteDir holds EXACTLY the affected shards — unaffected shard
+    // files were never read, copied, or rewritten
+    val rewritten = spark.read.parquet(rewriteDir)
+      .select(col("doc_id"), col("sort_key"), col("shard").cast("long"),
+        input_file_name().as("file")).collect()
+    assert(rewritten.map(_.getLong(2)).toSet == affectedShards)
+    assert(sp.docsRetained == rewritten.length.toLong)
+    // the serving view (rewritten affected ∪ original unaffected) is
+    // exactly the kept corpus, each doc once, assignment unchanged
+    val unaffected = spark.read.parquet(shardsDir)
+      .filter(!col("shard").cast("long")
+        .isin(affectedShards.toSeq.map(Long.box): _*))
+      .select(col("doc_id"), col("sort_key"), col("shard").cast("long"),
+        input_file_name().as("file")).collect()
+    val view = rewritten ++ unaffected
+    assert(view.map(_.getLong(0)).sorted.toSeq ==
+      (1L to 500L).filterNot(_ % 37 == 0))
+    assert(view.forall(r =>
+      want(r.getLong(0)) == ((r.getLong(2), r.getString(1)))))
+    // q79's in-file order contract survives the rewrite: one file per
+    // rewritten shard, rows in sort_key order
+    val byFile = rewritten.groupBy(_.getString(3))
+    assert(byFile.size == affectedShards.size)
+    byFile.values.foreach { rows =>
+      val keys = rows.map(_.getString(1)).toSeq
+      assert(keys == keys.sorted, s"rewritten shard not sorted: $keys")
+    }
+    // re-purge of the same notice is a no-op by construction
+    val again = Purge.purgeTrainingShards(spark, rewriteDir,
+      base.resolve("rewrite2").toString, purgedIds.toDF("doc_id"),
+      "doc_id", nShards = 13, seed = "42")
+    assert(again.docsRemoved == 0L)
+    // a notice touching nothing rewrites nothing
+    val none = Purge.purgeTrainingShards(spark, shardsDir,
+      base.resolve("rewrite3").toString,
+      Seq.empty[Long].toDF("doc_id"), "doc_id", 13, "42")
+    assert(none == Purge.ShardPurgeSummary(0L, 0L, 0L))
+  }
+
   test("zvalue interleaves bits; zorderWrite layout prunes row groups on a box scan") {
     import spark.implicits._
     // bit interleave: a=0b101, b=0b011 → z=0b100111 (a odd bits, b even)

@@ -353,6 +353,48 @@ class CompactionSpec extends AnyFunSuite {
     assert(v1.sig.count() == 5 && v1.fp.count() == 4)
   }
 
+  test("purgePersisted: a shardArtifact notice reaches the training shards too") {
+    import spark.implicits._
+    import graft.operators.ScaleOps
+    val corpus = purgeCorpus(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_purge_sh").toString
+    val standingDir = s"$root/index_v1"
+    DedupOps.saveDedupIndex(
+      DedupOps.buildDedupIndex(spark, corpus.select("doc_id", "text")),
+      standingDir)
+    ScaleOps.writeTrainingShards(corpus, "doc_id", nShards = 3,
+      seed = "7", outDir = s"$root/shards_v1")
+    // same-dir guard applies to the shard artifact too
+    intercept[IllegalArgumentException] {
+      Purge.purgePersisted(spark, corpus, standingDir,
+        s"$root/corpus_v2", s"$root/index_v2",
+        Purge.TakedownSpec(docIds = Seq(5L)),
+        Some(Purge.ShardArtifact(s"$root/shards_v1",
+          s"$root/shards_v1/", "doc_id", 3, "7")))
+    }
+    val sum = Purge.purgePersisted(spark, corpus, standingDir,
+      s"$root/corpus_v2", s"$root/index_v2",
+      Purge.TakedownSpec(docIds = Seq(5L), urlPatterns = Seq("/dmca/")),
+      Some(Purge.ShardArtifact(s"$root/shards_v1",
+        s"$root/shards_v2", "doc_id", 3, "7")))
+    val sh = sum.shards.get
+    assert(sh.docsRemoved == sum.corpusRemoved, (sh, sum).toString)
+    // the serving view (rewritten ∪ untouched-unaffected) is exactly
+    // the purged corpus — no purged doc survives inside a shard file
+    val keptIds = spark.read.parquet(s"$root/corpus_v2")
+      .select("doc_id").as[Long].collect().toSet
+    val rewritten = spark.read.parquet(s"$root/shards_v2")
+    val affected = rewritten.select(col("shard").cast("long")).distinct()
+      .as[Long].collect().toSet
+    val unaffected = spark.read.parquet(s"$root/shards_v1")
+      .filter(!col("shard").cast("long")
+        .isin(affected.toSeq.map(Long.box): _*))
+    val viewIds = rewritten.select("doc_id").as[Long].collect().toSeq ++
+      unaffected.select("doc_id").as[Long].collect().toSeq
+    assert(viewIds.sorted == keptIds.toSeq.sorted, viewIds.toString)
+  }
+
   test("purgeAnnIndex: purged rows leave; result row-identical to an index that never saw them") {
     import spark.implicits._
     // per-row PQ encoding makes purge/build commute: purging ids from
