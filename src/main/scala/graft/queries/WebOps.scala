@@ -442,6 +442,66 @@ object WebOps {
       "ALLOW: /p/3\r\nDisallow: /p/3*\r\nCrawl-delay: bananas\r\n\r\n" +
       "User-agent: *\r\nAllow: /\r\nCrawl-delay: 9\r\n"
 
+  /** q152's synthetic sitemap XML — ONE Scala constant per fragment,
+    * shipped verbatim to the Spark plan (`lit`/`concat`) and to the
+    * DuckDB oracle ([[sqlStrLit]]), so both engines parse the
+    * byte-identical files. The urlset header is standard; the index
+    * template deliberately exercises the protocol's parsing edges:
+    * mixed-case tags (`<Loc>`), whitespace-padded loc values, a
+    * lastmod with a full W3C datetime, an entity-escaped query
+    * (`&amp;`), and a record with no lastmod at all.
+    */
+  private[graft] val sitemapUrlsetHeader =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+  private[graft] val sitemapIndexPrefix =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      "  <sitemap>\n    <Loc>\n      https://"
+  private[graft] val sitemapIndexMid =
+    "/sm/pages.xml\n    </Loc>\n" +
+      "    <lastmod>2026-02-01T10:30:00+00:00</lastmod>\n" +
+      "  </sitemap>\n  <sitemap><loc>https://"
+  private[graft] val sitemapIndexSuffix =
+    "/sm/missing.xml?a=1&amp;b=2</loc></sitemap>\n</sitemapindex>"
+
+  /** q152's fetched-sitemaps fixture: one urlset per q130 host built
+    * from that host's page universe (distinct (host, slot) pairs);
+    * every 4th host (hn%4==2) serves its urlset at /sm/pages.xml
+    * behind a sitemapindex at /sitemap.xml that also names a
+    * never-fetched child. Returns (sitemap_url, host, body).
+    */
+  private[graft] def sitemapFetchedFrame(s: SparkSession,
+      dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pages = d.select(((col("doc_id") * 7 + 3) % 20).as("hn"),
+      (col("doc_id") % 40).as("slot")).distinct()
+    val hostOf = concat(lit("src"), col("hn").cast("string"),
+      lit(".example.com"))
+    val entry = concat(lit("<url><loc>https://"), hostOf, lit("/p/"),
+      col("slot").cast("string"), lit("</loc><lastmod>2026-01-"),
+      lpad((col("slot") % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url>"))
+    val urlsets = pages.withColumn("entry", entry)
+      .groupBy("hn")
+      .agg(concat(lit(sitemapUrlsetHeader),
+        array_join(array_sort(collect_list(col("entry"))), "\n"),
+        lit("\n</urlset>")).as("body"))
+      .select(
+        concat(lit("https://"), hostOf,
+          when(col("hn") % 4 === 2, lit("/sm/pages.xml"))
+            .otherwise(lit("/sitemap.xml"))).as("sitemap_url"),
+        hostOf.as("host"), col("body"))
+    val idx = pages.select("hn").distinct().filter(col("hn") % 4 === 2)
+      .select(
+        concat(lit("https://"), hostOf, lit("/sitemap.xml"))
+          .as("sitemap_url"),
+        hostOf.as("host"),
+        concat(lit(sitemapIndexPrefix), hostOf, lit(sitemapIndexMid),
+          hostOf, lit(sitemapIndexSuffix)).as("body"))
+    urlsets.union(idx)
+  }
+
   /** A Scala string as a DuckDB string-literal expression (quotes
     * doubled, CR/LF as chr() concats so the oracle text survives any
     * whitespace handling between here and the DuckDB parser).
@@ -932,6 +992,123 @@ object WebOps {
         length(x.getField("value")) > 0),
       x => x.getField("value"))
 
+  /** Decode the five predefined XML entities — the only escaping the
+    * sitemaps.org protocol requires of `<loc>` values (URLs must be
+    * entity-escaped in the XML, so `&amp;` in the file IS `&` in the
+    * URL). Numeric character references are out of scope (the
+    * protocol's own examples never use them).
+    */
+  private def xmlUnescape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+      lit("&amp;"), lit("&"))
+
+  /** True iff a fetched sitemap body is an INDEX file
+    * (`<sitemapindex>` — sitemaps.org: a sitemap of sitemaps) rather
+    * than a page list (`<urlset>`).
+    */
+  def sitemapIsIndex(body: Column): Column =
+    body.rlike("(?is)<\\s*sitemapindex[\\s>]")
+
+  /** q152's parse core: every `<url>`/`<sitemap>` record of a fetched
+    * sitemap body as (loc, lastmod) structs — loc entity-decoded and
+    * whitespace-trimmed per the protocol, lastmod the raw W3C
+    * datetime string (date-only or full timestamp) or null when the
+    * record carries none. ONE per-row chain of
+    * `regexp_extract_all` + `transform` (the q125 HTML-extraction
+    * discipline: tag-shape regexes over the body, no XML DOM, no
+    * UDF), so parsing rides the fetched-body scan with zero shuffle
+    * at any corpus size. Records with an empty `<loc>` are dropped —
+    * loc is the one required element.
+    */
+  def sitemapRecords(body: Column): Column =
+    filter(
+      transform(
+        // lookahead-free non-greedy block match, so the oracle's RE2
+        // runs the byte-identical pattern; `[\s>]` after the tag name
+        // keeps `<urlset`/`<sitemapindex` from matching as records
+        regexp_extract_all(body,
+          lit("(?is)<\\s*(?:url|sitemap)[\\s>](.*?)<\\s*/\\s*(?:url|sitemap)\\s*>"),
+          lit(1)),
+        b => struct(
+          xmlUnescape(regexp_extract(b,
+            "(?is)<\\s*loc\\s*>\\s*(.*?)\\s*<\\s*/\\s*loc\\s*>", 1))
+            .as("loc"),
+          when(b.rlike("(?is)<\\s*lastmod\\s*>"),
+            regexp_extract(b,
+              "(?is)<\\s*lastmod\\s*>\\s*(.*?)\\s*<\\s*/\\s*lastmod\\s*>", 1))
+            .as("lastmod"))),
+      r => length(r.getField("loc")) > 0)
+
+  /** q152's operator: consume FETCHED sitemap files. q138/q140 plan
+    * the sitemap fetches; this is what a crawler does with the bodies
+    * that come back — the page discoveries (`<urlset>` `<loc>`
+    * entries, with `<lastmod>` as a change prior for
+    * [[recrawlScoresWithLastmod]]) and the next sitemap fetches
+    * (`<sitemapindex>` entries not yet fetched). Index files recurse
+    * ONE level per call by construction: an index `<loc>` already in
+    * `fetched` contributes its pages through its own body's direct
+    * parse; one not yet fetched is emitted as a `kind='sitemap'` plan
+    * row for the next fetch round (the crawl loop IS the recursion —
+    * sitemaps.org caps nesting, and a loop of index files can never
+    * wedge the planner because each round only ever parses bodies it
+    * was handed).
+    *
+    * `fetched`: (sitemap_url, body). Returns (kind, sitemap_url, loc,
+    * lastmod): kind='page' rows are frontier discoveries (feed
+    * [[crawlFrontier]] via its `fetchedSitemaps` hook), kind='sitemap'
+    * rows are the pending sitemap-fetch plan.
+    *
+    * Scale shape: parsing is the per-row [[sitemapRecords]] chain;
+    * the only join is the pending-fetch anti-join of index locs
+    * against the (sitemap_url)-slim fetched side — |sitemaps|-sized
+    * on both sides, broadcast at any realistic corpus.
+    */
+  def sitemapDiscoveries(fetched: DataFrame): DataFrame = {
+    val recs = fetched
+      .select(col("sitemap_url"), sitemapIsIndex(col("body")).as("idx"),
+        explode(sitemapRecords(col("body"))).as("r"))
+      .select(col("sitemap_url"), col("idx"),
+        col("r.loc").as("loc"), col("r.lastmod").as("lastmod"))
+    val pages = recs.filter(!col("idx"))
+      .select(lit("page").as("kind"), col("sitemap_url"), col("loc"),
+        col("lastmod"))
+    val pending = recs.filter(col("idx"))
+      .join(fetched.select(col("sitemap_url").as("loc")), Seq("loc"),
+        "left_anti")
+      .select(lit("sitemap").as("kind"), col("sitemap_url"), col("loc"),
+        col("lastmod"))
+    pages.union(pending)
+  }
+
+  /** [[recrawlScores]] with a sitemap `<lastmod>` prior wired in —
+    * the direct use the protocol intends: a CURRENT sitemap fetch
+    * asserting the page last changed at `lastmod_ts` dominates the
+    * change-rate estimate for the interval it covers. The rule is
+    * exact: lastmod AFTER our last fetch ⇒ the page certainly changed
+    * since we read it (priority_ppm = 1e6); lastmod at-or-before our
+    * last fetch ⇒ certainly unchanged since (ppm = 0 — the sitemap
+    * was fetched now and vouches for the whole interval); no lastmod
+    * row ⇒ the q144 estimator stands. Callers who distrust a host's
+    * lastmods (they are famously noisy) simply leave those hosts out
+    * of `lastmods` and keep the estimator. The join is a left join
+    * against the |sitemap-entries|-sized (url, lastmod_ts) frame —
+    * broadcast next to the fetch log.
+    */
+  def recrawlScoresWithLastmod(events: DataFrame,
+      lastmods: DataFrame): DataFrame =
+    recrawlScored(events)
+      .join(lastmods.select(col("url"),
+        unix_micros(col("lastmod_ts")).as("lm_us")), Seq("url"), "left")
+      .withColumn("priority_ppm",
+        when(col("lm_us").isNull, col("priority_ppm"))
+          .when(col("lm_us") > col("last_us"), lit(1000000L))
+          .otherwise(lit(0L)))
+      .select("url", "n_fetches", "n_changes", "age_sec", "lambda_uday",
+        "priority_ppm")
+
   /** RFC 9309 §2.2.2 rule matching against a path(+query) string:
     * every rule pattern is a path prefix with `*` wildcards and an
     * optional trailing `$` end-anchor; among MATCHING rules the
@@ -1026,7 +1203,8 @@ object WebOps {
       windowSec: Option[Double] = None,
       seedSitemaps: Boolean = false,
       dropTraps: Boolean = false,
-      dropHosts: Option[DataFrame] = None): DataFrame = {
+      dropHosts: Option[DataFrame] = None,
+      fetchedSitemaps: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(discovered.sparkSession)
     // SITEMAP SEEDING (q140): robots-declared sitemaps are the OTHER
     // discovery source a real crawler consumes — a sitemap-only page
@@ -1037,7 +1215,7 @@ object WebOps {
     // seen anti-join, robots gate, vote rollup and politeness caps
     // as link discoveries — one |hosts|-bounded frame unioned into a
     // link-stream-sized scan, no extra shuffle stage.
-    val discoveredAll =
+    val discovered1 =
       if (!seedSitemaps) discovered
       else {
         val r = robots.getOrElse(throw new IllegalArgumentException(
@@ -1049,6 +1227,25 @@ object WebOps {
             .select(col("src_h"), canonicalHost(col("url")).as("dst_h"),
               col("url")))
       }
+    // SITEMAP BODIES (q152): pages listed inside FETCHED sitemap
+    // files are discoveries too — the only channel a sitemap-listed,
+    // never-linked page can enter the frontier through. Each
+    // `<urlset>` `<loc>` becomes one discovery voted for by the host
+    // that served the sitemap (src_h = server — the harmonic-ramp
+    // floor of one referrer, so a link-less page ranks but never
+    // outranks a multiply-cited one), then rides the SAME
+    // canonicalization / seen anti-join / trap / robots / vote /
+    // politeness chain as every other discovery. Parsing is the
+    // per-row sitemapRecords chain inside the bodies scan.
+    val discoveredAll = fetchedSitemaps.fold(discovered1) { f =>
+      discovered1.select(col("src_h"), col("dst_h"), col("url"))
+        .union(sitemapDiscoveries(f.select("sitemap_url", "body"))
+          .filter(col("kind") === "page" &&
+            col("loc").rlike("^(?i:https?)://"))
+          .join(f.select("sitemap_url", "host"), Seq("sitemap_url"))
+          .select(col("host").as("src_h"),
+            canonicalHost(col("loc")).as("dst_h"), col("loc").as("url")))
+    }
     // both sides compare on the q103 CANONICAL key — the sidecar
     // emits raw hrefs and crawl logs vary in spelling, so a raw
     // string join would re-emit an already-crawled page for any
@@ -1287,7 +1484,14 @@ object WebOps {
     * (url, n_fetches, n_changes, age_sec, lambda_uday, priority_ppm)
     * — the form [[unifiedCrawlPlan]] merges with discovery.
     */
-  def recrawlScores(events: DataFrame): DataFrame = {
+  def recrawlScores(events: DataFrame): DataFrame =
+    recrawlScored(events).drop("last_us")
+
+  /** [[recrawlScores]] plus the `last_us` column (epoch micros of our
+    * last fetch) — the internal form [[recrawlScoresWithLastmod]]
+    * compares sitemap lastmods against.
+    */
+  private def recrawlScored(events: DataFrame): DataFrame = {
     val log0 = events.select(
       concat(lit("https://s"), (col("user_id") % 20).cast("string"),
         lit(".example.com/u/"), col("user_id").cast("string")).as("url"),
@@ -1314,7 +1518,8 @@ object WebOps {
         col("span_us") * lit(1000000.0) + lit(0.5)).as("lambda_uday"),
       floor((lit(1.0) - exp(-(col("r_nats") * (col("n_fetches") - 1) *
         col("age_us") / col("span_us")))) * lit(1000000.0) + lit(0.5))
-        .as("priority_ppm"))
+        .as("priority_ppm"),
+      col("last_us"))
   }
 
   /** q146's operator: the UNIFIED crawl scheduler — discovery
@@ -1740,6 +1945,83 @@ object WebOps {
       crawlFrontier(discovered, seen, perHostK = 3, robots = Some(robots),
         windowSec = Some(4.0), seedSitemaps = true)
         .orderBy("host", "rnk")
+    },
+
+    // ---- q152: fetched-sitemap parsing ------------------------------
+    // What a crawler does with the sitemap BODIES q138/q140 plan to
+    // fetch: parse <urlset>/<sitemapindex> records into page
+    // discoveries (loc + lastmod — the recrawl prior) and pending
+    // sitemap fetches (index locs not yet fetched; fetched ones
+    // recurse one level through their own body's parse). The fixture
+    // synthesizes one urlset per host from the q130 page universe;
+    // every 4th host serves it behind a sitemapindex that also names
+    // a never-fetched child (entity-escaped query, mixed-case tags,
+    // whitespace-padded loc — the protocol's escaping rules under
+    // test). Both engines build the byte-identical XML and parse it
+    // with the byte-identical lookahead-free regexes.
+    QueryDef(
+      "q152_sitemap_parse",
+      s"""WITH p AS (
+         |  SELECT DISTINCT (doc_id * 7 + 3) % 20 AS hn, doc_id % 40 AS slot
+         |  FROM documents),
+         |e AS (
+         |  SELECT hn,
+         |    '<url><loc>https://src' || CAST(hn AS VARCHAR)
+         |    || '.example.com/p/' || CAST(slot AS VARCHAR)
+         |    || '</loc><lastmod>2026-01-'
+         |    || lpad(CAST(slot % 28 + 1 AS VARCHAR), 2, '0')
+         |    || '</lastmod></url>' AS entry
+         |  FROM p),
+         |us AS (
+         |  SELECT hn, ${sqlStrLit(sitemapUrlsetHeader)}
+         |    || string_agg(entry, chr(10) ORDER BY entry)
+         |    || chr(10) || '</urlset>' AS body
+         |  FROM e GROUP BY hn),
+         |fetched AS (
+         |  SELECT 'https://src' || CAST(hn AS VARCHAR) || '.example.com'
+         |      || CASE WHEN hn % 4 = 2 THEN '/sm/pages.xml'
+         |              ELSE '/sitemap.xml' END AS sitemap_url,
+         |    body
+         |  FROM us
+         |  UNION ALL
+         |  SELECT 'https://src' || CAST(hn AS VARCHAR)
+         |      || '.example.com/sitemap.xml',
+         |    ${sqlStrLit(sitemapIndexPrefix)}
+         |    || 'src' || CAST(hn AS VARCHAR) || '.example.com'
+         |    || ${sqlStrLit(sitemapIndexMid)}
+         |    || 'src' || CAST(hn AS VARCHAR) || '.example.com'
+         |    || ${sqlStrLit(sitemapIndexSuffix)}
+         |  FROM (SELECT DISTINCT hn FROM p WHERE hn % 4 = 2)),
+         |rec AS (
+         |  SELECT sitemap_url,
+         |    regexp_matches(body, '(?is)<\\s*sitemapindex[\\s>]') AS idx,
+         |    unnest(regexp_extract_all(body,
+         |      '(?is)<\\s*(?:url|sitemap)[\\s>](.*?)<\\s*/\\s*(?:url|sitemap)\\s*>',
+         |      1)) AS blk
+         |  FROM fetched),
+         |fld AS (
+         |  SELECT sitemap_url, idx,
+         |    replace(replace(replace(replace(replace(
+         |      regexp_extract(blk,
+         |        '(?is)<\\s*loc\\s*>\\s*(.*?)\\s*<\\s*/\\s*loc\\s*>', 1),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&apos;', chr(39)), '&amp;', '&') AS loc,
+         |    CASE WHEN regexp_matches(blk, '(?is)<\\s*lastmod\\s*>')
+         |      THEN regexp_extract(blk,
+         |        '(?is)<\\s*lastmod\\s*>\\s*(.*?)\\s*<\\s*/\\s*lastmod\\s*>', 1)
+         |      END AS lastmod
+         |  FROM rec
+         |  WHERE regexp_extract(blk,
+         |    '(?is)<\\s*loc\\s*>\\s*(.*?)\\s*<\\s*/\\s*loc\\s*>', 1) <> '')
+         |SELECT kind, sitemap_url, loc, lastmod FROM (
+         |  SELECT 'page' AS kind, sitemap_url, loc, lastmod
+         |  FROM fld WHERE NOT idx
+         |  UNION ALL
+         |  SELECT 'sitemap', sitemap_url, loc, lastmod FROM fld
+         |  WHERE idx AND loc NOT IN (SELECT sitemap_url FROM fetched))
+         |ORDER BY kind, sitemap_url, loc""".stripMargin) { (s, dir) =>
+      sitemapDiscoveries(sitemapFetchedFrame(s, dir))
+        .orderBy("kind", "sitemap_url", "loc")
     },
 
     // ---- q103: URL canonicalization + URL-level dedup ------------

@@ -258,6 +258,32 @@ class CrawlToCurationSpec extends AnyFunSuite {
       ("quiet.example.org", "https://quiet.example.org/sitemap.xml", 1L)),
       seeded.toSeq.toString)
 
+    // ... and the NEXT round closes the q152 loop: the planned
+    // sitemap fetch came back. Its body lists /deep/page — linked by
+    // NOBODY, absent from every WAT sidecar, reachable ONLY through
+    // the sitemap — plus an already-crawled page. Feeding the fetched
+    // bodies to the planner surfaces the unreachable page as a
+    // discovery voted for by the serving host (the one-referrer
+    // harmonic floor), while the seen anti-join still kills the
+    // crawled one; link discoveries rank beside it untouched.
+    val fetchedMaps = Seq((
+      "https://quiet.example.org/sitemap.xml", "quiet.example.org",
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<url><loc>https://quiet.example.org/deep/page</loc>" +
+        "<lastmod>2026-03-01</lastmod></url>\n" +
+        "<url><loc>https://coast.example.com/story</loc></url>\n" +
+        "</urlset>")).toDF("sitemap_url", "host", "body")
+    val withBodies = graft.queries.WebOps.crawlFrontier(discovered, seen,
+        perHostK = 3, fetchedSitemaps = Some(fetchedMaps))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(withBodies.toSet == Set(
+      ("planet.example.net", "https://planet.example.net/hub", 1L),
+      ("coast.example.com", "https://coast.example.com", 1L),
+      ("coast.example.com", "https://coast.example.com/x", 1L),
+      ("quiet.example.org", "https://quiet.example.org/deep/page", 1L)),
+      withBodies.toSeq.toString)
+
     // ... and the r16 gates complete the loop: URL-SHAPE traps
     // (q143) die before voting — a sidecar-discovered calendar trap
     // and a segment loop never take a slot — and a host the content

@@ -244,6 +244,43 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
       s"fixture drifted: fixed chunks should misalign, shared=$fixedShared")
   }
 
+  // ---- q152: sitemap lastmod → recrawl prior -------------------------
+
+  test("recrawl: a sitemap lastmod prior overrides the estimator both ways") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1: hot, stale (estimator would score ~1e6); user 21: cold
+    // (estimator ~0). The CURRENT sitemap asserts the opposite of
+    // both: /u/1 last changed BEFORE our last fetch (certainly
+    // unchanged → 0) and /u/21 AFTER it (certainly changed → 1e6);
+    // /u/3 has no lastmod row, so the estimator stands.
+    val events = (
+      (0 until 10).map(i => (1L, ts(i * 10), "purchase", 0.0, "")) ++
+      (0 until 10).map(i => (21L, ts(i * 10), "view", 0.0, "")) ++
+      Seq((3L, ts(0), "purchase", 0.0, ""), (3L, ts(40), "purchase", 0.0, ""),
+        (3L, ts(500), "view", 0.0, ""))
+    ).toDF("user_id", "ts", "event_type", "value", "props")
+    val lastmods = Seq(
+      ("https://s1.example.com/u/1", ts(50)),    // < last fetch (min 90)
+      ("https://s1.example.com/u/21", ts(200)))  // > last fetch (min 90)
+      .toDF("url", "lastmod_ts")
+    val base = graft.queries.WebOps.recrawlScores(events)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    val got = graft.queries.WebOps.recrawlScoresWithLastmod(events, lastmods)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(base("https://s1.example.com/u/1") > 900000L, base.toString)
+    assert(got("https://s1.example.com/u/1") === 0L, got.toString)
+    assert(base("https://s1.example.com/u/21") === 0L, base.toString)
+    assert(got("https://s1.example.com/u/21") === 1000000L, got.toString)
+    assert(got("https://s3.example.com/u/3") ===
+      base("https://s3.example.com/u/3"), (got, base).toString)
+    // schema contract: same columns as recrawlScores (q144's shape)
+    assert(graft.queries.WebOps.recrawlScoresWithLastmod(events, lastmods)
+      .columns.toSeq ==
+      graft.queries.WebOps.recrawlScores(events).columns.toSeq)
+  }
+
   // ---- q146: unifiedCrawlPlan ---------------------------------------
 
   test("unified plan: discovery and revisit share one per-host budget") {
