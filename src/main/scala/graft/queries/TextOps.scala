@@ -2485,10 +2485,15 @@ cnt$n AS (
 
     // ---- q150: fertility under the trained unigram-LM tokenizer ---
     // The q137 report with q145's trained model doing the segmenting
-    // (see unigramFertility) — the fertility triad's third member.
-    // The oracle re-runs the full two-round EM chain, reads per-word
+    // — the fertility triad's third member — run THROUGH THE ARTIFACT
+    // HAND-OFF: train (unigramLmCosts) → save → load → segment with
+    // the stateless per-row unigramSegmentCol (cost table as a map
+    // literal, zero joins), never re-running EM at scoring time. The
+    // oracle re-runs the full two-round EM chain, reads per-word
     // piece counts off round 2's walk, and re-weights by per-source
-    // occurrences into exact-integer basis points.
+    // occurrences into exact-integer basis points — so a hash match
+    // proves save/load is lossless AND the online DP segments
+    // identically to the training-side Viterbi.
     QueryDef(
       "q150_unigram_fertility",
       s"""WITH RECURSIVE $unigramHeaderSqlCtes,
@@ -2512,7 +2517,25 @@ cnt$n AS (
          |  CAST((sum(cnt * ntok) * 10000) // sum(cnt) AS BIGINT) AS fert_bp
          |FROM tf JOIN nt USING (w)
          |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      unigramFertility(docs(s, dir)).orderBy("source")
+      val base = java.nio.file.Files.createTempDirectory("graft_q150")
+      try {
+        saveUnigramLmModel(s, unigramLmCosts(docs(s, dir)),
+          maxPieceLen = 4, base.resolve("model").toString)
+        val (costs, mpl) =
+          loadUnigramLmModel(s, base.resolve("model").toString)
+        // the loaded map is driver-side — the returned (lazy) frame
+        // embeds it as a literal, so the temp artifact can go now
+        unigramFertilityFromModel(docs(s, dir), costs, mpl)
+          .orderBy("source")
+      } finally {
+        def rm(p: java.nio.file.Path): Unit = {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(base)
+      }
     },
 
     // ---- q147: DoReMi domain mixture reweighting ------------------
@@ -3525,6 +3548,140 @@ cnt$n AS (
       .select(col("source"), col("n_words"), col("n_pieces"),
         expr("n_pieces * 10000 div n_words").as("fert_bp"))
   }
+
+  /** The q145 trained model in its deployment form: the (piece →
+    * micro-nat cost) table as a driver-side map — vocabulary-sized
+    * (|chars| + vocabTopK entries) by construction, the same
+    * fit-offline/score-online hand-off BPE ([[saveBpeModel]]),
+    * the perceptron and langID already have.
+    */
+  def unigramLmCosts(docsFrame: DataFrame, vocabTopK: Int = 256,
+      maxPieceLen: Int = 4, maxWordLen: Int = 24): Map[String, Long] =
+    unigramModel(docsFrame, vocabTopK, maxPieceLen, maxWordLen)._2
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The reserved row key [[saveUnigramLmModel]] stores maxPieceLen
+    * under — longer than any legal piece (pieces are <= maxPieceLen
+    * chars, and save() enforces maxPieceLen < this key's length), so
+    * it can never collide with vocabulary.
+    */
+  private val UnigramMetaKey = "____max_piece_len____"
+
+  /** Persist a trained unigram-LM model as a parquet artifact:
+    * (piece, c) rows plus the maxPieceLen meta row — the model's DP
+    * width is part of its identity (segmenting under a different
+    * width than it was trained with silently changes every path), so
+    * the artifact carries it rather than trusting the caller to
+    * remember.
+    */
+  def saveUnigramLmModel(spark: SparkSession, costs: Map[String, Long],
+      maxPieceLen: Int, path: String): Unit = {
+    import spark.implicits._
+    require(costs.nonEmpty, "refusing to save an empty unigram-LM model")
+    require(maxPieceLen >= 2 && maxPieceLen < UnigramMetaKey.length,
+      s"maxPieceLen out of range: $maxPieceLen")
+    require(costs.keys.forall(p => p.nonEmpty && p.length <= maxPieceLen),
+      "model contains a piece longer than maxPieceLen")
+    (costs.toSeq :+ (UnigramMetaKey -> maxPieceLen.toLong))
+      .toDF("piece", "c")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveUnigramLmModel]] artifact → (costs, maxPieceLen).
+    * Fails loud on a malformed or truncated artifact (null rows,
+    * missing meta row) rather than silently segmenting with a partial
+    * vocabulary.
+    */
+  def loadUnigramLmModel(
+      spark: SparkSession, path: String): (Map[String, Long], Int) = {
+    val rows = spark.read.parquet(path).select("piece", "c").collect()
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"unigram-LM model at $path has a null piece or cost row")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
+    val mpl = rows.getOrElse(UnigramMetaKey, throw new IllegalStateException(
+      s"unigram-LM model at $path is missing its maxPieceLen meta row"))
+    (rows - UnigramMetaKey, mpl.toInt)
+  }
+
+  /** ONLINE Viterbi segmentation — one word column → its chosen piece
+    * sequence (in reading order) under a LOADED q145 model, as ONE
+    * stateless per-row expression: the exact DP [[unigramLmSegment]]
+    * trains with (min-plus forward costs, shortest-piece tie break),
+    * but with the vocabulary-sized cost table broadcast as a map
+    * LITERAL instead of a join — the langIdPredictCol move, so the
+    * segmenter composes into any batch stage or unbounded stream with
+    * no shuffle and no state. Each intermediate (forward costs,
+    * backpointers) binds ONCE via the `transform(array(x), v -> ...)`
+    * let-idiom — the q149 lesson: chained references would otherwise
+    * re-inline the whole fold at every use. Characters the model
+    * never saw cost INF but never strand the DP (they segment as
+    * single-char pieces), so arbitrary online text is safe.
+    */
+  def unigramSegmentCol(w: Column, costs: Map[String, Long],
+      maxPieceLen: Int): Column = {
+    require(costs.nonEmpty, "unigramSegmentCol needs a non-empty model")
+    val cm = typedLit(costs)
+    val inf = lit(1000000000000L)
+    def pieceCost(t: Column, l: Column): Column =
+      coalesce(element_at(cm, w.substr(t - l + 1, l)), inf)
+    val dExpr = aggregate(sequence(lit(1), length(w)), array(lit(0L)),
+      (acc, t) => array_append(acc, array_min(filter(
+        transform(sequence(lit(1), lit(maxPieceLen)),
+          l => when(t - l >= 0,
+            element_at(acc, t - l + 1) + pieceCost(t, l))),
+        x => x.isNotNull))))
+    val segmented = element_at(transform(array(dExpr), d => {
+      val bplExpr = transform(sequence(lit(1), length(w)), t =>
+        array_min(filter(
+          transform(sequence(lit(1), lit(maxPieceLen)), l =>
+            when(t - l >= 0 &&
+              element_at(d, t - l + 1) + pieceCost(t, l) ===
+                element_at(d, t + 1), l)),
+          x => x.isNotNull)))
+      element_at(transform(array(bplExpr), b =>
+        reverse(aggregate(sequence(lit(1), length(w)),
+          struct(length(w).as("p"),
+            typedLit(Seq.empty[String]).as("ps")),
+          (acc, _) => {
+            val p = acc.getField("p")
+            val step = element_at(b, p)
+            when(p > 0,
+              struct((p - step).as("p"),
+                array_append(acc.getField("ps"),
+                  w.substr(p - step + 1, step)).as("ps")))
+              .otherwise(acc)
+          },
+          acc => acc.getField("ps")))), 1)
+    }), 1)
+    // sequence(1, 0) would count DOWN; the empty word segments empty
+    when(length(w) === 0, typedLit(Seq.empty[String])).otherwise(segmented)
+  }
+
+  /** q150's report computed from a LOADED model instead of an in-run
+    * EM chain — the artifact round-trip: per-word piece counts come
+    * from [[unigramSegmentCol]] (row-local, zero joins — the cost
+    * table rides as a literal), re-weighted by per-source occurrences
+    * exactly like [[unigramFertility]]. With the model fixed, the two
+    * are row-identical (UnigramLmSpec pins it); this form never
+    * re-runs EM per job, which is the point of having the artifact.
+    */
+  def unigramFertilityFromModel(docsFrame: DataFrame,
+      costs: Map[String, Long], maxPieceLen: Int,
+      maxWordLen: Int = 24): DataFrame =
+    docsFrame
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("ntok",
+        size(unigramSegmentCol(col("w"), costs, maxPieceLen)).cast("long"))
+      .groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_words"),
+        sum(col("cnt") * col("ntok")).cast("long").as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 10000 div n_words").as("fert_bp"))
 
   /** q113's operator: ITERATIVE BPE tokenizer training (Sennrich et
     * al. 2016) — `nMerges` rounds of count-pairs → pick winner →

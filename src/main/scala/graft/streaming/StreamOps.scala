@@ -502,6 +502,28 @@ object StreamOps {
       .withColumn("margin", p.getField("margin"))
   }
 
+  /** Streaming unigram-LM tokenization — q145/q150's deployment twin,
+    * completing the tokenizer artifact set next to BPE's `bpe_encode`
+    * and the langID/perceptron scorers: the batch EM fit runs where
+    * the corpus lives ([[graft.queries.TextOps.unigramLmCosts]],
+    * persisted via `saveUnigramLmModel`), the stream segments every
+    * arriving doc under the loaded costs with the stateless per-row
+    * Viterbi DP ([[graft.queries.TextOps.unigramSegmentCol]] — the
+    * vocabulary-sized cost table rides as a map literal). No shuffle,
+    * no state store, no watermark; emits `pieces` (reading order) and
+    * `n_pieces` beside every input column; batch/stream parity pinned
+    * in StreamOpsSpec.
+    */
+  def unigramSegmentStream(docs: DataFrame, costs: Map[String, Long],
+      maxPieceLen: Int): DataFrame = {
+    import graft.queries.TextOps
+    docs
+      .withColumn("pieces", flatten(transform(
+        TextOps.tokens(col("text")),
+        w => TextOps.unigramSegmentCol(w, costs, maxPieceLen))))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
   /** Online TRAINED-classifier scoring — the q124 deployment twin:
     * the batch perceptron fit runs where the labels live
     * ([[graft.queries.TextOps.perceptronTrain]], persisted via

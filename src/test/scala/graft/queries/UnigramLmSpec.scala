@@ -97,6 +97,55 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(math.abs(wA + wB - 1000000L) <= 2L)
   }
 
+  test("artifact round-trip: save/load lossless, fail-loud on damage") {
+    import spark.implicits._
+    val docs = Seq.fill(5)("hello hello world soo soon").toDF("text")
+    val costs = TextOps.unigramLmCosts(docs)
+    assert(costs.nonEmpty && costs.values.forall(_ > 0))
+    val base = java.nio.file.Files.createTempDirectory("graft_ulm")
+    val p = base.resolve("m").toString
+    TextOps.saveUnigramLmModel(spark, costs, maxPieceLen = 4, p)
+    val (loaded, mpl) = TextOps.loadUnigramLmModel(spark, p)
+    assert(loaded === costs && mpl === 4)
+    // a piece longer than maxPieceLen refuses to save (corrupt model)
+    intercept[IllegalArgumentException] {
+      TextOps.saveUnigramLmModel(spark, costs + ("toolong" -> 1L), 4,
+        base.resolve("bad").toString)
+    }
+    // an artifact missing its meta row refuses to load
+    loaded.toSeq.toDF("piece", "c").write.mode("overwrite")
+      .parquet(base.resolve("nometa").toString)
+    intercept[IllegalStateException] {
+      TextOps.loadUnigramLmModel(spark, base.resolve("nometa").toString)
+    }
+  }
+
+  test("online segmenter: per-word DP equals the training-side Viterbi") {
+    import spark.implicits._
+    val texts = Seq.fill(8)("hello hello world soo soon banana") ++
+      Seq("bandana and anabanana", "zq")
+    val docs = texts.toDF("text")
+    val costs = TextOps.unigramLmCosts(docs)
+    // batch side: per-word piece counts from the trained model (the
+    // q150 fertility basis) — recompute via the in-run operator
+    val batch = TextOps.unigramFertility(docs.withColumn("source", lit("s")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    val online = TextOps.unigramFertilityFromModel(
+        docs.withColumn("source", lit("s")), costs, 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(online === batch,
+      s"online DP diverged from training Viterbi: $online vs $batch")
+    // the piece sequence tiles each word in reading order, and unseen
+    // characters segment (INF cost, never stranded)
+    val seg = Seq("hello", "zqx", "").toDF("w")
+      .select(col("w"),
+        TextOps.unigramSegmentCol(col("w"), costs, 4).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg("hello").mkString("") == "hello", seg.toString)
+    assert(seg("zqx").mkString("") == "zqx", seg.toString)
+    assert(seg("").isEmpty)
+  }
+
   test("unique characters stay segmentable (never pruned)") {
     // 'zq' appears once; its chars are nobody's frequent substring,
     // yet the output must still cover it (chars are never dropped)

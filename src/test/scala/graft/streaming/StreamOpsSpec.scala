@@ -1098,6 +1098,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamedMap(10L)._1 === "en" && streamedMap(11L)._1 === "fr")
   }
 
+  test("ONLINE unigram-LM segmentation: stream pieces == batch Viterbi under the loaded artifact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // fit where the corpus lives, persist, load — the q150 hand-off
+    val corpus = graft.Tables(spark, parityDir, "documents")
+      .select("doc_id", "text").limit(40)
+    val costs = graft.queries.TextOps.unigramLmCosts(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ulm_s")
+    graft.queries.TextOps.saveUnigramLmModel(spark, costs, 4,
+      dir.resolve("m").toString)
+    val (loaded, mpl) =
+      graft.queries.TextOps.loadUnigramLmModel(spark, dir.resolve("m").toString)
+    val score = corpus.limit(8).as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(score)
+    val q = StreamOps.unigramSegmentStream(
+        stream.toDF().toDF("doc_id", "text"), loaded, mpl)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ulm_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ulm_stream")
+      .select($"doc_id", $"pieces", $"n_pieces")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2)))
+      .toMap
+    val batch = StreamOps.unigramSegmentStream(
+        score.toDF("doc_id", "text"), loaded, mpl)
+      .select($"doc_id", $"pieces", $"n_pieces")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2)))
+      .toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // non-vacuous: pieces tile the text's tokens exactly
+    score.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      assert(streamed(id)._1.mkString("") == toks.mkString(""),
+        s"doc $id pieces must tile its tokens")
+      assert(streamed(id)._2 >= toks.length)
+    }
+  }
+
   test("ONLINE trap gate: stream verdicts == batch q143 flags; gate-then-plan equals dropTraps") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
