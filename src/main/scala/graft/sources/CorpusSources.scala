@@ -167,12 +167,18 @@ object CorpusSources {
     * scan, no shuffle.
     */
   private def parsedWarc(rawIn: DataFrame): DataFrame = {
-    val raw = rawIn
-      .select(regexp_replace(col("value"), "^WARC/1\\.0\r\n", "").as("rec"))
+    // the charset verdict rides when the source is the warc-record
+    // format; lineSep/text parity paths carry no verdict (null)
+    val withCs =
+      if (rawIn.columns.contains("charset")) rawIn
+      else rawIn.withColumn("charset", lit(null).cast("string"))
+    val raw = withCs
+      .select(regexp_replace(col("value"), "^WARC/1\\.0\r\n", "").as("rec"),
+        col("charset"))
       .filter(length(trim(col("rec"))) > 0)
     val headers = substring_index(col("rec"), "\r\n\r\n", 1)
     raw.select(
-      col("rec"),
+      col("rec"), col("charset"),
       headers.as("headers"),
       // body = everything after the first blank line; records with
       // no blank line (fragments) yield '' here and DLQ below
@@ -180,7 +186,7 @@ object CorpusSources {
         trim(col("rec").substr(instr(col("rec"), "\r\n\r\n") + lit(4),
           length(col("rec"))), " \r\n\t"))
         .otherwise(lit("")).as("body"))
-      .select(col("rec"), col("body"),
+      .select(col("rec"), col("charset"), col("body"),
         regexp_extract(col("headers"), "(?m)^WARC-Type: *(\\S+)", 1).as("wtype"),
         regexp_extract(col("headers"), "(?m)^WARC-Target-URI: *(\\S+)", 1).as("uri"),
         regexp_extract(col("headers"),
@@ -233,9 +239,21 @@ object CorpusSources {
     *    [[warcDocuments]], so pipelines and domain operators are
     *    agnostic to whether the crawl landed as WET or raw WARC;
     *    `text` is the extracted main text.
-    *  - bad: response records missing a target URI, or whose body has
-    *    no HTTP header terminator (no payload is recoverable) — the
-    *    verbatim record, per the F2 DLQ contract.
+    *  - bad: response records missing a target URI, whose body has
+    *    no HTTP header terminator (no payload is recoverable), or
+    *    whose DECLARED charset is unknown or rejects its bytes (see
+    *    below) — the verbatim record, per the F2 DLQ contract.
+    *
+    * CHARSET: real crawls are a charset zoo (Latin-1, Shift-JIS,
+    * GBK…). The format's reader honors the HTTP
+    * `Content-Type: …; charset=` parameter with the HTML5
+    * `<meta charset>` fallback and re-encodes payloads to UTF-8 at
+    * the bytes→string boundary
+    * ([[WarcFileFormat.transcodeRecord]]) — so accented/multibyte
+    * pages reach extraction, langID, and the shingle hashes
+    * byte-correct instead of mojibaked. A body whose declared
+    * charset is unknown (`unsupported:`) or whose bytes reject the
+    * strict decode (`failed:` — no silent U+FFFD) is DLQ'd here.
     *
     * Non-response record types (warcinfo/request/metadata) and
     * non-HTML content types (images, pdf, json) are FILTERED, not
@@ -281,7 +299,7 @@ object CorpusSources {
     val resp = parsedWarc(rawIn).filter(col("wtype") === "response")
     val hasPayload = instr(col("body"), "\r\n\r\n") > 0
     resp.select(
-      col("rec"), col("uri"), col("rid"), col("body"),
+      col("rec"), col("charset"), col("uri"), col("rid"), col("body"),
       when(hasPayload, substring_index(col("body"), "\r\n\r\n", 1))
         .otherwise(col("body")).as("http_headers"),
       when(hasPayload,
@@ -294,16 +312,27 @@ object CorpusSources {
 
   private def splitWarcHtml(rawIn: DataFrame): (DataFrame, DataFrame) = {
     val withHttp = htmlResponses(rawIn)
+    // charset verdicts from the format's transcode step
+    // (WarcFileFormat.transcodeRecord): a response that DECLARED a
+    // charset the decode rejected (failed:) or names an unknown one
+    // (unsupported:) is mojibake-in-waiting — it must not enter the
+    // corpus, where it would poison extraction, langID, and every
+    // shingle hash. DLQ'd verbatim per the F2 contract; cleanly
+    // decoded bodies arrive here already re-encoded as UTF-8.
+    val undecodable = coalesce(
+      col("charset").startsWith("failed:") ||
+        col("charset").startsWith("unsupported:"), lit(false))
     val good = documentRows(
       withHttp
         .filter(isHttp && col("uri") =!= "" &&
-          col("ctype").contains("html"))
+          col("ctype").contains("html") && !undecodable)
         .withColumn("extracted",
           graft.queries.WebOps.htmlMainText(col("payload")))
         .filter(col("extracted") =!= ""),
       "extracted")
     val bad = withHttp
-      .filter(col("uri") === "" || !isHttp)
+      .filter(col("uri") === "" || !isHttp ||
+        (col("ctype").contains("html") && undecodable))
       .select(col("rec").as("raw_line"))
     (good, bad)
   }

@@ -99,7 +99,8 @@ final class WarcFileFormat extends FileFormat with DataSourceRegister with Seria
       : PartitionedFile => Iterator[InternalRow] = {
     val confBc = sparkSession.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
-    val wantValue = requiredSchema.fieldNames.contains("value")
+    val valueAt = requiredSchema.fieldNames.indexOf("value")
+    val charsetAt = requiredSchema.fieldNames.indexOf("charset")
 
     (file: PartitionedFile) => {
       val conf = confBc.value.value
@@ -129,7 +130,10 @@ final class WarcFileFormat extends FileFormat with DataSourceRegister with Seria
       val proj = UnsafeProjection.create(requiredSchema)
       val row = new GenericInternalRow(requiredSchema.length)
       records.map { bytes =>
-        if (wantValue) row.update(0, UTF8String.fromBytes(bytes))
+        val (rec, cs) = WarcFileFormat.transcodeRecord(bytes)
+        if (valueAt >= 0) row.update(valueAt, UTF8String.fromBytes(rec))
+        if (charsetAt >= 0) row.update(charsetAt,
+          if (cs == null) null else UTF8String.fromString(cs))
         proj(row)
       }
     }
@@ -144,9 +148,111 @@ final class WarcFileFormat extends FileFormat with DataSourceRegister with Seria
 }
 
 object WarcFileFormat {
-  /** The format's fixed schema: one verbatim record per row. */
+  /** The format's fixed schema: one record per row (`value`), plus
+    * the CHARSET verdict of the transcode step (`charset` — see
+    * [[transcodeRecord]]): null = untouched (no declared non-UTF-8
+    * charset), a charset name = body decoded from it to UTF-8,
+    * `failed:<name>` / `unsupported:<name>` = declared but
+    * undecodable, record left raw for the DLQ.
+    */
   val schema: StructType =
-    StructType(Seq(StructField("value", StringType, nullable = true)))
+    StructType(Seq(StructField("value", StringType, nullable = true),
+      StructField("charset", StringType, nullable = true)))
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val CrlfCrlfBytes = "\r\n\r\n".getBytes(Ascii)
+  private val RespPattern = java.util.regex.Pattern
+    .compile("(?mi)^WARC-Type:\\s*response\\s*$")
+  private val CtCharsetPattern = java.util.regex.Pattern.compile(
+    "(?mi)^Content-Type:[^\r\n]*;\\s*charset\\s*=\\s*\"?'?([A-Za-z0-9_][A-Za-z0-9._-]*)")
+  // <meta charset="..."> and the http-equiv Content-Type form — the
+  // HTML5 standard says the declaration must sit in the first 1024
+  // bytes, which is exactly how far the prefix scan looks
+  private val MetaCharsetPattern = java.util.regex.Pattern.compile(
+    "(?is)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_][A-Za-z0-9._-]*)")
+  private val PassThrough =
+    Set("utf-8", "utf8", "us-ascii", "ascii", "")
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte],
+      from: Int, until: Int): Int = {
+    var i = from
+    val limit = math.min(until, hay.length) - needle.length
+    while (i <= limit) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** CHARSET-AWARE intake (the bytes→string boundary): real crawl
+    * response records are a charset zoo (Latin-1, Shift-JIS, GBK…)
+    * and interpreting every body as UTF-8 mojibakes them straight
+    * into extraction, langID, and every shingle hash. This honors the
+    * HTTP `Content-Type: …; charset=` parameter, falling back to the
+    * HTML5 `<meta charset>` / `http-equiv` declaration in the first
+    * 1024 payload bytes (the standard's own placement bound; the scan
+    * reads the prefix as Latin-1, safe for any ASCII-compatible
+    * encoding), and re-encodes the PAYLOAD to UTF-8 at parse time —
+    * WARC and HTTP headers (ASCII by spec) pass through verbatim, so
+    * downstream header parsing is unchanged. Returns the (possibly
+    * rebuilt) record plus the charset verdict for the schema's
+    * `charset` column.
+    *
+    * Never throws, never drops: a record that is not a response /
+    * has no HTTP payload / declares no (or a UTF-8-family) charset
+    * passes through untouched with a null verdict; an UNKNOWN charset
+    * name or a payload whose bytes REJECT the declared decoding
+    * (strict REPORT decode — no silent U+FFFD corruption) passes
+    * through raw with an `unsupported:`/`failed:` verdict so the
+    * intake can DLQ it per the F2 contract. The rebuilt record's
+    * Content-Length no longer matches its byte length — downstream
+    * parsing splits on the blank line, never re-walks the length.
+    */
+  private[sources] def transcodeRecord(
+      bytes: Array[Byte]): (Array[Byte], String) = {
+    val warcHdrEnd = indexOf(bytes, CrlfCrlfBytes, 0, bytes.length)
+    if (warcHdrEnd < 0) return (bytes, null)
+    val warcHeaders = new String(bytes, 0, warcHdrEnd, Latin1)
+    if (!RespPattern.matcher(warcHeaders).find()) return (bytes, null)
+    val bodyStart = warcHdrEnd + 4
+    // the HTTP message: ASCII headers, blank line, payload
+    if (bytes.length - bodyStart < 5 ||
+      new String(bytes, bodyStart, 5, Ascii) != "HTTP/") return (bytes, null)
+    val httpEnd = indexOf(bytes, CrlfCrlfBytes, bodyStart, bytes.length)
+    if (httpEnd < 0) return (bytes, null) // header-only message
+    val payloadStart = httpEnd + 4
+    val httpHeaders = new String(bytes, bodyStart,
+      httpEnd - bodyStart, Latin1)
+    val ctm = CtCharsetPattern.matcher(httpHeaders)
+    var name = if (ctm.find()) ctm.group(1) else {
+      val prefixLen = math.min(1024, bytes.length - payloadStart)
+      val mm = MetaCharsetPattern.matcher(
+        new String(bytes, payloadStart, math.max(prefixLen, 0), Latin1))
+      if (mm.find()) mm.group(1) else ""
+    }
+    name = name.trim.toLowerCase
+    if (PassThrough.contains(name)) return (bytes, null)
+    val cs =
+      try java.nio.charset.Charset.forName(name)
+      catch { case _: Exception => return (bytes, s"unsupported:$name") }
+    val decoded =
+      try cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes, payloadStart,
+          bytes.length - payloadStart))
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        return (bytes, s"failed:$name") }
+    val utf8 = Utf8.encode(decoded)
+    val rec = java.util.Arrays.copyOf(bytes,
+      payloadStart + utf8.remaining())
+    utf8.get(rec, payloadStart, utf8.remaining())
+    (rec, name)
+  }
 }
 
 /** Byte-level WARC record walker over one input stream positioned at

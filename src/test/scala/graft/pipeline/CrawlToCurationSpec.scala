@@ -55,6 +55,16 @@ class CrawlToCurationSpec extends AnyFunSuite {
     "a quench tank hisses and throws steam against the soot black rafters.",
     "orders for bronze fittings pile up faster than the night shift casts them.")
   private val junkLines = Seq("buy now.", "sale.", "click.", "cheap.")
+  // the Latin-1 page: C4/classifier-clean English prose whose accented
+  // words are single HIGH BYTES on the wire — a UTF-8-assuming intake
+  // can only mojibake them (the charset-intake contract under test)
+  private val pageL = Seq(
+    "the café near the quay opens before the ferries start their rounds.",
+    "a chalkboard menu promises pâtisserie but the croissants sell out by eight.",
+    "regulars trade gossip over café crème while the espresso machine hisses.",
+    "the owner keeps a drawer of francs from the year the till broke.",
+    "tourists photograph the zinc counter more often than they order from it.",
+    "by dusk the terrace chairs stack themselves against the salted window.")
 
   private val crlf = "\r\n"
   private def rec(headers: Seq[String], body: String): String =
@@ -84,7 +94,8 @@ class CrawlToCurationSpec extends AnyFunSuite {
     // or the survival assertions test nothing
     val scores = StreamOps.classifierScoreStream(
         Seq((1L, pageA.mkString("\n")), (2L, pageB.mkString("\n")),
-          (3L, pageD.mkString("\n"))).toDF("doc_id", "text"))
+          (3L, pageD.mkString("\n")), (4L, pageL.mkString("\n")))
+          .toDF("doc_id", "text"))
       .select("doc_id", "score").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scores.values.forall(_ >= minScore),
@@ -152,13 +163,30 @@ class CrawlToCurationSpec extends AnyFunSuite {
       html("https://coast.example.com/foundry", "page-d", pageD))))
     query.processAllAvailable()
     qBad.processAllAvailable()
+
+    // archive 3 is a NON-UTF-8 capture (the charset-intake contract):
+    //  L  clean Latin-1 page, charset declared in its HTTP header
+    //     -> survives, accents byte-correct end to end
+    // written as ISO-8859-1 BYTES — é/è/â on the wire are single high
+    // bytes that are invalid UTF-8
+    Files.write(dir.resolve("crawl-2.warc"),
+      warcFile(Seq(rec(Seq("WARC-Type: response",
+          "WARC-Target-URI: https://coast.example.com/cafe",
+          "WARC-Record-ID: <urn:uuid:page-l>"),
+        "HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html; charset=ISO-8859-1" + crlf + crlf +
+          "<html><head><title>t</title></head><body>" +
+          pageL.map(l => s"<p>$l</p>").mkString + "</body></html>")))
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    query.processAllAvailable()
+    qBad.processAllAvailable()
     query.stop(); qBad.stop()
     // the url_gate row arrives via the ASYNC progress listener
-    // (start()'s documented caveat): wait briefly for both batches'
+    // (start()'s documented caveat): wait briefly for all batches'
     // metrics to land before reading the ledger
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
     while (System.nanoTime() < deadline &&
-        !ledger().exists(s => s.stage == "url_gate" && s.docs == 4L))
+        !ledger().exists(s => s.stage == "url_gate" && s.docs == 5L))
       Thread.sleep(50)
 
     // survivors: exactly A and D, with the EXTRACTED main text (nav
@@ -172,22 +200,27 @@ class CrawlToCurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val byUrl = landed.map { case (id, t) => urlOf(id) -> t }.toMap
     assert(byUrl.keySet == Set(
-      "https://coast.example.com/story", "https://coast.example.com/foundry"),
+      "https://coast.example.com/story", "https://coast.example.com/foundry",
+      "https://coast.example.com/cafe"),
       byUrl.keySet)
     assert(byUrl("https://coast.example.com/story") == pageA.mkString("\n"))
     assert(byUrl("https://coast.example.com/foundry") == pageD.mkString("\n"))
+    // the non-UTF-8 page SURVIVED intake with its accents intact —
+    // the bytes→string boundary honored the declared charset
+    assert(byUrl("https://coast.example.com/cafe") == pageL.mkString("\n"))
 
-    // the ledger attributes every death to its stage: 5 good docs in
-    // (A,B,J + R,D — the garbage record DLQ'd and the image filtered
-    // at INTAKE, so neither enters the chain); the gate kills B, the
-    // cross-batch state kills R, the line rules kill J
+    // the ledger attributes every death to its stage: 6 good docs in
+    // (A,B,J + R,D + the Latin-1 L — the garbage record DLQ'd and the
+    // image filtered at INTAKE, so neither enters the chain); the
+    // gate kills B, the cross-batch state kills R, the line rules
+    // kill J
     val got = ledger().map(s => s.stage -> s.docs).toMap
-    assert(got("url_gate") == 4L, got)      // A,J + R,D passed the gate
-    assert(got("url_dedup") == 3L, got)     // R died against batch-1 state
-    assert(got("line_filter") == 2L, got)   // J's lines all fail C4
-    assert(got("classifier") == 2L, got)
-    assert(got("incr_dedup") == 2L, got)
-    assert(got("decontaminated") == 2L, got)
+    assert(got("url_gate") == 5L, got)      // A,J + R,D + L passed
+    assert(got("url_dedup") == 4L, got)     // R died against batch-1 state
+    assert(got("line_filter") == 3L, got)   // J's lines all fail C4
+    assert(got("classifier") == 3L, got)
+    assert(got("incr_dedup") == 3L, got)
+    assert(got("decontaminated") == 3L, got)
 
     // DLQ: exactly the signature-less response, verbatim
     assert(dlq.length == 1 && dlq.head.contains("urn:uuid:garbage"),

@@ -519,6 +519,76 @@ class CorpusSourcesSpec extends AnyFunSuite {
     assert(b.exists(_.contains("urn:uuid:nouri")), b.toSeq)
   }
 
+  test("CHARSET intake: Latin-1/Shift-JIS bodies decode byte-correct; meta fallback; undecodable DLQs") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+    def recBytes(uri: String, rid: String, ct: String,
+        payload: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: $ct$crlf$crlf")
+        .getBytes(ascii) ++ payload
+      (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+        s"WARC-Target-URI: $uri$crlf" +
+        s"WARC-Record-ID: <urn:uuid:$rid>$crlf" +
+        s"Content-Length: ${http.length}$crlf$crlf").getBytes(ascii) ++ http
+    }
+    val latinProse =
+      "le café près de la gare est très agréable à midi."
+    val sjProse = "東京と京都の験話です。"
+    def page(prose: String) = s"<html><body><p>$prose</p></body></html>"
+    val sep = (crlf + crlf).getBytes(ascii)
+    val archiveBytes = Seq(
+      // HTTP-declared Latin-1: é/è/à are single high bytes — invalid
+      // UTF-8, so a UTF-8-assuming intake can only mojibake them
+      recBytes("https://fr.example.com/cafe", "latin1",
+        "text/html; charset=ISO-8859-1", page(latinProse).getBytes(latin1)),
+      // HTTP-declared Shift-JIS double-byte kanji
+      recBytes("https://jp.example.com/tokyo", "sjis",
+        "text/html; charset=Shift_JIS", page(sjProse).getBytes(sjis)),
+      // no charset in HTTP; the HTML5 <meta charset> fallback decides
+      recBytes("https://jp.example.com/meta", "meta", "text/html",
+        "<html><head><meta charset=\"shift_jis\"></head><body><p>"
+          .getBytes(ascii) ++ sjProse.getBytes(sjis) ++
+          "</p></body></html>".getBytes(ascii)),
+      // declared EUC-JP but the bytes reject it (0xFF is no lead) —
+      // strict decode REPORTs, record DLQs instead of silent U+FFFD
+      recBytes("https://bad.example.com/x", "badbytes",
+        "text/html; charset=EUC-JP",
+        "<p>broken page</p>".getBytes(ascii) ++ Array(0xFF.toByte, 0xFF.toByte)),
+      // unknown charset name -> DLQ too
+      recBytes("https://bad.example.com/y", "unknowncs",
+        "text/html; charset=x-klingon", "<p>whatever</p>".getBytes(ascii)),
+      // plain utf-8 passes through untouched
+      recBytes("https://en.example.com/plain", "plain",
+        "text/html; charset=utf-8",
+        page("plain ascii page text here.").getBytes(ascii))
+    ).reduce((a, b) => a ++ sep ++ b) ++ sep
+    val dir = Files.createTempDirectory("graft_warc_charset")
+    Files.write(dir.resolve("charset.warc"), archiveBytes)
+
+    val (good, bad) = CorpusSources.warcHtmlDocuments(spark, dir.toString)
+    val byUrl = good.collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("text"))).toMap
+    assert(byUrl.keySet == Set("https://fr.example.com/cafe",
+      "https://jp.example.com/tokyo", "https://jp.example.com/meta",
+      "https://en.example.com/plain"), byUrl.keySet)
+    // byte-correct extraction: the accents and kanji came through the
+    // charset boundary intact
+    assert(byUrl("https://fr.example.com/cafe") == latinProse, byUrl)
+    assert(byUrl("https://jp.example.com/tokyo") == sjProse, byUrl)
+    assert(byUrl("https://jp.example.com/meta") == sjProse, byUrl)
+    // undecodable records are tagged and DLQ'd, never silently kept
+    val b = bad.collect().map(_.getString(0))
+    assert(b.length == 2, b.toSeq)
+    assert(b.exists(_.contains("urn:uuid:badbytes")), b.toSeq)
+    assert(b.exists(_.contains("urn:uuid:unknowncs")), b.toSeq)
+    // and the naive byte-as-UTF-8 read really would have mojibaked:
+    // the Latin-1 é byte is not valid UTF-8
+    assert(!new String(page(latinProse).getBytes(latin1),
+      java.nio.charset.StandardCharsets.UTF_8).contains("café"),
+      "fixture drifted: the Latin-1 bytes decode as UTF-8")
+  }
+
   test("warcHtmlOutlinks: the WAT sidecar — RESOLVED links per response (relative included), stream==batch") {
     val crlf = "\r\n"
     def rec(headers: Seq[String], body: String): String =
