@@ -237,6 +237,25 @@ object Bench {
           s"""{"error":"$msg"}"""
       }
 
+    // q142 persist-knob crossover (r16 verdict #7): hostMirrorPairs
+    // consumes the host-shingle frame 3× and re-shingles once for
+    // signatures; the opt-in knob localCheckpoints the frame once.
+    // At testbed width rederiving wins; the builder's claim was that
+    // the persist flips profitable at corpus width — this record
+    // measures BOTH settings on a ×30 corpus (one-off probes' scale)
+    // every round, so the crossover is a standing measurement instead
+    // of an argument. Disabled by SPARK_GRAFT_MIRROR_PERSIST=0.
+    val mirrorPersist =
+      if (sys.env.get("SPARK_GRAFT_MIRROR_PERSIST").contains("0") ||
+        only.nonEmpty) """{"skipped":true}"""
+      else try mirrorPersistBench(spark, sfDir)
+      catch {
+        case t: Throwable =>
+          val msg = (t.getClass.getName + ": " + String.valueOf(t.getMessage))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          s"""{"error":"$msg"}"""
+      }
+
     // scale probe: the six heaviest dedup-family queries re-timed on
     // a SPARK_GRAFT_SCALE_FACTOR× (default 10×) documents corpus —
     // the one in-sandbox datapoint that turns the dossier's
@@ -276,6 +295,7 @@ object Bench {
         s""""warc_ingest":$warcIngest,""" +
         s""""bpe_scale":$bpeScale,""" +
         s""""q94_bill":$q94Bill,""" +
+        s""""mirror_persist":$mirrorPersist,""" +
         s""""scaleprobe":$probeFull,""" +
         s""""sf":"$sfDir"}"""
     // Persist the FULL record to a file: the driver's stdout capture
@@ -313,6 +333,54 @@ object Bench {
         s"""$ingestShort,""" +
         s""""scaleprobe":$probeCompact,""" +
         s""""detail":"$outPath","sf":"$sfDir"}""")
+  }
+
+  /** The q142 persist-knob crossover record: time hostMirrorPairs on
+    * a ×factor (default 30) corpus with the shingle-frame
+    * localCheckpoint OFF and ON, interleaved min-of-reps (the stall
+    * discipline). The scaled corpus is materialized to parquet once
+    * so both settings read identical bytes with identical lineage.
+    */
+  private def mirrorPersistBench(spark: SparkSession, sfDir: String): String = {
+    val factor =
+      sys.env.getOrElse("SPARK_GRAFT_MIRROR_PERSIST_FACTOR", "30").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_MIRROR_PERSIST_RUNS", "2").toInt
+    require(factor >= 2 && reps >= 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mirrorknob")
+    try {
+      val tGen = System.nanoTime()
+      graft.operators.ScaleOps
+        .scaleDocuments(spark.read.parquet(s"$sfDir/documents.parquet"), factor)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val genSec = (System.nanoTime() - tGen) / 1e9
+      val hostDocs = graft.queries.DedupOps.mirrorHostDocs(
+        spark.read.parquet(s"$tmp/documents.parquet"))
+      def run(persist: Boolean): Double = {
+        val t0 = System.nanoTime()
+        graft.queries.DedupOps
+          .hostMirrorPairs(spark, hostDocs, minJaccard = 0.8,
+            persistShingles = persist)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val off = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val on = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 0 until reps) { off += run(false); on += run(true) }
+      s"""{"factor":$factor,"gen_sec":$genSec,""" +
+        s""""off_sec":${off.min},"on_sec":${on.min},""" +
+        s""""off_runs":[${off.mkString(",")}],""" +
+        s""""on_runs":[${on.mkString(",")}],""" +
+        s""""persist_speedup":${off.min / on.min}}"""
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
   }
 
   /** The six heaviest dedup-family queries (documents-only inputs),

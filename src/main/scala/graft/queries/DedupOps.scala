@@ -288,10 +288,18 @@ object DedupOps {
     * for every banded candidate pair sharing >= 1 shingle.
     */
   private[graft] def hostMirrorPairs(s: SparkSession, hostDocs: DataFrame,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, persistShingles: Boolean = false): DataFrame = {
     val asDocs = hostDocs.select(col("host").as("doc_id"), col("text"))
-    // (host, g) distinct — the host's shingle UNION (verify + sizes)
-    val hs = shingles(asDocs).withColumnRenamed("doc_id", "host")
+    // (host, g) distinct — the host's shingle UNION (verify + sizes).
+    // OPT-IN persist knob (r16 verdict #7): this frame is consumed
+    // 3× (sizes + both sides of the candidate intersection), and the
+    // corpus is re-shingled once more for the signatures — at testbed
+    // width rederiving beats the materialize cost, at true corpus
+    // width the localCheckpoint flips profitable; the bench's
+    // mirror_persist record measures BOTH settings at ×30 every round
+    // so the crossover is recorded, not argued.
+    val hs0 = shingles(asDocs).withColumnRenamed("doc_id", "host")
+    val hs = if (persistShingles) hs0.localCheckpoint() else hs0
     val hostSig = minhashSig(s, asDocs).groupBy(col("doc_id"))
       .agg(min(col("h0")).as("h0"),
         (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
@@ -327,6 +335,21 @@ object DedupOps {
       .select(col("host_a"), col("host_b"), col("n_common"),
         col("na"), col("nb"), round(jac, 4).as("jaccard"),
         (jac >= minJaccard).as("mirror"))
+  }
+
+  /** q142's synthetic (host, text) placement fixture over a documents
+    * frame: 24 base hosts (hN), full mirrors of the first 8 (mN =
+    * identical page set), half-mirrors of the next 4 — shared by the
+    * q142 oracle query and the bench's ×30 mirror_persist record.
+    */
+  private[graft] def mirrorHostDocs(d: DataFrame): DataFrame = {
+    val k = col("doc_id") % 24
+    val hostOf = (p: String) => concat(lit(p), k.cast("string")).as("host")
+    d.select(hostOf("h"), col("text"))
+      .union(d.filter(k < 8).select(hostOf("m"), col("text")))
+      .union(d.filter(k >= 8 && k < 12 &&
+          expr("doc_id div 24") % 2 === 0)
+        .select(hostOf("m"), col("text")))
   }
 
   /** q148's operator: CONTAINMENT near-dup pairs (Broder 1997's
@@ -2977,14 +3000,7 @@ object DedupOps {
         |JOIN sizes zb ON zb.host = i.host_b
         |ORDER BY host_a, host_b""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents").select("doc_id", "text")
-      val k = col("doc_id") % 24
-      val hostOf = (p: String) => concat(lit(p), k.cast("string")).as("host")
-      val hostDocs = d.select(hostOf("h"), col("text"))
-        .union(d.filter(k < 8).select(hostOf("m"), col("text")))
-        .union(d.filter(k >= 8 && k < 12 &&
-            expr("doc_id div 24") % 2 === 0)
-          .select(hostOf("m"), col("text")))
-      hostMirrorPairs(s, hostDocs, minJaccard = 0.8)
+      hostMirrorPairs(s, mirrorHostDocs(d), minJaccard = 0.8)
         .orderBy("host_a", "host_b")
     },
 
