@@ -300,25 +300,35 @@ object DedupOps {
     // so the crossover is recorded, not argued.
     val hs0 = shingles(asDocs).withColumnRenamed("doc_id", "host")
     val hs = if (persistShingles) hs0.localCheckpoint() else hs0
+    // the signature rollup is |hosts| ROWS but its lineage is a full
+    // corpus minhash scan — and it feeds FOUR consumers (both sides
+    // of bandedCandidates' self-join + both sides of the exact-band
+    // verify below). localCheckpoint unconditionally: materializing
+    // a |hosts|-sized frame costs one scan and saves three.
     val hostSig = minhashSig(s, asDocs).groupBy(col("doc_id"))
       .agg(min(col("h0")).as("h0"),
         (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-    // bandedCandidates prunes through xxhash64 band KEYS; unlike
-    // nearDupPairs (where a key-collision candidate dies at the
-    // jaccard threshold), this report RETAINS mirror=false rows, so a
-    // 2^-64 band-key collision would add a row the exact-band oracle
-    // never produces. Re-verify each candidate on exact h_i equality
-    // (the oracle's own OR-of-bands condition) — a pair-sized join
-    // against the |hosts|-sized signature frame.
-    val exactBand = (0 until NumHashes / 2).map { b =>
-      col(s"sa.h${2 * b}") === col(s"sb.h${2 * b}") &&
-        col(s"sa.h${2 * b + 1}") === col(s"sb.h${2 * b + 1}")
-    }.reduce(_ || _)
-    val cand = bandedCandidates(hostSig)
-      .join(hostSig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(hostSig.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .filter(exactBand)
-      .select(col("doc_a").as("host_a"), col("doc_b").as("host_b"))
+      .localCheckpoint()
+    // candidate generation: band self-join keyed on the xxhash64
+    // band hash (8-byte shuffle key, q36's move) but VERIFIED inline
+    // on the exact hash strings carried through the band rows —
+    // unlike nearDupPairs (where a key-collision candidate dies at
+    // the jaccard threshold), this report RETAINS mirror=false rows,
+    // so a 2^-64 band-key collision would otherwise add a row the
+    // oracle's exact band-equality OR-join never produces. The
+    // signature frame is checkpointed above, so both join sides read
+    // the 60-ish materialized rows, never the corpus.
+    val bandRows = (0 until NumHashes / 2).map { b =>
+      hostSig.select(col("doc_id"), lit(b).as("band"),
+        xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"),
+        col(s"h${2 * b}").as("b1"), col(s"h${2 * b + 1}").as("b2"))
+    }.reduce(_ union _)
+    val cand = bandRows.as("ba").join(bandRows.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bh") === col("bb.bh") &&
+          col("ba.b1") === col("bb.b1") && col("ba.b2") === col("bb.b2") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("host_a"), col("bb.doc_id").as("host_b"))
+      .distinct()
     val sizes = hs.groupBy("host").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(hs.select(col("host").as("host_a"), col("g")), Seq("host_a"))
