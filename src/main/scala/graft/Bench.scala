@@ -112,6 +112,17 @@ object Bench {
       "SPARK_GRAFT_BENCH_ONLY matched no queries; valid names: " +
         SparkEntry.defs.map(_.name).mkString(", "))
     materialize(defs.head.name) // warmup, not timed
+    // reproducible COLD-RUN pin (r16 verdict #6): q135's first
+    // execution in a fresh JVM pays ~3.3 s of codegen + robots
+    // pattern-cache warm-up (measured 4.75 s cold vs 1.4–1.6 s warm,
+    // twice, same host) — at runs=3 that cold run sits inside the
+    // median window and read as 1.3–2.1× round-over-round "variance"
+    // on identical code (r16's q133/q135/q131 flags; the other two
+    // queries' cold costs are 0.3–0.5 s JIT, inside the noise
+    // floor). Warm it like the head query so the timed runs measure
+    // the plan, not the JVM's first compile.
+    if (defs.exists(_.name == "q135_robots_frontier"))
+      materialize("q135_robots_frontier")
 
     // HOST-SPEED CALIBRATION (r15 verdict: the 2× envelope vs the r10
     // anchor had decayed into uniform host drift — median 1.52× with
