@@ -3010,7 +3010,8 @@ object DedupOps {
         |JOIN sizes zb ON zb.host = i.host_b
         |ORDER BY host_a, host_b""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents").select("doc_id", "text")
-      hostMirrorPairs(s, mirrorHostDocs(d), minJaccard = 0.8)
+      hostMirrorPairs(s, mirrorHostDocs(d), minJaccard = 0.8,
+          persistShingles = true)
         .orderBy("host_a", "host_b")
     },
 
