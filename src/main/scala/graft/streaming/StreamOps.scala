@@ -502,6 +502,27 @@ object StreamOps {
       .withColumn("margin", p.getField("margin"))
   }
 
+  /** Streaming sitemap-page extraction — q152's intake twin: every
+    * fetched `<urlset>` body parses per-row into (sitemap_url, loc,
+    * lastmod) page discoveries via the stateless
+    * [[graft.queries.WebOps.sitemapRecords]] chain — no shuffle, no
+    * state, discoveries emit as the bodies land. INDEX bodies are
+    * deliberately NOT expanded here: the pending-fetch plan needs an
+    * anti-join against everything already fetched — corpus-level
+    * state, a batch planning decision (the tokenBudget rule;
+    * [[graft.queries.WebOps.sitemapDiscoveries]] is that half).
+    * Batch/stream parity on the page rows pinned in StreamOpsSpec.
+    */
+  def sitemapPageStream(fetched: DataFrame): DataFrame = {
+    import graft.queries.WebOps
+    fetched
+      .filter(!WebOps.sitemapIsIndex(col("body")))
+      .select(col("sitemap_url"),
+        explode(WebOps.sitemapRecords(col("body"))).as("r"))
+      .select(col("sitemap_url"), col("r.loc").as("loc"),
+        col("r.lastmod").as("lastmod"))
+  }
+
   /** Streaming unigram-LM tokenization — q145/q150's deployment twin,
     * completing the tokenizer artifact set next to BPE's `bpe_encode`
     * and the langID/perceptron scorers: the batch EM fit runs where

@@ -978,6 +978,53 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fingerprint df lacks map-side partials:\n$p")
   }
 
+  test("q151 shard purge: affected-shard reads PRUNE to the affected dirs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the scale claim behind purgeTrainingShards: the affected-shard
+    // set comes from the notice (a pure function of the seeded md5),
+    // and reading shardsDir with an isin on the partition column
+    // OPENS ONLY the affected dirs — asserted behaviorally through
+    // inputFiles, which reflects partition pruning
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_plan_q151").toString
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    graft.operators.ScaleOps.writeTrainingShards(
+      docs, "doc_id", nShards = 13, seed = "42", outDir = tmp)
+    // plant a CORRUPT parquet file in an unaffected shard dir: if the
+    // isin read opened it, the scan would throw — succeeding proves
+    // the unaffected dir's files are never opened (inputFiles can't
+    // show this: it lists the relation pre-filter)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "shard=0", "part-junk.snappy.parquet"),
+      "NOT A PARQUET FILE".getBytes("UTF-8"))
+    val aff = spark.read.parquet(tmp)
+      .filter(col("shard").isin(Seq(3, 7).map(Int.box): _*))
+    val want = graft.operators.ScaleOps
+      .shardAssign(docs, "doc_id", 13, "42")
+      .filter(col("shard").isin(3L, 7L)).count()
+    assert(aff.count() == want && want > 0,
+      s"pruned read returned ${aff.count()} of $want rows")
+    val p = aff.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    // and the unpruned read DOES die on the planted file — the
+    // counter-proof that the corrupt plant is visible at all
+    intercept[Throwable] {
+      spark.read.parquet(tmp).count()
+    }
+  }
+
+  test("q152 sitemap parse: per-row record chain; only the pending anti-join; no window") {
+    val p = plan("q152_sitemap_parse")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // page parsing rides the scan projection: the ONLY join in the
+    // operator is the |sitemaps|-sized pending-fetch anti-join (the
+    // fixture's per-host body build adds its own rollup, no joins)
+    assert("LeftAnti".r.findAllIn(p).size == 1, p)
+  }
+
   test("q144 recrawl schedule: one partial-agg rollup + broadcast now, top-k off Window") {
     val p = plan("q144_recrawl_schedule")
     assert(!p.contains("Window"), s"budget cut through a window funnel:\n$p")

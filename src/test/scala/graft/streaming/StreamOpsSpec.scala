@@ -1098,6 +1098,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamedMap(10L)._1 === "en" && streamedMap(11L)._1 === "fr")
   }
 
+  test("ONLINE sitemap pages: stream rows == sitemapDiscoveries' page half; index bodies pass to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val fetched = graft.queries.WebOps
+      .sitemapFetchedFrame(spark, parityDir)
+      .select("sitemap_url", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(String, String)]
+    stream.addData(fetched)
+    val q = StreamOps.sitemapPageStream(
+        stream.toDF().toDF("sitemap_url", "body"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sitemap_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sitemap_stream")
+      .select($"sitemap_url", $"loc", $"lastmod")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    val batch = graft.queries.WebOps
+      .sitemapDiscoveries(fetched.toDF("sitemap_url", "body"))
+      .filter(col("kind") === "page")
+      .select("sitemap_url", "loc", "lastmod")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"stream ${streamed.size} rows vs batch ${batch.size}")
+    // index records never leak into the stateless stream: the pending
+    // plan is batch planning by design
+    assert(!streamed.exists(_._2.endsWith(".xml")), streamed.toString)
+  }
+
   test("ONLINE unigram-LM segmentation: stream pieces == batch Viterbi under the loaded artifact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
