@@ -2377,6 +2377,139 @@ object WebOps {
       recrawlPriorities(Tables(s, dir, "events"), topK = 50)
     },
 
+    // ---- q153: recrawl scheduling under a sitemap lastmod prior ----
+    // q144's estimator with q152's <lastmod> evidence wired in
+    // (recrawlScoresWithLastmod): a CURRENT sitemap asserting the page
+    // last changed at T dominates the change-rate estimate — T after
+    // our last fetch ⇒ certainly changed (1e6 ppm), T at-or-before it
+    // ⇒ vouched unchanged (0), no lastmod row ⇒ the estimator stands.
+    // Deterministic fixture: user_id % 3 == 0 urls carry a lastmod one
+    // hour past their last fetch, % 3 == 1 their first-fetch time,
+    // % 3 == 2 none — all three branches populated at sf0.01. The
+    // oracle re-derives the full q144 chain plus the override rule.
+    QueryDef(
+      "q153_recrawl_lastmod",
+      """WITH flog AS (
+        |  SELECT user_id,
+        |    'https://s' || CAST(user_id % 20 AS VARCHAR)
+        |      || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+        |    epoch_us(ts) AS t_us,
+        |    CASE WHEN event_type IN ('purchase', 'error') THEN 1 ELSE 0 END
+        |      AS changed
+        |  FROM events),
+        |g AS (SELECT max(t_us) AS now_us FROM flog),
+        |per AS (
+        |  SELECT user_id, url, count(*) AS n_fetches,
+        |    sum(changed) AS n_changes,
+        |    min(t_us) AS first_us, max(t_us) AS last_us
+        |  FROM flog GROUP BY user_id, url),
+        |lm AS (
+        |  SELECT url,
+        |    CASE WHEN user_id % 3 = 0 THEN last_us + 3600000000
+        |         ELSE first_us END AS lm_us
+        |  FROM per WHERE user_id % 3 <> 2),
+        |calc AS (
+        |  SELECT p.url, n_fetches, n_changes,
+        |    (g.now_us - last_us) AS age_us,
+        |    (last_us - first_us) AS span_us,
+        |    ln((n_fetches * 2 + 1) * 1.0
+        |       / ((n_fetches - n_changes) * 2 + 1)) AS r_nats,
+        |    lm.lm_us, p.last_us
+        |  FROM per p LEFT JOIN lm ON lm.url = p.url, g
+        |  WHERE n_fetches >= 2 AND last_us > first_us)
+        |SELECT url, n_fetches, CAST(n_changes AS BIGINT) AS n_changes,
+        |  age_us // 1000000 AS age_sec,
+        |  CAST(floor(r_nats * (n_fetches - 1) * 86400000000.0 / span_us
+        |    * 1000000.0 + 0.5) AS BIGINT) AS lambda_uday,
+        |  CAST(CASE WHEN lm_us IS NULL THEN
+        |      floor((1.0 - exp(-(r_nats * (n_fetches - 1) * age_us
+        |        / span_us))) * 1000000.0 + 0.5)
+        |    WHEN lm_us > last_us THEN 1000000 ELSE 0 END AS BIGINT)
+        |    AS priority_ppm
+        |FROM calc
+        |ORDER BY priority_ppm DESC, url
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val per = ev.select(col("user_id"),
+          concat(lit("https://s"), (col("user_id") % 20).cast("string"),
+            lit(".example.com/u/"), col("user_id").cast("string")).as("url"),
+          col("ts"))
+        .groupBy("user_id", "url")
+        .agg(max("ts").as("last_ts"), min("ts").as("first_ts"))
+      val lastmods = per.filter(col("user_id") % 3 =!= 2)
+        .select(col("url"),
+          when(col("user_id") % 3 === 0,
+            col("last_ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("first_ts")).as("lastmod_ts"))
+      recrawlScoresWithLastmod(ev, lastmods)
+        .orderBy(col("priority_ppm").desc, col("url"))
+        .limit(50)
+    },
+
+    // ---- q154: sitemap-fed crawl frontier ---------------------------
+    // The q152 → q130 composition as one oracle query: the REAL path
+    // parses the fetched sitemap bodies inside crawlFrontier
+    // (fetchedSitemaps hook — urlset locs become discoveries voted by
+    // the serving host) and runs the full canonicalize / seen
+    // anti-join / vote / politeness chain over the union with link
+    // discoveries; the oracle derives the page set ARITHMETICALLY
+    // from the same (host, slot) universe the XML was built from
+    // (set-identical given q152 green — the parse itself is q152's
+    // oracle) and re-runs the frontier math, so the hash match pins
+    // the wiring end-to-end: one serving-host vote per listed page,
+    // merged into the same per-host groups as link votes, seen pages
+    // suppressed on both branches.
+    QueryDef(
+      "q154_sitemap_frontier_feed",
+      """WITH discovered AS (
+        |  SELECT source AS src_h,
+        |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com' AS dst_h,
+        |    'https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |smp AS (
+        |  SELECT DISTINCT
+        |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com' AS src_h,
+        |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com' AS dst_h,
+        |    'https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |seen AS (
+        |  SELECT DISTINCT 'https://' || source || '.example.com/p/'
+        |    || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |u AS (SELECT * FROM discovered UNION ALL SELECT * FROM smp),
+        |fresh AS (
+        |  SELECT u.* FROM u
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = u.url)),
+        |votes AS (
+        |  SELECT dst_h AS host, url, count(DISTINCT src_h) AS n_referrers
+        |  FROM fresh GROUP BY dst_h, url),
+        |ranked AS (
+        |  SELECT host, url, n_referrers, row_number() OVER (
+        |    PARTITION BY host ORDER BY n_referrers DESC, url) AS rnk
+        |  FROM votes)
+        |SELECT host, url, CAST(n_referrers AS BIGINT) AS n_referrers,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY host, rnk""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val dstH = concat(lit("src"),
+        ((col("doc_id") * 7 + 3) % 20).cast("string"), lit(".example.com"))
+      val discovered = d.select(col("source").as("src_h"),
+        dstH.as("dst_h"),
+        concat(lit("https://"), dstH, lit("/p/"),
+          (col("doc_id") % 40).cast("string")).as("url"))
+      val seen = d.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p/"),
+          (col("doc_id") % 40).cast("string")).as("url")).distinct()
+      crawlFrontier(discovered, seen, perHostK = 3,
+          fetchedSitemaps = Some(sitemapFetchedFrame(s, dir)))
+        .orderBy("host", "rnk")
+    },
+
     // ---- q146: unified crawl scheduler ----------------------------
     // Discovery and refresh under ONE per-host budget (see
     // unifiedCrawlPlan). Discovery state derives from documents
