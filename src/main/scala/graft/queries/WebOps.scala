@@ -1229,19 +1229,23 @@ object WebOps {
       }
     // SITEMAP BODIES (q152): pages listed inside FETCHED sitemap
     // files are discoveries too — the only channel a sitemap-listed,
-    // never-linked page can enter the frontier through. Each
-    // `<urlset>` `<loc>` becomes one discovery voted for by the host
-    // that served the sitemap (src_h = server — the harmonic-ramp
-    // floor of one referrer, so a link-less page ranks but never
-    // outranks a multiply-cited one), then rides the SAME
-    // canonicalization / seen anti-join / trap / robots / vote /
-    // politeness chain as every other discovery. Parsing is the
-    // per-row sitemapRecords chain inside the bodies scan.
+    // never-linked page can enter the frontier through — and so are
+    // the PENDING child sitemaps an index file names (kind='sitemap'
+    // rows: the next round's sitemap fetches must compete for the
+    // same per-host politeness slots as everything else, exactly as
+    // q140 budgets the robots-declared ones). Each `<loc>` becomes
+    // one discovery voted for by the host that served the sitemap
+    // (src_h = server — the harmonic-ramp floor of one referrer, so
+    // a link-less page ranks but never outranks a multiply-cited
+    // one), then rides the SAME canonicalization / seen anti-join /
+    // trap / robots / vote / politeness chain as every other
+    // discovery. Parsing is the per-row sitemapRecords chain inside
+    // the bodies scan; already-fetched children never re-plan (the
+    // sitemapDiscoveries anti-join).
     val discoveredAll = fetchedSitemaps.fold(discovered1) { f =>
       discovered1.select(col("src_h"), col("dst_h"), col("url"))
         .union(sitemapDiscoveries(f.select("sitemap_url", "body"))
-          .filter(col("kind") === "page" &&
-            col("loc").rlike("^(?i:https?)://"))
+          .filter(col("loc").rlike("^(?i:https?)://"))
           .join(f.select("sitemap_url", "host"), Seq("sitemap_url"))
           .select(col("host").as("src_h"),
             canonicalHost(col("loc")).as("dst_h"), col("loc").as("url")))
@@ -2449,16 +2453,19 @@ object WebOps {
     // ---- q154: sitemap-fed crawl frontier ---------------------------
     // The q152 → q130 composition as one oracle query: the REAL path
     // parses the fetched sitemap bodies inside crawlFrontier
-    // (fetchedSitemaps hook — urlset locs become discoveries voted by
-    // the serving host) and runs the full canonicalize / seen
+    // (fetchedSitemaps hook — urlset locs become page discoveries
+    // voted by the serving host, and the index files' PENDING child
+    // sitemaps become fetch candidates competing for the same
+    // politeness slots) and runs the full canonicalize / seen
     // anti-join / vote / politeness chain over the union with link
-    // discoveries; the oracle derives the page set ARITHMETICALLY
-    // from the same (host, slot) universe the XML was built from
-    // (set-identical given q152 green — the parse itself is q152's
-    // oracle) and re-runs the frontier math, so the hash match pins
-    // the wiring end-to-end: one serving-host vote per listed page,
-    // merged into the same per-host groups as link votes, seen pages
-    // suppressed on both branches.
+    // discoveries; the oracle derives the page AND pending-child sets
+    // ARITHMETICALLY from the same (host, slot) universe the XML was
+    // built from (set-identical given q152 green — the parse itself
+    // is q152's oracle) and re-runs the frontier math, so the hash
+    // match pins the wiring end-to-end: one serving-host vote per
+    // listed page, merged into the same per-host groups as link
+    // votes, seen pages suppressed on both branches, the entity-
+    // decoded never-fetched child planned on its host's budget.
     QueryDef(
       "q154_sitemap_frontier_feed",
       """WITH discovered AS (
@@ -2481,7 +2488,17 @@ object WebOps {
         |  SELECT DISTINCT 'https://' || source || '.example.com/p/'
         |    || CAST(doc_id % 40 AS VARCHAR) AS url
         |  FROM documents),
-        |u AS (SELECT * FROM discovered UNION ALL SELECT * FROM smp),
+        |pend AS (
+        |  SELECT DISTINCT
+        |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com' AS src_h,
+        |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com' AS dst_h,
+        |    'https://src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com/sm/missing.xml?a=1&b=2' AS url
+        |  FROM documents WHERE (doc_id * 7 + 3) % 20 % 4 = 2),
+        |u AS (SELECT * FROM discovered UNION ALL SELECT * FROM smp
+        |      UNION ALL SELECT * FROM pend),
         |fresh AS (
         |  SELECT u.* FROM u
         |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = u.url)),
