@@ -201,7 +201,12 @@ object Purge {
         .sortWithinPartitions("shard", "sort_key")
         .write.mode("overwrite").partitionBy("shard").format(format)
         .save(rewriteDir)
-      val after = spark.read.format(format).load(rewriteDir).count()
+      // a total takedown of the affected shards writes ZERO data
+      // files, and schema inference on an empty dir throws; read the
+      // rewrite back with the declared schema so the verification
+      // count still runs (and returns 0) on that input
+      val after = spark.read.format(format).schema(aff.schema)
+        .load(rewriteDir).count()
       ShardPurgeSummary(affected.length.toLong, before - after, after)
     }
   }

@@ -1075,9 +1075,17 @@ object WebOps {
     val pages = recs.filter(!col("idx"))
       .select(lit("page").as("kind"), col("sitemap_url"), col("loc"),
         col("lastmod"))
+    // the pending anti-join keys on CANONICALIZED urls (the emitted
+    // `loc` stays verbatim): a case/spelling variant of an
+    // already-fetched child ("HTTPS://", trailing slash) must not
+    // re-plan it every round — the pending plan has to converge
+    // under spelling variance. (The oracle's raw NOT IN is
+    // equivalent on its fixture, which has no spelling variance.)
     val pending = recs.filter(col("idx"))
-      .join(fetched.select(col("sitemap_url").as("loc")), Seq("loc"),
-        "left_anti")
+      .withColumn("loc_c", canonicalizeUrl(col("loc")))
+      .join(fetched.select(
+          canonicalizeUrl(col("sitemap_url")).as("loc_c")).distinct(),
+        Seq("loc_c"), "left_anti")
       .select(lit("sitemap").as("kind"), col("sitemap_url"), col("loc"),
         col("lastmod"))
     pages.union(pending)
@@ -1095,13 +1103,18 @@ object WebOps {
     * lastmods (they are famously noisy) simply leave those hosts out
     * of `lastmods` and keep the estimator. The join is a left join
     * against the |sitemap-entries|-sized (url, lastmod_ts) frame —
-    * broadcast next to the fetch log.
+    * broadcast next to the fetch log. The same page listed in
+    * several sitemaps ([[sitemapDiscoveries]] naturally yields this)
+    * is collapsed to ONE row — max(lastmod_ts), the latest claim —
+    * before the join, so a multi-listed url cannot fan out into
+    * duplicate schedule rows with conflicting priorities.
     */
   def recrawlScoresWithLastmod(events: DataFrame,
       lastmods: DataFrame): DataFrame =
     recrawlScored(events)
-      .join(lastmods.select(col("url"),
-        unix_micros(col("lastmod_ts")).as("lm_us")), Seq("url"), "left")
+      .join(lastmods.groupBy("url")
+        .agg(max(unix_micros(col("lastmod_ts"))).as("lm_us")),
+        Seq("url"), "left")
       .withColumn("priority_ppm",
         when(col("lm_us").isNull, col("priority_ppm"))
           .when(col("lm_us") > col("last_us"), lit(1000000L))
@@ -1495,12 +1508,21 @@ object WebOps {
     * last fetch) — the internal form [[recrawlScoresWithLastmod]]
     * compares sitemap lastmods against.
     */
-  private def recrawlScored(events: DataFrame): DataFrame = {
-    val log0 = events.select(
+  /** The demo fetch log derived from events: one (url, t_us, changed)
+    * row per event, the shared input of [[recrawlScored]] and
+    * [[unifiedCrawlPlan]]'s seen-set (EVERY logged url — including
+    * once-fetched ones the estimator can't score — is proof of
+    * "seen").
+    */
+  private def fetchLogFrame(events: DataFrame): DataFrame =
+    events.select(
       concat(lit("https://s"), (col("user_id") % 20).cast("string"),
         lit(".example.com/u/"), col("user_id").cast("string")).as("url"),
       unix_micros(col("ts")).as("t_us"),
       col("event_type").isin("purchase", "error").cast("long").as("changed"))
+
+  private def recrawlScored(events: DataFrame): DataFrame = {
+    val log0 = fetchLogFrame(events)
     val perUrl = log0.groupBy("url").agg(
       count(lit(1)).as("n_fetches"),
       sum("changed").as("n_changes"),
@@ -1562,14 +1584,18 @@ object WebOps {
     val revisit = recrawlScores(events)
       .select(canonicalHost(col("url")).as("host"), col("url"),
         col("priority_ppm").as("ppm"), lit("revisit").as("src"))
-    // DISJOINTNESS ENFORCED, not assumed of the caller: the fetch log
-    // proves a URL is seen even when `seen` is stale/incomplete. A URL
-    // landing in both branches would take two of its host's k slots
-    // and duplicate plan rows at the src join-back. The revisit row
-    // wins (it carries the measured change probability); the fresh
-    // candidate dies in the same anti-join that kills seen URLs.
+    // DISJOINTNESS ENFORCED, not assumed of the caller: EVERY
+    // fetch-log URL — including once-fetched ones the estimator
+    // can't score into `revisit` — proves "seen" even when `seen` is
+    // stale/incomplete. A URL landing in both branches would take
+    // two of its host's k slots and duplicate plan rows at the src
+    // join-back; a once-fetched URL must not be re-planned as
+    // 'discover' either. The revisit row wins where one exists (it
+    // carries the measured change probability); every logged URL
+    // dies in the same anti-join that kills seen URLs.
     val fresh = d
-      .join(seenC.union(revisit.select("url")), Seq("url"), "left_anti")
+      .join(seenC.union(fetchLogFrame(events).select("url").distinct()),
+        Seq("url"), "left_anti")
       .groupBy(col("dst_h").as("host"), col("url"))
       .agg(countDistinct("src_h").as("n_referrers"))
       .select(col("host"), col("url"),

@@ -242,7 +242,14 @@ object CorpusSources {
     *  - bad: response records missing a target URI, whose body has
     *    no HTTP header terminator (no payload is recoverable), or
     *    whose DECLARED charset is unknown or rejects its bytes (see
-    *    below) — the verbatim record, per the F2 DLQ contract.
+    *    below) — the record as the reader surfaced it, per the F2
+    *    DLQ contract. Charset-failure records are verbatim bytes
+    *    (the strict decode refused to touch them); a record that
+    *    transcoded CLEANLY but DLQs for a later reason (missing
+    *    URI, no header terminator) carries the rebuilt UTF-8
+    *    payload — and therefore a stale Content-Length — with its
+    *    `charset` verdict naming the applied decoding, so a replay
+    *    splits on the blank line and never re-walks the length.
     *
     * CHARSET: real crawls are a charset zoo (Latin-1, Shift-JIS,
     * GBK…). The format's reader honors the HTTP

@@ -6,14 +6,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ScaleOpsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle joins
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh").toString)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // getOrCreate APPLIES a builder's non-static confs to whatever
+    // active/default session it finds, so putting
+    // autoBroadcastJoinThreshold=-1 in the builder can poison
+    // ANOTHER suite's session (PlanAuditSpec's broadcast
+    // assertions) when suites race in one JVM — and a clear-then-
+    // getOrCreate isn't atomic. Keep the builder benign and set the
+    // forcing conf only on a PRIVATE newSession(), whose SQLConf no
+    // other suite can share.
+    val base = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val s = base.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle joins
+    s
+  }
 
   test("saltedJoin equals the plain join on a skewed key distribution") {
     import spark.implicits._
