@@ -849,6 +849,61 @@ object Bench {
           None
       }
 
+    // SEMDEDUP-PRODUCTION datapoint: q155's oracle-pinned
+    // configuration is a FIXED k=8 codebook, so probing q155 itself
+    // on ×factor embeddings re-measures the within-cell ×factor²
+    // pair blowup (the q132 situation — a testbed artifact, not a
+    // plan property). The production discipline is the paper's own:
+    // k sized ~n/⟨cell⟩ (50k cells for LAION) so cell populations —
+    // and with them the per-cell pair space — stay constant as the
+    // corpus grows. This record measures that contract directly:
+    // semDedup end-to-end (fit + assign + pairs + verdicts, the
+    // operator as shipped) at k=8 on the base corpus vs k=8·factor
+    // on the ×factor corpus, interleaved min-of-N wall times plus
+    // the dropped-row counts on both sides. Time ratio ~factor is
+    // the pass; ×factor² would flag the pair join degenerating.
+    val semDedupProduction: Option[String] =
+      if (probeOnly.exists(s => !s.contains("semdedup_production"))) None
+      else try {
+        import org.apache.spark.sql.functions.col
+        val kBase = 8
+        case class SdSide(nVec: Long, k: Int, nDropped: Long,
+          run: () => Unit)
+        def sdSetup(dir: String, k: Int): SdSide = {
+          val e = spark.read.parquet(s"$dir/embeddings.parquet")
+            .select("vec_id", "embedding")
+          val nDropped = graft.queries.SimilarityOps
+            .semDedup(e, k, iters = 3, minCos = 0.3)
+            .filter(!col("kept")).count()
+          SdSide(e.count(), k, nDropped, () =>
+            graft.queries.SimilarityOps
+              .semDedup(e, k, iters = 3, minCos = 0.3)
+              .write.format("noop").mode("overwrite").save())
+        }
+        val sdBase = sdSetup(sfDir, kBase)
+        val sdScaled = sdSetup(probeDir, kBase * factor)
+        val sb = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val sp = scala.collection.mutable.ArrayBuffer.empty[Double]
+        for (_ <- 0 until probeRuns) {
+          val t0 = System.nanoTime(); sdBase.run()
+          sb += (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); sdScaled.run()
+          sp += (System.nanoTime() - t1) / 1e9
+        }
+        def sdJson(s: SdSide, runs: Seq[Double]) =
+          s"""{"n_vec":${s.nVec},"k":${s.k},"n_dropped":${s.nDropped},""" +
+            s""""sec":${runs.min},"runs":[${runs.mkString(",")}]}"""
+        Some(s"""{"base":${sdJson(sdBase, sb.toSeq)},""" +
+          s""""scaled":${sdJson(sdScaled, sp.toSeq)},""" +
+          s""""time_ratio":${sp.min / sb.min}}""")
+      } catch {
+        case t: Throwable =>
+          System.err.println(
+            s"[scaleprobe] FAILED semdedup_production: " +
+              s"${t.getClass.getName}: ${t.getMessage}")
+          None
+      }
+
     // best-effort cleanup of the generated probe corpus
     try {
       import scala.jdk.CollectionConverters._
@@ -876,6 +931,7 @@ object Bench {
       s""""rows_scaled":${rowsBase * factor},""" +
       s""""fixed_probe_decon":$fixedProbeJson,""" +
       s""""bitext_production":${bitextProduction.getOrElse("null")},""" +
+      s""""semdedup_production":${semDedupProduction.getOrElse("null")},""" +
       s""""queries":$fullQ}"""
     // first-wins short keys, full name on collision (the headline
     // map's rule) — q86_64's "q86" prefix must not overwrite q86's

@@ -50,6 +50,10 @@ import org.apache.spark.storage.StorageLevel
   *      candidate stage re-verified by character-level Levenshtein
   *      similarity (q94), for corpora where 3-token shingle Jaccard
   *      is too coarse (OCR noise, code, short docs)
+  *   4c. (optional) SemDeDup — embedding-cluster semantic dedup
+  *      (q155): k-means the survivors' embeddings, drop within-cell
+  *      cosine near-dups keeping each group's outlier — the
+  *      PARAPHRASE rung no shingle pass sees (Abbas et al. 2023)
   *   5. decontamination      — shingle overlap vs the probe source,
   *      with the PROBE side drawn from the full redacted input so a
   *      probe doc filtered or deduped away upstream still flags its
@@ -141,6 +145,24 @@ object CurationPipeline {
     * similarity is >= the threshold cluster and collapse to their
     * min-doc_id representative — the character-level fidelity pass
     * for OCR/code corpora where shingle Jaccard under-counts.
+    *
+    * `semDedupCfg = Some((docEmbeddings, k, iters, minCos))` inserts
+    * SemDeDup (q155, SimilarityOps.semDedup — Abbas et al. 2023)
+    * after the lexical dedup rungs: the SURVIVORS' embeddings are
+    * k-means-clustered (q116's exact-integer fit, run fresh on each
+    * pipeline invocation's survivor set), and within each cell every
+    * cosine-≥-minCos pair drops its closer-to-centroid member — the
+    * PARAPHRASE rung: reworded boilerplate shares no 3-token shingle
+    * with its twin, so stages 4/4b cannot see it, and unlike stage
+    * 5a it needs no probe set — the corpus dedups against itself.
+    * `docEmbeddings` = (doc_id, embedding Array[Float/Double] in
+    * [-1,1]); docs without an embedding row cannot be flagged and
+    * pass through (the semanticDecon convention). Like
+    * semanticDecon's docEmbeddings, the frame is corpus-sized and
+    * deliberately not digest-scanned on resume — (k, iters, minCos)
+    * are fingerprinted. Cost: the fit's iters scans of the survivor
+    * embeddings + one within-cell pair join (cell-population-
+    * bounded) + an ids-only anti-join.
     *
     * `c4Lines` / `dedupLines` insert the line-granularity cleanup
     * stages (q102 / q101) right after redaction — for corpora with
@@ -294,6 +316,7 @@ object CurationPipeline {
       keepPplBuckets: Option[Set[String]] = None,
       budgetFrac: Option[(Int, Int)] = None,
       editMinSim: Option[Double] = None,
+      semDedupCfg: Option[(DataFrame, Int, Int, Double)] = None,
       semanticDecon: Option[(DataFrame, DataFrame, Double)] = None,
       c4Lines: Boolean = false,
       dedupLines: Boolean = false,
@@ -384,6 +407,9 @@ object CurationPipeline {
       // at the price the default declines to pay).
       val fp = Seq(probeSource, minJaccard, minShared, nShards, seed,
         keepPplBuckets.map(_.toSeq.sorted), budgetFrac, editMinSim,
+        // the embedding frame is corpus-sized (not digest-scanned,
+        // the semanticDecon docEmbeddings contract); the knobs are
+        semDedupCfg.map { case (_, k, it, mc) => (k, it, mc) },
         semanticDecon.map { case (_, probes, minCos) =>
           (frameDigest(probes), minCos) },
         c4Lines, dedupLines, urlCol, urlGatePatterns,
@@ -738,6 +764,28 @@ object CurationPipeline {
         nearDeduped.join(clusterKeepers(nearDeduped, epairs), Seq("doc_id")))
     }
 
+    // 4c. optional SemDeDup (q155) — the semantic dedup rung: fit
+    // k-means on the SURVIVORS' embeddings, drop within-cell cosine
+    // near-dups keeping each group's farthest-from-centroid member.
+    // Docs without an embedding row cannot be flagged and pass (the
+    // anti-join is against the DROPPED ids, never a semi-join
+    // against kept ones). The fit runs eager driver-side rounds, so
+    // it lives inside the by-name stage body — a stageDir resume
+    // that loads this boundary never pays for the Lloyd iterations.
+    val semDeduped = semDedupCfg.fold(editDeduped) {
+      case (docEmb, k, iters, minCos) =>
+        stage("sem_dedup", {
+          val survEmb = docEmb
+            .join(editDeduped.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+          val droppedIds = graft.queries.SimilarityOps
+            .semDedup(survEmb, k, iters, minCos)
+            .filter(!col("kept"))
+            .select(col("vec_id").as("doc_id"))
+          editDeduped.join(droppedIds, Seq("doc_id"), "left_anti")
+        })
+    }
+
     // 5. decontamination — flag docs sharing >= minShared distinct
     // 3-token shingles with the probe source (q58), drop them AND the
     // probe docs themselves. The PROBE side comes from the FULL
@@ -749,12 +797,12 @@ object CurationPipeline {
     val sh = DedupOps.sourcedShingles(
       redacted.filter(col("source") === probeSource)
         .select("doc_id", "source", "text")
-        .unionByName(editDeduped.filter(col("source") =!= probeSource)
+        .unionByName(semDeduped.filter(col("source") =!= probeSource)
           .select("doc_id", "source", "text")))
     val contaminated = DedupOps.decontaminate(sh, probeSource, minShared)
       .select("doc_id")
     val clean0 = stage("decontaminated",
-      editDeduped.filter(col("source") =!= probeSource)
+      semDeduped.filter(col("source") =!= probeSource)
         .join(contaminated, Seq("doc_id"), "left_anti"))
 
     // 5a. optional SEMANTIC decontamination (q54) — paraphrased

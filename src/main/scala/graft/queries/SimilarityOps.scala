@@ -826,6 +826,81 @@ object SimilarityOps {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup as the PUBLISHED composition, not just its pieces: k-means
+    * the corpus ([[kmeansMicro]]'s exact-integer fit), assign every
+    * vector to its fitted cell (the online [[microArgmin]] rule,
+    * same as q117), compare pairs ONLY within a cell, and for every
+    * pair whose embedding cosine reaches `minCos` drop the member
+    * CLOSER to its cell centroid — the paper's keep-the-outlier rule
+    * (keeping the farthest-from-centroid member preserves the
+    * cell's diversity; ties drop the larger vec_id). This is the
+    * semantic rung of the dedup ladder: MinHash (q36) sees lexical
+    * twins, this sees PARAPHRASED boilerplate no shingle survives,
+    * and q54 sees only probe-targeted leakage.
+    *
+    * Returns one verdict row per input vector:
+    * (vec_id, cell_id, kept, n_dup_partners, max_cosine) — kept =
+    * the vector is the drop side of NO pair (so each within-cell
+    * duplicate group keeps at least its outlier, exactly the paper's
+    * "remove all but one" applied through the per-pair rule);
+    * n_dup_partners / max_cosine describe the pairs that condemned a
+    * dropped vector (0 / null on kept rows).
+    *
+    * All cosine math runs on the micro-quantized integers cast to
+    * double (cosine is scale-invariant; the quantization makes the
+    * fold engine-exact, the q116 argument). Scale shape: fit =
+    * kmeansMicro (assignment-scan-bound, k·dim driver state);
+    * assignment is per-row against the centroid literal; the pair
+    * space is a cell_id EQUI-join — bounded by cell population,
+    * never a corpus theta-join (with k sized ~n/⟨cell⟩ as the paper
+    * does — 50k cells for LAION — cells stay constant-sized and the
+    * join stays linear); the verdict rollup is partial-aggregable on
+    * the drop side and joins back |dropped|-sized. The assigned
+    * frame feeds three consumers (both pair sides + the verdict
+    * join-back), so it is localCheckpointed once — the q142 move:
+    * one scan+assign instead of three.
+    */
+  def semDedup(embFrame: DataFrame, k: Int, iters: Int,
+      minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embFrame.sparkSession)
+    val cents = collectCentroids(kmeansMicro(embFrame, k, iters))
+    val assigned = embFrame
+      .withColumn("__em", transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
+      .withColumn("__cb", microCodebookLit(cents))
+      .withColumn("cell_id", microArgmin("__em", "__cb"))
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+        expr("transform(__em, x -> cast(x as double))").as("emd"),
+        // sim to the ASSIGNED cell's centroid (assignment is by L2,
+        // so this is NOT simply the max cosine over cells)
+        expr("cosine_sim(transform(__em, x -> cast(x as double)), " +
+          "transform(element_at(__cb, cast(cell_id as int) + 1).cent, " +
+          "x -> cast(x as double)))").as("cc"))
+      .localCheckpoint()
+    val a = assigned.select(col("cell_id"), col("vec_id").as("vec_a"),
+      col("emd").as("ea"), col("cc").as("cc_a"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("vec_b"),
+      col("emd").as("eb"), col("cc").as("cc_b"))
+    val dropped = a.join(b, Seq("cell_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        when(col("cc_a") > col("cc_b"), col("vec_a"))
+          .when(col("cc_b") > col("cc_a"), col("vec_b"))
+          .otherwise(greatest(col("vec_a"), col("vec_b"))).as("dropped_vec"),
+        expr("cosine_sim(ea, eb)").as("c"))
+      .filter(col("c") >= minCos)
+      .groupBy("dropped_vec")
+      .agg(count(lit(1)).as("n_dup_partners"),
+        round(max("c"), 4).as("max_cosine"))
+    assigned.join(dropped,
+        assigned("vec_id") === dropped("dropped_vec"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        col("dropped_vec").isNull.as("kept"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
+        col("max_cosine"))
+  }
+
   /** q84's full-rebuild IVF-PQ oracle — shared verbatim by
     * q84_ivfpq_incremental: the incremental append must be
     * hash-identical to the rebuild, so the SAME SQL is its oracle.
@@ -1843,6 +1918,64 @@ object SimilarityOps {
         buildIvfPqIndex(delta, Ivf.codebook),
         voteThresholdBp = 250L)
         .orderBy("cell_id")
+    },
+
+    // ---- q155: SemDeDup (fitted-cluster semantic dedup) -----------
+    // The PUBLISHED composition (Abbas et al. 2023) end-to-end:
+    // q116's exact-integer k-means FIT on the corpus itself (q68
+    // uses a fixed pre-fitted codebook — this is the missing fit→
+    // dedup wiring), per-row assignment with the FINAL centroids,
+    // within-cell cosine pairs, and the keep-the-outlier verdict per
+    // vector. The oracle unrolls the whole chain — 3 Lloyd rounds,
+    // the integer-L2 final assignment, per-cell pair cosines on the
+    // micro-quantized doubles, the closer-to-centroid drop rule, and
+    // the survivor join-back — so a hash match pins fit, assignment,
+    // pair generation, and the keeper rule in one go.
+    QueryDef(
+      "q155_semdedup_fit",
+      s"""WITH ${kmeansSqlCtes(n = 3, k = 8)},
+         |af AS (
+         |  SELECT vec_id, em, cell_id FROM (
+         |    SELECT e.vec_id, e.em, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (SELECT sum((a - b) * (a - b))
+         |         FROM (SELECT unnest(e.em) AS a, unnest(c.cent) AS b) z),
+         |        c.cell_id) AS rn
+         |    FROM e, c3 c) w WHERE rn = 1),
+         |asg0 AS (
+         |  SELECT af.vec_id, af.cell_id,
+         |    list_transform(af.em, x -> CAST(x - 1000 AS DOUBLE)) AS emd,
+         |    (SELECT list_transform(c.cent, x -> CAST(x - 1000 AS DOUBLE))
+         |     FROM c3 c WHERE c.cell_id = af.cell_id) AS centd
+         |  FROM af),
+         |asg AS (
+         |  SELECT vec_id, cell_id, emd,
+         |    list_dot_product(emd, centd) /
+         |      (sqrt(list_dot_product(emd, emd)) *
+         |       sqrt(list_dot_product(centd, centd))) AS cc
+         |  FROM asg0),
+         |pairs AS (
+         |  SELECT CASE WHEN a.cc > b.cc THEN a.vec_id
+         |              WHEN b.cc > a.cc THEN b.vec_id
+         |              ELSE greatest(a.vec_id, b.vec_id) END AS dropped_vec,
+         |    list_dot_product(a.emd, b.emd) /
+         |      (sqrt(list_dot_product(a.emd, a.emd)) *
+         |       sqrt(list_dot_product(b.emd, b.emd))) AS c
+         |  FROM asg a JOIN asg b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         |drp AS (
+         |  SELECT dropped_vec, count(*) AS n_dup_partners,
+         |    round(max(c), 4) AS max_cosine
+         |  FROM pairs WHERE c >= 0.3 GROUP BY dropped_vec)
+         |SELECT s.vec_id, CAST(s.cell_id AS BIGINT) AS cell_id,
+         |  d.dropped_vec IS NULL AS kept,
+         |  CAST(COALESCE(d.n_dup_partners, 0) AS BIGINT) AS n_dup_partners,
+         |  d.max_cosine
+         |FROM asg s LEFT JOIN drp d ON d.dropped_vec = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
+      semDedup(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+        k = 8, iters = 3, minCos = 0.3)
+        .orderBy("vec_id")
     }
   )
 

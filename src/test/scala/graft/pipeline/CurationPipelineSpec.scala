@@ -282,6 +282,64 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"unexpected extra drops: ${kept1 -- kept2}")
   }
 
+  test("sem-dedup stage: a paraphrase pair (shingle-disjoint, embedding-parallel) collapses to ONE representative only with the stage on") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+    // the PARAPHRASE-DUP hazard: two docs that share no 3-token
+    // shingle (stage 4's MinHash is blind) but whose embeddings are
+    // near-parallel (cos ~0.95) — SemDeDup's within-cell rule must
+    // drop exactly one of them (the closer-to-centroid member) and
+    // keep the other; unlike stage 5a there is NO probe set — the
+    // corpus dedups against itself
+    val planted = Seq(
+      (90030L, "the fast relay crew moves fresh crates from every dock " +
+        "and then stacks them near the wide gate for quick loading by " +
+        "porters tonight", "en", "srcA"),
+      (90031L, "a calm review panel checks those draft pages and then " +
+        "sends tidy notes back to each author for small fixes before " +
+        "print day arrives", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val docs = real.filter($"doc_id" < 90000L).unionByName(planted)
+
+    // control: no embeddings → both paraphrase twins sail through
+    val out1 = java.nio.file.Files.createTempDirectory("graft_nosd").toString
+    CurationPipeline.run(spark, docs, "src0", out1)
+    val kept1 = spark.read.parquet(out1).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept1.contains(90030L) && kept1.contains(90031L),
+      "control run should keep both paraphrase twins")
+
+    // a known real survivor gets an ORTHOGONAL embedding: it must
+    // survive the stage (cos 0/0.32 to the pair — below threshold),
+    // pinning that having an embedding row is not itself a hazard;
+    // every other real doc has NO row and must pass untouched
+    val witness = kept1.filter(_ < 90000L).min
+    val docEmb = Seq(
+      (90030L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (90031L, Seq(0.9, 0.3, 0.0, 0.0)),
+      (witness, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("doc_id", "embedding")
+
+    val out2 = java.nio.file.Files.createTempDirectory("graft_sd").toString
+    val l2 = CurationPipeline.run(spark, docs, "src0", out2,
+      semDedupCfg = Some((docEmb, 1, 2, 0.9)))
+    assert(l2.map(_.stage) == Seq("input", "redacted", "quality",
+      "exact_dedup", "near_dedup", "sem_dedup", "decontaminated",
+      "written"), l2)
+    val c2 = l2.map(s => s.stage -> s.docs).toMap
+    assert(c2("sem_dedup") == c2("near_dedup") - 1,
+      s"exactly one twin should drop: $l2")
+    val kept2 = spark.read.parquet(out2).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept2.contains(witness), "orthogonal-embedding doc dropped")
+    assert(kept2.contains(90030L) ^ kept2.contains(90031L),
+      "the pair must collapse to exactly one representative")
+    assert((kept1 -- kept2).subsetOf(Set(90030L, 90031L)) &&
+      (kept1 -- kept2).size == 1,
+      s"unexpected extra drops: ${kept1 -- kept2}")
+  }
+
   test("line stages: C4 page hazards and a corpus-repeated line die only with the stages on") {
     import spark.implicits._
     val footer = "the footer of this site."

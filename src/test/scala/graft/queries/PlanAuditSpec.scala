@@ -713,6 +713,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cell assignment must be per-row, not a ranked join:\n$p")
   }
 
+  test("q155 semDedup: fitted-cell pairs stay an equi-join, no cartesian, no window") {
+    // the FIT (kmeansMicro) runs eagerly inside the query fn; the
+    // returned frame's plan is the assignment + pair + verdict chain,
+    // which must keep q68's shape with the fitted codebook literal:
+    // pairs bounded by cell population, never a corpus theta-join
+    val p = plan("q155_semdedup_fit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup pair space must be the cell equi-join:\n$p")
+    assert(!p.contains("Window"),
+      s"cell assignment must be per-row, not a ranked join:\n$p")
+    // the three consumers read the checkpointed assignment, not three
+    // re-scans of the parquet + argmin chain
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"assignment should be checkpointed once for its three consumers:\n$p")
+  }
+
   test("q69 unigram-LM scoring broadcasts the size-gated vocab (map-side scoring)") {
     val p = plan("q69_unigram_lm_score")
     // toy vocab is under the gate → the scoring join must be a
