@@ -207,6 +207,24 @@ object CurationPipeline {
     * the min doc_id. The URL column is provenance only — it is
     * dropped after the stage and never emitted.
     *
+    * `noindexCol`, when set, names a BOOLEAN column on `docs` (the
+    * page's own `<meta name=robots content=…noindex…>` verdict —
+    * the raw-WARC intake emits it as `noindex`, q156's per-row read)
+    * and inserts the compliance gate as the VERY FIRST stage: a page
+    * that declares noindex must not land in a training corpus, full
+    * stop, so it dies before any other work — and it dies WITH a
+    * ledger row (`noindex_gate`), never silently. NULL verdicts pass
+    * (no declaration is no evidence — the q120 convention).
+    *
+    * `declaredCanonicalCol` (requires `urlCol`) names the page's own
+    * `<link rel=canonical>` target column and switches the URL-dedup
+    * stage's keeper key to q157's rule: a SAME-host declaration
+    * replaces the page url as the dedup key (collapsing ?session/
+    * ?utm twins no syntactic rule can), a cross-host declaration is
+    * ignored (the loop-safety rule — see
+    * WebOps.urlDedupDeclared), empty/null declarations fall back to
+    * the url. Same stage cost shape; only the grouping key changes.
+    *
     * `urlGatePatterns` (requires `urlCol`) inserts the URL pattern
     * gate (q120, WebOps.urlBlocked) as stage 0a, FIRST — before even
     * URL dedup, because the raw URL shape is free relative to
@@ -322,6 +340,8 @@ object CurationPipeline {
       dedupLines: Boolean = false,
       urlCol: Option[String] = None,
       urlGatePatterns: Option[Seq[String]] = None,
+      noindexCol: Option[String] = None,
+      declaredCanonicalCol: Option[String] = None,
       classifierMinScore: Option[Long] = None,
       perceptronGate: Option[(Column, Int)] = None,
       langIdGate: Option[(Seq[(String, Map[String, Long])], Set[String])] = None,
@@ -346,6 +366,9 @@ object CurationPipeline {
       : Seq[StageCount] = {
     require(urlGatePatterns.isEmpty || urlCol.nonEmpty,
       "urlGatePatterns needs urlCol: the gate matches against the URL")
+    require(declaredCanonicalCol.isEmpty || urlCol.nonEmpty,
+      "declaredCanonicalCol needs urlCol: the declaration replaces the " +
+        "url as the dedup key only where one exists")
     require(domainCapN.isEmpty || urlCol.nonEmpty,
       "domainCapN needs urlCol: the cap keys on the URL's canonical host")
     require(domainMeanMinScore.isEmpty || urlCol.nonEmpty,
@@ -413,6 +436,7 @@ object CurationPipeline {
         semanticDecon.map { case (_, probes, minCos) =>
           (frameDigest(probes), minCos) },
         c4Lines, dedupLines, urlCol, urlGatePatterns,
+        noindexCol, declaredCanonicalCol,
         classifierMinScore,
         perceptronGate.map { case (c, r) => s"$c|$r" },
         // weights serialized sorted so the fingerprint is stable
@@ -470,7 +494,18 @@ object CurationPipeline {
     }
 
     val input = stage("input", docs.select(
-      ("doc_id" +: "text" +: "lang" +: "source" +: urlCol.toSeq).map(col): _*))
+      ("doc_id" +: "text" +: "lang" +: "source" +: (urlCol.toSeq ++
+        noindexCol.toSeq ++ declaredCanonicalCol.toSeq)).map(col): _*))
+
+    // 0-pre. optional noindex compliance gate (q156's verdict) — the
+    // page itself said "do not index me"; it dies before ANY other
+    // work, with a ledger row. NULL passes (no declaration is no
+    // evidence); the verdict column is retired at the gate — no
+    // later stage may re-litigate a compliance decision.
+    val noindexGated = noindexCol.fold(input) { nc =>
+      stage("noindex_gate",
+        input.filter(!coalesce(col(nc), lit(false))).drop(nc))
+    }
 
     // 0a. optional URL pattern gate (q120) — block URL shapes before
     // ANY other work, dedup included: the raw-URL predicate is free
@@ -481,8 +516,9 @@ object CurationPipeline {
     // domain gate's no-evidence-passes convention.
     val urlGated = (for { uc <- urlCol; pats <- urlGatePatterns } yield
       stage("url_gate",
-        input.filter(coalesce(!WebOps.urlBlocked(col(uc), pats), lit(true))))
-    ).getOrElse(input)
+        noindexGated.filter(
+          coalesce(!WebOps.urlBlocked(col(uc), pats), lit(true))))
+    ).getOrElse(noindexGated)
 
     // 0. optional URL-level dedup (q103) — keep the min-doc_id doc
     // per canonical URL: one partial-aggregable groupBy on the
@@ -491,8 +527,19 @@ object CurationPipeline {
     // before everything else: a recrawl duplicate shed here never
     // pays for redaction, line cleanup or content hashing.
     val urlDeduped = urlCol.fold(urlGated) { uc =>
+      // with declaredCanonicalCol set, the keeper key honors the
+      // page's own SAME-host canonical declaration (q157's rule —
+      // cross-host declarations never change the key, the
+      // urlDedupDeclared loop-safety argument); otherwise the plain
+      // q103 canonical-url key
+      val key = declaredCanonicalCol.fold(
+        WebOps.canonicalizeUrl(col(uc))) { dc =>
+        val honored = col(dc).isNotNull && col(dc) =!= "" &&
+          WebOps.canonicalHost(col(dc)) === WebOps.canonicalHost(col(uc))
+        WebOps.canonicalizeUrl(when(honored, col(dc)).otherwise(col(uc)))
+      }
       val keepers = urlGated
-        .groupBy(WebOps.canonicalizeUrl(col(uc)).as("cu"))
+        .groupBy(key.as("cu"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       // the url column survives this stage for the optional domain

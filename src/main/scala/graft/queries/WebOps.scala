@@ -857,6 +857,104 @@ object WebOps {
     filter(transform(htmlHrefs(html), h => resolveUrl(base, h)),
       x => x.rlike("^(?i:https?)://"))
 
+  // ---- HTML-declared crawl directives (q156/q157) ------------------
+
+  /** The page's own `<link rel="canonical" href=…>` target, entity-
+    * decoded; empty string when the page declares none. THE most
+    * common session-id/mirror duplicate signal a real crawl honors:
+    * the page itself names its preferred URL, and a dedup keyed on it
+    * collapses ?sessionid= twins no syntactic rule can. Attribute
+    * order is free in HTML — the tag match requires only
+    * rel=canonical ANYWHERE in a `<link>` tag, then pulls href from
+    * the matched tag (double-quoted first, then single — the
+    * [[htmlHrefs]] matching-pair discipline). First declaring tag
+    * wins (the HTML spec ignores later duplicates). Pure per-row
+    * regexp work; every pattern is shared Java-regex/RE2 syntax so
+    * the oracle runs the byte-identical match.
+    */
+  def declaredCanonical(html: Column): Column = {
+    val tag = regexp_extract(html,
+      "(?is)(<link\\b[^>]*\\brel\\s*=\\s*[\"']?canonical\\b[^>]*>)", 1)
+    val dq = regexp_extract(tag, "(?is)href\\s*=\\s*\"([^\"]+)\"", 1)
+    val sq = regexp_extract(tag, "(?is)href\\s*=\\s*'([^']+)'", 1)
+    xmlUnescape(when(dq =!= "", dq).otherwise(sq))
+  }
+
+  /** True iff a `<meta name="robots">` tag's content carries `token`
+    * (`noindex` / `nofollow`), either attribute order,
+    * case-insensitive, quoted or bare values — two rlikes per flag,
+    * engine-portable.
+    */
+  private[graft] def robotsMetaDirective(html: Column,
+      token: String): Column =
+    html.rlike("(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b" +
+        s"[^>]*\\bcontent\\s*=\\s*[\"']?[^\"'>]*\\b$token\\b") ||
+      html.rlike(s"(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']?[^\"'>]*" +
+        s"\\b$token\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b")
+
+  /** q156's operator: the page-declared crawl directives as ONE
+    * struct — (declared_canonical, noindex, nofollow). These are the
+    * compliance signals a real crawl must read out of the page
+    * itself: the canonical link feeds URL dedup
+    * ([[urlDedupDeclared]]), `noindex` means the page must not land
+    * in the corpus, `nofollow` means its links must not vote in the
+    * frontier ([[htmlLinksResolvedFollow]]). Per-row regexp chain on
+    * the raw HTML — zero shuffle, rides the intake scan.
+    */
+  def pageDirectives(html: Column): Column = struct(
+    declaredCanonical(html).as("declared_canonical"),
+    robotsMetaDirective(html, "noindex").as("noindex"),
+    robotsMetaDirective(html, "nofollow").as("nofollow"))
+
+  /** [[htmlLinksResolved]] under nofollow compliance: anchors whose
+    * `rel` contains `nofollow` are dropped (their hrefs never emit),
+    * and a page-level `<meta name=robots content=…nofollow…>` mutes
+    * ALL of the page's links — the two RFC/Google-documented forms of
+    * "this link is not a vote". This is the extraction the frontier
+    * feed should consume ([[graft.sources.CorpusSources]]'s outlink
+    * sidecar does): a crawler that lets nofollow links vote is both
+    * non-compliant and spam-gameable (comment-spam links exist
+    * precisely because naive crawlers count them). Scope narrows to
+    * `<a>` tags (the voting kind); [[htmlLinks]]/[[htmlLinksResolved]]
+    * stay the raw any-href extractors for the link-census queries.
+    */
+  def htmlLinksResolvedFollow(html: Column, base: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>"), lit(0))
+    val follow = filter(tags,
+      t => !t.rlike("(?is)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow"))
+    val hrefs = flatten(transform(follow, t => concat(
+      regexp_extract_all(t, lit("href\\s*=\\s*\"([^\"]+)\""), lit(1)),
+      regexp_extract_all(t, lit("href\\s*=\\s*'([^']+)'"), lit(1)))))
+    when(robotsMetaDirective(html, "nofollow"),
+        typedLit(Seq.empty[String]))
+      .otherwise(filter(transform(hrefs, h => resolveUrl(base, h)),
+        x => x.rlike("^(?i:https?)://")))
+  }
+
+  /** q157's operator: [[urlDedup]] with the page-declared canonical
+    * preferred as the keeper key. HONOR RULE (loop-safety): a
+    * declaration is honored only when its target is on the SAME
+    * canonical host as the page — a cross-host `rel=canonical` is
+    * trivially weaponized (any page could fold itself into — or
+    * poison — another site's dedup key space), so cross-host
+    * declarations are reported by [[pageDirectives]] but never
+    * change the key here (honoring a VERIFIED cross-host target —
+    * one the crawl fetched and saw agreeing content for — is the
+    * crawl loop's extension point, deliberately not this operator's
+    * default). Same shape and output schema as q103: one partial-
+    * aggregable groupBy on the canonicalized key.
+    */
+  def urlDedupDeclared(docsWithUrl: DataFrame, urlCol: String = "url",
+      declaredCol: String = "declared_canonical"): DataFrame = {
+    val honored = col(declaredCol).isNotNull && col(declaredCol) =!= "" &&
+      canonicalHost(col(declaredCol)) === canonicalHost(col(urlCol))
+    docsWithUrl
+      .groupBy(canonicalizeUrl(
+        when(honored, col(declaredCol)).otherwise(col(urlCol)))
+        .as("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+  }
+
   /** RFC 9309 (robots.txt) — the applicable rule group for a crawler
     * product token, parsed entirely with per-row array/regexp
     * expressions (a robots file is one small row per host; parsing
@@ -2551,6 +2649,171 @@ object WebOps {
       crawlFrontier(discovered, seen, perHostK = 3,
           fetchedSitemaps = Some(sitemapFetchedFrame(s, dir)))
         .orderBy("host", "rnk")
+    },
+
+    // ---- q156: page-declared crawl directives ----------------------
+    // rel=canonical + robots-meta read out of the page itself — the
+    // compliance signals q103's syntactic rules cannot see. The
+    // fixture plants every attribute-order/quoting/case hazard:
+    // rel-before-href double-quoted with an entity-escaped query
+    // (%3==0), href-before-rel single-quoted UPPERCASE tag with a
+    // CROSS-host target (%3==1 — reported here; honoring is q157's
+    // rule), name-then-content quoted metas, content-then-name with
+    // an UNQUOTED name and uppercase token, an index,follow decoy
+    // that must flag nothing, and a rel=stylesheet link decoy. Both
+    // engines build the identical HTML and run the byte-identical
+    // regex chain.
+    QueryDef(
+      "q156_page_directives",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t</title><link rel="stylesheet" href="/css/site.css">'
+        |    || CASE WHEN doc_id % 3 = 0 THEN
+        |         '<link rel="canonical" href="https://src'
+        |         || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |         || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+        |         || '?a=1&amp;b=2">'
+        |       WHEN doc_id % 3 = 1 THEN
+        |         '<LINK href=''https://other' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '.example.org/x'' rel=''canonical''>'
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN '<meta name="robots" content="noindex, nofollow">'
+        |       WHEN doc_id % 4 = 1 THEN '<meta content="NOFOLLOW" name=robots>'
+        |       WHEN doc_id % 4 = 2
+        |         THEN '<meta name="robots" content="index, follow">'
+        |       ELSE '' END
+        |    || '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, html,
+        |    regexp_extract(html,
+        |      '(?is)(<link\b[^>]*\brel\s*=\s*["'']?canonical\b[^>]*>)', 1)
+        |      AS tag
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id, html,
+        |    CASE WHEN regexp_extract(tag, '(?is)href\s*=\s*"([^"]+)"', 1) <> ''
+        |         THEN regexp_extract(tag, '(?is)href\s*=\s*"([^"]+)"', 1)
+        |         ELSE regexp_extract(tag, '(?is)href\s*=\s*''([^'']+)''', 1)
+        |         END AS rawhref
+        |  FROM t)
+        |SELECT doc_id,
+        |  replace(replace(replace(replace(replace(rawhref,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&apos;', chr(39)), '&amp;', '&') AS declared_canonical,
+        |  (regexp_matches(html, '(?is)<meta\b[^>]*\bname\s*=\s*["'']?robots\b[^>]*\bcontent\s*=\s*["'']?[^"''>]*\bnoindex\b')
+        |   OR regexp_matches(html, '(?is)<meta\b[^>]*\bcontent\s*=\s*["'']?[^"''>]*\bnoindex\b[^>]*\bname\s*=\s*["'']?robots\b'))
+        |    AS noindex,
+        |  (regexp_matches(html, '(?is)<meta\b[^>]*\bname\s*=\s*["'']?robots\b[^>]*\bcontent\s*=\s*["'']?[^"''>]*\bnofollow\b')
+        |   OR regexp_matches(html, '(?is)<meta\b[^>]*\bcontent\s*=\s*["'']?[^"''>]*\bnofollow\b[^>]*\bname\s*=\s*["'']?robots\b'))
+        |    AS nofollow
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val canTag = when(col("doc_id") % 3 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://src"),
+            ((col("doc_id") * 7 + 3) % 20).cast("string"),
+            lit(".example.com/p/"), (col("doc_id") % 40).cast("string"),
+            lit("?a=1&amp;b=2\">")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("<LINK href='https://other"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.org/x' rel='canonical'>")))
+        .otherwise(lit(""))
+      val metaTag = when(col("doc_id") % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(col("doc_id") % 4 === 1,
+          lit("<meta content=\"NOFOLLOW\" name=robots>"))
+        .when(col("doc_id") % 4 === 2,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>t</title>" +
+          "<link rel=\"stylesheet\" href=\"/css/site.css\">"),
+        canTag, metaTag,
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      d.select(col("doc_id"), pageDirectives(html).as("pd"))
+        .select(col("doc_id"),
+          col("pd.declared_canonical").as("declared_canonical"),
+          col("pd.noindex").as("noindex"),
+          col("pd.nofollow").as("nofollow"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q157: canonical-declaration URL dedup ---------------------
+    // q103's dedup with the page's OWN canonical honored as the
+    // keeper key — the dedup signal that collapses ?session/?utm
+    // twins no syntactic rule can. The loop-safety honor rule is
+    // under test: %3==0 docs declare a SAME-host canonical (honored
+    // — their key ignores the synthetic url's www/port/slash/query
+    // variance entirely), %3==1 docs declare a CROSS-host target
+    // (ignored — the key stays the page url), %3==2 declare nothing.
+    // The oracle re-derives the honor rule, the host normalization,
+    // and the full q103 canonicalization spec independently.
+    QueryDef(
+      "q157_canonical_url_dedup",
+      s"""WITH u AS (
+         |  SELECT doc_id, $synthUrlSql AS url,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |           'https://' || source || '.example.com/articles/'
+         |           || CAST(doc_id % 50 AS VARCHAR)
+         |         WHEN doc_id % 3 = 1 THEN
+         |           'https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+         |           || '.example.net/d/' || CAST(doc_id % 50 AS VARCHAR)
+         |         ELSE '' END AS declared
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id,
+         |    CASE WHEN declared <> '' AND
+         |      regexp_replace(lower(regexp_replace(
+         |        regexp_extract(declared, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |        ':[0-9]+$$', '')), '^www\\.', '') =
+         |      regexp_replace(lower(regexp_replace(
+         |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |        ':[0-9]+$$', '')), '^www\\.', '')
+         |    THEN declared ELSE url END AS url
+         |  FROM u),
+         |c AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS rawq
+         |  FROM k),
+         |p AS (
+         |  SELECT doc_id, url, scheme,
+         |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
+         |                   '^www\\.', '') AS host,
+         |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+         |    regexp_replace(rawpath, '/+$$', '') AS path,
+         |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+         |      x -> len(x) > 0 AND substr(x, 1, 4) <> 'utm_')), '&') AS q
+         |  FROM c)
+         |SELECT
+         |  CASE WHEN scheme = '' THEN url ELSE
+         |    scheme || '://' || host ||
+         |    CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+         |                               OR (scheme = 'http' AND port = '80'))
+         |         THEN ':' || port ELSE '' END ||
+         |    path ||
+         |    CASE WHEN q <> '' THEN '?' || q ELSE '' END
+         |  END AS canonical_url,
+         |  count(*) AS n_docs,
+         |  min(doc_id) AS keeper_doc_id
+         |FROM p
+         |GROUP BY canonical_url
+         |ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+      val withDecl = docsWithUrl(s, dir)
+        .withColumn("declared_canonical",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("https://"), col("source"),
+              lit(".example.com/articles/"),
+              (col("doc_id") % 50).cast("string")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://cdn"), (col("doc_id") % 5).cast("string"),
+              lit(".example.net/d/"), (col("doc_id") % 50).cast("string")))
+          .otherwise(lit("")))
+      urlDedupDeclared(withDecl).orderBy("canonical_url")
     },
 
     // ---- q146: unified crawl scheduler ----------------------------

@@ -203,8 +203,9 @@ object CorpusSources {
     * raw-HTML intakes cannot drift apart. `textCol` names the
     * column carrying the document text.
     */
-  private def documentRows(frame: DataFrame, textCol: String): DataFrame =
-    frame.select(
+  private def documentRows(frame: DataFrame, textCol: String,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    frame.select(Seq(
       xxhash64(when(col("rid") =!= "", col("rid")).otherwise(col("uri")))
         .as("doc_id"),
       col(textCol).as("text"),
@@ -212,7 +213,7 @@ object CorpusSources {
       // q32 rule, not a placeholder
       graft.queries.TextOps.predictedLang(col(textCol)).as("lang"),
       graft.queries.WebOps.canonicalHost(col("uri")).as("source"),
-      col("uri").as("url"))
+      col("uri").as("url")) ++ extra: _*)
 
   private def splitWarc(rawIn: DataFrame): (DataFrame, DataFrame) = {
     val parsed = parsedWarc(rawIn)
@@ -235,10 +236,15 @@ object CorpusSources {
     * oracle-pinned chain plus link-density boilerplate removal).
     * Returns (good, bad):
     *
-    *  - good: (doc_id, text, lang, source, url) — the SAME shape as
-    *    [[warcDocuments]], so pipelines and domain operators are
-    *    agnostic to whether the crawl landed as WET or raw WARC;
-    *    `text` is the extracted main text.
+    *  - good: (doc_id, text, lang, source, url) — the
+    *    [[warcDocuments]] shape, so pipelines and domain operators
+    *    are agnostic to whether the crawl landed as WET or raw WARC;
+    *    `text` is the extracted main text — PLUS the page-declared
+    *    directive columns only raw HTML can carry
+    *    (declared_canonical, noindex, nofollow — q156's per-row
+    *    read): the canonical feeds [[graft.queries.WebOps
+    *    .urlDedupDeclared]]'s keeper key, noindex the pipeline's
+    *    compliance gate (WET consumers simply never select them).
     *  - bad: response records missing a target URI, whose body has
     *    no HTTP header terminator (no payload is recoverable), or
     *    whose DECLARED charset is unknown or rejects its bytes (see
@@ -329,14 +335,23 @@ object CorpusSources {
     val undecodable = coalesce(
       col("charset").startsWith("failed:") ||
         col("charset").startsWith("unsupported:"), lit(false))
+    // page-declared crawl directives ride the same scan (q156's
+    // per-row read): declared_canonical feeds the URL-dedup keeper
+    // key downstream, noindex is the page's own "must not land"
+    // verdict — the CurationPipeline noindex gate consumes it with a
+    // ledger row (compliance deaths are accounted, never silent)
     val good = documentRows(
       withHttp
         .filter(isHttp && col("uri") =!= "" &&
           col("ctype").contains("html") && !undecodable)
         .withColumn("extracted",
           graft.queries.WebOps.htmlMainText(col("payload")))
-        .filter(col("extracted") =!= ""),
-      "extracted")
+        .filter(col("extracted") =!= "")
+        .withColumn("pd", graft.queries.WebOps.pageDirectives(col("payload"))),
+      "extracted",
+      Seq(col("pd.declared_canonical").as("declared_canonical"),
+        col("pd.noindex").as("noindex"),
+        col("pd.nofollow").as("nofollow")))
     val bad = withHttp
       .filter(col("uri") === "" || !isHttp ||
         (col("ctype").contains("html") && undecodable))
@@ -378,8 +393,12 @@ object CorpusSources {
         // sidecar must surface RELATIVE links too (same-site nav is
         // the majority of real internal links) or the frontier it
         // feeds systematically under-discovers — the WAT convention
-        // likewise records resolved absolute targets
-        explode(graft.queries.WebOps.htmlLinksResolved(
+        // likewise records resolved absolute targets. FOLLOW-aware
+        // since r18: per-anchor rel=nofollow links and every link of
+        // a robots-meta-nofollow page are excluded — nofollow links
+        // must not vote in the frontier (q156's directive read,
+        // WebOps.htmlLinksResolvedFollow's compliance rule)
+        explode(graft.queries.WebOps.htmlLinksResolvedFollow(
           col("payload"), col("uri"))).as("url"))
       .select(col("src_h"),
         graft.queries.WebOps.canonicalHost(col("url")).as("dst_h"),

@@ -344,4 +344,106 @@ class CrawlToCurationSpec extends AnyFunSuite {
     assert(mirrorFree == Set("https://coast.example.com",
       "https://coast.example.com/x"), mirrorFree.toString)
   }
+
+  // clean page for the compliance test's nofollow-page fixture
+  private val pageF = Seq(
+    "the night market strings its lamps before the first vendors arrive.",
+    "steam rises from the noodle carts while radios argue over scores.",
+    "a fortune teller shares her table with a man selling spare fuses.",
+    "by ten the alley smells of charcoal and five kinds of pepper.",
+    "someone always claims the best stall moved across town years ago.",
+    "the lamps come down at dawn and the street forgets everything.")
+
+  test("canonical + robots-meta compliance e2e: declared canonical folds the session pair, noindex dies with a ledger row, nofollow links never vote") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compliance_e2e")
+    def page(uri: String, rid: String, head: String, lines: Seq[String],
+        body: String = ""): String =
+      rec(Seq("WARC-Type: response", s"WARC-Target-URI: $uri",
+          s"WARC-Record-ID: <urn:uuid:$rid>"),
+        "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html; charset=utf-8" +
+          crlf + crlf +
+          s"<html><head><title>t</title>$head</head><body>$body" +
+          lines.map(l => s"<p>$l</p>").mkString + "</body></html>")
+    val canon =
+      "<link rel=\"canonical\" href=\"https://shore.example.com/story\">"
+    Files.writeString(dir.resolve("c.warc"), warcFile(Seq(
+      // the CANONICAL PAIR: two session-rendered variants of one
+      // logical page — DIFFERENT texts (so no content dedup can fold
+      // them; only the declared canonical key can), both declaring
+      // the same same-host canonical. One also carries a
+      // rel=nofollow anchor that must never vote.
+      page("https://shore.example.com/story?sess=aaa", "p-one", canon,
+        pageA, "<a rel=\"nofollow\" href=\"https://spam.example.net/promo\">x</a>" +
+          "<a href=\"https://planet.example.net/hub2\">hub</a>"),
+      page("https://shore.example.com/story?sess=bbb", "p-two", canon, pageD),
+      // the NOINDEX page: clean content the quality stages would
+      // keep — only the compliance gate can kill it
+      page("https://shore.example.com/hidden", "p-noidx",
+        "<meta name=\"robots\" content=\"noindex\">", pageB),
+      // the NOFOLLOW PAGE: every link muted by the page-level meta
+      page("https://shore.example.com/links", "p-nofol",
+        "<meta name=\"robots\" content=\"nofollow\">", pageF,
+        "<a href=\"https://nf-target.example.net/only-here\">t</a>"))))
+
+    val (good, _) = CorpusSources.warcHtmlDocuments(spark, dir.toString)
+    val rows = good.collect()
+    assert(rows.length == 4, rows.toSeq.toString)
+    val urlOf = rows.map(r =>
+      r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("url"))).toMap
+    // vacuity guard: all four pages must clear the batch quality
+    // stage, or the compliance assertions below test nothing
+    val nGopher = good.filter(TextOps.gopherKept(col("text"))).count()
+    assert(nGopher == 4L, s"fixture pages must pass gopher: $nGopher/4")
+
+    // CONTROL: without the compliance knobs the session pair stays
+    // two docs (distinct ?sess keys) and the noindex page lands
+    val out1 = Files.createTempDirectory("graft_comp_ctl").toString
+    CurationPipeline.run(spark, good, probeSource = "no-such-source",
+      outDir = out1, urlCol = Some("url"))
+    val kept1 = spark.read.parquet(out1).select("doc_id").as[Long]
+      .collect().toSet.map(urlOf)
+    assert(kept1 == Set(
+      "https://shore.example.com/story?sess=aaa",
+      "https://shore.example.com/story?sess=bbb",
+      "https://shore.example.com/hidden",
+      "https://shore.example.com/links"), kept1)
+
+    // COMPLIANCE RUN: the declared canonical folds the pair to one
+    // keeper; the noindex page dies at the gate WITH a ledger row
+    val out2 = Files.createTempDirectory("graft_comp_on").toString
+    val ledger = CurationPipeline.run(spark, good,
+      probeSource = "no-such-source", outDir = out2,
+      urlCol = Some("url"), noindexCol = Some("noindex"),
+      declaredCanonicalCol = Some("declared_canonical"))
+    assert(ledger.map(_.stage) == Seq("input", "noindex_gate",
+      "url_dedup", "redacted", "quality", "exact_dedup", "near_dedup",
+      "decontaminated", "written"), ledger)
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(counts("input") == 4L, ledger)
+    assert(counts("noindex_gate") == 3L,
+      s"the noindex page must die at the gate: $ledger")
+    assert(counts("url_dedup") == 2L,
+      s"the declared canonical must fold the session pair: $ledger")
+    val kept2 = spark.read.parquet(out2).select("doc_id").as[Long]
+      .collect().toSet.map(urlOf)
+    assert(kept2.contains("https://shore.example.com/links"), kept2)
+    assert(!kept2.contains("https://shore.example.com/hidden"),
+      "noindex page leaked into the corpus")
+    val pair = kept2.filter(_.startsWith("https://shore.example.com/story"))
+    assert(pair.size == 1,
+      s"the canonical pair must collapse to one representative: $kept2")
+
+    // NOFOLLOW compliance in the frontier feed: the rel=nofollow
+    // anchor's target and every link of the meta-nofollow page are
+    // absent from the outlink sidecar; the plain anchor still votes
+    val links = CorpusSources.warcHtmlOutlinks(spark, dir.toString)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(links.contains("https://planet.example.net/hub2"), links)
+    assert(!links.contains("https://spam.example.net/promo"),
+      "rel=nofollow anchor voted in the frontier feed")
+    assert(!links.exists(_.contains("nf-target")),
+      "meta-nofollow page's links voted in the frontier feed")
+  }
 }
