@@ -1602,10 +1602,48 @@ object WebOps {
   def recrawlScores(events: DataFrame): DataFrame =
     recrawlScored(events).drop("last_us")
 
-  /** [[recrawlScores]] plus the `last_us` column (epoch micros of our
-    * last fetch) — the internal form [[recrawlScoresWithLastmod]]
-    * compares sitemap lastmods against.
+  /** q158's operator: the q144 estimator over a STATUS-AWARE fetch
+    * log — the form a real conditional-request crawler accumulates.
+    * `fetchLog` = (url, ts, fetch_id, status, digest): a 304 row is
+    * the CHEAPEST possible "unchanged" observation (headers only, no
+    * body — the whole point of If-Modified-Since/If-None-Match) and
+    * counts as changed=0 at its timestamp; a 200 whose content
+    * digest EQUALS the last known digest of the same url likewise
+    * (servers that don't do conditional requests still can't fool
+    * the estimator into seeing a change); a 200 with a NEW digest is
+    * a change; the first content observation of a url is no change
+    * evidence either way. Without this, revisits that come back 304
+    * are dropped on the floor and change rates stay biased toward
+    * the full-fetch history — a 304-heavy host keeps its stale
+    * priority instead of decaying.
+    *
+    * `digest` must be null on 304 rows (a 304 carries no body to
+    * digest); `fetch_id` breaks ordering ties when two fetches of
+    * one url share a timestamp. The change derivation needs each
+    * url's fetches in order — a window PARTITIONED BY URL, which is
+    * bounded by per-page fetch history (a polite crawler revisits a
+    * page dozens of times, never millions — nothing corpus-shaped
+    * funnels through one partition). Everything after is q144's
+    * partial-aggregable estimator.
     */
+  def recrawlScoresFromLog(fetchLog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("url").orderBy("t_us", "fetch_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val log0 = fetchLog.select(col("url"),
+        unix_micros(col("ts")).as("t_us"), col("fetch_id"),
+        col("status"), col("digest"))
+      .withColumn("prev_digest", last(col("digest"), ignoreNulls = true)
+        .over(w))
+      .withColumn("changed",
+        when(col("status") === 304, lit(0L))
+          .when(col("prev_digest").isNull, lit(0L))
+          .when(col("digest") === col("prev_digest"), lit(0L))
+          .otherwise(lit(1L)))
+      .select("url", "t_us", "changed")
+    recrawlEstimator(log0).drop("last_us")
+  }
+
   /** The demo fetch log derived from events: one (url, t_us, changed)
     * row per event, the shared input of [[recrawlScored]] and
     * [[unifiedCrawlPlan]]'s seen-set (EVERY logged url — including
@@ -1619,8 +1657,18 @@ object WebOps {
       unix_micros(col("ts")).as("t_us"),
       col("event_type").isin("purchase", "error").cast("long").as("changed"))
 
-  private def recrawlScored(events: DataFrame): DataFrame = {
-    val log0 = fetchLogFrame(events)
+  /** [[recrawlScores]] plus the `last_us` column (epoch micros of our
+    * last fetch) — the internal form [[recrawlScoresWithLastmod]]
+    * compares sitemap lastmods against.
+    */
+  private def recrawlScored(events: DataFrame): DataFrame =
+    recrawlEstimator(fetchLogFrame(events))
+
+  /** The q144 estimator tail over any (url, t_us, changed) fetch log
+    * — shared by the event-derived demo log ([[recrawlScored]]) and
+    * the status-aware log ([[recrawlScoresFromLog]]).
+    */
+  private def recrawlEstimator(log0: DataFrame): DataFrame = {
     val perUrl = log0.groupBy("url").agg(
       count(lit(1)).as("n_fetches"),
       sum("changed").as("n_changes"),
@@ -2814,6 +2862,81 @@ object WebOps {
               lit(".example.net/d/"), (col("doc_id") % 50).cast("string")))
           .otherwise(lit("")))
       urlDedupDeclared(withDecl).orderBy("canonical_url")
+    },
+
+    // ---- q158: 304-aware conditional recrawl -----------------------
+    // The q144 estimator over a STATUS-AWARE fetch log: a revisit
+    // answered 304 is the cheapest possible unchanged observation
+    // and must update the change-rate estimate at its timestamp; a
+    // 200 with an identical content digest is likewise unchanged; a
+    // 200 with a new digest is a change. Three deterministic branches
+    // planted from events: %3==0 urls are 304-HEAVY (bodies only on
+    // purchases, with an alternating digest), %3==1 urls change on
+    // every fetch (digest = event id), %3==2 never change (constant
+    // digest). The oracle re-derives the last-known-digest window,
+    // the change verdicts, and the full q144 chain independently.
+    QueryDef(
+      "q158_recrawl_304",
+      """WITH flog AS (
+        |  SELECT 'https://s' || CAST(user_id % 20 AS VARCHAR)
+        |      || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+        |    epoch_us(ts) AS t_us, event_id AS fetch_id,
+        |    CASE WHEN user_id % 3 = 0 AND event_type <> 'purchase'
+        |         THEN 304 ELSE 200 END AS status,
+        |    CASE WHEN user_id % 3 = 0 AND event_type <> 'purchase' THEN NULL
+        |         WHEN user_id % 3 = 0 THEN 'p' || CAST(event_id % 2 AS VARCHAR)
+        |         WHEN user_id % 3 = 1 THEN CAST(event_id AS VARCHAR)
+        |         ELSE 'stable' END AS digest
+        |  FROM events),
+        |ch AS (
+        |  SELECT url, t_us,
+        |    CASE WHEN status = 304 THEN 0
+        |         WHEN prev_digest IS NULL THEN 0
+        |         WHEN digest = prev_digest THEN 0 ELSE 1 END AS changed
+        |  FROM (
+        |    SELECT url, t_us, status, digest,
+        |      last_value(digest IGNORE NULLS) OVER (
+        |        PARTITION BY url ORDER BY t_us, fetch_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS prev_digest
+        |    FROM flog)),
+        |g AS (SELECT max(t_us) AS now_us FROM ch),
+        |per AS (
+        |  SELECT url, count(*) AS n_fetches, sum(changed) AS n_changes,
+        |    min(t_us) AS first_us, max(t_us) AS last_us
+        |  FROM ch GROUP BY url),
+        |calc AS (
+        |  SELECT url, n_fetches, n_changes,
+        |    (g.now_us - last_us) AS age_us,
+        |    (last_us - first_us) AS span_us,
+        |    ln((n_fetches * 2 + 1) * 1.0
+        |       / ((n_fetches - n_changes) * 2 + 1)) AS r_nats
+        |  FROM per, g
+        |  WHERE n_fetches >= 2 AND last_us > first_us)
+        |SELECT url, n_fetches, CAST(n_changes AS BIGINT) AS n_changes,
+        |  age_us // 1000000 AS age_sec,
+        |  CAST(floor(r_nats * (n_fetches - 1) * 86400000000.0 / span_us
+        |    * 1000000.0 + 0.5) AS BIGINT) AS lambda_uday,
+        |  CAST(floor((1.0 - exp(-(r_nats * (n_fetches - 1) * age_us
+        |    / span_us))) * 1000000.0 + 0.5) AS BIGINT) AS priority_ppm
+        |FROM calc
+        |ORDER BY priority_ppm DESC, url
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val is304 = col("user_id") % 3 === 0 && col("event_type") =!= "purchase"
+      val log = ev.select(
+        concat(lit("https://s"), (col("user_id") % 20).cast("string"),
+          lit(".example.com/u/"), col("user_id").cast("string")).as("url"),
+        col("ts"), col("event_id").as("fetch_id"),
+        when(is304, lit(304)).otherwise(lit(200)).as("status"),
+        when(is304, lit(null).cast("string"))
+          .when(col("user_id") % 3 === 0,
+            concat(lit("p"), (col("event_id") % 2).cast("string")))
+          .when(col("user_id") % 3 === 1, col("event_id").cast("string"))
+          .otherwise(lit("stable")).as("digest"))
+      recrawlScoresFromLog(log)
+        .orderBy(col("priority_ppm").desc, col("url"))
+        .limit(50)
     },
 
     // ---- q146: unified crawl scheduler ----------------------------

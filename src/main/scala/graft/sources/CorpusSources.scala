@@ -404,6 +404,37 @@ object CorpusSources {
         graft.queries.WebOps.canonicalHost(col("url")).as("dst_h"),
         col("url"))
 
+  /** The CONDITIONAL-FETCH LOG sidecar of the raw-crawl intake —
+    * q158's input shape, extracted from the same response archives
+    * as the documents and the links: one row per HTTP response,
+    * (url, ts, fetch_id, status, digest) where `ts` is the record's
+    * WARC-Date, `status` the HTTP status line's code, and `digest`
+    * an md5 of the payload for bodied responses — NULL on 304s
+    * (headers only; nothing to digest, and the estimator's
+    * last-known-digest carry is exactly what a 304 means). Feeding
+    * this to [[graft.queries.WebOps.recrawlScoresFromLog]] closes
+    * the conditional-recrawl loop: revisits answered 304 decay their
+    * page's change estimate instead of being dropped on the floor.
+    * Same per-row scan shape as the other sidecars — no shuffle.
+    */
+  def warcFetchLog(spark: SparkSession, path: String): DataFrame =
+    fetchLogRows(htmlResponses(spark.read.format("warc-record")
+      .schema(WarcFileFormat.schema).load(path)))
+
+  private def fetchLogRows(withHttp: DataFrame): DataFrame =
+    withHttp
+      .filter(isHttp && col("uri") =!= "")
+      .withColumn("status",
+        regexp_extract(col("http_headers"),
+          "^HTTP/[^ ]+ +([0-9]{3})", 1).cast("int"))
+      .select(col("uri").as("url"),
+        to_timestamp(regexp_extract(col("rec"),
+          "(?m)^WARC-Date: *(\\S+)", 1)).as("ts"),
+        xxhash64(col("rid")).as("fetch_id"),
+        col("status"),
+        when(col("status") === 304, lit(null).cast("string"))
+          .otherwise(md5(col("payload"))).as("digest"))
+
   /** CSV corpus with a header row. `enforceSchema=false` makes Spark
     * VALIDATE header names against the schema instead of applying it
     * positionally — a reordered export (`doc_id,source,lang,text`)

@@ -435,6 +435,52 @@ class CrawlToCurationSpec extends AnyFunSuite {
     assert(pair.size == 1,
       s"the canonical pair must collapse to one representative: $kept2")
 
+    // CONDITIONAL-RECRAWL loop: the same archive format carries the
+    // fetch history — full fetches with bodies, then 304 revisits
+    // (header-only HTTP messages with a WARC-Date). The fetch-log
+    // sidecar turns them into q158's status-aware log, and the
+    // estimator counts every 304 as an unchanged observation: the
+    // page's change estimate (and recrawl priority) DECAYS vs the
+    // two-fetch prefix
+    val rdir = Files.createTempDirectory("graft_304_e2e")
+    def fetchRec(uri: String, rid: String, date: String,
+        http: String): String =
+      rec(Seq("WARC-Type: response", s"WARC-Target-URI: $uri",
+        s"WARC-Record-ID: <urn:uuid:$rid>", s"WARC-Date: $date"), http)
+    def fullFetch(uri: String, rid: String, date: String,
+        body: String): String =
+      fetchRec(uri, rid, date, "HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html; charset=utf-8" + crlf + crlf +
+        s"<html><body><p>$body</p></body></html>")
+    def revisit304(uri: String, rid: String, date: String): String =
+      fetchRec(uri, rid, date, "HTTP/1.1 304 Not Modified" + crlf +
+        "ETag: \"x\"")
+    val pu = "https://shore.example.com/changing"
+    Files.writeString(rdir.resolve("prefix.warc"), warcFile(Seq(
+      fullFetch(pu, "f1", "2026-03-01T00:00:00Z", "one version here."),
+      fullFetch(pu, "f2", "2026-03-02T00:00:00Z", "another version now."),
+      // a far-future anchor pins "now" identically for both readings
+      fullFetch("https://far.example.com/x", "fx",
+        "2026-04-01T00:00:00Z", "anchor."))))
+    def priorityOf(dir: String): (Long, Long, Long) = {
+      val m = graft.queries.WebOps
+        .recrawlScoresFromLog(CorpusSources.warcFetchLog(spark, dir))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+      m(pu)
+    }
+    val beforeP = priorityOf(rdir.toString)
+    Files.writeString(rdir.resolve("revisits.warc"), warcFile(Seq(
+      revisit304(pu, "f3", "2026-03-03T00:00:00Z"),
+      revisit304(pu, "f4", "2026-03-04T00:00:00Z"),
+      revisit304(pu, "f5", "2026-03-05T00:00:00Z"))))
+    val afterP = priorityOf(rdir.toString)
+    assert(beforeP._1 == 2L && beforeP._2 == 1L, beforeP.toString)
+    assert(afterP._1 == 5L && afterP._2 == 1L,
+      s"304 revisits must count as unchanged fetches: $afterP")
+    assert(afterP._3 < beforeP._3,
+      s"a 304-heavy page's priority must decay: $beforeP -> $afterP")
+
     // NOFOLLOW compliance in the frontier feed: the rel=nofollow
     // anchor's target and every link of the meta-nofollow page are
     // absent from the outlink sidecar; the plain anchor still votes

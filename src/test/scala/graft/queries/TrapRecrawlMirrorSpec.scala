@@ -246,6 +246,57 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
 
   // ---- q152: sitemap lastmod → recrawl prior -------------------------
 
+  test("recrawl: 304 responses decay a host's priority; same-digest 200s count as unchanged") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    def logDf(rows: Seq[(String, Timestamp, Long, Int, String)]) =
+      rows.toDF("url", "ts", "fetch_id", "status", "digest")
+        .withColumn("digest",
+          when(col("digest") === "", lit(null).cast("string"))
+            .otherwise(col("digest")))
+    val page = "https://h.example.com/p"
+    val anchor = ("https://far.example.com/x", ts(500), 900L, 200, "a")
+    val anchor2 = ("https://far.example.com/x", ts(501), 901L, 200, "b")
+    // history: two full fetches, content changed between them — the
+    // estimator sees 2 fetches / 1 change and a hot-ish rate
+    val before = Seq(
+      (page, ts(0), 1L, 200, "d1"),
+      (page, ts(10), 2L, 200, "d2"),
+      anchor, anchor2)
+    // then THREE conditional revisits all come back 304 (headers
+    // only): each is an unchanged observation at its timestamp, so
+    // the estimated change rate — and with it the priority — DECAYS
+    val after = before ++ Seq(
+      (page, ts(20), 3L, 304, ""),
+      (page, ts(30), 4L, 304, ""),
+      (page, ts(40), 5L, 304, ""))
+    def scoreOf(rows: Seq[(String, Timestamp, Long, Int, String)]) =
+      WebOps.recrawlScoresFromLog(logDf(rows))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    val b = scoreOf(before)(page)
+    val a = scoreOf(after)(page)
+    assert(b._1 === 2L && b._2 === 1L, b.toString)
+    assert(a._1 === 5L && a._2 === 1L,
+      s"304s must count as fetches without changes: $a")
+    assert(a._3 < b._3,
+      s"a 304-heavy page's priority must decay: before=${b._3} after=${a._3}")
+
+    // same-digest 200s are unchanged too — a server that ignores
+    // conditional headers cannot inflate the change rate; and the
+    // digest carries ACROSS 304 gaps (the 304 rows have no body):
+    // a 200 repeating the last known digest is no change
+    val sameDigest = after ++ Seq((page, ts(50), 6L, 200, "d2"))
+    val s = scoreOf(sameDigest)(page)
+    assert(s._1 === 6L && s._2 === 1L,
+      s"a same-digest 200 after 304s must stay unchanged: $s")
+    // ...while a NEW digest after the gap is a change
+    val newDigest = after ++ Seq((page, ts(50), 6L, 200, "d3"))
+    val n = scoreOf(newDigest)(page)
+    assert(n._2 === 2L, s"a new digest after 304s is a change: $n")
+  }
+
   test("recrawl: a sitemap lastmod prior overrides the estimator both ways") {
     import spark.implicits._
     import java.sql.Timestamp
