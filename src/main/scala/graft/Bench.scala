@@ -1012,11 +1012,13 @@ object Bench {
       .select("doc_id", "text", "source").as[(Long, String, String)].collect()
     val crlf = "\r\n"
     val sb = new StringBuilder
+    val recStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var n = 0L
     for (c <- 0 until copies; (d, t, src) <- docs) {
       // real WET shape: mandatory Content-Length drives the exact
       // record walk (WarcFileFormat), which is what this measures
       val bodyLen = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      recStarts += sb.length
       sb.append("WARC/1.0").append(crlf)
         .append("WARC-Type: conversion").append(crlf)
         .append("WARC-Target-URI: https://").append(src)
@@ -1030,6 +1032,25 @@ object Bench {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_bench")
     java.nio.file.Files.write(dir.resolve("bench.warc"),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the SAME records in the standard CommonCrawl layout:
+    // per-record gzip MEMBERS concatenated into .warc.gz files, many
+    // files per dump (8 here) so the one-task-per-gzip-file rule
+    // still parallelizes — the measured price of reading the
+    // standard compressed format vs the plain archive
+    val mmDir = java.nio.file.Files.createTempDirectory("graft_warc_mmgz")
+    val nFiles = 8
+    val outs = (0 until nFiles).map(k => java.nio.file.Files
+      .newOutputStream(mmDir.resolve(f"bench-$k%02d.warc.gz")))
+    for (ri <- recStarts.indices) {
+      val end = if (ri + 1 < recStarts.length) recStarts(ri + 1) else sb.length
+      val gz = new java.util.zip.GZIPOutputStream(outs(ri % nFiles)) {
+        override def close(): Unit = { finish(); flush() } // keep file open
+      }
+      gz.write(sb.substring(recStarts(ri), end)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.close()
+    }
+    outs.foreach(_.close())
     def time(read: () => org.apache.spark.sql.DataFrame): Double =
       (0 until reps + 1).map { _ =>
         val t0 = System.nanoTime()
@@ -1054,9 +1075,13 @@ object Bench {
     // apples-to-apples price of Content-Length exactness
     val lineSep = time(() =>
       graft.sources.CorpusSources.warcDocumentsLineSep(spark, dir.toString)._1)
+    val mmGz = time(() =>
+      graft.sources.CorpusSources.warcDocuments(spark, mmDir.toString)._1)
     val fmt = String.format(java.util.Locale.ROOT, "%.3f", Double.box(best))
     s"""{"records":$n,"sec_min":$fmt,"rows_per_sec":${(n / best).toLong},""" +
-      s""""linesep_rows_per_sec":${(n / lineSep).toLong}}"""
+      s""""linesep_rows_per_sec":${(n / lineSep).toLong},""" +
+      s""""mmgz_files":$nFiles,""" +
+      s""""mmgz_rows_per_sec":${(n / mmGz).toLong}}"""
   }
 
   /** The fixed CPU-bound calibration workload: a 4-deep xxhash64

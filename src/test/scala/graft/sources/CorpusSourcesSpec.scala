@@ -432,6 +432,67 @@ class CorpusSourcesSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("gzip: charset transcode and DLQ routing work through multi-member .warc.gz") {
+    // the standard CommonCrawl layout must not bypass the intake's
+    // HARD paths: a Latin-1-declared response (single high bytes on
+    // the wire) must transcode, a signature-less response must DLQ
+    // verbatim, and an unknown-charset declaration must DLQ with its
+    // verdict — each record its own gzip member
+    val crlf = "\r\n"
+    def rec(headers: Seq[String], body: String): String =
+      "WARC/1.0" + crlf + headers.mkString(crlf) + crlf + crlf +
+        body + crlf + crlf
+    val latin1 = rec(Seq("WARC-Type: response",
+      "WARC-Target-URI: https://l1.example.com/cafe",
+      "WARC-Record-ID: <urn:uuid:mm-l1>"),
+      "HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html; charset=ISO-8859-1" + crlf + crlf +
+        "<html><body><p>the café serves pâtisserie near the quay.</p>" +
+        "</body></html>")
+    val garbage = rec(Seq("WARC-Type: response",
+      "WARC-Target-URI: https://g.example.com/x",
+      "WARC-Record-ID: <urn:uuid:mm-garbage>"),
+      "NOT an http message at all")
+    val unknownCs = rec(Seq("WARC-Type: response",
+      "WARC-Target-URI: https://u.example.com/y",
+      "WARC-Record-ID: <urn:uuid:mm-unknown>"),
+      "HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html; charset=klingon-8" + crlf + crlf +
+        "<html><body><p>whatever bytes.</p></body></html>")
+    val clean = rec(Seq("WARC-Type: response",
+      "WARC-Target-URI: https://c.example.com/ok",
+      "WARC-Record-ID: <urn:uuid:mm-clean>"),
+      "HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html; charset=utf-8" + crlf + crlf +
+        "<html><body><p>a perfectly ordinary page body.</p></body></html>")
+    val dir = Files.createTempDirectory("graft_warc_mmgz_paths")
+    val out = java.nio.file.Files.newOutputStream(dir.resolve("mm.warc.gz"))
+    for ((r, cs) <- Seq(
+        (latin1, java.nio.charset.StandardCharsets.ISO_8859_1),
+        (garbage, java.nio.charset.StandardCharsets.UTF_8),
+        (unknownCs, java.nio.charset.StandardCharsets.UTF_8),
+        (clean, java.nio.charset.StandardCharsets.UTF_8))) {
+      val gz = new java.util.zip.GZIPOutputStream(out) {
+        override def close(): Unit = { finish(); flush() }
+      }
+      gz.write(r.getBytes(cs))
+      gz.close()
+    }
+    out.close()
+    val (good, bad) = CorpusSources.warcHtmlDocuments(spark, dir.toString)
+    val byUrl = good.collect().map(r =>
+      r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(byUrl.keySet == Set("https://l1.example.com/cafe",
+      "https://c.example.com/ok"), byUrl.keySet)
+    // the accented bytes survived the member decompress + transcode
+    assert(byUrl("https://l1.example.com/cafe")
+      .contains("café serves pâtisserie"), byUrl)
+    val dlq = bad.collect().map(_.getString(0))
+    assert(dlq.length == 2, dlq.toSeq.map(_.take(60)))
+    assert(dlq.exists(_.contains("mm-garbage")), dlq.toSeq)
+    assert(dlq.exists(_.contains("mm-unknown")), dlq.toSeq)
+  }
+
   test("gzip: .warc.gz archives read whole-file per task with the same rows") {
     val recs = (0 until 8).map(i => recCL(Seq("WARC-Type: conversion",
       s"WARC-Target-URI: https://gz$i.example.com/$i",
