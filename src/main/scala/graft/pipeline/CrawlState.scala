@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The DURABLE crawl-state artifact — the restart story for the crawl
+  * loop itself. CurationPipeline resumes from stageDir and Compaction
+  * recovers its window/index from workDir, but the crawl loop's state
+  * (the seen set, the conditional-fetch log, the pending sitemap
+  * plan) lived only in caller-held frames: a driver loss lost the
+  * frontier. This object gives those three frames the same versioned
+  * persist/recover contract the other artifacts have:
+  *
+  *  - every save lands under `stateDir/state_vN` (N monotone), never
+  *    overwriting the version a running planner may still be reading
+  *    lazily — the compaction rotation convention;
+  *  - the three components are written in a FIXED order (seen,
+  *    fetch_log, pending_sitemaps), so the LAST one's `_SUCCESS`
+  *    certifies the whole version: a crash mid-save leaves an
+  *    uncertified dir that recovery skips (and the next save
+  *    overwrites), exactly like Compaction's index rotation;
+  *  - `stateDir` is marked on first save and the marker is required
+  *    ever after — pointing the saver at a corpus directory (or a
+  *    DIFFERENT artifact's dir) fails loudly instead of interleaving
+  *    foreign files with training data (the Purge same-dir
+  *    discipline, applied to dir identity rather than path equality).
+  *
+  * Schemas are the caller's: `seen` is (url), `fetchLog` is q158's
+  * (url, ts, fetch_id, status, digest) — [[graft.sources
+  * .CorpusSources.warcFetchLog]]'s shape — and `pendingSitemaps` is
+  * q152's pending plan (kind, sitemap_url, loc, lastmod); recovery
+  * hands back whatever was saved. Parquet round-trips an EMPTY frame
+  * fine here (non-partitioned writes emit a schema-bearing part
+  * file), so a fresh crawl's empty seen set is a valid version 1.
+  *
+  * Single-writer by contract (one crawl loop owns a stateDir — the
+  * foreachBatch discipline); readers are unconstrained.
+  */
+object CrawlState {
+
+  /** One recovered state version: the frames as saved, plus which
+    * version they came from (the loop saves version+1 next).
+    */
+  final case class Recovered(version: Int, seen: DataFrame,
+      fetchLog: DataFrame, pendingSitemaps: DataFrame)
+
+  private val Marker = "crawl_state_dir"
+  // fixed write order — the LAST component's _SUCCESS certifies
+  private val Components = Seq("seen", "fetch_log", "pending_sitemaps")
+
+  private def fs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def completeVersions(spark: SparkSession,
+      stateDir: String): Seq[Int] = {
+    val (f, root) = fs(spark, stateDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("state_v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("state_v").toInt).toOption)
+      .filter(v => f.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/state_v$v/${Components.last}/_SUCCESS")))
+      .toSeq.sorted
+  }
+
+  private def requireMarkedOrFresh(spark: SparkSession,
+      stateDir: String): Unit = {
+    val (f, root) = fs(spark, stateDir)
+    if (f.exists(root)) {
+      val entries = f.listStatus(root).map(_.getPath.getName)
+      require(entries.isEmpty || entries.contains(Marker),
+        s"$stateDir exists and is NOT a crawl-state dir (no $Marker " +
+          "marker) — refusing to write state into a foreign directory")
+    }
+  }
+
+  /** Persist one crawl round's state as the next version; returns the
+    * version written. The write is crash-safe by ordering: a version
+    * counts only once its last component's `_SUCCESS` exists, so a
+    * failure anywhere mid-save is invisible to [[recover]] and the
+    * retry simply overwrites the uncertified dir.
+    */
+  def save(spark: SparkSession, stateDir: String, seen: DataFrame,
+      fetchLog: DataFrame, pendingSitemaps: DataFrame): Int = {
+    requireMarkedOrFresh(spark, stateDir)
+    val (f, root) = fs(spark, stateDir)
+    if (!f.exists(root)) f.mkdirs(root)
+    val marker = new org.apache.hadoop.fs.Path(root, Marker)
+    if (!f.exists(marker)) f.create(marker, true).close()
+    val next = completeVersions(spark, stateDir).lastOption.getOrElse(0) + 1
+    val vDir = s"$stateDir/state_v$next"
+    // fixed order: pending_sitemaps last — its _SUCCESS certifies
+    seen.write.mode("overwrite").parquet(s"$vDir/seen")
+    fetchLog.write.mode("overwrite").parquet(s"$vDir/fetch_log")
+    pendingSitemaps.write.mode("overwrite")
+      .parquet(s"$vDir/pending_sitemaps")
+    next
+  }
+
+  /** Load the newest COMPLETE version, or None on a fresh dir. An
+    * uncertified (crashed) save is skipped — the loop resumes from
+    * the last state that fully landed and re-plans that round
+    * (idempotent: planning is a pure function of the state).
+    */
+  def recover(spark: SparkSession, stateDir: String): Option[Recovered] =
+    completeVersions(spark, stateDir).lastOption.map { v =>
+      val vDir = s"$stateDir/state_v$v"
+      Recovered(v,
+        spark.read.parquet(s"$vDir/seen"),
+        spark.read.parquet(s"$vDir/fetch_log"),
+        spark.read.parquet(s"$vDir/pending_sitemaps"))
+    }
+}

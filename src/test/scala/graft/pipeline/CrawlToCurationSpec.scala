@@ -345,6 +345,70 @@ class CrawlToCurationSpec extends AnyFunSuite {
       "https://coast.example.com/x"), mirrorFree.toString)
   }
 
+  test("durable crawl state: a crash mid-save is invisible; the resumed loop re-plans the identical batch") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val stateDir = Files.createTempDirectory("graft_crawl_state").toString
+
+    // round-1 state: what a crawl loop holds between rounds
+    val seen1 = Seq("https://h.example.com/a").toDF("url")
+    val flog1 = Seq(
+      ("https://h.example.com/a", new Timestamp(1700000000000L), 1L, 200,
+        "d1"))
+      .toDF("url", "ts", "fetch_id", "status", "digest")
+    val pend1 = Seq(("sitemap", "https://h.example.com/sitemap.xml",
+      "https://h.example.com/sm/child.xml", "2026-01-01"))
+      .toDF("kind", "sitemap_url", "loc", "lastmod")
+    assert(CrawlState.save(spark, stateDir, seen1, flog1, pend1) == 1)
+
+    val discovered = Seq(
+      ("x.example.com", "h.example.com", "https://h.example.com/a"),
+      ("x.example.com", "h.example.com", "https://h.example.com/b"),
+      ("y.example.com", "h.example.com", "https://h.example.com/b"),
+      ("x.example.com", "p.example.net", "https://p.example.net/q"))
+      .toDF("src_h", "dst_h", "url")
+    def planFrom(st: CrawlState.Recovered): Seq[(String, String, Long, Long)] =
+      graft.queries.WebOps.crawlFrontier(discovered, st.seen, perHostK = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq.sorted
+
+    val r1 = CrawlState.recover(spark, stateDir).get
+    assert(r1.version == 1)
+    val planA = planFrom(r1)
+    assert(planA.nonEmpty && !planA.exists(_._2 == "https://h.example.com/a"),
+      planA.toString) // the seen url never re-plans
+
+    // the loop DIES mid-round-2 save: only the first component of
+    // state_v2 lands (no certifying _SUCCESS on the last one)
+    val seen2 = seen1.union(Seq("https://h.example.com/b").toDF("url"))
+    seen2.write.parquet(s"$stateDir/state_v2/seen")
+    val r2 = CrawlState.recover(spark, stateDir).get
+    assert(r2.version == 1,
+      "an uncertified (crashed) save must be invisible to recovery")
+    // ...and the resumed loop re-plans the IDENTICAL batch
+    assert(planFrom(r2) == planA, "resumed plan must be byte-identical")
+    // the recovered pending sitemap plan survived too
+    assert(r2.pendingSitemaps.collect().map(_.getString(2)).toSeq ==
+      Seq("https://h.example.com/sm/child.xml"))
+
+    // the retried save overwrites the crashed dir and certifies v2;
+    // recovery then moves forward and the plan reflects the new seen
+    assert(CrawlState.save(spark, stateDir, seen2, flog1, pend1) == 2)
+    val r3 = CrawlState.recover(spark, stateDir).get
+    assert(r3.version == 2)
+    assert(r3.seen.count() == 2)
+    assert(!planFrom(r3).exists(_._2 == "https://h.example.com/b"))
+
+    // marker guard: a dir with foreign content is refused
+    val foreign = Files.createTempDirectory("graft_not_state")
+    Files.writeString(foreign.resolve("part-00000.parquet"), "corpus!")
+    val e = intercept[IllegalArgumentException] {
+      CrawlState.save(spark, foreign.toString, seen1, flog1, pend1)
+    }
+    assert(e.getMessage.contains("foreign"), e.getMessage)
+  }
+
   // clean page for the compliance test's nofollow-page fixture
   private val pageF = Seq(
     "the night market strings its lamps before the first vendors arrive.",
