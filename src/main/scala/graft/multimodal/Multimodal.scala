@@ -178,6 +178,30 @@ object Multimodal {
     * keyframes; the slicing/array plumbing is what Spark sees either
     * way.
     */
+  /** q159's operator: the CLIP-score-shaped IMAGE-TEXT PAIR GATE —
+    * the cross-modal keep rule LAION-style curation runs: a pair
+    * whose caption embedding and image embedding agree (cosine >=
+    * `minCos`) is a usable training pair; a scraped alt-text that
+    * describes a different image is not. `pairs` carries the two
+    * embedding columns (with real encoders they arrive from the
+    * models; the stub path derives them via [[extractFeatures]]);
+    * the gate itself is ONE per-row cosine + threshold — zero
+    * shuffle, zero join, rides whatever scan produced the pairs.
+    * Returns the input plus (cosine, kept) — a verdict, not a
+    * filter, so callers can ledger the deaths (the pipeline stage
+    * filters on `kept`).
+    */
+  def imageTextGate(pairs: DataFrame, minCos: Double,
+      imgCol: String = "image_emb", capCol: String = "caption_emb")
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    pairs
+      .withColumn("cosine", expr(
+        s"cosine_sim(transform($imgCol, x -> cast(x as double)), " +
+          s"transform($capCol, x -> cast(x as double)))"))
+      .withColumn("kept", col("cosine") >= minCos)
+  }
+
   def frameSample(media: DataFrame, n: Int): DataFrame = {
     val outSchema = media.schema
       .add(StructField("frames", ArrayType(BinaryType, containsNull = false)))

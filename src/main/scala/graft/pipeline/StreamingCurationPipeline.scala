@@ -28,6 +28,10 @@ import org.apache.spark.storage.StorageLevel
   *                    fixed for the run); q123's self-dedup twin
   *                    stays batch-only (corpus-accreting gram side)
   *   classifier     → q105's exact-integer linear probe, stateless
+  *   image_text_gate→ (optional) q159's cross-modal pair rule —
+  *                    caption-vs-image embedding cosine >= the
+  *                    threshold (the CLIP-score shape), stateless
+  *                    per row over the stream's embedding columns
   *   perceptron_gate→ (optional) q124's TRAINED boundary under a
   *                    loaded savePerceptronModel artifact — the
   *                    batch-fitted weights consumed at ingestion
@@ -103,6 +107,12 @@ object StreamingCurationPipeline {
       clusterCentroids: Option[DataFrame] = None,
       bpeModel: Option[Seq[(String, String)]] = None,
       perceptronWeights: Option[Map[String, Long]] = None,
+      // optional q159 image-text pair gate — the CLIP-score-shaped
+      // cross-modal keep rule (caption embedding vs image embedding
+      // cosine >= the threshold); requires the stream to carry
+      // `image_emb` and `caption_emb` columns (from the encoders, or
+      // the stub feature chain)
+      imageTextMinCos: Option[Double] = None,
       substrDeconProbe: Option[DataFrame] = None,
       substrDeconL: Int = 50,
       // optional q141 language gate — batch-fitted one-vs-rest langID
@@ -277,6 +287,16 @@ object StreamingCurationPipeline {
         StreamOps.classifierScoreStream(df)
           .filter(col("score") >= cfg.classifierMinScore)
           .drop("score", "verdict"))) ++
+      // optional IMAGE-TEXT pair gate (q159) — the cross-modal
+      // quality rung beside the text classifiers: one per-row cosine
+      // + threshold over the pair's two embedding columns, stateless,
+      // zero shuffle (Multimodal.imageTextGate's verdict filtered
+      // here; the ledger row counts the survivors)
+      cfg.imageTextMinCos.toSeq.map(minCos =>
+        "image_text_gate" -> ((df: DataFrame) =>
+          graft.multimodal.Multimodal.imageTextGate(df, minCos)
+            .filter(col("kept"))
+            .drop("cosine", "kept"))) ++
       // optional TRAINED model gate — q124's deployment half in the
       // batch stage order (2c: after the constant-weight classifier,
       // before the dedup rungs). The weights are a corpus-level

@@ -361,6 +361,62 @@ object MultimodalOps {
         phashBallPairs(coded, bits = 64)
           .orderBy("media_type", "media_a", "media_b")
       }
+    },
+
+    // ---- q159: image-text pair gate (CLIP-score shape) ------------
+    // The LAION-style cross-modal keep rule: a pair whose caption
+    // embedding agrees with its image embedding (cosine >= 0.5)
+    // trains; a mismatched alt-text doesn't. Fixture: image features
+    // are the q51 stub chain over md5(text); captions re-run the
+    // SAME chain over md5(text) for even ids (a faithful caption —
+    // cosine exactly 1) and md5(text || ' mismatched caption') for
+    // odd ids (an unrelated one — md5-decorrelated, usually below
+    // the gate but decided identically by both engines either way).
+    // The gate itself is one per-row cosine + threshold — zero
+    // shuffle; the verdict column (not a filter) is what the
+    // pipeline stage ledgers.
+    {
+      val featDim = 8
+      def featSql(hexpr: String) = {
+        val hexDigit = (p: Int) =>
+          s"(instr('0123456789abcdef', substring($hexpr, $p, 1)) - 1)"
+        (0 until featDim).map { i =>
+          s"CAST(CAST((${hexDigit(2 * i + 1)} * 16 + ${hexDigit(2 * i + 2)})" +
+            s" / CAST(255 AS DOUBLE) * 2 - 1 AS REAL) AS DOUBLE)"
+        }.mkString("[", ", ", "]")
+      }
+      QueryDef(
+        "q159_image_text_gate",
+        s"""WITH pairs AS (
+          |  SELECT doc_id AS media_id,
+          |    ${featSql("md5(text)")} AS img,
+          |    ${featSql("md5(text || CASE WHEN doc_id % 2 = 1 " +
+            "THEN ' mismatched caption' ELSE '' END)")} AS cap
+          |  FROM documents),
+          |scored AS (
+          |  SELECT media_id,
+          |    list_dot_product(img, cap) /
+          |      (sqrt(list_dot_product(img, img)) *
+          |       sqrt(list_dot_product(cap, cap))) AS c
+          |  FROM pairs)
+          |SELECT media_id, round(c, 4) AS cosine, c >= 0.5 AS kept
+          |FROM scored ORDER BY media_id""".stripMargin) { (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val img = Multimodal
+          .extractFeatures(Multimodal.mediaFromDocuments(docs), featDim)
+          .select(col("media_id"), col("feature").as("image_emb"))
+        val capDocs = docs.withColumn("text",
+          when(col("doc_id") % 2 === 1,
+            concat(col("text"), lit(" mismatched caption")))
+            .otherwise(col("text")))
+        val cap = Multimodal
+          .extractFeatures(Multimodal.mediaFromDocuments(capDocs), featDim)
+          .select(col("media_id"), col("feature").as("caption_emb"))
+        Multimodal.imageTextGate(img.join(cap, Seq("media_id")), 0.5)
+          .select(col("media_id"), round(col("cosine"), 4).as("cosine"),
+            col("kept"))
+          .orderBy("media_id")
+      }
     }
   )
 }

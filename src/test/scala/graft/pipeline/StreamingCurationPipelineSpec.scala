@@ -710,6 +710,59 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(keptOff == Set(1L, 2L), keptOff)
   }
 
+  test("image_text_gate drops the mismatched pair at ingestion; control keeps it; parity with the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    // pair 1: caption agrees with the image (cos ~0.998); pair 2:
+    // orthogonal caption (cos 0) — the scraped-alt-text mismatch
+    val rows = Seq(
+      (1L, pageA, "https://site.example.com/a", ts(0),
+        Seq(1.0f, 0.0f, 0.0f), Seq(0.95f, 0.05f, 0.0f)),
+      (2L, pageD, "https://site.example.com/d", ts(1),
+        Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))
+
+    def run(minCos: Option[Double]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        imageTextMinCos = minCos)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      val stream =
+        MemoryStream[(Long, String, String, Timestamp, Seq[Float], Seq[Float])]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts",
+          "image_emb", "caption_emb"),
+        cfg, sink)
+      stream.addData(rows)
+      query.processAllAvailable()
+      query.stop()
+      (landed.toSet, ledger().map(s => s.stage -> s.docs).toMap)
+    }
+
+    val (kept, ledgerOn) = run(Some(0.5))
+    assert(kept == Set(1L), s"only the agreeing pair lands: $kept")
+    assert(ledgerOn("image_text_gate") == 1L, ledgerOn)
+    // stream==batch parity: the batch operator's verdicts on the
+    // same rows are exactly what the stage enforced
+    val batch = graft.multimodal.Multimodal.imageTextGate(
+        rows.toDF("doc_id", "text", "url", "ts",
+          "image_emb", "caption_emb"), 0.5)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch == Map(1L -> true, 2L -> false), batch.toString)
+    val (keptOff, ledgerOff) = run(None)
+    assert(!ledgerOff.contains("image_text_gate"), ledgerOff)
+    assert(keptOff == Set(1L, 2L), keptOff)
+  }
+
   test("lang_gate drops the off-language page at ingestion; control run keeps it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
