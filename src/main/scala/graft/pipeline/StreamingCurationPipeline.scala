@@ -11,6 +11,10 @@ import org.apache.spark.storage.StorageLevel
   * [[CurationPipeline]], assembled from the same oracle-checked
   * operator functions and mirroring its stage order:
   *
+  *   noindex_gate   → (optional) q156's robots-meta compliance
+  *                    verdict — the page's own "do not index me"
+  *                    dies before ANY state allocates, stateless,
+  *                    ledger row via observe()
   *   url_gate       → (optional) q120's URL pattern gate, stateless
   *                    per row BEFORE the stateful dedup (batch
   *                    order; a blocked recrawl never allocates
@@ -18,7 +22,10 @@ import org.apache.spark.storage.StorageLevel
   *   url_dedup      → q103's rule as watermarked stream state
   *                    (keep the FIRST-arriving doc per canonical URL;
   *                    equals batch min-doc_id when arrival follows
-  *                    doc_id order — the established parity rule)
+  *                    doc_id order — the established parity rule);
+  *                    under `declaredCanonicalCol` the state key
+  *                    honors the page's own same-host rel=canonical
+  *                    (q157's rule — session twins share one row)
   *   line_filter    → q102's C4 page/line rules, stateless per row
   *   lexicon_gate   → (optional) q119's blocklist page rule on the
   *                    rewritten text, stateless per row
@@ -104,6 +111,14 @@ object StreamingCurationPipeline {
       c4MinKeptLines: Int = 5,
       blockLexicon: Option[Seq[String]] = None,
       urlGatePatterns: Option[Seq[String]] = None,
+      // optional compliance knobs, mirroring the batch pipeline's:
+      // noindexCol names the page's own noindex verdict column (the
+      // raw-WARC intake's `noindex`) — gated FIRST, stateless, with
+      // a ledger row; declaredCanonicalCol names the rel=canonical
+      // target column and switches the URL-dedup STATE KEY to q157's
+      // same-host honor rule (session twins share one state row)
+      noindexCol: Option[String] = None,
+      declaredCanonicalCol: Option[String] = None,
       clusterCentroids: Option[DataFrame] = None,
       bpeModel: Option[Seq[(String, String)]] = None,
       perceptronWeights: Option[Map[String, Long]] = None,
@@ -235,7 +250,8 @@ object StreamingCurationPipeline {
       // rows arriving from the stateful URL-dedup rung; provenance
       // columns retire here, like the batch pipeline's projection
       "url_dedup" -> ((df: DataFrame) =>
-        df.drop("canonical_url", "url")),
+        df.drop("canonical_url" +: "url" +:
+          cfg.declaredCanonicalCol.toSeq: _*)),
       "line_filter" -> ((df: DataFrame) =>
         StreamOps.c4LineFilterStream(df, "text",
           cfg.c4MinWordsPerLine, cfg.c4MinKeptLines))) ++
@@ -383,14 +399,23 @@ object StreamingCurationPipeline {
     // observe() metric: per-batch survivor counts delivered by the
     // progress listener, keyed by batchId like every chain stage
     // (replays overwrite — same idempotency rule).
+    // stage 0-pre: the optional noindex compliance gate — the page's
+    // own "do not index me" dies before ANY state is allocated, with
+    // its own observe() ledger row (batch order; NULL verdicts pass,
+    // the no-evidence rule)
+    val noindexGated = cfg.noindexCol.fold(docs) { nc =>
+      docs.filter(!coalesce(col(nc), lit(false))).drop(nc)
+        .observe("noindex_gate", count(lit(1)).as("n"))
+    }
     // NULL urls PASS (coalesce) — same no-evidence rule as the batch
     // stage; without it the NULL predicate silently drops the row
-    val gated = cfg.urlGatePatterns.fold(docs) { pats =>
-      docs.filter(coalesce(
+    val gated = cfg.urlGatePatterns.fold(noindexGated) { pats =>
+      noindexGated.filter(coalesce(
           !graft.queries.WebOps.urlBlocked(col("url"), pats), lit(true)))
         .observe("url_gate", count(lit(1)).as("n"))
     }
-    val deduped = StreamOps.urlDedupStream(gated, cfg.lateness)
+    val deduped = StreamOps.urlDedupStream(gated, cfg.lateness,
+      cfg.declaredCanonicalCol)
     val writer = deduped.writeStream.outputMode("append")
       .queryName("curate_stream")
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
@@ -399,8 +424,13 @@ object StreamingCurationPipeline {
     // (tests run pipelines sequentially — a second curate_stream
     // only appears after this one terminates and unregisters)
     @volatile var qid: java.util.UUID = null
-    val gateListener = cfg.urlGatePatterns.map { _ =>
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
+    // the upstream stateless gates' ledger rows arrive via observe()
+    // metrics — one listener handles every enabled gate
+    val observedGates = cfg.noindexCol.map(_ => "noindex_gate").toSeq ++
+      cfg.urlGatePatterns.map(_ => "url_gate").toSeq
+    val gateListener =
+      if (observedGates.isEmpty) None
+      else Some(new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryStartedEvent): Unit = ()
@@ -409,11 +439,13 @@ object StreamingCurationPipeline {
               .QueryProgressEvent): Unit = {
           if (e.progress.name == "curate_stream" &&
               (qid == null || e.progress.id == qid)) {
-            val m = e.progress.observedMetrics.get("url_gate")
-            if (m != null) ledger.synchronized {
-              ledger.getOrElseUpdate("url_gate",
-                new scala.collection.mutable.LinkedHashMap[Long, Long]())
-                .update(e.progress.batchId, m.getLong(0))
+            for (g <- observedGates) {
+              val m = e.progress.observedMetrics.get(g)
+              if (m != null) ledger.synchronized {
+                ledger.getOrElseUpdate(g,
+                  new scala.collection.mutable.LinkedHashMap[Long, Long]())
+                  .update(e.progress.batchId, m.getLong(0))
+              }
             }
           }
         }
@@ -421,8 +453,7 @@ object StreamingCurationPipeline {
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryTerminatedEvent): Unit =
           if (qid != null && e.id == qid) spark.streams.removeListener(this)
-      }
-    }
+      })
     gateListener.foreach(spark.streams.addListener)
     // if start() itself throws, qid never gets assigned and the
     // terminated-event unregister can't fire — a leaked listener

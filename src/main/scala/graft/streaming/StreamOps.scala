@@ -133,13 +133,29 @@ object StreamOps {
     * `canonical_url`. Batch q103 keeps min(doc_id); streaming
     * keep-first keeps the earliest ARRIVAL — identical when docs
     * arrive in doc_id order, which is what the parity spec drives.
+    *
+    * `declaredCol`, when set, names the page's own
+    * `<link rel=canonical>` target column and switches the state key
+    * to q157's rule: a SAME-host declaration replaces the url as the
+    * dedup key (so ?session twins of one logical page share ONE
+    * state row and collapse), a cross-host or empty declaration
+    * falls back to the url — the batch pipeline's
+    * `declaredCanonicalCol` knob, mirrored into stream state.
     */
-  def urlDedupStream(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+  def urlDedupStream(docs: DataFrame, lateness: String = "1 hour",
+      declaredCol: Option[String] = None): DataFrame = {
+    val key = declaredCol.fold(col("url")) { dc =>
+      when(col(dc).isNotNull && col(dc) =!= "" &&
+        graft.queries.WebOps.canonicalHost(col(dc)) ===
+          graft.queries.WebOps.canonicalHost(col("url")), col(dc))
+        .otherwise(col("url"))
+    }
     docs
       .withColumn("canonical_url",
-        graft.queries.WebOps.canonicalizeUrl(col("url")))
+        graft.queries.WebOps.canonicalizeUrl(key))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("canonical_url")
+  }
 
   /** Streaming NEAR-dup suppression for a document stream
     * (`doc_id, text, ts`): drop any document whose 64-bit SimHash

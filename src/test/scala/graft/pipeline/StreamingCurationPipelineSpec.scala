@@ -710,6 +710,68 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(keptOff == Set(1L, 2L), keptOff)
   }
 
+  test("noindex_gate + declared-canonical state key: compliance mirrored into the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    // rows: a clean page; a SESSION TWIN of it (different text, same
+    // same-host declared canonical — only the declaration can fold
+    // them); a noindex page; a cross-host declaration (must NOT be
+    // honored — the loop-safety rule)
+    val canon = "https://site.example.com/story"
+    val rows = Seq(
+      (1L, pageA, s"$canon?sess=aaa", ts(0), false, canon),
+      (2L, pageD, s"$canon?sess=bbb", ts(1), false, canon),
+      (3L, pageB, "https://site.example.com/hidden", ts(2), true, ""),
+      (4L, pageG, "https://site.example.com/other", ts(3), false,
+        "https://evil.example.net/steal"))
+
+    def run(noidx: Option[String], decl: Option[String]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        noindexCol = noidx, declaredCanonicalCol = decl)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      val stream = MemoryStream[
+        (Long, String, String, Timestamp, Boolean, String)]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts",
+          "noindex", "declared_canonical"),
+        cfg, sink)
+      stream.addData(rows)
+      query.processAllAvailable()
+      query.stop()
+      // the noindex_gate row arrives via the async progress listener
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && noidx.nonEmpty &&
+          !ledger().exists(_.stage == "noindex_gate"))
+        Thread.sleep(50)
+      (landed.toSet, ledger().map(s => s.stage -> s.docs).toMap)
+    }
+
+    val (kept, on) = run(Some("noindex"), Some("declared_canonical"))
+    assert(!kept.contains(3L), "noindex page leaked into the stream")
+    assert(on("noindex_gate") == 3L, on)
+    // the declared canonical folded the session pair to the FIRST
+    // arrival; the cross-host declaration did NOT fold doc 4 into
+    // anything (it keeps its own url key)
+    assert(kept == Set(1L, 4L), kept)
+    assert(on("url_dedup") == 2L, on)
+
+    // control: no knobs — the noindex page lands and both session
+    // twins survive (distinct ?sess keys)
+    val (keptOff, off) = run(None, None)
+    assert(keptOff == Set(1L, 2L, 3L, 4L), keptOff)
+    assert(!off.contains("noindex_gate"), off)
+  }
+
   test("image_text_gate drops the mismatched pair at ingestion; control keeps it; parity with the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
