@@ -1181,8 +1181,11 @@ object WebOps {
     // equivalent on its fixture, which has no spelling variance.)
     val pending = recs.filter(col("idx"))
       .withColumn("loc_c", canonicalizeUrl(col("loc")))
+      // no distinct on the anti-join's right side: duplicates are
+      // harmless to anti-join semantics and the distinct would add a
+      // shuffle to an otherwise broadcast-only plan
       .join(fetched.select(
-          canonicalizeUrl(col("sitemap_url")).as("loc_c")).distinct(),
+          canonicalizeUrl(col("sitemap_url")).as("loc_c")),
         Seq("loc_c"), "left_anti")
       .select(lit("sitemap").as("kind"), col("sitemap_url"), col("loc"),
         col("lastmod"))
