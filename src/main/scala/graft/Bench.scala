@@ -1043,12 +1043,15 @@ object Bench {
       .newOutputStream(mmDir.resolve(f"bench-$k%02d.warc.gz")))
     for (ri <- recStarts.indices) {
       val end = if (ri + 1 < recStarts.length) recStarts(ri + 1) else sb.length
-      val gz = new java.util.zip.GZIPOutputStream(outs(ri % nFiles)) {
-        override def close(): Unit = { finish(); flush() } // keep file open
-      }
+      // compress each member into its own fully-closed stream (close()
+      // ends the native Deflater — the finish()-only subclass leaked
+      // one Deflater per record until GC) and append the bytes
+      val buf = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(buf)
       gz.write(sb.substring(recStarts(ri), end)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       gz.close()
+      outs(ri % nFiles).write(buf.toByteArray)
     }
     outs.foreach(_.close())
     def time(read: () => org.apache.spark.sql.DataFrame): Double =

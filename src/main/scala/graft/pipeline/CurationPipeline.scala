@@ -825,11 +825,19 @@ object CurationPipeline {
           val survEmb = docEmb
             .join(editDeduped.select("doc_id"), Seq("doc_id"), "left_semi")
             .select(col("doc_id").as("vec_id"), col("embedding"))
-          val droppedIds = graft.queries.SimilarityOps
-            .semDedup(survEmb, k, iters, minCos)
-            .filter(!col("kept"))
-            .select(col("vec_id").as("doc_id"))
-          editDeduped.join(droppedIds, Seq("doc_id"), "left_anti")
+          // the documented contract — docs without an embedding row
+          // pass through — must also hold when NO survivor has one
+          // (all embedded docs died at earlier stages): there is
+          // nothing to fit and nothing to flag, and kmeansMicro would
+          // otherwise throw seeding from an empty corpus
+          if (survEmb.head(1).isEmpty) editDeduped
+          else {
+            val droppedIds = graft.queries.SimilarityOps
+              .semDedup(survEmb, k, iters, minCos)
+              .filter(!col("kept"))
+              .select(col("vec_id").as("doc_id"))
+            editDeduped.join(droppedIds, Seq("doc_id"), "left_anti")
+          }
         })
     }
 

@@ -870,11 +870,14 @@ object WebOps {
     * [[htmlHrefs]] matching-pair discipline). First declaring tag
     * wins (the HTML spec ignores later duplicates). Pure per-row
     * regexp work; every pattern is shared Java-regex/RE2 syntax so
-    * the oracle runs the byte-identical match.
+    * the oracle runs the byte-identical match. Attribute names anchor
+    * on `[\s"']` rather than `\b` — `-` is a word boundary, so `\b`
+    * would false-match `data-rel=` (RE2 has no lookbehind; the
+    * char-class anchor is the engine-portable form).
     */
   def declaredCanonical(html: Column): Column = {
     val tag = regexp_extract(html,
-      "(?is)(<link\\b[^>]*\\brel\\s*=\\s*[\"']?canonical\\b[^>]*>)", 1)
+      "(?is)(<link\\b[^>]*[\\s\"']rel\\s*=\\s*[\"']?canonical\\b[^>]*>)", 1)
     val dq = regexp_extract(tag, "(?is)href\\s*=\\s*\"([^\"]+)\"", 1)
     val sq = regexp_extract(tag, "(?is)href\\s*=\\s*'([^']+)'", 1)
     xmlUnescape(when(dq =!= "", dq).otherwise(sq))
@@ -883,14 +886,15 @@ object WebOps {
   /** True iff a `<meta name="robots">` tag's content carries `token`
     * (`noindex` / `nofollow`), either attribute order,
     * case-insensitive, quoted or bare values — two rlikes per flag,
-    * engine-portable.
+    * engine-portable. Attribute names anchor on `[\s"']` not `\b`
+    * (the [[declaredCanonical]] data-name=/data-content= hazard).
     */
   private[graft] def robotsMetaDirective(html: Column,
       token: String): Column =
-    html.rlike("(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b" +
-        s"[^>]*\\bcontent\\s*=\\s*[\"']?[^\"'>]*\\b$token\\b") ||
-      html.rlike(s"(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']?[^\"'>]*" +
-        s"\\b$token\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b")
+    html.rlike("(?is)<meta\\b[^>]*[\\s\"']name\\s*=\\s*[\"']?robots\\b" +
+        s"[^>]*[\\s\"']content\\s*=\\s*[\"']?[^\"'>]*\\b$token\\b") ||
+      html.rlike(s"(?is)<meta\\b[^>]*[\\s\"']content\\s*=\\s*[\"']?[^\"'>]*" +
+        s"\\b$token\\b[^>]*[\\s\"']name\\s*=\\s*[\"']?robots\\b")
 
   /** q156's operator: the page-declared crawl directives as ONE
     * struct — (declared_canonical, noindex, nofollow). These are the
@@ -920,8 +924,10 @@ object WebOps {
     */
   def htmlLinksResolvedFollow(html: Column, base: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>"), lit(0))
+    // rel anchors on [\s"'] not \b: '-' is a word boundary, so \brel
+    // would false-match data-rel="nofollow" and mute a followable link
     val follow = filter(tags,
-      t => !t.rlike("(?is)\\brel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow"))
+      t => !t.rlike("(?is)[\\s\"']rel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow"))
     val hrefs = flatten(transform(follow, t => concat(
       regexp_extract_all(t, lit("href\\s*=\\s*\"([^\"]+)\""), lit(1)),
       regexp_extract_all(t, lit("href\\s*=\\s*'([^']+)'"), lit(1)))))
@@ -1729,7 +1735,7 @@ object WebOps {
     val d = discovered.filter(col("url").isNotNull)
       .withColumn("url", canonicalizeUrl(col("url")))
     val seenC = seen.filter(col("url").isNotNull)
-      .select(canonicalizeUrl(col("url")).as("url")).distinct()
+      .select(canonicalizeUrl(col("url")).as("url"))
     val revisit = recrawlScores(events)
       .select(canonicalHost(col("url")).as("host"), col("url"),
         col("priority_ppm").as("ppm"), lit("revisit").as("src"))
@@ -1741,9 +1747,11 @@ object WebOps {
     // join-back; a once-fetched URL must not be re-planned as
     // 'discover' either. The revisit row wins where one exists (it
     // carries the measured change probability); every logged URL
-    // dies in the same anti-join that kills seen URLs.
+    // dies in the same anti-join that kills seen URLs. No distinct on
+    // the right side: anti-join semantics ignore duplicates, and the
+    // dedup shuffle would be pure cost (the 84e9be8 rule).
     val fresh = d
-      .join(seenC.union(fetchLogFrame(events).select("url").distinct()),
+      .join(seenC.union(fetchLogFrame(events).select("url")),
         Seq("url"), "left_anti")
       .groupBy(col("dst_h").as("host"), col("url"))
       .agg(countDistinct("src_h").as("n_referrers"))
@@ -2739,7 +2747,7 @@ object WebOps {
         |t AS (
         |  SELECT doc_id, html,
         |    regexp_extract(html,
-        |      '(?is)(<link\b[^>]*\brel\s*=\s*["'']?canonical\b[^>]*>)', 1)
+        |      '(?is)(<link\b[^>]*[\s"'']rel\s*=\s*["'']?canonical\b[^>]*>)', 1)
         |      AS tag
         |  FROM h),
         |c AS (
@@ -2753,11 +2761,11 @@ object WebOps {
         |  replace(replace(replace(replace(replace(rawhref,
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |    '&apos;', chr(39)), '&amp;', '&') AS declared_canonical,
-        |  (regexp_matches(html, '(?is)<meta\b[^>]*\bname\s*=\s*["'']?robots\b[^>]*\bcontent\s*=\s*["'']?[^"''>]*\bnoindex\b')
-        |   OR regexp_matches(html, '(?is)<meta\b[^>]*\bcontent\s*=\s*["'']?[^"''>]*\bnoindex\b[^>]*\bname\s*=\s*["'']?robots\b'))
+        |  (regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']name\s*=\s*["'']?robots\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnoindex\b')
+        |   OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnoindex\b[^>]*[\s"'']name\s*=\s*["'']?robots\b'))
         |    AS noindex,
-        |  (regexp_matches(html, '(?is)<meta\b[^>]*\bname\s*=\s*["'']?robots\b[^>]*\bcontent\s*=\s*["'']?[^"''>]*\bnofollow\b')
-        |   OR regexp_matches(html, '(?is)<meta\b[^>]*\bcontent\s*=\s*["'']?[^"''>]*\bnofollow\b[^>]*\bname\s*=\s*["'']?robots\b'))
+        |  (regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']name\s*=\s*["'']?robots\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnofollow\b')
+        |   OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnofollow\b[^>]*[\s"'']name\s*=\s*["'']?robots\b'))
         |    AS nofollow
         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
