@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Flattened k-means / IVF codebook: `cells(i)` is the cell id of the
+  * i-th centroid, `cents` holds the centroids row-major (k·dim). The
+  * argmin loops live HERE as plain JVM methods — the expression's
+  * generated code makes one call per row, so the hot loop runs
+  * JIT-compiled with zero per-element lambda dispatch and zero
+  * Catalyst interpretation (the cosine_sim preference-order argument,
+  * applied to the per-row cell assignment every k-means/IVF/SemDeDup
+  * path shares).
+  */
+final class MicroCodebook(val cells: Array[Int], val cents: Array[Long],
+    val dim: Int) extends Serializable {
+  require(cells.length * dim == cents.length,
+    s"codebook shape mismatch: ${cells.length} cells x $dim dims != " +
+      s"${cents.length} values")
+  def k: Int = cells.length
+
+  /** Integer squared-L2 argmin, ties to the SMALLEST cell_id (the
+    * exact `microArgmin` HOF rule: max over (-d², -cell) structs),
+    * plus the double cosine of the (double-cast) vector against its
+    * ASSIGNED centroid — left-to-right accumulation, bit-identical
+    * to `cosine_sim` over the `element_at` centroid lookup that the
+    * HOF form computed. Returns struct(cell_id int, cent_cos double).
+    */
+  def assign(v: ArrayData): InternalRow = {
+    val n = math.min(v.numElements(), dim)
+    var bestIdx = 0; var bestD = Long.MaxValue; var bestCell = Int.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0L; var i = 0
+      while (i < n) {
+        val t = v.getLong(i) - cents(off + i); d += t * t; i += 1
+      }
+      val cell = cells(c)
+      if (d < bestD || (d == bestD && cell < bestCell)) {
+        bestD = d; bestCell = cell; bestIdx = c
+      }
+      c += 1
+    }
+    val off = bestIdx * dim
+    var dot = 0d; var nx = 0d; var ny = 0d; var i = 0
+    while (i < n) {
+      val x = v.getLong(i).toDouble; val y = cents(off + i).toDouble
+      dot += x * y; nx += x * x; ny += y * y; i += 1
+    }
+    new GenericInternalRow(Array[Any](bestCell,
+      dot / (math.sqrt(nx) * math.sqrt(ny))))
+  }
+}
+
+/** [[MicroCodebook]]'s float twin for the cosine-metric coarse
+  * quantizer ([[graft.queries.SimilarityOps]] `nearestCell`): argMAX
+  * of cosine similarity, ties to the smallest cell_id.
+  */
+final class FloatCodebook(val cells: Array[Int], val cents: Array[Double],
+    val dim: Int) extends Serializable {
+  require(cells.length * dim == cents.length,
+    s"codebook shape mismatch: ${cells.length} cells x $dim dims != " +
+      s"${cents.length} values")
+  def k: Int = cells.length
+
+  /** Cosine argmax with the HOF's exact tie/NaN semantics: the struct
+    * max over (sim, -cell_id) compares doubles by Spark's total order
+    * (== `java.lang.Double.compare`: NaN greatest, -0.0 < 0.0), so a
+    * zero-norm NaN cosine wins exactly as it did in the interpreted
+    * form. Per-cell norms recompute per pair as `cosine_sim` did —
+    * same FP op sequence, bit-identical result. Returns
+    * struct(cell_id int, sim double).
+    */
+  def assign(v: ArrayData): InternalRow = {
+    val m = v.numElements()
+    var bestSim = 0d; var bestCell = 0; var first = true
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      val n = math.min(m, dim)
+      var dot = 0d; var nx = 0d; var ny = 0d; var i = 0
+      while (i < n) {
+        val x = v.getDouble(i); val y = cents(off + i)
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val sim = dot / (math.sqrt(nx) * math.sqrt(ny))
+      val cell = cells(c)
+      val cmp = if (first) 1 else java.lang.Double.compare(sim, bestSim)
+      if (cmp > 0 || (cmp == 0 && cell < bestCell)) {
+        bestSim = sim; bestCell = cell
+      }
+      first = false
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestCell, bestSim))
+  }
+}
+
+/** Codebook delivery — the q58 probe-gate pattern applied to model
+  * constants: SMALL codebooks ride the serialized expression itself
+  * (plan-sized, like a literal, but never inflating the SQL plan
+  * string or the constant-folding workload); LARGE ones ship as a
+  * `SparkContext.broadcast` handle, so the plan and every task binary
+  * carry only a block id and each executor pulls the k·dim payload
+  * once through the torrent broadcast. This is what lets the
+  * SemDeDup/IVF paths carry the paper-cited 50k-cell regimes: a 50k ×
+  * 64 codebook is ~25 MB — fatal as a per-task plan literal, free as
+  * a broadcast.
+  */
+sealed trait CodebookRef[T] extends Serializable { def value: T }
+
+final class InlineCodebookRef[T](payload: T) extends CodebookRef[T] {
+  def value: T = payload
+}
+
+final class BroadcastCodebookRef[T](bcast: Broadcast[T])
+  extends CodebookRef[T] {
+  @transient private lazy val v: T = bcast.value
+  def value: T = v
+}
+
+/** Native per-row cell assignment against a [[MicroCodebook]].
+  * `child` is the micro-quantized array<bigint> vector; the codebook
+  * is a CONSTRUCTOR field (not a child), so no codebook bytes ever
+  * appear in the expression tree — the plan stays constant-size at
+  * any k. Returns struct(cell_id int, cent_cos double); consumers
+  * needing only the assignment project `.cell_id` (a codegen'd
+  * GetStructField).
+  */
+case class MicroCellAssign(child: Expression, ref: CodebookRef[MicroCodebook])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"cell_assign_micro expects array<bigint>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell_id", IntegerType, nullable = false),
+    StructField("cent_cos", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_assign_micro"
+
+  override def nullSafeEval(v: Any): Any =
+    ref.value.assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("microCbRef", ref,
+      classOf[CodebookRef[_]].getName)
+    // resolve the codebook ONCE per task (generated-class init), so
+    // the per-row cost is a single JIT'd virtual call
+    val cb = ctx.addMutableState(classOf[MicroCodebook].getName, "microCb",
+      v => s"$v = (${classOf[MicroCodebook].getName}) $refName.value();")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $cb.assign($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MicroCellAssign = copy(child = newChild)
+}
+
+/** [[MicroCellAssign]]'s float twin: cosine argmax against a
+  * [[FloatCodebook]]. Returns struct(cell_id int, sim double) —
+  * `sim` is the winning cosine (prototype hardness for q80).
+  */
+case class CosineCellAssign(child: Expression, ref: CodebookRef[FloatCodebook])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"cell_assign_cosine expects array<double>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell_id", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_assign_cosine"
+
+  override def nullSafeEval(v: Any): Any =
+    ref.value.assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("floatCbRef", ref,
+      classOf[CodebookRef[_]].getName)
+    val cb = ctx.addMutableState(classOf[FloatCodebook].getName, "floatCb",
+      v => s"$v = (${classOf[FloatCodebook].getName}) $refName.value();")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $cb.assign($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CosineCellAssign = copy(child = newChild)
+}
+
+object CellAssign {
+  /** k·dim element count at or below which the codebook rides the
+    * expression inline; above it, a broadcast. 8192 elements = 64 KB
+    * of longs — well under any sane task-binary budget, while every
+    * production-regime codebook (50k cells × 64 dims = 3.2M elements)
+    * goes broadcast. Overridable per call for tests.
+    */
+  val InlineGateElems: Int = 8192
+
+  private def ref[T: scala.reflect.ClassTag](spark: SparkSession,
+      payload: T, elems: Int, gate: Int): CodebookRef[T] =
+    if (elems <= gate) new InlineCodebookRef(payload)
+    else new BroadcastCodebookRef(spark.sparkContext.broadcast(payload))
+
+  /** struct(cell_id, cent_cos) of `vec` (array<bigint>) against the
+    * integer codebook — the native form of `microArgmin` +
+    * the `element_at` centroid cosine.
+    */
+  def micro(spark: SparkSession, cents: Seq[(Int, Seq[Long])], vec: Column,
+      gate: Int = InlineGateElems): Column = {
+    require(cents.nonEmpty, "cell assignment needs a non-empty codebook")
+    val dim = cents.head._2.length
+    val cb = new MicroCodebook(cents.map(_._1).toArray,
+      cents.flatMap(_._2).toArray, dim)
+    org.apache.spark.sql.graft.ColumnBridge.column(MicroCellAssign(
+      org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+      ref(spark, cb, cb.cents.length, gate)))
+  }
+
+  /** struct(cell_id, sim) of `vec` (array<double>) against the float
+    * codebook — the native form of `nearestCell`.
+    */
+  def cosine(spark: SparkSession, cents: Seq[(Int, Seq[Double])], vec: Column,
+      gate: Int = InlineGateElems): Column = {
+    require(cents.nonEmpty, "cell assignment needs a non-empty codebook")
+    val dim = cents.head._2.length
+    val cb = new FloatCodebook(cents.map(_._1).toArray,
+      cents.flatMap(_._2).toArray, dim)
+    org.apache.spark.sql.graft.ColumnBridge.column(CosineCellAssign(
+      org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+      ref(spark, cb, cb.cents.length, gate)))
+  }
+}

@@ -47,6 +47,14 @@ import org.apache.spark.storage.StorageLevel
   *                    fingerprints + banded MinHash estimate against
   *                    a PERSISTED index — the standing corpus is
   *                    never re-read as text)
+  *   sem_dedup_delta→ (optional) q161's incremental SemDeDup against
+  *                    a run-pinned standing SEMANTIC index — the
+  *                    paraphrased recrawl twin no fingerprint rung
+  *                    can see dies here instead of waiting for the
+  *                    next batch SemDeDup; needs `embedding` on the
+  *                    stream. New-vs-new pairs across micro-batches
+  *                    stay with the batch compaction (the q46 rule;
+  *                    WITHIN-batch delta pairs are caught)
   *   decontaminated → q58's shingle sweep against the broadcast
   *                    probe set
   *   cluster_tag    → (optional) q116's online per-row argmin
@@ -137,6 +145,17 @@ object StreamingCurationPipeline {
       // rewrites, before the quality rungs)
       langIdGate: Option[(Seq[(String, Map[String, Long])], Set[String])] =
         None,
+      // optional INCREMENTAL SemDeDup (q161) — the semantic rung of
+      // the ingestion dedup ladder: (standing semantic index —
+      // SimilarityOps.buildSemIndex's (vec_id, cell_id, em) frame,
+      // the kmeansMicro centroid frame that index was built against,
+      // cosine threshold). Arriving docs (the stream must carry
+      // `embedding`) are assigned to the standing cells by the native
+      // per-row argmin and die on a same-cell cosine match — the
+      // paraphrased recrawl twin that shares no shingle with its
+      // standing original passes every fingerprint rung and was
+      // previously only caught at the next batch SemDeDup run
+      semDedupDelta: Option[(DataFrame, DataFrame, Double)] = None,
       lateness: String = "1 hour",
       // when set, incr_dedup's standing index is LOADED from this
       // persisted artifact (saveDedupIndex / Compaction's refreshed
@@ -333,7 +352,31 @@ object StreamingCurationPipeline {
           cfg.maxEstJaccard)
         df.join(verdicts.filter(col("kept") === 1L).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      }),
+      })) ++
+      // optional INCREMENTAL SemDeDup (q161) — directly after the
+      // fingerprint rung it completes: the standing semantic index
+      // and its codebook are pinned ONCE at setup (the
+      // standing-index pattern; collecting the centroid frame inside
+      // the transform would re-run its plan — possibly a full fit —
+      // every micro-batch). Per batch: one native per-row assignment
+      // + two cell equi-joins, delta-sized work.
+      cfg.semDedupDelta.toSeq.map { case (semIdx, centFrame, minCos) =>
+        val pinnedCents =
+          graft.queries.SimilarityOps.collectCentroids(centFrame)
+        val pinnedIdx = {
+          val p = semIdx.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count(); p
+        }
+        "sem_dedup_delta" -> ((df: DataFrame) => {
+          val verdicts = graft.queries.SimilarityOps.semDedupDelta(
+            df.select(col("doc_id").as("vec_id"), col("embedding")),
+            pinnedIdx, pinnedCents, minCos)
+          df.join(verdicts.filter(col("kept"))
+              .select(col("vec_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+        })
+      } ++
+      Seq[(String, DataFrame => DataFrame)](
       "decontaminated" -> ((df: DataFrame) => {
         // q58's rule, delta-sized: distinct doc shingles ⋈ broadcast
         // probe set, per-doc shared count (the decontaminateStream

@@ -2682,12 +2682,13 @@ object DedupOps {
       val assigned = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("e"))
-        .withColumn("cb", SimilarityOps.codebookLit(SimilarityOps.Ivf.codebook))
+        // one native call: cell_id = cosine argmax, and since the
+        // assignment metric IS cosine, b.sim = the max over cells
+        .withColumn("b", graft.functions.CellAssign
+          .cosine(s, SimilarityOps.Ivf.codebook, col("e")))
         .select(col("vec_id"), col("e"),
-          SimilarityOps.nearestCell("e", "cb").cast("long").as("cell_id"),
-          // sim to the assigned (nearest) centroid = the max over cells
-          expr("array_max(transform(cb, c -> cosine_sim(e, c.cent)))")
-            .as("cc"))
+          col("b.cell_id").cast("long").as("cell_id"),
+          col("b.sim").as("cc"))
       val a = assigned.select(col("cell_id"), col("vec_id").as("vec_a"),
         col("e").as("ea"), col("cc").as("cc_a"))
       val b = assigned.select(col("cell_id"), col("vec_id").as("vec_b"),

@@ -220,6 +220,17 @@ object SimilarityOps {
       val lits = v.map(w => f"$w%.3f").mkString("[", ", ", "]")
       s"($c, CAST($lits AS DOUBLE[]))"
     }.mkString(",\n    ")
+    /** The same fitted codebook in micro-integer units (×1000 — exact:
+      * the centroids are 3-decimal by construction), for the
+      * integer-L2 assignment paths (q161's standing semantic index).
+      */
+    val microCodebook: Seq[(Int, Seq[Long])] = codebook.map { case (c, v) =>
+      c -> v.map(x => math.rint(x * 1000).toLong)
+    }
+    /** `(VALUES (0, CAST([…] AS BIGINT[])), …) t(cell_id, cent)` body */
+    val microCentSqlValues: String = microCodebook.map { case (c, v) =>
+      s"($c, CAST(${v.mkString("[", ", ", "]")} AS BIGINT[]))"
+    }.mkString(",\n    ")
   }
 
   /** q82's product-quantization codebooks (Jégou et al. 2011, the
@@ -388,9 +399,9 @@ object SimilarityOps {
       codebook: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val assigned0 = corpus
-      .withColumn("cb", codebookLit(codebook))
-      .withColumn("cell_id", nearestCell("ce", "cb"))
-      .drop("cb")
+      .withColumn("cell_id", graft.functions.CellAssign
+        .cosine(corpus.sparkSession, codebook, col("ce"))
+        .getField("cell_id"))
     (0 until Pq.m).foldLeft(assigned0) { (df, s) =>
       df.withColumn(s"cb$s", pqCbLit(s))
         .withColumn(s"b$s", expr(pqEncodeExpr(s, "ce")))
@@ -537,8 +548,10 @@ object SimilarityOps {
   /** Nearest cell id of vector column `v` against codebook column
     * `cb`: per-row argmax over (cosine, -cell_id) structs — ties break
     * to the SMALLEST cell_id, exactly `row_number() ORDER BY sim DESC,
-    * cell_id` = 1. `cosine_sim` is the native fused expression
-    * (session-registered, resolvable inside the SQL lambda).
+    * cell_id` = 1. RETAINED AS THE REFERENCE SEMANTICS ONLY (specs +
+    * the offline FitCodebook tool): production paths run
+    * [[graft.functions.CellAssign.cosine]] — the same rule codegen'd
+    * over a size-gated inline/broadcast codebook.
     */
   private[graft] def nearestCell(v: String, cb: String): Column =
     expr(s"-array_max(transform($cb, c -> " +
@@ -566,8 +579,9 @@ object SimilarityOps {
       codebook: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val assigned = corpus
-      .withColumn("cb", codebookLit(codebook))
-      .select(col("cand_id"), col("ce"), nearestCell("ce", "cb").as("cell_id"))
+      .select(col("cand_id"), col("ce"), graft.functions.CellAssign
+        .cosine(corpus.sparkSession, codebook, col("ce"))
+        .getField("cell_id").as("cell_id"))
     val probes = queries
       .withColumn("cb", codebookLit(codebook))
       .select(col("query_id"), col("qe"),
@@ -611,11 +625,9 @@ object SimilarityOps {
     // rewrite's slim-input condition holds; sim_micro is recovered
     // as -hard after the rank filter
     val best = corpus
-      .withColumn("cb", codebookLit(codebook))
-      .select(col("cand_id"),
-        expr("array_max(transform(cb, c -> named_struct(" +
-          "'sim', cosine_sim(ce, c.cent), 'nc', -c.cell_id)))").as("b"))
-      .select(col("cand_id"), (-col("b.nc")).cast("long").as("cell_id"),
+      .withColumn("b", graft.functions.CellAssign
+        .cosine(corpus.sparkSession, codebook, col("ce")))
+      .select(col("cand_id"), col("b.cell_id").cast("long").as("cell_id"),
         expr("-CAST(floor(b.sim * 1000000.0 + 0.5) AS BIGINT)").as("hard"))
     val w = Window.partitionBy("cell_id")
       .orderBy(col("hard").desc, col("cand_id"))
@@ -635,8 +647,9 @@ object SimilarityOps {
   def kmeansStep(vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
       dim: Int): DataFrame = {
     val assigned = vectors
-      .withColumn("cb", codebookLit(cents))
-      .select(col("e"), nearestCell("e", "cb").as("cell_id"))
+      .select(col("e"), graft.functions.CellAssign
+        .cosine(vectors.sparkSession, cents, col("e"))
+        .getField("cell_id").as("cell_id"))
     val dimAvgs = (0 until dim).map(i => avg(col("e").getItem(i)).as(s"c$i"))
     assigned.groupBy("cell_id")
       .agg(dimAvgs.head, dimAvgs.tail: _*)
@@ -702,9 +715,14 @@ object SimilarityOps {
   /** Integer argmin cell assignment: nearest centroid of the BIGINT
     * vector column `emCol` against the (cell_id, cent) struct-array
     * column `cbCol` by squared L2, ties to the smallest cell_id (=
-    * `row_number ORDER BY d, cell_id` = 1). Pure per-row lambda work
-    * — shared by [[kmeansMicro]]'s rounds and the online
-    * `StreamOps.clusterAssignStream`.
+    * `row_number ORDER BY d, cell_id` = 1). RETAINED AS THE REFERENCE
+    * SEMANTICS ONLY (spec cross-checks pin the native form against
+    * it): production paths run
+    * [[graft.functions.CellAssign.micro]] — same rule as a codegen'd
+    * expression over a size-gated inline/broadcast codebook, because
+    * this HOF form inlines k·dim literals into the plan and pays a
+    * per-element interpreted lambda, which does not carry to the
+    * paper-cited 50k-cell regimes.
     */
   private[graft] def microArgmin(emCol: String, cbCol: String): Column =
     expr(s"-array_max(transform($cbCol, c -> named_struct(" +
@@ -756,8 +774,9 @@ object SimilarityOps {
         "kmeansMicro needs a non-empty corpus (no vectors to seed from)")
       var counts = Map.empty[Int, Long]
       for (_ <- 1 to iters) {
-        val assigned = micro.withColumn("cb", microCodebookLit(cents))
-          .select(col("em"), microArgmin("em", "cb").as("cell_id"))
+        val assigned = micro.select(col("em"),
+          graft.functions.CellAssign.micro(spark, cents, col("em"))
+            .getField("cell_id").as("cell_id"))
         val sums = (0 until dim).map(i => sum(col("em").getItem(i)).as(s"s$i"))
         val rows = assigned.groupBy("cell_id")
           .agg(count(lit(1)).as("n"), sums: _*).collect()
@@ -811,9 +830,10 @@ object SimilarityOps {
     val assigned = embFrame
       .withColumn("__em", transform(col("embedding"), x =>
         floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
-      .withColumn("__cb", microCodebookLit(cents))
       .select(col("vec_id").as("doc_id"),
-        microArgmin("__em", "__cb").as("cell_id"))
+        graft.functions.CellAssign
+          .micro(embFrame.sparkSession, cents, col("__em"))
+          .getField("cell_id").as("cell_id"))
     val scored = graft.queries.TextOps
       .withClassifierScore(docsFrame, "n_chars")
       .select(col("doc_id"), col("score"))
@@ -865,18 +885,19 @@ object SimilarityOps {
       minCos: Double): DataFrame = {
     graft.functions.GraftFunctions.register(embFrame.sparkSession)
     val cents = collectCentroids(kmeansMicro(embFrame, k, iters))
+    // one native call yields BOTH the assignment and the sim to the
+    // ASSIGNED cell's centroid (assignment is by L2, so cent_cos is
+    // NOT simply the max cosine over cells) — same FP op sequence as
+    // the retired cosine_sim-over-element_at HOF chain
     val assigned = embFrame
       .withColumn("__em", transform(col("embedding"), x =>
         floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
-      .withColumn("__cb", microCodebookLit(cents))
-      .withColumn("cell_id", microArgmin("__em", "__cb"))
-      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+      .withColumn("__asg", graft.functions.CellAssign
+        .micro(embFrame.sparkSession, cents, col("__em")))
+      .select(col("vec_id"),
+        col("__asg.cell_id").cast("long").as("cell_id"),
         expr("transform(__em, x -> cast(x as double))").as("emd"),
-        // sim to the ASSIGNED cell's centroid (assignment is by L2,
-        // so this is NOT simply the max cosine over cells)
-        expr("cosine_sim(transform(__em, x -> cast(x as double)), " +
-          "transform(element_at(__cb, cast(cell_id as int) + 1).cent, " +
-          "x -> cast(x as double)))").as("cc"))
+        col("__asg.cent_cos").as("cc"))
       .localCheckpoint()
     val a = assigned.select(col("cell_id"), col("vec_id").as("vec_a"),
       col("emd").as("ea"), col("cc").as("cc_a"))
@@ -897,6 +918,97 @@ object SimilarityOps {
         assigned("vec_id") === dropped("dropped_vec"), "left")
       .select(col("vec_id"), col("cell_id"),
         col("dropped_vec").isNull.as("kept"),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
+        col("max_cosine"))
+  }
+
+  /** The STANDING SEMANTIC INDEX behind [[semDedupDelta]] — the q95
+    * persisted-index contract applied to SemDeDup: one row per corpus
+    * vector, (vec_id, cell_id, em) where `em` is the micro-quantized
+    * integer embedding and `cell_id` its [[graft.functions.CellAssign
+    * .micro]] assignment against the FIXED codebook `cents`. The
+    * standing corpus's float embeddings are read once at build time
+    * and never again; every later delta compares against these stored
+    * integer rows (codes, not floats of the full corpus). Codebook
+    * drift is a REBUILD, exactly [[appendToIvfPqIndex]]'s rule — the
+    * fixed codebook is what makes per-row assignment incremental.
+    */
+  def buildSemIndex(embFrame: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame =
+    embFrame
+      .withColumn("em", transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
+      .select(col("vec_id"),
+        graft.functions.CellAssign
+          .micro(embFrame.sparkSession, cents, col("em"))
+          .getField("cell_id").cast("long").as("cell_id"),
+        col("em"))
+
+  /** INCREMENTAL SemDeDup (q161) — the semantic rung of the
+    * ingestion-time dedup ladder the exact/MinHash q95 path could not
+    * cover: a paraphrased recrawl twin shares no shingle with its
+    * standing original, passes every fingerprint rung, and was only
+    * caught at the next batch [[semDedup]] run. Here the ARRIVING
+    * delta is assigned to the standing IVF cells (the native per-row
+    * argmin against the index's own fixed codebook) and compared ONLY
+    * against same-cell members — never floats of the full corpus,
+    * never cross-cell:
+    *
+    *  - delta vs STANDING: any same-cell standing member at cosine >=
+    *    `minCos` condemns the arriving doc (the standing member is
+    *    already shipped — it always wins; ingestion cannot revoke);
+    *  - delta vs DELTA (within the batch): [[semDedup]]'s
+    *    keep-the-outlier pair rule verbatim — the centroid-CLOSER
+    *    member drops, ties drop the larger vec_id.
+    *
+    * Returns q155-shaped verdicts for the delta: (vec_id, cell_id,
+    * kept, n_dup_partners, max_cosine). Scale shape: the delta frame
+    * is assigned once and localCheckpointed for its three consumers
+    * (the q142 move); both pair spaces are cell_id EQUI-joins — the
+    * standing side bounded by (cell population × delta cells), the
+    * within-delta side by the paper's constant-cell discipline; the
+    * verdict rollup partial-aggregates and joins back |delta|-sized.
+    * Survivors append to the index as their own [[buildSemIndex]]
+    * rows — per-row work, append-invariant under the fixed codebook.
+    */
+  def semDedupDelta(delta: DataFrame, standing: DataFrame,
+      cents: Seq[(Int, Seq[Long])], minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    val asg = graft.functions.CellAssign
+      .micro(delta.sparkSession, cents, col("__em"))
+    val dd = delta
+      .withColumn("__em", transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
+      .withColumn("__asg", asg)
+      .select(col("vec_id"),
+        col("__asg.cell_id").cast("long").as("cell_id"),
+        expr("transform(__em, x -> cast(x as double))").as("emd"),
+        col("__asg.cent_cos").as("cc"))
+      .localCheckpoint()
+    val s = standing.select(col("cell_id"),
+      expr("transform(em, x -> cast(x as double))").as("sed"))
+    val vsStanding = dd.join(s, Seq("cell_id"))
+      .select(col("vec_id"), expr("cosine_sim(emd, sed)").as("c"))
+      .filter(col("c") >= minCos)
+    val a = dd.select(col("cell_id"), col("vec_id").as("vec_a"),
+      col("emd").as("ea"), col("cc").as("cc_a"))
+    val b = dd.select(col("cell_id"), col("vec_id").as("vec_b"),
+      col("emd").as("eb"), col("cc").as("cc_b"))
+    val withinDelta = a.join(b, Seq("cell_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        when(col("cc_a") > col("cc_b"), col("vec_a"))
+          .when(col("cc_b") > col("cc_a"), col("vec_b"))
+          .otherwise(greatest(col("vec_a"), col("vec_b"))).as("vec_id"),
+        expr("cosine_sim(ea, eb)").as("c"))
+      .filter(col("c") >= minCos)
+    val agg = vsStanding.unionByName(withinDelta)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dup_partners"),
+        round(max("c"), 4).as("max_cosine"))
+    dd.join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        col("n_dup_partners").isNull.as("kept"),
         coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
         col("max_cosine"))
   }
@@ -1068,8 +1180,9 @@ object SimilarityOps {
     def nonZero(c: String) = expr(
       s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x) > 0")
     val b = bSide.filter(nonZero("eb"))
-      .withColumn("cb", codebookLit(codebook))
-      .withColumn("cell_id", nearestCell("eb", "cb"))
+      .withColumn("cell_id", graft.functions.CellAssign
+        .cosine(bSide.sparkSession, codebook, col("eb"))
+        .getField("cell_id"))
       .select("cell_id", "b_id", "eb")
     val a = aSide.filter(nonZero("ea"))
       .withColumn("cb", codebookLit(codebook))
@@ -1248,10 +1361,19 @@ object SimilarityOps {
       val c = e.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("cand_id"), col("e").as("ce"))
       // stage 1: prefix-dim scan, corpus partitioned, queries
-      // broadcast, bounded heap of 20 candidates per query
-      val cand = c.crossJoin(broadcast(q))
+      // broadcast, bounded heap of 20 candidates per query. The
+      // prefix is PROJECTED BELOW the pair join — the pair rows (the
+      // multiplied frame) carry 16 dims, not 64: this projection IS
+      // the Matryoshka bandwidth claim (a deployment stores the
+      // prefix as its stage-1 index), and slicing inside the pair
+      // expression instead was measured to forfeit it (the dim_scale
+      // bench record's finding — full arrays were being copied into
+      // every pair row and the 4× never materialized).
+      val cand = c.select(col("cand_id"), expr("slice(ce, 1, 16)").as("cep"))
+        .crossJoin(broadcast(
+          q.select(col("query_id"), expr("slice(qe, 1, 16)").as("qep"))))
         .select(col("query_id"), col("cand_id"),
-          expr("cosine_sim(slice(qe, 1, 16), slice(ce, 1, 16))").as("pcos"))
+          expr("cosine_sim(qep, cep)").as("pcos"))
         .groupBy("query_id")
         .agg(expr("topk_collect(pcos, cand_id, 20)").as("top"))
         .select(col("query_id"), explode(col("top.id")).as("cand_id"))
@@ -1975,6 +2097,78 @@ object SimilarityOps {
          |ORDER BY s.vec_id""".stripMargin) { (s, dir) =>
       semDedup(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
         k = 8, iters = 3, minCos = 0.3)
+        .orderBy("vec_id")
+    },
+
+    // ---- q161: incremental SemDeDup (delta vs standing index) -----
+    // The ingestion-time semantic rung (r18 missing #6): arriving
+    // vectors (vec_id < 250) against a standing semantic index built
+    // from the rest of the corpus over the FIXED fitted codebook.
+    // The oracle re-derives the micro quantization, the integer-L2
+    // assignment of BOTH sides, the delta-vs-standing condemnation
+    // (standing always wins), the within-delta keep-the-outlier
+    // rule, and the verdict rollup independently.
+    QueryDef(
+      "q161_semdedup_delta",
+      s"""WITH m AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS em
+         |  FROM embeddings),
+         |cent AS (SELECT * FROM (VALUES
+         |    ${Ivf.microCentSqlValues}) t(cell_id, cent)),
+         |asg AS (
+         |  SELECT vec_id, cell_id, emd, cc FROM (
+         |    SELECT v.vec_id, c.cell_id,
+         |      list_transform(v.em, x -> CAST(x AS DOUBLE)) AS emd,
+         |      list_dot_product(
+         |          list_transform(v.em, x -> CAST(x AS DOUBLE)),
+         |          list_transform(c.cent, x -> CAST(x AS DOUBLE))) /
+         |        (sqrt(list_dot_product(
+         |            list_transform(v.em, x -> CAST(x AS DOUBLE)),
+         |            list_transform(v.em, x -> CAST(x AS DOUBLE)))) *
+         |         sqrt(list_dot_product(
+         |            list_transform(c.cent, x -> CAST(x AS DOUBLE)),
+         |            list_transform(c.cent, x -> CAST(x AS DOUBLE)))))
+         |        AS cc,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        (SELECT sum((a - b) * (a - b))
+         |         FROM (SELECT unnest(v.em) AS a, unnest(c.cent) AS b) z),
+         |        c.cell_id) AS rn
+         |    FROM m v, cent c) w WHERE rn = 1),
+         |stand AS (SELECT * FROM asg WHERE vec_id >= 250),
+         |delta AS (SELECT * FROM asg WHERE vec_id < 250),
+         |vs AS (
+         |  SELECT d.vec_id,
+         |    list_dot_product(d.emd, s.emd) /
+         |      (sqrt(list_dot_product(d.emd, d.emd)) *
+         |       sqrt(list_dot_product(s.emd, s.emd))) AS c
+         |  FROM delta d JOIN stand s ON d.cell_id = s.cell_id),
+         |wd AS (
+         |  SELECT CASE WHEN a.cc > b.cc THEN a.vec_id
+         |              WHEN b.cc > a.cc THEN b.vec_id
+         |              ELSE greatest(a.vec_id, b.vec_id) END AS vec_id,
+         |    list_dot_product(a.emd, b.emd) /
+         |      (sqrt(list_dot_product(a.emd, a.emd)) *
+         |       sqrt(list_dot_product(b.emd, b.emd))) AS c
+         |  FROM delta a JOIN delta b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         |drp AS (
+         |  SELECT vec_id, count(*) AS n_dup_partners,
+         |    round(max(c), 4) AS max_cosine
+         |  FROM (SELECT * FROM vs WHERE c >= 0.3
+         |        UNION ALL SELECT * FROM wd WHERE c >= 0.3)
+         |  GROUP BY vec_id)
+         |SELECT d.vec_id, CAST(d.cell_id AS BIGINT) AS cell_id,
+         |  p.vec_id IS NULL AS kept,
+         |  CAST(COALESCE(p.n_dup_partners, 0) AS BIGINT) AS n_dup_partners,
+         |  p.max_cosine
+         |FROM delta d LEFT JOIN drp p ON p.vec_id = d.vec_id
+         |ORDER BY d.vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = buildSemIndex(
+        e.filter(col("vec_id") >= 250), Ivf.microCodebook)
+      semDedupDelta(e.filter(col("vec_id") < 250), idx,
+        Ivf.microCodebook, minCos = 0.3)
         .orderBy("vec_id")
     }
   )

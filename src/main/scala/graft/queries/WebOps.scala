@@ -910,6 +910,40 @@ object WebOps {
     robotsMetaDirective(html, "noindex").as("noindex"),
     robotsMetaDirective(html, "nofollow").as("nofollow"))
 
+  /** The HTTP-HEADER layer of robots compliance: true iff an
+    * `X-Robots-Tag` response header carries `token`. This is the layer
+    * [[robotsMetaDirective]] cannot see — real servers emit it, and it
+    * is the ONLY way a non-HTML payload (PDF, image, plain text — no
+    * meta tag exists) can declare noindex/nofollow. Two deliberate
+    * restrictive-by-default readings, both per Google's documented
+    * semantics: `none` implies noindex AND nofollow; an agent-scoped
+    * form (`X-Robots-Tag: googlebot: noindex`) is honored regardless
+    * of which agent it names — a compliance-correct crawler that does
+    * not implement agent scoping must err restrictive, never
+    * permissive. Per-row regexp on the verbatim header block the WARC
+    * reader preserves; engine-portable (RE2 `(?im)` + `^`).
+    */
+  private[graft] def xRobotsDirective(httpHeaders: Column,
+      token: String): Column =
+    httpHeaders.rlike(s"(?im)^X-Robots-Tag:[^\r\n]*\\b(?:$token|none)\\b")
+
+  /** [[pageDirectives]] merged with the header layer (q160): the
+    * noindex/nofollow verdicts are the RESTRICTIVE UNION of the
+    * `<meta name=robots>` tag and the `X-Robots-Tag` header — with
+    * boolean restrictive directives the union IS Google's documented
+    * precedence (any noindex at either layer wins; a meta can never
+    * un-noindex a header). The per-layer header verdicts ride along
+    * so a compliance ledger can attribute the death.
+    */
+  def pageDirectivesHttp(html: Column, httpHeaders: Column): Column = struct(
+    declaredCanonical(html).as("declared_canonical"),
+    (robotsMetaDirective(html, "noindex") ||
+      xRobotsDirective(httpHeaders, "noindex")).as("noindex"),
+    (robotsMetaDirective(html, "nofollow") ||
+      xRobotsDirective(httpHeaders, "nofollow")).as("nofollow"),
+    xRobotsDirective(httpHeaders, "noindex").as("header_noindex"),
+    xRobotsDirective(httpHeaders, "nofollow").as("header_nofollow"))
+
   /** [[htmlLinksResolved]] under nofollow compliance: anchors whose
     * `rel` contains `nofollow` are dropped (their hrefs never emit),
     * and a page-level `<meta name=robots content=…nofollow…>` mutes
@@ -944,11 +978,11 @@ object WebOps {
     * trivially weaponized (any page could fold itself into — or
     * poison — another site's dedup key space), so cross-host
     * declarations are reported by [[pageDirectives]] but never
-    * change the key here (honoring a VERIFIED cross-host target —
-    * one the crawl fetched and saw agreeing content for — is the
-    * crawl loop's extension point, deliberately not this operator's
-    * default). Same shape and output schema as q103: one partial-
-    * aggregable groupBy on the canonicalized key.
+    * change the key here — honoring a VERIFIED cross-host target is
+    * [[urlDedupVerified]] (q162), which requires the crawl to have
+    * fetched the target and seen agreeing content. Same shape and
+    * output schema as q103: one partial-aggregable groupBy on the
+    * canonicalized key.
     */
   def urlDedupDeclared(docsWithUrl: DataFrame, urlCol: String = "url",
       declaredCol: String = "declared_canonical"): DataFrame = {
@@ -957,6 +991,54 @@ object WebOps {
     docsWithUrl
       .groupBy(canonicalizeUrl(
         when(honored, col(declaredCol)).otherwise(col(urlCol)))
+        .as("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+  }
+
+  /** q162: [[urlDedupDeclared]] with its documented cross-host
+    * extension IMPLEMENTED — a cross-host `rel=canonical` is honored
+    * iff the crawl FETCHED the declared target and saw AGREEING
+    * content: the fetch log must carry the canonicalized target URL
+    * with a digest equal to the declaring page's own content digest.
+    * This folds the legitimate cases the same-host rule leaves split
+    * (domain migrations, m.→www consolidations — the content really
+    * is the same bytes at both hosts) while keeping the weaponization
+    * refused: an attacker declaring a victim's URL cannot produce the
+    * victim's digest without SERVING the victim's content, at which
+    * point folding them is correct dedup, not poisoning. Unverified
+    * and digest-disagreeing declarations fall back to the page URL,
+    * exactly [[urlDedupDeclared]].
+    *
+    * `docsWithUrl` needs (doc_id, urlCol, declaredCol, digestCol);
+    * `fetchLog` needs (url, digest) — the intake's
+    * [[graft.sources.CorpusSources]] fetch-log sidecar shape. Scale:
+    * the verification join is |cross-host-declared-pairs| against the
+    * slim (url, digest) log — a hash semi-join on two short columns
+    * (no distinct on either side; semi-join semantics ignore
+    * duplicates); the verdict joins back |verified|-sized on doc_id;
+    * the corpus-wide path stays q103's single partial-aggregable
+    * groupBy.
+    */
+  def urlDedupVerified(docsWithUrl: DataFrame, fetchLog: DataFrame,
+      urlCol: String = "url", declaredCol: String = "declared_canonical",
+      digestCol: String = "digest"): DataFrame = {
+    val declared = col(declaredCol).isNotNull && col(declaredCol) =!= ""
+    val sameHost = declared &&
+      canonicalHost(col(declaredCol)) === canonicalHost(col(urlCol))
+    val verifiedIds = docsWithUrl
+      .filter(declared &&
+        canonicalHost(col(declaredCol)) =!= canonicalHost(col(urlCol)))
+      .select(col("doc_id"),
+        canonicalizeUrl(col(declaredCol)).as("__t"),
+        col(digestCol).as("__d"))
+      .join(fetchLog.select(canonicalizeUrl(col("url")).as("__t"),
+          col("digest").as("__d")),
+        Seq("__t", "__d"), "left_semi")
+      .select(col("doc_id"), lit(true).as("__verified"))
+    docsWithUrl.join(verifiedIds, Seq("doc_id"), "left")
+      .groupBy(canonicalizeUrl(
+        when(sameHost || coalesce(col("__verified"), lit(false)),
+          col(declaredCol)).otherwise(col(urlCol)))
         .as("canonical_url"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
   }
@@ -2875,6 +2957,104 @@ object WebOps {
       urlDedupDeclared(withDecl).orderBy("canonical_url")
     },
 
+    // ---- q162: VERIFIED cross-host canonical dedup -----------------
+    // q157's honor rule completed with the fetch-log verification:
+    // %4==0 docs declare a SAME-host canonical (honored as before),
+    // %4==1 docs declare a cross-host MIGRATION target the crawl
+    // fetched and saw the SAME digest for (honored — the legitimate
+    // m.→www/domain-move case q157 left split), %4==3 docs declare a
+    // cross-host VICTIM url whose fetched digest DIFFERS (refused —
+    // the weaponization), %4==2 declare nothing. The oracle
+    // re-derives the host rule, the digest-agreement EXISTS, and the
+    // full q103 canonicalization spec independently.
+    QueryDef(
+      "q162_verified_canonical_dedup",
+      s"""WITH u AS (
+         |  SELECT doc_id, $synthUrlSql AS url,
+         |    CASE WHEN doc_id % 4 = 0 THEN
+         |           'https://' || source || '.example.com/articles/'
+         |           || CAST(doc_id % 50 AS VARCHAR)
+         |         WHEN doc_id % 4 = 1 THEN
+         |           'https://m' || CAST(doc_id % 5 AS VARCHAR)
+         |           || '.example.net/d/' || CAST(doc_id % 50 AS VARCHAR)
+         |         WHEN doc_id % 4 = 3 THEN
+         |           'https://victim' || CAST(doc_id % 5 AS VARCHAR)
+         |           || '.example.org/v/' || CAST(doc_id % 50 AS VARCHAR)
+         |         ELSE '' END AS declared,
+         |    'dg' || CAST(doc_id % 50 AS VARCHAR) AS digest
+         |  FROM documents),
+         |flog AS (
+         |  SELECT declared AS url, digest FROM u WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT declared AS url, 'other' AS digest FROM u
+         |  WHERE doc_id % 4 = 3),
+         |k AS (
+         |  SELECT doc_id,
+         |    CASE WHEN declared <> '' AND (
+         |      regexp_replace(lower(regexp_replace(
+         |        regexp_extract(declared, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |        ':[0-9]+$$', '')), '^www\\.', '') =
+         |      regexp_replace(lower(regexp_replace(
+         |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+         |        ':[0-9]+$$', '')), '^www\\.', '')
+         |      OR EXISTS (SELECT 1 FROM flog f
+         |                 WHERE f.url = u.declared AND f.digest = u.digest))
+         |    THEN declared ELSE url END AS url
+         |  FROM u),
+         |c AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS rawq
+         |  FROM k),
+         |p AS (
+         |  SELECT doc_id, url, scheme,
+         |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
+         |                   '^www\\.', '') AS host,
+         |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+         |    regexp_replace(rawpath, '/+$$', '') AS path,
+         |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+         |      x -> len(x) > 0 AND substr(x, 1, 4) <> 'utm_')), '&') AS q
+         |  FROM c)
+         |SELECT
+         |  CASE WHEN scheme = '' THEN url ELSE
+         |    scheme || '://' || host ||
+         |    CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+         |                               OR (scheme = 'http' AND port = '80'))
+         |         THEN ':' || port ELSE '' END ||
+         |    path ||
+         |    CASE WHEN q <> '' THEN '?' || q ELSE '' END
+         |  END AS canonical_url,
+         |  count(*) AS n_docs,
+         |  min(doc_id) AS keeper_doc_id
+         |FROM p
+         |GROUP BY canonical_url
+         |ORDER BY canonical_url""".stripMargin) { (s, dir) =>
+      val m = col("doc_id") % 4
+      val withDecl = docsWithUrl(s, dir)
+        .withColumn("declared_canonical",
+          when(m === 0,
+            concat(lit("https://"), col("source"),
+              lit(".example.com/articles/"),
+              (col("doc_id") % 50).cast("string")))
+          .when(m === 1,
+            concat(lit("https://m"), (col("doc_id") % 5).cast("string"),
+              lit(".example.net/d/"), (col("doc_id") % 50).cast("string")))
+          .when(m === 3,
+            concat(lit("https://victim"), (col("doc_id") % 5).cast("string"),
+              lit(".example.org/v/"), (col("doc_id") % 50).cast("string")))
+          .otherwise(lit("")))
+        .withColumn("digest",
+          concat(lit("dg"), (col("doc_id") % 50).cast("string")))
+      val flog = withDecl.filter(m === 1)
+          .select(col("declared_canonical").as("url"), col("digest"))
+        .unionByName(withDecl.filter(m === 3)
+          .select(col("declared_canonical").as("url"),
+            lit("other").as("digest")))
+      urlDedupVerified(withDecl, flog).orderBy("canonical_url")
+    },
+
     // ---- q158: 304-aware conditional recrawl -----------------------
     // The q144 estimator over a STATUS-AWARE fetch log: a revisit
     // answered 304 is the cheapest possible unchanged observation
@@ -2948,6 +3128,84 @@ object WebOps {
       recrawlScoresFromLog(log)
         .orderBy(col("priority_ppm").desc, col("url"))
         .limit(50)
+    },
+
+    // ---- q160: X-Robots-Tag header compliance ----------------------
+    // The HEADER layer of robots directives merged with q156's
+    // page-level read (restrictive union = Google's precedence). The
+    // fixture plants every hazard: %5==0 an HTML page whose ONLY
+    // noindex is the header (no meta — q156's read alone would let it
+    // land), %5==1 an agent-scoped `googlebot: none` (none implies
+    // both flags; agent scoping honored restrictively), %5==2
+    // meta-only noindex (header clean — the meta layer must still
+    // fire through the merged struct), %5==3 a NON-HTML payload (PDF
+    // — no meta tag can exist) gated nofollow by its header alone,
+    // %5==4 clean. Every row carries an `X-Robots-Tag-Decoy:` header
+    // naming both tokens — the line anchor must not false-positive
+    // on it. Both engines build identical strings and run the
+    // byte-identical regexes.
+    QueryDef(
+      "q160_xrobots_directives",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'HTTP/1.1 200 OK' || chr(13) || chr(10) || 'Content-Type: '
+        |    || CASE WHEN doc_id % 5 = 3 THEN 'application/pdf'
+        |            ELSE 'text/html' END || chr(13) || chr(10)
+        |    || CASE WHEN doc_id % 5 = 0
+        |           THEN 'X-Robots-Tag: noindex' || chr(13) || chr(10)
+        |         WHEN doc_id % 5 = 1
+        |           THEN 'X-Robots-Tag: googlebot: none' || chr(13) || chr(10)
+        |         WHEN doc_id % 5 = 3
+        |           THEN 'X-Robots-Tag: nofollow' || chr(13) || chr(10)
+        |         ELSE '' END
+        |    || 'X-Robots-Tag-Decoy: noindex nofollow' AS headers,
+        |    CASE WHEN doc_id % 5 = 3 THEN '%PDF-1.4 ' || text
+        |         WHEN doc_id % 5 = 2 THEN
+        |           '<html><head><meta name="robots" content="noindex"></head><body><p>'
+        |           || text || '</p></body></html>'
+        |         ELSE '<html><head><title>t</title></head><body><p>'
+        |           || text || '</p></body></html>' END AS html
+        |  FROM documents)
+        |SELECT doc_id, (doc_id % 5 <> 3) AS is_html,
+        |  ((regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']name\s*=\s*["'']?robots\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnoindex\b')
+        |    OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnoindex\b[^>]*[\s"'']name\s*=\s*["'']?robots\b'))
+        |   OR regexp_matches(headers, '(?im)^X-Robots-Tag:[^\r\n]*\b(?:noindex|none)\b'))
+        |    AS noindex,
+        |  ((regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']name\s*=\s*["'']?robots\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnofollow\b')
+        |    OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnofollow\b[^>]*[\s"'']name\s*=\s*["'']?robots\b'))
+        |   OR regexp_matches(headers, '(?im)^X-Robots-Tag:[^\r\n]*\b(?:nofollow|none)\b'))
+        |    AS nofollow,
+        |  regexp_matches(headers, '(?im)^X-Robots-Tag:[^\r\n]*\b(?:noindex|none)\b')
+        |    AS header_noindex,
+        |  regexp_matches(headers, '(?im)^X-Robots-Tag:[^\r\n]*\b(?:nofollow|none)\b')
+        |    AS header_nofollow
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val m = col("doc_id") % 5
+      val crlf = "\r\n"
+      val headers = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: "),
+        when(m === 3, lit("application/pdf")).otherwise(lit("text/html")),
+        lit(crlf),
+        when(m === 0, lit("X-Robots-Tag: noindex" + crlf))
+          .when(m === 1, lit("X-Robots-Tag: googlebot: none" + crlf))
+          .when(m === 3, lit("X-Robots-Tag: nofollow" + crlf))
+          .otherwise(lit("")),
+        lit("X-Robots-Tag-Decoy: noindex nofollow"))
+      val html = when(m === 3, concat(lit("%PDF-1.4 "), col("text")))
+        .when(m === 2, concat(
+          lit("<html><head><meta name=\"robots\" content=\"noindex\">" +
+            "</head><body><p>"), col("text"), lit("</p></body></html>")))
+        .otherwise(concat(lit("<html><head><title>t</title></head><body><p>"),
+          col("text"), lit("</p></body></html>")))
+      d.select(col("doc_id"), (m =!= 3).as("is_html"),
+          pageDirectivesHttp(html, headers).as("pd"))
+        .select(col("doc_id"), col("is_html"),
+          col("pd.noindex").as("noindex"),
+          col("pd.nofollow").as("nofollow"),
+          col("pd.header_noindex").as("header_noindex"),
+          col("pd.header_nofollow").as("header_nofollow"))
+        .orderBy("doc_id")
     },
 
     // ---- q146: unified crawl scheduler ----------------------------

@@ -336,10 +336,12 @@ object CorpusSources {
       col("charset").startsWith("failed:") ||
         col("charset").startsWith("unsupported:"), lit(false))
     // page-declared crawl directives ride the same scan (q156's
-    // per-row read): declared_canonical feeds the URL-dedup keeper
-    // key downstream, noindex is the page's own "must not land"
-    // verdict — the CurationPipeline noindex gate consumes it with a
-    // ledger row (compliance deaths are accounted, never silent)
+    // per-row read, MERGED with the X-Robots-Tag header layer —
+    // q160's read, the restrictive union): declared_canonical feeds
+    // the URL-dedup keeper key downstream, noindex is the page's own
+    // "must not land" verdict — the CurationPipeline noindex gate
+    // consumes it with a ledger row (compliance deaths are accounted,
+    // never silent). A header-only noindex (no meta) gates here too.
     val good = documentRows(
       withHttp
         .filter(isHttp && col("uri") =!= "" &&
@@ -347,7 +349,8 @@ object CorpusSources {
         .withColumn("extracted",
           graft.queries.WebOps.htmlMainText(col("payload")))
         .filter(col("extracted") =!= "")
-        .withColumn("pd", graft.queries.WebOps.pageDirectives(col("payload"))),
+        .withColumn("pd", graft.queries.WebOps
+          .pageDirectivesHttp(col("payload"), col("http_headers"))),
       "extracted",
       Seq(col("pd.declared_canonical").as("declared_canonical"),
         col("pd.noindex").as("noindex"),
@@ -388,6 +391,11 @@ object CorpusSources {
   private def outlinkRows(withHttp: DataFrame): DataFrame =
     withHttp
       .filter(isHttp && col("uri") =!= "" && col("ctype").contains("html"))
+      // header-layer nofollow (X-Robots-Tag — q160's read) mutes the
+      // WHOLE page's links, exactly like the meta form: an empty
+      // array here costs one per-row rlike, no branch in the plan
+      .filter(!graft.queries.WebOps
+        .xRobotsDirective(col("http_headers"), "nofollow"))
       .select(graft.queries.WebOps.canonicalHost(col("uri")).as("src_h"),
         // RFC 3986 resolution against the record's target URI: the
         // sidecar must surface RELATIVE links too (same-site nav is
@@ -403,6 +411,39 @@ object CorpusSources {
       .select(col("src_h"),
         graft.queries.WebOps.canonicalHost(col("url")).as("dst_h"),
         col("url"))
+
+  /** The DIRECTIVE-LOG sidecar of the raw-crawl intake — the
+    * compliance surface for EVERY response, including the non-HTML
+    * payloads (PDF, image, plain text) the document intake filters:
+    * those have no meta tag, so the `X-Robots-Tag` header (q160's
+    * read) is the ONLY layer that can declare them noindex/nofollow,
+    * and a crawl that stores or links them must still honor it. One
+    * row per URI'd response: (url, ctype, is_html, header_noindex,
+    * header_nofollow, noindex, nofollow) where the unprefixed
+    * verdicts are the restrictive meta∪header union (meta evaluated
+    * only on HTML payloads — a binary body has no tag to read). Same
+    * per-row scan shape as the other sidecars — no shuffle.
+    */
+  def warcDirectiveLog(spark: SparkSession, path: String): DataFrame =
+    directiveRows(htmlResponses(spark.read.format("warc-record")
+      .schema(WarcFileFormat.schema).load(path)))
+
+  private def directiveRows(withHttp: DataFrame): DataFrame = {
+    import graft.queries.WebOps
+    val isHtml = col("ctype").contains("html")
+    val hNoindex = WebOps.xRobotsDirective(col("http_headers"), "noindex")
+    val hNofollow = WebOps.xRobotsDirective(col("http_headers"), "nofollow")
+    withHttp
+      .filter(isHttp && col("uri") =!= "")
+      .select(col("uri").as("url"), col("ctype"), isHtml.as("is_html"),
+        hNoindex.as("header_noindex"), hNofollow.as("header_nofollow"),
+        (hNoindex || (isHtml &&
+          WebOps.robotsMetaDirective(col("payload"), "noindex")))
+          .as("noindex"),
+        (hNofollow || (isHtml &&
+          WebOps.robotsMetaDirective(col("payload"), "nofollow")))
+          .as("nofollow"))
+  }
 
   /** The CONDITIONAL-FETCH LOG sidecar of the raw-crawl intake —
     * q158's input shape, extracted from the same response archives

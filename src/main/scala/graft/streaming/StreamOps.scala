@@ -472,15 +472,14 @@ object StreamOps {
     * would silently drift the tags between batches.
     */
   def clusterAssignStream(docs: DataFrame,
-      cents: Seq[(Int, Seq[Long])]): DataFrame = {
-    import graft.queries.SimilarityOps
+      cents: Seq[(Int, Seq[Long])]): DataFrame =
     docs
       .withColumn("__em", transform(col("embedding"), x =>
         floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
-      .withColumn("__cb", SimilarityOps.microCodebookLit(cents))
-      .withColumn("cell_id", SimilarityOps.microArgmin("__em", "__cb"))
-      .drop("__em", "__cb")
-  }
+      .withColumn("cell_id", graft.functions.CellAssign
+        .micro(docs.sparkSession, cents, col("__em"))
+        .getField("cell_id"))
+      .drop("__em")
 
   /** ONLINE model-based quality gating — the streaming form of the
     * batch q105 classifier (queries.TextOps.withClassifierScore):

@@ -1,0 +1,165 @@
+package graft.functions
+
+import graft.queries.SimilarityOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native cell-assignment expressions against their retained HOF
+  * reference forms (SimilarityOps.microArgmin / nearestCell): same
+  * argmin/argmax, same tie rule, same centroid-cosine doubles — and
+  * the broadcast delivery path row-identical to the inline one.
+  */
+class CellAssignSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // deterministic pseudo-random micro vectors, incl. exact-tie bait:
+  // vec 0/1 sit equidistant from centroids 2 and 5 by construction
+  private def microRows(n: Int, dim: Int): Seq[(Long, Seq[Long])] =
+    (0 until n).map { i =>
+      i.toLong -> (0 until dim).map(d =>
+        (((i * 31 + d * 17) % 2001) - 1000).toLong)
+    }
+
+  private def microCents(k: Int, dim: Int): Seq[(Int, Seq[Long])] =
+    (0 until k).map { c =>
+      c -> (0 until dim).map(d => (((c * 13 + d * 7) % 2001) - 1000).toLong)
+    }
+
+  test("micro: native == HOF reference (cell_id AND cent_cos), inline and broadcast") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val dim = 16
+    val cents = microCents(8, dim) ++
+      // a DUPLICATE centroid under a higher cell id: every vector ties
+      // between cells 3 and 97 exactly — the tie must break to 3
+      Seq(97 -> microCents(8, dim)(3)._2)
+    val df = microRows(64, dim).toDF("vec_id", "em")
+    val hof = df
+      .withColumn("cb", SimilarityOps.microCodebookLit(cents))
+      .select(col("vec_id"),
+        SimilarityOps.microArgmin("em", "cb").as("cell_id"),
+        expr("cosine_sim(transform(em, x -> cast(x as double)), " +
+          // HOF centroid lookup by argmin over the same struct array
+          "transform(array_max(transform(cb, c -> named_struct(" +
+          "'negd', -aggregate(zip_with(em, c.cent, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x), 'nc', -c.cell_id, " +
+          "'cent', c.cent))).cent, x -> cast(x as double)))").as("cc"))
+      .orderBy("vec_id").collect()
+    for (gate <- Seq(Int.MaxValue, 0)) { // inline, then forced broadcast
+      val native = df
+        .withColumn("b", CellAssign.micro(spark, cents, col("em"), gate))
+        .select(col("vec_id"), col("b.cell_id").as("cell_id"),
+          col("b.cent_cos").as("cc"))
+        .orderBy("vec_id").collect()
+      assert(native.length == hof.length)
+      native.zip(hof).foreach { case (n, h) =>
+        assert(n.getInt(1) == h.getInt(1),
+          s"cell mismatch at vec ${n.getLong(0)} (gate=$gate)")
+        assert(n.getDouble(2) == h.getDouble(2),
+          s"cent_cos not bit-identical at vec ${n.getLong(0)} (gate=$gate)")
+      }
+      // the tie bait: no vector may ever land in the duplicate 97
+      assert(native.forall(_.getInt(1) != 97), s"tie broke upward (gate=$gate)")
+    }
+  }
+
+  test("cosine: native == HOF reference incl. tie + NaN (zero-norm) semantics") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val dim = 8
+    val cents: Seq[(Int, Seq[Double])] = Seq(
+      0 -> Seq(1.0, 0.5, -0.25, 0.125, 1.0, -1.0, 0.75, 0.3),
+      1 -> Seq(-0.7, 0.2, 0.9, -0.4, 0.1, 0.6, -0.3, 0.8),
+      2 -> Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), // zero norm → NaN sim
+      // duplicate of 0 under a higher id: exact tie, must break to 0
+      7 -> Seq(1.0, 0.5, -0.25, 0.125, 1.0, -1.0, 0.75, 0.3))
+    val df = (0 until 40).map { i =>
+      i.toLong -> (0 until dim).map(d =>
+        (((i * 29 + d * 11) % 201) - 100) / 100.0)
+    }.toDF("vec_id", "e")
+    val hof = df
+      .withColumn("cb", SimilarityOps.codebookLit(cents))
+      .select(col("vec_id"), SimilarityOps.nearestCell("e", "cb").as("cell_id"),
+        expr("array_max(transform(cb, c -> cosine_sim(e, c.cent)))").as("sim"))
+      .orderBy("vec_id").collect()
+    for (gate <- Seq(Int.MaxValue, 0)) {
+      val native = df
+        .withColumn("b", CellAssign.cosine(spark, cents, col("e"), gate))
+        .select(col("vec_id"), col("b.cell_id").as("cell_id"),
+          col("b.sim").as("sim"))
+        .orderBy("vec_id").collect()
+      native.zip(hof).foreach { case (n, h) =>
+        assert(n.getInt(1) == h.getInt(1),
+          s"cell mismatch at vec ${n.getLong(0)} (gate=$gate): " +
+            s"native=${n.getInt(1)} hof=${h.getInt(1)}")
+        assert(java.lang.Double.compare(n.getDouble(2), h.getDouble(2)) == 0,
+          s"sim not bit-identical at vec ${n.getLong(0)} (gate=$gate)")
+      }
+      // Spark's double order puts NaN greatest — the zero-norm cell 2
+      // must win EVERY row, exactly as array_max decided for the HOF
+      assert(native.forall(_.getInt(1) == 2),
+        s"NaN ordering diverged from the HOF form (gate=$gate)")
+      assert(native.forall(r => r.getDouble(2).isNaN), "sim should be the NaN max")
+    }
+    // and with the NaN cell removed, the duplicate-of-0 bait must
+    // always break ties down to 0, never 7
+    val noNan = cents.filterNot(_._1 == 2)
+    val native2 = df
+      .withColumn("b", CellAssign.cosine(spark, noNan, col("e")))
+      .select(col("b.cell_id")).collect()
+    assert(native2.forall(_.getInt(0) != 7), "cosine tie broke upward")
+  }
+
+  test("null vector yields null struct; interpreted eval matches codegen") {
+    import spark.implicits._
+    val cents = microCents(4, 4)
+    val df = Seq((1L, Some(Seq(1L, 2L, 3L, 4L))), (2L, None))
+      .toDF("vec_id", "em")
+    val out = df.select(col("vec_id"),
+      CellAssign.micro(spark, cents, col("em")).as("b"))
+      .orderBy("vec_id").collect()
+    assert(!out(0).isNullAt(1))
+    assert(out(1).isNullAt(1), "null input must stay null")
+    // interpreted path (no codegen): evaluate via a filter on the
+    // struct field with codegen disabled
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(col("vec_id"),
+        CellAssign.micro(spark, cents, col("em")).as("b"))
+        .orderBy("vec_id").collect()
+      assert(interp(0).getStruct(1) == out(0).getStruct(1))
+      assert(interp(1).isNullAt(1))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("streaming cluster tags and batch q117 assignment agree through the native path") {
+    import spark.implicits._
+    // the StreamOps parity contract survives the native rewrite: the
+    // same centroid Seq gives the same cell for the same embedding
+    // whether assigned in-batch (micro-shifted fit rounds) or online
+    // (unshifted) — squared L2 is shift-invariant
+    val dim = 8
+    val cents = microCents(5, dim)
+    val shifted = cents.map { case (c, v) => c -> v.map(_ + 1000L) }
+    val df = microRows(32, dim).toDF("vec_id", "em")
+    val online = df.withColumn("cell",
+      CellAssign.micro(spark, cents, col("em")).getField("cell_id"))
+    val trainer = df
+      .withColumn("ems", transform(col("em"), x => x + lit(1000L)))
+      .withColumn("cell",
+        CellAssign.micro(spark, shifted, col("ems")).getField("cell_id"))
+    val a = online.select("vec_id", "cell").orderBy("vec_id").collect()
+    val b = trainer.select("vec_id", "cell").orderBy("vec_id").collect()
+    a.zip(b).foreach { case (x, y) => assert(x.getInt(1) == y.getInt(1)) }
+  }
+}

@@ -556,4 +556,97 @@ class CrawlToCurationSpec extends AnyFunSuite {
     assert(!links.exists(_.contains("nf-target")),
       "meta-nofollow page's links voted in the frontier feed")
   }
+
+  test("X-Robots-Tag header compliance e2e: header-only noindex dies at the gate, header nofollow mutes links, a PDF only the header can gate is ledgered") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xrobots_e2e")
+    def page(uri: String, rid: String, xHeaders: Seq[String],
+        lines: Seq[String], body: String = ""): String =
+      rec(Seq("WARC-Type: response", s"WARC-Target-URI: $uri",
+          s"WARC-Record-ID: <urn:uuid:$rid>"),
+        ("HTTP/1.1 200 OK" +: "Content-Type: text/html; charset=utf-8" +:
+          xHeaders).mkString(crlf) + crlf + crlf +
+          // NO meta tag anywhere: the header is the only directive layer
+          s"<html><head><title>t</title></head><body>$body" +
+          lines.map(l => s"<p>$l</p>").mkString + "</body></html>")
+    Files.writeString(dir.resolve("x.warc"), warcFile(Seq(
+      // header-ONLY noindex: clean content, no meta — q156's read
+      // alone would let it land; only the q160 header layer kills it
+      page("https://shore.example.com/headered", "x-noidx",
+        Seq("X-Robots-Tag: noindex"), pageA),
+      // agent-scoped `none` implies noindex (restrictive reading)
+      page("https://shore.example.com/scoped", "x-none",
+        Seq("X-Robots-Tag: googlebot: none"), pageB),
+      // header nofollow: the page lands, its links never vote
+      page("https://shore.example.com/muted", "x-nofol",
+        Seq("X-Robots-Tag: nofollow"), pageD,
+        "<a href=\"https://h-target.example.net/only-here\">t</a>"),
+      // decoy header name: the ^-anchored match must not fire
+      page("https://shore.example.com/clean", "x-clean",
+        Seq("X-Robots-Tag-Decoy: noindex nofollow"), pageL,
+        "<a href=\"https://planet.example.net/hub3\">hub</a>"),
+      // a NON-HTML payload (PDF): filtered from the document intake by
+      // content type, but its header noindex must surface in the
+      // directive log — no meta tag can exist for it
+      rec(Seq("WARC-Type: response",
+          "WARC-Target-URI: https://shore.example.com/report.pdf",
+          "WARC-Record-ID: <urn:uuid:x-pdf>"),
+        "HTTP/1.1 200 OK" + crlf + "Content-Type: application/pdf" + crlf +
+          "X-Robots-Tag: noindex, nofollow" + crlf + crlf +
+          "%PDF-1.4 not really a pdf"))))
+
+    val (good, _) = CorpusSources.warcHtmlDocuments(spark, dir.toString)
+    val byUrl = good.collect()
+      .map(r => r.getString(r.fieldIndex("url")) -> r).toMap
+    assert(byUrl.size == 4, s"PDF must filter, 4 HTML pages land: ${byUrl.keys}")
+    assert(byUrl("https://shore.example.com/headered")
+      .getBoolean(byUrl.head._2.fieldIndex("noindex")),
+      "header-only noindex did not reach the intake's merged verdict")
+    assert(byUrl("https://shore.example.com/scoped")
+      .getBoolean(byUrl.head._2.fieldIndex("noindex")),
+      "agent-scoped X-Robots-Tag: none was not honored restrictively")
+    assert(!byUrl("https://shore.example.com/clean")
+      .getBoolean(byUrl.head._2.fieldIndex("noindex")),
+      "the decoy header name false-positived")
+
+    // pipeline: both header-noindexed pages die AT THE GATE with the
+    // ledger accounting for them; clean + muted land
+    val out = Files.createTempDirectory("graft_xrobots_out").toString
+    val ledger = CurationPipeline.run(spark, good,
+      probeSource = "no-such-source", outDir = out,
+      urlCol = Some("url"), noindexCol = Some("noindex"))
+    val counts = ledger.map(s => s.stage -> s.docs).toMap
+    assert(counts("input") == 4L, ledger)
+    assert(counts("noindex_gate") == 2L,
+      s"both header-noindexed pages must die at the gate: $ledger")
+    val keptUrls = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+      .map((id: Long) => good.filter(col("doc_id") === id)
+        .select("url").head().getString(0))
+    assert(keptUrls == Set("https://shore.example.com/muted",
+      "https://shore.example.com/clean"), keptUrls)
+
+    // frontier feed: the header-nofollow page's link is muted; the
+    // decoy page's link still votes
+    val links = CorpusSources.warcHtmlOutlinks(spark, dir.toString)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!links.exists(_.contains("h-target")),
+      "header-nofollow page's links voted in the frontier feed")
+    assert(links.contains("https://planet.example.net/hub3"), links)
+
+    // directive log: the PDF — invisible to the document intake — is
+    // ledgered with its header verdicts and is_html=false
+    val dlog = CorpusSources.warcDirectiveLog(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(dlog.size == 5, s"all URI'd responses ledger: ${dlog.keys}")
+    val pdf = dlog("https://shore.example.com/report.pdf")
+    assert(!pdf.getBoolean(pdf.fieldIndex("is_html")))
+    assert(pdf.getBoolean(pdf.fieldIndex("header_noindex")) &&
+      pdf.getBoolean(pdf.fieldIndex("header_nofollow")) &&
+      pdf.getBoolean(pdf.fieldIndex("noindex")),
+      "the PDF's header-layer directives must surface in the log")
+    val clean = dlog("https://shore.example.com/clean")
+    assert(!clean.getBoolean(clean.fieldIndex("noindex")) &&
+      !clean.getBoolean(clean.fieldIndex("nofollow")), "decoy leaked")
+  }
 }

@@ -534,6 +534,84 @@ class StreamingCurationPipelineSpec extends AnyFunSuite {
     assert(colsOff.forall(!_.contains("cell_id")), colsOff)
   }
 
+  test("sem_dedup_delta kills the paraphrase-recrawl twin no fingerprint rung can see; control run lands it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq((1001L, pageE)).toDF("doc_id", "text")
+    val probes = benchmarkSentence.split("\\s+").toSeq
+      .sliding(3).map(_.mkString(" ")).toSeq.distinct.toDF("g")
+    val fitEmb = Seq(
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.1f, 0.9f)), (4L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.queries.SimilarityOps.kmeansMicro(
+      fitEmb, k = 2, iters = 2)
+    val cents = graft.queries.SimilarityOps.collectCentroids(centroids)
+    val semIdx = graft.queries.SimilarityOps.buildSemIndex(
+      Seq((1001L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding"), cents)
+
+    // row 1 is THE HAZARD: pageA shares not one shingle with the
+    // standing pageE (it sails through incr_dedup's fingerprints) but
+    // its embedding is the standing doc's paraphrase twin. Rows 3/4
+    // are a WITHIN-batch embedding pair — q155's keep-the-outlier
+    // rule must kill exactly one. Rows 2 (batch 1) and 3/4 (batch 2)
+    // are near-identical ACROSS batches and must BOTH land — the
+    // documented new-vs-new gap that belongs to batch compaction.
+    val rows = Seq(
+      (1L, pageA, "https://site.example.com/a", ts(0), Seq(0.91f, 0.09f)),
+      (2L, pageD, "https://site.example.com/d", ts(1), Seq(0.07f, 0.93f)),
+      (3L, pageG, "https://site.example.com/g", ts(5), Seq(0.05f, 0.95f)),
+      (4L, pageF, "https://site.example.com/f", ts(6), Seq(0.06f, 0.94f)))
+
+    def run(sem: Option[(DataFrame, DataFrame, Double)]) = {
+      val cfg = StreamingCurationPipeline.Config(
+        standingCorpus = standing, probeShingles = probes,
+        classifierMinScore = TextOps.ClassifierKeepScore,
+        semDedupDelta = sem)
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val collectSink = new Sink {
+        val name = "collect"
+        def write(df: DataFrame, batchId: Long): Unit =
+          landed ++= df.select("doc_id").collect().map(_.getLong(0))
+      }
+      val stream = MemoryStream[(Long, String, String, Timestamp, Seq[Float])]
+      val (query, ledger) = StreamingCurationPipeline.start(
+        stream.toDF().toDF("doc_id", "text", "url", "ts", "embedding"),
+        cfg, collectSink)
+      stream.addData(rows.take(2))
+      query.processAllAvailable()
+      stream.addData(rows.drop(2))
+      query.processAllAvailable()
+      query.stop()
+      (landed.toSeq.sorted, ledger().map(s => s.stage -> s.docs).toMap)
+    }
+
+    val (kept, ledgerOn) = run(Some((semIdx, centroids, 0.99)))
+    assert(ledgerOn("incr_dedup") == 4L,
+      s"all four must pass the fingerprint rung (hazard is shingle-" +
+        s"disjoint by construction): $ledgerOn")
+    assert(ledgerOn("sem_dedup_delta") == 2L, ledgerOn)
+    assert(!kept.contains(1L),
+      s"the paraphrase-recrawl twin landed past the semantic rung: $kept")
+    assert(kept.contains(2L), kept)
+    // WHICH of the within-batch pair lands equals the batch
+    // operator's keep-the-outlier verdict on the same rows (parity)
+    val batchKept = graft.queries.SimilarityOps.semDedupDelta(
+        Seq((3L, Seq(0.05f, 0.95f)), (4L, Seq(0.06f, 0.94f)))
+          .toDF("vec_id", "embedding"), semIdx, cents, minCos = 0.99)
+      .filter(col("kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(batchKept.size == 1, batchKept)
+    assert(kept.filter(Set(3L, 4L)) == batchKept,
+      s"stream=$kept batch-kept=$batchKept")
+    assert(kept.size == 2, s"cross-batch twins must both land: $kept")
+
+    // control: no stage row, the hazard lands
+    val (keptOff, ledgerOff) = run(None)
+    assert(!ledgerOff.contains("sem_dedup_delta"), ledgerOff)
+    assert(keptOff == Seq(1L, 2L, 3L, 4L), keptOff)
+  }
+
   test("token_tag annotates survivors with BPE counts from a LOADED model artifact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1041,6 +1041,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("LeftAnti".r.findAllIn(p).size == 1, p)
   }
 
+  test("cell assignment: no above-gate codebook rides any plan as a literal; hot paths run the native expression") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    // total scalar count inside a literal value — arrays of structs of
+    // arrays flatten, so a (cell_id, cent[dim]) codebook literal of k
+    // entries counts ~k·(dim+1)
+    def scalars(dt: DataType, v: Any): Long = (dt, v) match {
+      case (_, null) => 0L
+      case (ArrayType(et, _), a: ArrayData) =>
+        (0 until a.numElements()).map(i => scalars(et, a.get(i, et))).sum
+      case (st: StructType, r: InternalRow) =>
+        st.fields.zipWithIndex.map { case (f, i) =>
+          scalars(f.dataType, r.get(i, f.dataType)) }.sum
+      case _ => 1L
+    }
+    def maxLitScalars(df: org.apache.spark.sql.DataFrame): Long = {
+      val lits = df.queryExecution.optimizedPlan.collect { case n => n }
+        .flatMap(_.expressions)
+        .flatMap(_.collect { case l: Literal => scalars(l.dataType, l.value) })
+      if (lits.isEmpty) 0L else lits.max
+    }
+    val gate = graft.functions.CellAssign.InlineGateElems
+    // an ABOVE-gate codebook (256 cells x 64 dims = 16384 > 8192):
+    // the assignment plan must carry only the broadcast handle —
+    // the 50k-cell SemDeDup/IVF regime's plan-size contract
+    val k = 256; val dim = 64
+    val bigCents = (0 until k).map(c =>
+      c -> (0 until dim).map(d => (((c * dim + d) * 37) % 997).toLong - 498L))
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("em"))
+    val big = emb.select(col("vec_id"), graft.functions.CellAssign
+      .micro(spark, bigCents, col("em")).getField("cell_id").as("cell_id"))
+    assert(maxLitScalars(big) <= gate,
+      s"an above-gate codebook appears as a plan literal (${maxLitScalars(big)} scalars)")
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("cell_assign_micro"),
+      s"assignment is not the native expression:\n$bigPlan")
+    assert(big.select(countDistinct("cell_id")).head().getLong(0) > 1,
+      "broadcast-delivered assignment returned a degenerate clustering")
+    // the hot production paths run the native expression (q155's
+    // checkpoint cuts its lineage, so assert on its building blocks)
+    assert(plan("q44_ivf_ann").contains("cell_assign_cosine"),
+      "q44 coarse assignment lost the native expression")
+    assert(plan("q117_cluster_balanced_select").contains("cell_assign_micro"),
+      "q117 assignment lost the native expression")
+    assert(plan("q68_semdedup").contains("cell_assign_cosine"),
+      "q68 assignment lost the native expression")
+  }
+
   test("q144 recrawl schedule: one partial-agg rollup + broadcast now, top-k off Window") {
     val p = plan("q144_recrawl_schedule")
     assert(!p.contains("Window"), s"budget cut through a window funnel:\n$p")
