@@ -1840,11 +1840,18 @@ object WebOps {
       .select(col("host"), col("url"),
         expr("(1000000 * n_referrers) div (n_referrers + 1)").as("ppm"),
         lit("discover").as("src"))
-    // ROBOTS gate on the UNION: revisits need re-gating too — a page
-    // fetched legally last month may sit behind a new Disallow today,
-    // and a crawler that keeps refreshing it violates RFC 9309. Same
-    // |hosts|-sized broadcast verdict as crawlFrontier's gate.
-    val cand0 = fresh.union(revisit)
+    planBudget(fresh.union(revisit), robots, userAgent, perHostK)
+  }
+
+  /** The shared tail of the unified planners: the RFC 9309 gate on
+    * the discover∪revisit union (revisits need re-gating too — a page
+    * fetched legally last month may sit behind a new Disallow today;
+    * same |hosts|-sized broadcast verdict as crawlFrontier's gate),
+    * the per-host bounded-heap budget cut, and the |plan|-sized
+    * source-tag join-back.
+    */
+  private def planBudget(cand0: DataFrame, robots: Option[DataFrame],
+      userAgent: String, perHostK: Int): DataFrame = {
     val cand = robots.fold(cand0) { r =>
       val rr = broadcast(r.select(col("host").as("r_host"),
         robotsGroupRules(col("robots_txt"), userAgent).as("r_rules")))
@@ -1861,6 +1868,61 @@ object WebOps {
         (col("pos") + 1).cast("long").as("rnk"))
     ranked.join(cand.select("host", "url", "src"), Seq("host", "url"))
       .select(col("host"), col("url"), col("ppm"), col("src"), col("rnk"))
+  }
+
+  /** CONDITIONAL-GET planning (q163): the unified planner over the
+    * STATUS-AWARE fetch log (q158's input shape — the one the WARC
+    * intake's [[graft.sources.CorpusSources]] fetch-log sidecar
+    * produces), with REVISIT rows carrying the validators a
+    * 304-capable fetcher needs to actually EARN the 304s the
+    * estimator consumes: `last_digest` (the latest BODIED fetch's
+    * content digest — a 304 carries none, so the last known entity is
+    * the validator, If-None-Match-shaped) and `last_fetch_us` (the
+    * latest fetch timestamp, If-Modified-Since-shaped). Discover rows
+    * carry NULLs — there is nothing to validate a first fetch
+    * against. Without these columns the planner ASKS for revisits but
+    * a fetcher can never send a conditional request, and every
+    * revisit pays a full body.
+    *
+    * Plan shape: q146's exactly (vote rollup + estimator rollup +
+    * bounded-heap budget), plus one |urls|-sized partial-aggregable
+    * validator rollup of the log joined back |plan|-sized.
+    */
+  def unifiedCrawlPlanFromLog(discovered: DataFrame, seen: DataFrame,
+      fetchLog: DataFrame, perHostK: Int = 3,
+      robots: Option[DataFrame] = None,
+      userAgent: String = "graftbot"): DataFrame = {
+    graft.functions.GraftFunctions.register(discovered.sparkSession)
+    val d = discovered.filter(col("url").isNotNull)
+      .withColumn("url", canonicalizeUrl(col("url")))
+    val seenC = seen.filter(col("url").isNotNull)
+      .select(canonicalizeUrl(col("url")).as("url"))
+    val revisit = recrawlScoresFromLog(fetchLog)
+      .select(canonicalHost(col("url")).as("host"), col("url"),
+        col("priority_ppm").as("ppm"), lit("revisit").as("src"))
+    // the q146 disjointness rule verbatim: EVERY logged URL proves
+    // "seen"; no distinct on the anti-join's right side (84e9be8)
+    val fresh = d
+      .join(seenC.union(fetchLog.select("url")), Seq("url"), "left_anti")
+      .groupBy(col("dst_h").as("host"), col("url"))
+      .agg(countDistinct("src_h").as("n_referrers"))
+      .select(col("host"), col("url"),
+        expr("(1000000 * n_referrers) div (n_referrers + 1)").as("ppm"),
+        lit("discover").as("src"))
+    val plan = planBudget(fresh.union(revisit), robots, userAgent, perHostK)
+    // validators: last fetch ts per url; digest of the latest BODIED
+    // fetch via the (t, fetch_id, digest) struct-max (fetch_id unique
+    // → deterministic; 304 rows carry NULL digest and are excluded)
+    val v = fetchLog.groupBy("url").agg(
+        max(unix_micros(col("ts"))).as("last_fetch_us"),
+        max(when(col("digest").isNotNull,
+          struct(unix_micros(col("ts")).as("t"),
+            col("fetch_id").as("f"), col("digest").as("d")))).as("__b"))
+      .select(col("url"), col("last_fetch_us"), col("__b.d").as("last_digest"))
+    plan.join(v, Seq("url"), "left")
+      .select(col("host"), col("url"), col("ppm"), col("src"), col("rnk"),
+        when(col("src") === "revisit", col("last_digest")).as("last_digest"),
+        when(col("src") === "revisit", col("last_fetch_us")).as("last_fetch_us"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -3128,6 +3190,133 @@ object WebOps {
       recrawlScoresFromLog(log)
         .orderBy(col("priority_ppm").desc, col("url"))
         .limit(50)
+    },
+
+    // ---- q163: conditional-GET planning (validators on revisits) ---
+    // q146's unified budget over q158's status-aware fetch log, with
+    // the If-None-Match/If-Modified-Since validators attached: every
+    // REVISIT row carries (last_digest, last_fetch_us) — the latest
+    // bodied fetch's digest (304s carry none) and the latest fetch
+    // timestamp — while DISCOVER rows carry NULLs. The oracle
+    // re-derives the discovery ramp, the 304-aware estimator, the
+    // budget cut, the validator rollup and the revisit-only gating
+    // independently.
+    QueryDef(
+      "q163_conditional_get_plan",
+      """WITH discovered AS (
+        |  SELECT source AS src_h,
+        |    's' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com' AS dst_h,
+        |    'https://s' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |seen AS (
+        |  SELECT DISTINCT 'https://s' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR) AS url
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT dst_h AS host, url,
+        |    (1000000 * count(DISTINCT src_h))
+        |      // (count(DISTINCT src_h) + 1) AS ppm,
+        |    'discover' AS src
+        |  FROM discovered d
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = d.url)
+        |  GROUP BY dst_h, url),
+        |flog AS (
+        |  SELECT 'https://s' || CAST(user_id % 20 AS VARCHAR)
+        |      || '.example.com/u/' || CAST(user_id AS VARCHAR) AS url,
+        |    epoch_us(ts) AS t_us, event_id AS fetch_id,
+        |    CASE WHEN user_id % 3 = 0 AND event_type <> 'purchase'
+        |         THEN 304 ELSE 200 END AS status,
+        |    CASE WHEN user_id % 3 = 0 AND event_type <> 'purchase' THEN NULL
+        |         WHEN user_id % 3 = 0 THEN 'p' || CAST(event_id % 2 AS VARCHAR)
+        |         WHEN user_id % 3 = 1 THEN CAST(event_id AS VARCHAR)
+        |         ELSE 'stable' END AS digest
+        |  FROM events),
+        |ch AS (
+        |  SELECT url, t_us,
+        |    CASE WHEN status = 304 THEN 0
+        |         WHEN prev_digest IS NULL THEN 0
+        |         WHEN digest = prev_digest THEN 0 ELSE 1 END AS changed
+        |  FROM (
+        |    SELECT url, t_us, status, digest,
+        |      last_value(digest IGNORE NULLS) OVER (
+        |        PARTITION BY url ORDER BY t_us, fetch_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS prev_digest
+        |    FROM flog)),
+        |g AS (SELECT max(t_us) AS now_us FROM ch),
+        |per AS (
+        |  SELECT url, count(*) AS n_fetches, sum(changed) AS n_changes,
+        |    min(t_us) AS first_us, max(t_us) AS last_us
+        |  FROM ch GROUP BY url),
+        |calc AS (
+        |  SELECT url, n_fetches, n_changes,
+        |    (g.now_us - last_us) AS age_us,
+        |    (last_us - first_us) AS span_us,
+        |    ln((n_fetches * 2 + 1) * 1.0
+        |       / ((n_fetches - n_changes) * 2 + 1)) AS r_nats
+        |  FROM per, g
+        |  WHERE n_fetches >= 2 AND last_us > first_us),
+        |revisit AS (
+        |  SELECT regexp_replace(lower(regexp_replace(
+        |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      ':[0-9]+$', '')), '^www\.', '') AS host,
+        |    url,
+        |    CAST(floor((1.0 - exp(-(r_nats * (n_fetches - 1) * age_us
+        |      / span_us))) * 1000000.0 + 0.5) AS BIGINT) AS ppm,
+        |    'revisit' AS src
+        |  FROM calc),
+        |cand AS (
+        |  SELECT host, url, CAST(ppm AS BIGINT) AS ppm, src FROM fresh
+        |  UNION ALL
+        |  SELECT host, url, ppm, src FROM revisit),
+        |ranked AS (
+        |  SELECT host, url, ppm, src, row_number() OVER (
+        |    PARTITION BY host ORDER BY ppm DESC, url) AS rnk
+        |  FROM cand),
+        |v AS (
+        |  SELECT url, last_fetch_us, last_digest FROM (
+        |    SELECT url,
+        |      max(t_us) OVER (PARTITION BY url) AS last_fetch_us,
+        |      last_value(digest IGNORE NULLS) OVER (
+        |        PARTITION BY url ORDER BY t_us, fetch_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |        AS last_digest,
+        |      row_number() OVER (PARTITION BY url
+        |                         ORDER BY t_us DESC, fetch_id DESC) AS rn
+        |    FROM flog) WHERE rn = 1)
+        |SELECT r.host, r.url, r.ppm, r.src, CAST(r.rnk AS BIGINT) AS rnk,
+        |  CASE WHEN r.src = 'revisit' THEN v.last_digest END AS last_digest,
+        |  CASE WHEN r.src = 'revisit' THEN v.last_fetch_us END
+        |    AS last_fetch_us
+        |FROM ranked r LEFT JOIN v ON v.url = r.url
+        |WHERE r.rnk <= 3
+        |ORDER BY r.host, r.rnk""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val k = ((col("doc_id") * 7 + 3) % 20).cast("string")
+      val discovered = d.select(col("source").as("src_h"),
+        concat(lit("s"), k, lit(".example.com")).as("dst_h"),
+        concat(lit("https://s"), k, lit(".example.com/p/"),
+          (col("doc_id") % 40).cast("string")).as("url"))
+      val seen = d.select(
+        concat(lit("https://s"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), (col("doc_id") % 40).cast("string"))
+          .as("url")).distinct()
+      val ev = Tables(s, dir, "events")
+      val is304 = col("user_id") % 3 === 0 && col("event_type") =!= "purchase"
+      val log = ev.select(
+        concat(lit("https://s"), (col("user_id") % 20).cast("string"),
+          lit(".example.com/u/"), col("user_id").cast("string")).as("url"),
+        col("ts"), col("event_id").as("fetch_id"),
+        when(is304, lit(304)).otherwise(lit(200)).as("status"),
+        when(is304, lit(null).cast("string"))
+          .when(col("user_id") % 3 === 0,
+            concat(lit("p"), (col("event_id") % 2).cast("string")))
+          .when(col("user_id") % 3 === 1, col("event_id").cast("string"))
+          .otherwise(lit("stable")).as("digest"))
+      unifiedCrawlPlanFromLog(discovered, seen, log, perHostK = 3)
+        .orderBy("host", "rnk")
     },
 
     // ---- q160: X-Robots-Tag header compliance ----------------------

@@ -433,4 +433,41 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
       .orderBy("rnk").select("url").as[String].collect()
     assert(open.head === "https://s1.example.com/u/1", open.toSeq.toString)
   }
+
+  test("conditional-GET plan: validators exactly on revisits — last BODIED digest, latest fetch ts, NULLs on discover") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val u = "https://s1.example.com/u/1"
+    // fetch history: two bodied fetches with different digests, then
+    // a 304 tail — the validator must be the LATEST BODIED digest
+    // ("d2", not the 304's null, not the older "d1") and the latest
+    // fetch timestamp must be the 304's (the last contact)
+    val log = Seq(
+      (u, ts(0), 1L, 200, "d1"),
+      (u, ts(10), 2L, 200, "d2"),
+      (u, ts(20), 3L, 304, null: String),
+      (u, ts(30), 4L, 304, null: String))
+      .toDF("url", "ts", "fetch_id", "status", "digest")
+    val discovered = Seq(
+      ("a", "s1.example.com", "https://s1.example.com/p/new"),
+      ("b", "s1.example.com", "https://s1.example.com/p/new"))
+      .toDF("src_h", "dst_h", "url")
+    val seen = Seq.empty[String].toDF("url")
+    val plan = WebOps.unifiedCrawlPlanFromLog(discovered, seen, log,
+        perHostK = 3)
+      .collect().map(r => r.getString(1) -> r).toMap
+    val rev = plan(u)
+    assert(rev.getString(rev.fieldIndex("src")) == "revisit")
+    assert(rev.getString(rev.fieldIndex("last_digest")) == "d2",
+      "validator must be the latest BODIED digest")
+    assert(rev.getLong(rev.fieldIndex("last_fetch_us")) ==
+      ts(30).getTime * 1000L,
+      "last_fetch_us must be the latest contact (the 304)")
+    val disc = plan("https://s1.example.com/p/new")
+    assert(disc.getString(disc.fieldIndex("src")) == "discover")
+    assert(disc.isNullAt(disc.fieldIndex("last_digest")) &&
+      disc.isNullAt(disc.fieldIndex("last_fetch_us")),
+      "a first fetch has nothing to validate against")
+  }
 }
