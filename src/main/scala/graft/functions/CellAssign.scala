@@ -103,6 +103,62 @@ final class FloatCodebook(val cells: Array[Int], val cents: Array[Double],
   }
 }
 
+/** The nprobe generalization of [[FloatCodebook.assign]]: the
+  * `nprobe` nearest cells by cosine, best-first, ties to the smaller
+  * cell_id — exactly `slice(array_sort(transform(cb, (nsim, cell))),
+  * 1, nprobe)` (the retained `nearestCells` HOF), as one bounded
+  * insertion-select per row instead of a per-row k·log k struct-array
+  * sort through interpreted lambdas. nprobe is tiny (2-16) and k can
+  * be 50k, so the insertion into the nprobe-sized window is the right
+  * algorithm as well as the codegen-friendly one.
+  */
+final class FloatTopCells(val cb: FloatCodebook, val nprobe: Int)
+  extends Serializable {
+  require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+
+  def topCells(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = v.numElements()
+    val n = math.min(nprobe, cb.k)
+    // insertion window ordered ascending by (nsim = -sim, cell) in
+    // Spark's double total order (java.lang.Double.compare) — the
+    // HOF's sort key EXACTLY, including its NaN placement: -NaN is
+    // NaN and NaN sorts GREATEST ascending, so a zero-norm cell
+    // ranks LAST here (note the deliberate asymmetry with the argmax
+    // [[FloatCodebook.assign]], where array_max on the un-negated
+    // sim puts NaN first — both are the retained HOFs' semantics,
+    // both spec-pinned)
+    val nsims = new Array[Double](n)
+    val cells = new Array[Int](n)
+    var filled = 0
+    var c = 0
+    while (c < cb.k) {
+      val off = c * cb.dim
+      val len = math.min(m, cb.dim)
+      var dot = 0d; var nx = 0d; var ny = 0d; var i = 0
+      while (i < len) {
+        val x = v.getDouble(i); val y = cb.cents(off + i)
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val nsim = -(dot / (math.sqrt(nx) * math.sqrt(ny)))
+      val cell = cb.cells(c)
+      var pos = if (filled < n) filled else n
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(nsims(pos - 1), nsim)
+        cmp > 0 || (cmp == 0 && cells(pos - 1) > cell)
+      }) pos -= 1
+      if (pos < n) {
+        var j = math.min(filled, n - 1)
+        while (j > pos) { nsims(j) = nsims(j - 1); cells(j) = cells(j - 1); j -= 1 }
+        nsims(pos) = nsim; cells(pos) = cell
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(cells, filled))
+  }
+}
+
 /** Codebook delivery — the q58 probe-gate pattern applied to model
   * constants: SMALL codebooks ride the serialized expression itself
   * (plan-sized, like a literal, but never inflating the SQL plan
@@ -202,6 +258,40 @@ case class CosineCellAssign(child: Expression, ref: CodebookRef[FloatCodebook])
       newChild: Expression): CosineCellAssign = copy(child = newChild)
 }
 
+/** Native top-nprobe cell selection against a [[FloatTopCells]]
+  * wrapper — `nearestCells`' codegen'd form. Returns array<int> of
+  * cell ids, best-first. Same constructor-payload delivery as the
+  * assign expressions: the plan never carries the codebook.
+  */
+case class CosineTopCellsExpr(child: Expression,
+    ref: CodebookRef[FloatTopCells]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"cell_top_cells expects array<double>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_top_cells"
+
+  override def nullSafeEval(v: Any): Any =
+    ref.value.topCells(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("topCellsRef", ref,
+      classOf[CodebookRef[_]].getName)
+    val tc = ctx.addMutableState(classOf[FloatTopCells].getName, "topCells",
+      v => s"$v = (${classOf[FloatTopCells].getName}) $refName.value();")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $tc.topCells($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CosineTopCellsExpr = copy(child = newChild)
+}
+
 object CellAssign {
   /** k·dim element count at or below which the codebook rides the
     * expression inline; above it, a broadcast. 8192 elements = 64 KB
@@ -243,5 +333,20 @@ object CellAssign {
     org.apache.spark.sql.graft.ColumnBridge.column(CosineCellAssign(
       org.apache.spark.sql.graft.ColumnBridge.expression(vec),
       ref(spark, cb, cb.cents.length, gate)))
+  }
+
+  /** The `nprobe` nearest cells of `vec`, best-first (array<int>) —
+    * the native form of `nearestCells`, for probe-side fan-out AND
+    * the corpus-sized a-side of the bitext IVF candidate build.
+    */
+  def cosineTopCells(spark: SparkSession, cents: Seq[(Int, Seq[Double])],
+      vec: Column, nprobe: Int, gate: Int = InlineGateElems): Column = {
+    require(cents.nonEmpty, "cell selection needs a non-empty codebook")
+    val dim = cents.head._2.length
+    val cb = new FloatCodebook(cents.map(_._1).toArray,
+      cents.flatMap(_._2).toArray, dim)
+    org.apache.spark.sql.graft.ColumnBridge.column(CosineTopCellsExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+      ref(spark, new FloatTopCells(cb, nprobe), cb.cents.length, gate)))
   }
 }

@@ -481,10 +481,9 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     // queries: nprobe coarse cells + integer micro LUTs, broadcast
     val probes0 = queries
-      .withColumn("cb", codebookLit(codebook))
       .select(col("query_id"), col("qe"),
-        explode(nearestCells("qe", "cb", nprobe)).as("pc"))
-      .select(col("query_id"), col("qe"), col("pc.cell_id").as("cell_id"))
+        explode(graft.functions.CellAssign.cosineTopCells(
+          queries.sparkSession, codebook, col("qe"), nprobe)).as("cell_id"))
     val probes = (0 until Pq.m).foldLeft(probes0) { (df, s) =>
       df.withColumn(s"cb$s", pqCbLit(s))
         .withColumn(s"lut$s", expr(pqLutExpr(s, "qe")))
@@ -557,11 +556,15 @@ object SimilarityOps {
     expr(s"-array_max(transform($cb, c -> " +
       s"named_struct('sim', cosine_sim($v, c.cent), 'nc', -c.cell_id))).nc")
 
-  /** The query's `nprobe` nearest cells, best-first: sort the k-entry
-    * scored array per row (k is a constant — this is O(k log k) CPU on
-    * 5 query rows, not a plan operator).
+  /** The `nprobe` nearest cells, best-first, as a per-row sort of the
+    * k-entry scored array. RETAINED AS THE REFERENCE SEMANTICS ONLY
+    * (spec cross-checks): production paths run
+    * [[graft.functions.CellAssign.cosineTopCells]] — the same
+    * (nsim, cell_id) order as one bounded native selection, because
+    * the bitext a-side runs this per CORPUS row, where a k-entry
+    * interpreted struct sort is the argmin liability squared.
     */
-  private def nearestCells(v: String, cb: String, nprobe: Int): Column =
+  private[graft] def nearestCells(v: String, cb: String, nprobe: Int): Column =
     expr(s"slice(array_sort(transform($cb, c -> " +
       s"named_struct('nsim', -cosine_sim($v, c.cent), 'cell_id', c.cell_id)))" +
       s", 1, $nprobe)")
@@ -583,10 +586,9 @@ object SimilarityOps {
         .cosine(corpus.sparkSession, codebook, col("ce"))
         .getField("cell_id").as("cell_id"))
     val probes = queries
-      .withColumn("cb", codebookLit(codebook))
       .select(col("query_id"), col("qe"),
-        explode(nearestCells("qe", "cb", nprobe)).as("pc"))
-      .select(col("query_id"), col("qe"), col("pc.cell_id").as("cell_id"))
+        explode(graft.functions.CellAssign.cosineTopCells(
+          queries.sparkSession, codebook, col("qe"), nprobe)).as("cell_id"))
     val scored = assigned.join(broadcast(probes), Seq("cell_id"))
       .select(col("query_id"), col("cand_id"),
         expr("cosine_sim(qe, ce)").as("cosine"))
@@ -1184,11 +1186,14 @@ object SimilarityOps {
         .cosine(bSide.sparkSession, codebook, col("eb"))
         .getField("cell_id"))
       .select("cell_id", "b_id", "eb")
+    // the a-side is CORPUS-sized (every sentence of language A), so
+    // its nprobe fan-out runs the native bounded selection, not a
+    // per-row interpreted struct-array sort
     val a = aSide.filter(nonZero("ea"))
-      .withColumn("cb", codebookLit(codebook))
       .select(col("a_id"), col("ea"),
-        explode(nearestCells("ea", "cb", nprobe)).as("pc"))
-      .select(col("pc.cell_id").as("cell_id"), col("a_id"), col("ea"))
+        explode(graft.functions.CellAssign.cosineTopCells(
+          aSide.sparkSession, codebook, col("ea"), nprobe)).as("cell_id"))
+      .select(col("cell_id"), col("a_id"), col("ea"))
     a.join(b, Seq("cell_id"))
       .select(col("a_id"), col("b_id"),
         floor(expr("cosine_sim(ea, eb)") * lit(1000000.0))

@@ -116,6 +116,47 @@ class CellAssignSpec extends AnyFunSuite {
     assert(native2.forall(_.getInt(0) != 7), "cosine tie broke upward")
   }
 
+  test("cosineTopCells: native == HOF reference incl. tie order and zero-norm-last") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val dim = 8
+    val cents: Seq[(Int, Seq[Double])] = Seq(
+      0 -> Seq(1.0, 0.5, -0.25, 0.125, 1.0, -1.0, 0.75, 0.3),
+      1 -> Seq(-0.7, 0.2, 0.9, -0.4, 0.1, 0.6, -0.3, 0.8),
+      2 -> Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), // NaN sim
+      3 -> Seq(0.3, -0.6, 0.1, 0.9, -0.2, 0.4, 0.05, -0.8),
+      // duplicate of 0 under a higher id — exact tie, 0 first
+      7 -> Seq(1.0, 0.5, -0.25, 0.125, 1.0, -1.0, 0.75, 0.3))
+    val df = (0 until 40).map { i =>
+      i.toLong -> (0 until dim).map(d =>
+        (((i * 29 + d * 11) % 201) - 100) / 100.0)
+    }.toDF("vec_id", "e")
+    for (nprobe <- Seq(1, 2, 3, 5, 9); gate <- Seq(Int.MaxValue, 0)) {
+      val hof = df.withColumn("cb", SimilarityOps.codebookLit(cents))
+        .select(col("vec_id"),
+          expr(s"transform(slice(array_sort(transform(cb, c -> " +
+            s"named_struct('nsim', -cosine_sim(e, c.cent), " +
+            s"'cell_id', c.cell_id))), 1, $nprobe), p -> p.cell_id)")
+            .as("cells"))
+        .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+      val native = df
+        .select(col("vec_id"), CellAssign.cosineTopCells(
+          spark, cents, col("e"), nprobe, gate).as("cells"))
+        .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+      native.zip(hof).zipWithIndex.foreach { case ((n, h), i) =>
+        assert(n == h, s"nprobe=$nprobe gate=$gate vec=$i: native=$n hof=$h")
+      }
+      // semantics sanity: the zero-norm NaN cell ranks LAST (only
+      // appears when nprobe covers the whole codebook), and the
+      // duplicate-of-0 tie resolves 0-before-7
+      if (nprobe >= 9)
+        assert(native.forall(_.last == 2), "NaN cell must rank last")
+      if (nprobe >= 2)
+        assert(native.forall(c => c.indexOf(0) < (c.indexOf(7) max 0) ||
+          !c.contains(7)), "tie must order 0 before 7")
+    }
+  }
+
   test("null vector yields null struct; interpreted eval matches codegen") {
     import spark.implicits._
     val cents = microCents(4, 4)
