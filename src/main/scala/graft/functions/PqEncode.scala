@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization codebook as a flat executor-resident payload:
+  * `m` subspaces of `subDim` dims, `k` sub-centroids each;
+  * `codes(s*k + j)` is subspace s's j-th code id, `cents` holds the
+  * sub-centroids row-major (m·k·subDim). [[encode]] is the per-row
+  * hot loop of every PQ index build — at the fixture's m=4/k=4 the
+  * interpreted `aggregate(zip_with(slice(...)))` HOF chain it
+  * replaces was tolerable; at a production m=8/k=256 that chain runs
+  * 2048 interpreted lambda folds per corpus row, which is the
+  * microArgmin liability with an extra dimension. The rules are the
+  * HOF's exactly: per subspace, argmin by squared L2 with
+  * left-to-right double accumulation over the vector SLICE, ties to
+  * the smallest code (the struct-max over (-d², -code)).
+  */
+final class PqCodebook(val m: Int, val subDim: Int, val k: Int,
+    val codes: Array[Int], val cents: Array[Double]) extends Serializable {
+  require(codes.length == m * k && cents.length == m * k * subDim,
+    s"PQ codebook shape mismatch: m=$m k=$k subDim=$subDim vs " +
+      s"${codes.length} codes / ${cents.length} values")
+
+  /** array<struct<code int, d2 double>> — subspace order, d2 = the
+    * winning sub-distance (the reconstruction-error terms q82 sums).
+    */
+  def encode(v: ArrayData): GenericArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val vOff = s * subDim
+      // vectors are full-dim by the encoders' contract (m·subDim);
+      // the min() only guards a malformed short row from reading out
+      // of bounds (the HOF's zip_with would null the whole fold there
+      // — neither behavior is defined output, no oracle reaches it)
+      val len = math.max(0, math.min(subDim, n - vOff))
+      var bestNd = Double.NegativeInfinity
+      var bestCode = Int.MaxValue
+      var bestD = 0d
+      var first = true
+      var j = 0
+      while (j < k) {
+        val cOff = (s * k + j) * subDim
+        var d = 0d; var i = 0
+        while (i < len) {
+          val t = v.getDouble(vOff + i) - cents(cOff + i)
+          d += t * t; i += 1
+        }
+        val nd = -d
+        val code = codes(s * k + j)
+        val cmp = if (first) 1 else java.lang.Double.compare(nd, bestNd)
+        if (cmp > 0 || (cmp == 0 && code < bestCode)) {
+          bestNd = nd; bestCode = code; bestD = d
+        }
+        first = false
+        j += 1
+      }
+      out(s) = new GenericInternalRow(Array[Any](bestCode, bestD))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native PQ encoding expression: `child` is the full array<double>
+  * vector; returns array<struct<code int, d2 double>> of length m.
+  * Same constructor-payload delivery as [[MicroCellAssign]] — the
+  * codebook never rides the expression tree or the SQL plan string.
+  */
+case class PqEncodeExprNative(child: Expression, ref: CodebookRef[PqCodebook])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects array<double>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("code", IntegerType, nullable = false),
+    StructField("d2", DoubleType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    ref.value.encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("pqCbRef", ref,
+      classOf[CodebookRef[_]].getName)
+    val cb = ctx.addMutableState(classOf[PqCodebook].getName, "pqCb",
+      v => s"$v = (${classOf[PqCodebook].getName}) $refName.value();")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $cb.encode($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeExprNative = copy(child = newChild)
+}
+
+object PqEncode {
+  /** Column form over (sub, code, sub-centroid) triples — the
+    * [[graft.queries.SimilarityOps]] `Pq.subCodebooks` shape. Subspace
+    * count and dims are inferred; delivery is size-gated like
+    * [[CellAssign]].
+    */
+  def encode(spark: SparkSession, subCodebooks: Seq[(Int, Int, Seq[Double])],
+      vec: Column, gate: Int = CellAssign.InlineGateElems): Column = {
+    require(subCodebooks.nonEmpty, "pq_encode needs a non-empty codebook")
+    val bySub = subCodebooks.groupBy(_._1)
+    val m = bySub.keys.max + 1
+    val k = bySub.values.head.length
+    val subDim = subCodebooks.head._3.length
+    require(bySub.keys.toSeq.sorted == (0 until m) &&
+      bySub.values.forall(_.length == k),
+      "pq_encode needs dense (sub, code) coverage")
+    val sorted = subCodebooks.sortBy(t => (t._1, t._2))
+    val cb = new PqCodebook(m, subDim, k,
+      sorted.map(_._2).toArray, sorted.flatMap(_._3).toArray)
+    val ref: CodebookRef[PqCodebook] =
+      if (cb.cents.length <= gate) new InlineCodebookRef(cb)
+      else new BroadcastCodebookRef(spark.sparkContext.broadcast(cb))
+    org.apache.spark.sql.graft.ColumnBridge.column(PqEncodeExprNative(
+      org.apache.spark.sql.graft.ColumnBridge.expression(vec), ref))
+  }
+}

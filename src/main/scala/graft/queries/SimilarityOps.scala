@@ -269,9 +269,12 @@ object SimilarityOps {
 
   /** Argmin-encode expression over subspace `s` of vector column
     * `vec`: max of (-dist², -code) structs — ties break to the
-    * SMALLEST code, the oracle's `ORDER BY d2, code`.
+    * SMALLEST code, the oracle's `ORDER BY d2, code`. RETAINED AS THE
+    * REFERENCE SEMANTICS ONLY (spec cross-checks): production encode
+    * paths run [[graft.functions.PqEncode]] — the same rule as one
+    * codegen'd call per row instead of m·k interpreted lambda folds.
     */
-  private def pqEncodeExpr(s: Int, vec: String): String = {
+  private[graft] def pqEncodeExpr(s: Int, vec: String): String = {
     val off = s * Pq.subDim + 1
     s"array_max(transform(cb$s, c -> named_struct(" +
       s"'nd', -aggregate(zip_with(slice($vec, $off, ${Pq.subDim}), c.cent, " +
@@ -302,17 +305,14 @@ object SimilarityOps {
     * doubles).
     */
   def pqCodes(vectors: DataFrame): DataFrame = {
-    val base = (0 until Pq.m).foldLeft(
-      vectors.select(col("vec_id"), col("e"))) { (df, s) =>
-      df.withColumn(s"cb$s", pqCbLit(s))
-    }
-    val scored = (0 until Pq.m).foldLeft(base) { (df, s) =>
-      df.withColumn(s"b$s", expr(pqEncodeExpr(s, "e")))
-    }
-    scored.select(Seq(col("vec_id")) ++
-      (0 until Pq.m).map(s => (-col(s"b$s.nc")).cast("long").as(s"c$s")) ++
-      Seq(round((0 until Pq.m).map(s => -col(s"b$s.nd"))
-        .reduce(_ + _), 3).as("recon_err2")): _*)
+    val pq = graft.functions.PqEncode.encode(
+      vectors.sparkSession, Pq.subCodebooks, col("e"))
+    vectors.select(col("vec_id"), pq.as("__pq"))
+      .select(Seq(col("vec_id")) ++
+        (0 until Pq.m).map(s => element_at(col("__pq"), s + 1)
+          .getField("code").cast("long").as(s"c$s")) ++
+        Seq(round((0 until Pq.m).map(s => element_at(col("__pq"), s + 1)
+          .getField("d2")).reduce(_ + _), 3).as("recon_err2")): _*)
   }
 
   /** q83's PQ-ADC search (Jégou et al. 2011 §IV): approximate
@@ -398,16 +398,15 @@ object SimilarityOps {
   def buildIvfPqIndex(corpus: DataFrame,
       codebook: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val assigned0 = corpus
+    corpus
       .withColumn("cell_id", graft.functions.CellAssign
         .cosine(corpus.sparkSession, codebook, col("ce"))
         .getField("cell_id"))
-    (0 until Pq.m).foldLeft(assigned0) { (df, s) =>
-      df.withColumn(s"cb$s", pqCbLit(s))
-        .withColumn(s"b$s", expr(pqEncodeExpr(s, "ce")))
-        .drop(s"cb$s")
-    }.select(Seq(col("cand_id"), col("cell_id")) ++
-      (0 until Pq.m).map(s => (-col(s"b$s.nc")).cast("int").as(s"c$s")): _*)
+      .withColumn("__pq", graft.functions.PqEncode.encode(
+        corpus.sparkSession, Pq.subCodebooks, col("ce")))
+      .select(Seq(col("cand_id"), col("cell_id")) ++
+        (0 until Pq.m).map(s => element_at(col("__pq"), s + 1)
+          .getField("code").cast("int").as(s"c$s")): _*)
   }
 
   /** INCREMENTAL maintenance of the [[buildIvfPqIndex]] index: encode

@@ -157,6 +157,57 @@ class CellAssignSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_encode: native == HOF reference (codes AND sub-distances), ties to the smaller code, both deliveries") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val subDim = 4
+    // subspace 0 plants an exact-duplicate sub-centroid under a HIGHER
+    // code (2 == 0): every vector ties there and must encode to 0
+    val scb: Seq[(Int, Int, Seq[Double])] = Seq(
+      (0, 0, Seq(0.1, 0.2, 0.3, 0.4)),
+      (0, 1, Seq(-0.5, 0.6, 0.7, -0.8)),
+      (0, 2, Seq(0.1, 0.2, 0.3, 0.4)),
+      (1, 0, Seq(0.9, -0.1, 0.0, 0.3)),
+      (1, 1, Seq(0.2, 0.2, 0.2, 0.2)),
+      (1, 2, Seq(-0.3, 0.4, -0.5, 0.6)))
+    val df = (0 until 48).map { i =>
+      i.toLong -> (0 until 2 * subDim).map(d =>
+        (((i * 37 + d * 13) % 201) - 100) / 100.0)
+    }.toDF("vec_id", "e")
+    def cbCol(s: Int) = array(scb.filter(_._1 == s).map { case (_, c, v) =>
+      struct(lit(c).as("code"), typedLit(v).as("cent")) }: _*)
+    def hofExpr(s: Int) = {
+      val off = s * subDim + 1
+      expr(s"array_max(transform(cb$s, c -> named_struct(" +
+        s"'nd', -aggregate(zip_with(slice(e, $off, $subDim), c.cent, " +
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v), " +
+        "'nc', -c.code)))")
+    }
+    val hof = df.withColumn("cb0", cbCol(0)).withColumn("cb1", cbCol(1))
+      .select(col("vec_id"), hofExpr(0).as("b0"), hofExpr(1).as("b1"))
+      .select(col("vec_id"),
+        (-col("b0.nc")).as("c0"), (-col("b0.nd")).as("d0"),
+        (-col("b1.nc")).as("c1"), (-col("b1.nd")).as("d1"))
+      .orderBy("vec_id").collect()
+    for (gate <- Seq(Int.MaxValue, 0)) {
+      val native = df
+        .withColumn("pq", PqEncode.encode(spark, scb, col("e"), gate))
+        .select(col("vec_id"),
+          expr("pq[0].code").as("c0"), expr("pq[0].d2").as("d0"),
+          expr("pq[1].code").as("c1"), expr("pq[1].d2").as("d1"))
+        .orderBy("vec_id").collect()
+      native.zip(hof).foreach { case (n, h) =>
+        assert(n.getInt(1) == h.getInt(1) && n.getInt(3) == h.getInt(3),
+          s"code mismatch at vec ${n.getLong(0)} (gate=$gate)")
+        assert(n.getDouble(2) == h.getDouble(2) &&
+          n.getDouble(4) == h.getDouble(4),
+          s"d2 not bit-identical at vec ${n.getLong(0)} (gate=$gate)")
+      }
+      assert(native.forall(_.getInt(1) != 2),
+        s"subspace-0 tie must break to code 0, never the duplicate 2")
+    }
+  }
+
   test("null vector yields null struct; interpreted eval matches codegen") {
     import spark.implicits._
     val cents = microCents(4, 4)

@@ -340,6 +340,32 @@ class CurationPipelineSpec extends AnyFunSuite {
       s"unexpected extra drops: ${kept1 -- kept2}")
   }
 
+  test("sem-dedup stage: when every embedded doc died upstream, the stage passes through instead of crashing the fit") {
+    import spark.implicits._
+    val real = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source")
+      .filter($"doc_id" < 90000L)
+    // the ONLY doc with an embedding row is a quality-stage casualty
+    // (junk text) — the survivors' embedding frame is EMPTY, and the
+    // documented contract (docs without an embedding row pass
+    // through) must hold at this boundary instead of kmeansMicro
+    // throwing on an empty seed corpus
+    val junk = Seq((90040L, "buy now. sale. click. cheap.", "en", "srcJ"))
+      .toDF("doc_id", "text", "lang", "source")
+    val docEmb = Seq((90040L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("doc_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("graft_sd0").toString
+    val ledger = CurationPipeline.run(spark, real.unionByName(junk),
+      "src0", out, semDedupCfg = Some((docEmb, 1, 2, 0.9)))
+    val c = ledger.map(s => s.stage -> s.docs).toMap
+    assert(c("sem_dedup") == c("near_dedup"),
+      s"empty survivor-embedding frame must pass through: $ledger")
+    val kept = spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet
+    assert(!kept.contains(90040L), "the junk doc should die at quality")
+    assert(kept.nonEmpty, "survivors must land")
+  }
+
   test("line stages: C4 page hazards and a corpus-repeated line die only with the stages on") {
     import spark.implicits._
     val footer = "the footer of this site."
