@@ -25,6 +25,22 @@ final class MicroCodebook(val cells: Array[Int], val cents: Array[Long],
       s"${cents.length} values")
   def k: Int = cells.length
 
+  // CONTENT equality, not object identity: the expression's case-class
+  // equality (and with it plan canonicalization) flows through the
+  // ref payload — without this, two separately-built frames over the
+  // SAME codebook canonicalize differently and a persisted subtree
+  // built from one is invisible to the other (a measured 1.7× on the
+  // re-run bench convention, where the HOF's literal plans cache-hit)
+  override def equals(o: Any): Boolean = o match {
+    case m: MicroCodebook => dim == m.dim &&
+      java.util.Arrays.equals(cells, m.cells) &&
+      java.util.Arrays.equals(cents, m.cents)
+    case _ => false
+  }
+  override def hashCode: Int =
+    (dim * 31 + java.util.Arrays.hashCode(cells)) * 31 +
+      java.util.Arrays.hashCode(cents)
+
   /** Integer squared-L2 argmin, ties to the SMALLEST cell_id (the
     * exact `microArgmin` HOF rule: max over (-d², -cell) structs),
     * plus the double cosine of the (double-cast) vector against its
@@ -69,6 +85,17 @@ final class FloatCodebook(val cells: Array[Int], val cents: Array[Double],
     s"codebook shape mismatch: ${cells.length} cells x $dim dims != " +
       s"${cents.length} values")
   def k: Int = cells.length
+
+  // content equality — see [[MicroCodebook]]'s canonicalization note
+  override def equals(o: Any): Boolean = o match {
+    case f: FloatCodebook => dim == f.dim &&
+      java.util.Arrays.equals(cells, f.cells) &&
+      java.util.Arrays.equals(cents, f.cents)
+    case _ => false
+  }
+  override def hashCode: Int =
+    (dim * 31 + java.util.Arrays.hashCode(cells)) * 31 +
+      java.util.Arrays.hashCode(cents)
 
   /** Cosine argmax with the HOF's exact tie/NaN semantics: the struct
     * max over (sim, -cell_id) compares doubles by Spark's total order
@@ -115,6 +142,13 @@ final class FloatCodebook(val cells: Array[Int], val cents: Array[Double],
 final class FloatTopCells(val cb: FloatCodebook, val nprobe: Int)
   extends Serializable {
   require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+
+  // content equality — see [[MicroCodebook]]'s canonicalization note
+  override def equals(o: Any): Boolean = o match {
+    case t: FloatTopCells => nprobe == t.nprobe && cb == t.cb
+    case _ => false
+  }
+  override def hashCode: Int = cb.hashCode * 31 + nprobe
 
   def topCells(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val m = v.numElements()
@@ -172,14 +206,37 @@ final class FloatTopCells(val cb: FloatCodebook, val nprobe: Int)
   */
 sealed trait CodebookRef[T] extends Serializable { def value: T }
 
+/** Equality is the PAYLOAD's (content-based on every codebook class):
+  * two expressions over equal inline codebooks are semantically equal,
+  * so plan canonicalization — and with it cache lookup of persisted
+  * subtrees and common-subexpression elimination — works across
+  * separately-built frames, exactly as it did for the literal HOFs.
+  */
 final class InlineCodebookRef[T](payload: T) extends CodebookRef[T] {
   def value: T = payload
+  override def equals(o: Any): Boolean = o match {
+    case r: InlineCodebookRef[_] => payload == r.value
+    case _ => false
+  }
+  override def hashCode: Int = payload.hashCode
 }
 
+/** Equality by broadcast id: each `broadcast()` call is a distinct
+  * executor-resident artifact, so only plans sharing the SAME handle
+  * canonicalize equal — callers that rebuild an above-gate frame
+  * repeatedly and want cache reuse should build the Column once and
+  * reuse it (the clusterAssignStream pre-collect rule).
+  */
 final class BroadcastCodebookRef[T](bcast: Broadcast[T])
   extends CodebookRef[T] {
   @transient private lazy val v: T = bcast.value
   def value: T = v
+  override def equals(o: Any): Boolean = o match {
+    case r: BroadcastCodebookRef[_] => bcast.id == r.bcastId
+    case _ => false
+  }
+  override def hashCode: Int = bcast.id.hashCode
+  private def bcastId: Long = bcast.id
 }
 
 /** Native per-row cell assignment against a [[MicroCodebook]].

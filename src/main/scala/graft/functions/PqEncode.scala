@@ -26,6 +26,16 @@ final class PqCodebook(val m: Int, val subDim: Int, val k: Int,
     s"PQ codebook shape mismatch: m=$m k=$k subDim=$subDim vs " +
       s"${codes.length} codes / ${cents.length} values")
 
+  // content equality — the CellAssign canonicalization rule
+  override def equals(o: Any): Boolean = o match {
+    case p: PqCodebook => m == p.m && subDim == p.subDim && k == p.k &&
+      java.util.Arrays.equals(codes, p.codes) &&
+      java.util.Arrays.equals(cents, p.cents)
+    case _ => false
+  }
+  override def hashCode: Int =
+    ((m * 31 + subDim) * 31 + k) * 31 + java.util.Arrays.hashCode(cents)
+
   /** array<struct<code int, d2 double>> — subspace order, d2 = the
     * winning sub-distance (the reconstruction-error terms q82 sums).
     */
