@@ -415,8 +415,15 @@ object Bench {
         .repartition(16)
         .write.mode("overwrite").parquet(dir)
     }
-    val bytes = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    // close the directory stream (it holds an fd until closed) and
+    // count only the parquet bytes the scan actually reads — the
+    // .crc checksum sidecars would inflate mb_per_sec
+    val bytes = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.filter(_.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally st.close()
+    }
     // the modulus keeps the ANSI-mode sum inside long range (the CPU
     // calibration row's own move) while still touching every byte
     def pass(): Long = spark.read.parquet(dir)
@@ -471,21 +478,32 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = e.count()
-      def timeNative(k: Int): () => Double = { () =>
-        val t0 = System.nanoTime()
-        e.select(graft.functions.CellAssign.micro(spark, cents(k), col("em"))
-            .getField("cell_id").as("cell_id"))
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      // codebook build + delivery (incl. the one-time broadcast for
+      // k>gate) is index-build setup, not per-row scan cost: build
+      // the Column ONCE outside the timed region (the
+      // clusterAssignStream pre-collect rule), so the timed runs
+      // measure the scan both sides actually pay per batch. The HOF
+      // side's literal Column is hoisted identically.
+      def timeNative(k: Int): () => Double = {
+        val cellCol = graft.functions.CellAssign
+          .micro(spark, cents(k), col("em"))
+          .getField("cell_id").as("cell_id")
+        () => {
+          val t0 = System.nanoTime()
+          e.select(cellCol).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
       }
-      val timeHof: () => Double = { () =>
-        val t0 = System.nanoTime()
-        e.withColumn("cb",
-            graft.queries.SimilarityOps.microCodebookLit(cents(kSmall)))
-          .select(graft.queries.SimilarityOps.microArgmin("em", "cb")
-            .as("cell_id"))
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      val timeHof: () => Double = {
+        val cbLit = graft.queries.SimilarityOps.microCodebookLit(cents(kSmall))
+        () => {
+          val t0 = System.nanoTime()
+          e.withColumn("cb", cbLit)
+            .select(graft.queries.SimilarityOps.microArgmin("em", "cb")
+              .as("cell_id"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
       }
       val jobs = Seq("k64_native" -> timeNative(kSmall),
         "k4096_native" -> timeNative(kBig), "k64_hof" -> timeHof)

@@ -358,10 +358,19 @@ object CellAssign {
     */
   val InlineGateElems: Int = 8192
 
-  private def ref[T: scala.reflect.ClassTag](spark: SparkSession,
+  private[functions] def ref[T: scala.reflect.ClassTag](spark: SparkSession,
       payload: T, elems: Int, gate: Int): CodebookRef[T] =
     if (elems <= gate) new InlineCodebookRef(payload)
     else new BroadcastCodebookRef(spark.sparkContext.broadcast(payload))
+
+  // every centroid must carry exactly `dim` values: the flattened
+  // array is offset-addressed, so a single short/long entry would
+  // silently misalign every later centroid (compensating errors pass
+  // a total-length check)
+  private def requireUniform(n: Int, dim: Int, lens: Iterator[Int]): Unit =
+    lens.zipWithIndex.foreach { case (l, i) =>
+      require(l == dim,
+        s"codebook entry $i has $l values, expected dim=$dim") }
 
   /** struct(cell_id, cent_cos) of `vec` (array<bigint>) against the
     * integer codebook — the native form of `microArgmin` +
@@ -371,6 +380,7 @@ object CellAssign {
       gate: Int = InlineGateElems): Column = {
     require(cents.nonEmpty, "cell assignment needs a non-empty codebook")
     val dim = cents.head._2.length
+    requireUniform(cents.length, dim, cents.iterator.map(_._2.length))
     val cb = new MicroCodebook(cents.map(_._1).toArray,
       cents.flatMap(_._2).toArray, dim)
     org.apache.spark.sql.graft.ColumnBridge.column(MicroCellAssign(
@@ -385,6 +395,7 @@ object CellAssign {
       gate: Int = InlineGateElems): Column = {
     require(cents.nonEmpty, "cell assignment needs a non-empty codebook")
     val dim = cents.head._2.length
+    requireUniform(cents.length, dim, cents.iterator.map(_._2.length))
     val cb = new FloatCodebook(cents.map(_._1).toArray,
       cents.flatMap(_._2).toArray, dim)
     org.apache.spark.sql.graft.ColumnBridge.column(CosineCellAssign(
@@ -400,6 +411,7 @@ object CellAssign {
       vec: Column, nprobe: Int, gate: Int = InlineGateElems): Column = {
     require(cents.nonEmpty, "cell selection needs a non-empty codebook")
     val dim = cents.head._2.length
+    requireUniform(cents.length, dim, cents.iterator.map(_._2.length))
     val cb = new FloatCodebook(cents.map(_._1).toArray,
       cents.flatMap(_._2).toArray, dim)
     org.apache.spark.sql.graft.ColumnBridge.column(CosineTopCellsExpr(

@@ -130,13 +130,18 @@ object PqEncode {
     require(bySub.keys.toSeq.sorted == (0 until m) &&
       bySub.values.forall(_.length == k),
       "pq_encode needs dense (sub, code) coverage")
+    // uniform sub-centroid length: the flattened array is offset-
+    // addressed, so a single short/long entry would silently
+    // misalign every later sub-centroid (the CellAssign rule)
+    subCodebooks.zipWithIndex.foreach { case (t, i) =>
+      require(t._3.length == subDim,
+        s"sub-codebook entry $i has ${t._3.length} values, " +
+          s"expected subDim=$subDim") }
     val sorted = subCodebooks.sortBy(t => (t._1, t._2))
     val cb = new PqCodebook(m, subDim, k,
       sorted.map(_._2).toArray, sorted.flatMap(_._3).toArray)
-    val ref: CodebookRef[PqCodebook] =
-      if (cb.cents.length <= gate) new InlineCodebookRef(cb)
-      else new BroadcastCodebookRef(spark.sparkContext.broadcast(cb))
     org.apache.spark.sql.graft.ColumnBridge.column(PqEncodeExprNative(
-      org.apache.spark.sql.graft.ColumnBridge.expression(vec), ref))
+      org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+      CellAssign.ref(spark, cb, cb.cents.length, gate)))
   }
 }

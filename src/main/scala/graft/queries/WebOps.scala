@@ -871,13 +871,15 @@ object WebOps {
     * wins (the HTML spec ignores later duplicates). Pure per-row
     * regexp work; every pattern is shared Java-regex/RE2 syntax so
     * the oracle runs the byte-identical match. Attribute names anchor
-    * on `[\s"']` rather than `\b` — `-` is a word boundary, so `\b`
-    * would false-match `data-rel=` (RE2 has no lookbehind; the
-    * char-class anchor is the engine-portable form).
+    * on `[\s"'/]` rather than `\b` — `-` is a word boundary, so
+    * `\b` would false-match `data-rel=` (RE2 has no lookbehind; the
+    * char-class anchor is the engine-portable form). `/` is in the
+    * class because HTML5 treats a solidus between attributes as a
+    * separator (`<link/rel=canonical>` is a legal declaration).
     */
   def declaredCanonical(html: Column): Column = {
     val tag = regexp_extract(html,
-      "(?is)(<link\\b[^>]*[\\s\"']rel\\s*=\\s*[\"']?canonical\\b[^>]*>)", 1)
+      "(?is)(<link\\b[^>]*[\\s\"'/]rel\\s*=\\s*[\"']?canonical\\b[^>]*>)", 1)
     val dq = regexp_extract(tag, "(?is)href\\s*=\\s*\"([^\"]+)\"", 1)
     val sq = regexp_extract(tag, "(?is)href\\s*=\\s*'([^']+)'", 1)
     xmlUnescape(when(dq =!= "", dq).otherwise(sq))
@@ -886,15 +888,15 @@ object WebOps {
   /** True iff a `<meta name="robots">` tag's content carries `token`
     * (`noindex` / `nofollow`), either attribute order,
     * case-insensitive, quoted or bare values — two rlikes per flag,
-    * engine-portable. Attribute names anchor on `[\s"']` not `\b`
+    * engine-portable. Attribute names anchor on `[\s"'/]` not `\b`
     * (the [[declaredCanonical]] data-name=/data-content= hazard).
     */
   private[graft] def robotsMetaDirective(html: Column,
       token: String): Column =
-    html.rlike("(?is)<meta\\b[^>]*[\\s\"']name\\s*=\\s*[\"']?robots\\b" +
-        s"[^>]*[\\s\"']content\\s*=\\s*[\"']?[^\"'>]*\\b$token\\b") ||
-      html.rlike(s"(?is)<meta\\b[^>]*[\\s\"']content\\s*=\\s*[\"']?[^\"'>]*" +
-        s"\\b$token\\b[^>]*[\\s\"']name\\s*=\\s*[\"']?robots\\b")
+    html.rlike("(?is)<meta\\b[^>]*[\\s\"'/]name\\s*=\\s*[\"']?robots\\b" +
+        s"[^>]*[\\s\"'/]content\\s*=\\s*[\"']?[^\"'>]*\\b$token\\b") ||
+      html.rlike(s"(?is)<meta\\b[^>]*[\\s\"'/]content\\s*=\\s*[\"']?[^\"'>]*" +
+        s"\\b$token\\b[^>]*[\\s\"'/]name\\s*=\\s*[\"']?robots\\b")
 
   /** q156's operator: the page-declared crawl directives as ONE
     * struct — (declared_canonical, noindex, nofollow). These are the
@@ -958,10 +960,11 @@ object WebOps {
     */
   def htmlLinksResolvedFollow(html: Column, base: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>"), lit(0))
-    // rel anchors on [\s"'] not \b: '-' is a word boundary, so \brel
-    // would false-match data-rel="nofollow" and mute a followable link
+    // rel anchors on [\s"'/] not \b: '-' is a word boundary, so
+    // \brel would false-match data-rel="nofollow" and mute a
+    // followable link; '/' is HTML5's legal inter-attribute separator
     val follow = filter(tags,
-      t => !t.rlike("(?is)[\\s\"']rel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow"))
+      t => !t.rlike("(?is)[\\s\"'/]rel\\s*=\\s*[\"']?[^\"'>]*\\bnofollow"))
     val hrefs = flatten(transform(follow, t => concat(
       regexp_extract_all(t, lit("href\\s*=\\s*\"([^\"]+)\""), lit(1)),
       regexp_extract_all(t, lit("href\\s*=\\s*'([^']+)'"), lit(1)))))
@@ -1831,9 +1834,13 @@ object WebOps {
     // carries the measured change probability); every logged URL
     // dies in the same anti-join that kills seen URLs. No distinct on
     // the right side: anti-join semantics ignore duplicates, and the
-    // dedup shuffle would be pure cost (the 84e9be8 rule).
+    // dedup shuffle would be pure cost (the 84e9be8 rule). The log
+    // side canonicalizes like `seen` — a logged URL stored in a
+    // spelling variant must still kill its canonical discovery (the
+    // q152 both-sides rule).
     val fresh = d
-      .join(seenC.union(fetchLogFrame(events).select("url")),
+      .join(seenC.union(fetchLogFrame(events)
+          .select(canonicalizeUrl(col("url")).as("url"))),
         Seq("url"), "left_anti")
       .groupBy(col("dst_h").as("host"), col("url"))
       .agg(countDistinct("src_h").as("n_referrers"))
@@ -1901,9 +1908,12 @@ object WebOps {
       .select(canonicalHost(col("url")).as("host"), col("url"),
         col("priority_ppm").as("ppm"), lit("revisit").as("src"))
     // the q146 disjointness rule verbatim: EVERY logged URL proves
-    // "seen"; no distinct on the anti-join's right side (84e9be8)
+    // "seen" (canonicalized like `seen` — the q152 both-sides rule);
+    // no distinct on the anti-join's right side (84e9be8)
     val fresh = d
-      .join(seenC.union(fetchLog.select("url")), Seq("url"), "left_anti")
+      .join(seenC.union(fetchLog
+          .select(canonicalizeUrl(col("url")).as("url"))),
+        Seq("url"), "left_anti")
       .groupBy(col("dst_h").as("host"), col("url"))
       .agg(countDistinct("src_h").as("n_referrers"))
       .select(col("host"), col("url"),
@@ -2891,7 +2901,7 @@ object WebOps {
         |t AS (
         |  SELECT doc_id, html,
         |    regexp_extract(html,
-        |      '(?is)(<link\b[^>]*[\s"'']rel\s*=\s*["'']?canonical\b[^>]*>)', 1)
+        |      '(?is)(<link\b[^>]*[\s"''/]rel\s*=\s*["'']?canonical\b[^>]*>)', 1)
         |      AS tag
         |  FROM h),
         |c AS (
@@ -2905,11 +2915,11 @@ object WebOps {
         |  replace(replace(replace(replace(replace(rawhref,
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |    '&apos;', chr(39)), '&amp;', '&') AS declared_canonical,
-        |  (regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']name\s*=\s*["'']?robots\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnoindex\b')
-        |   OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnoindex\b[^>]*[\s"'']name\s*=\s*["'']?robots\b'))
+        |  (regexp_matches(html, '(?is)<meta\b[^>]*[\s"''/]name\s*=\s*["'']?robots\b[^>]*[\s"''/]content\s*=\s*["'']?[^"''>]*\bnoindex\b')
+        |   OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"''/]content\s*=\s*["'']?[^"''>]*\bnoindex\b[^>]*[\s"''/]name\s*=\s*["'']?robots\b'))
         |    AS noindex,
-        |  (regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']name\s*=\s*["'']?robots\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnofollow\b')
-        |   OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnofollow\b[^>]*[\s"'']name\s*=\s*["'']?robots\b'))
+        |  (regexp_matches(html, '(?is)<meta\b[^>]*[\s"''/]name\s*=\s*["'']?robots\b[^>]*[\s"''/]content\s*=\s*["'']?[^"''>]*\bnofollow\b')
+        |   OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"''/]content\s*=\s*["'']?[^"''>]*\bnofollow\b[^>]*[\s"''/]name\s*=\s*["'']?robots\b'))
         |    AS nofollow
         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
@@ -3356,12 +3366,12 @@ object WebOps {
         |           || text || '</p></body></html>' END AS html
         |  FROM documents)
         |SELECT doc_id, (doc_id % 5 <> 3) AS is_html,
-        |  ((regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']name\s*=\s*["'']?robots\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnoindex\b')
-        |    OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnoindex\b[^>]*[\s"'']name\s*=\s*["'']?robots\b'))
+        |  ((regexp_matches(html, '(?is)<meta\b[^>]*[\s"''/]name\s*=\s*["'']?robots\b[^>]*[\s"''/]content\s*=\s*["'']?[^"''>]*\bnoindex\b')
+        |    OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"''/]content\s*=\s*["'']?[^"''>]*\bnoindex\b[^>]*[\s"''/]name\s*=\s*["'']?robots\b'))
         |   OR regexp_matches(headers, '(?im)^X-Robots-Tag:[^\r\n]*\b(?:noindex|none)\b'))
         |    AS noindex,
-        |  ((regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']name\s*=\s*["'']?robots\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnofollow\b')
-        |    OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"'']content\s*=\s*["'']?[^"''>]*\bnofollow\b[^>]*[\s"'']name\s*=\s*["'']?robots\b'))
+        |  ((regexp_matches(html, '(?is)<meta\b[^>]*[\s"''/]name\s*=\s*["'']?robots\b[^>]*[\s"''/]content\s*=\s*["'']?[^"''>]*\bnofollow\b')
+        |    OR regexp_matches(html, '(?is)<meta\b[^>]*[\s"''/]content\s*=\s*["'']?[^"''>]*\bnofollow\b[^>]*[\s"''/]name\s*=\s*["'']?robots\b'))
         |   OR regexp_matches(headers, '(?im)^X-Robots-Tag:[^\r\n]*\b(?:nofollow|none)\b'))
         |    AS nofollow,
         |  regexp_matches(headers, '(?im)^X-Robots-Tag:[^\r\n]*\b(?:noindex|none)\b')

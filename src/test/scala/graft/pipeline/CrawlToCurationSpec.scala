@@ -649,4 +649,46 @@ class CrawlToCurationSpec extends AnyFunSuite {
     assert(!clean.getBoolean(clean.fieldIndex("noindex")) &&
       !clean.getBoolean(clean.fieldIndex("nofollow")), "decoy leaked")
   }
+
+  test("directive regex anchors: HTML5 solidus separator matches, data-* decoys do not") {
+    import spark.implicits._
+    // HTML5 treats '/' between attributes as a separator, so
+    // <link/rel=canonical> and <meta/name=robots ...> are legal
+    // declarations a browser honors; data-rel= / data-name= must stay
+    // decoys (the '-' word-boundary hazard the [\s"'/] anchor exists
+    // for). One row per case, directives read via the q156 struct.
+    val rows = Seq(
+      // solidus-separated canonical + robots meta: must FIRE
+      ("solidus",
+        "<html><head><link/rel=\"canonical\" href=\"https://k.example.com/x\">" +
+          "<meta/name=\"robots\" content=\"noindex\"></head><body>" +
+          "<a/rel=\"nofollow\" href=\"https://t.example.net/a\">x</a>" +
+          "</body></html>"),
+      // data-* decoys: must NOT fire
+      ("decoy",
+        "<html><head><link data-rel=\"canonical\" href=\"https://k.example.com/y\">" +
+          "<meta data-name=\"robots\" content=\"noindex\"></head><body>" +
+          "<a data-rel=\"nofollow\" href=\"https://t.example.net/b\">x</a>" +
+          "</body></html>"))
+      .toDF("case", "html")
+    val d = rows.select(col("case"),
+        graft.queries.WebOps.pageDirectives(col("html")).as("pd"),
+        graft.queries.WebOps.htmlLinksResolvedFollow(col("html"),
+          lit("https://host.example.com/")).as("links"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sol = d("solidus")
+    assert(sol.getStruct(1).getString(0) == "https://k.example.com/x",
+      "solidus-separated rel=canonical must be honored")
+    assert(sol.getStruct(1).getBoolean(1),
+      "solidus-separated robots meta noindex must be honored")
+    assert(!sol.getSeq[String](2).exists(_.contains("t.example.net")),
+      "solidus-separated rel=nofollow must mute the link's vote")
+    val dec = d("decoy")
+    assert(dec.getStruct(1).getString(0) == "",
+      "data-rel=canonical is not a declaration")
+    assert(!dec.getStruct(1).getBoolean(1),
+      "data-name=robots is not a robots meta")
+    assert(dec.getSeq[String](2).exists(_.contains("t.example.net")),
+      "data-rel=nofollow must not mute a followable link")
+  }
 }

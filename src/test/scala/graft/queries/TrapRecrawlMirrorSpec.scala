@@ -470,4 +470,50 @@ class TrapRecrawlMirrorSpec extends AnyFunSuite {
       disc.isNullAt(disc.fieldIndex("last_fetch_us")),
       "a first fetch has nothing to validate against")
   }
+
+  test("disjointness anti-join canonicalizes the fetch-log side: a spelling-variant discovery of a logged URL is not re-planned as discover") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // the log stores the URL raw; the discovery arrives as a spelling
+    // variant (WWW + default port + utm param) that canonicalizes to
+    // it. Without canonicalizing the log side of the anti-join the
+    // variant survives as a 'discover' row — the page then holds two
+    // of the host's k slots and the discover copy is fetched
+    // unconditionally (no validators), the exact double-spend the
+    // q146 disjointness rule forbids.
+    val u = "https://s1.example.com/u/1"
+    val log = Seq(
+      (u, ts(0), 1L, 200, "d1"),
+      (u, ts(10), 2L, 200, "d2"),
+      (u, ts(20), 3L, 200, "d3"))
+      .toDF("url", "ts", "fetch_id", "status", "digest")
+    val discovered = Seq(
+      ("a", "s1.example.com", "https://WWW.s1.example.com:443/u/1?utm_x=1"),
+      ("a", "s1.example.com", "https://s1.example.com/p/new"))
+      .toDF("src_h", "dst_h", "url")
+    val seen = Seq.empty[String].toDF("url")
+    val plan = WebOps.unifiedCrawlPlanFromLog(discovered, seen, log,
+        perHostK = 3)
+      .select("url", "src").as[(String, String)].collect()
+    assert(plan.count(_._1 == u) === 1,
+      s"variant must fold into the logged URL's single slot: ${plan.toSeq}")
+    assert(plan.find(_._1 == u).get._2 === "revisit",
+      s"the fetch-log row wins: ${plan.toSeq}")
+    assert(plan.exists(_._1 == "https://s1.example.com/p/new"),
+      plan.toSeq.toString)
+    // the q146 events-shaped planner enforces the same rule: its log
+    // URLs derive from events (user 1 -> /u/1 on s1), and the same
+    // spelling variant must die in the same anti-join
+    val events = (
+      (0 until 10).map(i => (1L, ts(i * 10), "purchase", 0.0, "")) ++
+      Seq((3L, ts(500), "view", 0.0, ""))
+    ).toDF("user_id", "ts", "event_type", "value", "props")
+    val plan146 = WebOps.unifiedCrawlPlan(discovered, seen, events,
+        perHostK = 3)
+      .select("url", "src").as[(String, String)].collect()
+    assert(plan146.count(_._1 == u) === 1 &&
+      plan146.find(_._1 == u).get._2 === "revisit",
+      s"q146 planner must fold the variant too: ${plan146.toSeq}")
+  }
 }
