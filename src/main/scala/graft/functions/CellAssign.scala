@@ -49,14 +49,19 @@ final class MicroCodebook(val cells: Array[Int], val cents: Array[Long],
     * HOF form computed. Returns struct(cell_id int, cent_cos double).
     */
   def assign(v: ArrayData): InternalRow = {
-    val n = math.min(v.numElements(), dim)
+    // bulk-copy ONCE: the k passes below then run over a flat long[]
+    // instead of k·dim virtual ArrayData.getLong calls — same values,
+    // same exact integer arithmetic, but the inner loop is plain
+    // sequential array math the JIT can unroll/vectorize
+    val xs = v.toLongArray()
+    val n = math.min(xs.length, dim)
     var bestIdx = 0; var bestD = Long.MaxValue; var bestCell = Int.MaxValue
     var c = 0
     while (c < k) {
       val off = c * dim
       var d = 0L; var i = 0
       while (i < n) {
-        val t = v.getLong(i) - cents(off + i); d += t * t; i += 1
+        val t = xs(i) - cents(off + i); d += t * t; i += 1
       }
       val cell = cells(c)
       if (d < bestD || (d == bestD && cell < bestCell)) {
@@ -67,7 +72,7 @@ final class MicroCodebook(val cells: Array[Int], val cents: Array[Long],
     val off = bestIdx * dim
     var dot = 0d; var nx = 0d; var ny = 0d; var i = 0
     while (i < n) {
-      val x = v.getLong(i).toDouble; val y = cents(off + i).toDouble
+      val x = xs(i).toDouble; val y = cents(off + i).toDouble
       dot += x * y; nx += x * x; ny += y * y; i += 1
     }
     new GenericInternalRow(Array[Any](bestCell,
@@ -97,25 +102,54 @@ final class FloatCodebook(val cells: Array[Int], val cents: Array[Double],
     (dim * 31 + java.util.Arrays.hashCode(cells)) * 31 +
       java.util.Arrays.hashCode(cents)
 
+  /** Per-cell squared norms over the FULL dim, computed once per
+    * codebook per JVM (transient — recomputed after deserialization
+    * on each executor, never shipped). Each entry is the identical
+    * left-to-right Σy² the per-pair loop used to accumulate, so
+    * substituting it is bit-identical — valid only when the row is
+    * full-width (n == dim); short rows keep the per-pair loop.
+    */
+  private[functions] def centNorm(c: Int): Double = centNorms(c)
+
+  @transient private lazy val centNorms: Array[Double] = {
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var ny = 0d; var i = 0
+      while (i < dim) { val y = cents(off + i); ny += y * y; i += 1 }
+      out(c) = ny; c += 1
+    }
+    out
+  }
+
   /** Cosine argmax with the HOF's exact tie/NaN semantics: the struct
     * max over (sim, -cell_id) compares doubles by Spark's total order
     * (== `java.lang.Double.compare`: NaN greatest, -0.0 < 0.0), so a
     * zero-norm NaN cosine wins exactly as it did in the interpreted
-    * form. Per-cell norms recompute per pair as `cosine_sim` did —
-    * same FP op sequence, bit-identical result. Returns
-    * struct(cell_id int, sim double).
+    * form. The three accumulators are independent left-to-right sums,
+    * so hoisting the query norm per row and the centroid norms per
+    * codebook ([[centNorms]]) preserves every FP op sequence —
+    * bit-identical to the per-pair recompute `cosine_sim` did, at a
+    * third of the multiplies. Returns struct(cell_id int, sim double).
     */
   def assign(v: ArrayData): InternalRow = {
-    val m = v.numElements()
+    val xs = v.toDoubleArray()
+    val n = math.min(xs.length, dim)
+    val full = n == dim
+    var nx = 0d
+    var xi = 0
+    while (xi < n) { val x = xs(xi); nx += x * x; xi += 1 }
     var bestSim = 0d; var bestCell = 0; var first = true
     var c = 0
     while (c < k) {
       val off = c * dim
-      val n = math.min(m, dim)
-      var dot = 0d; var nx = 0d; var ny = 0d; var i = 0
-      while (i < n) {
-        val x = v.getDouble(i); val y = cents(off + i)
-        dot += x * y; nx += x * x; ny += y * y; i += 1
+      var dot = 0d; var i = 0
+      while (i < n) { dot += xs(i) * cents(off + i); i += 1 }
+      val ny = if (full) centNorms(c) else {
+        var s = 0d; var j = 0
+        while (j < n) { val y = cents(off + j); s += y * y; j += 1 }
+        s
       }
       val sim = dot / (math.sqrt(nx) * math.sqrt(ny))
       val cell = cells(c)
@@ -151,7 +185,6 @@ final class FloatTopCells(val cb: FloatCodebook, val nprobe: Int)
   override def hashCode: Int = cb.hashCode * 31 + nprobe
 
   def topCells(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val m = v.numElements()
     val n = math.min(nprobe, cb.k)
     // insertion window ordered ascending by (nsim = -sim, cell) in
     // Spark's double total order (java.lang.Double.compare) — the
@@ -163,15 +196,24 @@ final class FloatTopCells(val cb: FloatCodebook, val nprobe: Int)
     // both spec-pinned)
     val nsims = new Array[Double](n)
     val cells = new Array[Int](n)
+    // flat copy + hoisted norms — the FloatCodebook.assign treatment,
+    // same bit-identicality argument (independent accumulators)
+    val xs = v.toDoubleArray()
+    val len = math.min(xs.length, cb.dim)
+    val full = len == cb.dim
+    var nx = 0d
+    var xi = 0
+    while (xi < len) { val x = xs(xi); nx += x * x; xi += 1 }
     var filled = 0
     var c = 0
     while (c < cb.k) {
       val off = c * cb.dim
-      val len = math.min(m, cb.dim)
-      var dot = 0d; var nx = 0d; var ny = 0d; var i = 0
-      while (i < len) {
-        val x = v.getDouble(i); val y = cb.cents(off + i)
-        dot += x * y; nx += x * x; ny += y * y; i += 1
+      var dot = 0d; var i = 0
+      while (i < len) { dot += xs(i) * cb.cents(off + i); i += 1 }
+      val ny = if (full) cb.centNorm(c) else {
+        var s = 0d; var j = 0
+        while (j < len) { val y = cb.cents(off + j); s += y * y; j += 1 }
+        s
       }
       val nsim = -(dot / (math.sqrt(nx) * math.sqrt(ny)))
       val cell = cb.cells(c)

@@ -40,7 +40,11 @@ final class PqCodebook(val m: Int, val subDim: Int, val k: Int,
     * winning sub-distance (the reconstruction-error terms q82 sums).
     */
   def encode(v: ArrayData): GenericArrayData = {
-    val n = v.numElements()
+    // bulk-copy once: the m·k sub-distance loops below run over a
+    // flat double[] instead of per-element virtual ArrayData calls —
+    // same values, same FP op sequence (the CellAssign treatment)
+    val xs = v.toDoubleArray()
+    val n = xs.length
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -59,7 +63,7 @@ final class PqCodebook(val m: Int, val subDim: Int, val k: Int,
         val cOff = (s * k + j) * subDim
         var d = 0d; var i = 0
         while (i < len) {
-          val t = v.getDouble(vOff + i) - cents(cOff + i)
+          val t = xs(vOff + i) - cents(cOff + i)
           d += t * t; i += 1
         }
         val nd = -d
