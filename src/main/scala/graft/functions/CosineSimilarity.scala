@@ -91,6 +91,10 @@ object GraftFunctions {
       exprs => TopKCollect.fromExprs(exprs),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_collect_tagged",
+      exprs => TopKCollectTagged.fromExprs(exprs),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",
       exprs => SimHash64(exprs(0)),
       "scala_udf")

@@ -45,7 +45,8 @@ object TopKBuffer {
   * comparison is one primitive long compare regardless of score
   * type; ids are a primitive long array or a UTF8String array.
   */
-final class TopKBuffer(val k: Int, val stringId: Boolean = false) {
+final class TopKBuffer(val k: Int, val stringId: Boolean = false,
+    val hasPayload: Boolean = false) {
   import TopKBuffer._
 
   var n = 0
@@ -53,6 +54,14 @@ final class TopKBuffer(val k: Int, val stringId: Boolean = false) {
   val flags = new Array[Byte](k)
   val idsL: Array[Long] = if (stringId) null else new Array[Long](k)
   val idsS: Array[UTF8String] = if (stringId) new Array[UTF8String](k) else null
+  /** carried-along (never ranked) per-entry payload, each a 1-field
+    * UnsafeRow ([[TopKCollectTagged]]); null array when untagged so
+    * the 3-arg hot path pays nothing.
+    */
+  val pays: Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow] =
+    if (hasPayload)
+      new Array[org.apache.spark.sql.catalyst.expressions.UnsafeRow](k)
+    else null
 
   /** true when (f1,s1,id1) ranks strictly before (f2,s2,id2) */
   private def before(f1: Int, s1: Long, l1: Long, u1: UTF8String,
@@ -79,18 +88,30 @@ final class TopKBuffer(val k: Int, val stringId: Boolean = false) {
     * actually enters the arrays (the common full-buffer reject path
     * never allocates).
     */
-  def insert(f: Int, s: Long, idL: Long, idS: UTF8String, owned: Boolean): Unit = {
+  def insert(f: Int, s: Long, idL: Long, idS: UTF8String, owned: Boolean): Unit =
+    insert(f, s, idL, idS, owned, null)
+
+  /** Tagged insert: `pay` (ignored unless [[hasPayload]]) rides along
+    * with its entry, shifting and evicting with it; `owned = false`
+    * marks a row that may point into a reused projection buffer — it
+    * is defensively copied iff it actually enters the arrays, same
+    * discipline as the id strings.
+    */
+  def insert(f: Int, s: Long, idL: Long, idS: UTF8String, owned: Boolean,
+      pay: org.apache.spark.sql.catalyst.expressions.UnsafeRow): Unit = {
     if (n >= k && !beforeIdx(f, s, idL, idS, n - 1)) return
     var i = if (n < k) n else n - 1 // position that will be vacated
     while (i > 0 && beforeIdx(f, s, idL, idS, i - 1)) {
       scores(i) = scores(i - 1); flags(i) = flags(i - 1)
       if (stringId) idsS(i) = idsS(i - 1) else idsL(i) = idsL(i - 1)
+      if (hasPayload) pays(i) = pays(i - 1)
       i -= 1
     }
     scores(i) = s
     flags(i) = f.toByte
     if (stringId) idsS(i) = if (idS == null || owned) idS else idS.clone()
     else idsL(i) = idL
+    if (hasPayload) pays(i) = if (pay == null || owned) pay else pay.copy()
     if (n < k) n += 1
   }
 
@@ -104,7 +125,8 @@ final class TopKBuffer(val k: Int, val stringId: Boolean = false) {
       insert(o.flags(i), o.scores(i),
         if (stringId) 0L else o.idsL(i),
         if (stringId) o.idsS(i) else null,
-        owned = true) // partial buffers own their strings
+        owned = true, // partial buffers own their strings and rows
+        if (hasPayload) o.pays(i) else null)
       i += 1
     }
   }
@@ -297,5 +319,214 @@ object TopKCollect {
           s"topk_collect k must be an integer literal, got $other")
     }
     TopKCollect(exprs(0), exprs(1), k)
+  }
+}
+
+/** [[TopKCollect]] with a carried payload — the join-back killer.
+  *
+  * `topk_collect_tagged(score, id, payload, k)` ranks EXACTLY like
+  * `topk_collect(score, id, k)` (score DESC NULLS LAST with NaN
+  * first, id ASC NULLS FIRST on ties — the payload never orders
+  * anything) and returns `array<struct<score, id, payload>>` with
+  * each survivor's payload column riding along.
+  *
+  * Why it exists: a per-group top-k whose rows carry a tag the
+  * consumer needs (q146/q163's `src` branch marker, q163's revisit
+  * validators) otherwise has to JOIN the ranked output back to the
+  * candidate frame to re-attach the tag — and since the candidate
+  * frame is the same DataFrame consumed twice, Catalyst plans the
+  * whole candidate LINEAGE twice (every scan, window and rollup
+  * upstream; measured 22 parquet scans in q163's plan, half of them
+  * the duplicate). Carrying the tag through the heap keeps the
+  * lineage single-pass at the cost of ~|payload| extra bytes per
+  * HELD entry (k per group, not per row).
+  *
+  * The payload is stored as a 1-field UnsafeRow (any Spark SQL type,
+  * nullable) so buffer ownership/serialization stay type-agnostic.
+  */
+case class TopKCollectTagged(
+    scoreChild: Expression,
+    idChild: Expression,
+    payChild: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  import TopKBuffer._
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection, UnsafeRow}
+
+  private val ScoreD = 0; private val ScoreL = 1; private val ScoreI = 2
+  @transient private lazy val scoreKind: Int = scoreChild.dataType match {
+    case DoubleType => ScoreD
+    case LongType => ScoreL
+    case _ => ScoreI
+  }
+  @transient private lazy val stringId: Boolean = idChild.dataType == StringType
+  @transient private lazy val intId: Boolean = idChild.dataType == IntegerType
+  @transient private lazy val payProj: UnsafeProjection =
+    UnsafeProjection.create(Array[DataType](payChild.dataType))
+  @transient private lazy val payHolder = new GenericInternalRow(1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!Seq(DoubleType, LongType, IntegerType).contains(scoreChild.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_collect_tagged score must be double/bigint/int, got ${scoreChild.dataType.simpleString}")
+    else if (!Seq(LongType, IntegerType, StringType).contains(idChild.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_collect_tagged id must be bigint/int/string, got ${idChild.dataType.simpleString}")
+    else if (k <= 0)
+      TypeCheckResult.TypeCheckFailure(s"topk_collect_tagged k must be positive, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def children: Seq[Expression] = Seq(scoreChild, idChild, payChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", scoreChild.dataType, nullable = scoreChild.nullable),
+      StructField("id", idChild.dataType, nullable = idChild.nullable),
+      StructField("payload", payChild.dataType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "topk_collect_tagged"
+
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, stringId, hasPayload = true)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreChild.eval(input)
+    val id = idChild.eval(input)
+    var f = 0
+    var enc = 0L
+    if (s == null) f |= ScoreNull
+    else enc = scoreKind match {
+      case ScoreD => encodeDouble(s.asInstanceOf[Double])
+      case ScoreL => s.asInstanceOf[Long]
+      case _ => s.asInstanceOf[Int].toLong
+    }
+    var idL = 0L
+    var idS: UTF8String = null
+    if (id == null) f |= IdNull
+    else if (stringId) idS = id.asInstanceOf[UTF8String]
+    else if (intId) idL = id.asInstanceOf[Int].toLong
+    else idL = id.asInstanceOf[Long]
+    payHolder.update(0, payChild.eval(input))
+    // payProj reuses its output buffer — insert() copies the row iff
+    // it actually enters the arrays (owned = false), the idS rule
+    buf.insert(f, enc, idL, idS, owned = false, payProj(payHolder))
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    a.mergeIn(b); a
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(Array.tabulate[Any](buf.n) { i =>
+      val f = buf.flags(i)
+      val s: Any =
+        if ((f & ScoreNull) != 0) null
+        else scoreKind match {
+          case ScoreD => decodeDouble(buf.scores(i))
+          case ScoreL => buf.scores(i)
+          case _ => buf.scores(i).toInt
+        }
+      val id: Any =
+        if ((f & IdNull) != 0) null
+        else if (stringId) buf.idsS(i)
+        else if (intId) buf.idsL(i).toInt
+        else buf.idsL(i)
+      val pay: Any =
+        if (buf.pays(i) == null) null
+        else buf.pays(i).get(0, payChild.dataType)
+      InternalRow(s, id, pay)
+    })
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    // [int n] then per entry [byte flags][long score]
+    // [long id | int len + utf8 bytes (-1 = null id)]
+    // [int len + UnsafeRow bytes (-1 = no payload row)]
+    var size = 4 + 9 * buf.n
+    var i = 0
+    while (i < buf.n) {
+      if (stringId)
+        size += 4 + (if (buf.idsS(i) == null) 0 else buf.idsS(i).numBytes())
+      else size += 8
+      size += 4 + (if (buf.pays(i) == null) 0 else buf.pays(i).getSizeInBytes)
+      i += 1
+    }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.n)
+    i = 0
+    while (i < buf.n) {
+      bb.put(buf.flags(i))
+      bb.putLong(buf.scores(i))
+      if (stringId) {
+        val u = buf.idsS(i)
+        if (u == null) bb.putInt(-1)
+        else { val b = u.getBytes; bb.putInt(b.length); bb.put(b) }
+      } else bb.putLong(buf.idsL(i))
+      val p = buf.pays(i)
+      if (p == null) bb.putInt(-1)
+      else { val b = p.getBytes; bb.putInt(b.length); bb.put(b) }
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k, stringId, hasPayload = true)
+    buf.n = n // entries were serialized in ranked order — restore as-is
+    var i = 0
+    while (i < n) {
+      buf.flags(i) = bb.get()
+      buf.scores(i) = bb.getLong
+      if (stringId) {
+        val len = bb.getInt
+        if (len >= 0) {
+          val a = new Array[Byte](len)
+          bb.get(a)
+          buf.idsS(i) = UTF8String.fromBytes(a)
+        }
+      } else buf.idsL(i) = bb.getLong
+      val plen = bb.getInt
+      if (plen >= 0) {
+        val a = new Array[Byte](plen)
+        bb.get(a)
+        val r = new UnsafeRow(1)
+        r.pointTo(a, plen)
+        buf.pays(i) = r
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKCollectTagged =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKCollectTagged =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKCollectTagged =
+    copy(scoreChild = newChildren(0), idChild = newChildren(1),
+      payChild = newChildren(2))
+}
+
+object TopKCollectTagged {
+  /** Builder for function-registry registration: k must be a literal
+    * (it sizes the aggregation buffer at plan time).
+    */
+  def fromExprs(exprs: Seq[Expression]): TopKCollectTagged = {
+    if (exprs.length != 4)
+      throw new ConfigurationException(
+        "topk_collect_tagged(score, id, payload, k) takes 4 args")
+    val k = exprs(3) match {
+      case Literal(v: Int, IntegerType) => v
+      case other =>
+        throw new ConfigurationException(
+          s"topk_collect_tagged k must be an integer literal, got $other")
+    }
+    TopKCollectTagged(exprs(0), exprs(1), exprs(2), k)
   }
 }

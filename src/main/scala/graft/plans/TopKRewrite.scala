@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
-import graft.functions.{BloomMightContain, CosineSimilarity, MinHash8, SimHash64, TopKCollect, WinnowFps}
+import graft.functions.{BloomMightContain, CosineSimilarity, MinHash8, SimHash64, TopKCollect, TopKCollectTagged, WinnowFps}
 
 /** Optimizer rule for the brief's named scale-killer: a per-group
   * top-k written the natural way,
@@ -190,6 +190,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("topk_collect"),
       new ExpressionInfo(classOf[TopKCollect].getName, "topk_collect"),
       (exprs: Seq[Expression]) => TopKCollect.fromExprs(exprs)))
+    e.injectFunction((FunctionIdentifier("topk_collect_tagged"),
+      new ExpressionInfo(classOf[TopKCollectTagged].getName, "topk_collect_tagged"),
+      (exprs: Seq[Expression]) => TopKCollectTagged.fromExprs(exprs)))
     e.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))

@@ -1846,16 +1846,28 @@ object WebOps {
       .agg(countDistinct("src_h").as("n_referrers"))
       .select(col("host"), col("url"),
         expr("(1000000 * n_referrers) div (n_referrers + 1)").as("ppm"),
-        lit("discover").as("src"))
-    planBudget(fresh.union(revisit), robots, userAgent, perHostK)
+        lit("discover").as("pay"))
+    planBudget(fresh.union(revisit.withColumnRenamed("src", "pay")),
+        robots, userAgent, perHostK)
+      .select(col("host"), col("url"), col("ppm"), col("pay").as("src"),
+        col("rnk"))
   }
 
   /** The shared tail of the unified planners: the RFC 9309 gate on
     * the discover∪revisit union (revisits need re-gating too — a page
     * fetched legally last month may sit behind a new Disallow today;
-    * same |hosts|-sized broadcast verdict as crawlFrontier's gate),
-    * the per-host bounded-heap budget cut, and the |plan|-sized
-    * source-tag join-back.
+    * same |hosts|-sized broadcast verdict as crawlFrontier's gate)
+    * and the per-host bounded-heap budget cut. `cand0` =
+    * (host, url, ppm, pay): the `pay` column (the branch tag plus
+    * whatever per-row columns the caller's plan rows must carry —
+    * q163's validators) rides THROUGH the heap via
+    * `topk_collect_tagged`, so the candidate lineage is consumed
+    * exactly once. The pre-r19 form re-attached the tag with a
+    * |plan|-sized join-back to `cand` — same DataFrame consumed
+    * twice, which Catalyst plans as the WHOLE upstream (scans,
+    * window, vote/estimator rollups) duplicated: 22 parquet scans in
+    * q163's physical plan, half of them the copy. Ranking is
+    * unchanged (ppm DESC, url ASC — the payload never orders).
     */
   private def planBudget(cand0: DataFrame, robots: Option[DataFrame],
       userAgent: String, perHostK: Int): DataFrame = {
@@ -1867,14 +1879,12 @@ object WebOps {
           robotsAllows(col("r_rules"), urlPathQuery(col("url"))))
         .drop("r_host", "r_rules")
     }
-    val ranked = cand.groupBy("host")
-      .agg(expr(s"topk_collect(ppm, url, $perHostK)").as("top"))
+    cand.groupBy("host")
+      .agg(expr(s"topk_collect_tagged(ppm, url, pay, $perHostK)").as("top"))
       .select(col("host"), posexplode(col("top")))
       .select(col("host"), col("col.id").as("url"),
-        col("col.score").as("ppm"),
+        col("col.score").as("ppm"), col("col.payload").as("pay"),
         (col("pos") + 1).cast("long").as("rnk"))
-    ranked.join(cand.select("host", "url", "src"), Seq("host", "url"))
-      .select(col("host"), col("url"), col("ppm"), col("src"), col("rnk"))
   }
 
   /** CONDITIONAL-GET planning (q163): the unified planner over the
@@ -1899,14 +1909,60 @@ object WebOps {
       fetchLog: DataFrame, perHostK: Int = 3,
       robots: Option[DataFrame] = None,
       userAgent: String = "graftbot"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(discovered.sparkSession)
     val d = discovered.filter(col("url").isNotNull)
       .withColumn("url", canonicalizeUrl(col("url")))
     val seenC = seen.filter(col("url").isNotNull)
       .select(canonicalizeUrl(col("url")).as("url"))
-    val revisit = recrawlScoresFromLog(fetchLog)
+    // ONE per-url rollup serves both the q158 estimator AND the
+    // validators (last fetch ts = the estimator's own last_us; last
+    // BODIED digest via the (t, fetch_id, digest) struct-max —
+    // fetch_id unique → deterministic; 304 rows carry NULL digest and
+    // are excluded). The rollup rides the change-window's url
+    // partitioning (zero extra exchange), and the validators ride the
+    // budget heap as payload — the pre-r19 form re-scanned the log
+    // for a separate validator rollup and re-attached it with a
+    // |plan|-sized join.
+    val w = Window.partitionBy("url").orderBy("t_us", "fetch_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val log0 = fetchLog.select(col("url"),
+        unix_micros(col("ts")).as("t_us"), col("fetch_id"),
+        col("status"), col("digest"))
+      .withColumn("prev_digest", last(col("digest"), ignoreNulls = true)
+        .over(w))
+      .withColumn("changed",
+        when(col("status") === 304, lit(0L))
+          .when(col("prev_digest").isNull, lit(0L))
+          .when(col("digest") === col("prev_digest"), lit(0L))
+          .otherwise(lit(1L)))
+    val perUrl = log0.groupBy("url").agg(
+      count(lit(1)).as("n_fetches"),
+      sum("changed").as("n_changes"),
+      min("t_us").as("first_us"),
+      max("t_us").as("last_us"),
+      max(when(col("digest").isNotNull,
+        struct(col("t_us").as("t"), col("fetch_id").as("f"),
+          col("digest").as("d")))).as("__b"))
+    // global max fetch ts; computed off log0 directly (the window and
+    // the per-url rollup prune away — a plain scan + partial max, no
+    // per-url exchange like a perUrl-derived max would plan)
+    val now = log0.agg(max(col("t_us")).as("now_us"))
+    val revisit = perUrl
+      .filter(col("n_fetches") >= 2 && col("last_us") > col("first_us"))
+      .crossJoin(broadcast(now))
+      .withColumn("age_us", col("now_us") - col("last_us"))
+      .withColumn("span_us", col("last_us") - col("first_us"))
+      .withColumn("r_nats",
+        log((col("n_fetches") * 2 + 1).cast("double") /
+          ((col("n_fetches") - col("n_changes")) * 2 + 1).cast("double")))
       .select(canonicalHost(col("url")).as("host"), col("url"),
-        col("priority_ppm").as("ppm"), lit("revisit").as("src"))
+        floor((lit(1.0) - exp(-(col("r_nats") * (col("n_fetches") - 1) *
+          col("age_us") / col("span_us")))) * lit(1000000.0) + lit(0.5))
+          .as("ppm"),
+        struct(lit("revisit").as("src"),
+          col("__b.d").as("last_digest"),
+          col("last_us").as("last_fetch_us")).as("pay"))
     // the q146 disjointness rule verbatim: EVERY logged URL proves
     // "seen" (canonicalized like `seen` — the q152 both-sides rule);
     // no distinct on the anti-join's right side (84e9be8)
@@ -1918,21 +1974,14 @@ object WebOps {
       .agg(countDistinct("src_h").as("n_referrers"))
       .select(col("host"), col("url"),
         expr("(1000000 * n_referrers) div (n_referrers + 1)").as("ppm"),
-        lit("discover").as("src"))
-    val plan = planBudget(fresh.union(revisit), robots, userAgent, perHostK)
-    // validators: last fetch ts per url; digest of the latest BODIED
-    // fetch via the (t, fetch_id, digest) struct-max (fetch_id unique
-    // → deterministic; 304 rows carry NULL digest and are excluded)
-    val v = fetchLog.groupBy("url").agg(
-        max(unix_micros(col("ts"))).as("last_fetch_us"),
-        max(when(col("digest").isNotNull,
-          struct(unix_micros(col("ts")).as("t"),
-            col("fetch_id").as("f"), col("digest").as("d")))).as("__b"))
-      .select(col("url"), col("last_fetch_us"), col("__b.d").as("last_digest"))
-    plan.join(v, Seq("url"), "left")
-      .select(col("host"), col("url"), col("ppm"), col("src"), col("rnk"),
-        when(col("src") === "revisit", col("last_digest")).as("last_digest"),
-        when(col("src") === "revisit", col("last_fetch_us")).as("last_fetch_us"))
+        struct(lit("discover").as("src"),
+          lit(null).cast("string").as("last_digest"),
+          lit(null).cast("long").as("last_fetch_us")).as("pay"))
+    planBudget(fresh.union(revisit), robots, userAgent, perHostK)
+      .select(col("host"), col("url"), col("ppm"),
+        col("pay.src").as("src"), col("rnk"),
+        col("pay.last_digest").as("last_digest"),
+        col("pay.last_fetch_us").as("last_fetch_us"))
   }
 
   val defs: Seq[QueryDef] = Seq(

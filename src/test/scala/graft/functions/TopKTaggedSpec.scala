@@ -1,0 +1,132 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `topk_collect_tagged` — the payload-carrying variant that lets
+  * q146/q163's planners keep the branch tag (and q163's validators)
+  * WITHOUT the join-back that doubled their candidate lineage.
+  * Pinned here: the payload never participates in ranking, moves
+  * with its entry through shifts/evictions/merges, survives the
+  * partial-buffer serde, and the DataFrame form is row-identical to
+  * the join-back it replaces — on a fixture with score ties, null
+  * payloads, and enough partitions to force merges.
+  */
+class TopKTaggedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+    Tables.sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    s
+  }
+
+  private def payRow(s: String): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+    val proj = UnsafeProjection.create(Array[DataType](StringType))
+    proj(InternalRow(if (s == null) null else UTF8String.fromString(s))).copy()
+  }
+
+  private def payOf(b: TopKBuffer, i: Int): String = {
+    val r = b.pays(i)
+    if (r == null || r.isNullAt(0)) null else r.getUTF8String(0).toString
+  }
+
+  test("payload moves with its entry through shifts and evictions") {
+    val b = new TopKBuffer(3, stringId = false, hasPayload = true)
+    def ins(s: Double, id: Long, p: String): Unit =
+      b.insert(0, TopKBuffer.encodeDouble(s), id, null, owned = true, payRow(p))
+    ins(0.5, 1L, "a"); ins(0.9, 2L, "b"); ins(0.1, 3L, "c")
+    ins(0.9, 0L, "d"); ins(0.7, 4L, "e")
+    // order: (0.9,0,"d"), (0.9,2,"b"), (0.7,4,"e") — "c" evicted,
+    // "a" pushed out, every survivor still paired with its own tag
+    assert((0 until b.n).map(i =>
+      (TopKBuffer.decodeDouble(b.scores(i)), b.idsL(i), payOf(b, i))) ==
+      Seq((0.9, 0L, "d"), (0.9, 2L, "b"), (0.7, 4L, "e")))
+  }
+
+  test("merge and serde carry payloads (null payload included)") {
+    val agg = TopKCollectTagged(
+      BoundReference(0, DoubleType, nullable = false),
+      BoundReference(1, LongType, nullable = false),
+      BoundReference(2, StringType, nullable = true), 4)
+    val a = new TopKBuffer(4, stringId = false, hasPayload = true)
+    val b = new TopKBuffer(4, stringId = false, hasPayload = true)
+    def ins(buf: TopKBuffer, s: Double, id: Long, p: String): Unit =
+      buf.insert(0, TopKBuffer.encodeDouble(s), id, null, owned = true, payRow(p))
+    ins(a, 0.3, 9L, "x"); ins(a, 0.8, 1L, null)
+    ins(b, 0.5, 7L, "y"); ins(b, 0.9, 2L, "z")
+    val back = agg.deserialize(agg.serialize(b))
+    a.mergeIn(back)
+    assert((0 until a.n).map(i => (a.idsL(i), payOf(a, i))) ==
+      Seq((2L, "z"), (1L, null), (7L, "y"), (9L, "x")))
+  }
+
+  test("DataFrame form is row-identical to the join-back it replaces") {
+    import spark.implicits._
+    // score ties within groups (i % 7), string ids, a tag column;
+    // 4 partitions force partial-buffer merges and serde
+    val cand = (0 until 400).map { i =>
+      (s"h${i % 5}", f"u${i % 40}%02d-$i", (i % 7).toLong,
+        if (i % 2 == 0) "discover" else "revisit")
+    }.toDF("host", "url", "ppm", "pay").repartition(4)
+    val tagged = cand.groupBy("host")
+      .agg(expr("topk_collect_tagged(ppm, url, pay, 3)").as("top"))
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), col("col.id").as("url"),
+        col("col.score").as("ppm"), col("col.payload").as("src"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    val ranked = cand.groupBy("host")
+      .agg(expr("topk_collect(ppm, url, 3)").as("top"))
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), col("col.id").as("url"),
+        col("col.score").as("ppm"), (col("pos") + 1).cast("long").as("rnk"))
+    val joined = ranked
+      .join(cand.select(col("host"), col("url"), col("pay").as("src")),
+        Seq("host", "url"))
+      .select("host", "url", "ppm", "src", "rnk")
+    val t = tagged.orderBy("host", "rnk").collect().toSeq
+    val j = joined.orderBy("host", "rnk").collect().toSeq
+    assert(t == j)
+  }
+
+  test("struct payloads with null fields round-trip (the q163 shape)") {
+    import spark.implicits._
+    val cand = Seq(
+      ("h0", "u0", 10L, ("discover", null: String, null: java.lang.Long)),
+      ("h0", "u1", 20L, ("revisit", "d1", java.lang.Long.valueOf(111L))),
+      ("h0", "u2", 20L, ("revisit", null: String, java.lang.Long.valueOf(222L))),
+      ("h1", "u3", 5L, ("discover", null: String, null: java.lang.Long)))
+      .toDF("host", "url", "ppm", "pay").repartition(3)
+    val out = cand.groupBy("host")
+      .agg(expr("topk_collect_tagged(ppm, url, pay, 2)").as("top"))
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), col("col.id").as("url"),
+        col("col.payload._1").as("src"),
+        col("col.payload._2").as("d"),
+        col("col.payload._3").as("t"),
+        (col("pos") + 1).as("rnk"))
+      .orderBy("host", "rnk")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)),
+        r.getInt(5)))
+    assert(out == Seq(
+      ("h0", "u1", "revisit", "d1", java.lang.Long.valueOf(111L), 1),
+      ("h0", "u2", "revisit", null, java.lang.Long.valueOf(222L), 2),
+      ("h1", "u3", "discover", null, null, 1)))
+  }
+}
