@@ -22,7 +22,19 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC",
     // graft's Catalyst surface (TopKRewrite rule + native functions)
     // — the production-default session shape; see graft.plans
-    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    // The inverted doc-set/occurrence-list rollups (shingleDocSets,
+    // q60/q65/q123's verify stage, lineDedup, topk_collect) run in
+    // ObjectHashAggregate, whose sort-based fallback triggers at 128
+    // in-memory GROUPS by default — pathological for high-cardinality
+    // rollups (every shingle/gram is a group): each task degrades to
+    // a full sort after its first 128 keys. 64k entries of a few
+    // small values each is single-digit MB of per-task state at ANY
+    // cluster size (the bound is per-task, not per-dataset — spill
+    // still protects the true-heavy-group tail), overridable via
+    // SPARK_GRAFT_OBJ_AGG_FALLBACK for memory-tight executors.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+      sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
 
   /** The local-session shape every runnable main needs (parallelism
     * from SPARK_GRAFT_CPUS, shuffle partitions to match, UI off,

@@ -126,6 +126,14 @@ object DedupOps {
 
   /** Same over any (doc_id, text) frame. */
   private[queries] def shingles(docs: DataFrame): DataFrame =
+    shingleStream(docs).distinct()
+
+  /** The raw positional shingle stream behind [[shingles]] — one row
+    * per position, duplicates NOT collapsed. Consumers that roll up
+    * by shingle absorb the dedup into their own aggregate
+    * (collect_set) instead of paying [[shingles]]' distinct exchange.
+    */
+  private def shingleStream(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
@@ -136,7 +144,36 @@ object DedupOps {
           element_at(col("t"), col("i")), lit(" "),
           element_at(col("t"), col("i") + 1), lit(" "),
           element_at(col("t"), col("i") + 2)).as("g"))
-      .distinct()
+
+  /** The inverted (shingle → sorted distinct doc list) form of the
+    * stop-capped shingle frame, keyed on the xxhash64 fold: ONE
+    * partial-aggregable exchange (collect_set absorbs both the
+    * per-doc shingle dedup AND the stop-df count — size(ds) IS the
+    * df), where the join formulation it replaces planned the
+    * explode→distinct→df-rollup→anti-join lineage once per consumer
+    * (q37's physical plan carried 10 document scans and 15
+    * exchanges; q148's 32 and 22). Pair queries expand candidate
+    * pairs IN PLACE from the ≤ maxDf-sized doc lists — the self-join
+    * on gh disappears entirely, and the fan-out stays the same
+    * C(df, 2) ≤ C(maxDf, 2) the join produced.
+    */
+  private def shingleDocSets(docs: DataFrame, maxDf: Long): DataFrame =
+    shingleStream(docs)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .groupBy("gh")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+
+  /** All ordered (a < b) pairs from [[shingleDocSets]]' SORTED `ds`
+    * doc list — the in-place expansion of the shared-shingle
+    * equi-join: a shingle with df docs yields exactly the C(df, 2)
+    * candidate rows the join formulation produced, bounded by the
+    * stop cap. Reads the frame's `ds` column.
+    */
+  private def docPairsExpr: Column = expr(
+    """flatten(transform(ds, (a, i) ->
+      |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+      |    struct(a AS a, b AS b))))""".stripMargin)
 
   private val shingleSqlCte = shingleSqlCteFrom("documents")
 
@@ -382,14 +419,19 @@ object DedupOps {
     */
   def containmentPairs(docs: DataFrame, minContain: Double = 0.9,
       maxDf: Long = StopShingleMaxDf): DataFrame = {
-    val sh = dropStopShingles(
-      shingles(docs).withColumn("gh", xxhash64(col("g"))).drop("g"),
-      "gh", maxDf)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("gh"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    // inverted doc-set form ([[shingleDocSets]]): one exchange builds
+    // (gh → sorted doc list); sizes and candidate pairs both read it
+    // (the exchange is reused), where the previous sh-consumed-thrice
+    // join form planned the whole shingle lineage per consumer —
+    // 32 parquet scans / 22 exchanges / 14 sort-merge joins in
+    // q148's physical plan, now 2 scans (ReusedExchange) / 5
+    val byG = shingleDocSets(docs, maxDf)
+    val sizes = byG.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = byG.filter(size(col("ds")) >= 2)
+      .select(explode(docPairsExpr).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
     val cab = col("n_common").cast("double") / col("na")
     val cba = col("n_common").cast("double") / col("nb")
     val jac = col("n_common").cast("double") /
@@ -1006,9 +1048,17 @@ object DedupOps {
   def contaminationReport(sh: DataFrame, probeSource: String,
       minShared: Long, maxDf: Long = StopShingleMaxDf,
       maxBroadcastShingles: Long = MaxBroadcastProbeShingles): DataFrame = {
-    val corpus = dropStopShingles(
-      sh.filter(col("source") =!= probeSource).select("doc_id", "g"),
-      "g", maxDf)
+    // inverted doc-set form ([[shingleDocSets]] on the STRING key —
+    // the oracle filters string shingles, so no hash fold here): one
+    // exchange builds (g → corpus doc list) with size(ds) as the df,
+    // where dropStopShingles planned the corpus shingle lineage twice
+    // (df rollup + anti-join side). The probe join then matches
+    // |distinct g| list rows instead of |corpus shingle| rows and
+    // explodes only on matches.
+    val corpus = sh.filter(col("source") =!= probeSource)
+      .select("doc_id", "g")
+      .groupBy("g").agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
     val bench = sh.filter(col("source") === probeSource)
       .select(col("doc_id").as("probe_id"), col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1017,6 +1067,7 @@ object DedupOps {
       if (nProbe <= maxBroadcastShingles) broadcast(bench)
       else { bench.unpersist(); bench }
     corpus.join(probe, Seq("g"))
+      .select(col("probe_id"), explode(col("ds")).as("doc_id"))
       .groupBy("probe_id", "doc_id")
       .agg(count(lit(1)).as("shared")) // shingles are distinct per doc
       .filter(col("shared") >= minShared)
@@ -1188,14 +1239,24 @@ object DedupOps {
     */
   def dupSpanRatio(s: SparkSession, dir: String,
       exact: Boolean = true): DataFrame = {
-    val sh0 = shingles(s, dir)
+    val sh0 = shingleStream(
+      Tables(s, dir, "documents").select("doc_id", "text"))
     val keyed =
       if (exact) sh0.select(col("doc_id"), col("g").as("k1"))
       else sh0.select(col("doc_id"), xxhash64(col("g")).as("k1"),
         xxhash64(lit("dupspan:h2"), col("g")).as("k2"))
     val keys = keyed.columns.filter(_ != "doc_id").toSeq
-    val df = keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
-    val perDoc = keyed.join(df, keys)
+    // inverted doc-set form (the [[shingleDocSets]] move): ONE
+    // (key → distinct doc set) exchange — collect_set absorbs the
+    // per-doc shingle distinct AND replaces the df rollup + the
+    // keyed-stream join back onto it (the shingle lineage planned
+    // twice before); df = set size (distinct docs, q60's rule), each
+    // member doc explodes back out with its shingle's df
+    val perDoc = keyed
+      .groupBy(keys.map(col): _*)
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .select(explode(col("docs")).as("doc_id"),
+        size(col("docs")).as("df"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("df") >= 2, 1)).as("n_dup"))
@@ -1245,11 +1306,20 @@ object DedupOps {
           element_at(col("t"), col("i")), lit(" "),
           element_at(col("t"), col("i") + 1), lit(" "),
           element_at(col("t"), col("i") + 2)).as("g"))
-    val dfG = pos.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("df"))
+    // inverted occurrence-list form (the [[shingleDocSets]] move):
+    // ONE (g → occurrence list) exchange where the df-rollup + join
+    // form planned the positional explode twice (df counts DISTINCT
+    // docs — array_distinct over the occurrence list's doc ids — and
+    // every positional occurrence of a ≥2-doc shingle explodes back
+    // out, within-doc repeats included, exactly as the join emitted)
     val dupStarts = pos
-      .join(dfG.filter(col("df") >= 2).select("g"), Seq("g"))
-      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("dup_starts"))
+      .groupBy("g")
+      .agg(collect_list(struct(col("doc_id"), col("i"))).as("occ"))
+      .filter(size(array_distinct(
+        expr("transform(occ, o -> o.doc_id)"))) >= 2)
+      .select(explode(col("occ")).as("o"))
+      .groupBy(col("o.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("o.i"))).as("dup_starts"))
     docs.join(dupStarts, Seq("doc_id"), "left_outer")
       .withColumn("ds",
         coalesce(col("dup_starts"), expr("array()").cast("array<int>")))
@@ -1403,15 +1473,22 @@ object DedupOps {
         candIdx.groupBy("doc_id")
           .agg(sort_array(collect_list(col("i"))).as("ds"))
       else {
-        // verify: the L-char gram is materialized for candidates only
+        // verify: the L-char gram is materialized for candidates only,
+        // then the true-df test INVERTS to one (g → occurrence list)
+        // rollup — size(occ) IS the df, survivors explode back out.
+        // The rollup-plus-join form consumed candG twice, which
+        // Catalyst plans as the whole candidate pipeline (gram
+        // explode, hash df, both joins) duplicated — 7 scans and a
+        // candidate SortMergeJoin in q123's plan, now 4 and none.
         val candG = candIdx.join(d.select("doc_id", "text"), Seq("doc_id"))
           .select(col("doc_id"), col("i"),
             expr(s"substring(text, i, $L)").as("g"))
-        val dupG = candG.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2).select("g")
-        candG.join(dupG, Seq("g"))
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(col("i"))).as("ds"))
+        candG.groupBy("g")
+          .agg(collect_list(struct(col("doc_id"), col("i"))).as("occ"))
+          .filter(size(col("occ")) >= 2)
+          .select(explode(col("occ")).as("o"))
+          .groupBy(col("o.doc_id").as("doc_id"))
+          .agg(sort_array(collect_list(col("o.i"))).as("ds"))
       }
     charSpanRebuild(d, dupStarts, L)
   }
@@ -1669,7 +1746,13 @@ object DedupOps {
     * groups on the tiny pair space.
     */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(s, dir, "documents")
+    // inverted doc-set form (the [[shingleDocSets]] move on the
+    // source key): ONE exchange builds (g → sorted distinct source
+    // list), pair expansion in place — the self-join planned the
+    // shingle explode + distinct twice and shuffled the stream
+    // twice more for the join. The source list is bounded by
+    // |sources| (a handful), so the expansion is trivially bounded.
+    val byG = Tables(s, dir, "documents")
       .select(col("source"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("source"),
@@ -1679,10 +1762,10 @@ object DedupOps {
           element_at(col("t"), col("i")), lit(" "),
           element_at(col("t"), col("i") + 1), lit(" "),
           element_at(col("t"), col("i") + 2)).as("g"))
-      .distinct()
-    sh.as("a").join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    byG.select(explode(docPairsExpr).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .orderBy("source_a", "source_b")
   }
@@ -1996,23 +2079,26 @@ object DedupOps {
         |ORDER BY round(jac, 6) DESC, doc_a, doc_b
         |LIMIT 20""".stripMargin) { (s, dir) =>
       val meta = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
-      // join key folded to int64 via xxhash64 (8-byte shuffle key; a
-      // collision merely perturbs one candidate's intersection count
-      // by ~2^-64 odds). Not persisted — see the q36 measured note.
-      // Stop-shingle df cap applied on the hashed key (oracle filters
-      // the string form; identical modulo xxhash64 collisions).
-      val sh = dropStopShingles(
-        shingles(s, dir).withColumn("gh", xxhash64(col("g"))).drop("g"),
-        "gh", StopShingleMaxDf)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // Join on shingle EQUALITY first: random word-soup 3-grams are
-      // mostly doc-unique, so only genuinely-overlapping doc pairs
-      // survive — never the O(n²) pair space the oracle SQL spells
-      // out. The lang/length constraints filter after grouping.
-      val inter = sh.select(col("doc_id").as("doc_a"), col("gh"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+      // Inverted doc-set form ([[shingleDocSets]]): join key folded
+      // to int64 via xxhash64 (8-byte shuffle key; a collision merely
+      // perturbs one candidate's intersection count by ~2^-64 odds;
+      // the stop-df cap applies on the hashed key — the oracle
+      // filters the string form, identical modulo collisions).
+      // Candidate pairs expand IN PLACE from each shingle's ≤ maxDf
+      // doc list: random word-soup 3-grams are mostly doc-unique, so
+      // only genuinely-overlapping doc pairs appear — never the O(n²)
+      // pair space the oracle SQL spells out, and no self-join (the
+      // join form planned the shingle lineage once per consumer: 10
+      // scans / 15 exchanges before, 2 scans / 5 after). The
+      // lang/length constraints filter after grouping.
+      val byG = shingleDocSets(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        StopShingleMaxDf)
+      val sizes = byG.select(explode(col("ds")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = byG.filter(size(col("ds")) >= 2)
+        .select(explode(docPairsExpr).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .agg(count(lit(1)).as("n_common"))
       val jac = col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common"))

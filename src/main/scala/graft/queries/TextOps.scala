@@ -3504,6 +3504,15 @@ cnt$n AS (
       .filter(length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
       .localCheckpoint() // two EM rounds re-read it; cut the corpus lineage
+    // Every intermediate here is VOCABULARY-sized (≤ chars +
+    // vocabTopK pieces) but carries the whole upstream EM round in
+    // its lineage, and pieceCostFrame consumes its input twice (the
+    // total crossJoin) — left lazy, Catalyst plans round-1 Viterbi
+    // and the substring rollup once per consumer (q145's physical
+    // plan read 44 exchanges / 10 SMJ / 12 BNLJ). localCheckpoint at
+    // each round boundary costs a trivial job on a few-hundred-row
+    // frame and collapses the plan to one copy per round (7
+    // exchanges) — the dw discipline extended to the model tables.
     val pf = dw.select(col("wcnt"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)), i ->
            |  filter(transform(sequence(1, $maxPieceLen), L ->
@@ -3511,14 +3520,17 @@ cnt$n AS (
            |         THEN substring(w, i, L) END),
            |  x -> x IS NOT NULL)))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum("wcnt").as("cnt"))
+      .localCheckpoint() // both seed branches read it
     val seed = pf.filter(length(col("piece")) === 1)
       .union(pf.filter(length(col("piece")) >= 2)
         .orderBy(desc("cnt"), asc("piece")).limit(vocabTopK))
+      .localCheckpoint() // pieceCostFrame's crossJoin reads it twice
     val cnt1 = viterbiPieceCounts(dw, pieceCostFrame(seed), maxPieceLen)
     val kept = seed.select("piece")
       .join(cnt1, Seq("piece"), "left")
       .select(col("piece"), (coalesce(col("cnt"), lit(0L)) + 1).as("cnt"))
       .filter(length(col("piece")) === 1 || col("cnt") > 1)
+      .localCheckpoint() // cuts round-1 Viterbi out of round 2's plan
     (dw, pieceCostFrame(kept))
   }
 

@@ -757,11 +757,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"card rollup lost its partials:\n$p")
   }
 
-  test("q91 contamination report: stop-shingle anti-join, probe broadcast, partial rollups") {
+  test("q91 contamination report: inverted doc-set cap, probe broadcast, partial rollups") {
     val p = plan("q91_contamination_report")
-    // the df cap must materialize as a LEFT ANTI join on the corpus
-    // side, and the gated probe side must broadcast at toy SF
-    assert(p.contains("LeftAnti"), s"stop-shingle cap lost its anti-join:\n$p")
+    // the df cap is the size(ds) filter over ONE (g → doc list)
+    // rollup (the r19 shingleDocSets move — the anti-join form
+    // planned the corpus shingle lineage twice); the gated probe
+    // side must broadcast at toy SF
+    assert(p.contains("collect_set"),
+      s"stop-shingle cap lost its doc-set rollup:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"the df cap regressed to the double-lineage anti-join form:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"probe under the gate must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
