@@ -210,7 +210,7 @@ object Bench {
     // full decode→project→metadata→split pipeline runs over 1M
     // synthetic wire-encoded protobuf messages, generated AND
     // processed on executors (nothing driver-side).
-    val (ingest, ingestRps) = ingestBench(spark)
+    val (ingest, _) = ingestBench(spark)
 
     // WARC-intake throughput: the crawl-archive entry point (record
     // split + header/body parse + lang-ID + host canonicalization)
@@ -314,7 +314,7 @@ object Bench {
       results.flatMap { case (k, t) => t.median.map(k -> _) }.toMap
     val probeEnabled =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") != "0" && only.isEmpty
-    val (probeFull, probeCompact) =
+    val (probeFull, _) =
       if (!probeEnabled) ("null", "null")
       else try scaleProbeBench(spark, sfDir, baseMedians)
       catch {
@@ -357,34 +357,90 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case t: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $t") }
-    // The stdout line is COMPACT — every bench artifact r1–r6 recorded
-    // "parsed": null because the full per-query-detail line outgrew the
-    // driver's 2000-char tail window. Short keys (the leading "qNN"
-    // token, full name only on prefix collision, e.g. the second q60)
-    // + 3-decimal medians keep the whole line ~1.2 kB so it survives
-    // the tail capture intact and machine-parses. Printed AFTER
+    // The stdout line is COMPACT — the driver keeps only a 2000-char
+    // stdout TAIL (followed by sbt's ~80-char "[success] ..." line),
+    // and both the r18 and r19 artifacts recorded "parsed": null
+    // because the previous "compact" form (leading-"qNN" keys,
+    // 3-decimal medians, inline scaleprobe/ingest/interference
+    // blocks) still exceeded the window: the driver has never
+    // successfully diffed two rounds. This form is measured and
+    // asserted under [[MaxCompactLineBytes]] (pinned by
+    // BenchCompactLineSpec at current query count): numeric-id keys,
+    // 2-decimal medians, every detail block file-only. Printed AFTER
     // spark.stop() so it is the JVM's last stdout.
-    // Locale.ROOT explicitly: the f interpolator uses the JVM default
-    // locale, so under e.g. de_DE %.3f emits decimal COMMAS and the
-    // machine-parseable JSON contract this line exists for breaks.
-    def fmt3(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val seen = scala.collection.mutable.HashSet.empty[String]
-    val qsShort = results.map { case (k, t) =>
-      val short = k.takeWhile(_ != '_')
-      val key = if (seen.add(short)) short else k
-      "\"" + key + "\":" + t.median.fold("null")(fmt3)
-    }.mkString("{", ",", "}")
-    val ingestShort = s""""ingest":{"rows_per_sec":$ingestRps}"""
-    println(
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","runs_per_query":$runs,""" +
-        s""""queries":$qsShort,"failed":$failedJson,""" +
-        s""""interference":{"retimed":${retimed.size},"suspect":${namesJson(suspects)}},""" +
-        s""""calibration_sec":${fmt3(calibrationMin)},""" +
-        s""""io_calibration_sec":${fmt3(ioCalibrationMin)},""" +
-        s"""$ingestShort,""" +
-        s""""scaleprobe":$probeCompact,""" +
-        s""""detail":"$outPath","sf":"$sfDir"}""")
+    println(compactLine(results.map { case (k, t) => k -> t.median },
+      total, failed.toSeq, retimed.size, suspects.size,
+      calibrationMin, ioCalibrationMin, sfDir))
+  }
+
+  /** Hard ceiling for the one-line stdout JSON: the driver's capture
+    * window is a 2000-char tail that must also hold sbt's trailing
+    * "[success] Total time ..." line (~80 chars), so the JSON itself
+    * must stay under ~1900 bytes or the head of the line (including
+    * the opening brace) is cut off and the driver records
+    * "parsed": null — which it did in BOTH r18 and r19.
+    */
+  val MaxCompactLineBytes = 1900
+
+  /** The one-line stdout JSON (the driver contract's machine-readable
+    * surface): `{"metric":"total","value":N,"unit":"sec",
+    * "queries":{...},"failed":[...],"retimed":N,"n_suspect":N,
+    * "cal_sec":C,"io_sec":I,"sf":dir}`.
+    *
+    * Query keys are the numeric id of the leading name token with
+    * leading zeros stripped ("q37_ngram_jaccard_top" → "37"); on a
+    * collision later occurrences get 'b', 'c', … in definition order
+    * ("q60_dup_span_ratio_fold" → "60b") — definition order is fixed,
+    * so keys are stable round-over-round. Medians are 2-decimal with
+    * trailing zeros stripped. If the line would still reach
+    * [[MaxCompactLineBytes]] (it cannot at the current query count —
+    * asserted by test), medians degrade to 1 decimal rather than ever
+    * printing an uncapturable line.
+    *
+    * Locale.ROOT explicitly: under e.g. de_DE, %.2f emits decimal
+    * COMMAS and the machine-parseable JSON contract breaks.
+    */
+  private[graft] def compactLine(medians: Seq[(String, Option[Double])],
+      total: Double, failed: Seq[String], retimed: Int, nSuspect: Int,
+      calibrationMin: Double, ioCalibrationMin: Double,
+      sfDir: String): String = {
+    def fmt(d: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(d))
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    def namesJson(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def build(dp: Int): String = {
+      val seen = scala.collection.mutable.HashMap.empty[String, Int]
+      val qs = medians.map { case (name, med) =>
+        val digits = name.takeWhile(_ != '_').stripPrefix("q")
+          .dropWhile(_ == '0')
+        val base = if (digits.isEmpty) "0" else digits
+        val cnt = seen.getOrElse(base, 0)
+        seen(base) = cnt + 1
+        val key = if (cnt == 0) base else base + ('a' + cnt).toChar
+        "\"" + key + "\":" + med.fold("null")(fmt(_, dp))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, math.max(dp, 2))},""" +
+        s""""unit":"sec","queries":$qs,"failed":${namesJson(failed)},""" +
+        s""""retimed":$retimed,"n_suspect":$nSuspect,""" +
+        s""""cal_sec":${fmt(calibrationMin, 2)},""" +
+        s""""io_sec":${fmt(ioCalibrationMin, 2)},"sf":"$sfDir"}"""
+    }
+    val line2 = build(2)
+    if (line2.length < MaxCompactLineBytes) line2
+    else {
+      System.err.println(s"[bench] compact stdout line ${line2.length}B " +
+        s">= $MaxCompactLineBytes — degrading medians to 1 decimal")
+      val line1 = build(1)
+      if (line1.length >= MaxCompactLineBytes)
+        System.err.println(s"[bench] compact stdout line STILL " +
+          s"${line1.length}B — the driver tail will truncate it")
+      line1
+    }
   }
 
   /** IO-side calibration row (r18 verdict #6): the CPU-only

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-contract stdout line of [[Bench]]: the driver
+  * captures only a 2000-char stdout TAIL (which must also hold sbt's
+  * trailing "[success] ..." line), and BOTH the r18 and r19 bench
+  * artifacts recorded "parsed": null because the line exceeded that
+  * window — the driver has never successfully diffed two rounds. This
+  * suite asserts, at the CURRENT declared query count, that the line
+  * stays under [[Bench.MaxCompactLineBytes]] at realistic median
+  * widths, that the degrade path keeps even absurd widths under the
+  * cap, and that the key scheme is stable and collision-free.
+  */
+class BenchCompactLineSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.defs.map(_.name)
+  private val sf = "/root/testdata/sf0.1"
+
+  private def line(medians: Seq[(String, Option[Double])]): String =
+    Bench.compactLine(medians, total = medians.flatMap(_._2).sum,
+      failed = Nil, retimed = 12, nSuspect = 0,
+      calibrationMin = 3.379, ioCalibrationMin = 0.248, sfDir = sf)
+
+  test("line fits the driver window at realistic median widths") {
+    // every declared query at a 4-char median ("9.99" — wider than
+    // any sf0.1 median the repo has ever recorded): the worst
+    // realistic case must clear the cap with the full query list
+    val l = line(names.map(_ -> Some(9.99)))
+    assert(l.length < Bench.MaxCompactLineBytes,
+      s"compact line ${l.length}B >= ${Bench.MaxCompactLineBytes}B " +
+        s"at ${names.size} queries — the driver tail will truncate it")
+  }
+
+  test("degrade path keeps absurd widths under the cap") {
+    val l = line(names.map(_ -> Some(99.987)))
+    assert(l.length < Bench.MaxCompactLineBytes)
+  }
+
+  test("keys: numeric ids, collisions suffixed, no duplicates") {
+    val l = line(names.map(_ -> Some(1.0)))
+    val qblock = l.substring(l.indexOf("\"queries\":{") + 11,
+      l.indexOf("},\"failed\""))
+    val keys = qblock.split(",").map(_.split(":")(0).stripPrefix("\"")
+      .stripSuffix("\"")).toSeq
+    assert(keys.size == names.size)
+    assert(keys.distinct.size == keys.size, "duplicate compact keys")
+    // spot-pin the scheme so a silent change breaks loudly: leading
+    // zeros stripped, first occurrence bare, second gets 'b'
+    val byName = names.zip(keys).toMap
+    assert(byName("q01_pricing_summary") == "1")
+    assert(byName("q37_ngram_jaccard_top") == "37")
+    assert(byName("q60_dup_span_ratio") == "60")
+    assert(byName("q60_dup_span_ratio_fold") == "60b")
+    assert(byName("q123_exact_substr_removal") == "123")
+    assert(byName("q123_exact_substr_removal_fold") == "123b")
+  }
+
+  test("line is valid JSON with the contract fields") {
+    val l = line(names.map(n =>
+      n -> (if (n.hashCode % 7 == 0) None else Some(0.4))))
+    val parsed = org.json4s.jackson.JsonMethods.parse(l)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((parsed \ "metric").extract[String] == "total")
+    assert((parsed \ "unit").extract[String] == "sec")
+    assert((parsed \ "sf").extract[String] == sf)
+    val qs = (parsed \ "queries").extract[Map[String, Option[Double]]]
+    assert(qs.size == names.size)
+    assert((parsed \ "cal_sec").extract[Double] == 3.38)
+    assert((parsed \ "io_sec").extract[Double] == 0.25)
+  }
+
+  test("number formatting: Locale-proof, trailing zeros stripped") {
+    val l = Bench.compactLine(Seq("q01_pricing_summary" -> Some(2.0),
+        "q02_top_customers" -> Some(0.305)),
+      total = 2.305, failed = Seq("q02_top_customers"), retimed = 0,
+      nSuspect = 1, calibrationMin = 3.0, ioCalibrationMin = 0.1,
+      sfDir = sf)
+    assert(l.contains("\"1\":2,"), l)
+    assert(l.contains("\"2\":0.31"), l) // %.2f HALF_UP of 0.305
+    assert(l.contains("\"cal_sec\":3,"), l)
+    assert(l.contains("\"failed\":[\"q02_top_customers\"]"), l)
+    assert(l.contains("\"n_suspect\":1"), l)
+  }
+}
